@@ -1,0 +1,72 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Paginated-source ingest.
+  *
+  * The reference fetches a paginated REST API with a hand-rolled
+  * page→node assignment across 3 Airflow tasks and a retry loop
+  * (reference: airflow/dags/datalake_bronze_fetch_raw_data_api_dag.py:226-309,
+  * airflow/plugins/operators/fetch_api_operator.py:22-52). Spark-first,
+  * the task scheduler replaces the page distributor: `spark.range(pages)`
+  * repartitioned across the cluster, each task fetching its pages inside
+  * `mapPartitions` — which scales to any node count, retries per page,
+  * and keeps failures task-local (a failed page retries as a task, not a
+  * whole node's page list).
+  */
+object Ingest {
+
+  /** Pagination plan: `ceil(total / pageSize)` pages
+    * (reference: datalake_bronze_...py:262-277, 200 rows/page at :25). */
+  def pageCount(totalRows: Long, pageSize: Int): Int = {
+    require(pageSize > 0, "pageSize must be positive")
+    (((totalRows + pageSize - 1) / pageSize).min(Int.MaxValue)).toInt
+  }
+
+  /** Reference-parity page→node assignment: contiguous near-even ranges
+    * with the remainder spread over the first nodes
+    * (reference: datalake_bronze_...py:226-260). Kept for invariant tests;
+    * the distributed path below doesn't need it. */
+  def nodesPages(pages: Int, nodes: Int): Seq[Seq[Int]] = {
+    require(nodes > 0)
+    val base = pages / nodes
+    val rem = pages % nodes
+    val sizes = Seq.tabulate(nodes)(i => base + (if (i < rem) 1 else 0))
+    val starts = sizes.scanLeft(1)(_ + _)
+    sizes.zip(starts).map { case (n, s) => (s until s + n).toSeq }
+  }
+
+  /** Bounded retry with fixed wait — `FetchApiOperator.execute`
+    * semantics (fetch_api_operator.py:22-47): retry up to `maxRetries`,
+    * sleeping `waitMillis`, rethrowing the last failure. */
+  def withRetry[T](maxRetries: Int, waitMillis: Long)(f: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return f
+      catch {
+        case e: Exception =>
+          attempt += 1
+          if (attempt >= maxRetries) throw e
+          Thread.sleep(waitMillis)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Distributed page fetch: one row per page body. `fetcher` runs on
+    * executors (build any HTTP client inside it, per task). */
+  def fetchPages(
+      spark: SparkSession,
+      pages: Int,
+      parallelism: Int,
+      fetcher: Int => String,
+      maxRetries: Int = 3,
+      waitMillis: Long = 1000L
+  ): Dataset[String] = {
+    import spark.implicits._
+    spark
+      .range(1, pages + 1L)
+      .repartition(parallelism)
+      .mapPartitions(_.map(id => withRetry(maxRetries, waitMillis)(fetcher(id.toInt))))
+  }
+}

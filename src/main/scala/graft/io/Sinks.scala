@@ -1,0 +1,49 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Managed-table and file sinks.
+  *
+  * The reference writes `format("iceberg").mode("overwrite").saveAsTable`
+  * (reference: spark/jobs/job_silver.py:174-178, job_gold.py:98-102) —
+  * a FULL-table overwrite on every run, so despite date partitioning the
+  * table only ever holds the latest run. We reproduce that as parity
+  * mode and add the mode the reference should have used: dynamic
+  * partition overwrite, which replaces only the partitions present in
+  * the incoming frame — at 100 TB rewriting the whole table daily is
+  * not an option. Iceberg-specific metadata-retention options
+  * (job_silver.py:176-177) have no builtin-catalog analog and are
+  * accepted divergence (SURVEY §7).
+  */
+object Sinks {
+
+  /** Parity mode: full-table overwrite, partitioned layout
+    * (job_silver.py:174-178). */
+  def overwriteTable(df: DataFrame, table: String, partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).saveAsTable(table)
+  }
+
+  /** Scale mode: replace only the partitions present in `df`
+    * (`INSERT OVERWRITE ... PARTITION` semantics via dynamic
+    * partitionOverwriteMode). */
+  def overwritePartitions(df: DataFrame, table: String, partitionCols: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try df.write.mode(SaveMode.Overwrite).insertInto(table)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** NDJSON land (bronze): one JSON object per line so downstream reads
+    * split line-wise (reference builds this by hand,
+    * datalake_bronze_fetch_raw_data_api_dag.py:300-303). */
+  def ndjson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  def parquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+}

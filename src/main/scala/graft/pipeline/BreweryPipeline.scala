@@ -1,0 +1,110 @@
+package graft.pipeline
+
+import graft.core.{Conform, Schema}
+import graft.io.{FsUtils, Sinks, Sources}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.time.{Instant, LocalDate, ZoneOffset}
+
+/** The reference's one real pipeline, bronze → silver → gold, as plain
+  * Scala over one SparkSession (the reference spreads this across four
+  * Airflow DAGs, Docker containers, and Py4J — SURVEY §3).
+  *
+  * @param bronzeRoot   root dir of landed NDJSON (stands in for
+  *                     s3a://bucket/dataset)
+  * @param silverTable  conformed table (reference: silver.dw.tab_brewery)
+  * @param goldTable    summary table (reference: gold.dw.tab_brewery_summary)
+  * @param parityOverwrite full-table overwrite like the reference
+  *                     (job_silver.py:174-178); false = dynamic
+  *                     partition overwrite (the 100 TB mode)
+  */
+final case class PipelineConf(
+    bronzeRoot: String,
+    silverTable: String = "silver_dw.tab_brewery",
+    goldTable: String = "gold_dw.tab_brewery_summary",
+    partitionCol: String = "sys_file_date",
+    parityOverwrite: Boolean = true
+)
+
+object BreweryPipeline {
+
+  /** The reference pins partition dates to the pipeline execution date
+    * shifted by a FIXED −3h (America/Sao_Paulo sans DST — an intentional
+    * quirk, reference: datalake_silver_spark_dag.py:132-133). Preserved
+    * verbatim; `LocalDate.now` is never used — dates are always derived
+    * from an explicit instant. */
+  def saoPauloDate(executionInstant: Instant): LocalDate =
+    executionInstant.minusSeconds(3 * 3600).atZone(ZoneOffset.UTC).toLocalDate
+
+  private def ensureDatabase(spark: SparkSession, table: String): Unit = {
+    val db = table.split('.').dropRight(1).mkString(".")
+    if (db.nonEmpty) spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+  }
+
+  /** Silver: NDJSON under `bronzeRoot/sys_file_date=<d>/` → conform to the
+    * brewery spec → stamp partition date → managed table. Returns rows
+    * written, 0 when the emptiness gate fires (reference:
+    * job_silver.py:129,152-154,183-184). */
+  def runSilver(spark: SparkSession, conf: PipelineConf, date: LocalDate): Long = {
+    val prefix = s"${conf.bronzeRoot}/${conf.partitionCol}=$date"
+    if (!FsUtils.prefixExists(spark, prefix)) return 0L
+
+    val raw = Sources.ndjsonInfer(spark, prefix)
+    val conformed = Conform.withPartitionStamp(raw, Schema.brewerySpec, conf.partitionCol, date)
+    // single count via cache — the reference recomputes the scan for each
+    // of its back-to-back counts (job_silver.py:149,152)
+    conformed.cache()
+    val n = conformed.count()
+    if (n > 0) {
+      ensureDatabase(spark, conf.silverTable)
+      if (conf.parityOverwrite)
+        Sinks.overwriteTable(conformed, conf.silverTable, Seq(conf.partitionCol))
+      else {
+        createSilverIfAbsent(spark, conf)
+        Sinks.overwritePartitions(conformed, conf.silverTable, Seq(conf.partitionCol))
+      }
+    }
+    conformed.unpersist()
+    n
+  }
+
+  private def createSilverIfAbsent(spark: SparkSession, conf: PipelineConf): Unit = {
+    val cols = Schema
+      .toStructType(Schema.brewerySpec)
+      .fields
+      .map(f => s"${f.name} ${f.dataType.sql}")
+      .mkString(", ")
+    spark.sql(
+      s"CREATE TABLE IF NOT EXISTS ${conf.silverTable} ($cols, ${conf.partitionCol} DATE) " +
+        s"USING PARQUET PARTITIONED BY (${conf.partitionCol})"
+    )
+  }
+
+  /** Gold: the reference's aggregation verbatim — ordinal GROUP BY/ORDER
+    * BY over one date partition (reference: job_gold.py:71-88), with the
+    * date passed as a named SQL parameter instead of an f-string
+    * (job_gold.py builds it by interpolation — SQL-injection-prone). */
+  def goldQuery(spark: SparkSession, conf: PipelineConf, date: LocalDate): DataFrame =
+    spark.sql(
+      s"""SELECT ${conf.partitionCol}, brewery_type, country, count(*) AS qtd
+         |FROM ${conf.silverTable}
+         |WHERE ${conf.partitionCol} = :run_date
+         |GROUP BY 1, 2, 3
+         |ORDER BY 1, 2, 3""".stripMargin,
+      Map("run_date" -> date.toString)
+    )
+
+  def runGold(spark: SparkSession, conf: PipelineConf, date: LocalDate): Long = {
+    ensureDatabase(spark, conf.goldTable)
+    val agg = goldQuery(spark, conf, date)
+    Sinks.overwriteTable(agg, conf.goldTable, Seq(conf.partitionCol))
+    spark.table(conf.goldTable).count()
+  }
+
+  /** Full run with the reference's gating (silver empty → skip gold). */
+  def run(spark: SparkSession, conf: PipelineConf, date: LocalDate): (Long, Long) = {
+    val silverRows = runSilver(spark, conf, date)
+    val goldRows = if (silverRows > 0) runGold(spark, conf, date) else 0L
+    (silverRows, goldRows)
+  }
+}

@@ -7,7 +7,12 @@ import org.scalatest.BeforeAndAfterAll
 /** Shared local SparkSession for all specs (one JVM, forked by sbt). */
 object SparkSpec {
   lazy val spark: SparkSession = {
-    val s = graft.core.GraftSession.local("graft-test", cores = 4)
+    val wh = java.nio.file.Files.createTempDirectory("graft-warehouse").toString
+    val s = graft.core.GraftSession
+      .builder("graft-test", cores = 4)
+      .master("local[4]")
+      .config("spark.sql.warehouse.dir", wh)
+      .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

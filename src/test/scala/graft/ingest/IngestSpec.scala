@@ -1,0 +1,62 @@
+package graft.ingest
+
+import graft.SparkSpec
+
+class IngestSpec extends SparkSpec {
+
+  test("pageCount = ceil(total/pageSize)") {
+    assert(Ingest.pageCount(0, 200) == 0)
+    assert(Ingest.pageCount(1, 200) == 1)
+    assert(Ingest.pageCount(200, 200) == 1)
+    assert(Ingest.pageCount(201, 200) == 2)
+    assert(Ingest.pageCount(8923, 200) == 45)
+  }
+
+  test("nodesPages covers all pages exactly once, contiguous, near-even") {
+    // mirrors get_nodes_pages invariants (datalake_bronze_...py:238-260)
+    for (pages <- Seq(1, 2, 3, 7, 45, 100); nodes <- Seq(1, 2, 3, 5)) {
+      val plan = Ingest.nodesPages(pages, nodes)
+      assert(plan.length == nodes)
+      val all = plan.flatten
+      assert(all.sorted == (1 to pages).toList, s"pages=$pages nodes=$nodes")
+      assert(plan.forall(p => p.isEmpty || p == (p.head to p.last)))
+      val sizes = plan.map(_.size)
+      assert(sizes.max - sizes.min <= 1)
+    }
+  }
+
+  test("withRetry retries then succeeds; rethrows after max") {
+    var calls = 0
+    val out = Ingest.withRetry(3, 0) {
+      calls += 1
+      if (calls < 3) throw new RuntimeException("boom")
+      "ok"
+    }
+    assert(out == "ok" && calls == 3)
+    var calls2 = 0
+    val e = intercept[RuntimeException](Ingest.withRetry(2, 0) {
+      calls2 += 1; throw new RuntimeException("always")
+    })
+    assert(e.getMessage == "always" && calls2 == 2)
+  }
+
+  test("fetchPages fetches every page across partitions with retry") {
+    val failOnce = new java.util.concurrent.ConcurrentHashMap[Int, Boolean]()
+    val bodies = Ingest
+      .fetchPages(
+        spark,
+        pages = 10,
+        parallelism = 3,
+        fetcher = { p =>
+          // first attempt at page 4 fails (exercises executor-side retry)
+          if (p == 4 && failOnce.putIfAbsent(p, true) == null) throw new RuntimeException("flaky")
+          s"body-$p"
+        },
+        maxRetries = 3,
+        waitMillis = 1
+      )
+      .collect()
+      .toSet
+    assert(bodies == (1 to 10).map(p => s"body-$p").toSet)
+  }
+}

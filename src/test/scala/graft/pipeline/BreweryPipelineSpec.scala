@@ -1,0 +1,102 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.io.FsUtils
+import java.nio.file.Files
+import java.time.{Instant, LocalDate}
+
+class BreweryPipelineSpec extends SparkSpec {
+
+  private def rec(id: String, btype: String, country: String, extra: String = "",
+                  phone: String = "4058160490"): String = {
+    val t = if (btype == null) "null" else s""""$btype""""
+    val c = if (country == null) "null" else s""""$country""""
+    s"""{"id":"$id","name":"Brew $id","brewery_type":$t,"country":$c,"longitude":"-97.46","latitude":"35.25","phone":"$phone"$extra}"""
+  }
+
+  private val date = LocalDate.parse("2026-08-12")
+
+  private def landFixture(root: String): Unit = {
+    val dir = java.nio.file.Paths.get(s"$root/sys_file_date=$date")
+    Files.createDirectories(dir)
+    // FIXTURES.md A.3 golden fixture: 2x micro/US, 1x brewpub/US,
+    // 1x micro/null-country, 1x null-type/US; plus an extra column to
+    // drop and a bad numeric to null out.
+    val lines = Seq(
+      rec("a1", "micro", "United States"),
+      rec("a2", "micro", "United States", ""","surprise_col":"x""""),
+      rec("a3", "brewpub", "United States"),
+      rec("a4", "micro", null),
+      rec("a5", null, "United States", phone = "not-a-phone")
+    )
+    Files.write(dir.resolve("node_1_page_1.json"), lines.mkString("\n").getBytes)
+  }
+
+  test("bronze->silver->gold E2E matches FIXTURES.md golden rows") {
+    val root = Files.createTempDirectory("bronze").toString
+    landFixture(root)
+    val conf = PipelineConf(bronzeRoot = root)
+    val (silverRows, goldRows) = BreweryPipeline.run(spark, conf, date)
+    assert(silverRows == 5)
+    assert(goldRows == 4)
+
+    val silver = spark.table(conf.silverTable)
+    assert(!silver.columns.contains("surprise_col"))
+    assert(silver.schema("phone").dataType.typeName == "long")
+    assert(silver.where("id = 'a5'").select("phone").collect().head.isNullAt(0))
+
+    val gold = BreweryPipeline.goldQuery(spark, conf, date)
+    val got = gold.collect().map(r => (Option(r.getString(1)), Option(r.getString(2)), r.getLong(3))).toSeq
+    // Spark ASC = NULLS FIRST (FIXTURES.md A.3)
+    val want = Seq(
+      (None, Some("United States"), 1L),
+      (Some("brewpub"), Some("United States"), 1L),
+      (Some("micro"), None, 1L),
+      (Some("micro"), Some("United States"), 2L)
+    )
+    assert(got == want)
+    assert(gold.columns.toSeq == Seq("sys_file_date", "brewery_type", "country", "qtd"))
+  }
+
+  test("emptiness gate: missing prefix -> zero rows, no gold run") {
+    val root = Files.createTempDirectory("bronze-empty").toString
+    val conf = PipelineConf(
+      bronzeRoot = root,
+      silverTable = "silver_dw.tab_empty",
+      goldTable = "gold_dw.tab_empty_summary"
+    )
+    val (s, g) = BreweryPipeline.run(spark, conf, date)
+    assert(s == 0L && g == 0L)
+    assert(!spark.catalog.tableExists(conf.goldTable))
+  }
+
+  test("re-run of same date is idempotent (parity full overwrite)") {
+    val root = Files.createTempDirectory("bronze2").toString
+    landFixture(root)
+    val conf = PipelineConf(
+      bronzeRoot = root,
+      silverTable = "silver_dw.tab_rerun",
+      goldTable = "gold_dw.tab_rerun_summary"
+    )
+    BreweryPipeline.run(spark, conf, date)
+    BreweryPipeline.run(spark, conf, date)
+    assert(spark.table(conf.silverTable).count() == 5)
+    assert(spark.table(conf.goldTable).count() == 4)
+  }
+
+  test("saoPauloDate applies the fixed -3h shift (DST ignored, as reference)") {
+    assert(BreweryPipeline.saoPauloDate(Instant.parse("2026-08-12T02:59:00Z")).toString == "2026-08-11")
+    assert(BreweryPipeline.saoPauloDate(Instant.parse("2026-08-12T03:00:00Z")).toString == "2026-08-12")
+  }
+
+  test("FsUtils probes: exists/stats/delete") {
+    val root = Files.createTempDirectory("fsprobe").toString
+    assert(!FsUtils.prefixExists(spark, s"$root/nope"))
+    Files.write(java.nio.file.Paths.get(s"$root/a.txt"), "hello".getBytes)
+    assert(FsUtils.prefixExists(spark, root))
+    val (files, bytes) = FsUtils.prefixStats(spark, root)
+    assert(files == 1 && bytes == 5)
+    assert(FsUtils.deletePrefix(spark, root))
+    assert(!FsUtils.prefixExists(spark, root))
+  }
+}
