@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data curation, each designed
+  * around Spark's shuffle model:
+  *
+  *  - exact: one hash-partitioned aggregation on the normalized key
+  *    (map-side partial aggregation keeps the shuffle at one row per
+  *    distinct key per mapper)
+  *  - MinHash+LSH: signatures are a pure per-row projection (no
+  *    shuffle); candidate generation shuffles only (band, bucket)
+  *    pairs — never all-pairs — so cost scales with collisions, not n²
+  *  - SimHash: explode + one aggregation, again partial-agg friendly
+  *
+  * Hashes are md5-based (see [[graft.functions.TextFunctions.hash32]])
+  * so every operator is oracle-verifiable cross-engine.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest id per normalized text. Deterministic
+    * representative selection (unlike `dropDuplicates`, which keeps an
+    * arbitrary row and would not be oracle-checkable). */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(lower(trim(col(textCol))).as("norm_text"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .select(col("keeper_id"), col("n_copies"))
+      .orderBy(col("keeper_id"))
+
+  /** Exact dedup on arbitrary key columns (representative = min id). */
+  def exactOnKeys(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keeper_id"))
+
+  /** MinHash signatures: `numHashes` salted-md5 minima over word
+    * 3-shingles, computed in ONE projection per row (array transforms,
+    * no explode, no shuffle). Docs shorter than the shingle width get
+    * null signatures and are excluded. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String, numHashes: Int = 8): DataFrame = {
+    val sh = wordShingles(tokens(col(textCol)))
+    val sigCols = (0 until numHashes).map(j => minhash(col("shingles"), j).as(s"mh_$j"))
+    df.select(col(idCol), sh.as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .select(col(idCol) +: sigCols: _*)
+  }
+
+  /** LSH candidate pairs: split the signature into `bands`, bucket each
+    * band by md5 of its concatenated rows, and emit distinct id pairs
+    * sharing any bucket. The self-join shuffles on (band, bucket), so
+    * skewed buckets (boilerplate text) are handled by AQE skew-join at
+    * scale. */
+  def lshCandidatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 8,
+      bands: Int = 4
+  ): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes)
+    val bandCols = (0 until bands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band_idx"), md5(concat(parts: _*)).as("bucket")).as(s"band_$b")
+    }
+    val banded = sigs
+      .select(col(idCol) +: bandCols: _*)
+      .select(col(idCol), explode(array((0 until bands).map(b => col(s"band_$b")): _*)).as("band"))
+      .select(col(idCol), col("band.band_idx"), col("band.bucket"))
+    val l = banded.select(col(idCol).as("a"), col("band_idx"), col("bucket"))
+    val r = banded.select(col(idCol).as("b"), col("band_idx"), col("bucket"))
+    l.join(r, Seq("band_idx", "bucket"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** 16-bit SimHash over whitespace tokens (multiset semantics — a
+    * token contributes once per occurrence). One explode + one
+    * aggregation. */
+  def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+    val hashed = tok.select(col(idCol), hash32(col("w")).as("hv"))
+    val bitSums = (0 until 16).map { b =>
+      sum(when(shiftright(col("hv"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s_$b")
+    }
+    val agg = hashed.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 16)
+      .map(b => when(col(s"s_$b") > 0, 1L << b).otherwise(0L))
+      .reduce(_ + _)
+    agg.select(col(idCol), sim.as("simhash")).orderBy(col(idCol))
+  }
+
+  /** Exact n-gram (token-set) Jaccard between paired docs. `pairs` must
+    * expose columns a, b (ids). Distinct-token semantics. */
+  def jaccard(df: DataFrame, idCol: String, textCol: String, pairs: DataFrame): DataFrame = {
+    val docs = df.select(col(idCol).as("jid"), array_distinct(tokens(col(textCol))).as("toks"))
+    pairs
+      .join(docs.withColumnRenamed("jid", "a_id").withColumnRenamed("toks", "a_toks"), col("a") === col("a_id"))
+      .join(docs.withColumnRenamed("jid", "b_id").withColumnRenamed("toks", "b_toks"), col("b") === col("b_id"))
+      .select(
+        col("a"),
+        col("b"),
+        round(
+          size(array_intersect(col("a_toks"), col("b_toks"))).cast("double") /
+            size(array_union(col("a_toks"), col("b_toks"))),
+          6
+        ).as("jaccard")
+      )
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** Rolling-style positional document fingerprint:
+    * sum((pos+1) * hash32(token)) mod 2^31 — order-sensitive, so
+    * reordered documents fingerprint differently while duplicated text
+    * collides. */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
+      .groupBy(col(idCol))
+      .agg((sum((col("pos") + 1) * hash32(col("w"))) % 2147483648L).as("fp"))
+      .orderBy(col(idCol))
+}

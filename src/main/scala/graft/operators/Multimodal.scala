@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing.
+  *
+  * Media payloads are opaque `binary` columns plus a typed metadata
+  * struct — the layout a 100 TB multimodal corpus needs (payload stays
+  * columnar/compressed, metadata is prunable without touching bytes).
+  * The Spark-side machinery (schema, partitioning, per-partition batch
+  * decode, feature schema) is real and tested; the actual codec call is
+  * STUBBED with a deterministic fake, clearly marked below, because no
+  * image/audio library ships in this container.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType),
+    StructField(
+      "meta",
+      StructType(Seq(
+        StructField("format", StringType),
+        StructField("byte_len", IntegerType),
+        StructField("content_hash", StringType)
+      ))
+    )
+  ))
+
+  /** Build a media table from any (id, text) source — payload = utf8
+    * bytes standing in for encoded media; metadata is computed from the
+    * payload exactly as it would be for real media. */
+  def toMediaTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).as("media_id"),
+      col(textCol).cast("binary").as("payload"),
+      struct(
+        lit("utf8-stub").as("format"),
+        octet_length(col(textCol).cast("binary")).as("byte_len"),
+        md5(col(textCol).cast("binary")).as("content_hash")
+      ).as("meta")
+    )
+
+  final case class MediaFeature(media_id: Long, n_frames: Int, feature: Array[Float])
+
+  /** Per-partition batched "decode + feature extract". Shape is the
+    * real thing: iterator-in/iterator-out over partitions (so a real
+    * codec would amortize model/codec init per partition, the same
+    * reason PySpark uses mapInPandas here), fixed-width float feature
+    * out.
+    *
+    * STUB: the decode step is a deterministic fake — bytes are folded
+    * into `featDim` float accumulators instead of being decoded by a
+    * codec. Swap `fakeDecode` for a real library call when one exists.
+    */
+  def extractFeatures(media: DataFrame, featDim: Int = 8): Dataset[MediaFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])].mapPartitions { it =>
+      it.map { case (id, payload) =>
+        val bytes = if (payload == null) Array.empty[Byte] else payload
+        MediaFeature(id, nFrames(bytes), fakeDecode(bytes, featDim))
+      }
+    }
+  }
+
+  /** STUB decode: deterministic byte-fold into featDim accumulators. */
+  private def fakeDecode(bytes: Array[Byte], featDim: Int): Array[Float] = {
+    val acc = new Array[Float](featDim)
+    var i = 0
+    while (i < bytes.length) {
+      acc(i % featDim) += (bytes(i) & 0xff) / 255.0f
+      i += 1
+    }
+    acc
+  }
+
+  /** STUB frame count: one "frame" per 64-byte block. */
+  private def nFrames(bytes: Array[Byte]): Int = (bytes.length + 63) / 64
+
+  /** "Frame sampling": every `stride`-th 64-byte block as its own row —
+    * the explode/partition shape of video-frame extraction. */
+  def sampleFrames(media: DataFrame, stride: Int = 2): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select("media_id", "payload")
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        val bytes = if (payload == null) Array.empty[Byte] else payload
+        (0 until nFrames(bytes) by stride).map { f =>
+          val start = f * 64
+          (id, f, bytes.slice(start, math.min(start + 64, bytes.length)))
+        }
+      }
+      .toDF("media_id", "frame_idx", "frame_bytes")
+  }
+}

@@ -585,9 +585,10 @@ object Corpus {
     q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29
   )
 
-  /** Full corpus (extended by the dedup/similarity/text/multimodal and
-    * as-of modules). */
-  def all: Seq[Q] = relational
+  /** Full corpus: relational inventory + the BASELINE extensions
+    * (dedup / similarity / text analysis / multimodal / temporal
+    * joins, see [[ExtensionCorpus]]). */
+  def all: Seq[Q] = relational ++ ExtensionCorpus.all
 
   def headlines: Seq[Q] = all.filter(_.headline)
 }

@@ -1,0 +1,335 @@
+package graft.queries
+
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Multimodal, Similarity, TemporalJoins}
+import org.apache.spark.sql.functions._
+import Corpus.fixture
+
+/** BASELINE-extension corpus: deduplication, similarity search,
+  * multimodal plumbing, text analysis, and temporal joins over the
+  * `documents` / `embeddings` / `events` fixtures.
+  *
+  * Every oracle here is GENERATED Scala-side so constants (hash salts,
+  * LSH hyperplanes, marker lists) can never drift between the Spark
+  * implementation and the DuckDB SQL. Hash primitives are md5-based
+  * (see TextFunctions.hash32) precisely so these oracles exist: the
+  * whole dedup stack is exact-checkable cross-engine, not rows-only.
+  */
+object ExtensionCorpus {
+
+  // ---- shared DuckDB SQL fragments (kept in lockstep with TextFunctions) ----
+
+  /** DuckDB rendering of TextFunctions.hash32. */
+  private def sqlHash32(e: String): String =
+    s"CAST(('0x' || substr(md5($e),1,8)) AS BIGINT)"
+
+  /** DuckDB rendering of word 3-shingles over string_split tokens. */
+  private val sqlShingles =
+    "list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))"
+
+  private def sqlMinhash(j: Int): String =
+    s"list_min(list_transform(sh, x -> md5('$j|' || x)))"
+
+  /** DuckDB rendering of TextFunctions.occurrences over padded text. */
+  private def sqlOcc(padded: String, pat: String): String = {
+    val esc = pat.replace("'", "''")
+    s"CAST((length($padded) - length(replace($padded, '$esc', ''))) / ${pat.length} AS INTEGER)"
+  }
+
+  private def sqlLangScore(lang: String): String =
+    langMarkers.collectFirst { case (`lang`, pats) => pats }.get
+      .map(p => sqlOcc("pad", p)).mkString("(", " + ", ")")
+
+  // ------------------------------------------------------------------ dedup
+
+  private val q30 = Q(
+    "q30_dedup_exact",
+    (s, dir) => Dedup.exact(fixture(s, dir, "documents"), "doc_id", "text"),
+    Some("""SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+      FROM documents GROUP BY lower(trim(text)) ORDER BY keeper_id""")
+  )
+
+  private val q31 = Q(
+    "q31_minhash_signatures",
+    (s, dir) =>
+      Dedup.minhashSignatures(fixture(s, dir, "documents"), "doc_id", "text", numHashes = 8)
+        .orderBy(col("doc_id")),
+    Some {
+      val mhCols = (0 until 8).map(j => s"${sqlMinhash(j)} AS mh_$j").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+          s AS (SELECT doc_id, $sqlShingles AS sh FROM t WHERE len(toks) >= 3)
+          SELECT doc_id, $mhCols FROM s ORDER BY doc_id"""
+    }
+  )
+
+  private val q32 = Q(
+    "q32_lsh_candidate_pairs",
+    (s, dir) =>
+      Dedup.lshCandidatePairs(fixture(s, dir, "documents"), "doc_id", "text", numHashes = 8, bands = 4),
+    Some {
+      val mhCols = (0 until 8).map(j => s"${sqlMinhash(j)} AS mh_$j").mkString(", ")
+      val bandSelects = (0 until 4)
+        .map(b => s"SELECT doc_id, $b AS band_idx, md5(mh_${2 * b} || mh_${2 * b + 1}) AS bucket FROM m")
+        .mkString(" UNION ALL ")
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+          s AS (SELECT doc_id, $sqlShingles AS sh FROM t WHERE len(toks) >= 3),
+          m AS (SELECT doc_id, $mhCols FROM s),
+          bands AS ($bandSelects)
+          SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+          FROM bands l JOIN bands r
+            ON l.band_idx = r.band_idx AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+          ORDER BY a, b"""
+    },
+    headline = true
+  )
+
+  private val q33 = Q(
+    "q33_simhash",
+    (s, dir) => Dedup.simhash16(fixture(s, dir, "documents"), "doc_id", "text"),
+    Some {
+      val bitSums = (0 until 16)
+        .map(b => s"SUM(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s_$b")
+        .mkString(", ")
+      val recompose = (0 until 16)
+        .map(b => s"(CASE WHEN s_$b > 0 THEN ${1L << b} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+          h AS (SELECT doc_id, ${sqlHash32("w")} AS hv FROM w),
+          s AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)
+          SELECT doc_id, CAST($recompose AS BIGINT) AS simhash FROM s ORDER BY doc_id"""
+    }
+  )
+
+  private val q34 = Q(
+    "q34_ngram_jaccard",
+    (s, dir) => {
+      val docs = fixture(s, dir, "documents")
+      val small = docs.filter(col("doc_id") < 40)
+      val pairs = small.select(col("doc_id").as("a"))
+        .join(small.select(col("doc_id").as("b")), col("a") < col("b"))
+      Dedup.jaccard(docs, "doc_id", "text", pairs)
+    },
+    Some("""WITH d AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS toks FROM documents),
+      p AS (SELECT a.doc_id AS a, b.doc_id AS b FROM documents a JOIN documents b
+            ON a.doc_id < b.doc_id AND a.doc_id < 40 AND b.doc_id < 40)
+      SELECT p.a, p.b,
+        ROUND(CAST(len(list_filter(da.toks, x -> list_contains(db.toks, x))) AS DOUBLE)
+          / (len(da.toks) + len(db.toks) - len(list_filter(da.toks, x -> list_contains(db.toks, x)))), 6) AS jaccard
+      FROM p JOIN d da ON p.a = da.doc_id JOIN d db ON p.b = db.doc_id
+      ORDER BY a, b""")
+  )
+
+  private val q35 = Q(
+    "q35_fingerprint",
+    (s, dir) => Dedup.fingerprint(fixture(s, dir, "documents"), "doc_id", "text"),
+    Some(s"""SELECT doc_id, CAST(list_sum(list_transform(string_split(text,' '),
+      (x,i) -> i * ${sqlHash32("x")})) % 2147483648 AS BIGINT) AS fp
+      FROM documents ORDER BY doc_id""")
+  )
+
+  // ------------------------------------------------------------- text analysis
+
+  private val q36 = Q(
+    "q36_text_stats",
+    (s, dir) =>
+      fixture(s, dir, "documents").select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tok"),
+        size(tokensRegex(col("text"))).as("n_tok_re"),
+        meanTokenLen(col("text")).as("mean_tok_len"),
+        stopwordRatio(col("text")).as("stop_ratio"),
+        qualityScore(col("text")).as("quality")
+      ).orderBy(col("doc_id")),
+    Some {
+      val en = sqlLangScore("en")
+      s"""WITH t AS (SELECT doc_id, text, ' ' || text || ' ' AS pad,
+            len(string_split(text,' ')) AS n_tok FROM documents)
+        SELECT doc_id, CAST(n_tok AS INTEGER) AS n_tok,
+          CAST(len(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS INTEGER) AS n_tok_re,
+          ROUND(CAST(length(replace(text,' ','')) AS DOUBLE) / n_tok, 6) AS mean_tok_len,
+          ROUND(CAST($en AS DOUBLE) / n_tok, 6) AS stop_ratio,
+          CAST(ROUND((CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 0.4 ELSE 0.0 END)
+            + (CASE WHEN $en > 0 THEN 0.3 ELSE 0.0 END)
+            + (CASE WHEN CAST(length(replace(text,' ','')) AS DOUBLE) / n_tok BETWEEN 2.0 AND 12.0
+               THEN 0.3 ELSE 0.0 END), 1) AS DOUBLE) AS quality
+        FROM t ORDER BY doc_id"""
+    }
+  )
+
+  private val q37 = Q(
+    "q37_lang_id",
+    (s, dir) =>
+      fixture(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), langId(col("text")).as("lang_id"))
+        .orderBy(col("doc_id")),
+    Some {
+      val scores = langMarkers.map { case (l, _) => s"${sqlLangScore(l)} AS s_$l" }.mkString(", ")
+      val best = langMarkers.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+      val cases = langMarkers.map { case (l, _) => s"WHEN s_$l = best THEN '$l'" }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id, lang, ' ' || text || ' ' AS pad FROM documents),
+          sc AS (SELECT doc_id, lang, $scores FROM t),
+          b AS (SELECT *, $best AS best FROM sc)
+          SELECT doc_id, lang,
+            CASE WHEN best = 0 THEN 'und' $cases ELSE 'und' END AS lang_id
+          FROM b ORDER BY doc_id"""
+    }
+  )
+
+  // ------------------------------------------------------- similarity search
+
+  /** DuckDB cosine with the exact fold shape of VectorFunctions.cosine
+    * (left-assoc double adds ⇒ bit-identical IEEE results). */
+  private def sqlCosine(a: String, b: String): String =
+    s"""(list_reduce(list_transform(list_zip($a, $b), p -> struct_extract(p,1)*struct_extract(p,2)), (x,y) -> x+y)
+        / (sqrt(list_reduce(list_transform($a, x -> x*x), (x,y) -> x+y))
+         * sqrt(list_reduce(list_transform($b, x -> x*x), (x,y) -> x+y))))"""
+
+  private val sqlVecView =
+    "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings"
+
+  private val q38 = Q(
+    "q38_ann_bruteforce",
+    (s, dir) => {
+      val e = fixture(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+    },
+    Some(s"""WITH v AS ($sqlVecView),
+      sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ${sqlCosine("q.emb", "c.emb")} AS score
+             FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+      r AS (SELECT query_id, neighbor_id, score,
+              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
+            FROM sc)
+      SELECT query_id, CAST(rk AS INTEGER) AS rk, neighbor_id, ROUND(score, 6) AS score
+      FROM r WHERE rk <= 5 ORDER BY query_id, rk"""),
+    headline = true
+  )
+
+  private val q39 = Q(
+    "q39_ann_lsh",
+    (s, dir) => {
+      val e = fixture(s, dir, "embeddings")
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, bits = 4, dim = 64)
+    },
+    Some {
+      // Same seeded hyperplanes as Similarity.lshTopK(bits=4, dim=64).
+      val planes = Similarity.hyperplanes(dim = 64, bits = 4)
+      val bucket = (0 until 4).map { b =>
+        val proj = (0 until 64).map(i => s"emb[${i + 1}]*(${planes(b)(i)})").mkString(" + ")
+        s"(CASE WHEN ($proj) > 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH v AS ($sqlVecView),
+        n AS (SELECT vec_id, emb, $bucket AS bkt FROM v),
+        sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 ${sqlCosine("q.emb", "c.emb")} AS score
+               FROM n q JOIN n c ON q.bkt = c.bkt AND q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        r AS (SELECT query_id, neighbor_id, score,
+                ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
+              FROM sc)
+        SELECT query_id, CAST(rk AS INTEGER) AS rk, neighbor_id, ROUND(score, 6) AS score
+        FROM r WHERE rk <= 5 ORDER BY query_id, rk"""
+    }
+  )
+
+  private val q40 = Q(
+    "q40_embedding_near_dups",
+    (s, dir) =>
+      Similarity.nearDupPairs(fixture(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4),
+    Some(s"""WITH v AS ($sqlVecView)
+      SELECT a.vec_id AS a, b.vec_id AS b, ROUND(${sqlCosine("a.emb", "b.emb")}, 6) AS score
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE ${sqlCosine("a.emb", "b.emb")} > 0.4
+      ORDER BY a, b""")
+  )
+
+  // ----------------------------------------------------------- multimodal
+
+  private val q41 = Q(
+    "q41_media_metadata",
+    (s, dir) =>
+      Multimodal.toMediaTable(fixture(s, dir, "documents"), "doc_id", "text")
+        .select(col("media_id"), col("meta.format").as("format"),
+          col("meta.byte_len").as("byte_len"), col("meta.content_hash").as("content_hash"))
+        .orderBy(col("media_id")),
+    Some("""SELECT doc_id AS media_id, 'utf8-stub' AS format,
+      CAST(strlen(text) AS INTEGER) AS byte_len, md5(text) AS content_hash
+      FROM documents ORDER BY media_id""")
+  )
+
+  /** Feature extraction runs the stubbed decode (float32 accumulation in
+    * the JVM) — not SQL-expressible, so rows-only. */
+  private val q42 = Q(
+    "q42_media_features",
+    (s, dir) => {
+      val media = Multimodal.toMediaTable(fixture(s, dir, "documents"), "doc_id", "text")
+      Multimodal.extractFeatures(media, featDim = 8).toDF().orderBy(col("media_id"))
+    },
+    None
+  )
+
+  private val q43 = Q(
+    "q43_frame_sample",
+    (s, dir) => {
+      val media = Multimodal.toMediaTable(fixture(s, dir, "documents"), "doc_id", "text")
+      Multimodal.sampleFrames(media, stride = 2)
+        .select(col("media_id"), col("frame_idx"),
+          octet_length(col("frame_bytes")).as("frame_len"), md5(col("frame_bytes")).as("frame_md5"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    },
+    // documents text is ASCII (verified), so DuckDB char-substr ==
+    // JVM byte-slice.
+    Some("""WITH d AS (SELECT doc_id AS media_id, text,
+        CAST(ceil(strlen(text)/64.0) AS INTEGER) AS nf FROM documents),
+      e AS (SELECT media_id, unnest(range(0, nf, 2)) AS frame_idx, text FROM d)
+      SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        CAST(strlen(substr(text, frame_idx*64+1, 64)) AS INTEGER) AS frame_len,
+        md5(substr(text, frame_idx*64+1, 64)) AS frame_md5
+      FROM e ORDER BY media_id, frame_idx""")
+  )
+
+  // -------------------------------------------------------- temporal joins
+
+  private val q44 = Q(
+    "q44_asof_join",
+    (s, dir) => {
+      val ev = fixture(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+      val signups = ev.filter(col("event_type") === "signup")
+      TemporalJoins.asOfJoin(purchases, signups, "user_id", "ts", "ts", "event_id", "value", "signup_value")
+        .select(col("event_id"), col("user_id"), col("signup_value"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT p.event_id, p.user_id, s.value AS signup_value
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        ON p.user_id = s.user_id AND CAST(p.ts AS TIMESTAMP) >= CAST(s.ts AS TIMESTAMP)
+      ORDER BY p.event_id""")
+  )
+
+  private val q45 = Q(
+    "q45_range_join",
+    (s, dir) => {
+      val ev = fixture(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+      val windows = ev.filter(col("event_type") === "signup").select(
+        col("user_id"),
+        col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("w_end"),
+        col("event_id").as("signup_id")
+      )
+      TemporalJoins.rangeJoin(purchases, "ts", windows, "w_start", "w_end", keys = Seq("user_id"))
+        .select(col("event_id"), col("signup_id"))
+        .orderBy(col("event_id"), col("signup_id"))
+    },
+    Some("""SELECT p.event_id, s.event_id AS signup_id
+      FROM events p JOIN events s ON p.user_id = s.user_id
+        AND p.event_type = 'purchase' AND s.event_type = 'signup'
+        AND CAST(p.ts AS TIMESTAMP) >= CAST(s.ts AS TIMESTAMP)
+        AND CAST(p.ts AS TIMESTAMP) <= CAST(s.ts AS TIMESTAMP) + INTERVAL 2 HOUR
+      ORDER BY 1, 2""")
+  )
+
+  val all: Seq[Q] = Seq(
+    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45
+  )
+}

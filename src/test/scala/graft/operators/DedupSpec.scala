@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "The quick brown fox jumps over the lazy dog  ".trim.toUpperCase), // case variant
+    (3L, "the quick brown fox jumps over the lazy dog"), // exact copy of 1
+    (4L, "a completely different document about spark engines"),
+    (5L, "hi") // too short for 3-shingles
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per normalized text and counts copies") {
+    val out = Dedup.exact(docs, "doc_id", "text").collect()
+    val m = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == 3L) // docs 1,2,3 normalize to the same text
+    assert(m(4L) == 1L)
+    assert(m(5L) == 1L)
+    assert(out.length == 3)
+  }
+
+  test("minhash signatures: identical docs identical, short docs dropped") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", numHashes = 8)
+    val rows = sigs.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(!rows.contains(5L)) // < 3 tokens
+    assert(rows(1L) == rows(3L))
+    assert(rows(1L) != rows(4L))
+    assert(rows(1L).size == 8)
+  }
+
+  test("lsh candidate pairs surface the exact duplicate pair") {
+    val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text", numHashes = 8, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("simhash: identical docs collide, near docs are close in hamming") {
+    val out = Dedup.simhash16(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == out(3L))
+    assert(out(1L) != out(4L))
+    assert((0 to 4).forall(i => out.values.forall(v => v >= 0 && v < (1 << 16))))
+  }
+
+  test("jaccard is 1 for identical docs and 0 for disjoint docs") {
+    val pairs = Seq((1L, 3L), (1L, 4L)).toDF("a", "b")
+    val out = Dedup.jaccard(docs, "doc_id", "text", pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 3L)) == 1.0)
+    assert(out((1L, 4L)) == 0.0)
+  }
+
+  test("fingerprint is order-sensitive") {
+    val d = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"), (3L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val fp = Dedup.fingerprint(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(3L))
+    assert(fp(1L) != fp(2L))
+  }
+}

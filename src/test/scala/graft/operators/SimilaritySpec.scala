@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4-dim toy embeddings: 1≈2 (same direction), 3 orthogonal, 4 opposite.
+  private def vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+    (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force top-k ranks by cosine with deterministic tiebreak") {
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 1L), "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1, 2L), (2, 3L), (3, 4L)))
+  }
+
+  test("near-dup pairs returns only pairs above threshold, a<b") {
+    val out = Similarity.nearDupPairs(vecs, "vec_id", "embedding", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L)))
+  }
+
+  test("lsh top-k buckets identical-direction vectors together") {
+    val out = Similarity.lshTopK(vecs, vecs.filter($"vec_id" === 1L), "vec_id", "embedding",
+      k = 3, bits = 4, dim = 4)
+      .collect().map(r => r.getLong(2)).toSet
+    // same-bucket neighbors must include the near-duplicate vector 2
+    assert(out.contains(2L))
+    // and never the opposite-direction vector 4 (differs on every plane)
+    assert(!out.contains(4L))
+  }
+
+  test("hyperplanes are deterministic across calls") {
+    val a = Similarity.hyperplanes(8, 4)
+    val b = Similarity.hyperplanes(8, 4)
+    assert(a.flatten.toSeq == b.flatten.toSeq)
+  }
+}

@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TemporalJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asOfJoin attaches latest right payload at or before left time") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, ts("2024-01-01 12:00:00")),
+      (3L, 20L, ts("2024-01-01 09:00:00")) // user 20 has no quote yet
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, 10L, ts("2024-01-01 09:30:00"), 1.0),
+      (101L, 10L, ts("2024-01-01 11:00:00"), 2.0),
+      (102L, 10L, ts("2024-01-01 12:00:00"), 3.0), // equal-ts: inclusive
+      (103L, 20L, ts("2024-01-01 09:30:00"), 9.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = TemporalJoins.asOfJoin(left, right, "user_id", "ts", "ts", "event_id", "value", "v")
+      .select("event_id", "v").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L) == Some(1.0))
+    assert(out(2L) == Some(3.0)) // equal timestamp wins over 11:00
+    assert(out(3L) == None)
+  }
+
+  test("rangeJoin matches inclusive bounds exactly once across buckets") {
+    val left = Seq(
+      (1L, 5L, ts("2024-01-01 10:00:00")), // on window start
+      (2L, 5L, ts("2024-01-01 13:00:00")), // on window end (3h window spans 4 buckets)
+      (3L, 5L, ts("2024-01-01 13:00:01")), // just past end
+      (4L, 6L, ts("2024-01-01 10:30:00"))  // wrong key
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (5L, ts("2024-01-01 10:00:00"), ts("2024-01-01 13:00:00"), 900L)
+    ).toDF("user_id", "w_start", "w_end", "window_id")
+    val out = TemporalJoins.rangeJoin(left, "ts", right, "w_start", "w_end", keys = Seq("user_id"))
+      .select("event_id", "window_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // inclusive both ends, each pair exactly once despite multi-bucket window
+    assert(out.sorted.toSeq == Seq((1L, 900L), (2L, 900L)))
+  }
+}
