@@ -329,7 +329,45 @@ object ExtensionCorpus {
       ORDER BY 1, 2""")
   )
 
+  /** Batch twin of graft.streaming.Streams.sessionize (30-min gap
+    * sessionization as lag + running-sum session ids) — SQL-expressible,
+    * so unlike the streaming path it gets an exact oracle. */
+  private val q46 = Q(
+    "q46_sessionization",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      fixture(s, dir, "events")
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn(
+          "new_sess",
+          when(col("prev_us").isNull || unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1)
+            .otherwise(0)
+        )
+        .withColumn("sess_id", sum(col("new_sess")).over(cum).cast("int"))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total")
+        )
+        .orderBy(col("user_id"), col("sess_id"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      g AS (SELECT *, CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                      THEN 1 ELSE 0 END AS new_sess
+            FROM (SELECT *, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e)),
+      s AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id FROM g)
+      SELECT user_id, CAST(sess_id AS INTEGER) AS sess_id,
+        MIN(ts) AS session_start, MAX(ts) AS session_end, COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id""")
+  )
+
   val all: Seq[Q] = Seq(
-    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45
+    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46
   )
 }

@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface of the engine.
+  *
+  * The reference's "stream" is a daily cron batch re-landing a prefix
+  * (SURVEY.md §2.g): `availableNowTo` subsumes that pattern — each
+  * invocation incrementally processes only files not seen by the
+  * checkpoint, then stops (Trigger.AvailableNow). Watermarked windowed
+  * aggregation and gap sessionization are the standard streaming ops a
+  * training-data pipeline needs on top (late-data-safe event counts,
+  * per-user session rollups).
+  *
+  * Scale notes: all stateful operators key their state by the group
+  * columns, so state is hash-partitioned across executors like any
+  * shuffle; watermarks bound state size (old windows/sessions are
+  * evicted), which is what makes them safe on an unbounded 100 TB/day
+  * feed.
+  */
+object Streams {
+
+  /** Schema-on-read NDJSON stream over a directory prefix — the
+    * streaming twin of the batch bronze reader (explicit schema: no
+    * inference pass, mandatory for streams). */
+  def ndjsonStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).json(path)
+
+  /** Watermarked tumbling-window aggregation: count + sum(value) per
+    * (window, event_type). Late rows beyond `watermarkDelay` are
+    * dropped; closed windows are emitted once (Append mode). */
+  def tumblingAgg(
+      events: DataFrame,
+      tsCol: String = "ts",
+      windowLen: String = "1 hour",
+      watermarkDelay: String = "2 hours"
+  ): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("total"))
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionAgg(var start: Long, var end: Long, var n: Int, var total: Double)
+  final case class SessionOut(
+      user_id: Long,
+      session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp,
+      n_events: Int,
+      total: Double
+  )
+
+  /** Custom-state gap sessionization via flatMapGroupsWithState: a
+    * session closes when no event arrives within `gapSeconds` of the
+    * last one (enforced by event-time timeout against the watermark).
+    * State per user is O(1) — just the open session's aggregate. */
+  def sessionize(
+      events: Dataset[SessionEvent],
+      gapSeconds: Long = 1800L,
+      watermarkDelay: String = "2 hours"
+  ): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapSeconds * 1000L
+
+    def flush(uid: Long, s: SessionAgg): SessionOut =
+      SessionOut(uid, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end), s.n, s.total)
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[SessionEvent], state: GroupState[SessionAgg]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(flush(uid, _)).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            val closed = Seq.newBuilder[SessionOut]
+            var cur = state.getOption.orNull
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              if (cur == null) cur = SessionAgg(t, t, 0, 0.0)
+              else if (t - cur.end > gapMs) { closed += flush(uid, cur); cur = SessionAgg(t, t, 0, 0.0) }
+              cur.end = math.max(cur.end, t)
+              cur.n += 1
+              cur.total += e.value
+            }
+            if (cur != null) {
+              state.update(cur)
+              state.setTimeoutTimestamp(cur.end + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Incremental-batch runner: process all files not yet recorded in
+    * `checkpoint`, write them to `outPath` as parquet, and stop — the
+    * Structured Streaming replacement for the reference's
+    * delete-prefix-and-reprocess daily batch (S9/O5). */
+  def availableNowTo(df: DataFrame, outPath: String, checkpoint: String): StreamingQuery =
+    df.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .format("parquet")
+      .start(outPath)
+}

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+final case class StreamEvent(ts: java.sql.Timestamp, event_type: String, value: Double)
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("tumblingAgg emits closed windows once watermark passes") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[StreamEvent]
+    val q = Streams.tumblingAgg(ms.toDF(), windowLen = "1 hour", watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("tumbling").outputMode("append").start()
+    try {
+      ms.addData(
+        StreamEvent(t("2024-01-01 00:10:00"), "a", 1.0),
+        StreamEvent(t("2024-01-01 00:20:00"), "a", 2.0),
+        StreamEvent(t("2024-01-01 00:30:00"), "b", 5.0)
+      )
+      q.processAllAvailable()
+      // advance watermark past window [00:00,01:00): needs event ≥ 02:00
+      ms.addData(StreamEvent(t("2024-01-01 03:00:00"), "a", 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling").orderBy("w_start", "event_type").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(rows.toSeq == Seq(
+        ("2024-01-01 00:00:00.0", "a", 2L, 3.0),
+        ("2024-01-01 00:00:00.0", "b", 1L, 5.0)
+      ))
+    } finally q.stop()
+  }
+
+  test("sessionize closes a session after the gap and keeps state per user") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Streams.SessionEvent]
+    val q = Streams.sessionize(ms.toDS(), gapSeconds = 600L, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      ms.addData(
+        Streams.SessionEvent(1L, t("2024-01-01 00:00:00"), 1.0),
+        Streams.SessionEvent(1L, t("2024-01-01 00:05:00"), 2.0),
+        Streams.SessionEvent(2L, t("2024-01-01 00:00:00"), 7.0)
+      )
+      q.processAllAvailable()
+      // second session for user 1, far past the gap — also advances watermark
+      ms.addData(Streams.SessionEvent(1L, t("2024-01-01 01:00:00"), 4.0))
+      q.processAllAvailable()
+      // push watermark far enough to time out and close everything open
+      ms.addData(Streams.SessionEvent(3L, t("2024-01-01 05:00:00"), 0.0))
+      q.processAllAvailable()
+      ms.addData(Streams.SessionEvent(3L, t("2024-01-01 09:00:00"), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .filter($"user_id".isin(1L, 2L))
+        .orderBy("user_id", "session_start").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getInt(3), r.getDouble(4)))
+      assert(rows.toSeq == Seq(
+        (1L, "2024-01-01 00:00:00.0", 2, 3.0),
+        (1L, "2024-01-01 01:00:00.0", 1, 4.0),
+        (2L, "2024-01-01 00:00:00.0", 1, 7.0)
+      ))
+    } finally q.stop()
+  }
+
+  test("availableNowTo processes only new files per invocation") {
+    val base = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val in = s"$base/in"; val out = s"$base/out"; val ck = s"$base/ck"
+    new java.io.File(in).mkdirs()
+    def land(name: String, rows: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/$name"),
+        rows.mkString("\n").getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v STRING")
+
+    land("a.json", Seq("""{"id":1,"v":"x"}""", """{"id":2,"v":"y"}"""))
+    val q1 = Streams.availableNowTo(Streams.ndjsonStream(spark, in, schema), out, ck)
+    q1.awaitTermination()
+    assert(spark.read.parquet(out).count() == 2)
+
+    land("b.json", Seq("""{"id":3,"v":"z"}"""))
+    val q2 = Streams.availableNowTo(Streams.ndjsonStream(spark, in, schema), out, ck)
+    q2.awaitTermination()
+    val df = spark.read.parquet(out)
+    assert(df.count() == 3) // a.json not reprocessed
+    assert(df.agg(max("id")).head.getLong(0) == 3L)
+  }
+}
