@@ -36,11 +36,20 @@ object TextFunctions {
       )
     ).otherwise(array().cast("array<string>"))
 
-  /** One MinHash value: min over shingles of md5 salted with the hash
-    * index. Lexicographic min over hex strings is a valid uniform min
-    * (md5 is uniform per salt). */
-  def minhash(shingles: Column, hashIndex: Int): Column =
-    array_min(transform(shingles, s => md5(concat(lit(s"$hashIndex|"), s))))
+  /** md5 hex digest per shingle — computed ONCE and sliced into up to
+    * 8 minhash values (one digest instead of one digest per hash index
+    * keeps the signature projection 8× cheaper on a full-corpus scan). */
+  def shingleDigests(shingles: Column): Column = transform(shingles, s => md5(s))
+
+  /** MinHash value j: min over shingles of the 8-hex-char window of the
+    * digest at offset 3j (overlapping windows, j ∈ [0,8)). Lexicographic
+    * min over hex strings is a valid uniform min; distinct windows of
+    * the same digest are decorrelated enough for LSH banding (the
+    * classic one-hash/multi-slice trick). */
+  def minhashSlice(digests: Column, hashIndex: Int): Column = {
+    require(hashIndex >= 0 && hashIndex < 8, "minhashSlice supports hash indexes 0-7")
+    array_min(transform(digests, h => substring(h, 1 + 3 * hashIndex, 8)))
+  }
 
   /** Count of non-overlapping occurrences of `pat` in `c` via
     * length-difference — engine-independent (same formula runs in the

@@ -27,8 +27,11 @@ object ExtensionCorpus {
   private val sqlShingles =
     "list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))"
 
+  /** Minhash j = min over per-shingle digests of the 8-hex window at
+    * offset 3j (mirrors TextFunctions.minhashSlice; `hs` is the digest
+    * list). */
   private def sqlMinhash(j: Int): String =
-    s"list_min(list_transform(sh, x -> md5('$j|' || x)))"
+    s"list_min(list_transform(hs, h -> substr(h, ${1 + 3 * j}, 8)))"
 
   /** DuckDB rendering of TextFunctions.occurrences over padded text. */
   private def sqlOcc(padded: String, pat: String): String = {
@@ -57,7 +60,8 @@ object ExtensionCorpus {
     Some {
       val mhCols = (0 until 8).map(j => s"${sqlMinhash(j)} AS mh_$j").mkString(", ")
       s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
-          s AS (SELECT doc_id, $sqlShingles AS sh FROM t WHERE len(toks) >= 3)
+          s AS (SELECT doc_id, list_transform($sqlShingles, x -> md5(x)) AS hs
+                FROM t WHERE len(toks) >= 3)
           SELECT doc_id, $mhCols FROM s ORDER BY doc_id"""
     }
   )
@@ -72,7 +76,8 @@ object ExtensionCorpus {
         .map(b => s"SELECT doc_id, $b AS band_idx, md5(mh_${2 * b} || mh_${2 * b + 1}) AS bucket FROM m")
         .mkString(" UNION ALL ")
       s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
-          s AS (SELECT doc_id, $sqlShingles AS sh FROM t WHERE len(toks) >= 3),
+          s AS (SELECT doc_id, list_transform($sqlShingles, x -> md5(x)) AS hs
+                FROM t WHERE len(toks) >= 3),
           m AS (SELECT doc_id, $mhCols FROM s),
           bands AS ($bandSelects)
           SELECT DISTINCT l.doc_id AS a, r.doc_id AS b

@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Package-placed bridge: Column ⇄ Catalyst Expression conversion for
+  * graft's custom expressions. Spark 4 made `ExpressionUtils` and the
+  * `Column(node)` constructor `private[sql]`, so third-party Catalyst
+  * expressions need one forwarding object inside the package. No Spark
+  * internals are modified — this only re-exports two conversions.
+  */
+object GraftSqlBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
