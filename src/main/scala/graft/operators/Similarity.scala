@@ -83,13 +83,14 @@ object Similarity {
       dim: Int = 64
   ): DataFrame = {
     val planes = hyperplanes(dim, bits)
-    // bucket = Σ_b 2^b * [plane_b · v > 0], computed as one projection
+    // bucket = Σ_b 2^b * [plane_b · v > 0], one codegen'd dot per
+    // plane against a literal coefficient array (same ascending-index
+    // double fold as the unrolled sum, so the SQL oracle stays
+    // bit-exact, with ~dim× smaller generated code).
     def bucket(vec: org.apache.spark.sql.Column) =
       (0 until bits)
         .map { b =>
-          val proj = (0 until dim)
-            .map(i => element_at(vec, i + 1).cast("double") * lit(planes(b)(i)))
-            .reduce(_ + _)
+          val proj = dot(vec, typedLit(planes(b).toSeq))
           when(proj > 0, 1L << b).otherwise(0L)
         }
         .reduce(_ + _)
