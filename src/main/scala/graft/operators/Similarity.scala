@@ -108,4 +108,67 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("neighbor_id"), round(col("score"), 6).as("score"))
       .orderBy(col("query_id"), col("rk"))
   }
+
+  /** IVF (inverted-file) ANN: a coarse quantizer assigns every vector
+    * to its nearest of `numCells` centroid cells; queries probe only
+    * their `nprobe` best cells and re-rank exactly inside them.
+    *
+    * Centroids are data-driven and deterministic: the vectors with
+    * id < numCells (a seeded k-means refinement would improve recall
+    * but breaks cross-engine verifiability; the cell/probe/re-rank
+    * machinery — the part that matters at scale — is identical).
+    *
+    * Scale shape: the centroid set is a tiny broadcast; assignment is
+    * scan-local (|corpus|·numCells codegen'd dots) followed by a
+    * partial-agg argmax (shuffle = one row per vector); the candidate
+    * join shuffles on cell id, so cost scales with probed-cell
+    * occupancy (~nprobe/numCells of the corpus per query), never
+    * |corpus|·|queries|. */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numCells: Int = 16,
+      nprobe: Int = 2
+  ): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), norm(col(vecCol)).as("c_nrm"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_nrm"))
+    val cent = corpus
+      .filter(col(idCol) < numCells)
+      .select(col(idCol).cast("long").as("cell_id"), col(vecCol).as("cent_vec"), norm(col(vecCol)).as("cent_nrm"))
+
+    // argmax cell per corpus vector: max(struct(score, cell)) is a
+    // partial aggregation — map-side combine keeps the shuffle at one
+    // row per vector; ties break to the highest cell_id.
+    val assigned = c
+      .join(broadcast(cent))
+      .withColumn("cscore", dot(col("c_vec"), col("cent_vec")) / (col("c_nrm") * col("cent_nrm")))
+      .groupBy(col("neighbor_id"))
+      .agg(
+        max(struct(col("cscore"), col("cell_id"))).as("m"),
+        first(col("c_vec")).as("c_vec"),
+        first(col("c_nrm")).as("c_nrm")
+      )
+      .select(col("neighbor_id"), col("c_vec"), col("c_nrm"), col("m.cell_id").as("cell_id"))
+
+    val wp = Window.partitionBy(col("query_id")).orderBy(col("pscore").desc, col("cell_id").desc)
+    val probes = q
+      .join(broadcast(cent))
+      .withColumn("pscore", dot(col("q_vec"), col("cent_vec")) / (col("q_nrm") * col("cent_nrm")))
+      .withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("q_vec"), col("q_nrm"), col("cell_id"))
+
+    val wk = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+    assigned
+      .join(probes, Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")))
+      .withColumn("rk", row_number().over(wk))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), round(col("score"), 6).as("score"))
+      .orderBy(col("query_id"), col("rk"))
+  }
 }

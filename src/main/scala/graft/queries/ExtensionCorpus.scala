@@ -372,7 +372,41 @@ object ExtensionCorpus {
       FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id""")
   )
 
+  private val q47 = Q(
+    "q47_ann_ivf",
+    (s, dir) => {
+      val e = fixture(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, numCells = 16, nprobe = 2)
+    },
+    Some(s"""WITH v AS ($sqlVecView),
+      n AS (SELECT vec_id, emb,
+              sqrt(list_reduce(list_transform(emb, x -> x*x), (x,y) -> x+y)) AS nrm FROM v),
+      cent AS (SELECT vec_id AS cell_id, emb AS cemb, nrm AS cnrm FROM n WHERE vec_id < 16),
+      asg AS (SELECT vec_id, emb, nrm, cell_id FROM (
+        SELECT x.vec_id, x.emb, x.nrm, cent.cell_id,
+          ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+            (list_reduce(list_transform(list_zip(x.emb, cent.cemb), p -> struct_extract(p,1)*struct_extract(p,2)), (a,b) -> a+b)
+             / (x.nrm * cent.cnrm)) DESC, cell_id DESC) AS rn
+        FROM n x, cent) WHERE rn = 1),
+      probes AS (SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm, cell_id FROM (
+        SELECT x.vec_id, x.emb, x.nrm, cent.cell_id,
+          ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+            (list_reduce(list_transform(list_zip(x.emb, cent.cemb), p -> struct_extract(p,1)*struct_extract(p,2)), (a,b) -> a+b)
+             / (x.nrm * cent.cnrm)) DESC, cell_id DESC) AS rn
+        FROM n x, cent WHERE x.vec_id < 10) WHERE rn <= 2),
+      sc AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+               (list_reduce(list_transform(list_zip(p.qemb, a.emb), pp -> struct_extract(pp,1)*struct_extract(pp,2)), (x,y) -> x+y)
+                / (p.qnrm * a.nrm)) AS score
+             FROM probes p JOIN asg a ON p.cell_id = a.cell_id AND p.query_id <> a.vec_id),
+      r AS (SELECT query_id, neighbor_id, score,
+              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
+            FROM sc)
+      SELECT query_id, CAST(rk AS INTEGER) AS rk, neighbor_id, ROUND(score, 6) AS score
+      FROM r WHERE rk <= 5 ORDER BY query_id, rk""")
+  )
+
   val all: Seq[Q] = Seq(
-    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46
+    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47
   )
 }

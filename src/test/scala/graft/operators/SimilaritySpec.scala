@@ -35,6 +35,20 @@ class SimilaritySpec extends SparkSpec {
     assert(!out.contains(4L))
   }
 
+  test("ivf top-k probes nearest cells and re-ranks exactly") {
+    // centroids = vectors 1,2 (numCells=2); nprobe=2 covers both cells,
+    // so the true nearest neighbor 2 must surface first for query 1
+    val out = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" === 1L), "vec_id", "embedding",
+      k = 3, numCells = 2, nprobe = 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(out.head == ((1, 2L)))
+    // nprobe=1 restricts to the query's own cell — fewer candidates, never more than k
+    val narrow = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" === 1L), "vec_id", "embedding",
+      k = 3, numCells = 2, nprobe = 1)
+      .collect().map(_.getLong(2)).toSet
+    assert(narrow.subsetOf(Set(2L, 3L, 4L)))
+  }
+
   test("hyperplanes are deterministic across calls") {
     val a = Similarity.hyperplanes(8, 4)
     val b = Similarity.hyperplanes(8, 4)
