@@ -28,12 +28,22 @@ import org.apache.spark.sql.functions._
   */
 object Conform {
 
-  /** Conform `df` to `spec` as a single select. */
+  /** Conform `df` to `spec` as a single select.
+    *
+    * Type pairs with no ANSI cast at all (e.g. an inferred TIMESTAMP
+    * where the spec says BOOLEAN, or a struct where a scalar is
+    * expected) conform to a typed NULL column rather than failing
+    * analysis — schema drift in the input must never break the
+    * pipeline, only null out the drifted column. */
   def apply(df: DataFrame, spec: Seq[ColumnSpec]): DataFrame = {
-    val present = df.columns.toSet
+    val inputType = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val cols: Seq[Column] = Schema.clean(spec).sortBy(_.order).map { c =>
-      val base = if (present.contains(c.name)) col(c.name) else lit(null)
-      base.try_cast(c.sparkType).as(c.name)
+      val base = inputType.get(c.name) match {
+        case Some(from) if org.apache.spark.sql.catalyst.expressions.Cast.canAnsiCast(from, c.sparkType) =>
+          col(c.name).try_cast(c.sparkType)
+        case _ => lit(null).cast(c.sparkType)
+      }
+      base.as(c.name)
     }
     df.select(cols: _*)
   }
