@@ -1,0 +1,79 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Physical-plan assertions for the corpus — the plans SCALE.md claims
+  * are the plans Catalyst actually produces. Each failure here is a
+  * scale regression even when results stay correct. */
+class PlanQualitySpec extends SparkSpec {
+
+  private def run(name: String): DataFrame =
+    Corpus.all.find(_.name == name).get.run(spark, sf("sf0.001"))
+
+  /** Execute (to let AQE finalize) and return the full final plan string. */
+  private def finalPlan(df: DataFrame): String = {
+    df.count()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p: SparkPlan => p.toString
+    }
+  }
+
+  test("q01: ship-date filter is pushed to the parquet scan") {
+    val plan = run("q01_pricing_summary").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+  }
+
+  test("q01: scan reads only the columns the query touches") {
+    val plan = run("q01_pricing_summary").queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator.mkString
+    assert(readSchema.contains("l_quantity") && readSchema.contains("l_discount"))
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_shipmode"))
+  }
+
+  test("q10: dim-chain join broadcasts both dims (no shuffle of customer)") {
+    val plan = finalPlan(run("q10_join_dims_broadcast"))
+    assert("BroadcastHashJoin".r.findAllIn(plan).length == 2)
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("q21: global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val plan = finalPlan(run("q21_topk_global"))
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("q44: as-of join plans with NO join operator at all (union+window)") {
+    val plan = finalPlan(run("q44_asof_join"))
+    assert(!plan.contains("Join"), s"as-of must be join-free:\n$plan")
+    assert(plan.contains("Window"))
+  }
+
+  test("q45: range join is a hash join on buckets, never nested-loop") {
+    val plan = finalPlan(run("q45_range_join"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
+  test("q32: LSH banding never goes quadratic (hash/merge join on buckets)") {
+    val plan = finalPlan(run("q32_lsh_candidate_pairs"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
+  test("q47: IVF candidate join is keyed on cell, centroids broadcast") {
+    val plan = finalPlan(run("q47_ann_ivf"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+      || plan.contains("ShuffledHashJoin"))
+  }
+
+  test("conformance compiles to a single Project over the scan") {
+    import graft.core.{Conform, ColumnSpec}
+    val df = Corpus.fixture(spark, sf("sf0.001"), "part")
+    val spec = Seq(ColumnSpec("p_partkey", "long", 0), ColumnSpec("p_name", "string", 1),
+      ColumnSpec("p_missing", "double", 2))
+    val plan = Conform(df, spec).queryExecution.executedPlan.toString
+    assert("Project".r.findAllIn(plan).length <= 1)
+  }
+}
