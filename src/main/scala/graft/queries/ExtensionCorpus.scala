@@ -406,7 +406,21 @@ object ExtensionCorpus {
       FROM r WHERE rk <= 5 ORDER BY query_id, rk""")
   )
 
+  /** Salted two-stage aggregation — must be value-identical to the
+    * plain GROUP BY (which is exactly what the oracle runs). */
+  private val q48 = Q(
+    "q48_salted_agg",
+    (s, dir) =>
+      graft.operators.Skew
+        .saltedCountSum(fixture(s, dir, "events"), Seq("event_type"), "value", col("event_id"), 16)
+        .select(col("event_type"), col("n"), col("sum_val").cast("double").as("total"))
+        .orderBy(col("event_type")),
+    Some("""SELECT event_type, COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM events GROUP BY event_type ORDER BY event_type""")
+  )
+
   val all: Seq[Q] = Seq(
-    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47
+    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48
   )
 }
