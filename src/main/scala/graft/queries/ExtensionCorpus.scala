@@ -420,7 +420,32 @@ object ExtensionCorpus {
       FROM events GROUP BY event_type ORDER BY event_type""")
   )
 
+  /** Grouped top-k via the custom TopKAggregator — same semantics as
+    * q16's window form (and the same oracle SQL), but with O(k) state
+    * per key and partial aggregation instead of a full window sort. */
+  private val q49 = Q(
+    "q49_grouped_topk_agg",
+    (s, dir) => {
+      val topn = udaf(new graft.functions.TopKAggregator(3))
+      fixture(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(topn(col("o_totalprice"), col("o_orderkey")).as("top"))
+        .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(
+          col("o_custkey"),
+          (col("pos") + 1).cast("int").as("rn"),
+          col("t.id").as("o_orderkey"),
+          col("t.ord").as("o_totalprice")
+        )
+        .orderBy(col("o_custkey"), col("rn"))
+    },
+    Some("""SELECT o_custkey, CAST(rn AS INTEGER) AS rn, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""")
+  )
+
   val all: Seq[Q] = Seq(
-    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48
+    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49
   )
 }
