@@ -1,7 +1,7 @@
 package graft.pipeline
 
-import graft.core.{Conform, Schema}
-import graft.io.{FsUtils, Sinks, Sources}
+import graft.core.{Conform, Metrics, Schema}
+import graft.io.{FsUtils, ParquetTables, Sources, TableFormat}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import java.time.{Instant, LocalDate, ZoneOffset}
@@ -23,7 +23,8 @@ final case class PipelineConf(
     silverTable: String = "silver_dw.tab_brewery",
     goldTable: String = "gold_dw.tab_brewery_summary",
     partitionCol: String = "sys_file_date",
-    parityOverwrite: Boolean = true
+    parityOverwrite: Boolean = true,
+    format: TableFormat = ParquetTables
 )
 
 object BreweryPipeline {
@@ -58,10 +59,10 @@ object BreweryPipeline {
     if (n > 0) {
       ensureDatabase(spark, conf.silverTable)
       if (conf.parityOverwrite)
-        Sinks.overwriteTable(conformed, conf.silverTable, Seq(conf.partitionCol))
+        conf.format.overwriteTable(conformed, conf.silverTable, Seq(conf.partitionCol))
       else {
         createSilverIfAbsent(spark, conf)
-        Sinks.overwritePartitions(conformed, conf.silverTable, Seq(conf.partitionCol))
+        conf.format.overwritePartitions(conformed, conf.silverTable, Seq(conf.partitionCol))
       }
     }
     conformed.unpersist()
@@ -94,11 +95,15 @@ object BreweryPipeline {
       Map("run_date" -> date.toString)
     )
 
+  /** Gold write with the row-count metric observed DURING the write —
+    * the reference executes its plan three times for show/write/count
+    * (SURVEY §3.1); here the count rides along the single write pass. */
   def runGold(spark: SparkSession, conf: PipelineConf, date: LocalDate): Long = {
     ensureDatabase(spark, conf.goldTable)
     val agg = goldQuery(spark, conf, date)
-    Sinks.overwriteTable(agg, conf.goldTable, Seq(conf.partitionCol))
-    spark.table(conf.goldTable).count()
+    Metrics.observedRows(agg, s"gold_$date") { df =>
+      conf.format.overwriteTable(df, conf.goldTable, Seq(conf.partitionCol))
+    }
   }
 
   /** Full run with the reference's gating (silver empty → skip gold). */
