@@ -588,9 +588,48 @@ object Corpus {
       FROM events GROUP BY 1 ORDER BY 1""")
   )
 
+  /** Pivot (wide conditional aggregation) — explicit value list so the
+    * plan needs no distinct-values pre-pass (the 100 TB form; implicit
+    * pivot runs an extra job to discover columns). */
+  private val q50 = Q(
+    "q50_pivot",
+    (s, dir) =>
+      fixture(s, dir, "orders")
+        .join(broadcast(fixture(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        // empty pivot cells are null in Spark but 0 under SQL FILTER
+        .select(col("c_mktsegment") +: Seq("F", "O", "P").map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+        .orderBy(col("c_mktsegment")),
+    Some("""SELECT c_mktsegment,
+      COUNT(*) FILTER (o_orderstatus = 'F') AS F,
+      COUNT(*) FILTER (o_orderstatus = 'O') AS O,
+      COUNT(*) FILTER (o_orderstatus = 'P') AS P
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+  )
+
+  /** Uncorrelated scalar subquery (decimal avg so both engines compare
+    * against the identical exact threshold). */
+  private val q51 = Q(
+    "q51_scalar_subquery",
+    (s, dir) =>
+      withViews(s, dir, "orders")(
+        """SELECT o_orderstatus, count(*) AS n_above
+          |FROM orders
+          |WHERE o_totalprice > (SELECT AVG(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+      ),
+    Some("""SELECT o_orderstatus, count(*) AS n_above
+      FROM orders
+      WHERE o_totalprice > (SELECT AVG(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  )
+
   val relational: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q08b, q09, q10, q11, q12, q13, q14, q15,
-    q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29
+    q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q50, q51
   )
 
   /** Full corpus: relational inventory + the BASELINE extensions
