@@ -60,14 +60,20 @@ object Dedup {
   /** LSH candidate pairs: split the signature into `bands`, bucket each
     * band by md5 of its concatenated rows, and emit distinct id pairs
     * sharing any bucket. The self-join shuffles on (band, bucket), so
-    * skewed buckets (boilerplate text) are handled by AQE skew-join at
-    * scale. */
+    * moderately skewed buckets are handled by AQE skew-join at scale.
+    *
+    * `maxBucketSize` guards against pathological buckets (near-empty or
+    * boilerplate docs collapsing millions of ids into one bucket, which
+    * would emit |bucket|²/2 pairs): buckets above the cap are dropped
+    * before the join — their members are by construction near-identical
+    * to a huge cluster, better handled by the exact-dedup pass. */
   def lshCandidatePairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       numHashes: Int = 8,
-      bands: Int = 4
+      bands: Int = 4,
+      maxBucketSize: Option[Int] = None
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
@@ -76,10 +82,20 @@ object Dedup {
       val parts = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
       struct(lit(b).as("band_idx"), md5(concat(parts: _*)).as("bucket")).as(s"band_$b")
     }
-    val banded = sigs
+    val exploded = sigs
       .select(col(idCol) +: bandCols: _*)
       .select(col(idCol), explode(array((0 until bands).map(b => col(s"band_$b")): _*)).as("band"))
       .select(col(idCol), col("band.band_idx"), col("band.bucket"))
+    val banded = maxBucketSize match {
+      case Some(cap) =>
+        // hot buckets are rare by definition ⇒ tiny broadcast anti-join
+        // (broadcasting the small-bucket side would ship ~every bucket)
+        val hot = exploded.groupBy(col("band_idx"), col("bucket"))
+          .agg(count(lit(1)).as("__bn")).filter(col("__bn") > cap)
+          .select(col("band_idx"), col("bucket"))
+        exploded.join(broadcast(hot), Seq("band_idx", "bucket"), "left_anti")
+      case None => exploded
+    }
     val l = banded.select(col(idCol).as("a"), col("band_idx"), col("bucket"))
     val r = banded.select(col(idCol).as("b"), col("band_idx"), col("bucket"))
     l.join(r, Seq("band_idx", "bucket"))

@@ -39,6 +39,20 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("lsh hot-bucket cap drops oversized buckets, keeps normal pairs") {
+    // 6 identical docs form a size-6 bucket in every band; cap=4 drops them
+    val many = (docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ++
+      (10L to 15L).map(i => (i, "same same same boilerplate text here")))
+      .toDF("doc_id", "text")
+    val capped = Dedup.lshCandidatePairs(many, "doc_id", "text", maxBucketSize = Some(4))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((1L, 3L))) // normal dup pair survives
+    assert(!capped.exists { case (a, b) => a >= 10L || b >= 10L }) // hot cluster dropped
+    val uncapped = Dedup.lshCandidatePairs(many, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((10L, 15L))) // without the cap it floods back
+  }
+
   test("simhash: identical docs collide, near docs are close in hamming") {
     val out = Dedup.simhash16(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
