@@ -627,9 +627,53 @@ object Corpus {
       GROUP BY o_orderstatus ORDER BY o_orderstatus""")
   )
 
+  /** Sliding time windows via the built-in `window()` generator: each
+    * event lands in length/slide windows (here 2). The oracle
+    * replicates the expansion with a UNION ALL of shifted hour truncs. */
+  private val q52 = Q(
+    "q52_sliding_windows",
+    (s, dir) =>
+      fixture(s, dir, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"), sum(d2(col("value"))).cast("double").as("total"))
+        .select(col("w.start").as("w_start"), col("w.end").as("w_end"), col("n"), col("total"))
+        .orderBy(col("w_start")),
+    Some("""WITH e AS (
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start, value FROM events
+        UNION ALL
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR, value FROM events)
+      SELECT w_start, w_start + INTERVAL 2 HOUR AS w_end, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM e GROUP BY w_start ORDER BY w_start""")
+  )
+
+  /** Built-in `session_window()` (30-min gap): session end is
+    * last-event + gap by Spark's definition — the oracle mirrors that
+    * on top of the q46-style lag/running-sum session assignment. */
+  private val q53 = Q(
+    "q53_session_window",
+    (s, dir) =>
+      fixture(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), sum(d2(col("value"))).cast("double").as("total"))
+        .select(col("user_id"), col("w.start").as("session_start"), col("w.end").as("session_end"),
+          col("n_events"), col("total"))
+        .orderBy(col("user_id"), col("session_start")),
+    Some("""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      g AS (SELECT *, CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                      THEN 1 ELSE 0 END AS new_sess
+            FROM (SELECT *, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e)),
+      s AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id FROM g)
+      SELECT user_id, MIN(ts) AS session_start, MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM s GROUP BY user_id, sess_id ORDER BY user_id, session_start""")
+  )
+
   val relational: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q08b, q09, q10, q11, q12, q13, q14, q15,
-    q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q50, q51
+    q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q50, q51,
+    q52, q53
   )
 
   /** Full corpus: relational inventory + the BASELINE extensions
