@@ -46,12 +46,13 @@ object Corpus {
       spark.read
         .parquet(s"$dir/$name.parquet")
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    } else if (name == "documents") {
-      // The fixture is one tiny single-row-group file ⇒ Spark scans it
-      // as ONE split, serializing every CPU-heavy text pipeline
-      // (minhash, simhash, lang-id) onto one core. Real corpora arrive
-      // in thousands of splits; spreading the 0.6 MB here restores the
-      // parallelism the operators are designed for.
+    } else if (name == "documents" || name == "embeddings") {
+      // These fixtures are tiny single-row-group files ⇒ Spark scans
+      // each as ONE split, serializing the CPU-heavy text pipelines
+      // (minhash, simhash, lang-id) and pairwise similarity scans onto
+      // one core. Real corpora arrive in thousands of splits; spreading
+      // the ~1 MB here restores the parallelism the operators are
+      // designed for.
       val s2 = spark.read.parquet(s"$dir/$name.parquet")
       s2.repartition(spark.sparkContext.defaultParallelism)
     } else spark.read.parquet(s"$dir/$name.parquet")
