@@ -671,10 +671,35 @@ object Corpus {
       FROM s GROUP BY user_id, sess_id ORDER BY user_id, session_start""")
   )
 
+  /** Array scalar functions over the tokenized documents (ASCII text,
+    * so Spark's UTF8 binary sort == DuckDB's default collation). */
+  private val q54 = Q(
+    "q54_array_functions",
+    (s, dir) =>
+      fixture(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(
+          col("doc_id"),
+          size(col("toks")).as("n"),
+          size(array_distinct(col("toks"))).as("n_distinct"),
+          array_contains(col("toks"), "the").as("has_the"),
+          concat_ws("-", slice(col("toks"), 1, 3)).as("first3"),
+          element_at(array_sort(array_distinct(col("toks"))), 1).as("first_sorted")
+        )
+        .orderBy(col("doc_id")),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      SELECT doc_id, CAST(len(toks) AS INTEGER) AS n,
+        CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+        list_contains(toks, 'the') AS has_the,
+        array_to_string(toks[1:3], '-') AS first3,
+        list_sort(list_distinct(toks))[1] AS first_sorted
+      FROM t ORDER BY doc_id""")
+  )
+
   val relational: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q08b, q09, q10, q11, q12, q13, q14, q15,
     q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q50, q51,
-    q52, q53
+    q52, q53, q54
   )
 
   /** Full corpus: relational inventory + the BASELINE extensions
