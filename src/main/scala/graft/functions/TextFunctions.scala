@@ -36,20 +36,11 @@ object TextFunctions {
       )
     ).otherwise(array().cast("array<string>"))
 
-  /** md5 hex digest per shingle — computed ONCE and sliced into up to
-    * 8 minhash values (one digest instead of one digest per hash index
-    * keeps the signature projection 8× cheaper on a full-corpus scan). */
-  def shingleDigests(shingles: Column): Column = transform(shingles, s => md5(s))
-
-  /** MinHash value j: min over shingles of the 8-hex-char window of the
-    * digest at offset 3j (overlapping windows, j ∈ [0,8)). Lexicographic
-    * min over hex strings is a valid uniform min; distinct windows of
-    * the same digest are decorrelated enough for LSH banding (the
-    * classic one-hash/multi-slice trick). */
-  def minhashSlice(digests: Column, hashIndex: Int): Column = {
-    require(hashIndex >= 0 && hashIndex < 8, "minhashSlice supports hash indexes 0-7")
-    array_min(transform(digests, h => substring(h, 1 + 3 * hashIndex, 8)))
-  }
+  // MinHash lives in Dedup.minhashSignatures as explode → md5-per-row →
+  // grouped min-of-slices. Deliberately NOT offered as array-transform
+  // column functions here: a digests-array column consumed by several
+  // slice expressions gets inlined into each by CollapseProject,
+  // recomputing every md5 once per slice (measured 8× slower).
 
   /** Count of non-overlapping occurrences of `pat` in `c` via
     * length-difference — engine-independent (same formula runs in the

@@ -28,8 +28,8 @@ object ExtensionCorpus {
     "list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))"
 
   /** Minhash j = min over per-shingle digests of the 8-hex window at
-    * offset 3j (mirrors TextFunctions.minhashSlice; `hs` is the digest
-    * list). */
+    * offset 3j (mirrors Dedup.minhashSignatures' slice scheme; `hs` is
+    * the digest list). */
   private def sqlMinhash(j: Int): String =
     s"list_min(list_transform(hs, h -> substr(h, ${1 + 3 * j}, 8)))"
 
