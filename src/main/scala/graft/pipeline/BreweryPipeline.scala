@@ -27,6 +27,42 @@ final case class PipelineConf(
     format: TableFormat = ParquetTables
 )
 
+object PipelineConf {
+
+  /** The reference's job-parameter format `yyyy-MM-dd_HH:mm:ss`
+    * (job_silver.py:112). Quirk worth recording: the reference's
+    * DEFAULT value `1900-01-01 00:00:00` uses a SPACE, so running
+    * without the conf crashes its strptime — the parameter is
+    * effectively mandatory. We accept both separators. */
+  private val underscoreFmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd_HH:mm:ss")
+  private val spaceFmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+
+  def parseDatetimeRef(s: String): java.time.LocalDateTime =
+    try java.time.LocalDateTime.parse(s, underscoreFmt)
+    catch { case _: java.time.format.DateTimeParseException => java.time.LocalDateTime.parse(s, spaceFmt) }
+
+  /** Conf-key parity with the reference's spark-submit parameters
+    * (job_silver.py:106-110, job_gold.py:34-38) — same key names, same
+    * `'undefined'` / `'1900-01-01 00:00:00'` defaults. Returns the
+    * config plus the reference datetime the partition date derives
+    * from. `bronzeRoot` is `<bucket>/<dataset>` exactly as the
+    * reference assembles its s3a prefix (job_silver.py:113). */
+  def fromSparkConf(spark: SparkSession, pathRoot: String = ""): (PipelineConf, java.time.LocalDateTime) = {
+    def conf(k: String, d: String) = spark.conf.getOption(k).getOrElse(d)
+    val dtRef = conf("spark.job_silver_app.datetime_ref", "1900-01-01 00:00:00")
+    val bucket = conf("spark.job_silver_app.bucket_name", "undefined")
+    val dataset = conf("spark.job_silver_app.dataset_name", "undefined")
+    val silver = conf("spark.job_silver_app.silver_table_name", "undefined")
+    val gold = conf("spark.job_gold_app.golden_table_name", "undefined")
+    val pc = PipelineConf(
+      bronzeRoot = Seq(pathRoot, bucket, dataset).filter(_.nonEmpty).mkString("/"),
+      silverTable = if (silver == "undefined") "silver_dw.tab_brewery" else silver,
+      goldTable = if (gold == "undefined") "gold_dw.tab_brewery_summary" else gold
+    )
+    (pc, parseDatetimeRef(dtRef))
+  }
+}
+
 object BreweryPipeline {
 
   /** The reference pins partition dates to the pipeline execution date
