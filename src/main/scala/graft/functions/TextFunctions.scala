@@ -80,6 +80,12 @@ object TextFunctions {
       .otherwise("und")
   }
 
+  /** Canonical text normalization for dedup keys: lowercase, strip
+    * non-alphanumerics, collapse whitespace runs, trim. Run this BEFORE
+    * exact/minhash dedup so trivial formatting variants collide. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
+
   def tokenCount(c: Column): Column = size(tokens(c))
 
   /** Mean token length ×1e6-rounded (engine-stable arithmetic). */

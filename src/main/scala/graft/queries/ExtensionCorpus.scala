@@ -445,7 +445,27 @@ object ExtensionCorpus {
       FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""")
   )
 
+  /** Text normalization (the pre-dedup canonicalization step) — md5 of
+    * the normalized form so the oracle pins the exact output string. */
+  private val q55 = Q(
+    "q55_normalize_text",
+    (s, dir) =>
+      fixture(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          md5(normalizeText(col("text"))).as("norm_md5"),
+          length(normalizeText(col("text"))).as("norm_len")
+        )
+        .orderBy(col("doc_id")),
+    Some("""WITH t AS (SELECT doc_id,
+        trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+      FROM documents)
+      SELECT doc_id, md5(norm) AS norm_md5, CAST(length(norm) AS INTEGER) AS norm_len
+      FROM t ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] = Seq(
-    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49
+    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
+    q48, q49, q55
   )
 }
