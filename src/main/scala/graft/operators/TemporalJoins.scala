@@ -42,11 +42,18 @@ object TemporalJoins {
   ): DataFrame = {
     val lCols = left.columns.toSeq
     val payloadType = right.schema(payloadCol).dataType
+    // The carried value is a STRUCT wrapping the payload: right rows are
+    // always non-null structs (even when the payload itself is null), so
+    // `last(ignoreNulls)` selects the latest right ROW — a legitimately
+    // null payload propagates as null instead of falling back to an
+    // older row's non-null payload.
+    val wrapType = org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("p", payloadType)))
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
       .withColumn("__rid", lit(null).cast("long"))
-      .withColumn("__payload", lit(null).cast(payloadType))
+      .withColumn("__payload", lit(null).cast(wrapType))
     val r = right.select(
       lCols.map(c =>
         if (c == keyCol) col(keyCol)
@@ -55,7 +62,7 @@ object TemporalJoins {
         col(rightTime).as("__t"),
         lit(0).as("__side"),
         col(rightId).cast("long").as("__rid"),
-        col(payloadCol).cast(payloadType).as("__payload")
+        struct(col(payloadCol).cast(payloadType).as("p")).as("__payload")
       ): _*
     )
     val w = Window
@@ -63,7 +70,7 @@ object TemporalJoins {
       .orderBy(col("__t"), col("__side"), col("__rid"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
-      .withColumn(asOfAlias, last(col("__payload"), ignoreNulls = true).over(w))
+      .withColumn(asOfAlias, last(col("__payload"), ignoreNulls = true).over(w).getField("p"))
       .filter(col("__side") === 1)
       .drop("__t", "__side", "__rid", "__payload")
   }

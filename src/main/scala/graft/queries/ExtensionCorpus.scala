@@ -262,12 +262,22 @@ object ExtensionCorpus {
   )
 
   /** Feature extraction runs the stubbed decode (float32 accumulation in
-    * the JVM) — not SQL-expressible, so rows-only. */
+    * the JVM) — not SQL-expressible, so rows-only. The raw array<float>
+    * column is projected to hashable scalars (digest + rounded norm):
+    * the rows-only harness sorts/hashes every column and chokes on
+    * arrays (round-1 gate error: "unhashable type: numpy.ndarray"). */
   private val q42 = Q(
     "q42_media_features",
     (s, dir) => {
       val media = Multimodal.toMediaTable(fixture(s, dir, "documents"), "doc_id", "text")
-      Multimodal.extractFeatures(media, featDim = 8).toDF().orderBy(col("media_id"))
+      Multimodal.extractFeatures(media, featDim = 8).toDF()
+        .select(
+          col("media_id"),
+          col("n_frames"),
+          md5(concat_ws(",", transform(col("feature"), x => round(x.cast("double"), 4).cast("string")))).as("feature_md5"),
+          round(sqrt(aggregate(col("feature"), lit(0.0d), (a, x) => a + x.cast("double") * x.cast("double"))), 4).as("feature_norm")
+        )
+        .orderBy(col("media_id"))
     },
     None
   )

@@ -87,6 +87,9 @@ object Streams {
               val t = e.ts.getTime
               if (cur == null) cur = SessionAgg(t, t, 0, 0.0)
               else if (t - cur.end > gapMs) { closed += flush(uid, cur); cur = SessionAgg(t, t, 0, 0.0) }
+              // a late (but above-watermark) event may precede the open
+              // session's start — extend backwards, not just forwards
+              cur.start = math.min(cur.start, t)
               cur.end = math.max(cur.end, t)
               cur.n += 1
               cur.total += e.value

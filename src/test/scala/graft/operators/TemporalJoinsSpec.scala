@@ -28,6 +28,19 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out(3L) == None)
   }
 
+  test("asOfJoin propagates a legitimately null payload from the matched row") {
+    val left = Seq((1L, 10L, ts("2024-01-01 12:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, 10L, ts("2024-01-01 09:00:00"), Some(1.0)),
+      (101L, 10L, ts("2024-01-01 11:00:00"), None: Option[Double]) // latest match, null payload
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = TemporalJoins.asOfJoin(left, right, "user_id", "ts", "ts", "event_id", "value", "v")
+      .select("v").collect()
+    // true as-of semantics: the matched row IS 11:00 and its payload is
+    // null — must not fall back to 09:00's non-null 1.0
+    assert(out.length == 1 && out(0).isNullAt(0))
+  }
+
   test("rangeJoin matches inclusive bounds exactly once across buckets") {
     val left = Seq(
       (1L, 5L, ts("2024-01-01 10:00:00")), // on window start
