@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for large-scale training-data pipelines:
+  * deterministic splits, quality/repetition filtering, vocabulary and
+  * tf-idf statistics, PII redaction, stratified sampling.
+  *
+  * Design rules shared by every operator here:
+  *  - pure column expressions or partial-agg-friendly groupBys — no
+  *    UDFs, no driver-side collects, so each scales linearly with a
+  *    100 TB scan
+  *  - all randomness is hash-derived (md5 of the row id), making every
+  *    operator deterministic, re-runnable on changed inputs without
+  *    resampling unchanged rows, and oracle-verifiable cross-engine
+  */
+object Curation {
+
+  /** Deterministic train/val/test split: bucket = hash32(id) % 100,
+    * labeled by cumulative weight boundaries. A row's split never
+    * changes when other rows are added/removed — the property that
+    * matters when a 100 TB corpus is grown incrementally.
+    *
+    * `weights` maps split name -> percent; must sum to 100. */
+  def hashSplit(df: DataFrame, idCol: String, weights: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10)): DataFrame = {
+    require(weights.map(_._2).sum == 100, "split weights must sum to 100")
+    val bucket = hash32(col(idCol).cast("string")) % 100
+    val bounds = weights.scanLeft(0) { case (acc, (_, w)) => acc + w }.tail
+    // fold from the right so the chain reads when(b<80,train).otherwise(
+    // when(b<90,val).otherwise(when(b<100,test)))
+    val label = weights.zip(bounds).reverse.foldLeft(lit(null).cast("string")) {
+      case (acc, ((name, _), hi)) => when(bucket < hi, name).otherwise(acc)
+    }
+    df.withColumn("split", label)
+  }
+
+  /** Per-document repetition stats (Gopher-style repetition filter
+    * input): most-frequent-token share of all tokens. One explode, two
+    * partial-aggregated groupBys — shuffle volume is |distinct (doc,
+    * token)| then |docs|. */
+  def repetitionRatio(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol))
+      .agg(
+        max(col("cnt")).as("top_tok_cnt"),
+        sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_distinct_tokens")
+      )
+      .select(
+        col(idCol),
+        col("top_tok_cnt").cast("int").as("top_tok_cnt"),
+        col("n_tokens").cast("int").as("n_tokens"),
+        col("n_distinct_tokens").cast("int").as("n_distinct_tokens"),
+        round(col("top_tok_cnt").cast("double") / col("n_tokens"), 6).as("repetition_ratio")
+      )
+
+  /** Vocabulary with document frequency: distinct (doc, token) pairs
+    * aggregated to per-token df. The distinct is a map-side-combining
+    * aggregate on (doc, token) — never a global sort. */
+  def vocabDocFreq(df: DataFrame, idCol: String, textCol: String, minDf: Int = 1): DataFrame =
+    df.select(col(idCol), explode(array_distinct(tokens(col(textCol)))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+
+  /** Top-k tf-idf terms per document. tf = in-doc count, idf =
+    * ln(N/df), deterministic (score desc, token asc) ranking. The doc
+    * count N is computed as a scalar aggregate and broadcast-joined —
+    * no driver collect. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val tf = tok.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = df.select(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("token"))
+    tf.join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("rk"), col("token"), col("tf").cast("int").as("tf"),
+        col("df").cast("int").as("df"), col("score"))
+  }
+
+  /** PII-style redaction: digit runs -> `<NUM>`, http(s) tokens ->
+    * `<URL>`. Pure regexp projection (codegen'd, zero shuffle). Returns
+    * the redacted text plus per-kind match counts. */
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    val numPat = "[0-9]+"
+    val urlPat = "https?://[^ ]+"
+    df.withColumn("n_nums", size(regexp_extract_all(col(textCol), lit(numPat), lit(0))))
+      .withColumn("n_urls", size(regexp_extract_all(col(textCol), lit(urlPat), lit(0))))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col(textCol), urlPat, "<URL>"), numPat, "<NUM>"))
+  }
+
+  /** Composite quality gate (C4/Gopher-style rule set): length band,
+    * token-count band, mean-token-length band, minimum stopword signal.
+    * Emits each rule verdict plus the conjunction, so downstream can
+    * both filter and audit why rows were dropped. */
+  def qualityFilter(df: DataFrame, textCol: String): DataFrame = {
+    val c = col(textCol)
+    df.withColumn("len_ok", length(c).between(100, 2000))
+      .withColumn("tok_ok", tokenCount(c).between(10, 500))
+      .withColumn("wlen_ok",
+        (length(replace(c, lit(" "), lit(""))).cast("double") / tokenCount(c)).between(2.0, 12.0))
+      .withColumn("stop_ok", langScore(c, "en") > 0)
+      .withColumn("kept", col("len_ok") && col("tok_ok") && col("wlen_ok") && col("stop_ok"))
+  }
+
+  /** Deterministic stratified sample: keep `k` rows per stratum, chosen
+    * by md5-of-id order (a seeded uniform draw that is stable across
+    * runs and engines). The window sort is per-stratum — at scale this
+    * is one shuffle on the stratum key, and AQE handles stratum skew. */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+}

@@ -140,6 +140,43 @@ object Dedup {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Near-dup clusters from candidate pairs: connected components via
+    * iterative min-label propagation (the scalable alternative to a
+    * driver-side union-find — each iteration is one hash join + one
+    * partial-aggregated groupBy, so it runs on any |pairs|; iterations
+    * needed = graph diameter, which for near-dup graphs is tiny).
+    *
+    * Returns (id, comp) where comp = the minimum id reachable from id.
+    * Convergence is detected by the monotonically-decreasing label sum
+    * — one scalar action per iteration, no row collect. Lineage is cut
+    * per iteration with localCheckpoint (at cluster scale swap for
+    * reliable `checkpoint` against a durable dir).
+    */
+  def nearDupClusters(pairs: DataFrame, aCol: String = "a", bCol: String = "b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint(true)
+    var prevSum = labels.agg(sum(col("comp"))).head.getLong(0)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("comp"))
+      val next = labels.union(prop).groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint(true)
+      val s = next.agg(sum(col("comp"))).head.getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   /** Rolling-style positional document fingerprint:
     * sum((pos+1) * hash32(token)) mod 2^31 — order-sensitive, so
     * reordered documents fingerprint differently while duplicated text

@@ -705,7 +705,7 @@ object Corpus {
   /** Full corpus: relational inventory + the BASELINE extensions
     * (dedup / similarity / text analysis / multimodal / temporal
     * joins, see [[ExtensionCorpus]]). */
-  def all: Seq[Q] = relational ++ ExtensionCorpus.all
+  def all: Seq[Q] = relational ++ ExtensionCorpus.all ++ CurationCorpus.all
 
   def headlines: Seq[Q] = all.filter(_.headline)
 }

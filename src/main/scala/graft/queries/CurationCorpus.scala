@@ -1,0 +1,338 @@
+package graft.queries
+
+import graft.functions.TextFunctions._
+import graft.operators.{Curation, Dedup}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Corpus.{fixture, withViews}
+
+/** Round-2 corpus: remaining relational-surface operators (generators,
+  * map/struct access, unpivot, multiset set-ops, correlated EXISTS,
+  * conditional aggregates, range frames, window navigation) and the
+  * corpus-curation pipeline (deterministic splits, repetition/quality
+  * filters, vocabulary + tf-idf, PII redaction, stratified sampling,
+  * near-dup clustering).
+  *
+  * Oracle conventions follow [[Corpus]]: decimal-cast sums, explicit
+  * NULLS FIRST, INTEGER casts where Spark returns int, ROUND(…, 6) on
+  * doubles.
+  */
+object CurationCorpus {
+
+  /** DuckDB rendering of TextFunctions.hash32 (kept in lockstep with
+    * ExtensionCorpus.sqlHash32). */
+  private def sqlHash32(e: String): String =
+    s"CAST(('0x' || substr(md5($e),1,8)) AS BIGINT)"
+
+  /** DuckDB rendering of TextFunctions.occurrences over padded text. */
+  private def sqlOcc(padded: String, pat: String): String = {
+    val esc = pat.replace("'", "''")
+    s"CAST((length($padded) - length(replace($padded, '$esc', ''))) / ${pat.length} AS INTEGER)"
+  }
+
+  private val sqlEnScore: String =
+    langMarkers.collectFirst { case ("en", pats) => pats }.get
+      .map(p => sqlOcc("(' ' || text || ' ')", p)).mkString("(", " + ", ")")
+
+  // ------------------------------------------------- relational surface
+
+  /** Generator / lateral view: one row per token with its position. */
+  private val q56 = Q(
+    "q56_explode_lateral",
+    (s, dir) =>
+      fixture(s, dir, "documents")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+        .orderBy(col("doc_id"), col("pos")),
+    Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents WHERE doc_id < 50)
+      SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS token
+      FROM t, unnest(generate_series(1, len(toks))) AS g(i)
+      ORDER BY doc_id, pos""")
+  )
+
+  /** Map construction + element_at, struct construction + field access. */
+  private val q57 = Q(
+    "q57_struct_map",
+    (s, dir) => {
+      val n = fixture(s, dir, "nation")
+      val m = map(lit("name"), col("n_name"), lit("region"), col("n_regionkey").cast("string"))
+      val st = struct(col("n_nationkey").as("key"), col("n_name").as("name"))
+      n.select(
+        col("n_nationkey"),
+        element_at(m, "name").as("m_name"),
+        element_at(m, "region").as("m_region"),
+        st.getField("name").as("s_name"),
+        size(map_keys(m)).as("n_keys")
+      ).orderBy(col("n_nationkey"))
+    },
+    Some("""SELECT n_nationkey, n_name AS m_name, CAST(n_regionkey AS VARCHAR) AS m_region,
+      n_name AS s_name, CAST(2 AS INTEGER) AS n_keys
+      FROM nation ORDER BY n_nationkey""")
+  )
+
+  /** Unpivot (wide measures -> long metric/value rows). */
+  private val q58 = Q(
+    "q58_unpivot",
+    (s, dir) =>
+      fixture(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price")
+        )
+        .unpivot(Array(col("l_returnflag")), Array(col("sum_qty"), col("sum_price")), "metric", "value")
+        .orderBy(col("l_returnflag"), col("metric")),
+    Some("""WITH a AS (SELECT l_returnflag,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM lineitem GROUP BY 1)
+      SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+      UNION ALL SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM a
+      ORDER BY l_returnflag, metric""")
+  )
+
+  /** Multiset set operations (INTERSECT ALL / EXCEPT ALL). */
+  private val q59 = Q(
+    "q59_setops_all",
+    (s, dir) => {
+      val o = fixture(s, dir, "orders")
+      val evens = o.filter(col("o_orderkey") % 2 === 0).select(col("o_custkey"))
+      val threes = o.filter(col("o_orderkey") % 3 === 0).select(col("o_custkey"))
+      val inter = evens.intersectAll(threes).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+      val exc = evens.exceptAll(threes).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+      inter.unionByName(exc).orderBy(col("op"), col("o_custkey"))
+    },
+    Some("""WITH e AS (SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 0),
+      t AS (SELECT o_custkey FROM orders WHERE o_orderkey % 3 = 0),
+      i AS (SELECT o_custkey, COUNT(*) AS n, 'intersect_all' AS op
+            FROM (SELECT * FROM e INTERSECT ALL SELECT * FROM t) GROUP BY o_custkey),
+      x AS (SELECT o_custkey, COUNT(*) AS n, 'except_all' AS op
+            FROM (SELECT * FROM e EXCEPT ALL SELECT * FROM t) GROUP BY o_custkey)
+      SELECT * FROM i UNION ALL SELECT * FROM x ORDER BY op, o_custkey""")
+  )
+
+  /** Correlated EXISTS / NOT EXISTS subqueries (same SQL text runs on
+    * both engines; Spark decorrelates to semi/anti joins). */
+  private val existsSql =
+    """SELECT c_custkey, c_name FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+         AND NOT EXISTS (SELECT 1 FROM orders o2
+                         WHERE o2.o_custkey = c.c_custkey
+                           AND o2.o_orderpriority = '1-URGENT' AND o2.o_totalprice < 20000)
+       ORDER BY c_custkey"""
+
+  private val q60 = Q(
+    "q60_exists_correlated",
+    (s, dir) => withViews(s, dir, "customer", "orders")(existsSql),
+    Some(existsSql)
+  )
+
+  /** Conditional / boolean / distinct aggregates. */
+  private val q61 = Q(
+    "q61_conditional_agg",
+    (s, dir) =>
+      fixture(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count_if(col("l_quantity") > 25).as("n_big"),
+          bool_and(col("l_quantity") < 100).as("all_small"),
+          bool_or(col("l_tax") > 0.07).as("any_taxy"),
+          sum_distinct(col("l_linenumber")).cast("bigint").as("sd_linenum")
+        )
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag, CAST(count_if(l_quantity > 25) AS BIGINT) AS n_big,
+      bool_and(l_quantity < 100) AS all_small, bool_or(l_tax > 0.07) AS any_taxy,
+      CAST(SUM(DISTINCT l_linenumber) AS BIGINT) AS sd_linenum
+      FROM lineitem GROUP BY 1 ORDER BY 1""")
+  )
+
+  /** RANGE window frame over event-time seconds (1-hour rolling sum per
+    * user — frame membership is by VALUE range, not row count). */
+  private val q62 = Q(
+    "q62_window_range_frame",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("sec")).rangeBetween(-3600, 0)
+      fixture(s, dir, "events")
+        .withColumn("sec", expr("unix_micros(ts) div 1000000"))
+        .select(
+          col("event_id"),
+          col("user_id"),
+          sum(col("value").cast("decimal(18,2)")).over(w).cast("double").as("rolling_1h")
+        )
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, value,
+        epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec FROM events)
+      SELECT event_id, user_id,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+          PARTITION BY user_id ORDER BY sec
+          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_1h
+      FROM e ORDER BY event_id""")
+  )
+
+  /** Window navigation: percent_rank / cume_dist / first / last / nth. */
+  private val q63 = Q(
+    "q63_window_navigation",
+    (s, dir) => {
+      val ord = Window.partitionBy(col("user_id")).orderBy(col("value"), col("event_id"))
+      val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      fixture(s, dir, "events")
+        .select(
+          col("event_id"),
+          col("user_id"),
+          round(percent_rank().over(ord), 6).as("pr"),
+          round(cume_dist().over(ord), 6).as("cd"),
+          first(col("value")).over(full).as("fv"),
+          last(col("value")).over(full).as("lv"),
+          nth_value(col("value"), 2).over(full).as("nv2")
+        )
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, user_id,
+      ROUND(percent_rank() OVER w, 6) AS pr, ROUND(cume_dist() OVER w, 6) AS cd,
+      first_value(value) OVER wf AS fv, last_value(value) OVER wf AS lv,
+      nth_value(value, 2) OVER wf AS nv2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id),
+        wf AS (PARTITION BY user_id ORDER BY value, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY event_id""")
+  )
+
+  // ------------------------------------------------- curation pipeline
+
+  /** Deterministic hash-bucket train/val/test split. */
+  private val q64 = Q(
+    "q64_hash_split",
+    (s, dir) =>
+      Curation.hashSplit(fixture(s, dir, "documents"), "doc_id")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("split")),
+    Some(s"""WITH b AS (SELECT doc_id, ${sqlHash32("CAST(doc_id AS VARCHAR)")} % 100 AS bkt FROM documents)
+      SELECT CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split,
+        COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      FROM b GROUP BY 1 ORDER BY split""")
+  )
+
+  /** Gopher-style repetition stats per document. */
+  private val q65 = Q(
+    "q65_repetition_ratio",
+    (s, dir) =>
+      Curation.repetitionRatio(fixture(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id")),
+    Some("""WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+      c AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM w GROUP BY 1, 2)
+      SELECT doc_id, CAST(MAX(cnt) AS INTEGER) AS top_tok_cnt,
+        CAST(SUM(cnt) AS INTEGER) AS n_tokens,
+        CAST(COUNT(*) AS INTEGER) AS n_distinct_tokens,
+        ROUND(CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6) AS repetition_ratio
+      FROM c GROUP BY doc_id ORDER BY doc_id""")
+  )
+
+  /** Vocabulary document frequency, top-100 by df. */
+  private val q66 = Q(
+    "q66_vocab_df",
+    (s, dir) =>
+      Curation.vocabDocFreq(fixture(s, dir, "documents"), "doc_id", "text", minDf = 5)
+        .orderBy(col("df").desc, col("token"))
+        .limit(100),
+    Some("""WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents),
+      d AS (SELECT DISTINCT doc_id, token FROM w),
+      f AS (SELECT token, COUNT(*) AS df FROM d GROUP BY 1)
+      SELECT token, df FROM f WHERE df >= 5 ORDER BY df DESC, token LIMIT 100""")
+  )
+
+  /** Top-3 tf-idf terms per document (bounded to 100 docs). */
+  private val q67 = Q(
+    "q67_tfidf",
+    (s, dir) =>
+      Curation.tfidfTopTerms(fixture(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("rk")),
+    Some("""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+      w AS (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM d),
+      tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+      dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n_docs FROM d),
+      sc AS (SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+               ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfq.df), 6) AS score
+             FROM tf JOIN dfq ON tf.token = dfq.token CROSS JOIN n),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rk FROM sc)
+      SELECT doc_id, CAST(rk AS INTEGER) AS rk, token, CAST(tf AS INTEGER) AS tf,
+        CAST(df AS INTEGER) AS df, score
+      FROM r WHERE rk <= 3 ORDER BY doc_id, rk"""),
+    headline = true
+  )
+
+  /** PII-style redaction (digit runs / URLs) with match counts. */
+  private val q68 = Q(
+    "q68_pii_redact",
+    (s, dir) =>
+      Curation.redactPii(fixture(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("n_nums"), col("n_urls"),
+          md5(col("redacted")).as("red_md5"), length(col("redacted")).as("red_len"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_nums,
+      CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS INTEGER) AS n_urls,
+      md5(regexp_replace(regexp_replace(text, 'https?://[^ ]+', '<URL>', 'g'), '[0-9]+', '<NUM>', 'g')) AS red_md5,
+      CAST(length(regexp_replace(regexp_replace(text, 'https?://[^ ]+', '<URL>', 'g'), '[0-9]+', '<NUM>', 'g')) AS INTEGER) AS red_len
+      FROM documents ORDER BY doc_id""")
+  )
+
+  /** Composite quality gate with per-rule audit columns. */
+  private val q69 = Q(
+    "q69_quality_filter",
+    (s, dir) =>
+      Curation.qualityFilter(fixture(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("len_ok"), col("tok_ok"), col("wlen_ok"), col("stop_ok"), col("kept"))
+        .orderBy(col("doc_id")),
+    Some(s"""SELECT doc_id,
+      length(text) BETWEEN 100 AND 2000 AS len_ok,
+      len(string_split(text, ' ')) BETWEEN 10 AND 500 AS tok_ok,
+      (CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' '))) BETWEEN 2.0 AND 12.0 AS wlen_ok,
+      $sqlEnScore > 0 AS stop_ok,
+      (length(text) BETWEEN 100 AND 2000)
+        AND (len(string_split(text, ' ')) BETWEEN 10 AND 500)
+        AND ((CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' '))) BETWEEN 2.0 AND 12.0)
+        AND ($sqlEnScore > 0) AS kept
+      FROM documents ORDER BY doc_id""")
+  )
+
+  /** Deterministic stratified sample: 20 docs per language. */
+  private val q70 = Q(
+    "q70_stratified_sample",
+    (s, dir) =>
+      Curation.stratifiedSample(fixture(s, dir, "documents"), "lang", "doc_id", k = 20)
+        .select(col("lang"), col("doc_id"), col("rk"))
+        .orderBy(col("lang"), col("rk")),
+    Some("""WITH r AS (SELECT lang, doc_id,
+        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents)
+      SELECT lang, doc_id, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 20
+      ORDER BY lang NULLS FIRST, rk""")
+  )
+
+  /** Near-dup clusters: connected components over the LSH candidate
+    * pairs (oracle: recursive-CTE transitive closure over the same
+    * pair set). */
+  private val q71 = Q(
+    "q71_neardup_clusters",
+    (s, dir) => {
+      val pairs = Dedup.lshCandidatePairs(fixture(s, dir, "documents"), "doc_id", "text", numHashes = 8, bands = 4)
+      Dedup.nearDupClusters(pairs).orderBy(col("id"))
+    },
+    Some(s"""WITH RECURSIVE ${ExtensionCorpus.sqlLshPairCtes},
+      e AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+      reach(src, dst) AS (SELECT a, b FROM e
+        UNION SELECT e.a, r.dst FROM e JOIN reach r ON e.b = r.src),
+      n AS (SELECT DISTINCT a AS id FROM e)
+      SELECT id, LEAST(id, MIN(dst)) AS comp FROM n JOIN reach ON reach.src = n.id
+      GROUP BY id ORDER BY id""")
+  )
+
+  val all: Seq[Q] = Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71)
+}

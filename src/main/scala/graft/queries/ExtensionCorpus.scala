@@ -66,25 +66,28 @@ object ExtensionCorpus {
     }
   )
 
+  /** The q32 pipeline as a reusable CTE chain ending in `pairs(a, b)` —
+    * shared by q32 and the near-dup clustering oracle (q71). */
+  private[queries] val sqlLshPairCtes: String = {
+    val mhCols = (0 until 8).map(j => s"${sqlMinhash(j)} AS mh_$j").mkString(", ")
+    val bandSelects = (0 until 4)
+      .map(b => s"SELECT doc_id, $b AS band_idx, md5(mh_${2 * b} || mh_${2 * b + 1}) AS bucket FROM m")
+      .mkString(" UNION ALL ")
+    s"""t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        s AS (SELECT doc_id, list_transform($sqlShingles, x -> md5(x)) AS hs
+              FROM t WHERE len(toks) >= 3),
+        m AS (SELECT doc_id, $mhCols FROM s),
+        bands AS ($bandSelects),
+        pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+          FROM bands l JOIN bands r
+            ON l.band_idx = r.band_idx AND l.bucket = r.bucket AND l.doc_id < r.doc_id)"""
+  }
+
   private val q32 = Q(
     "q32_lsh_candidate_pairs",
     (s, dir) =>
       Dedup.lshCandidatePairs(fixture(s, dir, "documents"), "doc_id", "text", numHashes = 8, bands = 4),
-    Some {
-      val mhCols = (0 until 8).map(j => s"${sqlMinhash(j)} AS mh_$j").mkString(", ")
-      val bandSelects = (0 until 4)
-        .map(b => s"SELECT doc_id, $b AS band_idx, md5(mh_${2 * b} || mh_${2 * b + 1}) AS bucket FROM m")
-        .mkString(" UNION ALL ")
-      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
-          s AS (SELECT doc_id, list_transform($sqlShingles, x -> md5(x)) AS hs
-                FROM t WHERE len(toks) >= 3),
-          m AS (SELECT doc_id, $mhCols FROM s),
-          bands AS ($bandSelects)
-          SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-          FROM bands l JOIN bands r
-            ON l.band_idx = r.band_idx AND l.bucket = r.bucket AND l.doc_id < r.doc_id
-          ORDER BY a, b"""
-    },
+    Some(s"WITH $sqlLshPairCtes SELECT a, b FROM pairs ORDER BY a, b"),
     headline = true
   )
 

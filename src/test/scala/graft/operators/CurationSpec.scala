@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashSplit labels every row and is stable under corpus growth") {
+    val small = spark.range(0, 100).toDF("id")
+    val big = spark.range(0, 1000).toDF("id")
+    val s1 = Curation.hashSplit(small, "id").select("id", "split").as[(Long, String)].collect().toMap
+    val s2 = Curation.hashSplit(big, "id").select("id", "split").as[(Long, String)].collect().toMap
+    assert(s1.values.forall(Set("train", "val", "test")))
+    // the property that matters at 100 TB: a row's split never changes
+    // when other rows are added
+    assert(s1.forall { case (id, sp) => s2(id) == sp })
+    val frac = s2.values.count(_ == "train").toDouble / s2.size
+    assert(frac > 0.7 && frac < 0.9, s"train fraction $frac should be near 0.8")
+  }
+
+  test("repetitionRatio computes top-token share") {
+    val df = Seq((1L, "a a a b"), (2L, "x y")).toDF("doc_id", "text")
+    val out = Curation.repetitionRatio(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4)))).toMap
+    assert(out(1L) == ((3, 4, 2, 0.75)))
+    assert(out(2L) == ((1, 2, 2, 0.5)))
+  }
+
+  test("vocabDocFreq counts documents, not occurrences") {
+    val df = Seq((1L, "spark spark spark flink"), (2L, "spark beam")).toDF("doc_id", "text")
+    val out = Curation.vocabDocFreq(df, "doc_id", "text").as[(String, Long)].collect().toMap
+    assert(out("spark") == 2) // appears 4x but in 2 docs
+    assert(out("flink") == 1 && out("beam") == 1)
+  }
+
+  test("tfidf ranks doc-specific terms above corpus-wide terms") {
+    val df = Seq(
+      (1L, "common rare1 common common"),
+      (2L, "common other common"),
+      (3L, "common filler words")
+    ).toDF("doc_id", "text")
+    val top1 = Curation.tfidfTopTerms(df, "doc_id", "text", k = 1)
+      .filter($"doc_id" === 1L).select("token").as[String].head()
+    assert(top1 == "rare1") // df=1 beats tf=3 common (idf=0)
+  }
+
+  test("redactPii replaces digit runs and urls, counts matches") {
+    val df = Seq((1L, "call 555 or 1234 via https://x.example now")).toDF("id", "text")
+    val r = Curation.redactPii(df, "text").select("n_nums", "n_urls", "redacted").head()
+    assert(r.getInt(0) == 2 && r.getInt(1) == 1)
+    assert(r.getString(2) == "call <NUM> or <NUM> via <URL> now")
+  }
+
+  test("qualityFilter gates on length, tokens, word length, stopwords") {
+    val good = "the quick brown fox jumps over the lazy dog and then runs far away " * 2
+    val df = Seq((1L, good), (2L, "too short")).toDF("id", "text")
+    val out = Curation.qualityFilter(df, "text").select("id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(out(1L) && !out(2L))
+  }
+
+  test("stratifiedSample is deterministic and respects k per stratum") {
+    val df = (0 until 100).map(i => (i.toLong, s"lang${i % 3}")).toDF("id", "lang")
+    val a = Curation.stratifiedSample(df, "lang", "id", k = 5).select("id").as[Long].collect().sorted
+    val b = Curation.stratifiedSample(df, "lang", "id", k = 5).select("id").as[Long].collect().sorted
+    assert(a.sameElements(b))
+    val perStratum = Curation.stratifiedSample(df, "lang", "id", k = 5)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(perStratum.values.forall(_ == 5))
+  }
+
+  test("nearDupClusters finds connected components via min-label propagation") {
+    // chain 1-2-3-4 plus pair 10-11: diameter > 1 forces iteration
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val out = Dedup.nearDupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+}
