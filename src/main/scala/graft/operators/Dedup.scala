@@ -160,15 +160,37 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
       .localCheckpoint(true)
-    var prevSum = labels.agg(sum(col("comp"))).head.getLong(0)
+    def labelSum(df: DataFrame): Long = {
+      val r = df.agg(sum(col("comp"))).head
+      if (r.isNullAt(0)) 0L else r.getLong(0) // null = empty frame
+    }
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("comp"))
-      val next = labels.union(prop).groupBy(col("id")).agg(min(col("comp")).as("comp"))
+      // checkpoint before the self-join: fresh attributes sidestep
+      // Spark 4's constraint rewrite over self-joined Union plans, and
+      // the per-iteration lineage stays O(1) either way
+      val merged = labels.union(prop).groupBy(col("id")).agg(min(col("comp")).as("comp"))
         .localCheckpoint(true)
-      val s = next.agg(sum(col("comp"))).head.getLong(0)
+      // pointer doubling: also follow comp -> comp(comp), halving the
+      // remaining diameter each round — O(log d) iterations instead of
+      // O(d), which is what makes long chains affordable (every label
+      // value is itself a node id, so the self-join always resolves)
+      val next = merged
+        .join(
+          merged.select(col("id").as("cid"), col("comp").as("ccomp")),
+          col("comp") === col("cid"),
+          "left"
+        )
+        .select(col("id"), least(col("comp"), coalesce(col("ccomp"), col("comp"))).as("comp"))
+      // convergence test on the CACHED merged frame (at the fixpoint
+      // prop adds nothing, so merged == labels); scanning it is a
+      // no-recompute job, and the doubling join above only executes
+      // inside the next iteration's checkpoint
+      val s = labelSum(merged)
       converged = s == prevSum
       prevSum = s
       labels = next
