@@ -68,6 +68,42 @@ class PlanQualitySpec extends SparkSpec {
       || plan.contains("ShuffledHashJoin"))
   }
 
+  test("q60: correlated EXISTS decorrelates to semi/anti joins (no per-row subquery)") {
+    val plan = finalPlan(run("q60_exists_correlated"))
+    assert(!plan.contains("CartesianProduct"), s"EXISTS must decorrelate:\n$plan")
+    assert(plan.contains("LeftSemi") || plan.contains("ExistenceJoin"))
+    assert(plan.contains("LeftAnti"))
+  }
+
+  test("q67: tf-idf joins broadcast the small df/N sides, fact side unshuffled by joins") {
+    val plan = finalPlan(run("q67_tfidf"))
+    assert(plan.contains("BroadcastHashJoin"), s"dfreq join must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q62: RANGE frame runs as a single Window pass, no self-join") {
+    val plan = finalPlan(run("q62_window_range_frame"))
+    assert(plan.contains("Window"))
+    assert(!plan.contains("Join"), s"range frame must not plan a join:\n$plan")
+  }
+
+  test("q71: clustering iterations never go quadratic") {
+    val plan = finalPlan(run("q71_neardup_clusters"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q56: generator plans as Generate over the pruned scan") {
+    val plan = finalPlan(run("q56_explode_lateral"))
+    assert(plan.contains("Generate"))
+    assert(!plan.linesIterator.mkString.contains("n_chars"), "unused columns must be pruned")
+  }
+
+  test("q64: hash split is a pure projection before the aggregate (no pre-shuffle)") {
+    val plan = finalPlan(run("q64_hash_split"))
+    // exactly the agg exchange (+ AQE reads); no repartition/sort beyond it
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 1)
+  }
+
   test("conformance compiles to a single Project over the scan") {
     import graft.core.{Conform, ColumnSpec}
     val df = Corpus.fixture(spark, sf("sf0.001"), "part")
