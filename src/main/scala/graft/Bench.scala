@@ -42,6 +42,34 @@ object Bench {
     val results = graft.queries.Corpus.all.map(q => q.name -> time(q))
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.filter(_._2 < 0).map(_._1)
+
+    // E2E timer-span parity (BASELINE.md): the reference's three logged
+    // spans — silver bronze-read (job_silver.py:142-149), silver
+    // transform+write (:157,180-181), gold agg+write (job_gold.py:
+    // 87,104-105) — re-measured on a like-shaped ~8.9k-row fixture.
+    val e2e: Seq[(String, Double)] =
+      try {
+        import graft.pipeline.{BreweryFixture, BreweryPipeline, PipelineConf}
+        val date = java.time.LocalDate.parse("2026-01-01")
+        val root = java.nio.file.Files.createTempDirectory("graft-bench-bronze").toString
+        BreweryFixture.land(root, date)
+        val conf = PipelineConf(bronzeRoot = root,
+          silverTable = "bench_silver.tab_brewery", goldTable = "bench_gold.tab_brewery_summary")
+        def span(f: => Unit): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        val prefix = s"$root/sys_file_date=$date"
+        var raw: org.apache.spark.sql.DataFrame = null
+        val tRead = span { raw = graft.io.Sources.ndjsonInfer(spark, prefix); raw.count() }
+        val tWrite = span {
+          val conformed = graft.core.Conform
+            .withPartitionStamp(raw, graft.core.Schema.brewerySpec, conf.partitionCol, date)
+          spark.sql("CREATE DATABASE IF NOT EXISTS bench_silver")
+          conf.format.overwriteTable(conformed, conf.silverTable, Seq(conf.partitionCol))
+        }
+        val tGold = span { BreweryPipeline.runGold(spark, conf, date) }
+        Seq("silver_read" -> tRead, "silver_transform_write" -> tWrite, "gold_agg_write" -> tGold)
+      } catch { case _: Throwable => Seq("silver_read" -> -1.0, "silver_transform_write" -> -1.0, "gold_agg_write" -> -1.0) }
     // Second pass over the headline queries: cold numbers above include
     // per-plan codegen+JIT (~0.5-1 s each at sf0.1); warm numbers show
     // steady-state engine throughput.
@@ -49,7 +77,8 @@ object Bench {
 
     val detail =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(results)},""" +
-        s""""warm_headline":${jmap(warm)},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
+        s""""warm_headline":${jmap(warm)},"e2e":${jmap(e2e)},""" +
+        s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
     try Files.write(Paths.get("BENCH_DETAIL.json"), detail.getBytes(StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
 
@@ -59,7 +88,7 @@ object Bench {
     // BENCH_DETAIL.json either way).
     def official(qs: Seq[(String, Double)]): String =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(qs)},""" +
-        s""""warm_headline":${jmap(warm)},"failed":${failed.length},"sf":"$sfDir"}"""
+        s""""warm_headline":${jmap(warm)},"e2e":${jmap(e2e)},"failed":${failed.length},"sf":"$sfDir"}"""
     // budget: 2000-char tail minus ~75 for sbt's trailing [success] line
     val full = official(results)
     println(if (full.length <= 1850) full else official(warm.map { case (k, _) => k -> results.toMap.apply(k) }))
