@@ -103,6 +103,25 @@ object Streams {
       }
   }
 
+  /** Streaming exact dedup on arbitrary key columns: keeps the first
+    * arrival per key, dropping later duplicates for as long as the
+    * watermark allows state to be held (`dropDuplicatesWithinWatermark`
+    * — state for a key is evicted once the watermark passes its event
+    * time + delay, so state size is bounded by the delay window, not
+    * the stream's lifetime; the batch-side twin is [[graft.operators.Dedup.exactOnKeys]]).
+    *
+    * Use for ingest-time dedup of a training feed (repeated crawls,
+    * at-least-once upstream delivery). */
+  def dedupStream(
+      events: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String = "ts",
+      watermarkDelay: String = "2 hours"
+  ): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Incremental-batch runner: process all files not yet recorded in
     * `checkpoint`, write them to `outPath` as parquet, and stop — the
     * Structured Streaming replacement for the reference's

@@ -67,6 +67,24 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream keeps first arrival per key while state is in the watermark") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = ms.toDF().toDF("ts", "doc_key", "payload")
+    val q = Streams.dedupStream(df, Seq("doc_key"), watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      ms.addData((t("2024-01-01 00:10:00"), "k1", 1.0), (t("2024-01-01 00:20:00"), "k2", 2.0))
+      q.processAllAvailable()
+      // duplicate k1 within the watermark window -> dropped
+      ms.addData((t("2024-01-01 00:30:00"), "k1", 99.0))
+      q.processAllAvailable()
+      val vals = spark.table("dedup").orderBy("doc_key")
+        .collect().map(r => (r.getString(1), r.getDouble(2)))
+      assert(vals.toSeq == Seq(("k1", 1.0), ("k2", 2.0)))
+    } finally q.stop()
+  }
+
   test("availableNowTo processes only new files per invocation") {
     val base = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val in = s"$base/in"; val out = s"$base/out"; val ck = s"$base/ck"
