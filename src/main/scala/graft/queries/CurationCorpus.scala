@@ -334,5 +334,35 @@ object CurationCorpus {
       GROUP BY id ORDER BY id""")
   )
 
-  val all: Seq[Q] = Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71)
+  /** Higher-order array lambdas (transform / filter / exists / forall /
+    * zip_with / aggregate) over the embedding vectors. The fold shape
+    * (double-cast elements, left-associated adds from a 0.0 seed)
+    * matches DuckDB's no-init list_reduce bit-for-bit, same as the
+    * cosine oracles. */
+  private val q72 = Q(
+    "q72_higher_order",
+    (s, dir) => {
+      val emb = transform(col("embedding"), x => x.cast("double"))
+      fixture(s, dir, "embeddings")
+        .select(
+          col("vec_id"),
+          round(aggregate(emb, lit(0.0d), (a, x) => a + x * x), 6).as("sq_norm"),
+          size(filter(emb, x => x > 0)).as("n_pos"),
+          exists(emb, x => x > 0.4).as("has_big"),
+          forall(emb, x => abs(x) <= 0.6).as("bounded"),
+          round(element_at(zip_with(emb, reverse(emb), (a, b) => a * b), 1), 6).as("first_x_last")
+        )
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings)
+      SELECT vec_id,
+        ROUND(list_reduce(list_transform(emb, x -> x*x), (x,y) -> x+y), 6) AS sq_norm,
+        CAST(len(list_filter(emb, x -> x > 0)) AS INTEGER) AS n_pos,
+        len(list_filter(emb, x -> x > 0.4)) > 0 AS has_big,
+        len(list_filter(emb, x -> abs(x) > 0.6)) = 0 AS bounded,
+        ROUND(emb[1] * emb[len(emb)], 6) AS first_x_last
+      FROM v ORDER BY vec_id""")
+  )
+
+  val all: Seq[Q] = Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72)
 }
