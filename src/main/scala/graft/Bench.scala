@@ -27,6 +27,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // fresh warehouse per run: the in-memory catalog forgets managed
+      // tables between JVMs but their directories persist, and a stale
+      // dir fails the e2e saveAsTable with LOCATION_ALREADY_EXISTS
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-bench-wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup so the first measured query isn't charged for
@@ -69,7 +74,11 @@ object Bench {
         }
         val tGold = span { BreweryPipeline.runGold(spark, conf, date) }
         Seq("silver_read" -> tRead, "silver_transform_write" -> tWrite, "gold_agg_write" -> tGold)
-      } catch { case _: Throwable => Seq("silver_read" -> -1.0, "silver_transform_write" -> -1.0, "gold_agg_write" -> -1.0) }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] e2e spans failed: ${e.getMessage}")
+          Seq("silver_read" -> -1.0, "silver_transform_write" -> -1.0, "gold_agg_write" -> -1.0)
+      }
     // Second pass over the headline queries: cold numbers above include
     // per-plan codegen+JIT (~0.5-1 s each at sf0.1); warm numbers show
     // steady-state engine throughput.
