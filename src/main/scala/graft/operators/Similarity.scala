@@ -72,7 +72,16 @@ object Similarity {
 
   /** Sign-bit LSH bucket + exact re-rank within bucket. Returns top-k
     * per query among same-bucket candidates (approximate: misses
-    * cross-bucket neighbors, as LSH does by design). */
+    * cross-bucket neighbors, as LSH does by design).
+    *
+    * `probes` > 0 enables multi-probe: each query ALSO searches the
+    * buckets obtained by flipping its `probes` weakest sign bits (the
+    * projections closest to the hyperplane — exactly the bits most
+    * likely to differ for a true near neighbor). Recall rises with
+    * probes at the cost of probing `probes+1` buckets per query; the
+    * corpus side is untouched, so at 100 TB this multiplies only the
+    * (small) query fan-out, never the corpus scan or index size —
+    * the standard alternative to doubling `bits` tables. */
   def lshTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -80,23 +89,36 @@ object Similarity {
       vecCol: String,
       k: Int,
       bits: Int = 8,
-      dim: Int = 64
+      dim: Int = 64,
+      probes: Int = 0
   ): DataFrame = {
+    require(probes >= 0 && probes < bits, "probes must be in [0, bits)")
     val planes = hyperplanes(dim, bits)
     // bucket = Σ_b 2^b * [plane_b · v > 0], one codegen'd dot per
     // plane against a literal coefficient array (same ascending-index
     // double fold as the unrolled sum, so the SQL oracle stays
     // bit-exact, with ~dim× smaller generated code).
+    def proj(vec: org.apache.spark.sql.Column, b: Int) = dot(vec, typedLit(planes(b).toSeq))
     def bucket(vec: org.apache.spark.sql.Column) =
       (0 until bits)
-        .map { b =>
-          val proj = dot(vec, typedLit(planes(b).toSeq))
-          when(proj > 0, 1L << b).otherwise(0L)
-        }
+        .map(b => when(proj(vec, b) > 0, 1L << b).otherwise(0L))
         .reduce(_ + _)
 
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+    val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
       norm(col(vecCol)).as("q_nrm"), bucket(col(vecCol)).as("bkt"))
+    val q =
+      if (probes == 0) qBase
+      else {
+        // weakest bits = smallest |projection|, ties to the lower bit
+        // index (struct sort on (abs, bit)); each probe flips ONE bit
+        val weak = array_sort(array((0 until bits).map(b =>
+          struct(abs(proj(col("q_vec"), b)).as("a"), lit(b).as("b"))): _*))
+        val pow2 = typedLit((0 until bits).map(1L << _))
+        val probeBkts = array(col("bkt") +: (0 until probes).map(i =>
+          col("bkt").bitwiseXOR(element_at(pow2, element_at(weak, i + 1).getField("b") + 1))): _*)
+        qBase
+          .withColumn("bkt", explode(probeBkts))
+      }
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
       norm(col(vecCol)).as("c_nrm"), bucket(col(vecCol)).as("bkt"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))

@@ -364,5 +364,44 @@ object CurationCorpus {
       FROM v ORDER BY vec_id""")
   )
 
-  val all: Seq[Q] = Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72)
+  /** Multi-probe LSH ANN: queries also probe the bucket with their
+    * weakest sign bit flipped (probes=1). Oracle replays the flip with
+    * the same seeded hyperplanes; LEAST + first-match CASE mirrors the
+    * struct-sort tie-break (smallest |projection|, then lowest bit). */
+  private val q73 = Q(
+    "q73_ann_multiprobe",
+    (s, dir) => {
+      val e = fixture(s, dir, "embeddings")
+      graft.operators.Similarity.lshTopK(
+        e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, bits = 4, dim = 64, probes = 1)
+    },
+    Some {
+      val planes = graft.operators.Similarity.hyperplanes(dim = 64, bits = 4)
+      val projCols = (0 until 4).map { b =>
+        (0 until 64).map(i => s"emb[${i + 1}]*(${planes(b)(i)})").mkString(" + ")
+      }
+      val pSel = projCols.zipWithIndex.map { case (p, b) => s"($p) AS p$b" }.mkString(", ")
+      val bkt = (0 until 4).map(b => s"(CASE WHEN p$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      val m = (0 until 4).map(b => s"abs(p$b)").mkString("LEAST(", ", ", ")")
+      val wb = (0 until 4).map(b => s"WHEN abs(p$b) = m THEN $b").mkString("CASE ", " ", " END")
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+        p AS (SELECT vec_id, emb, $pSel FROM v),
+        nb AS (SELECT vec_id, emb, $bkt AS bkt, p0, p1, p2, p3 FROM p),
+        qw AS (SELECT vec_id, emb, bkt, $wb AS wb
+               FROM (SELECT *, $m AS m FROM nb) WHERE vec_id < 10),
+        qq AS (SELECT vec_id, emb, bkt FROM qw
+               UNION ALL SELECT vec_id, emb, xor(bkt, (CAST(1 AS BIGINT) << wb)) FROM qw),
+        sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 ${"(list_reduce(list_transform(list_zip(q.emb, c.emb), z -> struct_extract(z,1)*struct_extract(z,2)), (x,y) -> x+y) / (sqrt(list_reduce(list_transform(q.emb, x -> x*x), (x,y) -> x+y)) * sqrt(list_reduce(list_transform(c.emb, x -> x*x), (x,y) -> x+y))))"} AS score
+               FROM qq q JOIN nb c ON q.bkt = c.bkt AND q.vec_id <> c.vec_id),
+        r AS (SELECT query_id, neighbor_id, score,
+                ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
+              FROM sc)
+        SELECT query_id, CAST(rk AS INTEGER) AS rk, neighbor_id, ROUND(score, 6) AS score
+        FROM r WHERE rk <= 5 ORDER BY query_id, rk"""
+    }
+  )
+
+  val all: Seq[Q] = Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73)
 }

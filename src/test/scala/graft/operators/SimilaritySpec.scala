@@ -49,6 +49,21 @@ class SimilaritySpec extends SparkSpec {
     assert(narrow.subsetOf(Set(2L, 3L, 4L)))
   }
 
+  test("multi-probe lsh recall >= single-probe recall against brute force") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = e.filter($"vec_id" < 10)
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val truth = hits(Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5))
+    val single = hits(Similarity.lshTopK(e, q, "vec_id", "embedding", k = 5, bits = 4))
+    val multi = hits(Similarity.lshTopK(e, q, "vec_id", "embedding", k = 5, bits = 4, probes = 2))
+    val rSingle = (single intersect truth).size
+    val rMulti = (multi intersect truth).size
+    assert(rMulti >= rSingle, s"multi-probe recall $rMulti < single-probe $rSingle")
+    assert(rMulti > 0)
+  }
+
   test("hyperplanes are deterministic across calls") {
     val a = Similarity.hyperplanes(8, 4)
     val b = Similarity.hyperplanes(8, 4)
