@@ -115,6 +115,29 @@ final class SnapshotTables(spark: SparkSession, root: String, previousVersionsMa
     spark.read.parquet(snapDir(table, version).toString)
   }
 
+  /** Compact the current snapshot into ~`targetFileBytes` files and
+    * commit the result as a new version — the maintenance op an
+    * incremental/streaming writer needs (many small commits → many
+    * small parquet files → scan-split and open-cost overhead at scale).
+    * Data is unchanged; readers of prior versions are unaffected.
+    *
+    * File count = ceil(bytes / target) via `repartition` (partitioned
+    * tables repartition on the partition columns, so each Hive
+    * partition directory compacts independently). */
+  def compact(table: String, partitionCols: Seq[String] = Nil, targetFileBytes: Long = 128L << 20): Unit = {
+    val cur = currentVersion(table)
+    require(cur > 0, s"table $table has no committed version")
+    val d = snapDir(table, cur)
+    val bytes = fs(d).getContentSummary(d).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val df = readVersion(table, cur)
+    val compacted =
+      if (partitionCols.nonEmpty)
+        df.repartition(nFiles, partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      else df.repartition(nFiles)
+    overwriteTable(compacted, table, partitionCols)
+  }
+
   /** Drop snapshots older than the retention window (keep the current
     * one plus `previousVersionsMax` predecessors). */
   private def expire(table: String, current: Int): Unit =

@@ -46,6 +46,19 @@ class SnapshotTablesSpec extends SparkSpec {
     assert(t.currentVersion("tab") == 2) // full new version committed
   }
 
+  test("compact rewrites the current snapshot into fewer files as a new version") {
+    val t = newTables()
+    // 32 shuffle partitions -> many small files in v1
+    t.overwriteTable(spark.range(0, 10000).toDF("id").repartition(16), "tab")
+    val before = t.read("tab").inputFiles.length
+    t.compact("tab")
+    assert(t.currentVersion("tab") == 2)
+    assert(t.read("tab").inputFiles.length < before)
+    assert(t.read("tab").count() == 10000)
+    // prior version untouched
+    assert(t.readVersion("tab", 1).count() == 10000)
+  }
+
   test("partitioned snapshots prune on the partition column") {
     val t = newTables()
     t.overwriteTable(
