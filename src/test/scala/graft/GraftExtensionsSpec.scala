@@ -10,4 +10,13 @@ class GraftExtensionsSpec extends SparkSpec {
     val r = spark.sql("SELECT vec_dot(a, b) AS d FROM vt").head.getDouble(0)
     assert(r == 11.0)
   }
+
+  test("vec_norm and vec_cosine compose codegen'd expressions in SQL") {
+    Seq((Array(3.0f, 4.0f), Array(3.0f, 4.0f)), (Array(1.0f, 0.0f), Array(0.0f, 1.0f)))
+      .toDF("a", "b").createOrReplaceTempView("vt2")
+    val rows = spark.sql("SELECT vec_norm(a) AS n, vec_cosine(a, b) AS c FROM vt2")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(rows(0) == ((5.0, 1.0))) // |(3,4)| = 5, cos(v,v) = 1
+    assert(rows(1) == ((1.0, 0.0))) // orthogonal
+  }
 }
