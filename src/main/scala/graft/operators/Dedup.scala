@@ -82,10 +82,17 @@ object Dedup {
       val parts = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
       struct(lit(b).as("band_idx"), md5(concat(parts: _*)).as("bucket")).as(s"band_$b")
     }
+    // materialize the banded relation ONCE: the self-join otherwise
+    // executes the whole minhash pipeline (scan → shingle explode →
+    // md5 → two-stage agg) per join side — aliased subtrees defeat
+    // ReuseExchange (verified in the physical plan: two full Scan→
+    // Generate→Aggregate chains). |banded| = |docs|·bands small rows;
+    // at cluster scale this is the relation you'd persist anyway.
     val exploded = sigs
       .select(col(idCol) +: bandCols: _*)
       .select(col(idCol), explode(array((0 until bands).map(b => col(s"band_$b")): _*)).as("band"))
       .select(col(idCol), col("band.band_idx"), col("band.bucket"))
+      .localCheckpoint(true)
     val banded = maxBucketSize match {
       case Some(cap) =>
         // hot buckets are rare by definition ⇒ tiny broadcast anti-join
