@@ -113,6 +113,23 @@ object Curation {
       .withColumn("kept", col("len_ok") && col("tok_ok") && col("wlen_ok") && col("stop_ok"))
   }
 
+  /** Benchmark decontamination: per-document count of distinct word
+    * 3-shingles shared with a benchmark shingle set (`benchmark` must
+    * expose a string column `sh`). The benchmark side is broadcast —
+    * eval sets are tiny next to a training corpus — so the probe is
+    * scan-local: explode + broadcast-hash semi side, one partial-agg
+    * groupBy; nothing shuffles but one row per contaminated doc. */
+  def flagContaminated(df: DataFrame, idCol: String, textCol: String, benchmark: DataFrame): DataFrame =
+    df.select(col(idCol), explode(array_distinct(wordShingles(tokens(col(textCol))))).as("sh"))
+      .join(broadcast(benchmark.select(col("sh")).distinct()), "sh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col(idCol), col("n_hits").cast("int").as("n_hits"))
+
+  /** The shingle set of a benchmark corpus, for [[flagContaminated]]. */
+  def benchmarkShingles(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(array_distinct(wordShingles(tokens(col(textCol))))).as("sh")).distinct()
+
   /** Deterministic stratified sample: keep `k` rows per stratum, chosen
     * by md5-of-id order (a seeded uniform draw that is stable across
     * runs and engines). The window sort is per-stratum — at scale this

@@ -403,5 +403,24 @@ object CurationCorpus {
     }
   )
 
-  val all: Seq[Q] = Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73)
+  /** Benchmark decontamination: docs sharing any 3-shingle with the
+    * "benchmark" (docs 0-2 stand in for an eval set). */
+  private val q74 = Q(
+    "q74_decontamination",
+    (s, dir) => {
+      val docs = fixture(s, dir, "documents")
+      val bench = Curation.benchmarkShingles(docs.filter(col("doc_id") < 3), "text")
+      Curation.flagContaminated(docs.filter(col("doc_id") >= 3), "doc_id", "text", bench)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      s AS (SELECT doc_id, unnest(list_distinct(${ExtensionCorpus.sqlShingles})) AS sh
+            FROM t WHERE len(toks) >= 3),
+      bm AS (SELECT DISTINCT sh FROM s WHERE doc_id < 3)
+      SELECT s.doc_id, CAST(COUNT(*) AS INTEGER) AS n_hits
+      FROM s JOIN bm USING (sh) WHERE s.doc_id >= 3
+      GROUP BY s.doc_id ORDER BY doc_id""")
+  )
+
+  val all: Seq[Q] = Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74)
 }

@@ -24,7 +24,7 @@ object ExtensionCorpus {
     s"CAST(('0x' || substr(md5($e),1,8)) AS BIGINT)"
 
   /** DuckDB rendering of word 3-shingles over string_split tokens. */
-  private val sqlShingles =
+  private[queries] val sqlShingles =
     "list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))"
 
   /** Minhash j = min over per-shingle digests of the 8-hex window at

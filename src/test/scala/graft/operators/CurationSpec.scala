@@ -69,6 +69,21 @@ class CurationSpec extends SparkSpec {
     assert(perStratum.values.forall(_ == 5))
   }
 
+  test("flagContaminated counts distinct shingle overlaps with the benchmark") {
+    val bench = Seq((0L, "alpha beta gamma delta")).toDF("id", "text")
+    val docs = Seq(
+      (1L, "x alpha beta gamma y"),   // shares 'alpha beta gamma'
+      (2L, "beta gamma delta beta gamma delta"), // shares 1 distinct shingle, repeated
+      (3L, "totally unrelated text here")
+    ).toDF("id", "text")
+    val bm = Curation.benchmarkShingles(bench, "text")
+    val out = Curation.flagContaminated(docs, "id", "text", bm)
+      .as[(Long, Int)].collect().toMap
+    assert(out(1L) == 1)
+    assert(out(2L) == 1) // distinct shingles, not occurrences
+    assert(!out.contains(3L))
+  }
+
   test("nearDupClusters finds connected components via min-label propagation") {
     // chain 1-2-3-4 plus pair 10-11: diameter > 1 forces iteration
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
