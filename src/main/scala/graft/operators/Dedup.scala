@@ -22,9 +22,15 @@ object Dedup {
 
   /** Exact dedup: keep the smallest id per normalized text. Deterministic
     * representative selection (unlike `dropDuplicates`, which keeps an
-    * arbitrary row and would not be oracle-checkable). */
+    * arbitrary row and would not be oracle-checkable).
+    *
+    * Groups on md5(normalized text), not the text itself: the shuffle
+    * key is 16 bytes instead of the document (~20× narrower shuffle at
+    * corpus scale, and map-side partial aggregation hashes fixed-width
+    * keys). md5 collisions are the standard content-hash dedup trade
+    * (~n²/2¹²⁸ — negligible at any corpus size). */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(lower(trim(col(textCol))).as("norm_text"))
+    df.groupBy(md5(lower(trim(col(textCol)))).as("norm_digest"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
       .select(col("keeper_id"), col("n_copies"))
       .orderBy(col("keeper_id"))
