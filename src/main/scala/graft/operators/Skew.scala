@@ -40,4 +40,29 @@ object Skew {
       .groupBy(keyCols: _*)
       .agg(sum(col("__n")).as("n"), sum(col("__s")).cast("decimal(18,2)").as("sum_val"))
   }
+
+  /** Salted equi-join for skewed join keys: each big-side row gets a
+    * deterministic salt in [0, salts); the small side is replicated
+    * `salts`× (an explode of literals — its rows must be small). The
+    * join key becomes (keys…, salt), so one hot key's rows spread over
+    * `salts` tasks instead of one.
+    *
+    * Output is IDENTICAL to the plain join — the salt never appears in
+    * the result. This is the manual form of what AQE skew-join does
+    * for sort-merge joins; it also covers the cases AQE can't touch
+    * (broadcast-ineligible skew inside a shuffled hash join, or AQE
+    * disabled). `saltOn` should be a high-cardinality big-side column
+    * (a row id), hashed — never rand(), so task retries salt
+    * identically. */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      keys: Seq[String],
+      saltOn: Column,
+      salts: Int = 16
+  ): DataFrame = {
+    val b = big.withColumn("__salt", pmod(hash(saltOn), lit(salts)))
+    val s = small.withColumn("__salt", explode(array((0 until salts).map(lit): _*)))
+    b.join(s, keys :+ "__salt").drop("__salt")
+  }
 }

@@ -422,5 +422,23 @@ object CurationCorpus {
       GROUP BY s.doc_id ORDER BY doc_id""")
   )
 
-  val all: Seq[Q] = Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74)
+  /** Salted skew-join: result must equal the plain join (the salt is
+    * an execution detail, never visible in the output). */
+  private val q75 = Q(
+    "q75_salted_join",
+    (s, dir) => {
+      val ev = fixture(s, dir, "events")
+      val dim = ev.groupBy(col("user_id"))
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("user_total"))
+      graft.operators.Skew.saltedJoin(ev, dim, Seq("user_id"), col("event_id"), salts = 8)
+        .select(col("event_id"), col("user_id"), col("user_total"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH d AS (SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS user_total
+        FROM events GROUP BY 1)
+      SELECT e.event_id, e.user_id, d.user_total FROM events e JOIN d USING (user_id)
+      ORDER BY event_id""")
+  )
+
+  val all: Seq[Q] = Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75)
 }

@@ -20,4 +20,15 @@ class SkewSpec extends SparkSpec {
       assert(salted == plain, s"buckets=$buckets")
     }
   }
+
+  test("saltedJoin output equals the plain join for any salt count") {
+    val big = (0 until 1000).map(i => (i.toLong, s"k${i % 3}", i * 0.5)).toDF("id", "key", "v")
+    val small = Seq(("k0", 10.0), ("k1", 20.0), ("k2", 30.0), ("k9", 99.0)).toDF("key", "w")
+    val plain = big.join(small, "key").select("id", "w").as[(Long, Double)].collect().toSet
+    for (salts <- Seq(1, 4, 16)) {
+      val salted = Skew.saltedJoin(big, small, Seq("key"), $"id", salts)
+        .select("id", "w").as[(Long, Double)].collect().toSet
+      assert(salted == plain, s"salts=$salts")
+    }
+  }
 }
