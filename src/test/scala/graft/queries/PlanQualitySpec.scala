@@ -104,6 +104,24 @@ class PlanQualitySpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 1)
   }
 
+  test("q74: decontamination probe broadcasts the benchmark side") {
+    val plan = finalPlan(run("q74_decontamination"))
+    assert(plan.contains("BroadcastHashJoin"), s"benchmark side must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("q75: salted join is a hash/merge join on (key, salt) — never nested-loop") {
+    val plan = finalPlan(run("q75_salted_join"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
+  test("q73: multi-probe only fans out the query side (corpus side unchanged)") {
+    val plan = finalPlan(run("q73_ann_multiprobe"))
+    // exactly one Generate (the query-side probe explode) — the corpus
+    // side must not explode
+    assert("Generate".r.findAllIn(plan).length == 1, s"corpus side must not fan out:\n$plan")
+  }
+
   test("conformance compiles to a single Project over the scan") {
     import graft.core.{Conform, ColumnSpec}
     val df = Corpus.fixture(spark, sf("sf0.001"), "part")
