@@ -440,5 +440,26 @@ object CurationCorpus {
       ORDER BY event_id""")
   )
 
-  val all: Seq[Q] = Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75)
+  /** Structured JSON surface: from_json with explicit schema, validity
+    * via try_parse_json, to_json re-serialization. */
+  private val q76 = Q(
+    "q76_json_struct",
+    (s, dir) =>
+      fixture(s, dir, "events")
+        .select(
+          col("event_id"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(
+            Seq(org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType))))
+            .getField("k").as("k_val"),
+          expr("try_parse_json(props) IS NOT NULL").as("valid"),
+          to_json(struct(col("event_id").as("id"))).as("j")
+        )
+        .orderBy(col("event_id")),
+    Some("""SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k_val,
+      json_valid(props) AS valid,
+      '{"id":' || CAST(event_id AS VARCHAR) || '}' AS j
+      FROM events ORDER BY event_id""")
+  )
+
+  val all: Seq[Q] = Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76)
 }
