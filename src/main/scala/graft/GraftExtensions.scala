@@ -22,6 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def normExpr(v: Expression): Expression = Sqrt(VecDot(v, v))
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // keyless BETWEEN time joins -> bucketed equi-joins (never BNLJ)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
