@@ -3,7 +3,6 @@ package graft
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.SparkSession
 
 /** Benchmark entry point. Prints ONE compact JSON line (the driver
   * machine-parses it from the tail of the build log, so the line must
@@ -21,15 +20,13 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      Runtime.getRuntime.availableProcessors.toString)
-    val spark = SparkSession.builder()
+    val cpus = graft.core.GraftSession.defaultCores
+    // the engine's session factory (AQE, UTC, extensions), plus a fresh
+    // warehouse per run: the in-memory catalog forgets managed tables
+    // between JVMs but their directories persist, and a stale dir fails
+    // the e2e saveAsTable with LOCATION_ALREADY_EXISTS
+    val spark = graft.core.GraftSession.builder("graft-bench", cpus)
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      // fresh warehouse per run: the in-memory catalog forgets managed
-      // tables between JVMs but their directories persist, and a stale
-      // dir fails the e2e saveAsTable with LOCATION_ALREADY_EXISTS
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-bench-wh").toString)
       .getOrCreate()
