@@ -38,6 +38,25 @@ object Sinks {
     }
   }
 
+  /** Bucketed managed table: rows hash-partitioned into `numBuckets`
+    * files per partition by `bucketCols`, sorted within buckets. Two
+    * tables bucketed the same way join on the bucket columns with NO
+    * shuffle on either side — the pre-computed co-location that turns a
+    * recurring 100 TB fact⋈fact join from two exchanges into zero
+    * (verified by SinksSpec's no-Exchange plan assertion). */
+  def bucketedTable(
+      df: DataFrame,
+      table: String,
+      bucketCols: Seq[String],
+      numBuckets: Int,
+      sortCols: Seq[String] = Nil
+  ): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   /** NDJSON land (bronze): one JSON object per line so downstream reads
     * split line-wise (reference builds this by hand,
     * datalake_bronze_fetch_raw_data_api_dag.py:300-303). */
