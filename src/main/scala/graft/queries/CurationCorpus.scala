@@ -461,5 +461,29 @@ object CurationCorpus {
       FROM events ORDER BY event_id""")
   )
 
-  val all: Seq[Q] = Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76)
+  /** Naive keyless BETWEEN join, written the way a user would — the
+    * RangeJoinRewrite rule turns it into a bucketed equi-join (Verify
+    * runs on GraftSession, so the oracle checks the REWRITTEN plan's
+    * results against DuckDB's plain BETWEEN join). */
+  private val q77 = Q(
+    "q77_auto_range_join",
+    (s, dir) => {
+      val ev = fixture(s, dir, "events")
+      val win = ev.filter(col("event_id") < 20)
+        .select(col("event_id").as("window_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("w_end"))
+      ev.select(col("event_id"), col("ts"))
+        .join(win, col("ts") >= col("w_start") && col("ts") <= col("w_end"))
+        .select(col("event_id"), col("window_id"))
+        .orderBy(col("event_id"), col("window_id"))
+    },
+    Some("""WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      w AS (SELECT event_id AS window_id, ts AS w_start, ts + INTERVAL 2 HOUR AS w_end
+            FROM e WHERE event_id < 20)
+      SELECT e.event_id, w.window_id FROM e JOIN w
+        ON e.ts >= w.w_start AND e.ts <= w.w_end
+      ORDER BY event_id, window_id""")
+  )
+
+  val all: Seq[Q] = Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77)
 }

@@ -54,6 +54,27 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(out == Seq((2L, 100L)))
   }
 
+  test("rewrite matches a driver-computed nested loop on randomized data") {
+    val rnd = new scala.util.Random(7)
+    val evRows = (0 until 300).map(i =>
+      (i.toLong, new java.sql.Timestamp(1700000000000L + rnd.nextInt(400000) * 1000L)))
+    val winRows = (0 until 40).map(i => {
+      val s = 1700000000000L + rnd.nextInt(400000) * 1000L
+      (i.toLong + 1000L, new java.sql.Timestamp(s),
+        new java.sql.Timestamp(s + rnd.nextInt(30000) * 1000L))
+    })
+    val ev = evRows.toDF("event_id", "t")
+    val win = winRows.toDF("window_id", "w_start", "w_end")
+    val got = ev.join(win, $"t" >= $"w_start" && $"t" <= $"w_end")
+      .select("event_id", "window_id").as[(Long, Long)].collect().toSet
+    val want = (for {
+      (eid, t) <- evRows
+      (wid, s, e) <- winRows
+      if !t.before(s) && !t.after(e)
+    } yield (eid, wid)).toSet
+    assert(got == want)
+  }
+
   test("outer/semi range joins are not touched") {
     val j = events.join(windows, $"t" >= $"w_start" && $"t" <= $"w_end", "left_outer")
     val plan = j.queryExecution.optimizedPlan.toString

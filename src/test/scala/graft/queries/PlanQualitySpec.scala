@@ -122,6 +122,12 @@ class PlanQualitySpec extends SparkSpec {
     assert("Generate".r.findAllIn(plan).length == 1, s"corpus side must not fan out:\n$plan")
   }
 
+  test("q77: the naive BETWEEN join is auto-rewritten (no BNLJ in the plan)") {
+    val plan = finalPlan(run("q77_auto_range_join"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"RangeJoinRewrite must fire:\n$plan")
+  }
+
   test("conformance compiles to a single Project over the scan") {
     import graft.core.{Conform, ColumnSpec}
     val df = Corpus.fixture(spark, sf("sf0.001"), "part")
