@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -111,6 +111,44 @@ object Curation {
         (length(replace(c, lit(" "), lit(""))).cast("double") / tokenCount(c)).between(2.0, 12.0))
       .withColumn("stop_ok", langScore(c, "en") > 0)
       .withColumn("kept", col("len_ok") && col("tok_ok") && col("wlen_ok") && col("stop_ok"))
+  }
+
+  /** Context-window chunking: split each document into fixed-size token
+    * chunks with `overlap` tokens of context carried between adjacent
+    * chunks (stride = chunkSize - overlap). Pure per-row explode — the
+    * chunker distributes with the scan, and chunk ids are (doc, index)
+    * so downstream dedup/packing can trace provenance.
+    *
+    * Output: (id, chunk_idx, chunk_text, n_chunk_tokens). */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String, chunkSize: Int, overlap: Int = 0): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize, "need 0 <= overlap < chunkSize")
+    val stride = chunkSize - overlap
+    val toks = tokens(col(textCol))
+    val nChunks = greatest(lit(1), ceil((size(toks) - lit(overlap)).cast("double") / stride).cast("int"))
+    df.select(col(idCol), toks.as("__toks"), nChunks.as("__nc"))
+      .select(col(idCol), col("__toks"), posexplode(sequence(lit(0), col("__nc") - 1)).as(Seq("chunk_idx", "__c")))
+      .select(
+        col(idCol),
+        col("chunk_idx"),
+        concat_ws(" ", slice(col("__toks"), col("chunk_idx") * stride + 1, lit(chunkSize))).as("chunk_text"),
+        least(lit(chunkSize), size(col("__toks")) - col("chunk_idx") * stride).as("n_chunk_tokens")
+      )
+  }
+
+  /** Scan-order sequence packing: assign rows to context-window bins of
+    * `budgetTokens` by cumulative token count within each `packKey`
+    * partition — the streaming approximation of bin packing that large
+    * pipelines actually use (one window pass; no global optimization,
+    * no driver state). A row longer than the budget gets its own bin.
+    *
+    * Output: input row + (n_tokens, bin_id). */
+  def packSequences(df: DataFrame, idCol: String, textCol: String, budgetTokens: Int, packKey: Column = lit(0)): DataFrame = {
+    val w = Window.partitionBy(packKey).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("n_tokens", tokenCount(col(textCol)))
+      .withColumn("__cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin_id", (col("__cum_before") / budgetTokens).cast("long"))
+      .drop("__cum_before")
   }
 
   /** Benchmark decontamination: per-document count of distinct word

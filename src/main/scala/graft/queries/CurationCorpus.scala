@@ -485,5 +485,36 @@ object CurationCorpus {
       ORDER BY event_id, window_id""")
   )
 
-  val all: Seq[Q] = Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77)
+  /** Context-window chunking: 32-token chunks, 8-token overlap. */
+  private val q78 = Q(
+    "q78_chunking",
+    (s, dir) =>
+      Curation.chunkTokens(fixture(s, dir, "documents"), "doc_id", "text", chunkSize = 32, overlap = 8)
+        .orderBy(col("doc_id"), col("chunk_idx")),
+    Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      n AS (SELECT doc_id, toks,
+              GREATEST(1, CAST(ceil((len(toks) - 8) / 24.0) AS INTEGER)) AS nc FROM t),
+      c AS (SELECT doc_id, toks, unnest(generate_series(0, nc - 1)) AS chunk_idx FROM n)
+      SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+        array_to_string(toks[chunk_idx*24 + 1 : chunk_idx*24 + 32], ' ') AS chunk_text,
+        CAST(LEAST(32, len(toks) - chunk_idx*24) AS INTEGER) AS n_chunk_tokens
+      FROM c ORDER BY doc_id, chunk_idx""")
+  )
+
+  /** Scan-order sequence packing into 256-token context bins. */
+  private val q79 = Q(
+    "q79_sequence_packing",
+    (s, dir) =>
+      Curation.packSequences(fixture(s, dir, "documents"), "doc_id", "text", budgetTokens = 256)
+        .select(col("doc_id"), col("n_tokens"), col("bin_id"))
+        .orderBy(col("doc_id")),
+    Some("""WITH t AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS INTEGER) AS n_tokens FROM documents),
+      c AS (SELECT doc_id, n_tokens,
+              COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM t)
+      SELECT doc_id, n_tokens, CAST(cb // 256 AS BIGINT) AS bin_id FROM c ORDER BY doc_id""")
+  )
+
+  val all: Seq[Q] = Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
+    q71, q72, q73, q74, q75, q76, q77, q78, q79)
 }

@@ -69,6 +69,32 @@ class CurationSpec extends SparkSpec {
     assert(perStratum.values.forall(_ == 5))
   }
 
+  test("chunkTokens splits with overlap and bounds the tail chunk") {
+    val df = Seq((1L, (1 to 11).map(i => s"w$i").mkString(" "))).toDF("id", "text")
+    val out = Curation.chunkTokens(df, "id", "text", chunkSize = 10, overlap = 2)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "chunk_text", "n_chunk_tokens")
+      .as[(Int, String, Int)].collect().toSeq
+    assert(out.length == 2)
+    assert(out(0) == ((0, (1 to 10).map(i => s"w$i").mkString(" "), 10)))
+    assert(out(1) == ((1, "w9 w10 w11", 3))) // stride 8: starts at token 9
+  }
+
+  test("chunkTokens emits one chunk for short docs") {
+    val df = Seq((1L, "a b c")).toDF("id", "text")
+    val out = Curation.chunkTokens(df, "id", "text", chunkSize = 10, overlap = 2).collect()
+    assert(out.length == 1)
+  }
+
+  test("packSequences bins by cumulative token count in id order") {
+    val df = Seq((1L, "a " * 99 + "a"), (2L, "b " * 49 + "b"), (3L, "c " * 99 + "c"))
+      .toDF("id", "text") // 100, 50, 100 tokens
+    val out = Curation.packSequences(df, "id", "text", budgetTokens = 128)
+      .select("id", "bin_id").as[(Long, Long)].collect().toMap
+    // cum_before: 0, 100, 150 -> bins 0, 0, 1
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
+  }
+
   test("flagContaminated counts distinct shingle overlaps with the benchmark") {
     val bench = Seq((0L, "alpha beta gamma delta")).toDF("id", "text")
     val docs = Seq(
