@@ -151,6 +151,21 @@ object Curation {
       .drop("__cum_before")
   }
 
+  /** Deterministic source mixing: keep each row with its source's
+    * sampling rate (per-mille), decided by hash of the row id — the
+    * mixture-weights step of a pretraining data recipe. Like
+    * [[hashSplit]], membership is a pure function of (id, rate):
+    * stable under corpus growth, reproducible across engines, zero
+    * shuffle (the rates map becomes a literal when-chain). Sources
+    * absent from `ratesPerMille` keep everything (rate 1000). */
+  def mixSources(df: DataFrame, idCol: String, sourceCol: String, ratesPerMille: Map[String, Int]): DataFrame = {
+    require(ratesPerMille.values.forall(r => r >= 0 && r <= 1000), "rates are per-mille")
+    val rate = ratesPerMille.toSeq.sortBy(_._1).foldLeft(lit(1000)) {
+      case (acc, (src, r)) => when(col(sourceCol) === src, r).otherwise(acc)
+    }
+    df.filter(hash32(col(idCol).cast("string")) % 1000 < rate)
+  }
+
   /** Benchmark decontamination: per-document count of distinct word
     * 3-shingles shared with a benchmark shingle set (`benchmark` must
     * expose a string column `sh`). The benchmark side is broadcast —

@@ -515,6 +515,23 @@ object CurationCorpus {
       SELECT doc_id, n_tokens, CAST(cb // 256 AS BIGINT) AS bin_id FROM c ORDER BY doc_id""")
   )
 
+  /** Deterministic source mixing: downsample src0 to 20%, src1 to 50%,
+    * drop src2, keep the rest — then count the surviving mixture. */
+  private val q80 = Q(
+    "q80_source_mixing",
+    (s, dir) =>
+      Curation.mixSources(fixture(s, dir, "documents"), "doc_id", "source",
+        Map("src0" -> 200, "src1" -> 500, "src2" -> 0))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+        .orderBy(col("source")),
+    Some(s"""WITH r AS (SELECT *, CASE source WHEN 'src0' THEN 200 WHEN 'src1' THEN 500
+          WHEN 'src2' THEN 0 ELSE 1000 END AS rate FROM documents)
+      SELECT source, COUNT(*) AS n, MIN(doc_id) AS min_id FROM r
+      WHERE ${sqlHash32("CAST(doc_id AS VARCHAR)")} % 1000 < rate
+      GROUP BY source ORDER BY source""")
+  )
+
   val all: Seq[Q] = Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-    q71, q72, q73, q74, q75, q76, q77, q78, q79)
+    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80)
 }

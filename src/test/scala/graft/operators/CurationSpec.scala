@@ -69,6 +69,19 @@ class CurationSpec extends SparkSpec {
     assert(perStratum.values.forall(_ == 5))
   }
 
+  test("mixSources keeps stable membership per source rate") {
+    val df = (0 until 1000).map(i => (i.toLong, if (i < 500) "a" else "b")).toDF("id", "source")
+    val out = Curation.mixSources(df, "id", "source", Map("a" -> 300, "b" -> 0))
+    val kept = out.select("id").as[Long].collect().toSet
+    assert(kept.forall(_ < 500)) // all of b dropped
+    val frac = kept.size / 500.0
+    assert(frac > 0.2 && frac < 0.4, s"a-rate $frac should be near 0.3")
+    // stability: same rows survive on a subset of the corpus
+    val sub = Curation.mixSources(df.filter($"id" < 250), "id", "source", Map("a" -> 300, "b" -> 0))
+      .select("id").as[Long].collect().toSet
+    assert(sub == kept.filter(_ < 250))
+  }
+
   test("chunkTokens splits with overlap and bounds the tail chunk") {
     val df = Seq((1L, (1 to 11).map(i => s"w$i").mkString(" "))).toDF("id", "text")
     val out = Curation.chunkTokens(df, "id", "text", chunkSize = 10, overlap = 2)
