@@ -179,6 +179,32 @@ object Curation {
       .agg(count(lit(1)).as("n_hits"))
       .select(col(idCol), col("n_hits").cast("int").as("n_hits"))
 
+  /** The standard curation recipe composed end-to-end: quality gate →
+    * exact dedup (keep the min-id representative per normalized text)
+    * → deterministic train/val/test split → source mixing. One
+    * declarative plan — Catalyst fuses the projections, and the only
+    * shuffles are the dedup aggregation and its semi-join.
+    *
+    * This is the entry point a reference user migrates to: input any
+    * (id, text, source) table, output the curated rows with audit
+    * columns (`kept` rules, `split`). */
+  def curate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      ratesPerMille: Map[String, Int] = Map.empty,
+      splitWeights: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10)
+  ): DataFrame = {
+    val q = qualityFilter(df, textCol).filter(col("kept"))
+    val keeperIds = q
+      .groupBy(md5(lower(trim(col(textCol)))).as("__k"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    val deduped = q.join(keeperIds, Seq(idCol), "left_semi")
+    mixSources(hashSplit(deduped, idCol, splitWeights), idCol, sourceCol, ratesPerMille)
+  }
+
   /** The shingle set of a benchmark corpus, for [[flagContaminated]]. */
   def benchmarkShingles(df: DataFrame, textCol: String): DataFrame =
     df.select(explode(array_distinct(wordShingles(tokens(col(textCol))))).as("sh")).distinct()

@@ -532,6 +532,30 @@ object CurationCorpus {
       GROUP BY source ORDER BY source""")
   )
 
+  /** The full curation recipe end-to-end: quality → dedup → split →
+    * mixing, oracle-checked as one chain. */
+  private val q81 = Q(
+    "q81_curate_recipe",
+    (s, dir) =>
+      Curation.curate(fixture(s, dir, "documents"), "doc_id", "text", "source",
+        ratesPerMille = Map("src0" -> 500))
+        .select(col("doc_id"), col("source"), col("split"))
+        .orderBy(col("doc_id")),
+    Some(s"""WITH q AS (SELECT * FROM documents
+        WHERE (length(text) BETWEEN 100 AND 2000)
+          AND (len(string_split(text, ' ')) BETWEEN 10 AND 500)
+          AND ((CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' '))) BETWEEN 2.0 AND 12.0)
+          AND ($sqlEnScore > 0)),
+      k AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(lower(trim(text)))),
+      d AS (SELECT q.* FROM q JOIN k USING (doc_id)),
+      h AS (SELECT *, ${sqlHash32("CAST(doc_id AS VARCHAR)")} AS hv FROM d)
+      SELECT doc_id, source,
+        CASE WHEN hv % 100 < 80 THEN 'train' WHEN hv % 100 < 90 THEN 'val' ELSE 'test' END AS split
+      FROM h
+      WHERE hv % 1000 < (CASE source WHEN 'src0' THEN 500 ELSE 1000 END)
+      ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] = Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80)
+    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81)
 }
