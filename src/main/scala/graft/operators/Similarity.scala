@@ -131,6 +131,53 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Multi-table sign-bit LSH: `tables` independent bucketings (seeded
+    * hyperplane sets), candidates = the UNION of per-table same-bucket
+    * pairs, deduplicated before one exact re-rank. OR-amplification:
+    * recall 1-(1-p)^T for per-table collision probability p — the third
+    * recall lever next to `bits` (bucket granularity) and `probes`
+    * (per-table probing). Cost: T bucketing projections of the corpus
+    * (scan-local) and T bucket joins; the distinct keeps re-ranking
+    * linear in unique candidates. */
+  def lshTopKMultiTable(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      bits: Int = 8,
+      dim: Int = 64,
+      tables: Int = 2
+  ): DataFrame = {
+    require(tables >= 1, "need at least one table")
+    def bucket(vec: org.apache.spark.sql.Column, seed: Long) = {
+      val planes = hyperplanes(dim, bits, seed)
+      (0 until bits)
+        .map(b => when(dot(vec, typedLit(planes(b).toSeq)) > 0, 1L << b).otherwise(0L))
+        .reduce(_ + _)
+    }
+    val pairs = (0 until tables)
+      .map { t =>
+        val q = queries.select(col(idCol).as("query_id"), bucket(col(vecCol), 42L + t).as("bkt"))
+        val c = corpus.select(col(idCol).as("neighbor_id"), bucket(col(vecCol), 42L + t).as("bkt"))
+        c.join(q, Seq("bkt")).filter(col("query_id") =!= col("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"))
+      }
+      .reduce(_ unionByName _)
+      .distinct()
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_nrm"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), norm(col(vecCol)).as("c_nrm"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+    pairs
+      .join(broadcast(qv), "query_id")
+      .join(cv, "neighbor_id")
+      .withColumn("score", dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), round(col("score"), 6).as("score"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** IVF (inverted-file) ANN: a coarse quantizer assigns every vector
     * to its nearest of `numCells` centroid cells; queries probe only
     * their `nprobe` best cells and re-rank exactly inside them.

@@ -556,6 +556,45 @@ object CurationCorpus {
       ORDER BY doc_id""")
   )
 
+  /** Multi-table LSH ANN: union of 2 seeded bucketings, distinct
+    * candidates, exact re-rank. */
+  private val q82 = Q(
+    "q82_ann_multitable",
+    (s, dir) => {
+      val e = fixture(s, dir, "embeddings")
+      graft.operators.Similarity.lshTopKMultiTable(
+        e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, bits = 4, dim = 64, tables = 2)
+    },
+    Some {
+      val bucketSql = (seed: Long) => {
+        val planes = graft.operators.Similarity.hyperplanes(dim = 64, bits = 4, seed)
+        (0 until 4).map { b =>
+          val proj = (0 until 64).map(i => s"emb[${i + 1}]*(${planes(b)(i)})").mkString(" + ")
+          s"(CASE WHEN ($proj) > 0 THEN ${1L << b} ELSE 0 END)"
+        }.mkString(" + ")
+      }
+      val tableSelects = (0 until 2).map { t =>
+        s"""SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM (SELECT vec_id, ${bucketSql(42L + t)} AS bkt FROM v WHERE vec_id < 10) q
+            JOIN (SELECT vec_id, ${bucketSql(42L + t)} AS bkt FROM v) c
+              ON q.bkt = c.bkt AND q.vec_id <> c.vec_id"""
+      }.mkString(" UNION ")
+      val cos = "(list_reduce(list_transform(list_zip(q.emb, c.emb), z -> struct_extract(z,1)*struct_extract(z,2)), (x,y) -> x+y)" +
+        " / (sqrt(list_reduce(list_transform(q.emb, x -> x*x), (x,y) -> x+y))" +
+        " * sqrt(list_reduce(list_transform(c.emb, x -> x*x), (x,y) -> x+y))))"
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+        p AS ($tableSelects),
+        sc AS (SELECT p.query_id, p.neighbor_id, $cos AS score
+               FROM p JOIN v q ON p.query_id = q.vec_id JOIN v c ON p.neighbor_id = c.vec_id),
+        r AS (SELECT query_id, neighbor_id, score,
+                ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
+              FROM sc)
+        SELECT query_id, CAST(rk AS INTEGER) AS rk, neighbor_id, ROUND(score, 6) AS score
+        FROM r WHERE rk <= 5 ORDER BY query_id, rk"""
+    }
+  )
+
   val all: Seq[Q] = Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81)
+    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82)
 }

@@ -99,6 +99,25 @@ class CurationSpec extends SparkSpec {
     assert(out.length == 1)
   }
 
+  test("chunkTokens property: stride prefixes + last chunk reassemble the doc") {
+    val rnd = new scala.util.Random(11)
+    val docs = (0 until 30).map { i =>
+      (i.toLong, (0 until (1 + rnd.nextInt(40))).map(j => s"t${rnd.nextInt(50)}").mkString(" "))
+    }
+    val df = docs.toDF("id", "text")
+    val chunkSize = 10; val overlap = 3; val stride = chunkSize - overlap
+    val out = Curation.chunkTokens(df, "id", "text", chunkSize, overlap)
+      .select("id", "chunk_idx", "chunk_text")
+      .as[(Long, Int, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    docs.foreach { case (id, text) =>
+      val chunks = out(id)
+      val rebuilt = (chunks.init.map(_.split(" ").take(stride).mkString(" ")) :+ chunks.last)
+        .filter(_.nonEmpty).mkString(" ")
+      assert(rebuilt == text, s"doc $id reassembly failed")
+    }
+  }
+
   test("packSequences bins by cumulative token count in id order") {
     val df = Seq((1L, "a " * 99 + "a"), (2L, "b " * 49 + "b"), (3L, "c " * 99 + "c"))
       .toDF("id", "text") // 100, 50, 100 tokens

@@ -64,6 +64,18 @@ class SimilaritySpec extends SparkSpec {
     assert(rMulti > 0)
   }
 
+  test("multi-table lsh recall >= single-table recall against brute force") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = e.filter($"vec_id" < 10)
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val truth = hits(Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5))
+    val single = hits(Similarity.lshTopK(e, q, "vec_id", "embedding", k = 5, bits = 4))
+    val multi = hits(Similarity.lshTopKMultiTable(e, q, "vec_id", "embedding", k = 5, bits = 4, tables = 3))
+    assert((multi intersect truth).size >= (single intersect truth).size)
+  }
+
   test("hyperplanes are deterministic across calls") {
     val a = Similarity.hyperplanes(8, 4)
     val b = Similarity.hyperplanes(8, 4)
