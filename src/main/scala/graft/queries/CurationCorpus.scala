@@ -595,6 +595,36 @@ object CurationCorpus {
     }
   )
 
+  /** Corpus report card: one row of fleet-level statistics a curation
+    * run logs before/after — doc and token volume, source/language
+    * diversity, duplicate ratio, length percentiles. One aggregation
+    * pass (partial-agg everything; the dup ratio rides on a distinct
+    * count of the dedup digest). */
+  private val q83 = Q(
+    "q83_corpus_report",
+    (s, dir) =>
+      fixture(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"), col("text"),
+          tokenCount(col("text")).as("n_tok"),
+          md5(lower(trim(col("text")))).as("norm_digest"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok").cast("long")).as("total_tokens"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("lang")).as("n_langs"),
+          round(lit(1.0) - countDistinct(col("norm_digest")).cast("double") / count(lit(1)), 6).as("dup_ratio"),
+          expr("percentile(n_tok, 0.5)").as("p50_tokens"),
+          expr("percentile(n_tok, 0.95)").as("p95_tokens")
+        ),
+    Some("""WITH t AS (SELECT doc_id, source, lang,
+        len(string_split(text,' ')) AS n_tok, md5(lower(trim(text))) AS norm_digest FROM documents)
+      SELECT COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+        COUNT(DISTINCT source) AS n_sources, COUNT(DISTINCT lang) AS n_langs,
+        ROUND(1.0 - CAST(COUNT(DISTINCT norm_digest) AS DOUBLE) / COUNT(*), 6) AS dup_ratio,
+        QUANTILE_CONT(n_tok, 0.5) AS p50_tokens, QUANTILE_CONT(n_tok, 0.95) AS p95_tokens
+      FROM t""")
+  )
+
   val all: Seq[Q] = Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82)
+    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83)
 }
