@@ -78,7 +78,9 @@ object Bench {
       }
     // Second pass over the headline queries: cold numbers above include
     // per-plan codegen+JIT (~0.5-1 s each at sf0.1); warm numbers show
-    // steady-state engine throughput.
+    // steady-state engine throughput. GC first so the warm pass isn't
+    // taxed with the cold pass's garbage.
+    System.gc()
     val warm = graft.queries.Corpus.headlines.map(q => q.name -> time(q))
 
     val detail =
