@@ -331,7 +331,8 @@ object CurationCorpus {
         UNION SELECT e.a, r.dst FROM e JOIN reach r ON e.b = r.src),
       n AS (SELECT DISTINCT a AS id FROM e)
       SELECT id, LEAST(id, MIN(dst)) AS comp FROM n JOIN reach ON reach.src = n.id
-      GROUP BY id ORDER BY id""")
+      GROUP BY id ORDER BY id"""),
+    headline = true
   )
 
   /** Higher-order array lambdas (transform / filter / exists / forall /
@@ -419,7 +420,8 @@ object CurationCorpus {
       bm AS (SELECT DISTINCT sh FROM s WHERE doc_id < 3)
       SELECT s.doc_id, CAST(COUNT(*) AS INTEGER) AS n_hits
       FROM s JOIN bm USING (sh) WHERE s.doc_id >= 3
-      GROUP BY s.doc_id ORDER BY doc_id""")
+      GROUP BY s.doc_id ORDER BY doc_id"""),
+    headline = true
   )
 
   /** Salted skew-join: result must equal the plain join (the salt is
