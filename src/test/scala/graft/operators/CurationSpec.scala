@@ -142,6 +142,30 @@ class CurationSpec extends SparkSpec {
     assert(!out.contains(3L))
   }
 
+  test("nearDupClusters matches driver-side union-find on random graphs") {
+    val rnd = new scala.util.Random(5)
+    for (trial <- 0 until 3) {
+      val n = 60
+      val edges = (0 until 80).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find reference
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val want = nodes.map(x => x -> find(x)).toMap
+      // find() roots are the min id of each component by construction
+      val got = Dedup.nearDupClusters(edges.toDF("a", "b")).as[(Long, Long)].collect().toMap
+      assert(got == want, s"trial $trial")
+    }
+  }
+
   test("nearDupClusters finds connected components via min-label propagation") {
     // chain 1-2-3-4 plus pair 10-11: diameter > 1 forces iteration
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
