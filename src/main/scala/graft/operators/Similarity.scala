@@ -131,6 +131,24 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Element-wise centroid per group: posexplode the vectors to
+    * (group, dim, x) and aggregate each dimension — the cross-row array
+    * aggregation that trains coarse quantizers (IVF cells, k-means
+    * steps). Sums go through DECIMAL so the result is independent of
+    * partial-aggregation order (double sums would drift run-to-run at
+    * scale); floats widen exactly through double first.
+    *
+    * Output: (groupCol, dim, centroid, n) — flat rows, one per
+    * dimension, so downstream can pivot or re-assemble as needed. */
+  def centroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col(groupCol), col("dim"))
+      .agg(
+        round((sum(col("x").cast("double").cast("decimal(28,10)")) / count(lit(1))).cast("double"), 6)
+          .as("centroid"),
+        count(lit(1)).as("n")
+      )
+
   /** Multi-table sign-bit LSH: `tables` independent bucketings (seeded
     * hyperplane sets), candidates = the UNION of per-table same-bucket
     * pairs, deduplicated before one exact re-rank. OR-amplification:

@@ -627,6 +627,20 @@ object CurationCorpus {
       FROM t""")
   )
 
+  /** Element-wise label centroids over the embeddings (decimal sums ->
+    * partial-agg-order independent). */
+  private val q84 = Q(
+    "q84_label_centroids",
+    (s, dir) =>
+      graft.operators.Similarity.centroids(fixture(s, dir, "embeddings"), "label", "embedding")
+        .orderBy(col("label"), col("dim")),
+    Some("""WITH e AS (SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+        CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,10)) AS x
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i))
+      SELECT label, dim, ROUND(CAST(SUM(x) / COUNT(*) AS DOUBLE), 6) AS centroid, COUNT(*) AS n
+      FROM e GROUP BY label, dim ORDER BY label, dim""")
+  )
+
   val all: Seq[Q] = Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83)
+    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84)
 }
