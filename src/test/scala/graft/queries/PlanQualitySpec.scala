@@ -128,6 +128,12 @@ class PlanQualitySpec extends SparkSpec {
       s"RangeJoinRewrite must fire:\n$plan")
   }
 
+  test("q81: the curate recipe fuses into semi-join + agg, never a cross product") {
+    val plan = finalPlan(run("q81_curate_recipe"))
+    assert(plan.contains("LeftSemi"), s"dedup must be a semi-join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("conformance compiles to a single Project over the scan") {
     import graft.core.{Conform, ColumnSpec}
     val df = Corpus.fixture(spark, sf("sf0.001"), "part")

@@ -85,6 +85,27 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream re-admits a key after its state is evicted by the watermark") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = ms.toDF().toDF("ts", "doc_key", "payload")
+    val q = Streams.dedupStream(df, Seq("doc_key"), watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("dedup_evict").outputMode("append").start()
+    try {
+      ms.addData((t("2024-01-01 00:10:00"), "k1", 1.0))
+      q.processAllAvailable()
+      // push the watermark far past k1's event time + delay -> state evicted
+      ms.addData((t("2024-01-01 10:00:00"), "other", 0.0))
+      q.processAllAvailable()
+      ms.addData((t("2024-01-01 10:30:00"), "k1", 2.0))
+      q.processAllAvailable()
+      val k1 = spark.table("dedup_evict").filter("doc_key = 'k1'").count()
+      // bounded state is the documented trade: duplicates separated by
+      // more than the watermark window are re-admitted
+      assert(k1 == 2)
+    } finally q.stop()
+  }
+
   test("availableNowTo processes only new files per invocation") {
     val base = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val in = s"$base/in"; val out = s"$base/out"; val ck = s"$base/ck"
