@@ -109,6 +109,10 @@ final class SnapshotTables(spark: SparkSession, root: String, previousVersionsMa
     * on any partitioned parquet directory). */
   def read(table: String): DataFrame = readVersion(table, currentVersion(table))
 
+  /** TableFormat read side — pipeline SQL resolves against the current
+    * snapshot instead of a catalog entry. */
+  override def read(spark: SparkSession, table: String): DataFrame = read(table)
+
   /** Time travel to any retained version. */
   def readVersion(table: String, version: Int): DataFrame = {
     require(version > 0, s"table $table has no committed version")

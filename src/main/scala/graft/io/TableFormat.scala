@@ -1,6 +1,6 @@
 package graft.io
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Table-format seam (SURVEY §7): the engine's write semantics —
   * overwrite-whole-table (reference parity) and overwrite-partitions
@@ -12,6 +12,11 @@ import org.apache.spark.sql.DataFrame
 trait TableFormat {
   def overwriteTable(df: DataFrame, table: String, partitionCols: Seq[String] = Nil): Unit
   def overwritePartitions(df: DataFrame, table: String, partitionCols: Seq[String]): Unit
+
+  /** Resolve a table for reading — catalog lookup by default; a
+    * path/snapshot-based format (SnapshotTables) overrides this so the
+    * pipeline's SQL layer can see its current version. */
+  def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
 }
 
 /** Builtin-catalog partitioned-Parquet tables (the default). */

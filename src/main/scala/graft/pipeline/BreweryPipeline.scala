@@ -120,16 +120,21 @@ object BreweryPipeline {
   /** Gold: the reference's aggregation verbatim — ordinal GROUP BY/ORDER
     * BY over one date partition (reference: job_gold.py:71-88), with the
     * date passed as a named SQL parameter instead of an f-string
-    * (job_gold.py builds it by interpolation — SQL-injection-prone). */
-  def goldQuery(spark: SparkSession, conf: PipelineConf, date: LocalDate): DataFrame =
+    * (job_gold.py builds it by interpolation — SQL-injection-prone).
+    * The silver relation resolves through the TableFormat's read side,
+    * so the same SQL runs over catalog tables and snapshot tables. */
+  def goldQuery(spark: SparkSession, conf: PipelineConf, date: LocalDate): DataFrame = {
+    val view = "graft_silver_" + conf.silverTable.replace('.', '_')
+    conf.format.read(spark, conf.silverTable).createOrReplaceTempView(view)
     spark.sql(
       s"""SELECT ${conf.partitionCol}, brewery_type, country, count(*) AS qtd
-         |FROM ${conf.silverTable}
+         |FROM $view
          |WHERE ${conf.partitionCol} = :run_date
          |GROUP BY 1, 2, 3
          |ORDER BY 1, 2, 3""".stripMargin,
       Map("run_date" -> date.toString)
     )
+  }
 
   /** Gold write with the row-count metric observed DURING the write —
     * the reference executes its plan three times for show/write/count

@@ -99,4 +99,24 @@ class BreweryPipelineSpec extends SparkSpec {
     assert(FsUtils.deletePrefix(spark, root))
     assert(!FsUtils.prefixExists(spark, root))
   }
+
+  test("pipeline runs end-to-end on SnapshotTables (versioned commits + time travel)") {
+    val root = Files.createTempDirectory("bronze-snap").toString
+    landFixture(root)
+    val whRoot = Files.createTempDirectory("snap-wh").toString
+    val snaps = new graft.io.SnapshotTables(spark, whRoot, previousVersionsMax = 5)
+    val conf = PipelineConf(bronzeRoot = root, format = snaps,
+      silverTable = "snap_silver", goldTable = "snap_gold")
+    val (s1, g1) = BreweryPipeline.run(spark, conf, date)
+    assert(s1 == 5 && g1 == 4)
+    // rerun = new versions, same results (the reference's daily overwrite)
+    val (s2, _) = BreweryPipeline.run(spark, conf, date)
+    assert(s2 == 5)
+    assert(snaps.currentVersion("snap_silver") == 2)
+    assert(snaps.currentVersion("snap_gold") == 2)
+    // time travel to the first gold version
+    assert(snaps.readVersion("snap_gold", 1).count() == 4)
+    val gold = snaps.read("snap_gold")
+    assert(gold.count() == 4)
+  }
 }
