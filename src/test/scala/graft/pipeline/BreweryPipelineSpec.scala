@@ -119,4 +119,12 @@ class BreweryPipelineSpec extends SparkSpec {
     val gold = snaps.read("snap_gold")
     assert(gold.count() == 4)
   }
+
+  test("Main CLI arg parsing covers the pipeline surface") {
+    val a = graft.Main.parse(List("--bronze", "/b", "--date", "2026-01-01",
+      "--silver-table", "s.t", "--partition-overwrite", "--snapshot-root", "/w"))
+    assert(a.bronze == "/b" && a.date.contains(java.time.LocalDate.parse("2026-01-01")))
+    assert(a.silverTable == "s.t" && a.partitionOverwrite && a.snapshotRoot.contains("/w"))
+    intercept[IllegalArgumentException] { graft.Main.parse(List("--nope")) }
+  }
 }
