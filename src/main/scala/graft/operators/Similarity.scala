@@ -149,6 +149,72 @@ object Similarity {
         count(lit(1)).as("n")
       )
 
+  /** Deterministic k-means refinement of a coarse quantizer: seed
+    * centroids are the vectors with id < k (same convention as
+    * [[ivfTopK]]), then `iters` Lloyd steps — assign every vector to
+    * its max-cosine centroid (broadcast centroids, scan-local dots,
+    * partial-agg argmax) and recompute element-wise means via
+    * [[centroids]] (decimal sums ⇒ order-independent, so the result is
+    * bit-stable across runs and cluster layouts). Lineage is cut per
+    * step with localCheckpoint.
+    *
+    * Returns (cell_id, cent_vec array<double>, n) — feed to an IVF
+    * index build. Empty cells keep their previous centroid (standard
+    * Lloyd handling, deterministic). */
+  def kmeansCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 3
+  ): DataFrame = {
+    val vecs = corpus.select(col(idCol).cast("long").as("__vid"),
+      transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .localCheckpoint(true)
+    var cent = vecs.filter(col("__vid") < k)
+      .select(col("__vid").as("cell_id"), col("__v").as("cent_vec"), lit(1L).as("n"))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val assigned = vecs
+        .join(broadcast(cent.select(col("cell_id"), col("cent_vec"))))
+        .withColumn("cscore",
+          dot(col("__v"), col("cent_vec")) / (norm(col("__v")) * norm(col("cent_vec"))))
+        .groupBy(col("__vid"))
+        .agg(max(struct(col("cscore"), col("cell_id"))).as("m"), first(col("__v")).as("__v"))
+        .select(col("m.cell_id").as("cell_id"), col("__v"))
+      val means = centroids(assigned, "cell_id", "__v")
+        .groupBy(col("cell_id"))
+        .agg(
+          transform(array_sort(collect_list(struct(col("dim"), col("centroid")))), s => s.getField("centroid"))
+            .as("cent_vec"),
+          first(col("n")).as("n")
+        )
+      // empty cells: keep the previous centroid (left join, coalesce)
+      cent = cent.select(col("cell_id"), col("cent_vec").as("__prev"))
+        .join(means.withColumnRenamed("cent_vec", "__new"), Seq("cell_id"), "left")
+        .select(col("cell_id"), coalesce(col("__new"), col("__prev")).as("cent_vec"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .localCheckpoint(true)
+    }
+    cent
+  }
+
+  /** Mean within-cluster cosine distance (1 - cos) — the quantity each
+    * Lloyd step is expected to not increase; used by specs to prove the
+    * refinement converges. */
+  def kmeansInertia(corpus: DataFrame, idCol: String, vecCol: String, cent: DataFrame): Double = {
+    val vecs = corpus.select(col(idCol).cast("long").as("__vid"),
+      transform(col(vecCol), x => x.cast("double")).as("__v"))
+    vecs
+      .join(broadcast(cent.select(col("cell_id"), col("cent_vec"))))
+      .withColumn("cscore",
+        dot(col("__v"), col("cent_vec")) / (norm(col("__v")) * norm(col("cent_vec"))))
+      .groupBy(col("__vid"))
+      .agg(max(col("cscore")).as("best"))
+      .agg(avg(lit(1.0) - col("best")))
+      .head.getDouble(0)
+  }
+
   /** Multi-table sign-bit LSH: `tables` independent bucketings (seeded
     * hyperplane sets), candidates = the UNION of per-table same-bucket
     * pairs, deduplicated before one exact re-rank. OR-amplification:

@@ -76,6 +76,21 @@ class SimilaritySpec extends SparkSpec {
     assert((multi intersect truth).size >= (single intersect truth).size)
   }
 
+  test("kmeans refinement never increases inertia and is deterministic") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val seed = Similarity.kmeansCentroids(e, "vec_id", "embedding", k = 8, iters = 0)
+    val refined = Similarity.kmeansCentroids(e, "vec_id", "embedding", k = 8, iters = 3)
+    val i0 = Similarity.kmeansInertia(e, "vec_id", "embedding", seed)
+    val i3 = Similarity.kmeansInertia(e, "vec_id", "embedding", refined)
+    assert(i3 <= i0 + 1e-12, s"inertia rose: $i0 -> $i3")
+    // bit-stable across runs (decimal sums, deterministic argmax)
+    val again = Similarity.kmeansCentroids(e, "vec_id", "embedding", k = 8, iters = 3)
+    val a = refined.orderBy("cell_id").collect().map(_.getSeq[Double](1)).map(_.toSeq)
+    val b = again.orderBy("cell_id").collect().map(_.getSeq[Double](1)).map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("hyperplanes are deterministic across calls") {
     val a = Similarity.hyperplanes(8, 4)
     val b = Similarity.hyperplanes(8, 4)
