@@ -174,7 +174,7 @@ object Dedup {
       .select(col("id"), col("id").as("comp"))
       .localCheckpoint(true)
     def labelSum(df: DataFrame): Long = {
-      val r = df.agg(sum(col("comp"))).head
+      val r = df.agg(sum(col("comp"))).head()
       if (r.isNullAt(0)) 0L else r.getLong(0) // null = empty frame
     }
     var prevSum = labelSum(labels)

@@ -212,7 +212,7 @@ object Similarity {
       .groupBy(col("__vid"))
       .agg(max(col("cscore")).as("best"))
       .agg(avg(lit(1.0) - col("best")))
-      .head.getDouble(0)
+      .head().getDouble(0)
   }
 
   /** Multi-table sign-bit LSH: `tables` independent bucketings (seeded
