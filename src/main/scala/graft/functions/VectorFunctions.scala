@@ -35,4 +35,30 @@ object VectorFunctions {
       val d = x.cast("double") - y.cast("double")
       d * d
     }))
+
+  /** Per-vector int8 scalar-quantization scale: max |x| / 127 (null for
+    * an all-zero vector — quantize yields zeros). */
+  def quantScale(a: Column): Column = {
+    val mx = array_max(transform(a, x => abs(x.cast("double"))))
+    when(mx > 0, mx / 127.0)
+  }
+
+  /** Scalar int8 quantization of an embedding: round-half-up of
+    * x / scale into [-127, 127] (floor(x/scale + 0.5) — identical in
+    * any IEEE engine, unlike banker's rounding). 4× smaller at rest
+    * than float32 — the storage format a 100 TB embedding store
+    * actually keeps, with the scale column alongside. */
+  def quantizeInt8(a: Column): Column = {
+    val s = quantScale(a)
+    transform(a, x => coalesce(floor(x.cast("double") / s + 0.5), lit(0.0)).cast("int"))
+  }
+
+  /** Max absolute reconstruction error of [[quantizeInt8]] — the bound
+    * an offline quality gate checks before swapping the store over. */
+  def quantError(a: Column): Column = {
+    val s = quantScale(a)
+    val deq = zip_with(quantizeInt8(a), a, (q, x) =>
+      abs(q.cast("double") * coalesce(s, lit(0.0)) - x.cast("double")))
+    array_max(deq)
+  }
 }

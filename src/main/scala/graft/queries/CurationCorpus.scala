@@ -641,6 +641,34 @@ object CurationCorpus {
       FROM e GROUP BY label, dim ORDER BY label, dim""")
   )
 
+  /** Int8 scalar quantization of embeddings: scale, digest of the
+    * quantized codes, and max reconstruction error. */
+  private val q85 = Q(
+    "q85_quantize_embeddings",
+    (s, dir) => {
+      import graft.functions.VectorFunctions._
+      fixture(s, dir, "embeddings")
+        .select(
+          col("vec_id"),
+          round(quantScale(col("embedding")), 6).as("scale"),
+          md5(concat_ws(",", quantizeInt8(col("embedding")))).as("codes_md5"),
+          round(quantError(col("embedding")), 6).as("max_err")
+        )
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+      sc AS (SELECT vec_id, emb,
+               CASE WHEN list_max(list_transform(emb, x -> abs(x))) > 0
+                    THEN list_max(list_transform(emb, x -> abs(x))) / 127.0 END AS s FROM v),
+      qz AS (SELECT vec_id, emb, s,
+               list_transform(emb, x -> CAST(COALESCE(floor(x / s + 0.5), 0) AS INTEGER)) AS q FROM sc)
+      SELECT vec_id, ROUND(s, 6) AS scale,
+        md5(array_to_string(q, ',')) AS codes_md5,
+        ROUND(list_max(list_transform(list_zip(q, emb),
+          z -> abs(CAST(struct_extract(z,1) AS DOUBLE) * COALESCE(s, 0) - struct_extract(z,2)))), 6) AS max_err
+      FROM qz ORDER BY vec_id""")
+  )
+
   val all: Seq[Q] = Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84)
+    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85)
 }
