@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver machine-parses graft.Bench's final JSON line from the tail of
+// the sbt log. The default LoggedOutput strategy prefixes every forked-
+// process line with "[info] " / "[error] ", which breaks that parse (it
+// needs a bare line starting with '{'); StdoutOutput passes the child's
+// stdout/stderr through verbatim.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -102,7 +102,18 @@ object Bench {
         s""""warm_total":${r3(warmTotal)},"warm_headline":${jmap(warm)},"e2e":${jmap(e2e)},"failed":${failed.length},"sf":"$sfDir"}"""
     // budget: 2000-char tail minus ~75 for sbt's trailing [success] line
     val full = official(results)
-    println(if (full.length <= 1850) full else official(warm.map { case (k, _) => k -> results.toMap.apply(k) }))
+    val line = if (full.length <= 1850) full
+               else official(warm.map { case (k, _) => k -> results.toMap.apply(k) })
+    // Stop FIRST so the line is the last thing on stdout (rootLogger is at
+    // error in log4j2.properties, so shutdown hooks stay silent too; the
+    // build's run/outputStrategy := StdoutOutput keeps sbt from prefixing
+    // it with "[info] " — the prefix is what broke the driver's extractor
+    // in rounds 1-2). A stderr copy in case the driver reads that stream.
     spark.stop()
+    try Files.write(Paths.get("BENCH_OFFICIAL.json"), line.getBytes(StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
+    System.err.println(line)
+    System.out.println(line)
+    System.out.flush()
   }
 }
