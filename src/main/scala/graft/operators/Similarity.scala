@@ -49,13 +49,70 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
-  /** All embedding pairs with cosine above `threshold` (embedding-space
-    * near-duplicate detection). Brute-force n²/2 — exact baseline; use
-    * the LSH bucket join for scale. */
+  /** All embedding pairs with cosine above `threshold` — brute-force
+    * n²/2 nested loop. EXACT-BASELINE / ORACLE ONLY: this is the one
+    * shape that can never run at corpus scale (SURVEY §7: "similarity
+    * join must be LSH-bucketed — never cartesian"). Production path is
+    * [[nearDupPairsLsh]]; specs keep this as the recall oracle. */
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
     val a = corpus.select(col(idCol).as("a"), col(vecCol).as("a_vec"), norm(col(vecCol)).as("a_nrm"))
     val b = corpus.select(col(idCol).as("b"), col(vecCol).as("b_vec"), norm(col(vecCol)).as("b_nrm"))
     a.join(b, col("a") < col("b"))
+      .withColumn("score", dot(col("a_vec"), col("b_vec")) / (col("a_nrm") * col("b_nrm")))
+      .filter(col("score") > threshold)
+      .select(col("a"), col("b"), round(col("score"), 6).as("score"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** Embedding near-duplicate pairs at scale: sign-bit-LSH candidate
+    * generation + exact cosine re-score.
+    *
+    * Candidates form only inside a bucket — the self-join is an
+    * equi-join on the bucket id, so pair volume scales with bucket
+    * occupancy (~n²/2^bits per bucket on uniform data), never n².
+    * `tables` independent seeded bucketings are unioned
+    * (OR-amplification: a true near-dup pair is missed only if it
+    * splits in EVERY table, P ≈ (1-p)^T) and deduplicated before one
+    * exact re-score, which keeps scoring linear in unique candidates.
+    *
+    * Shuffle shape at 100 TB: per table one (id, bucket) self-join
+    * keyed on an 8-byte bucket; the distinct shuffles candidate id
+    * pairs only (vectors are joined back AFTER dedup, so signatures —
+    * not arrays — flow through the wide part of the plan). Approximate
+    * by design: recall rises with `tables` and falls with `bits`;
+    * cross-bucket pairs in all tables are missed, exactly like any
+    * LSH index. */
+  def nearDupPairsLsh(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      bits: Int = 4,
+      dim: Int = 64,
+      tables: Int = 2
+  ): DataFrame = {
+    require(tables >= 1, "need at least one table")
+    def bucket(vec: org.apache.spark.sql.Column, seed: Long) = {
+      val planes = hyperplanes(dim, bits, seed)
+      (0 until bits)
+        .map(b => when(dot(vec, typedLit(planes(b).toSeq)) > 0, 1L << b).otherwise(0L))
+        .reduce(_ + _)
+    }
+    val cand = (0 until tables)
+      .map { t =>
+        val n = corpus.select(col(idCol).as("id"), bucket(col(vecCol), 42L + t).as("bkt"))
+        n.select(col("id").as("a"), col("bkt"))
+          .join(n.select(col("id").as("b"), col("bkt")), Seq("bkt"))
+          .filter(col("a") < col("b"))
+          .select(col("a"), col("b"))
+      }
+      .reduce(_ unionByName _)
+      .distinct()
+    val va = corpus.select(col(idCol).as("a"), col(vecCol).as("a_vec"), norm(col(vecCol)).as("a_nrm"))
+    val vb = corpus.select(col(idCol).as("b"), col(vecCol).as("b_vec"), norm(col(vecCol)).as("b_nrm"))
+    cand
+      .join(va, "a")
+      .join(vb, "b")
       .withColumn("score", dot(col("a_vec"), col("b_vec")) / (col("a_nrm") * col("b_nrm")))
       .filter(col("score") > threshold)
       .select(col("a"), col("b"), round(col("score"), 6).as("score"))

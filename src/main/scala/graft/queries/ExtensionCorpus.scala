@@ -239,15 +239,35 @@ object ExtensionCorpus {
     }
   )
 
+  /** Replays Similarity.nearDupPairsLsh's seeded bucketing in SQL (same
+    * pattern as q39): candidates = union of per-table same-bucket pairs,
+    * then exact cosine re-score — never the n² cross join. */
   private val q40 = Q(
     "q40_embedding_near_dups",
     (s, dir) =>
-      Similarity.nearDupPairs(fixture(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4),
-    Some(s"""WITH v AS ($sqlVecView)
-      SELECT a.vec_id AS a, b.vec_id AS b, ROUND(${sqlCosine("a.emb", "b.emb")}, 6) AS score
-      FROM v a JOIN v b ON a.vec_id < b.vec_id
-      WHERE ${sqlCosine("a.emb", "b.emb")} > 0.4
-      ORDER BY a, b""")
+      Similarity.nearDupPairsLsh(fixture(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4, bits = 4, dim = 64, tables = 2),
+    Some {
+      def bucketSql(seed: Long): String = {
+        val planes = Similarity.hyperplanes(dim = 64, bits = 4, seed)
+        (0 until 4).map { b =>
+          val proj = (0 until 64).map(i => s"emb[${i + 1}]*(${planes(b)(i)})").mkString(" + ")
+          s"(CASE WHEN ($proj) > 0 THEN ${1L << b} ELSE 0 END)"
+        }.mkString(" + ")
+      }
+      val tables = (0 until 2).map { t =>
+        s"""SELECT l.vec_id AS a, r.vec_id AS b
+            FROM (SELECT vec_id, ${bucketSql(42L + t)} AS bkt FROM v) l
+            JOIN (SELECT vec_id, ${bucketSql(42L + t)} AS bkt FROM v) r
+              ON l.bkt = r.bkt AND l.vec_id < r.vec_id"""
+      }.mkString("\n UNION \n")
+      s"""WITH v AS ($sqlVecView),
+        cand AS ($tables)
+        SELECT cand.a, cand.b, ROUND(${sqlCosine("va.emb", "vb.emb")}, 6) AS score
+        FROM cand JOIN v va ON va.vec_id = cand.a JOIN v vb ON vb.vec_id = cand.b
+        WHERE ${sqlCosine("va.emb", "vb.emb")} > 0.4
+        ORDER BY a, b"""
+    }
   )
 
   // ----------------------------------------------------------- multimodal

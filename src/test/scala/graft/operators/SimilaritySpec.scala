@@ -76,6 +76,22 @@ class SimilaritySpec extends SparkSpec {
     assert((multi intersect truth).size >= (single intersect truth).size)
   }
 
+  test("lsh near-dup pairs: subset of brute force, decent recall, more tables >= recall") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b", "score").as[(Long, Long, Double)].collect().toSet
+    // brute force = the exact oracle the bucketed path approximates
+    val truth = pairs(Similarity.nearDupPairs(e, "vec_id", "embedding", threshold = 0.4))
+    val one = pairs(Similarity.nearDupPairsLsh(e, "vec_id", "embedding", 0.4, bits = 4, tables = 1))
+    val two = pairs(Similarity.nearDupPairsLsh(e, "vec_id", "embedding", 0.4, bits = 4, tables = 2))
+    // every emitted pair is a true above-threshold pair with the exact score
+    assert(one.subsetOf(truth) && two.subsetOf(truth))
+    // OR-amplification: recall can only grow with tables
+    assert(one.subsetOf(two))
+    assert(two.nonEmpty, "bucketed path found no pairs at all")
+  }
+
   test("kmeans refinement never increases inertia and is deterministic") {
     val dir = "/root/testdata/sf0.001"
     val e = spark.read.parquet(s"$dir/embeddings.parquet")

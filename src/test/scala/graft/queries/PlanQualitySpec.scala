@@ -61,6 +61,12 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
   }
 
+  test("q40: embedding near-dup pairs join on LSH buckets, never nested-loop") {
+    val plan = finalPlan(run("q40_embedding_near_dups"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"near-dup pairs must be bucket-keyed:\n$plan")
+  }
+
   test("q47: IVF candidate join is keyed on cell, centroids broadcast") {
     val plan = finalPlan(run("q47_ann_ivf"))
     assert(!plan.contains("CartesianProduct"))
