@@ -30,7 +30,12 @@ object Bench {
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-bench-wh").toString)
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the final JSON line must be the last thing on
+    // stdout/stderr, and a WARN-level shutdown-hook message (e.g. temp-dir
+    // cleanup failure) printed after it would corrupt the driver's
+    // tail-parse. log4j2.properties already roots at error; keep the
+    // runtime level in agreement.
+    spark.sparkContext.setLogLevel("ERROR")
     // JVM/codegen warmup so the first measured query isn't charged for
     // session bring-up.
     spark.range(1000000).selectExpr("sum(id)").collect()

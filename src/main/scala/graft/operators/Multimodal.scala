@@ -43,17 +43,22 @@ object Multimodal {
       ).as("meta")
     )
 
-  final case class MediaFeature(media_id: Long, n_frames: Int, feature: Array[Float])
+  final case class MediaFeature(media_id: Long, n_frames: Int, feature: Array[Long])
 
   /** Per-partition batched "decode + feature extract". Shape is the
     * real thing: iterator-in/iterator-out over partitions (so a real
     * codec would amortize model/codec init per partition, the same
-    * reason PySpark uses mapInPandas here), fixed-width float feature
-    * out.
+    * reason PySpark uses mapInPandas here), fixed-width feature out.
     *
-    * STUB: the decode step is a deterministic fake — bytes are folded
-    * into `featDim` float accumulators instead of being decoded by a
-    * codec. Swap `fakeDecode` for a real library call when one exists.
+    * STUB: the decode step is a deterministic fake — bytes are summed
+    * into `featDim` integer accumulators instead of being decoded by a
+    * codec. Integer (not float) accumulation on purpose: the stub's
+    * arithmetic is then exactly reproducible by the SQL oracle
+    * (associative bigint sums — no IEEE fold-order sensitivity), so the
+    * whole mapPartitions plumbing is hash-verified end-to-end, not
+    * rows-only. Swap `fakeDecode` for a real codec call when one
+    * exists; a real feature vector would be float, but the Spark-side
+    * shape (schema, batching, partitioning) is identical.
     */
   def extractFeatures(media: DataFrame, featDim: Int = 8): Dataset[MediaFeature] = {
     val spark = media.sparkSession
@@ -66,12 +71,13 @@ object Multimodal {
     }
   }
 
-  /** STUB decode: deterministic byte-fold into featDim accumulators. */
-  private def fakeDecode(bytes: Array[Byte], featDim: Int): Array[Float] = {
-    val acc = new Array[Float](featDim)
+  /** STUB decode: deterministic byte-sum into featDim accumulators
+    * (acc(j) = Σ of unsigned bytes at positions ≡ j mod featDim). */
+  private def fakeDecode(bytes: Array[Byte], featDim: Int): Array[Long] = {
+    val acc = new Array[Long](featDim)
     var i = 0
     while (i < bytes.length) {
-      acc(i % featDim) += (bytes(i) & 0xff) / 255.0f
+      acc(i % featDim) += (bytes(i) & 0xff).toLong
       i += 1
     }
     acc

@@ -555,7 +555,9 @@ object CurationCorpus {
         CASE WHEN hv % 100 < 80 THEN 'train' WHEN hv % 100 < 90 THEN 'val' ELSE 'test' END AS split
       FROM h
       WHERE hv % 1000 < (CASE source WHEN 'src0' THEN 500 ELSE 1000 END)
-      ORDER BY doc_id""")
+      ORDER BY doc_id"""),
+    // top-5 cold-cost query in BENCH_r03 (5.45 s cold) — warm-tracked
+    headline = true
   )
 
   /** Multi-table LSH ANN: union of 2 seeded bucketings, distinct

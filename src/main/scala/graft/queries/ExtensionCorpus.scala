@@ -63,25 +63,41 @@ object ExtensionCorpus {
           s AS (SELECT doc_id, list_transform($sqlShingles, x -> md5(x)) AS hs
                 FROM t WHERE len(toks) >= 3)
           SELECT doc_id, $mhCols FROM s ORDER BY doc_id"""
-    }
+    },
+    // top cold-cost query in BENCH_r03 (7.5 s cold) — warm-tracked so the
+    // official record separates JIT warmup from steady-state throughput
+    headline = true
   )
 
   /** The q32 pipeline as a reusable CTE chain ending in `pairs(a, b)` —
-    * shared by q32 and the near-dup clustering oracle (q71). */
-  private[queries] val sqlLshPairCtes: String = {
+    * shared by q32, the near-dup clustering oracle (q71), and (with a
+    * hot-bucket cap) q86. `maxBucketSize` mirrors
+    * Dedup.lshCandidatePairs: buckets with more than `cap` members are
+    * dropped before the self-join. */
+  private[queries] def sqlLshCtes(maxBucketSize: Option[Int]): String = {
     val mhCols = (0 until 8).map(j => s"${sqlMinhash(j)} AS mh_$j").mkString(", ")
     val bandSelects = (0 until 4)
       .map(b => s"SELECT doc_id, $b AS band_idx, md5(mh_${2 * b} || mh_${2 * b + 1}) AS bucket FROM m")
       .mkString(" UNION ALL ")
+    val joinSide = maxBucketSize match {
+      case Some(cap) =>
+        s"""kept AS (SELECT * FROM bands
+              QUALIFY count(*) OVER (PARTITION BY band_idx, bucket) <= $cap),
+            """
+      case None => ""
+    }
+    val rel = if (maxBucketSize.isDefined) "kept" else "bands"
     s"""t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         s AS (SELECT doc_id, list_transform($sqlShingles, x -> md5(x)) AS hs
               FROM t WHERE len(toks) >= 3),
         m AS (SELECT doc_id, $mhCols FROM s),
         bands AS ($bandSelects),
-        pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-          FROM bands l JOIN bands r
+        ${joinSide}pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+          FROM $rel l JOIN $rel r
             ON l.band_idx = r.band_idx AND l.bucket = r.bucket AND l.doc_id < r.doc_id)"""
   }
+
+  private[queries] val sqlLshPairCtes: String = sqlLshCtes(None)
 
   private val q32 = Q(
     "q32_lsh_candidate_pairs",
@@ -89,6 +105,20 @@ object ExtensionCorpus {
       Dedup.lshCandidatePairs(fixture(s, dir, "documents"), "doc_id", "text", numHashes = 8, bands = 4),
     Some(s"WITH $sqlLshPairCtes SELECT a, b FROM pairs ORDER BY a, b"),
     headline = true
+  )
+
+  /** The hot-bucket cap exercised end-to-end: cap=2 drops real buckets
+    * on the documents fixture at every SF (sizes reach 3-4 at sf0.01,
+    * 11 at sf0.1), so this green row proves the guard that makes
+    * MinHash-LSH safe on boilerplate-heavy corpora — the broadcast
+    * anti-join path in Dedup.lshCandidatePairs — not just the uncapped
+    * default. */
+  private val q86 = Q(
+    "q86_lsh_capped_pairs",
+    (s, dir) =>
+      Dedup.lshCandidatePairs(fixture(s, dir, "documents"), "doc_id", "text", numHashes = 8,
+        bands = 4, maxBucketSize = Some(2)),
+    Some(s"WITH ${sqlLshCtes(Some(2))} SELECT a, b FROM pairs ORDER BY a, b")
   )
 
   private val q33 = Q(
@@ -284,11 +314,14 @@ object ExtensionCorpus {
       FROM documents ORDER BY media_id""")
   )
 
-  /** Feature extraction runs the stubbed decode (float32 accumulation in
-    * the JVM) — not SQL-expressible, so rows-only. The raw array<float>
-    * column is projected to hashable scalars (digest + rounded norm):
-    * the rows-only harness sorts/hashes every column and chokes on
-    * arrays (round-1 gate error: "unhashable type: numpy.ndarray"). */
+  /** Feature extraction through the stubbed per-partition decode. The
+    * stub accumulates INTEGER byte-sums (Multimodal.fakeDecode) exactly
+    * so this oracle exists: bigint sums are fold-order-independent, so
+    * DuckDB reproduces the JVM arithmetic bit-for-bit (documents text is
+    * verified ASCII ⇒ ord(char) == unsigned byte) and the whole
+    * mapPartitions codec boundary is hash-verified, not rows-only. The
+    * array column is projected to scalars (digest + sum) because the
+    * gate's sorted-column hasher can't hash arrays. */
   private val q42 = Q(
     "q42_media_features",
     (s, dir) => {
@@ -297,12 +330,21 @@ object ExtensionCorpus {
         .select(
           col("media_id"),
           col("n_frames"),
-          md5(concat_ws(",", transform(col("feature"), x => round(x.cast("double"), 4).cast("string")))).as("feature_md5"),
-          round(sqrt(aggregate(col("feature"), lit(0.0d), (a, x) => a + x.cast("double") * x.cast("double"))), 4).as("feature_norm")
+          md5(concat_ws(",", transform(col("feature"), _.cast("string")))).as("feature_md5"),
+          aggregate(col("feature"), lit(0L), (a, x) => a + x).as("feature_sum")
         )
         .orderBy(col("media_id"))
     },
-    None
+    Some("""WITH d AS (SELECT doc_id AS media_id, text FROM documents),
+      f AS (SELECT media_id,
+        list_transform(range(0,8), j -> coalesce(list_sum(list_transform(
+          range(CAST(j AS INT), strlen(text), 8), i -> ord(substr(text, CAST(i AS INT)+1, 1)))), 0)) AS feature,
+        CAST(ceil(strlen(text)/64.0) AS INTEGER) AS n_frames
+        FROM d)
+      SELECT media_id, n_frames,
+        md5(array_to_string(feature, ',')) AS feature_md5,
+        CAST(list_sum(feature) AS BIGINT) AS feature_sum
+      FROM f ORDER BY media_id""")
   )
 
   private val q43 = Q(
@@ -499,6 +541,6 @@ object ExtensionCorpus {
 
   val all: Seq[Q] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
-    q48, q49, q55
+    q48, q49, q55, q86
   )
 }

@@ -51,6 +51,8 @@ class DedupSpec extends SparkSpec {
     val uncapped = Dedup.lshCandidatePairs(many, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(uncapped.contains((10L, 15L))) // without the cap it floods back
+    assert(capped.subsetOf(uncapped)) // the cap only ever removes pairs
+    assert(capped != uncapped) // ...and here it actually does
   }
 
   test("simhash: identical docs collide, near docs are close in hamming") {

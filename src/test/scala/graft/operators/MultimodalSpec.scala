@@ -26,6 +26,8 @@ class MultimodalSpec extends SparkSpec {
     val b = Multimodal.extractFeatures(m, featDim = 8).collect().sortBy(_.media_id)
     assert(a.map(_.feature.toSeq).toSeq == b.map(_.feature.toSeq).toSeq)
     assert(a.forall(_.feature.length == 8))
+    // stub semantics pinned: 64 'y' bytes (121) round-robin 8 slots -> 121*8 each
+    assert(a.find(_.media_id == 2L).get.feature.toSeq == Seq.fill(8)(121L * 8))
     assert(a.find(_.media_id == 1L).get.n_frames == 2)
     assert(a.find(_.media_id == 3L).get.n_frames == 1)
   }
