@@ -1,6 +1,8 @@
 package graft.ingest
 
+import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.util.LongAccumulator
 
 /** Paginated-source ingest.
   *
@@ -51,6 +53,51 @@ object Ingest {
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Bronze-landing validity gate — `is_valid_json` parity
+    * (reference: datalake_bronze_fetch_raw_data_api_dag.py:207-224,299-309,
+    * decase/utils.py:65-79): a fetched page body is landed only if it
+    * parses as JSON AND is a non-empty array; each array element becomes
+    * one NDJSON line (the reference's json.dumps-per-element loop).
+    *
+    * `strict = true` is exact reference behavior: an invalid page fails
+    * the job (the DAG raises AirflowException). `strict = false` is the
+    * engine mode a 100 TB ingest actually wants: the page is dropped and
+    * counted in `malformedPages` (a LongAccumulator — the executor-side
+    * counter that doesn't cost a second pass), so one poisoned page
+    * can't kill a million-page land.
+    *
+    * Runs in mapPartitions (the HTTP/codec boundary where imperative
+    * code belongs): the Jackson mapper is built once per partition,
+    * mirroring per-task codec init. */
+  def validatedNdjsonLines(
+      pages: Dataset[String],
+      strict: Boolean = true,
+      malformedPages: Option[LongAccumulator] = None
+  ): Dataset[String] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.mapPartitions { it =>
+      val mapper = new ObjectMapper()
+      it.flatMap { body =>
+        val parsed =
+          try {
+            val n = mapper.readTree(body)
+            if (n != null && n.isArray && n.size > 0) Some(n) else None
+          } catch { case _: Exception => None }
+        parsed match {
+          case Some(arr) =>
+            (0 until arr.size).iterator.map(i => mapper.writeValueAsString(arr.get(i)))
+          case None =>
+            if (strict)
+              throw new IllegalArgumentException(
+                s"Invalid JSON page (not a non-empty array): ${String.valueOf(body).take(80)}")
+            malformedPages.foreach(_.add(1L))
+            Iterator.empty
+        }
+      }
+    }
   }
 
   /** Distributed page fetch: one row per page body. `fetcher` runs on

@@ -1,6 +1,7 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 /** Readers for the engine's source formats.
@@ -22,6 +23,28 @@ object Sources {
     * `.option('inferSchema','true').json(prefix)` (job_silver.py:143-147). */
   def ndjsonInfer(spark: SparkSession, path: String): DataFrame =
     spark.read.option("inferSchema", "true").json(path)
+
+  /** NDJSON read with a malformed-line guard (the read-side half of the
+    * reference's `is_valid_json` gate): lines that fail try_parse_json
+    * are dropped BEFORE schema application, and counted via `observe` —
+    * the counter rides the read's own execution, costing zero extra
+    * passes (read the Observation after your action:
+    * `obs.get("n_malformed")`). Valid lines parse through the explicit
+    * schema, so one corrupted line degrades to a counted drop instead
+    * of a null-riddled row or a failed 100 TB job. */
+  def ndjsonValidated(spark: SparkSession, path: String, schema: StructType): (DataFrame, Observation) = {
+    val obs = Observation()
+    val lines = spark.read.text(path).observe(
+      obs,
+      count(lit(1)).as("n_lines"),
+      count_if(expr("try_parse_json(value) IS NULL")).as("n_malformed")
+    )
+    val df = lines
+      .filter(expr("try_parse_json(value) IS NOT NULL"))
+      .select(from_json(col("value"), schema).as("__r"))
+      .select("__r.*")
+    (df, obs)
+  }
 
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

@@ -168,16 +168,35 @@ object Curation {
 
   /** Benchmark decontamination: per-document count of distinct word
     * 3-shingles shared with a benchmark shingle set (`benchmark` must
-    * expose a string column `sh`). The benchmark side is broadcast —
-    * eval sets are tiny next to a training corpus — so the probe is
-    * scan-local: explode + broadcast-hash semi side, one partial-agg
-    * groupBy; nothing shuffles but one row per contaminated doc. */
-  def flagContaminated(df: DataFrame, idCol: String, textCol: String, benchmark: DataFrame): DataFrame =
+    * expose a string column `sh`).
+    *
+    * The join strategy is size-gated: when the distinct benchmark
+    * shingle set fits under `maxBroadcastRows` (the normal case — eval
+    * sets are tiny next to a training corpus) it is broadcast, making
+    * the probe scan-local (explode + broadcast-hash join, nothing
+    * shuffles but one row per contaminated doc). A pathological
+    * benchmark above the gate falls back to an un-hinted shuffle join
+    * instead of OOMing the driver with a forced broadcast. The gate
+    * costs one count() over the (aggregated, partial-agg-friendly)
+    * benchmark side at plan-build time — negligible next to the corpus
+    * scan, and the counted plan is exactly the join input so the
+    * decision matches what would be shipped. Results are identical on
+    * both paths (the hint never changes semantics — spec-asserted). */
+  def flagContaminated(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      maxBroadcastRows: Long = 10000000L
+  ): DataFrame = {
+    val bench = benchmark.select(col("sh")).distinct()
+    val probeSide = if (bench.count() <= maxBroadcastRows) broadcast(bench) else bench
     df.select(col(idCol), explode(array_distinct(wordShingles(tokens(col(textCol))))).as("sh"))
-      .join(broadcast(benchmark.select(col("sh")).distinct()), "sh")
+      .join(probeSide, "sh")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"))
       .select(col(idCol), col("n_hits").cast("int").as("n_hits"))
+  }
 
   /** The standard curation recipe composed end-to-end: quality gate →
     * exact dedup (keep the min-id representative per normalized text)

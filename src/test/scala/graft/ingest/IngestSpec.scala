@@ -40,6 +40,35 @@ class IngestSpec extends SparkSpec {
     assert(e.getMessage == "always" && calls2 == 2)
   }
 
+  test("validatedNdjsonLines explodes valid array pages to one line per element") {
+    import spark.implicits._
+    val pages = Seq(
+      """[{"id":"a","n":1},{"id":"b","n":2}]""",
+      """[{"id":"c","n":3}]"""
+    ).toDS()
+    val lines = Ingest.validatedNdjsonLines(pages).collect().toSet
+    assert(lines == Set("""{"id":"a","n":1}""", """{"id":"b","n":2}""", """{"id":"c","n":3}"""))
+  }
+
+  test("validatedNdjsonLines strict mode fails on malformed/empty/non-array pages (reference parity)") {
+    import spark.implicits._
+    for (bad <- Seq("not json at all", "[]", """{"id":"obj-not-array"}""")) {
+      val pages = Seq("""[{"ok":1}]""", bad).toDS()
+      intercept[org.apache.spark.SparkException] {
+        Ingest.validatedNdjsonLines(pages, strict = true).collect()
+      }
+    }
+  }
+
+  test("validatedNdjsonLines lenient mode drops and counts malformed pages") {
+    import spark.implicits._
+    val counter = spark.sparkContext.longAccumulator("malformed_pages")
+    val pages = Seq("""[{"ok":1},{"ok":2}]""", "garbage{", "[]", """[{"ok":3}]""").toDS()
+    val lines = Ingest.validatedNdjsonLines(pages, strict = false, Some(counter)).collect()
+    assert(lines.length == 3)
+    assert(counter.value == 2L)
+  }
+
   test("fetchPages fetches every page across partitions with retry") {
     val failOnce = new java.util.concurrent.ConcurrentHashMap[Int, Boolean]()
     val bodies = Ingest

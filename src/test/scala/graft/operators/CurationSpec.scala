@@ -142,6 +142,32 @@ class CurationSpec extends SparkSpec {
     assert(!out.contains(3L))
   }
 
+  test("flagContaminated broadcast and shuffle-fallback paths are result-identical") {
+    val bench = Seq((0L, "alpha beta gamma delta"), (1L, "one two three four five")).toDF("id", "text")
+    val docs = Seq(
+      (1L, "x alpha beta gamma y"),
+      (2L, "beta gamma delta beta gamma delta"),
+      (3L, "one two three zero"),
+      (4L, "totally unrelated text here")
+    ).toDF("id", "text")
+    val bm = Curation.benchmarkShingles(bench, "text")
+    // disable auto-broadcast so the fixture-sized fallback plan shows the
+    // shape a genuinely huge benchmark would get (Spark would otherwise
+    // auto-broadcast the tiny side even without our hint)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val bcast = Curation.flagContaminated(docs, "id", "text", bm) // under the gate -> hinted broadcast
+      val shuffled = Curation.flagContaminated(docs, "id", "text", bm, maxBroadcastRows = 0L) // forced fallback
+      assert(bcast.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+      assert(!shuffled.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+      val a = bcast.as[(Long, Int)].collect().toMap
+      val b = shuffled.as[(Long, Int)].collect().toMap
+      assert(a == b)
+      assert(a.keySet == Set(1L, 2L, 3L))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("nearDupClusters matches driver-side union-find on random graphs") {
     val rnd = new scala.util.Random(5)
     for (trial <- 0 until 3) {

@@ -84,6 +84,29 @@ class BreweryPipelineSpec extends SparkSpec {
     assert(spark.table(conf.goldTable).count() == 4)
   }
 
+  test("corrupted bronze line is dropped and counted by the validated read (P8)") {
+    val root = Files.createTempDirectory("bronze-corrupt").toString
+    landFixture(root)
+    val dir = java.nio.file.Paths.get(s"$root/sys_file_date=$date")
+    // append a torn line (truncated JSON — a mid-upload failure shape)
+    // and a second file that is pure garbage
+    Files.write(dir.resolve("node_2_page_2.json"),
+      (rec("a6", "micro", "Ireland") + "\n" + """{"id":"a7","name":"torn""").getBytes)
+    val raw = new String(Files.readAllBytes(dir.resolve("node_1_page_1.json")))
+    Files.write(dir.resolve("node_1_page_1.json"), (raw + "\nnot json at all").getBytes)
+    // raw landing schema is schema-on-read strings; Conform does the typing
+    val rawSchema = org.apache.spark.sql.types.StructType(
+      graft.core.Schema.toStructType(graft.core.Schema.brewerySpec).fields.map(f =>
+        org.apache.spark.sql.types.StructField(f.name, org.apache.spark.sql.types.StringType)))
+    val (df, obs) = graft.io.Sources.ndjsonValidated(spark, s"$root/sys_file_date=$date", rawSchema)
+    val conformed = graft.core.Conform.withPartitionStamp(df, graft.core.Schema.brewerySpec,
+      "sys_file_date", date)
+    val n = conformed.count()
+    assert(n == 6) // 5 golden + a6; the torn line and the garbage line dropped
+    assert(obs.get("n_lines") == 8L)
+    assert(obs.get("n_malformed") == 2L)
+  }
+
   test("saoPauloDate applies the fixed -3h shift (DST ignored, as reference)") {
     assert(BreweryPipeline.saoPauloDate(Instant.parse("2026-08-12T02:59:00Z")).toString == "2026-08-11")
     assert(BreweryPipeline.saoPauloDate(Instant.parse("2026-08-12T03:00:00Z")).toString == "2026-08-12")
