@@ -81,7 +81,19 @@ object Similarity {
     * not arrays — flow through the wide part of the plan). Approximate
     * by design: recall rises with `tables` and falls with `bits`;
     * cross-bucket pairs in all tables are missed, exactly like any
-    * LSH index. */
+    * LSH index.
+    *
+    * SIZING REQUIREMENT — `bits` must grow with corpus size. With b
+    * bits there are only 2^b buckets, so each bucket holds ~n/2^b rows
+    * and the self-join emits ~n²/2^b candidate pairs per table: fixed
+    * bits is still quadratic in n. Choose
+    * `bits ≈ log2(n / targetBucketSize)` (e.g. n=10⁹, target 10⁴/bucket
+    * ⇒ ~17 bits), then buy recall back with `tables` (OR-amplification)
+    * rather than fewer bits. The defaults (bits=4, tables=2) are sized
+    * for the small test fixtures, where they measure ~30-40% recall at
+    * threshold 0.4 (see SimilaritySpec's tuned-params floor: bits=3 /
+    * tables=8 reaches 86-95% on the same data) — production callers
+    * pick both knobs from n and the recall target. */
   def nearDupPairsLsh(
       corpus: DataFrame,
       idCol: String,
@@ -342,12 +354,34 @@ object Similarity {
       k: Int,
       numCells: Int = 16,
       nprobe: Int = 2
+  ): DataFrame =
+    ivfTopKWithCentroids(
+      corpus, queries, idCol, vecCol, k,
+      corpus.filter(col(idCol) < numCells)
+        .select(col(idCol).cast("long").as("cell_id"), col(vecCol).as("cent_vec")),
+      nprobe
+    )
+
+  /** IVF against a caller-supplied centroid table `(cell_id, cent_vec)`
+    * — in particular the output of [[kmeansCentroids]], closing the
+    * loop: refine the coarse quantizer offline, then serve with the
+    * same cell/probe/re-rank machinery. The centroid table is tiny
+    * (numCells rows) and broadcast; everything else is identical to
+    * [[ivfTopK]], whose seed-centroid convention is just the
+    * `id < numCells` special case of this. */
+  def ivfTopKWithCentroids(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: DataFrame,
+      nprobe: Int = 2
   ): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), norm(col(vecCol)).as("c_nrm"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_nrm"))
-    val cent = corpus
-      .filter(col(idCol) < numCells)
-      .select(col(idCol).cast("long").as("cell_id"), col(vecCol).as("cent_vec"), norm(col(vecCol)).as("cent_nrm"))
+    val cent = centroids
+      .select(col("cell_id"), col("cent_vec"), norm(col("cent_vec")).as("cent_nrm"))
 
     // argmax cell per corpus vector: max(struct(score, cell)) is a
     // partial aggregation — map-side combine keeps the shuffle at one

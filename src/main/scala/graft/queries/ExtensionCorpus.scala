@@ -481,6 +481,45 @@ object ExtensionCorpus {
       FROM r WHERE rk <= 5 ORDER BY query_id, rk""")
   )
 
+  /** Recall@k audit of the refined IVF index: k-means centroids
+    * (kmeansCentroids, 2 Lloyd steps) feed ivfTopKWithCentroids, and
+    * both the refined and the seed-centroid IVF are scored against the
+    * brute-force truth in one plan (semi-join hit counts — the recall
+    * computation itself is distributed, no collect). Rows-only by
+    * nature: the centroids are data-dependent iterative aggregates no
+    * SQL oracle can replay. On the synthetic fixture (near-uniform
+    * random embeddings, mean pairwise cosine ≈ 0) refinement holds
+    * recall roughly level rather than raising it — there is no cluster
+    * structure to find; the refinement guarantee that IS asserted
+    * (SimilaritySpec) is monotone non-increasing inertia plus exact
+    * equivalence of the supplied-centroids path to ivfTopK on seed
+    * centroids. */
+  private val q87 = Q(
+    "q87_ivf_refined_recall",
+    (s, dir) => {
+      val e = fixture(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 10)
+      val truth = Similarity.bruteForceTopK(e, qs, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val cent = Similarity.kmeansCentroids(e, "vec_id", "embedding", k = 16, iters = 2)
+      val refined = Similarity
+        .ivfTopKWithCentroids(e, qs, "vec_id", "embedding", k = 5, cent, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"))
+      val unrefined = Similarity.ivfTopK(e, qs, "vec_id", "embedding", k = 5, numCells = 16, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"))
+      val keys = Seq("query_id", "neighbor_id")
+      val nT = truth.agg(count(lit(1)).as("n_truth"))
+      val hR = refined.join(truth, keys, "left_semi").agg(count(lit(1)).as("hits_refined"))
+      val hU = unrefined.join(truth, keys, "left_semi").agg(count(lit(1)).as("hits_unrefined"))
+      nT.crossJoin(hR).crossJoin(hU).select(
+        col("n_truth"), col("hits_refined"), col("hits_unrefined"),
+        round(col("hits_refined").cast("double") / col("n_truth"), 4).as("recall_refined"),
+        round(col("hits_unrefined").cast("double") / col("n_truth"), 4).as("recall_unrefined")
+      )
+    },
+    None
+  )
+
   /** Salted two-stage aggregation — must be value-identical to the
     * plain GROUP BY (which is exactly what the oracle runs). */
   private val q48 = Q(
@@ -541,6 +580,6 @@ object ExtensionCorpus {
 
   val all: Seq[Q] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
-    q48, q49, q55, q86
+    q48, q49, q55, q86, q87
   )
 }
