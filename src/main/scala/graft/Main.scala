@@ -64,7 +64,12 @@ object Main {
               sys.error("--date is required (or use --from-spark-conf)")))
           }
         val conf = conf0.copy(parityOverwrite = !cli.partitionOverwrite, format = format)
-        val (silverRows, goldRows) = BreweryPipeline.run(spark, conf, date)
+        // O8 parity: the reference's end-of-run notify task / failure
+        // callback, print-stubbed exactly like the reference's sender
+        val (silverRows, goldRows) =
+          graft.core.Notifications.notified("graft-pipeline-brewery", date.toString) {
+            BreweryPipeline.run(spark, conf, date)
+          }
         println(s"""{"pipeline":"brewery","date":"$date","silver_rows":$silverRows,"gold_rows":$goldRows}""")
       } finally spark.stop()
 
