@@ -54,11 +54,20 @@ object Bench {
     // spans — silver bronze-read (job_silver.py:142-149), silver
     // transform+write (:157,180-181), gold agg+write (job_gold.py:
     // 87,104-105) — re-measured on a like-shaped ~8.9k-row fixture.
-    val e2e: Seq[(String, Double)] =
+    //
+    // The block runs TWICE: the first pass is the parity number (the
+    // reference spark-submits a fresh JVM per job, so its spans are
+    // always first-execution) and is codegen/JIT-dominated at this
+    // fixture size — it swings with whatever JVM state the corpus pass
+    // left behind (r2 1.03/0.66 s vs r3 2.97/2.91 s was exactly this:
+    // isolated fresh-JVM runs measure 2.1/1.7 s first pass, 0.4/0.6 s
+    // second). The second pass (`e2e_warm`) isolates the engine from
+    // the JIT so cross-round comparisons have a stable signal.
+    def e2ePass(tag: String): Seq[(String, Double)] =
       try {
         import graft.pipeline.{BreweryFixture, BreweryPipeline, PipelineConf}
         val date = java.time.LocalDate.parse("2026-01-01")
-        val root = java.nio.file.Files.createTempDirectory("graft-bench-bronze").toString
+        val root = java.nio.file.Files.createTempDirectory(s"graft-bench-bronze-$tag").toString
         BreweryFixture.land(root, date)
         val conf = PipelineConf(bronzeRoot = root,
           silverTable = "bench_silver.tab_brewery", goldTable = "bench_gold.tab_brewery_summary")
@@ -81,6 +90,8 @@ object Bench {
           System.err.println(s"[bench] e2e spans failed: ${e.getMessage}")
           Seq("silver_read" -> -1.0, "silver_transform_write" -> -1.0, "gold_agg_write" -> -1.0)
       }
+    val e2e = e2ePass("cold")
+    val e2eWarm = e2ePass("warm")
     // Second pass over the headline queries: cold numbers above include
     // per-plan codegen+JIT (~0.5-1 s each at sf0.1); warm numbers show
     // steady-state engine throughput. GC first so the warm pass isn't
@@ -94,6 +105,7 @@ object Bench {
     val detail =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(results)},""" +
         s""""warm_total":${r3(warmTotal)},"warm_headline":${jmap(warm)},"e2e":${jmap(e2e)},""" +
+        s""""e2e_warm":${jmap(e2eWarm)},""" +
         s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
     try Files.write(Paths.get("BENCH_DETAIL.json"), detail.getBytes(StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
@@ -104,7 +116,8 @@ object Bench {
     // BENCH_DETAIL.json either way).
     def official(qs: Seq[(String, Double)]): String =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(qs)},""" +
-        s""""warm_total":${r3(warmTotal)},"warm_headline":${jmap(warm)},"e2e":${jmap(e2e)},"failed":${failed.length},"sf":"$sfDir"}"""
+        s""""warm_total":${r3(warmTotal)},"warm_headline":${jmap(warm)},"e2e":${jmap(e2e)},""" +
+        s""""e2e_warm":${jmap(e2eWarm)},"failed":${failed.length},"sf":"$sfDir"}"""
     // budget: 2000-char tail minus ~75 for sbt's trailing [success] line
     val full = official(results)
     val line = if (full.length <= 1850) full
