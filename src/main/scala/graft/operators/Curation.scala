@@ -190,8 +190,63 @@ object Curation {
       maxBroadcastRows: Long = 10000000L
   ): DataFrame = {
     val bench = benchmark.select(col("sh")).distinct()
-    val probeSide = if (bench.count() <= maxBroadcastRows) broadcast(bench) else bench
+    exactContaminationProbe(explodedShingles(df, idCol, textCol), bench, idCol, maxBroadcastRows)
+  }
+
+  /** [[flagContaminated]] with a Bloom-filter pre-prune — the shape a
+    * 100 TB corpus scan wants when the benchmark shingle set is too big
+    * to broadcast as a hash relation: a Bloom filter over the set is
+    * 10-20× smaller (`fpp` 1% ≈ 9.6 bits/shingle vs a raw 16-byte+
+    * digest per entry), ships to every task, and prunes the exploded
+    * corpus shingles SCAN-LOCALLY before anything shuffles. Only
+    * bloom-positive shingles (true hits + `fpp` false positives) reach
+    * the exact join, which removes the false positives — so the result
+    * is EXACTLY [[flagContaminated]]'s (same oracle), while the shuffle
+    * shrinks from |all corpus shingles| to |hits|/(1-fpp).
+    *
+    * Build side uses the public sketch API over xxhash64(sh) longs; the
+    * probe is Catalyst's own `BloomFilterMightContain` (the expression
+    * Spark's runtime row-level filtering injects) on the same
+    * xxhash64 — codegen'd, no UDF. Two benchmark-side actions (bloom
+    * build + the broadcast gate count), both tiny next to the scan. */
+  def flagContaminatedBloom(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      expectedShingles: Long = 1L << 20,
+      fpp: Double = 0.01,
+      maxBroadcastRows: Long = 10000000L
+  ): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    val bench = benchmark.select(col("sh")).distinct()
+    val bloom = bench.select(xxhash64(col("sh")).as("h"))
+      .stat.bloomFilter("h", expectedShingles, fpp)
+    val bytes = {
+      val baos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(baos)
+      baos.toByteArray
+    }
+    val mightContain = GraftSqlBridge.column(BloomFilterMightContain(
+      Literal.create(bytes, org.apache.spark.sql.types.BinaryType),
+      GraftSqlBridge.expression(xxhash64(col("sh")))
+    ))
+    val pruned = explodedShingles(df, idCol, textCol).filter(mightContain)
+    exactContaminationProbe(pruned, bench, idCol, maxBroadcastRows)
+  }
+
+  private def explodedShingles(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), explode(array_distinct(wordShingles(tokens(col(textCol))))).as("sh"))
+
+  private def exactContaminationProbe(
+      exploded: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      maxBroadcastRows: Long
+  ): DataFrame = {
+    val probeSide = if (bench.count() <= maxBroadcastRows) broadcast(bench) else bench
+    exploded
       .join(probeSide, "sh")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"))

@@ -118,6 +118,50 @@ object Dedup {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Incremental near-exact dedup of a NEW batch against a persisted
+    * signature index — the pattern a growing corpus actually runs:
+    * yesterday's corpus is represented only by its MinHash signature
+    * table (16 bytes × numHashes per doc, not the documents), and
+    * today's batch keeps one representative per signature that is not
+    * already indexed.
+    *
+    * `signatureIndex` must expose columns mh_0..mh_{numHashes-1}
+    * (exactly [[minhashSignatures]]' output minus the id). Shape: batch
+    * signatures are a scan-local projection + one partial-agg groupBy
+    * (one row per distinct batch signature), then ONE anti-join against
+    * the index keyed on the signature columns. Aggregate-then-anti, so
+    * the join's left side is |distinct batch sigs|, not |batch|. At
+    * scale, store the index bucketed by signature ([[graft.io.Sinks
+    * .bucketedTable]]) and the index side of the anti-join needs no
+    * shuffle at all.
+    *
+    * Docs shorter than the shingle width carry no signature and are
+    * not emitted (route them through [[exactOnKeys]] on a content
+    * digest instead — signature dedup is meaningless for 2-token
+    * docs). Output: (keeper_id, sig_digest, n_copies) per fresh
+    * signature. */
+  def incrementalBySignature(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      signatureIndex: DataFrame,
+      numHashes: Int = 8
+  ): DataFrame = {
+    val sigCols = (0 until numHashes).map(j => col(s"mh_$j"))
+    val grouped = minhashSignatures(batch, idCol, textCol, numHashes)
+      .groupBy(sigCols: _*)
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+    grouped
+      .join(signatureIndex.select(sigCols: _*).distinct(),
+        (0 until numHashes).map(j => s"mh_$j"), "left_anti")
+      .select(
+        col("keeper_id"),
+        md5(concat_ws("|", sigCols: _*)).as("sig_digest"),
+        col("n_copies")
+      )
+      .orderBy(col("keeper_id"))
+  }
+
   /** 16-bit SimHash over whitespace tokens (multiset semantics — a
     * token contributes once per occurrence). One explode + one
     * aggregation. */

@@ -404,6 +404,18 @@ object CurationCorpus {
     }
   )
 
+  /** The q74/q89 oracle: both decontamination paths are exact by
+    * construction (the bloom pre-prune's false positives are removed by
+    * the exact join), so one SQL gates both. */
+  private val sqlDecontamination =
+    s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      s AS (SELECT doc_id, unnest(list_distinct(${ExtensionCorpus.sqlShingles})) AS sh
+            FROM t WHERE len(toks) >= 3),
+      bm AS (SELECT DISTINCT sh FROM s WHERE doc_id < 3)
+      SELECT s.doc_id, CAST(COUNT(*) AS INTEGER) AS n_hits
+      FROM s JOIN bm USING (sh) WHERE s.doc_id >= 3
+      GROUP BY s.doc_id ORDER BY doc_id"""
+
   /** Benchmark decontamination: docs sharing any 3-shingle with the
     * "benchmark" (docs 0-2 stand in for an eval set). */
   private val q74 = Q(
@@ -414,14 +426,23 @@ object CurationCorpus {
       Curation.flagContaminated(docs.filter(col("doc_id") >= 3), "doc_id", "text", bench)
         .orderBy(col("doc_id"))
     },
-    Some(s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
-      s AS (SELECT doc_id, unnest(list_distinct(${ExtensionCorpus.sqlShingles})) AS sh
-            FROM t WHERE len(toks) >= 3),
-      bm AS (SELECT DISTINCT sh FROM s WHERE doc_id < 3)
-      SELECT s.doc_id, CAST(COUNT(*) AS INTEGER) AS n_hits
-      FROM s JOIN bm USING (sh) WHERE s.doc_id >= 3
-      GROUP BY s.doc_id ORDER BY doc_id"""),
+    Some(sqlDecontamination),
     headline = true
+  )
+
+  /** Bloom-prefiltered decontamination: the scan-local
+    * BloomFilterMightContain prune + exact verification — must
+    * hash-match the same oracle as q74 (false positives are removed by
+    * the exact join; only the shuffle volume changes). */
+  private val q89 = Q(
+    "q89_decontamination_bloom",
+    (s, dir) => {
+      val docs = fixture(s, dir, "documents")
+      val bench = Curation.benchmarkShingles(docs.filter(col("doc_id") < 3), "text")
+      Curation.flagContaminatedBloom(docs.filter(col("doc_id") >= 3), "doc_id", "text", bench)
+        .orderBy(col("doc_id"))
+    },
+    Some(sqlDecontamination)
   )
 
   /** Salted skew-join: result must equal the plain join (the salt is
@@ -672,5 +693,5 @@ object CurationCorpus {
   )
 
   val all: Seq[Q] = Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85)
+    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q89)
 }

@@ -121,6 +121,35 @@ object ExtensionCorpus {
     Some(s"WITH ${sqlLshCtes(Some(2))} SELECT a, b FROM pairs ORDER BY a, b")
   )
 
+  /** Incremental dedup of a new batch (doc_id >= 250) against the
+    * signature index of the existing corpus (doc_id < 250) — the
+    * growing-corpus ingestion pattern. The fixture genuinely exercises
+    * it: 8 batch signatures are already indexed and several batch docs
+    * share signatures (235 of 250 batch docs survive at sf0.01). */
+  private val q88 = Q(
+    "q88_incremental_dedup",
+    (s, dir) => {
+      val docs = fixture(s, dir, "documents")
+      val index = Dedup.minhashSignatures(docs.filter(col("doc_id") < 250), "doc_id", "text")
+        .drop("doc_id")
+      Dedup.incrementalBySignature(docs.filter(col("doc_id") >= 250), "doc_id", "text", index)
+    },
+    Some {
+      val mhCols = (0 until 8).map(j => s"${sqlMinhash(j)} AS mh_$j").mkString(", ")
+      val grp = (0 until 8).map(j => s"mh_$j").mkString(", ")
+      val sigCat = (0 until 8).map(j => s"mh_$j").mkString(" || '|' || ")
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+          s AS (SELECT doc_id, list_transform($sqlShingles, x -> md5(x)) AS hs
+                FROM t WHERE len(toks) >= 3),
+          m AS (SELECT doc_id, $mhCols FROM s),
+          idx AS (SELECT DISTINCT $grp FROM m WHERE doc_id < 250),
+          b AS (SELECT $grp, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+                FROM m WHERE doc_id >= 250 GROUP BY $grp)
+          SELECT keeper_id, md5($sigCat) AS sig_digest, n_copies
+          FROM b ANTI JOIN idx USING ($grp) ORDER BY keeper_id"""
+    }
+  )
+
   private val q33 = Q(
     "q33_simhash",
     (s, dir) => Dedup.simhash16(fixture(s, dir, "documents"), "doc_id", "text"),
@@ -580,6 +609,6 @@ object ExtensionCorpus {
 
   val all: Seq[Q] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
-    q48, q49, q55, q86, q87
+    q48, q49, q55, q86, q87, q88
   )
 }

@@ -168,6 +168,23 @@ class CurationSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("flagContaminatedBloom equals the exact path and plans a might_contain prune") {
+    val bench = Seq((0L, "alpha beta gamma delta"), (1L, "one two three four five")).toDF("id", "text")
+    val docs = Seq(
+      (1L, "x alpha beta gamma y"),
+      (2L, "beta gamma delta beta gamma delta"),
+      (3L, "one two three zero"),
+      (4L, "totally unrelated text here"),
+      (5L, "more clean text that should never hit")
+    ).toDF("id", "text")
+    val bm = Curation.benchmarkShingles(bench, "text")
+    val exact = Curation.flagContaminated(docs, "id", "text", bm)
+    val bloom = Curation.flagContaminatedBloom(docs, "id", "text", bm, expectedShingles = 1024)
+    // the bloom prune is visible in the plan, before the exact join
+    assert(bloom.queryExecution.executedPlan.toString.contains("might_contain"))
+    assert(exact.as[(Long, Int)].collect().toMap == bloom.as[(Long, Int)].collect().toMap)
+  }
+
   test("nearDupClusters matches driver-side union-find on random graphs") {
     val rnd = new scala.util.Random(5)
     for (trial <- 0 until 3) {

@@ -55,6 +55,23 @@ class DedupSpec extends SparkSpec {
     assert(capped != uncapped) // ...and here it actually does
   }
 
+  test("incremental dedup drops indexed signatures, keeps min-id per fresh signature") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a completely different document about spark engines")
+    ).toDF("doc_id", "text")
+    val index = Dedup.minhashSignatures(corpus, "doc_id", "text").drop("doc_id")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // already indexed -> dropped
+      (11L, "an entirely new document no one has seen"),    // fresh
+      (12L, "an entirely new document no one has seen"),    // batch dup of 11
+      (13L, "hi") // < 3 tokens: no signature, not emitted
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalBySignature(batch, "doc_id", "text", index)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.toSeq == Seq((11L, 2L)))
+  }
+
   test("simhash: identical docs collide, near docs are close in hamming") {
     val out = Dedup.simhash16(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
