@@ -140,6 +140,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q86: hot-bucket cap plans a broadcast ANTI join (hot set is tiny by definition)") {
+    val plan = finalPlan(run("q86_lsh_capped_pairs"))
+    assert(plan.contains("LeftAnti"), s"cap must be an anti-join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
+  test("q88: incremental dedup anti-joins the index on the signature (no BNLJ)") {
+    val plan = finalPlan(run("q88_incremental_dedup"))
+    assert(plan.contains("LeftAnti"), s"index probe must be an anti-join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
+  test("q89: bloom prune sits scan-side, before the exact join") {
+    val plan = finalPlan(run("q89_decontamination_bloom"))
+    assert(plan.contains("might_contain"), s"bloom prune must be in the plan:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("conformance compiles to a single Project over the scan") {
     import graft.core.{Conform, ColumnSpec}
     val df = Corpus.fixture(spark, sf("sf0.001"), "part")
