@@ -210,18 +210,26 @@ object Dedup {
     * reliable `checkpoint` against a durable dir).
     */
   def nearDupClusters(pairs: DataFrame, aCol: String = "a", bCol: String = "b", maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.sql.Observation
+    // the convergence metric rides each checkpoint's own materialization
+    // job via observe — one Spark job per round, not two (the separate
+    // label-sum scan measurably dominated fixture-scale latency; at
+    // cluster scale it was a full extra pass per round)
+    def sumOf(obs: Observation): Long = obs.get("s") match {
+      case null => 0L // sum over an empty frame observes null
+      case l: java.lang.Long => l.longValue
+      case other => other.toString.toLong
+    }
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .localCheckpoint(true)
+    val obs0 = Observation()
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
+      .observe(obs0, sum(col("comp")).as("s"))
       .localCheckpoint(true)
-    def labelSum(df: DataFrame): Long = {
-      val r = df.agg(sum(col("comp"))).head()
-      if (r.isNullAt(0)) 0L else r.getLong(0) // null = empty frame
-    }
-    var prevSum = labelSum(labels)
+    var prevSum = sumOf(obs0)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -230,7 +238,9 @@ object Dedup {
       // checkpoint before the self-join: fresh attributes sidestep
       // Spark 4's constraint rewrite over self-joined Union plans, and
       // the per-iteration lineage stays O(1) either way
+      val obs = Observation()
       val merged = labels.union(prop).groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .observe(obs, sum(col("comp")).as("s"))
         .localCheckpoint(true)
       // pointer doubling: also follow comp -> comp(comp), halving the
       // remaining diameter each round — O(log d) iterations instead of
@@ -243,11 +253,10 @@ object Dedup {
           "left"
         )
         .select(col("id"), least(col("comp"), coalesce(col("ccomp"), col("comp"))).as("comp"))
-      // convergence test on the CACHED merged frame (at the fixpoint
-      // prop adds nothing, so merged == labels); scanning it is a
-      // no-recompute job, and the doubling join above only executes
-      // inside the next iteration's checkpoint
-      val s = labelSum(merged)
+      // convergence at the fixpoint: prop adds nothing, so merged ==
+      // labels and the observed sum stops changing; the doubling join
+      // above only executes inside the next iteration's checkpoint
+      val s = sumOf(obs)
       converged = s == prevSum
       prevSum = s
       labels = next
