@@ -132,4 +132,61 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .format("parquet")
       .start(outPath)
+
+  /** Continuous corpus ingestion with incremental near-exact dedup:
+    * every micro-batch is deduplicated against the PERSISTED MinHash
+    * signature index at `indexPath` (the streaming face of
+    * [[graft.operators.Dedup.incrementalBySignature]]); surviving
+    * keepers (min id per fresh signature) append to `corpusPath` and
+    * their signatures append to the index — so a document ever seen, in
+    * any earlier batch or earlier in the same batch, is never landed
+    * twice, and the index is shared with batch ingest.
+    *
+    * foreachBatch rather than stream state on purpose: the dedup set
+    * must outlive the stream, be shared with batch jobs, and grow
+    * without watermark eviction — it is a TABLE, not stream state
+    * (contrast [[dedupStream]], whose watermark-bounded state handles
+    * short-horizon redelivery). Fresh signatures are localCheckpointed
+    * before any write so the index read happens once per batch, never
+    * mid-append. Delivery is Structured Streaming's at-least-once for
+    * foreachBatch: a retried batch can re-append keepers — dedupe
+    * downstream on (sig digest) or use batchId-keyed paths if the sink
+    * must be exactly-once. Docs shorter than the shingle width carry no
+    * signature and are dropped (route them through [[dedupStream]] on a
+    * content digest instead). */
+  def incrementalDedupSink(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      corpusPath: String,
+      indexPath: String,
+      checkpoint: String,
+      numHashes: Int = 8
+  ): StreamingQuery = {
+    val sigCols = (0 until numHashes).map(j => s"mh_$j")
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val index =
+          try spark.read.parquet(indexPath)
+          catch {
+            case _: Exception =>
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                StructType(sigCols.map(c =>
+                  org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType))))
+          }
+        val fresh = graft.operators.Dedup
+          .minhashSignatures(batch, idCol, textCol, numHashes)
+          .groupBy(sigCols.map(col): _*)
+          .agg(min(col(idCol)).as(idCol))
+          .join(index.select(sigCols.map(col): _*).distinct(), sigCols, "left_anti")
+          .localCheckpoint(true)
+        batch.join(fresh.select(col(idCol)), Seq(idCol), "left_semi")
+          .write.mode("append").parquet(corpusPath)
+        fresh.select(sigCols.map(col): _*).write.mode("append").parquet(indexPath)
+      }
+      .start()
+  }
 }

@@ -127,4 +127,30 @@ class StreamsSpec extends SparkSpec {
     assert(df.count() == 3) // a.json not reprocessed
     assert(df.agg(max("id")).head.getLong(0) == 3L)
   }
+
+  test("incrementalDedupSink lands each signature once across batches and grows the index") {
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-incdedup").toString
+    val corpus = s"$base/corpus"; val index = s"$base/index"; val ck = s"$base/ck"
+    val ms = MemoryStream[(Long, String)]
+    val q = Streams.incrementalDedupSink(ms.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", corpus, index, ck)
+    try {
+      ms.addData(
+        (1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "a completely different document about spark engines"),
+        (3L, "the quick brown fox jumps over the lazy dog") // intra-batch dup of 1
+      )
+      q.processAllAvailable()
+      assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+      assert(spark.read.parquet(index).count() == 2)
+      ms.addData(
+        (4L, "the quick brown fox jumps over the lazy dog"), // cross-batch dup of 1
+        (5L, "an entirely new document no one has seen")
+      )
+      q.processAllAvailable()
+      assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 5L))
+      assert(spark.read.parquet(index).count() == 3)
+    } finally q.stop()
+  }
 }
