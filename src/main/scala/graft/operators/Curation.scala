@@ -253,11 +253,34 @@ object Curation {
       .select(col(idCol), col("n_hits").cast("int").as("n_hits"))
   }
 
+  /** Drop documents contaminated by a benchmark: rows whose distinct
+    * shared-shingle count reaches `minHits` are anti-joined away. The
+    * flag pass is [[flagContaminated]] (size-gated broadcast), so the
+    * anti-join's right side is only the contaminated ids — tiny on a
+    * clean corpus. */
+  def decontaminate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      minHits: Int = 1,
+      maxBroadcastRows: Long = 10000000L
+  ): DataFrame =
+    df.join(
+      flagContaminated(df, idCol, textCol, benchmark, maxBroadcastRows)
+        .filter(col("n_hits") >= minHits)
+        .select(col(idCol)),
+      Seq(idCol),
+      "left_anti"
+    )
+
   /** The standard curation recipe composed end-to-end: quality gate →
-    * exact dedup (keep the min-id representative per normalized text)
-    * → deterministic train/val/test split → source mixing. One
-    * declarative plan — Catalyst fuses the projections, and the only
-    * shuffles are the dedup aggregation and its semi-join.
+    * (optional) benchmark decontamination → exact dedup (keep the
+    * min-id representative per normalized text) → deterministic
+    * train/val/test split → source mixing. One declarative plan —
+    * Catalyst fuses the projections, and the only shuffles are the
+    * contamination probe (when enabled), the dedup aggregation, and
+    * its semi-join.
     *
     * This is the entry point a reference user migrates to: input any
     * (id, text, source) table, output the curated rows with audit
@@ -268,14 +291,20 @@ object Curation {
       textCol: String,
       sourceCol: String,
       ratesPerMille: Map[String, Int] = Map.empty,
-      splitWeights: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10)
+      splitWeights: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10),
+      benchmark: Option[DataFrame] = None,
+      minContamHits: Int = 1
   ): DataFrame = {
     val q = qualityFilter(df, textCol).filter(col("kept"))
-    val keeperIds = q
+    val clean = benchmark match {
+      case Some(bm) => decontaminate(q, idCol, textCol, bm, minContamHits)
+      case None     => q
+    }
+    val keeperIds = clean
       .groupBy(md5(lower(trim(col(textCol)))).as("__k"))
       .agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
-    val deduped = q.join(keeperIds, Seq(idCol), "left_semi")
+    val deduped = clean.join(keeperIds, Seq(idCol), "left_semi")
     mixSources(hashSplit(deduped, idCol, splitWeights), idCol, sourceCol, ratesPerMille)
   }
 

@@ -581,6 +581,45 @@ object CurationCorpus {
     headline = true
   )
 
+  /** The curation recipe with the decontamination stage enabled:
+    * quality → drop docs sharing any 3-shingle with the benchmark
+    * (docs 0-2) → dedup → split → mix. Same chain as q81 with the
+    * contamination anti-join spliced in; the oracle composes q81's SQL
+    * with q74's contamination CTE (computing contamination over all
+    * batch docs is equivalent — quality-failed docs are already out of
+    * the chain). */
+  private val q90 = Q(
+    "q90_curate_decontaminated",
+    (s, dir) => {
+      val docs = fixture(s, dir, "documents")
+      val bench = Curation.benchmarkShingles(docs.filter(col("doc_id") < 3), "text")
+      Curation.curate(docs.filter(col("doc_id") >= 3), "doc_id", "text", "source",
+        ratesPerMille = Map("src0" -> 500), benchmark = Some(bench))
+        .select(col("doc_id"), col("source"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      s AS (SELECT doc_id, unnest(list_distinct(${ExtensionCorpus.sqlShingles})) AS sh
+            FROM t WHERE len(toks) >= 3),
+      bm AS (SELECT DISTINCT sh FROM s WHERE doc_id < 3),
+      contaminated AS (SELECT DISTINCT s.doc_id FROM s JOIN bm USING (sh) WHERE s.doc_id >= 3),
+      q AS (SELECT * FROM documents
+        WHERE doc_id >= 3
+          AND (length(text) BETWEEN 100 AND 2000)
+          AND (len(string_split(text, ' ')) BETWEEN 10 AND 500)
+          AND ((CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' '))) BETWEEN 2.0 AND 12.0)
+          AND ($sqlEnScore > 0)
+          AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+      k AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(lower(trim(text)))),
+      d AS (SELECT q.* FROM q JOIN k USING (doc_id)),
+      h AS (SELECT *, ${sqlHash32("CAST(doc_id AS VARCHAR)")} AS hv FROM d)
+      SELECT doc_id, source,
+        CASE WHEN hv % 100 < 80 THEN 'train' WHEN hv % 100 < 90 THEN 'val' ELSE 'test' END AS split
+      FROM h
+      WHERE hv % 1000 < (CASE source WHEN 'src0' THEN 500 ELSE 1000 END)
+      ORDER BY doc_id""")
+  )
+
   /** Multi-table LSH ANN: union of 2 seeded bucketings, distinct
     * candidates, exact re-rank. */
   private val q82 = Q(
@@ -693,5 +732,5 @@ object CurationCorpus {
   )
 
   val all: Seq[Q] = Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q89)
+    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q89, q90)
 }

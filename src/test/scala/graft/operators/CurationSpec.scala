@@ -168,6 +168,21 @@ class CurationSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("decontaminate drops exactly the flagged docs at the hit threshold") {
+    val bench = Seq((0L, "alpha beta gamma delta epsilon")).toDF("id", "text")
+    val docs = Seq(
+      (1L, "x alpha beta gamma y"),                   // 1 shared shingle
+      (2L, "alpha beta gamma delta epsilon and more"), // 3 shared shingles
+      (3L, "totally unrelated text here")
+    ).toDF("id", "text")
+    val bm = Curation.benchmarkShingles(bench, "text")
+    val any = Curation.decontaminate(docs, "id", "text", bm).select("id").as[Long].collect().toSet
+    assert(any == Set(3L))
+    val twoPlus = Curation.decontaminate(docs, "id", "text", bm, minHits = 2)
+      .select("id").as[Long].collect().toSet
+    assert(twoPlus == Set(1L, 3L)) // single-shingle doc survives the higher threshold
+  }
+
   test("flagContaminatedBloom equals the exact path and plans a might_contain prune") {
     val bench = Seq((0L, "alpha beta gamma delta"), (1L, "one two three four five")).toDF("id", "text")
     val docs = Seq(
