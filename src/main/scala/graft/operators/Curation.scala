@@ -308,6 +308,45 @@ object Curation {
     mixSources(hashSplit(deduped, idCol, splitWeights), idCol, sourceCol, ratesPerMille)
   }
 
+  /** Unigram language-model scoring — the perplexity-style quality
+    * signal (CCNet/Gopher lineage): train token log-probabilities on
+    * the corpus itself (count/total), then score each document by its
+    * mean negative log-likelihood. High-NLL docs are gibberish/rare-
+    * token soup; low-NLL docs are stopword soup — both tails are what
+    * perplexity filters trim.
+    *
+    * Shapes: vocabulary = one partial-agg groupBy (|vocab| rows);
+    * total = scalar agg broadcast via crossJoin; scoring joins the
+    * exploded tokens against the broadcast logprob table and partial-
+    * aggregates per doc — the fact stream is never shuffled by the
+    * join. (At web scale a vocab beyond broadcast limits shuffles on
+    * the token key instead — the stopword skew is exactly AQE's
+    * skew-join case.)
+    *
+    * Determinism contract: log-probs are rounded to 8 decimals then
+    * summed as DECIMAL(28,10), so per-doc sums are independent of
+    * partial-aggregation order and reproducible cross-engine (ln() may
+    * differ by 1 ulp between libms; the pre-round absorbs it).
+    * Output: (id, n_tok, nll, ppl). */
+  def unigramLogLoss(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+    val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("n_total"))
+    val logp = vocab.crossJoin(broadcast(total))
+      .select(col("w"),
+        round(log(col("cnt").cast("double") / col("n_total").cast("double")), 8)
+          .cast("decimal(28,10)").as("logp"))
+    tok.join(broadcast(logp), "w")
+      .groupBy(col(idCol))
+      .agg(sum(col("logp")).as("s"), count(lit(1)).as("n_tok"))
+      .select(
+        col(idCol),
+        col("n_tok").cast("int").as("n_tok"),
+        round(-col("s").cast("double") / col("n_tok"), 6).as("nll"),
+        round(exp(round(-col("s").cast("double") / col("n_tok"), 6)), 4).as("ppl")
+      )
+  }
+
   /** The shingle set of a benchmark corpus, for [[flagContaminated]]. */
   def benchmarkShingles(df: DataFrame, textCol: String): DataFrame =
     df.select(explode(array_distinct(wordShingles(tokens(col(textCol))))).as("sh")).distinct()

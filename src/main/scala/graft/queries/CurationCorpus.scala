@@ -620,6 +620,27 @@ object CurationCorpus {
       ORDER BY doc_id""")
   )
 
+  /** Unigram LM scoring (perplexity-style quality signal). The oracle
+    * replicates the determinism contract: ln pre-rounded to 8 decimals
+    * (absorbing libm 1-ulp drift), decimal-summed (order-independent),
+    * final NLL rounded to 6. */
+  private val q91 = Q(
+    "q91_unigram_logloss",
+    (s, dir) =>
+      Curation.unigramLogLoss(fixture(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id")),
+    Some("""WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+      v AS (SELECT w, COUNT(*) AS cnt FROM w GROUP BY w),
+      n AS (SELECT SUM(cnt) AS n_total FROM v),
+      lp AS (SELECT w, CAST(ROUND(ln(CAST(cnt AS DOUBLE)/CAST(n.n_total AS DOUBLE)), 8) AS DECIMAL(28,10)) AS logp
+             FROM v, n),
+      d AS (SELECT doc_id, SUM(logp) AS s, COUNT(*) AS n_tok FROM w JOIN lp USING (w) GROUP BY doc_id)
+      SELECT doc_id, CAST(n_tok AS INTEGER) AS n_tok,
+        ROUND(-CAST(s AS DOUBLE)/n_tok, 6) AS nll,
+        ROUND(exp(ROUND(-CAST(s AS DOUBLE)/n_tok, 6)), 4) AS ppl
+      FROM d ORDER BY doc_id""")
+  )
+
   /** Multi-table LSH ANN: union of 2 seeded bucketings, distinct
     * candidates, exact re-rank. */
   private val q82 = Q(
@@ -732,5 +753,5 @@ object CurationCorpus {
   )
 
   val all: Seq[Q] = Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q89, q90)
+    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q89, q90, q91)
 }

@@ -168,6 +168,22 @@ class CurationSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("unigramLogLoss scores rare-token docs higher than common-token docs") {
+    val docs = Seq(
+      (1L, "the the the the the the the the"), // most common token -> lowest NLL
+      (2L, "the cat sat on the mat today ok"),
+      (3L, "zyx qwv jkl pqr bnm asd fgh uio")  // all-singleton tokens -> highest NLL
+    ).toDF("id", "text")
+    val out = Curation.unigramLogLoss(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(1L)._1 == 8)
+    assert(out(1L)._2 < out(2L)._2 && out(2L)._2 < out(3L)._2)
+    // ppl = exp(nll), monotone with nll
+    assert(out(1L)._3 < out(3L)._3)
+    // all-singleton doc: every token has p = 1/24 -> nll = ln(24)
+    assert(math.abs(out(3L)._2 - math.log(24.0)) < 1e-5)
+  }
+
   test("decontaminate drops exactly the flagged docs at the hit threshold") {
     val bench = Seq((0L, "alpha beta gamma delta epsilon")).toDF("id", "text")
     val docs = Seq(
