@@ -158,6 +158,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q90: decontaminated recipe plans semi (dedup) + anti (contamination), no cross product") {
+    val plan = finalPlan(run("q90_curate_decontaminated"))
+    assert(plan.contains("LeftSemi"), s"dedup must be a semi-join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"decontamination must be an anti-join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q91: unigram scoring broadcasts the logprob table (fact stream unshuffled by the join)") {
+    val plan = finalPlan(run("q91_unigram_logloss"))
+    assert(plan.contains("BroadcastHashJoin"), s"logprob join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
+  }
+
   test("conformance compiles to a single Project over the scan") {
     import graft.core.{Conform, ColumnSpec}
     val df = Corpus.fixture(spark, sf("sf0.001"), "part")
