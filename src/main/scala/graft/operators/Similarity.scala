@@ -284,6 +284,72 @@ object Similarity {
       .head().getDouble(0)
   }
 
+  /** Persist an LSH ANN index as a bucketed managed table: one row per
+    * vector with its precomputed sign-bit bucket and norm, hash-bucketed
+    * BY the LSH bucket column. Build once, serve many — the index scan
+    * work (bucketing projections, norms) is paid at build time, and
+    * [[queryLshIndex]] reads only the probed buckets' FILES (Spark
+    * bucket pruning), so each query batch touches ~|probed buckets| /
+    * 2^bits of the index — sub-linear serving over a 100 TB corpus. */
+  def buildLshIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      table: String,
+      bits: Int = 8,
+      dim: Int = 64,
+      numBuckets: Int = 32
+  ): Unit = {
+    val planes = hyperplanes(dim, bits)
+    val bkt = (0 until bits)
+      .map(b => when(dot(col(vecCol), typedLit(planes(b).toSeq)) > 0, 1L << b).otherwise(0L))
+      .reduce(_ + _)
+    val indexed = corpus.select(
+      col(idCol).as("neighbor_id"),
+      col(vecCol).as("c_vec"),
+      norm(col(vecCol)).as("c_nrm"),
+      bkt.as("bkt")
+    )
+    graft.io.Sinks.bucketedTable(indexed, table, Seq("bkt"), numBuckets)
+  }
+
+  /** Top-k ANN against a persisted [[buildLshIndex]] table. The query
+    * batch's buckets are collected (|queries| values — the one
+    * deliberately driver-side step, tiny by definition) and pushed as
+    * an IN filter on the bucket column, so the bucketed-table scan
+    * prunes to only the matching bucket files (`SelectedBucketsCount`
+    * in the plan — spec-asserted); queries are then broadcast and
+    * re-ranked exactly, same semantics as [[lshTopK]]. */
+  def queryLshIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      bits: Int = 8,
+      dim: Int = 64
+  ): DataFrame = {
+    val planes = hyperplanes(dim, bits)
+    val bkt = (0 until bits)
+      .map(b => when(dot(col(vecCol), typedLit(planes(b).toSeq)) > 0, 1L << b).otherwise(0L))
+      .reduce(_ + _)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_nrm"), bkt.as("bkt"))
+      .localCheckpoint(true) // bucket values needed twice: IN-filter + join
+    val probed: Seq[Long] = q.select(col("bkt")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val c = spark.table(table).filter(col("bkt").isin(probed: _*))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("bkt"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), round(col("score"), 6).as("score"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** Multi-table sign-bit LSH: `tables` independent bucketings (seeded
     * hyperplane sets), candidates = the UNION of per-table same-bucket
     * pairs, deduplicated before one exact re-rank. OR-amplification:

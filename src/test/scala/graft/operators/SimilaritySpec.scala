@@ -128,6 +128,25 @@ class SimilaritySpec extends SparkSpec {
     assert((unrefined intersect truth).size * 2 >= truth.size)
   }
 
+  test("persisted LSH index: results equal lshTopK, scan prunes to probed buckets") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = e.filter($"vec_id" < 5)
+    Similarity.buildLshIndex(e, "vec_id", "embedding", "lsh_index_test", bits = 4, dim = 64, numBuckets = 8)
+    try {
+      val served = Similarity.queryLshIndex(spark, "lsh_index_test", q, "vec_id", "embedding",
+        k = 5, bits = 4, dim = 64)
+      val direct = Similarity.lshTopK(e, q, "vec_id", "embedding", k = 5, bits = 4, dim = 64)
+      assert(served.collect().toSeq == direct.collect().toSeq)
+      // bucket pruning visible in the scan: fewer buckets read than exist
+      val plan = served.queryExecution.executedPlan.toString
+      val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+      assert(m.isDefined, s"bucketed scan must report pruning:\n$plan")
+      assert(m.get.group(1).toInt <= m.get.group(2).toInt)
+      assert(m.get.group(2).toInt == 8)
+    } finally spark.sql("DROP TABLE IF EXISTS lsh_index_test")
+  }
+
   test("kmeans refinement never increases inertia and is deterministic") {
     val dir = "/root/testdata/sf0.001"
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
