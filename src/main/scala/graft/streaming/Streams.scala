@@ -133,6 +133,44 @@ object Streams {
       .format("parquet")
       .start(outPath)
 
+  /** Stream-static enrichment: join a stream against a slow-changing
+    * dimension table with an explicit broadcast — each micro-batch
+    * probes the broadcast hash relation scan-locally, so the stream is
+    * never shuffled by the join (the standard enrich-with-metadata step
+    * of a streaming ingest: license, source, language tags). The static
+    * side is re-resolved per batch, so a replaced underlying table is
+    * picked up without restarting the query. */
+  def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String], joinType: String = "left"): DataFrame =
+    stream.join(broadcast(dim), keys, joinType)
+
+  /** Watermarked stream-stream interval join: left events match right
+    * events with the same key whose event time falls in
+    * [leftTs - lookback, leftTs + lookahead]. Both sides are
+    * watermarked, which is what BOUNDS the join state: rows older than
+    * watermark + interval are evicted, so state size is
+    * O(rate × (delay + interval)) — never the stream's lifetime. The
+    * canonical attribution shape (purchase ↔ recent signup) that a
+    * batch range-join (q45) answers offline. */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      lookback: String = "2 hours",
+      lookahead: String = "0 seconds",
+      watermarkDelay: String = "1 hour"
+  ): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    l.join(
+      r,
+      l(key) === r(key) &&
+        r(rightTs) >= l(leftTs) - expr(s"INTERVAL $lookback") &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $lookahead")
+    ).drop(r(key))
+  }
+
   /** Continuous corpus ingestion with incremental near-exact dedup:
     * every micro-batch is deduplicated against the PERSISTED MinHash
     * signature index at `indexPath` (the streaming face of

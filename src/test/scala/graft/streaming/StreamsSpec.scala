@@ -128,6 +128,42 @@ class StreamsSpec extends SparkSpec {
     assert(df.agg(max("id")).head.getLong(0) == 3L)
   }
 
+  test("enrich joins the stream against a broadcast dimension per micro-batch") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val dim = Seq(("web", "high"), ("crawl", "low")).toDF("source", "trust")
+    val q = Streams.enrich(ms.toDF().toDF("id", "source"), dim, Seq("source"))
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      ms.addData((1L, "web"), (2L, "crawl"), (3L, "unknown"))
+      q.processAllAvailable()
+      val rows = spark.table("enriched").orderBy("id").collect()
+        .map(r => (r.getLong(1), Option(r.getString(2))))
+      assert(rows.toSeq == Seq((1L, Some("high")), (2L, Some("low")), (3L, None)))
+    } finally q.stop()
+  }
+
+  test("intervalJoin matches purchases to recent signups, bounded state") {
+    implicit val ctx = spark.sqlContext
+    val purchases = MemoryStream[(Long, java.sql.Timestamp)]
+    val signups = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = Streams.intervalJoin(
+      purchases.toDF().toDF("user_id", "p_ts"),
+      signups.toDF().toDF("user_id", "s_ts"),
+      "user_id", "p_ts", "s_ts", lookback = "2 hours")
+    val q = joined.select(col("user_id"), col("p_ts"), col("s_ts"))
+      .writeStream.format("memory").queryName("attributed").outputMode("append").start()
+    try {
+      signups.addData((1L, t("2024-01-01 09:00:00")), (2L, t("2024-01-01 05:00:00")))
+      purchases.addData((1L, t("2024-01-01 10:00:00")), (2L, t("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("attributed").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(2).toString))
+      // user 1's signup is within the 2h lookback; user 2's (5h earlier) is not
+      assert(rows.toSeq == Seq((1L, "2024-01-01 09:00:00.0")))
+    } finally q.stop()
+  }
+
   test("incrementalDedupSink lands each signature once across batches and grows the index") {
     implicit val ctx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft-incdedup").toString
