@@ -48,6 +48,35 @@ object Conform {
     df.select(cols: _*)
   }
 
+  /** One row of [[Conform.driftReport]]. */
+  final case class ColumnDrift(col_name: String, status: String, input_type: String, spec_type: String)
+
+  /** Schema-drift report for an input frame vs a spec — pure METADATA
+    * (no scan, no action): per column, whether it conforms by cast,
+    * is missing from the input (will become typed nulls), is extra in
+    * the input (will be dropped), or has no ANSI cast at all (will be
+    * nulled out — the silent-degradation case an operator wants
+    * surfaced before, not after, a 100 TB run). Conform itself stays
+    * permissive by design; this is the audit seam next to it. */
+  def driftReport(df: DataFrame, spec: Seq[ColumnSpec]): Seq[ColumnDrift] = {
+    val inputType = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val specCols = Schema.clean(spec).sortBy(_.order)
+    val specNames = specCols.map(_.name).toSet
+    val fromSpec = specCols.map { c =>
+      inputType.get(c.name) match {
+        case None => ColumnDrift(c.name, "missing_in_input", "", c.sparkType.sql)
+        case Some(from) if from == c.sparkType =>
+          ColumnDrift(c.name, "exact", from.sql, c.sparkType.sql)
+        case Some(from) if org.apache.spark.sql.catalyst.expressions.Cast.canAnsiCast(from, c.sparkType) =>
+          ColumnDrift(c.name, "cast", from.sql, c.sparkType.sql)
+        case Some(from) => ColumnDrift(c.name, "incompatible_nulled", from.sql, c.sparkType.sql)
+      }
+    }
+    val extra = df.schema.fields.filterNot(f => specNames.contains(f.name))
+      .map(f => ColumnDrift(f.name, "extra_dropped", f.dataType.sql, ""))
+    fromSpec ++ extra
+  }
+
   /** Conform + stamp the processing-date partition column
     * (reference: job_silver.py:166-168 — `lit(date)` then `to_date`). */
   def withPartitionStamp(

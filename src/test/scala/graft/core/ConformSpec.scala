@@ -32,6 +32,26 @@ class ConformSpec extends SparkSpec {
     assert(r.isNullAt(2)) // "x" cast to double -> null
   }
 
+  test("driftReport classifies every conformance outcome without a scan") {
+    val df = spark.createDataFrame(
+      List.empty[org.apache.spark.sql.Row].asJava,
+      StructType(Seq(
+        StructField("a", StringType),            // exact
+        StructField("b", StringType),            // cast -> bigint
+        StructField("extra", StringType),        // dropped
+        StructField("c", ArrayType(StringType))  // no ANSI cast to double -> nulled
+      ))
+    )
+    val report = Conform.driftReport(df, spec).map(d => d.col_name -> d.status).toMap
+    assert(report("a") == "exact")
+    assert(report("b") == "cast")
+    assert(report("c") == "incompatible_nulled")
+    assert(report("extra") == "extra_dropped")
+    assert(!report.contains("# partition info")) // describe hygiene applies
+    val missing = Conform.driftReport(df.drop("b"), spec).find(_.col_name == "b").get
+    assert(missing.status == "missing_in_input" && missing.spec_type == "BIGINT")
+  }
+
   test("missing spec column appears as typed null") {
     val df = spark.createDataFrame(
       List(org.apache.spark.sql.Row("only-a")).asJava,
