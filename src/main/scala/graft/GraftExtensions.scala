@@ -11,15 +11,35 @@ import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, Expression
   * just the Column API:
   *
   *   SELECT vec_cosine(a.embedding, b.embedding) FROM ...
+  *   SELECT doc_id FROM docs WHERE graft_lang_id(text) = 'en'
   *
-  * Registered functions (all fully codegen'd — `vec_norm`/`vec_cosine`
-  * compose built-in Sqrt/Divide around the custom [[graft.functions.VecDot]]):
+  * Registered functions (all codegen'd — `vec_norm`/`vec_cosine`
+  * compose built-in Sqrt/Divide around the custom [[graft.functions.VecDot]];
+  * the `graft_*` text functions expand the [[graft.functions.TextFunctions]]
+  * Column combinators into their built-in-expression trees at
+  * registration, so SQL users get the identical semantics the Scala
+  * API — and every DuckDB oracle — pins):
   *  - `vec_dot(array<float|double>, array<float|double>) -> double`
   *  - `vec_norm(vec) -> double` — L2 norm
   *  - `vec_cosine(a, b) -> double` — cosine similarity
+  *  - `graft_lang_id(text) -> string` — stopword-marker language ID
+  *  - `graft_quality_score(text) -> double` — composite quality score
+  *  - `graft_normalize_text(text) -> string` — pre-dedup canonicalization
+  *  - `graft_token_count(text) -> int`
+  *  - `graft_stopword_ratio(text) -> double`
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def normExpr(v: Expression): Expression = Sqrt(VecDot(v, v))
+
+  /** Lift a Column combinator into an Expression factory via the
+    * package bridge: the combinator's column tree is EAGERLY expanded
+    * into plain catalyst expressions (analyzer-resolvable — the lazy
+    * wrapper would reach codegen unresolved), so SQL callers get the
+    * identical, fully codegen'd tree the Column API builds. */
+  private def lift1(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column)(
+      children: Seq[Expression]): Expression =
+    org.apache.spark.sql.GraftSqlBridge.eagerExpression(
+      f(org.apache.spark.sql.GraftSqlBridge.column(children.head)))
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     // keyless BETWEEN time joins -> bucketed equi-joins (never BNLJ)
@@ -41,5 +61,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Divide(VecDot(children.head, children(1)),
           Multiply(normExpr(children.head), normExpr(children(1))))
     ))
+    import graft.functions.TextFunctions
+    val textFns: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)] = Seq(
+      "graft_lang_id" -> TextFunctions.langId,
+      "graft_quality_score" -> TextFunctions.qualityScore,
+      "graft_normalize_text" -> TextFunctions.normalizeText,
+      "graft_token_count" -> TextFunctions.tokenCount,
+      "graft_stopword_ratio" -> TextFunctions.stopwordRatio
+    )
+    textFns.foreach { case (name, f) =>
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(TextFunctions.getClass.getName, name),
+        lift1(f) _
+      ))
+    }
   }
 }

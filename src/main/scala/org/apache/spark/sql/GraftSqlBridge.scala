@@ -11,4 +11,14 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** EAGER Column → Expression conversion: expands the column node into
+    * a plain catalyst tree (function names become catalyst
+    * `UnresolvedFunction`s the analyzer resolves normally). The lazy
+    * [[expression]] wrapper is fine inside Dataset operations, but a
+    * tree returned from a `SparkSessionExtensions.injectFunction`
+    * builder must be analyzer-visible — the lazy wrapper reaches
+    * codegen unresolved there. */
+  def eagerExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter.apply(c.node)
 }
