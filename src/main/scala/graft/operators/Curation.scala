@@ -347,6 +347,33 @@ object Curation {
       )
   }
 
+  /** Bigram LM scoring — [[unigramLogLoss]]'s conditional sibling:
+    * p(w_i | w_{i-1}) = count(w_{i-1} w_i) / count(w_{i-1} ·), scored
+    * as per-doc mean negative log-likelihood over the doc's bigrams.
+    * Sharper than unigram at separating fluent text from bag-of-common-
+    * words gibberish (a doc of frequent tokens in random ORDER scores
+    * badly here). Same shapes (explode → partial-agg counts → broadcast
+    * logprob join) and the same cross-engine determinism contract
+    * (round(ln, 8) → DECIMAL sums). Docs with < 2 tokens carry no
+    * bigrams and are not emitted. */
+  def bigramLogLoss(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = df.select(col(idCol), explode(wordShingles(tokens(col(textCol)), 2)).as("bg"))
+    val cnt = bg.groupBy(col("bg")).agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy(substring_index(col("bg"), " ", 1).as("w1")).agg(sum(col("c")).as("tc"))
+    val logp = cnt.join(broadcast(tot), substring_index(col("bg"), " ", 1) === col("w1"))
+      .select(col("bg"),
+        round(log(col("c").cast("double") / col("tc").cast("double")), 8)
+          .cast("decimal(28,10)").as("logp"))
+    bg.join(broadcast(logp), "bg")
+      .groupBy(col(idCol))
+      .agg(sum(col("logp")).as("s"), count(lit(1)).as("n_bigrams"))
+      .select(
+        col(idCol),
+        col("n_bigrams").cast("int").as("n_bigrams"),
+        round(-col("s").cast("double") / col("n_bigrams"), 6).as("nll")
+      )
+  }
+
   /** The shingle set of a benchmark corpus, for [[flagContaminated]]. */
   def benchmarkShingles(df: DataFrame, textCol: String): DataFrame =
     df.select(explode(array_distinct(wordShingles(tokens(col(textCol))))).as("sh")).distinct()

@@ -641,6 +641,25 @@ object CurationCorpus {
       FROM d ORDER BY doc_id""")
   )
 
+  /** Bigram (conditional) LM scoring — q91's sharper sibling; same
+    * determinism contract. */
+  private val q92 = Q(
+    "q92_bigram_logloss",
+    (s, dir) =>
+      Curation.bigramLogLoss(fixture(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id")),
+    Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' '))) AS bg
+            FROM t WHERE len(toks) >= 2),
+      cnt AS (SELECT bg, COUNT(*) AS c FROM b GROUP BY bg),
+      tot AS (SELECT split_part(bg, ' ', 1) AS w1, SUM(c) AS tc FROM cnt GROUP BY 1),
+      lp AS (SELECT bg, CAST(ROUND(ln(CAST(c AS DOUBLE)/CAST(tc AS DOUBLE)), 8) AS DECIMAL(28,10)) AS logp
+             FROM cnt JOIN tot ON split_part(cnt.bg, ' ', 1) = tot.w1),
+      d AS (SELECT doc_id, SUM(logp) AS s, COUNT(*) AS n_bg FROM b JOIN lp USING (bg) GROUP BY doc_id)
+      SELECT doc_id, CAST(n_bg AS INTEGER) AS n_bigrams, ROUND(-CAST(s AS DOUBLE)/n_bg, 6) AS nll
+      FROM d ORDER BY doc_id""")
+  )
+
   /** Multi-table LSH ANN: union of 2 seeded bucketings, distinct
     * candidates, exact re-rank. */
   private val q82 = Q(
@@ -753,5 +772,6 @@ object CurationCorpus {
   )
 
   val all: Seq[Q] = Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q89, q90, q91)
+    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q89, q90, q91,
+    q92)
 }

@@ -184,6 +184,21 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(out(3L)._2 - math.log(24.0)) < 1e-5)
   }
 
+  test("bigramLogLoss penalizes shuffled word order that unigram cannot see") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat the cat sat on the mat"), // repeated fluent bigrams
+      (2L, "mat the sat cat the on mat the sat cat the on"), // same tokens, scrambled
+      (3L, "x") // single token: no bigrams, not emitted
+    ).toDF("id", "text")
+    val out = Curation.bigramLogLoss(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(!out.contains(3L))
+    assert(out(1L)._1 == 11 && out(2L)._1 == 11)
+    // doc 1's bigrams are each the dominant continuation of their first
+    // word; doc 2 splits each first word across continuations -> higher NLL
+    assert(out(1L)._2 < out(2L)._2)
+  }
+
   test("decontaminate drops exactly the flagged docs at the hit threshold") {
     val bench = Seq((0L, "alpha beta gamma delta epsilon")).toDF("id", "text")
     val docs = Seq(
