@@ -63,6 +63,21 @@ object Sinks {
   def ndjson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** Layout-optimized parquet: range-partition on `sortCols` then sort
+    * within partitions before writing. Every output file then covers a
+    * DISJOINT range of the sort key, so parquet min/max statistics let
+    * a filtered scan skip whole files/row-groups — the data-layout half
+    * of predicate pushdown, and at 100 TB the difference between
+    * scanning everything and scanning the one file a point/range query
+    * needs. `numFiles` sizes the range partitioning (pick so files land
+    * near the rowgroup/HDFS-block sweet spot, ~128-1024 MB). */
+  def sortedParquet(df: DataFrame, path: String, sortCols: Seq[String], numFiles: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartitionByRange(numFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   def parquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 }

@@ -38,4 +38,23 @@ object Sketches {
         hll_sketch_estimate(hll_union_agg(col("distinct_sketch"))).as("distinct_est"),
         sum(col("n_rows")).as("n_rows")
       )
+
+  /** Estimated distinct-value overlap of two corpora by
+    * inclusion–exclusion over HLL: |A ∩ B| ≈ |A| + |B| − |A ∪ B|, where
+    * the union estimate merges the two sketches (never re-scans either
+    * side). The cheap first answer to "how much does source X overlap
+    * source Y" before committing to an exact (and expensive) join —
+    * error compounds from three estimates, so treat small overlaps as
+    * "≈ 0", not as exact counts. Returns
+    * (est_a, est_b, est_union, est_overlap). */
+  def hllOverlap(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    val sa = a.agg(hll_sketch_agg(col(valueCol)).as("sk")).select(col("sk").as("sk_a"))
+    val sb = b.agg(hll_sketch_agg(col(valueCol)).as("sk")).select(col("sk").as("sk_b"))
+    sa.crossJoin(sb).select(
+      hll_sketch_estimate(col("sk_a")).as("est_a"),
+      hll_sketch_estimate(col("sk_b")).as("est_b"),
+      hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))).as("est_union")
+    ).withColumn("est_overlap",
+      greatest(lit(0L), col("est_a") + col("est_b") - col("est_union")))
+  }
 }

@@ -28,4 +28,26 @@ class SinksSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bkt_dims")
     }
   }
+
+  test("sortedParquet writes files with disjoint sort-key ranges (min/max skippable)") {
+    val out = java.nio.file.Files.createTempDirectory("sorted-pq").toString + "/t"
+    val df = spark.range(0, 10000).toDF("id")
+      .withColumn("v", $"id" * 2)
+      .orderBy(org.apache.spark.sql.functions.rand(7)) // scrambled input
+    Sinks.sortedParquet(df, out, Seq("id"), numFiles = 4)
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".parquet")).map(_.toString)
+    assert(files.length == 4)
+    // per-file (min, max) of the sort key must not overlap across files
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(org.apache.spark.sql.functions.min($"id"), org.apache.spark.sql.functions.max($"id")).head
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2, s"file ranges overlap: ${ranges.toSeq}")
+      case _ =>
+    }
+    // total rows preserved
+    assert(spark.read.parquet(out).count() == 10000)
+  }
 }

@@ -26,4 +26,19 @@ class SketchesSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(rolled == allAtOnce)
   }
+
+  test("hllOverlap estimates distinct intersection within error") {
+    // A = 0..999, B = 500..1499 -> |A∩B| = 500
+    val a = spark.range(0, 1000).toDF("v")
+    val b = spark.range(500, 1500).toDF("v")
+    val r = Sketches.hllOverlap(a, b, "v").head
+    val (ea, eb, eu, eo) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(math.abs(ea - 1000) < 50 && math.abs(eb - 1000) < 50)
+    assert(math.abs(eu - 1500) < 75)
+    assert(math.abs(eo - 500) < 150) // error compounds from three estimates
+    // disjoint corpora estimate near zero
+    val disjoint = Sketches.hllOverlap(spark.range(0, 500).toDF("v"),
+      spark.range(10000, 10500).toDF("v"), "v").head.getLong(3)
+    assert(disjoint < 60)
+  }
 }
