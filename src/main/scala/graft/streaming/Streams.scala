@@ -206,10 +206,14 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        // only a MISSING index (first batch ever) falls back to empty —
+        // any other read failure (corrupt files, permissions) must fail
+        // the batch, not silently reset dedup and re-land the corpus
         val index =
           try spark.read.parquet(indexPath)
           catch {
-            case _: Exception =>
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getCondition == "PATH_NOT_FOUND" =>
               spark.createDataFrame(
                 spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
                 StructType(sigCols.map(c =>
