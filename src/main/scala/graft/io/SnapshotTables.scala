@@ -105,6 +105,29 @@ final class SnapshotTables(spark: SparkSession, root: String, previousVersionsMa
     overwriteTable(merged, table, partitionCols)
   }
 
+  /** Copy-on-write MERGE (upsert): rows of `updates` replace current
+    * rows with the same `keyCols` value; unmatched update rows are
+    * inserted — `MERGE INTO t USING u ON keys WHEN MATCHED THEN UPDATE
+    * WHEN NOT MATCHED THEN INSERT`, committed as a new snapshot version
+    * (prior versions remain time-travelable). The merge itself is one
+    * anti-join (current rows whose key is NOT updated) + union — the
+    * copy-on-write strategy; at scale the anti-join shuffles on the key
+    * like any MERGE, and a mostly-unchanged table pays the rewrite,
+    * which is exactly Iceberg COW's trade (merge-on-read is the other
+    * half, out of scope for a parquet-directory snapshot model).
+    * On an empty table, MERGE degenerates to insert-all. */
+  def merge(table: String, updates: DataFrame, keyCols: Seq[String], partitionCols: Seq[String] = Nil): Unit = {
+    require(keyCols.nonEmpty, "merge needs key columns")
+    val cur = currentVersion(table)
+    val merged =
+      if (cur == 0) updates
+      else {
+        val keys = updates.select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct()
+        read(table).join(keys, keyCols, "left_anti").unionByName(updates)
+      }
+    overwriteTable(merged, table, partitionCols)
+  }
+
   /** Read the current snapshot (partition discovery + pruning work as
     * on any partitioned parquet directory). */
   def read(table: String): DataFrame = readVersion(table, currentVersion(table))

@@ -27,6 +27,20 @@ class SnapshotTablesSpec extends SparkSpec {
     assert(t.history("tab") == Seq(1, 2))
   }
 
+  test("merge upserts by key as a new version; prior version still time-travels") {
+    val t = newTables()
+    t.overwriteTable(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"), "tab")
+    t.merge("tab", Seq((2, "B2"), (4, "d")).toDF("id", "v"), keyCols = Seq("id"))
+    assert(t.currentVersion("tab") == 2)
+    assert(t.read("tab").as[(Int, String)].collect().toSet ==
+      Set((1, "a"), (2, "B2"), (3, "c"), (4, "d"))) // 2 updated, 4 inserted, 1/3 untouched
+    assert(t.readVersion("tab", 1).as[(Int, String)].collect().toSet ==
+      Set((1, "a"), (2, "b"), (3, "c")))
+    // merge into an empty table = insert all
+    t.merge("tab2", Seq((9, "z")).toDF("id", "v"), keyCols = Seq("id"))
+    assert(t.read("tab2").as[(Int, String)].head() == ((9, "z")))
+  }
+
   test("retention expires snapshots beyond previousVersionsMax") {
     val t = newTables(retention = 2)
     (1 to 5).foreach(i => t.overwriteTable(Seq((i, s"v$i")).toDF("id", "v"), "tab"))
