@@ -128,6 +128,17 @@ final class SnapshotTables(spark: SparkSession, root: String, previousVersionsMa
     overwriteTable(merged, table, partitionCols)
   }
 
+  /** Copy-on-write DELETE: current rows matching `predicate` are
+    * dropped, the remainder committed as a new version — completing the
+    * DML triad (overwrite / merge / delete) on the snapshot model. The
+    * rewrite cost is COW's trade, but deletion by time-travelable
+    * version is also what makes a GDPR-style purge auditable: the purge
+    * is a commit, and `expire` eventually removes the data physically. */
+  def delete(table: String, predicate: org.apache.spark.sql.Column, partitionCols: Seq[String] = Nil): Unit = {
+    require(currentVersion(table) > 0, s"table $table has no committed version")
+    overwriteTable(read(table).filter(!predicate), table, partitionCols)
+  }
+
   /** Read the current snapshot (partition discovery + pruning work as
     * on any partitioned parquet directory). */
   def read(table: String): DataFrame = readVersion(table, currentVersion(table))

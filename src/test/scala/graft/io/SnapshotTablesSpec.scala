@@ -41,6 +41,15 @@ class SnapshotTablesSpec extends SparkSpec {
     assert(t.read("tab2").as[(Int, String)].head() == ((9, "z")))
   }
 
+  test("delete drops matching rows as a new version") {
+    val t = newTables()
+    t.overwriteTable(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"), "tab")
+    t.delete("tab", $"id" === 2)
+    assert(t.currentVersion("tab") == 2)
+    assert(t.read("tab").as[(Int, String)].collect().toSet == Set((1, "a"), (3, "c")))
+    assert(t.readVersion("tab", 1).count() == 3) // purge is an auditable commit
+  }
+
   test("retention expires snapshots beyond previousVersionsMax") {
     val t = newTables(retention = 2)
     (1 to 5).foreach(i => t.overwriteTable(Seq((i, s"v$i")).toDF("id", "v"), "tab"))
