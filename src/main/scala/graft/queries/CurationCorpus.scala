@@ -660,6 +660,32 @@ object CurationCorpus {
       FROM d ORDER BY doc_id""")
   )
 
+  /** Spark 4 native recursive CTE: transitive closure of the LSH
+    * candidate-pair graph in pure SQL (`WITH RECURSIVE`). Edges always
+    * point id-upward (a < b), so the recursion is over a DAG and every
+    * path strictly lengthens — UNION ALL terminates (Spark does not yet
+    * support UNION-distinct recursion); the outer DISTINCT collapses
+    * per-path duplicates. DuckDB's oracle recursion uses UNION, which
+    * is the same set. The operator-level twin is Dedup.nearDupClusters
+    * (q71, label propagation); this row pins the SQL-surface capability
+    * itself. */
+  private val q93 = Q(
+    "q93_recursive_closure",
+    (s, dir) => {
+      Dedup.lshCandidatePairs(fixture(s, dir, "documents"), "doc_id", "text", numHashes = 8, bands = 4)
+        .createOrReplaceTempView("graft_q93_pairs")
+      s.sql("""WITH RECURSIVE reach(a, b) AS (
+          SELECT a, b FROM graft_q93_pairs
+          UNION ALL
+          SELECT r.a, p.b FROM reach r JOIN graft_q93_pairs p ON r.b = p.a)
+        SELECT DISTINCT a, b FROM reach ORDER BY a, b""")
+    },
+    Some(s"""WITH RECURSIVE ${ExtensionCorpus.sqlLshPairCtes},
+      reach AS (SELECT a, b FROM pairs
+        UNION SELECT r.a, p.b FROM reach r JOIN pairs p ON r.b = p.a)
+      SELECT a, b FROM reach ORDER BY a, b""")
+  )
+
   /** Multi-table LSH ANN: union of 2 seeded bucketings, distinct
     * candidates, exact re-rank. */
   private val q82 = Q(
@@ -773,5 +799,5 @@ object CurationCorpus {
 
   val all: Seq[Q] = Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q89, q90, q91,
-    q92)
+    q92, q93)
 }
