@@ -686,6 +686,29 @@ object CurationCorpus {
       SELECT a, b FROM reach ORDER BY a, b""")
   )
 
+  /** Spark 4 VARIANT surface: schema-less semi-structured parsing
+    * (`parse_json` → VARIANT) with typed path extraction — the modern
+    * alternative to from_json-with-schema (q76) when the shape isn't
+    * known up front. Missing paths extract as typed NULL, present paths
+    * as the requested type; binary-encoded at rest, no string re-parse
+    * per access. */
+  private val q94 = Q(
+    "q94_variant_extract",
+    (s, dir) =>
+      fixture(s, dir, "events")
+        .selectExpr(
+          "event_id",
+          "variant_get(parse_json(props), '$.k', 'int') AS k_val",
+          "variant_get(parse_json(props), '$.missing', 'string') AS missing_val",
+          "variant_get(parse_json(props), '$.k', 'int') * 2 AS k_doubled"
+        )
+        .orderBy(col("event_id")),
+    Some("""SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k_val,
+      props->>'$.missing' AS missing_val,
+      CAST(props->>'$.k' AS INTEGER) * 2 AS k_doubled
+      FROM events ORDER BY event_id""")
+  )
+
   /** Multi-table LSH ANN: union of 2 seeded bucketings, distinct
     * candidates, exact re-rank. */
   private val q82 = Q(
@@ -799,5 +822,5 @@ object CurationCorpus {
 
   val all: Seq[Q] = Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q89, q90, q91,
-    q92, q93)
+    q92, q93, q94)
 }
