@@ -672,7 +672,11 @@ object CurationCorpus {
   private val q93 = Q(
     "q93_recursive_closure",
     (s, dir) => {
+      // materialize the edge relation ONCE: the recursion re-executes
+      // the view per iteration, and an unmaterialized view would re-run
+      // the whole LSH pipeline (scan → minhash → bucket join) each step
       Dedup.lshCandidatePairs(fixture(s, dir, "documents"), "doc_id", "text", numHashes = 8, bands = 4)
+        .localCheckpoint(true)
         .createOrReplaceTempView("graft_q93_pairs")
       s.sql("""WITH RECURSIVE reach(a, b) AS (
           SELECT a, b FROM graft_q93_pairs
