@@ -186,12 +186,19 @@ object Streams {
     * (contrast [[dedupStream]], whose watermark-bounded state handles
     * short-horizon redelivery). Fresh signatures are localCheckpointed
     * before any write so the index read happens once per batch, never
-    * mid-append. Delivery is Structured Streaming's at-least-once for
-    * foreachBatch: a retried batch can re-append keepers — dedupe
-    * downstream on (sig digest) or use batchId-keyed paths if the sink
-    * must be exactly-once. Docs shorter than the shingle width carry no
-    * signature and are dropped (route them through [[dedupStream]] on a
-    * content digest instead). */
+    * mid-append.
+    *
+    * Delivery is EXACTLY-ONCE at batch granularity: foreachBatch itself
+    * is at-least-once on retry, so each successful batch commits a
+    * marker file (`_committed_<batchId>` under the index) LAST — a
+    * replayed batchId finds its marker and is skipped whole, so keepers
+    * are never double-appended. (A crash between the corpus append and
+    * the marker write replays the batch; re-appended keepers are then
+    * possible for THAT batch only — the marker bounds the damage to one
+    * batch and makes it detectable; dedupe on sig_digest downstream if
+    * the corpus must be byte-exact after kill -9.) Docs shorter than
+    * the shingle width carry no signature and are dropped (route them
+    * through [[dedupStream]] on a content digest instead). */
   def incrementalDedupSink(
       docs: DataFrame,
       idCol: String,
@@ -200,35 +207,56 @@ object Streams {
       indexPath: String,
       checkpoint: String,
       numHashes: Int = 8
-  ): StreamingQuery = {
-    val sigCols = (0 until numHashes).map(j => s"mh_$j")
+  ): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        // only a MISSING index (first batch ever) falls back to empty —
-        // any other read failure (corrupt files, permissions) must fail
-        // the batch, not silently reset dedup and re-land the corpus
-        val index =
-          try spark.read.parquet(indexPath)
-          catch {
-            case e: org.apache.spark.sql.AnalysisException
-                if e.getCondition == "PATH_NOT_FOUND" =>
-              spark.createDataFrame(
-                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-                StructType(sigCols.map(c =>
-                  org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType))))
-          }
-        val fresh = graft.operators.Dedup
-          .minhashSignatures(batch, idCol, textCol, numHashes)
-          .groupBy(sigCols.map(col): _*)
-          .agg(min(col(idCol)).as(idCol))
-          .join(index.select(sigCols.map(col): _*).distinct(), sigCols, "left_anti")
-          .localCheckpoint(true)
-        batch.join(fresh.select(col(idCol)), Seq(idCol), "left_semi")
-          .write.mode("append").parquet(corpusPath)
-        fresh.select(sigCols.map(col): _*).write.mode("append").parquet(indexPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        incrementalDedupBatch(batch, batchId, idCol, textCol, corpusPath, indexPath, numHashes)
+        ()
       }
       .start()
+
+  /** One batch of [[incrementalDedupSink]], factored out so idempotency
+    * is directly testable: returns false (no-op) when `batchId` was
+    * already committed. */
+  private[graft] def incrementalDedupBatch(
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      textCol: String,
+      corpusPath: String,
+      indexPath: String,
+      numHashes: Int = 8
+  ): Boolean = {
+    val spark = batch.sparkSession
+    val sigCols = (0 until numHashes).map(j => s"mh_$j")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val marker = new org.apache.hadoop.fs.Path(indexPath, s"_committed_$batchId")
+    val fs = marker.getFileSystem(hconf)
+    if (fs.exists(marker)) return false // replayed batch: already fully committed
+    // only a MISSING index (first batch ever) falls back to empty —
+    // any other read failure (corrupt files, permissions) must fail
+    // the batch, not silently reset dedup and re-land the corpus
+    val index =
+      try spark.read.parquet(indexPath)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" =>
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(sigCols.map(c =>
+              org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType))))
+      }
+    val fresh = graft.operators.Dedup
+      .minhashSignatures(batch, idCol, textCol, numHashes)
+      .groupBy(sigCols.map(col): _*)
+      .agg(min(col(idCol)).as(idCol))
+      .join(index.select(sigCols.map(col): _*).distinct(), sigCols, "left_anti")
+      .localCheckpoint(true)
+    batch.join(fresh.select(col(idCol)), Seq(idCol), "left_semi")
+      .write.mode("append").parquet(corpusPath)
+    fresh.select(sigCols.map(col): _*).write.mode("append").parquet(indexPath)
+    fs.create(marker, true).close() // commit point: written LAST
+    true
   }
 }

@@ -164,6 +164,17 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a replayed batchId is a committed no-op (exactly-once at batch granularity)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-incdedup-replay").toString
+    val corpus = s"$base/corpus"; val index = s"$base/index"
+    val batch = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    assert(Streams.incrementalDedupBatch(batch, 0L, "doc_id", "text", corpus, index))
+    assert(!Streams.incrementalDedupBatch(batch, 0L, "doc_id", "text", corpus, index)) // replay skipped
+    assert(spark.read.parquet(corpus).count() == 1) // not double-appended
+    assert(Streams.incrementalDedupBatch(batch, 1L, "doc_id", "text", corpus, index)) // new batch runs
+    assert(spark.read.parquet(corpus).count() == 1) // ...but the doc is already indexed
+  }
+
   test("incrementalDedupSink lands each signature once across batches and grows the index") {
     implicit val ctx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft-incdedup").toString
