@@ -12,6 +12,12 @@ import java.nio.file.{Files, Paths}
   *
   * A query that throws is recorded as -1 so a broken query can never
   * masquerade as a fast one.
+  *
+  * Contention defense (BENCH_r02/BENCH_r04 were both corrupted by
+  * ambient machine load): each query runs three times consecutively —
+  * cold = first execution, warm = min of the three — and the official
+  * line carries start/end /proc/loadavg so a loaded run is
+  * self-identifying.
   */
 object Bench {
   private def r3(v: Double): Double = math.rint(v * 1000) / 1000
@@ -45,8 +51,36 @@ object Bench {
       try { q.run(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
       catch { case _: Throwable => -1.0 }
     }
+    // 1-minute load average, recorded at start and end of the measured
+    // section: a one-shot timing has no defense against ambient machine
+    // load (BENCH_r02 and BENCH_r04 were both corrupted by it — warm
+    // passes 2-16x their own cold numbers), so the record carries the
+    // evidence needed to adjudicate itself.
+    def loadavg1(): Double =
+      try new String(Files.readAllBytes(Paths.get("/proc/loadavg")), StandardCharsets.UTF_8)
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    // Three consecutive executions per query: the first is the plan's
+    // first execution in this JVM (the cold/parity number, matching the
+    // reference's fresh-JVM-per-job spans); warm = min of all three, so
+    // a load spike during any single execution cannot corrupt the warm
+    // record and warm <= cold holds by construction per query and in
+    // total. Consecutive (rather than separate corpus passes) also
+    // keeps the two warm executions inside the same cache/JIT state as
+    // their cold one.
+    def time3(q: graft.queries.Q): (Double, Double) = {
+      val t1 = time(q)
+      if (t1 < 0) (-1.0, -1.0)
+      else {
+        val t2 = time(q); val t3 = time(q)
+        (t1, Seq(t1, t2, t3).filter(_ >= 0).min)
+      }
+    }
 
-    val results = graft.queries.Corpus.all.map(q => q.name -> time(q))
+    val la0 = loadavg1()
+    val timed = graft.queries.Corpus.all.map(q => q.name -> time3(q))
+    val results = timed.map { case (n, (c, _)) => n -> c }
+    val warmAll = timed.map { case (n, (_, w)) => n -> w }
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.filter(_._2 < 0).map(_._1)
 
@@ -92,20 +126,19 @@ object Bench {
       }
     val e2e = e2ePass("cold")
     val e2eWarm = e2ePass("warm")
-    // Second pass over the headline queries: cold numbers above include
-    // per-plan codegen+JIT (~0.5-1 s each at sf0.1); warm numbers show
-    // steady-state engine throughput. GC first so the warm pass isn't
-    // taxed with the cold pass's garbage.
-    System.gc()
-    val warm = graft.queries.Corpus.headlines.map(q => q.name -> time(q))
-    // Warm steady-state total over the WHOLE corpus: all plans compiled,
-    // JIT settled — the number to hold against single-node baselines.
-    val warmTotal = graft.queries.Corpus.all.map(q => time(q)).filter(_ >= 0).sum
+    val la1 = loadavg1()
+    // Warm numbers come from the per-query best-of-3 above: all plans
+    // compiled, JIT settled — the figures to hold against single-node
+    // baselines.
+    val warmByName = warmAll.toMap
+    val warm = graft.queries.Corpus.headlines.map(q => q.name -> warmByName(q.name))
+    val warmTotal = warmAll.map(_._2).filter(_ >= 0).sum
 
     val detail =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(results)},""" +
-        s""""warm_total":${r3(warmTotal)},"warm_headline":${jmap(warm)},"e2e":${jmap(e2e)},""" +
-        s""""e2e_warm":${jmap(e2eWarm)},""" +
+        s""""warm_total":${r3(warmTotal)},"warm_all":${jmap(warmAll)},""" +
+        s""""warm_headline":${jmap(warm)},"e2e":${jmap(e2e)},""" +
+        s""""e2e_warm":${jmap(e2eWarm)},"loadavg":[${r3(la0)},${r3(la1)}],""" +
         s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
     try Files.write(Paths.get("BENCH_DETAIL.json"), detail.getBytes(StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
@@ -117,7 +150,8 @@ object Bench {
     def official(qs: Seq[(String, Double)]): String =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(qs)},""" +
         s""""warm_total":${r3(warmTotal)},"warm_headline":${jmap(warm)},"e2e":${jmap(e2e)},""" +
-        s""""e2e_warm":${jmap(e2eWarm)},"failed":${failed.length},"sf":"$sfDir"}"""
+        s""""e2e_warm":${jmap(e2eWarm)},"loadavg":[${r3(la0)},${r3(la1)}],""" +
+        s""""failed":${failed.length},"sf":"$sfDir"}"""
     // budget: 2000-char tail minus ~75 for sbt's trailing [success] line
     val full = official(results)
     val line = if (full.length <= 1850) full
