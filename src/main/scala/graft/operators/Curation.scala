@@ -317,18 +317,25 @@ object Curation {
     *
     * Shapes: vocabulary = one partial-agg groupBy (|vocab| rows);
     * total = scalar agg broadcast via crossJoin; scoring joins the
-    * exploded tokens against the broadcast logprob table and partial-
-    * aggregates per doc — the fact stream is never shuffled by the
-    * join. (At web scale a vocab beyond broadcast limits shuffles on
-    * the token key instead — the stopword skew is exactly AQE's
-    * skew-join case.)
+    * exploded tokens against the logprob table and partial-aggregates
+    * per doc. The logprob broadcast is size-gated (same pattern as
+    * [[flagContaminated]]): vocabularies up to `maxBroadcastRows` ship
+    * hinted-broadcast so the token stream is never shuffled; a web-
+    * scale vocab beyond the gate falls back to an un-hinted join that
+    * shuffles on the token key instead — the stopword skew there is
+    * exactly AQE's skew-join case.
     *
     * Determinism contract: log-probs are rounded to 8 decimals then
     * summed as DECIMAL(28,10), so per-doc sums are independent of
     * partial-aggregation order and reproducible cross-engine (ln() may
     * differ by 1 ulp between libms; the pre-round absorbs it).
     * Output: (id, n_tok, nll, ppl). */
-  def unigramLogLoss(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def unigramLogLoss(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxBroadcastRows: Long = 10000000L
+  ): DataFrame = {
     val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("w"))
     val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
     val total = vocab.agg(sum(col("cnt")).as("n_total"))
@@ -336,7 +343,8 @@ object Curation {
       .select(col("w"),
         round(log(col("cnt").cast("double") / col("n_total").cast("double")), 8)
           .cast("decimal(28,10)").as("logp"))
-    tok.join(broadcast(logp), "w")
+    val probeSide = if (vocab.count() <= maxBroadcastRows) broadcast(logp) else logp
+    tok.join(probeSide, "w")
       .groupBy(col(idCol))
       .agg(sum(col("logp")).as("s"), count(lit(1)).as("n_tok"))
       .select(
@@ -352,19 +360,30 @@ object Curation {
     * as per-doc mean negative log-likelihood over the doc's bigrams.
     * Sharper than unigram at separating fluent text from bag-of-common-
     * words gibberish (a doc of frequent tokens in random ORDER scores
-    * badly here). Same shapes (explode → partial-agg counts → broadcast
-    * logprob join) and the same cross-engine determinism contract
-    * (round(ln, 8) → DECIMAL sums). Docs with < 2 tokens carry no
-    * bigrams and are not emitted. */
-  def bigramLogLoss(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * badly here). Same shapes (explode → partial-agg counts → size-
+    * gated broadcast logprob join; one |bigram-vocab| count decides
+    * the gate for both the conditional-total join and the scoring
+    * join — the w1 table is never larger than the bigram table, so
+    * the single gate is safe for both) and the same cross-engine
+    * determinism contract (round(ln, 8) → DECIMAL sums). Docs with
+    * < 2 tokens carry no bigrams and are not emitted. */
+  def bigramLogLoss(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxBroadcastRows: Long = 10000000L
+  ): DataFrame = {
     val bg = df.select(col(idCol), explode(wordShingles(tokens(col(textCol)), 2)).as("bg"))
     val cnt = bg.groupBy(col("bg")).agg(count(lit(1)).as("c"))
+    val underGate = cnt.count() <= maxBroadcastRows
     val tot = cnt.groupBy(substring_index(col("bg"), " ", 1).as("w1")).agg(sum(col("c")).as("tc"))
-    val logp = cnt.join(broadcast(tot), substring_index(col("bg"), " ", 1) === col("w1"))
+    val totSide = if (underGate) broadcast(tot) else tot
+    val logp = cnt.join(totSide, substring_index(col("bg"), " ", 1) === col("w1"))
       .select(col("bg"),
         round(log(col("c").cast("double") / col("tc").cast("double")), 8)
           .cast("decimal(28,10)").as("logp"))
-    bg.join(broadcast(logp), "bg")
+    val probeSide = if (underGate) broadcast(logp) else logp
+    bg.join(probeSide, "bg")
       .groupBy(col(idCol))
       .agg(sum(col("logp")).as("s"), count(lit(1)).as("n_bigrams"))
       .select(

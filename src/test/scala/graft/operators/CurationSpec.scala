@@ -199,6 +199,30 @@ class CurationSpec extends SparkSpec {
     assert(out(1L)._2 < out(2L)._2)
   }
 
+  test("LM-scoring broadcast and shuffle-fallback paths are result-identical") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat today ok"),
+      (2L, "the dog sat on the rug today ok"),
+      (3L, "zyx qwv jkl pqr bnm asd fgh uio")
+    ).toDF("id", "text")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val paths: Seq[(String, Long => org.apache.spark.sql.DataFrame)] = Seq(
+        "unigram" -> ((gate: Long) => Curation.unigramLogLoss(docs, "id", "text", maxBroadcastRows = gate)),
+        "bigram" -> ((gate: Long) => Curation.bigramLogLoss(docs, "id", "text", maxBroadcastRows = gate)))
+      for ((name, run) <- paths) {
+        val bcast = run(10000000L)    // under the gate -> hinted broadcast
+        val shuffled = run(0L)        // forced fallback, no broadcast hint anywhere
+        assert(bcast.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"), name)
+        assert(!shuffled.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"), name)
+        val a = bcast.collect().map(_.toSeq).sortBy(_.head.toString)
+        val b = shuffled.collect().map(_.toSeq).sortBy(_.head.toString)
+        assert(a.sameElements(b), name)
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("decontaminate drops exactly the flagged docs at the hit threshold") {
     val bench = Seq((0L, "alpha beta gamma delta epsilon")).toDF("id", "text")
     val docs = Seq(
