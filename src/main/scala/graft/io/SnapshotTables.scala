@@ -20,15 +20,27 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *
   * Commits are write-new-snapshot-then-flip-pointer: readers resolving
   * the pointer before the flip keep reading the old snapshot (snapshot
-  * isolation); the flip is a single small-file overwrite. Retention
-  * deletes snapshots older than `previousVersionsMax` behind the
-  * current one AFTER the flip, so no reader holding the old pointer
-  * within the retention window ever loses its files — the same
-  * contract Iceberg's metadata retention gives the reference.
+  * isolation). Retention deletes snapshots older than
+  * `previousVersionsMax` behind the current one AFTER the flip, so no
+  * reader holding the old pointer within the retention window ever
+  * loses its files — the same contract Iceberg's metadata retention
+  * gives the reference.
   *
-  * Concurrency: last-writer-wins on the pointer (adequate for the
-  * reference's single daily writer; a real multi-writer deployment
-  * swaps this trait implementation for Iceberg/Delta, SURVEY §7).
+  * Concurrency (multi-writer safe): the commit point is an EXCLUSIVE
+  * create (`overwrite=false`) of the version's metadata file — atomic
+  * on HDFS and the jar-free CAS primitive log-store implementations
+  * use. Two writers racing for v+1 cannot both win: the loser gets a
+  * [[SnapshotTables.ConcurrentCommitException]] with its temp data
+  * cleaned up, and retries on top of the winner's commit. Data is
+  * staged in a unique `.tmp-*` directory and renamed into place only
+  * after winning the CAS, so `history`/readers never see a
+  * half-written snapshot. The pointer file is a monotonic-advance
+  * cache of max(history) — it only moves forward, and
+  * [[currentVersion]] falls back to `history` if it is missing or
+  * mid-write. Caveat: on S3A, exclusive create is
+  * check-then-create (not atomic); real S3 multi-writer needs a
+  * conditional-PUT or DynamoDB-style log store, the Iceberg/Delta
+  * swap-in seam of SURVEY §7.
   */
 final class SnapshotTables(spark: SparkSession, root: String, previousVersionsMax: Int = 10)
     extends TableFormat {
@@ -49,16 +61,34 @@ final class SnapshotTables(spark: SparkSession, root: String, previousVersionsMa
     finally out.close()
   }
 
+  /** Exclusive create — the commit CAS. Returns false if `p` already
+    * exists (another writer won the version). */
+  private def createExclusive(p: Path, content: String): Boolean =
+    try {
+      val out = fs(p).create(p, false)
+      try out.write(content.getBytes("UTF-8"))
+      finally out.close()
+      true
+    } catch { case _: java.io.IOException => false }
+
   private def readSmallFile(p: Path): String = {
     val in = fs(p).open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
     finally in.close()
   }
 
-  /** Current committed version, 0 when the table does not exist yet. */
+  /** Current committed version, 0 when the table does not exist yet.
+    * The pointer file is the fast path; a missing or mid-write pointer
+    * falls back to the newest snapshot directory, so the pointer is
+    * never load-bearing for correctness. */
   def currentVersion(table: String): Int = {
     val p = pointer(table)
-    if (fs(p).exists(p)) readSmallFile(p).toInt else 0
+    val viaPointer =
+      if (fs(p).exists(p))
+        try Some(readSmallFile(p).toInt)
+        catch { case _: NumberFormatException => None }
+      else None
+    viaPointer.getOrElse(history(table).lastOption.getOrElse(0))
   }
 
   /** All retained versions, ascending. */
@@ -73,20 +103,49 @@ final class SnapshotTables(spark: SparkSession, root: String, previousVersionsMa
         .sorted
   }
 
-  /** Commit `df` as the next version of `table`. */
+  /** Commit `df` as the next version of `table`.
+    *
+    * @throws SnapshotTables.ConcurrentCommitException when another
+    *         writer commits the same next version first; this writer's
+    *         staged data is removed and the table is untouched — retry
+    *         on top of the winner's commit. */
   override def overwriteTable(df: DataFrame, table: String, partitionCols: Seq[String] = Nil): Unit = {
     val next = currentVersion(table) + 1
-    val dest = snapDir(table, next)
+    // Stage the data under a unique temp dir: nothing below `v*` is
+    // visible to history()/readers until the commit succeeds.
+    val tmp = new Path(tableDir(table), s"snapshots/.tmp-${java.util.UUID.randomUUID}")
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(dest.toString)
-    writeSmallFile(
-      new Path(metaDir(table), f"v$next%05d.json"),
+      .parquet(tmp.toString)
+    val meta = new Path(metaDir(table), f"v$next%05d.json")
+    val metaJson =
       s"""{"version":$next,"partition_cols":${partitionCols.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""schema":${df.schema.json}}"""
-    )
-    writeSmallFile(pointer(table), next.toString) // the commit point
+    // The CAS: exclusive-create of the version metadata file decides
+    // the winner of version `next`.
+    if (!createExclusive(meta, metaJson)) {
+      fs(tmp).delete(tmp, true)
+      throw new SnapshotTables.ConcurrentCommitException(table, next)
+    }
+    val dest = snapDir(table, next)
+    if (!fs(tmp).rename(tmp, dest)) { // we own `next`; only a partial prior crash could occupy it
+      fs(tmp).delete(tmp, true)
+      throw new SnapshotTables.ConcurrentCommitException(table, next)
+    }
+    advancePointer(table, next)
     expire(table, next)
+  }
+
+  /** Advance the pointer cache, never regress it: a slower writer
+    * finishing an older version after a newer one flipped must not
+    * move readers backwards. */
+  private def advancePointer(table: String, next: Int): Unit = {
+    val p = pointer(table)
+    val cur =
+      if (fs(p).exists(p))
+        try readSmallFile(p).toInt catch { case _: NumberFormatException => 0 }
+      else 0
+    if (next > cur) writeSmallFile(p, next.toString)
   }
 
   /** Snapshot model has no partial commit: partition-level overwrite
@@ -185,4 +244,14 @@ final class SnapshotTables(spark: SparkSession, root: String, previousVersionsMa
       val m = new Path(metaDir(table), f"v$v%05d.json")
       fs(m).delete(m, false)
     }
+}
+
+object SnapshotTables {
+  /** Thrown by the losing writer of a version race: the table already
+    * advanced past the version this writer staged. The loser's staged
+    * data is cleaned up before the throw; re-reading and retrying the
+    * commit is always safe. */
+  final class ConcurrentCommitException(table: String, version: Int)
+      extends RuntimeException(
+        s"concurrent commit: version $version of table '$table' was committed by another writer")
 }

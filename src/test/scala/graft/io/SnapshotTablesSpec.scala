@@ -90,4 +90,61 @@ class SnapshotTablesSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("2024-01-02"))
   }
+
+  test("version race: the losing writer fails cleanly and history stays consistent") {
+    val root = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    val t = new SnapshotTables(spark, root)
+    t.overwriteTable(Seq((1, "a")).toDF("id", "v"), "tab")
+    // Simulate writer B mid-commit of v2: it has won the metadata CAS
+    // (exclusive create) but not yet advanced the pointer.
+    val meta2 = java.nio.file.Paths.get(root, "tab", "metadata", "v00002.json")
+    java.nio.file.Files.write(meta2, """{"version":2}""".getBytes("UTF-8"))
+    // Writer A now attempts its own v2 commit and must lose the CAS.
+    intercept[SnapshotTables.ConcurrentCommitException] {
+      t.overwriteTable(Seq((9, "z")).toDF("id", "v"), "tab")
+    }
+    // The loser left no debris: no staged temp dirs, table unchanged.
+    val snaps = new java.io.File(s"$root/tab/snapshots").listFiles().map(_.getName)
+    assert(!snaps.exists(_.startsWith(".tmp-")))
+    assert(t.currentVersion("tab") == 1)
+    assert(t.read("tab").as[(Int, String)].collect().toSet == Set((1, "a")))
+    // B's commit completes (pointer flip is the last step) -> A's retry
+    // lands cleanly on top as v3.
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root, "tab", "snapshots"))
+    Seq((2, "b")).toDF("id", "v").write.parquet(s"$root/tab/snapshots/v00002")
+    // raw write bypasses Hadoop's checksum layer: drop the stale sidecar
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(root, "tab", "metadata", ".current.crc"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "tab", "metadata", "current"), "2".getBytes("UTF-8"))
+    t.overwriteTable(Seq((3, "c")).toDF("id", "v"), "tab")
+    assert(t.currentVersion("tab") == 3)
+    assert(t.history("tab") == Seq(1, 2, 3))
+    assert(t.readVersion("tab", 2).as[(Int, String)].head() == ((2, "b")))
+  }
+
+  test("concurrent writers: at most one wins each version, pointer equals max history") {
+    val root = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val outcomes = Await.result(
+      Future.sequence((1 to 4).map { i =>
+        Future {
+          val w = new SnapshotTables(spark, root) // one instance per writer, shared root
+          try { w.overwriteTable(Seq((i, s"w$i")).toDF("id", "v"), "tab"); "ok" }
+          catch { case _: SnapshotTables.ConcurrentCommitException => "lost" }
+        }
+      }), 120.seconds)
+    val t = new SnapshotTables(spark, root)
+    val wins = outcomes.count(_ == "ok")
+    assert(wins >= 1 && wins + outcomes.count(_ == "lost") == 4)
+    // Exactly one snapshot per committed version, no temp debris, and
+    // the pointer resolves to the newest committed version.
+    val hist = t.history("tab")
+    assert(hist == (1 to wins))
+    val snaps = new java.io.File(s"$root/tab/snapshots").listFiles().map(_.getName).toSeq
+    assert(snaps.sorted == hist.map(v => f"v$v%05d"))
+    assert(t.currentVersion("tab") == wins)
+    assert(t.read("tab").count() == 1)
+  }
 }
