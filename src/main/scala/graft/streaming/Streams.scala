@@ -206,12 +206,14 @@ object Streams {
       corpusPath: String,
       indexPath: String,
       checkpoint: String,
-      numHashes: Int = 8
+      numHashes: Int = 8,
+      compactEvery: Int = 16
   ): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        incrementalDedupBatch(batch, batchId, idCol, textCol, corpusPath, indexPath, numHashes)
+        incrementalDedupBatch(batch, batchId, idCol, textCol, corpusPath, indexPath,
+          numHashes, compactEvery)
         ()
       }
       .start()
@@ -226,7 +228,8 @@ object Streams {
       textCol: String,
       corpusPath: String,
       indexPath: String,
-      numHashes: Int = 8
+      numHashes: Int = 8,
+      compactEvery: Int = 16
   ): Boolean = {
     val spark = batch.sparkSession
     val sigCols = (0 until numHashes).map(j => s"mh_$j")
@@ -257,6 +260,59 @@ object Streams {
       .write.mode("append").parquet(corpusPath)
     fresh.select(sigCols.map(col): _*).write.mode("append").parquet(indexPath)
     fs.create(marker, true).close() // commit point: written LAST
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+      compactIndex(spark, indexPath, batchId)
     true
+  }
+
+  /** Bound the signature index's file growth: each micro-batch appends
+    * a parquet file set to `indexPath`, and at streaming cadence that
+    * is thousands of small files — the scan-split/open-cost pathology.
+    * Every `compactEvery` batches the data files are rewritten into
+    * ~128 MB files, AFTER the batch's commit marker, outside the
+    * exactly-once protocol.
+    *
+    * Crash-safe by construction rather than by atomicity: the index is
+    * materialized (localCheckpoint) BEFORE any file is touched, the
+    * compacted files are staged in a hidden `.compact-*` dir and
+    * renamed in BEFORE the old files are deleted. Every crash window
+    * therefore leaves the index with AT WORST duplicate rows (staged
+    * copies visible alongside not-yet-deleted originals) — never
+    * missing rows — and both dedup paths `.distinct()` the index
+    * before their anti-join, so duplicates are semantically inert and
+    * swept by the next compaction. Old `_committed_*` markers beyond a
+    * retention horizon are pruned in the same pass (replay only ever
+    * revisits the latest batch; the horizon is two compaction cycles). */
+  private[graft] def compactIndex(
+      spark: SparkSession,
+      indexPath: String,
+      batchId: Long,
+      targetFileBytes: Long = 128L << 20,
+      markerRetention: Long = 32
+  ): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = fs.listStatus(dir).toSeq
+    val dataFiles = entries.filter { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (dataFiles.size > 1) {
+      val bytes = dataFiles.map(_.getLen).sum
+      val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+      val compacted = spark.read.parquet(indexPath).localCheckpoint(true)
+      val tmp = new org.apache.hadoop.fs.Path(dir, s".compact-${java.util.UUID.randomUUID}")
+      compacted.repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
+      fs.listStatus(tmp)
+        .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+        .foreach(f => fs.rename(f.getPath, new org.apache.hadoop.fs.Path(dir, f.getPath.getName)))
+      fs.delete(tmp, true)
+      dataFiles.foreach(f => fs.delete(f.getPath, false))
+    }
+    entries
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith("_committed_") &&
+        p.getName.stripPrefix("_committed_").toLong < batchId - markerRetention)
+      .foreach(p => fs.delete(p, false))
   }
 }

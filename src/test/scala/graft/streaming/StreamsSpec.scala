@@ -200,4 +200,41 @@ class StreamsSpec extends SparkSpec {
       assert(spark.read.parquet(index).count() == 3)
     } finally q.stop()
   }
+
+  test("index compaction bounds file growth across batches without changing dedup results") {
+    def dataFiles(p: String): Seq[String] =
+      new java.io.File(p).listFiles().toSeq.map(_.getName)
+        .filter(n => !n.startsWith("_") && !n.startsWith("."))
+    def run(base: String, compactEvery: Int): (Seq[Long], Long) = {
+      val corpus = s"$base/corpus"; val index = s"$base/index"
+      for (b <- 0 until 9) {
+        val batch = Seq(
+          (b * 10L + 1, s"unique document number $b about streaming engines and state"),
+          (b * 10L + 2, "the quick brown fox jumps over the lazy dog every single day"), // dup in every batch
+          (b * 10L + 3, s"another unique document number $b on compaction and file growth")
+        ).toDF("doc_id", "text")
+        Streams.incrementalDedupBatch(batch, b.toLong, "doc_id", "text", corpus, index,
+          compactEvery = compactEvery)
+      }
+      (spark.read.parquet(corpus).select("doc_id").as[Long].collect().sorted.toSeq,
+        spark.read.parquet(index).count())
+    }
+    val basePlain = java.nio.file.Files.createTempDirectory("graft-nocompact").toString
+    val baseCompact = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val (plainIds, plainSigs) = run(basePlain, compactEvery = 0)
+    val (compactIds, compactSigs) = run(baseCompact, compactEvery = 3)
+    assert(compactIds == plainIds && compactSigs == plainSigs) // dedup results unchanged
+    // 9 appending batches -> files grow with batch count uncompacted;
+    // with compactEvery=3 the last compaction (after batch 9) leaves a
+    // single rewritten file set plus at most 0 newer appends
+    val grown = dataFiles(s"$basePlain/index").size
+    val bounded = dataFiles(s"$baseCompact/index").size
+    assert(grown > bounded)
+    assert(bounded <= 2) // one compacted file set (fits one 128 MB target file here)
+    // markers beyond the retention horizon would be pruned; all 9 are
+    // inside it here and must survive (replay protection intact)
+    val markers = new java.io.File(s"$baseCompact/index").listFiles()
+      .map(_.getName).count(_.startsWith("_committed_"))
+    assert(markers == 9)
+  }
 }
