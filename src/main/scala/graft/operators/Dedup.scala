@@ -206,10 +206,18 @@ object Dedup {
     * Returns (id, comp) where comp = the minimum id reachable from id.
     * Convergence is detected by the monotonically-decreasing label sum
     * — one scalar action per iteration, no row collect. Lineage is cut
-    * per iteration with localCheckpoint (at cluster scale swap for
-    * reliable `checkpoint` against a durable dir).
+    * per iteration via [[graft.core.Lineage.cut]]: executor-local by
+    * default, durable when `checkpointDir` is given — on a long
+    * 1000-executor run a single executor loss otherwise restarts the
+    * whole iteration chain.
     */
-  def nearDupClusters(pairs: DataFrame, aCol: String = "a", bCol: String = "b", maxIter: Int = 20): DataFrame = {
+  def nearDupClusters(
+      pairs: DataFrame,
+      aCol: String = "a",
+      bCol: String = "b",
+      maxIter: Int = 20,
+      checkpointDir: Option[String] = None
+  ): DataFrame = {
     import org.apache.spark.sql.Observation
     // the convergence metric rides each checkpoint's own materialization
     // job via observe — one Spark job per round, not two (the separate
@@ -224,11 +232,24 @@ object Dedup {
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .localCheckpoint(true)
+    // Right-size the iteration shuffles to the edge relation's actual
+    // bytes (same rationale as kmeansCentroids: the rounds execute
+    // eagerly in here, tiny label frames should not pay a
+    // 32-reduce-task floor per round, and a web-scale edge set takes
+    // the scale-proportional cap inside widthFor). Restored after
+    // convergence; every escaping frame is checkpointed, so no lineage
+    // leaves with the narrow setting.
+    val spark = pairs.sparkSession
+    val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      graft.core.Lineage.widthFor(edges).toString)
+    try {
     val obs0 = Observation()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
-      .observe(obs0, sum(col("comp")).as("s"))
-      .localCheckpoint(true)
+    var labels = graft.core.Lineage.cut(
+      edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("comp"))
+        .observe(obs0, sum(col("comp")).as("s")),
+      checkpointDir)
     var prevSum = sumOf(obs0)
     var converged = false
     var iter = 0
@@ -239,9 +260,10 @@ object Dedup {
       // Spark 4's constraint rewrite over self-joined Union plans, and
       // the per-iteration lineage stays O(1) either way
       val obs = Observation()
-      val merged = labels.union(prop).groupBy(col("id")).agg(min(col("comp")).as("comp"))
-        .observe(obs, sum(col("comp")).as("s"))
-        .localCheckpoint(true)
+      val merged = graft.core.Lineage.cut(
+        labels.union(prop).groupBy(col("id")).agg(min(col("comp")).as("comp"))
+          .observe(obs, sum(col("comp")).as("s")),
+        checkpointDir)
       // pointer doubling: also follow comp -> comp(comp), halving the
       // remaining diameter each round — O(log d) iterations instead of
       // O(d), which is what makes long chains affordable (every label
@@ -263,6 +285,7 @@ object Dedup {
       iter += 1
     }
     labels
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevSp)
   }
 
   /** Rolling-style positional document fingerprint:

@@ -224,8 +224,10 @@ object Similarity {
     * its max-cosine centroid (broadcast centroids, scan-local dots,
     * partial-agg argmax) and recompute element-wise means via
     * [[centroids]] (decimal sums ⇒ order-independent, so the result is
-    * bit-stable across runs and cluster layouts). Lineage is cut per
-    * step with localCheckpoint.
+    * bit-stable across runs and cluster layouts). Lineage is cut every
+    * `checkpointInterval` steps via [[graft.core.Lineage.cut]] —
+    * executor-local by default, durable when `checkpointDir` is given
+    * (survives executor death on long cluster runs).
     *
     * Returns (cell_id, cent_vec array<double>, n) — feed to an IVF
     * index build. Empty cells keep their previous centroid (standard
@@ -235,19 +237,39 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      iters: Int = 3
+      iters: Int = 3,
+      checkpointInterval: Int = 1,
+      checkpointDir: Option[String] = None
   ): DataFrame = {
+    // norms ride the checkpointed frame: each Lloyd step scores every
+    // vector against k candidate centroids, and without this the row
+    // norm would be recomputed k times per row per iteration
     val vecs = corpus.select(col(idCol).cast("long").as("__vid"),
       transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .withColumn("__nrm", norm(col("__v")))
       .localCheckpoint(true)
     var cent = vecs.filter(col("__vid") < k)
       .select(col("__vid").as("cell_id"), col("__v").as("cent_vec"), lit(1L).as("n"))
       .localCheckpoint(true)
-    for (_ <- 0 until iters) {
+    // Right-size the iteration shuffles to the corpus's actual bytes
+    // instead of the session constant: every Lloyd step executes
+    // eagerly in here, and a tiny corpus paying a 32-reduce-task floor
+    // per stage is pure scheduling overhead (measured 3-5x the whole
+    // audit's compute at fixture scale), while a 100 TB corpus takes
+    // the scale-proportional cap inside widthFor. AQE still coalesces
+    // and skew-splits within that budget. Restored after the loop; the
+    // returned frame is checkpointed, so no lineage escapes with the
+    // narrow setting.
+    val spark = corpus.sparkSession
+    val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      graft.core.Lineage.widthFor(vecs).toString)
+    try for (i <- 0 until iters) {
+      val centN = cent.select(col("cell_id"), col("cent_vec"), norm(col("cent_vec")).as("__cnrm"))
       val assigned = vecs
-        .join(broadcast(cent.select(col("cell_id"), col("cent_vec"))))
+        .join(broadcast(centN))
         .withColumn("cscore",
-          dot(col("__v"), col("cent_vec")) / (norm(col("__v")) * norm(col("cent_vec"))))
+          dot(col("__v"), col("cent_vec")) / (col("__nrm") * col("__cnrm")))
         .groupBy(col("__vid"))
         .agg(max(struct(col("cscore"), col("cell_id"))).as("m"), first(col("__v")).as("__v"))
         .select(col("m.cell_id").as("cell_id"), col("__v"))
@@ -259,12 +281,19 @@ object Similarity {
           first(col("n")).as("n")
         )
       // empty cells: keep the previous centroid (left join, coalesce)
-      cent = cent.select(col("cell_id"), col("cent_vec").as("__prev"))
+      val next = cent.select(col("cell_id"), col("cent_vec").as("__prev"))
         .join(means.withColumnRenamed("cent_vec", "__new"), Seq("cell_id"), "left")
         .select(col("cell_id"), coalesce(col("__new"), col("__prev")).as("cent_vec"),
           coalesce(col("n"), lit(0L)).as("n"))
-        .localCheckpoint(true)
-    }
+      // lineage cut every `checkpointInterval` steps and always after
+      // the last: the default (every step) is what unbounded iteration
+      // counts need at cluster scale; a short audit run can raise it to
+      // fold all steps into one job and skip the per-step job overhead
+      cent =
+        if ((i + 1) % checkpointInterval == 0 || i == iters - 1)
+          graft.core.Lineage.cut(next, checkpointDir)
+        else next
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevSp)
     cent
   }
 

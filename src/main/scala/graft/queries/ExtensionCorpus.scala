@@ -272,30 +272,53 @@ object ExtensionCorpus {
     headline = true
   )
 
+  /** Shared by q39 (direct lshTopK) and q95 (persisted-index serving):
+    * both compute the same bits=4/dim=64/k=5 ANN answer, so one oracle
+    * pins both. Same seeded hyperplanes as Similarity.lshTopK. */
+  private lazy val lshAnnOracleSql: String = {
+    val planes = Similarity.hyperplanes(dim = 64, bits = 4)
+    val bucket = (0 until 4).map { b =>
+      val proj = (0 until 64).map(i => s"emb[${i + 1}]*(${planes(b)(i)})").mkString(" + ")
+      s"(CASE WHEN ($proj) > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH v AS ($sqlVecView),
+      n AS (SELECT vec_id, emb, $bucket AS bkt FROM v),
+      sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ${sqlCosine("q.emb", "c.emb")} AS score
+             FROM n q JOIN n c ON q.bkt = c.bkt AND q.vec_id < 10 AND q.vec_id <> c.vec_id),
+      r AS (SELECT query_id, neighbor_id, score,
+              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
+            FROM sc)
+      SELECT query_id, CAST(rk AS INTEGER) AS rk, neighbor_id, ROUND(score, 6) AS score
+      FROM r WHERE rk <= 5 ORDER BY query_id, rk"""
+  }
+
   private val q39 = Q(
     "q39_ann_lsh",
     (s, dir) => {
       val e = fixture(s, dir, "embeddings")
       Similarity.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, bits = 4, dim = 64)
     },
-    Some {
-      // Same seeded hyperplanes as Similarity.lshTopK(bits=4, dim=64).
-      val planes = Similarity.hyperplanes(dim = 64, bits = 4)
-      val bucket = (0 until 4).map { b =>
-        val proj = (0 until 64).map(i => s"emb[${i + 1}]*(${planes(b)(i)})").mkString(" + ")
-        s"(CASE WHEN ($proj) > 0 THEN ${1L << b} ELSE 0 END)"
-      }.mkString(" + ")
-      s"""WITH v AS ($sqlVecView),
-        n AS (SELECT vec_id, emb, $bucket AS bkt FROM v),
-        sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                 ${sqlCosine("q.emb", "c.emb")} AS score
-               FROM n q JOIN n c ON q.bkt = c.bkt AND q.vec_id < 10 AND q.vec_id <> c.vec_id),
-        r AS (SELECT query_id, neighbor_id, score,
-                ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
-              FROM sc)
-        SELECT query_id, CAST(rk AS INTEGER) AS rk, neighbor_id, ROUND(score, 6) AS score
-        FROM r WHERE rk <= 5 ORDER BY query_id, rk"""
-    }
+    Some(lshAnnOracleSql)
+  )
+
+  /** The persisted-index serving path end-to-end: build the bucketed
+    * index table (Overwrite — idempotent across repeated bench passes),
+    * then serve the same query batch through the bucket-pruned scan.
+    * Must reproduce q39's direct-path answer bit-for-bit, so it shares
+    * q39's oracle — this is the correctness gate on the one path whose
+    * 100 TB behavior (SelectedBucketsCount file pruning) was previously
+    * spec-only. */
+  private val q95 = Q(
+    "q95_lsh_index_serving",
+    (s, dir) => {
+      val e = fixture(s, dir, "embeddings")
+      Similarity.buildLshIndex(e, "vec_id", "embedding", "q95_lsh_index",
+        bits = 4, dim = 64, numBuckets = 8)
+      Similarity.queryLshIndex(s, "q95_lsh_index", e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, bits = 4, dim = 64)
+    },
+    Some(lshAnnOracleSql)
   )
 
   /** Replays Similarity.nearDupPairsLsh's seeded bucketing in SQL (same
@@ -526,21 +549,63 @@ object ExtensionCorpus {
   private val q87 = Q(
     "q87_ivf_refined_recall",
     (s, dir) => {
-      val e = fixture(s, dir, "embeddings")
+      import graft.functions.VectorFunctions.{dot, norm}
+      import org.apache.spark.sql.expressions.Window
+      // one materialization feeds all passes (truth, k-means, IVF)
+      // instead of repeated parquet scans; truth is semi-joined against
+      // and counted, so it is materialized too
+      val e = fixture(s, dir, "embeddings").localCheckpoint(true)
       val qs = e.filter(col("vec_id") < 10)
       val truth = Similarity.bruteForceTopK(e, qs, "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("neighbor_id"))
-      val cent = Similarity.kmeansCentroids(e, "vec_id", "embedding", k = 16, iters = 2)
-      val refined = Similarity
-        .ivfTopKWithCentroids(e, qs, "vec_id", "embedding", k = 5, cent, nprobe = 2)
-        .select(col("query_id"), col("neighbor_id"))
-      val unrefined = Similarity.ivfTopK(e, qs, "vec_id", "embedding", k = 5, numCells = 16, nprobe = 2)
-        .select(col("query_id"), col("neighbor_id"))
-      val keys = Seq("query_id", "neighbor_id")
+        .localCheckpoint(true)
+      // the audit runs only 2 Lloyd steps, so fold both into one job
+      // (checkpointInterval = iters) — at scale the default per-step
+      // cut is the right call, this is the short-audit special case
+      val cent = Similarity.kmeansCentroids(e, "vec_id", "embedding", k = 16, iters = 2,
+        checkpointInterval = 2)
+      // both IVF variants (refined k-means centroids vs raw seed
+      // centroids) scored in ONE plan: centroid tables union with a
+      // variant tag and assignment/probing/top-k group by it — half
+      // the jobs of running ivfTopK twice, identical semantics per
+      // variant (the argmax, probe window and re-rank window all key
+      // on variant)
+      val centBoth = cent
+        .select(lit("refined").as("variant"), col("cell_id"), col("cent_vec"))
+        .unionByName(e.filter(col("vec_id") < 16)
+          .select(lit("seed").as("variant"), col("vec_id").cast("long").as("cell_id"),
+            transform(col("embedding"), x => x.cast("double")).as("cent_vec")))
+        .withColumn("cent_nrm", norm(col("cent_vec")))
+      val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_vec"),
+        norm(col("embedding")).as("c_nrm"))
+      val assigned = c.join(broadcast(centBoth))
+        .withColumn("cscore", dot(col("c_vec"), col("cent_vec")) / (col("c_nrm") * col("cent_nrm")))
+        .groupBy(col("variant"), col("neighbor_id"))
+        .agg(max(struct(col("cscore"), col("cell_id"))).as("m"),
+          first(col("c_vec")).as("c_vec"), first(col("c_nrm")).as("c_nrm"))
+        .select(col("variant"), col("neighbor_id"), col("c_vec"), col("c_nrm"),
+          col("m.cell_id").as("cell_id"))
+      val qv = qs.select(col("vec_id").as("query_id"), col("embedding").as("q_vec"),
+        norm(col("embedding")).as("q_nrm"))
+      val wp = Window.partitionBy(col("variant"), col("query_id"))
+        .orderBy(col("pscore").desc, col("cell_id").desc)
+      val probes = qv.join(broadcast(centBoth))
+        .withColumn("pscore", dot(col("q_vec"), col("cent_vec")) / (col("q_nrm") * col("cent_nrm")))
+        .withColumn("pr", row_number().over(wp)).filter(col("pr") <= 2)
+        .select(col("variant"), col("query_id"), col("q_vec"), col("q_nrm"), col("cell_id"))
+      val wk = Window.partitionBy(col("variant"), col("query_id"))
+        .orderBy(col("score").desc, col("neighbor_id"))
+      val ann = assigned.join(probes, Seq("variant", "cell_id"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("score", dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")))
+        .withColumn("rk", row_number().over(wk)).filter(col("rk") <= 5)
+        .select(col("variant"), col("query_id"), col("neighbor_id"))
+      val hits = ann.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(
+          sum(when(col("variant") === "refined", 1L).otherwise(0L)).as("hits_refined"),
+          sum(when(col("variant") === "seed", 1L).otherwise(0L)).as("hits_unrefined"))
       val nT = truth.agg(count(lit(1)).as("n_truth"))
-      val hR = refined.join(truth, keys, "left_semi").agg(count(lit(1)).as("hits_refined"))
-      val hU = unrefined.join(truth, keys, "left_semi").agg(count(lit(1)).as("hits_unrefined"))
-      nT.crossJoin(hR).crossJoin(hU).select(
+      nT.crossJoin(hits).select(
         col("n_truth"), col("hits_refined"), col("hits_unrefined"),
         round(col("hits_refined").cast("double") / col("n_truth"), 4).as("recall_refined"),
         round(col("hits_unrefined").cast("double") / col("n_truth"), 4).as("recall_unrefined")
@@ -609,6 +674,6 @@ object ExtensionCorpus {
 
   val all: Seq[Q] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
-    q48, q49, q55, q86, q87, q88
+    q48, q49, q55, q86, q87, q88, q95
   )
 }

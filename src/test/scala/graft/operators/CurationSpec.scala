@@ -285,4 +285,17 @@ class CurationSpec extends SparkSpec {
     val out = Dedup.nearDupClusters(pairs).as[(Long, Long)].collect().toMap
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
+
+  test("nearDupClusters durable-checkpoint mode matches the default exactly") {
+    // long chain: several pointer-doubling rounds, so multiple
+    // reliable checkpoints actually happen in the durable mode
+    val pairs = (1L until 16L).map(i => (i, i + 1)).toDF("a", "b")
+    val local = Dedup.nearDupClusters(pairs).as[(Long, Long)].collect().toMap
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-cc-ck").toString
+    val durable = Dedup.nearDupClusters(pairs, checkpointDir = Some(ckDir))
+      .as[(Long, Long)].collect().toMap
+    assert(durable == local)
+    assert(local.values.toSet == Set(1L)) // one chain, min label 1
+    assert(new java.io.File(ckDir).listFiles().nonEmpty)
+  }
 }

@@ -162,6 +162,23 @@ class SimilaritySpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("kmeans: durable-checkpoint and folded-interval modes match the default exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    def vecsOf(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("cell_id").collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    val local = vecsOf(Similarity.kmeansCentroids(e, "vec_id", "embedding", k = 8, iters = 2))
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-kmeans-ck").toString
+    val durable = vecsOf(Similarity.kmeansCentroids(e, "vec_id", "embedding", k = 8, iters = 2,
+      checkpointDir = Some(ckDir)))
+    val folded = vecsOf(Similarity.kmeansCentroids(e, "vec_id", "embedding", k = 8, iters = 2,
+      checkpointInterval = 2))
+    assert(durable == local)
+    assert(folded == local)
+    // the durable mode really did write reliable-checkpoint files
+    assert(new java.io.File(ckDir).listFiles().nonEmpty)
+  }
+
   test("hyperplanes are deterministic across calls") {
     val a = Similarity.hyperplanes(8, 4)
     val b = Similarity.hyperplanes(8, 4)
