@@ -265,6 +265,45 @@ object Streams {
     true
   }
 
+  /** Continuous NDJSON ingestion with per-batch schema-drift auditing —
+    * closing the loop [[graft.core.Conform.driftReport]] opens for
+    * batch: a feed whose producer silently adds, drops or re-types a
+    * field mid-stream is the normal failure mode of long-running
+    * ingestion, and conform-by-cast would otherwise absorb it without
+    * a trace (extra columns dropped, incompatible ones nulled).
+    *
+    * Each micro-batch of raw NDJSON lines is schema-inferred
+    * (`spark.read.json` — the one extra pass semi-structured input
+    * costs; the parse itself needs it anyway since the batch schema is
+    * exactly what is being audited), audited against `spec`, and
+    * landed through [[graft.core.Conform]] as typed parquet. Batches
+    * whose inferred schema deviates from the spec in any way invoke
+    * `onDrift(batchId, report)` — wire it to metrics/alerting; the
+    * batch still lands (Conform stays permissive by design, the audit
+    * is the seam beside it, never a gate). Empty batches are skipped. */
+  def conformedNdjsonSink(
+      lines: DataFrame,
+      spec: Seq[graft.core.ColumnSpec],
+      outPath: String,
+      checkpoint: String,
+      onDrift: (Long, Seq[graft.core.Conform.ColumnDrift]) => Unit
+  ): StreamingQuery =
+    lines.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val raw = batch.select(col(batch.columns.head).cast("string")).as[String]
+        if (!raw.isEmpty) {
+          val parsed = spark.read.json(raw)
+          val report = graft.core.Conform.driftReport(parsed, spec)
+          if (report.exists(_.status != "exact")) onDrift(batchId, report)
+          graft.core.Conform(parsed, spec).write.mode("append").parquet(outPath)
+        }
+        ()
+      }
+      .start()
+
   /** Bound the signature index's file growth: each micro-batch appends
     * a parquet file set to `indexPath`, and at streaming cadence that
     * is thousands of small files — the scan-split/open-cost pathology.

@@ -201,6 +201,36 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("conformedNdjsonSink reports mid-stream schema drift and still lands conformed rows") {
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    val out = s"$base/out"; val ck = s"$base/ck"
+    val spec = Seq(graft.core.ColumnSpec("id", "long", 1), graft.core.ColumnSpec("name", "string", 2))
+    val reports = scala.collection.mutable.ListBuffer[(Long, Seq[graft.core.Conform.ColumnDrift])]()
+    val ms = MemoryStream[String]
+    val q = Streams.conformedNdjsonSink(ms.toDF(), spec, out, ck,
+      (bid, rep) => reports.synchronized { reports += ((bid, rep)) })
+    try {
+      ms.addData("""{"id":1,"name":"a"}""", """{"id":2,"name":"b"}""")
+      q.processAllAvailable()
+      assert(reports.isEmpty) // conforming batch: no drift report
+      // producer drifts mid-stream: id becomes an array (no ANSI cast),
+      // a new field appears
+      ms.addData("""{"id":[9],"name":"c","extra":true}""")
+      q.processAllAvailable()
+      assert(reports.size == 1)
+      val byCol = reports.head._2.map(d => d.col_name -> d.status).toMap
+      assert(byCol("id") == "incompatible_nulled")
+      assert(byCol("name") == "exact")
+      assert(byCol("extra") == "extra_dropped")
+      // the drifted batch still landed, conformed: id nulled, extra gone
+      val landed = spark.read.parquet(out)
+      assert(landed.columns.toSeq == Seq("id", "name"))
+      assert(landed.count() == 3)
+      assert(landed.filter(col("name") === "c").select("id").collect().head.isNullAt(0))
+    } finally q.stop()
+  }
+
   test("index compaction bounds file growth across batches without changing dedup results") {
     def dataFiles(p: String): Seq[String] =
       new java.io.File(p).listFiles().toSeq.map(_.getName)
