@@ -42,9 +42,12 @@ object Lineage {
   def widthFor(df: DataFrame, targetBytes: Long = 64L << 20): Int = {
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val byBytes = (bytes / targetBytes) + 1
-    val cap = math.max(
-      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
-      df.rdd.getNumPartitions)
+    // the conf value may be non-numeric on some platforms ("auto");
+    // fall back to cluster parallelism rather than throwing
+    val configured = scala.util.Try(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    ).getOrElse(df.sparkSession.sparkContext.defaultParallelism)
+    val cap = math.max(configured, df.rdd.getNumPartitions)
     byBytes.min(BigInt(cap)).max(BigInt(1)).toInt
   }
 }

@@ -36,14 +36,22 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * after winning the CAS, so `history`/readers never see a
   * half-written snapshot. The pointer file is a monotonic-advance
   * cache of max(history) — it only moves forward, and
-  * [[currentVersion]] falls back to `history` if it is missing or
-  * mid-write. Caveat: on S3A, exclusive create is
+  * [[currentVersion]] always takes max(pointer, newest snapshot dir),
+  * so a stale, regressed, or missing pointer can never mask a
+  * committed snapshot. A winner that crashes between the CAS and the
+  * data rename leaves an orphan metadata file; later writers reclaim
+  * it after `orphanGraceMs` (see [[casWithOrphanReclaim]]) so a crash
+  * cannot wedge the table. Caveat: on S3A, exclusive create is
   * check-then-create (not atomic); real S3 multi-writer needs a
   * conditional-PUT or DynamoDB-style log store, the Iceberg/Delta
   * swap-in seam of SURVEY §7.
   */
-final class SnapshotTables(spark: SparkSession, root: String, previousVersionsMax: Int = 10)
-    extends TableFormat {
+final class SnapshotTables(
+    spark: SparkSession,
+    root: String,
+    previousVersionsMax: Int = 10,
+    orphanGraceMs: Long = 60000L
+) extends TableFormat {
 
   private def fs(p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -61,15 +69,57 @@ final class SnapshotTables(spark: SparkSession, root: String, previousVersionsMa
     finally out.close()
   }
 
-  /** Exclusive create — the commit CAS. Returns false if `p` already
-    * exists (another writer won the version). */
-  private def createExclusive(p: Path, content: String): Boolean =
-    try {
-      val out = fs(p).create(p, false)
-      try out.write(content.getBytes("UTF-8"))
-      finally out.close()
-      true
-    } catch { case _: java.io.IOException => false }
+  /** Exclusive create — the commit CAS. Returns false ONLY when `p`
+    * already exists (another writer won the version). Any other I/O
+    * failure after a successful exclusive create is a genuine error:
+    * this writer's partial file is removed (so it cannot wedge the
+    * version for everyone) and the exception propagates — it must not
+    * be misreported as a lost race. */
+  private def createExclusive(p: Path, content: String): Boolean = {
+    val f = fs(p)
+    val out =
+      try f.create(p, false)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => null
+        // raw local FS predates the typed exception and signals an
+        // existing file as a plain IOException — treat as lost race
+        // only when the file demonstrably exists
+        case _: java.io.IOException if f.exists(p) => null
+      }
+    if (out == null) false
+    else
+      try {
+        try out.write(content.getBytes("UTF-8"))
+        finally out.close()
+        true
+      } catch {
+        case e: java.io.IOException =>
+          try f.delete(p, false)
+          catch { case _: java.io.IOException => () }
+          throw e
+      }
+  }
+
+  /** The commit CAS with crash-orphan recovery. A writer that won the
+    * CAS for `next` but crashed before renaming its staged data leaves
+    * a metadata file with no snapshot directory — without recovery,
+    * every future commit targets the same `next`, loses the CAS, and
+    * the table wedges permanently. When the lost CAS turns out to be
+    * against such an orphan (meta present, snapshot dir absent) that
+    * is older than `orphanGraceMs` (a live winner may still be
+    * mid-rename — renames of a staged directory are fast, so the
+    * grace period only needs to cover scheduling jitter), the orphan
+    * meta is deleted and the CAS retried once. Two reclaimers racing
+    * is safe: delete is idempotent and the retried exclusive-create
+    * again picks exactly one winner. */
+  private def casWithOrphanReclaim(table: String, next: Int, meta: Path, metaJson: String): Boolean =
+    createExclusive(meta, metaJson) || {
+      val f = fs(meta)
+      val orphaned =
+        !f.exists(snapDir(table, next)) && f.exists(meta) &&
+          (System.currentTimeMillis - f.getFileStatus(meta).getModificationTime) >= orphanGraceMs
+      orphaned && { f.delete(meta, false); createExclusive(meta, metaJson) }
+    }
 
   private def readSmallFile(p: Path): String = {
     val in = fs(p).open(p)
@@ -78,17 +128,19 @@ final class SnapshotTables(spark: SparkSession, root: String, previousVersionsMa
   }
 
   /** Current committed version, 0 when the table does not exist yet.
-    * The pointer file is the fast path; a missing or mid-write pointer
-    * falls back to the newest snapshot directory, so the pointer is
-    * never load-bearing for correctness. */
+    * Always the max of the pointer cache and the newest committed
+    * snapshot directory: a stale pointer (crash between the data
+    * rename and the pointer flip, or interleaved multi-writer pointer
+    * writes) can therefore never mask a committed snapshot — the
+    * pointer is a fast-path hint, never load-bearing for correctness. */
   def currentVersion(table: String): Int = {
     val p = pointer(table)
     val viaPointer =
       if (fs(p).exists(p))
-        try Some(readSmallFile(p).toInt)
-        catch { case _: NumberFormatException => None }
-      else None
-    viaPointer.getOrElse(history(table).lastOption.getOrElse(0))
+        try readSmallFile(p).toInt
+        catch { case _: NumberFormatException => 0 }
+      else 0
+    math.max(viaPointer, history(table).lastOption.getOrElse(0))
   }
 
   /** All retained versions, ascending. */
@@ -123,13 +175,17 @@ final class SnapshotTables(spark: SparkSession, root: String, previousVersionsMa
         s""""schema":${df.schema.json}}"""
     // The CAS: exclusive-create of the version metadata file decides
     // the winner of version `next`.
-    if (!createExclusive(meta, metaJson)) {
+    if (!casWithOrphanReclaim(table, next, meta, metaJson)) {
       fs(tmp).delete(tmp, true)
       throw new SnapshotTables.ConcurrentCommitException(table, next)
     }
     val dest = snapDir(table, next)
-    if (!fs(tmp).rename(tmp, dest)) { // we own `next`; only a partial prior crash could occupy it
+    if (!fs(tmp).rename(tmp, dest)) {
+      // We own `next` but could not place its data: remove BOTH the
+      // staged data and our own metadata file, so this failed attempt
+      // does not become the orphan that wedges the version.
       fs(tmp).delete(tmp, true)
+      fs(meta).delete(meta, false)
       throw new SnapshotTables.ConcurrentCommitException(table, next)
     }
     advancePointer(table, next)

@@ -228,7 +228,7 @@ object Dedup {
       case l: java.lang.Long => l.longValue
       case other => other.toString.toLong
     }
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges0 = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .localCheckpoint(true)
@@ -236,14 +236,16 @@ object Dedup {
     // bytes (same rationale as kmeansCentroids: the rounds execute
     // eagerly in here, tiny label frames should not pay a
     // 32-reduce-task floor per round, and a web-scale edge set takes
-    // the scale-proportional cap inside widthFor). Restored after
-    // convergence; every escaping frame is checkpointed, so no lineage
-    // leaves with the narrow setting.
+    // the scale-proportional cap inside widthFor). The narrowed width
+    // lives on an ISOLATED session clone — concurrent queries on the
+    // caller's session are never affected, and nothing needs restoring
+    // on exit. The checkpointed edge frame moves in, the final label
+    // frame moves back out, via plan re-binding (same SparkContext).
     val spark = pairs.sparkSession
-    val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions",
-      graft.core.Lineage.widthFor(edges).toString)
-    try {
+    val iterSession = org.apache.spark.sql.GraftSqlBridge.cloneSession(spark)
+    iterSession.conf.set("spark.sql.shuffle.partitions",
+      graft.core.Lineage.widthFor(edges0).toString)
+    val edges = org.apache.spark.sql.GraftSqlBridge.inSession(edges0, iterSession)
     val obs0 = Observation()
     var labels = graft.core.Lineage.cut(
       edges.select(col("src").as("id")).distinct()
@@ -284,8 +286,11 @@ object Dedup {
       labels = next
       iter += 1
     }
-    labels
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevSp)
+    // materialize the final frame (its plan still references the
+    // narrow-width iteration rounds), then hand the caller a frame
+    // bound to THEIR session so downstream queries run at their width
+    org.apache.spark.sql.GraftSqlBridge.inSession(
+      graft.core.Lineage.cut(labels, checkpointDir), spark)
   }
 
   /** Rolling-style positional document fingerprint:

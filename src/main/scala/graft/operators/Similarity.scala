@@ -244,12 +244,9 @@ object Similarity {
     // norms ride the checkpointed frame: each Lloyd step scores every
     // vector against k candidate centroids, and without this the row
     // norm would be recomputed k times per row per iteration
-    val vecs = corpus.select(col(idCol).cast("long").as("__vid"),
+    val vecs0 = corpus.select(col(idCol).cast("long").as("__vid"),
       transform(col(vecCol), x => x.cast("double")).as("__v"))
       .withColumn("__nrm", norm(col("__v")))
-      .localCheckpoint(true)
-    var cent = vecs.filter(col("__vid") < k)
-      .select(col("__vid").as("cell_id"), col("__v").as("cent_vec"), lit(1L).as("n"))
       .localCheckpoint(true)
     // Right-size the iteration shuffles to the corpus's actual bytes
     // instead of the session constant: every Lloyd step executes
@@ -257,14 +254,19 @@ object Similarity {
     // per stage is pure scheduling overhead (measured 3-5x the whole
     // audit's compute at fixture scale), while a 100 TB corpus takes
     // the scale-proportional cap inside widthFor. AQE still coalesces
-    // and skew-splits within that budget. Restored after the loop; the
-    // returned frame is checkpointed, so no lineage escapes with the
-    // narrow setting.
+    // and skew-splits within that budget. The narrowed width lives on
+    // an ISOLATED session clone, so concurrent queries on the caller's
+    // session keep their configured width; the returned frame is
+    // re-bound to the caller's session below.
     val spark = corpus.sparkSession
-    val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions",
-      graft.core.Lineage.widthFor(vecs).toString)
-    try for (i <- 0 until iters) {
+    val iterSession = org.apache.spark.sql.GraftSqlBridge.cloneSession(spark)
+    iterSession.conf.set("spark.sql.shuffle.partitions",
+      graft.core.Lineage.widthFor(vecs0).toString)
+    val vecs = org.apache.spark.sql.GraftSqlBridge.inSession(vecs0, iterSession)
+    var cent = vecs.filter(col("__vid") < k)
+      .select(col("__vid").as("cell_id"), col("__v").as("cent_vec"), lit(1L).as("n"))
+      .localCheckpoint(true)
+    for (i <- 0 until iters) {
       val centN = cent.select(col("cell_id"), col("cent_vec"), norm(col("cent_vec")).as("__cnrm"))
       val assigned = vecs
         .join(broadcast(centN))
@@ -293,8 +295,11 @@ object Similarity {
         if ((i + 1) % checkpointInterval == 0 || i == iters - 1)
           graft.core.Lineage.cut(next, checkpointDir)
         else next
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevSp)
-    cent
+    }
+    // the final frame is already checkpointed (i == iters-1 always
+    // cuts); re-bind it to the caller's session so downstream queries
+    // run at the caller's configured shuffle width
+    org.apache.spark.sql.GraftSqlBridge.inSession(cent, spark)
   }
 
   /** Mean within-cluster cosine distance (1 - cos) — the quantity each

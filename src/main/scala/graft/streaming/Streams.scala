@@ -342,11 +342,30 @@ object Streams {
       val compacted = spark.read.parquet(indexPath).localCheckpoint(true)
       val tmp = new org.apache.hadoop.fs.Path(dir, s".compact-${java.util.UUID.randomUUID}")
       compacted.repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
-      fs.listStatus(tmp)
+      // Every staged rename must be CONFIRMED before any original is
+      // deleted: a failed rename with the originals already gone would
+      // lose index rows (violating the never-missing-rows contract
+      // above). On any failure, abort — keep the originals, sweep the
+      // staging dir, and leave the index exactly as it was.
+      val staged = fs.listStatus(tmp)
         .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
-        .foreach(f => fs.rename(f.getPath, new org.apache.hadoop.fs.Path(dir, f.getPath.getName)))
-      fs.delete(tmp, true)
-      dataFiles.foreach(f => fs.delete(f.getPath, false))
+      val renamed = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+      val allPlaced = staged.forall { f =>
+        val dest = new org.apache.hadoop.fs.Path(dir, f.getPath.getName)
+        val ok = fs.rename(f.getPath, dest)
+        if (ok) renamed += dest
+        ok
+      }
+      if (allPlaced) {
+        fs.delete(tmp, true)
+        dataFiles.foreach(f => fs.delete(f.getPath, false))
+      } else {
+        // roll back the files already placed (duplicates of live rows —
+        // removing them is safe), then drop the staging dir; the next
+        // compaction cycle retries from scratch
+        renamed.foreach(p => fs.delete(p, false))
+        fs.delete(tmp, true)
+      }
     }
     entries
       .map(_.getPath)

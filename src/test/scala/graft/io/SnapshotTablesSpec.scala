@@ -122,6 +122,51 @@ class SnapshotTablesSpec extends SparkSpec {
     assert(t.readVersion("tab", 2).as[(Int, String)].head() == ((2, "b")))
   }
 
+  test("a regressed pointer never masks committed snapshots and self-heals on the next commit") {
+    val root = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    val t = new SnapshotTables(spark, root)
+    t.overwriteTable(Seq((1, "a")).toDF("id", "v"), "tab")
+    t.overwriteTable(Seq((2, "b")).toDF("id", "v"), "tab")
+    // Interleaved pointer writes (or a crash between data rename and
+    // pointer flip) can leave the pointer BEHIND history. Readers must
+    // still see v2, and the next commit must target v3 — with a
+    // pointer-trusting currentVersion it would retry v2's CAS forever.
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(root, "tab", "metadata", ".current.crc"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "tab", "metadata", "current"), "1".getBytes("UTF-8"))
+    assert(t.currentVersion("tab") == 2)
+    assert(t.read("tab").as[(Int, String)].head() == ((2, "b")))
+    t.overwriteTable(Seq((3, "c")).toDF("id", "v"), "tab")
+    assert(t.currentVersion("tab") == 3)
+    assert(t.history("tab") == Seq(1, 2, 3))
+  }
+
+  test("crash-orphaned metadata (meta file, no snapshot data) is reclaimed after the grace period") {
+    val root = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    val t = new SnapshotTables(spark, root, orphanGraceMs = 0L)
+    t.overwriteTable(Seq((1, "a")).toDF("id", "v"), "tab")
+    // a winner that died after the CAS but before the data rename:
+    // v00002.json exists with no snapshots/v00002 directory
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "tab", "metadata", "v00002.json"), "{}".getBytes("UTF-8"))
+    t.overwriteTable(Seq((2, "b")).toDF("id", "v"), "tab") // reclaims instead of wedging
+    assert(t.currentVersion("tab") == 2)
+    assert(t.read("tab").as[(Int, String)].head() == ((2, "b")))
+    assert(t.history("tab") == Seq(1, 2))
+  }
+
+  test("an orphan still inside the grace period is NOT reclaimed (winner may be mid-rename)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    val t = new SnapshotTables(spark, root, orphanGraceMs = 3600000L)
+    t.overwriteTable(Seq((1, "a")).toDF("id", "v"), "tab")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "tab", "metadata", "v00002.json"), "{}".getBytes("UTF-8"))
+    intercept[SnapshotTables.ConcurrentCommitException] {
+      t.overwriteTable(Seq((2, "b")).toDF("id", "v"), "tab")
+    }
+    assert(t.currentVersion("tab") == 1) // table untouched, orphan left for the owner/grace expiry
+  }
+
   test("concurrent writers: at most one wins each version, pointer equals max history") {
     val root = java.nio.file.Files.createTempDirectory("graft-snap").toString
     import scala.concurrent.{Await, Future}

@@ -286,6 +286,19 @@ class CurationSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("nearDupClusters isolates its narrowed shuffle width from the caller's session") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val out = Dedup.nearDupClusters(pairs)
+    // iteration rounds run on an isolated session clone: the caller's
+    // conf is untouched DURING and after, and the returned frame is
+    // bound to the caller's session (downstream queries use its width)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+    assert(out.sparkSession eq spark)
+    assert(out.as[(Long, Long)].collect().toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("nearDupClusters durable-checkpoint mode matches the default exactly") {
     // long chain: several pointer-doubling rounds, so multiple
     // reliable checkpoints actually happen in the durable mode

@@ -120,7 +120,12 @@ class SimilaritySpec extends SparkSpec {
     def hits(df: org.apache.spark.sql.DataFrame) =
       df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val truth = hits(Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5))
+    val widthBefore = spark.conf.get("spark.sql.shuffle.partitions")
     val cent = Similarity.kmeansCentroids(e, "vec_id", "embedding", k = 16, iters = 2)
+    // Lloyd rounds run on an isolated session clone: caller conf
+    // untouched, returned frame bound to the caller's session
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == widthBefore)
+    assert(cent.sparkSession eq spark)
     val refined = hits(Similarity.ivfTopKWithCentroids(e, q, "vec_id", "embedding", k = 5, cent, nprobe = 2))
     val unrefined = hits(builtin)
     assert((refined intersect truth).size * 2 >= truth.size,
