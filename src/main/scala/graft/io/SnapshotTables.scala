@@ -293,13 +293,34 @@ final class SnapshotTables(
 
   /** Drop snapshots older than the retention window (keep the current
     * one plus `previousVersionsMax` predecessors). */
-  private def expire(table: String, current: Int): Unit =
+  private def expire(table: String, current: Int): Unit = {
     history(table).filter(_ < current - previousVersionsMax).foreach { v =>
       val d = snapDir(table, v)
       fs(d).delete(d, true)
       val m = new Path(metaDir(table), f"v$v%05d.json")
       fs(m).delete(m, false)
     }
+    vacuumStaging(table)
+  }
+
+  /** Sweep `.tmp-*` staging directories abandoned by crashed or killed
+    * writers. Staged data is invisible to readers, but at streaming /
+    * multi-writer cadence the debris is a real storage leak (each
+    * abandoned attempt holds a full table copy). A directory is only
+    * swept once it is older than `orphanGraceMs` — a live writer's
+    * staging dir is never touched (it renames away, or is younger than
+    * the grace window while its write is in flight). Runs piggybacked
+    * on every successful commit's retention pass, so no separate
+    * maintenance job is needed. */
+  private[io] def vacuumStaging(table: String): Unit = {
+    val snaps = new Path(tableDir(table), "snapshots")
+    val f = fs(snaps)
+    if (f.exists(snaps))
+      f.listStatus(snaps)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(".tmp-") &&
+          (System.currentTimeMillis - s.getModificationTime) >= orphanGraceMs)
+        .foreach(s => f.delete(s.getPath, true))
+  }
 }
 
 object SnapshotTables {

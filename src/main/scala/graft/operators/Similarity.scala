@@ -515,4 +515,164 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("neighbor_id"), round(col("score"), 6).as("score"))
       .orderBy(col("query_id"), col("rk"))
   }
+
+  // --------------------------------------------------- product quantization
+
+  /** Split each vector into `m` contiguous subvectors of dim/m doubles:
+    * (id, subspace, sv). One explode over a literal struct array — no
+    * shuffle, stays inside whole-stage codegen. */
+  private def subvectors(corpus: DataFrame, idCol: String, vecCol: String, dim: Int, m: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val sub = dim / m
+    val pieces = (0 until m).map { s =>
+      struct(lit(s).as("subspace"),
+        transform(slice(col(vecCol), s * sub + 1, sub), x => x.cast("double")).as("sv"))
+    }
+    corpus.select(col(idCol).cast("long").as("__vid"), explode(array(pieces: _*)).as("p"))
+      .select(col("__vid"), col("p.subspace").as("subspace"), col("p.sv").as("sv"))
+  }
+
+  /** Nearest codeword per (vector, subspace): broadcast the codebooks
+    * (m·k rows — tiny), scan-local distances, argmin as a partial
+    * aggregation (min(struct) combines map-side: the shuffle carries
+    * one row per (vector, subspace), never the m·k scored rows).
+    * Deterministic tiebreak on code. */
+  private def assignCodes(sub: DataFrame, codebooks: DataFrame): DataFrame =
+    sub.join(broadcast(codebooks), Seq("subspace"))
+      .withColumn("__d", euclideanSq(col("sv"), col("cw")))
+      .groupBy(col("__vid"), col("subspace"))
+      .agg(min(struct(col("__d"), col("code"))).as("m"), first(col("sv")).as("sv"))
+      .select(col("__vid"), col("subspace"), col("sv"), col("m.code").as("code"))
+
+  /** Train product-quantization codebooks: an independent k-means per
+    * subspace, all `m` subspaces trained in ONE distributed Lloyd loop
+    * — the frames are keyed by (subspace, code), so more subspaces
+    * mean more rows, not more jobs. Seed codewords for subspace `s`
+    * are the subvectors of the vectors with id < k (the same seeding
+    * convention as [[ivfTopK]] / [[kmeansCentroids]], and — at
+    * iters=0 — a codebook the oracle corpus can re-derive in pure
+    * SQL). Means go through [[centroids]]' DECIMAL sums, so training
+    * is bit-stable across runs and cluster layouts; empty codes keep
+    * their previous codeword.
+    *
+    * Returns (subspace, code, cw array<double>): m·k rows — broadcast
+    * material for [[pqEncode]] / [[pqTopK]] however big the corpus is.
+    */
+  def pqTrain(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      k: Int,
+      iters: Int = 0
+  ): DataFrame = {
+    val sub = subvectors(corpus, idCol, vecCol, dim, m).localCheckpoint(true)
+    var cb = sub.filter(col("__vid") < k)
+      .select(col("subspace"), col("__vid").cast("int").as("code"), col("sv").as("cw"))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      // pack (subspace, code) into one cell key for the shared
+      // element-wise-mean helper, then unpack
+      val keyed = assignCodes(sub, cb)
+        .select((col("subspace").cast("long") * k + col("code")).as("__cell"), col("sv"))
+      val means = centroids(keyed, "__cell", "sv")
+        .groupBy(col("__cell"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("centroid")))),
+          s => s.getField("centroid")).as("__new"))
+        .select((col("__cell") / k).cast("int").as("subspace"),
+          (col("__cell") % k).cast("int").as("code"), col("__new"))
+      cb = cb.select(col("subspace"), col("code"), col("cw").as("__prev"))
+        .join(means, Seq("subspace", "code"), "left")
+        .select(col("subspace"), col("code"),
+          coalesce(col("__new"), col("__prev")).as("cw"))
+        .localCheckpoint(true)
+    }
+    cb
+  }
+
+  /** Encode the corpus against trained codebooks: one row per vector,
+    * `codes` = array<int> of m codeword ids — dim×4 bytes of float32
+    * down to m small ints at rest. THIS is PQ's 100 TB story: the
+    * serving scan reads the codes table (16 bytes/row at m=8 packed)
+    * instead of the raw embeddings (256 bytes/row at dim=64), an
+    * IO reduction that holds at any corpus size because the codebooks
+    * stay m·k rows regardless. Returns (idCol, codes). */
+  def pqEncode(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: DataFrame,
+      dim: Int,
+      m: Int
+  ): DataFrame =
+    assignCodes(subvectors(corpus, idCol, vecCol, dim, m), codebooks)
+      .groupBy(col("__vid"))
+      .agg(transform(array_sort(collect_list(struct(col("subspace"), col("code")))),
+        s => s.getField("code")).as("codes"))
+      .select(col("__vid").as(idCol), col("codes"))
+
+  /** Asymmetric-distance (ADC) top-k over a PQ-encoded corpus: each
+    * query precomputes its distance to every codeword (m·k doubles —
+    * one broadcast lookup array per query, laid out slot = subspace·k
+    * + code), and scoring a corpus row is m array lookups summed — no
+    * vector math against the corpus at all. Partial distances are
+    * round(·,8) → DECIMAL-summed, so the score is independent of both
+    * fold order and engine (the oracle recomputes it exactly), and the
+    * ranking is total (tiebreak on neighbor id).
+    *
+    * `codes` is [[pqEncode]] output; `queries` carries raw vectors.
+    * Returns (query_id, rk, neighbor_id, adc) — adc ascending (it is a
+    * squared-distance surrogate: smaller is nearer). */
+  def pqTopK(
+      codes: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: DataFrame,
+      dim: Int,
+      m: Int,
+      k: Int,
+      topK: Int
+  ): DataFrame = {
+    val qtab = subvectors(queries, idCol, vecCol, dim, m)
+      .join(broadcast(codebooks), Seq("subspace"))
+      .select(col("__vid").as("query_id"),
+        (col("subspace") * k + col("code")).as("slot"),
+        round(euclideanSq(col("sv"), col("cw")), 8).cast("decimal(28,10)").as("pd"))
+      .groupBy(col("query_id"))
+      .agg(transform(array_sort(collect_list(struct(col("slot"), col("pd")))),
+        s => s.getField("pd")).as("dtab"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc"), col(idCol))
+    codes.crossJoin(broadcast(qtab))
+      .filter(col("query_id") =!= col(idCol))
+      .withColumn("adc",
+        aggregate(
+          zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+            (c, s) => element_at(col("dtab"), (s * k + c + 1).cast("int"))),
+          lit(0).cast("decimal(28,10)"),
+          (acc, x) => (acc + x).cast("decimal(28,10)")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("query_id"), col("rk"), col(idCol).as("neighbor_id"),
+        col("adc").cast("double").as("adc"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Mean squared quantization error of `codebooks` over the corpus —
+    * the audit number PQ training monotonically improves (same role as
+    * [[kmeansInertia]] for the coarse quantizer). */
+  def pqQuantError(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: DataFrame,
+      dim: Int,
+      m: Int
+  ): Double = {
+    val asn = assignCodes(subvectors(corpus, idCol, vecCol, dim, m), codebooks)
+      .join(broadcast(codebooks), Seq("subspace", "code"))
+      .select(euclideanSq(col("sv"), col("cw")).as("e"))
+    asn.agg(avg(round(col("e"), 8).cast("decimal(28,10)")).cast("double")).head.getDouble(0)
+  }
 }

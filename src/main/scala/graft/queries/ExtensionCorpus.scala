@@ -254,6 +254,12 @@ object ExtensionCorpus {
   private val sqlVecView =
     "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings"
 
+  /** DuckDB squared L2 with the exact fold shape of
+    * VectorFunctions.euclideanSq (left-assoc double adds ⇒
+    * bit-identical IEEE results). */
+  private def sqlSqDist(a: String, b: String): String =
+    s"""list_reduce(list_transform(list_zip($a, $b), p -> (struct_extract(p,1)-struct_extract(p,2))*(struct_extract(p,1)-struct_extract(p,2))), (x,y) -> x+y)"""
+
   private val q38 = Q(
     "q38_ann_bruteforce",
     (s, dir) => {
@@ -672,8 +678,44 @@ object ExtensionCorpus {
       FROM t ORDER BY doc_id""")
   )
 
+  /** Product-quantization ADC ANN, hash-exact against the oracle: at
+    * iters=0 the codebooks are the seed subvectors of ids < 16, which
+    * DuckDB re-derives from the data itself (same trick as
+    * [[lshAnnOracleSql]]'s seeded planes) — so subspace split, code
+    * assignment, the per-query distance table, and decimal ADC
+    * summation are ALL pinned cross-engine. Lloyd-refined codebooks
+    * are covered by the pq specs (quantization-error monotone,
+    * bit-stable training). */
+  private val q96 = Q(
+    "q96_pq_adc",
+    (s, dir) => {
+      val e = fixture(s, dir, "embeddings")
+      val cb = Similarity.pqTrain(e, "vec_id", "embedding", dim = 64, m = 8, k = 16)
+      val codes = Similarity.pqEncode(e, "vec_id", "embedding", cb, dim = 64, m = 8)
+      Similarity.pqTopK(codes, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        cb, dim = 64, m = 8, k = 16, topK = 5)
+    },
+    Some(s"""WITH v AS ($sqlVecView),
+      sub AS (SELECT vec_id, s.s AS subspace, list_slice(emb, s.s*8+1, s.s*8+8) AS sv
+              FROM v, (SELECT unnest(range(8)) AS s) s),
+      cb AS (SELECT subspace, CAST(vec_id AS INTEGER) AS code, sv AS cw FROM sub WHERE vec_id < 16),
+      asn AS (SELECT d.vec_id, d.subspace, c.code, ${sqlSqDist("d.sv", "c.cw")} AS dist
+              FROM sub d JOIN cb c USING (subspace)),
+      enc AS (SELECT vec_id, subspace, code FROM asn
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, subspace ORDER BY dist, code) = 1),
+      qd AS (SELECT vec_id AS query_id, subspace, code, CAST(ROUND(dist, 8) AS DECIMAL(28,10)) AS pd
+             FROM asn WHERE vec_id < 10),
+      sc AS (SELECT q.query_id, e.vec_id AS neighbor_id, SUM(q.pd) AS adc
+             FROM enc e JOIN qd q ON q.subspace = e.subspace AND q.code = e.code AND q.query_id <> e.vec_id
+             GROUP BY 1, 2),
+      r AS (SELECT query_id, neighbor_id, adc,
+              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rk FROM sc)
+      SELECT query_id, CAST(rk AS INTEGER) AS rk, neighbor_id, CAST(adc AS DOUBLE) AS adc
+      FROM r WHERE rk <= 5 ORDER BY query_id, rk""")
+  )
+
   val all: Seq[Q] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
-    q48, q49, q55, q86, q87, q88, q95
+    q48, q49, q55, q86, q87, q88, q95, q96
   )
 }

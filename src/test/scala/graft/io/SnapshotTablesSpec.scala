@@ -167,6 +167,19 @@ class SnapshotTablesSpec extends SparkSpec {
     assert(t.currentVersion("tab") == 1) // table untouched, orphan left for the owner/grace expiry
   }
 
+  test("abandoned staging directories are vacuumed by the next commit's retention pass") {
+    val root = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    val t = new SnapshotTables(spark, root, orphanGraceMs = 0L)
+    t.overwriteTable(Seq((1, "a")).toDF("id", "v"), "tab")
+    // a crashed writer's leftover staging dir (full table copy = storage leak)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(root, "tab", "snapshots", ".tmp-dead-writer", "p"))
+    t.overwriteTable(Seq((2, "b")).toDF("id", "v"), "tab")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "tab", "snapshots", ".tmp-dead-writer")))
+    assert(t.history("tab") == Seq(1, 2)) // debris never visible as a version
+  }
+
   test("concurrent writers: at most one wins each version, pointer equals max history") {
     val root = java.nio.file.Files.createTempDirectory("graft-snap").toString
     import scala.concurrent.{Await, Future}

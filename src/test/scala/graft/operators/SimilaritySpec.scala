@@ -189,4 +189,45 @@ class SimilaritySpec extends SparkSpec {
     val b = Similarity.hyperplanes(8, 4)
     assert(a.flatten.toSeq == b.flatten.toSeq)
   }
+
+  test("pq: codeword-built vectors encode losslessly and ADC equals true squared L2") {
+    // dim=8, m=4 subspaces of 2 dims, k=2 codewords: the pool is the
+    // subvectors of seed ids 0 and 1; every other vector is assembled
+    // FROM that pool, so quantization is exact and ADC must equal the
+    // true squared L2 distance between the raw vectors.
+    val rows = Seq(
+      (0L, Seq(1f, 0f, 2f, 0f, 0f, 3f, 1f, 1f)), // seeds: codes (0,0,0,0)
+      (1L, Seq(0f, 1f, 0f, 2f, 3f, 0f, 2f, 2f)), //        codes (1,1,1,1)
+      (2L, Seq(1f, 0f, 0f, 2f, 0f, 3f, 2f, 2f)), // codes (0,1,0,1)
+      (3L, Seq(0f, 1f, 2f, 0f, 3f, 0f, 1f, 1f))  // codes (1,0,1,0)
+    )
+    val df = rows.toDF("vec_id", "embedding")
+    val cb = Similarity.pqTrain(df, "vec_id", "embedding", dim = 8, m = 4, k = 2)
+    assert(cb.count() == 8) // m*k codewords
+    val codes = Similarity.pqEncode(df, "vec_id", "embedding", cb, dim = 8, m = 4)
+    val got = codes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(got == Map(
+      0L -> Seq(0, 0, 0, 0), 1L -> Seq(1, 1, 1, 1),
+      2L -> Seq(0, 1, 0, 1), 3L -> Seq(1, 0, 1, 0)))
+    val top = Similarity.pqTopK(codes, df.filter($"vec_id" === 0L), "vec_id", "embedding",
+      cb, dim = 8, m = 4, k = 2, topK = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // true squared L2 from v0: v2=10, v3=20, v1=30
+    assert(top.toSeq == Seq((1, 2L, 10.0), (2, 3L, 20.0), (3, 1L, 30.0)))
+  }
+
+  test("pq training never increases quantization error and is deterministic") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val seed = Similarity.pqTrain(e, "vec_id", "embedding", dim = 64, m = 8, k = 16)
+    val trained = Similarity.pqTrain(e, "vec_id", "embedding", dim = 64, m = 8, k = 16, iters = 2)
+    val e0 = Similarity.pqQuantError(e, "vec_id", "embedding", seed, dim = 64, m = 8)
+    val e2 = Similarity.pqQuantError(e, "vec_id", "embedding", trained, dim = 64, m = 8)
+    assert(e2 <= e0 + 1e-5, s"Lloyd raised pq quantization error: $e0 -> $e2")
+    // bit-stable training (decimal means): identical codebooks run-to-run
+    val again = Similarity.pqTrain(e, "vec_id", "embedding", dim = 64, m = 8, k = 16, iters = 2)
+    def flat(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("subspace", "code").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq)).toSeq
+    assert(flat(again) == flat(trained))
+  }
 }
