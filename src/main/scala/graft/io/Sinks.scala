@@ -80,4 +80,63 @@ object Sinks {
 
   def parquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Z-order (Morton-curve) clustered parquet: the multi-dimensional
+    * complement to [[sortedParquet]]. A single-key sort gives tight
+    * per-file min/max on ONE column; filtering on any other column
+    * still touches every file. Interleaving the bit codes of `zCols`
+    * and range-partitioning + sorting on the interleaved value keeps
+    * every file's footer stats tight on ALL z columns at once, so a
+    * box/point predicate on any subset of them skips most files — at
+    * 100 TB this is the difference between scanning the store and
+    * scanning a handful of files, for query shapes no single sort key
+    * covers.
+    *
+    * Column codes are linear min/max scalings into `bits` bits (one
+    * cheap scan-local agg for the bounds; 2·|zCols| driver scalars —
+    * not a collect of data). Linear scaling is the deterministic v1;
+    * heavily skewed columns would want rank/percentile codes (the
+    * sampling trick Delta's OPTIMIZE ZORDER uses) layered on the same
+    * interleave. Everything else is codegen'd column arithmetic — no
+    * UDF, no shuffle beyond the one range repartition any clustered
+    * write pays. Nulls code to null and cluster together at the range
+    * boundary. */
+  def zorderedParquet(
+      df: DataFrame,
+      path: String,
+      zCols: Seq[String],
+      numFiles: Int,
+      bits: Int = 16
+  ): Unit = {
+    import org.apache.spark.sql.functions._
+    require(zCols.nonEmpty, "zorderedParquet needs at least one column")
+    require(zCols.size * bits <= 63, s"${zCols.size} cols x $bits bits exceeds a long")
+    val aggs = zCols.flatMap(c =>
+      Seq(min(col(c).cast("double")).as(s"__mn_$c"), max(col(c).cast("double")).as(s"__mx_$c")))
+    val mm = df.agg(aggs.head, aggs.tail: _*).head
+    val codes = zCols.zipWithIndex.map { case (c, i) =>
+      if (mm.isNullAt(2 * i)) lit(0L) // all-null column: no spread to encode
+      else {
+        val mn = mm.getDouble(2 * i)
+        val mx = mm.getDouble(2 * i + 1)
+        val scale = if (mx > mn) ((1L << bits) - 1).toDouble / (mx - mn) else 0.0
+        floor((col(c).cast("double") - lit(mn)) * lit(scale)).cast("long")
+      }
+    }
+    // bit b of column i lands at interleaved position b*n + (n-1-i):
+    // round-robin interleave, first z column in the higher lanes
+    val n = zCols.size
+    val z = (0 until bits)
+      .flatMap { b =>
+        codes.zipWithIndex.map { case (code, i) =>
+          shiftleft(shiftright(code, b).bitwiseAND(lit(1L)), b * n + (n - 1 - i))
+        }
+      }
+      .reduce(_.bitwiseOR(_))
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }

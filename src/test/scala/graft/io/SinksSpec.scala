@@ -50,4 +50,45 @@ class SinksSpec extends SparkSpec {
     // total rows preserved
     assert(spark.read.parquet(out).count() == 10000)
   }
+
+  test("zorderedParquet keeps per-file min/max tight on BOTH columns; box predicates skip files") {
+    import org.apache.spark.sql.functions._
+    // two independent uniform dimensions: no single sort key can give
+    // tight file stats on both
+    val df = spark.range(0, 20000).toDF("id")
+      .withColumn("x", pmod(hash($"id" * 7919), lit(10000)).cast("long"))
+      .withColumn("y", pmod(hash($"id" * 104729 + 1), lit(10000)).cast("long"))
+    def fileRanges(path: String, c: String): Seq[(Long, Long)] =
+      spark.read.parquet(path)
+        .groupBy(input_file_name()).agg(min(col(c)).as("mn"), max(col(c)).as("mx"))
+        .select("mn", "mx").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // a box predicate on both dims: files whose stats ranges intersect
+    // the box are the ones a parquet reader must open
+    def candidates(path: String, lo: Long, hi: Long): Int =
+      spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg(min($"x").as("xmn"), max($"x").as("xmx"), min($"y").as("ymn"), max($"y").as("ymx"))
+        .filter($"xmn" <= hi && $"xmx" >= lo && $"ymn" <= hi && $"ymx" >= lo)
+        .count().toInt
+
+    val zdir = java.nio.file.Files.createTempDirectory("zorder-pq").toString + "/t"
+    val udir = java.nio.file.Files.createTempDirectory("zorder-pq").toString + "/u"
+    Sinks.zorderedParquet(df, zdir, Seq("x", "y"), numFiles = 16)
+    df.repartition(16).write.parquet(udir) // unclustered baseline
+    // content round-trips
+    assert(spark.read.parquet(zdir).agg(sum($"id")).head.getLong(0) ==
+      df.agg(sum($"id")).head.getLong(0))
+    // every file's x-range AND y-range is a fraction of the domain
+    // (z-curve locality), vs the unclustered layout where each file
+    // spans nearly everything
+    def avgWidth(rs: Seq[(Long, Long)]): Double =
+      rs.map { case (a, b) => (b - a).toDouble }.sum / rs.size
+    assert(avgWidth(fileRanges(zdir, "x")) < 0.5 * avgWidth(fileRanges(udir, "x")))
+    assert(avgWidth(fileRanges(zdir, "y")) < 0.5 * avgWidth(fileRanges(udir, "y")))
+    // a 10%x10% box: the z-ordered layout prunes most of the 16 files,
+    // the unclustered one prunes none
+    val (zc, uc) = (candidates(zdir, 4500, 5500), candidates(udir, 4500, 5500))
+    assert(uc == 16, s"baseline unexpectedly prunable: $uc")
+    assert(zc <= 8, s"z-order box candidates $zc of 16 — no locality")
+  }
 }
