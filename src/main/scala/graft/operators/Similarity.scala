@@ -635,7 +635,25 @@ object Similarity {
       k: Int,
       topK: Int
   ): DataFrame = {
-    val qtab = subvectors(queries, idCol, vecCol, dim, m)
+    val qtab = pqQueryTables(queries, idCol, vecCol, codebooks, dim, m, k)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc"), col(idCol))
+    codes.crossJoin(broadcast(qtab))
+      .filter(col("query_id") =!= col(idCol))
+      .withColumn("adc", adcSum(col("codes"), col("dtab"), m, k))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("query_id"), col("rk"), col(idCol).as("neighbor_id"),
+        col("adc").cast("double").as("adc"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Per-query ADC lookup tables: distance of each query subvector to
+    * every codeword, flattened per query into an array laid out slot =
+    * subspace·k + code. (query_id, dtab array<decimal>). */
+  private def pqQueryTables(
+      queries: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame, dim: Int, m: Int, k: Int): DataFrame =
+    subvectors(queries, idCol, vecCol, dim, m)
       .join(broadcast(codebooks), Seq("subspace"))
       .select(col("__vid").as("query_id"),
         (col("subspace") * k + col("code")).as("slot"),
@@ -643,15 +661,73 @@ object Similarity {
       .groupBy(col("query_id"))
       .agg(transform(array_sort(collect_list(struct(col("slot"), col("pd")))),
         s => s.getField("pd")).as("dtab"))
+
+  /** ADC score of one encoded row against one query table: m array
+    * lookups folded as an exact decimal sum. */
+  private def adcSum(codes: org.apache.spark.sql.Column, dtab: org.apache.spark.sql.Column, m: Int, k: Int) =
+    aggregate(
+      zip_with(codes, sequence(lit(0), lit(m - 1)),
+        (c, s) => element_at(dtab, (s * k + c + 1).cast("int"))),
+      lit(0).cast("decimal(28,10)"),
+      (acc, x) => (acc + x).cast("decimal(28,10)"))
+
+  /** IVF-PQ: the composed big-corpus serving architecture (what a
+    * FAISS-style store runs at the 100 TB point). The IVF coarse
+    * quantizer prunes each query to its `nprobe` nearest cells — the
+    * scan touches only those cells' rows — and rows inside a probed
+    * cell are scored by PQ ADC lookups, never by vector math. The
+    * serving inputs are BOTH index-sized: (cell_id, codes) rows at m
+    * ints per vector, and m·k-row codebooks + numCells-row centroids
+    * broadcast; with the codes table written partitioned/bucketed by
+    * cell_id the probe join prunes at file level exactly like
+    * [[queryLshIndex]]. Cells seed from id < numCells (the [[ivfTopK]]
+    * convention, so the oracle can replay them); pass refined
+    * centroids through [[kmeansCentroids]]-trained codebooks for the
+    * production path. nprobe = numCells degenerates to exactly
+    * [[pqTopK]] (spec-pinned). Returns (query_id, rk, neighbor_id,
+    * adc). */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: DataFrame,
+      dim: Int,
+      m: Int,
+      k: Int,
+      numCells: Int,
+      nprobe: Int,
+      topK: Int
+  ): DataFrame = {
+    val cent = corpus.filter(col(idCol) < numCells)
+      .select(col(idCol).cast("long").as("cell_id"), col(vecCol).as("cent_vec"),
+        norm(col(vecCol)).as("cent_nrm"))
+    // corpus → owning cell: argmax cosine as a partial aggregation
+    // (shuffle carries one row per vector, ties to the highest cell)
+    val assigned = corpus
+      .select(col(idCol).cast("long").as("__avid"), col(vecCol).as("c_vec"), norm(col(vecCol)).as("c_nrm"))
+      .join(broadcast(cent))
+      .withColumn("cs", dot(col("c_vec"), col("cent_vec")) / (col("c_nrm") * col("cent_nrm")))
+      .groupBy(col("__avid"))
+      .agg(max(struct(col("cs"), col("cell_id"))).as("mm"))
+      .select(col("__avid"), col("mm.cell_id").as("cell_id"))
+    val codes = pqEncode(corpus, idCol, vecCol, codebooks, dim, m)
+      .join(assigned, col(idCol) === col("__avid")).drop("__avid")
+    // query probes: top-nprobe cells by cosine (numCells rows broadcast)
+    val wp = Window.partitionBy(col("query_id")).orderBy(col("ps").desc, col("cell_id").desc)
+    val probes = queries
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_nrm"))
+      .join(broadcast(cent))
+      .withColumn("ps", dot(col("q_vec"), col("cent_vec")) / (col("q_nrm") * col("cent_nrm")))
+      .withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("cell_id"))
+    val qtab = pqQueryTables(queries, idCol, vecCol, codebooks, dim, m, k)
     val w = Window.partitionBy(col("query_id")).orderBy(col("adc"), col(idCol))
-    codes.crossJoin(broadcast(qtab))
+    codes
+      .join(broadcast(probes.join(qtab, Seq("query_id"))), Seq("cell_id"))
       .filter(col("query_id") =!= col(idCol))
-      .withColumn("adc",
-        aggregate(
-          zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
-            (c, s) => element_at(col("dtab"), (s * k + c + 1).cast("int"))),
-          lit(0).cast("decimal(28,10)"),
-          (acc, x) => (acc + x).cast("decimal(28,10)")))
+      .withColumn("adc", adcSum(col("codes"), col("dtab"), m, k))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= topK)
       .select(col("query_id"), col("rk"), col(idCol).as("neighbor_id"),

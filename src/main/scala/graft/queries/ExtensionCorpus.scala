@@ -714,8 +714,56 @@ object ExtensionCorpus {
       FROM r WHERE rk <= 5 ORDER BY query_id, rk""")
   )
 
+  /** IVF-PQ composed serving, hash-exact: seed cells (q47's convention)
+    * prune the scan to nprobe cells per query, seed codebooks (q96's
+    * convention) score the survivors by decimal ADC — the oracle
+    * replays coarse assignment, probing, encoding, and ADC summation
+    * end-to-end. */
+  private val q97 = Q(
+    "q97_ivf_pq_adc",
+    (s, dir) => {
+      val e = fixture(s, dir, "embeddings")
+      val cb = Similarity.pqTrain(e, "vec_id", "embedding", dim = 64, m = 8, k = 16)
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        cb, dim = 64, m = 8, k = 16, numCells = 16, nprobe = 2, topK = 5)
+    },
+    Some(s"""WITH v AS ($sqlVecView),
+      n AS (SELECT vec_id, emb, sqrt(list_reduce(list_transform(emb, x -> x*x), (x,y) -> x+y)) AS nrm FROM v),
+      cent AS (SELECT vec_id AS cell_id, emb AS cemb, nrm AS cnrm FROM n WHERE vec_id < 16),
+      asg AS (SELECT vec_id, cell_id FROM (
+        SELECT x.vec_id, cent.cell_id,
+          ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+            (list_reduce(list_transform(list_zip(x.emb, cent.cemb), p -> struct_extract(p,1)*struct_extract(p,2)), (a,b) -> a+b)
+             / (x.nrm * cent.cnrm)) DESC, cell_id DESC) AS rn
+        FROM n x, cent) WHERE rn = 1),
+      probes AS (SELECT vec_id AS query_id, cell_id FROM (
+        SELECT x.vec_id, cent.cell_id,
+          ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+            (list_reduce(list_transform(list_zip(x.emb, cent.cemb), p -> struct_extract(p,1)*struct_extract(p,2)), (a,b) -> a+b)
+             / (x.nrm * cent.cnrm)) DESC, cell_id DESC) AS rn
+        FROM n x, cent WHERE x.vec_id < 10) WHERE rn <= 2),
+      sub AS (SELECT vec_id, s.s AS subspace, list_slice(emb, s.s*8+1, s.s*8+8) AS sv
+              FROM v, (SELECT unnest(range(8)) AS s) s),
+      cb AS (SELECT subspace, CAST(vec_id AS INTEGER) AS code, sv AS cw FROM sub WHERE vec_id < 16),
+      asn AS (SELECT d.vec_id, d.subspace, c.code, ${sqlSqDist("d.sv", "c.cw")} AS dist
+              FROM sub d JOIN cb c USING (subspace)),
+      enc AS (SELECT vec_id, subspace, code FROM asn
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, subspace ORDER BY dist, code) = 1),
+      qd AS (SELECT vec_id AS query_id, subspace, code, CAST(ROUND(dist, 8) AS DECIMAL(28,10)) AS pd
+             FROM asn WHERE vec_id < 10),
+      sc AS (SELECT p.query_id, a.vec_id AS neighbor_id, SUM(q.pd) AS adc
+             FROM asg a JOIN probes p ON p.cell_id = a.cell_id AND p.query_id <> a.vec_id
+             JOIN enc e ON e.vec_id = a.vec_id
+             JOIN qd q ON q.query_id = p.query_id AND q.subspace = e.subspace AND q.code = e.code
+             GROUP BY 1, 2),
+      r AS (SELECT query_id, neighbor_id, adc,
+              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rk FROM sc)
+      SELECT query_id, CAST(rk AS INTEGER) AS rk, neighbor_id, CAST(adc AS DOUBLE) AS adc
+      FROM r WHERE rk <= 5 ORDER BY query_id, rk""")
+  )
+
   val all: Seq[Q] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
-    q48, q49, q55, q86, q87, q88, q95, q96
+    q48, q49, q55, q86, q87, q88, q95, q96, q97
   )
 }

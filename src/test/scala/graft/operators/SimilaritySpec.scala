@@ -216,6 +216,28 @@ class SimilaritySpec extends SparkSpec {
     assert(top.toSeq == Seq((1, 2L, 10.0), (2, 3L, 20.0), (3, 1L, 30.0)))
   }
 
+  test("ivf-pq: probing all cells equals full-scan pq ADC exactly; pruned probes still rank top-k") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 10)
+    val cb = Similarity.pqTrain(e, "vec_id", "embedding", dim = 64, m = 8, k = 16)
+    val codes = Similarity.pqEncode(e, "vec_id", "embedding", cb, dim = 64, m = 8)
+    val full = Similarity.pqTopK(codes, q, "vec_id", "embedding", cb,
+      dim = 64, m = 8, k = 16, topK = 5).collect().toSeq
+    // nprobe = numCells degenerates to the full ADC scan, bit-for-bit
+    val allProbes = Similarity.ivfPqTopK(e, q, "vec_id", "embedding", cb,
+      dim = 64, m = 8, k = 16, numCells = 16, nprobe = 16, topK = 5).collect().toSeq
+    assert(allProbes == full)
+    // pruned serving still returns a full top-k per query, adc ascending
+    val pruned = Similarity.ivfPqTopK(e, q, "vec_id", "embedding", cb,
+      dim = 64, m = 8, k = 16, numCells = 16, nprobe = 2, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(3)))
+    assert(pruned.length == 50)
+    pruned.groupBy(_._1).values.foreach { g =>
+      val byRk = g.sortBy(_._2).map(_._3)
+      assert(byRk.zip(byRk.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
   test("pq training never increases quantization error and is deterministic") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val seed = Similarity.pqTrain(e, "vec_id", "embedding", dim = 64, m = 8, k = 16)
