@@ -254,6 +254,42 @@ final class SnapshotTables(
     overwriteTable(read(table).filter(!predicate), table, partitionCols)
   }
 
+  /** Multiset row diff between two retained versions — the CDC feed
+    * the snapshot model supports without delta files: an incremental
+    * consumer reads `diff(t, lastSeen, current)` instead of re-scanning
+    * the table. Returns every row with `__change` = 'insert' (in `toV`
+    * only) or 'delete' (in `fromV` only); an update surfaces as
+    * delete+insert. exceptAll keeps duplicate multiplicity honest and
+    * shuffles on the full row like any set difference — both sides
+    * prune columns/partitions as normal parquet scans. */
+  def diff(table: String, fromV: Int, toV: Int): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val from = readVersion(table, fromV)
+    val to = readVersion(table, toV)
+    to.exceptAll(from).withColumn("__change", lit("insert"))
+      .unionByName(from.exceptAll(to).withColumn("__change", lit("delete")))
+  }
+
+  /** Key-classified diff: with unique `keyCols`, resolves the raw
+    * multiset diff into insert / update / delete per key (a delete+
+    * insert pair on one key is reported once, as an update with both
+    * images). Output: keyCols, __change, __old struct, __new struct. */
+  def diffKeyed(table: String, fromV: Int, toV: Int, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "diffKeyed needs key columns")
+    import org.apache.spark.sql.functions._
+    val from = readVersion(table, fromV)
+    val rest = from.columns.filterNot(keyCols.contains).toSeq
+    def packed(df: DataFrame, as: String) =
+      df.select(keyCols.map(col) :+ struct(rest.map(col): _*).as(as): _*)
+    packed(from, "__old")
+      .join(packed(readVersion(table, toV), "__new"), keyCols, "full_outer")
+      .withColumn("__change",
+        when(col("__old").isNull, "insert")
+          .when(col("__new").isNull, "delete")
+          .when(!(col("__old") <=> col("__new")), "update"))
+      .filter(col("__change").isNotNull)
+  }
+
   /** Read the current snapshot (partition discovery + pruning work as
     * on any partitioned parquet directory). */
   def read(table: String): DataFrame = readVersion(table, currentVersion(table))

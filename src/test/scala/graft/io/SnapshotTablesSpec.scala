@@ -122,6 +122,25 @@ class SnapshotTablesSpec extends SparkSpec {
     assert(t.readVersion("tab", 2).as[(Int, String)].head() == ((2, "b")))
   }
 
+  test("diff between versions yields the CDC feed; diffKeyed classifies insert/update/delete") {
+    val t = newTables()
+    t.overwriteTable(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"), "tab")
+    t.merge("tab", Seq((2, "B2"), (4, "d")).toDF("id", "v"), keyCols = Seq("id"))
+    t.delete("tab", org.apache.spark.sql.functions.col("id") === 3)
+    // v1 -> v3: 2 updated, 4 inserted, 3 deleted, 1 untouched
+    val d = t.diff("tab", 1, 3).as[(Int, String, String)].collect().toSet
+    assert(d == Set((2, "B2", "insert"), (4, "d", "insert"), (2, "b", "delete"), (3, "c", "delete")))
+    val dk = t.diffKeyed("tab", 1, 3, Seq("id"))
+      .selectExpr("id", "__change", "__old.v", "__new.v")
+      .as[(Int, String, Option[String], Option[String])].collect().toSet
+    assert(dk == Set(
+      (2, "update", Some("b"), Some("B2")),
+      (4, "insert", None, Some("d")),
+      (3, "delete", Some("c"), None)))
+    // adjacent identical versions diff to empty
+    assert(t.diff("tab", 3, 3).isEmpty)
+  }
+
   test("a regressed pointer never masks committed snapshots and self-heals on the next commit") {
     val root = java.nio.file.Files.createTempDirectory("graft-snap").toString
     val t = new SnapshotTables(spark, root)
