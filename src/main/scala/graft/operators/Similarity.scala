@@ -538,11 +538,15 @@ object Similarity {
     * one row per (vector, subspace), never the m·k scored rows).
     * Deterministic tiebreak on code. */
   private def assignCodes(sub: DataFrame, codebooks: DataFrame): DataFrame =
+    // min_by over the (dist, code) struct: same argmin + deterministic
+    // tiebreak as min(struct).code, but hash-aggregable — no
+    // SortAggregate per-partition sorts on the corpus-sized frame
     sub.join(broadcast(codebooks), Seq("subspace"))
       .withColumn("__d", euclideanSq(col("sv"), col("cw")))
       .groupBy(col("__vid"), col("subspace"))
-      .agg(min(struct(col("__d"), col("code"))).as("m"), first(col("sv")).as("sv"))
-      .select(col("__vid"), col("subspace"), col("sv"), col("m.code").as("code"))
+      .agg(min_by(col("code"), struct(col("__d"), col("code"))).as("code"),
+        first(col("sv")).as("sv"))
+      .select(col("__vid"), col("subspace"), col("sv"), col("code"))
 
   /** Train product-quantization codebooks: an independent k-means per
     * subspace, all `m` subspaces trained in ONE distributed Lloyd loop
@@ -709,8 +713,8 @@ object Similarity {
       .join(broadcast(cent))
       .withColumn("cs", dot(col("c_vec"), col("cent_vec")) / (col("c_nrm") * col("cent_nrm")))
       .groupBy(col("__avid"))
-      .agg(max(struct(col("cs"), col("cell_id"))).as("mm"))
-      .select(col("__avid"), col("mm.cell_id").as("cell_id"))
+      .agg(max_by(col("cell_id"), struct(col("cs"), col("cell_id"))).as("cell_id"))
+      .select(col("__avid"), col("cell_id"))
     val codes = pqEncode(corpus, idCol, vecCol, codebooks, dim, m)
       .join(assigned, col(idCol) === col("__avid")).drop("__avid")
     // query probes: top-nprobe cells by cosine (numCells rows broadcast)
@@ -725,7 +729,7 @@ object Similarity {
     val qtab = pqQueryTables(queries, idCol, vecCol, codebooks, dim, m, k)
     val w = Window.partitionBy(col("query_id")).orderBy(col("adc"), col(idCol))
     codes
-      .join(broadcast(probes.join(qtab, Seq("query_id"))), Seq("cell_id"))
+      .join(broadcast(probes.join(broadcast(qtab), Seq("query_id"))), Seq("cell_id"))
       .filter(col("query_id") =!= col(idCol))
       .withColumn("adc", adcSum(col("codes"), col("dtab"), m, k))
       .withColumn("rk", row_number().over(w))

@@ -171,6 +171,27 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
   }
 
+  test("q96: PQ ADC serving broadcasts the query tables; codes side never shuffled by a join") {
+    val plan = finalPlan(run("q96_pq_adc"))
+    // the corpus-side scan joins only against broadcast relations
+    // (codebooks for encode, per-query tables for scoring): the single
+    // hash exchange allowed is pqEncode's groupBy(vector) — scoring
+    // itself must add no shuffle before the top-k window
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query tables must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no shuffle join on the codes side:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q97: IVF-PQ cell-probe join broadcasts; no cartesian anywhere") {
+    val plan = finalPlan(run("q97_ivf_pq_adc"))
+    // the scoring join (codes x probed cells) must be a broadcast hash
+    // join on cell_id; codes⋈assignment may sort-merge but reuses the
+    // two aggregations' exchanges (no extra shuffle of the corpus)
+    assert(plan.contains("BroadcastHashJoin"), s"cell-probe join must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("conformance compiles to a single Project over the scan") {
     import graft.core.{Conform, ColumnSpec}
     val df = Corpus.fixture(spark, sf("sf0.001"), "part")
