@@ -161,7 +161,20 @@ final class SnapshotTables(
     *         writer commits the same next version first; this writer's
     *         staged data is removed and the table is untouched — retry
     *         on top of the winner's commit. */
-  override def overwriteTable(df: DataFrame, table: String, partitionCols: Seq[String] = Nil): Unit = {
+  override def overwriteTable(df: DataFrame, table: String, partitionCols: Seq[String] = Nil): Unit =
+    overwriteTable(df, table, partitionCols, Nil)
+
+  /** Commit with a per-file stats manifest over `statsCols` (numeric or
+    * string columns): after the data rename, parquet FOOTERS of the
+    * staged files are read on executors (metadata-only — no data pages
+    * touched, distributed, never collected to the driver) and written
+    * as a small manifest parquet beside the version metadata.
+    * [[readPruned]] then answers range predicates on a stats column by
+    * scanning only the files whose [min,max] intersects — Iceberg's
+    * manifest pruning, on nothing but parquet + a directory. A crash
+    * between data rename and manifest write degrades cleanly: no
+    * manifest → readPruned falls back to the full snapshot. */
+  def overwriteTable(df: DataFrame, table: String, partitionCols: Seq[String], statsCols: Seq[String]): Unit = {
     val next = currentVersion(table) + 1
     // Stage the data under a unique temp dir: nothing below `v*` is
     // visible to history()/readers until the commit succeeds.
@@ -188,6 +201,7 @@ final class SnapshotTables(
       fs(meta).delete(meta, false)
       throw new SnapshotTables.ConcurrentCommitException(table, next)
     }
+    if (statsCols.nonEmpty) writeManifest(table, next, statsCols)
     advancePointer(table, next)
     expire(table, next)
   }
@@ -290,6 +304,122 @@ final class SnapshotTables(
       .filter(col("__change").isNotNull)
   }
 
+  private def manifestPath(table: String, v: Int): Path =
+    new Path(metaDir(table), f"v$v%05d-manifest.parquet")
+
+  /** Build the per-file stats manifest for version `v`: list the data
+    * files (recursively — partitioned layouts nest), then read each
+    * file's parquet FOOTER on executors and reduce row-group stats to
+    * one (min, max, nulls, rows) row per (file, column). The work is
+    * O(files) metadata reads, fully distributed, and the result is
+    * written as a manifest parquet without ever collecting stats to
+    * the driver — at a 100k-file table the driver only handles the
+    * file-name list. */
+  private def writeManifest(table: String, v: Int, statsCols: Seq[String]): Unit = {
+    val base = snapDir(table, v)
+    val f = fs(base)
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = f.listFiles(base, true)
+    while (it.hasNext) {
+      val s = it.next()
+      val name = s.getPath.getName
+      if (s.isFile && name.endsWith(".parquet") && !name.startsWith("_") && !name.startsWith("."))
+        files += s.getPath.toString
+    }
+    if (files.isEmpty) return
+    // listFiles returns fully-qualified URIs (file:/..., hdfs://...);
+    // qualify the base the same way or the relativization silently
+    // no-ops and the manifest stores absolute paths
+    val baseStr = f.makeQualified(base).toString.stripSuffix("/") + "/"
+    val wanted = statsCols.toSet
+    val confSer = new org.apache.spark.SerializableWritable(spark.sparkContext.hadoopConfiguration)
+    val session = spark
+    import session.implicits._
+    val stats = spark.sparkContext
+      .parallelize(files.toSeq, math.max(1, math.min(files.size, 64)))
+      .flatMap { abs =>
+        import scala.jdk.CollectionConverters._
+        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(abs), confSer.value))
+        try {
+          val blocks = reader.getFooter.getBlocks.asScala.toSeq
+          val rows = blocks.map(_.getRowCount).sum
+          val rel = abs.stripPrefix(baseStr)
+          blocks
+            .flatMap(_.getColumns.asScala)
+            .filter(c => wanted.contains(c.getPath.toDotString))
+            .groupBy(_.getPath.toDotString)
+            .toSeq
+            .map { case (cname, chunks) =>
+              var mnN: Option[Double] = None; var mxN: Option[Double] = None
+              var mnS: Option[String] = None; var mxS: Option[String] = None
+              var nulls = 0L
+              chunks.foreach { c =>
+                val st = c.getStatistics
+                if (st != null) {
+                  nulls += st.getNumNulls
+                  if (st.hasNonNullValue) c.getPrimitiveType.getPrimitiveTypeName match {
+                    case INT32 | INT64 | FLOAT | DOUBLE =>
+                      val lo = st.genericGetMin.asInstanceOf[Number].doubleValue
+                      val hi = st.genericGetMax.asInstanceOf[Number].doubleValue
+                      mnN = Some(mnN.fold(lo)(math.min(_, lo)))
+                      mxN = Some(mxN.fold(hi)(math.max(_, hi)))
+                    case BINARY =>
+                      val lo = st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+                      val hi = st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+                      mnS = Some(mnS.fold(lo)(a => if (a <= lo) a else lo))
+                      mxS = Some(mxS.fold(hi)(a => if (a >= hi) a else hi))
+                    case _ => () // other physical types: left statless (file kept conservatively)
+                  }
+                }
+              }
+              (rel, rows, cname, mnN, mxN, mnS, mxS, nulls)
+            }
+        } finally reader.close()
+      }
+      .toDF("file", "rows", "column", "min_num", "max_num", "min_str", "max_str", "nulls")
+    stats.coalesce(1).write.mode(SaveMode.Overwrite).parquet(manifestPath(table, v).toString)
+  }
+
+  /** Scan of the current version restricted to the files whose
+    * manifest stats MAY contain `column` ∈ [lo, hi] (numeric bounds
+    * for numeric columns, string bounds for string columns). Files
+    * with no stats for the column are kept conservatively; a version
+    * without a manifest falls back to the full snapshot scan. The only
+    * driver-side materialization is the pruned FILE-NAME list (same
+    * deliberate trade as the LSH index's bucket IN-pushdown). The
+    * caller still applies its row-level predicate — manifest pruning
+    * is a file-skipping layer, not a filter. Temporal columns carry
+    * stats in their parquet physical unit (DATE → days since epoch,
+    * TIMESTAMP → micros), so bounds must be passed in that unit. */
+  def readPruned(table: String, statColumn: String, lo: Any, hi: Any): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val v = currentVersion(table)
+    val mp = manifestPath(table, v)
+    val base = snapDir(table, v)
+    if (!fs(mp).exists(mp)) return readVersion(table, v)
+    val m = spark.read.parquet(mp.toString)
+    val forCol = m.filter(col("column") === lit(statColumn))
+    val overlapping = (lo, hi) match {
+      case (l: String, h: String) =>
+        forCol.filter(col("min_str").isNull || col("max_str").isNull ||
+          !(col("min_str") > lit(h) || col("max_str") < lit(l)))
+      case _ =>
+        forCol.filter(col("min_num").isNull || col("max_num").isNull ||
+          !(col("min_num") > lit(hi).cast("double") || col("max_num") < lit(lo).cast("double")))
+    }
+    // files the manifest has no row for under this column stay in scope
+    val untracked = m.select("file").distinct().except(forCol.select("file"))
+    val keep = overlapping.select("file").union(untracked).distinct()
+      .collect().map(_.getString(0))
+    if (keep.isEmpty) readVersion(table, v).where(lit(false))
+    else
+      spark.read.option("basePath", base.toString)
+        .parquet(keep.map(n => new Path(base, n).toString): _*)
+  }
+
   /** Read the current snapshot (partition discovery + pruning work as
     * on any partitioned parquet directory). */
   def read(table: String): DataFrame = readVersion(table, currentVersion(table))
@@ -335,6 +465,8 @@ final class SnapshotTables(
       fs(d).delete(d, true)
       val m = new Path(metaDir(table), f"v$v%05d.json")
       fs(m).delete(m, false)
+      val mf = manifestPath(table, v)
+      fs(mf).delete(mf, true)
     }
     vacuumStaging(table)
   }

@@ -122,6 +122,42 @@ class SnapshotTablesSpec extends SparkSpec {
     assert(t.readVersion("tab", 2).as[(Int, String)].head() == ((2, "b")))
   }
 
+  test("stats manifest prunes files for range predicates; results equal the full scan") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    val t = new SnapshotTables(spark, root)
+    // clustered layout so per-file id ranges are disjoint; name column
+    // exercises the string-stats path
+    val df = spark.range(0, 8000).toDF("id")
+      .withColumn("name", concat(lit("u"), lpad($"id".cast("string"), 6, "0")))
+      .repartitionByRange(8, $"id").sortWithinPartitions($"id")
+    t.overwriteTable(df, "tab", Nil, statsCols = Seq("id", "name"))
+    val full = t.read("tab")
+    assert(full.count() == 8000 && full.inputFiles.length == 8)
+    // numeric range hits ~1-2 of 8 files
+    val pruned = t.readPruned("tab", "id", 1000, 1400)
+    assert(pruned.inputFiles.length <= 2, s"expected <=2 files, got ${pruned.inputFiles.length}")
+    assert(pruned.filter($"id".between(1000, 1400)).count() ==
+      full.filter($"id".between(1000, 1400)).count())
+    // string range prunes too (name order follows id by construction)
+    val prunedS = t.readPruned("tab", "name", "u001000", "u001400")
+    assert(prunedS.inputFiles.length <= 2)
+    assert(prunedS.filter($"name".between("u001000", "u001400")).count() == 401)
+    // a column with no manifest rows keeps every file (conservative)
+    assert(t.readPruned("tab", "absent", 0, 1).inputFiles.length == 8)
+    // a commit without statsCols has no manifest: full-scan fallback
+    t.overwriteTable(df, "plain")
+    assert(t.readPruned("plain", "id", 0, 1).inputFiles.length ==
+      t.read("plain").inputFiles.length)
+    // partitioned layout: pruned read keeps the partition column
+    val pdf = df.withColumn("bucket", ($"id" % 4).cast("int"))
+    t.overwriteTable(pdf, "ptab", Seq("bucket"), statsCols = Seq("id"))
+    val pp = t.readPruned("ptab", "id", 100, 200)
+    assert(pp.columns.contains("bucket"))
+    assert(pp.filter($"id".between(100, 200)).count() == 101)
+    assert(pp.inputFiles.length < t.read("ptab").inputFiles.length)
+  }
+
   test("diff between versions yields the CDC feed; diffKeyed classifies insert/update/delete") {
     val t = newTables()
     t.overwriteTable(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"), "tab")
