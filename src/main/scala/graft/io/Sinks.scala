@@ -107,9 +107,25 @@ object Sinks {
       zCols: Seq[String],
       numFiles: Int,
       bits: Int = 16
-  ): Unit = {
+  ): Unit =
+    zorderCluster(df, zCols, numFiles, bits)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** The clustering transform behind [[zorderedParquet]], exposed so
+    * any sink can write a z-ordered layout — in particular
+    * [[SnapshotTables]] commits (z-order + stats manifest = box
+    * predicates prune snapshot files on every cluster column). Returns
+    * `df` range-partitioned into `numFiles` and sorted by the
+    * interleaved z-value (the helper column is dropped; Project
+    * preserves the ordering). */
+  def zorderCluster(
+      df: DataFrame,
+      zCols: Seq[String],
+      numFiles: Int,
+      bits: Int = 16
+  ): DataFrame = {
     import org.apache.spark.sql.functions._
-    require(zCols.nonEmpty, "zorderedParquet needs at least one column")
+    require(zCols.nonEmpty, "zorderCluster needs at least one column")
     require(zCols.size * bits <= 63, s"${zCols.size} cols x $bits bits exceeds a long")
     val aggs = zCols.flatMap(c =>
       Seq(min(col(c).cast("double")).as(s"__mn_$c"), max(col(c).cast("double")).as(s"__mx_$c")))
@@ -137,6 +153,5 @@ object Sinks {
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
-      .write.mode(SaveMode.Overwrite).parquet(path)
   }
 }

@@ -394,26 +394,39 @@ final class SnapshotTables(
     * is a file-skipping layer, not a filter. Temporal columns carry
     * stats in their parquet physical unit (DATE → days since epoch,
     * TIMESTAMP → micros), so bounds must be passed in that unit. */
-  def readPruned(table: String, statColumn: String, lo: Any, hi: Any): DataFrame = {
+  def readPruned(table: String, statColumn: String, lo: Any, hi: Any): DataFrame =
+    readPrunedBox(table, Seq((statColumn, lo, hi)))
+
+  /** Multi-predicate manifest pruning: a file survives only if its
+    * stats intersect EVERY (column, lo, hi) bound — the read side of a
+    * z-ordered snapshot commit, where per-file ranges are tight on all
+    * cluster columns at once and a box predicate drops most files.
+    * Same conservativeness and fallback rules as [[readPruned]]. */
+  def readPrunedBox(table: String, bounds: Seq[(String, Any, Any)]): DataFrame = {
     import org.apache.spark.sql.functions._
+    require(bounds.nonEmpty, "readPrunedBox needs at least one bound")
     val v = currentVersion(table)
     val mp = manifestPath(table, v)
     val base = snapDir(table, v)
     if (!fs(mp).exists(mp)) return readVersion(table, v)
-    val m = spark.read.parquet(mp.toString)
-    val forCol = m.filter(col("column") === lit(statColumn))
-    val overlapping = (lo, hi) match {
-      case (l: String, h: String) =>
-        forCol.filter(col("min_str").isNull || col("max_str").isNull ||
-          !(col("min_str") > lit(h) || col("max_str") < lit(l)))
-      case _ =>
-        forCol.filter(col("min_num").isNull || col("max_num").isNull ||
-          !(col("min_num") > lit(hi).cast("double") || col("max_num") < lit(lo).cast("double")))
-    }
-    // files the manifest has no row for under this column stay in scope
-    val untracked = m.select("file").distinct().except(forCol.select("file"))
-    val keep = overlapping.select("file").union(untracked).distinct()
-      .collect().map(_.getString(0))
+    val m = spark.read.parquet(mp.toString).localCheckpoint(true)
+    val all = m.select("file").distinct()
+    val keepDf = bounds
+      .map { case (statColumn, lo, hi) =>
+        val forCol = m.filter(col("column") === lit(statColumn))
+        val overlapping = (lo, hi) match {
+          case (l: String, h: String) =>
+            forCol.filter(col("min_str").isNull || col("max_str").isNull ||
+              !(col("min_str") > lit(h) || col("max_str") < lit(l)))
+          case _ =>
+            forCol.filter(col("min_num").isNull || col("max_num").isNull ||
+              !(col("min_num") > lit(hi).cast("double") || col("max_num") < lit(lo).cast("double")))
+        }
+        // files the manifest has no row for under this column stay in scope
+        overlapping.select("file").union(all.except(forCol.select("file")))
+      }
+      .reduce(_.intersect(_))
+    val keep = keepDf.distinct().collect().map(_.getString(0))
     if (keep.isEmpty) readVersion(table, v).where(lit(false))
     else
       spark.read.option("basePath", base.toString)

@@ -158,6 +158,26 @@ class SnapshotTablesSpec extends SparkSpec {
     assert(pp.inputFiles.length < t.read("ptab").inputFiles.length)
   }
 
+  test("z-ordered snapshot commit + box pruning reads a fraction of the files on both columns") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    val t = new SnapshotTables(spark, root)
+    val df = spark.range(0, 20000).toDF("rid")
+      .withColumn("x", pmod(hash($"rid" * 7919), lit(10000)).cast("long"))
+      .withColumn("y", pmod(hash($"rid" * 104729 + 1), lit(10000)).cast("long"))
+    t.overwriteTable(Sinks.zorderCluster(df, Seq("x", "y"), numFiles = 16),
+      "tab", Nil, statsCols = Seq("x", "y"))
+    assert(t.read("tab").inputFiles.length == 16)
+    val box = t.readPrunedBox("tab", Seq(("x", 4500L, 5500L), ("y", 4500L, 5500L)))
+    assert(box.inputFiles.length <= 8,
+      s"box should prune most of 16 z-ordered files, read ${box.inputFiles.length}")
+    // pruned-path results equal the full-scan results
+    val expect = t.read("tab")
+      .filter($"x".between(4500, 5500) && $"y".between(4500, 5500)).count()
+    assert(box.filter($"x".between(4500, 5500) && $"y".between(4500, 5500)).count() == expect)
+    assert(expect > 0)
+  }
+
   test("diff between versions yields the CDC feed; diffKeyed classifies insert/update/delete") {
     val t = newTables()
     t.overwriteTable(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"), "tab")
