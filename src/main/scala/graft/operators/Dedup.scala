@@ -302,4 +302,48 @@ object Dedup {
       .groupBy(col(idCol))
       .agg((sum((col("pos") + 1) * hash32(col("w"))) % 2147483648L).as("fp"))
       .orderBy(col(idCol))
+
+  /** Repeated-passage detection — the distributed stand-in for
+    * suffix-array substring dedup (the "train-data memorization comes
+    * from repeated PASSAGES, not repeated documents" problem): every
+    * k-token window is hashed with its (doc, position); windows whose
+    * hash appears in ≥ `minDocs` distinct documents are repetition
+    * hits, and per document the overlapping/adjacent hit positions are
+    * merged into maximal token spans `[start_tok, end_tok)` — the
+    * redaction list a masking pass consumes.
+    *
+    * Scale shape: posexplode windows → md5 per row (the same
+    * explode-then-hash layout as [[minhashSignatures]], for the same
+    * CollapseProject reason) → distinct (hash, doc) → per-hash doc
+    * counts → hash-keyed join back. Everything shuffles linearly in
+    * the corpus token count — a suffix array would be superlinear
+    * memory on one machine — and the span merge is a per-document
+    * window (lag + running sum, the q46 sessionize trick), so state
+    * is bounded by document length, never corpus size. */
+  def repeatedPassages(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      minDocs: Long = 2L
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = df
+      .select(col(idCol), posexplode(wordShingles(tokens(col(textCol)), k)).as(Seq("pos", "s")))
+      .select(col(idCol), col("pos"), md5(col("s")).as("h"))
+    val freq = win.select(col("h"), col(idCol)).distinct()
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+    val hits = win.join(freq, "h").select(col(idCol), col("pos"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    hits
+      .withColumn("brk", when(col("pos") - lag(col("pos"), 1).over(w) <= k, 0).otherwise(1))
+      .withColumn("span", sum(col("brk")).over(w))
+      .groupBy(col(idCol), col("span"))
+      .agg(min(col("pos")).as("start_tok"), (max(col("pos")) + k).as("end_tok"),
+        count(lit(1)).as("n_win"))
+      .select(col(idCol), col("start_tok"), col("end_tok"), col("n_win"))
+      .orderBy(col(idCol), col("start_tok"))
+  }
 }

@@ -762,8 +762,34 @@ object ExtensionCorpus {
       FROM r WHERE rk <= 5 ORDER BY query_id, rk""")
   )
 
+  /** Repeated-passage detection (suffix-array-style substring dedup,
+    * Spark-shaped): positional 5-token windows hashed, cross-doc
+    * repeated hashes merged to maximal redaction spans per doc. */
+  private val q98 = Q(
+    "q98_repeated_passages",
+    (s, dir) =>
+      Dedup.repeatedPassages(fixture(s, dir, "documents"), "doc_id", "text", k = 5, minDocs = 2),
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      win AS (SELECT doc_id, CAST(i.i AS INTEGER) AS pos,
+                md5(array_to_string(list_slice(t, i.i + 1, i.i + 5), ' ')) AS h
+              FROM toks, LATERAL (SELECT unnest(range(len(t) - 4)) AS i) i
+              WHERE len(t) >= 5),
+      freq AS (SELECT h, COUNT(*) AS n_docs FROM (SELECT DISTINCT h, doc_id FROM win)
+               GROUP BY h HAVING COUNT(*) >= 2),
+      hits AS (SELECT w.doc_id, w.pos FROM win w JOIN freq f USING (h)),
+      marked AS (SELECT doc_id, pos,
+          CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5 THEN 0 ELSE 1 END AS brk
+        FROM hits),
+      spans AS (SELECT doc_id, pos,
+          SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span
+        FROM marked)
+      SELECT doc_id, CAST(MIN(pos) AS INTEGER) AS start_tok, CAST(MAX(pos) + 5 AS INTEGER) AS end_tok,
+             COUNT(*) AS n_win
+      FROM spans GROUP BY doc_id, span ORDER BY doc_id, start_tok""")
+  )
+
   val all: Seq[Q] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
-    q48, q49, q55, q86, q87, q88, q95, q96, q97
+    q48, q49, q55, q86, q87, q88, q95, q96, q97, q98
   )
 }

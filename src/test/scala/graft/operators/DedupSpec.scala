@@ -96,4 +96,18 @@ class DedupSpec extends SparkSpec {
     assert(fp(1L) == fp(3L))
     assert(fp(1L) != fp(2L))
   }
+
+  test("repeatedPassages finds cross-doc spans at their per-doc positions, merged maximally") {
+    val d = Seq(
+      (1L, "a b c d e f x y z"),       // shared phrase a..f at tokens [0,6)
+      (2L, "q r a b c d e f s"),       // same phrase at tokens [2,8)
+      (3L, "totally unrelated words only here now")
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedPassages(d, "doc_id", "text", k = 5, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSeq
+    // two 5-token windows per doc (pos p, p+1) merge into one 6-token span
+    assert(out == Seq((1L, 0, 6, 2L), (2L, 2, 8, 2L)))
+    // below the doc threshold nothing is emitted
+    assert(Dedup.repeatedPassages(d, "doc_id", "text", k = 5, minDocs = 3).isEmpty)
+  }
 }
