@@ -346,4 +346,28 @@ object Dedup {
       .select(col(idCol), col("start_tok"), col("end_tok"), col("n_win"))
       .orderBy(col(idCol), col("start_tok"))
   }
+
+  /** Apply [[repeatedPassages]] spans: rewrite each document with its
+    * redaction spans' tokens removed. The spans are grouped to one
+    * array per doc and the rewrite is a single array pipeline (indexed
+    * `filter` + `concat_ws`) — no explode, no extra shuffle beyond the
+    * doc-keyed span join; docs without spans pass through unchanged
+    * (left join). Returns (idCol, clean_text, n_kept, n_redacted). */
+  def redactPassages(df: DataFrame, idCol: String, textCol: String, spans: DataFrame): DataFrame = {
+    val sp = spans.groupBy(col(idCol))
+      .agg(collect_list(struct(col("start_tok"), col("end_tok"))).as("__spans"))
+    df.join(sp, Seq(idCol), "left")
+      .select(col(idCol), tokens(col(textCol)).as("__t"),
+        coalesce(col("__spans"), array().cast("array<struct<start_tok:int,end_tok:int>>")).as("__spans"))
+      .select(col(idCol),
+        filter(col("__t"), (_, i) =>
+          !exists(col("__spans"), s =>
+            i >= s.getField("start_tok") && i < s.getField("end_tok"))).as("__kept"),
+        size(col("__t")).as("__n"))
+      .select(col(idCol),
+        concat_ws(" ", col("__kept")).as("clean_text"),
+        size(col("__kept")).as("n_kept"),
+        (col("__n") - size(col("__kept"))).as("n_redacted"))
+      .orderBy(col(idCol))
+  }
 }

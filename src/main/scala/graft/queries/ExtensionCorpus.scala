@@ -788,8 +788,48 @@ object ExtensionCorpus {
       FROM spans GROUP BY doc_id, span ORDER BY doc_id, start_tok""")
   )
 
+  /** Span redaction end-to-end: q98's spans applied back onto the
+    * corpus, output pinned by md5 of every rewritten document. */
+  private val q99 = Q(
+    "q99_redact_passages",
+    (s, dir) => {
+      val docs = fixture(s, dir, "documents")
+      val spans = Dedup.repeatedPassages(docs, "doc_id", "text", k = 5, minDocs = 2)
+      Dedup.redactPassages(docs, "doc_id", "text", spans)
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          col("n_kept"), col("n_redacted"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      win AS (SELECT doc_id, CAST(i.i AS INTEGER) AS pos,
+                md5(array_to_string(list_slice(t, i.i + 1, i.i + 5), ' ')) AS h
+              FROM toks, LATERAL (SELECT unnest(range(len(t) - 4)) AS i) i
+              WHERE len(t) >= 5),
+      freq AS (SELECT h FROM (SELECT DISTINCT h, doc_id FROM win) GROUP BY h HAVING COUNT(*) >= 2),
+      hits AS (SELECT w.doc_id, w.pos FROM win w JOIN freq f USING (h)),
+      marked AS (SELECT doc_id, pos,
+          CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5 THEN 0 ELSE 1 END AS brk
+        FROM hits),
+      sp AS (SELECT doc_id, pos,
+          SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span
+        FROM marked),
+      spans AS (SELECT doc_id, MIN(pos) AS start_tok, MAX(pos) + 5 AS end_tok FROM sp GROUP BY doc_id, span),
+      tokrows AS (SELECT doc_id, CAST(i.i AS INTEGER) AS pos, t[i.i + 1] AS tok
+                  FROM toks, LATERAL (SELECT unnest(range(len(t))) AS i) i),
+      kept AS (SELECT tk.doc_id, tk.pos, tk.tok FROM tokrows tk
+               WHERE NOT EXISTS (SELECT 1 FROM spans s
+                 WHERE s.doc_id = tk.doc_id AND tk.pos >= s.start_tok AND tk.pos < s.end_tok)),
+      agg AS (SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_md5,
+                CAST(COUNT(*) AS INTEGER) AS n_kept FROM kept GROUP BY doc_id)
+      SELECT d.doc_id, COALESCE(a.clean_md5, md5('')) AS clean_md5,
+             COALESCE(a.n_kept, 0) AS n_kept,
+             CAST(len(d2.t) AS INTEGER) - COALESCE(a.n_kept, 0) AS n_redacted
+      FROM documents d JOIN toks d2 USING (doc_id) LEFT JOIN agg a ON a.doc_id = d.doc_id
+      ORDER BY d.doc_id""")
+  )
+
   val all: Seq[Q] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
-    q48, q49, q55, q86, q87, q88, q95, q96, q97, q98
+    q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q99
   )
 }

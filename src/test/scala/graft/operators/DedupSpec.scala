@@ -110,4 +110,19 @@ class DedupSpec extends SparkSpec {
     // below the doc threshold nothing is emitted
     assert(Dedup.repeatedPassages(d, "doc_id", "text", k = 5, minDocs = 3).isEmpty)
   }
+
+  test("redactPassages removes exactly the span tokens; span-free docs pass through") {
+    val d = Seq(
+      (1L, "a b c d e f x y z"),
+      (2L, "q r a b c d e f s"),
+      (3L, "totally unrelated words only here now")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedPassages(d, "doc_id", "text", k = 5, minDocs = 2)
+    val out = Dedup.redactPassages(d, "doc_id", "text", spans)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSeq
+    assert(out == Seq(
+      (1L, "x y z", 3, 6),
+      (2L, "q r s", 3, 6),
+      (3L, "totally unrelated words only here now", 6, 0)))
+  }
 }
