@@ -122,21 +122,35 @@ object Sinks {
       df: DataFrame,
       zCols: Seq[String],
       numFiles: Int,
-      bits: Int = 16
+      bits: Int = 16,
+      bounds: Option[Seq[(Double, Double)]] = None
   ): DataFrame = {
     import org.apache.spark.sql.functions._
     require(zCols.nonEmpty, "zorderCluster needs at least one column")
     require(zCols.size * bits <= 63, s"${zCols.size} cols x $bits bits exceeds a long")
-    val aggs = zCols.flatMap(c =>
-      Seq(min(col(c).cast("double")).as(s"__mn_$c"), max(col(c).cast("double")).as(s"__mx_$c")))
-    val mm = df.agg(aggs.head, aggs.tail: _*).head
+    require(bounds.forall(_.size == zCols.size), "one (min, max) pair per z column")
+    // Column domains: caller-supplied when known (saves the extra
+    // bounds scan — at 100 TB the pre-pass costs a full pass over the
+    // z columns, and domains like dates or scores are usually known a
+    // priori), otherwise one scan-local min/max agg. Values outside
+    // supplied bounds clamp into the edge code bins.
+    val mm: Seq[(Option[Double], Option[Double])] = bounds match {
+      case Some(bs) => bs.map { case (mn, mx) => (Some(mn), Some(mx)) }
+      case None =>
+        val aggs = zCols.flatMap(c =>
+          Seq(min(col(c).cast("double")).as(s"__mn_$c"), max(col(c).cast("double")).as(s"__mx_$c")))
+        val r = df.agg(aggs.head, aggs.tail: _*).head
+        zCols.indices.map(i =>
+          (if (r.isNullAt(2 * i)) None else Some(r.getDouble(2 * i)),
+            if (r.isNullAt(2 * i + 1)) None else Some(r.getDouble(2 * i + 1))))
+    }
     val codes = zCols.zipWithIndex.map { case (c, i) =>
-      if (mm.isNullAt(2 * i)) lit(0L) // all-null column: no spread to encode
-      else {
-        val mn = mm.getDouble(2 * i)
-        val mx = mm.getDouble(2 * i + 1)
-        val scale = if (mx > mn) ((1L << bits) - 1).toDouble / (mx - mn) else 0.0
-        floor((col(c).cast("double") - lit(mn)) * lit(scale)).cast("long")
+      mm(i) match {
+        case (Some(mn), Some(mx)) =>
+          val scale = if (mx > mn) ((1L << bits) - 1).toDouble / (mx - mn) else 0.0
+          val code = floor((col(c).cast("double") - lit(mn)) * lit(scale)).cast("long")
+          least(greatest(code, lit(0L)), lit((1L << bits) - 1)) // clamp out-of-bounds values
+        case _ => lit(0L) // all-null column: no spread to encode
       }
     }
     // bit b of column i lands at interleaved position b*n + (n-1-i):

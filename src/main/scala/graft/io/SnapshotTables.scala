@@ -405,11 +405,17 @@ final class SnapshotTables(
   def readPrunedBox(table: String, bounds: Seq[(String, Any, Any)]): DataFrame = {
     import org.apache.spark.sql.functions._
     require(bounds.nonEmpty, "readPrunedBox needs at least one bound")
+    bounds.foreach { case (c, lo, hi) =>
+      require(lo.isInstanceOf[String] == hi.isInstanceOf[String],
+        s"bound on '$c' mixes string and numeric endpoints — it would mis-prune silently")
+    }
     val v = currentVersion(table)
     val mp = manifestPath(table, v)
     val base = snapDir(table, v)
     if (!fs(mp).exists(mp)) return readVersion(table, v)
-    val m = spark.read.parquet(mp.toString).localCheckpoint(true)
+    // the manifest is a single small parquet: re-reading it per branch
+    // is cheaper than pinning checkpoint blocks for every pruned read
+    val m = spark.read.parquet(mp.toString)
     val all = m.select("file").distinct()
     val keepDf = bounds
       .map { case (statColumn, lo, hi) =>
