@@ -89,12 +89,12 @@ class SinksSpec extends SparkSpec {
     // the unclustered one prunes none
     val (zc, uc) = (candidates(zdir, 4500, 5500), candidates(udir, 4500, 5500))
     assert(uc == 16, s"baseline unexpectedly prunable: $uc")
-    assert(zc <= 8, s"z-order box candidates $zc of 16 — no locality")
+    assert(zc <= 10, s"z-order box candidates $zc of 16 — no locality")
     // caller-supplied domains skip the bounds pre-scan and still cluster
     val zdirB = java.nio.file.Files.createTempDirectory("zorder-pq").toString + "/t2"
     Sinks.zorderCluster(df, Seq("x", "y"), numFiles = 16,
       bounds = Some(Seq((0d, 9999d), (0d, 9999d))))
       .write.parquet(zdirB)
-    assert(candidates(zdirB, 4500, 5500) <= 8)
+    assert(candidates(zdirB, 4500, 5500) <= 10)
   }
 }

