@@ -218,6 +218,47 @@ object Streams {
       }
       .start()
 
+  /** Stream into a versioned snapshot table: each micro-batch MERGEs
+    * into `table` by `keyCols`, so the stream materializes as a
+    * time-travelable, manifest-capable table rather than an append-only
+    * directory. Exactly-once EFFECT without a marker protocol: Spark
+    * replays a failed batch with identical content, and MERGE by key is
+    * idempotent — re-upserting the same rows commits a new version with
+    * the same table state. Readers always see a complete snapshot
+    * (commit is atomic), and each batch is one auditable version.
+    * Retention bounds the version history the stream accumulates. */
+  def snapshotMergeSink(
+      stream: DataFrame,
+      tables: graft.io.SnapshotTables,
+      table: String,
+      keyCols: Seq[String],
+      checkpoint: String,
+      partitionCols: Seq[String] = Nil
+  ): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          // a batch can carry several rows per key (updates within the
+          // micro-batch): keep the last by arrival order is undefined in
+          // a DataFrame, so dedupe deterministically by max over the
+          // non-key struct — same contract as MERGE's "one source row
+          // per key" requirement, resolved instead of rejected
+          val rest = batch.columns.filterNot(keyCols.contains).toSeq
+          val one =
+            if (rest.isEmpty) batch.dropDuplicates(keyCols)
+            else
+              batch.groupBy(keyCols.map(org.apache.spark.sql.functions.col): _*)
+                .agg(org.apache.spark.sql.functions.max(
+                  org.apache.spark.sql.functions.struct(rest.map(org.apache.spark.sql.functions.col): _*)).as("__r"))
+                .select(keyCols.map(org.apache.spark.sql.functions.col) :+
+                  org.apache.spark.sql.functions.col("__r.*"): _*)
+          tables.merge(table, one, keyCols, partitionCols)
+        }
+        ()
+      }
+      .start()
+
   /** One batch of [[incrementalDedupSink]], factored out so idempotency
     * is directly testable: returns false (no-op) when `batchId` was
     * already committed. */
