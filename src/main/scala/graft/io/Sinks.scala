@@ -153,9 +153,52 @@ object Sinks {
         case _ => lit(0L) // all-null column: no spread to encode
       }
     }
-    // bit b of column i lands at interleaved position b*n + (n-1-i):
-    // round-robin interleave, first z column in the higher lanes
-    val n = zCols.size
+    clusterByZ(df, codes, bits, numFiles)
+  }
+
+  /** Equi-depth (rank-coded) z-order clustering — the skew-proof
+    * variant of [[zorderCluster]]. A heavy-tailed column defeats
+    * linear min/max codes: most rows collapse into one bin, so files
+    * in the dense region carry near-full-domain stats and box
+    * predicates stop pruning there. Rank codes are quantile bins —
+    * boundaries come from one `percentile_approx` sketch pass (what
+    * Delta's OPTIMIZE ZORDER samples for), and the per-row code is a
+    * fold over the boundary literal array (codegen'd comparisons;
+    * `bits` ≤ 10 keeps that ≤ 1023 per column). Nulls code to bin 0.
+    * Same interleave and write shape as the linear variant. */
+  def zorderClusterRank(
+      df: DataFrame,
+      zCols: Seq[String],
+      numFiles: Int,
+      bits: Int = 8
+  ): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(zCols.nonEmpty, "zorderClusterRank needs at least one column")
+    require(bits >= 1 && bits <= 10, "rank coding supports 1-10 bits per column")
+    require(zCols.size * bits <= 63, s"${zCols.size} cols x $bits bits exceeds a long")
+    val n = 1 << bits
+    val qs = (1 until n).map(i => i.toDouble / n).toArray
+    val aggs = zCols.map(c =>
+      percentile_approx(col(c).cast("double"), typedlit(qs), lit(10000)).as(s"__q_$c"))
+    val row = df.agg(aggs.head, aggs.tail: _*).head
+    val codes = zCols.zipWithIndex.map { case (c, i) =>
+      if (row.isNullAt(i)) lit(0L)
+      else {
+        val bnds = row.getSeq[Double](i)
+        // code = number of boundaries <= x, in [0, n-1]
+        aggregate(typedlit(bnds), lit(0L),
+          (acc, b) => acc + when(col(c).cast("double") >= b, 1L).otherwise(0L))
+      }
+    }
+    clusterByZ(df, codes, bits, numFiles)
+  }
+
+  /** Interleave per-column bit codes (bit b of column i lands at
+    * position b·n + (n−1−i): round-robin, first column in the higher
+    * lanes), then range-partition + sort on the z-value. */
+  private def clusterByZ(df: DataFrame, codes: Seq[org.apache.spark.sql.Column], bits: Int, numFiles: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val n = codes.size
     val z = (0 until bits)
       .flatMap { b =>
         codes.zipWithIndex.map { case (code, i) =>

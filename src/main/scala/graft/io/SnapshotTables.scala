@@ -41,10 +41,13 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * committed snapshot. A winner that crashes between the CAS and the
   * data rename leaves an orphan metadata file; later writers reclaim
   * it after `orphanGraceMs` (see [[casWithOrphanReclaim]]) so a crash
-  * cannot wedge the table. Caveat: on S3A, exclusive create is
-  * check-then-create (not atomic); real S3 multi-writer needs a
-  * conditional-PUT or DynamoDB-style log store, the Iceberg/Delta
-  * swap-in seam of SURVEY §7.
+  * cannot wedge the table. The exclusive create is atomic on HDFS
+  * (namenode-side) and on local filesystems (POSIX O_EXCL via
+  * CREATE_NEW — Hadoop's local `create(overwrite=false)` is only
+  * check-then-create, which two racing writers can both pass).
+  * Caveat: on S3A, exclusive create remains check-then-create; real
+  * S3 multi-writer needs a conditional-PUT or DynamoDB-style log
+  * store, the Iceberg/Delta swap-in seam of SURVEY §7.
   */
 final class SnapshotTables(
     spark: SparkSession,
@@ -77,27 +80,49 @@ final class SnapshotTables(
     * be misreported as a lost race. */
   private def createExclusive(p: Path, content: String): Boolean = {
     val f = fs(p)
-    val out =
-      try f.create(p, false)
-      catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => null
-        // raw local FS predates the typed exception and signals an
-        // existing file as a plain IOException — treat as lost race
-        // only when the file demonstrably exists
-        case _: java.io.IOException if f.exists(p) => null
-      }
-    if (out == null) false
-    else
+    if (f.getScheme == "file") {
+      // POSIX O_EXCL (CREATE_NEW) — a truly atomic local CAS. Hadoop's
+      // local create(overwrite=false) is check-THEN-create: two racing
+      // writers can both pass the check, both "win" the version, and
+      // the loser's data rename then mv's INTO the winner's snapshot
+      // directory (nested corruption). O_EXCL closes that window.
+      val local = java.nio.file.Paths.get(p.toUri.getPath)
+      java.nio.file.Files.createDirectories(local.getParent)
       try {
-        try out.write(content.getBytes("UTF-8"))
-        finally out.close()
+        java.nio.file.Files.write(local, content.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
         true
       } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
         case e: java.io.IOException =>
-          try f.delete(p, false)
+          try java.nio.file.Files.deleteIfExists(local)
           catch { case _: java.io.IOException => () }
           throw e
       }
+    } else {
+      val out =
+        try f.create(p, false)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => null
+          // some FileSystems predate the typed exception and signal an
+          // existing file as a plain IOException — treat as lost race
+          // only when the file demonstrably exists
+          case _: java.io.IOException if f.exists(p) => null
+        }
+      if (out == null) false
+      else
+        try {
+          try out.write(content.getBytes("UTF-8"))
+          finally out.close()
+          true
+        } catch {
+          case e: java.io.IOException =>
+            try f.delete(p, false)
+            catch { case _: java.io.IOException => () }
+            throw e
+        }
+    }
   }
 
   /** The commit CAS with crash-orphan recovery. A writer that won the
@@ -175,6 +200,17 @@ final class SnapshotTables(
     * between data rename and manifest write degrades cleanly: no
     * manifest → readPruned falls back to the full snapshot. */
   def overwriteTable(df: DataFrame, table: String, partitionCols: Seq[String], statsCols: Seq[String]): Unit = {
+    // statsCols is a persistent TABLE PROPERTY, not a per-write flag:
+    // once set, every later commit — merge, delete, compact,
+    // overwritePartitions all route through here — keeps maintaining
+    // the manifest without the caller re-threading the columns.
+    if (statsCols.nonEmpty) writeSmallFile(statsColsPath(table), statsCols.mkString(","))
+    val effectiveStats =
+      if (statsCols.nonEmpty) statsCols
+      else {
+        val p = statsColsPath(table)
+        if (fs(p).exists(p)) readSmallFile(p).split(',').toSeq.filter(_.nonEmpty) else Nil
+      }
     val next = currentVersion(table) + 1
     // Stage the data under a unique temp dir: nothing below `v*` is
     // visible to history()/readers until the commit succeeds.
@@ -201,7 +237,7 @@ final class SnapshotTables(
       fs(meta).delete(meta, false)
       throw new SnapshotTables.ConcurrentCommitException(table, next)
     }
-    if (statsCols.nonEmpty) writeManifest(table, next, statsCols)
+    if (effectiveStats.nonEmpty) writeManifest(table, next, effectiveStats)
     advancePointer(table, next)
     expire(table, next)
   }
@@ -306,6 +342,9 @@ final class SnapshotTables(
 
   private def manifestPath(table: String, v: Int): Path =
     new Path(metaDir(table), f"v$v%05d-manifest.parquet")
+
+  private def statsColsPath(table: String): Path =
+    new Path(metaDir(table), "stats_cols")
 
   /** Build the per-file stats manifest for version `v`: list the data
     * files (recursively — partitioned layouts nest), then read each

@@ -97,4 +97,30 @@ class SinksSpec extends SparkSpec {
       .write.parquet(zdirB)
     assert(candidates(zdirB, 4500, 5500) <= 10)
   }
+
+  test("rank-coded z-order keeps pruning selective inside a heavy-tailed column's dense region") {
+    import org.apache.spark.sql.functions._
+    // x uniform; y = u^8-shaped heavy tail (99% of mass in a sliver of
+    // the domain): linear codes collapse the dense region into bin 0,
+    // so a selective band there stops pruning — rank codes are
+    // equi-depth and keep spreading it
+    val df = spark.range(0, 40000).toDF("id")
+      .withColumn("x", pmod(hash($"id" * 7919), lit(10000)).cast("long"))
+      .withColumn("u", pmod(hash($"id" * 104729 + 1), lit(10000)).cast("double") / 10000.0)
+      .withColumn("y", (pow($"u", 8) * 1e9).cast("long")).drop("u")
+    def candidates(path: String, ylo: Long, yhi: Long): Int =
+      spark.read.parquet(path).groupBy(input_file_name())
+        .agg(min($"y").as("c"), max($"y").as("d"))
+        .filter($"c" <= yhi && $"d" >= ylo).count().toInt
+    val lin = java.nio.file.Files.createTempDirectory("rz").toString + "/lin"
+    val rnk = java.nio.file.Files.createTempDirectory("rz").toString + "/rnk"
+    Sinks.zorderCluster(df, Seq("x", "y"), numFiles = 16).write.parquet(lin)
+    Sinks.zorderClusterRank(df, Seq("x", "y"), numFiles = 16).write.parquet(rnk)
+    assert(spark.read.parquet(rnk).count() == 40000) // content round-trips
+    // a 5%-of-rows band inside the dense region (tiny absolute y range)
+    val Array(y40, y45) = df.stat.approxQuantile("y", Array(0.40, 0.45), 0.001)
+    val (cl, cr) = (candidates(lin, y40.toLong, y45.toLong), candidates(rnk, y40.toLong, y45.toLong))
+    assert(cr < cl, s"rank coding should out-prune linear in the dense region: rank=$cr linear=$cl")
+    assert(cr <= 12, s"rank-coded dense band read $cr of 16 files")
+  }
 }

@@ -156,6 +156,12 @@ class SnapshotTablesSpec extends SparkSpec {
     assert(pp.columns.contains("bucket"))
     assert(pp.filter($"id".between(100, 200)).count() == 101)
     assert(pp.inputFiles.length < t.read("ptab").inputFiles.length)
+    // statsCols is a table property: a later DML commit (delete routes
+    // through the plain overwrite path) still maintains the manifest
+    t.delete("tab", $"id" >= 4000)
+    val afterDml = t.readPruned("tab", "id", 1000, 1400)
+    assert(afterDml.inputFiles.length < t.read("tab").inputFiles.length)
+    assert(afterDml.filter($"id".between(1000, 1400)).count() == 401)
   }
 
   test("z-ordered snapshot commit + box pruning reads a fraction of the files on both columns") {
