@@ -703,11 +703,26 @@ object Similarity {
       nprobe: Int,
       topK: Int
   ): DataFrame = {
-    val cent = corpus.filter(col(idCol) < numCells)
+    val cent = seedCentroids(corpus, idCol, vecCol, numCells)
+    val codes = cellCodes(corpus, idCol, vecCol, codebooks, cent, dim, m)
+    val probes = probeCells(queries, idCol, vecCol, cent, nprobe)
+    adcServe(codes, probes, pqQueryTables(queries, idCol, vecCol, codebooks, dim, m, k),
+      idCol, m, k, topK)
+  }
+
+  private def seedCentroids(corpus: DataFrame, idCol: String, vecCol: String, numCells: Int): DataFrame =
+    corpus.filter(col(idCol) < numCells)
       .select(col(idCol).cast("long").as("cell_id"), col(vecCol).as("cent_vec"),
         norm(col(vecCol)).as("cent_nrm"))
-    // corpus → owning cell: argmax cosine as a partial aggregation
-    // (shuffle carries one row per vector, ties to the highest cell)
+
+  /** Encoded corpus with its owning coarse cell: argmax-cosine cell as
+    * a partial aggregation (shuffle carries one row per vector, ties
+    * to the highest cell), joined with the PQ codes — the exchanges of
+    * the two aggregations are reused by the join, so the corpus is
+    * never shuffled an extra time. */
+  private def cellCodes(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame, cent: DataFrame, dim: Int, m: Int): DataFrame = {
     val assigned = corpus
       .select(col(idCol).cast("long").as("__avid"), col(vecCol).as("c_vec"), norm(col(vecCol)).as("c_nrm"))
       .join(broadcast(cent))
@@ -715,18 +730,30 @@ object Similarity {
       .groupBy(col("__avid"))
       .agg(max_by(col("cell_id"), struct(col("cs"), col("cell_id"))).as("cell_id"))
       .select(col("__avid"), col("cell_id"))
-    val codes = pqEncode(corpus, idCol, vecCol, codebooks, dim, m)
+    pqEncode(corpus, idCol, vecCol, codebooks, dim, m)
       .join(assigned, col(idCol) === col("__avid")).drop("__avid")
-    // query probes: top-nprobe cells by cosine (numCells rows broadcast)
+  }
+
+  /** Top-nprobe cells per query by cosine (centroids broadcast). */
+  private def probeCells(
+      queries: DataFrame, idCol: String, vecCol: String,
+      cent: DataFrame, nprobe: Int): DataFrame = {
     val wp = Window.partitionBy(col("query_id")).orderBy(col("ps").desc, col("cell_id").desc)
-    val probes = queries
+    queries
       .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_nrm"))
       .join(broadcast(cent))
       .withColumn("ps", dot(col("q_vec"), col("cent_vec")) / (col("q_nrm") * col("cent_nrm")))
       .withColumn("pr", row_number().over(wp))
       .filter(col("pr") <= nprobe)
       .select(col("query_id"), col("cell_id"))
-    val qtab = pqQueryTables(queries, idCol, vecCol, codebooks, dim, m, k)
+  }
+
+  /** The ADC scoring tail shared by [[ivfPqTopK]] and
+    * [[queryPqIndex]]: probed (cell, query-table) pairs broadcast
+    * against the codes relation, decimal ADC fold, per-query top-k. */
+  private def adcServe(
+      codes: DataFrame, probes: DataFrame, qtab: DataFrame,
+      idCol: String, m: Int, k: Int, topK: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id")).orderBy(col("adc"), col(idCol))
     codes
       .join(broadcast(probes.join(broadcast(qtab), Seq("query_id"))), Seq("cell_id"))
@@ -737,6 +764,62 @@ object Similarity {
       .select(col("query_id"), col("rk"), col(idCol).as("neighbor_id"),
         col("adc").cast("double").as("adc"))
       .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Persist an IVF-PQ serving index: one row per vector with its
+    * coarse cell and PQ codes, hash-bucketed BY cell_id, plus the
+    * centroid mini-table (`<table>_centroids`) so serving is
+    * self-contained. The raw vectors are NOT stored — the index is
+    * ~dim·4/m× smaller than the corpus at rest, and [[queryPqIndex]]
+    * reads only the probed cells' bucket FILES on top of that
+    * (SelectedBucketsCount pruning, same mechanism as
+    * [[queryLshIndex]]). Build once, serve many. */
+  def buildPqIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: DataFrame,
+      table: String,
+      dim: Int,
+      m: Int,
+      numCells: Int,
+      numBuckets: Int = 32,
+      centroids: Option[DataFrame] = None
+  ): Unit = {
+    val cent = centroids.getOrElse(seedCentroids(corpus, idCol, vecCol, numCells))
+    graft.io.Sinks.bucketedTable(
+      cellCodes(corpus, idCol, vecCol, codebooks, cent, dim, m),
+      table, Seq("cell_id"), numBuckets)
+    cent.write.mode("overwrite").saveAsTable(s"${table}_centroids")
+  }
+
+  /** Serve top-k ANN from a persisted [[buildPqIndex]] table: probes
+    * come from the stored centroid mini-table, the probed cell ids
+    * (≤ |queries|·nprobe — the one deliberate driver-side collect) are
+    * pushed as an IN filter so the bucketed scan prunes to the probed
+    * cells' files, and scoring is the same decimal ADC as
+    * [[ivfPqTopK]] — results are identical to the direct path by
+    * construction (spec-pinned). */
+  def queryPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: DataFrame,
+      dim: Int,
+      m: Int,
+      k: Int,
+      nprobe: Int,
+      topK: Int
+  ): DataFrame = {
+    val cent = spark.table(s"${table}_centroids")
+    val probes = probeCells(queries, idCol, vecCol, cent, nprobe).localCheckpoint(true)
+    val probedCells: Seq[Long] = probes.select(col("cell_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val codes = spark.table(table).filter(col("cell_id").isin(probedCells: _*))
+    adcServe(codes, probes, pqQueryTables(queries, idCol, vecCol, codebooks, dim, m, k),
+      idCol, m, k, topK)
   }
 
   /** Mean squared quantization error of `codebooks` over the corpus —

@@ -828,8 +828,24 @@ object ExtensionCorpus {
       ORDER BY d.doc_id""")
   )
 
+  /** Index-served IVF-PQ: same answer as q97 (direct path) computed
+    * through a persisted [[Similarity.buildPqIndex]] bucketed table —
+    * one oracle pins both, the spec pins SelectedBucketsCount pruning. */
+  private val q100 = Q(
+    "q100_pq_index_serving",
+    (s, dir) => {
+      val e = fixture(s, dir, "embeddings")
+      val cb = Similarity.pqTrain(e, "vec_id", "embedding", dim = 64, m = 8, k = 16)
+      Similarity.buildPqIndex(e, "vec_id", "embedding", cb, "q100_pq_index",
+        dim = 64, m = 8, numCells = 16, numBuckets = 8)
+      Similarity.queryPqIndex(s, "q100_pq_index", e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", cb, dim = 64, m = 8, k = 16, nprobe = 2, topK = 5)
+    },
+    q97.oracle
+  )
+
   val all: Seq[Q] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
-    q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q99
+    q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q99, q100
   )
 }

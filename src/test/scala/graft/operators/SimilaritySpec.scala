@@ -238,6 +238,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("persisted PQ index: serving equals the direct IVF-PQ path, scan prunes to probed cells") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 5)
+    val cb = Similarity.pqTrain(e, "vec_id", "embedding", dim = 64, m = 8, k = 16)
+    Similarity.buildPqIndex(e, "vec_id", "embedding", cb, "pq_index_test",
+      dim = 64, m = 8, numCells = 16, numBuckets = 8)
+    try {
+      val served = Similarity.queryPqIndex(spark, "pq_index_test", q, "vec_id", "embedding",
+        cb, dim = 64, m = 8, k = 16, nprobe = 2, topK = 5)
+      val direct = Similarity.ivfPqTopK(e, q, "vec_id", "embedding", cb,
+        dim = 64, m = 8, k = 16, numCells = 16, nprobe = 2, topK = 5)
+      assert(served.collect().toSeq == direct.collect().toSeq)
+      // cell pruning visible in the bucketed scan
+      val plan = served.queryExecution.executedPlan.toString
+      val mm = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+      assert(mm.isDefined, s"bucketed scan must report pruning:\n$plan")
+      assert(mm.get.group(1).toInt < mm.get.group(2).toInt)
+      assert(mm.get.group(2).toInt == 8)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS pq_index_test")
+      spark.sql("DROP TABLE IF EXISTS pq_index_test_centroids")
+    }
+  }
+
   test("pq training never increases quantization error and is deterministic") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val seed = Similarity.pqTrain(e, "vec_id", "embedding", dim = 64, m = 8, k = 16)
