@@ -51,10 +51,24 @@ object Sinks {
       numBuckets: Int,
       sortCols: Seq[String] = Nil
   ): Unit = {
+    clearManagedTable(df.sparkSession, table)
     val w = df.write.mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(table)
+  }
+
+  /** Make a managed-table (re)build idempotent across JVMs: drop the
+    * catalog entry if this session has one, AND delete a leftover
+    * warehouse directory from a previous process — the in-memory
+    * catalog dies with its JVM but `spark-warehouse/` does not, and
+    * CTAS refuses an existing location (LOCATION_ALREADY_EXISTS). */
+  private[graft] def clearManagedTable(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase(java.util.Locale.ROOT))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
   }
 
   /** NDJSON land (bronze): one JSON object per line so downstream reads

@@ -790,6 +790,7 @@ object Similarity {
     graft.io.Sinks.bucketedTable(
       cellCodes(corpus, idCol, vecCol, codebooks, cent, dim, m),
       table, Seq("cell_id"), numBuckets)
+    graft.io.Sinks.clearManagedTable(corpus.sparkSession, s"${table}_centroids")
     cent.write.mode("overwrite").saveAsTable(s"${table}_centroids")
   }
 

@@ -24,6 +24,11 @@ def main(sf_dir, out_dir):
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
     n_pass = n_fail = n_rowsonly = 0
+    # an oracle entry whose output dir is absent means Verify's query
+    # THREW (it logs and moves on) — that must count as a failure, not
+    # silently vanish from the tally
+    for name in sorted(set(oracle) - set(names)):
+        print(f"FAIL {name}: no Verify output (query threw?)"); n_fail += 1
     for name in names:
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
