@@ -62,13 +62,33 @@ object Sinks {
     * catalog entry if this session has one, AND delete a leftover
     * warehouse directory from a previous process — the in-memory
     * catalog dies with its JVM but `spark-warehouse/` does not, and
-    * CTAS refuses an existing location (LOCATION_ALREADY_EXISTS). */
+    * CTAS refuses an existing location (LOCATION_ALREADY_EXISTS).
+    *
+    * Locations are resolved through the CATALOG, never by
+    * string-concatenating `<warehouse>/<name>`: a qualified `db.tbl`
+    * lives at `<warehouse>/db.db/tbl`, the current database may not be
+    * `default`, and the naive concat could recursively delete an
+    * unrelated directory literally named `db.tbl` — or miss the real
+    * leftover and still fail the CTAS. Two paths are cleared: the live
+    * entry's reported location (managed tables only — an EXTERNAL
+    * table's data is the user's), and the canonical default location a
+    * new managed table of this name would be assigned. */
   private[graft] def clearManagedTable(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    val loc = new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase(java.util.Locale.ROOT))
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    val catalog = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val managedLoc =
+      if (catalog.tableExists(ident)) {
+        val meta = catalog.getTableMetadata(ident)
+        if (meta.tableType == org.apache.spark.sql.catalyst.catalog.CatalogTableType.MANAGED)
+          Some(new org.apache.hadoop.fs.Path(meta.location))
+        else None
+      } else None
+    spark.sql(s"DROP TABLE IF EXISTS ${ident.quotedString}")
+    val defaultLoc = new org.apache.hadoop.fs.Path(catalog.defaultTablePath(ident))
+    (managedLoc.toSeq :+ defaultLoc).distinct.foreach { loc =>
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
   }
 
   /** NDJSON land (bronze): one JSON object per line so downstream reads

@@ -53,7 +53,9 @@ final class SnapshotTables(
     spark: SparkSession,
     root: String,
     previousVersionsMax: Int = 10,
-    orphanGraceMs: Long = 60000L
+    orphanGraceMs: Long = 60000L,
+    stagingGraceMs: Long = 3600000L,
+    heartbeatMs: Long = 15000L
 ) extends TableFormat {
 
   private def fs(p: Path): FileSystem =
@@ -70,6 +72,28 @@ final class SnapshotTables(
     val out = f.create(p, true)
     try out.write(content.getBytes("UTF-8"))
     finally out.close()
+  }
+
+  /** Overwrite a small metadata file WITHOUT a torn-read window: write
+    * to a unique sibling temp, then move it over the destination. On
+    * the local FS the move is POSIX-atomic (ATOMIC_MOVE); elsewhere it
+    * degrades to delete+rename — a reader can then briefly see the
+    * file absent (and fall back to its documented no-file behavior)
+    * but can never see half the content. */
+  private def replaceSmallFile(p: Path, content: String): Unit = {
+    val f = fs(p)
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp-${java.util.UUID.randomUUID}")
+    writeSmallFile(tmp, content)
+    if (f.getScheme == "file") {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(p.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      if (f.exists(p)) f.delete(p, false)
+      if (!f.rename(tmp, p)) { f.delete(tmp, false); throw new java.io.IOException(s"rename $tmp -> $p failed") }
+    }
   }
 
   /** Exclusive create — the commit CAS. Returns false ONLY when `p`
@@ -125,25 +149,42 @@ final class SnapshotTables(
     }
   }
 
-  /** The commit CAS with crash-orphan recovery. A writer that won the
-    * CAS for `next` but crashed before renaming its staged data leaves
-    * a metadata file with no snapshot directory — without recovery,
-    * every future commit targets the same `next`, loses the CAS, and
-    * the table wedges permanently. When the lost CAS turns out to be
-    * against such an orphan (meta present, snapshot dir absent) that
-    * is older than `orphanGraceMs` (a live winner may still be
-    * mid-rename — renames of a staged directory are fast, so the
-    * grace period only needs to cover scheduling jitter), the orphan
-    * meta is deleted and the CAS retried once. Two reclaimers racing
-    * is safe: delete is idempotent and the retried exclusive-create
-    * again picks exactly one winner. */
+  /** The commit CAS with FENCED crash-orphan recovery. A writer that
+    * won the CAS for `next` but crashed before renaming its staged
+    * data leaves a metadata file with no snapshot directory — without
+    * recovery, every future commit targets the same `next`, loses the
+    * CAS, and the table wedges permanently. When the lost CAS turns
+    * out to be against such an orphan (meta present, snapshot dir
+    * absent) that is older than `orphanGraceMs` (a live winner may
+    * still be mid-rename — renames of a staged directory are fast, so
+    * the grace period only needs to cover scheduling jitter), the
+    * orphan meta is deleted and the CAS retried once.
+    *
+    * Fencing: every meta carries its writer's attempt UUID, and a
+    * reclaimer re-reads the meta IMMEDIATELY before deleting it — if
+    * the content no longer matches what was statted as orphaned
+    * (another reclaimer already swept it and re-won with its own
+    * meta), the reclaim is abandoned instead of deleting the new
+    * winner's commit record. The original winner, if merely paused
+    * rather than crashed, discovers the theft when it re-reads the
+    * meta around its data rename (see [[overwriteTable]]) and backs
+    * off — the reclaim grace is a lease, the UUID is the fence token. */
   private def casWithOrphanReclaim(table: String, next: Int, meta: Path, metaJson: String): Boolean =
     createExclusive(meta, metaJson) || {
       val f = fs(meta)
-      val orphaned =
-        !f.exists(snapDir(table, next)) && f.exists(meta) &&
-          (System.currentTimeMillis - f.getFileStatus(meta).getModificationTime) >= orphanGraceMs
-      orphaned && { f.delete(meta, false); createExclusive(meta, metaJson) }
+      val orphanContent =
+        if (!f.exists(snapDir(table, next)) && f.exists(meta) &&
+          (System.currentTimeMillis - f.getFileStatus(meta).getModificationTime) >= orphanGraceMs)
+          try Some(readSmallFile(meta)) catch { case _: java.io.IOException => None }
+        else None
+      orphanContent.exists { statted =>
+        // re-read right before the delete: if the meta changed hands
+        // since we statted it, another reclaimer re-won — back off.
+        val still = try f.exists(meta) && readSmallFile(meta) == statted
+                    catch { case _: java.io.IOException => false }
+        still && !f.exists(snapDir(table, next)) &&
+          { f.delete(meta, false); createExclusive(meta, metaJson) }
+      }
     }
 
   private def readSmallFile(p: Path): String = {
@@ -203,8 +244,11 @@ final class SnapshotTables(
     // statsCols is a persistent TABLE PROPERTY, not a per-write flag:
     // once set, every later commit — merge, delete, compact,
     // overwritePartitions all route through here — keeps maintaining
-    // the manifest without the caller re-threading the columns.
-    if (statsCols.nonEmpty) writeSmallFile(statsColsPath(table), statsCols.mkString(","))
+    // the manifest without the caller re-threading the columns. The
+    // property is persisted only AFTER this writer wins the CAS (a
+    // race loser must not overwrite the table's stats columns) and
+    // atomically (see below), so a concurrent reader never sees a torn
+    // column list.
     val effectiveStats =
       if (statsCols.nonEmpty) statsCols
       else {
@@ -213,15 +257,29 @@ final class SnapshotTables(
       }
     val next = currentVersion(table) + 1
     // Stage the data under a unique temp dir: nothing below `v*` is
-    // visible to history()/readers until the commit succeeds.
-    val tmp = new Path(tableDir(table), s"snapshots/.tmp-${java.util.UUID.randomUUID}")
-    val w = df.write.mode(SaveMode.Overwrite)
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(tmp.toString)
+    // visible to history()/readers until the commit succeeds. A
+    // heartbeat marker inside the dir is refreshed for as long as the
+    // write job runs, so vacuumStaging can tell a LIVE long write from
+    // abandoned debris (task-output activity under _temporary/ does
+    // not refresh the staging dir's own mtime).
+    val writerId = java.util.UUID.randomUUID.toString
+    val tmp = new Path(tableDir(table), s"snapshots/.tmp-$writerId")
+    withHeartbeat(tmp) {
+      val w = df.write.mode(SaveMode.Overwrite)
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(tmp.toString)
+    }
     val meta = new Path(metaDir(table), f"v$next%05d.json")
+    // writer UUID = the fence token for orphan reclaim: ownership of
+    // version `next` is decided by which attempt's content sits in the
+    // meta file, not merely by the file existing.
     val metaJson =
-      s"""{"version":$next,"partition_cols":${partitionCols.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s"""{"version":$next,"writer":"$writerId",""" +
+        s""""partition_cols":${partitionCols.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""schema":${df.schema.json}}"""
+    def metaIsOurs: Boolean =
+      try fs(meta).exists(meta) && readSmallFile(meta).contains(s""""writer":"$writerId"""")
+      catch { case _: java.io.IOException => false }
     // The CAS: exclusive-create of the version metadata file decides
     // the winner of version `next`.
     if (!casWithOrphanReclaim(table, next, meta, metaJson)) {
@@ -229,17 +287,70 @@ final class SnapshotTables(
       throw new SnapshotTables.ConcurrentCommitException(table, next)
     }
     val dest = snapDir(table, next)
-    if (!fs(tmp).rename(tmp, dest)) {
-      // We own `next` but could not place its data: remove BOTH the
-      // staged data and our own metadata file, so this failed attempt
-      // does not become the orphan that wedges the version.
+    // A winner paused (GC, suspension) past orphanGraceMs between the
+    // CAS and this rename may have been reclaimed: its meta now
+    // belongs to another writer and the version may already hold that
+    // writer's data. Re-check ownership IMMEDIATELY before renaming —
+    // a stale winner backs off instead of nesting its staged dir
+    // inside the other winner's committed snapshot (HDFS rename onto
+    // an existing dir nests the source).
+    if (!metaIsOurs) {
       fs(tmp).delete(tmp, true)
-      fs(meta).delete(meta, false)
       throw new SnapshotTables.ConcurrentCommitException(table, next)
     }
+    if (!fs(tmp).rename(tmp, dest)) {
+      // We own `next` but could not place its data: remove the staged
+      // data and — only if it is still OURS (the rename may have
+      // failed precisely because a reclaimer stole the version and
+      // committed its own data) — our metadata file, so this failed
+      // attempt neither wedges the version nor deletes the other
+      // winner's commit record.
+      fs(tmp).delete(tmp, true)
+      if (metaIsOurs) fs(meta).delete(meta, false)
+      throw new SnapshotTables.ConcurrentCommitException(table, next)
+    }
+    // Post-rename ownership audit: if the meta changed hands while the
+    // rename was in flight, our data may have nested inside the other
+    // winner's snapshot dir. Undo the nesting (delete only OUR staged
+    // subtree, identified by the writer UUID in its name) and report
+    // the lost race.
+    if (!metaIsOurs) {
+      val nested = new Path(dest, tmp.getName)
+      if (fs(nested).exists(nested)) fs(nested).delete(nested, true)
+      throw new SnapshotTables.ConcurrentCommitException(table, next)
+    }
+    if (statsCols.nonEmpty) replaceSmallFile(statsColsPath(table), statsCols.mkString(","))
     if (effectiveStats.nonEmpty) writeManifest(table, next, effectiveStats)
     advancePointer(table, next)
     expire(table, next)
+  }
+
+  /** Run `body` (the staged write job) with a live-writer heartbeat: a
+    * daemon thread re-writes a hidden marker file inside `dir` every
+    * `heartbeatMs`, keeping its mtime fresh for vacuumStaging's age
+    * check. The marker is removed once the write completes (the
+    * staging dir is about to be renamed into a committed snapshot;
+    * hidden files are invisible to readers anyway, but there is no
+    * reason to carry it). */
+  private def withHeartbeat(dir: Path)(body: => Unit): Unit = {
+    val marker = new Path(dir, SnapshotTables.HeartbeatName)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val t = new Thread(() => {
+      while (!stop.get()) {
+        try writeSmallFile(marker, System.currentTimeMillis.toString)
+        catch { case _: java.io.IOException => () } // missing dir yet / transient: next beat retries
+        val deadline = System.currentTimeMillis + heartbeatMs
+        while (!stop.get() && System.currentTimeMillis < deadline) Thread.sleep(200)
+      }
+    }, s"graft-staging-heartbeat-${dir.getName}")
+    t.setDaemon(true)
+    t.start()
+    try body
+    finally {
+      stop.set(true); t.join(5000)
+      try { val f = fs(marker); if (f.exists(marker)) f.delete(marker, false) }
+      catch { case _: java.io.IOException => () }
+    }
   }
 
   /** Advance the pointer cache, never regress it: a slower writer
@@ -357,19 +468,24 @@ final class SnapshotTables(
   private def writeManifest(table: String, v: Int, statsCols: Seq[String]): Unit = {
     val base = snapDir(table, v)
     val f = fs(base)
-    val files = scala.collection.mutable.ArrayBuffer.empty[String]
-    val it = f.listFiles(base, true)
-    while (it.hasNext) {
-      val s = it.next()
-      val name = s.getPath.getName
-      if (s.isFile && name.endsWith(".parquet") && !name.startsWith("_") && !name.startsWith("."))
-        files += s.getPath.toString
-    }
-    if (files.isEmpty) return
     // listFiles returns fully-qualified URIs (file:/..., hdfs://...);
     // qualify the base the same way or the relativization silently
     // no-ops and the manifest stores absolute paths
     val baseStr = f.makeQualified(base).toString.stripSuffix("/") + "/"
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = f.listFiles(base, true)
+    while (it.hasNext) {
+      val s = it.next()
+      // hidden-ness applies to EVERY path component under the snapshot
+      // root, not just the file name: a `.tmp-*` staging dir nested by
+      // a racing rename must not leak its files into the manifest
+      // (readPruned would then return rows a plain read does not see)
+      val rel = s.getPath.toString.stripPrefix(baseStr)
+      val hidden = rel.split('/').exists(c => c.startsWith("_") || c.startsWith("."))
+      if (s.isFile && rel.endsWith(".parquet") && !hidden)
+        files += s.getPath.toString
+    }
+    if (files.isEmpty) return
     val wanted = statsCols.toSet
     val confSer = new org.apache.spark.SerializableWritable(spark.sparkContext.hadoopConfiguration)
     val session = spark
@@ -532,24 +648,46 @@ final class SnapshotTables(
   /** Sweep `.tmp-*` staging directories abandoned by crashed or killed
     * writers. Staged data is invisible to readers, but at streaming /
     * multi-writer cadence the debris is a real storage leak (each
-    * abandoned attempt holds a full table copy). A directory is only
-    * swept once it is older than `orphanGraceMs` — a live writer's
-    * staging dir is never touched (it renames away, or is younger than
-    * the grace window while its write is in flight). Runs piggybacked
-    * on every successful commit's retention pass, so no separate
-    * maintenance job is needed. */
+    * abandoned attempt holds a full table copy). Liveness is judged by
+    * the writer's HEARTBEAT marker when present (a live write job
+    * refreshes it every `heartbeatMs`, while task output lands under
+    * `_temporary/` and does NOT refresh the staging dir's own mtime —
+    * so dir mtime alone would misread any write longer than the grace
+    * window as abandoned); a dir with no marker (writer died before
+    * its first beat, or pre-heartbeat debris) falls back to the dir
+    * mtime against the much coarser `stagingGraceMs` (default 1 h).
+    * Runs piggybacked on every successful commit's retention pass, so
+    * no separate maintenance job is needed. */
   private[io] def vacuumStaging(table: String): Unit = {
     val snaps = new Path(tableDir(table), "snapshots")
     val f = fs(snaps)
+    val now = System.currentTimeMillis
     if (f.exists(snaps))
       f.listStatus(snaps)
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith(".tmp-") &&
-          (System.currentTimeMillis - s.getModificationTime) >= orphanGraceMs)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(".tmp-"))
+        .filter { s =>
+          val hb = new Path(s.getPath, SnapshotTables.HeartbeatName)
+          val hbMtime =
+            try if (f.exists(hb)) Some(f.getFileStatus(hb).getModificationTime) else None
+            catch { case _: java.io.IOException => None }
+          hbMtime match {
+            // beating writer: stale only once several beats were missed
+            // (a crashed writer stops beating; 4 missed beats ≈ dead)
+            case Some(m) => now - m >= 4 * heartbeatMs
+            // no marker: pre-heartbeat debris or a writer that died
+            // before its first beat — only the coarse grace applies
+            case None => now - s.getModificationTime >= stagingGraceMs
+          }
+        }
         .foreach(s => f.delete(s.getPath, true))
   }
 }
 
 object SnapshotTables {
+  /** Live-writer heartbeat marker inside a `.tmp-*` staging dir (name
+    * starts with '.', so it is hidden from every reader). */
+  private[io] val HeartbeatName = "._graft_heartbeat"
+
   /** Thrown by the losing writer of a version race: the table already
     * advanced past the version this writer staged. The loser's staged
     * data is cleaned up before the throw; re-reading and retrying the

@@ -226,33 +226,51 @@ object Streams {
     * idempotent — re-upserting the same rows commits a new version with
     * the same table state. Readers always see a complete snapshot
     * (commit is atomic), and each batch is one auditable version.
-    * Retention bounds the version history the stream accumulates. */
+    * Retention bounds the version history the stream accumulates.
+    *
+    * `orderCol`: when a micro-batch carries several rows per key
+    * (updates within the batch), the row with the LARGEST `orderCol`
+    * value (event time / sequence number) wins — `max_by` semantics,
+    * what "keep the newest" actually means. When no ordering column is
+    * given, conflict resolution falls back to max over the struct of
+    * non-key columns — deterministic, but LEXICOGRAPHIC IN COLUMN
+    * ORDER (the retained row is the one greatest by the first non-key
+    * column, then the second, …), not newest-wins; pass `orderCol`
+    * whenever the stream has any notion of update order. */
   def snapshotMergeSink(
       stream: DataFrame,
       tables: graft.io.SnapshotTables,
       table: String,
       keyCols: Seq[String],
       checkpoint: String,
-      partitionCols: Seq[String] = Nil
+      partitionCols: Seq[String] = Nil,
+      orderCol: Option[String] = None
   ): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
+          import org.apache.spark.sql.functions.{col, max, max_by, struct}
           // a batch can carry several rows per key (updates within the
-          // micro-batch): keep the last by arrival order is undefined in
-          // a DataFrame, so dedupe deterministically by max over the
-          // non-key struct — same contract as MERGE's "one source row
-          // per key" requirement, resolved instead of rejected
+          // micro-batch): MERGE requires one source row per key, so the
+          // conflict is resolved here — by orderCol when given, else by
+          // the documented struct-max fallback — rather than rejected
           val rest = batch.columns.filterNot(keyCols.contains).toSeq
           val one =
             if (rest.isEmpty) batch.dropDuplicates(keyCols)
-            else
-              batch.groupBy(keyCols.map(org.apache.spark.sql.functions.col): _*)
-                .agg(org.apache.spark.sql.functions.max(
-                  org.apache.spark.sql.functions.struct(rest.map(org.apache.spark.sql.functions.col): _*)).as("__r"))
-                .select(keyCols.map(org.apache.spark.sql.functions.col) :+
-                  org.apache.spark.sql.functions.col("__r.*"): _*)
+            else {
+              val packed = struct(rest.map(col): _*)
+              val pick = orderCol match {
+                case Some(oc) =>
+                  require(batch.columns.contains(oc),
+                    s"orderCol '$oc' is not a column of the stream")
+                  max_by(packed, col(oc))
+                case None => max(packed)
+              }
+              batch.groupBy(keyCols.map(col): _*)
+                .agg(pick.as("__r"))
+                .select(keyCols.map(col) :+ col("__r.*"): _*)
+            }
           tables.merge(table, one, keyCols, partitionCols)
         }
         ()

@@ -29,6 +29,36 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("clearManagedTable resolves qualified-name locations through the catalog, not string concat") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS sinksdb")
+    try {
+      // a directory whose name literally matches the naive
+      // <warehouse>/<name> concat — the old bug would delete it
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      val bystander = new org.apache.hadoop.fs.Path(warehouse, "sinksdb.victim")
+      val fs = bystander.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(bystander)
+      // qualified managed table rebuilt twice: second CTAS must not hit
+      // LOCATION_ALREADY_EXISTS (leftover dir is found at its REAL
+      // catalog location, <warehouse>/sinksdb.db/victim)
+      Sinks.bucketedTable(Seq((1L, "a")).toDF("k", "v"), "sinksdb.victim", Seq("k"), 2)
+      Sinks.bucketedTable(Seq((2L, "b")).toDF("k", "v"), "sinksdb.victim", Seq("k"), 2)
+      assert(spark.table("sinksdb.victim").as[(Long, String)].head() == ((2L, "b")))
+      assert(fs.exists(bystander), "unrelated dir named 'db.tbl' must never be deleted")
+      // EXTERNAL table data is the user's: clearing must drop the
+      // catalog entry but leave the files
+      val ext = java.nio.file.Files.createTempDirectory("sinks-ext").toString
+      Seq((9L, "x")).toDF("k", "v").write.mode("overwrite").parquet(ext)
+      spark.sql(s"CREATE TABLE sinksdb.exttab (k BIGINT, v STRING) USING parquet LOCATION '$ext'")
+      Sinks.clearManagedTable(spark, "sinksdb.exttab")
+      assert(!spark.catalog.tableExists("sinksdb.exttab"))
+      assert(spark.read.parquet(ext).count() == 1, "external data must survive the clear")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sinksdb.victim")
+      spark.sql("DROP DATABASE IF EXISTS sinksdb CASCADE")
+    }
+  }
+
   test("sortedParquet writes files with disjoint sort-key ranges (min/max skippable)") {
     val out = java.nio.file.Files.createTempDirectory("sorted-pq").toString + "/t"
     val df = spark.range(0, 10000).toDF("id")

@@ -250,7 +250,7 @@ class SnapshotTablesSpec extends SparkSpec {
 
   test("abandoned staging directories are vacuumed by the next commit's retention pass") {
     val root = java.nio.file.Files.createTempDirectory("graft-snap").toString
-    val t = new SnapshotTables(spark, root, orphanGraceMs = 0L)
+    val t = new SnapshotTables(spark, root, orphanGraceMs = 0L, stagingGraceMs = 0L)
     t.overwriteTable(Seq((1, "a")).toDF("id", "v"), "tab")
     // a crashed writer's leftover staging dir (full table copy = storage leak)
     java.nio.file.Files.createDirectories(
@@ -259,6 +259,47 @@ class SnapshotTablesSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(root, "tab", "snapshots", ".tmp-dead-writer")))
     assert(t.history("tab") == Seq(1, 2)) // debris never visible as a version
+  }
+
+  test("a staging dir with a FRESH heartbeat is never vacuumed (live long write), a stale one is") {
+    val root = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    // stagingGraceMs=0 would sweep ANY dir without a heartbeat — the
+    // fresh marker must be what saves the live writer's dir
+    val t = new SnapshotTables(spark, root, orphanGraceMs = 0L, stagingGraceMs = 0L)
+    t.overwriteTable(Seq((1, "a")).toDF("id", "v"), "tab")
+    val live = java.nio.file.Paths.get(root, "tab", "snapshots", ".tmp-live-writer")
+    val dead = java.nio.file.Paths.get(root, "tab", "snapshots", ".tmp-stale-writer")
+    java.nio.file.Files.createDirectories(live)
+    java.nio.file.Files.createDirectories(dead)
+    java.nio.file.Files.write(live.resolve("._graft_heartbeat"), "now".getBytes("UTF-8"))
+    val old = java.nio.file.Files.write(dead.resolve("._graft_heartbeat"), "old".getBytes("UTF-8"))
+    // a writer that stopped beating long ago (4 missed beats = dead)
+    java.nio.file.Files.setLastModifiedTime(old,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis - 3600000L))
+    t.overwriteTable(Seq((2, "b")).toDF("id", "v"), "tab")
+    assert(java.nio.file.Files.exists(live), "fresh heartbeat must protect a live writer's staging dir")
+    assert(!java.nio.file.Files.exists(dead), "a writer whose beats stopped is reclaimable")
+  }
+
+  test("commit meta carries the writer's fence UUID; reclaim backs off when the meta changed hands") {
+    val root = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    val t = new SnapshotTables(spark, root, orphanGraceMs = 0L)
+    t.overwriteTable(Seq((1, "a")).toDF("id", "v"), "tab")
+    val meta = java.nio.file.Paths.get(root, "tab", "metadata", "v00001.json")
+    val json = new String(java.nio.file.Files.readAllBytes(meta), "UTF-8")
+    assert(json.contains("\"writer\":\""), "meta must carry the fence token")
+    // an orphan whose content is re-read as CHANGED between stat and
+    // delete is another reclaimer's fresh win — this writer backs off
+    // (exercised via the normal reclaim path: content equality holds
+    // here, so reclaim proceeds; the back-off branch is the guard)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "tab", "metadata", "v00002.json"),
+      """{"version":2,"writer":"dead-writer"}""".getBytes("UTF-8"))
+    t.overwriteTable(Seq((2, "b")).toDF("id", "v"), "tab")
+    assert(t.currentVersion("tab") == 2)
+    val json2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "tab", "metadata", "v00002.json")), "UTF-8")
+    assert(!json2.contains("dead-writer"), "reclaimed version is owned by the new winner")
   }
 
   test("concurrent writers: at most one wins each version, pointer equals max history") {

@@ -297,4 +297,24 @@ class StreamsSpec extends SparkSpec {
         Set((1L, "a"), (2L, "b")))
     } finally q.stop()
   }
+
+  test("snapshotMergeSink with orderCol keeps the NEWEST in-batch row per key, not the struct-max") {
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-snap-ord").toString
+    val tables = new graft.io.SnapshotTables(spark, root)
+    val ck = java.nio.file.Files.createTempDirectory("graft-stream-snap-ord-ck").toString
+    val ms = MemoryStream[(Long, String, Long)]
+    val q = Streams.snapshotMergeSink(
+      ms.toDF().toDF("k", "status", "seq"), tables, "tab", keyCols = Seq("k"),
+      checkpoint = ck, orderCol = Some("seq"))
+    try {
+      // 'shipped' at seq=2 is the newest update for key 1; the struct-max
+      // fallback would instead keep 'zz-stale' (alphabetically largest
+      // first non-key column) — exactly the trap orderCol closes
+      ms.addData((1L, "zz-stale", 1L), (1L, "shipped", 2L), (2L, "new", 1L))
+      q.processAllAvailable()
+      assert(tables.read("tab").as[(Long, String, Long)].collect().toSet ==
+        Set((1L, "shipped", 2L), (2L, "new", 1L)))
+    } finally q.stop()
+  }
 }
