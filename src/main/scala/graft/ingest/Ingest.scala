@@ -100,6 +100,57 @@ object Ingest {
     }
   }
 
+  /** Default HTTP page fetcher — the concrete `Int => String` that
+    * completes [[fetchPages]] parity with the reference's
+    * FetchApiOperator (fetch_api_operator.py:22-52: GET the page URL,
+    * accept only a 2xx status, raise otherwise — the raise is what
+    * arms the retry loop, here [[withRetry]] inside fetchPages).
+    *
+    * Serialization: instances ship to executors in the task closure;
+    * the JVM-level HttpClient lives in the companion (one per executor
+    * JVM, built on first use) so nothing non-serializable is captured.
+    * The transport is injectable (`send`) so the status/error contract
+    * is unit-testable without a network — which is also how this class
+    * is verified in this sandbox (zero egress; the default transport
+    * compiles against the JDK and is exercised nowhere).
+    *
+    * @param urlForPage page number → absolute URL (the reference
+    *        passes the page as a query param; encode it here)
+    * @param headers    constant request headers (auth tokens etc.)
+    */
+  final class HttpPageFetcher(
+      urlForPage: Int => String,
+      headers: Map[String, String] = Map.empty,
+      timeoutMillis: Long = 30000L,
+      send: java.net.http.HttpRequest => (Int, String) = HttpPageFetcher.defaultSend
+  ) extends (Int => String) with Serializable {
+    override def apply(page: Int): String = {
+      val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(urlForPage(page)))
+        .timeout(java.time.Duration.ofMillis(timeoutMillis))
+        .GET()
+      headers.foreach { case (k, v) => b.header(k, v) }
+      val (status, body) = send(b.build())
+      // 2xx-only, mirroring the reference's status_code check: anything
+      // else throws so withRetry re-attempts and eventually rethrows
+      if (status / 100 != 2)
+        throw new java.io.IOException(s"HTTP $status fetching page $page")
+      body
+    }
+  }
+
+  object HttpPageFetcher {
+    // one client per executor JVM — connection pooling across tasks
+    @transient private lazy val client: java.net.http.HttpClient =
+      java.net.http.HttpClient.newBuilder()
+        .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+        .build()
+
+    private def defaultSend(req: java.net.http.HttpRequest): (Int, String) = {
+      val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), resp.body())
+    }
+  }
+
   /** Distributed page fetch: one row per page body. `fetcher` runs on
     * executors (build any HTTP client inside it, per task). */
   def fetchPages(

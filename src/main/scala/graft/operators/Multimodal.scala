@@ -50,30 +50,41 @@ object Multimodal {
     * codec would amortize model/codec init per partition, the same
     * reason PySpark uses mapInPandas here), fixed-width feature out.
     *
-    * STUB: the decode step is a deterministic fake — bytes are summed
-    * into `featDim` integer accumulators instead of being decoded by a
-    * codec. Integer (not float) accumulation on purpose: the stub's
-    * arithmetic is then exactly reproducible by the SQL oracle
-    * (associative bigint sums — no IEEE fold-order sensitivity), so the
-    * whole mapPartitions plumbing is hash-verified end-to-end, not
-    * rows-only. Swap `fakeDecode` for a real codec call when one
-    * exists; a real feature vector would be float, but the Spark-side
-    * shape (schema, batching, partitioning) is identical.
+    * The decode step is INJECTABLE: pass any `decode: (bytes, featDim)
+    * => Array[Long]` — a real codec + feature extractor drops in
+    * without touching the operator (the function is serialized into
+    * the task closure like any mapPartitions lambda; construct
+    * per-JVM-expensive codec state lazily inside it, or lift it to a
+    * per-partition init if needed). The DEFAULT is the deterministic
+    * stub below, kept because no image/audio library ships in this
+    * container. Integer (not float) accumulation on purpose: the
+    * stub's arithmetic is then exactly reproducible by the SQL oracle
+    * (associative bigint sums — no IEEE fold-order sensitivity), so
+    * the whole mapPartitions plumbing is hash-verified end-to-end, not
+    * rows-only. MultimodalSpec injects a real JDK codec (CRC32 per
+    * block) to prove the boundary takes real implementations; a real
+    * feature vector would be float, but the Spark-side shape (schema,
+    * batching, partitioning) is identical.
     */
-  def extractFeatures(media: DataFrame, featDim: Int = 8): Dataset[MediaFeature] = {
+  def extractFeatures(
+      media: DataFrame,
+      featDim: Int = 8,
+      decode: (Array[Byte], Int) => Array[Long] = fakeDecode
+  ): Dataset[MediaFeature] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("media_id", "payload").as[(Long, Array[Byte])].mapPartitions { it =>
       it.map { case (id, payload) =>
         val bytes = if (payload == null) Array.empty[Byte] else payload
-        MediaFeature(id, nFrames(bytes), fakeDecode(bytes, featDim))
+        MediaFeature(id, nFrames(bytes), decode(bytes, featDim))
       }
     }
   }
 
-  /** STUB decode: deterministic byte-sum into featDim accumulators
-    * (acc(j) = Σ of unsigned bytes at positions ≡ j mod featDim). */
-  private def fakeDecode(bytes: Array[Byte], featDim: Int): Array[Long] = {
+  /** STUB decode (the default): deterministic byte-sum into featDim
+    * accumulators (acc(j) = Σ of unsigned bytes at positions ≡ j mod
+    * featDim). */
+  private[operators] def fakeDecode(bytes: Array[Byte], featDim: Int): Array[Long] = {
     val acc = new Array[Long](featDim)
     var i = 0
     while (i < bytes.length) {

@@ -702,8 +702,29 @@ object Similarity {
       numCells: Int,
       nprobe: Int,
       topK: Int
+  ): DataFrame =
+    ivfPqTopKWithCentroids(corpus, queries, idCol, vecCol, codebooks, dim, m, k,
+      seedCentroids(corpus, idCol, vecCol, numCells), nprobe, topK)
+
+  /** IVF-PQ against a caller-supplied coarse-centroid table
+    * `(cell_id, cent_vec)` — in particular [[kmeansCentroids]] output,
+    * the production FAISS shape (train the coarse quantizer offline,
+    * serve with the same probe/ADC machinery). [[ivfPqTopK]]'s seed
+    * convention is the `id < numCells` special case of this. */
+  def ivfPqTopKWithCentroids(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: DataFrame,
+      dim: Int,
+      m: Int,
+      k: Int,
+      centroids: DataFrame,
+      nprobe: Int,
+      topK: Int
   ): DataFrame = {
-    val cent = seedCentroids(corpus, idCol, vecCol, numCells)
+    val cent = normCentroids(centroids)
     val codes = cellCodes(corpus, idCol, vecCol, codebooks, cent, dim, m)
     val probes = probeCells(queries, idCol, vecCol, cent, nprobe)
     adcServe(codes, probes, pqQueryTables(queries, idCol, vecCol, codebooks, dim, m, k),
@@ -712,8 +733,16 @@ object Similarity {
 
   private def seedCentroids(corpus: DataFrame, idCol: String, vecCol: String, numCells: Int): DataFrame =
     corpus.filter(col(idCol) < numCells)
-      .select(col(idCol).cast("long").as("cell_id"), col(vecCol).as("cent_vec"),
-        norm(col(vecCol)).as("cent_nrm"))
+      .select(col(idCol).cast("long").as("cell_id"), col(vecCol).as("cent_vec"))
+
+  /** Canonical centroid shape for probing/assignment: (cell_id LONG,
+    * cent_vec, cent_nrm) — accepts any (cell_id, cent_vec, ...) frame
+    * (seed slices, kmeansCentroids output) and recomputes the norm so
+    * callers never have to carry it. */
+  private def normCentroids(centroids: DataFrame): DataFrame =
+    centroids.select(col("cell_id").cast("long").as("cell_id"),
+      transform(col("cent_vec"), x => x.cast("double")).as("cent_vec"))
+      .withColumn("cent_nrm", norm(col("cent_vec")))
 
   /** Encoded corpus with its owning coarse cell: argmax-cosine cell as
     * a partial aggregation (shuffle carries one row per vector, ties
@@ -786,7 +815,7 @@ object Similarity {
       numBuckets: Int = 32,
       centroids: Option[DataFrame] = None
   ): Unit = {
-    val cent = centroids.getOrElse(seedCentroids(corpus, idCol, vecCol, numCells))
+    val cent = normCentroids(centroids.getOrElse(seedCentroids(corpus, idCol, vecCol, numCells)))
     graft.io.Sinks.bucketedTable(
       cellCodes(corpus, idCol, vecCol, codebooks, cent, dim, m),
       table, Seq("cell_id"), numBuckets)

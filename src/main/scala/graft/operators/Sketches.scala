@@ -39,6 +39,79 @@ object Sketches {
         sum(col("n_rows")).as("n_rows")
       )
 
+  /** Heavy hitters (approximate top-k) over `valueCol` — the corpus-
+    * analysis primitive for "most frequent tokens/domains/urls at
+    * 100 TB" without a full-vocabulary shuffle: Spark's `approx_top_k`
+    * (an Apache DataSketches frequent-items sketch) tracks at most
+    * `maxItemsTracked` candidates per partial aggregate and merges
+    * map-side, so the shuffle carries one bounded sketch per mapper —
+    * never |distinct values| rows. Estimates are EXACT whenever the
+    * number of distinct values never exceeds the sketch capacity (no
+    * purge ever occurs); beyond that, counts carry the standard
+    * frequent-items over-estimate bound and rank order near ties is
+    * approximate.
+    *
+    * The sketch's own output order near ties is engine-internal, so
+    * the result is deterministically RE-RANKED by (count desc, item):
+    * `fetch` items are drawn from the sketch (over-fetch a margin past
+    * `k` so boundary ties cannot flip membership when counts are
+    * exact), then the top `k` by the total order are kept. Returns
+    * (rk, item, cnt). */
+  def approxTopK(
+      df: DataFrame,
+      valueCol: String,
+      k: Int,
+      maxItemsTracked: Int = 8192,
+      fetchMargin: Int = 50
+  ): DataFrame = {
+    val fetch = math.min(k + fetchMargin, maxItemsTracked)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("item"))
+    df.agg(expr(s"approx_top_k(`$valueCol`, $fetch, $maxItemsTracked)").as("topk"))
+      .select(explode(col("topk")).as("t"))
+      .select(col("t.item").as("item"), col("t.count").as("cnt"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("rk"), col("item"), col("cnt"))
+      .orderBy(col("rk"))
+  }
+
+  /** Fine-grain top-k sketch build — the [[hllSketches]] pattern for
+    * heavy hitters: one mergeable frequent-items sketch STATE per
+    * group (`approx_top_k_accumulate`). Persist this; any coarser
+    * rollup combines states without re-scanning raw data. */
+  def topKSketches(df: DataFrame, groupCols: Seq[String], valueCol: String, maxItemsTracked: Int = 8192): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"approx_top_k_accumulate(`$valueCol`, $maxItemsTracked)").as("topk_sketch"),
+        count(lit(1)).as("n_rows"))
+
+  /** Roll top-k sketches up to a coarser grain: combine the sketch
+    * states per `rollupCols` group and estimate the top `k` — runs
+    * over sketch rows only. The merge law (estimate ∘ combine over
+    * parts ≡ estimate over the whole, when capacity is never
+    * exceeded) is what makes the per-day/per-source build safe;
+    * SketchesSpec pins it. Returns one row per group with the
+    * re-ranked (rk, item, cnt) exploded, same total order as
+    * [[approxTopK]]. */
+  def topKRollup(sketches: DataFrame, rollupCols: Seq[String], k: Int, maxItemsTracked: Int = 8192): DataFrame = {
+    val combined = sketches
+      .groupBy(rollupCols.map(col): _*)
+      .agg(expr(s"approx_top_k_combine(topk_sketch, $maxItemsTracked)").as("sk"),
+        sum(col("n_rows")).as("n_rows"))
+      .select(rollupCols.map(col) :+ col("n_rows") :+
+        expr(s"approx_top_k_estimate(sk, ${math.min(k + 50, maxItemsTracked)})").as("topk"): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(rollupCols.map(col): _*)
+      .orderBy(col("cnt").desc, col("item"))
+    combined
+      .select(rollupCols.map(col) :+ col("n_rows") :+ explode(col("topk")).as("t"): _*)
+      .select(rollupCols.map(col) :+ col("n_rows") :+
+        col("t.item").as("item") :+ col("t.count").as("cnt"): _*)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(rollupCols.map(col) :+ col("rk") :+ col("item") :+ col("cnt") :+ col("n_rows"): _*)
+  }
+
   /** Estimated distinct-value overlap of two corpora by
     * inclusion–exclusion over HLL: |A ∩ B| ≈ |A| + |B| − |A ∪ B|, where
     * the union estimate merges the two sketches (never re-scans either

@@ -824,7 +824,29 @@ object CurationCorpus {
       FROM qz ORDER BY vec_id""")
   )
 
+  /** Heavy hitters (approx_top_k) over the token stream, EXACT-oracle
+    * checked: the documents vocabulary is far below the sketch
+    * capacity, so no purge ever occurs and the frequent-items counts
+    * are exactly the true counts — the oracle is the plain exact
+    * GROUP BY. Both sides rank by the same (count DESC, token) total
+    * order, so even boundary ties cannot flip membership. At real
+    * vocabulary scale the counts gain the documented over-estimate
+    * bound and this becomes a rows-only audit — capacity is the dial;
+    * the merge law that makes the per-source build safe is pinned in
+    * SketchesSpec. */
+  private val q103 = Q(
+    "q103_heavy_hitters",
+    (s, dir) =>
+      graft.operators.Sketches.approxTopK(
+        fixture(s, dir, "documents").select(explode(split(col("text"), " ")).as("token")),
+        "token", k = 10, maxItemsTracked = 8192),
+    Some("""WITH w AS (SELECT unnest(string_split(text,' ')) AS token FROM documents),
+      c AS (SELECT token AS item, COUNT(*) AS cnt FROM w GROUP BY 1),
+      r AS (SELECT item, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, item) AS rk FROM c)
+      SELECT CAST(rk AS INTEGER) AS rk, item, cnt FROM r WHERE rk <= 10 ORDER BY rk""")
+  )
+
   val all: Seq[Q] = Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q89, q90, q91,
-    q92, q93, q94)
+    q92, q93, q94, q103)
 }

@@ -69,6 +69,46 @@ class IngestSpec extends SparkSpec {
     assert(counter.value == 2L)
   }
 
+  test("HttpPageFetcher: 2xx returns the body, non-2xx throws (arming withRetry), headers/URL applied") {
+    // stubbed transport — no network in this sandbox; the contract
+    // under test is the status check and request construction
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[java.net.http.HttpRequest]()
+    def stub(statusFor: Int => Int)(req: java.net.http.HttpRequest): (Int, String) = {
+      seen.add(req)
+      val page = req.uri.getQuery.stripPrefix("page=").toInt
+      (statusFor(page), s"payload-$page")
+    }
+    val ok = new Ingest.HttpPageFetcher(
+      p => s"https://api.example.test/v1/rows?page=$p",
+      headers = Map("Authorization" -> "Bearer t"),
+      send = stub(_ => 200))
+    assert(ok(7) == "payload-7")
+    val req = seen.poll()
+    assert(req.uri.toString == "https://api.example.test/v1/rows?page=7")
+    assert(req.headers.firstValue("Authorization").get == "Bearer t")
+    assert(req.method == "GET")
+    // 201 is still success (2xx family), 404/500 throw with the status
+    assert(new Ingest.HttpPageFetcher(p => s"http://x/?page=$p", send = stub(_ => 201))(1) == "payload-1")
+    val e = intercept[java.io.IOException](
+      new Ingest.HttpPageFetcher(p => s"http://x/?page=$p", send = stub(_ => 404))(3))
+    assert(e.getMessage.contains("404") && e.getMessage.contains("page 3"))
+  }
+
+  test("HttpPageFetcher composes with fetchPages: transient 5xx retried on executors") {
+    val cnt = new java.util.concurrent.ConcurrentHashMap[Int, Integer]()
+    val flaky = new Ingest.HttpPageFetcher(
+      p => s"http://api.test/?page=$p",
+      send = { req =>
+        val page = req.uri.getQuery.stripPrefix("page=").toInt
+        val n = cnt.merge(page, 1, (a, b) => a + b)
+        // page 2's first attempt returns 503; every retry succeeds
+        if (page == 2 && n == 1) (503, "unavailable") else (200, s"body-$page")
+      })
+    val bodies = Ingest.fetchPages(spark, pages = 5, parallelism = 2, flaky,
+      maxRetries = 3, waitMillis = 1).collect().toSet
+    assert(bodies == (1 to 5).map(p => s"body-$p").toSet)
+  }
+
   test("fetchPages fetches every page across partitions with retry") {
     val failOnce = new java.util.concurrent.ConcurrentHashMap[Int, Boolean]()
     val bodies = Ingest

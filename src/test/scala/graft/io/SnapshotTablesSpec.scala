@@ -184,6 +184,28 @@ class SnapshotTablesSpec extends SparkSpec {
     assert(expect > 0)
   }
 
+  test("q102 shape: pruned box read scans fewer files than the snapshot holds, answers unchanged") {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val root = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    val t = new SnapshotTables(spark, root)
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    t.overwriteTable(
+      Sinks.zorderCluster(li, Seq("l_orderkey", "l_partkey"), numFiles = 16),
+      "li_z", Nil, statsCols = Seq("l_orderkey", "l_partkey"))
+    val total = t.read("li_z").inputFiles.length
+    assert(total == 16)
+    // a selective box on BOTH z columns (~6% x ~10% of each domain)
+    val pruned = t.readPrunedBox("li_z", Seq(("l_orderkey", 100, 200), ("l_partkey", 10, 30)))
+    assert(pruned.inputFiles.length < total,
+      s"box read must skip files: ${pruned.inputFiles.length} of $total")
+    // file skipping is IO-only: the filtered aggregate equals the full scan's
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("l_orderkey").between(100, 200) && col("l_partkey").between(10, 30))
+        .agg(count(lit(1)), sum(col("l_quantity").cast("decimal(18,2)"))).head
+    assert(agg(pruned) == agg(t.read("li_z")))
+  }
+
   test("diff between versions yields the CDC feed; diffKeyed classifies insert/update/delete") {
     val t = newTables()
     t.overwriteTable(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"), "tab")

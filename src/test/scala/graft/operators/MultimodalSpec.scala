@@ -3,42 +3,70 @@ package graft.operators
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
+/** The decode boundary of the multimodal pipeline. The stub path is
+  * hash-verified against the DuckDB oracle (q42); what this spec adds
+  * is proof the boundary takes a REAL codec: a JDK implementation
+  * (CRC32 per 64-byte block — an actual byte-stream decoder, not an
+  * arithmetic fake) is injected through the public parameter and runs
+  * distributed through the same mapPartitions plumbing. */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
-  private def docs = Seq(
-    (1L, "x" * 100), // 2 frames (64 + 36 bytes)
-    (2L, "y" * 64),  // exactly 1 frame
-    (3L, "short")
-  ).toDF("doc_id", "text")
+  private def media() =
+    Multimodal.toMediaTable(
+      Seq((1L, "hello multimodal world, this is payload one"),
+        (2L, "a second, longer payload " + ("x" * 200)),
+        (3L, "")).toDF("doc_id", "text"),
+      "doc_id", "text")
 
-  test("media table carries payload bytes plus typed metadata") {
-    val m = Multimodal.toMediaTable(docs, "doc_id", "text")
-    assert(m.schema.fieldNames.toSeq == Seq("media_id", "payload", "meta"))
-    val r = m.filter($"media_id" === 1L).select($"meta.byte_len", $"meta.format").head
-    assert(r.getInt(0) == 100)
-    assert(r.getString(1) == "utf8-stub")
+  test("extractFeatures default path is the deterministic stub (q42 contract unchanged)") {
+    val f = Multimodal.extractFeatures(media(), featDim = 4)
+      .collect().map(m => m.media_id -> m.feature.toSeq).toMap
+    // stub contract: acc(j) = sum of unsigned bytes at positions ≡ j (mod featDim)
+    def stub(s: String): Seq[Long] = {
+      val acc = new Array[Long](4)
+      s.getBytes("UTF-8").zipWithIndex.foreach { case (b, i) => acc(i % 4) += (b & 0xff).toLong }
+      acc.toSeq
+    }
+    assert(f(1L) == stub("hello multimodal world, this is payload one"))
+    assert(f(3L) == Seq(0L, 0L, 0L, 0L))
   }
 
-  test("feature extraction is deterministic with fixed width") {
-    val m = Multimodal.toMediaTable(docs, "doc_id", "text")
-    val a = Multimodal.extractFeatures(m, featDim = 8).collect().sortBy(_.media_id)
-    val b = Multimodal.extractFeatures(m, featDim = 8).collect().sortBy(_.media_id)
-    assert(a.map(_.feature.toSeq).toSeq == b.map(_.feature.toSeq).toSeq)
-    assert(a.forall(_.feature.length == 8))
-    // stub semantics pinned: 64 'y' bytes (121) round-robin 8 slots -> 121*8 each
-    assert(a.find(_.media_id == 2L).get.feature.toSeq == Seq.fill(8)(121L * 8))
-    assert(a.find(_.media_id == 1L).get.n_frames == 2)
-    assert(a.find(_.media_id == 3L).get.n_frames == 1)
+  test("a real JDK codec injects through the decode parameter and runs distributed") {
+    val crcPerBlock: (Array[Byte], Int) => Array[Long] = (bytes, featDim) => {
+      // real decoding work on the payload bytes: CRC32 of each 64-byte
+      // block, folded into featDim lanes (block i -> lane i % featDim)
+      val acc = new Array[Long](featDim)
+      var i = 0
+      while (i * 64 < bytes.length) {
+        val crc = new java.util.zip.CRC32()
+        crc.update(bytes, i * 64, math.min(64, bytes.length - i * 64))
+        acc(i % featDim) ^= crc.getValue
+        i += 1
+      }
+      acc
+    }
+    val got = Multimodal.extractFeatures(media().repartition(3), featDim = 2, decode = crcPerBlock)
+      .collect().map(m => m.media_id -> m.feature.toSeq).toMap
+    // reference values computed locally with the same JDK codec
+    def local(s: String): Seq[Long] = crcPerBlock(s.getBytes("UTF-8"), 2).toSeq
+    assert(got(1L) == local("hello multimodal world, this is payload one"))
+    assert(got(2L) == local("a second, longer payload " + ("x" * 200)))
+    assert(got(3L) == Seq(0L, 0L))
+    // n_frames comes from the operator, not the codec — unchanged by injection
+    val frames = Multimodal.extractFeatures(media(), featDim = 2, decode = crcPerBlock)
+      .collect().map(m => m.media_id -> m.n_frames).toMap
+    assert(frames(2L) == ((25 + 200) + 63) / 64)
   }
 
-  test("frame sampling emits every stride-th 64-byte block") {
-    val m = Multimodal.toMediaTable(docs, "doc_id", "text")
-    val frames = Multimodal.sampleFrames(m, stride = 2)
-      .select("media_id", "frame_idx", "frame_bytes").collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2).length))
-    // doc 1: frames 0 (64B); stride 2 skips frame 1
-    assert(frames.filter(_._1 == 1L).toSeq == Seq((1L, 0, 64)))
-    assert(frames.filter(_._1 == 3L).toSeq == Seq((3L, 0, 5)))
+  test("sampleFrames explodes every stride-th 64-byte block with its bytes") {
+    val rows = Multimodal.sampleFrames(media(), stride = 2)
+      .select($"media_id", $"frame_idx", octet_length($"frame_bytes").as("len"))
+      .as[(Long, Int, Int)].collect().toSet
+    val len2 = 25 + 200 // 4 frames (0..3), sampled 0 and 2
+    assert(rows.filter(_._1 == 2L).map(_._2) == Set(0, 2))
+    assert(rows.contains((2L, 0, 64)))
+    assert(rows.contains((2L, 2, math.min(64, len2 - 128))))
+    assert(!rows.exists(_._1 == 3L)) // empty payload: no frames
   }
 }

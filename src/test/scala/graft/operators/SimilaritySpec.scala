@@ -238,6 +238,34 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("refined-centroid IVF-PQ: persisted index serving equals the direct path; all-probes equals full ADC") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 5)
+    val cb = Similarity.pqTrain(e, "vec_id", "embedding", dim = 64, m = 8, k = 16)
+    val refined = Similarity.kmeansCentroids(e, "vec_id", "embedding", k = 16, iters = 1)
+    Similarity.buildPqIndex(e, "vec_id", "embedding", cb, "pq_index_refined_test",
+      dim = 64, m = 8, numCells = 16, numBuckets = 8, centroids = Some(refined))
+    try {
+      val served = Similarity.queryPqIndex(spark, "pq_index_refined_test", q, "vec_id", "embedding",
+        cb, dim = 64, m = 8, k = 16, nprobe = 2, topK = 5)
+      val direct = Similarity.ivfPqTopKWithCentroids(e, q, "vec_id", "embedding", cb,
+        dim = 64, m = 8, k = 16, centroids = refined, nprobe = 2, topK = 5)
+      assert(served.collect().toSeq == direct.collect().toSeq)
+      // refined coarse cells change WHICH rows are scanned, never the
+      // scoring: probing every refined cell degenerates to the flat ADC
+      // scan bit-for-bit, exactly as with seed cells
+      val codes = Similarity.pqEncode(e, "vec_id", "embedding", cb, dim = 64, m = 8)
+      val full = Similarity.pqTopK(codes, q, "vec_id", "embedding", cb,
+        dim = 64, m = 8, k = 16, topK = 5).collect().toSeq
+      val allProbes = Similarity.ivfPqTopKWithCentroids(e, q, "vec_id", "embedding", cb,
+        dim = 64, m = 8, k = 16, centroids = refined, nprobe = 16, topK = 5).collect().toSeq
+      assert(allProbes == full)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS pq_index_refined_test")
+      spark.sql("DROP TABLE IF EXISTS pq_index_refined_test_centroids")
+    }
+  }
+
   test("persisted PQ index: serving equals the direct IVF-PQ path, scan prunes to probed cells") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter($"vec_id" < 5)

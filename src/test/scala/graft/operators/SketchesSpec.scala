@@ -27,6 +27,46 @@ class SketchesSpec extends SparkSpec {
     assert(rolled == allAtOnce)
   }
 
+  test("approxTopK is exact below sketch capacity and ranks by (count desc, item)") {
+    val docs = graft.queries.Corpus.fixture(spark, "/root/testdata/sf0.001", "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+    val got = Sketches.approxTopK(docs, "token", k = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    val exact = docs.groupBy($"token").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"token").limit(5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got.map(t => (t._2, t._3)) == exact)
+    assert(got.map(_._1) == (1 to 5))
+  }
+
+  test("top-k sketch merge law: rollup of per-day sketches equals the all-at-once top-k") {
+    val ev = graft.queries.Corpus.fixture(spark, "/root/testdata/sf0.01", "events")
+      .withColumn("day", to_date(col("ts")))
+    // fine grain per (event_type, day), rolled up per event_type —
+    // estimate(combine(accumulate_parts)) must equal the direct build
+    // when capacity is never exceeded (the 100 TB per-source pattern)
+    val fine = Sketches.topKSketches(ev, Seq("event_type", "day"), "user_id", maxItemsTracked = 8192)
+    val rolled = Sketches.topKRollup(fine, Seq("event_type"), k = 5, maxItemsTracked = 8192)
+      .select($"event_type", $"rk", $"item", $"cnt")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.get(2).toString, r.getLong(3))).toSet
+    val direct = {
+      // item keeps user_id's NATIVE type: the rollup's (cnt desc, item)
+      // tiebreak is typed, and a string cast would flip tie order
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"event_type").orderBy($"cnt".desc, $"item")
+      ev.groupBy($"event_type", $"user_id".as("item"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+        .select($"event_type", $"rk", $"item", $"cnt")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.get(2).toString, r.getLong(3))).toSet
+    }
+    assert(rolled == direct)
+    // row counts ride the sketch rows
+    val n = Sketches.topKRollup(fine, Seq("event_type"), k = 1)
+      .agg(sum($"n_rows")).head.getLong(0)
+    assert(n == ev.count() * 1) // k=1 -> one row per group, n_rows repeated per row
+  }
+
   test("hllOverlap estimates distinct intersection within error") {
     // A = 0..999, B = 500..1499 -> |A∩B| = 500
     val a = spark.range(0, 1000).toDF("v")
