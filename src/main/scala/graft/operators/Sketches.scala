@@ -112,6 +112,62 @@ object Sketches {
       .select(rollupCols.map(col) :+ col("rk") :+ col("item") :+ col("cnt") :+ col("n_rows"): _*)
   }
 
+  /** Fine-grain quantile sketch build — the [[hllSketches]] pattern for
+    * value DISTRIBUTIONS: one mergeable KLL-shaped sketch per group
+    * over `valueCol` ([[graft.functions.QuantileSketchAggregator]] —
+    * deterministic, and EXACT while a group's value count stays ≤
+    * `capacity`), plus the exact row count. Persist this; any coarser
+    * percentile question merges states without re-scanning raw data.
+    * Nulls are excluded (as in any SQL quantile). */
+  def quantileSketches(df: DataFrame, groupCols: Seq[String], valueCol: String, capacity: Int = 8192): DataFrame = {
+    val acc = udaf(new graft.functions.QuantileSketchAggregator(capacity),
+      org.apache.spark.sql.Encoders.scalaDouble)
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(acc(col(valueCol).cast("double")).as("quant_sketch"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** Roll quantile sketches up to a coarser grain and estimate disc
+    * quantiles: combine the sketch states per `rollupCols` group, then
+    * compute, for each (name, p) in `probs`, the weighted discrete
+    * quantile — the smallest value whose cumulative weight reaches
+    * ⌈p·W⌉ (with unit weights this IS the exact `quantile_disc`; after
+    * compaction weights are 2^level and the answer carries the sketch's
+    * rank-error bound). Estimation is plain DataFrame ops over the
+    * EXPLODED sketch — |groups|·O(capacity·levels) rows, independent of
+    * raw data size; the windows here run on sketch rows, never facts.
+    * Pass binary-representable probabilities (0.25, 0.5, 0.875, …) so
+    * ⌈p·W⌉ suffers no floating-point ambiguity against an oracle. */
+  def quantileRollup(
+      sketches: DataFrame,
+      rollupCols: Seq[String],
+      probs: Seq[(String, Double)],
+      capacity: Int = 8192
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comb = udaf(new graft.functions.QuantileSketchCombine(capacity),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[graft.functions.QuantLevel]]())
+    val combined = sketches
+      .groupBy(rollupCols.map(col): _*)
+      .agg(comb(col("quant_sketch")).as("sk"), sum(col("n_rows")).as("n_rows"))
+    val exploded = combined
+      .select(rollupCols.map(col) :+ col("n_rows") :+ explode(col("sk")).as("lv"): _*)
+      .select(rollupCols.map(col) :+ col("n_rows") :+ col("lv.level").as("level") :+
+        explode(col("lv.values")).as("v"): _*)
+      .withColumn("w", expr("shiftleft(CAST(1 AS BIGINT), level)"))
+    val grp = Window.partitionBy(rollupCols.map(col): _*)
+    val cum = grp.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = exploded
+      .withColumn("total_w", sum(col("w")).over(grp))
+      .withColumn("cum_w", sum(col("w")).over(cum))
+    val qCols = probs.map { case (name, p) =>
+      min(when(col("cum_w") >= greatest(ceil(lit(p) * col("total_w")), lit(1L)), col("v"))).as(name)
+    }
+    ranked.groupBy(rollupCols.map(col): _*)
+      .agg(first(col("n_rows")).as("n_rows"), qCols: _*)
+  }
+
   /** Estimated distinct-value overlap of two corpora by
     * inclusion–exclusion over HLL: |A ∩ B| ≈ |A| + |B| − |A ∪ B|, where
     * the union estimate merges the two sketches (never re-scans either

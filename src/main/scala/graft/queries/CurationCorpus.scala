@@ -846,7 +846,40 @@ object CurationCorpus {
       SELECT CAST(rk AS INTEGER) AS rk, item, cnt FROM r WHERE rk <= 10 ORDER BY rk""")
   )
 
+  /** Mergeable quantile sketches (build per (event_type, day), roll up
+    * to event_type), EXACT-oracle checked: per-group value counts stay
+    * below the sketch capacity at verify scale, so no compaction ever
+    * occurs — the rollup's weighted disc quantile degenerates to the
+    * exact `quantile_disc`, and exactness below capacity is
+    * merge-ORDER-independent (merge is pure concat, the estimate sees
+    * the full multiset), so the hash match is stable across task
+    * scheduling. The probs are binary-representable (0.25/0.5/0.75) so
+    * ceil(p·W) has no floating-point ambiguity; the selected values
+    * are elements of the data (never interpolated sums), so both
+    * engines return bit-identical doubles. Capacity is the dial:
+    * beyond it, estimates carry the KLL rank-error bound and this
+    * becomes a rows-only audit — the error bound and merge law are
+    * pinned in SketchesSpec. */
+  private val q104 = Q(
+    "q104_quantile_sketch_rollup",
+    (s, dir) => {
+      val ev = fixture(s, dir, "events").withColumn("day", to_date(col("ts")))
+      val fine = graft.operators.Sketches.quantileSketches(
+        ev, Seq("event_type", "day"), "value", capacity = 32768)
+      graft.operators.Sketches.quantileRollup(
+        fine, Seq("event_type"),
+        Seq(("p25", 0.25), ("p50", 0.5), ("p75", 0.75)), capacity = 32768)
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, COUNT(*) AS n_rows,
+      quantile_disc(value, 0.25) AS p25,
+      quantile_disc(value, 0.50) AS p50,
+      quantile_disc(value, 0.75) AS p75
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type ORDER BY event_type""")
+  )
+
   val all: Seq[Q] = Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q89, q90, q91,
-    q92, q93, q94, q103)
+    q92, q93, q94, q103, q104)
 }

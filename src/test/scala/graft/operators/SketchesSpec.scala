@@ -67,6 +67,57 @@ class SketchesSpec extends SparkSpec {
     assert(n == ev.count() * 1) // k=1 -> one row per group, n_rows repeated per row
   }
 
+  test("quantile sketch is exact below capacity and obeys the merge law") {
+    val ev = graft.queries.Corpus.fixture(spark, "/root/testdata/sf0.01", "events")
+      .withColumn("day", to_date(col("ts")))
+    val fine = Sketches.quantileSketches(ev, Seq("event_type", "day"), "value", capacity = 32768)
+    val rolled = Sketches.quantileRollup(fine, Seq("event_type"),
+      Seq(("p25", 0.25), ("p50", 0.5), ("p75", 0.75)), capacity = 32768)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // exact disc quantile: 1-indexed rank ceil(p*n) of the sorted values
+    val exact = ev.filter($"value".isNotNull)
+      .select($"event_type", $"value").as[(String, Double)].collect()
+      .groupBy(_._1).map { case (et, rows) =>
+        val sorted = rows.map(_._2).sorted
+        def disc(p: Double) = sorted(math.max(1, math.ceil(p * sorted.length).toInt) - 1)
+        et -> ((sorted.length.toLong, disc(0.25), disc(0.5), disc(0.75)))
+      }
+    assert(rolled == exact)
+    // merge law below capacity: per-day build + combine == direct build
+    val direct = Sketches.quantileRollup(
+      Sketches.quantileSketches(ev, Seq("event_type"), "value", capacity = 32768),
+      Seq("event_type"), Seq(("p25", 0.25), ("p50", 0.5), ("p75", 0.75)), capacity = 32768)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(rolled == direct)
+  }
+
+  test("quantile sketch above capacity: weight conserved, rank error inside the KLL bound") {
+    // 20k deterministic, hash-permuted values through a small sketch
+    val n = 20000
+    val cap = 256
+    val df = spark.range(n).select(
+      lit("g").as("g"),
+      // arrival order decorrelated from value order (xxhash of the id)
+      (abs(xxhash64(col("id"))) % n).cast("double").as("v"))
+    val fine = Sketches.quantileSketches(df, Seq("g"), "v", capacity = cap)
+    // total weight conservation: sum over levels of |values|*2^level == n
+    val w = fine.select(explode(col("quant_sketch")).as("lv"))
+      .select((size(col("lv.values")) * expr("shiftleft(CAST(1 AS BIGINT), lv.level)")).as("w"))
+      .agg(sum(col("w"))).head.getLong(0)
+    assert(w == n)
+    val est = Sketches.quantileRollup(fine, Seq("g"), Seq(("p50", 0.5)), capacity = cap)
+      .head.getDouble(2)
+    // deterministic-KLL worst case: each level-i compaction displaces
+    // ranks by <= 2^i and level i compacts <= W/(cap*2^i) times, so
+    // total rank error <= levels * W / cap (~550 here); assert 2x slack
+    val values = df.select(col("v")).as[Double].collect().sorted
+    val trueRank = values.count(_ <= est) // est is an element of the data
+    val target = math.ceil(0.5 * n)
+    val bound = 2.0 * n / cap * (math.log(n.toDouble / cap) / math.log(2.0) + 1)
+    assert(math.abs(trueRank - target) <= bound,
+      s"rank ${trueRank} vs target $target exceeds bound $bound")
+  }
+
   test("hllOverlap estimates distinct intersection within error") {
     // A = 0..999, B = 500..1499 -> |A∩B| = 500
     val a = spark.range(0, 1000).toDF("v")
