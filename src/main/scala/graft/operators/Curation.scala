@@ -87,6 +87,56 @@ object Curation {
         col("df").cast("int").as("df"), col("score"))
   }
 
+  /** BM25 relevance of every document against a fixed query-term set —
+    * the standard retrieval scorer (Robertson/Sparck Jones; Lucene's
+    * `+1` idf form so scores are always positive), which tf-idf
+    * ([[tfidfTopTerms]]) lacks: per-term saturation (k1) and
+    * document-length normalization (b). Used in a curation pipeline to
+    * rank/filter a corpus against a topic term list at full scale.
+    *
+    * Shapes: one token explode; tf filtered to the query terms BEFORE
+    * any shuffle (the per-doc/term agg carries only query-term rows);
+    * doc-frequency, doc-count and avgdl are tiny aggregates broadcast
+    * back. Determinism contract as [[unigramLogLoss]]: ln is the one
+    * libm-sensitive op, so idf and each term contribution are rounded
+    * to 8 dp and summed as DECIMAL — fold-order-independent and
+    * replayable cross-engine; everything else is correctly-rounded
+    * IEEE arithmetic written in one fixed parenthesization. avgdl is
+    * an exact integer sum divided once (never an incremental mean).
+    *
+    * Returns (idCol, n_terms, score) for documents matching ≥1 query
+    * term. */
+  def bm25Scores(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Scores needs at least one query term")
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val docLen = tok.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val corpus = docLen.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = tok.filter(col("token").isInCollection(queryTerms))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val idf = dfreq.crossJoin(broadcast(corpus))
+      .select(col("token"),
+        round(log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0), 8).as("idf"),
+        col("avgdl"))
+    tf.join(broadcast(idf), "token")
+      .join(docLen, idCol)
+      .withColumn("contrib",
+        round(col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))), 8)
+          .cast("decimal(28,10)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_terms"),
+        round(sum(col("contrib")).cast("double"), 6).as("score"))
+  }
+
   /** PII-style redaction: digit runs -> `<NUM>`, http(s) tokens ->
     * `<URL>`. Pure regexp projection (codegen'd, zero shuffle). Returns
     * the redacted text plus per-kind match counts. */

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data curation, each designed
@@ -176,6 +177,61 @@ object Dedup {
       .map(b => when(col(s"s_$b") > 0, 1L << b).otherwise(0L))
       .reduce(_ + _)
     agg.select(col(idCol), sim.as("simhash")).orderBy(col(idCol))
+  }
+
+  /** Sorted-neighborhood near-dup candidate pairs — the classic
+    * blocking-family alternative to MinHash-LSH ([[lshCandidatePairs]]):
+    * sort the corpus by a canonical signature ([[simhash16]], whose
+    * locality puts similar docs near each other — exact duplicates are
+    * always adjacent), then emit each row paired with its next `window`
+    * successors in that order. No bucket self-join, so there is no
+    * hot-bucket blowup to cap: candidate count is EXACTLY
+    * |docs|·window, whatever the data looks like — the property that
+    * makes sorted-neighborhood the safe choice on boilerplate-heavy
+    * corpora where LSH buckets explode.
+    *
+    * Scale shape: the sort is windowed inside 2^`blockBits` signature-
+    * prefix blocks (one shuffle on the block key; each block sorts
+    * independently — never a single global-order partition). Pairs
+    * whose members straddle a block boundary are missed by
+    * construction (standard blocking trade-off; multiple passes with
+    * rotated/permuted signature bits recover them — run again with a
+    * different `blockBits` split if recall matters more than cost).
+    * Each pair carries the signature Hamming distance;
+    * `maxHamming` filters candidates to likely near-dups in the same
+    * pass (feed survivors to [[jaccard]] for exact verification).
+    *
+    * Returns (a, b, hamming) with a < b, deterministic: the
+    * neighborhood order is (simhash, id) — ties broken by id — and
+    * every step is replayable in engine-independent SQL. */
+  def sortedNeighborPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 3,
+      blockBits: Int = 4,
+      maxHamming: Option[Int] = None
+  ): DataFrame = {
+    require(window >= 1 && blockBits >= 0 && blockBits <= 16)
+    val w = Window.partitionBy(col("block")).orderBy(col("simhash"), col(idCol))
+    val sig = simhash16(df, idCol, textCol)
+      .withColumn("block", shiftright(col("simhash"), 16 - blockBits).cast("int"))
+    // all `window` leads computed in ONE window pass (a generator may
+    // not contain window expressions, so the array is projected first
+    // and exploded in a separate step)
+    val leads = (1 to window).map(i => struct(
+      lead(col(idCol), i).over(w).as("nb_id"),
+      lead(col("simhash"), i).over(w).as("nb_sig")))
+    val pairs = sig
+      .select(col(idCol).as("l_id"), col("simhash").as("l_sig"),
+        array(leads: _*).as("nbs"))
+      .select(col("l_id"), col("l_sig"), explode(col("nbs")).as("nb"))
+      .filter(col("nb.nb_id").isNotNull)
+      .select(
+        least(col("l_id"), col("nb.nb_id")).as("a"),
+        greatest(col("l_id"), col("nb.nb_id")).as("b"),
+        bit_count(col("l_sig").bitwiseXOR(col("nb.nb_sig"))).cast("int").as("hamming"))
+    maxHamming.map(h => pairs.filter(col("hamming") <= h)).getOrElse(pairs)
   }
 
   /** Exact n-gram (token-set) Jaccard between paired docs. `pairs` must

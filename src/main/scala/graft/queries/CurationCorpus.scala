@@ -879,7 +879,36 @@ object CurationCorpus {
       GROUP BY event_type ORDER BY event_type""")
   )
 
+  /** BM25 relevance against a fixed query-term set, exact-oracle
+    * checked end-to-end: idf and per-term contributions follow the
+    * q91 determinism contract (round(ln,8) → DECIMAL sums), everything
+    * else is correctly-rounded IEEE arithmetic written in the same
+    * parenthesization on both engines, and avgdl is an exact integer
+    * sum divided once — so the full scorer (saturation, length
+    * normalization, idf) hash-matches DuckDB bit-for-bit. */
+  private val q105 = Q(
+    "q105_bm25",
+    (s, dir) =>
+      graft.operators.Curation.bm25Scores(fixture(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "query", "vector")).orderBy(col("doc_id")),
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents),
+      dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+      corpus AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE)/COUNT(*) AS avgdl FROM dl),
+      tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+             WHERE token IN ('spark','query','vector') GROUP BY doc_id, token),
+      df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+      idf AS (SELECT token, ROUND(ln((n_docs - df + 0.5)/(df + 0.5) + 1.0), 8) AS idf, avgdl
+              FROM df, corpus),
+      c AS (SELECT tf.doc_id,
+              CAST(ROUND(idf * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl)), 8)
+                AS DECIMAL(28,10)) AS contrib
+            FROM tf JOIN idf USING (token) JOIN dl ON tf.doc_id = dl.doc_id)
+      SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_terms,
+        ROUND(CAST(SUM(contrib) AS DOUBLE), 6) AS score
+      FROM c GROUP BY doc_id ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] = Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q89, q90, q91,
-    q92, q93, q94, q103, q104)
+    q92, q93, q94, q103, q104, q105)
 }

@@ -150,20 +150,55 @@ object ExtensionCorpus {
     }
   )
 
+  /** The q33 simhash pipeline as a reusable CTE chain ending in
+    * `sim(doc_id, simhash)` — shared by q33 and the sorted-neighborhood
+    * oracle (q106) so the bit recomposition can never drift between
+    * the two. */
+  private[queries] val sqlSimhashCtes: String = {
+    val bitSums = (0 until 16)
+      .map(b => s"SUM(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s_$b")
+      .mkString(", ")
+    val recompose = (0 until 16)
+      .map(b => s"(CASE WHEN s_$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    s"""w AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+        h AS (SELECT doc_id, ${sqlHash32("w")} AS hv FROM w),
+        s AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
+        sim AS (SELECT doc_id, CAST($recompose AS BIGINT) AS simhash FROM s)"""
+  }
+
   private val q33 = Q(
     "q33_simhash",
     (s, dir) => Dedup.simhash16(fixture(s, dir, "documents"), "doc_id", "text"),
+    Some(s"WITH $sqlSimhashCtes SELECT doc_id, simhash FROM sim ORDER BY doc_id")
+  )
+
+  /** Sorted-neighborhood blocking exercised end-to-end: simhash order
+    * inside 16 signature-prefix blocks, window-3 successor pairs with
+    * Hamming distances — the bounded-candidate-count dedup family
+    * (|docs|·window, no hot buckets to cap) next to LSH's q32/q86. The
+    * oracle replays the sort, the leads and the bit arithmetic
+    * verbatim, so blocking, neighborhood order and distance are all
+    * hash-pinned. */
+  private val q106 = Q(
+    "q106_sorted_neighbor_pairs",
+    (s, dir) =>
+      Dedup.sortedNeighborPairs(fixture(s, dir, "documents"), "doc_id", "text",
+        window = 3, blockBits = 4)
+        .orderBy(col("a"), col("b"), col("hamming")),
     Some {
-      val bitSums = (0 until 16)
-        .map(b => s"SUM(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s_$b")
-        .mkString(", ")
-      val recompose = (0 until 16)
-        .map(b => s"(CASE WHEN s_$b > 0 THEN ${1L << b} ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
-          h AS (SELECT doc_id, ${sqlHash32("w")} AS hv FROM w),
-          s AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)
-          SELECT doc_id, CAST($recompose AS BIGINT) AS simhash FROM s ORDER BY doc_id"""
+      val lead = (1 to 3).map(i =>
+        s"""SELECT doc_id AS l_id, simhash AS l_sig,
+            lead(doc_id, $i) OVER (PARTITION BY block ORDER BY simhash, doc_id) AS nb_id,
+            lead(simhash, $i) OVER (PARTITION BY block ORDER BY simhash, doc_id) AS nb_sig
+            FROM blk""").mkString(" UNION ALL ")
+      s"""WITH $sqlSimhashCtes,
+          blk AS (SELECT doc_id, simhash, CAST(simhash >> 12 AS INTEGER) AS block FROM sim),
+          nb AS ($lead),
+          p AS (SELECT LEAST(l_id, nb_id) AS a, GREATEST(l_id, nb_id) AS b,
+                  CAST(bit_count(xor(l_sig, nb_sig)) AS INTEGER) AS hamming
+                FROM nb WHERE nb_id IS NOT NULL)
+          SELECT a, b, hamming FROM p ORDER BY a, b, hamming"""
     }
   )
 
@@ -974,6 +1009,6 @@ object ExtensionCorpus {
 
   val all: Seq[Q] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
-    q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q99, q100, q101, q102
+    q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q99, q100, q101, q102, q106
   )
 }

@@ -299,6 +299,40 @@ class CurationSpec extends SparkSpec {
       Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("bm25Scores matches a local reference; saturates tf and penalizes length") {
+    import scala.math.BigDecimal.RoundingMode.HALF_UP
+    val d = Seq(
+      (1L, "spark query spark"),          // dl=3, tf(spark)=2, tf(query)=1
+      (2L, "spark other words here now"), // dl=5, tf(spark)=1
+      (3L, "unrelated text entirely")     // no query term -> absent
+    ).toDF("doc_id", "text")
+    val got = Curation.bm25Scores(d, "doc_id", "text", Seq("spark", "query"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    // reference computed with the operator's exact formula and rounding
+    val n = 3.0; val avgdl = (3.0 + 5.0 + 3.0) / 3
+    def idf(df: Double) =
+      BigDecimal(math.log((n - df + 0.5) / (df + 0.5) + 1.0)).setScale(8, HALF_UP).toDouble
+    def contrib(tf: Double, dl: Double, i: Double) =
+      BigDecimal(i * (tf * (1.2 + 1.0)) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)))
+        .setScale(8, HALF_UP)
+    def r6(x: BigDecimal) = BigDecimal(x.toDouble).setScale(6, HALF_UP).toDouble
+    val (iSpark, iQuery) = (idf(2), idf(1))
+    assert(got(1L) == ((2, r6(contrib(2, 3, iSpark) + contrib(1, 3, iQuery)))))
+    assert(got(2L) == ((1, r6(contrib(1, 5, iSpark)))))
+    assert(!got.contains(3L))
+    // BM25's two properties over plain tf-idf, on controlled docs:
+    val p = Seq(
+      (10L, "hit pad"), (11L, "hit hit pad"), (12L, "hit hit hit hit hit hit pad"),
+      (13L, "hit pad pad pad pad pad pad pad pad")
+    ).toDF("doc_id", "text")
+    val ps = Curation.bm25Scores(p, "doc_id", "text", Seq("hit"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // saturation: tf 1->2 gains more than tf 2->6 per extra occurrence
+    assert(ps(11L) - ps(10L) > (ps(12L) - ps(11L)) / 4)
+    // length normalization: same tf, longer doc scores strictly lower
+    assert(ps(13L) < ps(10L))
+  }
+
   test("nearDupClusters durable-checkpoint mode matches the default exactly") {
     // long chain: several pointer-doubling rounds, so multiple
     // reliable checkpoints actually happen in the durable mode

@@ -111,6 +111,36 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.repeatedPassages(d, "doc_id", "text", k = 5, minDocs = 3).isEmpty)
   }
 
+  test("sortedNeighborPairs: bounded candidates, exact dups adjacent at hamming 0, partition-invariant") {
+    val docs = graft.queries.Corpus.fixture(spark, "/root/testdata/sf0.001", "documents")
+    val pairs = Dedup.sortedNeighborPairs(docs, "doc_id", "text", window = 3, blockBits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val n = docs.count()
+    // candidate count is bounded by |docs| * window, whatever the data:
+    // the blocking family's defining property (no hot-bucket blowup)
+    assert(pairs.size <= n * 3)
+    assert(pairs.nonEmpty)
+    // exact duplicates share a simhash, land in the same block ADJACENT
+    // in the (simhash, id) order -> always paired, at hamming 0
+    val dups = Dedup.exact(docs, "doc_id", "text").filter($"n_copies" >= 2)
+    if (dups.count() > 0) {
+      val zeroHam = pairs.filter(_._3 == 0).flatMap(p => Seq(p._1, p._2))
+      val keeper = dups.select($"keeper_id").as[Long].head()
+      assert(zeroHam.contains(keeper), s"exact-dup keeper $keeper missing from hamming-0 pairs")
+    }
+    // the (simhash, id) neighborhood order is data-determined, so the
+    // result is invariant to input partitioning
+    val re = Dedup.sortedNeighborPairs(docs.repartition(7), "doc_id", "text",
+      window = 3, blockBits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(re == pairs)
+    // maxHamming filters in the same pass
+    val close = Dedup.sortedNeighborPairs(docs, "doc_id", "text", window = 3,
+      blockBits = 4, maxHamming = Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(close == pairs.filter(_._3 <= 2))
+  }
+
   test("redactPassages removes exactly the span tokens; span-free docs pass through") {
     val d = Seq(
       (1L, "a b c d e f x y z"),
