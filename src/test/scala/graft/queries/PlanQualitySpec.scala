@@ -192,6 +192,42 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q103: heavy hitters is one partial-agg pair — shuffle carries sketches, not values") {
+    val plan = finalPlan(run("q103_heavy_hitters"))
+    // two-phase hash aggregation of the sketch (partial -> final):
+    // exactly one exchange pair for the agg, never a raw-token shuffle
+    assert(plan.contains("approx_top_k"), s"sketch agg missing:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    // re-ranking runs on the exploded sketch (<= fetch rows), so the
+    // single-partition window after the agg is bounded, not data-sized
+    assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty ||
+      "Exchange".r.findAllIn(plan).length <= 3, s"too many exchanges:\n$plan")
+  }
+
+  test("q105: BM25 prunes to query terms pre-shuffle and broadcasts the idf side") {
+    val plan = finalPlan(run("q105_bm25"))
+    // the one nested-loop is the 1-row corpus-stats broadcast (the
+    // scalar-aggregate cross join every stats-consuming query plans);
+    // anything beyond it would be a genuine all-pairs regression
+    assert(!plan.contains("CartesianProduct"))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length <= 1, s"unexpected NLJ:\n$plan")
+    // idf side is a broadcast hash join; the only shuffled relations
+    // are the query-term-filtered tf rows and per-doc lengths
+    assert(plan.contains("BroadcastHashJoin"), s"idf join must broadcast:\n$plan")
+    // the query-term membership filter exists as a codegen'd INSET over
+    // the exploded tokens (pre-agg, so non-matching tokens never shuffle)
+    assert(plan.contains("INSET") || plan.contains("IN ("),
+      s"query-term filter missing:\n$plan")
+  }
+
+  test("q106: sorted-neighborhood is ONE window pass, no join at all") {
+    val plan = finalPlan(run("q106_sorted_neighbor_pairs"))
+    // all `window` leads come from a single Window operator over the
+    // block partitioning — the whole candidate generation is join-free
+    assert("Window".r.findAllIn(plan).length == 1, s"must be one window pass:\n$plan")
+    assert(!plan.contains("Join"), s"sorted-neighborhood must be join-free:\n$plan")
+  }
+
   test("conformance compiles to a single Project over the scan") {
     import graft.core.{Conform, ColumnSpec}
     val df = Corpus.fixture(spark, sf("sf0.001"), "part")
