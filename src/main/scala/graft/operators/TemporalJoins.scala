@@ -22,14 +22,27 @@ import org.apache.spark.sql.functions._
   */
 object TemporalJoins {
 
-  /** For each left row, attach `payloadCol` of the latest right row
-    * with the same key and `rightTime <= leftTime` (null when none),
-    * as a new column named `asOfAlias`.
+  /** For each left row, attach `payloadCol` of the matching right row
+    * with the same key (null when none), as a new column named
+    * `asOfAlias` — the full `merge_asof` direction surface:
     *
-    * Deterministic: within a key, rows sort by (time, side, rightId) —
-    * right before left at equal time (inclusive as-of), ties among
-    * right rows broken by highest `rightId`.
-    */
+    *  - `backward` (default): latest right with `rightTime <= leftTime`
+    *  - `forward`:  earliest right with `rightTime >= leftTime`
+    *  - `nearest`:  whichever of the two is closer in time; exact-tie
+    *    distances resolve BACKWARD (pandas semantics)
+    *
+    * `toleranceSeconds` nulls the match when |rightTime − leftTime|
+    * exceeds it (applied after direction selection, as in pandas).
+    *
+    * Every direction is the same ONE-shuffle union+window shape:
+    * `nearest` adds a second window over the opposite sort of the SAME
+    * key partitioning — one extra in-partition sort, never a second
+    * exchange. Deterministic: within a key, rows sort by (time, side,
+    * rightId) — right before left at equal time (inclusive as-of in
+    * both directions), ties among right rows broken by highest
+    * `rightId` backward / lowest `rightId` forward (mirrored order).
+    * Time distances compare exactly: microsecond-integer-valued
+    * doubles, no epoch rounding can flip a decision. */
   def asOfJoin(
       left: DataFrame,
       right: DataFrame,
@@ -38,17 +51,24 @@ object TemporalJoins {
       rightTime: String,
       rightId: String,
       payloadCol: String,
-      asOfAlias: String
+      asOfAlias: String,
+      direction: String = "backward",
+      toleranceSeconds: Option[Double] = None
   ): DataFrame = {
+    require(Set("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward|forward|nearest, got $direction")
     val lCols = left.columns.toSeq
     val payloadType = right.schema(payloadCol).dataType
-    // The carried value is a STRUCT wrapping the payload: right rows are
-    // always non-null structs (even when the payload itself is null), so
+    val rtType = right.schema(rightTime).dataType
+    // The carried value is a STRUCT wrapping the payload (plus the
+    // matched right time, for tolerance/nearest): right rows are always
+    // non-null structs (even when the payload itself is null), so
     // `last(ignoreNulls)` selects the latest right ROW — a legitimately
     // null payload propagates as null instead of falling back to an
     // older row's non-null payload.
-    val wrapType = org.apache.spark.sql.types.StructType(
-      Seq(org.apache.spark.sql.types.StructField("p", payloadType)))
+    val wrapType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("p", payloadType),
+      org.apache.spark.sql.types.StructField("rt", rtType)))
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
@@ -62,17 +82,38 @@ object TemporalJoins {
         col(rightTime).as("__t"),
         lit(0).as("__side"),
         col(rightId).cast("long").as("__rid"),
-        struct(col(payloadCol).cast(payloadType).as("p")).as("__payload")
+        struct(col(payloadCol).cast(payloadType).as("p"),
+          col(rightTime).cast(rtType).as("rt")).as("__payload")
       ): _*
     )
-    val w = Window
-      .partitionBy(col(keyCol))
-      .orderBy(col("__t"), col("__side"), col("__rid"))
+    def pick(w: org.apache.spark.sql.expressions.WindowSpec): Column =
+      last(col("__payload"), ignoreNulls = true).over(w)
+    val wB = Window.partitionBy(col(keyCol))
+      .orderBy(col("__t").asc, col("__side").asc, col("__rid").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r)
-      .withColumn(asOfAlias, last(col("__payload"), ignoreNulls = true).over(w).getField("p"))
+    val wF = Window.partitionBy(col(keyCol))
+      .orderBy(col("__t").desc, col("__side").asc, col("__rid").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def dist(rt: Column): Column = abs(rt.cast("double") - col("__t").cast("double"))
+    val u = l.unionByName(r)
+    val withPick = direction match {
+      case "backward" => u.withColumn("__pick", pick(wB))
+      case "forward"  => u.withColumn("__pick", pick(wF))
+      case "nearest" =>
+        u.withColumn("__b", pick(wB)).withColumn("__f", pick(wF))
+          .withColumn("__pick",
+            when(col("__b").isNull, col("__f"))
+              .when(col("__f").isNull, col("__b"))
+              .when(dist(col("__b.rt")) <= dist(col("__f.rt")), col("__b"))
+              .otherwise(col("__f")))
+          .drop("__b", "__f")
+    }
+    val tolApplied = toleranceSeconds.fold(withPick)(tol =>
+      withPick.withColumn("__pick", when(dist(col("__pick.rt")) <= tol, col("__pick"))))
+    tolApplied
+      .withColumn(asOfAlias, col("__pick").getField("p"))
       .filter(col("__side") === 1)
-      .drop("__t", "__side", "__rid", "__payload")
+      .drop("__t", "__side", "__rid", "__payload", "__pick")
   }
 
   /** Equi+range join: rows of `left` matched to interval rows of

@@ -479,6 +479,66 @@ object ExtensionCorpus {
       ORDER BY p.event_id""")
   )
 
+  /** Forward as-of: earliest signup AT or AFTER each purchase — the
+    * same one-shuffle union+window shape as q44 run under the mirrored
+    * sort. DuckDB's native ASOF JOIN replays it with the inequality
+    * flipped. (The fixture has no duplicate (user_id, ts) right rows
+    * at any SF, so engine tie-break conventions never engage.) */
+  private val q107 = Q(
+    "q107_asof_forward",
+    (s, dir) => {
+      val ev = fixture(s, dir, "events")
+      TemporalJoins.asOfJoin(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "signup"),
+        "user_id", "ts", "ts", "event_id", "value", "next_signup_value",
+        direction = "forward")
+        .select(col("event_id"), col("user_id"), col("next_signup_value"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT p.event_id, p.user_id, s.value AS next_signup_value
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        ON p.user_id = s.user_id AND CAST(p.ts AS TIMESTAMP) <= CAST(s.ts AS TIMESTAMP)
+      ORDER BY p.event_id""")
+  )
+
+  /** Nearest as-of (pandas merge_asof direction='nearest'): closer of
+    * the backward/forward matches, exact ties backward. The oracle
+    * composes DuckDB's two native ASOF directions and decides with
+    * integer-microsecond distances — exactly the arithmetic the Spark
+    * side uses (microsecond-valued doubles are exact), so the
+    * hash match pins the decision rule, not just the candidates. */
+  private val q108 = Q(
+    "q108_asof_nearest",
+    (s, dir) => {
+      val ev = fixture(s, dir, "events")
+      TemporalJoins.asOfJoin(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "signup"),
+        "user_id", "ts", "ts", "event_id", "value", "nearest_signup_value",
+        direction = "nearest")
+        .select(col("event_id"), col("user_id"), col("nearest_signup_value"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+      s AS (SELECT * FROM events WHERE event_type = 'signup'),
+      b AS (SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS pt,
+              CAST(s.ts AS TIMESTAMP) AS bt, s.value AS bv
+            FROM p ASOF LEFT JOIN s
+              ON p.user_id = s.user_id AND CAST(p.ts AS TIMESTAMP) >= CAST(s.ts AS TIMESTAMP)),
+      f AS (SELECT p.event_id, CAST(s.ts AS TIMESTAMP) AS ft, s.value AS fv
+            FROM p ASOF LEFT JOIN s
+              ON p.user_id = s.user_id AND CAST(p.ts AS TIMESTAMP) <= CAST(s.ts AS TIMESTAMP))
+      SELECT b.event_id, b.user_id,
+        CASE WHEN bt IS NULL THEN fv
+             WHEN ft IS NULL THEN bv
+             WHEN epoch_us(pt) - epoch_us(bt) <= epoch_us(ft) - epoch_us(pt) THEN bv
+             ELSE fv END AS nearest_signup_value
+      FROM b JOIN f USING (event_id)
+      ORDER BY b.event_id""")
+  )
+
   private val q45 = Q(
     "q45_range_join",
     (s, dir) => {
@@ -1009,6 +1069,6 @@ object ExtensionCorpus {
 
   val all: Seq[Q] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
-    q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q99, q100, q101, q102, q106
+    q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q99, q100, q101, q102, q106, q107, q108
   )
 }

@@ -41,6 +41,39 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out.length == 1 && out(0).isNullAt(0))
   }
 
+  test("asOfJoin forward/nearest directions and tolerance (merge_asof surface)") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // between 09:30 and 11:00: fwd=11:00, nearest=09:30
+      (2L, 10L, ts("2024-01-01 10:45:00")), // nearest flips forward (15min vs 75min)
+      (3L, 10L, ts("2024-01-01 12:30:00")), // after the last right: fwd=none
+      (4L, 20L, ts("2024-01-01 09:00:00"))  // no right rows for user 20 at all -> none
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, 10L, ts("2024-01-01 09:30:00"), 1.0),
+      (101L, 10L, ts("2024-01-01 11:00:00"), 2.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    def run(dir: String, tol: Option[Double] = None) =
+      TemporalJoins.asOfJoin(left, right, "user_id", "ts", "ts", "event_id", "value", "v",
+        direction = dir, toleranceSeconds = tol)
+        .select("event_id", "v").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val fwd = run("forward")
+    assert(fwd == Map(1L -> Some(2.0), 2L -> Some(2.0), 3L -> None, 4L -> None))
+    val near = run("nearest")
+    assert(near == Map(1L -> Some(1.0), 2L -> Some(2.0), 3L -> Some(2.0), 4L -> None))
+    // equidistant resolves backward (pandas): left at 10:15 sits exactly
+    // between 09:30 and 11:00
+    val mid = Seq((9L, 10L, ts("2024-01-01 10:15:00"))).toDF("event_id", "user_id", "ts")
+    val tie = TemporalJoins.asOfJoin(mid, right, "user_id", "ts", "ts", "event_id", "value", "v",
+      direction = "nearest").select("v").head.getDouble(0)
+    assert(tie == 1.0)
+    // tolerance nulls matches farther than the bound, per direction
+    assert(run("backward", tol = Some(1800.0)) ==
+      Map(1L -> Some(1.0), 2L -> None, 3L -> None, 4L -> None))
+    assert(run("nearest", tol = Some(1800.0)) ==
+      Map(1L -> Some(1.0), 2L -> Some(2.0), 3L -> None, 4L -> None))
+  }
+
   test("rangeJoin matches inclusive bounds exactly once across buckets") {
     val left = Seq(
       (1L, 5L, ts("2024-01-01 10:00:00")), // on window start
