@@ -277,6 +277,71 @@ object Streams {
       }
       .start()
 
+  /** Standing heavy hitters over an unbounded stream: each micro-batch
+    * is reduced to per-group frequent-items sketch STATES
+    * ([[graft.operators.Sketches.topKSketches]]) and combined into a
+    * versioned snapshot table, so the running top-k is queryable at any
+    * moment from sketch rows only ([[graft.operators.Sketches.topKRollup]]
+    * over the state table) — state size is bounded by
+    * |groups|·maxItemsTracked forever, however much data streams
+    * through. Each batch commits one auditable table version (time
+    * travel shows the top-k as of any batch).
+    *
+    * Exactly-once EFFECT: sketch counts ADD, so a replayed batch
+    * (foreachBatch is at-least-once on retry) must not merge twice —
+    * the state carries the last applied batch id, a replay is detected
+    * and skipped whole, and the snapshot commit itself is atomic (CAS),
+    * so a crash mid-commit never publishes a half-merged state. */
+  def topKSketchSink(
+      values: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      tables: graft.io.SnapshotTables,
+      table: String,
+      checkpoint: String,
+      maxItemsTracked: Int = 8192
+  ): StreamingQuery =
+    values.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        topKSketchBatch(batch, batchId, groupCols, valueCol, tables, table, maxItemsTracked)
+        ()
+      }
+      .start()
+
+  /** One batch of [[topKSketchSink]], factored out so replay idempotency
+    * is directly testable. */
+  private[streaming] def topKSketchBatch(
+      batch: DataFrame,
+      batchId: Long,
+      groupCols: Seq[String],
+      valueCol: String,
+      tables: graft.io.SnapshotTables,
+      table: String,
+      maxItemsTracked: Int
+  ): Unit = {
+    import org.apache.spark.sql.functions._
+    if (batch.isEmpty) return
+    val fresh = graft.operators.Sketches.topKSketches(batch, groupCols, valueCol, maxItemsTracked)
+      .withColumn("last_batch", lit(batchId))
+    val merged =
+      if (tables.currentVersion(table) == 0) fresh
+      else {
+        val cur = tables.read(table)
+        // replay: the state already contains this batch's counts —
+        // combining again would double them, so the batch skips whole
+        if (cur.agg(max(col("last_batch"))).head.getLong(0) >= batchId) return
+        cur.unionByName(fresh)
+          .groupBy(groupCols.map(col): _*)
+          .agg(expr(s"approx_top_k_combine(topk_sketch, $maxItemsTracked)").as("topk_sketch"),
+            sum(col("n_rows")).as("n_rows"),
+            max(col("last_batch")).as("last_batch"))
+      }
+    // materialize BEFORE the commit: merged still reads the current
+    // version's files, and one eager cut guarantees a single state read
+    tables.overwriteTable(merged.localCheckpoint(true), table)
+  }
+
   /** One batch of [[incrementalDedupSink]], factored out so idempotency
     * is directly testable: returns false (no-op) when `batchId` was
     * already committed. */

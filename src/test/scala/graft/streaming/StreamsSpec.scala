@@ -268,6 +268,48 @@ class StreamsSpec extends SparkSpec {
     assert(markers == 9)
   }
 
+  test("topKSketchSink: standing heavy hitters exact below capacity; replayed batch never double-counts") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-topk").toString
+    val tables = new graft.io.SnapshotTables(spark, root)
+    val ck = java.nio.file.Files.createTempDirectory("graft-stream-topk-ck").toString
+    val ms = MemoryStream[(String, String)]
+    val q = Streams.topKSketchSink(ms.toDF().toDF("src", "token"), Seq("src"), "token",
+      tables, "hh", checkpoint = ck)
+    val fed = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    def feed(rows: (String, String)*): Unit = { fed ++= rows; ms.addData(rows: _*); q.processAllAvailable() }
+    def standing(): Set[(String, Int, String, Long)] =
+      graft.operators.Sketches.topKRollup(tables.read("hh"), Seq("src"), k = 2)
+        .select(col("src"), col("rk"), col("item"), col("cnt"))
+        .as[(String, Int, String, Long)].collect().toSet
+    def exact(): Set[(String, Int, String, Long)] = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src")).orderBy(col("cnt").desc, col("item"))
+      fed.toSeq.toDF("src", "item").groupBy(col("src"), col("item")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("rk") <= 2).select(col("src"), col("rk"), col("item"), col("cnt"))
+        .as[(String, Int, String, Long)].collect().toSet
+    }
+    try {
+      feed(("a", "x"), ("a", "x"), ("a", "y"), ("b", "p"))
+      assert(standing() == exact())
+      // counts accumulate across batches; new groups join the state
+      feed(("a", "y"), ("a", "y"), ("b", "q"), ("b", "q"), ("c", "z"))
+      assert(standing() == exact())
+      val v = tables.currentVersion("hh")
+      assert(v == 2) // one version per non-empty batch
+      // REPLAY the last applied batch id directly: sketch counts add, so
+      // the sink must detect and skip — state and version unchanged
+      Streams.topKSketchBatch(Seq(("a", "y")).toDF("src", "token"), batchId = 1L,
+        Seq("src"), "token", tables, "hh", maxItemsTracked = 8192)
+      assert(tables.currentVersion("hh") == v)
+      assert(standing() == exact())
+      // time travel: version 1 is the top-k as of the first batch
+      assert(tables.readVersion("hh", 1).count() == 2) // groups a, b
+    } finally q.stop()
+  }
+
   test("snapshotMergeSink upserts each micro-batch as a table version; replayed content is idempotent") {
     implicit val ctx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft-stream-snap").toString
