@@ -1067,8 +1067,49 @@ object ExtensionCorpus {
       GROUP BY l_orderkey ORDER BY l_orderkey""")
   )
 
+  /** CDC-maintained aggregate exercised end-to-end on the DELTA path:
+    * v1 of a snapshot source bootstraps the view, v2 churns it (new
+    * orders arrive, old ones age out, a band is restated in place),
+    * and the refresh applies only diffKeyed's changed rows — the
+    * DuckDB oracle computes the same GROUP BY directly over v2's
+    * content, so a hash match proves delta maintenance equals a
+    * from-scratch recompute. Measure sums are decimal (exact delta
+    * arithmetic), cast to double only at the output edge. */
+  private val q109 = Q(
+    "q109_incremental_agg",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q109-snap").toString
+      val t = new graft.io.SnapshotTables(s, root)
+      // orders: the fixture table with a genuinely unique key (diffKeyed
+      // requires one; the synthetic lineitem duplicates (orderkey, line))
+      val o = fixture(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      t.overwriteTable(o.filter(col("o_orderkey") <= 8000), "o_src")
+      graft.io.IncrementalAgg.refresh(t, "o_src", Seq("o_orderkey"),
+        "o_agg", Seq("o_orderstatus"), Seq("o_totalprice"))
+      val v2 = o.filter(col("o_orderkey") <= 10000 && col("o_orderkey") > 1000)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") > 2000 && col("o_orderkey") <= 3000, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")))
+      t.overwriteTable(v2, "o_src")
+      graft.io.IncrementalAgg.refresh(t, "o_src", Seq("o_orderkey"),
+        "o_agg", Seq("o_orderstatus"), Seq("o_totalprice"))
+      t.read("o_agg").select(col("o_orderstatus"), col("n"),
+        col("sum_o_totalprice").cast("double").as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""WITH v2 AS (SELECT o_orderstatus,
+        CASE WHEN o_orderkey > 2000 AND o_orderkey <= 3000 THEN o_totalprice * 2
+             ELSE o_totalprice END AS p
+      FROM orders WHERE o_orderkey <= 10000 AND o_orderkey > 1000)
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(CAST(p AS DECIMAL(28,2))) AS DOUBLE) AS sum_price
+      FROM v2 GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  )
+
   val all: Seq[Q] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
-    q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q99, q100, q101, q102, q106, q107, q108
+    q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q99, q100, q101, q102, q106, q107, q108,
+    q109
   )
 }
