@@ -631,6 +631,38 @@ final class SnapshotTables(
     overwriteTable(compacted, table, partitionCols)
   }
 
+  /** OPTIMIZE [ZORDER BY]: rewrite the current version's data into
+    * ~`targetFileBytes` files, z-order-clustered on `zorderCols` with a
+    * per-file stats manifest over them — compaction and multi-dim
+    * clustering as ONE new committed version (the Delta/Iceberg
+    * `OPTIMIZE … ZORDER BY` maintenance shape). Content is unchanged —
+    * this is purely a layout rewrite; readers of prior versions are
+    * unaffected, and subsequent [[readPrunedBox]] calls over the
+    * clustered columns skip non-intersecting files. `statsCols`
+    * defaults to the z-order columns; pass `zorderCols = Nil` for a
+    * plain compaction with fresh stats. Z-ordering range-partitions
+    * globally, so it composes with unpartitioned tables only (use
+    * [[compact]] for Hive-partitioned layouts). */
+  def optimize(
+      table: String,
+      zorderCols: Seq[String],
+      targetFileBytes: Long = 128L << 20,
+      statsCols: Seq[String] = Nil
+  ): Unit = {
+    val cur = currentVersion(table)
+    require(cur > 0, s"table $table has no committed version")
+    val d = snapDir(table, cur)
+    val bytes = fs(d).getContentSummary(d).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val df = readVersion(table, cur)
+    val rewritten =
+      if (zorderCols.nonEmpty) Sinks.zorderCluster(df, zorderCols, nFiles)
+      else df.repartition(nFiles)
+    val stats = if (statsCols.nonEmpty) statsCols else zorderCols
+    if (stats.nonEmpty) overwriteTable(rewritten, table, Nil, stats)
+    else overwriteTable(rewritten, table, Nil)
+  }
+
   /** Drop snapshots older than the retention window (keep the current
     * one plus `previousVersionsMax` predecessors). */
   private def expire(table: String, current: Int): Unit = {

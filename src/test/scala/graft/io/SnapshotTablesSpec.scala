@@ -206,6 +206,31 @@ class SnapshotTablesSpec extends SparkSpec {
     assert(agg(pruned) == agg(t.read("li_z")))
   }
 
+  test("optimize: z-order rewrite changes layout only — content identical, box reads prune") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-snap-opt").toString
+    val t = new SnapshotTables(spark, root)
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    // land deliberately scattered: many files, no useful clustering
+    t.overwriteTable(li.repartition(16), "li_opt")
+    val before = t.read("li_opt").collect().map(_.toString).sorted.toSeq
+    val vBefore = t.currentVersion("li_opt")
+    // tiny target so the rewrite yields multiple clustered files
+    t.optimize("li_opt", Seq("l_orderkey", "l_partkey"), targetFileBytes = 16L << 10)
+    assert(t.currentVersion("li_opt") == vBefore + 1)
+    // layout rewrite only: content is bit-identical
+    assert(t.read("li_opt").collect().map(_.toString).sorted.toSeq == before)
+    // and the new layout actually prunes box reads via the manifest
+    val total = t.read("li_opt").inputFiles.length
+    assert(total > 1)
+    val pruned = t.readPrunedBox("li_opt", Seq(("l_orderkey", 100, 200), ("l_partkey", 10, 30)))
+    assert(pruned.inputFiles.length < total,
+      s"optimize must enable pruning: ${pruned.inputFiles.length} of $total")
+    // prior version still readable (layout maintenance never rewrites history)
+    assert(t.readVersion("li_opt", vBefore).count() == before.size)
+  }
+
   test("diff between versions yields the CDC feed; diffKeyed classifies insert/update/delete") {
     val t = newTables()
     t.overwriteTable(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"), "tab")
