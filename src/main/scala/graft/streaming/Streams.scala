@@ -342,6 +342,62 @@ object Streams {
     tables.overwriteTable(merged.localCheckpoint(true), table)
   }
 
+  /** Standing value DISTRIBUTIONS over an unbounded stream —
+    * [[topKSketchSink]]'s quantile sibling (the streaming-latency-
+    * percentiles shape): per-batch
+    * [[graft.operators.Sketches.quantileSketches]] states combine into
+    * a versioned snapshot table via the mergeable
+    * [[graft.functions.QuantileSketchCombine]]; query the standing
+    * percentiles at any moment with
+    * [[graft.operators.Sketches.quantileRollup]] over the state table.
+    * Same bounded-state, replay-skip, atomic-commit contract as the
+    * top-k sink (sketch contents add — replays must skip whole). */
+  def quantileSketchSink(
+      values: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      tables: graft.io.SnapshotTables,
+      table: String,
+      checkpoint: String,
+      capacity: Int = 8192
+  ): StreamingQuery =
+    values.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        quantileSketchBatch(batch, batchId, groupCols, valueCol, tables, table, capacity)
+        ()
+      }
+      .start()
+
+  private[streaming] def quantileSketchBatch(
+      batch: DataFrame,
+      batchId: Long,
+      groupCols: Seq[String],
+      valueCol: String,
+      tables: graft.io.SnapshotTables,
+      table: String,
+      capacity: Int
+  ): Unit = {
+    import org.apache.spark.sql.functions._
+    if (batch.isEmpty) return
+    val fresh = graft.operators.Sketches.quantileSketches(batch, groupCols, valueCol, capacity)
+      .withColumn("last_batch", lit(batchId))
+    val merged =
+      if (tables.currentVersion(table) == 0) fresh
+      else {
+        val cur = tables.read(table)
+        if (cur.agg(max(col("last_batch"))).head.getLong(0) >= batchId) return
+        val comb = udaf(new graft.functions.QuantileSketchCombine(capacity),
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[graft.functions.QuantLevel]]())
+        cur.unionByName(fresh)
+          .groupBy(groupCols.map(col): _*)
+          .agg(comb(col("quant_sketch")).as("quant_sketch"),
+            sum(col("n_rows")).as("n_rows"),
+            max(col("last_batch")).as("last_batch"))
+      }
+    tables.overwriteTable(merged.localCheckpoint(true), table)
+  }
+
   /** One batch of [[incrementalDedupSink]], factored out so idempotency
     * is directly testable: returns false (no-op) when `batchId` was
     * already committed. */

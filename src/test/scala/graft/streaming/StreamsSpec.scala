@@ -310,6 +310,40 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("quantileSketchSink: standing percentiles exact below capacity; replay skips whole") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-quant").toString
+    val tables = new graft.io.SnapshotTables(spark, root)
+    val ck = java.nio.file.Files.createTempDirectory("graft-stream-quant-ck").toString
+    val ms = MemoryStream[(String, Double)]
+    val q = Streams.quantileSketchSink(ms.toDF().toDF("src", "v"), Seq("src"), "v",
+      tables, "qs", checkpoint = ck)
+    val fed = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def feed(rows: (String, Double)*): Unit = { fed ++= rows; ms.addData(rows: _*); q.processAllAvailable() }
+    def standing(): Map[String, (Long, Double)] =
+      graft.operators.Sketches.quantileRollup(tables.read("qs"), Seq("src"), Seq(("p50", 0.5)))
+        .select(col("src"), col("n_rows"), col("p50"))
+        .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    def exact(): Map[String, (Long, Double)] =
+      fed.groupBy(_._1).map { case (s, rows) =>
+        val sorted = rows.map(_._2).sorted
+        s -> ((sorted.length.toLong, sorted(math.max(1, math.ceil(0.5 * sorted.length).toInt) - 1)))
+      }.toMap
+    try {
+      feed(("a", 5.0), ("a", 1.0), ("a", 9.0), ("b", 2.0))
+      assert(standing() == exact())
+      feed(("a", 3.0), ("a", 7.0), ("b", 8.0), ("c", 4.0))
+      assert(standing() == exact())
+      val v = tables.currentVersion("qs")
+      // replaying an applied batch must not add its values again
+      Streams.quantileSketchBatch(Seq(("a", 3.0)).toDF("src", "v"), batchId = 1L,
+        Seq("src"), "v", tables, "qs", capacity = 8192)
+      assert(tables.currentVersion("qs") == v)
+      assert(standing() == exact())
+    } finally q.stop()
+  }
+
   test("snapshotMergeSink upserts each micro-batch as a table version; replayed content is idempotent") {
     implicit val ctx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft-stream-snap").toString
