@@ -456,4 +456,36 @@ object Curation {
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
     df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
+
+  /** Deterministic WEIGHTED sampling without replacement — k rows with
+    * inclusion probability proportional to `weightCol` (Efraimidis–
+    * Spirakis A-ES, public algorithm): each row draws a reproducible
+    * uniform u from md5(seed, id) and keys itself by −ln(u)/w; the k
+    * SMALLEST keys are the sample. The LLM-curation use is
+    * quality/temperature-weighted subsampling ("keep 100k docs, prefer
+    * high quality^T") where a plain uniform sample over- represents
+    * junk. Randomness is hash-derived exactly as [[hashSplit]] /
+    * [[stratifiedSample]]: re-running, repartitioning, or growing the
+    * cluster never changes the draw for an existing row.
+    *
+    * Scale shape: the key is a pure projection (distributes with the
+    * scan); global top-k by (key, id) plans as TakeOrderedAndProject —
+    * per-partition heaps, no global sort. Keys are rounded to 8 dp
+    * (the q91 ln contract) so the ordering replays engine-independently
+    * in the DuckDB oracle (ties broken by id). Rows with weight ≤ 0 or
+    * null never qualify. */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      seed: String = "aes"
+  ): DataFrame = {
+    // u in (0,1): 32 hash bits + 0.5, over 2^32 — never exactly 0 or 1
+    val u = (hash32(concat(lit(seed), col(idCol).cast("string"))) + lit(0.5)) / lit(4294967296.0)
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("skey", round(-log(u) / col(weightCol).cast("double"), 8))
+      .orderBy(col("skey"), col(idCol))
+      .limit(k)
+  }
 }

@@ -908,7 +908,27 @@ object CurationCorpus {
       FROM c GROUP BY doc_id ORDER BY doc_id""")
   )
 
+  /** Weighted sampling (Efraimidis–Spirakis), exact-oracle: the
+    * hash-derived uniform, the −ln(u)/w key (rounded per the q91 ln
+    * contract), and the (key, id) top-k are all replayed verbatim in
+    * SQL, so the hash match pins the exact DRAW, not just the row
+    * count. Weight = n_chars: longer documents proportionally more
+    * likely, the quality/temperature-weighted subsample shape. */
+  private val q110 = Q(
+    "q110_weighted_sample",
+    (s, dir) =>
+      graft.operators.Curation.weightedSample(
+        fixture(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", k = 100)
+        .orderBy(col("skey"), col("doc_id")),
+    Some("""WITH w AS (SELECT doc_id, n_chars,
+        ROUND(-ln((CAST(('0x' || substr(md5('aes' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+                  / 4294967296.0) / CAST(n_chars AS DOUBLE), 8) AS skey
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+      SELECT doc_id, n_chars, skey FROM w ORDER BY skey, doc_id LIMIT 100""")
+  )
+
   val all: Seq[Q] = Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q89, q90, q91,
-    q92, q93, q94, q103, q104, q105)
+    q92, q93, q94, q103, q104, q105, q110)
 }

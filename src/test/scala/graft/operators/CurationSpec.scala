@@ -333,6 +333,30 @@ class CurationSpec extends SparkSpec {
     assert(ps(13L) < ps(10L))
   }
 
+  test("weightedSample: deterministic, partition-invariant, and weight-proportional") {
+    // two strata: ids 0-499 weight 1, ids 500-999 weight 9
+    val d = spark.range(0, 1000)
+      .select($"id".as("doc_id"), when($"id" < 500, 1.0).otherwise(9.0).as("w"))
+    val s1 = Curation.weightedSample(d, "doc_id", "w", k = 200)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(s1.size == 200)
+    // reproducible and partition-invariant (hash-derived randomness)
+    val s2 = Curation.weightedSample(d.repartition(13), "doc_id", "w", k = 200)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(s2 == s1)
+    // A-ES inclusion tracks weight: the 9x stratum must dominate ~90/10
+    val heavy = s1.count(_ >= 500)
+    assert(heavy > 150, s"heavy stratum got $heavy of 200")
+    // a different seed draws a different sample
+    val s3 = Curation.weightedSample(d, "doc_id", "w", k = 200, seed = "other")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(s3 != s1)
+    // zero/null weights never qualify
+    val withZero = d.withColumn("w", when($"doc_id" === 0L, 0.0).otherwise($"w"))
+    assert(!Curation.weightedSample(withZero, "doc_id", "w", k = 1000)
+      .select($"doc_id").as[Long].collect().toSet.contains(0L))
+  }
+
   test("nearDupClusters durable-checkpoint mode matches the default exactly") {
     // long chain: several pointer-doubling rounds, so multiple
     // reliable checkpoints actually happen in the durable mode

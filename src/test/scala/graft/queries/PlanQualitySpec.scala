@@ -228,6 +228,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("Join"), s"sorted-neighborhood must be join-free:\n$plan")
   }
 
+  test("q110: weighted sample is a projection + TakeOrderedAndProject, never a global sort") {
+    val plan = finalPlan(run("q110_weighted_sample"))
+    // the A-ES key is scan-local; the k smallest keys come from
+    // per-partition heaps
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
+    assert(!plan.contains("Join"))
+  }
+
   test("conformance compiles to a single Project over the scan") {
     import graft.core.{Conform, ColumnSpec}
     val df = Corpus.fixture(spark, sf("sf0.001"), "part")
