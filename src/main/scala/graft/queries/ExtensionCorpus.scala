@@ -1107,9 +1107,45 @@ object ExtensionCorpus {
       FROM v2 GROUP BY o_orderstatus ORDER BY o_orderstatus""")
   )
 
+  /** OPTIMIZE … ZORDER BY under the correctness gate: land a snapshot
+    * deliberately scattered (16 unclustered files), OPTIMIZE it
+    * (z-order rewrite + fresh stats manifest as a new layout-only
+    * version), then aggregate through a box-pruned read — the oracle
+    * computes the same filter over the RAW parquet, so the hash match
+    * pins that the maintenance rewrite changed LAYOUT ONLY and that
+    * pruned reads over the optimized table never change answers. The
+    * files-skipped half lives in the spec twin (SnapshotTablesSpec
+    * optimize test); q102 pins the same contract for first-write
+    * clustering. */
+  private val q111 = Q(
+    "q111_optimize_zorder",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q111-snap").toString
+      val t = new graft.io.SnapshotTables(s, root)
+      val li = fixture(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      t.overwriteTable(li.repartition(16), "li_z")
+      t.optimize("li_z", Seq("l_orderkey", "l_partkey"), targetFileBytes = 64L << 10)
+      t.readPrunedBox("li_z", Seq(("l_orderkey", 100, 1000), ("l_partkey", 10, 120)))
+        .filter(col("l_orderkey").between(100, 1000) && col("l_partkey").between(10, 120))
+        .groupBy(col("l_orderkey"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+        .orderBy(col("l_orderkey"))
+    },
+    Some("""SELECT l_orderkey, COUNT(*) AS n,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM lineitem
+      WHERE l_orderkey BETWEEN 100 AND 1000 AND l_partkey BETWEEN 10 AND 120
+      GROUP BY l_orderkey ORDER BY l_orderkey""")
+  )
+
   val all: Seq[Q] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q99, q100, q101, q102, q106, q107, q108,
-    q109
+    q109, q111
   )
 }
