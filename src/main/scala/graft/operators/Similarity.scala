@@ -852,6 +852,73 @@ object Similarity {
       idCol, m, k, topK)
   }
 
+  /** SemDeDup-shaped semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with a coarse quantizer,
+    * compare pairs ONLY within a cluster, and drop every document that
+    * has a higher-similarity-than-`threshold` neighbor with a smaller
+    * id in its cluster (the standard greedy keep-first rule — the
+    * survivor set is exactly the ids never appearing as the larger
+    * side of a qualifying pair).
+    *
+    * Scale shape: centroid assignment is a broadcast-join scan-local
+    * argmax (one shuffle of (id, cell) pairs for the partial-agg
+    * argmax); candidate pairs form only inside a cell via an equi-join
+    * on `cell_id`, so pair volume is Σ n_c² over cells — the whole
+    * design point of SemDeDup is that `numCells` grows with the corpus
+    * (`numCells ≈ n / targetClusterSize`, same sizing rule as the LSH
+    * `bits` knob) so per-cell occupancy, and therefore the quadratic
+    * term, stays bounded. No all-pairs shape anywhere: the join's key
+    * distribution is the cluster histogram, and AQE's skew handling
+    * splits any hot cell's join work.
+    *
+    * `centroids` defaults to the deterministic seed slice (ids < k,
+    * [[ivfTopK]]'s convention — SQL-replayable, so the corpus entry is
+    * exact-oracle); production passes [[kmeansCentroids]] output for a
+    * refined quantizer, identical plan shape.
+    *
+    * Returns one row per document: (id, cell_id, kept) ordered by id.
+    */
+  def semanticDedup(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCells: Int,
+      threshold: Double,
+      centroids: Option[DataFrame] = None
+  ): DataFrame = {
+    val vecs = corpus.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val cent = normCentroids(centroids.getOrElse(seedCentroids(corpus, idCol, vecCol, numCells)))
+    // argmax-cosine cell as a partial aggregation; ties go to the
+    // higher cell id (max over (score, cell) struct) — same decision
+    // rule as every IVF path in this file, replayed in the oracle
+    val assigned = vecs
+      .join(broadcast(cent))
+      .withColumn("cs", dot(col("v"), col("cent_vec")) / (col("nrm") * col("cent_nrm")))
+      .groupBy(col("id"))
+      .agg(max_by(col("cell_id"), struct(col("cs"), col("cell_id"))).as("cell_id"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+      // three consumers below (both pair sides + the output join):
+      // materialize the assignment once instead of re-running the
+      // corpus scan + argmax per consumer
+      .localCheckpoint(true)
+    // within-cell candidate pairs (a < b): the only quadratic term,
+    // bounded by cell occupancy; vectors ride the join sides directly
+    // because both sides are already the assigned frame
+    val a = assigned.select(col("cell_id"), col("id").as("a"), col("v").as("a_v"), col("nrm").as("a_nrm"))
+    val b = assigned.select(col("cell_id"), col("id").as("b"), col("v").as("b_v"), col("nrm").as("b_nrm"))
+    val dropped = a.join(b, Seq("cell_id"))
+      .filter(col("a") < col("b"))
+      .filter(dot(col("a_v"), col("b_v")) / (col("a_nrm") * col("b_nrm")) > threshold)
+      .select(col("b").as("id"))
+      .distinct()
+    assigned
+      .join(dropped.withColumn("__dropped", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cell_id"), coalesce(!col("__dropped"), lit(true)).as("kept"))
+      .orderBy(col("id"))
+  }
+
   /** Mean squared quantization error of `codebooks` over the corpus —
     * the audit number PQ training monotonically improves (same role as
     * [[kmeansInertia]] for the coarse quantizer). */

@@ -1067,6 +1067,39 @@ object ExtensionCorpus {
       GROUP BY l_orderkey ORDER BY l_orderkey""")
   )
 
+  /** SemDeDup-shaped semantic dedup, hash-exact: seed cells (q47's
+    * convention, ids < numCells) make the coarse assignment
+    * SQL-replayable, within-cell pairs above the cosine threshold mark
+    * their larger id dropped (greedy keep-first), and the oracle
+    * replays assignment (same rn=1 / cell_id DESC tie rule), pairing,
+    * and the NOT IN survivor rule verbatim. The production
+    * configuration swaps in kmeansCentroids — identical plan, audited
+    * the rows-only way like q87/q101. */
+  private val q112 = Q(
+    "q112_semantic_dedup",
+    (s, dir) => {
+      val e = fixture(s, dir, "embeddings")
+      Similarity.semanticDedup(e, "vec_id", "embedding", numCells = 16, threshold = 0.3)
+        .withColumnRenamed("id", "vec_id")
+    },
+    Some(s"""WITH v AS ($sqlVecView),
+      n AS (SELECT vec_id, emb,
+              sqrt(list_reduce(list_transform(emb, x -> x*x), (x,y) -> x+y)) AS nrm FROM v),
+      cent AS (SELECT vec_id AS cell_id, emb AS cemb, nrm AS cnrm FROM n WHERE vec_id < 16),
+      asg AS (SELECT vec_id, emb, nrm, cell_id FROM (
+        SELECT x.vec_id, x.emb, x.nrm, cent.cell_id,
+          ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+            (list_reduce(list_transform(list_zip(x.emb, cent.cemb), p -> struct_extract(p,1)*struct_extract(p,2)), (a,b) -> a+b)
+             / (x.nrm * cent.cnrm)) DESC, cell_id DESC) AS rn
+        FROM n x, cent) WHERE rn = 1),
+      dropped AS (SELECT DISTINCT pb.vec_id AS id
+        FROM asg pa JOIN asg pb ON pa.cell_id = pb.cell_id AND pa.vec_id < pb.vec_id
+        WHERE (list_reduce(list_transform(list_zip(pa.emb, pb.emb), p -> struct_extract(p,1)*struct_extract(p,2)), (x,y) -> x+y)
+               / (pa.nrm * pb.nrm)) > 0.3)
+      SELECT vec_id, cell_id, vec_id NOT IN (SELECT id FROM dropped) AS kept
+      FROM asg ORDER BY vec_id""")
+  )
+
   /** CDC-maintained aggregate exercised end-to-end on the DELTA path:
     * v1 of a snapshot source bootstraps the view, v2 churns it (new
     * orders arrive, old ones age out, a band is restated in place),
@@ -1146,6 +1179,6 @@ object ExtensionCorpus {
   val all: Seq[Q] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q99, q100, q101, q102, q106, q107, q108,
-    q109, q111
+    q109, q111, q112
   )
 }

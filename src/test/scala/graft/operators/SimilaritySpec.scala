@@ -290,6 +290,39 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semantic dedup keeps exactly the docs with no smaller-id near-dup in their cell") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity.semanticDedup(e, "vec_id", "embedding", numCells = 8, threshold = 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.length == e.count())
+    val cell = out.map(r => r._1 -> r._2).toMap
+    // replay the rule locally: dropped iff ∃ same-cell neighbor with
+    // smaller id and cosine > τ
+    val vecs = e.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    out.foreach { case (id, c, kept) =>
+      val expectDropped = vecs.keys.exists(o => o < id && cell(o) == c && cos(vecs(o), vecs(id)) > 0.25)
+      assert(kept == !expectDropped, s"doc $id kept=$kept but expectDropped=$expectDropped")
+    }
+    // survivors + dropped partition the corpus; some of each at this τ
+    val keptN = out.count(_._3)
+    assert(keptN > 0 && keptN < out.length)
+  }
+
+  test("semantic dedup accepts refined centroids and stays deterministic under repartition") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cent = Similarity.kmeansCentroids(e, "vec_id", "embedding", k = 8, iters = 1)
+    def flat(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val a = flat(Similarity.semanticDedup(e, "vec_id", "embedding", 8, 0.25, Some(cent)))
+    val b = flat(Similarity.semanticDedup(e.repartition(13), "vec_id", "embedding", 8, 0.25, Some(cent)))
+    assert(a == b)
+    assert(a.length == e.count())
+  }
+
   test("pq training never increases quantization error and is deterministic") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val seed = Similarity.pqTrain(e, "vec_id", "embedding", dim = 64, m = 8, k = 16)
