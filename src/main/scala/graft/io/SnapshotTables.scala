@@ -55,7 +55,9 @@ final class SnapshotTables(
     previousVersionsMax: Int = 10,
     orphanGraceMs: Long = 60000L,
     stagingGraceMs: Long = 3600000L,
-    heartbeatMs: Long = 15000L
+    heartbeatMs: Long = 15000L,
+    sketchBits: Int = 1 << 17,
+    sketchHashes: Int = 4
 ) extends TableFormat {
 
   private def fs(p: Path): FileSystem =
@@ -230,6 +232,9 @@ final class SnapshotTables(
   override def overwriteTable(df: DataFrame, table: String, partitionCols: Seq[String] = Nil): Unit =
     overwriteTable(df, table, partitionCols, Nil)
 
+  def overwriteTable(df: DataFrame, table: String, partitionCols: Seq[String], statsCols: Seq[String]): Unit =
+    overwriteTable(df, table, partitionCols, statsCols, Nil)
+
   /** Commit with a per-file stats manifest over `statsCols` (numeric or
     * string columns): after the data rename, parquet FOOTERS of the
     * staged files are read on executors (metadata-only — no data pages
@@ -240,7 +245,18 @@ final class SnapshotTables(
     * manifest pruning, on nothing but parquet + a directory. A crash
     * between data rename and manifest write degrades cleanly: no
     * manifest → readPruned falls back to the full snapshot. */
-  def overwriteTable(df: DataFrame, table: String, partitionCols: Seq[String], statsCols: Seq[String]): Unit = {
+  /** Commit with a stats manifest over `statsCols` AND per-file Bloom
+    * membership sketches over `sketchCols` — the point-lookup sibling
+    * of min/max pruning: [[readPrunedIn]] answers `col = v` / `col IN
+    * (...)` by scanning only the files whose sketch claims a possible
+    * hit (range stats can't skip for a point value inside every file's
+    * [min,max], e.g. a high-cardinality id probed in an unsorted
+    * table). Sketch building reads the committed files' DATA once
+    * (distributed, bounded memory per file — the bitmap is fixed-size
+    * regardless of cardinality); like `statsCols` it persists as a
+    * table property so every later commit keeps maintaining it. */
+  def overwriteTable(df: DataFrame, table: String, partitionCols: Seq[String], statsCols: Seq[String],
+      sketchCols: Seq[String]): Unit = {
     // statsCols is a persistent TABLE PROPERTY, not a per-write flag:
     // once set, every later commit — merge, delete, compact,
     // overwritePartitions all route through here — keeps maintaining
@@ -253,6 +269,12 @@ final class SnapshotTables(
       if (statsCols.nonEmpty) statsCols
       else {
         val p = statsColsPath(table)
+        if (fs(p).exists(p)) readSmallFile(p).split(',').toSeq.filter(_.nonEmpty) else Nil
+      }
+    val effectiveSketch =
+      if (sketchCols.nonEmpty) sketchCols
+      else {
+        val p = sketchColsPath(table)
         if (fs(p).exists(p)) readSmallFile(p).split(',').toSeq.filter(_.nonEmpty) else Nil
       }
     val next = currentVersion(table) + 1
@@ -320,7 +342,9 @@ final class SnapshotTables(
       throw new SnapshotTables.ConcurrentCommitException(table, next)
     }
     if (statsCols.nonEmpty) replaceSmallFile(statsColsPath(table), statsCols.mkString(","))
-    if (effectiveStats.nonEmpty) writeManifest(table, next, effectiveStats)
+    if (sketchCols.nonEmpty) replaceSmallFile(sketchColsPath(table), sketchCols.mkString(","))
+    if (effectiveStats.nonEmpty || effectiveSketch.nonEmpty)
+      writeManifest(table, next, effectiveStats, effectiveSketch)
     advancePointer(table, next)
     expire(table, next)
   }
@@ -457,6 +481,9 @@ final class SnapshotTables(
   private def statsColsPath(table: String): Path =
     new Path(metaDir(table), "stats_cols")
 
+  private def sketchColsPath(table: String): Path =
+    new Path(metaDir(table), "sketch_cols")
+
   /** Build the per-file stats manifest for version `v`: list the data
     * files (recursively — partitioned layouts nest), then read each
     * file's parquet FOOTER on executors and reduce row-group stats to
@@ -465,7 +492,7 @@ final class SnapshotTables(
     * written as a manifest parquet without ever collecting stats to
     * the driver — at a 100k-file table the driver only handles the
     * file-name list. */
-  private def writeManifest(table: String, v: Int, statsCols: Seq[String]): Unit = {
+  private def writeManifest(table: String, v: Int, statsCols: Seq[String], sketchCols: Seq[String] = Nil): Unit = {
     val base = snapDir(table, v)
     val f = fs(base)
     // listFiles returns fully-qualified URIs (file:/..., hdfs://...);
@@ -535,7 +562,56 @@ final class SnapshotTables(
         } finally reader.close()
       }
       .toDF("file", "rows", "column", "min_num", "max_num", "min_str", "max_str", "nulls")
-    stats.coalesce(1).write.mode(SaveMode.Overwrite).parquet(manifestPath(table, v).toString)
+    val manifest =
+      if (sketchCols.isEmpty) withSketchSchema(stats)
+      else {
+        // Membership sketches need one DATA pass over the committed
+        // files (footers don't carry value sets): one distributed scan
+        // computes every sketch column's bitmap per file in a single
+        // grouped aggregation — partial aggregation applies (the OR is
+        // associative/commutative), so each task ships one fixed-size
+        // bitmap per (file, column), never row data.
+        import org.apache.spark.sql.functions._
+        val bloom = udaf(new graft.functions.BloomSketchAggregator(sketchBits, sketchHashes),
+          org.apache.spark.sql.Encoders.scalaLong)
+        // input_file_name() may spell the scheme differently from
+        // makeQualified (file:/ vs file:///): relativize against both
+        val variants = Seq(baseStr, baseStr.replaceFirst("^file:/(?!/)", "file:///")).distinct
+        val relExpr = variants.foldLeft(col("__file")) { (acc, p) =>
+          when(col("__file").startsWith(p), col("__file").substr(lit(p.length + 1), lit(Int.MaxValue))).otherwise(acc)
+        }
+        val data = spark.read.parquet(files.toSeq: _*)
+        val present = sketchCols.filter(data.columns.contains) // partition cols live in dir names, not file data
+        if (present.isEmpty) withSketchSchema(stats)
+        else {
+          val grouped = data
+            .select(input_file_name().as("__file") +: present.map(c => xxhash64(col(c)).as(s"__h_$c")): _*)
+            .groupBy(relExpr.as("file"))
+            .agg(bloom(col(s"__h_${present.head}")).as(s"__s_${present.head}"),
+              present.tail.map(c => bloom(col(s"__h_$c")).as(s"__s_$c")): _*)
+          val sketches = grouped.select(col("file"),
+            explode(map(present.flatMap(c => Seq(lit(c), col(s"__s_$c"))): _*)).as(Seq("column", "sketch")))
+            .withColumn("sketch_bits", lit(sketchBits))
+            .withColumn("sketch_hashes", lit(sketchHashes))
+          // one row per (file, column): stats and sketch merge where a
+          // column carries both; a sketch-only column's row has null
+          // stats (kept conservatively by every range read)
+          withSketchSchema(stats).drop("sketch", "sketch_bits", "sketch_hashes")
+            .join(sketches, Seq("file", "column"), "full_outer")
+        }
+      }
+    manifest.coalesce(1).write.mode(SaveMode.Overwrite).parquet(manifestPath(table, v).toString)
+  }
+
+  /** Align a stats-only frame to the full manifest schema (null sketch
+    * columns) so manifests are uniform whether or not the table keeps
+    * membership sketches. */
+  private def withSketchSchema(stats: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    stats
+      .withColumn("sketch", lit(null).cast("array<bigint>"))
+      .withColumn("sketch_bits", lit(null).cast("int"))
+      .withColumn("sketch_hashes", lit(null).cast("int"))
   }
 
   /** Scan of the current version restricted to the files whose
@@ -588,6 +664,79 @@ final class SnapshotTables(
       }
       .reduce(_.intersect(_))
     val keep = keepDf.distinct().collect().map(_.getString(0))
+    if (keep.isEmpty) readVersion(table, v).where(lit(false))
+    else
+      spark.read.option("basePath", base.toString)
+        .parquet(keep.map(n => new Path(base, n).toString): _*)
+  }
+
+  /** Point-lookup pruned scan: `column IN (values)` answered by the
+    * manifest's per-file Bloom membership sketches (plus min/max range
+    * stats when present) — the file-skipping shape range stats cannot
+    * give: a probe value inside every file's [min,max] (the normal
+    * case for a high-cardinality key in an unsorted table) skips
+    * nothing by range, while the sketch skips every file that never
+    * saw the value, at ~(1−e^(−k·d/m))^k false-positive rate.
+    *
+    * The membership test runs as codegen'd column expressions over the
+    * manifest rows (element_at / shiftright / bitwiseAND on the bitmap
+    * words — no UDF); probe values are hashed once with the SAME
+    * xxhash64-on-column-type the build pass used. Files with no sketch
+    * and no stats for the column are kept conservatively; a version
+    * with no manifest falls back to the full scan. As with every
+    * pruning layer here, false positives only KEEP files and the
+    * caller still applies the row-level predicate — pruning can never
+    * change answers (oracle-pinned by the q113 corpus entry). */
+  def readPrunedIn(table: String, statColumn: String, values: Seq[Any]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(values.nonEmpty, "readPrunedIn needs at least one probe value")
+    val v = currentVersion(table)
+    val mp = manifestPath(table, v)
+    val base = snapDir(table, v)
+    if (!fs(mp).exists(mp)) return readVersion(table, v)
+    val m = spark.read.parquet(mp.toString)
+    if (!m.columns.contains("sketch")) return readVersion(table, v) // pre-sketch-era manifest: full scan
+    val schema = readVersion(table, v).schema
+    if (!schema.fieldNames.contains(statColumn)) return readVersion(table, v) // unknown column: conservative full scan
+    val dt = schema(statColumn).dataType
+    // hash each probe value exactly as the build pass hashed the
+    // column (xxhash64 over the column type) — one driver-side job
+    // over a 1-row frame, |values| hashes
+    val hashes: Seq[Long] = spark.range(1)
+      .select(values.map(pv => xxhash64(lit(pv).cast(dt))): _*)
+      .head().toSeq.map(_.asInstanceOf[Long])
+    val forCol = m.filter(col("column") === lit(statColumn))
+    val all = m.select("file").distinct()
+    // Kirsch–Mitzenmacher position i of hash h, as column arithmetic
+    // against the row's OWN (sketch_bits, sketch_hashes) — a table
+    // re-committed under a different sizing stays correct. h1/h2 are
+    // literals per probe value; only the bitmap words come from the row.
+    def bloomHit(h: Long): org.apache.spark.sql.Column = {
+      val h1 = h & 0xffffffffL
+      val h2 = (h >>> 32) | 1L
+      val maxHashes = 8 // static unroll bound; rows with fewer hashes short-circuit via the when()
+      (0 until maxHashes).map { i =>
+        val p = pmod(lit(h1) + lit(i.toLong) * lit(h2), col("sketch_bits").cast("long"))
+        when(lit(i) >= col("sketch_hashes"), lit(true))
+          .otherwise(call_function("shiftright",
+            element_at(col("sketch"), (p / 64).cast("int") + 1),
+            (p % 64).cast("int")).bitwiseAND(lit(1L)) === lit(1L))
+      }.reduce(_ && _)
+    }
+    val survivors = values.zip(hashes).map { case (pv, h) =>
+      val range = dt match {
+        case org.apache.spark.sql.types.StringType =>
+          col("min_str").isNull || (lit(pv) >= col("min_str") && lit(pv) <= col("max_str"))
+        case _: org.apache.spark.sql.types.NumericType =>
+          col("min_num").isNull || (lit(pv).cast("double") >= col("min_num") && lit(pv).cast("double") <= col("max_num"))
+        case _ => lit(true)
+      }
+      forCol
+        .filter(range && when(col("sketch").isNull, lit(true)).otherwise(bloomHit(h)))
+        .select("file")
+    }.reduce(_ union _)
+    val keep = survivors.union(all.except(forCol.select("file")))
+      .distinct().collect().map(_.getString(0))
     if (keep.isEmpty) readVersion(table, v).where(lit(false))
     else
       spark.read.option("basePath", base.toString)

@@ -1067,6 +1067,43 @@ object ExtensionCorpus {
       GROUP BY l_orderkey ORDER BY l_orderkey""")
   )
 
+  /** Bloom-sketch point-lookup pruning end-to-end, oracle-pinned: land
+    * lineitem UNSORTED (every file spans the whole key domain — range
+    * stats are useless for a point probe, the case membership sketches
+    * exist for), commit with per-file Bloom sketches on l_orderkey,
+    * read through readPrunedIn with an IN probe, and aggregate — the
+    * DuckDB oracle computes the same IN filter over the RAW parquet,
+    * so a hash match pins that sketch-based file skipping NEVER
+    * changes answers (false positives only keep extra files; the
+    * row-level filter still applies). The files-skipped half of the
+    * contract is in the spec twin (SnapshotTablesSpec bloom test). */
+  private val q113 = Q(
+    "q113_bloom_pruned_read",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q113-snap").toString
+      val t = new graft.io.SnapshotTables(s, root)
+      val li = fixture(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      t.overwriteTable(li.repartition(16), "li_b", Nil,
+        statsCols = Seq("l_orderkey"), sketchCols = Seq("l_orderkey"))
+      val keys = Seq(42L, 1234L, 4242L, 9999L, 987654321L) // last one absent
+      t.readPrunedIn("li_b", "l_orderkey", keys)
+        .filter(col("l_orderkey").isin(keys: _*))
+        .groupBy(col("l_orderkey"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+        .orderBy(col("l_orderkey"))
+    },
+    Some("""SELECT l_orderkey, COUNT(*) AS n,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM lineitem
+      WHERE l_orderkey IN (42, 1234, 4242, 9999, 987654321)
+      GROUP BY l_orderkey ORDER BY l_orderkey""")
+  )
+
   /** SemDeDup-shaped semantic dedup, hash-exact: seed cells (q47's
     * convention, ids < numCells) make the coarse assignment
     * SQL-replayable, within-cell pairs above the cosine threshold mark
@@ -1179,6 +1216,6 @@ object ExtensionCorpus {
   val all: Seq[Q] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q99, q100, q101, q102, q106, q107, q108,
-    q109, q111, q112
+    q109, q111, q112, q113
   )
 }

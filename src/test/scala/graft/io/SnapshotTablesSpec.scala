@@ -164,6 +164,55 @@ class SnapshotTablesSpec extends SparkSpec {
     assert(afterDml.filter($"id".between(1000, 1400)).count() == 401)
   }
 
+  test("bloom membership sketches prune point lookups range stats cannot; answers unchanged") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    val t = new SnapshotTables(spark, root, sketchBits = 1 << 14, sketchHashes = 4)
+    // UNSORTED layout: every file's [min,max] spans the whole id domain,
+    // so range stats skip nothing for a point probe — exactly the case
+    // membership sketches exist for
+    val df = spark.range(0, 8000).toDF("id")
+      .withColumn("name", concat(lit("u"), lpad($"id".cast("string"), 6, "0")))
+      .repartition(8)
+    t.overwriteTable(df, "tab", Nil, statsCols = Seq("id"), sketchCols = Seq("id", "name"))
+    val full = t.read("tab")
+    assert(full.inputFiles.length == 8)
+    // a point probe lives in exactly one file; bloom pruning must find
+    // a strict subset (false positives are possible but bounded — with
+    // 1000 distinct/file in 2^14 bits FPR ~ 3e-3, deterministic here)
+    val one = t.readPrunedIn("tab", "id", Seq(4242L))
+    assert(one.inputFiles.length < 8, s"expected pruning, got ${one.inputFiles.length} files")
+    assert(one.filter($"id" === 4242L).count() == 1)
+    // IN list over both present and absent values: all present rows
+    // survive, absent values keep nothing extra beyond false positives
+    val in = t.readPrunedIn("tab", "id", Seq(1L, 4242L, 7999L, 123456L))
+    assert(in.filter($"id".isin(1L, 4242L, 7999L, 123456L)).count() == 3)
+    // string column sketch prunes too
+    val s = t.readPrunedIn("tab", "name", Seq("u004242"))
+    assert(s.inputFiles.length < 8)
+    assert(s.filter($"name" === "u004242").count() == 1)
+    // a column with neither sketch nor stats keeps every file
+    assert(t.readPrunedIn("tab", "absent", Seq(1)).inputFiles.length == 8)
+    // sketch_cols is a table property: DML re-commits keep maintaining
+    // sketches without re-threading the columns
+    t.delete("tab", $"id" >= 6000)
+    val after = t.readPrunedIn("tab", "id", Seq(4242L))
+    assert(after.inputFiles.length < t.read("tab").inputFiles.length)
+    assert(after.filter($"id" === 4242L).count() == 1)
+    // no-manifest table: full-scan fallback
+    t.overwriteTable(df, "plain")
+    assert(t.readPrunedIn("plain", "id", Seq(1L)).inputFiles.length ==
+      t.read("plain").inputFiles.length)
+    // partitioned table: partition columns live in dir names, not file
+    // data — they are skipped gracefully and other sketches still work
+    val pdf = df.withColumn("bucket", ($"id" % 4).cast("int"))
+    t.overwriteTable(pdf, "ptab", Seq("bucket"), statsCols = Nil, sketchCols = Seq("bucket", "id"))
+    val pp = t.readPrunedIn("ptab", "id", Seq(4242L))
+    assert(pp.columns.contains("bucket"))
+    assert(pp.filter($"id" === 4242L).count() == 1)
+    assert(pp.inputFiles.length < t.read("ptab").inputFiles.length)
+  }
+
   test("z-ordered snapshot commit + box pruning reads a fraction of the files on both columns") {
     import org.apache.spark.sql.functions._
     val root = java.nio.file.Files.createTempDirectory("graft-snap").toString
