@@ -475,6 +475,160 @@ final class SnapshotTables(
       .filter(col("__change").isNotNull)
   }
 
+  // ------------------------------------------------------------------
+  // Branches — the write-audit-publish (WAP) pattern on the snapshot
+  // model (Iceberg's branch/fast-forward semantics, public knowledge):
+  // stage commits on an isolated ref, audit them with any reader, then
+  // publish atomically to main — or drop the branch and nothing ever
+  // happened. A branch is its OWN nested version line under
+  // <table>/branches/<name>/, so every mechanism of this class
+  // (fenced CAS commits, manifests, retention, time travel) applies
+  // verbatim on the branch; main's version line never even sees branch
+  // snapshots, so the max(pointer, history) current-version invariant
+  // holds untouched. Forking is zero-copy (the ref records main's
+  // current version as its base; an uncommitted branch reads that
+  // version), and publish is a fenced CAS on main plus an O(1) rename
+  // of the branch's current snapshot into main's line (a copy on
+  // object stores, like every rename here).
+  // ------------------------------------------------------------------
+
+  private def refsDir(table: String) = new Path(metaDir(table), "refs")
+  private def refPath(table: String, branch: String) = new Path(refsDir(table), branch)
+
+  /** Branch commits live in a nested table rooted at
+    * <table>/branches/, named after the branch. */
+  private def branchTables(table: String): SnapshotTables =
+    new SnapshotTables(spark, new Path(tableDir(table), "branches").toString,
+      previousVersionsMax, orphanGraceMs, stagingGraceMs, heartbeatMs, sketchBits, sketchHashes)
+
+  private def requireBranchName(branch: String): Unit =
+    require(branch.nonEmpty && !branch.contains('/') && !branch.startsWith("."),
+      s"invalid branch name '$branch'")
+
+  /** Fork a branch at main's current version. Zero-copy: only the ref
+    * file is written (exclusive create — racing creators get one
+    * winner). The base version is protected from retention for the
+    * branch's lifetime. */
+  def createBranch(table: String, branch: String): Unit = {
+    requireBranchName(branch)
+    val base = currentVersion(table)
+    require(base > 0, s"table $table has no committed version to branch from")
+    if (!createExclusive(refPath(table, branch), s"""{"base":$base}"""))
+      throw new IllegalStateException(s"branch '$branch' already exists on table '$table'")
+  }
+
+  /** The main version the branch forked from. */
+  def branchBase(table: String, branch: String): Int = {
+    val p = refPath(table, branch)
+    require(fs(p).exists(p), s"no branch '$branch' on table '$table'")
+    "\"base\":(\\d+)".r.findFirstMatchIn(readSmallFile(p)).get.group(1).toInt
+  }
+
+  /** Live branches of a table. */
+  def branches(table: String): Seq[String] = {
+    val d = refsDir(table)
+    val f = fs(d)
+    if (!f.exists(d)) Nil
+    else f.listStatus(d).toSeq.map(_.getPath.getName).filterNot(_.startsWith(".")).sorted
+  }
+
+  /** Audit-side read: the branch's latest commit, or its base version
+    * when nothing was committed yet (zero-copy fork). */
+  def readBranch(table: String, branch: String): DataFrame = {
+    val bv = branchTables(table).currentVersion(branch)
+    if (bv > 0) branchTables(table).read(branch)
+    else readVersion(table, branchBase(table, branch))
+  }
+
+  /** Overwrite-commit onto the branch (isolated from main; same
+    * multi-writer CAS semantics as any commit). */
+  def commitToBranch(table: String, branch: String, df: DataFrame,
+      partitionCols: Seq[String] = Nil, statsCols: Seq[String] = Nil,
+      sketchCols: Seq[String] = Nil): Unit = {
+    branchBase(table, branch) // existence check
+    branchTables(table).overwriteTable(df, branch, partitionCols, statsCols, sketchCols)
+  }
+
+  /** Upsert-commit onto the branch: updates replace branch rows by
+    * key on top of the branch's CURRENT view (which is the base
+    * version until the first branch commit). */
+  def mergeToBranch(table: String, branch: String, updates: DataFrame, keyCols: Seq[String],
+      partitionCols: Seq[String] = Nil): Unit = {
+    require(keyCols.nonEmpty, "mergeToBranch needs key columns")
+    val keys = updates.select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct()
+    val merged = readBranch(table, branch).join(keys, keyCols, "left_anti").unionByName(updates)
+    commitToBranch(table, branch, merged, partitionCols)
+  }
+
+  /** Discard the branch: ref and every branch snapshot are deleted;
+    * main never learns the branch existed. */
+  def dropBranch(table: String, branch: String): Unit = {
+    requireBranchName(branch)
+    val p = refPath(table, branch)
+    fs(p).delete(p, false)
+    val bd = new Path(new Path(tableDir(table), "branches"), branch)
+    fs(bd).delete(bd, true)
+  }
+
+  /** PUBLISH the audited branch to main — the fast-forward of WAP.
+    * Succeeds only when main still sits at the branch's base version
+    * (the audited state is exactly what main becomes); a main commit
+    * since the fork raises [[SnapshotTables.ConcurrentCommitException]]
+    * — re-audit on a fresh branch rather than silently dropping the
+    * concurrent change. The branch's current snapshot (data AND its
+    * stats/sketch manifest) moves into main's version line with the
+    * same fenced CAS + ownership re-checks as a normal commit; data is
+    * never rewritten. Publishing retires the branch. Returns main's
+    * new version. */
+  def publish(table: String, branch: String): Int = {
+    val base = branchBase(table, branch)
+    val bt = branchTables(table)
+    val bv = bt.currentVersion(branch)
+    require(bv > 0, s"branch '$branch' has no commits to publish")
+    val cur = currentVersion(table)
+    if (cur != base) throw new SnapshotTables.ConcurrentCommitException(table, cur + 1)
+    val next = cur + 1
+    val writerId = java.util.UUID.randomUUID.toString
+    // main's meta = branch's meta with version renumbered and this
+    // publisher's fence token (same JSON we wrote at branch commit)
+    val bMeta = readSmallFile(new Path(bt.metaDir(branch), f"v$bv%05d.json"))
+    val metaJson = bMeta
+      .replaceFirst("\"version\":\\d+", s""""version":$next""")
+      .replaceFirst("\"writer\":\"[^\"]*\"", s""""writer":"$writerId"""")
+    val meta = new Path(metaDir(table), f"v$next%05d.json")
+    def metaIsOurs: Boolean =
+      try fs(meta).exists(meta) && readSmallFile(meta).contains(s""""writer":"$writerId"""")
+      catch { case _: java.io.IOException => false }
+    if (!casWithOrphanReclaim(table, next, meta, metaJson))
+      throw new SnapshotTables.ConcurrentCommitException(table, next)
+    if (!metaIsOurs) throw new SnapshotTables.ConcurrentCommitException(table, next)
+    val src = bt.snapDir(branch, bv)
+    val dest = snapDir(table, next)
+    if (!fs(src).rename(src, dest)) {
+      if (metaIsOurs) fs(meta).delete(meta, false)
+      throw new SnapshotTables.ConcurrentCommitException(table, next)
+    }
+    if (!metaIsOurs) {
+      // reclaimed mid-rename: undo the nesting as overwriteTable does
+      val nested = new Path(dest, src.getName)
+      if (fs(nested).exists(nested)) fs(nested).delete(nested, true)
+      throw new SnapshotTables.ConcurrentCommitException(table, next)
+    }
+    val bmf = bt.manifestPath(branch, bv)
+    if (fs(bmf).exists(bmf)) fs(bmf).rename(bmf, manifestPath(table, next))
+    advancePointer(table, next)
+    expire(table, next)
+    dropBranch(table, branch)
+    next
+  }
+
+  /** Base versions still referenced by live branches — retention must
+    * not expire them while an uncommitted branch can still read them. */
+  private def branchProtectedVersions(table: String): Set[Int] =
+    branches(table).flatMap { b =>
+      try Some(branchBase(table, b)) catch { case _: Exception => None }
+    }.toSet
+
   private def manifestPath(table: String, v: Int): Path =
     new Path(metaDir(table), f"v$v%05d-manifest.parquet")
 
@@ -815,7 +969,8 @@ final class SnapshotTables(
   /** Drop snapshots older than the retention window (keep the current
     * one plus `previousVersionsMax` predecessors). */
   private def expire(table: String, current: Int): Unit = {
-    history(table).filter(_ < current - previousVersionsMax).foreach { v =>
+    val protectedV = branchProtectedVersions(table)
+    history(table).filter(v => v < current - previousVersionsMax && !protectedV.contains(v)).foreach { v =>
       val d = snapDir(table, v)
       fs(d).delete(d, true)
       val m = new Path(metaDir(table), f"v$v%05d.json")

@@ -1067,6 +1067,44 @@ object ExtensionCorpus {
       GROUP BY l_orderkey ORDER BY l_orderkey""")
   )
 
+  /** Write-audit-publish end-to-end, oracle-pinned: land orders v1,
+    * fork a branch, stage an upsert batch on it (a restated price band
+    * plus late-arriving orders — the audit-side content), publish, and
+    * aggregate main — the DuckDB oracle computes the same final state
+    * from the raw parquet, so a hash match pins that the branch
+    * staging + fast-forward publish path produces exactly the content
+    * a direct commit would (WAP changes WHO SEES WHEN, never WHAT).
+    * Isolation/refusal/retention halves live in the spec twins. */
+  private val q114 = Q(
+    "q114_branch_publish",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q114-snap").toString
+      val t = new graft.io.SnapshotTables(s, root)
+      val o = fixture(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      t.overwriteTable(o.filter(col("o_orderkey") <= 8000), "o_wap")
+      t.createBranch("o_wap", "audit")
+      val updates = o
+        .filter(col("o_orderkey") > 2000 && col("o_orderkey") <= 3000)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .unionByName(o.filter(col("o_orderkey") > 8000 && col("o_orderkey") <= 10000))
+      t.mergeToBranch("o_wap", "audit", updates, keyCols = Seq("o_orderkey"))
+      t.publish("o_wap", "audit")
+      t.read("o_wap")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(28,2)")).cast("double").as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""WITH v2 AS (SELECT o_orderstatus,
+        CASE WHEN o_orderkey > 2000 AND o_orderkey <= 3000 THEN o_totalprice * 2
+             ELSE o_totalprice END AS p
+      FROM orders WHERE o_orderkey <= 10000)
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(CAST(p AS DECIMAL(28,2))) AS DOUBLE) AS sum_price
+      FROM v2 GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  )
+
   /** Bloom-sketch point-lookup pruning end-to-end, oracle-pinned: land
     * lineitem UNSORTED (every file spans the whole key domain — range
     * stats are useless for a point probe, the case membership sketches
@@ -1216,6 +1254,6 @@ object ExtensionCorpus {
   val all: Seq[Q] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q99, q100, q101, q102, q106, q107, q108,
-    q109, q111, q112, q113
+    q109, q111, q112, q113, q114
   )
 }

@@ -164,6 +164,72 @@ class SnapshotTablesSpec extends SparkSpec {
     assert(afterDml.filter($"id".between(1000, 1400)).count() == 401)
   }
 
+  test("write-audit-publish: branch commits are invisible to main until publish") {
+    val t = newTables()
+    t.overwriteTable(Seq((1, "a"), (2, "b")).toDF("id", "v"), "tab")
+    t.createBranch("tab", "audit")
+    // zero-copy fork: uncommitted branch reads main's base version
+    assert(t.readBranch("tab", "audit").as[(Int, String)].collect().toSet == Set((1, "a"), (2, "b")))
+    // stage an upsert on the branch; main is untouched
+    t.mergeToBranch("tab", "audit", Seq((2, "B2"), (3, "c")).toDF("id", "v"), keyCols = Seq("id"))
+    assert(t.read("tab").as[(Int, String)].collect().toSet == Set((1, "a"), (2, "b")))
+    assert(t.currentVersion("tab") == 1)
+    assert(t.readBranch("tab", "audit").as[(Int, String)].collect().toSet ==
+      Set((1, "a"), (2, "B2"), (3, "c")))
+    // audit passed: publish fast-forwards main, retires the branch
+    val v = t.publish("tab", "audit")
+    assert(v == 2 && t.currentVersion("tab") == 2)
+    assert(t.read("tab").as[(Int, String)].collect().toSet == Set((1, "a"), (2, "B2"), (3, "c")))
+    assert(t.branches("tab").isEmpty)
+    // prior main version still time-travels
+    assert(t.readVersion("tab", 1).count() == 2)
+  }
+
+  test("publish refuses when main advanced past the fork; drop-branch leaves no trace") {
+    val t = newTables()
+    t.overwriteTable(Seq((1, "a")).toDF("id", "v"), "tab")
+    t.createBranch("tab", "wap")
+    t.commitToBranch("tab", "wap", Seq((9, "z")).toDF("id", "v"))
+    // a concurrent main commit lands after the fork
+    t.overwriteTable(Seq((1, "a"), (5, "e")).toDF("id", "v"), "tab")
+    intercept[SnapshotTables.ConcurrentCommitException](t.publish("tab", "wap"))
+    // main keeps the concurrent change; the audited batch was not silently dropped on top
+    assert(t.read("tab").as[(Int, String)].collect().toSet == Set((1, "a"), (5, "e")))
+    // failed audit path: drop the branch, nothing ever happened
+    t.dropBranch("tab", "wap")
+    assert(t.branches("tab").isEmpty)
+    assert(t.read("tab").as[(Int, String)].collect().toSet == Set((1, "a"), (5, "e")))
+    // duplicate branch names are refused by the exclusive ref create
+    t.createBranch("tab", "b1")
+    intercept[IllegalStateException](t.createBranch("tab", "b1"))
+  }
+
+  test("branch base versions survive retention; published manifest still prunes") {
+    import org.apache.spark.sql.functions._
+    val t = newTables(retention = 2)
+    t.overwriteTable(Seq((1, "a")).toDF("id", "v"), "tab")
+    t.createBranch("tab", "keeper") // base = v1
+    // churn main far past the retention window — but v1 is branch-protected
+    (2 to 8).foreach(i => t.overwriteTable(Seq((i, "x")).toDF("id", "v"), "tab"))
+    assert(t.history("tab").contains(1), "branch base must survive retention")
+    assert(t.readBranch("tab", "keeper").as[(Int, String)].head() == ((1, "a")))
+    t.dropBranch("tab", "keeper")
+    // once dropped, the next commit's retention pass may expire the base
+    t.overwriteTable(Seq((9, "x")).toDF("id", "v"), "tab")
+    assert(!t.history("tab").contains(1))
+    // stats manifests ride publish: a branch commit with statsCols,
+    // published, prunes on main exactly as a direct commit would
+    val df = spark.range(0, 4000).toDF("id")
+      .repartitionByRange(4, $"id").sortWithinPartitions($"id")
+    t.overwriteTable(df.limit(1), "ptab")
+    t.createBranch("ptab", "load")
+    t.commitToBranch("ptab", "load", df, statsCols = Seq("id"))
+    t.publish("ptab", "load")
+    val pruned = t.readPruned("ptab", "id", 100, 200)
+    assert(pruned.inputFiles.length < t.read("ptab").inputFiles.length)
+    assert(pruned.filter($"id".between(100, 200)).count() == 101)
+  }
+
   test("bloom membership sketches prune point lookups range stats cannot; answers unchanged") {
     import org.apache.spark.sql.functions._
     val root = java.nio.file.Files.createTempDirectory("graft-snap").toString
