@@ -457,6 +457,25 @@ object Curation {
     df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** Per-group document cap — the domain-cap step of web-corpus
+    * curation (public recipe in RefinedWeb/FineWeb-style pipelines:
+    * bound any single domain's share of the corpus so over-crawled
+    * sites cannot dominate training data): keep the top `n` rows of
+    * each group by (orderCol DESC, id) — quality-ranked, deterministic
+    * tie-break, everything past the cap dropped.
+    *
+    * Scale shape: one hash-partitioned window pass on the group key;
+    * output is bounded by |groups|·n whatever the skew of the input.
+    * A pathologically hot group (one domain = half the corpus) makes
+    * one fat window partition — the mitigation at that extreme is a
+    * pre-filter pass (cheap per-group count, then only groups over the
+    * cap enter the window), which callers compose when their domain
+    * histogram warrants it; AQE cannot split a window partition. */
+  def capPerGroup(df: DataFrame, groupCol: String, orderCol: Column, idCol: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(orderCol.desc, col(idCol))
+    df.withColumn("rk", row_number().over(w)).filter(col("rk") <= n)
+  }
+
   /** Deterministic WEIGHTED sampling without replacement — k rows with
     * inclusion probability proportional to `weightCol` (Efraimidis–
     * Spirakis A-ES, public algorithm): each row draws a reproducible

@@ -928,7 +928,31 @@ object CurationCorpus {
       SELECT doc_id, n_chars, skey FROM w ORDER BY skey, doc_id LIMIT 100""")
   )
 
+  /** Per-source document cap (the domain-cap curation step), exact:
+    * keep the 10 longest-by-token-count docs per source, deterministic
+    * (n_tokens DESC, doc_id) rank — the oracle replays the token count
+    * (len of the space split, the q68 convention) and the window rank
+    * verbatim. Output is bounded by |sources|·10 whatever the source
+    * skew. */
+  private val q115 = Q(
+    "q115_per_group_cap",
+    (s, dir) => {
+      val d = fixture(s, dir, "documents")
+        .withColumn("n_tokens", graft.functions.TextFunctions.tokenCount(col("text")))
+      graft.operators.Curation.capPerGroup(d, "source", col("n_tokens"), "doc_id", n = 10)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("rk"))
+        .orderBy(col("source"), col("rk"))
+    },
+    Some("""WITH t AS (SELECT doc_id, source,
+        CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens FROM documents),
+      r AS (SELECT doc_id, source, n_tokens,
+        CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tokens DESC, doc_id) AS INTEGER) AS rk
+      FROM t)
+      SELECT doc_id, source, n_tokens, rk FROM r WHERE rk <= 10
+      ORDER BY source, rk""")
+  )
+
   val all: Seq[Q] = Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q89, q90, q91,
-    q92, q93, q94, q103, q104, q105, q110)
+    q92, q93, q94, q103, q104, q105, q110, q115)
 }

@@ -357,6 +357,21 @@ class CurationSpec extends SparkSpec {
       .select($"doc_id").as[Long].collect().toSet.contains(0L))
   }
 
+  test("capPerGroup bounds each group at n, keeps the top-ranked, deterministic under repartition") {
+    val df = Seq(
+      (1L, "a", 10), (2L, "a", 30), (3L, "a", 20), (4L, "a", 30),
+      (5L, "b", 5), (6L, "c", 1), (7L, "c", 1)
+    ).toDF("doc_id", "source", "quality")
+    val out = Curation.capPerGroup(df, "source", $"quality", "doc_id", n = 2)
+      .select($"doc_id", $"source", $"rk").as[(Long, String, Int)].collect().toSet
+    // a: top-2 by (quality desc, id) = 2 (30), 4 (30) — id breaks the tie
+    // b: under the cap, kept whole; c: ties broken by id
+    assert(out == Set((2L, "a", 1), (4L, "a", 2), (5L, "b", 1), (6L, "c", 1), (7L, "c", 2)))
+    val again = Curation.capPerGroup(df.repartition(7), "source", $"quality", "doc_id", n = 2)
+      .select($"doc_id", $"source", $"rk").as[(Long, String, Int)].collect().toSet
+    assert(again == out)
+  }
+
   test("nearDupClusters durable-checkpoint mode matches the default exactly") {
     // long chain: several pointer-doubling rounds, so multiple
     // reliable checkpoints actually happen in the durable mode
