@@ -82,24 +82,13 @@ object Dedup {
       bands: Int = 4,
       maxBucketSize: Option[Int] = None
   ): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must divide into bands")
-    val rowsPerBand = numHashes / bands
-    val sigs = minhashSignatures(df, idCol, textCol, numHashes)
-    val bandCols = (0 until bands).map { b =>
-      val parts = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
-      struct(lit(b).as("band_idx"), md5(concat(parts: _*)).as("bucket")).as(s"band_$b")
-    }
     // materialize the banded relation ONCE: the self-join otherwise
     // executes the whole minhash pipeline (scan → shingle explode →
     // md5 → two-stage agg) per join side — aliased subtrees defeat
     // ReuseExchange (verified in the physical plan: two full Scan→
     // Generate→Aggregate chains). |banded| = |docs|·bands small rows;
     // at cluster scale this is the relation you'd persist anyway.
-    val exploded = sigs
-      .select(col(idCol) +: bandCols: _*)
-      .select(col(idCol), explode(array((0 until bands).map(b => col(s"band_$b")): _*)).as("band"))
-      .select(col(idCol), col("band.band_idx"), col("band.bucket"))
-      .localCheckpoint(true)
+    val exploded = bandBuckets(df, idCol, textCol, numHashes, bands).localCheckpoint(true)
     val banded = maxBucketSize match {
       case Some(cap) =>
         // hot buckets are rare by definition ⇒ tiny broadcast anti-join
@@ -117,6 +106,28 @@ object Dedup {
       .select(col("a"), col("b"))
       .distinct()
       .orderBy(col("a"), col("b"))
+  }
+
+  /** Banded LSH bucket ids per document — the unit of LSH candidate
+    * generation and of the streaming near-dup index: the MinHash
+    * signature splits into `bands` of numHashes/bands rows, each band
+    * hashed to one bucket id. Two docs sharing ANY band bucket are
+    * near-dup candidates (standard banding trade: more bands ⇒ higher
+    * recall at a lower effective Jaccard threshold). Output: (id,
+    * band_idx, bucket), |docs|·bands rows; docs shorter than the
+    * shingle width emit nothing. */
+  def bandBuckets(df: DataFrame, idCol: String, textCol: String, numHashes: Int = 8, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes)
+    val bandCols = (0 until bands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band_idx"), md5(concat(parts: _*)).as("bucket")).as(s"band_$b")
+    }
+    sigs
+      .select(col(idCol) +: bandCols: _*)
+      .select(col(idCol), explode(array((0 until bands).map(b => col(s"band_$b")): _*)).as("band"))
+      .select(col(idCol), col("band.band_idx"), col("band.bucket"))
   }
 
   /** Incremental near-exact dedup of a NEW batch against a persisted

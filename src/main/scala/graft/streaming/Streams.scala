@@ -218,6 +218,111 @@ object Streams {
       }
       .start()
 
+  /** Streaming NEAR-duplicate suppression against a persisted LSH band
+    * index — the approximate sibling of [[incrementalDedupSink]]: that
+    * sink drops only exact-signature copies, this one drops any doc
+    * whose MinHash signature collides with the indexed corpus (or with
+    * a smaller-id doc of the same batch) in ANY band — boilerplate
+    * re-crawls and lightly-edited copies, not just byte-identical
+    * ones. The corpus at rest is represented only by its (band_idx,
+    * bucket) set — `bands` small rows per kept doc, no signatures, no
+    * text — so the standing state is index-sized forever and the
+    * per-batch probe is one anti/semi-join pair keyed on the bucket.
+    *
+    * Approximate by design, exactly like [[graft.operators.Dedup
+    * .lshCandidatePairs]]: a true near-dup splitting across every band
+    * is missed; an unlucky band collision drops a non-dup. Within a
+    * batch the rule is greedy keep-first (a doc sharing a bucket with
+    * ANY smaller-id batch doc is dropped, whatever that doc's own
+    * fate — the q112 semantic-dedup convention). Docs shorter than the
+    * shingle width carry no signature and are dropped (route them
+    * through [[dedupStream]] on a content digest instead).
+    *
+    * Exactly-once: same marker protocol as [[incrementalDedupSink]] —
+    * replayed batches are skipped whole; the marker is written last so
+    * a crash bounds damage to one detectable batch. Index files are
+    * compacted every `compactEvery` batches. */
+  def incrementalNearDupSink(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      corpusPath: String,
+      indexPath: String,
+      checkpoint: String,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      compactEvery: Int = 16
+  ): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        incrementalNearDupBatch(batch, batchId, idCol, textCol, corpusPath, indexPath,
+          numHashes, bands, compactEvery)
+        ()
+      }
+      .start()
+
+  /** One batch of [[incrementalNearDupSink]], factored out so
+    * idempotency and the drop rules are directly testable: returns
+    * false (no-op) when `batchId` was already committed. */
+  private[graft] def incrementalNearDupBatch(
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      textCol: String,
+      corpusPath: String,
+      indexPath: String,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      compactEvery: Int = 16
+  ): Boolean = {
+    val spark = batch.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val marker = new org.apache.hadoop.fs.Path(indexPath, s"_committed_$batchId")
+    val fs = marker.getFileSystem(hconf)
+    if (fs.exists(marker)) return false // replayed batch: already fully committed
+    // only a MISSING index (first batch ever) falls back to empty —
+    // any other read failure must fail the batch, not reset dedup
+    val index =
+      try spark.read.parquet(indexPath).select(col("band_idx"), col("bucket"))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" =>
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(
+              org.apache.spark.sql.types.StructField("band_idx", org.apache.spark.sql.types.IntegerType),
+              org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.StringType))))
+      }
+    val bb = graft.operators.Dedup
+      .bandBuckets(batch, idCol, textCol, numHashes, bands)
+      .withColumnRenamed(idCol, "__did")
+      .localCheckpoint(true) // three consumers below
+    // cross-batch collisions: any band bucket already in the index
+    val dropCross = bb.join(index, Seq("band_idx", "bucket"), "left_semi").select(col("__did"))
+    // within-batch greedy keep-first: collides with a smaller batch id
+    val dropIntra = bb
+      .join(bb.select(col("__did").as("__other"), col("band_idx"), col("bucket")),
+        Seq("band_idx", "bucket"))
+      .filter(col("__other") < col("__did"))
+      .select(col("__did"))
+    val keepIds = bb.select(col("__did")).distinct()
+      .join(dropCross.union(dropIntra).distinct(), Seq("__did"), "left_anti")
+      .localCheckpoint(true)
+    batch.join(keepIds.withColumnRenamed("__did", idCol), Seq(idCol), "left_semi")
+      .write.mode("append").parquet(corpusPath)
+    // keepers' band buckets extend the index; already-present buckets
+    // are not re-appended, so index growth ≤ bands rows per kept doc
+    bb.join(keepIds, Seq("__did"), "left_semi")
+      .select(col("band_idx"), col("bucket")).distinct()
+      .join(index, Seq("band_idx", "bucket"), "left_anti")
+      .write.mode("append").parquet(indexPath)
+    fs.create(marker, true).close() // commit point: written LAST
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+      compactIndex(spark, indexPath, batchId)
+    true
+  }
+
   /** Stream into a versioned snapshot table: each micro-batch MERGEs
     * into `table` by `keyCols`, so the stream materializes as a
     * time-travelable, manifest-capable table rather than an append-only

@@ -201,6 +201,50 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incrementalNearDupSink drops lightly-edited copies across batches, not just exact ones") {
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-incneardup").toString
+    val corpus = s"$base/corpus"; val index = s"$base/index"; val ck = s"$base/ck"
+    val a = "the quick brown fox jumps over the lazy dog while the cat sleeps in the warm afternoon sun near the garden wall"
+    val b = "spark engines process distributed datasets with catalyst optimizing logical plans into efficient physical execution stages"
+    val ms = MemoryStream[(Long, String)]
+    val q = Streams.incrementalNearDupSink(ms.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", corpus, index, ck)
+    try {
+      ms.addData(
+        (1L, a),
+        (2L, b),
+        (3L, a.replace("garden wall", "stone wall")) // near-dup of 1, not exact
+      )
+      q.processAllAvailable()
+      assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+      val idx1 = spark.read.parquet(index).count()
+      assert(idx1 <= 2 * 4, "index must stay bounded by keepers x bands")
+      ms.addData(
+        (4L, a.replace("afternoon sun", "morning sun")), // cross-batch near-dup of 1
+        (5L, "an entirely new document no one has ever seen before in any batch of this stream")
+      )
+      q.processAllAvailable()
+      assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 5L))
+      assert(spark.read.parquet(index).count() <= 3 * 4)
+    } finally q.stop()
+  }
+
+  test("a replayed near-dup batchId is a committed no-op") {
+    val base = java.nio.file.Files.createTempDirectory("graft-incneardup-replay").toString
+    val corpus = s"$base/corpus"; val index = s"$base/index"
+    val batch = Seq((1L, "the quick brown fox jumps over the lazy dog while the cat sleeps nearby")).toDF("doc_id", "text")
+    assert(Streams.incrementalNearDupBatch(batch, 0L, "doc_id", "text", corpus, index))
+    assert(!Streams.incrementalNearDupBatch(batch, 0L, "doc_id", "text", corpus, index)) // replay skipped
+    assert(spark.read.parquet(corpus).count() == 1) // not double-appended
+    assert(Streams.incrementalNearDupBatch(batch, 1L, "doc_id", "text", corpus, index))
+    assert(spark.read.parquet(corpus).count() == 1) // already indexed
+    // index rows are never re-appended for already-present buckets
+    val n = spark.read.parquet(index).count()
+    assert(Streams.incrementalNearDupBatch(batch, 2L, "doc_id", "text", corpus, index))
+    assert(spark.read.parquet(index).count() == n)
+  }
+
   test("conformedNdjsonSink reports mid-stream schema drift and still lands conformed rows") {
     implicit val ctx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft-drift").toString
