@@ -236,6 +236,29 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("Join"))
   }
 
+  test("q112: semantic dedup pairs join keyed on the cell, centroids broadcast, no cartesian") {
+    val plan = finalPlan(run("q112_semantic_dedup"))
+    // assignment: centroids broadcast against the corpus scan (the one
+    // BNLJ, 16 rows); pairs: an equi-join on cell_id — never all-pairs
+    assert(!plan.contains("CartesianProduct"), s"no cartesian allowed:\n$plan")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length <= 1,
+      s"only the centroid broadcast may be nested-loop:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), s"cell pair join must be keyed:\n$plan")
+  }
+
+  test("q115: per-group cap is one window pass with a PARTIAL group-limit before the shuffle") {
+    val plan = finalPlan(run("q115_per_group_cap"))
+    assert("Window \\[".r.findAllIn(plan).length == 1, s"must be one window pass:\n$plan")
+    assert(!plan.contains("Join"), s"cap must be join-free:\n$plan")
+    // Spark 4 pushes the rank limit below the exchange (WindowGroupLimit
+    // Partial): each map task ships at most n rows per group, so the
+    // window shuffle is bounded by groups x n x tasks, not |input| —
+    // the property that makes the cap safe on a skewed 100 TB corpus
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"partial group-limit must precede the shuffle:\n$plan")
+  }
+
   test("conformance compiles to a single Project over the scan") {
     import graft.core.{Conform, ColumnSpec}
     val df = Corpus.fixture(spark, sf("sf0.001"), "part")
