@@ -416,14 +416,29 @@ final class SnapshotTables(
     * which is exactly Iceberg COW's trade (merge-on-read is the other
     * half, out of scope for a parquet-directory snapshot model).
     * On an empty table, MERGE degenerates to insert-all. */
-  def merge(table: String, updates: DataFrame, keyCols: Seq[String], partitionCols: Seq[String] = Nil): Unit = {
+  def merge(table: String, updates: DataFrame, keyCols: Seq[String], partitionCols: Seq[String] = Nil): Unit =
+    merge(table, updates, keyCols, partitionCols, evolveSchema = false)
+
+  /** MERGE with optional SCHEMA EVOLUTION (Iceberg's
+    * `mergeSchema`/add-column semantics): with `evolveSchema`, source
+    * columns the table lacks are ADDED (existing rows read NULL — the
+    * snapshot schema grows at the end, old versions untouched), and
+    * table columns the source lacks are null-filled for the incoming
+    * rows. Column ADD/DROP mismatches only — a same-name TYPE conflict
+    * still fails the commit (silent coercion is how corrupt lakes are
+    * made; route deliberate re-typing through an explicit cast in the
+    * source frame). Without `evolveSchema`, any column mismatch fails
+    * as before. */
+  def merge(table: String, updates: DataFrame, keyCols: Seq[String], partitionCols: Seq[String],
+      evolveSchema: Boolean): Unit = {
     require(keyCols.nonEmpty, "merge needs key columns")
     val cur = currentVersion(table)
     val merged =
       if (cur == 0) updates
       else {
         val keys = updates.select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct()
-        read(table).join(keys, keyCols, "left_anti").unionByName(updates)
+        read(table).join(keys, keyCols, "left_anti")
+          .unionByName(updates, allowMissingColumns = evolveSchema)
       }
     overwriteTable(merged, table, partitionCols)
   }

@@ -41,6 +41,31 @@ class SnapshotTablesSpec extends SparkSpec {
     assert(t.read("tab2").as[(Int, String)].head() == ((9, "z")))
   }
 
+  test("merge with schema evolution adds source columns, null-fills missing ones; types never coerce") {
+    val t = newTables()
+    t.overwriteTable(Seq((1, "a"), (2, "b")).toDF("id", "v"), "tab")
+    // source carries a NEW column: table schema grows, old rows read null
+    t.merge("tab", Seq((2, "B2", 0.9), (3, "c", 0.5)).toDF("id", "v", "score"),
+      keyCols = Seq("id"), partitionCols = Nil, evolveSchema = true)
+    val out = t.read("tab").select($"id", $"v", $"score").collect()
+      .map(r => (r.getInt(0), r.getString(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(out == Set((1, "a", None), (2, "B2", Some(0.9)), (3, "c", Some(0.5))))
+    // source MISSING a table column: incoming rows null-fill it
+    t.merge("tab", Seq((4, "d")).toDF("id", "v"),
+      keyCols = Seq("id"), partitionCols = Nil, evolveSchema = true)
+    val r4 = t.read("tab").filter($"id" === 4).select($"score").collect().head
+    assert(r4.isNullAt(0))
+    // prior versions keep their narrower schema (evolution is per-commit)
+    assert(!t.readVersion("tab", 1).columns.contains("score"))
+    // without evolveSchema, a column mismatch fails as before
+    intercept[org.apache.spark.sql.AnalysisException](
+      t.merge("tab", Seq((5, "e")).toDF("id", "v"), keyCols = Seq("id")))
+    // a same-name TYPE conflict is never silently coerced
+    intercept[Exception](
+      t.merge("tab", Seq((6, "f", "not-a-double")).toDF("id", "v", "score"),
+        keyCols = Seq("id"), partitionCols = Nil, evolveSchema = true))
+  }
+
   test("delete drops matching rows as a new version") {
     val t = newTables()
     t.overwriteTable(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"), "tab")
