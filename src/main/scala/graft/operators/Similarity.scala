@@ -919,6 +919,48 @@ object Similarity {
       .orderBy(col("id"))
   }
 
+  /** MMR-diversified re-rank of an ANN candidate list (Carbonell &
+    * Goldstein 1998): from each query's fetched candidates, greedily
+    * select `selectK` maximizing λ·rel − (1−λ)·max-cosine-to-selected —
+    * the diversification pass retrieval pipelines run after ANN so
+    * near-duplicate hits don't crowd out coverage.
+    *
+    * `candidates` is any (query_id, neighbor_id, score) frame — the
+    * output shape of [[bruteForceTopK]] / [[lshTopK]] / [[ivfPqTopK]] —
+    * and `vectors` supplies the candidate embeddings. Shape: one join
+    * to attach vectors (broadcast when the candidate list is small, as
+    * a re-rank input always is), one partial-agg groupBy collecting
+    * each query's ≤fetchK candidates, and the greedy loop runs
+    * executor-local per query over that bounded group (fetchK·dim
+    * buffer, O(fetchK²·selectK) finish) — never driver-side, never
+    * corpus-sized. Selection is canonicalized and tie-broken on id, so
+    * it is independent of partitioning and replays exactly in the
+    * DuckDB oracle (q116 unrolls the same greedy steps).
+    *
+    * Output: (query_id, rk, neighbor_id, mmr) ordered. */
+  def mmrRerank(
+      candidates: DataFrame,
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      selectK: Int,
+      lambda: Double
+  ): DataFrame = {
+    import graft.functions.{MmrAggregator, MmrCand}
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val vecs = vectors.select(col(idCol).cast("long").as("neighbor_id"),
+      transform(col(vecCol), x => x.cast("double")).as("__v"))
+    val agg = udaf(new MmrAggregator(selectK, lambda), ExpressionEncoder[MmrCand]())
+    candidates
+      .join(vecs, "neighbor_id")
+      .groupBy(col("query_id"))
+      .agg(agg(col("neighbor_id"), col("score"), col("__v")).as("sel"))
+      .select(col("query_id"), explode(col("sel")).as("s"))
+      .select(col("query_id"), col("s.rk").as("rk"), col("s.id").as("neighbor_id"),
+        col("s.mmr").as("mmr")) // exact-decimal objective emitted as-is; re-rounding would reintroduce the .5-boundary engine split
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** Mean squared quantization error of `codebooks` over the corpus —
     * the audit number PQ training monotonically improves (same role as
     * [[kmeansInertia]] for the coarse quantizer). */

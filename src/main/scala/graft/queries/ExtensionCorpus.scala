@@ -1175,6 +1175,64 @@ object ExtensionCorpus {
       FROM asg ORDER BY vec_id""")
   )
 
+  /** MMR-diversified re-rank, hash-exact: brute-force top-10
+    * candidates per query (q38's convention — raw-score window rank,
+    * rel rounded to 6 dp), then THREE greedy MMR selections at λ=0.7,
+    * each unrolled as its own CTE in the oracle — step i's argmax of
+    * λ·rel − (1−λ)·round(maxcos, 8), ties to the smaller id, replayed
+    * verbatim. The objective is EXACT DECIMAL arithmetic in both
+    * engines (the q91/q105 contract): rel sits on a 6-dp grid, so
+    * λ·rel hits a .5 rounding boundary at 6 dp for ~1 in 10 values and
+    * double-rounding it is exactly where Spark (shortest-repr HALF_UP)
+    * and DuckDB (binary expansion) disagree — measured on this very
+    * fixture before the decimal contract was applied. DuckDB decimal
+    * literals (0.7, 1.0 − 0.7) are exact, rel/maxsim are cast to
+    * DECIMAL after their grid rounding, and the final value is emitted
+    * as the decimal's nearest double with NO final round. */
+  private val q116 = Q(
+    "q116_mmr_rerank",
+    (s, dir) => {
+      val e = fixture(s, dir, "embeddings")
+      val cand = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+      Similarity.mmrRerank(cand, e, "vec_id", "embedding", selectK = 3, lambda = 0.7)
+    },
+    Some(s"""WITH v AS ($sqlVecView),
+      n AS (SELECT vec_id, emb,
+              sqrt(list_reduce(list_transform(emb, x -> x*x), (x,y) -> x+y)) AS nrm FROM v),
+      q AS (SELECT vec_id, emb, nrm FROM n WHERE vec_id < 5),
+      sc AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.emb AS cemb,
+               (list_reduce(list_transform(list_zip(q.emb, c.emb), p -> struct_extract(p,1)*struct_extract(p,2)), (x,y) -> x+y)
+                / (q.nrm * c.nrm)) AS rawrel
+             FROM q, n c WHERE c.vec_id <> q.vec_id),
+      cand AS (SELECT query_id, cand_id, cemb, ROUND(rawrel, 6) AS rel FROM (
+        SELECT sc.*, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rawrel DESC, cand_id) AS rn FROM sc)
+        WHERE rn <= 10),
+      s1 AS (SELECT query_id, cand_id, cemb, rel, 0.7 * CAST(rel AS DECIMAL(18,6)) AS mmr FROM (
+        SELECT cand.*, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, cand_id) AS r FROM cand)
+        WHERE r = 1),
+      m2 AS (SELECT c.query_id, c.cand_id, c.cemb, c.rel,
+               0.7 * CAST(c.rel AS DECIMAL(18,6))
+               - (1.0 - 0.7) * CAST(ROUND(${sqlCosine("c.cemb", "s1.cemb")}, 8) AS DECIMAL(18,8)) AS mmr
+             FROM cand c JOIN s1 ON c.query_id = s1.query_id AND c.cand_id <> s1.cand_id),
+      s2 AS (SELECT query_id, cand_id, cemb, rel, mmr FROM (
+        SELECT m2.*, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY mmr DESC, cand_id) AS r FROM m2)
+        WHERE r = 1),
+      m3 AS (SELECT c.query_id, c.cand_id, c.rel,
+               0.7 * CAST(c.rel AS DECIMAL(18,6))
+               - (1.0 - 0.7) * CAST(ROUND(GREATEST(${sqlCosine("c.cemb", "s1.cemb")}, ${sqlCosine("c.cemb", "s2.cemb")}), 8) AS DECIMAL(18,8)) AS mmr
+             FROM cand c
+             JOIN s1 ON c.query_id = s1.query_id AND c.cand_id <> s1.cand_id
+             JOIN s2 ON c.query_id = s2.query_id AND c.cand_id <> s2.cand_id),
+      s3 AS (SELECT query_id, cand_id, mmr FROM (
+        SELECT m3.*, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY mmr DESC, cand_id) AS r FROM m3)
+        WHERE r = 1),
+      sel AS (SELECT query_id, 1 AS rk, cand_id, CAST(mmr AS DOUBLE) AS mmr FROM s1
+        UNION ALL SELECT query_id, 2, cand_id, CAST(mmr AS DOUBLE) FROM s2
+        UNION ALL SELECT query_id, 3, cand_id, CAST(mmr AS DOUBLE) FROM s3)
+      SELECT query_id, CAST(rk AS INTEGER) AS rk, cand_id AS neighbor_id, mmr
+      FROM sel ORDER BY query_id, rk""")
+  )
+
   /** CDC-maintained aggregate exercised end-to-end on the DELTA path:
     * v1 of a snapshot source bootstraps the view, v2 churns it (new
     * orders arrive, old ones age out, a band is restated in place),
@@ -1254,6 +1312,6 @@ object ExtensionCorpus {
   val all: Seq[Q] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q99, q100, q101, q102, q106, q107, q108,
-    q109, q111, q112, q113, q114
+    q109, q111, q112, q113, q114, q116
   )
 }

@@ -323,6 +323,27 @@ class SimilaritySpec extends SparkSpec {
     assert(a.length == e.count())
   }
 
+  test("mmr rerank trades relevance for diversity; lambda=1 reduces to plain top-k") {
+    // q=(1,0,..); c1 highly relevant, c2 a near-dup of c1, c3 diverse
+    // but less relevant: plain top-2 = {c1,c2}, MMR top-2 = {c1,c3}
+    val vs = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f, 0.0f)),   // query
+      (1L, Array(0.99f, 0.1f, 0.0f, 0.0f)),   // c1: rel ~.995
+      (2L, Array(0.98f, 0.11f, 0.0f, 0.0f)),  // c2: near-dup of c1
+      (3L, Array(0.6f, 0.0f, 0.8f, 0.0f))     // c3: diverse, rel .6
+    ).toDF("vec_id", "embedding")
+    val cand = Similarity.bruteForceTopK(vs, vs.filter($"vec_id" === 10L), "vec_id", "embedding", k = 3)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    val diverse = ids(Similarity.mmrRerank(cand, vs, "vec_id", "embedding", selectK = 2, lambda = 0.5))
+    assert(diverse.map(_._2) == Seq(1L, 3L), s"expected diverse pick, got $diverse")
+    val plain = ids(Similarity.mmrRerank(cand, vs, "vec_id", "embedding", selectK = 2, lambda = 1.0))
+    assert(plain.map(_._2) == Seq(1L, 2L), s"lambda=1 must follow relevance, got $plain")
+    // partitioning-independent (canonicalized candidate multiset)
+    val again = ids(Similarity.mmrRerank(cand.repartition(5), vs, "vec_id", "embedding", selectK = 2, lambda = 0.5))
+    assert(again == diverse)
+  }
+
   test("pq training never increases quantization error and is deterministic") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val seed = Similarity.pqTrain(e, "vec_id", "embedding", dim = 64, m = 8, k = 16)
