@@ -103,23 +103,7 @@ object Similarity {
       dim: Int = 64,
       tables: Int = 2
   ): DataFrame = {
-    require(tables >= 1, "need at least one table")
-    def bucket(vec: org.apache.spark.sql.Column, seed: Long) = {
-      val planes = hyperplanes(dim, bits, seed)
-      (0 until bits)
-        .map(b => when(dot(vec, typedLit(planes(b).toSeq)) > 0, 1L << b).otherwise(0L))
-        .reduce(_ + _)
-    }
-    val cand = (0 until tables)
-      .map { t =>
-        val n = corpus.select(col(idCol).as("id"), bucket(col(vecCol), 42L + t).as("bkt"))
-        n.select(col("id").as("a"), col("bkt"))
-          .join(n.select(col("id").as("b"), col("bkt")), Seq("bkt"))
-          .filter(col("a") < col("b"))
-          .select(col("a"), col("b"))
-      }
-      .reduce(_ unionByName _)
-      .distinct()
+    val cand = signBitCandidatePairs(corpus, idCol, vecCol, bits, dim, tables)
     val va = corpus.select(col(idCol).as("a"), col(vecCol).as("a_vec"), norm(col(vecCol)).as("a_nrm"))
     val vb = corpus.select(col(idCol).as("b"), col(vecCol).as("b_vec"), norm(col(vecCol)).as("b_nrm"))
     cand
@@ -129,6 +113,74 @@ object Similarity {
       .filter(col("score") > threshold)
       .select(col("a"), col("b"), round(col("score"), 6).as("score"))
       .orderBy(col("a"), col("b"))
+  }
+
+  /** Distinct same-bucket id pairs (a < b) across `tables` seeded
+    * sign-bit bucketings — the candidate-generation core shared by
+    * [[nearDupPairsLsh]] and [[knnJoinLsh]]. Per table one equi-join
+    * keyed on an 8-byte bucket; pair volume ~n²/2^bits per table on
+    * uniform data (size `bits` with the corpus). */
+  private def signBitCandidatePairs(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      bits: Int, dim: Int, tables: Int): DataFrame = {
+    require(tables >= 1, "need at least one table")
+    def bucket(vec: org.apache.spark.sql.Column, seed: Long) = {
+      val planes = hyperplanes(dim, bits, seed)
+      (0 until bits)
+        .map(b => when(dot(vec, typedLit(planes(b).toSeq)) > 0, 1L << b).otherwise(0L))
+        .reduce(_ + _)
+    }
+    (0 until tables)
+      .map { t =>
+        val n = corpus.select(col(idCol).as("id"), bucket(col(vecCol), 42L + t).as("bkt"))
+        n.select(col("id").as("a"), col("bkt"))
+          .join(n.select(col("id").as("b"), col("bkt")), Seq("bkt"))
+          .filter(col("a") < col("b"))
+          .select(col("a"), col("b"))
+      }
+      .reduce(_ unionByName _)
+      .distinct()
+  }
+
+  /** Approximate k-NN SELF-join: every document's top-k neighbors by
+    * cosine among its LSH candidates — the graph-building primitive
+    * (near-dup graphs for clustering, semantic-neighborhood audits)
+    * where [[lshTopK]] serves a small query batch, this serves ALL n
+    * rows as queries without ever forming n² pairs.
+    *
+    * Shape: [[signBitCandidatePairs]] (bucket equi-joins, pair volume
+    * governed by `bits`), symmetrized (a kNN list is per-doc, so each
+    * undirected candidate pair feeds both endpoints), one exact
+    * re-score of distinct candidates, then a per-doc top-k window —
+    * which Spark 4 plans with a PARTIAL WindowGroupLimit below the
+    * exchange, so the window shuffle carries at most k rows per doc
+    * per map task. Approximate exactly like every LSH path: a true
+    * neighbor splitting from its doc in all tables is missed; recall
+    * rises with `tables`, candidate volume with `bits` (sizing rule in
+    * [[nearDupPairsLsh]]'s doc). Output: (id, rk, neighbor_id, score).
+    */
+  def knnJoinLsh(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      bits: Int = 4,
+      dim: Int = 64,
+      tables: Int = 2
+  ): DataFrame = {
+    val cand = signBitCandidatePairs(corpus, idCol, vecCol, bits, dim, tables)
+    val sym = cand.unionByName(cand.select(col("b").as("a"), col("a").as("b")))
+    val va = corpus.select(col(idCol).as("a"), col(vecCol).as("a_vec"), norm(col(vecCol)).as("a_nrm"))
+    val vb = corpus.select(col(idCol).as("b"), col(vecCol).as("b_vec"), norm(col(vecCol)).as("b_nrm"))
+    val w = Window.partitionBy(col("a")).orderBy(col("score").desc, col("b"))
+    sym
+      .join(va, "a")
+      .join(vb, "b")
+      .withColumn("score", dot(col("a_vec"), col("b_vec")) / (col("a_nrm") * col("b_nrm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("a").as("id"), col("rk"), col("b").as("neighbor_id"), round(col("score"), 6).as("score"))
+      .orderBy(col("id"), col("rk"))
   }
 
   /** Deterministic random hyperplanes: `bits` planes of dimension

@@ -393,6 +393,42 @@ object ExtensionCorpus {
     }
   )
 
+  /** Approximate k-NN self-join, hash-exact: q40's seeded sign-bit
+    * candidate tables, symmetrized so each undirected pair feeds both
+    * endpoints' lists, exact cosine re-score, per-doc top-3 window
+    * (raw-score order, id tie-break) — all replayed in SQL with the
+    * hyperplane weights interpolated as literals exactly as q40 does. */
+  private val q117 = Q(
+    "q117_knn_join",
+    (s, dir) =>
+      Similarity.knnJoinLsh(fixture(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 3, bits = 4, dim = 64, tables = 2),
+    Some {
+      def bucketSql(seed: Long): String = {
+        val planes = Similarity.hyperplanes(dim = 64, bits = 4, seed)
+        (0 until 4).map { b =>
+          val proj = (0 until 64).map(i => s"emb[${i + 1}]*(${planes(b)(i)})").mkString(" + ")
+          s"(CASE WHEN ($proj) > 0 THEN ${1L << b} ELSE 0 END)"
+        }.mkString(" + ")
+      }
+      val tables = (0 until 2).map { t =>
+        s"""SELECT l.vec_id AS a, r.vec_id AS b
+            FROM (SELECT vec_id, ${bucketSql(42L + t)} AS bkt FROM v) l
+            JOIN (SELECT vec_id, ${bucketSql(42L + t)} AS bkt FROM v) r
+              ON l.bkt = r.bkt AND l.vec_id < r.vec_id"""
+      }.mkString("\n UNION \n")
+      s"""WITH v AS ($sqlVecView),
+        cand AS ($tables),
+        sym AS (SELECT a, b FROM cand UNION ALL SELECT b, a FROM cand),
+        sc AS (SELECT sym.a, sym.b, ${sqlCosine("va.emb", "vb.emb")} AS raw
+               FROM sym JOIN v va ON va.vec_id = sym.a JOIN v vb ON vb.vec_id = sym.b),
+        r AS (SELECT a, b, raw,
+                ROW_NUMBER() OVER (PARTITION BY a ORDER BY raw DESC, b) AS rk FROM sc)
+        SELECT a AS id, CAST(rk AS INTEGER) AS rk, b AS neighbor_id, ROUND(raw, 6) AS score
+        FROM r WHERE rk <= 3 ORDER BY id, rk"""
+    }
+  )
+
   // ----------------------------------------------------------- multimodal
 
   private val q41 = Q(
@@ -1312,6 +1348,6 @@ object ExtensionCorpus {
   val all: Seq[Q] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q99, q100, q101, q102, q106, q107, q108,
-    q109, q111, q112, q113, q114, q116
+    q109, q111, q112, q113, q114, q116, q117
   )
 }

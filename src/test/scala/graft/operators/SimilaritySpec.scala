@@ -323,6 +323,19 @@ class SimilaritySpec extends SparkSpec {
     assert(a.length == e.count())
   }
 
+  test("knn self-join: near-identical vectors are mutual rank-1 neighbors, k bounds each list") {
+    val out = Similarity.knnJoinLsh(vecs, "vec_id", "embedding", k = 2, bits = 4, dim = 4, tables = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // every doc's list is bounded by k
+    out.groupBy(_._1).foreach { case (id, rows) => assert(rows.length <= 2, s"doc $id has ${rows.length} rows") }
+    // 1 and 2 share every sign-bit bucket (same direction) => mutual rank-1
+    assert(out.contains((1L, 1, 2L)), s"1's top neighbor must be 2: ${out.toSeq}")
+    assert(out.contains((2L, 1, 1L)), s"2's top neighbor must be 1: ${out.toSeq}")
+    // symmetric candidate feed: both endpoints of each pair got a list
+    val ids = out.map(_._1).toSet
+    assert(ids.contains(1L) && ids.contains(2L))
+  }
+
   test("mmr rerank trades relevance for diversity; lambda=1 reduces to plain top-k") {
     // q=(1,0,..); c1 highly relevant, c2 a near-dup of c1, c3 diverse
     // but less relevant: plain top-2 = {c1,c2}, MMR top-2 = {c1,c3}

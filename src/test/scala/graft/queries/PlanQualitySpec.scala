@@ -259,6 +259,14 @@ class PlanQualitySpec extends SparkSpec {
       s"partial group-limit must precede the shuffle:\n$plan")
   }
 
+  test("q117: knn join is bucket-keyed with a partial group-limit; never nested-loop") {
+    val plan = finalPlan(run("q117_knn_join"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"knn join must never go all-pairs:\n$plan")
+    // per-doc top-k: the rank filter runs partially below the window exchange
+    assert(plan.contains("WindowGroupLimit"), s"expected group-limit pushdown:\n$plan")
+  }
+
   test("conformance compiles to a single Project over the scan") {
     import graft.core.{Conform, ColumnSpec}
     val df = Corpus.fixture(spark, sf("sf0.001"), "part")
