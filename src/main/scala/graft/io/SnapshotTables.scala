@@ -912,6 +912,71 @@ final class SnapshotTables(
         .parquet(keep.map(n => new Path(base, n).toString): _*)
   }
 
+  /** METADATA-ONLY aggregates from the stats manifest — the
+    * scan-less answers Iceberg serves from its manifests: row count,
+    * numeric min/max, and null count per requested column, computed
+    * from the manifest parquet alone (no data file is ever opened —
+    * spec-asserted via inputFiles). One output row per column:
+    * (column, n_rows, min_num, max_num, n_nulls), ordered.
+    *
+    * Honesty rules: row counts come from parquet footer row counts so
+    * they are exact regardless of nulls; numeric min/max are exact
+    * parquet column statistics; if ANY file lacks stats for a column,
+    * its min/max are returned NULL rather than a silently-wrong bound
+    * over the covered subset (n_rows/n_nulls likewise). String
+    * columns' footer bounds may be truncated by parquet writers —
+    * bounds, not extrema — so this surface is numeric-only by design;
+    * use [[readPruned]] machinery for string range work. At a 100k-file
+    * table this turns COUNT(*)/MIN/MAX from a table scan into a
+    * manifest read. */
+  def manifestAgg(table: String, columns: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(columns.nonEmpty, "manifestAgg needs at least one column")
+    val v = currentVersion(table)
+    val mp = manifestPath(table, v)
+    require(fs(mp).exists(mp), s"table $table v$v has no stats manifest — commit with statsCols first")
+    val m = spark.read.parquet(mp.toString) // manifest-sized; re-reading per branch is cheaper than pinning blocks
+    // a column absent from SOME files (schema evolution, sketch-only
+    // rows) must answer NULL, not a bound over the covered subset —
+    // compare each column's stats coverage against the table's full
+    // file set
+    val filesTotal = m.select(countDistinct(col("file"))).head().getLong(0)
+    m.filter(col("column").isin(columns: _*))
+      .groupBy(col("column"))
+      .agg(
+        sum(col("rows")).as("__rows"),
+        min(col("min_num")).as("__min"),
+        max(col("max_num")).as("__max"),
+        sum(col("nulls")).as("__nulls"),
+        count(col("min_num")).as("__files_with_stats"),
+        count(col("rows")).as("__files_with_rows"))
+      .select(
+        col("column"),
+        when(col("__files_with_rows") === filesTotal, col("__rows")).as("n_rows"),
+        when(col("__files_with_stats") === filesTotal, col("__min")).as("min_num"),
+        when(col("__files_with_stats") === filesTotal, col("__max")).as("max_num"),
+        when(col("__files_with_rows") === filesTotal, col("__nulls")).as("n_nulls"))
+      .orderBy(col("column"))
+  }
+
+  /** Metadata-only COUNT(*) of the current version (manifest row
+    * counts summed over the file set). Requires every file to carry a
+    * row count (i.e. at least one statsCols column) — a partial sum
+    * would be silently wrong. */
+  def fastCount(table: String): Long = {
+    import org.apache.spark.sql.functions._
+    val v = currentVersion(table)
+    val mp = manifestPath(table, v)
+    require(fs(mp).exists(mp), s"table $table v$v has no stats manifest — commit with statsCols first")
+    val m = spark.read.parquet(mp.toString)
+    val filesTotal = m.select(countDistinct(col("file"))).head().getLong(0)
+    val withRows = m.filter(col("rows").isNotNull).select(col("file"), col("rows")).distinct()
+    require(withRows.count() == filesTotal,
+      s"manifest of $table v$v lacks row counts for some files — fastCount would be wrong")
+    val r = withRows.agg(sum(col("rows"))).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
   /** Read the current snapshot (partition discovery + pruning work as
     * on any partitioned parquet directory). */
   def read(table: String): DataFrame = readVersion(table, currentVersion(table))

@@ -1178,6 +1178,34 @@ object ExtensionCorpus {
       GROUP BY l_orderkey ORDER BY l_orderkey""")
   )
 
+  /** Metadata-only aggregates, oracle-pinned: commit lineitem with a
+    * stats manifest, then answer COUNT/MIN/MAX/null-count per column
+    * from the MANIFEST ALONE — the DuckDB oracle computes the same
+    * aggregates over the raw parquet, so a hash match pins that footer
+    * statistics are exact for these queries (no data file opened —
+    * the spec twin asserts inputFiles stay under metadata/). */
+  private val q118 = Q(
+    "q118_manifest_stats",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q118-snap").toString
+      val t = new graft.io.SnapshotTables(s, root)
+      val li = fixture(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      t.overwriteTable(li.repartition(8), "li_m", Nil,
+        statsCols = Seq("l_orderkey", "l_quantity"))
+      t.manifestAgg("li_m", Seq("l_orderkey", "l_quantity"))
+    },
+    Some("""SELECT col AS "column", n_rows, min_num, max_num, n_nulls FROM (
+      SELECT 'l_orderkey' AS col, COUNT(*) AS n_rows,
+        CAST(MIN(l_orderkey) AS DOUBLE) AS min_num, CAST(MAX(l_orderkey) AS DOUBLE) AS max_num,
+        COUNT(*) - COUNT(l_orderkey) AS n_nulls FROM lineitem
+      UNION ALL
+      SELECT 'l_quantity', COUNT(*),
+        CAST(MIN(l_quantity) AS DOUBLE), CAST(MAX(l_quantity) AS DOUBLE),
+        COUNT(*) - COUNT(l_quantity) FROM lineitem)
+      ORDER BY "column" """)
+  )
+
   /** SemDeDup-shaped semantic dedup, hash-exact: seed cells (q47's
     * convention, ids < numCells) make the coarse assignment
     * SQL-replayable, within-cell pairs above the cosine threshold mark
@@ -1348,6 +1376,6 @@ object ExtensionCorpus {
   val all: Seq[Q] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q99, q100, q101, q102, q106, q107, q108,
-    q109, q111, q112, q113, q114, q116, q117
+    q109, q111, q112, q113, q114, q116, q117, q118
   )
 }

@@ -189,6 +189,32 @@ class SnapshotTablesSpec extends SparkSpec {
     assert(afterDml.filter($"id".between(1000, 1400)).count() == 401)
   }
 
+  test("manifestAgg/fastCount answer from metadata only, and refuse partial coverage") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    val t = new SnapshotTables(spark, root)
+    val df = spark.range(0, 5000).toDF("id")
+      .withColumn("v", ($"id" % 97).cast("double"))
+      .repartition(6)
+    t.overwriteTable(df, "tab", Nil, statsCols = Seq("id", "v"), sketchCols = Seq("v"))
+    // values match a direct scan...
+    assert(t.fastCount("tab") == 5000L)
+    val agg = t.manifestAgg("tab", Seq("id", "v")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(agg("id") == ((5000L, 0.0, 4999.0, 0L)))
+    assert(agg("v") == ((5000L, 0.0, 96.0, 0L)))
+    // ...but no DATA file is ever opened: everything reads from metadata/
+    val inputs = t.manifestAgg("tab", Seq("id")).inputFiles
+    assert(inputs.nonEmpty && inputs.forall(_.contains("/metadata/")),
+      s"manifestAgg must touch only the manifest: ${inputs.toSeq}")
+    // a column with no stats rows answers NULL, never a partial bound
+    val none = t.manifestAgg("tab", Seq("absent"))
+    assert(none.count() == 0) // no manifest rows at all for it
+    // sketch-only tables carry no row counts: fastCount refuses
+    t.overwriteTable(df, "sk", Nil, statsCols = Nil, sketchCols = Seq("id"))
+    intercept[IllegalArgumentException](t.fastCount("sk"))
+  }
+
   test("write-audit-publish: branch commits are invisible to main until publish") {
     val t = newTables()
     t.overwriteTable(Seq((1, "a"), (2, "b")).toDF("id", "v"), "tab")
