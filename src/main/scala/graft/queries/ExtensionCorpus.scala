@@ -1178,6 +1178,39 @@ object ExtensionCorpus {
       GROUP BY l_orderkey ORDER BY l_orderkey""")
   )
 
+  /** Data-quality audit battery, hash-exact: dbt-style checks over
+    * lineitem — a deliberately mixed outcome (unique(l_orderkey) fails
+    * on every multi-line order, accepted_values(l_linenumber ∈ 1..4)
+    * fails on long orders, not_null and referential integrity hold) so
+    * the oracle pins both zero and non-zero counts. Every rule is one
+    * aggregate / one anti-join; the oracle recomputes each verbatim. */
+  private val q119 = Q(
+    "q119_quality_checks",
+    (s, dir) => {
+      val li = fixture(s, dir, "lineitem")
+      graft.operators.Checks.audit(li, Seq(
+        graft.operators.Checks.NotNull("l_orderkey"),
+        graft.operators.Checks.Unique(Seq("l_orderkey")),
+        graft.operators.Checks.AcceptedValues("l_linenumber", Seq(1, 2, 3, 4)),
+        graft.operators.Checks.ReferencedIn("l_partkey", fixture(s, dir, "part"), "p_partkey")))
+    },
+    Some("""SELECT 'accepted_values(l_linenumber)' AS check,
+        CAST(COUNT(*) FILTER (WHERE l_linenumber IS NOT NULL AND l_linenumber NOT IN (1,2,3,4)) AS BIGINT) AS violations
+      FROM lineitem
+      UNION ALL
+      SELECT 'not_null(l_orderkey)',
+        CAST(COUNT(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT) FROM lineitem
+      UNION ALL
+      SELECT 'referenced_in(l_partkey)', CAST(COUNT(*) AS BIGINT)
+      FROM lineitem WHERE l_partkey IS NOT NULL
+        AND l_partkey NOT IN (SELECT p_partkey FROM part)
+      UNION ALL
+      SELECT 'unique(l_orderkey)',
+        CAST(COALESCE(SUM(n), 0) AS BIGINT)
+      FROM (SELECT COUNT(*) AS n FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) > 1)
+      ORDER BY "check" """)
+  )
+
   /** Metadata-only aggregates, oracle-pinned: commit lineitem with a
     * stats manifest, then answer COUNT/MIN/MAX/null-count per column
     * from the MANIFEST ALONE — the DuckDB oracle computes the same
@@ -1376,6 +1409,6 @@ object ExtensionCorpus {
   val all: Seq[Q] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q99, q100, q101, q102, q106, q107, q108,
-    q109, q111, q112, q113, q114, q116, q117, q118
+    q109, q111, q112, q113, q114, q116, q117, q118, q119
   )
 }
