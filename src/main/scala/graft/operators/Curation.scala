@@ -358,6 +358,63 @@ object Curation {
     mixSources(hashSplit(deduped, idCol, splitWeights), idCol, sourceCol, ratesPerMille)
   }
 
+  /** The full training-corpus recipe with the embedding-space stages
+    * composed — what a 100 TB curation run actually chains:
+    * quality gate → (optional) decontamination → exact dedup →
+    * SEMANTIC dedup over document embeddings ([[Similarity
+    * .semanticDedup]] — paraphrase-level duplicates no shingle stage
+    * caught) → per-source domain caps ([[capPerGroup]] by token
+    * count) → deterministic split → source mixing. Stage order
+    * matters and is part of the contract: cheap scan-local gates
+    * first, the quadratic-within-cell semantic stage only over
+    * already-deduped survivors, caps before the split so source
+    * balance is decided on the final population.
+    *
+    * Documents with no embedding row pass the semantic stage
+    * unjudged (kept) — an embedding pipeline that lags the text
+    * pipeline must not silently delete the corpus. Every stage is a
+    * pure function of (id, content, seed); the q120 oracle replays
+    * the entire chain. */
+  def curateWithEmbeddings(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      embeddings: DataFrame,
+      embIdCol: String,
+      vecCol: String,
+      numCells: Int = 16,
+      simThreshold: Double = 0.3,
+      maxPerSource: Int = 100,
+      ratesPerMille: Map[String, Int] = Map.empty,
+      splitWeights: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10),
+      benchmark: Option[DataFrame] = None,
+      minContamHits: Int = 1
+  ): DataFrame = {
+    val q = qualityFilter(df, textCol).filter(col("kept"))
+    val clean = benchmark match {
+      case Some(bm) => decontaminate(q, idCol, textCol, bm, minContamHits)
+      case None     => q
+    }
+    val keeperIds = clean
+      .groupBy(md5(lower(trim(col(textCol)))).as("__k"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    val deduped = clean.join(keeperIds, Seq(idCol), "left_semi")
+    val survEmb = embeddings.join(
+      deduped.select(col(idCol).cast("long").as(embIdCol)), Seq(embIdCol), "left_semi")
+    val verdicts = Similarity.semanticDedup(survEmb, embIdCol, vecCol, numCells, simThreshold)
+      .select(col("id").as("__semid"), col("kept").as("__semkept"))
+    val sem = deduped
+      .join(verdicts, deduped(idCol).cast("long") === verdicts("__semid"), "left")
+      .filter(col("__semkept").isNull || col("__semkept"))
+      .drop("__semid", "__semkept")
+    val capped = capPerGroup(
+      sem.withColumn("__ntok", tokenCount(col(textCol))), sourceCol, col("__ntok"), idCol, maxPerSource)
+      .drop("rk", "__ntok")
+    mixSources(hashSplit(capped, idCol, splitWeights), idCol, sourceCol, ratesPerMille)
+  }
+
   /** Unigram language-model scoring — the perplexity-style quality
     * signal (CCNet/Gopher lineage): train token log-probabilities on
     * the corpus itself (count/total), then score each document by its

@@ -928,6 +928,62 @@ object CurationCorpus {
       SELECT doc_id, n_chars, skey FROM w ORDER BY skey, doc_id LIMIT 100""")
   )
 
+  /** The FULL curation recipe with the embedding-space stages, exact:
+    * quality → exact dedup → semantic dedup over the survivors'
+    * embeddings (seed cells drawn from the SURVIVOR set — the oracle's
+    * centroid CTE filters after the dedup CTEs, exactly like the
+    * operator's semi-join) → per-source caps by token count →
+    * deterministic split → source mixing. Composes q81's chain with
+    * q112's assignment/pairing CTEs and q115's rank — the whole
+    * decision replayed in one SQL statement. Stage order is the
+    * contract under test: caps are decided on the post-dedup
+    * population, splits on the capped one. */
+  private val q120 = Q(
+    "q120_curate_embeddings",
+    (s, dir) => {
+      val docs = fixture(s, dir, "documents")
+      val emb = fixture(s, dir, "embeddings")
+      Curation.curateWithEmbeddings(docs, "doc_id", "text", "source",
+        emb, "vec_id", "embedding",
+        numCells = 16, simThreshold = 0.3, maxPerSource = 8,
+        ratesPerMille = Map("src0" -> 500))
+        .select(col("doc_id"), col("source"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH q AS (SELECT * FROM documents
+        WHERE (length(text) BETWEEN 100 AND 2000)
+          AND (len(string_split(text, ' ')) BETWEEN 10 AND 500)
+          AND ((CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' '))) BETWEEN 2.0 AND 12.0)
+          AND ($sqlEnScore > 0)),
+      k AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(lower(trim(text)))),
+      d AS (SELECT q.* FROM q JOIN k USING (doc_id)),
+      v AS (${ExtensionCorpus.sqlVecView}),
+      se AS (SELECT v.* FROM v JOIN d ON v.vec_id = d.doc_id),
+      n AS (SELECT vec_id, emb,
+              sqrt(list_reduce(list_transform(emb, x -> x*x), (x,y) -> x+y)) AS nrm FROM se),
+      cent AS (SELECT vec_id AS cell_id, emb AS cemb, nrm AS cnrm FROM n WHERE vec_id < 16),
+      asg AS (SELECT vec_id, emb, nrm, cell_id FROM (
+        SELECT x.vec_id, x.emb, x.nrm, cent.cell_id,
+          ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+            (list_reduce(list_transform(list_zip(x.emb, cent.cemb), p -> struct_extract(p,1)*struct_extract(p,2)), (a,b) -> a+b)
+             / (x.nrm * cent.cnrm)) DESC, cell_id DESC) AS rn
+        FROM n x, cent) WHERE rn = 1),
+      dropped AS (SELECT DISTINCT pb.vec_id AS id
+        FROM asg pa JOIN asg pb ON pa.cell_id = pb.cell_id AND pa.vec_id < pb.vec_id
+        WHERE (list_reduce(list_transform(list_zip(pa.emb, pb.emb), p -> struct_extract(p,1)*struct_extract(p,2)), (x,y) -> x+y)
+               / (pa.nrm * pb.nrm)) > 0.3),
+      sem AS (SELECT * FROM d WHERE doc_id NOT IN (SELECT id FROM dropped)),
+      cap AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY len(string_split(text, ' ')) DESC, doc_id) AS rk FROM sem),
+      c2 AS (SELECT * FROM cap WHERE rk <= 8),
+      h AS (SELECT *, ${sqlHash32("CAST(doc_id AS VARCHAR)")} AS hv FROM c2)
+      SELECT doc_id, source,
+        CASE WHEN hv % 100 < 80 THEN 'train' WHEN hv % 100 < 90 THEN 'val' ELSE 'test' END AS split
+      FROM h
+      WHERE hv % 1000 < (CASE source WHEN 'src0' THEN 500 ELSE 1000 END)
+      ORDER BY doc_id""")
+  )
+
   /** Per-source document cap (the domain-cap curation step), exact:
     * keep the 10 longest-by-token-count docs per source, deterministic
     * (n_tokens DESC, doc_id) rank — the oracle replays the token count
@@ -954,5 +1010,5 @@ object CurationCorpus {
 
   val all: Seq[Q] = Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q89, q90, q91,
-    q92, q93, q94, q103, q104, q105, q110, q115)
+    q92, q93, q94, q103, q104, q105, q110, q115, q120)
 }

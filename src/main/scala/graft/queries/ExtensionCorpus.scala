@@ -281,12 +281,12 @@ object ExtensionCorpus {
 
   /** DuckDB cosine with the exact fold shape of VectorFunctions.cosine
     * (left-assoc double adds ⇒ bit-identical IEEE results). */
-  private def sqlCosine(a: String, b: String): String =
+  private[queries] def sqlCosine(a: String, b: String): String =
     s"""(list_reduce(list_transform(list_zip($a, $b), p -> struct_extract(p,1)*struct_extract(p,2)), (x,y) -> x+y)
         / (sqrt(list_reduce(list_transform($a, x -> x*x), (x,y) -> x+y))
          * sqrt(list_reduce(list_transform($b, x -> x*x), (x,y) -> x+y))))"""
 
-  private val sqlVecView =
+  private[queries] val sqlVecView =
     "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings"
 
   /** DuckDB squared L2 with the exact fold shape of

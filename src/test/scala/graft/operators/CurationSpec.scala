@@ -372,6 +372,32 @@ class CurationSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("curateWithEmbeddings: semantic stage drops within-cell near-dups; unembedded docs pass unjudged") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val full = Curation.curateWithEmbeddings(docs, "doc_id", "text", "source",
+      emb, "vec_id", "embedding", numCells = 8, simThreshold = 0.25, maxPerSource = 1000)
+      .select($"doc_id").as[Long].collect().toSet
+    // same recipe with the embedding table emptied: nothing is judged,
+    // so the semantic stage must be a no-op (supersets the full run)
+    val noEmb = Curation.curateWithEmbeddings(docs, "doc_id", "text", "source",
+      emb.filter($"vec_id" < 0), "vec_id", "embedding", numCells = 8, simThreshold = 0.25, maxPerSource = 1000)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(full.subsetOf(noEmb))
+    assert(full.size < noEmb.size, "semantic stage must drop something at this threshold")
+    // partially-embedded corpus: docs without an embedding row are
+    // exactly the unjudged ones — they match the no-embedding run
+    val half = Curation.curateWithEmbeddings(docs, "doc_id", "text", "source",
+      emb.filter($"vec_id" < 100), "vec_id", "embedding", numCells = 8, simThreshold = 0.25, maxPerSource = 1000)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(half.filter(_ >= 100) == noEmb.filter(_ >= 100))
+    // cap stage bites when asked to
+    val capped = Curation.curateWithEmbeddings(docs, "doc_id", "text", "source",
+      emb, "vec_id", "embedding", numCells = 8, simThreshold = 0.25, maxPerSource = 2)
+    val perSource = capped.groupBy($"source").count().as[(String, Long)].collect()
+    assert(perSource.forall(_._2 <= 2))
+  }
+
   test("nearDupClusters durable-checkpoint mode matches the default exactly") {
     // long chain: several pointer-doubling rounds, so multiple
     // reliable checkpoints actually happen in the durable mode
