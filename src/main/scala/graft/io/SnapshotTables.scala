@@ -769,6 +769,13 @@ final class SnapshotTables(
             .join(sketches, Seq("file", "column"), "full_outer")
         }
       }
+    // An all-empty manifest must not exist: statsCols naming only
+    // partition columns (which live in dir names, not footers) would
+    // otherwise write a manifest with ZERO rows, and a pruned read
+    // over it would see no files AT ALL — returning empty results
+    // instead of falling back to the full scan. No manifest = honest
+    // "nothing to prune with".
+    if (manifest.isEmpty) return
     manifest.coalesce(1).write.mode(SaveMode.Overwrite).parquet(manifestPath(table, v).toString)
   }
 
@@ -816,6 +823,7 @@ final class SnapshotTables(
     // the manifest is a single small parquet: re-reading it per branch
     // is cheaper than pinning checkpoint blocks for every pruned read
     val m = spark.read.parquet(mp.toString)
+    if (m.isEmpty) return readVersion(table, v) // degenerate manifest (older writers): full scan, never empty answers
     val all = m.select("file").distinct()
     val keepDf = bounds
       .map { case (statColumn, lo, hi) =>
@@ -865,6 +873,7 @@ final class SnapshotTables(
     if (!fs(mp).exists(mp)) return readVersion(table, v)
     val m = spark.read.parquet(mp.toString)
     if (!m.columns.contains("sketch")) return readVersion(table, v) // pre-sketch-era manifest: full scan
+    if (m.isEmpty) return readVersion(table, v) // degenerate manifest (older writers): full scan, never empty answers
     val schema = readVersion(table, v).schema
     if (!schema.fieldNames.contains(statColumn)) return readVersion(table, v) // unknown column: conservative full scan
     val dt = schema(statColumn).dataType

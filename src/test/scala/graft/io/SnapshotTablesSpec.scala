@@ -189,6 +189,20 @@ class SnapshotTablesSpec extends SparkSpec {
     assert(afterDml.filter($"id".between(1000, 1400)).count() == 401)
   }
 
+  test("statsCols naming only partition columns never yields empty pruned reads") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    val t = new SnapshotTables(spark, root)
+    val df = spark.range(0, 100).toDF("id").withColumn("bucket", ($"id" % 4).cast("int"))
+    // partition columns live in dir names, not parquet footers: the
+    // stats pass finds nothing for them. The commit must then behave
+    // as if no manifest existed — full-scan fallback — rather than
+    // writing an empty manifest that reads as "no files match"
+    t.overwriteTable(df, "ptab", Seq("bucket"), statsCols = Seq("bucket"))
+    assert(t.readPruned("ptab", "bucket", 0, 1).count() == 100)
+    assert(t.readPrunedIn("ptab", "id", Seq(5L)).count() == 100)
+  }
+
   test("manifestAgg/fastCount answer from metadata only, and refuse partial coverage") {
     import org.apache.spark.sql.functions._
     val root = java.nio.file.Files.createTempDirectory("graft-snap").toString
