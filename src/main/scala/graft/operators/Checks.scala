@@ -31,7 +31,11 @@ object Checks {
 
   /** Violations: rows belonging to a key with multiplicity > 1 (every
     * row of a duplicated key counts — the number of rows you would
-    * have to inspect, not the number of keys). */
+    * have to inspect, not the number of keys). Null keys group
+    * together and DO count — deliberately stricter than dbt's
+    * ignore-null convention: two null-keyed rows in a unique column
+    * are a data smell, and the rule that hides them belongs next to a
+    * [[NotNull]] check, not inside this one. */
   final case class Unique(cols: Seq[String]) extends Check {
     val name = s"unique(${cols.mkString(",")})"
   }

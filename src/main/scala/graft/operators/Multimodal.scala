@@ -10,9 +10,14 @@ import org.apache.spark.sql.types._
   * struct — the layout a 100 TB multimodal corpus needs (payload stays
   * columnar/compressed, metadata is prunable without touching bytes).
   * The Spark-side machinery (schema, partitioning, per-partition batch
-  * decode, feature schema) is real and tested; the actual codec call is
-  * STUBBED with a deterministic fake, clearly marked below, because no
-  * image/audio library ships in this container.
+  * decode, feature schema) is real and tested; the DEFAULT codec is a
+  * deterministic stub (clearly marked below) because no third-party
+  * image/audio library ships in this container — but the decode seam
+  * is injectable and REAL codecs are exercised through it in
+  * MultimodalSpec: JDK `javax.imageio` PNG decoding runs distributed
+  * inside executor tasks and reproduces driver-side features
+  * bit-for-bit, alongside the CRC32 block codec. A production
+  * jpeg/opus/av1 decoder drops into the same parameter.
   */
 object Multimodal {
 

@@ -59,6 +59,45 @@ class MultimodalSpec extends SparkSpec {
     assert(frames(2L) == ((25 + 200) + 63) / 64)
   }
 
+  test("a real IMAGE codec (JDK javax.imageio, PNG) decodes distributed through the same boundary") {
+    // deterministic 8x8 RGB images, PNG-encoded — an actual image
+    // format round-tripping through the binary column and an actual
+    // codec running inside executor tasks, JDK-only
+    def pngBytes(seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8)
+        img.setRGB(x, y, (seed * 1000003 + y * 8 + x) * 2654435761L.toInt)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    // decoder: PNG -> pixels -> per-lane sum of channel values (a
+    // luminance-histogram-shaped integer feature)
+    val pngDecode = (bytes: Array[Byte], featDim: Int) => {
+      val acc = new Array[Long](featDim)
+      if (bytes.nonEmpty) {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          val lum = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          acc((y * img.getWidth + x) % featDim) += lum
+        }
+      }
+      acc
+    }
+    val media = Seq(1L, 2L, 3L).map(i => (i, pngBytes(i.toInt)))
+      .toDF("media_id", "payload")
+    val got = Multimodal.extractFeatures(media.repartition(3), featDim = 4, decode = pngDecode)
+      .collect().map(m => m.media_id -> m.feature.toSeq).toMap
+    // PNG is lossless: executor-side decode must reproduce the
+    // driver-side features bit-for-bit
+    (1 to 3).foreach { i =>
+      assert(got(i.toLong) == pngDecode(pngBytes(i), 4).toSeq, s"image $i decoded differently")
+    }
+    // and the features are non-trivial (codec actually ran)
+    assert(got.values.forall(_.exists(_ > 0L)))
+  }
+
   test("sampleFrames explodes every stride-th 64-byte block with its bytes") {
     val rows = Multimodal.sampleFrames(media(), stride = 2)
       .select($"media_id", $"frame_idx", octet_length($"frame_bytes").as("len"))
