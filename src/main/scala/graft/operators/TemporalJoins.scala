@@ -138,4 +138,42 @@ object TemporalJoins {
       .filter(col(leftTime) >= col(startCol) && col(leftTime) <= col(endCol))
       .drop("__bkt")
   }
+
+  /** INTERVAL-OVERLAP join — interval × interval where [[rangeJoin]]
+    * is point × interval: every (left, right) pair whose numeric
+    * ranges intersect (`lStart <= rEnd && rStart <= lEnd`), without a
+    * nested-loop plan. Both sides explode into fixed-width grid cells
+    * and candidates form only through the (keys…, cell) equi-join —
+    * the genomic/session-correlation pattern.
+    *
+    * Duplicate elimination is FREE, not a distinct: a pair sharing
+    * several cells is emitted only in the cell containing
+    * max(lStart, rStart) — for overlapping intervals always a shared
+    * cell, and exactly one — so no post-join shuffle exists at all.
+    * Cost scales with Σ interval-width/cell per side plus true pair
+    * count; pick `cellWidth` near the typical interval length (too
+    * small → explode fan-out, too large → cell co-occupancy noise
+    * filtered by the exact predicate).
+    *
+    * Bounds are NUMERIC (epoch seconds, positions); column names must
+    * be distinct across the two sides (alias before the call). */
+  def overlapJoin(
+      left: DataFrame,
+      lStart: String,
+      lEnd: String,
+      right: DataFrame,
+      rStart: String,
+      rEnd: String,
+      keys: Seq[String] = Nil,
+      cellWidth: Long = 3600L
+  ): DataFrame = {
+    require(cellWidth > 0, "cellWidth must be positive")
+    def cellOf(c: String) = floor(col(c).cast("double") / cellWidth).cast("long")
+    val l = left.withColumn("__cell", explode(sequence(cellOf(lStart), cellOf(lEnd))))
+    val r = right.withColumn("__cell", explode(sequence(cellOf(rStart), cellOf(rEnd))))
+    l.join(r, keys :+ "__cell")
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(col("__cell") === greatest(cellOf(lStart), cellOf(rStart)))
+      .drop("__cell")
+  }
 }

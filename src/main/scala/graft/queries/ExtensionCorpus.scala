@@ -1178,6 +1178,37 @@ object ExtensionCorpus {
       GROUP BY l_orderkey ORDER BY l_orderkey""")
   )
 
+  /** Interval-overlap join, hash-exact: per-user pairs of events whose
+    * 2-minute activity windows intersect — interval × interval where
+    * q45's range join is point × interval. The grid-cell plan (explode
+    * into 60 s cells, equi-join on (user, cell), exact predicate,
+    * emit-once at the max-start cell — dedup WITHOUT a distinct) must
+    * produce exactly the naive inequality join's pairs: the oracle IS
+    * that naive join. Aggregated per user so the output is compact. */
+  private val q121 = Q(
+    "q121_overlap_join",
+    (s, dir) => {
+      val e = fixture(s, dir, "events")
+        .withColumn("sec", expr("unix_micros(ts) div 1000000"))
+      val a = e.select(col("user_id"), col("event_id").as("a_id"),
+        col("sec").as("a_start"), (col("sec") + 120).as("a_end"))
+      val b = e.select(col("user_id"), col("event_id").as("b_id"),
+        col("sec").as("b_start"), (col("sec") + 120).as("b_end"))
+      graft.operators.TemporalJoins.overlapJoin(a, "a_start", "a_end", b, "b_start", "b_end",
+        keys = Seq("user_id"), cellWidth = 60L)
+        .filter(col("a_id") < col("b_id"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH e AS (SELECT event_id, user_id,
+        epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS s FROM events)
+      SELECT a.user_id, COUNT(*) AS n_pairs
+      FROM e a JOIN e b ON a.user_id = b.user_id AND a.event_id < b.event_id
+        AND a.s <= b.s + 120 AND b.s <= a.s + 120
+      GROUP BY a.user_id ORDER BY a.user_id""")
+  )
+
   /** Data-quality audit battery, hash-exact: dbt-style checks over
     * lineitem — a deliberately mixed outcome (unique(l_orderkey) fails
     * on every multi-line order, accepted_values(l_linenumber ∈ 1..4)
@@ -1409,6 +1440,6 @@ object ExtensionCorpus {
   val all: Seq[Q] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q99, q100, q101, q102, q106, q107, q108,
-    q109, q111, q112, q113, q114, q116, q117, q118, q119
+    q109, q111, q112, q113, q114, q116, q117, q118, q119, q121
   )
 }

@@ -554,4 +554,39 @@ class SnapshotTablesSpec extends SparkSpec {
     assert(t.currentVersion("tab") == wins)
     assert(t.read("tab").count() == 1)
   }
+
+  test("concurrent publishes from one base: exactly one branch lands, losers intact, no nesting") {
+    val root = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val t = new SnapshotTables(spark, root)
+    t.overwriteTable(Seq((0, "base")).toDF("id", "v"), "tab")
+    (1 to 3).foreach { i =>
+      t.createBranch("tab", s"b$i")
+      t.commitToBranch("tab", s"b$i", Seq((i, s"branch$i")).toDF("id", "v"))
+    }
+    val outcomes = Await.result(
+      Future.sequence((1 to 3).map { i =>
+        Future {
+          val w = new SnapshotTables(spark, root)
+          try { w.publish("tab", s"b$i"); s"ok$i" }
+          catch { case _: SnapshotTables.ConcurrentCommitException => s"lost$i" }
+        }
+      }), 120.seconds)
+    val wins = outcomes.filter(_.startsWith("ok"))
+    assert(wins.size == 1, s"exactly one publish must win: $outcomes")
+    val winner = wins.head.drop(2).toInt
+    // main is exactly the winner's content, one new version, no nesting
+    assert(t.currentVersion("tab") == 2)
+    assert(t.read("tab").as[(Int, String)].collect().toSet == Set((winner, s"branch$winner")))
+    val snapFiles = new java.io.File(s"$root/tab/snapshots/v00002").listFiles().map(_.getName)
+    assert(!snapFiles.exists(_.startsWith("v")), s"no nested snapshot dirs: ${snapFiles.toSeq}")
+    // losers' branches survive untouched for re-audit on the new base
+    val losers = (1 to 3).filterNot(_ == winner)
+    losers.foreach { i =>
+      assert(t.branches("tab").contains(s"b$i"))
+      assert(t.readBranch("tab", s"b$i").as[(Int, String)].collect().toSet == Set((i, s"branch$i")))
+    }
+  }
 }

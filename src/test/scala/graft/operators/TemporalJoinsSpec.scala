@@ -90,4 +90,28 @@ class TemporalJoinsSpec extends SparkSpec {
     // inclusive both ends, each pair exactly once despite multi-bucket window
     assert(out.sorted.toSeq == Seq((1L, 900L), (2L, 900L)))
   }
+
+  test("overlapJoin emits each intersecting pair exactly once, including multi-cell and negative spans") {
+    val a = Seq(
+      (1L, 0L, 250L),     // spans cells 0,1,2 at width 100
+      (2L, 500L, 600L),
+      (3L, -150L, -40L)   // negative coordinates: floor-division cells
+    ).toDF("a_id", "a_start", "a_end")
+    val b = Seq(
+      (10L, 100L, 400L),  // overlaps a1 across MULTIPLE shared cells
+      (11L, 260L, 300L),  // disjoint from a1 (starts past 250)
+      (12L, 590L, 700L),  // touches a2 at the edge
+      (13L, -60L, -50L)   // inside a3, fully negative
+    ).toDF("b_id", "b_start", "b_end")
+    val out = TemporalJoins.overlapJoin(a, "a_start", "a_end", b, "b_start", "b_end", cellWidth = 100L)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(out == Seq((1L, 10L), (2L, 12L), (3L, 13L)), s"got $out")
+    // exactly once: no duplicate pairs even though (1,10) shares cells 1 and 2
+    assert(out.distinct == out)
+    // equals the naive inequality join on the same data
+    val naive = a.crossJoin(b)
+      .filter($"a_start" <= $"b_end" && $"b_start" <= $"a_end")
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(out == naive)
+  }
 }

@@ -267,6 +267,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), s"expected group-limit pushdown:\n$plan")
   }
 
+  test("q121: overlap join is a hash/merge join on (key, cell) — never nested-loop") {
+    val plan = finalPlan(run("q121_overlap_join"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"interval overlap must stay keyed:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), s"expected a keyed join:\n$plan")
+  }
+
   test("conformance compiles to a single Project over the scan") {
     import graft.core.{Conform, ColumnSpec}
     val df = Corpus.fixture(spark, sf("sf0.001"), "part")
