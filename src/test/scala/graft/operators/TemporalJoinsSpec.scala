@@ -114,4 +114,24 @@ class TemporalJoinsSpec extends SparkSpec {
       .select($"a_id", $"b_id").as[(Long, Long)].collect().sorted.toSeq
     assert(out == naive)
   }
+
+  test("overlapJoin equals the naive inequality join on random interval sets (property)") {
+    import org.scalacheck.Gen
+    def sample[T](g: Gen[T]): T = Iterator.continually(g.sample).flatten.next()
+    val genIntervals: Gen[List[(Long, Long)]] =
+      Gen.chooseNum(5, 40).flatMap(n => Gen.listOfN(n,
+        for (s <- Gen.chooseNum(-500L, 500L); w <- Gen.chooseNum(0L, 300L)) yield (s, s + w)))
+    for (trial <- 1 to 5) {
+      val la = sample(genIntervals).zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+      val lb = sample(genIntervals).zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+      val a = la.toDF("a_id", "a_start", "a_end")
+      val b = lb.toDF("b_id", "b_start", "b_end")
+      val cell = sample(Gen.oneOf(1L, 7L, 64L, 100L, 1000L))
+      val got = TemporalJoins.overlapJoin(a, "a_start", "a_end", b, "b_start", "b_end", cellWidth = cell)
+        .select($"a_id", $"b_id").as[(Long, Long)].collect().sorted.toSeq
+      val want = (for ((ia, sa, ea) <- la; (ib, sb, eb) <- lb if sa <= eb && sb <= ea)
+        yield (ia, ib)).sorted
+      assert(got == want, s"trial $trial cell=$cell: grid join diverged from naive")
+    }
+  }
 }
