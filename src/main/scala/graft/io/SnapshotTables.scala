@@ -361,8 +361,18 @@ final class SnapshotTables(
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val t = new Thread(() => {
       while (!stop.get()) {
-        try writeSmallFile(marker, System.currentTimeMillis.toString)
-        catch { case _: java.io.IOException => () } // missing dir yet / transient: next beat retries
+        // Beat ONLY once the write job has created the staging dir.
+        // The marker write would otherwise CREATE the dir before the
+        // job starts, and the job's Overwrite mode then races its
+        // clear-output step against the next beat re-creating the
+        // marker — an intermittent "Unable to clear output directory"
+        // job failure (observed live). An existing dir is never
+        // cleared mid-write by the job again, so beating after
+        // creation is race-free; a write that finishes before the
+        // first beat simply never needed liveness marking (vacuum
+        // falls back to dir mtime).
+        try { if (fs(dir).exists(dir)) writeSmallFile(marker, System.currentTimeMillis.toString) }
+        catch { case _: java.io.IOException => () } // transient: next beat retries
         val deadline = System.currentTimeMillis + heartbeatMs
         while (!stop.get() && System.currentTimeMillis < deadline) Thread.sleep(200)
       }
