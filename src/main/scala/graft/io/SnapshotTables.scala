@@ -464,6 +464,19 @@ final class SnapshotTables(
     overwriteTable(read(table).filter(!predicate), table, partitionCols)
   }
 
+  /** ROLLBACK: re-commit a retained version's content as the NEW
+    * current version (Iceberg's rollback semantics on a forward-only
+    * version line — the pointer is monotonic here, so undo is a new
+    * commit, which keeps the bad version in history for audit and
+    * keeps concurrent-writer fencing intact). The rolled-back state
+    * re-enters the normal manifest/stats machinery, so pruned reads
+    * work immediately. */
+  def rollback(table: String, toVersion: Int, partitionCols: Seq[String] = Nil): Unit = {
+    require(history(table).contains(toVersion),
+      s"version $toVersion of $table is not retained — cannot roll back to it")
+    overwriteTable(readVersion(table, toVersion), table, partitionCols)
+  }
+
   /** Multiset row diff between two retained versions — the CDC feed
     * the snapshot model supports without delta files: an incremental
     * consumer reads `diff(t, lastSeen, current)` instead of re-scanning

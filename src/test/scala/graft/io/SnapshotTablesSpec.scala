@@ -66,6 +66,26 @@ class SnapshotTablesSpec extends SparkSpec {
         keyCols = Seq("id"), partitionCols = Nil, evolveSchema = true))
   }
 
+  test("rollback re-commits an old version as new; bad version stays in history for audit") {
+    val t = newTables()
+    t.overwriteTable(Seq((1, "good")).toDF("id", "v"), "tab")
+    t.overwriteTable(Seq((2, "bad")).toDF("id", "v"), "tab")
+    t.rollback("tab", 1)
+    assert(t.currentVersion("tab") == 3)
+    assert(t.read("tab").as[(Int, String)].head() == ((1, "good")))
+    assert(t.readVersion("tab", 2).as[(Int, String)].head() == ((2, "bad"))) // auditably retained
+    intercept[IllegalArgumentException](t.rollback("tab", 99))
+    // a rolled-back table with stats keeps pruning
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 2000).toDF("id").repartitionByRange(4, $"id").sortWithinPartitions($"id")
+    t.overwriteTable(df, "p", Nil, statsCols = Seq("id"))
+    t.overwriteTable(df.filter($"id" < 10), "p")
+    t.rollback("p", 1)
+    val pruned = t.readPruned("p", "id", 100, 200)
+    assert(pruned.inputFiles.length < t.read("p").inputFiles.length)
+    assert(pruned.filter($"id".between(100, 200)).count() == 101)
+  }
+
   test("delete drops matching rows as a new version") {
     val t = newTables()
     t.overwriteTable(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"), "tab")
