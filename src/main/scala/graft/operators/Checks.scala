@@ -81,4 +81,20 @@ object Checks {
   /** Convenience gate: true iff every check passes. */
   def passes(df: DataFrame, checks: Seq[Check]): Boolean =
     audit(df, checks).agg(sum(col("violations"))).head().getLong(0) == 0L
+
+  /** The complete write-audit-publish step: run the battery against
+    * the branch's staged content and publish ONLY when every check
+    * passes. Returns Right(newVersion) on publish, Left(report) —
+    * the per-rule violation counts — when the audit fails; the branch
+    * is left intact either way (fix and re-audit, or dropBranch). */
+  def auditAndPublish(
+      tables: graft.io.SnapshotTables,
+      table: String,
+      branch: String,
+      checks: Seq[Check]
+  ): Either[DataFrame, Int] = {
+    val report = audit(tables.readBranch(table, branch), checks).localCheckpoint(true)
+    val clean = report.agg(sum(col("violations"))).head().getLong(0) == 0L
+    if (clean) Right(tables.publish(table, branch)) else Left(report)
+  }
 }

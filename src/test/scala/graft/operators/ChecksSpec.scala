@@ -40,4 +40,27 @@ class ChecksSpec extends SparkSpec {
     assert(!Checks.passes(child, Seq(Checks.NotNull("id"))))
     assert(Checks.passes(child.filter($"id".isNotNull), Seq(Checks.NotNull("id"))))
   }
+
+  test("auditAndPublish: failing audit blocks publish and keeps the branch; passing audit lands") {
+    val root = java.nio.file.Files.createTempDirectory("graft-wapaudit").toString
+    val t = new graft.io.SnapshotTables(spark, root)
+    t.overwriteTable(Seq((1, "a")).toDF("id", "v"), "tab")
+    t.createBranch("tab", "load")
+    t.commitToBranch("tab", "load", Seq((2, "b"), (2, "b2")).toDF("id", "v")) // duplicate key
+    val rules = Seq(Checks.Unique(Seq("id")), Checks.NotNull("id"))
+    val blocked = Checks.auditAndPublish(t, "tab", "load", rules)
+    assert(blocked.isLeft)
+    val byRule = blocked.left.toOption.get.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(byRule("unique(id)") == 2L)
+    // nothing published, branch intact for fixing
+    assert(t.currentVersion("tab") == 1)
+    assert(t.branches("tab") == Seq("load"))
+    // fix the batch on the branch, audit again: publishes
+    t.commitToBranch("tab", "load", Seq((2, "b")).toDF("id", "v"))
+    val landed = Checks.auditAndPublish(t, "tab", "load", rules)
+    assert(landed == Right(2))
+    assert(t.read("tab").as[(Int, String)].collect().toSet == Set((2, "b")))
+    assert(t.branches("tab").isEmpty)
+  }
 }
