@@ -464,6 +464,66 @@ final class SnapshotTables(
     overwriteTable(read(table).filter(!predicate), table, partitionCols)
   }
 
+  /** HIDDEN PARTITIONING (Iceberg's partition transforms): commit with
+    * partition values DERIVED from data columns — days(ts),
+    * bucket(n, key), truncate(len, s) — without the caller
+    * materializing or ever seeing a partition column. The derived
+    * `__p_*` columns exist only in the directory layout: [[read]]/
+    * [[readVersion]] conceal them, so queries are written against the
+    * source columns alone, and [[readPartitionRange]] turns a source-
+    * column range back into partition-directory pruning (the
+    * predicate-rewrite half of hidden partitioning).
+    *
+    * DML note: rewrite paths (merge/delete/compact/optimize) re-commit
+    * through the plain overwrite and therefore drop the hidden layout;
+    * re-apply it by routing the rewrite through this method — derived
+    * values are pure functions of the data, so the layout is always
+    * recomputable. */
+  def overwriteTableTransformed(df: DataFrame, table: String,
+      transforms: Seq[SnapshotTables.PartitionTransform],
+      statsCols: Seq[String] = Nil, sketchCols: Seq[String] = Nil): Unit = {
+    require(transforms.nonEmpty, "need at least one partition transform")
+    val withP = transforms.foldLeft(df)((d, t) => d.withColumn(t.name, t.expr))
+    overwriteTable(withP, table, transforms.map(_.name), statsCols, sketchCols)
+  }
+
+  /** Range scan over a hidden-partitioned table: the [lo, hi] bound on
+    * the TRANSFORM'S SOURCE column is rewritten into a bound on the
+    * derived partition values (evaluated with the very transform
+    * expression the write used — one 1-row driver job), so Spark's
+    * partition-directory pruning applies before any file is opened.
+    * The caller still filters rows: transform granularity is coarser
+    * than the data (a day partition keeps whole days). Ordered
+    * transforms only (days/truncate); buckets don't order — use
+    * [[readPartitionValues]]. */
+  def readPartitionRange(table: String, pt: SnapshotTables.PartitionTransform,
+      lo: Any, hi: Any): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(pt.ordered, s"${pt.name} does not preserve order — use readPartitionValues")
+    val v = currentVersion(table)
+    val raw = spark.read.parquet(snapDir(table, v).toString)
+    if (!raw.columns.contains(pt.name)) return readVersion(table, v) // not partitioned this way: full scan
+    val bounds = spark.range(1).select(pt.exprOf(lit(lo)), pt.exprOf(lit(hi))).head()
+    raw.filter(col(pt.name) >= lit(bounds.get(0)) && col(pt.name) <= lit(bounds.get(1)))
+      .drop(raw.columns.filter(_.startsWith("__p_")): _*)
+  }
+
+  /** Point/IN scan over a hidden-partitioned table: each probe value
+    * maps through the transform (any transform, buckets included) and
+    * only matching partition directories are read. */
+  def readPartitionValues(table: String, pt: SnapshotTables.PartitionTransform,
+      values: Seq[Any]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(values.nonEmpty, "readPartitionValues needs at least one probe value")
+    val v = currentVersion(table)
+    val raw = spark.read.parquet(snapDir(table, v).toString)
+    if (!raw.columns.contains(pt.name)) return readVersion(table, v)
+    val derived = spark.range(1).select(values.map(pv => pt.exprOf(lit(pv))): _*)
+      .head().toSeq.distinct
+    raw.filter(col(pt.name).isin(derived: _*))
+      .drop(raw.columns.filter(_.startsWith("__p_")): _*)
+  }
+
   /** ROLLBACK: re-commit a retained version's content as the NEW
     * current version (Iceberg's rollback semantics on a forward-only
     * version line — the pointer is monotonic here, so undo is a new
@@ -1017,10 +1077,14 @@ final class SnapshotTables(
     * snapshot instead of a catalog entry. */
   override def read(spark: SparkSession, table: String): DataFrame = read(table)
 
-  /** Time travel to any retained version. */
+  /** Time travel to any retained version. Hidden-partitioning columns
+    * (`__p_*`, [[overwriteTableTransformed]]) are concealed — they are
+    * directory layout, not data. */
   def readVersion(table: String, version: Int): DataFrame = {
     require(version > 0, s"table $table has no committed version")
-    spark.read.parquet(snapDir(table, version).toString)
+    val df = spark.read.parquet(snapDir(table, version).toString)
+    val hidden = df.columns.filter(_.startsWith("__p_"))
+    if (hidden.isEmpty) df else df.drop(hidden: _*)
   }
 
   /** Compact the current snapshot into ~`targetFileBytes` files and
@@ -1135,6 +1199,48 @@ object SnapshotTables {
   /** Live-writer heartbeat marker inside a `.tmp-*` staging dir (name
     * starts with '.', so it is hidden from every reader). */
   private[io] val HeartbeatName = "._graft_heartbeat"
+
+  /** A partition transform (Iceberg's hidden-partitioning vocabulary):
+    * a pure function of one source column whose image becomes the
+    * partition directory value. `ordered` transforms map source ranges
+    * to partition ranges (days, truncate); buckets deliberately don't. */
+  sealed abstract class PartitionTransform(val srcCol: String, label: String) {
+    final val name: String = s"__p_${label}_$srcCol"
+    def exprOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column
+    final def expr: org.apache.spark.sql.Column =
+      exprOf(org.apache.spark.sql.functions.col(srcCol))
+    def ordered: Boolean
+  }
+
+  object PartitionTransform {
+    import org.apache.spark.sql.functions._
+
+    /** days(ts): UTC date of a timestamp/date/date-string. */
+    def days(src: String): PartitionTransform = new PartitionTransform(src, "days") {
+      def exprOf(c: org.apache.spark.sql.Column) = to_date(c).cast("string")
+      def ordered = true
+    }
+
+    /** truncate(len, s): leading `len` characters of a string. */
+    def truncate(len: Int, src: String): PartitionTransform = {
+      require(len > 0, "truncate length must be positive")
+      new PartitionTransform(src, s"trunc$len") {
+        def exprOf(c: org.apache.spark.sql.Column) = substring(c.cast("string"), 1, len)
+        def ordered = true
+      }
+    }
+
+    /** bucket(n, key): xxhash64 mod n — spreads a high-cardinality key
+      * over n directories (point lookups prune via
+      * [[SnapshotTables.readPartitionValues]]). */
+    def bucket(n: Int, src: String): PartitionTransform = {
+      require(n > 0, "bucket count must be positive")
+      new PartitionTransform(src, s"bucket$n") {
+        def exprOf(c: org.apache.spark.sql.Column) = pmod(xxhash64(c), lit(n.toLong)).cast("int")
+        def ordered = false
+      }
+    }
+  }
 
   /** Thrown by the losing writer of a version race: the table already
     * advanced past the version this writer staged. The loser's staged

@@ -1178,6 +1178,39 @@ object ExtensionCorpus {
       GROUP BY l_orderkey ORDER BY l_orderkey""")
   )
 
+  /** Hidden partitioning end-to-end, oracle-pinned: commit events
+    * day-partitioned through a PARTITION TRANSFORM (the derived
+    * `__p_days_ts` column is directory layout only — readers never see
+    * it), then answer a timestamp-range aggregate through
+    * readPartitionRange (source-column bounds rewritten into
+    * partition-directory filters) plus the exact row filter — the
+    * DuckDB oracle computes the same filter over the raw parquet, so a
+    * hash match pins that the transform layout + predicate rewrite
+    * never change answers. The directories-pruned half lives in the
+    * spec twin (PartitionFilters + whole-day-granularity counts). */
+  private val q122 = Q(
+    "q122_hidden_partitioning",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q122-snap").toString
+      val t = new graft.io.SnapshotTables(s, root)
+      val e = fixture(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val byDay = graft.io.SnapshotTables.PartitionTransform.days("ts")
+      t.overwriteTableTransformed(e, "ev_hp", Seq(byDay))
+      t.readPartitionRange("ev_hp", byDay, "2024-01-10 06:00:00", "2024-01-12 18:00:00")
+        .filter(col("ts").between(lit("2024-01-10 06:00:00").cast("timestamp"),
+          lit("2024-01-12 18:00:00").cast("timestamp")))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM events
+      WHERE CAST(ts AS TIMESTAMP) BETWEEN TIMESTAMP '2024-01-10 06:00:00' AND TIMESTAMP '2024-01-12 18:00:00'
+      GROUP BY user_id ORDER BY user_id""")
+  )
+
   /** Interval-overlap join, hash-exact: per-user pairs of events whose
     * 2-minute activity windows intersect — interval × interval where
     * q45's range join is point × interval. The grid-cell plan (explode
@@ -1440,6 +1473,6 @@ object ExtensionCorpus {
   val all: Seq[Q] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q99, q100, q101, q102, q106, q107, q108,
-    q109, q111, q112, q113, q114, q116, q117, q118, q119, q121
+    q109, q111, q112, q113, q114, q116, q117, q118, q119, q121, q122
   )
 }

@@ -209,6 +209,53 @@ class SnapshotTablesSpec extends SparkSpec {
     assert(afterDml.filter($"id".between(1000, 1400)).count() == 401)
   }
 
+  test("hidden partitioning: derived dirs prune, readers never see __p_ columns") {
+    import org.apache.spark.sql.functions._
+    import SnapshotTables.PartitionTransform
+    val root = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    val t = new SnapshotTables(spark, root)
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("ts", expr("timestamp_seconds(1704067200 + id * 600)")) // 2024-01-01 onward, ~7 days
+      .withColumn("name", concat(lit("user"), lpad($"id".cast("string"), 4, "0")))
+    val byDay = PartitionTransform.days("ts")
+    t.overwriteTableTransformed(df, "ev", Seq(byDay))
+    // the derived column is layout, not data
+    assert(!t.read("ev").columns.exists(_.startsWith("__p_")))
+    assert(t.read("ev").count() == 1000)
+    // a source-column range becomes a partition-DIRECTORY filter (the
+    // scan's PartitionFilters — Dataset.inputFiles ignores pruning, so
+    // the evidence is the plan plus the pre-row-filter count: only the
+    // probed days' rows survive the partition filter)
+    def partitionFiltered(df: org.apache.spark.sql.DataFrame, pcol: String): Boolean = {
+      df.count()
+      val plan = df.queryExecution.executedPlan.toString
+      "PartitionFilters: \\[[^\\]]*__p_".r.findFirstIn(plan).isDefined && plan.contains(pcol)
+    }
+    val ranged = t.readPartitionRange("ev", byDay, "2024-01-02 00:00:00", "2024-01-03 23:59:59")
+    assert(partitionFiltered(ranged, "__p_days_ts"))
+    val dayRows = ranged.count()
+    assert(dayRows < 1000 && dayRows == 288, s"whole-day granularity expected, got $dayRows") // 2 full days @ 144 rows/day
+    val exact = ranged.filter($"ts".between(lit("2024-01-02").cast("timestamp"), lit("2024-01-03 23:59:59").cast("timestamp")))
+    assert(exact.count() ==
+      df.filter($"ts".between(lit("2024-01-02").cast("timestamp"), lit("2024-01-03 23:59:59").cast("timestamp"))).count())
+    // bucket transform: point probes prune to the matching buckets
+    val byBucket = PartitionTransform.bucket(8, "id")
+    t.overwriteTableTransformed(df, "evb", Seq(byBucket))
+    val point = t.readPartitionValues("evb", byBucket, Seq(42L, 999L))
+    assert(partitionFiltered(point, "__p_bucket8_id"))
+    assert(point.count() < 1000, "only probed buckets' rows may survive the partition filter")
+    assert(point.filter($"id".isin(42L, 999L)).count() == 2)
+    // truncate transform ranges on string prefixes
+    val byPrefix = PartitionTransform.truncate(6, "name")
+    t.overwriteTableTransformed(df, "evt", Seq(byPrefix))
+    val pre = t.readPartitionRange("evt", byPrefix, "user0100", "user0199")
+    assert(partitionFiltered(pre, "__p_trunc6_name"))
+    assert(pre.count() == 100) // trunc6 = user01xx partition exactly covers the range
+    assert(pre.filter($"name".between("user0100", "user0199")).count() == 100)
+    // buckets refuse the ordered-range API instead of mis-pruning
+    intercept[IllegalArgumentException](t.readPartitionRange("evb", byBucket, 0L, 10L))
+  }
+
   test("statsCols naming only partition columns never yields empty pruned reads") {
     import org.apache.spark.sql.functions._
     val root = java.nio.file.Files.createTempDirectory("graft-snap").toString
