@@ -277,6 +277,18 @@ final class SnapshotTables(
         val p = sketchColsPath(table)
         if (fs(p).exists(p)) readSmallFile(p).split(',').toSeq.filter(_.nonEmpty) else Nil
       }
+    // A hidden-partitioned table re-derives its layout on every plain
+    // commit: DML rewrites (merge/delete/compact/optimize) route
+    // through here with no partition columns, and without this the
+    // rewrite would silently flatten the directory layout. Derived
+    // values are pure functions of the data, so re-application is
+    // exact; an explicit partitionBy overrides the spec.
+    val transforms = if (partitionCols.isEmpty) effectiveTransforms(table) else Nil
+    val (df1, partitionCols1) =
+      if (transforms.isEmpty) (df, partitionCols)
+      else (transforms.foldLeft(df)((d, t) =>
+        if (d.columns.contains(t.name)) d else d.withColumn(t.name, t.expr)),
+        transforms.map(_.name))
     val next = currentVersion(table) + 1
     // Stage the data under a unique temp dir: nothing below `v*` is
     // visible to history()/readers until the commit succeeds. A
@@ -287,8 +299,8 @@ final class SnapshotTables(
     val writerId = java.util.UUID.randomUUID.toString
     val tmp = new Path(tableDir(table), s"snapshots/.tmp-$writerId")
     withHeartbeat(tmp) {
-      val w = df.write.mode(SaveMode.Overwrite)
-      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      val w = df1.write.mode(SaveMode.Overwrite)
+      (if (partitionCols1.nonEmpty) w.partitionBy(partitionCols1: _*) else w)
         .parquet(tmp.toString)
     }
     val meta = new Path(metaDir(table), f"v$next%05d.json")
@@ -297,8 +309,8 @@ final class SnapshotTables(
     // meta file, not merely by the file existing.
     val metaJson =
       s"""{"version":$next,"writer":"$writerId",""" +
-        s""""partition_cols":${partitionCols.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-        s""""schema":${df.schema.json}}"""
+        s""""partition_cols":${partitionCols1.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""schema":${df1.schema.json}}"""
     def metaIsOurs: Boolean =
       try fs(meta).exists(meta) && readSmallFile(meta).contains(s""""writer":"$writerId"""")
       catch { case _: java.io.IOException => false }
@@ -485,6 +497,11 @@ final class SnapshotTables(
     require(transforms.nonEmpty, "need at least one partition transform")
     val withP = transforms.foldLeft(df)((d, t) => d.withColumn(t.name, t.expr))
     overwriteTable(withP, table, transforms.map(_.name), statsCols, sketchCols)
+    // the transform spec is a table property (like stats/sketch cols):
+    // every later PLAIN commit re-derives the layout from it, so
+    // merge/delete/compact/optimize keep the hidden partitioning
+    // without the caller re-threading the transforms
+    replaceSmallFile(transformSpecPath(table), SnapshotTables.PartitionTransform.formatSpec(transforms))
   }
 
   /** Range scan over a hidden-partitioned table: the [lo, hi] bound on
@@ -735,6 +752,15 @@ final class SnapshotTables(
 
   private def sketchColsPath(table: String): Path =
     new Path(metaDir(table), "sketch_cols")
+
+  private def transformSpecPath(table: String): Path =
+    new Path(metaDir(table), "partition_transforms")
+
+  /** The persisted transform spec, when the table is hidden-partitioned. */
+  private def effectiveTransforms(table: String): Seq[SnapshotTables.PartitionTransform] = {
+    val p = transformSpecPath(table)
+    if (fs(p).exists(p)) SnapshotTables.PartitionTransform.parseSpec(readSmallFile(p)) else Nil
+  }
 
   /** Build the per-file stats manifest for version `v`: list the data
     * files (recursively — partitioned layouts nest), then read each
@@ -1240,6 +1266,32 @@ object SnapshotTables {
         def ordered = false
       }
     }
+
+    /** Table-property serialization of a transform list ("days:ts,
+      * bucket8:id,trunc6:name") — column names cannot contain ':' or
+      * ',' (enforced at format time, so a parse is always exact). */
+    def formatSpec(ts: Seq[PartitionTransform]): String = {
+      ts.foreach(t => require(!t.srcCol.contains(':') && !t.srcCol.contains(','),
+        s"column '${t.srcCol}' cannot be serialized in a transform spec"))
+      ts.map { t =>
+        val label = t.name.stripPrefix("__p_").stripSuffix(s"_${t.srcCol}")
+        s"$label:${t.srcCol}"
+      }.mkString(",")
+    }
+
+    private val BucketRe = "bucket(\\d+)".r
+    private val TruncRe = "trunc(\\d+)".r
+
+    def parseSpec(spec: String): Seq[PartitionTransform] =
+      spec.split(',').toSeq.filter(_.nonEmpty).map { part =>
+        val Array(label, src) = part.split(":", 2)
+        label match {
+          case "days"       => days(src)
+          case BucketRe(n)  => bucket(n.toInt, src)
+          case TruncRe(len) => truncate(len.toInt, src)
+          case other => throw new IllegalArgumentException(s"unknown partition transform '$other'")
+        }
+      }
   }
 
   /** Thrown by the losing writer of a version race: the table already

@@ -254,6 +254,19 @@ class SnapshotTablesSpec extends SparkSpec {
     assert(pre.filter($"name".between("user0100", "user0199")).count() == 100)
     // buckets refuse the ordered-range API instead of mis-pruning
     intercept[IllegalArgumentException](t.readPartitionRange("evb", byBucket, 0L, 10L))
+    // the transform spec is a TABLE PROPERTY: a plain DML rewrite
+    // (delete routes through the plain overwrite) re-derives the
+    // hidden layout instead of silently flattening it
+    t.delete("ev", $"id" >= 900)
+    val afterDml = t.readPartitionRange("ev", byDay, "2024-01-02 00:00:00", "2024-01-03 23:59:59")
+    assert(partitionFiltered(afterDml, "__p_days_ts"))
+    assert(afterDml.count() == 288)
+    assert(!t.read("ev").columns.exists(_.startsWith("__p_")))
+    // merge keeps it too, and the merged rows land in the right day dirs
+    t.merge("ev", df.filter($"id" >= 900), keyCols = Seq("id"))
+    assert(t.read("ev").count() == 1000)
+    val again = t.readPartitionRange("ev", byDay, "2024-01-02 00:00:00", "2024-01-03 23:59:59")
+    assert(partitionFiltered(again, "__p_days_ts") && again.count() == 288)
   }
 
   test("statsCols naming only partition columns never yields empty pruned reads") {
