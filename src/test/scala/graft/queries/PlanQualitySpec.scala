@@ -267,6 +267,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), s"expected group-limit pushdown:\n$plan")
   }
 
+  test("q120: the six-stage curation chain fuses without a cartesian; one centroid broadcast only") {
+    val plan = finalPlan(run("q120_curate_embeddings"))
+    assert(!plan.contains("CartesianProduct"), s"no cartesian in the recipe:\n$plan")
+    // the only nested-loop is the 16-row centroid broadcast of the
+    // semantic stage; quality/dedup/caps/split stay keyed or scan-local
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length <= 1,
+      s"only the centroid broadcast may be nested-loop:\n$plan")
+    // the cap stage's partial group-limit survives composition
+    assert(plan.contains("WindowGroupLimit"), s"cap stage must keep its group-limit:\n$plan")
+  }
+
   test("q121: overlap join is a hash/merge join on (key, cell) — never nested-loop") {
     val plan = finalPlan(run("q121_overlap_join"))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
