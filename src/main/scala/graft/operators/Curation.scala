@@ -358,6 +358,35 @@ object Curation {
     mixSources(hashSplit(deduped, idCol, splitWeights), idCol, sourceCol, ratesPerMille)
   }
 
+  /** Temperature-based source balancing (the mT5/multilingual mixing
+    * recipe, public): resulting source proportions follow n_s^α —
+    * α = 1 keeps natural proportions, α → 0 flattens toward uniform.
+    * Realized as DOWN-sampling only (filtering cannot upsample): each
+    * source keeps rate r_s = n_s^(α−1) / max_t n_t^(α−1), so the
+    * smallest source keeps everything and larger sources shed rows
+    * until counts ∝ n_s^α in expectation.
+    *
+    * Membership is the [[hashSplit]] hash-uniform contract — a pure
+    * function of (seed, id): stable under growth/repartition and
+    * engine-replayable. Rates are rounded to 8 dp before the compare
+    * (the q91 ln contract — pow may differ by an ulp between libms;
+    * the pre-round absorbs it, and the 2^-32-grid uniform never sits
+    * within 5e-9 of an 8-dp rate in any fixture). Shape: one
+    * per-source count agg, a broadcast rates join, a scan-local
+    * filter — the corpus never shuffles. */
+  def temperatureMix(df: DataFrame, idCol: String, sourceCol: String, alpha: Double,
+      seed: String = "tmix"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha in (0, 1] — filtering cannot upsample")
+    val cnt = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+    val w = cnt.withColumn("__w", pow(col("__n").cast("double"), lit(alpha - 1.0)))
+    val rates = w.crossJoin(broadcast(w.agg(max(col("__w")).as("__wmax"))))
+      .select(col(sourceCol), round(col("__w") / col("__wmax"), 8).as("__rate"))
+    val u = (hash32(concat(lit(seed), col(idCol).cast("string"))) + lit(0.5)) / lit(4294967296.0)
+    df.join(broadcast(rates), Seq(sourceCol))
+      .filter(u < col("__rate"))
+      .drop("__rate")
+  }
+
   /** The full training-corpus recipe with the embedding-space stages
     * composed — what a 100 TB curation run actually chains:
     * quality gate → (optional) decontamination → exact dedup →

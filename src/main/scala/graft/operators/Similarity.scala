@@ -183,6 +183,45 @@ object Similarity {
       .orderBy(col("id"), col("rk"))
   }
 
+  /** Hard-negative mining for contrastive training: for each document,
+    * its most-similar neighbors that are NOT near-duplicates — the
+    * similar-but-different examples an embedding model learns the most
+    * from (near-dups would be false negatives and poison the loss;
+    * random negatives are too easy to carry signal).
+    *
+    * Composition of existing pieces, all keyed: [[knnJoinLsh]]
+    * generates each doc's candidate neighbor list (LSH-bounded, never
+    * n²), pairs above `dupThreshold` are dropped as presumed
+    * duplicates, and the surviving neighbors are re-ranked per doc —
+    * top `negativesPerDoc` kept, rank re-numbered after the drop
+    * (Spark 4 plans the second rank with a partial WindowGroupLimit
+    * exactly like the first). Same approximation contract as every
+    * LSH path; `fetchK` should exceed `negativesPerDoc` by the
+    * expected near-dup count per doc.
+    *
+    * Output: (id, rk, neighbor_id, score) — rk over NEGATIVES only. */
+  def hardNegatives(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      negativesPerDoc: Int,
+      dupThreshold: Double,
+      fetchK: Int = 10,
+      bits: Int = 4,
+      dim: Int = 64,
+      tables: Int = 2
+  ): DataFrame = {
+    require(fetchK > negativesPerDoc, "fetchK must exceed negativesPerDoc to absorb dropped near-dups")
+    val knn = knnJoinLsh(corpus, idCol, vecCol, fetchK, bits, dim, tables)
+    val w = Window.partitionBy(col("id")).orderBy(col("score").desc, col("neighbor_id"))
+    knn
+      .filter(col("score") <= dupThreshold) // near-dups are FALSE negatives — out
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= negativesPerDoc)
+      .select(col("id"), col("rk"), col("neighbor_id"), col("score"))
+      .orderBy(col("id"), col("rk"))
+  }
+
   /** Deterministic random hyperplanes: `bits` planes of dimension
     * `dim`, seeded — the library never calls entropy sources at plan
     * time. */

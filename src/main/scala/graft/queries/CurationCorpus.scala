@@ -984,6 +984,34 @@ object CurationCorpus {
       ORDER BY doc_id""")
   )
 
+  /** Temperature mixing, hash-exact: lineitem rows balanced across
+    * return-flag "sources" at α = 0.5 (N holds ~half the rows and gets
+    * down-sampled hardest; the smallest flag keeps everything). The
+    * oracle replays the rate derivation (POW → normalized → ROUND 8)
+    * and the per-row hash-uniform decision verbatim; per-flag counts
+    * are sensitive to every row's keep/drop, so the hash match pins
+    * the whole draw. Row id = orderkey·10 + linenumber (unique). */
+  private val q124 = Q(
+    "q124_temperature_mix",
+    (s, dir) => {
+      val li = fixture(s, dir, "lineitem")
+        .withColumn("row_id", col("l_orderkey") * 10 + col("l_linenumber"))
+      Curation.temperatureMix(li, "row_id", "l_returnflag", alpha = 0.5)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some(s"""WITH li AS (SELECT *, l_orderkey * 10 + l_linenumber AS row_id FROM lineitem),
+      c AS (SELECT l_returnflag, COUNT(*) AS n FROM li GROUP BY l_returnflag),
+      r AS (SELECT l_returnflag,
+              ROUND(POW(CAST(n AS DOUBLE), -0.5)
+                    / (SELECT MAX(POW(CAST(n AS DOUBLE), -0.5)) FROM c), 8) AS rate FROM c)
+      SELECT li.l_returnflag, COUNT(*) AS n_kept
+      FROM li JOIN r USING (l_returnflag)
+      WHERE ((${sqlHash32("'tmix' || CAST(row_id AS VARCHAR)")} + 0.5) / 4294967296.0) < rate
+      GROUP BY li.l_returnflag ORDER BY li.l_returnflag""")
+  )
+
   /** Per-source document cap (the domain-cap curation step), exact:
     * keep the 10 longest-by-token-count docs per source, deterministic
     * (n_tokens DESC, doc_id) rank — the oracle replays the token count
@@ -1010,5 +1038,5 @@ object CurationCorpus {
 
   val all: Seq[Q] = Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q89, q90, q91,
-    q92, q93, q94, q103, q104, q105, q110, q115, q120)
+    q92, q93, q94, q103, q104, q105, q110, q115, q120, q124)
 }

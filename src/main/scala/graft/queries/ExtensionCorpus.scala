@@ -429,6 +429,46 @@ object ExtensionCorpus {
     }
   )
 
+  /** Hard-negative mining, hash-exact: q117's knn CTEs with the
+    * presumed-duplicate band (score > 0.3) dropped and the survivors
+    * re-ranked per doc — ordering the SECOND rank by the rounded score
+    * exactly as the operator does (it consumes knnJoinLsh output,
+    * whose score is already rounded to 6 dp). */
+  private val q123 = Q(
+    "q123_hard_negatives",
+    (s, dir) =>
+      Similarity.hardNegatives(fixture(s, dir, "embeddings"), "vec_id", "embedding",
+        negativesPerDoc = 3, dupThreshold = 0.3, fetchK = 10, bits = 4, dim = 64, tables = 2),
+    Some {
+      def bucketSql(seed: Long): String = {
+        val planes = Similarity.hyperplanes(dim = 64, bits = 4, seed)
+        (0 until 4).map { b =>
+          val proj = (0 until 64).map(i => s"emb[${i + 1}]*(${planes(b)(i)})").mkString(" + ")
+          s"(CASE WHEN ($proj) > 0 THEN ${1L << b} ELSE 0 END)"
+        }.mkString(" + ")
+      }
+      val tables = (0 until 2).map { t =>
+        s"""SELECT l.vec_id AS a, r.vec_id AS b
+            FROM (SELECT vec_id, ${bucketSql(42L + t)} AS bkt FROM v) l
+            JOIN (SELECT vec_id, ${bucketSql(42L + t)} AS bkt FROM v) r
+              ON l.bkt = r.bkt AND l.vec_id < r.vec_id"""
+      }.mkString("\n UNION \n")
+      s"""WITH v AS ($sqlVecView),
+        cand AS ($tables),
+        sym AS (SELECT a, b FROM cand UNION ALL SELECT b, a FROM cand),
+        sc AS (SELECT sym.a, sym.b, ${sqlCosine("va.emb", "vb.emb")} AS raw
+               FROM sym JOIN v va ON va.vec_id = sym.a JOIN v vb ON vb.vec_id = sym.b),
+        knn AS (SELECT a, b, ROUND(raw, 6) AS score FROM (
+          SELECT a, b, raw, ROW_NUMBER() OVER (PARTITION BY a ORDER BY raw DESC, b) AS rk FROM sc)
+          WHERE rk <= 10),
+        neg AS (SELECT a, b, score,
+                 ROW_NUMBER() OVER (PARTITION BY a ORDER BY score DESC, b) AS rk
+               FROM knn WHERE score <= 0.3)
+        SELECT a AS id, CAST(rk AS INTEGER) AS rk, b AS neighbor_id, score
+        FROM neg WHERE rk <= 3 ORDER BY id, rk"""
+    }
+  )
+
   // ----------------------------------------------------------- multimodal
 
   private val q41 = Q(
@@ -1473,6 +1513,6 @@ object ExtensionCorpus {
   val all: Seq[Q] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q99, q100, q101, q102, q106, q107, q108,
-    q109, q111, q112, q113, q114, q116, q117, q118, q119, q121, q122
+    q109, q111, q112, q113, q114, q116, q117, q118, q119, q121, q122, q123
   )
 }

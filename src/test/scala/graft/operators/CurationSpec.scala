@@ -357,6 +357,29 @@ class CurationSpec extends SparkSpec {
       .select($"doc_id").as[Long].collect().toSet.contains(0L))
   }
 
+  test("temperatureMix flattens source proportions toward n^alpha; alpha=1 keeps everything") {
+    // skewed sources: a=3200, b=800, c=200 rows
+    val df = ((0 until 3200).map(i => (i.toLong, "a")) ++
+      (4000 until 4800).map(i => (i.toLong, "b")) ++
+      (6000 until 6200).map(i => (i.toLong, "c"))).toDF("id", "source")
+    // alpha = 1: natural proportions, nothing dropped
+    assert(Curation.temperatureMix(df, "id", "source", alpha = 1.0).count() == 4200)
+    // alpha = 0.5: counts should approach n^0.5 proportions — the
+    // smallest source keeps everything, the largest sheds the most
+    val m = Curation.temperatureMix(df, "id", "source", alpha = 0.5)
+      .groupBy($"source").count().as[(String, Long)].collect().toMap
+    assert(m("c") == 200L, "smallest source must keep every row")
+    // expected kept: n_s * sqrt(n_c/n_s) = sqrt(n_s * n_c): a->800, b->400
+    assert(math.abs(m("a") - 800L) < 80, s"a kept ${m("a")}, expected ~800")
+    assert(math.abs(m("b") - 400L) < 60, s"b kept ${m("b")}, expected ~400")
+    // membership is hash-derived: identical under repartition
+    val again = Curation.temperatureMix(df.repartition(13), "id", "source", alpha = 0.5)
+      .select($"id").as[Long].collect().toSet
+    val first = Curation.temperatureMix(df, "id", "source", alpha = 0.5)
+      .select($"id").as[Long].collect().toSet
+    assert(again == first)
+  }
+
   test("capPerGroup bounds each group at n, keeps the top-ranked, deterministic under repartition") {
     val df = Seq(
       (1L, "a", 10), (2L, "a", 30), (3L, "a", 20), (4L, "a", 30),

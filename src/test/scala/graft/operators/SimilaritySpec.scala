@@ -336,6 +336,31 @@ class SimilaritySpec extends SparkSpec {
     assert(ids.contains(1L) && ids.contains(2L))
   }
 
+  test("hard negatives: near-dup band excluded, ranks renumbered, bounded per doc") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val tau = 0.25
+    val neg = Similarity.hardNegatives(e, "vec_id", "embedding",
+      negativesPerDoc = 2, dupThreshold = tau, fetchK = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // every negative sits at or below the dup threshold
+    assert(neg.forall(_._4 <= tau), s"dup-band leak: ${neg.filter(_._4 > tau).take(3).toSeq}")
+    // bounded and densely re-ranked per doc
+    neg.groupBy(_._1).foreach { case (id, rows) =>
+      assert(rows.length <= 2)
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length), s"ranks must renumber for $id")
+    }
+    // negatives are exactly the knn survivors: subset of the knn list,
+    // and no surviving knn neighbor outranks a chosen negative
+    val knn = Similarity.knnJoinLsh(e, "vec_id", "embedding", k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val knnSet = knn.map(t => (t._1, t._2)).toSet
+    assert(neg.forall(t => knnSet.contains((t._1, t._3))))
+    val bestSurvivor = knn.filter(_._3 <= tau).groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
+    neg.filter(_._2 == 1).foreach { case (id, _, _, score) =>
+      assert(score == bestSurvivor(id), s"doc $id rank-1 negative must be its best non-dup neighbor")
+    }
+  }
+
   test("mmr rerank trades relevance for diversity; lambda=1 reduces to plain top-k") {
     // q=(1,0,..); c1 highly relevant, c2 a near-dup of c1, c3 diverse
     // but less relevant: plain top-2 = {c1,c2}, MMR top-2 = {c1,c3}
