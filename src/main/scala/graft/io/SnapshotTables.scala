@@ -675,6 +675,28 @@ final class SnapshotTables(
     commitToBranch(table, branch, merged, partitionCols)
   }
 
+  /** The audit tool of the WAP flow: what WOULD publishing this branch
+    * change on main? Keyed diff of main's CURRENT content against the
+    * branch's — (keyCols, __change ∈ insert/update/delete, __old,
+    * __new) rows, same shape as [[diffKeyed]]. Review the delta (or
+    * run [[graft.operators.Checks]] over it) before deciding to
+    * publish or drop. */
+  def branchDiff(table: String, branch: String, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "branchDiff needs key columns")
+    import org.apache.spark.sql.functions._
+    val from = read(table)
+    val rest = from.columns.filterNot(keyCols.contains).toSeq
+    def packed(df: DataFrame, as: String) =
+      df.select(keyCols.map(col) :+ struct(rest.map(col): _*).as(as): _*)
+    packed(from, "__old")
+      .join(packed(readBranch(table, branch), "__new"), keyCols, "full_outer")
+      .withColumn("__change",
+        when(col("__old").isNull, "insert")
+          .when(col("__new").isNull, "delete")
+          .when(!(col("__old") <=> col("__new")), "update"))
+      .filter(col("__change").isNotNull)
+  }
+
   /** Discard the branch: ref and every branch snapshot are deleted;
     * main never learns the branch existed. */
   def dropBranch(table: String, branch: String): Unit = {

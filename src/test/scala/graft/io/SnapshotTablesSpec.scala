@@ -330,6 +330,21 @@ class SnapshotTablesSpec extends SparkSpec {
     assert(t.readVersion("tab", 1).count() == 2)
   }
 
+  test("branchDiff previews exactly what publish would change") {
+    val t = newTables()
+    t.overwriteTable(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"), "tab")
+    t.createBranch("tab", "wap")
+    t.mergeToBranch("tab", "wap", Seq((2, "B2"), (4, "d")).toDF("id", "v"), keyCols = Seq("id"))
+    t.commitToBranch("tab", "wap",
+      t.readBranch("tab", "wap").filter($"id" =!= 3)) // and a delete
+    val d = t.branchDiff("tab", "wap", Seq("id")).collect()
+      .map(r => r.getInt(0) -> r.getString(r.fieldIndex("__change"))).toMap
+    assert(d == Map(2 -> "update", 3 -> "delete", 4 -> "insert"))
+    // publishing then realizes exactly that preview
+    t.publish("tab", "wap")
+    assert(t.read("tab").as[(Int, String)].collect().toSet == Set((1, "a"), (2, "B2"), (4, "d")))
+  }
+
   test("publish refuses when main advanced past the fork; drop-branch leaves no trace") {
     val t = newTables()
     t.overwriteTable(Seq((1, "a")).toDF("id", "v"), "tab")
