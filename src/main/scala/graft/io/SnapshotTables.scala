@@ -60,6 +60,12 @@ final class SnapshotTables(
     sketchHashes: Int = 4
 ) extends TableFormat {
 
+  // readPrunedIn's codegen'd bloomHit unrolls at most 8 hash positions;
+  // a larger sketchHashes would silently test only the first 8,
+  // degrading the configured false-positive rate with no error.
+  require(sketchHashes >= 1 && sketchHashes <= 8,
+    s"sketchHashes must be in [1, 8], got $sketchHashes")
+
   private def fs(p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -630,6 +636,18 @@ final class SnapshotTables(
     require(base > 0, s"table $table has no committed version to branch from")
     if (!createExclusive(refPath(table, branch), s"""{"base":$base}"""))
       throw new IllegalStateException(s"branch '$branch' already exists on table '$table'")
+    // Table properties cross the fork seam: seed the branch's
+    // stats/sketch columns and hidden-partition transform spec from
+    // main's, so branch commits keep maintaining the same manifests
+    // and directory layout main does (without this, a branch commit on
+    // a stats-maintained or hidden-partitioned table would silently
+    // drop the manifest and flatten the layout).
+    val bt = branchTables(table)
+    Seq(statsColsPath(table) -> bt.statsColsPath(branch),
+        sketchColsPath(table) -> bt.sketchColsPath(branch),
+        transformSpecPath(table) -> bt.transformSpecPath(branch))
+      .foreach { case (src, dst) =>
+        if (fs(src).exists(src)) replaceSmallFile(dst, readSmallFile(src)) }
   }
 
   /** The main version the branch forked from. */
@@ -753,6 +771,16 @@ final class SnapshotTables(
     }
     val bmf = bt.manifestPath(branch, bv)
     if (fs(bmf).exists(bmf)) fs(bmf).rename(bmf, manifestPath(table, next))
+    // Properties cross the publish seam too: stats/sketch columns and
+    // the transform spec the audited branch carried (seeded at fork,
+    // possibly changed by branch commits) become main's, so every
+    // later main commit keeps maintaining them — the published
+    // version's manifest and layout stay live, not a one-off.
+    Seq(bt.statsColsPath(branch) -> statsColsPath(table),
+        bt.sketchColsPath(branch) -> sketchColsPath(table),
+        bt.transformSpecPath(branch) -> transformSpecPath(table))
+      .foreach { case (src, dst) =>
+        if (fs(src).exists(src)) replaceSmallFile(dst, readSmallFile(src)) }
     advancePointer(table, next)
     expire(table, next)
     dropBranch(table, branch)

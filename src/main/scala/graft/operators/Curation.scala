@@ -382,8 +382,12 @@ object Curation {
     val rates = w.crossJoin(broadcast(w.agg(max(col("__w")).as("__wmax"))))
       .select(col(sourceCol), round(col("__w") / col("__wmax"), 8).as("__rate"))
     val u = (hash32(concat(lit(seed), col(idCol).cast("string"))) + lit(0.5)) / lit(4294967296.0)
-    df.join(broadcast(rates), Seq(sourceCol))
-      .filter(u < col("__rate"))
+    // LEFT join + coalesce: rows with a NULL source don't equi-match
+    // the rates frame — they keep everything (rate 1.0), consistent
+    // with mixSources' default-rate treatment of unknown sources,
+    // instead of being silently dropped by an inner join.
+    df.join(broadcast(rates), Seq(sourceCol), "left")
+      .filter(u < coalesce(col("__rate"), lit(1.0)))
       .drop("__rate")
   }
 

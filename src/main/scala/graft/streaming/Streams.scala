@@ -191,14 +191,19 @@ object Streams {
     * Delivery is EXACTLY-ONCE at batch granularity: foreachBatch itself
     * is at-least-once on retry, so each successful batch commits a
     * marker file (`_committed_<batchId>` under the index) LAST — a
-    * replayed batchId finds its marker and is skipped whole, so keepers
-    * are never double-appended. (A crash between the corpus append and
-    * the marker write replays the batch; re-appended keepers are then
-    * possible for THAT batch only — the marker bounds the damage to one
-    * batch and makes it detectable; dedupe on sig_digest downstream if
-    * the corpus must be byte-exact after kill -9.) Docs shorter than
-    * the shingle width carry no signature and are dropped (route them
-    * through [[dedupStream]] on a content digest instead). */
+    * replayed batchId finds its marker and is skipped whole. A crash
+    * BETWEEN the writes and the marker is also safe: each batch's
+    * corpus rows land under their own `__batch=<id>` subdirectory with
+    * OVERWRITE (a replay rewrites the same partition instead of
+    * appending a second copy), index rows carry a `src_batch` column
+    * the replay excludes from its own dedup decision (so a partially
+    * indexed batch re-decides identically) and anti-joins against
+    * before re-appending — every crash point replays to the same
+    * corpus and index state, no duplicates, no lost rows. Reading
+    * `corpusPath` surfaces `__batch` as a lineage column via partition
+    * discovery. Docs shorter than the shingle width carry no signature
+    * and are dropped (route them through [[dedupStream]] on a content
+    * digest instead). */
   def incrementalDedupSink(
       docs: DataFrame,
       idCol: String,
@@ -238,10 +243,13 @@ object Streams {
     * shingle width carry no signature and are dropped (route them
     * through [[dedupStream]] on a content digest instead).
     *
-    * Exactly-once: same marker protocol as [[incrementalDedupSink]] —
-    * replayed batches are skipped whole; the marker is written last so
-    * a crash bounds damage to one detectable batch. Index files are
-    * compacted every `compactEvery` batches. */
+    * Exactly-once: same idempotent-replay protocol as
+    * [[incrementalDedupSink]] — replayed batches are skipped whole via
+    * the marker; a crash BEFORE the marker replays to the identical
+    * corpus and index state (batch-scoped `__batch=<id>` corpus
+    * overwrite + `src_batch`-tagged index rows the replay excludes
+    * from its own decision), so no crash point duplicates or loses
+    * rows. Index files are compacted every `compactEvery` batches. */
   def incrementalNearDupSink(
       docs: DataFrame,
       idCol: String,
@@ -284,7 +292,7 @@ object Streams {
     // only a MISSING index (first batch ever) falls back to empty —
     // any other read failure must fail the batch, not reset dedup
     val index =
-      try spark.read.parquet(indexPath).select(col("band_idx"), col("bucket"))
+      try spark.read.parquet(indexPath)
       catch {
         case e: org.apache.spark.sql.AnalysisException
             if e.getCondition == "PATH_NOT_FOUND" =>
@@ -292,14 +300,22 @@ object Streams {
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             StructType(Seq(
               org.apache.spark.sql.types.StructField("band_idx", org.apache.spark.sql.types.IntegerType),
-              org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.StringType))))
+              org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("src_batch", org.apache.spark.sql.types.LongType))))
       }
+    // Exclude this batch's own index rows from the drop decision (they
+    // exist only when a prior attempt crashed between the index append
+    // and the marker): the replay re-derives the same keepers instead
+    // of colliding with its own partial output and dropping everything.
+    val priorIndex = index
+      .filter(coalesce(col("src_batch"), lit(-1L)) =!= lit(batchId))
+      .select(col("band_idx"), col("bucket"))
     val bb = graft.operators.Dedup
       .bandBuckets(batch, idCol, textCol, numHashes, bands)
       .withColumnRenamed(idCol, "__did")
       .localCheckpoint(true) // three consumers below
     // cross-batch collisions: any band bucket already in the index
-    val dropCross = bb.join(index, Seq("band_idx", "bucket"), "left_semi").select(col("__did"))
+    val dropCross = bb.join(priorIndex, Seq("band_idx", "bucket"), "left_semi").select(col("__did"))
     // within-batch greedy keep-first: collides with a smaller batch id
     val dropIntra = bb
       .join(bb.select(col("__did").as("__other"), col("band_idx"), col("bucket")),
@@ -309,13 +325,18 @@ object Streams {
     val keepIds = bb.select(col("__did")).distinct()
       .join(dropCross.union(dropIntra).distinct(), Seq("__did"), "left_anti")
       .localCheckpoint(true)
+    // Batch-scoped OVERWRITE: a replay rewrites its own partition to
+    // identical content — no duplicate corpus rows at any crash point.
     batch.join(keepIds.withColumnRenamed("__did", idCol), Seq(idCol), "left_semi")
-      .write.mode("append").parquet(corpusPath)
-    // keepers' band buckets extend the index; already-present buckets
-    // are not re-appended, so index growth ≤ bands rows per kept doc
+      .write.mode("overwrite").parquet(s"$corpusPath/__batch=$batchId")
+    // keepers' band buckets extend the index; buckets already present
+    // (other batches OR this batch's own partial append) are not
+    // re-appended, so index growth ≤ bands rows per kept doc and a
+    // replayed partial append adds nothing
     bb.join(keepIds, Seq("__did"), "left_semi")
       .select(col("band_idx"), col("bucket")).distinct()
-      .join(index, Seq("band_idx", "bucket"), "left_anti")
+      .withColumn("src_batch", lit(batchId))
+      .join(index.select(col("band_idx"), col("bucket")), Seq("band_idx", "bucket"), "left_anti")
       .write.mode("append").parquet(indexPath)
     fs.create(marker, true).close() // commit point: written LAST
     if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
@@ -533,17 +554,30 @@ object Streams {
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             StructType(sigCols.map(c =>
-              org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType))))
+              org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType)) :+
+              org.apache.spark.sql.types.StructField("src_batch", org.apache.spark.sql.types.LongType)))
       }
+    // The dedup DECISION excludes this batch's own index rows (present
+    // only when a prior attempt crashed between the index append and
+    // the marker): the replay must re-derive the same keepers, not see
+    // its own partial output and drop everything.
+    val priorIndex = index.filter(coalesce(col("src_batch"), lit(-1L)) =!= lit(batchId))
     val fresh = graft.operators.Dedup
       .minhashSignatures(batch, idCol, textCol, numHashes)
       .groupBy(sigCols.map(col): _*)
       .agg(min(col(idCol)).as(idCol))
-      .join(index.select(sigCols.map(col): _*).distinct(), sigCols, "left_anti")
+      .join(priorIndex.select(sigCols.map(col): _*).distinct(), sigCols, "left_anti")
       .localCheckpoint(true)
+    // Batch-scoped OVERWRITE: a replayed batch rewrites its own
+    // partition to the identical content instead of appending a second
+    // copy — the corpus write is idempotent at every crash point.
     batch.join(fresh.select(col(idCol)), Seq(idCol), "left_semi")
-      .write.mode("append").parquet(corpusPath)
-    fresh.select(sigCols.map(col): _*).write.mode("append").parquet(indexPath)
+      .write.mode("overwrite").parquet(s"$corpusPath/__batch=$batchId")
+    // Append-dedup against the FULL index (own partial rows included):
+    // a replay after a partial index append re-appends nothing.
+    fresh.select(sigCols.map(col): _*).withColumn("src_batch", lit(batchId))
+      .join(index.select(sigCols.map(col): _*), sigCols, "left_anti")
+      .write.mode("append").parquet(indexPath)
     fs.create(marker, true).close() // commit point: written LAST
     if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
       compactIndex(spark, indexPath, batchId)

@@ -684,4 +684,47 @@ class SnapshotTablesSpec extends SparkSpec {
       assert(t.readBranch("tab", s"b$i").as[(Int, String)].collect().toSet == Set((i, s"branch$i")))
     }
   }
+
+  test("sketchHashes outside [1, 8] is rejected at construction, not silently truncated") {
+    val root = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    intercept[IllegalArgumentException](new SnapshotTables(spark, root, sketchHashes = 9))
+    intercept[IllegalArgumentException](new SnapshotTables(spark, root, sketchHashes = 0))
+  }
+
+  test("stats-cols property crosses the branch fork and publish seams") {
+    val t = newTables()
+    t.overwriteTable((1 to 100).map(i => (i, s"v$i")).toDF("id", "v"), "tab", Nil, Seq("id"))
+    assert(t.fastCount("tab") == 100L)
+    t.createBranch("tab", "wap")
+    // branch commit WITHOUT re-threading statsCols: the seeded branch
+    // property keeps the manifest maintained on the branch
+    t.commitToBranch("tab", "wap", (1 to 150).map(i => (i, s"v$i")).toDF("id", "v"))
+    t.publish("tab", "wap")
+    // the published main version answers from its manifest...
+    assert(t.fastCount("tab") == 150L)
+    // ...and LATER plain main commits keep maintaining it
+    t.overwriteTable((1 to 70).map(i => (i, s"v$i")).toDF("id", "v"), "tab")
+    assert(t.fastCount("tab") == 70L)
+  }
+
+  test("hidden-partition transform spec crosses fork and publish — layout never flattens") {
+    import SnapshotTables.PartitionTransform
+    val root = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    val t = new SnapshotTables(spark, root)
+    val pt = PartitionTransform.bucket(4, "id")
+    t.overwriteTableTransformed((1 to 40).map(i => (i, s"v$i")).toDF("id", "v"), "ptab", Seq(pt))
+    t.createBranch("ptab", "wap")
+    // plain branch commit (no partition cols): the seeded transform
+    // spec must re-derive the bucketed layout, not flatten it
+    t.commitToBranch("ptab", "wap", (1 to 60).map(i => (i, s"v$i")).toDF("id", "v"))
+    t.publish("ptab", "wap")
+    val snap = new java.io.File(s"$root/ptab/snapshots/v00002")
+    assert(snap.listFiles().exists(f => f.isDirectory && f.getName.startsWith("__p_")),
+      "published snapshot keeps the hidden-partition directory layout")
+    // and later plain MAIN commits keep re-deriving it too
+    t.overwriteTable((1 to 30).map(i => (i, s"v$i")).toDF("id", "v"), "ptab")
+    val snap3 = new java.io.File(s"$root/ptab/snapshots/v00003")
+    assert(snap3.listFiles().exists(f => f.isDirectory && f.getName.startsWith("__p_")))
+    assert(t.readPartitionValues("ptab", pt, Seq(7)).count() > 0)
+  }
 }

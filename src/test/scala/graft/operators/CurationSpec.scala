@@ -380,6 +380,16 @@ class CurationSpec extends SparkSpec {
     assert(again == first)
   }
 
+  test("temperatureMix keeps NULL-source rows at the default rate instead of dropping them") {
+    val df = ((0 until 400).map(i => (i.toLong, Some("a"))) ++
+      (1000 until 1010).map(i => (i.toLong, Option.empty[String])))
+      .toDF("id", "source")
+    val kept = Curation.temperatureMix(df, "id", "source", alpha = 0.5)
+    // all 10 null-source rows survive (rate 1.0 — the mixSources
+    // convention for unknown sources), none silently dropped
+    assert(kept.filter($"source".isNull).count() == 10)
+  }
+
   test("capPerGroup bounds each group at n, keeps the top-ranked, deterministic under repartition") {
     val df = Seq(
       (1L, "a", 10), (2L, "a", 30), (3L, "a", 20), (4L, "a", 30),

@@ -245,6 +245,58 @@ class StreamsSpec extends SparkSpec {
     assert(spark.read.parquet(index).count() == n)
   }
 
+  test("a crash before the marker replays to the identical corpus and index — no dupes, no loss") {
+    val base = java.nio.file.Files.createTempDirectory("graft-incdedup-crash").toString
+    val corpus = s"$base/corpus"; val index = s"$base/index"
+    val idxPath = new org.apache.hadoop.fs.Path(index)
+    val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val b0 = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a completely different document about spark engines")).toDF("doc_id", "text")
+    assert(Streams.incrementalDedupBatch(b0, 0L, "doc_id", "text", corpus, index))
+    // crash point 1: corpus + index written, marker lost (kill -9 just
+    // before the commit point) — the replay must not double-append the
+    // corpus nor re-grow the index
+    val b1 = Seq((5L, "an entirely new document no one has seen")).toDF("doc_id", "text")
+    assert(Streams.incrementalDedupBatch(b1, 1L, "doc_id", "text", corpus, index))
+    fs.delete(new org.apache.hadoop.fs.Path(index, "_committed_1"), false)
+    assert(Streams.incrementalDedupBatch(b1, 1L, "doc_id", "text", corpus, index))
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 5L))
+    assert(spark.read.parquet(index).count() == 3, "replay must not duplicate index rows")
+    // crash point 2: corpus written, index append lost — the replay
+    // must re-derive the same keepers and restore the index rows
+    val before = fs.listStatus(idxPath).map(_.getPath.getName).toSet
+    val b2 = Seq((7L, "yet another brand new document for this corpus stream")).toDF("doc_id", "text")
+    assert(Streams.incrementalDedupBatch(b2, 2L, "doc_id", "text", corpus, index))
+    fs.listStatus(idxPath).filterNot(s => before(s.getPath.getName))
+      .foreach(s => fs.delete(s.getPath, false)) // drop batch 2's index files AND its marker
+    assert(Streams.incrementalDedupBatch(b2, 2L, "doc_id", "text", corpus, index))
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 5L, 7L))
+    assert(spark.read.parquet(index).count() == 4)
+  }
+
+  test("near-dup crash before the marker replays identically too") {
+    val base = java.nio.file.Files.createTempDirectory("graft-incneardup-crash").toString
+    val corpus = s"$base/corpus"; val index = s"$base/index"
+    val idxPath = new org.apache.hadoop.fs.Path(index)
+    val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val a = "the quick brown fox jumps over the lazy dog while the cat sleeps in the warm afternoon sun"
+    val b0 = Seq((1L, a)).toDF("doc_id", "text")
+    assert(Streams.incrementalNearDupBatch(b0, 0L, "doc_id", "text", corpus, index))
+    val n0 = spark.read.parquet(index).count()
+    // crash just before the marker: index holds batch 1's buckets; the
+    // replay must EXCLUDE its own rows from the drop decision (else it
+    // would drop its whole batch and overwrite the corpus partition
+    // with nothing — data loss)
+    val b1 = Seq((5L, "spark engines process distributed datasets with catalyst optimizing every logical plan")).toDF("doc_id", "text")
+    assert(Streams.incrementalNearDupBatch(b1, 1L, "doc_id", "text", corpus, index))
+    fs.delete(new org.apache.hadoop.fs.Path(index, "_committed_1"), false)
+    assert(Streams.incrementalNearDupBatch(b1, 1L, "doc_id", "text", corpus, index))
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 5L))
+    assert(spark.read.parquet(index).count() > n0, "batch 1's buckets stay indexed")
+    assert(spark.read.parquet(index).groupBy("band_idx", "bucket").count()
+      .filter(col("count") > 1).count() == 0, "no duplicate buckets after replay")
+  }
+
   test("conformedNdjsonSink reports mid-stream schema drift and still lands conformed rows") {
     implicit val ctx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft-drift").toString
