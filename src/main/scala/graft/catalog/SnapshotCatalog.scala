@@ -1,0 +1,260 @@
+package graft.catalog
+
+import graft.io.SnapshotTables
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import java.util
+
+/** Spark V2 `TableCatalog` over [[graft.io.SnapshotTables]] — the
+  * engine's answer to the reference registering Iceberg catalogs and
+  * speaking 3-level names (reference: spark/jobs/job_gold.py:50-58
+  * configures `spark.sql.catalog.silver`/`gold`; the gold query at
+  * job_gold.py:71-88 reads `silver.dw.tab_brewery` verbatim).
+  *
+  * Register exactly like the reference does, but with the snapshot
+  * root instead of an Iceberg warehouse:
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.silver", "graft.catalog.SnapshotCatalog")
+  *   spark.conf.set("spark.sql.catalog.silver.root", "/lake/silver/warehouse")
+  *   spark.sql("SELECT ... FROM silver.dw.tab_brewery WHERE ...")
+  * }}}
+  *
+  * Layout: `<root>/<namespace...>/<table>` — each namespace directory
+  * is a [[SnapshotTables]] root, so every table resolved through the
+  * catalog carries the full snapshot feature set (versioned commits,
+  * retention, manifests, hidden partitioning, WAP branches).
+  *
+  * Surface through SQL:
+  *  - reads (`SELECT ... FROM cat.ns.tab`) delegate the scan to
+  *    Spark's own parquet DSv2 scan over the resolved snapshot
+  *    directory — predicate pushdown, column pruning and
+  *    partition-directory pruning are exactly the built-in parquet
+  *    path's, nothing bespoke;
+  *  - time travel: `VERSION AS OF n` pins a retained snapshot
+  *    version; `TIMESTAMP AS OF t` resolves the newest version
+  *    committed at or before `t` (commit mtime);
+  *  - `CREATE TABLE` / `CTAS` with `PARTITIONED BY` — identity
+  *    columns map to directory partitioning, `days(c)` / `bucket(n,
+  *    c)` / `truncate(n, c)` map to the snapshot layer's HIDDEN
+  *    partition transforms;
+  *  - `INSERT INTO` / `INSERT OVERWRITE` (incl. static-partition
+  *    overwrite) write through the same fenced-CAS commit path as the
+  *    Scala API — a V1 write fallback hands this layer an analyzed
+  *    DataFrame and [[SnapshotTables.overwriteTable]] does the
+  *    distributed write + commit; no row ever passes the driver;
+  *  - `DELETE FROM` / `UPDATE` / `MERGE INTO` are rewritten by
+  *    [[graft.plans.SnapshotDmlRule]] onto the snapshot COW
+  *    implementations.
+  *
+  * Multi-writer semantics are [[SnapshotTables]]' own: concurrent
+  * INSERTs race on the version CAS; losers throw
+  * `ConcurrentCommitException` rather than silently interleaving.
+  */
+class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var rootPath: String = _
+  private var retention: Int = 10
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    rootPath = Option(options.get("root")).getOrElse(throw new IllegalArgumentException(
+      s"SnapshotCatalog '$name' needs spark.sql.catalog.$name.root=<dir>"))
+    retention = Option(options.get("retention")).map(_.toInt).getOrElse(10)
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+  private def hconf = spark.sparkContext.hadoopConfiguration
+
+  /** One SnapshotTables per namespace directory. Constructed on demand
+    * — the instance is a thin path-holder, all state is on disk. */
+  private[graft] def tablesFor(namespace: Array[String]): SnapshotTables =
+    new SnapshotTables(spark, (rootPath +: namespace.toSeq).mkString("/"),
+      previousVersionsMax = retention)
+
+  private def nsDir(ns: Seq[String]): Path = new Path((rootPath +: ns).mkString("/"))
+
+  // ----------------------------------------------------------------
+  // TableCatalog
+  // ----------------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    tablesFor(namespace).listTableNames().map(t => Identifier.of(namespace, t)).toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    tablesFor(ident.namespace).tableExists(ident.name)
+
+  override def loadTable(ident: Identifier): Table = {
+    val st = tablesFor(ident.namespace)
+    if (!st.tableExists(ident.name)) throw new NoSuchTableException(ident)
+    new SnapshotTableV2(fullName(ident), st, ident.name, st.currentVersion(ident.name))
+  }
+
+  /** `VERSION AS OF` — accepts `3` or `v3`. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val st = tablesFor(ident.namespace)
+    val v =
+      try version.stripPrefix("v").toInt
+      catch { case _: NumberFormatException => throw new NoSuchTableException(ident) }
+    if (!st.history(ident.name).contains(v)) throw new NoSuchTableException(ident)
+    new SnapshotTableV2(fullName(ident), st, ident.name, v, pinnedVersion = true)
+  }
+
+  /** `TIMESTAMP AS OF` — Spark passes MICROseconds since epoch. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val st = tablesFor(ident.namespace)
+    st.versionAtTimestamp(ident.name, timestamp / 1000L) match {
+      case Some(v) => new SnapshotTableV2(fullName(ident), st, ident.name, v, pinnedVersion = true)
+      case None => throw new NoSuchTableException(ident)
+    }
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val st = tablesFor(ident.namespace)
+    if (st.tableExists(ident.name)) throw new TableAlreadyExistsException(ident)
+    val (idCols, derived) = SnapshotCatalog.splitTransforms(partitions)
+    st.declareTable(ident.name, schema, idCols, derived)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE is not supported — snapshot schemas evolve through MERGE with schema evolution")
+
+  override def dropTable(ident: Identifier): Boolean =
+    tablesFor(ident.namespace).dropTableDir(ident.name)
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    require(oldIdent.namespace.sameElements(newIdent.namespace),
+      "rename across namespaces is not supported")
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    val from = new Path(nsDir(oldIdent.namespace.toSeq), oldIdent.name)
+    val to = new Path(nsDir(newIdent.namespace.toSeq), newIdent.name)
+    if (!from.getFileSystem(hconf).rename(from, to))
+      throw new IllegalStateException(s"rename $from -> $to failed")
+  }
+
+  private def fullName(ident: Identifier): String =
+    (catalogName +: ident.namespace.toSeq :+ ident.name).mkString(".")
+
+  // ----------------------------------------------------------------
+  // SupportsNamespaces — a namespace is a directory; a directory is a
+  // table iff it carries a metadata dir, so the two never collide.
+  // ----------------------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val r = nsDir(Nil)
+    val f = r.getFileSystem(hconf)
+    if (!f.exists(r)) Array.empty
+    else f.listStatus(r).toSeq
+      .filter(s => s.isDirectory && !s.getPath.getName.startsWith("."))
+      .map(_.getPath.getName)
+      .filterNot(n => f.exists(new Path(new Path(r, n), "metadata")))
+      .sorted
+      .map(n => Array(n))
+      .toArray
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else {
+      if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+      val r = nsDir(namespace.toSeq)
+      val f = r.getFileSystem(hconf)
+      f.listStatus(r).toSeq
+        .filter(s => s.isDirectory && !s.getPath.getName.startsWith("."))
+        .map(_.getPath.getName)
+        .filterNot(n => f.exists(new Path(new Path(r, n), "metadata")))
+        .sorted
+        .map(n => namespace :+ n)
+        .toArray
+    }
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val d = nsDir(namespace.toSeq)
+    namespace.isEmpty || d.getFileSystem(hconf).exists(d)
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    new util.HashMap[String, String]()
+  }
+
+  override def createNamespace(namespace: Array[String], metadata: util.Map[String, String]): Unit = {
+    val d = nsDir(namespace.toSeq)
+    d.getFileSystem(hconf).mkdirs(d)
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE is not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val d = nsDir(namespace.toSeq)
+    val f = d.getFileSystem(hconf)
+    if (!f.exists(d)) false
+    else {
+      if (!cascade && f.listStatus(d).nonEmpty)
+        throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
+      f.delete(d, true)
+    }
+  }
+}
+
+object SnapshotCatalog {
+
+  /** V2 partition transforms → the snapshot layer's vocabulary:
+    * identity columns partition by directory; `days`/`bucket`/
+    * `truncate` become HIDDEN transforms ([[SnapshotTables
+    * .PartitionTransform]]) every later commit re-derives. */
+  private[graft] def splitTransforms(partitions: Array[Transform])
+      : (Seq[String], Seq[SnapshotTables.PartitionTransform]) = {
+    import SnapshotTables.PartitionTransform
+    val idCols = Seq.newBuilder[String]
+    val derived = Seq.newBuilder[PartitionTransform]
+    partitions.foreach { t =>
+      // match on the public Transform surface (name/references/
+      // arguments) — the concrete case classes are private[sql]
+      val refs = t.references().map(_.fieldNames().mkString("."))
+      def intArg: Int = t.arguments().collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          l.value().asInstanceOf[Number].intValue()
+      }.getOrElse(throw new IllegalArgumentException(s"transform $t needs an int argument"))
+      t.name() match {
+        case "identity" => idCols += refs.head
+        case "days" => derived += PartitionTransform.days(refs.head)
+        case "bucket" => derived += PartitionTransform.bucket(intArg, refs.head)
+        case "truncate" => derived += PartitionTransform.truncate(intArg, refs.head)
+        case other =>
+          throw new UnsupportedOperationException(s"unsupported partition transform: $other")
+      }
+    }
+    (idCols.result(), derived.result())
+  }
+
+  /** The snapshot vocabulary back to V2 transforms (DESCRIBE output). */
+  private[graft] def toV2Transforms(idCols: Seq[String],
+      derived: Seq[SnapshotTables.PartitionTransform]): Array[Transform] = {
+    val ids = idCols.map(c => Expressions.identity(c))
+    val ds = derived.map { t =>
+      val label = t.name.stripPrefix("__p_").stripSuffix(s"_${t.srcCol}")
+      if (label == "days") Expressions.days(t.srcCol)
+      else if (label.startsWith("bucket")) Expressions.bucket(label.stripPrefix("bucket").toInt, t.srcCol)
+      else Expressions.apply("truncate",
+        Expressions.literal(label.stripPrefix("trunc").toInt), Expressions.column(t.srcCol))
+    }
+    (ids ++ ds).toArray
+  }
+}

@@ -1,0 +1,179 @@
+package graft.catalog
+
+import graft.io.SnapshotTables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.filter.{AlwaysTrue, And => V2And, Predicate}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwriteV2, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import java.util
+
+/** One snapshot table resolved through [[SnapshotCatalog]], pinned to
+  * the version current at load time (so a whole query reads ONE
+  * consistent snapshot even if a writer commits mid-query — the same
+  * isolation [[SnapshotTables.read]] gives the Scala API).
+  *
+  * Read path: delegates the scan to Spark's own parquet DSv2 table
+  * over the version's snapshot directory — predicate pushdown, column
+  * pruning, partition-directory pruning and vectorized reading are the
+  * stock parquet path's; derived hidden-partition (`__p_*`) columns
+  * are concealed from the schema exactly like [[SnapshotTables
+  * .readVersion]] conceals them.
+  *
+  * Write path: V1 write fallback — the planner hands this table an
+  * ANALYZED DataFrame and the commit goes through
+  * [[SnapshotTables.overwriteTable]]: the same distributed write,
+  * fenced CAS, stats/sketch manifest maintenance and hidden-layout
+  * re-derivation every API commit gets. INSERT INTO on a non-empty
+  * table is union-then-commit (the full-snapshot-per-version model's
+  * trade, same as the API's merge/delete).
+  */
+final class SnapshotTableV2(
+    fullName: String,
+    st: SnapshotTables,
+    table: String,
+    version: Int,
+    pinnedVersion: Boolean = false
+) extends Table with SupportsRead with SupportsWrite {
+
+  private def spark: SparkSession = st.sparkSession
+
+  private def snapDirStr: String = st.snapshotDirString(table, version)
+
+  /** Directory-discovered schema of the pinned snapshot (partition
+    * columns included, `__p_*` derived columns concealed); None when
+    * the version holds no data files. */
+  private lazy val discovered: Option[StructType] =
+    if (version == 0) None
+    else
+      try {
+        val s = spark.read.parquet(snapDirStr).schema
+        if (s.isEmpty) None else Some(StructType(s.filterNot(_.name.startsWith("__p_"))))
+      } catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+  override def name(): String = fullName
+
+  override def schema(): StructType =
+    discovered.orElse(st.declaredSchema(table)).getOrElse(new StructType())
+
+  override def partitioning(): Array[Transform] =
+    SnapshotCatalog.toV2Transforms(st.currentPartitionCols(table), st.persistedTransforms(table))
+
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    m.put("provider", "graft-snapshots")
+    m.put("version", version.toString)
+    m
+  }
+
+  override def capabilities(): util.Set[TableCapability] = {
+    val s = new util.HashSet[TableCapability]()
+    s.add(TableCapability.BATCH_READ)
+    s.add(TableCapability.V1_BATCH_WRITE)
+    s.add(TableCapability.TRUNCATE)
+    s.add(TableCapability.OVERWRITE_BY_FILTER)
+    s
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    discovered match {
+      case None =>
+        // declared-but-empty table (or an empty snapshot): zero rows
+        // with the declared schema, planned as a local scan
+        val s = schema()
+        new ScanBuilder {
+          override def build(): Scan = new LocalScan {
+            override def rows(): Array[InternalRow] = Array.empty
+            override def readSchema(): StructType = s
+          }
+        }
+      case Some(_) =>
+        ParquetTable(fullName, spark, options, Seq(snapDirStr), None, classOf[ParquetFileFormat])
+          .newScanBuilder(options)
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(!pinnedVersion, s"cannot write to $fullName pinned at version $version (time travel is read-only)")
+    new SnapshotWriteBuilder(st, table)
+  }
+}
+
+/** Write modes: INSERT INTO (append), INSERT OVERWRITE (truncate), and
+  * static-partition overwrite (filtered). All three commit ONE new
+  * snapshot version through the fenced CAS. */
+private final class SnapshotWriteBuilder(st: SnapshotTables, table: String)
+    extends WriteBuilder with SupportsTruncate with SupportsOverwriteV2 {
+
+  private var truncateAll = false
+  private var overwriteFilters: Array[Predicate] = Array.empty
+
+  override def truncate(): WriteBuilder = { truncateAll = true; this }
+
+  override def overwrite(predicates: Array[Predicate]): WriteBuilder = {
+    if (predicates.forall(_.isInstanceOf[AlwaysTrue])) truncateAll = true
+    else overwriteFilters = predicates
+    this
+  }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation = new InsertableRelation {
+      override def insert(data: DataFrame, overwrite: Boolean): Unit = commit(data)
+    }
+  }
+
+  private def commit(data: DataFrame): Unit = {
+    // re-deriving hidden layout is overwriteTable's own job (persisted
+    // transform spec); identity partition columns must be re-threaded
+    val pcols =
+      if (st.persistedTransforms(table).nonEmpty) Nil
+      else st.currentPartitionCols(table)
+    val cur = st.currentVersion(table)
+    if (truncateAll || cur == 0) st.overwriteTable(data, table, pcols)
+    else if (overwriteFilters.nonEmpty) {
+      import org.apache.spark.sql.functions.not
+      val pred = overwriteFilters.map(SnapshotWriteBuilder.predicateToColumn)
+        .reduce(_ && _)
+      st.overwriteTable(st.read(table).filter(not(pred)).unionByName(data), table, pcols)
+    } else
+      st.overwriteTable(st.read(table).unionByName(data), table, pcols)
+  }
+}
+
+private object SnapshotWriteBuilder {
+  import org.apache.spark.sql.{Column, GraftSqlBridge}
+  import org.apache.spark.sql.functions.col
+
+  /** The small V2-Predicate vocabulary static-partition INSERT
+    * OVERWRITE produces (=, <=>, IN, AND over column/literal pairs) →
+    * Column. Anything richer is rejected loudly rather than silently
+    * overwriting the wrong rows. */
+  private[catalog] def predicateToColumn(p: Predicate): Column = p match {
+    case _: AlwaysTrue => org.apache.spark.sql.functions.lit(true)
+    case a: V2And => predicateToColumn(a.left()) && predicateToColumn(a.right())
+    case gp =>
+      def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[Column] = e match {
+        case r: NamedReference => Some(col(r.fieldNames().mkString(".")))
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          Some(GraftSqlBridge.column(org.apache.spark.sql.catalyst.expressions.Literal(l.value(), l.dataType())))
+        case _ => None
+      }
+      val kids = gp.children().flatMap(colOf)
+      gp.name() match {
+        case "=" | "<=>" if kids.length == 2 => kids(0) <=> kids(1)
+        case "IN" if kids.length == gp.children().length && kids.length >= 2 =>
+          kids.head.isin(kids.tail.map(c => c): _*)
+        case other =>
+          throw new UnsupportedOperationException(
+            s"unsupported overwrite predicate '$other' ($gp) — use INSERT OVERWRITE without " +
+              "a partition spec, or the DELETE/MERGE SQL surface")
+      }
+  }
+}

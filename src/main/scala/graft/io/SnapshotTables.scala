@@ -1269,6 +1269,107 @@ final class SnapshotTables(
         }
         .foreach(s => f.delete(s.getPath, true))
   }
+
+  // ------------------------------------------------------------------
+  // V2-catalog seam (graft.catalog.SnapshotCatalog): the hooks a Spark
+  // TableCatalog needs that aren't query operations — existence, DDL
+  // declaration (schema before first data commit), listing, timestamp
+  // time travel. All metadata-sized.
+  // ------------------------------------------------------------------
+
+  private[graft] def sparkSession: SparkSession = spark
+
+  private[graft] def snapshotDirString(table: String, v: Int): String =
+    snapDir(table, v).toString
+
+  private def declaredPath(table: String) = new Path(metaDir(table), "declared.json")
+
+  /** DDL declaration (CREATE TABLE before any data): persists the
+    * schema and identity partition columns so an empty table is
+    * readable/insertable; derived transforms go straight into the
+    * transform-spec property so every subsequent commit derives the
+    * hidden layout exactly as [[overwriteTableTransformed]] would. */
+  private[graft] def declareTable(table: String, schema: org.apache.spark.sql.types.StructType,
+      partitionCols: Seq[String], transforms: Seq[SnapshotTables.PartitionTransform]): Unit = {
+    require(partitionCols.isEmpty || transforms.isEmpty,
+      "a table partitions by identity columns OR derived transforms, not both")
+    replaceSmallFile(declaredPath(table),
+      s"""{"partition_cols":${partitionCols.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""schema":${schema.json}}""")
+    if (transforms.nonEmpty)
+      replaceSmallFile(transformSpecPath(table), SnapshotTables.PartitionTransform.formatSpec(transforms))
+  }
+
+  private[graft] def declaredSchema(table: String): Option[org.apache.spark.sql.types.StructType] = {
+    val p = declaredPath(table)
+    if (!fs(p).exists(p)) None
+    else {
+      val json = readSmallFile(p)
+      val schemaJson = json.substring(json.indexOf("\"schema\":") + "\"schema\":".length, json.length - 1)
+      Some(org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    }
+  }
+
+  private[graft] def declaredPartitionCols(table: String): Seq[String] = {
+    val p = declaredPath(table)
+    if (!fs(p).exists(p)) Nil
+    else "\"partition_cols\":\\[([^\\]]*)\\]".r.findFirstMatchIn(readSmallFile(p))
+      .map(_.group(1).split(',').toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty))
+      .getOrElse(Nil)
+  }
+
+  private[graft] def persistedTransforms(table: String): Seq[SnapshotTables.PartitionTransform] =
+    effectiveTransforms(table)
+
+  private[graft] def tableExists(table: String): Boolean =
+    currentVersion(table) > 0 || fs(declaredPath(table)).exists(declaredPath(table))
+
+  /** Tables under this root: dirs that carry a metadata dir (committed
+    * or declared). Metadata-sized listing. */
+  private[graft] def listTableNames(): Seq[String] = {
+    val r = new Path(root)
+    val f = fs(r)
+    if (!f.exists(r)) Nil
+    else f.listStatus(r).toSeq
+      .filter(s => s.isDirectory && !s.getPath.getName.startsWith("."))
+      .map(_.getPath.getName)
+      .filter(t => f.exists(metaDir(t)))
+      .sorted
+  }
+
+  private[graft] def dropTableDir(table: String): Boolean = {
+    val d = tableDir(table)
+    val f = fs(d)
+    f.exists(d) && f.delete(d, true)
+  }
+
+  /** Identity partition columns in effect: the current version's
+    * commit metadata (minus derived `__p_` transform columns — those
+    * re-derive from the persisted spec), falling back to the declared
+    * DDL columns before the first commit. A catalog write re-applies
+    * these so INSERTs never flatten the layout. */
+  private[graft] def currentPartitionCols(table: String): Seq[String] = {
+    val v = currentVersion(table)
+    if (v == 0) declaredPartitionCols(table)
+    else {
+      val m = new Path(metaDir(table), f"v$v%05d.json")
+      if (!fs(m).exists(m)) Nil
+      else "\"partition_cols\":\\[([^\\]]*)\\]".r.findFirstMatchIn(readSmallFile(m))
+        .map(_.group(1).split(',').toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty))
+        .getOrElse(Nil)
+        .filterNot(_.startsWith("__p_"))
+    }
+  }
+
+  /** Latest version committed at or before `millis` (commit time =
+    * version-metadata file mtime) — `TIMESTAMP AS OF` resolution. */
+  private[graft] def versionAtTimestamp(table: String, millis: Long): Option[Int] =
+    history(table).filter { v =>
+      val m = new Path(metaDir(table), f"v$v%05d.json")
+      try fs(m).exists(m) && fs(m).getFileStatus(m).getModificationTime <= millis
+      catch { case _: java.io.IOException => false }
+    }.lastOption
 }
 
 object SnapshotTables {
