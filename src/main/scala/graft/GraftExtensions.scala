@@ -44,6 +44,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // keyless BETWEEN time joins -> bucketed equi-joins (never BNLJ)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    // SQL DELETE/UPDATE/MERGE over SnapshotCatalog tables -> the
+    // snapshot layer's copy-on-write commits (Delta-style rewrite)
+    ext.injectResolutionRule(_ => graft.plans.SnapshotDmlRule)
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),

@@ -14,11 +14,11 @@ object RunOne {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val explain = args.contains("-explain")
     val names = args.drop(1).filterNot(_ == "-explain")
-    val spark = SparkSession.builder()
-      .master(s"local[${Runtime.getRuntime.availableProcessors}]")
-      .config("spark.sql.shuffle.partitions", Runtime.getRuntime.availableProcessors)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // GraftSession, not a raw builder: the extensions (SnapshotDmlRule,
+    // RangeJoinRewrite, vec_* SQL functions) must be active here exactly
+    // as in Verify/Bench, or extension-dependent queries can't run
+    val spark = graft.core.GraftSession
+      .local("graft-run-one", Runtime.getRuntime.availableProcessors)
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
     val byName = graft.queries.Corpus.all.map(q => q.name -> q).toMap

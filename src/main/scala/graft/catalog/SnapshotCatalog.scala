@@ -135,7 +135,14 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
   override def dropTable(ident: Identifier): Boolean =
     tablesFor(ident.namespace).dropTableDir(ident.name)
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+  override def renameTable(oldIdent: Identifier, newIdentRaw: Identifier): Unit = {
+    // RENAME TO may arrive catalog-qualified (`cat.ns.tab`) — strip the
+    // leading catalog segment so the namespace comparison is ns-to-ns
+    val newIdent =
+      if (newIdentRaw.namespace.length == oldIdent.namespace.length + 1 &&
+          newIdentRaw.namespace.head == catalogName)
+        Identifier.of(newIdentRaw.namespace.tail, newIdentRaw.name)
+      else newIdentRaw
     require(oldIdent.namespace.sameElements(newIdent.namespace),
       "rename across namespaces is not supported")
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)

@@ -44,6 +44,13 @@ final class SnapshotTableV2(
     pinnedVersion: Boolean = false
 ) extends Table with SupportsRead with SupportsWrite {
 
+  /** Seams for [[graft.plans.SnapshotDmlRule]] (SQL DELETE/UPDATE/MERGE). */
+  private[graft] def tables: SnapshotTables = st
+  private[graft] def tableName: String = table
+  private[graft] def isPinned: Boolean = pinnedVersion
+  private[graft] def identityPartitionCols: Seq[String] =
+    if (st.persistedTransforms(table).nonEmpty) Nil else st.currentPartitionCols(table)
+
   private def spark: SparkSession = st.sparkSession
 
   private def snapDirStr: String = st.snapshotDirString(table, version)

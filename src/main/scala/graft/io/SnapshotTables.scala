@@ -479,7 +479,32 @@ final class SnapshotTables(
     * is a commit, and `expire` eventually removes the data physically. */
   def delete(table: String, predicate: org.apache.spark.sql.Column, partitionCols: Seq[String] = Nil): Unit = {
     require(currentVersion(table) > 0, s"table $table has no committed version")
-    overwriteTable(read(table).filter(!predicate), table, partitionCols)
+    // SQL DELETE semantics: only rows where the predicate is TRUE go;
+    // rows where it evaluates NULL are KEPT (a bare `!predicate` would
+    // silently delete them too)
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    overwriteTable(read(table).filter(!coalesce(predicate, lit(false))), table, partitionCols)
+  }
+
+  /** Copy-on-write UPDATE — the third leg of the DML triad: rows where
+    * `predicate` is TRUE take the `sets` assignments, every other row
+    * is carried unchanged, one new committed version. All assignment
+    * expressions evaluate against the OLD row (SQL semantics — `SET a
+    * = b, b = a` swaps), which is why new values are materialized as
+    * temporary columns before any column is replaced. */
+  def update(table: String, sets: Seq[(String, org.apache.spark.sql.Column)],
+      predicate: org.apache.spark.sql.Column, partitionCols: Seq[String] = Nil): Unit = {
+    require(currentVersion(table) > 0, s"table $table has no committed version")
+    require(sets.nonEmpty, "update needs at least one assignment")
+    val cur = read(table)
+    val unknown = sets.map(_._1).filterNot(cur.columns.contains)
+    require(unknown.isEmpty, s"unknown columns in SET: ${unknown.mkString(", ")}")
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    val hit = coalesce(predicate, lit(false))
+    val tmp = sets.zipWithIndex.map { case ((c, v), i) => (c, s"__upd_$i", v) }
+    val staged = tmp.foldLeft(cur)((d, t) => d.withColumn(t._2, when(hit, t._3).otherwise(col(t._1))))
+    val out = cur.columns.toSeq.map(c => tmp.find(_._1 == c).map(t => col(t._2).as(c)).getOrElse(col(c)))
+    overwriteTable(staged.select(out: _*), table, partitionCols)
   }
 
   /** HIDDEN PARTITIONING (Iceberg's partition transforms): commit with

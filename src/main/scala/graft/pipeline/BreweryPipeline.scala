@@ -20,11 +20,11 @@ import java.time.{Instant, LocalDate, ZoneOffset}
   */
 final case class PipelineConf(
     bronzeRoot: String,
-    silverTable: String = "silver_dw.tab_brewery",
-    goldTable: String = "gold_dw.tab_brewery_summary",
+    silverTable: String = "silver.dw.tab_brewery",
+    goldTable: String = "gold.dw.tab_brewery_summary",
     partitionCol: String = "sys_file_date",
     parityOverwrite: Boolean = true,
-    format: TableFormat = ParquetTables
+    format: TableFormat = graft.catalog.CatalogTables
 )
 
 object PipelineConf {
@@ -56,8 +56,8 @@ object PipelineConf {
     val gold = conf("spark.job_gold_app.golden_table_name", "undefined")
     val pc = PipelineConf(
       bronzeRoot = Seq(pathRoot, bucket, dataset).filter(_.nonEmpty).mkString("/"),
-      silverTable = if (silver == "undefined") "silver_dw.tab_brewery" else silver,
-      goldTable = if (gold == "undefined") "gold_dw.tab_brewery_summary" else gold
+      silverTable = if (silver == "undefined") "silver.dw.tab_brewery" else silver,
+      goldTable = if (gold == "undefined") "gold.dw.tab_brewery_summary" else gold
     )
     (pc, parseDatetimeRef(dtRef))
   }
@@ -74,8 +74,27 @@ object BreweryPipeline {
     executionInstant.minusSeconds(3 * 3600).atZone(ZoneOffset.UTC).toLocalDate
 
   private def ensureDatabase(spark: SparkSession, table: String): Unit = {
+    ensureLakeCatalog(spark, table)
     val db = table.split('.').dropRight(1).mkString(".")
     if (db.nonEmpty) spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+  }
+
+  /** Auto-register the catalog a 3-part table name needs, mirroring the
+    * reference's per-job `spark.sql.catalog.silver`/`gold` setup
+    * (job_gold.py:50-58 — warehouse under the bucket): the snapshot
+    * root defaults to `<spark.sql.warehouse.dir>/<catalog>_warehouse`.
+    * A catalog the session already configured (any implementation) is
+    * left untouched. 2-part names (session catalog) are a no-op. */
+  def ensureLakeCatalog(spark: SparkSession, table: String): Unit = {
+    val parts = table.split('.')
+    if (parts.length >= 3) {
+      val cat = parts.head
+      if (spark.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+        val wh = spark.conf.get("spark.sql.warehouse.dir")
+        spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.SnapshotCatalog].getName)
+        spark.conf.set(s"spark.sql.catalog.$cat.root", s"$wh/${cat}_warehouse")
+      }
+    }
   }
 
   /** Silver: NDJSON under `bronzeRoot/sys_file_date=<d>/` → conform to the
@@ -124,11 +143,22 @@ object BreweryPipeline {
     * The silver relation resolves through the TableFormat's read side,
     * so the same SQL runs over catalog tables and snapshot tables. */
   def goldQuery(spark: SparkSession, conf: PipelineConf, date: LocalDate): DataFrame = {
-    val view = "graft_silver_" + conf.silverTable.replace('.', '_')
-    conf.format.read(spark, conf.silverTable).createOrReplaceTempView(view)
+    // 3-part names resolve straight through the catalog — the
+    // reference's FROM silver.dw.tab_brewery shape, verbatim
+    // (job_gold.py:71-88); 2-part/path formats go through a temp view
+    // over the format's read side.
+    val relation =
+      if (conf.silverTable.split('.').length >= 3) {
+        ensureLakeCatalog(spark, conf.silverTable)
+        conf.silverTable
+      } else {
+        val view = "graft_silver_" + conf.silverTable.replace('.', '_')
+        conf.format.read(spark, conf.silverTable).createOrReplaceTempView(view)
+        view
+      }
     spark.sql(
       s"""SELECT ${conf.partitionCol}, brewery_type, country, count(*) AS qtd
-         |FROM $view
+         |FROM $relation
          |WHERE ${conf.partitionCol} = :run_date
          |GROUP BY 1, 2, 3
          |ORDER BY 1, 2, 3""".stripMargin,

@@ -1,0 +1,210 @@
+package graft.plans
+
+import graft.catalog.SnapshotTableV2
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+/** SQL `DELETE FROM` / `UPDATE` / `MERGE INTO` over [[graft.catalog
+  * .SnapshotCatalog]] tables — the Delta-style architecture: an
+  * injected analyzer rule claims the resolved DML plan and routes it
+  * onto the snapshot layer's copy-on-write commits
+  * ([[graft.io.SnapshotTables.delete]]/`update`/generalized merge)
+  * instead of implementing DataSourceV2's row-level-operation write
+  * protocol. What that buys, concretely: the rewrite re-enters
+  * `overwriteTable`, so stats/sketch manifests keep being maintained,
+  * hidden-partition layout re-derives, retention/branch fencing and
+  * the concurrent-writer CAS all apply to SQL DML exactly as to API
+  * calls — none of it would come for free from a raw `BatchWrite`.
+  *
+  * The rule fires only on a fully-RESOLVED command whose target is a
+  * [[SnapshotTableV2]]; everything else passes through untouched.
+  * Resolved column references are re-anchored by NAME (qualified
+  * `__t`/`__s` for MERGE's two sides) onto fresh reads of the same
+  * snapshot, which the DataFrame analyzer re-resolves — names are
+  * unique within a snapshot schema, so the mapping is exact.
+  */
+object SnapshotDmlRule extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case d @ DeleteFromTable(SnapshotRel(rel), cond) if d.childrenResolved && cond.resolved =>
+      SnapshotDeleteCommand(rel, cond)
+    case u @ UpdateTable(SnapshotRel(rel), assignments, cond)
+        if u.childrenResolved && assignments.forall(_.resolved) && cond.forall(_.resolved) =>
+      SnapshotUpdateCommand(rel, assignments, cond)
+    case m @ MergeIntoTable(SnapshotRelTarget(rel), source, cond, matched, notMatched, notMatchedBySource, withSchemaEvolution)
+        if m.childrenResolved && cond.resolved &&
+          (matched ++ notMatched ++ notMatchedBySource).forall(_.resolved) =>
+      if (withSchemaEvolution)
+        throw new UnsupportedOperationException(
+          "MERGE ... WITH SCHEMA EVOLUTION is not supported in SQL — use SnapshotTables.merge(evolveSchema = true)")
+      SnapshotMergeCommand(rel, m.targetTable.output, source, cond, matched, notMatched, notMatchedBySource)
+    case _ => plan
+  }
+
+  /** The relation under any stack of aliases — resolution wraps the
+    * 3-part name in a SubqueryAlias and a user `AS t` adds another;
+    * aliases keep the child's exprIds, so attribute anchoring holds. */
+  private object SnapshotRel {
+    @scala.annotation.tailrec
+    def unapply(plan: LogicalPlan): Option[DataSourceV2Relation] = plan match {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[SnapshotTableV2] => Some(r)
+      case SubqueryAlias(_, child) => unapply(child)
+      case _ => None
+    }
+  }
+
+  private object SnapshotRelTarget {
+    def unapply(plan: LogicalPlan): Option[DataSourceV2Relation] = SnapshotRel.unapply(plan)
+  }
+
+  private def snapshotTable(rel: DataSourceV2Relation): SnapshotTableV2 = {
+    val t = rel.table.asInstanceOf[SnapshotTableV2]
+    require(!t.isPinned, s"${t.name()} is pinned to a version by time travel — DML is read-only there")
+    t
+  }
+
+  /** Re-anchor a resolved expression onto fresh DataFrame reads: every
+    * attribute becomes an UnresolvedAttribute the Dataset analyzer
+    * re-resolves — qualified when the expression spans two relations
+    * (MERGE), bare otherwise. */
+  private def reanchor(e: Expression, qualifierOf: AttributeReference => Seq[String]): Column =
+    GraftSqlBridge.column(e.transform {
+      case a: AttributeReference => UnresolvedAttribute(qualifierOf(a) :+ a.name)
+    })
+
+  private def bare(e: Expression): Column = reanchor(e, _ => Nil)
+
+  // ------------------------------------------------------------------
+
+  private[plans] final case class SnapshotDeleteCommand(
+      rel: DataSourceV2Relation, cond: Expression) extends LeafRunnableCommand {
+    override def run(session: SparkSession): Seq[Row] = {
+      val t = snapshotTable(rel)
+      t.tables.delete(t.tableName, bare(cond), t.identityPartitionCols)
+      Seq.empty
+    }
+  }
+
+  private[plans] final case class SnapshotUpdateCommand(
+      rel: DataSourceV2Relation, assignments: Seq[Assignment], cond: Option[Expression])
+      extends LeafRunnableCommand {
+    override def run(session: SparkSession): Seq[Row] = {
+      val t = snapshotTable(rel)
+      val sets = assignments.map { a =>
+        val name = a.key match {
+          case ar: AttributeReference => ar.name
+          case other => throw new UnsupportedOperationException(
+            s"UPDATE of nested field '$other' is not supported — SET top-level columns")
+        }
+        name -> bare(a.value)
+      }
+      val pred = cond.map(bare).getOrElse(org.apache.spark.sql.functions.lit(true))
+      t.tables.update(t.tableName, sets, pred, t.identityPartitionCols)
+      Seq.empty
+    }
+  }
+
+  /** Generalized COW MERGE: full-outer join target and source on the
+    * merge condition, label every row with the FIRST action whose
+    * (side, condition) applies, error if any target row matched
+    * several source rows (the SQL cardinality rule), then rebuild each
+    * output column with one chained CASE — a single shuffle join plus
+    * one window pass, committed as one snapshot version. */
+  private[plans] final case class SnapshotMergeCommand(
+      rel: DataSourceV2Relation,
+      targetOutput: Seq[Attribute],
+      source: LogicalPlan,
+      cond: Expression,
+      matched: Seq[MergeAction],
+      notMatched: Seq[MergeAction],
+      notMatchedBySource: Seq[MergeAction]) extends LeafRunnableCommand {
+
+    override def run(session: SparkSession): Seq[Row] = {
+      import org.apache.spark.sql.functions._
+      val t = snapshotTable(rel)
+      val st = t.tables
+
+      val targetIds = targetOutput.map(_.exprId).toSet
+      // target attrs take precedence on exprId collision (self-merge);
+      // genuine ambiguity then fails resolution loudly downstream
+      def qualifierOf(a: AttributeReference): Seq[String] =
+        if (targetIds.contains(a.exprId)) Seq("__t") else Seq("__s")
+      def two(e: Expression): Column = reanchor(e, qualifierOf)
+
+      val targetCols = st.read(t.tableName).columns.toSeq
+      val target = st.read(t.tableName)
+        .withColumn("__t_rid", monotonically_increasing_id())
+        .withColumn("__t_exists", lit(true)).as("__t")
+      val src = GraftSqlBridge.ofRows(session, source)
+        .withColumn("__s_exists", lit(true)).as("__s")
+
+      val joined = target.join(src, two(cond), "full_outer")
+      val isMatched = col("__t_exists").isNotNull && col("__s_exists").isNotNull
+      val isTargetOnly = col("__t_exists").isNotNull && col("__s_exists").isNull
+
+      // SQL cardinality rule: a target row may match at most one
+      // source row — counted with one window pass over the
+      // already-shuffled join
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__t_rid"))
+      val guarded = joined
+        .withColumn("__m_cnt", sum(when(isMatched, 1L).otherwise(0L)).over(w))
+
+      // first-applicable-action label: m<i> / n<i> / s<i>, 'keep'
+      // (carry the target row), 'drop' (no insert action applied).
+      // The cardinality raise rides INSIDE the label expression — the
+      // label feeds the row filter and every output column, so the
+      // optimizer can never prune the check away (a standalone guard
+      // column would be pruned as dead and silently skipped).
+      def label(actions: Seq[MergeAction], tag: String, default: String): Column =
+        actions.zipWithIndex.foldRight(lit(default)) { case ((a, i), els) =>
+          val hit = a.condition.map(c => coalesce(two(c), lit(false))).getOrElse(lit(true))
+          when(hit, lit(s"$tag$i")).otherwise(els)
+        }
+      val action =
+        when(col("__t_exists").isNotNull && col("__m_cnt") > 1L,
+          raise_error(lit("MERGE: a target row matched multiple source rows")))
+          .when(isMatched, label(matched, "m", "keep"))
+          .when(isTargetOnly, label(notMatchedBySource, "n", "keep"))
+          .otherwise(label(notMatched, "s", "drop"))
+
+      def isDelete(a: MergeAction): Boolean = a.isInstanceOf[DeleteAction]
+      val dropLabels = "drop" +:
+        (matched.zipWithIndex.collect { case (a, i) if isDelete(a) => s"m$i" } ++
+          notMatchedBySource.zipWithIndex.collect { case (a, i) if isDelete(a) => s"n$i" })
+
+      /** The value action `tag+i` assigns to target column `c`; None =
+        * carry the target value (unset column of an UPDATE). */
+      def assigned(a: MergeAction, c: String): Option[Column] = a match {
+        case UpdateAction(_, assignments, _) =>
+          assignments.collectFirst {
+            case Assignment(k: AttributeReference, v) if k.name == c => two(v)
+          }
+        case InsertAction(_, assignments) =>
+          Some(assignments.collectFirst {
+            case Assignment(k: AttributeReference, v) if k.name == c => two(v)
+          }.getOrElse(lit(null))) // unspecified insert column -> NULL
+        case UpdateStarAction(_) | InsertStarAction(_) => Some(col(s"__s.$c"))
+        case _: DeleteAction => None
+      }
+
+      val labelled = guarded.withColumn("__action", action)
+        .filter(!col("__action").isin(dropLabels: _*))
+      val out = targetCols.map { c =>
+        val branches: Seq[(String, Column)] =
+          matched.zipWithIndex.flatMap { case (a, i) => assigned(a, c).map(v => s"m$i" -> v) } ++
+            notMatchedBySource.zipWithIndex.flatMap { case (a, i) => assigned(a, c).map(v => s"n$i" -> v) } ++
+            notMatched.zipWithIndex.flatMap { case (a, i) => assigned(a, c).map(v => s"s$i" -> v) }
+        branches.foldRight(col(s"__t.$c")) { case ((l, v), els) =>
+          when(col("__action") === l, v).otherwise(els)
+        }.as(c)
+      }
+      st.overwriteTable(labelled.select(out: _*), t.tableName, t.identityPartitionCols)
+      Seq.empty
+    }
+  }
+}

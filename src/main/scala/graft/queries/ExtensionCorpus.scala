@@ -1510,9 +1510,102 @@ object ExtensionCorpus {
       GROUP BY l_orderkey ORDER BY l_orderkey""")
   )
 
+  /** Register a throwaway [[graft.catalog.SnapshotCatalog]] for one
+    * query run. The name is unique per call because `CatalogManager`
+    * caches plugin instances by name — re-setting the conf for an
+    * already-loaded catalog would NOT re-initialize its root, so a
+    * second run in the same session would resolve the first run's
+    * directory. */
+  private def tempCatalog(s: org.apache.spark.sql.SparkSession): String = {
+    val cat = "glake" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val root = java.nio.file.Files.createTempDirectory(s"graft-$cat").toString
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.SnapshotCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s.sql(s"CREATE NAMESPACE $cat.dw")
+    cat
+  }
+
+  /** The SQL DML surface end-to-end through the V2 catalog,
+    * oracle-pinned: CTAS an orders subset into `cat.dw.o`, then pure
+    * SQL — UPDATE restates a price band, DELETE drops early 'F'
+    * orders, MERGE upserts a late-arriving batch — and the final
+    * SELECT joins the current state to a `VERSION AS OF 1` count. The
+    * DuckDB oracle replays the same mutations as CASE/anti-filters
+    * over the raw parquet, so a hash match pins that the analyzer-rule
+    * → copy-on-write-commit route (plans/SnapshotDmlRule) computes
+    * exactly what the SQL says, and that time travel still sees the
+    * pre-DML snapshot (reference capability: Iceberg SQL DML +
+    * time travel, readme.md:93-114 / job_gold.py:71-88). */
+  private val q125 = Q(
+    "q125_sql_dml_catalog",
+    (s, dir) => {
+      val cat = tempCatalog(s)
+      fixture(s, dir, "orders").createOrReplaceTempView("q125_orders")
+      s.sql(s"""CREATE TABLE $cat.dw.o AS
+                SELECT o_orderkey, o_orderstatus, o_totalprice
+                FROM q125_orders WHERE o_orderkey <= 5000""")
+      s.sql(s"""UPDATE $cat.dw.o SET o_totalprice = o_totalprice * 2
+                WHERE o_orderkey BETWEEN 2000 AND 3000""")
+      s.sql(s"DELETE FROM $cat.dw.o WHERE o_orderkey <= 500 AND o_orderstatus = 'F'")
+      s.sql(s"""MERGE INTO $cat.dw.o AS t
+                USING (SELECT o_orderkey, o_orderstatus, o_totalprice + 10 AS o_totalprice
+                       FROM q125_orders
+                       WHERE o_orderkey > 4000 AND o_orderkey <= 7000) AS src
+                ON t.o_orderkey = src.o_orderkey
+                WHEN MATCHED THEN UPDATE SET o_totalprice = src.o_totalprice
+                WHEN NOT MATCHED THEN INSERT *""")
+      s.sql(s"""SELECT c.o_orderstatus, c.n, c.sum_price, v.n_v1
+                FROM (SELECT o_orderstatus, COUNT(*) AS n,
+                        CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price
+                      FROM $cat.dw.o GROUP BY o_orderstatus) c
+                CROSS JOIN (SELECT COUNT(*) AS n_v1 FROM $cat.dw.o VERSION AS OF 1) v
+                ORDER BY c.o_orderstatus""")
+    },
+    Some("""WITH fin AS (
+        SELECT o_orderstatus,
+          CASE WHEN o_orderkey > 4000 THEN o_totalprice + 10
+               WHEN o_orderkey BETWEEN 2000 AND 3000 THEN o_totalprice * 2
+               ELSE o_totalprice END AS p
+        FROM orders
+        WHERE o_orderkey <= 7000
+          AND NOT (o_orderkey <= 500 AND o_orderstatus = 'F'))
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(CAST(p AS DECIMAL(28,2))) AS DOUBLE) AS sum_price,
+        (SELECT COUNT(*) FROM orders WHERE o_orderkey <= 5000) AS n_v1
+      FROM fin GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  )
+
+  /** The reference gold query shape VERBATIM over a 3-level name
+    * (job_gold.py:71-88: `SELECT …, count(*) AS qtd FROM
+    * silver.dw.tab_brewery WHERE <partition date> GROUP BY 1,2,3 ORDER
+    * BY 1,2,3`) — same SQL text modulo table/column names, resolved
+    * through the V2 catalog instead of a rewritten 2-part alias. The
+    * oracle computes the identical aggregate over the raw parquet. */
+  private val q126 = Q(
+    "q126_catalog_gold_sql",
+    (s, dir) => {
+      val cat = tempCatalog(s)
+      fixture(s, dir, "orders").createOrReplaceTempView("q126_orders")
+      s.sql(s"""CREATE TABLE $cat.dw.tab_orders AS
+                SELECT CAST(o_orderdate AS DATE) AS sys_file_date, o_orderpriority, o_orderstatus
+                FROM q126_orders""")
+      s.sql(s"""SELECT sys_file_date, o_orderpriority, o_orderstatus, count(*) AS qtd
+                FROM $cat.dw.tab_orders
+                WHERE sys_file_date >= DATE'1995-01-01' AND sys_file_date < DATE'1995-02-01'
+                GROUP BY 1, 2, 3
+                ORDER BY 1, 2, 3""")
+    },
+    Some("""SELECT CAST(o_orderdate AS DATE) AS sys_file_date, o_orderpriority, o_orderstatus,
+        count(*) AS qtd
+      FROM orders
+      WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+        AND CAST(o_orderdate AS DATE) < DATE '1995-02-01'
+      GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")
+  )
+
   val all: Seq[Q] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q99, q100, q101, q102, q106, q107, q108,
-    q109, q111, q112, q113, q114, q116, q117, q118, q119, q121, q122, q123
+    q109, q111, q112, q113, q114, q116, q117, q118, q119, q121, q122, q123, q125, q126
   )
 }

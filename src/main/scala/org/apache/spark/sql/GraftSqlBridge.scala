@@ -40,4 +40,17 @@ object GraftSqlBridge {
     classic.Dataset.ofRows(
       s.asInstanceOf[classic.SparkSession],
       df.queryExecution.logical)
+
+  /** Wrap an analyzed logical plan as a DataFrame (`Dataset.ofRows` is
+    * `private[sql]` in Spark 4) — the DML rewrite rule uses this to
+    * hand a MERGE source plan back to the DataFrame algebra. */
+  def ofRows(s: SparkSession, plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(s.asInstanceOf[classic.SparkSession], plan)
+
+  /** The loaded V2 catalog plugin registered under `name`
+    * (`CatalogManager` is `private[sql]`) — lets the pipeline's
+    * TableFormat write through the SAME SnapshotTables root the SQL
+    * layer resolves, instead of tracking the root twice. */
+  def catalogPlugin(s: SparkSession, name: String): org.apache.spark.sql.connector.catalog.CatalogPlugin =
+    s.asInstanceOf[classic.SparkSession].sessionState.catalogManager.catalog(name)
 }

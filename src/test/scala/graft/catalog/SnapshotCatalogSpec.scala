@@ -1,0 +1,234 @@
+package graft.catalog
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+/** The V2 catalog surface: 3-level names, SQL DDL/DML/time-travel over
+  * snapshot tables (reference: job_gold.py:50-58 registers the
+  * catalogs; :71-88 is the 3-part-name gold SQL this reproduces). */
+class SnapshotCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Register a fresh uniquely-named catalog on the shared session. */
+  private var n = 0
+  private def newCatalog(): String = synchronized {
+    n += 1
+    val cat = s"cspec$n"
+    val root = java.nio.file.Files.createTempDirectory(s"graft-cat-$cat").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    cat
+  }
+
+  private def rows(sql: String): Seq[Row] = spark.sql(sql).collect().toSeq
+
+  test("DDL + INSERT + SELECT roundtrip through a 3-part name") {
+    val c = newCatalog()
+    spark.sql(s"CREATE NAMESPACE $c.dw")
+    spark.sql(s"CREATE TABLE $c.dw.t (id INT, v STRING)")
+    // declared-but-empty: zero rows, declared schema
+    assert(spark.table(s"$c.dw.t").count() == 0)
+    assert(spark.table(s"$c.dw.t").columns.toSeq == Seq("id", "v"))
+    spark.sql(s"INSERT INTO $c.dw.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql(s"INSERT INTO $c.dw.t VALUES (3, 'c')") // append
+    assert(rows(s"SELECT * FROM $c.dw.t ORDER BY id") ==
+      Seq(Row(1, "a"), Row(2, "b"), Row(3, "c")))
+    spark.sql(s"INSERT OVERWRITE $c.dw.t VALUES (9, 'z')") // truncate
+    assert(rows(s"SELECT * FROM $c.dw.t") == Seq(Row(9, "z")))
+    assert(spark.sql(s"SHOW TABLES IN $c.dw").collect().map(_.getString(1)).toSeq == Seq("t"))
+  }
+
+  test("CTAS, DROP, rename") {
+    val c = newCatalog()
+    spark.sql(s"CREATE NAMESPACE $c.dw")
+    spark.sql(s"CREATE TABLE $c.dw.src AS SELECT id, id * 2 AS dbl FROM range(5)")
+    assert(rows(s"SELECT sum(dbl) AS s FROM $c.dw.src") == Seq(Row(20L)))
+    spark.sql(s"ALTER TABLE $c.dw.src RENAME TO $c.dw.renamed")
+    assert(rows(s"SELECT count(*) AS c FROM $c.dw.renamed") == Seq(Row(5L)))
+    spark.sql(s"DROP TABLE $c.dw.renamed")
+    assert(spark.sql(s"SHOW TABLES IN $c.dw").count() == 0)
+  }
+
+  test("identity PARTITIONED BY: directory layout survives commits; scan prunes partitions") {
+    val c = newCatalog()
+    spark.sql(s"CREATE NAMESPACE $c.dw")
+    spark.sql(s"CREATE TABLE $c.dw.p (id INT, region STRING) PARTITIONED BY (region)")
+    spark.sql(s"INSERT INTO $c.dw.p VALUES (1, 'eu'), (2, 'us'), (3, 'eu')")
+    val pruned = spark.sql(s"SELECT id FROM $c.dw.p WHERE region = 'eu'")
+    assert(pruned.collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 3))
+    // partition value is encoded in the directory, pruned before the scan
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("region"), plan)
+    // second commit re-threads the identity partition columns
+    spark.sql(s"INSERT INTO $c.dw.p VALUES (4, 'us')")
+    assert(spark.table(s"$c.dw.p").count() == 4)
+    val st = new graft.io.SnapshotTables(spark,
+      spark.conf.get(s"spark.sql.catalog.$c.root") + "/dw")
+    assert(st.currentPartitionCols("p") == Seq("region"))
+  }
+
+  test("hidden partition transforms (days/bucket/truncate) persist and re-derive") {
+    val c = newCatalog()
+    spark.sql(s"CREATE NAMESPACE $c.dw")
+    spark.sql(s"CREATE TABLE $c.dw.h (id INT, ts TIMESTAMP) PARTITIONED BY (days(ts))")
+    spark.sql(s"INSERT INTO $c.dw.h VALUES (1, TIMESTAMP '2024-01-01 10:00:00'), " +
+      "(2, TIMESTAMP '2024-01-02 11:00:00')")
+    // user-facing schema conceals the derived __p_ column
+    assert(spark.table(s"$c.dw.h").columns.toSeq == Seq("id", "ts"))
+    assert(spark.table(s"$c.dw.h").count() == 2)
+    val st = new graft.io.SnapshotTables(spark,
+      spark.conf.get(s"spark.sql.catalog.$c.root") + "/dw")
+    assert(st.persistedTransforms("h").map(_.srcCol) == Seq("ts"))
+    // the transform survives a later commit (hidden partitioning's contract)
+    spark.sql(s"INSERT INTO $c.dw.h VALUES (3, TIMESTAMP '2024-01-03 09:00:00')")
+    assert(st.persistedTransforms("h").nonEmpty && spark.table(s"$c.dw.h").count() == 3)
+  }
+
+  test("static-partition INSERT OVERWRITE replaces only the named partition") {
+    val c = newCatalog()
+    spark.sql(s"CREATE NAMESPACE $c.dw")
+    spark.sql(s"CREATE TABLE $c.dw.sp (id INT, region STRING) PARTITIONED BY (region)")
+    spark.sql(s"INSERT INTO $c.dw.sp VALUES (1, 'eu'), (2, 'us')")
+    spark.sql(s"INSERT OVERWRITE $c.dw.sp PARTITION (region = 'eu') VALUES (10)")
+    assert(rows(s"SELECT id, region FROM $c.dw.sp ORDER BY id") ==
+      Seq(Row(2, "us"), Row(10, "eu")))
+  }
+
+  test("VERSION AS OF and TIMESTAMP AS OF read retained snapshots; pinned versions reject writes") {
+    val c = newCatalog()
+    spark.sql(s"CREATE NAMESPACE $c.dw")
+    spark.sql(s"CREATE TABLE $c.dw.t AS SELECT 1 AS id")
+    val tAfterV1 = System.currentTimeMillis()
+    Thread.sleep(1100) // commit mtimes have second granularity on some filesystems
+    spark.sql(s"INSERT OVERWRITE $c.dw.t VALUES (2)")
+    assert(rows(s"SELECT id FROM $c.dw.t VERSION AS OF 1") == Seq(Row(1)))
+    assert(rows(s"SELECT id FROM $c.dw.t VERSION AS OF 2") == Seq(Row(2)))
+    val ts = new java.sql.Timestamp(tAfterV1).toString
+    assert(rows(s"SELECT id FROM $c.dw.t TIMESTAMP AS OF '$ts'") == Seq(Row(1)))
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO $c.dw.t VERSION AS OF 1 VALUES (3)")
+    }
+    assert(e.getMessage.toLowerCase.contains("pinned") ||
+      e.getMessage.toLowerCase.contains("version"), e.getMessage)
+  }
+
+  test("a DataFrame resolved before a concurrent commit keeps reading its own snapshot") {
+    val c = newCatalog()
+    spark.sql(s"CREATE NAMESPACE $c.dw")
+    spark.sql(s"CREATE TABLE $c.dw.iso AS SELECT 1 AS id")
+    val before = spark.table(s"$c.dw.iso") // pins version 1 at load
+    spark.sql(s"INSERT OVERWRITE $c.dw.iso VALUES (2)")
+    assert(before.collect().toSeq == Seq(Row(1)))          // old snapshot
+    assert(rows(s"SELECT id FROM $c.dw.iso") == Seq(Row(2))) // fresh resolve
+  }
+
+  test("DELETE FROM: TRUE-rows go, NULL-predicate rows are KEPT (SQL semantics)") {
+    val c = newCatalog()
+    spark.sql(s"CREATE NAMESPACE $c.dw")
+    Seq((Some(1), "a"), (None, "b"), (Some(3), "c")).toDF("id", "v")
+      .writeTo(s"$c.dw.t").create()
+    spark.sql(s"DELETE FROM $c.dw.t WHERE id = 1")
+    assert(spark.table(s"$c.dw.t").collect().map(_.getString(1)).toSet == Set("b", "c"))
+    // the delete is itself a commit: v1 still has all three
+    assert(spark.sql(s"SELECT count(*) AS c FROM $c.dw.t VERSION AS OF 1").head.getLong(0) == 3)
+  }
+
+  test("UPDATE: all SET expressions evaluate against the OLD row (swap semantics)") {
+    val c = newCatalog()
+    spark.sql(s"CREATE NAMESPACE $c.dw")
+    Seq((1, 10.0, 100.0), (2, 20.0, 200.0)).toDF("id", "a", "b").writeTo(s"$c.dw.t").create()
+    spark.sql(s"UPDATE $c.dw.t SET a = b, b = a WHERE id = 2")
+    assert(rows(s"SELECT id, a, b FROM $c.dw.t ORDER BY id") ==
+      Seq(Row(1, 10.0, 100.0), Row(2, 200.0, 20.0)))
+    // unconditional UPDATE hits every row
+    spark.sql(s"UPDATE $c.dw.t SET a = a + 1")
+    assert(rows(s"SELECT a FROM $c.dw.t ORDER BY id") == Seq(Row(11.0), Row(201.0)))
+    val e = intercept[Exception] { spark.sql(s"UPDATE $c.dw.t SET nope = 1") }
+    assert(e.getMessage.contains("nope"))
+  }
+
+  test("MERGE INTO: conditional update/delete, conditional insert, one commit") {
+    val c = newCatalog()
+    spark.sql(s"CREATE NAMESPACE $c.dw")
+    Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)).toDF("id", "v", "x")
+      .writeTo(s"$c.dw.t").create()
+    Seq((1, "A", 100.0), (4, "d", 40.0), (5, "e", 0.5)).toDF("id", "v", "x")
+      .createOrReplaceTempView("cat_merge_src")
+    spark.sql(
+      s"""MERGE INTO $c.dw.t AS t USING cat_merge_src AS s ON t.id = s.id
+         |WHEN MATCHED AND s.x > 50 THEN UPDATE SET v = s.v, x = s.x
+         |WHEN MATCHED THEN DELETE
+         |WHEN NOT MATCHED AND s.x > 1 THEN INSERT (id, v, x) VALUES (s.id, s.v, s.x)""".stripMargin)
+    // 1 matched (x=100>50) -> updated; 2 unmatched-by-source -> kept;
+    // 4 inserted (x=40>1); 5 dropped (x=0.5); 3 untouched
+    assert(rows(s"SELECT id, v, x FROM $c.dw.t ORDER BY id") ==
+      Seq(Row(1, "A", 100.0), Row(2, "b", 20.0), Row(3, "c", 30.0), Row(4, "d", 40.0)))
+    // the whole MERGE was ONE commit
+    val st = new graft.io.SnapshotTables(spark,
+      spark.conf.get(s"spark.sql.catalog.$c.root") + "/dw")
+    assert(st.currentVersion("t") == 2)
+  }
+
+  test("MERGE star actions and NOT MATCHED BY SOURCE") {
+    val c = newCatalog()
+    spark.sql(s"CREATE NAMESPACE $c.dw")
+    Seq((1, "a"), (4, "d")).toDF("id", "v").writeTo(s"$c.dw.t").create()
+    Seq((4, "DD"), (9, "i")).toDF("id", "v").createOrReplaceTempView("cat_star_src")
+    spark.sql(
+      s"""MERGE INTO $c.dw.t AS t USING cat_star_src AS s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(rows(s"SELECT id, v FROM $c.dw.t ORDER BY id") ==
+      Seq(Row(1, "a"), Row(4, "DD"), Row(9, "i")))
+    spark.sql(
+      s"""MERGE INTO $c.dw.t AS t USING cat_star_src AS s ON t.id = s.id
+         |WHEN NOT MATCHED BY SOURCE AND t.id = 1 THEN DELETE""".stripMargin)
+    assert(rows(s"SELECT id FROM $c.dw.t ORDER BY id") == Seq(Row(4), Row(9)))
+  }
+
+  test("MERGE cardinality rule: a target row matching several source rows raises") {
+    val c = newCatalog()
+    spark.sql(s"CREATE NAMESPACE $c.dw")
+    Seq((4, "d")).toDF("id", "v").writeTo(s"$c.dw.t").create()
+    Seq((4, "x1"), (4, "x2")).toDF("id", "v").createOrReplaceTempView("cat_dup_src")
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO $c.dw.t AS t USING cat_dup_src AS s ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("matched multiple source rows")), e.getMessage)
+    // and the failed MERGE committed nothing
+    assert(rows(s"SELECT v FROM $c.dw.t") == Seq(Row("d")))
+  }
+
+  test("filter pushdown reaches the parquet scan through the catalog") {
+    val c = newCatalog()
+    spark.sql(s"CREATE NAMESPACE $c.dw")
+    spark.range(100).select($"id", ($"id" % 7).as("k")).writeTo(s"$c.dw.t").create()
+    val q = spark.sql(s"SELECT id FROM $c.dw.t WHERE k = 3")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("IsNotNull(k)"), plan)
+    assert(plan.contains("ReadSchema") && !plan.contains("struct<id:bigint,k:bigint,extra"), plan)
+    assert(q.count() == 14) // ids 3, 10, …, 94
+  }
+
+  test("the reference gold SQL runs VERBATIM with 3-part names (job_gold.py:71-88 shape)") {
+    val c = newCatalog()
+    spark.sql(s"CREATE NAMESPACE $c.dw")
+    Seq(
+      (java.sql.Date.valueOf("2024-05-01"), "micro", "United States"),
+      (java.sql.Date.valueOf("2024-05-01"), "micro", "United States"),
+      (java.sql.Date.valueOf("2024-05-01"), "brewpub", "Ireland")
+    ).toDF("sys_file_date", "brewery_type", "country").writeTo(s"$c.dw.tab_brewery").create()
+    val out = spark.sql(
+      s"""SELECT sys_file_date, brewery_type, country, count(*) AS qtd
+         |FROM $c.dw.tab_brewery
+         |WHERE sys_file_date = '2024-05-01'
+         |GROUP BY 1, 2, 3
+         |ORDER BY 1, 2, 3""".stripMargin)
+    assert(out.collect().map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq ==
+      Seq(("brewpub", "Ireland", 1L), ("micro", "United States", 2L)))
+  }
+}
