@@ -1,7 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** Dev profiler: time named corpus queries in isolation.
   *
   * {{{ sbt "runMain graft.RunOne /root/testdata/sf0.1 q30_dedup_exact q31_minhash_signatures" }}}

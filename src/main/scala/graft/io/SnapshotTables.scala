@@ -88,74 +88,15 @@ final class SnapshotTables(
     * degrades to delete+rename — a reader can then briefly see the
     * file absent (and fall back to its documented no-file behavior)
     * but can never see half the content. */
-  private def replaceSmallFile(p: Path, content: String): Unit = {
-    val f = fs(p)
-    val tmp = new Path(p.getParent, s".${p.getName}.tmp-${java.util.UUID.randomUUID}")
-    writeSmallFile(tmp, content)
-    if (f.getScheme == "file") {
-      java.nio.file.Files.move(
-        java.nio.file.Paths.get(tmp.toUri.getPath),
-        java.nio.file.Paths.get(p.toUri.getPath),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    } else {
-      if (f.exists(p)) f.delete(p, false)
-      if (!f.rename(tmp, p)) { f.delete(tmp, false); throw new java.io.IOException(s"rename $tmp -> $p failed") }
-    }
-  }
+  private def replaceSmallFile(p: Path, content: String): Unit =
+    AtomicFs.replaceSmall(fs(p), p, content)
 
-  /** Exclusive create — the commit CAS. Returns false ONLY when `p`
-    * already exists (another writer won the version). Any other I/O
-    * failure after a successful exclusive create is a genuine error:
-    * this writer's partial file is removed (so it cannot wedge the
-    * version for everyone) and the exception propagates — it must not
-    * be misreported as a lost race. */
-  private def createExclusive(p: Path, content: String): Boolean = {
-    val f = fs(p)
-    if (f.getScheme == "file") {
-      // POSIX O_EXCL (CREATE_NEW) — a truly atomic local CAS. Hadoop's
-      // local create(overwrite=false) is check-THEN-create: two racing
-      // writers can both pass the check, both "win" the version, and
-      // the loser's data rename then mv's INTO the winner's snapshot
-      // directory (nested corruption). O_EXCL closes that window.
-      val local = java.nio.file.Paths.get(p.toUri.getPath)
-      java.nio.file.Files.createDirectories(local.getParent)
-      try {
-        java.nio.file.Files.write(local, content.getBytes("UTF-8"),
-          java.nio.file.StandardOpenOption.CREATE_NEW,
-          java.nio.file.StandardOpenOption.WRITE)
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
-        case e: java.io.IOException =>
-          try java.nio.file.Files.deleteIfExists(local)
-          catch { case _: java.io.IOException => () }
-          throw e
-      }
-    } else {
-      val out =
-        try f.create(p, false)
-        catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException => null
-          // some FileSystems predate the typed exception and signal an
-          // existing file as a plain IOException — treat as lost race
-          // only when the file demonstrably exists
-          case _: java.io.IOException if f.exists(p) => null
-        }
-      if (out == null) false
-      else
-        try {
-          try out.write(content.getBytes("UTF-8"))
-          finally out.close()
-          true
-        } catch {
-          case e: java.io.IOException =>
-            try f.delete(p, false)
-            catch { case _: java.io.IOException => () }
-            throw e
-        }
-    }
-  }
+  /** Exclusive create — the commit CAS ([[AtomicFs.createExclusive]]:
+    * POSIX O_EXCL locally, create(overwrite=false) on cluster
+    * filesystems). Returns false ONLY when `p` already exists (another
+    * writer won the version); other I/O failures propagate. */
+  private def createExclusive(p: Path, content: String): Boolean =
+    AtomicFs.createExclusive(fs(p), p, content)
 
   /** The commit CAS with FENCED crash-orphan recovery. A writer that
     * won the CAS for `next` but crashed before renaming its staged
@@ -195,11 +136,7 @@ final class SnapshotTables(
       }
     }
 
-  private def readSmallFile(p: Path): String = {
-    val in = fs(p).open(p)
-    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-    finally in.close()
-  }
+  private def readSmallFile(p: Path): String = AtomicFs.readSmall(fs(p), p)
 
   /** Current committed version, 0 when the table does not exist yet.
     * Always the max of the pointer cache and the newest committed
@@ -1303,6 +1240,10 @@ final class SnapshotTables(
   // ------------------------------------------------------------------
 
   private[graft] def sparkSession: SparkSession = spark
+
+  /** The table root this instance manages — identifies tables in
+    * [[LakeCommits]]' catalog-level commit log. */
+  private[graft] def rootPath: String = root
 
   private[graft] def snapshotDirString(table: String, v: Int): String =
     snapDir(table, v).toString

@@ -1603,9 +1603,66 @@ object ExtensionCorpus {
       GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")
   )
 
+  /** Cross-table atomic publish (the Nessie capability) end-to-end,
+    * oracle-pinned: silver lineitem and its gold aggregate land as one
+    * [[graft.io.LakeCommits]] commit, a coordinated restatement stages
+    * on per-table WAP branches and publishes atomically, and the final
+    * query re-derives the gold aggregate FROM the lake-resolved silver
+    * and joins it to the lake-resolved gold — stored and recomputed
+    * columns agree only if both tables resolve from the SAME catalog
+    * commit (gold computed from unpublished silver, or silver ahead of
+    * gold, would split them). The DuckDB oracle replays the final
+    * state from raw parquet (reference capability: one `nessie` commit
+    * spanning silver and gold, datalake_gold_spark_dag.py:181-186). */
+  private val q127 = Q(
+    "q127_lake_atomic_publish",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q127-lake").toString
+      val lake = new graft.io.LakeCommits(s, s"$root/_log")
+      val silver = new graft.io.SnapshotTables(s, s"$root/silver")
+      val gold = new graft.io.SnapshotTables(s, s"$root/gold")
+      val li = fixture(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      def agg(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      silver.overwriteTable(li.filter(col("l_orderkey") <= 5000), "li")
+      gold.overwriteTable(agg(silver.read("li")), "li_agg")
+      lake.publish(Seq(silver -> "li", gold -> "li_agg"))
+      // coordinated restatement: a quantity correction band + late rows,
+      // staged on BOTH tables' branches, published as ONE lake commit
+      silver.createBranch("li", "wap")
+      gold.createBranch("li_agg", "wap")
+      val restated = li.filter(col("l_orderkey") <= 6000)
+        .withColumn("l_quantity",
+          when(col("l_orderkey").between(1000, 2000), col("l_quantity") + 5)
+            .otherwise(col("l_quantity")))
+      silver.commitToBranch("li", "wap", restated)
+      gold.commitToBranch("li_agg", "wap", agg(silver.readBranch("li", "wap")))
+      lake.publishBranches(Seq((silver, "li", "wap"), (gold, "li_agg", "wap")))
+      val Seq(sdf, gdf) = lake.readAll(Seq(silver -> "li", gold -> "li_agg"))
+      gdf.select(col("l_returnflag"), col("n").as("n_gold"), col("sum_qty").as("sum_qty_gold"))
+        .join(agg(sdf).select(col("l_returnflag"),
+          col("n").as("n_silver"), col("sum_qty").as("sum_qty_silver")), Seq("l_returnflag"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""WITH fin AS (
+        SELECT l_returnflag,
+          CASE WHEN l_orderkey BETWEEN 1000 AND 2000 THEN l_quantity + 5
+               ELSE l_quantity END AS q
+        FROM lineitem WHERE l_orderkey <= 6000),
+      agg AS (SELECT l_returnflag, COUNT(*) AS n,
+          CAST(SUM(CAST(q AS DECIMAL(18,2))) AS DOUBLE) AS sq
+        FROM fin GROUP BY l_returnflag)
+      SELECT l_returnflag, n AS n_gold, sq AS sum_qty_gold,
+        n AS n_silver, sq AS sum_qty_silver
+      FROM agg ORDER BY l_returnflag""")
+  )
+
   val all: Seq[Q] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q99, q100, q101, q102, q106, q107, q108,
-    q109, q111, q112, q113, q114, q116, q117, q118, q119, q121, q122, q123, q125, q126
+    q109, q111, q112, q113, q114, q116, q117, q118, q119, q121, q122, q123, q125, q126, q127
   )
 }
