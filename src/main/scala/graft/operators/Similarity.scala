@@ -416,6 +416,26 @@ object Similarity {
     * [[queryLshIndex]] reads only the probed buckets' FILES (Spark
     * bucket pruning), so each query batch touches ~|probed buckets| /
     * 2^bits of the index — sub-linear serving over a 100 TB corpus. */
+  /** The sign-bit LSH bucket expression — ONE definition shared by the
+    * batch index build, the snapshot-index upsert, and both query
+    * paths, so index and probe bucketing can never drift. */
+  private def lshBucket(vec: org.apache.spark.sql.Column, bits: Int, dim: Int): org.apache.spark.sql.Column = {
+    val planes = hyperplanes(dim, bits)
+    (0 until bits)
+      .map(b => when(dot(vec, typedLit(planes(b).toSeq)) > 0, 1L << b).otherwise(0L))
+      .reduce(_ + _)
+  }
+
+  /** The index projection: one row per vector with its precomputed
+    * bucket and norm — the schema every LSH index variant stores. */
+  private def lshIndexRows(corpus: DataFrame, idCol: String, vecCol: String,
+      bits: Int, dim: Int): DataFrame =
+    corpus.select(
+      col(idCol).as("neighbor_id"),
+      col(vecCol).as("c_vec"),
+      norm(col(vecCol)).as("c_nrm"),
+      lshBucket(col(vecCol), bits, dim).as("bkt"))
+
   def buildLshIndex(
       corpus: DataFrame,
       idCol: String,
@@ -424,18 +444,62 @@ object Similarity {
       bits: Int = 8,
       dim: Int = 64,
       numBuckets: Int = 32
-  ): Unit = {
-    val planes = hyperplanes(dim, bits)
-    val bkt = (0 until bits)
-      .map(b => when(dot(col(vecCol), typedLit(planes(b).toSeq)) > 0, 1L << b).otherwise(0L))
-      .reduce(_ + _)
-    val indexed = corpus.select(
-      col(idCol).as("neighbor_id"),
-      col(vecCol).as("c_vec"),
-      norm(col(vecCol)).as("c_nrm"),
-      bkt.as("bkt")
-    )
-    graft.io.Sinks.bucketedTable(indexed, table, Seq("bkt"), numBuckets)
+  ): Unit =
+    graft.io.Sinks.bucketedTable(
+      lshIndexRows(corpus, idCol, vecCol, bits, dim), table, Seq("bkt"), numBuckets)
+
+  /** Incremental UPSERT of new vectors into a persisted LSH ANN index
+    * kept as a [[graft.io.SnapshotTables]] table partitioned BY the
+    * bucket column — the maintenance path a growing corpus needs
+    * between full rebuilds ([[buildLshIndex]] is build-once): each
+    * call merges the batch's index rows by vector id (re-ingesting a
+    * vector replaces its row — idempotent under replay, which is what
+    * makes the streaming sink exactly-once) and commits ONE new
+    * version through the fenced CAS. Directory partitioning on `bkt`
+    * preserves the serving property: [[queryLshIndexSnapshot]] probes
+    * prune to partition DIRECTORIES (the snapshot-table analogue of
+    * the bucketed table's SelectedBucketsCount file pruning). */
+  def upsertLshIndex(
+      tables: graft.io.SnapshotTables,
+      table: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bits: Int = 8,
+      dim: Int = 64
+  ): Unit =
+    tables.merge(table, lshIndexRows(batch, idCol, vecCol, bits, dim),
+      keyCols = Seq("neighbor_id"), partitionCols = Seq("bkt"))
+
+  /** Top-k ANN against an [[upsertLshIndex]]-maintained snapshot
+    * index: same probe-IN-pushdown + broadcast-query + exact re-rank
+    * as [[queryLshIndex]], reading the snapshot table's CURRENT
+    * version (a consistent snapshot even mid-upsert) with the probed
+    * buckets pruning to partition directories. */
+  def queryLshIndexSnapshot(
+      tables: graft.io.SnapshotTables,
+      table: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      bits: Int = 8,
+      dim: Int = 64
+  ): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_nrm"), lshBucket(col(vecCol), bits, dim).as("bkt"))
+      .localCheckpoint(true) // bucket values needed twice: IN-filter + join
+    val probed: Seq[Long] = q.select(col("bkt")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val c = tables.read(table).filter(col("bkt").isin(probed: _*))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("bkt"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), round(col("score"), 6).as("score"))
+      .orderBy(col("query_id"), col("rk"))
   }
 
   /** Top-k ANN against a persisted [[buildLshIndex]] table. The query
@@ -455,12 +519,8 @@ object Similarity {
       bits: Int = 8,
       dim: Int = 64
   ): DataFrame = {
-    val planes = hyperplanes(dim, bits)
-    val bkt = (0 until bits)
-      .map(b => when(dot(col(vecCol), typedLit(planes(b).toSeq)) > 0, 1L << b).otherwise(0L))
-      .reduce(_ + _)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-      norm(col(vecCol)).as("q_nrm"), bkt.as("bkt"))
+      norm(col(vecCol)).as("q_nrm"), lshBucket(col(vecCol), bits, dim).as("bkt"))
       .localCheckpoint(true) // bucket values needed twice: IN-filter + join
     val probed: Seq[Long] = q.select(col("bkt")).distinct()
       .collect().map(_.getLong(0)).toSeq

@@ -363,6 +363,39 @@ object Streams {
     * ORDER (the retained row is the one greatest by the first non-key
     * column, then the second, …), not newest-wins; pass `orderCol`
     * whenever the stream has any notion of update order. */
+  /** Streaming maintenance of a persisted LSH ANN index: every
+    * micro-batch of (id, vector) rows upserts into the snapshot-table
+    * index ([[graft.operators.Similarity.upsertLshIndex]] — bucket and
+    * norm precomputed, merged by vector id, ONE committed version per
+    * batch) so [[graft.operators.Similarity.queryLshIndexSnapshot]]
+    * finds new vectors immediately after their batch lands while the
+    * probed-bucket directory pruning keeps serving sub-linear.
+    *
+    * Exactly-once by idempotence: a replayed batch re-merges the same
+    * rows onto the same keys, converging to identical content — the
+    * same contract as [[snapshotMergeSink]], because it IS a keyed
+    * merge underneath. Index growth is one row per distinct vector id
+    * ever streamed, however many times batches replay. */
+  def lshIndexUpsertSink(
+      stream: DataFrame,
+      tables: graft.io.SnapshotTables,
+      table: String,
+      idCol: String,
+      vecCol: String,
+      checkpoint: String,
+      bits: Int = 8,
+      dim: Int = 64
+  ): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Similarity.upsertLshIndex(
+            tables, table, batch.dropDuplicates(idCol), idCol, vecCol, bits, dim)
+        ()
+      }
+      .start()
+
   def snapshotMergeSink(
       stream: DataFrame,
       tables: graft.io.SnapshotTables,

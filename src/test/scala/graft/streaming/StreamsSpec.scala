@@ -489,4 +489,46 @@ class StreamsSpec extends SparkSpec {
         Set((1L, "shipped", 2L), (2L, "new", 1L)))
     } finally q.stop()
   }
+
+  test("lshIndexUpsertSink: post-batch queries find new vectors; index stays bucket-pruned; replays idempotent") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Similarity
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-ann").toString
+    val tables = new graft.io.SnapshotTables(spark, root)
+    val ck = java.nio.file.Files.createTempDirectory("graft-stream-ann-ck").toString
+    val e = spark.read.parquet(sf() + "/embeddings.parquet").select($"vec_id", $"embedding")
+    val all = e.as[(Long, Array[Float])].collect().toSeq
+    val (batch1, batch2) = all.partition(_._1 < 300)
+    val queries = e.filter($"vec_id" < 5)
+    val ms = MemoryStream[(Long, Array[Float])]
+    val q = Streams.lshIndexUpsertSink(ms.toDF().toDF("vec_id", "embedding"),
+      tables, "ann", "vec_id", "embedding", checkpoint = ck, bits = 4, dim = 64)
+    try {
+      ms.addData(batch1: _*)
+      q.processAllAvailable()
+      def served = Similarity.queryLshIndexSnapshot(
+        tables, "ann", queries, "vec_id", "embedding", k = 5, bits = 4, dim = 64)
+      def direct(corpus: org.apache.spark.sql.DataFrame) = Similarity.lshTopK(
+        corpus, queries, "vec_id", "embedding", k = 5, bits = 4, dim = 64)
+      // batch-1 index serves exactly what the direct path computes on batch 1
+      assert(served.collect().toSeq == direct(e.filter($"vec_id" < 300)).collect().toSeq)
+      // batch 2 lands -> queries immediately see the NEW vectors
+      ms.addData(batch2: _*)
+      q.processAllAvailable()
+      val afterBatch2 = served.collect().toSeq
+      assert(afterBatch2 == direct(e).collect().toSeq)
+      assert(afterBatch2.map(_.getLong(2)).exists(_ >= 300), "no new-vector neighbor surfaced")
+      // serving stays sub-linear: probed buckets prune to partition dirs
+      val plan = served.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("bkt"), plan)
+      // replayed batch re-merges the same keys: content identical, one
+      // more version (exactly-once by idempotence)
+      val vBefore = tables.currentVersion("ann")
+      ms.addData(batch2: _*)
+      q.processAllAvailable()
+      assert(tables.currentVersion("ann") == vBefore + 1)
+      assert(tables.read("ann").count() == all.size)
+      assert(served.collect().toSeq == afterBatch2)
+    } finally q.stop()
+  }
 }
