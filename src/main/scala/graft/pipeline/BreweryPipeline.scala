@@ -183,4 +183,60 @@ object BreweryPipeline {
     val goldRows = if (silverRows > 0) runGold(spark, conf, date) else 0L
     (silverRows, goldRows)
   }
+
+  /** The data prefix the report's object/byte stats scan. 3-part names
+    * resolve through the registered [[graft.catalog.SnapshotCatalog]]
+    * to the table's `snapshots/` dir — all retained versions' data
+    * files, the analog of the `<table>/data` prefix the reference
+    * counts (Iceberg's data dir also holds every retained snapshot's
+    * files); 2-part names are session-catalog table locations. */
+  private def tableDataLocation(spark: SparkSession, table: String): String = {
+    val parts = table.split('.')
+    if (parts.length >= 3)
+      org.apache.spark.sql.GraftSqlBridge.catalogPlugin(spark, parts.head) match {
+        case sc: graft.catalog.SnapshotCatalog =>
+          sc.tablesFor(parts.slice(1, parts.length - 1)).rootPath + s"/${parts.last}/snapshots"
+        case other => throw new IllegalArgumentException(
+          s"catalog '${parts.head}' is ${other.getClass.getName}, not a graft SnapshotCatalog")
+      }
+    else org.apache.spark.sql.GraftSqlBridge.tableLocation(spark, table)
+  }
+
+  /** End-of-run report — the reference DAG's `calc_total_time` task
+    * plus the gold job's preview, field for field
+    * (datalake_pipeline_breweries.py:150-181, job_gold.py:91-92):
+    *  1. `Total execution time: HH:MM:SS` — NOTE the report task
+    *     zero-pads hours (`{int(total_hours):02d}`), unlike the
+    *     notification's `str(timedelta)` format ([[graft.core
+    *     .Notifications.formatDuration]]) — both quirks preserved;
+    *  2/3. `Total objects on <zone> zone <table>: N, Total bytes: B`
+    *     per zone, from the same prefix stats as
+    *     `get_qtd_and_size_minio` ([[graft.io.FsUtils.prefixStats]]);
+    *  4/5. the gold query's schema tree + `show()` preview (W3),
+    *     captured as strings so they flow through the same sink.
+    * Call after a successful [[run]]; returns the lines it sank. */
+  def report(
+      spark: SparkSession,
+      conf: PipelineConf,
+      date: LocalDate,
+      startMillis: Long,
+      endMillis: Long,
+      sink: String => Unit = println,
+      previewRows: Int = 20
+  ): Seq[String] = {
+    val total = math.max(0L, (endMillis - startMillis) / 1000L)
+    def zone(label: String, tableName: String): String = {
+      val (n, b) = graft.io.FsUtils.prefixStats(spark, tableDataLocation(spark, tableName))
+      s"Total objects on $label zone ${tableName.split('.').last}: $n, Total bytes: $b"
+    }
+    val gold = goldQuery(spark, conf, date)
+    val lines = Seq(
+      f"Total execution time: ${total / 3600}%02d:${total % 3600 / 60}%02d:${total % 60}%02d",
+      zone("silver", conf.silverTable),
+      zone("gold", conf.goldTable),
+      gold.schema.treeString.stripLineEnd,
+      org.apache.spark.sql.GraftSqlBridge.showString(gold, previewRows))
+    lines.foreach(sink)
+    lines
+  }
 }

@@ -53,4 +53,25 @@ object GraftSqlBridge {
     * layer resolves, instead of tracking the root twice. */
   def catalogPlugin(s: SparkSession, name: String): org.apache.spark.sql.connector.catalog.CatalogPlugin =
     s.asInstanceOf[classic.SparkSession].sessionState.catalogManager.catalog(name)
+
+  /** `df.show()`'s rendering as a STRING (`showString` is
+    * `private[sql]`) — the pipeline report captures the reference's
+    * preview output (job_gold.py:92) instead of printing straight to
+    * stdout, so it can go through the same notification sink. */
+  def showString(df: DataFrame, numRows: Int = 20, truncate: Int = 20): String =
+    df.asInstanceOf[classic.Dataset[Row]].showString(numRows, truncate, vertical = false)
+
+  /** Storage location of a SESSION-catalog table (`getTableMetadata`
+    * is on the `private[sql]` session catalog) — the prefix the
+    * report's object-count/bytes stats scan. */
+  def tableLocation(s: SparkSession, name: String): String = {
+    val parts = name.split('.')
+    val ti = parts.length match {
+      case 1 => org.apache.spark.sql.catalyst.TableIdentifier(parts(0))
+      case 2 => org.apache.spark.sql.catalyst.TableIdentifier(parts(1), Some(parts(0)))
+      case n => throw new IllegalArgumentException(s"session-catalog name expected, got $n parts: $name")
+    }
+    s.asInstanceOf[classic.SparkSession].sessionState.catalog.getTableMetadata(ti)
+      .location.toString
+  }
 }

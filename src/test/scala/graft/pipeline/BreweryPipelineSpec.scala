@@ -143,6 +143,31 @@ class BreweryPipelineSpec extends SparkSpec {
     assert(gold.count() == 4)
   }
 
+  test("report emits calc_total_time + per-zone stats + gold preview, message-exact (O8/W3)") {
+    val root = Files.createTempDirectory("bronze-report").toString
+    landFixture(root)
+    val conf = PipelineConf(bronzeRoot = root,
+      silverTable = "silver.dwrep.tab_brewery", goldTable = "gold.dwrep.tab_brewery_summary")
+    BreweryPipeline.run(spark, conf, date)
+    val sunk = scala.collection.mutable.ArrayBuffer.empty[String]
+    val lines = BreweryPipeline.report(spark, conf, date,
+      startMillis = 0L, endMillis = 3725000L, sink = sunk += _)
+    assert(lines == sunk.toSeq)
+    // the report task zero-pads hours (reference
+    // datalake_pipeline_breweries.py:160-162), unlike str(timedelta)
+    assert(lines(0) == "Total execution time: 01:02:05")
+    val zoneRe = """Total objects on (silver|gold) zone (\w+): (\d+), Total bytes: (\d+)""".r
+    val silverM = zoneRe.findFirstMatchIn(lines(1)).get
+    assert(silverM.group(1) == "silver" && silverM.group(2) == "tab_brewery")
+    assert(silverM.group(3).toLong > 0 && silverM.group(4).toLong > 0)
+    val goldM = zoneRe.findFirstMatchIn(lines(2)).get
+    assert(goldM.group(1) == "gold" && goldM.group(2) == "tab_brewery_summary")
+    assert(goldM.group(3).toLong > 0 && goldM.group(4).toLong > 0)
+    // the gold preview: printSchema tree + show() table (job_gold.py:91-92)
+    assert(lines(3).startsWith("root") && lines(3).contains("qtd"))
+    assert(lines(4).contains("brewery_type") && lines(4).contains("micro"))
+  }
+
   test("Main CLI arg parsing covers the pipeline surface") {
     val a = graft.Main.parse(List("--bronze", "/b", "--date", "2026-01-01",
       "--silver-table", "s.t", "--partition-overwrite", "--snapshot-root", "/w"))
