@@ -61,13 +61,31 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = _
   private var rootPath: String = _
   private var retention: Int = 10
+  private var commitLogPath: Option[String] = None
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     rootPath = Option(options.get("root")).getOrElse(throw new IllegalArgumentException(
       s"SnapshotCatalog '$name' needs spark.sql.catalog.$name.root=<dir>"))
     retention = Option(options.get("retention")).map(_.toInt).getOrElse(10)
+    commitLogPath = Option(options.get("commitlog"))
   }
+
+  /** LOG-GOVERNED mode (`spark.sql.catalog.<name>.commitlog=<dir>`) —
+    * the SQL face of [[graft.io.LakeCommits]], the reference's Nessie
+    * catalog semantics: reads resolve each table's version from the
+    * commit log's HEAD (per statement), so a table version committed
+    * but not yet published is invisible to SQL; writes and DML
+    * publish-through (each statement appends a log commit pinning the
+    * exact version it created — read-your-writes preserved).
+    * Multi-table atomicity stays with [[graft.io.LakeCommits
+    * .publishBranches]]: stage per-table WAP branches, publish once,
+    * and SQL readers flip from the old silver+gold pair to the new
+    * pair with no intermediate. Version resolution is per-STATEMENT;
+    * the strict one-head-for-N-frames guarantee is the API's
+    * [[graft.io.LakeCommits.readAll]]. */
+  private[graft] def lake: Option[graft.io.LakeCommits] =
+    commitLogPath.map(p => new graft.io.LakeCommits(spark, p))
 
   override def name(): String = catalogName
 
@@ -97,7 +115,17 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier): Table = {
     val st = tablesFor(ident.namespace)
     if (!st.tableExists(ident.name)) throw new NoSuchTableException(ident)
-    new SnapshotTableV2(fullName(ident), st, ident.name, st.currentVersion(ident.name))
+    lake match {
+      case Some(lc) =>
+        // log-governed: the head commit decides the visible version
+        // (un-governed tables read their current version, as direct
+        // LakeCommits.read does); writes publish-through
+        val v = lc.pinnedVersion(st, ident.name).getOrElse(st.currentVersion(ident.name))
+        new SnapshotTableV2(fullName(ident), st, ident.name, v,
+          afterWrite = committed => lc.publishExact(Seq((st, ident.name, committed))))
+      case None =>
+        new SnapshotTableV2(fullName(ident), st, ident.name, st.currentVersion(ident.name))
+    }
   }
 
   /** `VERSION AS OF` — accepts `3` or `v3`. */

@@ -41,7 +41,8 @@ final class SnapshotTableV2(
     st: SnapshotTables,
     table: String,
     version: Int,
-    pinnedVersion: Boolean = false
+    pinnedVersion: Boolean = false,
+    afterWrite: Int => Unit = _ => ()
 ) extends Table with SupportsRead with SupportsWrite {
 
   /** Seams for [[graft.plans.SnapshotDmlRule]] (SQL DELETE/UPDATE/MERGE). */
@@ -50,6 +51,11 @@ final class SnapshotTableV2(
   private[graft] def isPinned: Boolean = pinnedVersion
   private[graft] def identityPartitionCols: Seq[String] =
     if (st.persistedTransforms(table).nonEmpty) Nil else st.currentPartitionCols(table)
+
+  /** Post-commit hook (log-governed catalogs publish-through here) —
+    * called by the write builder AND the DML commands with the table's
+    * version after their commit. */
+  private[graft] def notifyCommitted(): Unit = afterWrite(st.currentVersion(table))
 
   private def spark: SparkSession = st.sparkSession
 
@@ -109,14 +115,14 @@ final class SnapshotTableV2(
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(!pinnedVersion, s"cannot write to $fullName pinned at version $version (time travel is read-only)")
-    new SnapshotWriteBuilder(st, table)
+    new SnapshotWriteBuilder(st, table, () => notifyCommitted())
   }
 }
 
 /** Write modes: INSERT INTO (append), INSERT OVERWRITE (truncate), and
   * static-partition overwrite (filtered). All three commit ONE new
   * snapshot version through the fenced CAS. */
-private final class SnapshotWriteBuilder(st: SnapshotTables, table: String)
+private final class SnapshotWriteBuilder(st: SnapshotTables, table: String, committed: () => Unit)
     extends WriteBuilder with SupportsTruncate with SupportsOverwriteV2 {
 
   private var truncateAll = false
@@ -151,6 +157,7 @@ private final class SnapshotWriteBuilder(st: SnapshotTables, table: String)
       st.overwriteTable(st.read(table).filter(not(pred)).unionByName(data), table, pcols)
     } else
       st.overwriteTable(st.read(table).unionByName(data), table, pcols)
+    committed()
   }
 }
 

@@ -102,6 +102,18 @@ final class LakeCommits(spark: SparkSession, logRoot: String) {
     publishVersions(updates)
   }
 
+  /** Pin EXACT versions in one commit — the publish-through hook for a
+    * log-governed catalog ([[graft.catalog.SnapshotCatalog]] with a
+    * `commitlog`): a writer publishes the precise version it just
+    * committed, not whatever is current at publish time, so two
+    * writers' publishes cannot mis-pin each other's versions. */
+  def publishExact(updates: Seq[(SnapshotTables, String, Int)]): Int =
+    publishVersions(updates.map { case (st, t, v) => key(st, t) -> v }.toMap)
+
+  /** The version the head commit pins for `table`, if governed. */
+  def pinnedVersion(st: SnapshotTables, table: String): Option[Int] =
+    state().get(key(st, table))
+
   /** The catalog-level WAP flow: per-table branches staged the audited
     * content; this publishes EVERY branch to its main line (normal
     * [[SnapshotTables.publish]] fast-forwards — data becomes real main

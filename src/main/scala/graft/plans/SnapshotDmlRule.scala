@@ -86,6 +86,7 @@ object SnapshotDmlRule extends Rule[LogicalPlan] {
     override def run(session: SparkSession): Seq[Row] = {
       val t = snapshotTable(rel)
       t.tables.delete(t.tableName, bare(cond), t.identityPartitionCols)
+      t.notifyCommitted()
       Seq.empty
     }
   }
@@ -105,6 +106,7 @@ object SnapshotDmlRule extends Rule[LogicalPlan] {
       }
       val pred = cond.map(bare).getOrElse(org.apache.spark.sql.functions.lit(true))
       t.tables.update(t.tableName, sets, pred, t.identityPartitionCols)
+      t.notifyCommitted()
       Seq.empty
     }
   }
@@ -204,6 +206,7 @@ object SnapshotDmlRule extends Rule[LogicalPlan] {
         }.as(c)
       }
       st.overwriteTable(labelled.select(out: _*), t.tableName, t.identityPartitionCols)
+      t.notifyCommitted()
       Seq.empty
     }
   }

@@ -214,6 +214,39 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(q.count() == 14) // ids 3, 10, …, 94
   }
 
+  test("log-governed catalog: SQL reads resolve the commit-log head; writes publish through; branch publish flips tables together") {
+    val c = newCatalog()
+    val logDir = java.nio.file.Files.createTempDirectory("graft-cat-log").toString
+    spark.conf.set(s"spark.sql.catalog.$c.commitlog", logDir)
+    spark.sql(s"CREATE NAMESPACE $c.dw")
+    // SQL writes publish-through: immediately visible (read-your-writes)
+    spark.sql(s"CREATE TABLE $c.dw.t AS SELECT 1 AS k, 'a' AS v")
+    spark.sql(s"CREATE TABLE $c.dw.s AS SELECT 1 AS k, 100 AS agg")
+    assert(rows(s"SELECT v FROM $c.dw.t") == Seq(Row("a")))
+    // a DIRECT table-line commit (bypassing the catalog) is NOT visible
+    // until published — the log governs SQL visibility
+    val root = spark.conf.get(s"spark.sql.catalog.$c.root")
+    val st = new graft.io.SnapshotTables(spark, s"$root/dw")
+    st.overwriteTable(Seq((2, "unpublished")).toDF("k", "v"), "t")
+    assert(rows(s"SELECT v FROM $c.dw.t") == Seq(Row("a")))
+    // stage a coordinated change on BOTH tables' branches, publish once:
+    // SQL readers flip from the old pair to the new pair, no intermediate.
+    // (fork from the published state the log pins, not the out-of-band commit)
+    st.rollback("t", 1)
+    st.createBranch("t", "wap")
+    st.createBranch("s", "wap")
+    st.commitToBranch("t", "wap", Seq((9, "new")).toDF("k", "v"))
+    st.commitToBranch("s", "wap", Seq((9, 900)).toDF("k", "agg"))
+    val pair = s"SELECT t.v, s.agg FROM $c.dw.t t JOIN $c.dw.s s ON t.k = s.k"
+    assert(rows(pair) == Seq(Row("a", 100)))
+    val lake = new graft.io.LakeCommits(spark, logDir)
+    lake.publishBranches(Seq((st, "t", "wap"), (st, "s", "wap")))
+    assert(rows(pair) == Seq(Row("new", 900)))
+    // SQL DML publishes through too
+    spark.sql(s"UPDATE $c.dw.s SET agg = agg + 1")
+    assert(rows(s"SELECT agg FROM $c.dw.s") == Seq(Row(901)))
+  }
+
   test("the reference gold SQL runs VERBATIM with 3-part names (job_gold.py:71-88 shape)") {
     val c = newCatalog()
     spark.sql(s"CREATE NAMESPACE $c.dw")
