@@ -1003,6 +1003,67 @@ object Similarity {
       idCol, m, k, topK)
   }
 
+  /** Incremental UPSERT of new vectors into a persisted IVF-PQ index
+    * kept as a [[graft.io.SnapshotTables]] table partitioned BY
+    * cell_id — the FAISS add-to-index contract: the quantizers
+    * (centroids + codebooks) are FROZEN between retrains, new vectors
+    * are encoded with the existing ones and merged by id. The centroid
+    * mini-table commits alongside on first call (`<table>_centroids`)
+    * so serving stays self-contained; re-ingesting a vector replaces
+    * its row (idempotent under replay — the streaming-sink contract).
+    * Pass `centroids` on the FIRST call to seed the quantizer
+    * explicitly; later calls always reuse the persisted one. */
+  def upsertPqIndex(
+      tables: graft.io.SnapshotTables,
+      table: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: DataFrame,
+      dim: Int,
+      m: Int,
+      numCells: Int,
+      centroids: Option[DataFrame] = None
+  ): Unit = {
+    val centTable = s"${table}_centroids"
+    val cent =
+      if (tables.currentVersion(centTable) > 0) tables.read(centTable)
+      else {
+        val c = normCentroids(centroids.getOrElse(seedCentroids(batch, idCol, vecCol, numCells)))
+        tables.overwriteTable(c, centTable)
+        tables.read(centTable)
+      }
+    tables.merge(table, cellCodes(batch, idCol, vecCol, codebooks, cent, dim, m),
+      keyCols = Seq(idCol), partitionCols = Seq("cell_id"))
+  }
+
+  /** Serve top-k ANN from an [[upsertPqIndex]]-maintained snapshot
+    * index: probes from the persisted centroid mini-table, probed cell
+    * ids pushed as an IN filter pruning to partition DIRECTORIES, and
+    * the same decimal ADC as [[queryPqIndex]] — identical results to
+    * the bucketed-table serving path by construction. */
+  def queryPqIndexSnapshot(
+      tables: graft.io.SnapshotTables,
+      table: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: DataFrame,
+      dim: Int,
+      m: Int,
+      k: Int,
+      nprobe: Int,
+      topK: Int
+  ): DataFrame = {
+    val cent = tables.read(s"${table}_centroids")
+    val probes = probeCells(queries, idCol, vecCol, cent, nprobe).localCheckpoint(true)
+    val probedCells: Seq[Long] = probes.select(col("cell_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val codes = tables.read(table).filter(col("cell_id").isin(probedCells: _*))
+    adcServe(codes, probes, pqQueryTables(queries, idCol, vecCol, codebooks, dim, m, k),
+      idCol, m, k, topK)
+  }
+
   /** SemDeDup-shaped semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus with a coarse quantizer,
     * compare pairs ONLY within a cluster, and drop every document that

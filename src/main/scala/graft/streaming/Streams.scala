@@ -396,6 +396,38 @@ object Streams {
       }
       .start()
 
+  /** Streaming maintenance of a persisted IVF-PQ index — the PQ analog
+    * of [[lshIndexUpsertSink]], same exactly-once-by-idempotence
+    * contract: each batch's vectors are encoded with the FROZEN
+    * quantizers (codebooks + the centroid mini-table persisted at
+    * bootstrap) and merged by id
+    * ([[graft.operators.Similarity.upsertPqIndex]]); serve any moment
+    * with [[graft.operators.Similarity.queryPqIndexSnapshot]]. Pass
+    * `centroids` to seed the quantizer when the index does not exist
+    * yet; it is ignored afterwards. */
+  def pqIndexUpsertSink(
+      stream: DataFrame,
+      tables: graft.io.SnapshotTables,
+      table: String,
+      idCol: String,
+      vecCol: String,
+      codebooks: DataFrame,
+      dim: Int,
+      m: Int,
+      numCells: Int,
+      checkpoint: String,
+      centroids: Option[DataFrame] = None
+  ): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Similarity.upsertPqIndex(tables, table,
+            batch.dropDuplicates(idCol), idCol, vecCol, codebooks, dim, m, numCells, centroids)
+        ()
+      }
+      .start()
+
   def snapshotMergeSink(
       stream: DataFrame,
       tables: graft.io.SnapshotTables,

@@ -290,6 +290,44 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("incrementally upserted PQ index serves identically to the batch-built one; replays idempotent") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 5)
+    val cb = Similarity.pqTrain(e, "vec_id", "embedding", dim = 64, m = 8, k = 16)
+    val root = java.nio.file.Files.createTempDirectory("graft-pq-inc").toString
+    val tables = new graft.io.SnapshotTables(spark, root)
+    // the quantizer must be FROZEN across increments: seed it from the
+    // full corpus on the first call, exactly what a production retrain
+    // would persist before resuming ingestion
+    val seedCent = e.filter($"vec_id" < 16)
+      .select($"vec_id".cast("long").as("cell_id"), $"embedding".as("cent_vec"))
+    Similarity.upsertPqIndex(tables, "pq", e.filter($"vec_id" < 300), "vec_id", "embedding",
+      cb, dim = 64, m = 8, numCells = 16, centroids = Some(seedCent))
+    Similarity.upsertPqIndex(tables, "pq", e.filter($"vec_id" >= 300), "vec_id", "embedding",
+      cb, dim = 64, m = 8, numCells = 16)
+    Similarity.buildPqIndex(e, "vec_id", "embedding", cb, "pq_inc_ref",
+      dim = 64, m = 8, numCells = 16, numBuckets = 8)
+    try {
+      val served = Similarity.queryPqIndexSnapshot(tables, "pq", q, "vec_id", "embedding",
+        cb, dim = 64, m = 8, k = 16, nprobe = 2, topK = 5)
+      val reference = Similarity.queryPqIndex(spark, "pq_inc_ref", q, "vec_id", "embedding",
+        cb, dim = 64, m = 8, k = 16, nprobe = 2, topK = 5)
+      assert(served.collect().toSeq == reference.collect().toSeq)
+      // probed cells prune to partition directories on the snapshot read
+      val plan = served.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("cell_id"), plan)
+      // replaying an increment leaves content identical, one more version
+      val vBefore = tables.currentVersion("pq")
+      val n = tables.read("pq").count()
+      Similarity.upsertPqIndex(tables, "pq", e.filter($"vec_id" >= 300), "vec_id", "embedding",
+        cb, dim = 64, m = 8, numCells = 16)
+      assert(tables.currentVersion("pq") == vBefore + 1 && tables.read("pq").count() == n)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS pq_inc_ref")
+      spark.sql("DROP TABLE IF EXISTS pq_inc_ref_centroids")
+    }
+  }
+
   test("semantic dedup keeps exactly the docs with no smaller-id near-dup in their cell") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val out = Similarity.semanticDedup(e, "vec_id", "embedding", numCells = 8, threshold = 0.25)

@@ -531,4 +531,43 @@ class StreamsSpec extends SparkSpec {
       assert(served.collect().toSeq == afterBatch2)
     } finally q.stop()
   }
+
+  test("pqIndexUpsertSink: frozen quantizers across batches; serving matches the batch-built index") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Similarity
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-pq").toString
+    val tables = new graft.io.SnapshotTables(spark, root)
+    val ck = java.nio.file.Files.createTempDirectory("graft-stream-pq-ck").toString
+    val e = spark.read.parquet(sf() + "/embeddings.parquet").select($"vec_id", $"embedding")
+    val cb = Similarity.pqTrain(e, "vec_id", "embedding", dim = 64, m = 8, k = 16)
+    val all = e.as[(Long, Array[Float])].collect().toSeq
+    val (batch1, batch2) = all.partition(_._1 < 300)
+    // seed the quantizer from the full corpus' id<16 slice — the same
+    // frozen centroids the batch-built reference uses
+    val seedCent = e.filter($"vec_id" < 16)
+      .select($"vec_id".cast("long").as("cell_id"), $"embedding".as("cent_vec"))
+    val ms = MemoryStream[(Long, Array[Float])]
+    val q = Streams.pqIndexUpsertSink(ms.toDF().toDF("vec_id", "embedding"),
+      tables, "pq", "vec_id", "embedding", cb, dim = 64, m = 8, numCells = 16,
+      checkpoint = ck, centroids = Some(seedCent))
+    Similarity.buildPqIndex(e, "vec_id", "embedding", cb, "pq_stream_ref",
+      dim = 64, m = 8, numCells = 16, numBuckets = 8)
+    try {
+      ms.addData(batch1: _*)
+      q.processAllAvailable()
+      ms.addData(batch2: _*)
+      q.processAllAvailable()
+      val queries = e.filter($"vec_id" < 5)
+      val served = Similarity.queryPqIndexSnapshot(tables, "pq", queries, "vec_id", "embedding",
+        cb, dim = 64, m = 8, k = 16, nprobe = 2, topK = 5)
+      val reference = Similarity.queryPqIndex(spark, "pq_stream_ref", queries, "vec_id", "embedding",
+        cb, dim = 64, m = 8, k = 16, nprobe = 2, topK = 5)
+      assert(served.collect().toSeq == reference.collect().toSeq)
+      assert(tables.read("pq").count() == all.size)
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS pq_stream_ref")
+      spark.sql("DROP TABLE IF EXISTS pq_stream_ref_centroids")
+    }
+  }
 }
