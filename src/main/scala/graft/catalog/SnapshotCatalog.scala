@@ -156,9 +156,61 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported — snapshot schemas evolve through MERGE with schema evolution")
+  /** Schema evolution through SQL — the Iceberg ALTER surface a
+    * reference user actually runs: `ADD COLUMN(S)` (nullable,
+    * top-level), `DROP COLUMN`, `RENAME COLUMN`. Each change commits
+    * ONE new copy-on-write version (old rows read NULL in a new
+    * column; prior versions keep their schema — evolution is
+    * per-commit, same contract as merge(evolveSchema)). Partition
+    * columns are refused (layout identity), as are nested-field edits
+    * and type changes (never silent coercion). Column order follows
+    * the directory-partitioned convention: partition columns read
+    * LAST, so an added column lands before them. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val st = tablesFor(ident.namespace)
+    val t = ident.name
+    if (!st.tableExists(t)) throw new NoSuchTableException(ident)
+    require(st.currentVersion(t) > 0,
+      s"table ${fullName(ident)} has no committed version — declare the final schema at CREATE")
+    val pcols = if (st.persistedTransforms(t).nonEmpty) Nil else st.currentPartitionCols(t)
+    def refusePartition(c: String): Unit =
+      require(!st.currentPartitionCols(t).contains(c), s"cannot alter partition column '$c'")
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          s"only top-level ADD COLUMN is supported, got ${add.fieldNames.mkString(".")}")
+        require(add.isNullable, "added columns must be nullable (existing rows read NULL)")
+        val name = add.fieldNames.head
+        val cur = st.read(t)
+        require(!cur.columns.contains(name), s"column '$name' already exists")
+        st.overwriteTable(cur.withColumn(name, lit(null).cast(add.dataType)), t, pcols)
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          s"only top-level DROP COLUMN is supported, got ${del.fieldNames.mkString(".")}")
+        val name = del.fieldNames.head
+        refusePartition(name)
+        val cur = st.read(t)
+        require(cur.columns.contains(name), s"no column '$name'")
+        require(cur.columns.length > 1, "cannot drop the last column")
+        st.overwriteTable(cur.drop(name), t, pcols)
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames.length == 1,
+          s"only top-level RENAME COLUMN is supported, got ${ren.fieldNames.mkString(".")}")
+        val from = ren.fieldNames.head
+        refusePartition(from)
+        val cur = st.read(t)
+        require(cur.columns.contains(from), s"no column '$from'")
+        require(!cur.columns.contains(ren.newName), s"column '${ren.newName}' already exists")
+        st.overwriteTable(cur.select(cur.columns.toSeq.map(c =>
+          if (c == from) col(c).as(ren.newName) else col(c)): _*), t, pcols)
+      case other =>
+        throw new UnsupportedOperationException(
+          s"unsupported ALTER TABLE change ${other.getClass.getSimpleName} — " +
+            "supported: ADD/DROP/RENAME top-level columns; type changes never coerce silently")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     tablesFor(ident.namespace).dropTableDir(ident.name)

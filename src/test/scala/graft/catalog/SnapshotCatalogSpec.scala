@@ -214,6 +214,31 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(q.count() == 14) // ids 3, 10, …, 94
   }
 
+  test("ALTER TABLE ADD/DROP/RENAME COLUMN commit copy-on-write versions; partition columns refused") {
+    val c = newCatalog()
+    spark.sql(s"CREATE NAMESPACE $c.dw")
+    spark.sql(s"CREATE TABLE $c.dw.t (id INT, region STRING) PARTITIONED BY (region)")
+    spark.sql(s"INSERT INTO $c.dw.t VALUES (1, 'eu'), (2, 'us')")
+    spark.sql(s"ALTER TABLE $c.dw.t ADD COLUMN score DOUBLE")
+    // existing rows read NULL in the new column; writes can fill it.
+    // Directory-partitioned convention: partition columns read LAST,
+    // so the added column lands before 'region'.
+    assert(spark.table(s"$c.dw.t").columns.toSeq == Seq("id", "score", "region"))
+    assert(spark.table(s"$c.dw.t").filter($"score".isNotNull).count() == 0)
+    spark.sql(s"INSERT INTO $c.dw.t VALUES (3, 0.5, 'eu')")
+    assert(rows(s"SELECT id, score FROM $c.dw.t WHERE score IS NOT NULL") == Seq(Row(3, 0.5)))
+    spark.sql(s"ALTER TABLE $c.dw.t RENAME COLUMN score TO quality")
+    assert(spark.table(s"$c.dw.t").columns.toSeq == Seq("id", "quality", "region"))
+    spark.sql(s"ALTER TABLE $c.dw.t DROP COLUMN quality")
+    assert(spark.table(s"$c.dw.t").columns.toSeq == Seq("id", "region"))
+    // prior versions keep their schema (evolution is per-commit)
+    assert(spark.sql(s"SELECT * FROM $c.dw.t VERSION AS OF 2").columns.contains("score"))
+    // partition-column edits and the layout are protected
+    val e = intercept[Exception] { spark.sql(s"ALTER TABLE $c.dw.t DROP COLUMN region") }
+    assert(e.getMessage.contains("partition column"))
+    assert(spark.table(s"$c.dw.t").count() == 3) // nothing lost along the way
+  }
+
   test("log-governed catalog: SQL reads resolve the commit-log head; writes publish through; branch publish flips tables together") {
     val c = newCatalog()
     val logDir = java.nio.file.Files.createTempDirectory("graft-cat-log").toString
