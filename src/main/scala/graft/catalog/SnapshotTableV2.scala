@@ -93,6 +93,11 @@ final class SnapshotTableV2(
     s.add(TableCapability.V1_BATCH_WRITE)
     s.add(TableCapability.TRUNCATE)
     s.add(TableCapability.OVERWRITE_BY_FILTER)
+    // `MERGE ... WITH SCHEMA EVOLUTION`: the analyzer gates on this
+    // capability, then widens the table through the catalog's
+    // alterTable (a COW ADD COLUMN commit) and re-resolves the MERGE
+    // against the evolved schema — the DML rewrite sees a normal MERGE
+    s.add(TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
     s
   }
 

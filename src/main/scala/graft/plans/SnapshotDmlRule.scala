@@ -39,9 +39,11 @@ object SnapshotDmlRule extends Rule[LogicalPlan] {
     case m @ MergeIntoTable(SnapshotRelTarget(rel), source, cond, matched, notMatched, notMatchedBySource, withSchemaEvolution)
         if m.childrenResolved && cond.resolved &&
           (matched ++ notMatched ++ notMatchedBySource).forall(_.resolved) =>
-      if (withSchemaEvolution)
-        throw new UnsupportedOperationException(
-          "MERGE ... WITH SCHEMA EVOLUTION is not supported in SQL — use SnapshotTables.merge(evolveSchema = true)")
+      // WITH SCHEMA EVOLUTION needs no handling here: the analyzer
+      // already evolved the target through the catalog's alterTable
+      // (ADD COLUMN commits a COW version) and re-resolved this plan
+      // against the widened schema — the rewrite below sees a normal
+      // MERGE whose star/explicit actions cover the new columns.
       SnapshotMergeCommand(rel, m.targetTable.output, source, cond, matched, notMatched, notMatchedBySource)
     case _ => plan
   }

@@ -186,6 +186,32 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(rows(s"SELECT id FROM $c.dw.t ORDER BY id") == Seq(Row(4), Row(9)))
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION widens the table through the catalog and applies new columns") {
+    val c = newCatalog()
+    spark.sql(s"CREATE NAMESPACE $c.dw")
+    Seq((1, "a")).toDF("id", "v").writeTo(s"$c.dw.t").create()
+    Seq((1, "A", 9.5), (2, "b", 1.0)).toDF("id", "v", "score")
+      .createOrReplaceTempView("cat_evo_src")
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $c.dw.t AS t USING cat_evo_src AS s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(rows(s"SELECT id, v, score FROM $c.dw.t ORDER BY id") ==
+      Seq(Row(1, "A", 9.5), Row(2, "b", 1.0)))
+    // the evolution itself was a COW commit: the pre-merge version keeps
+    // the narrow schema
+    assert(!spark.sql(s"SELECT * FROM $c.dw.t VERSION AS OF 1").columns.contains("score"))
+    // WITHOUT the clause there is no widening: star actions resolve by
+    // name against the TARGET schema — the extra source column is
+    // ignored, the table schema stays put (never silently evolved)
+    Seq((3, "c", 1.0, "x")).toDF("id", "v", "score", "extra")
+      .createOrReplaceTempView("cat_evo_wider")
+    spark.sql(s"""MERGE INTO $c.dw.t AS t USING cat_evo_wider AS s ON t.id = s.id
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.table(s"$c.dw.t").columns.toSeq == Seq("id", "v", "score"))
+    assert(rows(s"SELECT id, v, score FROM $c.dw.t WHERE id = 3") == Seq(Row(3, "c", 1.0)))
+  }
+
   test("MERGE cardinality rule: a target row matching several source rows raises") {
     val c = newCatalog()
     spark.sql(s"CREATE NAMESPACE $c.dw")
