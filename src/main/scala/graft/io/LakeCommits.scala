@@ -172,6 +172,19 @@ final class LakeCommits(spark: SparkSession, logRoot: String) {
       s"lake commit lost $attempts consecutive CAS races — livelock or stuck publisher")
   }
 
+  /** Retire log history: keep the newest `keep` commits, delete older
+    * files. Each commit holds the FULL mapping (not a delta), so
+    * deleting history never affects head resolution — only how far
+    * back [[readAt]] can reach. Align with the per-table retention:
+    * there is no point keeping log entries whose pinned versions
+    * [[SnapshotTables.expire]] already removed. The head itself is
+    * never deleted. */
+  def expireLog(keep: Int): Unit = {
+    require(keep >= 1, "must keep at least the head commit")
+    val f = fs
+    log.dropRight(keep).foreach(c => f.delete(commitPath(c), false))
+  }
+
   private def key(st: SnapshotTables, table: String): String = s"${st.rootPath}|$table"
 }
 

@@ -122,6 +122,20 @@ class LakeCommitsSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  test("expireLog keeps head resolution intact; only deep time travel is retired") {
+    val (lake, silver, _) = newLake()
+    (1 to 5).foreach { i =>
+      silver.overwriteTable(Seq((i, s"v$i")).toDF("k", "v"), "t")
+      lake.publish(Seq(silver -> "t"))
+    }
+    lake.expireLog(keep = 2)
+    assert(lake.log == Seq(4, 5))
+    assert(lake.read(silver, "t").as[(Int, String)].head() == ((5, "v5")))
+    assert(lake.readAt(4, silver, "t").as[(Int, String)].head() == ((4, "v4")))
+    intercept[Exception] { lake.readAt(1, silver, "t").collect() }
+    intercept[IllegalArgumentException] { lake.expireLog(0) }
+  }
+
   test("publish of an uncommitted table is refused") {
     val (lake, silver, _) = newLake()
     val e = intercept[IllegalArgumentException] { lake.publish(Seq(silver -> "ghost")) }
