@@ -209,6 +209,10 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
           s"unsupported ALTER TABLE change ${other.getClass.getSimpleName} — " +
             "supported: ADD/DROP/RENAME top-level columns; type changes never coerce silently")
     }
+    // log-governed: ALTER publishes through like any other SQL write —
+    // without this the evolved version would stay invisible to log
+    // readers until the next published write
+    lake.foreach(lc => lc.publishExact(Seq((st, t, st.currentVersion(t)))))
     loadTable(ident)
   }
 

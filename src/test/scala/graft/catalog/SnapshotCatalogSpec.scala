@@ -296,6 +296,9 @@ class SnapshotCatalogSpec extends SparkSpec {
     // SQL DML publishes through too
     spark.sql(s"UPDATE $c.dw.s SET agg = agg + 1")
     assert(rows(s"SELECT agg FROM $c.dw.s") == Seq(Row(901)))
+    // and so does ALTER: the evolved schema is immediately log-visible
+    spark.sql(s"ALTER TABLE $c.dw.s ADD COLUMN note STRING")
+    assert(spark.table(s"$c.dw.s").columns.contains("note"))
   }
 
   test("the reference gold SQL runs VERBATIM with 3-part names (job_gold.py:71-88 shape)") {
