@@ -152,10 +152,20 @@ object SnapshotDmlRule extends Rule[LogicalPlan] {
       val isTargetOnly = col("__t_exists").isNotNull && col("__s_exists").isNull
 
       // SQL cardinality rule: a target row may match at most one
-      // source row — counted with one window pass over the
-      // already-shuffled join
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__t_rid"))
+      // source row — counted with one window pass over the joined
+      // relation. The window key spreads target-LESS rows: their
+      // __t_rid is NULL and hashpartitioning sends every NULL to ONE
+      // reducer — an INSERT-heavy merge (the daily-append pattern)
+      // would serialize its entire unmatched side into a single window
+      // task at scale. Each such row gets a unique key disjoint from
+      // real rids (rids are non-negative), its count is never read
+      // (the guard only fires where __t_exists is non-null), and the
+      // hot key disappears.
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__w_rid"))
       val guarded = joined
+        // project the key first: nondeterministic expressions belong in
+        // a Project, not inside the window's partition spec
+        .withColumn("__w_rid", coalesce(col("__t_rid"), -monotonically_increasing_id() - 1))
         .withColumn("__m_cnt", sum(when(isMatched, 1L).otherwise(0L)).over(w))
 
       // first-applicable-action label: m<i> / n<i> / s<i>, 'keep'
