@@ -265,6 +265,26 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(spark.table(s"$c.dw.t").count() == 3) // nothing lost along the way
   }
 
+  test("DESCRIBE and SHOW NAMESPACES surface catalog metadata incl. partition transforms") {
+    val c = newCatalog()
+    spark.sql(s"CREATE NAMESPACE $c.dw")
+    // identity OR derived transforms per table (the snapshot layer's
+    // documented either-or rule — mixing is refused loudly at CREATE)
+    spark.sql(s"""CREATE TABLE $c.dw.t (id BIGINT, ts TIMESTAMP)
+                  PARTITIONED BY (days(ts), bucket(4, id))""")
+    spark.sql(s"INSERT INTO $c.dw.t VALUES (1, TIMESTAMP '2024-01-01 10:00:00')")
+    val desc = spark.sql(s"DESCRIBE TABLE $c.dw.t").collect().map(_.mkString("|")).mkString("\n")
+    assert(desc.contains("days(ts)") && desc.contains("bucket(4, id)"), desc)
+    assert(spark.sql(s"SHOW NAMESPACES IN $c").collect().map(_.getString(0)).contains("dw"))
+    // the derived __p_ columns stay hidden from DESCRIBE's column list
+    assert(!desc.contains("__p_"))
+    val e = intercept[Exception] {
+      spark.sql(s"""CREATE TABLE $c.dw.mixed (id BIGINT, r STRING, ts TIMESTAMP)
+                    PARTITIONED BY (r, days(ts))""")
+    }
+    assert(e.getMessage.contains("identity columns OR derived transforms"), e.getMessage)
+  }
+
   test("log-governed catalog: SQL reads resolve the commit-log head; writes publish through; branch publish flips tables together") {
     val c = newCatalog()
     val logDir = java.nio.file.Files.createTempDirectory("graft-cat-log").toString
