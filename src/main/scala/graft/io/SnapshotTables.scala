@@ -225,13 +225,18 @@ final class SnapshotTables(
     // through here with no partition columns, and without this the
     // rewrite would silently flatten the directory layout. Derived
     // values are pure functions of the data, so re-application is
-    // exact; an explicit partitionBy overrides the spec.
+    // exact; an explicit partitionBy overrides the spec. A MIXED
+    // table (identity columns AND derived transforms — Iceberg's
+    // general spec, declared via `PARTITIONED BY (region, days(ts))`)
+    // re-threads its identity columns too: currentPartitionCols is
+    // the previous commit's identity list (the `__p_` names strip),
+    // so the full layout survives every plain commit.
     val transforms = if (partitionCols.isEmpty) effectiveTransforms(table) else Nil
     val (df1, partitionCols1) =
       if (transforms.isEmpty) (df, partitionCols)
       else (transforms.foldLeft(df)((d, t) =>
         if (d.columns.contains(t.name)) d else d.withColumn(t.name, t.expr)),
-        transforms.map(_.name))
+        currentPartitionCols(table) ++ transforms.map(_.name))
     val next = currentVersion(table) + 1
     // Stage the data under a unique temp dir: nothing below `v*` is
     // visible to history()/readers until the commit succeeds. A
@@ -1257,8 +1262,6 @@ final class SnapshotTables(
     * hidden layout exactly as [[overwriteTableTransformed]] would. */
   private[graft] def declareTable(table: String, schema: org.apache.spark.sql.types.StructType,
       partitionCols: Seq[String], transforms: Seq[SnapshotTables.PartitionTransform]): Unit = {
-    require(partitionCols.isEmpty || transforms.isEmpty,
-      "a table partitions by identity columns OR derived transforms, not both")
     replaceSmallFile(declaredPath(table),
       s"""{"partition_cols":${partitionCols.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""schema":${schema.json}}""")

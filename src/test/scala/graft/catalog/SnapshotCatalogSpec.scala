@@ -268,8 +268,6 @@ class SnapshotCatalogSpec extends SparkSpec {
   test("DESCRIBE and SHOW NAMESPACES surface catalog metadata incl. partition transforms") {
     val c = newCatalog()
     spark.sql(s"CREATE NAMESPACE $c.dw")
-    // identity OR derived transforms per table (the snapshot layer's
-    // documented either-or rule — mixing is refused loudly at CREATE)
     spark.sql(s"""CREATE TABLE $c.dw.t (id BIGINT, ts TIMESTAMP)
                   PARTITIONED BY (days(ts), bucket(4, id))""")
     spark.sql(s"INSERT INTO $c.dw.t VALUES (1, TIMESTAMP '2024-01-01 10:00:00')")
@@ -278,11 +276,39 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SHOW NAMESPACES IN $c").collect().map(_.getString(0)).contains("dw"))
     // the derived __p_ columns stay hidden from DESCRIBE's column list
     assert(!desc.contains("__p_"))
-    val e = intercept[Exception] {
-      spark.sql(s"""CREATE TABLE $c.dw.mixed (id BIGINT, r STRING, ts TIMESTAMP)
-                    PARTITIONED BY (r, days(ts))""")
-    }
-    assert(e.getMessage.contains("identity columns OR derived transforms"), e.getMessage)
+  }
+
+  test("MIXED partitioning (identity + derived transforms, the general Iceberg spec) survives commits and DML") {
+    val c = newCatalog()
+    spark.sql(s"CREATE NAMESPACE $c.dw")
+    // identity partition columns read LAST (directory convention) —
+    // declare them last so positional INSERTs stay stable across commits
+    spark.sql(s"""CREATE TABLE $c.dw.m (id BIGINT, ts TIMESTAMP, region STRING)
+                  PARTITIONED BY (region, days(ts))""")
+    spark.sql(s"""INSERT INTO $c.dw.m VALUES
+      (1, TIMESTAMP '2024-01-01 10:00:00', 'eu'),
+      (2, TIMESTAMP '2024-01-02 11:00:00', 'us')""")
+    // user-facing schema conceals the derived column, keeps the identity one
+    assert(spark.table(s"$c.dw.m").columns.toSeq == Seq("id", "ts", "region"))
+    // the full layout survives a second commit AND a DML rewrite
+    spark.sql(s"INSERT INTO $c.dw.m VALUES (3, TIMESTAMP '2024-01-03 09:00:00', 'eu')")
+    spark.sql(s"UPDATE $c.dw.m SET region = 'na' WHERE id = 2")
+    assert(rows(s"SELECT id, region FROM $c.dw.m ORDER BY id") ==
+      Seq(Row(1L, "eu"), Row(2L, "na"), Row(3L, "eu")))
+    val st = new graft.io.SnapshotTables(spark,
+      spark.conf.get(s"spark.sql.catalog.$c.root") + "/dw")
+    assert(st.currentPartitionCols("m") == Seq("region"))
+    assert(st.persistedTransforms("m").map(_.srcCol) == Seq("ts"))
+    // both levels present in the physical layout of the current version
+    val snap = new java.io.File(st.snapshotDirString("m", st.currentVersion("m")))
+    val lvl1 = snap.listFiles().filter(_.isDirectory).map(_.getName)
+    assert(lvl1.forall(_.startsWith("region=")), lvl1.toSeq)
+    val lvl2 = snap.listFiles().filter(_.isDirectory).head.listFiles().filter(_.isDirectory).map(_.getName)
+    assert(lvl2.forall(_.startsWith("__p_days_ts=")), lvl2.toSeq)
+    // identity-level pruning still reaches the scan
+    val plan = spark.sql(s"SELECT id FROM $c.dw.m WHERE region = 'eu'")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("region"), plan)
   }
 
   test("log-governed catalog: SQL reads resolve the commit-log head; writes publish through; branch publish flips tables together") {
