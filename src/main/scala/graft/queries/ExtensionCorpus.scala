@@ -1660,9 +1660,81 @@ object ExtensionCorpus {
       FROM agg ORDER BY l_returnflag""")
   )
 
+  /** The LOG-GOVERNED catalog end-to-end in pure SQL, oracle-pinned:
+    * silver and gold land as published CTAS through a `commitlog`
+    * catalog, a coordinated restatement stages on WAP branches and
+    * publishes atomically at the LOG level, and then a poison
+    * out-of-band commit lands on silver's table line WITHOUT being
+    * published. The final statement is ONE SQL join over 3-part names
+    * comparing stored gold to gold recomputed from silver — it
+    * hash-matches the oracle only if (a) both tables resolve from the
+    * same log commit (the Nessie both-or-neither) and (b) the
+    * unpublished poison rows are invisible to SQL readers. Either
+    * governance failure changes the numbers. */
+  private val q128 = Q(
+    "q128_governed_catalog_sql",
+    (s, dir) => {
+      val cat = "glake" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      val root = java.nio.file.Files.createTempDirectory(s"graft-$cat").toString
+      val logDir = java.nio.file.Files.createTempDirectory(s"graft-$cat-log").toString
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.conf.set(s"spark.sql.catalog.$cat.commitlog", logDir)
+      s.sql(s"CREATE NAMESPACE $cat.dw")
+      fixture(s, dir, "lineitem").createOrReplaceTempView("q128_lineitem")
+      s.sql(s"""CREATE TABLE $cat.dw.li AS
+                SELECT l_orderkey, l_returnflag, l_quantity
+                FROM q128_lineitem WHERE l_orderkey <= 5000""")
+      s.sql(s"""CREATE TABLE $cat.dw.li_agg AS
+                SELECT l_returnflag, COUNT(*) AS n,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+                FROM $cat.dw.li GROUP BY l_returnflag""")
+      // coordinated restatement on WAP branches, one catalog commit
+      val st = new graft.io.SnapshotTables(s, s"$root/dw")
+      val lake = new graft.io.LakeCommits(s, logDir)
+      st.createBranch("li", "wap")
+      st.createBranch("li_agg", "wap")
+      val restated = fixture(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+        .filter(col("l_orderkey") <= 6000)
+        .withColumn("l_quantity",
+          when(col("l_orderkey").between(1000, 2000), col("l_quantity") + 5)
+            .otherwise(col("l_quantity")))
+      st.commitToBranch("li", "wap", restated)
+      st.commitToBranch("li_agg", "wap", st.readBranch("li", "wap")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty")))
+      lake.publishBranches(Seq((st, "li", "wap"), (st, "li_agg", "wap")))
+      // poison: committed to the table line, NEVER published — a log
+      // governance failure would double every count below
+      st.overwriteTable(st.read("li").unionByName(st.read("li")), "li")
+      s.sql(s"""SELECT g.l_returnflag, g.n AS n_gold, g.sum_qty AS sum_qty_gold,
+                       c.n AS n_silver, c.sum_qty AS sum_qty_silver
+                FROM $cat.dw.li_agg g
+                JOIN (SELECT l_returnflag, COUNT(*) AS n,
+                        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+                      FROM $cat.dw.li GROUP BY l_returnflag) c
+                  ON g.l_returnflag = c.l_returnflag
+                ORDER BY g.l_returnflag""")
+    },
+    Some("""WITH fin AS (
+        SELECT l_returnflag,
+          CASE WHEN l_orderkey BETWEEN 1000 AND 2000 THEN l_quantity + 5
+               ELSE l_quantity END AS q
+        FROM lineitem WHERE l_orderkey <= 6000),
+      agg AS (SELECT l_returnflag, COUNT(*) AS n,
+          CAST(SUM(CAST(q AS DECIMAL(18,2))) AS DOUBLE) AS sq
+        FROM fin GROUP BY l_returnflag)
+      SELECT l_returnflag, n AS n_gold, sq AS sum_qty_gold,
+        n AS n_silver, sq AS sum_qty_silver
+      FROM agg ORDER BY l_returnflag""")
+  )
+
   val all: Seq[Q] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q99, q100, q101, q102, q106, q107, q108,
-    q109, q111, q112, q113, q114, q116, q117, q118, q119, q121, q122, q123, q125, q126, q127
+    q109, q111, q112, q113, q114, q116, q117, q118, q119, q121, q122, q123, q125, q126, q127,
+    q128
   )
 }
