@@ -56,7 +56,7 @@ import java.util
   * INSERTs race on the version CAS; losers throw
   * `ConcurrentCommitException` rather than silently interleaving.
   */
-class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
+class SnapshotCatalog extends TableCatalog with SupportsNamespaces with StagingTableCatalog {
 
   private var catalogName: String = _
   private var rootPath: String = _
@@ -154,6 +154,53 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
     val (idCols, derived) = SnapshotCatalog.splitTransforms(partitions)
     st.declareTable(ident.name, schema, idCols, derived)
     loadTable(ident)
+  }
+
+  // ----------------------------------------------------------------
+  // StagingTableCatalog — ATOMIC `CREATE OR REPLACE TABLE` (+AS
+  // SELECT) with Iceberg's semantics: REPLACE is a NEW VERSION on the
+  // same history line, not drop+create. Readers see the old content
+  // until the staged write's single commit flips the version, prior
+  // versions still time-travel across the replace, and an abort
+  // rolls the line back instead of leaving half a table. (Without
+  // this interface Spark falls back to non-atomic drop-then-create,
+  // which wipes history — exactly what the snapshot model exists to
+  // prevent.)
+  // ----------------------------------------------------------------
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable = {
+    val st = tablesFor(ident.namespace)
+    if (st.tableExists(ident.name)) throw new TableAlreadyExistsException(ident)
+    stage(ident, st, schema, partitions, existedBefore = false)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable = {
+    val st = tablesFor(ident.namespace)
+    if (!st.tableExists(ident.name)) throw new NoSuchTableException(ident)
+    stage(ident, st, schema, partitions, existedBefore = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable = {
+    val st = tablesFor(ident.namespace)
+    stage(ident, st, schema, partitions, existedBefore = st.tableExists(ident.name))
+  }
+
+  private def stage(ident: Identifier, st: SnapshotTables, schema: StructType,
+      partitions: Array[Transform], existedBefore: Boolean): StagedTable = {
+    val (idCols, derived) = SnapshotCatalog.splitTransforms(partitions)
+    // re-declare schema + partitioning (REPLACE may change both; a
+    // stale transform spec is cleared by declareTable)
+    st.declareTable(ident.name, schema, idCols, derived)
+    val base = st.currentVersion(ident.name)
+    val inner = lake match {
+      case Some(lc) => new SnapshotTableV2(fullName(ident), st, ident.name, base,
+        afterWrite = committed => lc.publishExact(Seq((st, ident.name, committed))))
+      case None => new SnapshotTableV2(fullName(ident), st, ident.name, base)
+    }
+    new StagedSnapshotTable(inner, st, ident.name, schema, base, existedBefore)
   }
 
   /** Schema evolution through SQL — the Iceberg ALTER surface a
@@ -302,6 +349,56 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
       f.delete(d, true)
     }
   }
+}
+
+/** One staged CREATE/REPLACE: writes route through the wrapped
+  * [[SnapshotTableV2]] with truncate-always (the staged query's output
+  * IS the table's full new content), so the data write's own fenced
+  * commit is the atomic flip. A REPLACE with no AS SELECT commits an
+  * empty snapshot at finalize so readers flip to the declared empty
+  * table. Abort restores: rollback to the pre-stage version (REPLACE)
+  * or drop the declared dir (CREATE that never existed). */
+private final class StagedSnapshotTable(
+    inner: SnapshotTableV2,
+    st: SnapshotTables,
+    table: String,
+    declared: StructType,
+    baseVersion: Int,
+    existedBefore: Boolean
+) extends StagedTable with SupportsRead with SupportsWrite {
+  import org.apache.spark.sql.connector.read.ScanBuilder
+  import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, WriteBuilder}
+
+  @volatile private var wrote = false
+
+  override def name(): String = inner.name()
+  override def schema(): StructType = declared
+  override def partitioning(): Array[Transform] = inner.partitioning()
+  override def properties(): util.Map[String, String] = inner.properties()
+  override def capabilities(): util.Set[TableCapability] = inner.capabilities()
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    inner.newScanBuilder(options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    wrote = true
+    inner.newWriteBuilder(info).asInstanceOf[SupportsTruncate].truncate()
+      .asInstanceOf[WriteBuilder]
+  }
+
+  override def commitStagedChanges(): Unit =
+    if (!wrote && existedBefore) {
+      // REPLACE without AS SELECT: flip readers to the declared EMPTY
+      // table — committed as a real (empty) version on the same line
+      val s = st.sparkSession
+      val empty = s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), declared)
+      st.overwriteTable(empty, table, st.declaredPartitionCols(table))
+      inner.notifyCommitted()
+    } // data writes already committed (and published, when governed)
+
+  override def abortStagedChanges(): Unit =
+    if (!existedBefore) st.dropTableDir(table)
+    else if (st.currentVersion(table) > baseVersion && baseVersion > 0)
+      st.rollback(table, baseVersion)
 }
 
 object SnapshotCatalog {

@@ -1267,6 +1267,12 @@ final class SnapshotTables(
         s""""schema":${schema.json}}""")
     if (transforms.nonEmpty)
       replaceSmallFile(transformSpecPath(table), SnapshotTables.PartitionTransform.formatSpec(transforms))
+    else {
+      // re-declaration (REPLACE TABLE) may change the partitioning:
+      // a stale transform spec would silently re-derive the OLD layout
+      val p = transformSpecPath(table)
+      if (fs(p).exists(p)) fs(p).delete(p, false)
+    }
   }
 
   private[graft] def declaredSchema(table: String): Option[org.apache.spark.sql.types.StructType] = {

@@ -278,6 +278,29 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(!desc.contains("__p_"))
   }
 
+  test("CREATE OR REPLACE is a NEW VERSION on the same history line (Iceberg semantics, not drop+create)") {
+    val c = newCatalog()
+    spark.sql(s"CREATE NAMESPACE $c.dw")
+    spark.sql(s"CREATE TABLE $c.dw.t AS SELECT 1 AS id, 'a' AS v")
+    // replace with a DIFFERENT schema — still one history line
+    spark.sql(s"CREATE OR REPLACE TABLE $c.dw.t AS SELECT 2 AS id, 'b' AS v, CAST(1.5 AS DOUBLE) AS x")
+    assert(rows(s"SELECT id, v, x FROM $c.dw.t") == Seq(Row(2, "b", 1.5)))
+    val st = new graft.io.SnapshotTables(spark,
+      spark.conf.get(s"spark.sql.catalog.$c.root") + "/dw")
+    assert(st.history("t") == Seq(1, 2))
+    // the pre-replace content still time-travels, with its OWN schema
+    val v1 = spark.sql(s"SELECT * FROM $c.dw.t VERSION AS OF 1")
+    assert(v1.columns.toSeq == Seq("id", "v"))
+    assert(v1.collect().toSeq == Seq(Row(1, "a")))
+    // REPLACE without AS SELECT flips readers to the declared empty table
+    spark.sql(s"CREATE OR REPLACE TABLE $c.dw.t (k BIGINT, w STRING)")
+    assert(spark.table(s"$c.dw.t").count() == 0)
+    assert(spark.table(s"$c.dw.t").columns.toSeq == Seq("k", "w"))
+    assert(st.history("t") == Seq(1, 2, 3))
+    spark.sql(s"INSERT INTO $c.dw.t VALUES (7, 'z')")
+    assert(rows(s"SELECT k, w FROM $c.dw.t") == Seq(Row(7L, "z")))
+  }
+
   test("MIXED partitioning (identity + derived transforms, the general Iceberg spec) survives commits and DML") {
     val c = newCatalog()
     spark.sql(s"CREATE NAMESPACE $c.dw")
