@@ -43,7 +43,8 @@ final class SnapshotTableV2(
     version: Int,
     pinnedVersion: Boolean = false,
     afterWrite: Int => Unit = _ => ()
-) extends Table with SupportsRead with SupportsWrite {
+) extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
 
   /** Seams for [[graft.plans.SnapshotDmlRule]] (SQL DELETE/UPDATE/MERGE). */
   private[graft] def tables: SnapshotTables = st
@@ -93,6 +94,13 @@ final class SnapshotTableV2(
     s.add(TableCapability.V1_BATCH_WRITE)
     s.add(TableCapability.TRUNCATE)
     s.add(TableCapability.OVERWRITE_BY_FILTER)
+    // NOT advertised: OVERWRITE_DYNAMIC — Spark's dynamic-partition
+    // overwrite has no V1-fallback exec (DataSourceV2Strategy plans
+    // OverwritePartitionsDynamicExec unconditionally, which needs the
+    // full V2 BatchWrite protocol this table deliberately does not
+    // implement). Use static `PARTITION (col=value)` overwrite, SQL
+    // MERGE, or the API's SnapshotTables.overwritePartitions — the
+    // same semantics, committed through the same fenced CAS.
     // `MERGE ... WITH SCHEMA EVOLUTION`: the analyzer gates on this
     // capability, then widens the table through the catalog's
     // alterTable (a COW ADD COLUMN commit) and re-resolves the MERGE
@@ -121,6 +129,22 @@ final class SnapshotTableV2(
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(!pinnedVersion, s"cannot write to $fullName pinned at version $version (time travel is read-only)")
     new SnapshotWriteBuilder(st, table, () => notifyCommitted())
+  }
+
+  /** `TRUNCATE TABLE` — one committed EMPTY version on the same line
+    * (prior content still time-travels, Iceberg's truncate shape). The
+    * current schema is re-declared first so the table stays readable
+    * and insertable with its schema after the empty commit. */
+  override def truncateTable(): Boolean = {
+    require(!pinnedVersion, s"cannot truncate $fullName pinned at version $version")
+    val cur = schema()
+    require(cur.nonEmpty, s"$fullName has no schema to truncate to")
+    st.declareTable(table, cur, st.currentPartitionCols(table), st.persistedTransforms(table))
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), cur)
+    st.overwriteTable(empty, table, identityPartitionCols)
+    notifyCommitted()
+    true
   }
 }
 

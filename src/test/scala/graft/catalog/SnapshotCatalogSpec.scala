@@ -278,6 +278,18 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(!desc.contains("__p_"))
   }
 
+  test("TRUNCATE TABLE commits an empty version; content time-travels; schema survives for re-insert") {
+    val c = newCatalog()
+    spark.sql(s"CREATE NAMESPACE $c.dw")
+    spark.sql(s"CREATE TABLE $c.dw.t AS SELECT 1 AS id, 'a' AS v")
+    spark.sql(s"TRUNCATE TABLE $c.dw.t")
+    assert(spark.table(s"$c.dw.t").count() == 0)
+    assert(spark.table(s"$c.dw.t").columns.toSeq == Seq("id", "v"))
+    assert(rows(s"SELECT id FROM $c.dw.t VERSION AS OF 1") == Seq(Row(1)))
+    spark.sql(s"INSERT INTO $c.dw.t VALUES (2, 'b')")
+    assert(rows(s"SELECT id, v FROM $c.dw.t") == Seq(Row(2, "b")))
+  }
+
   test("CREATE OR REPLACE is a NEW VERSION on the same history line (Iceberg semantics, not drop+create)") {
     val c = newCatalog()
     spark.sql(s"CREATE NAMESPACE $c.dw")
