@@ -583,6 +583,46 @@ object Curation {
     * (the q91 ln contract) so the ordering replays engine-independently
     * in the DuckDB oracle (ties broken by id). Rows with weight ≤ 0 or
     * null never qualify. */
+  /** Token-budget sampling (the FineWeb/Dolma assembly step): per
+    * source, keep documents in a deterministic hash order until the
+    * source's TOKEN budget is reached — proportions (`mixSources`/
+    * `temperatureMix`) control ratios, this controls the absolute
+    * token count a fixed-size training mix needs from each pool. A doc
+    * is kept iff the cumulative tokens of the docs ordered BEFORE it
+    * are still under budget, so each source yields the smallest
+    * hash-ordered prefix covering its budget (the last kept doc may
+    * overshoot — the standard greedy contract; sources under budget
+    * keep everything). Sources absent from `budgets` use
+    * `defaultBudget` (0 = dropped entirely).
+    *
+    * Shape: ONE window cumulative sum partitioned by source — shuffle
+    * is one pass of (source)-keyed rows. A single gigantic source
+    * serializes its own running sum into one task (windows are
+    * per-partition sequential by nature); at 100 TB granularity,
+    * budget at a finer source key (domain, shard) — same call, finer
+    * column. Output: input columns + `cum_before` + `kept`, total
+    * order (source, sample order) for replay. */
+  def tokenBudgetSample(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      tokenCol: String,
+      budgets: Map[String, Long],
+      defaultBudget: Long = 0L,
+      seed: String = "budget"
+  ): DataFrame = {
+    val order = hash32(concat(lit(seed), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(order, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val budget = budgets.foldLeft(lit(defaultBudget)) { case (acc, (s, b)) =>
+      when(col(sourceCol) === s, lit(b)).otherwise(acc)
+    }
+    df.withColumn("cum_before", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .withColumn("kept", col("cum_before") < budget)
+      .orderBy(col(sourceCol), order, col(idCol))
+  }
+
   def weightedSample(
       df: DataFrame,
       idCol: String,

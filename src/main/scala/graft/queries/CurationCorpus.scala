@@ -1036,7 +1036,39 @@ object CurationCorpus {
       ORDER BY source, rk""")
   )
 
+  /** Token-budget sampling: absolute per-source budgets (the FineWeb/
+    * Dolma assembly step `mixSources`' proportions can't express).
+    * Three regimes pinned at once: a small budget (src0, partial keep),
+    * an over-sized budget (src1, keeps everything), and the default
+    * budget for the other 18 sources. The oracle replays the
+    * hash-ordered running sum and the strictly-before budget test
+    * verbatim — hash-exact on doc counts AND kept-token sums. */
+  private val q129 = Q(
+    "q129_token_budget_sample",
+    (s, dir) =>
+      Curation.tokenBudgetSample(fixture(s, dir, "documents"), "doc_id", "source", "n_chars",
+          budgets = Map("src0" -> 3000L, "src1" -> 100000L), defaultBudget = 1500L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("kept"), col("n_chars")).otherwise(0L)).as("chars_kept"))
+        .orderBy(col("source")),
+    Some(s"""WITH ord AS (
+        SELECT doc_id, source, n_chars,
+          COALESCE(SUM(n_chars) OVER (PARTITION BY source
+            ORDER BY ${sqlHash32("'budget' || CAST(doc_id AS VARCHAR)")}, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        FROM documents),
+      k AS (SELECT source, n_chars, cum_before,
+          CASE source WHEN 'src0' THEN 3000 WHEN 'src1' THEN 100000 ELSE 1500 END AS budget
+        FROM ord)
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN cum_before < budget THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(SUM(CASE WHEN cum_before < budget THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept
+      FROM k GROUP BY source ORDER BY source""")
+  )
+
   val all: Seq[Q] = Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q89, q90, q91,
-    q92, q93, q94, q103, q104, q105, q110, q115, q120, q124)
+    q92, q93, q94, q103, q104, q105, q110, q115, q120, q124, q129)
 }

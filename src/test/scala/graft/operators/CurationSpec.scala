@@ -443,4 +443,25 @@ class CurationSpec extends SparkSpec {
     assert(local.values.toSet == Set(1L)) // one chain, min label 1
     assert(new java.io.File(ckDir).listFiles().nonEmpty)
   }
+
+  test("tokenBudgetSample keeps the smallest hash-ordered prefix covering each source's budget") {
+    val docs = (1 to 30).map(i =>
+      (i.toLong, if (i <= 10) "a" else if (i <= 20) "b" else "c", 100L))
+      .toDF("doc_id", "source", "n_tok")
+    val out = Curation.tokenBudgetSample(docs, "doc_id", "source", "n_tok",
+      budgets = Map("a" -> 350L, "b" -> 5000L), defaultBudget = 0L)
+    val kept = out.filter($"kept").groupBy($"source").count().as[(String, Long)].collect().toMap
+    // a: 100-token docs, budget 350 -> exactly 4 kept (cum_before of the
+    // 4th is 300 < 350; the 5th sees 400); b: under budget keeps all 10;
+    // c: no budget, default 0 -> dropped entirely
+    assert(kept == Map("a" -> 4L, "b" -> 10L))
+    // the kept set is the PREFIX of the hash order, not an arbitrary subset
+    val aRows = out.filter($"source" === "a").select($"kept").as[Boolean].collect().toSeq
+    assert(aRows == Seq(true, true, true, true) ++ Seq.fill(6)(false))
+    // deterministic under repartition
+    val again = Curation.tokenBudgetSample(docs.repartition(7), "doc_id", "source", "n_tok",
+      budgets = Map("a" -> 350L, "b" -> 5000L), defaultBudget = 0L)
+      .filter($"kept").select($"doc_id").as[Long].collect().toSet
+    assert(again == out.filter($"kept").select($"doc_id").as[Long].collect().toSet)
+  }
 }
