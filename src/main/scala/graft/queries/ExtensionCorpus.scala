@@ -1731,10 +1731,52 @@ object ExtensionCorpus {
       FROM agg ORDER BY l_returnflag""")
   )
 
+  /** Character-level near-dup verification: edit distance over
+    * (lang, length-bucket)-blocked candidate pairs — the verifier
+    * token-set Jaccard (q34) can't replace (in-word edits, OCR noise).
+    * Both engines ship the same Wagner-Fischer `levenshtein`, so the
+    * full pipeline (blocking join → distance → normalized similarity →
+    * banding) replays verbatim; the result is the per-band histogram
+    * of all 1.7k blocked pairs. */
+  private val q130 = Q(
+    "q130_edit_distance_verify",
+    (s, dir) => {
+      // scoped to one language slice: this operator is a VERIFIER — in
+      // production it runs on LSH/blocked candidate sets, not a whole
+      // corpus; the slice keeps the corpus entry at verifier-sized
+      // pair counts at every SF while pinning the full pipeline
+      val d = fixture(s, dir, "documents").filter(col("lang") === "fr")
+      graft.operators.Dedup.editDistancePairs(d, "doc_id", "text", "lang", "n_chars",
+          lenBucket = 10, minSim = 0.0)
+        // integer-exact banding: (max_len-dist)*10 DIV max_len — never
+        // float division, so the band边 edges can't drift cross-engine
+        .withColumn("sim_band", expr("CAST(((max_len - dist) * 10) DIV max_len AS INT)"))
+        .groupBy(col("sim_band"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("dist")).cast("long").as("min_dist"),
+          max(col("dist")).cast("long").as("max_dist"),
+          sum(col("dist")).as("sum_dist"))
+        .orderBy(col("sim_band"))
+    },
+    Some("""WITH p AS (
+        SELECT a.doc_id AS a, b.doc_id AS b,
+          levenshtein(a.text, b.text) AS dist,
+          GREATEST(LENGTH(a.text), LENGTH(b.text)) AS max_len
+        FROM documents a JOIN documents b
+          ON a.lang = b.lang
+          AND CAST(FLOOR(a.n_chars / 10.0) AS BIGINT) = CAST(FLOOR(b.n_chars / 10.0) AS BIGINT)
+          AND a.doc_id < b.doc_id
+        WHERE a.lang = 'fr' AND b.lang = 'fr')
+      SELECT CAST(((max_len - dist) * 10) // max_len AS INTEGER) AS sim_band, COUNT(*) AS n_pairs,
+        CAST(MIN(dist) AS BIGINT) AS min_dist, CAST(MAX(dist) AS BIGINT) AS max_dist,
+        CAST(SUM(dist) AS BIGINT) AS sum_dist
+      FROM p GROUP BY 1 ORDER BY sim_band""")
+  )
+
   val all: Seq[Q] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q99, q100, q101, q102, q106, q107, q108,
     q109, q111, q112, q113, q114, q116, q117, q118, q119, q121, q122, q123, q125, q126, q127,
-    q128
+    q128, q130
   )
 }

@@ -155,4 +155,23 @@ class DedupSpec extends SparkSpec {
       (2L, "q r s", 3, 6),
       (3L, "totally unrelated words only here now", 6, 0)))
   }
+
+  test("editDistancePairs: blocked pairs only, exact distances, minSim threshold") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps", "en", 25L),
+      (2L, "the quick brown fox jumped", "en", 26L),   // 2 edits from doc 1
+      (3L, "completely different words here", "en", 31L),
+      (4L, "the quick brown fox jumps", "de", 25L),    // other lang: never paired
+      (5L, "tiny", "en", 4L)                           // other length block
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    val all = Dedup.editDistancePairs(docs, "doc_id", "text", "lang", "n_chars",
+      lenBucket = 10, minSim = 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    // blocks: en/[20,30) = {1,2}, en/[30,40) = {3}, de = {4}, en/[0,10) = {5}
+    assert(all.keySet == Set((1L, 2L)))
+    assert(all((1L, 2L)) == 2) // jumps -> jumped: substitute s->e, append d
+    // threshold: sim of the pair is 1 - 2/26 ≈ 0.923 — a 0.95 floor cuts it
+    assert(Dedup.editDistancePairs(docs, "doc_id", "text", "lang", "n_chars",
+      lenBucket = 10, minSim = 0.95).count() == 0)
+  }
 }
