@@ -233,7 +233,13 @@ final class SnapshotTables(
     // so the full layout survives every plain commit.
     val transforms = if (partitionCols.isEmpty) effectiveTransforms(table) else Nil
     val (df1, partitionCols1) =
-      if (transforms.isEmpty) (df, partitionCols)
+      if (transforms.isEmpty)
+        // empty partitionCols INHERITS the current identity layout
+        // rather than flattening it — so delete/update/merge callers
+        // (and bare overwrites) keep the directory structure without
+        // re-threading it; an explicit partitionBy still overrides
+        (df, if (partitionCols.nonEmpty) partitionCols
+             else currentPartitionCols(table).filter(df.columns.contains))
       else (transforms.foldLeft(df)((d, t) =>
         if (d.columns.contains(t.name)) d else d.withColumn(t.name, t.expr)),
         currentPartitionCols(table) ++ transforms.map(_.name))

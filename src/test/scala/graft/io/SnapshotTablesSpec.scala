@@ -179,14 +179,17 @@ class SnapshotTablesSpec extends SparkSpec {
     t.overwriteTable(df, "tab", Nil, statsCols = Seq("id", "name"))
     val full = t.read("tab")
     assert(full.count() == 8000 && full.inputFiles.length == 8)
-    // numeric range hits ~1-2 of 8 files
+    // numeric range hits ~1-3 of 8 files (repartitionByRange SAMPLES
+    // its split points, so the probe range can straddle one extra file
+    // boundary run-to-run — <=3 is the flake-proof bound that still
+    // proves multi-file skipping)
     val pruned = t.readPruned("tab", "id", 1000, 1400)
-    assert(pruned.inputFiles.length <= 2, s"expected <=2 files, got ${pruned.inputFiles.length}")
+    assert(pruned.inputFiles.length <= 3, s"expected <=3 files, got ${pruned.inputFiles.length}")
     assert(pruned.filter($"id".between(1000, 1400)).count() ==
       full.filter($"id".between(1000, 1400)).count())
     // string range prunes too (name order follows id by construction)
     val prunedS = t.readPruned("tab", "name", "u001000", "u001400")
-    assert(prunedS.inputFiles.length <= 2)
+    assert(prunedS.inputFiles.length <= 3)
     assert(prunedS.filter($"name".between("u001000", "u001400")).count() == 401)
     // a column with no manifest rows keeps every file (conservative)
     assert(t.readPruned("tab", "absent", 0, 1).inputFiles.length == 8)
@@ -202,11 +205,15 @@ class SnapshotTablesSpec extends SparkSpec {
     assert(pp.filter($"id".between(100, 200)).count() == 101)
     assert(pp.inputFiles.length < t.read("ptab").inputFiles.length)
     // statsCols is a table property: a later DML commit (delete routes
-    // through the plain overwrite path) still maintains the manifest
+    // through the plain overwrite path) still maintains the manifest.
+    // Decisive, layout-independent pin: an out-of-range probe prunes to
+    // ZERO files only with a manifest (the no-manifest fallback is a
+    // full scan) — a file-COUNT comparison is fragile here because the
+    // post-DML rewrite can bin-pack into as few files as the pruned set.
     t.delete("tab", $"id" >= 4000)
     val afterDml = t.readPruned("tab", "id", 1000, 1400)
-    assert(afterDml.inputFiles.length < t.read("tab").inputFiles.length)
     assert(afterDml.filter($"id".between(1000, 1400)).count() == 401)
+    assert(t.readPruned("tab", "id", -100, -50).inputFiles.isEmpty)
   }
 
   test("hidden partitioning: derived dirs prune, readers never see __p_ columns") {
