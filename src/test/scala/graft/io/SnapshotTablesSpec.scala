@@ -216,6 +216,24 @@ class SnapshotTablesSpec extends SparkSpec {
     assert(t.readPruned("tab", "id", -100, -50).inputFiles.isEmpty)
   }
 
+  test("DML with default partitionCols INHERITS the identity layout instead of flattening it") {
+    import org.apache.spark.sql.functions._
+    val t = newTables()
+    val df = spark.range(0, 400).toDF("id").withColumn("region",
+      when($"id" % 2 === 0, "eu").otherwise("us"))
+    t.overwriteTable(df, "tab", Seq("region"))
+    // a delete WITHOUT re-threading partitionCols keeps region=... dirs
+    t.delete("tab", $"id" >= 300)
+    val snap = new java.io.File(t.snapshotDirString("tab", t.currentVersion("tab")))
+    val dirs = snap.listFiles().filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(dirs == Seq("region=eu", "region=us"), dirs)
+    assert(t.read("tab").count() == 300)
+    // and an explicit empty-layout overwrite is still possible via a
+    // frame that no longer carries the partition column
+    t.overwriteTable(t.read("tab").drop("region"), "tab2")
+    assert(t.read("tab2").columns.toSeq == Seq("id"))
+  }
+
   test("hidden partitioning: derived dirs prune, readers never see __p_ columns") {
     import org.apache.spark.sql.functions._
     import SnapshotTables.PartitionTransform
