@@ -96,15 +96,34 @@ object SnapshotDmlRule extends Rule[LogicalPlan] {
   private[plans] final case class SnapshotUpdateCommand(
       rel: DataSourceV2Relation, assignments: Seq[Assignment], cond: Option[Expression])
       extends LeafRunnableCommand {
+
+    /** Assignment key → (root column, nested field path). `SET a = …`
+      * is (a, []); `SET s.x.y = …` is (s, [x, y]). */
+    private def keyPath(e: Expression): (String, Seq[String]) = e match {
+      case ar: AttributeReference => (ar.name, Nil)
+      case gsf: org.apache.spark.sql.catalyst.expressions.GetStructField =>
+        val (root, p) = keyPath(gsf.child)
+        (root, p :+ gsf.extractFieldName)
+      case other => throw new UnsupportedOperationException(
+        s"unsupported UPDATE target '$other' — SET columns or struct fields")
+    }
+
     override def run(session: SparkSession): Seq[Row] = {
       val t = snapshotTable(rel)
-      val sets = assignments.map { a =>
-        val name = a.key match {
-          case ar: AttributeReference => ar.name
-          case other => throw new UnsupportedOperationException(
-            s"UPDATE of nested field '$other' is not supported — SET top-level columns")
+      // nested-field SETs fold into ONE value per root column via
+      // withField, applied in statement order over the OLD struct —
+      // every value expression still evaluates against the OLD row
+      // (the underlying update() stages all new values before any
+      // column is replaced), so `SET s.a = s.b, s.b = s.a` swaps.
+      val byRoot = assignments.map(a => (keyPath(a.key), a.value))
+      val roots = byRoot.map(_._1._1).distinct
+      val sets = roots.map { root =>
+        val forRoot = byRoot.collect { case ((`root`, path), v) => (path, v) }
+        val combined = forRoot.foldLeft(org.apache.spark.sql.functions.col(root)) {
+          case (_, (Nil, v)) => bare(v) // whole-column SET replaces any prior field edits
+          case (acc, (path, v)) => acc.withField(path.mkString("."), bare(v))
         }
-        name -> bare(a.value)
+        root -> combined
       }
       val pred = cond.map(bare).getOrElse(org.apache.spark.sql.functions.lit(true))
       t.tables.update(t.tableName, sets, pred, t.identityPartitionCols)

@@ -147,6 +147,22 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("nope"))
   }
 
+  test("UPDATE of nested struct fields (SET s.x = ...) — old-row evaluation, field-level precision") {
+    val c = newCatalog()
+    spark.sql(s"CREATE NAMESPACE $c.dw")
+    spark.sql(s"""CREATE TABLE $c.dw.t AS
+      SELECT 1 AS id, named_struct('city', 'nyc', 'zip', 10001) AS addr, CAST(5.0 AS DOUBLE) AS score
+      UNION ALL SELECT 2, named_struct('city', 'sfo', 'zip', 94100), CAST(7.0 AS DOUBLE)""")
+    // nested field + top-level column in one statement; values read the OLD row
+    spark.sql(s"UPDATE $c.dw.t SET addr.city = upper(addr.city), score = score + addr.zip WHERE id = 1")
+    assert(rows(s"SELECT id, addr.city, addr.zip, score FROM $c.dw.t ORDER BY id") ==
+      Seq(Row(1, "NYC", 10001, 10006.0), Row(2, "sfo", 94100, 7.0)))
+    // two fields of one struct swap against the OLD struct
+    spark.sql(s"""CREATE TABLE $c.dw.sw AS SELECT 1 AS id, named_struct('a', 10, 'b', 20) AS s""")
+    spark.sql(s"UPDATE $c.dw.sw SET s.a = s.b, s.b = s.a")
+    assert(rows(s"SELECT s.a, s.b FROM $c.dw.sw") == Seq(Row(20, 10)))
+  }
+
   test("MERGE INTO: conditional update/delete, conditional insert, one commit") {
     val c = newCatalog()
     spark.sql(s"CREATE NAMESPACE $c.dw")
