@@ -27,6 +27,18 @@ object CatalogTables extends TableFormat {
 
   private def isThreePart(table: String): Boolean = table.split('.').length >= 3
 
+  /** Public resolver: a 3-level `catalog.ns.table` name registered via
+    * [[SnapshotCatalog]] → (backing [[graft.io.SnapshotTables]], bare
+    * table name). The seam that lets non-SQL writers — streaming sinks
+    * above all ([[graft.streaming.CatalogStreams]]) — land commits in
+    * the SAME store the SQL layer resolves, so their output is
+    * immediately `spark.sql`-visible and time-travelable. */
+  def resolveSnapshot(spark: SparkSession, table: String): (graft.io.SnapshotTables, String) = {
+    require(isThreePart(table),
+      s"'$table' is not a 3-level catalog-qualified name (want catalog.namespace.table)")
+    resolve(spark, table)
+  }
+
   private def resolve(spark: SparkSession, table: String): (graft.io.SnapshotTables, String) = {
     val (cat, ns, t) = split(table)
     GraftSqlBridge.catalogPlugin(spark, cat) match {

@@ -922,6 +922,20 @@ final class SnapshotTables(
       .withColumn("sketch_hashes", lit(null).cast("int"))
   }
 
+  /** Upper bound on the pruned file-name list the pruned readers will
+    * materialize on the driver and inline into the scan's path list.
+    * At the 100 TB point a table can hold millions of files, and a
+    * weak predicate can keep most of them — enumerating that as a
+    * driver array + per-path scan entries costs more than it saves
+    * (path-list planning is itself O(files)), and the driver list is
+    * the only non-metadata-sized allocation in the read path. Past the
+    * limit the readers fall back to the full snapshot scan, which is
+    * never wrong: manifest pruning is a file-SKIPPING layer and the
+    * caller always still applies its row-level predicate. Tunable per
+    * session (specs set it low to exercise the fallback). */
+  private def maxPrunedFileList: Int =
+    spark.conf.getOption("graft.manifest.maxFileList").map(_.toInt).getOrElse(10000)
+
   /** Scan of the current version restricted to the files whose
     * manifest stats MAY contain `column` ∈ [lo, hi] (numeric bounds
     * for numeric columns, string bounds for string columns). Files
@@ -972,8 +986,12 @@ final class SnapshotTables(
         overlapping.select("file").union(all.except(forCol.select("file")))
       }
       .reduce(_.intersect(_))
-    val keep = keepDf.distinct().collect().map(_.getString(0))
+    // limit+1, not collect-all: when the predicate keeps more files
+    // than the driver-list budget, stop enumerating and full-scan
+    val lim = maxPrunedFileList
+    val keep = keepDf.distinct().limit(lim + 1).collect().map(_.getString(0))
     if (keep.isEmpty) readVersion(table, v).where(lit(false))
+    else if (keep.length > lim) readVersion(table, v)
     else
       spark.read.option("basePath", base.toString)
         .parquet(keep.map(n => new Path(base, n).toString): _*)
@@ -1045,9 +1063,11 @@ final class SnapshotTables(
         .filter(range && when(col("sketch").isNull, lit(true)).otherwise(bloomHit(h)))
         .select("file")
     }.reduce(_ union _)
+    val lim = maxPrunedFileList
     val keep = survivors.union(all.except(forCol.select("file")))
-      .distinct().collect().map(_.getString(0))
+      .distinct().limit(lim + 1).collect().map(_.getString(0))
     if (keep.isEmpty) readVersion(table, v).where(lit(false))
+    else if (keep.length > lim) readVersion(table, v)
     else
       spark.read.option("basePath", base.toString)
         .parquet(keep.map(n => new Path(base, n).toString): _*)

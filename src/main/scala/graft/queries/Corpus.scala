@@ -38,14 +38,25 @@ object Corpus {
 
   def fixture(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark refuses by
-      // default; read nanos as long and floor to microseconds (DuckDB's
-      // CAST(ts_ns AS TIMESTAMP) truncates identically, so oracles order
-      // and group on the same values).
+      // events.ts has shipped in two fixture vintages: INT64
+      // TIMESTAMP(NANOS) (Spark only reads it via the nanosAsLong
+      // legacy conf, yielding LongType) and TIMESTAMP_MICROS with
+      // isAdjustedToUTC=0 (Spark reads TIMESTAMP_NTZ). Branch on the
+      // loaded dtype so either vintage lands as session-TZ
+      // TimestampType: the session runs UTC, so wall-clock values —
+      // and the DuckDB oracle's CAST(ts AS TIMESTAMP) — agree under
+      // both. NTZ must NOT pass through untouched: downstream queries
+      // compare ts against TimestampType literals and window bounds,
+      // which throws DATATYPE_MISMATCH on NTZ.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read
-        .parquet(s"$dir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          // nanos vintage: floor to micros (DuckDB CAST truncates identically)
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case org.apache.spark.sql.types.TimestampType => raw
+        case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+      }
     } else if (name == "documents" || name == "embeddings") {
       // These fixtures are tiny single-row-group files ⇒ Spark scans
       // each as ONE split, serializing the CPU-heavy text pipelines

@@ -752,4 +752,37 @@ class SnapshotTablesSpec extends SparkSpec {
     assert(snap3.listFiles().exists(f => f.isDirectory && f.getName.startsWith("__p_")))
     assert(t.readPartitionValues("ptab", pt, Seq(7)).count() > 0)
   }
+
+  test("pruned readers fall back to the full scan past the driver file-list budget") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    val t = new SnapshotTables(spark, root)
+    // clustered layout: disjoint per-file id ranges, 8 files
+    val df = spark.range(0, 8000).toDF("id")
+      .repartitionByRange(8, $"id").sortWithinPartitions($"id")
+    t.overwriteTable(df, "tab", Nil, statsCols = Seq("id"))
+    assert(t.read("tab").inputFiles.length == 8)
+    // shrink the driver file-list budget to 2 so a wide predicate
+    // (keeping ~6 of 8 files) must abandon path enumeration and
+    // full-scan — never wrong, the caller still filters rows
+    spark.conf.set("graft.manifest.maxFileList", "2")
+    try {
+      val wide = t.readPruned("tab", "id", 1000, 7000)
+      assert(wide.inputFiles.length == 8,
+        s"past the budget the reader must fall back to the full scan; got ${wide.inputFiles.length} files")
+      assert(wide.filter($"id".between(1000, 7000)).count() == 6001)
+      // a tight bound (<= budget surviving files) still prunes
+      val tight = t.readPruned("tab", "id", 0, 10)
+      assert(tight.inputFiles.length <= 2)
+      assert(tight.filter($"id" <= 10).count() == 11)
+      // the IN-probe reader takes the same fallback: 4 spread probes
+      // survive in 4 distinct files > budget 2 -> full scan
+      val in = t.readPrunedIn("tab", "id", Seq(500L, 2500L, 4500L, 6500L))
+      assert(in.inputFiles.length == 8)
+      assert(in.filter($"id".isin(500L, 2500L, 4500L, 6500L)).count() == 4)
+      val inTight = t.readPrunedIn("tab", "id", Seq(100L))
+      assert(inTight.inputFiles.length <= 2)
+      assert(inTight.filter($"id" === 100L).count() == 1)
+    } finally spark.conf.unset("graft.manifest.maxFileList")
+  }
 }
