@@ -34,18 +34,31 @@ object CatalogTables extends TableFormat {
     * the SAME store the SQL layer resolves, so their output is
     * immediately `spark.sql`-visible and time-travelable. */
   def resolveSnapshot(spark: SparkSession, table: String): (graft.io.SnapshotTables, String) = {
-    require(isThreePart(table),
-      s"'$table' is not a 3-level catalog-qualified name (want catalog.namespace.table)")
-    resolve(spark, table)
+    val (st, t, _) = resolveSnapshotGoverned(spark, table)
+    (st, t)
   }
 
-  private def resolve(spark: SparkSession, table: String): (graft.io.SnapshotTables, String) = {
+  /** [[resolveSnapshot]] plus the catalog's commit log when it runs
+    * LOG-GOVERNED (`spark.sql.catalog.<cat>.commitlog`). Writers that
+    * bypass the V2 write path (the streaming sinks) must publish each
+    * commit through the log themselves — the SQL DML path does
+    * ([[SnapshotCatalog]] publish-through), and a sink that didn't
+    * would leave every post-pin batch invisible to SQL readers. */
+  private[graft] def resolveSnapshotGoverned(spark: SparkSession, table: String)
+      : (graft.io.SnapshotTables, String, Option[graft.io.LakeCommits]) = {
+    require(isThreePart(table),
+      s"'$table' is not a 3-level catalog-qualified name (want catalog.namespace.table)")
     val (cat, ns, t) = split(table)
     GraftSqlBridge.catalogPlugin(spark, cat) match {
-      case sc: SnapshotCatalog => (sc.tablesFor(ns), t)
+      case sc: SnapshotCatalog => (sc.tablesFor(ns), t, sc.lake)
       case other => throw new IllegalArgumentException(
         s"catalog '$cat' is ${other.getClass.getName}, not a graft SnapshotCatalog")
     }
+  }
+
+  private def resolve(spark: SparkSession, table: String): (graft.io.SnapshotTables, String) = {
+    val (st, t, _) = resolveSnapshotGoverned(spark, table)
+    (st, t)
   }
 
   override def overwriteTable(df: DataFrame, table: String, partitionCols: Seq[String]): Unit =

@@ -934,7 +934,14 @@ final class SnapshotTables(
     * caller always still applies its row-level predicate. Tunable per
     * session (specs set it low to exercise the fallback). */
   private def maxPrunedFileList: Int =
-    spark.conf.getOption("graft.manifest.maxFileList").map(_.toInt).getOrElse(10000)
+    spark.conf.getOption("graft.manifest.maxFileList") match {
+      case None => 10000
+      case Some(raw) => raw.trim.toIntOption match {
+        case Some(n) if n > 0 => n
+        case _ => throw new IllegalArgumentException(
+          s"graft.manifest.maxFileList must be a positive int, got '$raw'")
+      }
+    }
 
   /** Scan of the current version restricted to the files whose
     * manifest stats MAY contain `column` ∈ [lo, hi] (numeric bounds

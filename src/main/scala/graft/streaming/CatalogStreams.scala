@@ -15,14 +15,34 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * Each method resolves the qualified name through the registered
   * [[graft.catalog.SnapshotCatalog]] once at sink-open time
-  * ([[graft.catalog.CatalogTables.resolveSnapshot]]) and delegates to
-  * the corresponding [[Streams]] sink — the exactly-once / replay-skip
-  * contracts are unchanged, because resolution yields the very same
-  * store the SQL layer reads: one commit log, two front doors. */
+  * ([[graft.catalog.CatalogTables.resolveSnapshotGoverned]]) and
+  * delegates to the corresponding [[Streams]] sink — the exactly-once
+  * / replay-skip contracts are unchanged, because resolution yields
+  * the very same store the SQL layer reads: one commit log, two front
+  * doors.
+  *
+  * LOG-GOVERNED catalogs (`spark.sql.catalog.<cat>.commitlog`): SQL
+  * readers resolve each table's version from the commit log's HEAD,
+  * so a sink that only committed snapshot versions would be invisible
+  * to SQL once the table is pinned. These sinks therefore
+  * publish-through — after every committed micro-batch the new version
+  * is appended to the log (same read-your-writes contract as the SQL
+  * DML path). Replay-skipped batches commit nothing and publish
+  * nothing. */
 object CatalogStreams {
 
-  private def resolved(stream: DataFrame, qualifiedTable: String): (graft.io.SnapshotTables, String) =
-    graft.catalog.CatalogTables.resolveSnapshot(stream.sparkSession, qualifiedTable)
+  /** (store, bare table name, per-commit publish hook). The hook is a
+    * no-op unless the catalog is log-governed. */
+  private def resolved(stream: DataFrame, qualifiedTable: String)
+      : (graft.io.SnapshotTables, String, () => Unit) = {
+    val (t, name, lake) =
+      graft.catalog.CatalogTables.resolveSnapshotGoverned(stream.sparkSession, qualifiedTable)
+    val publish: () => Unit = lake match {
+      case Some(lc) => () => { lc.publishExact(Seq((t, name, t.currentVersion(name)))); () }
+      case None => () => ()
+    }
+    (t, name, publish)
+  }
 
   /** [[Streams.snapshotMergeSink]] against a catalog-qualified name:
     * continuous upsert-by-key into a SQL-visible snapshot table. */
@@ -34,8 +54,9 @@ object CatalogStreams {
       partitionCols: Seq[String] = Nil,
       orderCol: Option[String] = None
   ): StreamingQuery = {
-    val (t, name) = resolved(stream, qualifiedTable)
-    Streams.snapshotMergeSink(stream, t, name, keyCols, checkpoint, partitionCols, orderCol)
+    val (t, name, publish) = resolved(stream, qualifiedTable)
+    Streams.snapshotMergeSink(stream, t, name, keyCols, checkpoint, partitionCols, orderCol,
+      afterCommit = publish)
   }
 
   /** [[Streams.topKSketchSink]] against a catalog-qualified name. */
@@ -47,8 +68,9 @@ object CatalogStreams {
       checkpoint: String,
       maxItemsTracked: Int = 8192
   ): StreamingQuery = {
-    val (t, name) = resolved(values, qualifiedTable)
-    Streams.topKSketchSink(values, groupCols, valueCol, t, name, checkpoint, maxItemsTracked)
+    val (t, name, publish) = resolved(values, qualifiedTable)
+    Streams.topKSketchSink(values, groupCols, valueCol, t, name, checkpoint, maxItemsTracked,
+      afterCommit = publish)
   }
 
   /** [[Streams.quantileSketchSink]] against a catalog-qualified name. */
@@ -60,8 +82,9 @@ object CatalogStreams {
       checkpoint: String,
       capacity: Int = 8192
   ): StreamingQuery = {
-    val (t, name) = resolved(values, qualifiedTable)
-    Streams.quantileSketchSink(values, groupCols, valueCol, t, name, checkpoint, capacity)
+    val (t, name, publish) = resolved(values, qualifiedTable)
+    Streams.quantileSketchSink(values, groupCols, valueCol, t, name, checkpoint, capacity,
+      afterCommit = publish)
   }
 
   /** [[Streams.lshIndexUpsertSink]] against a catalog-qualified name. */
@@ -74,8 +97,9 @@ object CatalogStreams {
       bits: Int = 8,
       dim: Int = 64
   ): StreamingQuery = {
-    val (t, name) = resolved(stream, qualifiedTable)
-    Streams.lshIndexUpsertSink(stream, t, name, idCol, vecCol, checkpoint, bits, dim)
+    val (t, name, publish) = resolved(stream, qualifiedTable)
+    Streams.lshIndexUpsertSink(stream, t, name, idCol, vecCol, checkpoint, bits, dim,
+      afterCommit = publish)
   }
 
   /** [[Streams.pqIndexUpsertSink]] against a catalog-qualified name. */
@@ -91,8 +115,8 @@ object CatalogStreams {
       checkpoint: String,
       centroids: Option[DataFrame] = None
   ): StreamingQuery = {
-    val (t, name) = resolved(stream, qualifiedTable)
+    val (t, name, publish) = resolved(stream, qualifiedTable)
     Streams.pqIndexUpsertSink(stream, t, name, idCol, vecCol, codebooks, dim, m, numCells,
-      checkpoint, centroids)
+      checkpoint, centroids, afterCommit = publish)
   }
 }

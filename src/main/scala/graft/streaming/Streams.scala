@@ -384,14 +384,17 @@ object Streams {
       vecCol: String,
       checkpoint: String,
       bits: Int = 8,
-      dim: Int = 64
+      dim: Int = 64,
+      afterCommit: () => Unit = () => ()
   ): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
           graft.operators.Similarity.upsertLshIndex(
             tables, table, batch.dropDuplicates(idCol), idCol, vecCol, bits, dim)
+          afterCommit()
+        }
         ()
       }
       .start()
@@ -416,14 +419,17 @@ object Streams {
       m: Int,
       numCells: Int,
       checkpoint: String,
-      centroids: Option[DataFrame] = None
+      centroids: Option[DataFrame] = None,
+      afterCommit: () => Unit = () => ()
   ): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
           graft.operators.Similarity.upsertPqIndex(tables, table,
             batch.dropDuplicates(idCol), idCol, vecCol, codebooks, dim, m, numCells, centroids)
+          afterCommit()
+        }
         ()
       }
       .start()
@@ -435,7 +441,8 @@ object Streams {
       keyCols: Seq[String],
       checkpoint: String,
       partitionCols: Seq[String] = Nil,
-      orderCol: Option[String] = None
+      orderCol: Option[String] = None,
+      afterCommit: () => Unit = () => ()
   ): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
@@ -463,6 +470,7 @@ object Streams {
                 .select(keyCols.map(col) :+ col("__r.*"): _*)
             }
           tables.merge(table, one, keyCols, partitionCols)
+          afterCommit()
         }
         ()
       }
@@ -490,18 +498,21 @@ object Streams {
       tables: graft.io.SnapshotTables,
       table: String,
       checkpoint: String,
-      maxItemsTracked: Int = 8192
+      maxItemsTracked: Int = 8192,
+      afterCommit: () => Unit = () => ()
   ): StreamingQuery =
     values.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        topKSketchBatch(batch, batchId, groupCols, valueCol, tables, table, maxItemsTracked)
+        if (topKSketchBatch(batch, batchId, groupCols, valueCol, tables, table, maxItemsTracked))
+          afterCommit()
         ()
       }
       .start()
 
   /** One batch of [[topKSketchSink]], factored out so replay idempotency
-    * is directly testable. */
+    * is directly testable. Returns true iff a version was committed
+    * (false: empty batch or replay-skip). */
   private[streaming] def topKSketchBatch(
       batch: DataFrame,
       batchId: Long,
@@ -510,9 +521,9 @@ object Streams {
       tables: graft.io.SnapshotTables,
       table: String,
       maxItemsTracked: Int
-  ): Unit = {
+  ): Boolean = {
     import org.apache.spark.sql.functions._
-    if (batch.isEmpty) return
+    if (batch.isEmpty) return false
     val fresh = graft.operators.Sketches.topKSketches(batch, groupCols, valueCol, maxItemsTracked)
       .withColumn("last_batch", lit(batchId))
     val merged =
@@ -521,7 +532,7 @@ object Streams {
         val cur = tables.read(table)
         // replay: the state already contains this batch's counts —
         // combining again would double them, so the batch skips whole
-        if (cur.agg(max(col("last_batch"))).head.getLong(0) >= batchId) return
+        if (cur.agg(max(col("last_batch"))).head.getLong(0) >= batchId) return false
         cur.unionByName(fresh)
           .groupBy(groupCols.map(col): _*)
           .agg(expr(s"approx_top_k_combine(topk_sketch, $maxItemsTracked)").as("topk_sketch"),
@@ -531,6 +542,7 @@ object Streams {
     // materialize BEFORE the commit: merged still reads the current
     // version's files, and one eager cut guarantees a single state read
     tables.overwriteTable(merged.localCheckpoint(true), table)
+    true
   }
 
   /** Standing value DISTRIBUTIONS over an unbounded stream —
@@ -550,12 +562,14 @@ object Streams {
       tables: graft.io.SnapshotTables,
       table: String,
       checkpoint: String,
-      capacity: Int = 8192
+      capacity: Int = 8192,
+      afterCommit: () => Unit = () => ()
   ): StreamingQuery =
     values.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        quantileSketchBatch(batch, batchId, groupCols, valueCol, tables, table, capacity)
+        if (quantileSketchBatch(batch, batchId, groupCols, valueCol, tables, table, capacity))
+          afterCommit()
         ()
       }
       .start()
@@ -568,16 +582,16 @@ object Streams {
       tables: graft.io.SnapshotTables,
       table: String,
       capacity: Int
-  ): Unit = {
+  ): Boolean = {
     import org.apache.spark.sql.functions._
-    if (batch.isEmpty) return
+    if (batch.isEmpty) return false
     val fresh = graft.operators.Sketches.quantileSketches(batch, groupCols, valueCol, capacity)
       .withColumn("last_batch", lit(batchId))
     val merged =
       if (tables.currentVersion(table) == 0) fresh
       else {
         val cur = tables.read(table)
-        if (cur.agg(max(col("last_batch"))).head.getLong(0) >= batchId) return
+        if (cur.agg(max(col("last_batch"))).head.getLong(0) >= batchId) return false
         val comb = udaf(new graft.functions.QuantileSketchCombine(capacity),
           org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[graft.functions.QuantLevel]]())
         cur.unionByName(fresh)
@@ -587,6 +601,7 @@ object Streams {
             max(col("last_batch")).as("last_batch"))
       }
     tables.overwriteTable(merged.localCheckpoint(true), table)
+    true
   }
 
   /** One batch of [[incrementalDedupSink]], factored out so idempotency
