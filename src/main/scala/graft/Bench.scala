@@ -161,20 +161,36 @@ object Bench {
     // 2.1/1.7 s first pass, 0.4/0.6 s second). The second pass
     // (`e2e_warm`) isolates the engine from the JIT so cross-round
     // comparisons have a stable signal.
+    // The DEFAULT pass runs the reference's own architecture end to end:
+    // 3-LEVEL names (`silver.bench.tab_brewery`) resolved through a
+    // registered SnapshotCatalog — V2 catalog resolution + fenced CAS
+    // commit per table write, the shape job_gold.py:50-58,71-88 runs
+    // against Iceberg. The `_pq` twin keeps 2-part session-catalog
+    // names (ParquetTables, plain managed parquet) so the catalog
+    // layer's per-commit cost stays MEASURED as the delta between the
+    // two, not inferred. (Until r10 both passes used 2-part names, so
+    // the published catalog spans never touched the catalog — the r10
+    // ADVICE finding this block answers.)
     def e2ePass(tag: String,
                 format: graft.io.TableFormat = graft.catalog.CatalogTables,
-                ns: String = "bench"): Seq[(String, Double)] =
+                silverTable: String = "silver.bench.tab_brewery",
+                goldTable: String = "gold.bench.tab_brewery_summary"): Seq[(String, Double)] =
       try {
         import graft.pipeline.{BreweryFixture, BreweryPipeline, PipelineConf}
         val date = java.time.LocalDate.parse("2026-01-01")
         val root = java.nio.file.Files.createTempDirectory(s"graft-bench-bronze-$tag").toString
         BreweryFixture.land(root, date)
         val conf = PipelineConf(bronzeRoot = root,
-          silverTable = s"${ns}_silver.tab_brewery",
-          goldTable = s"${ns}_gold.tab_brewery_summary",
+          silverTable = silverTable,
+          goldTable = goldTable,
           format = format)
         def span(f: => Unit): Double = {
           val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        def ensureNs(table: String): Unit = {
+          BreweryPipeline.ensureLakeCatalog(spark, table) // no-op on 2-part names
+          val ns = table.split('.').dropRight(1).mkString(".")
+          if (ns.nonEmpty) spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $ns")
         }
         val prefix = s"$root/sys_file_date=$date"
         var raw: org.apache.spark.sql.DataFrame = null
@@ -182,8 +198,8 @@ object Bench {
         val tWrite = span {
           val conformed = graft.core.Conform
             .withPartitionStamp(raw, graft.core.Schema.brewerySpec, conf.partitionCol, date)
-          spark.sql(s"CREATE DATABASE IF NOT EXISTS ${ns}_silver")
-          spark.sql(s"CREATE DATABASE IF NOT EXISTS ${ns}_gold")
+          ensureNs(conf.silverTable)
+          ensureNs(conf.goldTable)
           conf.format.overwriteTable(conformed, conf.silverTable, Seq(conf.partitionCol))
         }
         val tGold = span { BreweryPipeline.runGold(spark, conf, date) }
@@ -295,15 +311,14 @@ object Bench {
           k -> Seq(v, again.getOrElse(k, -1.0)).filter(_ >= 0).minOption.getOrElse(-1.0)
         }
       }
-    // Adjudication record (VERDICT r09): the spans above run through the
-    // V2 catalog — a per-commit CAS + manifest/stats cost that is the
-    // reference's own architecture (its jobs commit through
-    // Iceberg+Nessie, job_silver.py:174-178) and is per-commit, not
-    // per-row. The raw-parquet spans are emitted alongside so that
-    // overhead stays measured and bounded rather than inferred; see
+    // Raw-parquet twin spans (2-part session-catalog names, no V2
+    // resolution, no CAS commit): the catalog layer's per-commit cost
+    // is exactly e2e − e2e_pq, measured in the same JVM state; see
     // BASELINE.md "E2E adjudication".
-    val e2ePq = e2ePass("pq-cold", graft.io.ParquetTables, "benchpq")
-    val e2ePqWarm = e2ePass("pq-warm", graft.io.ParquetTables, "benchpq")
+    val e2ePq = e2ePass("pq-cold", graft.io.ParquetTables,
+      "benchpq_silver.tab_brewery", "benchpq_gold.tab_brewery_summary")
+    val e2ePqWarm = e2ePass("pq-warm", graft.io.ParquetTables,
+      "benchpq_silver.tab_brewery", "benchpq_gold.tab_brewery_summary")
     val la1 = loadavg1()
     // Warm numbers come from the per-query best-of-3 above: all plans
     // compiled, JIT settled — the figures to hold against single-node

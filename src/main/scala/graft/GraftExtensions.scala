@@ -27,6 +27,10 @@ import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, Expression
   *  - `graft_normalize_text(text) -> string` — pre-dedup canonicalization
   *  - `graft_token_count(text) -> int`
   *  - `graft_stopword_ratio(text) -> double`
+  *
+  * Registered TABLE function: `graft_table_changes('cat.ns.t', from,
+  * to[, 'k1,k2'])` — version-to-version CDC over snapshot-catalog
+  * tables ([[graft.plans.TableChanges]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def normExpr(v: Expression): Expression = Sqrt(VecDot(v, v))
@@ -47,6 +51,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL DELETE/UPDATE/MERGE over SnapshotCatalog tables -> the
     // snapshot layer's copy-on-write commits (Delta-style rewrite)
     ext.injectResolutionRule(_ => graft.plans.SnapshotDmlRule)
+    // CDC between snapshot versions as a table-valued function:
+    // SELECT * FROM graft_table_changes('cat.ns.t', 1, 3 [, 'k1,k2'])
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_table_changes"),
+      new ExpressionInfo(graft.plans.TableChanges.getClass.getName, "graft_table_changes"),
+      (children: Seq[Expression]) => graft.plans.TableChanges.plan(children)
+    ))
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),

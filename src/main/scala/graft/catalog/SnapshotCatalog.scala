@@ -114,7 +114,18 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces with StagingT
 
   override def loadTable(ident: Identifier): Table = {
     val st = tablesFor(ident.namespace)
-    if (!st.tableExists(ident.name)) throw new NoSuchTableException(ident)
+    if (!st.tableExists(ident.name)) {
+      // `ns.t.history` — the DESCRIBE-HISTORY metadata table (Iceberg's
+      // shape). Only reachable when no real table shadows the name and
+      // the parent `ns.t` IS a snapshot table.
+      if (ident.name == HistoryMetadataTable.Name && ident.namespace.nonEmpty) {
+        val parentSt = tablesFor(ident.namespace.init)
+        val parent = ident.namespace.last
+        if (parentSt.tableExists(parent))
+          return new HistoryMetadataTable(fullName(ident), parentSt, parent)
+      }
+      throw new NoSuchTableException(ident)
+    }
     lake match {
       case Some(lc) =>
         // log-governed: the head commit decides the visible version

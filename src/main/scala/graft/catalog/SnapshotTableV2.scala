@@ -220,3 +220,74 @@ private object SnapshotWriteBuilder {
       }
   }
 }
+
+/** The `<cat>.<ns>.<table>.history` METADATA table — the engine's
+  * `DESCRIBE HISTORY` affordance, Iceberg's history-table shape (the
+  * reference positions its tables as Iceberg-backed, readme.md:93-114;
+  * Iceberg exposes `db.table.history` with one row per
+  * made-current snapshot). One row per RETAINED version of the
+  * snapshot line, driver-materialized (≤ retention rows by
+  * construction — metadata, never data):
+  *
+  *   made_current_at TIMESTAMP — commit time (the same mtime clock
+  *                               `TIMESTAMP AS OF` resolves against)
+  *   version INT               — the snapshot version (`VERSION AS OF`)
+  *   parent_version INT        — the preceding version on the line
+  *                               (NULL for the first commit)
+  *   is_current BOOLEAN        — whether this is the line's HEAD
+  *
+  * Resolution: [[SnapshotCatalog.loadTable]] routes `ns.t.history`
+  * here only when no REAL table of that name exists (a real table
+  * always wins) and `ns.t` is a snapshot table. Rows are computed at
+  * scan-build time, so each query sees the history as of its own
+  * planning — consistent with the catalog's per-statement version
+  * resolution. On log-governed catalogs the history lists the snapshot
+  * LINE (all committed versions, published or not) — the publication
+  * state is the commit log's story, not the table's. */
+private[catalog] final class HistoryMetadataTable(
+    fullName: String,
+    st: SnapshotTables,
+    table: String
+) extends Table with SupportsRead {
+
+  override def name(): String = fullName
+  override def schema(): StructType = HistoryMetadataTable.Schema
+
+  override def capabilities(): util.Set[TableCapability] = {
+    val s = new util.HashSet[TableCapability]()
+    s.add(TableCapability.BATCH_READ)
+    s
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        override def rows(): Array[InternalRow] = {
+          val hist = st.versionHistory(table)
+          val cur = st.currentVersion(table)
+          val retained = hist.map(_._1).toSet
+          hist.map { case (v, millis) =>
+            val parent = if (v <= 1) null else Integer.valueOf(v - 1)
+            // parent may itself be expired; report it anyway — lineage
+            // is about ORDER, retention about readability
+            InternalRow(millis * 1000L, v,
+              if (parent == null) null else parent.intValue(),
+              v == cur && retained.contains(v))
+          }.toArray
+        }
+        override def readSchema(): StructType = HistoryMetadataTable.Schema
+      }
+    }
+}
+
+private[catalog] object HistoryMetadataTable {
+  import org.apache.spark.sql.types.{BooleanType, IntegerType, TimestampType}
+  val Schema: StructType = new StructType()
+    .add("made_current_at", TimestampType, nullable = false)
+    .add("version", IntegerType, nullable = false)
+    .add("parent_version", IntegerType, nullable = true)
+    .add("is_current", BooleanType, nullable = false)
+
+  /** The reserved metadata-table suffix. */
+  val Name = "history"
+}

@@ -1370,6 +1370,20 @@ final class SnapshotTables(
     }
   }
 
+  /** Retained versions with their commit times (millis; commit time =
+    * version-metadata file mtime, the same clock `TIMESTAMP AS OF`
+    * resolves against), ascending — the data behind the SQL-visible
+    * `<table>.history` metadata table (Iceberg's DESCRIBE-HISTORY
+    * shape). Versions whose metadata file is gone (expired mid-list)
+    * are dropped rather than reported with a fake time. */
+  def versionHistory(table: String): Seq[(Int, Long)] =
+    history(table).flatMap { v =>
+      val m = new Path(metaDir(table), f"v$v%05d.json")
+      try
+        if (fs(m).exists(m)) Some((v, fs(m).getFileStatus(m).getModificationTime)) else None
+      catch { case _: java.io.IOException => None }
+    }
+
   /** Latest version committed at or before `millis` (commit time =
     * version-metadata file mtime) — `TIMESTAMP AS OF` resolution. */
   private[graft] def versionAtTimestamp(table: String, millis: Long): Option[Int] =

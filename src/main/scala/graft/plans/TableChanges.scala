@@ -1,0 +1,70 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+
+/** `graft_table_changes` — the SQL face of the snapshot layer's CDC
+  * readers ([[graft.io.SnapshotTables.diff]]/`diffKeyed`), shaped
+  * after the `table_changes(...)` table-valued function Delta ships
+  * and the changelog reads Iceberg exposes (both public knowledge;
+  * the reference positions its tables as Iceberg-backed,
+  * readme.md:93-114):
+  *
+  *   SELECT * FROM graft_table_changes('cat.ns.t', 1, 3)
+  *   SELECT * FROM graft_table_changes('cat.ns.t', 1, 3, 'k1,k2')
+  *
+  * 3-arg form — the MULTISET diff: data columns + `_change_type`
+  * ('insert' rows exist only in `toVersion`, 'delete' only in
+  * `fromVersion`; an update surfaces as delete+insert). 4-arg form —
+  * the KEY-CLASSIFIED diff: key columns + `_change_type`
+  * (insert/update/delete) + `__old`/`__new` row-image structs, exactly
+  * [[graft.io.SnapshotTables.diffKeyed]].
+  *
+  * All arguments must be literals (the table function is resolved at
+  * analysis time): a 3-level catalog-qualified table name, two
+  * version ints, and optionally a comma-separated key-column list.
+  * The plan is the diff's own distributed plan — two version-pinned
+  * parquet scans joined/anti-joined, no driver materialization. */
+object TableChanges {
+
+  private def strLit(e: Expression, what: String): String = e match {
+    case l: Literal if l.dataType == StringType && l.value != null => l.value.toString
+    case _ => throw new IllegalArgumentException(
+      s"graft_table_changes: $what must be a string literal, got $e")
+  }
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case l: Literal if l.dataType == IntegerType && l.value != null =>
+      l.value.asInstanceOf[Int]
+    case l: Literal if l.dataType == LongType && l.value != null =>
+      l.value.asInstanceOf[Long].toInt
+    case _ => throw new IllegalArgumentException(
+      s"graft_table_changes: $what must be an integer literal, got $e")
+  }
+
+  /** The analysis-time builder registered by [[graft.GraftExtensions]]. */
+  def plan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 3 || args.length == 4,
+      "graft_table_changes(table, fromVersion, toVersion[, keyCols]) takes 3 or 4 arguments, " +
+        s"got ${args.length}")
+    val qualified = strLit(args.head, "table")
+    val fromV = intLit(args(1), "fromVersion")
+    val toV = intLit(args(2), "toVersion")
+    val spark = SparkSession.active
+    val (st, table) = graft.catalog.CatalogTables.resolveSnapshot(spark, qualified)
+    val hist = st.history(table)
+    require(hist.contains(fromV) && hist.contains(toV),
+      s"graft_table_changes: versions $fromV..$toV of '$qualified' must both be retained " +
+        s"(retained: ${hist.mkString(", ")})")
+    val df = args.lift(3) match {
+      case Some(k) =>
+        val keys = strLit(k, "keyCols").split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        require(keys.nonEmpty, "graft_table_changes: keyCols must name at least one column")
+        st.diffKeyed(table, fromV, toV, keys)
+      case None => st.diff(table, fromV, toV)
+    }
+    df.withColumnRenamed("__change", "_change_type").queryExecution.analyzed
+  }
+}

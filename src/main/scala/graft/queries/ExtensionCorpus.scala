@@ -1773,10 +1773,60 @@ object ExtensionCorpus {
       FROM p GROUP BY 1 ORDER BY sim_band""")
   )
 
+  /** CDC through pure SQL end-to-end, oracle-pinned: CTAS an orders
+    * subset (v1), restate a price band by UPDATE (v2), DELETE early
+    * keys (v3), INSERT a late-arriving tranche (v4) — then read the
+    * v1→v4 key-classified changelog with the `graft_table_changes`
+    * table function ([[graft.plans.TableChanges]], the `table_changes`
+    * / Iceberg-changelog shape) and flatten the old/new images. The
+    * DuckDB oracle replays the SAME classification with a FULL OUTER
+    * JOIN between the two states recomputed from raw parquet, so a
+    * hash match pins insert/update/delete assignment AND both row
+    * images — the whole CDC read path, not just row counts. */
+  private val q131 = Q(
+    "q131_table_changes_sql",
+    (s, dir) => {
+      val cat = tempCatalog(s)
+      fixture(s, dir, "orders").createOrReplaceTempView("q131_orders")
+      s.sql(s"""CREATE TABLE $cat.dw.o AS
+                SELECT o_orderkey, o_orderstatus, o_totalprice
+                FROM q131_orders WHERE o_orderkey <= 8000""") // v1
+      s.sql(s"""UPDATE $cat.dw.o SET o_totalprice = o_totalprice * 2
+                WHERE o_orderkey BETWEEN 2000 AND 3000""") // v2
+      s.sql(s"DELETE FROM $cat.dw.o WHERE o_orderkey <= 500") // v3
+      s.sql(s"""INSERT INTO $cat.dw.o
+                SELECT o_orderkey, o_orderstatus, o_totalprice
+                FROM q131_orders WHERE o_orderkey > 8000 AND o_orderkey <= 10000""") // v4
+      s.sql(s"""SELECT o_orderkey, _change_type,
+                  CAST(__old.o_totalprice AS DOUBLE) AS old_price,
+                  CAST(__new.o_totalprice AS DOUBLE) AS new_price
+                FROM graft_table_changes('$cat.dw.o', 1, 4, 'o_orderkey')
+                ORDER BY o_orderkey""")
+    },
+    Some("""WITH v1 AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey <= 8000),
+      v4 AS (
+        SELECT o_orderkey, o_orderstatus,
+          CASE WHEN o_orderkey BETWEEN 2000 AND 3000 THEN o_totalprice * 2
+               ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey > 500 AND o_orderkey <= 10000)
+      SELECT COALESCE(v1.o_orderkey, v4.o_orderkey) AS o_orderkey,
+        CASE WHEN v1.o_orderkey IS NULL THEN 'insert'
+             WHEN v4.o_orderkey IS NULL THEN 'delete'
+             ELSE 'update' END AS _change_type,
+        CAST(v1.o_totalprice AS DOUBLE) AS old_price,
+        CAST(v4.o_totalprice AS DOUBLE) AS new_price
+      FROM v1 FULL OUTER JOIN v4 ON v1.o_orderkey = v4.o_orderkey
+      WHERE v1.o_orderkey IS NULL OR v4.o_orderkey IS NULL
+        OR v1.o_totalprice IS DISTINCT FROM v4.o_totalprice
+        OR v1.o_orderstatus IS DISTINCT FROM v4.o_orderstatus
+      ORDER BY o_orderkey""")
+  )
+
   val all: Seq[Q] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q99, q100, q101, q102, q106, q107, q108,
     q109, q111, q112, q113, q114, q116, q117, q118, q119, q121, q122, q123, q125, q126, q127,
-    q128, q130
+    q128, q130, q131
   )
 }

@@ -415,4 +415,69 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(out.collect().map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq ==
       Seq(("brewpub", "Ireland", 1L), ("micro", "United States", 2L)))
   }
+
+  test("DESCRIBE HISTORY via pure SQL: <table>.history lists versions, commit times, lineage, head") {
+    val c = newCatalog()
+    spark.sql(s"CREATE NAMESPACE $c.dw")
+    spark.sql(s"CREATE TABLE $c.dw.t AS SELECT id FROM range(3)") // v1
+    spark.sql(s"INSERT INTO $c.dw.t VALUES (10)") // v2
+    spark.sql(s"INSERT INTO $c.dw.t VALUES (11)") // v3
+    val hist = spark.sql(
+      s"SELECT version, parent_version, is_current FROM $c.dw.t.history ORDER BY version")
+      .collect().toSeq
+    assert(hist == Seq(Row(1, null, false), Row(2, 1, false), Row(3, 2, true)))
+    // commit times are real and non-decreasing, and they resolve
+    // through TIMESTAMP AS OF to the version made current at that time
+    val times = spark.sql(s"SELECT version, made_current_at FROM $c.dw.t.history ORDER BY version")
+      .collect().map(r => (r.getInt(0), r.getTimestamp(1)))
+    assert(times.map(_._2.getTime).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+    val (v1, t1) = times.head
+    assert(spark.sql(
+      s"SELECT count(*) FROM $c.dw.t TIMESTAMP AS OF '${t1}'").head.getLong(0) == 3L && v1 == 1)
+    // history follows the line, not a cache: another commit shows up
+    spark.sql(s"INSERT INTO $c.dw.t VALUES (12)")
+    assert(spark.sql(s"SELECT max(version) FROM $c.dw.t.history").head.getInt(0) == 4)
+    assert(spark.sql(s"SELECT version FROM $c.dw.t.history WHERE is_current").head.getInt(0) == 4)
+    // a REAL table named 'history' wins over the metadata route
+    spark.sql(s"CREATE TABLE $c.dw2.x AS SELECT 1 AS a")
+    spark.sql(s"CREATE TABLE $c.dw2.x.history AS SELECT 'real' AS who")
+    assert(spark.sql(s"SELECT who FROM $c.dw2.x.history").head.getString(0) == "real")
+    // no parent table -> ordinary missing-table analysis error
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"SELECT * FROM $c.dw.nope.history").collect()
+    }
+    assert(e.getCondition != null && e.getCondition.contains("TABLE_OR_VIEW_NOT_FOUND"))
+  }
+
+  test("graft_table_changes: version-to-version CDC via pure SQL, keyed and multiset") {
+    val c = newCatalog()
+    spark.sql(s"CREATE NAMESPACE $c.dw")
+    spark.sql(s"CREATE TABLE $c.dw.cdc AS SELECT id AS k, CAST(id * 10 AS DOUBLE) AS v FROM range(5)") // v1
+    spark.sql(s"UPDATE $c.dw.cdc SET v = v + 1 WHERE k = 2") // v2
+    spark.sql(s"DELETE FROM $c.dw.cdc WHERE k = 4") // v3
+    spark.sql(s"INSERT INTO $c.dw.cdc VALUES (9, 90.0)") // v4
+    // keyed: one row per changed key with old/new images
+    val keyed = spark.sql(
+      s"""SELECT k, _change_type, __old.v AS old_v, __new.v AS new_v
+          FROM graft_table_changes('$c.dw.cdc', 1, 4, 'k') ORDER BY k""").collect().toSeq
+    assert(keyed == Seq(
+      Row(2L, "update", 20.0, 21.0),
+      Row(4L, "delete", 40.0, null),
+      Row(9L, "insert", null, 90.0)))
+    // multiset: an update is delete+insert; aggregation works like any table
+    val multiset = spark.sql(
+      s"""SELECT _change_type, count(*) AS n
+          FROM graft_table_changes('$c.dw.cdc', 1, 4) GROUP BY 1 ORDER BY 1""").collect().toSeq
+    assert(multiset == Seq(Row("delete", 2L), Row("insert", 2L)))
+    // sub-ranges follow the version line
+    assert(spark.sql(s"SELECT k FROM graft_table_changes('$c.dw.cdc', 3, 4, 'k')")
+      .head.getLong(0) == 9L)
+    // refusals: non-retained version and non-3-part names fail loudly
+    assert(intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_table_changes('$c.dw.cdc', 1, 99, 'k')").collect()
+    }.getMessage.contains("retained"))
+    assert(intercept[Exception] {
+      spark.sql("SELECT * FROM graft_table_changes('two.part', 1, 2)").collect()
+    }.getMessage.contains("3-level"))
+  }
 }
