@@ -56,7 +56,8 @@ import java.util
   * INSERTs race on the version CAS; losers throw
   * `ConcurrentCommitException` rather than silently interleaving.
   */
-class SnapshotCatalog extends TableCatalog with SupportsNamespaces with StagingTableCatalog {
+class SnapshotCatalog extends TableCatalog with SupportsNamespaces with StagingTableCatalog
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var rootPath: String = _
@@ -273,6 +274,17 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces with StagingT
     lake.foreach(lc => lc.publishExact(Seq((st, t, st.currentVersion(t)))))
     loadTable(ident)
   }
+
+  // ----------------------------------------------------------------
+  // ProcedureCatalog — `CALL cat.system.<proc>(...)` maintenance
+  // surface (Iceberg's procedure shape); see [[SnapshotProcedures]].
+  // ----------------------------------------------------------------
+
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    SnapshotProcedures.load(this, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    SnapshotProcedures.list(namespace)
 
   override def dropTable(ident: Identifier): Boolean =
     tablesFor(ident.namespace).dropTableDir(ident.name)

@@ -1,0 +1,136 @@
+package graft.catalog
+
+import graft.io.SnapshotTables
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructType}
+
+/** The catalog's maintenance surface as SQL `CALL` procedures —
+  * Iceberg's own shape (`CALL cat.system.rollback_to_snapshot(...)`,
+  * `rewrite_data_files`, `fast_forward`; the reference registers
+  * Iceberg catalogs, so these are the commands its operators actually
+  * run). Registered under the `system` namespace by
+  * [[SnapshotCatalog.loadProcedure]]:
+  *
+  *  - `rollback(table, version)` — re-commit a retained version's
+  *    content as a NEW version (never history rewrite);
+  *    [[SnapshotTables.rollback]]
+  *  - `fast_forward(table, branch)` — publish a WAP branch to main;
+  *    [[SnapshotTables.publish]]
+  *  - `optimize(table, zorder_cols, target_file_mb)` — compaction /
+  *    z-order clustering as one committed version; empty `zorder_cols`
+  *    → plain per-partition compaction; [[SnapshotTables.optimize]] /
+  *    [[SnapshotTables.compact]]
+  *  - `expire_log(keep)` — prune the governed catalog's commit log
+  *    (governed catalogs only); [[graft.io.LakeCommits.expireLog]]
+  *  - `publish_branches(tables, branch)` — cross-table ATOMIC publish
+  *    of per-table WAP branches through the commit log (governed
+  *    catalogs only); [[graft.io.LakeCommits.publishBranches]]
+  *
+  * `table` arguments are namespace-qualified WITHIN the catalog
+  * (`'dw.t'`); `tables` is a comma-separated list of the same. Each
+  * mutating procedure returns the resulting version(s) as rows, and on
+  * log-governed catalogs publishes through the commit log exactly like
+  * the SQL DML path (read-your-writes). Results are driver-sized
+  * (version ints), never data. */
+private[catalog] object SnapshotProcedures {
+
+  val Names: Seq[String] =
+    Seq("rollback", "fast_forward", "optimize", "expire_log", "publish_branches")
+
+  private def param(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+
+  private def paramD(name: String, dt: DataType, default: String): ProcedureParameter =
+    ProcedureParameter.in(name, dt).defaultValue(default).build()
+
+  /** One-row, integer-columns result scan. */
+  private def result(schema: StructType, values: Int*): java.util.Iterator[Scan] =
+    java.util.List.of[Scan](new LocalScan {
+      override def rows(): Array[InternalRow] = Array(InternalRow(values: _*))
+      override def readSchema(): StructType = schema
+    }).iterator()
+
+  private def outSchema(cols: String*): StructType =
+    cols.foldLeft(new StructType())((s, c) => s.add(c, IntegerType, nullable = false))
+
+  def load(cat: SnapshotCatalog, ident: Identifier): UnboundProcedure = {
+    require(ident.namespace.sameElements(Array("system")) && Names.contains(ident.name),
+      s"unknown procedure ${ident.namespace.mkString(".")}.${ident.name} — " +
+        s"available: ${Names.map("system." + _).mkString(", ")}")
+
+    def tablesOf(qualified: String): (SnapshotTables, String) = {
+      val parts = qualified.split('.')
+      require(parts.length >= 2,
+        s"'$qualified' must be a namespace-qualified table within catalog '${cat.name()}' (want ns.table)")
+      (cat.tablesFor(parts.dropRight(1)), parts.last)
+    }
+
+    def governed: graft.io.LakeCommits = cat.lake.getOrElse(throw new IllegalStateException(
+      s"catalog '${cat.name()}' is not log-governed (set spark.sql.catalog.${cat.name()}.commitlog)"))
+
+    def publishThrough(st: SnapshotTables, table: String): Unit =
+      cat.lake.foreach(_.publishExact(Seq((st, table, st.currentVersion(table)))))
+
+    new UnboundProcedure { unbound =>
+      override def name(): String = ident.name
+      override def description(): String = s"graft snapshot maintenance: ${ident.name}"
+
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = unbound.name()
+        override def description(): String = unbound.description()
+        override def isDeterministic: Boolean = false
+
+        override def parameters(): Array[ProcedureParameter] = ident.name match {
+          case "rollback" => Array(param("table", StringType), param("version", IntegerType))
+          case "fast_forward" => Array(param("table", StringType), param("branch", StringType))
+          case "optimize" => Array(param("table", StringType),
+            paramD("zorder_cols", StringType, "''"), paramD("target_file_mb", IntegerType, "128"))
+          case "expire_log" => Array(param("keep", IntegerType))
+          case "publish_branches" => Array(param("tables", StringType), param("branch", StringType))
+        }
+
+        override def call(input: InternalRow): java.util.Iterator[Scan] = ident.name match {
+          case "rollback" =>
+            val (st, t) = tablesOf(input.getUTF8String(0).toString)
+            val to = input.getInt(1)
+            st.rollback(t, to, st.currentPartitionCols(t))
+            publishThrough(st, t)
+            result(outSchema("restored_version", "current_version"), to, st.currentVersion(t))
+          case "fast_forward" =>
+            val (st, t) = tablesOf(input.getUTF8String(0).toString)
+            val v = st.publish(t, input.getUTF8String(1).toString)
+            publishThrough(st, t)
+            result(outSchema("current_version"), v)
+          case "optimize" =>
+            val (st, t) = tablesOf(input.getUTF8String(0).toString)
+            val zcols = input.getUTF8String(1).toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+            val target = input.getInt(2).toLong << 20
+            if (zcols.nonEmpty) st.optimize(t, zcols, target)
+            else st.compact(t, st.currentPartitionCols(t), target)
+            publishThrough(st, t)
+            result(outSchema("current_version"), st.currentVersion(t))
+          case "expire_log" =>
+            val lc = governed
+            lc.expireLog(input.getInt(0))
+            result(outSchema("head_commit"), lc.headCommit)
+          case "publish_branches" =>
+            val lc = governed
+            val branch = input.getUTF8String(1).toString
+            val staged = input.getUTF8String(0).toString.split(',').map(_.trim).filter(_.nonEmpty)
+              .map { q => val (st, t) = tablesOf(q); (st, t, branch) }.toSeq
+            require(staged.nonEmpty, "publish_branches: empty table list")
+            val c = lc.publishBranches(staged)
+            result(outSchema("commit"), c)
+        }
+      }
+    }
+  }
+
+  def list(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      Names.map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
+}

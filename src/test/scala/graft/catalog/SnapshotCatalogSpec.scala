@@ -480,4 +480,67 @@ class SnapshotCatalogSpec extends SparkSpec {
       spark.sql("SELECT * FROM graft_table_changes('two.part', 1, 2)").collect()
     }.getMessage.contains("3-level"))
   }
+
+  test("CALL procedures: rollback, optimize, fast_forward (Iceberg maintenance shape)") {
+    val c = newCatalog()
+    spark.sql(s"CREATE NAMESPACE $c.dw")
+    spark.sql(s"CREATE TABLE $c.dw.m AS SELECT id AS k, CAST(id AS DOUBLE) AS v FROM range(100)") // v1
+    spark.sql(s"INSERT INTO $c.dw.m VALUES (999, 9.0)") // v2
+    // rollback re-commits v1's CONTENT as v3 — never history rewrite
+    val rb = spark.sql(s"CALL $c.system.rollback('dw.m', 1)").collect().toSeq
+    assert(rb == Seq(Row(1, 3)))
+    assert(spark.sql(s"SELECT count(*) FROM $c.dw.m").head.getLong(0) == 100L)
+    assert(spark.sql(s"SELECT count(*) FROM $c.dw.m VERSION AS OF 2").head.getLong(0) == 101L)
+    // optimize with z-order columns: one more version, content unchanged
+    val opt = spark.sql(s"CALL $c.system.optimize('dw.m', zorder_cols => 'k')").collect().toSeq
+    assert(opt == Seq(Row(4)))
+    assert(spark.sql(s"SELECT sum(k) FROM $c.dw.m").head.getLong(0) ==
+      spark.sql(s"SELECT sum(k) FROM $c.dw.m VERSION AS OF 1").head.getLong(0))
+    // WAP: stage on a branch via the API, publish through SQL
+    val st = new graft.io.SnapshotTables(spark,
+      spark.conf.get(s"spark.sql.catalog.$c.root") + "/dw")
+    st.createBranch("m", "audit")
+    st.mergeToBranch("m", "audit", Seq((50L, 500.0)).toDF("k", "v"), keyCols = Seq("k"))
+    val ff = spark.sql(s"CALL $c.system.fast_forward('dw.m', 'audit')").collect().toSeq
+    assert(ff == Seq(Row(5)))
+    assert(spark.sql(s"SELECT v FROM $c.dw.m WHERE k = 50").head.getDouble(0) == 500.0)
+    // refusals: unknown procedure; governed-only procedure on an
+    // ungoverned catalog
+    // Spark wraps the catalog's refusal in FAILED_TO_LOAD_ROUTINE
+    assert(intercept[Exception] {
+      spark.sql(s"CALL $c.system.no_such_proc(1)").collect()
+    }.getMessage.contains("no_such_proc"))
+    assert(intercept[Exception] {
+      spark.sql(s"CALL $c.system.expire_log(1)").collect()
+    }.getMessage.contains("not log-governed"))
+  }
+
+  test("CALL procedures on a governed catalog: publish_branches flips tables atomically; expire_log prunes") {
+    val cat = "cgov" + java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+    val root = java.nio.file.Files.createTempDirectory(s"graft-cat-$cat").toString
+    val log = java.nio.file.Files.createTempDirectory(s"graft-cat-$cat-log").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.conf.set(s"spark.sql.catalog.$cat.commitlog", log)
+    spark.sql(s"CREATE NAMESPACE $cat.dw")
+    spark.sql(s"CREATE TABLE $cat.dw.a AS SELECT 1 AS x")
+    spark.sql(s"CREATE TABLE $cat.dw.b AS SELECT 10 AS y")
+    val st = new graft.io.SnapshotTables(spark, s"$root/dw")
+    // stage a coordinated restatement on per-table WAP branches
+    st.createBranch("a", "r1"); st.commitToBranch("a", "r1", Seq(2).toDF("x"))
+    st.createBranch("b", "r1"); st.commitToBranch("b", "r1", Seq(20).toDF("y"))
+    // staged content invisible to governed SQL readers
+    assert(spark.sql(s"SELECT x FROM $cat.dw.a").head.getInt(0) == 1)
+    val pub = spark.sql(s"CALL $cat.system.publish_branches('dw.a,dw.b', 'r1')").collect().toSeq
+    assert(pub.length == 1 && pub.head.getInt(0) >= 1)
+    // both flipped together
+    assert(spark.sql(s"SELECT x FROM $cat.dw.a").head.getInt(0) == 2)
+    assert(spark.sql(s"SELECT y FROM $cat.dw.b").head.getInt(0) == 20)
+    val lc = new graft.io.LakeCommits(spark, log)
+    val before = lc.log.length
+    spark.sql(s"CALL $cat.system.expire_log(1)").collect()
+    assert(lc.log.length == 1 && before >= 1)
+    // head still resolves both tables
+    assert(spark.sql(s"SELECT x FROM $cat.dw.a").head.getInt(0) == 2)
+  }
 }
