@@ -256,8 +256,18 @@ object Dedup {
     * corpus². Then codegen'd `levenshtein` on each pair and a
     * normalized similarity 1 − dist/max(len); everything is Spark
     * built-ins, no UDF. Output: (a, b, dist, sim) for pairs at or
-    * above `minSim`, totally ordered. At scale, shrink `lenBucket` or
-    * pre-cap block sizes exactly like the LSH hot-bucket cap. */
+    * above `minSim`, totally ordered.
+    *
+    * `maxBlockSize` is the scale guard (the LSH hot-bucket cap's
+    * sibling, proven necessary by the 10× scale smoke: block pair
+    * counts grow quadratically in block size, and levenshtein is the
+    * most expensive verifier in the engine): (lang, length-bucket)
+    * blocks above the cap are DROPPED whole before the join — a block
+    * that large means thousands of same-language same-length docs,
+    * which the cheap LSH/minhash passes already cover; this verifier
+    * exists for the small candidate tail. Hot blocks are rare by
+    * definition ⇒ tiny broadcast anti-join, same shape as
+    * [[lshCandidatePairs]]'s cap. */
   def editDistancePairs(
       df: DataFrame,
       idCol: String,
@@ -265,11 +275,20 @@ object Dedup {
       langCol: String,
       lenCol: String,
       lenBucket: Int = 25,
-      minSim: Double = 0.5
+      minSim: Double = 0.5,
+      maxBlockSize: Option[Int] = None
   ): DataFrame = {
     require(lenBucket >= 1, "lenBucket must be positive")
-    val base = df.select(col(idCol).as("eid"), col(textCol).as("etxt"),
+    val all = df.select(col(idCol).as("eid"), col(textCol).as("etxt"),
       col(langCol).as("elang"), (col(lenCol) / lenBucket).cast("long").as("eblk"))
+    val base = maxBlockSize match {
+      case Some(cap) =>
+        val hot = all.groupBy(col("elang"), col("eblk"))
+          .agg(count(lit(1)).as("__bn")).filter(col("__bn") > cap)
+          .select(col("elang"), col("eblk"))
+        all.join(broadcast(hot), Seq("elang", "eblk"), "left_anti")
+      case None => all
+    }
     val l = base.select(col("eid").as("a"), col("etxt").as("a_txt"),
       col("elang").as("lang"), col("eblk").as("blk"))
     val r = base.select(col("eid").as("b"), col("etxt").as("b_txt"),

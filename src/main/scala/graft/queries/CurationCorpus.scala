@@ -660,15 +660,25 @@ object CurationCorpus {
       FROM d ORDER BY doc_id""")
   )
 
-  /** Spark 4 native recursive CTE: transitive closure of the LSH
-    * candidate-pair graph in pure SQL (`WITH RECURSIVE`). Edges always
-    * point id-upward (a < b), so the recursion is over a DAG and every
-    * path strictly lengthens — UNION ALL terminates (Spark does not yet
-    * support UNION-distinct recursion); the outer DISTINCT collapses
-    * per-path duplicates. DuckDB's oracle recursion uses UNION, which
-    * is the same set. The operator-level twin is Dedup.nearDupClusters
-    * (q71, label propagation); this row pins the SQL-surface capability
-    * itself. */
+  /** Spark 4 native recursive CTE (`WITH RECURSIVE`), kept to the
+    * workload shape recursion is FOR at scale: a BOUNDED-DEPTH walk
+    * over a SPARSE graph. Two explicit bounds, both proven necessary
+    * by the 10× scale smoke:
+    *  - sparsify the LSH pair graph to each node's MINIMUM successor
+    *    (`GROUP BY a → MIN(b)`): out-degree ≤ 1, so UNION ALL
+    *    enumerates each reachable pair once and rows stay LINEAR
+    *    (the dense graph blew Spark's recursion ROW limit —
+    *    combinatorial path counts in near-dup cliques; Spark doesn't
+    *    support UNION-distinct recursion yet, and dense-graph closure
+    *    belongs to Dedup.nearDupClusters/q71, whose per-iteration
+    *    dedup IS the semi-naive evaluation SQL can't yet express);
+    *  - carry an explicit hop counter and stop the recursive term at
+    *    10 hops, so the recursion EXHAUSTS instead of tripping the
+    *    engine's depth limit on long chains (the sparse walk blew the
+    *    LEVEL limit at 10× — replica clusters chain hundreds deep).
+    * "Reachable within k hops" is well-defined at any scale — the org-
+    * chart/BOM shape recursive SQL exists for. DuckDB replays the
+    * identical sparsify + bounded walk. */
   private val q93 = Q(
     "q93_recursive_closure",
     (s, dir) => {
@@ -676,17 +686,22 @@ object CurationCorpus {
       // the view per iteration, and an unmaterialized view would re-run
       // the whole LSH pipeline (scan → minhash → bucket join) each step
       Dedup.lshCandidatePairs(fixture(s, dir, "documents"), "doc_id", "text", numHashes = 8, bands = 4)
+        .groupBy(col("a")).agg(min(col("b")).as("b"))
         .localCheckpoint(true)
-        .createOrReplaceTempView("graft_q93_pairs")
-      s.sql("""WITH RECURSIVE reach(a, b) AS (
-          SELECT a, b FROM graft_q93_pairs
+        .createOrReplaceTempView("graft_q93_edges")
+      s.sql("""WITH RECURSIVE reach(a, b, depth) AS (
+          SELECT a, b, 1 FROM graft_q93_edges
           UNION ALL
-          SELECT r.a, p.b FROM reach r JOIN graft_q93_pairs p ON r.b = p.a)
-        SELECT DISTINCT a, b FROM reach ORDER BY a, b""")
+          SELECT r.a, p.b, r.depth + 1
+          FROM reach r JOIN graft_q93_edges p ON r.b = p.a
+          WHERE r.depth < 10)
+        SELECT a, b FROM reach ORDER BY a, b""")
     },
     Some(s"""WITH RECURSIVE ${ExtensionCorpus.sqlLshPairCtes},
-      reach AS (SELECT a, b FROM pairs
-        UNION SELECT r.a, p.b FROM reach r JOIN pairs p ON r.b = p.a)
+      edges AS (SELECT a, MIN(b) AS b FROM pairs GROUP BY a),
+      reach(a, b, depth) AS (SELECT a, b, 1 FROM edges
+        UNION ALL SELECT r.a, p.b, r.depth + 1
+        FROM reach r JOIN edges p ON r.b = p.a WHERE r.depth < 10)
       SELECT a, b FROM reach ORDER BY a, b""")
   )
 

@@ -174,4 +174,27 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.editDistancePairs(docs, "doc_id", "text", "lang", "n_chars",
       lenBucket = 10, minSim = 0.95).count() == 0)
   }
+
+  test("editDistancePairs maxBlockSize drops hot blocks whole; small blocks untouched") {
+    // en/[20,30) block has 4 members (6 pairs); en/[30,40) has 2
+    val docs = Seq(
+      (1L, "the quick brown fox jumps", "en", 25L),
+      (2L, "the quick brown fox jumped", "en", 26L),
+      (3L, "the quick brown fox jumpes", "en", 26L),
+      (4L, "the quick brown fox iumps!", "en", 26L),
+      (5L, "completely different words here", "en", 31L),
+      (6L, "completely different words herd", "en", 31L)
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    def pairs(cap: Option[Int]) =
+      Dedup.editDistancePairs(docs, "doc_id", "text", "lang", "n_chars",
+        lenBucket = 10, minSim = 0.0, maxBlockSize = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(None).size == 7) // 6 + 1
+    // cap 3: the 4-member hot block is dropped WHOLE, the pair from the
+    // small block survives — pair count collapses from quadratic to the
+    // candidate tail, the exact trade the LSH hot-bucket cap makes
+    assert(pairs(Some(3)) == Set((5L, 6L)))
+    // cap at the block size: nothing dropped
+    assert(pairs(Some(4)).size == 7)
+  }
 }
