@@ -294,4 +294,33 @@ class PlanQualitySpec extends SparkSpec {
     val plan = Conform(df, spec).queryExecution.executedPlan.toString
     assert("Project".r.findAllIn(plan).length <= 1)
   }
+
+  test("graft_table_changes plans a keyed join over two version-pinned scans — no BNLJ, no driver rows") {
+    val cat = "pq" + java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+    val root = java.nio.file.Files.createTempDirectory(s"graft-plan-$cat").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE NAMESPACE $cat.dw")
+    spark.sql(s"CREATE TABLE $cat.dw.t AS SELECT id AS k, id * 2 AS v FROM range(1000)")
+    spark.sql(s"UPDATE $cat.dw.t SET v = v + 1 WHERE k < 10")
+    val df = spark.sql(s"SELECT * FROM graft_table_changes('$cat.dw.t', 1, 2, 'k')")
+    val plan = finalPlan(df)
+    // the keyed diff is a distributed full-outer join of the two
+    // version snapshots — never a nested-loop and never a local scan
+    // of collected rows
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("FullOuter"), plan)
+    assert("Scan parquet".r.findAllIn(plan).length == 2, plan)
+  }
+
+  test("SHOW PROCEDURES lists the catalog's maintenance surface") {
+    val cat = "ps" + java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+    val root = java.nio.file.Files.createTempDirectory(s"graft-plan-$cat").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val out = spark.sql(s"SHOW PROCEDURES IN $cat.system")
+    val nameCol = out.columns.indexWhere(_.contains("procedure"))
+    val names = out.collect().map(_.getString(nameCol)).toSet
+    assert(names == Set("rollback", "fast_forward", "optimize", "expire_log", "publish_branches"))
+  }
 }
