@@ -94,6 +94,22 @@ object Similarity {
     * threshold 0.4 (see SimilaritySpec's tuned-params floor: bits=3 /
     * tables=8 reaches 86-95% on the same data) — production callers
     * pick both knobs from n and the recall target. */
+  /** The SIZING REQUIREMENT as code: the bit width that holds expected
+    * LSH bucket occupancy at ~`targetPerBucket` rows for an `n`-row
+    * corpus — `ceil(log2(n / targetPerBucket))`, floored at 1 (2
+    * buckets), capped at 30. Under this rule candidate volume per
+    * table is ~n·targetPerBucket/2 — LINEAR in n — instead of the
+    * quadratic n²/2^bits a fixed width degrades to (the round-11 10×
+    * scale smoke measured exactly that super-linear growth on the
+    * fixed-bits self-joins). Feed the result to any `bits` parameter
+    * in this object; buy recall back with `tables`, never with fewer
+    * bits. */
+  def bitsFor(n: Long, targetPerBucket: Long = 10000L): Int = {
+    require(n > 0 && targetPerBucket > 0, "bitsFor needs positive sizes")
+    val ratio = math.max(1.0, n.toDouble / targetPerBucket)
+    math.min(30, math.max(1, math.ceil(math.log(ratio) / math.log(2.0)).toInt))
+  }
+
   def nearDupPairsLsh(
       corpus: DataFrame,
       idCol: String,

@@ -434,4 +434,21 @@ class SimilaritySpec extends SparkSpec {
         .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq)).toSeq
     assert(flat(again) == flat(trained))
   }
+
+  test("bitsFor holds bucket occupancy as the corpus scales (linear candidate volume)") {
+    import Similarity.bitsFor
+    // occupancy n/2^bits never exceeds the target (within the cap)
+    for (n <- Seq(1L, 100L, 10000L, 1000000L, 100000000L, 10000000000L)) {
+      val b = bitsFor(n, targetPerBucket = 10000L)
+      assert(b >= 1 && b <= 30)
+      if (b < 30) assert(n.toDouble / math.pow(2, b) <= 10000.0, s"n=$n bits=$b")
+    }
+    // 10x the corpus adds the ~log2(10)≈3.3 bits that keep occupancy
+    // flat — the invariant the fixed-bits scale smoke violated
+    assert(bitsFor(10000000L) - bitsFor(1000000L) == 3) // ceil(log2 1000)-ceil(log2 100)
+    // doc example: n=1e9 at 1e4/bucket needs ~17 bits
+    assert(bitsFor(1000000000L) == 17)
+    // tiny corpora floor at 1 bit; huge ones cap at 30
+    assert(bitsFor(5L) == 1 && bitsFor(Long.MaxValue / 2) == 30)
+  }
 }
