@@ -449,6 +449,48 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(e.getCondition != null && e.getCondition.contains("TABLE_OR_VIEW_NOT_FOUND"))
   }
 
+  test("<table>.history under retention: expired versions drop off; head stays current") {
+    val c = newCatalog()
+    // retention=2: current + 2 predecessors retained
+    spark.conf.set(s"spark.sql.catalog.$c.retention", "2")
+    spark.sql(s"CREATE NAMESPACE $c.dw")
+    spark.sql(s"CREATE TABLE $c.dw.r AS SELECT 1 AS x") // v1
+    (2 to 5).foreach(i => spark.sql(s"INSERT INTO $c.dw.r VALUES ($i)")) // v2..v5
+    val hist = spark.sql(s"SELECT version, is_current FROM $c.dw.r.history ORDER BY version")
+      .collect().map(r => (r.getInt(0), r.getBoolean(1))).toSeq
+    assert(hist == Seq((3, false), (4, false), (5, true)))
+    // expired versions are gone from time travel too — history and
+    // VERSION AS OF agree on what is reachable
+    assert(intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"SELECT * FROM $c.dw.r VERSION AS OF 1").collect()
+    }.getMessage.nonEmpty)
+    assert(spark.sql(s"SELECT count(*) FROM $c.dw.r VERSION AS OF 3").head.getLong(0) == 3L)
+  }
+
+  test("graft_table_changes: multiset and keyed forms agree (delta accounting)") {
+    val c = newCatalog()
+    spark.sql(s"CREATE NAMESPACE $c.dw")
+    spark.sql(s"CREATE TABLE $c.dw.acc AS SELECT id AS k, id * 3 AS v FROM range(50)") // v1
+    spark.sql(s"UPDATE $c.dw.acc SET v = -1 WHERE k % 7 = 0") // v2: 8 updates
+    spark.sql(s"DELETE FROM $c.dw.acc WHERE k >= 40") // v3: 10 deletes (incl. k=42,49 updated)
+    spark.sql(s"INSERT INTO $c.dw.acc SELECT id + 100, id FROM range(5)") // v4: 5 inserts
+    val keyed = spark.sql(
+      s"SELECT _change_type, count(*) AS n FROM graft_table_changes('$c.dw.acc', 1, 4, 'k') GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val multi = spark.sql(
+      s"SELECT _change_type, count(*) AS n FROM graft_table_changes('$c.dw.acc', 1, 4) GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // keyed: 6 updates survive (k=0,7,14,21,28,35; 42/49 were deleted)
+    assert(keyed == Map("update" -> 6L, "delete" -> 10L, "insert" -> 5L))
+    // multiset counts an update as delete+insert
+    assert(multi("insert") == keyed("insert") + keyed("update"))
+    assert(multi("delete") == keyed("delete") + keyed("update"))
+    // and both agree with the actual row-count delta between versions
+    val n1 = spark.sql(s"SELECT count(*) FROM $c.dw.acc VERSION AS OF 1").head.getLong(0)
+    val n4 = spark.sql(s"SELECT count(*) FROM $c.dw.acc VERSION AS OF 4").head.getLong(0)
+    assert(multi("insert") - multi("delete") == n4 - n1)
+  }
+
   test("graft_table_changes: version-to-version CDC via pure SQL, keyed and multiset") {
     val c = newCatalog()
     spark.sql(s"CREATE NAMESPACE $c.dw")
