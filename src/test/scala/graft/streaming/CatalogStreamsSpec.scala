@@ -70,6 +70,18 @@ class CatalogStreamsSpec extends SparkSpec {
         s"""SELECT count(*) FROM $cat.dw.events_latest e
             JOIN $cat.dw.events_latest VERSION AS OF 1 v ON e.k = v.k""")
         .head.getLong(0) == 2L)
+      // the WHOLE catalog surface composes over the streamed table,
+      // mid-stream: DESCRIBE HISTORY sees one version per committed
+      // batch (3: two live + one replayed-content commit) ...
+      assert(spark.sql(s"SELECT version, is_current FROM $cat.dw.events_latest.history ORDER BY version")
+        .collect().map(r => (r.getInt(0), r.getBoolean(1))).toSeq ==
+        Seq((1, false), (2, false), (3, true)))
+      // ... and the CDC table function reads the changelog BETWEEN
+      // micro-batch commits: batch 2 = one update (key 1) + one insert
+      assert(spark.sql(
+        s"""SELECT k, _change_type FROM graft_table_changes('$cat.dw.events_latest', 1, 2, 'k')
+            ORDER BY k""").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((1L, "update"), (3L, "insert")))
     } finally q.stop()
   }
 
