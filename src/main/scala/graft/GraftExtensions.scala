@@ -28,9 +28,11 @@ import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, Expression
   *  - `graft_token_count(text) -> int`
   *  - `graft_stopword_ratio(text) -> double`
   *
-  * Registered TABLE function: `graft_table_changes('cat.ns.t', from,
+  * Registered TABLE functions: `graft_table_changes('cat.ns.t', from,
   * to[, 'k1,k2'])` — version-to-version CDC over snapshot-catalog
-  * tables ([[graft.plans.TableChanges]]).
+  * tables ([[graft.plans.TableChanges]]) — and
+  * `graft_table_manifest('cat.ns.t')` — the per-file stats manifest as
+  * a relation ([[graft.plans.TableManifest]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def normExpr(v: Expression): Expression = Sqrt(VecDot(v, v))
@@ -57,6 +59,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_table_changes"),
       new ExpressionInfo(graft.plans.TableChanges.getClass.getName, "graft_table_changes"),
       (children: Seq[Expression]) => graft.plans.TableChanges.plan(children)
+    ))
+    // per-file stats manifest as a relation:
+    // SELECT * FROM graft_table_manifest('cat.ns.t')
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_table_manifest"),
+      new ExpressionInfo(graft.plans.TableManifest.getClass.getName, "graft_table_manifest"),
+      (children: Seq[Expression]) => graft.plans.TableManifest.plan(children)
     ))
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),

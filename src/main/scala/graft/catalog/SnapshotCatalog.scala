@@ -116,14 +116,20 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces with StagingT
   override def loadTable(ident: Identifier): Table = {
     val st = tablesFor(ident.namespace)
     if (!st.tableExists(ident.name)) {
-      // `ns.t.history` — the DESCRIBE-HISTORY metadata table (Iceberg's
-      // shape). Only reachable when no real table shadows the name and
-      // the parent `ns.t` IS a snapshot table.
-      if (ident.name == HistoryMetadataTable.Name && ident.namespace.nonEmpty) {
+      // `ns.t.history` / `ns.t.refs` — metadata tables (Iceberg's
+      // shapes). Only reachable when no real table shadows the name
+      // and the parent `ns.t` IS a snapshot table.
+      val isMeta = ident.name == HistoryMetadataTable.Name || ident.name == RefsMetadataTable.Name
+      if (isMeta && ident.namespace.nonEmpty) {
         val parentSt = tablesFor(ident.namespace.init)
         val parent = ident.namespace.last
-        if (parentSt.tableExists(parent))
-          return new HistoryMetadataTable(fullName(ident), parentSt, parent)
+        if (parentSt.tableExists(parent)) {
+          val meta: Table =
+            if (ident.name == HistoryMetadataTable.Name)
+              new HistoryMetadataTable(fullName(ident), parentSt, parent)
+            else new RefsMetadataTable(fullName(ident), parentSt, parent)
+          return meta
+        }
       }
       throw new NoSuchTableException(ident)
     }

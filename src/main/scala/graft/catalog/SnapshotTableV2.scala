@@ -291,3 +291,48 @@ private[catalog] object HistoryMetadataTable {
   /** The reserved metadata-table suffix. */
   val Name = "history"
 }
+
+/** The `<cat>.<ns>.<table>.refs` METADATA table — Iceberg's refs
+  * relation: one row per live WAP branch with the main version it
+  * forked from and how many commits it carries (0 = zero-copy fork
+  * still reading its base). Same resolution and sizing rules as
+  * [[HistoryMetadataTable]]: real tables shadow the name, rows are
+  * driver-materialized at scan build (branch count is
+  * operator-bounded metadata). */
+private[catalog] final class RefsMetadataTable(
+    fullName: String,
+    st: SnapshotTables,
+    table: String
+) extends Table with SupportsRead {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def name(): String = fullName
+  override def schema(): StructType = RefsMetadataTable.Schema
+
+  override def capabilities(): util.Set[TableCapability] = {
+    val s = new util.HashSet[TableCapability]()
+    s.add(TableCapability.BATCH_READ)
+    s
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        override def rows(): Array[InternalRow] =
+          st.branchRefs(table).map { case (branch, base, commits) =>
+            InternalRow(UTF8String.fromString(branch), base, commits)
+          }.toArray
+        override def readSchema(): StructType = RefsMetadataTable.Schema
+      }
+    }
+}
+
+private[catalog] object RefsMetadataTable {
+  import org.apache.spark.sql.types.IntegerType
+  val Schema: StructType = new StructType()
+    .add("branch", org.apache.spark.sql.types.StringType, nullable = false)
+    .add("base_version", IntegerType, nullable = false)
+    .add("branch_commits", IntegerType, nullable = false)
+
+  val Name = "refs"
+}

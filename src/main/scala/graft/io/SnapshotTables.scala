@@ -1097,6 +1097,30 @@ final class SnapshotTables(
     * use [[readPruned]] machinery for string range work. At a 100k-file
     * table this turns COUNT(*)/MIN/MAX from a table scan into a
     * manifest read. */
+  /** The raw per-file stats manifest of the CURRENT version — one row
+    * per (file, stats column): file, rows, column, min_num/max_num (or
+    * min_str/max_str), nulls, plus membership-sketch columns when the
+    * table commits with `sketchCols`. Iceberg's `files` metadata
+    * relation, as a plain distributed DataFrame (manifest-sized —
+    * metadata rows, never data). SQL face:
+    * `graft_table_manifest('cat.ns.t')`. */
+  def manifest(table: String): DataFrame = {
+    val v = currentVersion(table)
+    val mp = manifestPath(table, v)
+    require(fs(mp).exists(mp),
+      s"table $table v$v has no stats manifest — commit with statsCols/sketchCols first")
+    spark.read.parquet(mp.toString)
+  }
+
+  /** (branch, forked-from main version, branch commits) for every live
+    * branch — the data behind the `<table>.refs` metadata table
+    * (Iceberg's refs relation). Branch count is operator-bounded;
+    * driver-sized by construction. */
+  def branchRefs(table: String): Seq[(String, Int, Int)] =
+    branches(table).map { b =>
+      (b, branchBase(table, b), branchTables(table).currentVersion(b))
+    }
+
   def manifestAgg(table: String, columns: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
     require(columns.nonEmpty, "manifestAgg needs at least one column")

@@ -68,3 +68,27 @@ object TableChanges {
     df.withColumnRenamed("__change", "_change_type").queryExecution.analyzed
   }
 }
+
+/** `graft_table_manifest('cat.ns.t')` — the current version's per-file
+  * stats manifest as a SQL relation (Iceberg's `files` metadata table):
+  * one row per (file, stats column) with row counts, min/max bounds and
+  * null counts, plus membership-sketch columns when committed with
+  * `sketchCols`. The plan is a plain distributed scan of the
+  * manifest parquet ([[graft.io.SnapshotTables.manifest]]) —
+  * manifest-sized metadata, never data. Registered by
+  * [[graft.GraftExtensions]]. */
+object TableManifest {
+
+  def plan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 1,
+      s"graft_table_manifest(table) takes exactly 1 argument, got ${args.length}")
+    val qualified = args.head match {
+      case l: Literal if l.dataType == StringType && l.value != null => l.value.toString
+      case other => throw new IllegalArgumentException(
+        s"graft_table_manifest: table must be a string literal, got $other")
+    }
+    val spark = SparkSession.active
+    val (st, table) = graft.catalog.CatalogTables.resolveSnapshot(spark, qualified)
+    st.manifest(table).queryExecution.analyzed
+  }
+}

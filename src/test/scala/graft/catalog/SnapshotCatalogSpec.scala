@@ -523,6 +523,44 @@ class SnapshotCatalogSpec extends SparkSpec {
     }.getMessage.contains("3-level"))
   }
 
+  test("<table>.refs metadata table and graft_table_manifest: branch and file-stats relations via SQL") {
+    val c = newCatalog()
+    spark.sql(s"CREATE NAMESPACE $c.dw")
+    spark.sql(s"CREATE TABLE $c.dw.f AS SELECT id AS k, id * 2 AS v FROM range(100)")
+    val st = new graft.io.SnapshotTables(spark,
+      spark.conf.get(s"spark.sql.catalog.$c.root") + "/dw")
+    // no branches yet -> empty refs
+    assert(spark.sql(s"SELECT * FROM $c.dw.f.refs").count() == 0L)
+    st.createBranch("f", "audit")
+    st.commitToBranch("f", "audit", Seq((999L, 0L)).toDF("k", "v"))
+    st.createBranch("f", "wip")
+    assert(spark.sql(s"SELECT branch, base_version, branch_commits FROM $c.dw.f.refs ORDER BY branch")
+      .collect().toSeq == Seq(Row("audit", 1, 1), Row("wip", 1, 0)))
+    // manifest relation: commit with stats, then query per-file bounds
+    // through pure SQL — min/max/rows per (file, column)
+    st.overwriteTable(
+      graft.io.Sinks.zorderCluster(spark.range(1000).selectExpr("id AS k", "id * 2 AS v"),
+        Seq("k"), numFiles = 4),
+      "f", Nil, statsCols = Seq("k"))
+    val m = spark.sql(
+      s"""SELECT count(DISTINCT file) AS files, sum(rows) AS total_rows,
+             min(min_num) AS lo, max(max_num) AS hi
+          FROM graft_table_manifest('$c.dw.f') WHERE column = 'k'""").head
+    assert(m.getLong(0) == 4L && m.getLong(1) == 1000L && m.getDouble(2) == 0.0 && m.getDouble(3) == 999.0)
+    // z-ordered files carry DISJOINT k ranges — the file-skipping story
+    // is SQL-auditable (sum of per-file spans ~= total span, no overlap)
+    val spans = spark.sql(
+      s"""SELECT min_num, max_num FROM graft_table_manifest('$c.dw.f')
+          WHERE column = 'k' ORDER BY min_num""").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(spans.sliding(2).forall(w => w.length < 2 || w(0)._2 < w(1)._1))
+    // manifest-less table refuses loudly
+    spark.sql(s"CREATE TABLE $c.dw.nostats AS SELECT 1 AS x")
+    assert(intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_table_manifest('$c.dw.nostats')").collect()
+    }.getMessage.contains("no stats manifest"))
+  }
+
   test("CALL procedures: rollback, optimize, fast_forward (Iceberg maintenance shape)") {
     val c = newCatalog()
     spark.sql(s"CREATE NAMESPACE $c.dw")
