@@ -1823,10 +1823,53 @@ object ExtensionCorpus {
       ORDER BY o_orderkey""")
   )
 
+  /** The manifest SQL relation end-to-end, oracle-pinned: commit
+    * lineitem z-order-clustered with a two-column stats manifest, then
+    * aggregate `graft_table_manifest` — per-column row totals, global
+    * min/max bounds and null counts recomputed by DuckDB from the RAW
+    * parquet. A hash match pins that the footer-harvested stats layer
+    * tells the truth (sums of per-file rows == table rows; the hull of
+    * per-file bounds == the true bounds) — the property every pruned
+    * read (q102/q113) silently relies on, here asserted cross-engine
+    * through the pure-SQL face. Per-FILE rows are deliberately not
+    * oracled (file splits are an engine artifact); the disjoint-span
+    * half lives in the spec twin (SnapshotCatalogSpec). */
+  private val q132 = Q(
+    "q132_manifest_relation_sql",
+    (s, dir) => {
+      val cat = tempCatalog(s)
+      val root = s.conf.get(s"spark.sql.catalog.$cat.root")
+      val st = new graft.io.SnapshotTables(s, s"$root/dw")
+      val li = fixture(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      st.overwriteTable(
+        graft.io.Sinks.zorderCluster(li, Seq("l_orderkey", "l_partkey"), numFiles = 16),
+        "li_m", Nil, statsCols = Seq("l_orderkey", "l_partkey"))
+      s.sql(s"""SELECT column,
+                  SUM(rows) AS n_rows,
+                  CAST(MIN(min_num) AS DOUBLE) AS lo,
+                  CAST(MAX(max_num) AS DOUBLE) AS hi,
+                  SUM(nulls) AS n_nulls
+                FROM graft_table_manifest('$cat.dw.li_m')
+                GROUP BY column ORDER BY column""")
+    },
+    Some("""SELECT * FROM (
+        SELECT 'l_orderkey' AS "column", COUNT(*) AS n_rows,
+          CAST(MIN(l_orderkey) AS DOUBLE) AS lo, CAST(MAX(l_orderkey) AS DOUBLE) AS hi,
+          CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_partkey' AS "column", COUNT(*) AS n_rows,
+          CAST(MIN(l_partkey) AS DOUBLE) AS lo, CAST(MAX(l_partkey) AS DOUBLE) AS hi,
+          CAST(SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls
+        FROM lineitem)
+      ORDER BY "column"""")
+  )
+
   val all: Seq[Q] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q99, q100, q101, q102, q106, q107, q108,
     q109, q111, q112, q113, q114, q116, q117, q118, q119, q121, q122, q123, q125, q126, q127,
-    q128, q130, q131
+    q128, q130, q131, q132
   )
 }
