@@ -622,5 +622,9 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(lc.log.length == 1 && before >= 1)
     // head still resolves both tables
     assert(spark.sql(s"SELECT x FROM $cat.dw.a").head.getInt(0) == 2)
+    // mutating procedures publish through on governed catalogs too:
+    // rollback re-pins, so the governed SQL reader follows immediately
+    spark.sql(s"CALL $cat.system.rollback('dw.a', 1)").collect()
+    assert(spark.sql(s"SELECT x FROM $cat.dw.a").head.getInt(0) == 1)
   }
 }
