@@ -514,6 +514,12 @@ class SnapshotCatalogSpec extends SparkSpec {
     // sub-ranges follow the version line
     assert(spark.sql(s"SELECT k FROM graft_table_changes('$c.dw.cdc', 3, 4, 'k')")
       .head.getLong(0) == 9L)
+    // all-columns-keyed table (empty non-key struct): insert/delete
+    // classify normally, update is impossible by construction
+    spark.sql(s"CREATE TABLE $c.dw.konly AS SELECT id AS k FROM range(3)")
+    spark.sql(s"DELETE FROM $c.dw.konly WHERE k = 1")
+    assert(spark.sql(s"SELECT k, _change_type FROM graft_table_changes('$c.dw.konly', 1, 2, 'k')")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "delete")))
     // refusals: non-retained version and non-3-part names fail loudly
     assert(intercept[Exception] {
       spark.sql(s"SELECT * FROM graft_table_changes('$c.dw.cdc', 1, 99, 'k')").collect()
