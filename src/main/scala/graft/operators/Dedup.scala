@@ -245,8 +245,6 @@ object Dedup {
     maxHamming.map(h => pairs.filter(col("hamming") <= h)).getOrElse(pairs)
   }
 
-  /** Exact n-gram (token-set) Jaccard between paired docs. `pairs` must
-    * expose columns a, b (ids). Distinct-token semantics. */
   /** Edit-distance verification over BLOCKED candidate pairs — the
     * character-level verifier next to [[jaccard]]'s token-set one
     * (catches near-dups token methods miss: small in-word edits, OCR
@@ -307,6 +305,39 @@ object Dedup {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Edit-distance verification of an EXISTING candidate-pair set —
+    * the form the verifier takes in a production pipeline, where the
+    * pairs come from a cheap blocking pass (LSH collisions,
+    * [[sortedNeighborPairs]] survivors) rather than from re-blocking
+    * the corpus. Cost is exactly |pairs| levenshteins — linear in the
+    * candidate volume whatever the corpus size, which is the property
+    * the blocked form ([[editDistancePairs]]) can only approximate
+    * with its `maxBlockSize` guard. `pairs` must expose id columns
+    * a, b; output is (a, b, dist, max_len, sim) for pairs at or above
+    * `minSim`, totally ordered — the same contract as the blocked
+    * form, so the two compose with the same downstream banding. */
+  def editDistanceVerify(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      pairs: DataFrame,
+      minSim: Double = 0.0
+  ): DataFrame = {
+    val docs = df.select(col(idCol).as("vid"), col(textCol).as("vtxt"))
+    pairs
+      .select(col("a"), col("b"))
+      .join(docs.select(col("vid").as("a"), col("vtxt").as("a_txt")), Seq("a"))
+      .join(docs.select(col("vid").as("b"), col("vtxt").as("b_txt")), Seq("b"))
+      .withColumn("dist", levenshtein(col("a_txt"), col("b_txt")))
+      .withColumn("max_len", greatest(length(col("a_txt")), length(col("b_txt"))))
+      .withColumn("sim", round(lit(1.0) - col("dist") / col("max_len"), 6))
+      .filter(col("dist") <= (lit(1.0) - lit(minSim)) * col("max_len"))
+      .select(col("a"), col("b"), col("dist"), col("max_len"), col("sim"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** Exact n-gram (token-set) Jaccard between paired docs. `pairs` must
+    * expose columns a, b (ids). Distinct-token semantics. */
   def jaccard(df: DataFrame, idCol: String, textCol: String, pairs: DataFrame): DataFrame = {
     val docs = df.select(col(idCol).as("jid"), array_distinct(tokens(col(textCol))).as("toks"))
     pairs

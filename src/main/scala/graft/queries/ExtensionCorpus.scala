@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.functions.TextFunctions._
 import graft.operators.{Dedup, Multimodal, Similarity, TemporalJoins}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import Corpus.fixture
 
@@ -154,18 +155,20 @@ object ExtensionCorpus {
     * `sim(doc_id, simhash)` — shared by q33 and the sorted-neighborhood
     * oracle (q106) so the bit recomposition can never drift between
     * the two. */
-  private[queries] val sqlSimhashCtes: String = {
+  private[queries] def sqlSimhashCtesFor(rel: String): String = {
     val bitSums = (0 until 16)
       .map(b => s"SUM(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s_$b")
       .mkString(", ")
     val recompose = (0 until 16)
       .map(b => s"(CASE WHEN s_$b > 0 THEN ${1L << b} ELSE 0 END)")
       .mkString(" + ")
-    s"""w AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+    s"""w AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM $rel),
         h AS (SELECT doc_id, ${sqlHash32("w")} AS hv FROM w),
         s AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
         sim AS (SELECT doc_id, CAST($recompose AS BIGINT) AS simhash FROM s)"""
   }
+
+  private[queries] val sqlSimhashCtes: String = sqlSimhashCtesFor("documents")
 
   private val q33 = Q(
     "q33_simhash",
@@ -313,6 +316,47 @@ object ExtensionCorpus {
     headline = true
   )
 
+  // ---- adaptive LSH width for the vector SELF-JOIN entries ----
+  //
+  // Fixed `bits` makes every LSH self-join quietly quadratic (bucket
+  // occupancy n/2^bits grows linearly ⇒ candidate pairs n²/2^bits —
+  // the round-11 10× smoke measured exactly that on q40/q117/q123),
+  // so these entries size the width from the LIVE corpus count with
+  // Similarity.bitsFor. The generated DuckDB oracles must interpolate
+  // hyperplane literals for a CONCRETE width, and they only ever run
+  // at the driver's verify scale (sf0.01, 500 embeddings) — so they
+  // are generated for bitsFor(500, 32) = 4 and AdaptiveBitsSpec pins
+  // that coupling against the real fixture: if the fixture vintage
+  // ever changes size, the spec fails loudly instead of the hashes
+  // drifting silently. Serving-path entries (q39/q95/…) keep explicit
+  // widths: their cost is per-QUERY bucket occupancy, audited by their
+  // own recall/pruning specs.
+
+  /** Bucket-occupancy target for the self-join entries' width rule. */
+  private[queries] val VecTargetPerBucket = 32L
+
+  /** Embeddings row count at the driver's verify scale (sf0.01). */
+  private[queries] val VecOracleRows = 500L
+
+  /** The width the generated oracles are sized for: bitsFor(500,32)=4. */
+  private[queries] val vecOracleBits: Int =
+    Similarity.bitsFor(VecOracleRows, VecTargetPerBucket)
+
+  /** Live width: one metadata-cheap count, then the bitsFor rule. */
+  private def adaptiveVecBits(e: DataFrame): Int =
+    Similarity.bitsFor(e.count(), VecTargetPerBucket)
+
+  /** DuckDB rendering of Similarity's seeded sign-bit bucket at a given
+    * width (hyperplanes interpolated as literals, exactly as the Scala
+    * side computes them). */
+  private def sqlVecBucket(seed: Long, bits: Int): String = {
+    val planes = Similarity.hyperplanes(dim = 64, bits, seed)
+    (0 until bits).map { b =>
+      val proj = (0 until 64).map(i => s"emb[${i + 1}]*(${planes(b)(i)})").mkString(" + ")
+      s"(CASE WHEN ($proj) > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+  }
+
   /** Shared by q39 (direct lshTopK) and q95 (persisted-index serving):
     * both compute the same bits=4/dim=64/k=5 ANN answer, so one oracle
     * pins both. Same seeded hyperplanes as Similarity.lshTopK. */
@@ -367,21 +411,16 @@ object ExtensionCorpus {
     * then exact cosine re-score — never the n² cross join. */
   private val q40 = Q(
     "q40_embedding_near_dups",
-    (s, dir) =>
-      Similarity.nearDupPairsLsh(fixture(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.4, bits = 4, dim = 64, tables = 2),
+    (s, dir) => {
+      val e = fixture(s, dir, "embeddings")
+      Similarity.nearDupPairsLsh(e, "vec_id", "embedding",
+        threshold = 0.4, bits = adaptiveVecBits(e), dim = 64, tables = 2)
+    },
     Some {
-      def bucketSql(seed: Long): String = {
-        val planes = Similarity.hyperplanes(dim = 64, bits = 4, seed)
-        (0 until 4).map { b =>
-          val proj = (0 until 64).map(i => s"emb[${i + 1}]*(${planes(b)(i)})").mkString(" + ")
-          s"(CASE WHEN ($proj) > 0 THEN ${1L << b} ELSE 0 END)"
-        }.mkString(" + ")
-      }
       val tables = (0 until 2).map { t =>
         s"""SELECT l.vec_id AS a, r.vec_id AS b
-            FROM (SELECT vec_id, ${bucketSql(42L + t)} AS bkt FROM v) l
-            JOIN (SELECT vec_id, ${bucketSql(42L + t)} AS bkt FROM v) r
+            FROM (SELECT vec_id, ${sqlVecBucket(42L + t, vecOracleBits)} AS bkt FROM v) l
+            JOIN (SELECT vec_id, ${sqlVecBucket(42L + t, vecOracleBits)} AS bkt FROM v) r
               ON l.bkt = r.bkt AND l.vec_id < r.vec_id"""
       }.mkString("\n UNION \n")
       s"""WITH v AS ($sqlVecView),
@@ -400,21 +439,16 @@ object ExtensionCorpus {
     * hyperplane weights interpolated as literals exactly as q40 does. */
   private val q117 = Q(
     "q117_knn_join",
-    (s, dir) =>
-      Similarity.knnJoinLsh(fixture(s, dir, "embeddings"), "vec_id", "embedding",
-        k = 3, bits = 4, dim = 64, tables = 2),
+    (s, dir) => {
+      val e = fixture(s, dir, "embeddings")
+      Similarity.knnJoinLsh(e, "vec_id", "embedding",
+        k = 3, bits = adaptiveVecBits(e), dim = 64, tables = 2)
+    },
     Some {
-      def bucketSql(seed: Long): String = {
-        val planes = Similarity.hyperplanes(dim = 64, bits = 4, seed)
-        (0 until 4).map { b =>
-          val proj = (0 until 64).map(i => s"emb[${i + 1}]*(${planes(b)(i)})").mkString(" + ")
-          s"(CASE WHEN ($proj) > 0 THEN ${1L << b} ELSE 0 END)"
-        }.mkString(" + ")
-      }
       val tables = (0 until 2).map { t =>
         s"""SELECT l.vec_id AS a, r.vec_id AS b
-            FROM (SELECT vec_id, ${bucketSql(42L + t)} AS bkt FROM v) l
-            JOIN (SELECT vec_id, ${bucketSql(42L + t)} AS bkt FROM v) r
+            FROM (SELECT vec_id, ${sqlVecBucket(42L + t, vecOracleBits)} AS bkt FROM v) l
+            JOIN (SELECT vec_id, ${sqlVecBucket(42L + t, vecOracleBits)} AS bkt FROM v) r
               ON l.bkt = r.bkt AND l.vec_id < r.vec_id"""
       }.mkString("\n UNION \n")
       s"""WITH v AS ($sqlVecView),
@@ -436,21 +470,17 @@ object ExtensionCorpus {
     * whose score is already rounded to 6 dp). */
   private val q123 = Q(
     "q123_hard_negatives",
-    (s, dir) =>
-      Similarity.hardNegatives(fixture(s, dir, "embeddings"), "vec_id", "embedding",
-        negativesPerDoc = 3, dupThreshold = 0.3, fetchK = 10, bits = 4, dim = 64, tables = 2),
+    (s, dir) => {
+      val e = fixture(s, dir, "embeddings")
+      Similarity.hardNegatives(e, "vec_id", "embedding",
+        negativesPerDoc = 3, dupThreshold = 0.3, fetchK = 10,
+        bits = adaptiveVecBits(e), dim = 64, tables = 2)
+    },
     Some {
-      def bucketSql(seed: Long): String = {
-        val planes = Similarity.hyperplanes(dim = 64, bits = 4, seed)
-        (0 until 4).map { b =>
-          val proj = (0 until 64).map(i => s"emb[${i + 1}]*(${planes(b)(i)})").mkString(" + ")
-          s"(CASE WHEN ($proj) > 0 THEN ${1L << b} ELSE 0 END)"
-        }.mkString(" + ")
-      }
       val tables = (0 until 2).map { t =>
         s"""SELECT l.vec_id AS a, r.vec_id AS b
-            FROM (SELECT vec_id, ${bucketSql(42L + t)} AS bkt FROM v) l
-            JOIN (SELECT vec_id, ${bucketSql(42L + t)} AS bkt FROM v) r
+            FROM (SELECT vec_id, ${sqlVecBucket(42L + t, vecOracleBits)} AS bkt FROM v) l
+            JOIN (SELECT vec_id, ${sqlVecBucket(42L + t, vecOracleBits)} AS bkt FROM v) r
               ON l.bkt = r.bkt AND l.vec_id < r.vec_id"""
       }.mkString("\n UNION \n")
       s"""WITH v AS ($sqlVecView),
@@ -1738,18 +1768,26 @@ object ExtensionCorpus {
     * full pipeline (blocking join → distance → normalized similarity →
     * banding) replays verbatim; the result is the per-band histogram
     * of all 1.7k blocked pairs. */
+  /** Edit-distance verification composed the way it scales: the cheap
+    * sorted-neighborhood signature pass proposes candidates (|docs|·w
+    * pairs BY CONSTRUCTION), a hamming prefilter keeps the likely
+    * near-dups, and only the survivors pay a levenshtein — so the most
+    * expensive verifier in the engine does LINEAR work at every corpus
+    * size. (The round-11 10× smoke measured the previous corpus-sliced
+    * blocked form at Σ|block|² ⇒ ~34× linear cost; blocked
+    * editDistancePairs keeps its spec + maxBlockSize guard for the
+    * candidate-set-sized inputs it is for.) Scoped to one language
+    * slice as a per-language dedup pipeline would; the band histogram
+    * uses integer arithmetic so band edges can't drift cross-engine.
+    * The oracle replays the whole chain — simhash, block sort, window-3
+    * leads, hamming ≤ 2, levenshtein, banding — verbatim. */
   private val q130 = Q(
     "q130_edit_distance_verify",
     (s, dir) => {
-      // scoped to one language slice: this operator is a VERIFIER — in
-      // production it runs on LSH/blocked candidate sets, not a whole
-      // corpus; the slice keeps the corpus entry at verifier-sized
-      // pair counts at every SF while pinning the full pipeline
       val d = fixture(s, dir, "documents").filter(col("lang") === "fr")
-      graft.operators.Dedup.editDistancePairs(d, "doc_id", "text", "lang", "n_chars",
-          lenBucket = 10, minSim = 0.0)
-        // integer-exact banding: (max_len-dist)*10 DIV max_len — never
-        // float division, so the band边 edges can't drift cross-engine
+      val cand = graft.operators.Dedup.sortedNeighborPairs(d, "doc_id", "text",
+        window = 3, blockBits = 4, maxHamming = Some(2))
+      graft.operators.Dedup.editDistanceVerify(d, "doc_id", "text", cand, minSim = 0.0)
         .withColumn("sim_band", expr("CAST(((max_len - dist) * 10) DIV max_len AS INT)"))
         .groupBy(col("sim_band"))
         .agg(count(lit(1)).as("n_pairs"),
@@ -1758,19 +1796,28 @@ object ExtensionCorpus {
           sum(col("dist")).as("sum_dist"))
         .orderBy(col("sim_band"))
     },
-    Some("""WITH p AS (
-        SELECT a.doc_id AS a, b.doc_id AS b,
-          levenshtein(a.text, b.text) AS dist,
-          GREATEST(LENGTH(a.text), LENGTH(b.text)) AS max_len
-        FROM documents a JOIN documents b
-          ON a.lang = b.lang
-          AND CAST(FLOOR(a.n_chars / 10.0) AS BIGINT) = CAST(FLOOR(b.n_chars / 10.0) AS BIGINT)
-          AND a.doc_id < b.doc_id
-        WHERE a.lang = 'fr' AND b.lang = 'fr')
-      SELECT CAST(((max_len - dist) * 10) // max_len AS INTEGER) AS sim_band, COUNT(*) AS n_pairs,
-        CAST(MIN(dist) AS BIGINT) AS min_dist, CAST(MAX(dist) AS BIGINT) AS max_dist,
-        CAST(SUM(dist) AS BIGINT) AS sum_dist
-      FROM p GROUP BY 1 ORDER BY sim_band""")
+    Some {
+      val lead = (1 to 3).map(i =>
+        s"""SELECT doc_id AS l_id, simhash AS l_sig,
+            lead(doc_id, $i) OVER (PARTITION BY block ORDER BY simhash, doc_id) AS nb_id,
+            lead(simhash, $i) OVER (PARTITION BY block ORDER BY simhash, doc_id) AS nb_sig
+            FROM blk""").mkString(" UNION ALL ")
+      s"""WITH fr AS (SELECT * FROM documents WHERE lang = 'fr'),
+          ${sqlSimhashCtesFor("fr")},
+          blk AS (SELECT doc_id, simhash, CAST(simhash >> 12 AS INTEGER) AS block FROM sim),
+          nb AS ($lead),
+          p AS (SELECT LEAST(l_id, nb_id) AS a, GREATEST(l_id, nb_id) AS b,
+                  CAST(bit_count(xor(l_sig, nb_sig)) AS INTEGER) AS hamming
+                FROM nb WHERE nb_id IS NOT NULL),
+          c AS (SELECT a, b FROM p WHERE hamming <= 2),
+          v AS (SELECT c.a, c.b, levenshtein(da.text, db.text) AS dist,
+                  GREATEST(LENGTH(da.text), LENGTH(db.text)) AS max_len
+                FROM c JOIN fr da ON c.a = da.doc_id JOIN fr db ON c.b = db.doc_id)
+        SELECT CAST(((max_len - dist) * 10) // max_len AS INTEGER) AS sim_band, COUNT(*) AS n_pairs,
+          CAST(MIN(dist) AS BIGINT) AS min_dist, CAST(MAX(dist) AS BIGINT) AS max_dist,
+          CAST(SUM(dist) AS BIGINT) AS sum_dist
+        FROM v GROUP BY 1 ORDER BY sim_band"""
+    }
   )
 
   /** CDC through pure SQL end-to-end, oracle-pinned: CTAS an orders

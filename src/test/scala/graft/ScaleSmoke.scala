@@ -22,9 +22,10 @@ import java.nio.file.{Files, Paths}
   * ANN buckets spread rather than stack. Clearly synthetic — used for
   * TIMING/SCALING only, never correctness (oracles stay at sf0.01).
   *
-  * Usage: Test/runMain graft.ScaleSmoke [replicas] [budgetSec]
-  * Writes SCALE_r11.json (repo root): per-query seconds, ratio vs the
-  * committed BENCH_DETAIL.json sf0.1 COLD record, failed/skipped lists.
+  * Usage: Test/runMain graft.ScaleSmoke [replicas] [budgetSec] [outFile]
+  * Writes SCALE_r12.json (repo root) by default: per-query seconds,
+  * ratio vs the BENCH_DETAIL.json sf0.1 COLD record when present,
+  * failed/skipped lists.
   */
 object ScaleSmoke {
 
@@ -33,6 +34,7 @@ object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val replicas = args.lift(0).map(_.toInt).getOrElse(10)
     val budgetSec = args.lift(1).map(_.toLong).getOrElse(2700L)
+    val outFile = args.lift(2).getOrElse("SCALE_r12.json")
     val base = "/root/testdata/sf0.1"
     val out = s"/tmp/graft_scale_${replicas}x"
 
@@ -128,7 +130,7 @@ object ScaleSmoke {
         s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""skipped":${skipped.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""loadavg":[$la0,$la1],"budget_sec":$budgetSec}"""
-    Files.write(Paths.get("SCALE_r11.json"), json.getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get(outFile), json.getBytes(StandardCharsets.UTF_8))
     println(json)
     spark.stop()
   }

@@ -197,4 +197,30 @@ class DedupSpec extends SparkSpec {
     // cap at the block size: nothing dropped
     assert(pairs(Some(4)).size == 7)
   }
+
+  test("editDistanceVerify: pair-driven form agrees with the blocked form on its own candidates") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps", "en", 25L),
+      (2L, "the quick brown fox jumped", "en", 26L),
+      (3L, "the quick brown fox jumpes", "en", 26L),
+      (4L, "completely different words here", "en", 31L),
+      (5L, "completely different words herd", "en", 31L)
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    val blocked = Dedup.editDistancePairs(docs, "doc_id", "text", "lang", "n_chars",
+      lenBucket = 10, minSim = 0.0)
+    // feeding the blocked form's (a,b) candidates back through the
+    // pair-driven verifier reproduces its rows exactly — same
+    // dist/max_len/sim contract, so the two forms compose freely
+    val verified = Dedup.editDistanceVerify(docs, "doc_id", "text",
+      blocked.select(col("a"), col("b")), minSim = 0.0)
+    assert(verified.collect().toSeq == blocked.collect().toSeq)
+    // cost is |pairs|: an explicit candidate list is honored verbatim
+    val one = Dedup.editDistanceVerify(docs, "doc_id", "text",
+      Seq((1L, 4L)).toDF("a", "b"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(one.keySet == Set((1L, 4L)))
+    // minSim filter applies on the verified similarity
+    assert(Dedup.editDistanceVerify(docs, "doc_id", "text",
+      Seq((1L, 4L)).toDF("a", "b"), minSim = 0.9).count() == 0)
+  }
 }

@@ -37,6 +37,21 @@ class FixtureVintageSpec extends SparkSpec {
     assert(n > 0, "events.ts values should be post-epoch and literal-comparable")
   }
 
+  test("verify-scale embeddings count matches the width the vec oracles are generated for") {
+    // q40/q117/q123 size their LSH width from the LIVE corpus count
+    // (Similarity.bitsFor(n, VecTargetPerBucket)) while their DuckDB
+    // oracles interpolate hyperplane literals for the width at the
+    // driver's verify scale (sf0.01). This pin makes a fixture-size
+    // change fail HERE, by name, instead of as silent hash mismatches.
+    val n = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet").count()
+    assert(n == ExtensionCorpus.VecOracleRows,
+      s"sf0.01 embeddings has $n rows but the vec self-join oracles are generated for " +
+        s"${ExtensionCorpus.VecOracleRows} — update ExtensionCorpus.VecOracleRows (the " +
+        "oracle hyperplane literals re-derive automatically)")
+    assert(graft.operators.Similarity.bitsFor(n, ExtensionCorpus.VecTargetPerBucket)
+      == ExtensionCorpus.vecOracleBits)
+  }
+
   test("documents/embeddings carry the text and vector columns the corpus assumes") {
     val docs = Corpus.fixture(spark, sf(), "documents")
     assert(docs.schema("text").dataType == StringType)
