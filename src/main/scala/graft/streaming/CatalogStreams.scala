@@ -102,6 +102,33 @@ object CatalogStreams {
       afterCommit = publish)
   }
 
+  /** STREAMING CHANGE FEED on a catalog-qualified name — the READ side
+    * of the catalog streaming story ([[ChangeFeed]]): a streaming
+    * DataFrame tailing `cat.ns.t`'s commits, each micro-batch the
+    * row-level changes of the versions it covers (Delta-CDF shape:
+    * `_change_type`, `_commit_version`, `_commit_timestamp`). With
+    * `keys`, a keyed changelog (update = pre+post image); without, the
+    * multiset diff (update = delete+insert). On log-governed catalogs
+    * the feed follows the PUBLISHED head — it streams exactly what SQL
+    * readers see. `startingVersion`: None = only commits after stream
+    * start, Some(-1) = "earliest" (the retained line from its first
+    * version, opening with a full-snapshot insert batch), Some(v) =
+    * changes strictly after version v. */
+  def changeFeed(
+      spark: org.apache.spark.sql.SparkSession,
+      qualifiedTable: String,
+      keys: Seq[String] = Nil,
+      startingVersion: Option[Int] = None,
+      maxVersionsPerBatch: Option[Int] = None
+  ): DataFrame = {
+    var r = spark.readStream.format("graft-changes").option("table", qualifiedTable)
+    if (keys.nonEmpty) r = r.option("keys", keys.mkString(","))
+    startingVersion.foreach(v =>
+      r = r.option("startingVersion", if (v < 0) "earliest" else v.toString))
+    maxVersionsPerBatch.foreach(n => r = r.option("maxVersionsPerBatch", n.toString))
+    r.load()
+  }
+
   /** [[Streams.pqIndexUpsertSink]] against a catalog-qualified name. */
   def pqIndexUpsertSink(
       stream: DataFrame,

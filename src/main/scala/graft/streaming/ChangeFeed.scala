@@ -1,0 +1,284 @@
+package graft.streaming
+
+import graft.io.{LakeCommits, SnapshotTables}
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{IntegerType, StringType, StructType, TimestampType}
+
+/** STREAMING CHANGE FEED over a snapshot table — the read-side
+  * counterpart of the engine's streaming sinks and of the batch
+  * `graft_table_changes` SQL function: a Structured Streaming SOURCE
+  * that tails a table's commit line and emits each new version's
+  * row-level changes as a micro-batch (Delta CDF / Iceberg changelog
+  * shape — both public designs; the reference positions its tables as
+  * Iceberg-backed, readme.md:93-114, and an incremental consumer of
+  * those tables is exactly this affordance).
+  *
+  * Built on Spark's V1 [[Source]] API — the same contract
+  * `FileStreamSource` uses — so the stock micro-batch engine does ALL
+  * offset bookkeeping, checkpointing and recovery: an offset IS a
+  * snapshot version number, and `getBatch(v1, v2)` returns the union
+  * of per-step diffs for versions `v1+1 .. v2`. Version snapshots are
+  * immutable once committed, which is precisely the determinism
+  * replayed batches need for exactly-once delivery into any
+  * checkpointed sink.
+  *
+  * Output schema = the table's columns (source order) plus
+  *   `_change_type` STRING  — insert | delete | update_preimage |
+  *                            update_postimage (keyed mode; the
+  *                            multiset mode emits insert | delete only)
+  *   `_commit_version` INT  — the version whose commit produced the row
+  *   `_commit_timestamp` TS — that version's commit time (the same
+  *                            mtime clock `TIMESTAMP AS OF` uses)
+  *
+  * Each per-step diff is the diff's own DISTRIBUTED plan — two
+  * version-pinned parquet scans joined (keyed) or exceptAll'd
+  * (multiset); nothing is materialized on the driver, and a typical
+  * steady-state batch spans exactly one version.
+  *
+  * Options:
+  *   `table`  — 3-level catalog name (`cat.ns.t`) resolved through the
+  *              registered [[graft.catalog.SnapshotCatalog]]; on a
+  *              LOG-GOVERNED catalog the feed follows the PUBLISHED
+  *              head (what SQL readers see), not raw commits — a
+  *              staged-but-unpublished version streams only once the
+  *              lake publishes it.
+  *   `root` + `name` — direct [[SnapshotTables]] addressing for
+  *              non-catalog stores (the Streams-API parity mode).
+  *   `keys`   — comma-separated key columns ⇒ KEYED changelog (unique
+  *              keys per version, like `diffKeyed`): an update emits
+  *              both images. Absent ⇒ MULTISET diff (duplicate
+  *              multiplicity honest; an update surfaces as
+  *              delete+insert).
+  *   `startingVersion` — `"earliest"` (the whole retained line; the
+  *              first retained version streams as pure inserts), an
+  *              explicit version number (changes AFTER it), or the
+  *              default: the head at stream start (only new commits).
+  *   `maxVersionsPerBatch` — cap versions per micro-batch during
+  *              catch-up (the rate-limit knob; default unbounded).
+  *
+  * Failure modes are loud, never silent: a version needed for a diff
+  * that retention has expired fails the stream with a restart hint
+  * (Delta CDF on a vacuumed range does the same), and a mid-stream
+  * schema change fails rather than emitting rows that silently drop
+  * or null-fill columns. */
+object ChangeFeed {
+
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
+  val CommitTimestampCol = "_commit_timestamp"
+
+  /** Resolve the addressed table from source options: catalog mode
+    * (`table=cat.ns.t`, returning the catalog's lake when governed) or
+    * direct mode (`root=<dir>`, `name=<table>`). */
+  private[streaming] def resolve(spark: SparkSession, parameters: Map[String, String])
+      : (SnapshotTables, String, Option[LakeCommits]) =
+    (parameters.get("table"), parameters.get("root"), parameters.get("name")) match {
+      case (Some(q), None, None) =>
+        graft.catalog.CatalogTables.resolveSnapshotGoverned(spark, q)
+      case (None, Some(root), Some(name)) =>
+        (new SnapshotTables(spark, root), name, None)
+      case _ => throw new IllegalArgumentException(
+        "graft-changes needs either table=<catalog.ns.table> or root=<dir> with name=<table>")
+    }
+
+  /** The table's data schema as the feed pins it at stream start:
+    * current snapshot's read schema (hidden `__p_*` layout columns
+    * concealed, like every read), or the declared schema for a
+    * declared-but-empty table. */
+  private[streaming] def dataSchema(st: SnapshotTables, table: String): StructType =
+    if (st.currentVersion(table) > 0) st.read(table).schema
+    else st.declaredSchema(table).getOrElse(throw new IllegalArgumentException(
+      s"table '$table' does not exist (no committed version and no declared schema)"))
+
+  private[streaming] def feedSchema(data: StructType): StructType =
+    StructType(data.fields)
+      .add(ChangeTypeCol, StringType, nullable = false)
+      .add(CommitVersionCol, IntegerType, nullable = false)
+      .add(CommitTimestampCol, TimestampType, nullable = true)
+}
+
+/** `spark.readStream.format("graft-changes")` provider (registered via
+  * META-INF/services, so the short name resolves like any built-in). */
+final class ChangeFeedProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-changes"
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    require(schema.isEmpty, "graft-changes derives its schema from the table; don't supply one")
+    val (st, name, _) = ChangeFeed.resolve(sqlContext.sparkSession, parameters)
+    (s"graft-changes[$name]", ChangeFeed.feedSchema(ChangeFeed.dataSchema(st, name)))
+  }
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): Source =
+    new ChangeFeedSource(sqlContext.sparkSession, parameters)
+}
+
+private[streaming] final class ChangeFeedSource(
+    spark: SparkSession,
+    parameters: Map[String, String]
+) extends Source {
+  import ChangeFeed._
+  import org.apache.spark.sql.functions._
+
+  private val (st, table, lake) = ChangeFeed.resolve(spark, parameters)
+
+  private val keys: Seq[String] =
+    parameters.get("keys").map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+
+  private val maxVersionsPerBatch: Int =
+    parameters.get("maxVersionsPerBatch").map { s =>
+      val n = s.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"maxVersionsPerBatch must be a positive int, got '$s'"))
+      require(n > 0, s"maxVersionsPerBatch must be positive, got $n")
+      n
+    }.getOrElse(Int.MaxValue)
+
+  /** Head the feed follows: the PUBLISHED version on a log-governed
+    * catalog (read-what-SQL-reads), the raw commit line otherwise. */
+  private def headVersion: Int =
+    lake.flatMap(_.pinnedVersion(st, table)).getOrElse(st.currentVersion(table))
+
+  /** Version the feed starts AFTER (its changes are not emitted). */
+  private val startingVersion: Int = parameters.get("startingVersion") match {
+    case Some("earliest") => 0
+    case Some(s) =>
+      val v = s.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"startingVersion must be 'earliest' or a version number, got '$s'"))
+      require(v >= 0, s"startingVersion must be >= 0, got $v")
+      v
+    case None => headVersion
+  }
+
+  /** Pinned at stream start; a mid-stream schema change fails the feed
+    * loudly (silently dropping or null-filling columns would corrupt
+    * downstream consumers). */
+  private val pinnedData: StructType = ChangeFeed.dataSchema(st, table)
+  private val dataCols: Seq[String] = pinnedData.fields.map(_.name).toSeq
+  keys.foreach(k => require(dataCols.contains(k),
+    s"key column '$k' is not a column of '$table' (${dataCols.mkString(", ")})"))
+
+  /** Highest version this source has handed to the engine — the
+    * rate-limit floor. getBatch (including the post-restart replay of
+    * the last checkpointed batch) advances it, so catch-up paces from
+    * wherever the checkpoint actually is. */
+  @volatile private var lastEnd: Int = startingVersion
+
+  override def schema: StructType = feedSchema(pinnedData)
+
+  override def getOffset: Option[OffsetV1] = {
+    val head = headVersion
+    val capped = math.min(head.toLong, lastEnd.toLong + maxVersionsPerBatch).toInt
+    if (capped <= lastEnd) None else Some(LongOffset(capped.toLong))
+  }
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val fromV = start.map(versionOf).getOrElse(startingVersion)
+    val toV = versionOf(end)
+    lastEnd = math.max(lastEnd, math.max(fromV, toV))
+    val batch =
+      if (toV <= fromV) emptyFeed
+      else {
+        requireRetained(fromV, toV)
+        val times = st.versionHistory(table).toMap
+        (fromV + 1 to toV).map(v => stepChanges(v, times.get(v))).reduce(_ unionByName _)
+      }
+    // the engine asserts isStreaming on the returned plan
+    org.apache.spark.sql.GraftSqlBridge.asStreamingBatch(batch)
+  }
+
+  /** Fails with a restart hint if any version the range needs has been
+    * expired by retention. `fromV` itself is only needed as a diff
+    * base when it is a real version (v0 is the empty pre-history). */
+  private def requireRetained(fromV: Int, toV: Int): Unit = {
+    val retained = st.history(table).toSet
+    val needed = (if (fromV == 0) Nil else Seq(fromV)) ++ (fromV + 1 to toV)
+    val missing = needed.filterNot(retained.contains)
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"change feed on '$table' needs version(s) ${missing.mkString(", ")} which retention has " +
+        s"expired (retained: ${retained.toSeq.sorted.mkString(", ")}); restart the stream with " +
+        "startingVersion at a retained version, or raise previousVersionsMax on the table")
+  }
+
+  /** One version step's changes, as a distributed plan over the two
+    * pinned snapshots. */
+  private def stepChanges(v: Int, commitMillis: Option[Long]): DataFrame = {
+    val newDf = pinned(v)
+    val oldDf = if (v == 1) emptyData else pinned(v - 1)
+    val changes =
+      if (keys.isEmpty)
+        newDf.exceptAll(oldDf).withColumn(ChangeTypeCol, lit("insert"))
+          .unionByName(oldDf.exceptAll(newDf).withColumn(ChangeTypeCol, lit("delete")))
+      else keyedChanges(oldDf, newDf)
+    val ts = commitMillis
+      .map(m => lit(new java.sql.Timestamp(m)).cast(TimestampType))
+      .getOrElse(lit(null).cast(TimestampType))
+    changes
+      .withColumn(CommitVersionCol, lit(v))
+      .withColumn(CommitTimestampCol, ts)
+      .select(schema.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** Keyed (unique-key) changelog for one step: full-outer join on the
+    * keys, then each row explodes into 0 (unchanged), 1 (insert /
+    * delete) or 2 (update pre+post image) change rows. */
+  private def keyedChanges(oldDf: DataFrame, newDf: DataFrame): DataFrame = {
+    val rest = dataCols.filterNot(keys.contains)
+    def packed(df: DataFrame, as: String) =
+      df.select(keys.map(col) :+ struct(rest.map(col): _*).as(as): _*)
+    def ev(t: String, img: String) = struct(lit(t).as("t"), col(img).as("img"))
+    val restStruct = org.apache.spark.sql.types.StructType(rest.map(c => pinnedData(c)))
+    val evType = org.apache.spark.sql.types.ArrayType(new StructType()
+      .add("t", StringType, nullable = false).add("img", restStruct))
+    val joined = packed(oldDf, "__old").join(packed(newDf, "__new"), keys.toSeq, "full_outer")
+    val exploded = joined.select(
+      keys.map(col) :+ explode(
+        when(col("__old").isNull, array(ev("insert", "__new")))
+          .when(col("__new").isNull, array(ev("delete", "__old")))
+          .when(!(col("__old") <=> col("__new")),
+            array(ev("update_preimage", "__old"), ev("update_postimage", "__new")))
+          .otherwise(array().cast(evType))
+      ).as("__e"): _*)
+    exploded.select(dataCols.map(c =>
+      if (keys.contains(c)) col(c) else col(s"__e.img.`$c`").as(c))
+      :+ col("__e.t").as(ChangeTypeCol): _*)
+  }
+
+  /** Version-pinned scan in the feed's column order; refuses a
+    * schema-changed version rather than silently reshaping it. */
+  private def pinned(v: Int): DataFrame = {
+    val df = st.readVersion(table, v)
+    val have = df.columns.toSet
+    require(have == dataCols.toSet,
+      s"version $v of '$table' has columns {${df.columns.sorted.mkString(", ")}} but this feed " +
+        s"pinned {${dataCols.sorted.mkString(", ")}} at start — the schema changed mid-stream; " +
+        "restart the feed to pick up the new schema")
+    df.select(dataCols.map(col): _*)
+  }
+
+  private def emptyData: DataFrame =
+    spark.createDataFrame(java.util.Collections.emptyList[Row](), pinnedData)
+
+  private def emptyFeed: DataFrame =
+    spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+
+  private def versionOf(o: OffsetV1): Int = o match {
+    case l: LongOffset => l.offset.toInt
+    case other => other.json.trim.toInt
+  }
+
+  override def commit(end: OffsetV1): Unit = () // retention is the table's own policy
+
+  override def stop(): Unit = ()
+}

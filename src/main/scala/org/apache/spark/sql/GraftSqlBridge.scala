@@ -47,6 +47,21 @@ object GraftSqlBridge {
   def ofRows(s: SparkSession, plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(s.asInstanceOf[classic.SparkSession], plan)
 
+  /** Re-root a BATCH DataFrame as a STREAMING micro-batch plan: the
+    * micro-batch engine asserts `isStreaming=true` on whatever a V1
+    * [[org.apache.spark.sql.execution.streaming.Source.getBatch]]
+    * returns, and an arbitrary computed plan (a diff join, say) is a
+    * batch plan. The standard V1-source move is to hand the engine the
+    * frame's OWN execution RDD wrapped in a streaming-flagged
+    * `LogicalRDD` — `toRdd` is lazy, so nothing executes until the
+    * sink drives the batch; the computation stays fully distributed. */
+  def asStreamingBatch(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    ofRows(df.sparkSession,
+      org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+        ds.queryExecution.toRdd, ds, isStreaming = true))
+  }
+
   /** The loaded V2 catalog plugin registered under `name`
     * (`CatalogManager` is `private[sql]`) — lets the pipeline's
     * TableFormat write through the SAME SnapshotTables root the SQL
