@@ -477,7 +477,12 @@ object Curation {
       maxBroadcastRows: Long = 10000000L
   ): DataFrame = {
     val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("w"))
-    val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    // the vocab count table is read THREE times (broadcast gate, the
+    // total, the logprob join) — materialize the corpus-wide token agg
+    // ONCE as a localCheckpoint (vocab-sized, auto-reclaimed when the
+    // frame is GC'd) instead of re-running the explode+aggregate per
+    // consumer (the 10× scale smoke measured the recompute directly)
+    val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("cnt")).localCheckpoint()
     val total = vocab.agg(sum(col("cnt")).as("n_total"))
     val logp = vocab.crossJoin(broadcast(total))
       .select(col("w"),
@@ -514,7 +519,10 @@ object Curation {
       maxBroadcastRows: Long = 10000000L
   ): DataFrame = {
     val bg = df.select(col(idCol), explode(wordShingles(tokens(col(textCol)), 2)).as("bg"))
-    val cnt = bg.groupBy(col("bg")).agg(count(lit(1)).as("c"))
+    // same single-materialization move as [[unigramLogLoss]]: the
+    // bigram count table feeds the gate, the conditional totals AND
+    // the logprob join — checkpoint the corpus-wide aggregate once
+    val cnt = bg.groupBy(col("bg")).agg(count(lit(1)).as("c")).localCheckpoint()
     val underGate = cnt.count() <= maxBroadcastRows
     val tot = cnt.groupBy(substring_index(col("bg"), " ", 1).as("w1")).agg(sum(col("c")).as("tc"))
     val totSide = if (underGate) broadcast(tot) else tot

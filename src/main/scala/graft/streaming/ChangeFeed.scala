@@ -56,6 +56,10 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructType, Timestam
   *              first retained version streams as pure inserts), an
   *              explicit version number (changes AFTER it), or the
   *              default: the head at stream start (only new commits).
+  *   `startingTimestamp` — alternative to `startingVersion` (epoch
+  *              millis or `yyyy-MM-dd HH:mm:ss[.f]`): stream every
+  *              version committed AT or AFTER the timestamp, on the
+  *              same clock `TIMESTAMP AS OF` resolves against.
   *   `maxVersionsPerBatch` — cap versions per micro-batch during
   *              catch-up (the rate-limit knob; default unbounded).
   *
@@ -112,6 +116,8 @@ final class ChangeFeedProvider extends StreamSourceProvider with DataSourceRegis
       providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     require(schema.isEmpty, "graft-changes derives its schema from the table; don't supply one")
+    require(!(parameters.contains("startingVersion") && parameters.contains("startingTimestamp")),
+      "give startingVersion OR startingTimestamp, not both")
     val (st, name, _) = ChangeFeed.resolve(sqlContext.sparkSession, parameters)
     (s"graft-changes[$name]", ChangeFeed.feedSchema(ChangeFeed.dataSchema(st, name)))
   }
@@ -151,15 +157,29 @@ private[streaming] final class ChangeFeedSource(
     lake.flatMap(_.pinnedVersion(st, table)).getOrElse(st.currentVersion(table))
 
   /** Version the feed starts AFTER (its changes are not emitted). */
-  private val startingVersion: Int = parameters.get("startingVersion") match {
-    case Some("earliest") => 0
-    case Some(s) =>
-      val v = s.toIntOption.getOrElse(throw new IllegalArgumentException(
-        s"startingVersion must be 'earliest' or a version number, got '$s'"))
-      require(v >= 0, s"startingVersion must be >= 0, got $v")
-      v
-    case None => headVersion
-  }
+  private val startingVersion: Int =
+    (parameters.get("startingVersion"), parameters.get("startingTimestamp")) match {
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        "give startingVersion OR startingTimestamp, not both")
+      case (Some("earliest"), None) => 0
+      case (Some(s), None) =>
+        val v = s.toIntOption.getOrElse(throw new IllegalArgumentException(
+          s"startingVersion must be 'earliest' or a version number, got '$s'"))
+        require(v >= 0, s"startingVersion must be >= 0, got $v")
+        v
+      case (None, Some(ts)) =>
+        // Delta's startingTimestamp shape: stream every version whose
+        // commit time (the TIMESTAMP AS OF clock) is >= ts; a future
+        // ts simply means "only what comes next"
+        val millis = ts.toLongOption.getOrElse {
+          try java.sql.Timestamp.valueOf(ts).getTime
+          catch { case _: IllegalArgumentException =>
+            throw new IllegalArgumentException(
+              s"startingTimestamp must be epoch millis or 'yyyy-MM-dd HH:mm:ss[.f]', got '$ts'") }
+        }
+        st.versionHistory(table).find(_._2 >= millis).map(_._1 - 1).getOrElse(headVersion)
+      case (None, None) => headVersion
+    }
 
   /** Pinned at stream start; a mid-stream schema change fails the feed
     * loudly (silently dropping or null-filling columns would corrupt

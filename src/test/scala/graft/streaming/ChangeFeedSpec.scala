@@ -181,6 +181,29 @@ class ChangeFeedSpec extends SparkSpec {
     assert(e.getMessage.contains("3-level"))
   }
 
+  test("startingTimestamp streams versions committed at/after the timestamp, TIMESTAMP AS OF's clock") {
+    val root = tmp("ts"); val st = new SnapshotTables(spark, root)
+    st.overwriteTable(Seq((1, "a")).toDF("id", "v"), "t")
+    val afterV1 = st.versionHistory("t").last._2 + 1 // strictly after v1's commit
+    Thread.sleep(5)
+    st.merge("t", Seq((2, "b")).toDF("id", "v"), Seq("id"))
+    st.merge("t", Seq((3, "c")).toDF("id", "v"), Seq("id"))
+    val q = feed(root, "t", "keys" -> "id", "startingTimestamp" -> afterV1.toString)
+      .writeStream.format("memory").queryName("cdf_ts")
+      .option("checkpointLocation", tmp("ts-ck")).start()
+    try {
+      q.processAllAvailable()
+      // v1 predates the timestamp; v2 and v3 stream
+      assert(changes("cdf_ts") == Seq((2, "insert", 2, "b"), (3, "insert", 3, "c")))
+    } finally q.stop()
+    // both knobs at once is ambiguous — refused
+    intercept[IllegalArgumentException] {
+      feed(root, "t", "startingVersion" -> "earliest", "startingTimestamp" -> "0")
+        .writeStream.format("memory").queryName("cdf_ts2")
+        .option("checkpointLocation", tmp("ts2-ck")).start()
+    }
+  }
+
   test("composes: a table's change feed incrementally maintains a downstream snapshot table") {
     // the incremental silver→gold shape: tail silver's commits, merge
     // the upsert images into gold — gold follows silver version by
