@@ -231,19 +231,76 @@ final class SnapshotTables(
     // re-threads its identity columns too: currentPartitionCols is
     // the previous commit's identity list (the `__p_` names strip),
     // so the full layout survives every plain commit.
+    val (df1, partitionCols1) = withTableLayout(df, table, partitionCols)
+    commitVersion(
+      table,
+      stage = tmp => {
+        val w = df1.write.mode(SaveMode.Overwrite)
+        (if (partitionCols1.nonEmpty) w.partitionBy(partitionCols1: _*) else w)
+          .parquet(tmp.toString)
+      },
+      partitionCols1 = partitionCols1,
+      schemaJson = df1.schema.json,
+      metaExtra = "",
+      expectedNext = None,
+      afterWin = () => {
+        if (statsCols.nonEmpty) replaceSmallFile(statsColsPath(table), statsCols.mkString(","))
+        if (sketchCols.nonEmpty) replaceSmallFile(sketchColsPath(table), sketchCols.mkString(","))
+      },
+      manifestStats = effectiveStats,
+      manifestSketch = effectiveSketch)
+    ()
+  }
+
+  /** Apply the table's standing layout to a frame about to commit:
+    * derived hidden-partition transforms re-apply from the persisted
+    * spec (pure functions of the data), and empty `partitionCols`
+    * INHERITS the current identity layout rather than flattening it —
+    * so delete/update/merge/append callers (and bare overwrites) keep
+    * the directory structure without re-threading it; an explicit
+    * partitionBy still overrides. Returns (frame with derived columns,
+    * effective partition columns). */
+  private def withTableLayout(df: DataFrame, table: String,
+      partitionCols: Seq[String]): (DataFrame, Seq[String]) = {
     val transforms = if (partitionCols.isEmpty) effectiveTransforms(table) else Nil
-    val (df1, partitionCols1) =
-      if (transforms.isEmpty)
-        // empty partitionCols INHERITS the current identity layout
-        // rather than flattening it — so delete/update/merge callers
-        // (and bare overwrites) keep the directory structure without
-        // re-threading it; an explicit partitionBy still overrides
-        (df, if (partitionCols.nonEmpty) partitionCols
-             else currentPartitionCols(table).filter(df.columns.contains))
-      else (transforms.foldLeft(df)((d, t) =>
-        if (d.columns.contains(t.name)) d else d.withColumn(t.name, t.expr)),
-        currentPartitionCols(table) ++ transforms.map(_.name))
+    if (transforms.isEmpty)
+      (df, if (partitionCols.nonEmpty) partitionCols
+           else currentPartitionCols(table).filter(df.columns.contains))
+    else (transforms.foldLeft(df)((d, t) =>
+      if (d.columns.contains(t.name)) d else d.withColumn(t.name, t.expr)),
+      currentPartitionCols(table) ++ transforms.map(_.name))
+  }
+
+  /** The fenced commit machinery every commit shape shares — full
+    * snapshots ([[overwriteTable]]) and delta commits ([[append]],
+    * [[upsertMor]], [[deleteKeysMor]] and the patch-style MOR DML):
+    * stage via `stage(tmpDir)` under a unique heartbeated temp dir, win
+    * the version CAS, rename into the version line with the full
+    * ownership re-check dance, then run post-commit bookkeeping
+    * (stats/sketch property persistence via `afterWin`, manifest,
+    * pointer advance, retention). `metaExtra` rides inside the version
+    * metadata JSON — empty for a full snapshot; delta commits record
+    * `"kind"`/`"base"`/`"key_cols"` there. `expectedNext` fences
+    * content races for delta producers whose staged rows were computed
+    * AGAINST a specific base version: if another writer committed since
+    * the producer read that base, the commit fails with
+    * [[SnapshotTables.ConcurrentCommitException]] instead of recording
+    * a delta whose base no longer matches. Returns the committed
+    * version. */
+  private def commitVersion(
+      table: String,
+      stage: Path => Unit,
+      partitionCols1: Seq[String],
+      schemaJson: String,
+      metaExtra: String,
+      expectedNext: Option[Int],
+      afterWin: () => Unit,
+      manifestStats: Seq[String],
+      manifestSketch: Seq[String]): Int = {
     val next = currentVersion(table) + 1
+    expectedNext.foreach { e =>
+      if (e != next) throw new SnapshotTables.ConcurrentCommitException(table, next)
+    }
     // Stage the data under a unique temp dir: nothing below `v*` is
     // visible to history()/readers until the commit succeeds. A
     // heartbeat marker inside the dir is refreshed for as long as the
@@ -252,11 +309,7 @@ final class SnapshotTables(
     // not refresh the staging dir's own mtime).
     val writerId = java.util.UUID.randomUUID.toString
     val tmp = new Path(tableDir(table), s"snapshots/.tmp-$writerId")
-    withHeartbeat(tmp) {
-      val w = df1.write.mode(SaveMode.Overwrite)
-      (if (partitionCols1.nonEmpty) w.partitionBy(partitionCols1: _*) else w)
-        .parquet(tmp.toString)
-    }
+    withHeartbeat(tmp) { stage(tmp) }
     val meta = new Path(metaDir(table), f"v$next%05d.json")
     // writer UUID = the fence token for orphan reclaim: ownership of
     // version `next` is decided by which attempt's content sits in the
@@ -264,7 +317,8 @@ final class SnapshotTables(
     val metaJson =
       s"""{"version":$next,"writer":"$writerId",""" +
         s""""partition_cols":${partitionCols1.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-        s""""schema":${df1.schema.json}}"""
+        metaExtra +
+        s""""schema":$schemaJson}"""
     def metaIsOurs: Boolean =
       try fs(meta).exists(meta) && readSmallFile(meta).contains(s""""writer":"$writerId"""")
       catch { case _: java.io.IOException => false }
@@ -307,12 +361,12 @@ final class SnapshotTables(
       if (fs(nested).exists(nested)) fs(nested).delete(nested, true)
       throw new SnapshotTables.ConcurrentCommitException(table, next)
     }
-    if (statsCols.nonEmpty) replaceSmallFile(statsColsPath(table), statsCols.mkString(","))
-    if (sketchCols.nonEmpty) replaceSmallFile(sketchColsPath(table), sketchCols.mkString(","))
-    if (effectiveStats.nonEmpty || effectiveSketch.nonEmpty)
-      writeManifest(table, next, effectiveStats, effectiveSketch)
+    afterWin()
+    if (manifestStats.nonEmpty || manifestSketch.nonEmpty)
+      writeManifest(table, next, manifestStats, manifestSketch)
     advancePointer(table, next)
     expire(table, next)
+    next
   }
 
   /** Run `body` (the staged write job) with a live-writer heartbeat: a
@@ -455,6 +509,332 @@ final class SnapshotTables(
     overwriteTable(staged.select(out: _*), table, partitionCols)
   }
 
+  // ------------------------------------------------------------------
+  // Delta commits — the merge-on-read half of the table format (public
+  // knowledge: Iceberg v2 row-level deletes and Delta's deletion
+  // vectors both commit SMALL delta files and defer the rewrite to
+  // compaction). A full-snapshot commit is O(table); at the 100 TB
+  // point a daily append or a 0.01% DELETE must not rewrite the world,
+  // so these commit O(delta) bytes: a version directory holding ONLY
+  // the delta, with its kind and base recorded in the version
+  // metadata. Readers resolve the chain (base full snapshot + deltas
+  // in order) into one DataFrame plan — anti-joins and unions, fully
+  // distributed, no driver materialization. Chains are bounded:
+  // `graft.delta.maxChainLength` (default 16) triggers an automatic
+  // materializing commit, and compact()/optimize() always materialize.
+  //
+  // Commit kinds, each with its resolution rule:
+  //  - "append":     dir holds new data rows (table layout applied) →
+  //                  base ∪ delta. Stats manifests keep being written
+  //                  per segment, so file pruning and fastCount stay
+  //                  available on append-only chains.
+  //  - "mor_upsert": dir holds replacement rows, meta carries key_cols
+  //                  → (base ⟕̸ keys) ∪ delta. The streaming merge
+  //                  sink's O(batch) commit path.
+  //  - "mor_delete": dir holds deleted KEY rows (key_cols in meta) →
+  //                  base anti-join keys. A GDPR purge writes only the
+  //                  ids it purges.
+  //  - "mor_patch":  dir holds del/ and add/ subdirs (full row images,
+  //                  multiset semantics) → (base EXCEPT ALL del) ∪ add.
+  //                  The shape predicate DELETE/UPDATE lower to when
+  //                  the table's write mode is "mor".
+  // Time travel, diff/CDC, rollback, branches and the change feed all
+  // read through [[readVersion]] and therefore resolve chains
+  // transparently; retention protects every chain ancestor a retained
+  // version still needs.
+  // ------------------------------------------------------------------
+
+  import SnapshotTables.VersionMeta
+
+  private def versionMeta(table: String, v: Int): VersionMeta = {
+    val m = new Path(metaDir(table), f"v$v%05d.json")
+    require(fs(m).exists(m),
+      s"version $v of $table is not retained (metadata missing) — its delta chain cannot be resolved")
+    val json = readSmallFile(m)
+    val kind = "\"kind\":\"([^\"]+)\"".r.findFirstMatchIn(json).map(_.group(1)).getOrElse("full")
+    val base = "\"base\":(\\d+)".r.findFirstMatchIn(json).map(_.group(1).toInt).getOrElse(v - 1)
+    val keys = "\"key_cols\":\\[([^\\]]*)\\]".r.findFirstMatchIn(json)
+      .map(_.group(1).split(',').toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty))
+      .getOrElse(Nil)
+    VersionMeta(v, kind, base, keys)
+  }
+
+  /** The delta chain of `v`, ascending: a full base first, then every
+    * delta up to and including `v`. A full version is its own
+    * single-element chain. */
+  private[io] def chainOf(table: String, v: Int): Seq[VersionMeta] = {
+    val m = versionMeta(table, v)
+    if (m.kind == "full") Seq(m)
+    else {
+      require(m.base > 0 && m.base < v,
+        s"delta version $v of $table has invalid base ${m.base}")
+      chainOf(table, m.base) :+ m
+    }
+  }
+
+  /** Commit kinds along the current version's chain (diagnostics and
+    * the V2 scan planner's append-only fast path). */
+  private[graft] def chainKinds(table: String, v: Int): Seq[String] =
+    chainOf(table, v).map(_.kind)
+
+  /** Data directories of an APPEND-ONLY chain (base + append segment
+    * dirs, ascending), or None when the chain contains a merge-on-read
+    * segment — the SQL scan path reads Some(dirs) as a plain
+    * multi-path parquet scan with full pushdown. */
+  private[graft] def appendChainDirs(table: String, v: Int): Option[Seq[String]] = {
+    val segs = chainOf(table, v)
+    if (segs.forall(s => s.kind == "full" || s.kind == "append"))
+      Some(segs.map(s => snapDir(table, s.v).toString))
+    else None
+  }
+
+  /** Upper bound on a delta chain before a delta commit materializes a
+    * full snapshot first (every chain segment is one more scan + union
+    * or anti-join in each read plan — unbounded chains would trade
+    * write amplification for unbounded read cost). Tunable per session
+    * via `graft.delta.maxChainLength`. */
+  private def maxChainLength: Int =
+    spark.conf.getOption("graft.delta.maxChainLength") match {
+      case None => 16
+      case Some(raw) => raw.trim.toIntOption match {
+        case Some(n) if n > 0 => n
+        case _ => throw new IllegalArgumentException(
+          s"graft.delta.maxChainLength must be a positive int, got '$raw'")
+      }
+    }
+
+  /** Materialize the current delta chain into one full snapshot
+    * version (content unchanged — a maintenance commit like
+    * [[compact]], but without re-bucketing the data). No-op on a table
+    * whose head is already a full snapshot. */
+  def materialize(table: String): Unit = {
+    val cur = currentVersion(table)
+    require(cur > 0, s"table $table has no committed version")
+    if (chainOf(table, cur).length > 1) overwriteTable(readVersion(table, cur), table)
+  }
+
+  /** Pre-commit chain budget: materialize first when one more delta
+    * would push the chain past [[maxChainLength]]. */
+  private def ensureChainBudget(table: String): Unit = {
+    val cur = currentVersion(table)
+    if (cur > 0 && chainOf(table, cur).length >= maxChainLength) materialize(table)
+  }
+
+  /** The delta frame must cover exactly the table's columns — a delta
+    * that silently dropped or invented a column would corrupt every
+    * later read of the chain. (Schema evolution stays a FULL-commit
+    * affair: route widening through merge(evolveSchema = true).) */
+  private def requireSameColumns(table: String, df: DataFrame, what: String): Unit = {
+    val cur = read(table).columns.toSet
+    val got = df.columns.toSet
+    require(cur == got,
+      s"$what on $table needs the table's exact columns; " +
+        s"missing ${(cur -- got).mkString(",")} extra ${(got -- cur).mkString(",")}")
+  }
+
+  /** FAST APPEND — the O(delta) commit every ingestion pipeline leans
+    * on (Iceberg's appendFiles): ONLY the new rows are written, as a
+    * delta version whose resolution is base ∪ delta. The table's
+    * layout (identity partition columns and hidden-partition
+    * transforms) applies to the delta files, and the stats/sketch
+    * manifest is maintained over the delta segment, so partition
+    * pruning, file skipping and metadata-only counts keep working on
+    * append-only chains. On an empty table this is the first full
+    * commit. */
+  def append(df: DataFrame, table: String): Unit = {
+    val cur = currentVersion(table)
+    if (cur == 0) { overwriteTable(df, table); return }
+    requireSameColumns(table, df, "append")
+    ensureChainBudget(table)
+    commitDelta(table, df, s""""kind":"append",""", withLayout = true, manifest = true)
+  }
+
+  /** Merge-on-read UPSERT: commit ONLY the replacement rows; readers
+    * resolve `(base anti-join keys) ∪ delta`. The commit never reads
+    * the base table at all — the O(batch) path a streaming merge sink
+    * needs ([[graft.streaming.Streams.snapshotMergeSink]] `mor =
+    * true`). Unmatched keys are inserts, matched keys full-row
+    * replacements (same contract as [[merge]]). */
+  def upsertMor(table: String, updates: DataFrame, keyCols: Seq[String]): Unit = {
+    require(keyCols.nonEmpty, "upsertMor needs key columns")
+    val cur = currentVersion(table)
+    if (cur == 0) { overwriteTable(updates, table); return }
+    requireSameColumns(table, updates, "upsertMor")
+    require(keyCols.forall(updates.columns.contains),
+      s"upsertMor keys ${keyCols.mkString(",")} must be columns of the updates frame")
+    ensureChainBudget(table)
+    commitDelta(table, updates,
+      s""""kind":"mor_upsert","key_cols":${keyCols.map("\"" + _ + "\"").mkString("[", ",", "]")},""",
+      withLayout = true, manifest = false)
+  }
+
+  /** Merge-on-read keyed DELETE: commit ONLY the deleted keys (a
+    * GDPR-style purge of n ids writes n rows, not the table); readers
+    * anti-join the base on them. `keys`' columns ARE the key columns.
+    * The physical data outlives in prior versions until retention
+    * expires them — same auditable-purge semantics as the COW
+    * [[delete]], at O(keys) write cost. */
+  def deleteKeysMor(table: String, keys: DataFrame): Unit = {
+    require(currentVersion(table) > 0, s"table $table has no committed version")
+    val keyCols = keys.columns.toSeq
+    require(keyCols.nonEmpty, "deleteKeysMor needs at least one key column")
+    val missing = keyCols.filterNot(read(table).columns.contains)
+    require(missing.isEmpty, s"deleteKeysMor keys not in table: ${missing.mkString(",")}")
+    ensureChainBudget(table)
+    commitDelta(table, keys,
+      s""""kind":"mor_delete","key_cols":${keyCols.map("\"" + _ + "\"").mkString("[", ",", "]")},""",
+      withLayout = false, manifest = false)
+  }
+
+  /** Merge-on-read predicate DELETE: the matching rows are computed
+    * once (a scan — unavoidable for an arbitrary predicate) but only
+    * THEY are written, as the `del/` side of a patch version; readers
+    * resolve base EXCEPT ALL del. Same NULL semantics as [[delete]]:
+    * only rows where the predicate is TRUE go. */
+  def deleteWhereMor(table: String, predicate: org.apache.spark.sql.Column): Unit = {
+    require(currentVersion(table) > 0, s"table $table has no committed version")
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    ensureChainBudget(table)
+    val matched = read(table).filter(coalesce(predicate, lit(false)))
+    commitPatch(table, del = Some(matched), add = None)
+  }
+
+  /** Merge-on-read UPDATE: old images of matched rows go to `del/`,
+    * their updated images to `add/` — one patch version, O(matched)
+    * write. Assignment semantics identical to [[update]] (all values
+    * evaluate against the OLD row). */
+  def updateMor(table: String, sets: Seq[(String, org.apache.spark.sql.Column)],
+      predicate: org.apache.spark.sql.Column): Unit = {
+    require(currentVersion(table) > 0, s"table $table has no committed version")
+    require(sets.nonEmpty, "updateMor needs at least one assignment")
+    val cur = read(table)
+    val unknown = sets.map(_._1).filterNot(cur.columns.contains)
+    require(unknown.isEmpty, s"unknown columns in SET: ${unknown.mkString(", ")}")
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    ensureChainBudget(table)
+    val hit = coalesce(predicate, lit(false))
+    val old = read(table).filter(hit)
+    val tmp = sets.zipWithIndex.map { case ((c, v), i) => (c, s"__upd_$i", v) }
+    val staged = tmp.foldLeft(old)((d, t) => d.withColumn(t._2, t._3))
+    val out = old.columns.toSeq.map(c => tmp.find(_._1 == c).map(t => col(t._2).as(c)).getOrElse(col(c)))
+    commitPatch(table, del = Some(old), add = Some(staged.select(out: _*)))
+  }
+
+  /** Stage-and-commit one delta version whose dir holds a single
+    * frame. Base fencing: the commit fails (ConcurrentCommitException)
+    * if any writer committed since `base` was read — a delta recorded
+    * against a base that is no longer the predecessor would corrupt
+    * resolution. */
+  private def commitDelta(table: String, df: DataFrame, kindJson: String,
+      withLayout: Boolean, manifest: Boolean): Unit = {
+    val base = currentVersion(table)
+    val (df1, pcols) =
+      if (withLayout) withTableLayout(df, table, Nil) else (df, Seq.empty[String])
+    val (mStats, mSketch) =
+      if (!manifest) (Nil, Nil)
+      else {
+        val sp = statsColsPath(table); val kp = sketchColsPath(table)
+        (if (fs(sp).exists(sp)) readSmallFile(sp).split(',').toSeq.filter(_.nonEmpty) else Nil,
+          if (fs(kp).exists(kp)) readSmallFile(kp).split(',').toSeq.filter(_.nonEmpty) else Nil)
+      }
+    commitVersion(
+      table,
+      stage = tmp => {
+        val w = df1.write.mode(SaveMode.Overwrite)
+        (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w).parquet(tmp.toString)
+      },
+      // record the INHERITED identity layout so the next commit's
+      // layout inheritance reads through delta heads unchanged
+      partitionCols1 = if (withLayout) pcols else currentPartitionCols(table),
+      schemaJson = read(table).schema.json,
+      metaExtra = kindJson + s""""base":$base,""",
+      expectedNext = Some(base + 1),
+      afterWin = () => (),
+      manifestStats = mStats,
+      manifestSketch = mSketch)
+    ()
+  }
+
+  /** Stage-and-commit one patch version: `del/` and `add/` subdirs
+    * (either may be absent when its side is empty — an empty parquet
+    * write leaves no data files and resolution skips it). */
+  private def commitPatch(table: String, del: Option[DataFrame], add: Option[DataFrame]): Unit = {
+    val base = currentVersion(table)
+    commitVersion(
+      table,
+      stage = tmp => {
+        del.foreach(_.write.mode(SaveMode.Overwrite).parquet(new Path(tmp, "del").toString))
+        add.foreach(_.write.mode(SaveMode.Overwrite).parquet(new Path(tmp, "add").toString))
+      },
+      partitionCols1 = currentPartitionCols(table),
+      schemaJson = read(table).schema.json,
+      metaExtra = s""""kind":"mor_patch","base":$base,""",
+      expectedNext = Some(base + 1),
+      afterWin = () => (),
+      manifestStats = Nil,
+      manifestSketch = Nil)
+    ()
+  }
+
+  /** Read one chain segment's dir (or subdir) as a frame, None when it
+    * holds no data files (empty delta side) — `__p_*` layout columns
+    * concealed like every read here. */
+  private def segRead(table: String, v: Int, sub: String = ""): Option[DataFrame] = {
+    val d = if (sub.isEmpty) snapDir(table, v) else new Path(snapDir(table, v), sub)
+    if (!fs(d).exists(d)) return None
+    try {
+      val df = spark.read.parquet(d.toString)
+      if (df.schema.isEmpty) None
+      else Some(df.drop(df.columns.filter(_.startsWith("__p_")): _*))
+    } catch { case _: org.apache.spark.sql.AnalysisException => None }
+  }
+
+  /** Fold a delta chain into one resolved DataFrame plan — unions and
+    * anti-joins over per-segment parquet scans, fully distributed. */
+  private def resolveChain(table: String, segs: Seq[VersionMeta]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    def union(a: Option[DataFrame], b: Option[DataFrame]): Option[DataFrame] = (a, b) match {
+      case (Some(x), Some(y)) => Some(x.unionByName(y))
+      case (None, y) => y
+      case (x, None) => x
+    }
+    val out = segs.tail.foldLeft(segRead(table, segs.head.v)) { (acc, s) =>
+      s.kind match {
+        case "append" => union(acc, segRead(table, s.v))
+        case "mor_upsert" =>
+          val up = segRead(table, s.v)
+          (acc, up) match {
+            case (Some(a), Some(u)) =>
+              Some(a.join(u.select(s.keyCols.map(col): _*).distinct(), s.keyCols, "left_anti")
+                .unionByName(u))
+            case (None, u) => u
+            case (a, None) => a
+          }
+        case "mor_delete" =>
+          acc.map { a =>
+            segRead(table, s.v) match {
+              case None => a
+              case Some(del) =>
+                a.join(del.select(s.keyCols.map(col): _*).distinct(), s.keyCols, "left_anti")
+            }
+          }
+        case "mor_patch" =>
+          val afterDel = acc.map { a =>
+            segRead(table, s.v, "del") match {
+              case None => a
+              case Some(d) => a.exceptAll(d.select(a.columns.toSeq.map(col): _*))
+            }
+          }
+          union(afterDel, segRead(table, s.v, "add"))
+        case other =>
+          throw new IllegalStateException(s"unknown commit kind '$other' at $table v${s.v}")
+      }
+    }
+    // a fully-empty chain reads like a plain empty version (same
+    // error/empty behavior as the single-dir path)
+    out.getOrElse(spark.read.parquet(snapDir(table, segs.last.v).toString))
+  }
+
   /** HIDDEN PARTITIONING (Iceberg's partition transforms): commit with
     * partition values DERIVED from data columns — days(ts),
     * bucket(n, key), truncate(len, s) — without the caller
@@ -497,11 +877,30 @@ final class SnapshotTables(
     import org.apache.spark.sql.functions._
     require(pt.ordered, s"${pt.name} does not preserve order — use readPartitionValues")
     val v = currentVersion(table)
-    val raw = spark.read.parquet(snapDir(table, v).toString)
-    if (!raw.columns.contains(pt.name)) return readVersion(table, v) // not partitioned this way: full scan
     val bounds = spark.range(1).select(pt.exprOf(lit(lo)), pt.exprOf(lit(hi))).head()
-    raw.filter(col(pt.name) >= lit(bounds.get(0)) && col(pt.name) <= lit(bounds.get(1)))
-      .drop(raw.columns.filter(_.startsWith("__p_")): _*)
+    appendChainDirs(table, v) match {
+      case Some(dirs) =>
+        // append-only chain: per-segment scans (each root discovers its
+        // own partition dirs — Spark refuses mixed multi-root layouts),
+        // filtered BEFORE the union so directory pruning applies per
+        // segment, then unioned
+        val perSeg = dirs.map { dir =>
+          val raw = spark.read.parquet(dir)
+          val filtered =
+            if (raw.columns.contains(pt.name))
+              raw.filter(col(pt.name) >= lit(bounds.get(0)) && col(pt.name) <= lit(bounds.get(1)))
+            else raw.filter(pt.expr >= lit(bounds.get(0)) && pt.expr <= lit(bounds.get(1)))
+          filtered.drop(raw.columns.filter(_.startsWith("__p_")): _*)
+        }
+        perSeg.reduce(_ unionByName _)
+      case None =>
+        // merge-on-read chain: directory skipping would resurrect
+        // deleted rows — filter the RESOLVED rows on the re-derived
+        // transform value (same rows, no pruning until materialize)
+        val d = pt.expr
+        readVersion(table, v)
+          .filter(d >= lit(bounds.get(0)) && d <= lit(bounds.get(1)))
+    }
   }
 
   /** Point/IN scan over a hidden-partitioned table: each probe value
@@ -512,12 +911,21 @@ final class SnapshotTables(
     import org.apache.spark.sql.functions._
     require(values.nonEmpty, "readPartitionValues needs at least one probe value")
     val v = currentVersion(table)
-    val raw = spark.read.parquet(snapDir(table, v).toString)
-    if (!raw.columns.contains(pt.name)) return readVersion(table, v)
     val derived = spark.range(1).select(values.map(pv => pt.exprOf(lit(pv))): _*)
       .head().toSeq.distinct
-    raw.filter(col(pt.name).isin(derived: _*))
-      .drop(raw.columns.filter(_.startsWith("__p_")): _*)
+    appendChainDirs(table, v) match {
+      case Some(dirs) =>
+        val perSeg = dirs.map { dir =>
+          val raw = spark.read.parquet(dir)
+          val filtered =
+            if (raw.columns.contains(pt.name)) raw.filter(col(pt.name).isin(derived: _*))
+            else raw.filter(pt.expr.isin(derived: _*))
+          filtered.drop(raw.columns.filter(_.startsWith("__p_")): _*)
+        }
+        perSeg.reduce(_ unionByName _)
+      case None =>
+        readVersion(table, v).filter(pt.expr.isin(derived: _*))
+    }
   }
 
   /** ROLLBACK: re-commit a retained version's content as the NEW
@@ -618,7 +1026,8 @@ final class SnapshotTables(
     val bt = branchTables(table)
     Seq(statsColsPath(table) -> bt.statsColsPath(branch),
         sketchColsPath(table) -> bt.sketchColsPath(branch),
-        transformSpecPath(table) -> bt.transformSpecPath(branch))
+        transformSpecPath(table) -> bt.transformSpecPath(branch),
+        writeModePath(table) -> bt.writeModePath(branch))
       .foreach { case (src, dst) =>
         if (fs(src).exists(src)) replaceSmallFile(dst, readSmallFile(src)) }
   }
@@ -666,6 +1075,20 @@ final class SnapshotTables(
     commitToBranch(table, branch, merged, partitionCols)
   }
 
+  /** Append-commit onto the branch — the O(delta) staging path of the
+    * WAP flow (a multi-load audit session appends each load without
+    * rewriting the branch). The branch's FIRST commit materializes the
+    * base version plus the delta (the branch version line cannot
+    * delta-chain into MAIN's line — publish moves one snapshot dir);
+    * later appends are true delta commits on the branch, and
+    * [[publish]] materializes a delta-headed branch before the move. */
+  def appendToBranch(table: String, branch: String, df: DataFrame): Unit = {
+    val bt = branchTables(table)
+    if (bt.currentVersion(branch) == 0)
+      commitToBranch(table, branch, readBranch(table, branch).unionByName(df))
+    else bt.append(df, branch)
+  }
+
   /** The audit tool of the WAP flow: what WOULD publishing this branch
     * change on main? Keyed diff of main's CURRENT content against the
     * branch's — (keyCols, __change ∈ insert/update/delete, __old,
@@ -711,8 +1134,14 @@ final class SnapshotTables(
   def publish(table: String, branch: String): Int = {
     val base = branchBase(table, branch)
     val bt = branchTables(table)
+    val bv0 = bt.currentVersion(branch)
+    require(bv0 > 0, s"branch '$branch' has no commits to publish")
+    // A delta-headed branch materializes ON THE BRANCH first: publish
+    // moves ONE snapshot directory into main's line, and a delta dir
+    // alone is meaningless without its chain (whose base lives in the
+    // branch's version line and would be dropped with the branch).
+    if (bt.chainOf(branch, bv0).length > 1) bt.materialize(branch)
     val bv = bt.currentVersion(branch)
-    require(bv > 0, s"branch '$branch' has no commits to publish")
     val cur = currentVersion(table)
     if (cur != base) throw new SnapshotTables.ConcurrentCommitException(table, cur + 1)
     val next = cur + 1
@@ -751,7 +1180,8 @@ final class SnapshotTables(
     // version's manifest and layout stay live, not a one-off.
     Seq(bt.statsColsPath(branch) -> statsColsPath(table),
         bt.sketchColsPath(branch) -> sketchColsPath(table),
-        bt.transformSpecPath(branch) -> transformSpecPath(table))
+        bt.transformSpecPath(branch) -> transformSpecPath(table),
+        bt.writeModePath(branch) -> writeModePath(table))
       .foreach { case (src, dst) =>
         if (fs(src).exists(src)) replaceSmallFile(dst, readSmallFile(src)) }
     advancePointer(table, next)
@@ -778,6 +1208,25 @@ final class SnapshotTables(
 
   private def transformSpecPath(table: String): Path =
     new Path(metaDir(table), "partition_transforms")
+
+  private def writeModePath(table: String): Path =
+    new Path(metaDir(table), "write_mode")
+
+  /** The table's standing row-level-DML strategy — "cow" (default:
+    * DELETE/UPDATE rewrite into a full snapshot) or "mor" (they commit
+    * O(changed) patch versions, [[deleteWhereMor]]/[[updateMor]]). A
+    * table property like stats/sketch columns: SQL DML through the
+    * catalog consults it, so `ALTER`-ing a 100 TB table to "mor" flips
+    * every later DELETE/UPDATE from O(table) to O(changed) writes. */
+  def writeMode(table: String): String = {
+    val p = writeModePath(table)
+    if (fs(p).exists(p)) readSmallFile(p).trim else "cow"
+  }
+
+  def setWriteMode(table: String, mode: String): Unit = {
+    require(mode == "cow" || mode == "mor", s"write mode must be 'cow' or 'mor', got '$mode'")
+    replaceSmallFile(writeModePath(table), mode)
+  }
 
   /** The persisted transform spec, when the table is hidden-partitioned. */
   private def effectiveTransforms(table: String): Seq[SnapshotTables.PartitionTransform] = {
@@ -970,13 +1419,34 @@ final class SnapshotTables(
         s"bound on '$c' mixes string and numeric endpoints — it would mis-prune silently")
     }
     val v = currentVersion(table)
+    val segs = chainOf(table, v)
+    // merge-on-read segments rewrite/subtract rows at RESOLUTION time —
+    // per-file skipping over the raw segments could resurrect deleted
+    // rows; read resolved until materialize()/compact()
+    if (segs.exists(s => s.kind != "full" && s.kind != "append"))
+      return readVersion(table, v)
+    // append-only chain: each segment prunes independently against its
+    // OWN manifest (appends keep writing them), results union — file
+    // skipping survives O(delta) commits
+    val perSeg = segs.flatMap(s => prunedBoxSegment(table, s.v, bounds))
+    if (perSeg.isEmpty) readVersion(table, v).where(lit(false))
+    else if (segs.length == 1) perSeg.head
+    else perSeg.map(d => d.drop(d.columns.filter(_.startsWith("__p_")): _*)).reduce(_ unionByName _)
+  }
+
+  /** One chain segment's contribution to a pruned box read: the files
+    * whose stats MAY intersect every bound, or the whole segment when
+    * it has no usable manifest / the keep-list exceeds the driver
+    * budget; None when nothing in the segment can match. */
+  private def prunedBoxSegment(table: String, v: Int,
+      bounds: Seq[(String, Any, Any)]): Option[DataFrame] = {
+    import org.apache.spark.sql.functions._
     val mp = manifestPath(table, v)
-    val base = snapDir(table, v)
-    if (!fs(mp).exists(mp)) return readVersion(table, v)
+    if (!fs(mp).exists(mp)) return segRead(table, v)
     // the manifest is a single small parquet: re-reading it per branch
     // is cheaper than pinning checkpoint blocks for every pruned read
     val m = spark.read.parquet(mp.toString)
-    if (m.isEmpty) return readVersion(table, v) // degenerate manifest (older writers): full scan, never empty answers
+    if (m.isEmpty) return segRead(table, v) // degenerate manifest (older writers): full scan, never empty answers
     val all = m.select("file").distinct()
     val keepDf = bounds
       .map { case (statColumn, lo, hi) =>
@@ -997,11 +1467,12 @@ final class SnapshotTables(
     // than the driver-list budget, stop enumerating and full-scan
     val lim = maxPrunedFileList
     val keep = keepDf.distinct().limit(lim + 1).collect().map(_.getString(0))
-    if (keep.isEmpty) readVersion(table, v).where(lit(false))
-    else if (keep.length > lim) readVersion(table, v)
+    val base = snapDir(table, v)
+    if (keep.isEmpty) None
+    else if (keep.length > lim) segRead(table, v)
     else
-      spark.read.option("basePath", base.toString)
-        .parquet(keep.map(n => new Path(base, n).toString): _*)
+      Some(spark.read.option("basePath", base.toString)
+        .parquet(keep.map(n => new Path(base, n).toString): _*))
   }
 
   /** Point-lookup pruned scan: `column IN (values)` answered by the
@@ -1025,12 +1496,10 @@ final class SnapshotTables(
     import org.apache.spark.sql.functions._
     require(values.nonEmpty, "readPrunedIn needs at least one probe value")
     val v = currentVersion(table)
-    val mp = manifestPath(table, v)
-    val base = snapDir(table, v)
-    if (!fs(mp).exists(mp)) return readVersion(table, v)
-    val m = spark.read.parquet(mp.toString)
-    if (!m.columns.contains("sketch")) return readVersion(table, v) // pre-sketch-era manifest: full scan
-    if (m.isEmpty) return readVersion(table, v) // degenerate manifest (older writers): full scan, never empty answers
+    val segs = chainOf(table, v)
+    // same rule as readPrunedBox: merge-on-read chains read resolved
+    if (segs.exists(s => s.kind != "full" && s.kind != "append"))
+      return readVersion(table, v)
     val schema = readVersion(table, v).schema
     if (!schema.fieldNames.contains(statColumn)) return readVersion(table, v) // unknown column: conservative full scan
     val dt = schema(statColumn).dataType
@@ -1040,6 +1509,20 @@ final class SnapshotTables(
     val hashes: Seq[Long] = spark.range(1)
       .select(values.map(pv => xxhash64(lit(pv).cast(dt))): _*)
       .head().toSeq.map(_.asInstanceOf[Long])
+    val perSeg = segs.flatMap(s => prunedInSegment(table, s.v, statColumn, values, hashes, dt))
+    if (perSeg.isEmpty) readVersion(table, v).where(lit(false))
+    else if (segs.length == 1) perSeg.head
+    else perSeg.map(d => d.drop(d.columns.filter(_.startsWith("__p_")): _*)).reduce(_ unionByName _)
+  }
+
+  private def prunedInSegment(table: String, v: Int, statColumn: String, values: Seq[Any],
+      hashes: Seq[Long], dt: org.apache.spark.sql.types.DataType): Option[DataFrame] = {
+    import org.apache.spark.sql.functions._
+    val mp = manifestPath(table, v)
+    if (!fs(mp).exists(mp)) return segRead(table, v)
+    val m = spark.read.parquet(mp.toString)
+    if (!m.columns.contains("sketch")) return segRead(table, v) // pre-sketch-era manifest: full scan
+    if (m.isEmpty) return segRead(table, v) // degenerate manifest (older writers): full scan, never empty answers
     val forCol = m.filter(col("column") === lit(statColumn))
     val all = m.select("file").distinct()
     // Kirsch–Mitzenmacher position i of hash h, as column arithmetic
@@ -1073,11 +1556,12 @@ final class SnapshotTables(
     val lim = maxPrunedFileList
     val keep = survivors.union(all.except(forCol.select("file")))
       .distinct().limit(lim + 1).collect().map(_.getString(0))
-    if (keep.isEmpty) readVersion(table, v).where(lit(false))
-    else if (keep.length > lim) readVersion(table, v)
+    val base = snapDir(table, v)
+    if (keep.isEmpty) None
+    else if (keep.length > lim) segRead(table, v)
     else
-      spark.read.option("basePath", base.toString)
-        .parquet(keep.map(n => new Path(base, n).toString): _*)
+      Some(spark.read.option("basePath", base.toString)
+        .parquet(keep.map(n => new Path(base, n).toString): _*))
   }
 
   /** METADATA-ONLY aggregates from the stats manifest — the
@@ -1106,10 +1590,25 @@ final class SnapshotTables(
     * `graft_table_manifest('cat.ns.t')`. */
   def manifest(table: String): DataFrame = {
     val v = currentVersion(table)
-    val mp = manifestPath(table, v)
-    require(fs(mp).exists(mp),
+    val segs = chainOf(table, v)
+    // append-only chains union their per-segment manifests (file names
+    // stay relative to each segment's own snapshot dir — disjoint by
+    // construction since every segment writes fresh part files);
+    // merge-on-read chains have no honest file-level story until the
+    // rewrite, so they must materialize first.
+    require(segs.forall(s => s.kind == "full" || s.kind == "append"),
+      s"table $table v$v has merge-on-read deltas pending — materialize()/compact() before " +
+        "reading the manifest")
+    val perSeg = segs.flatMap { s =>
+      val mp = manifestPath(table, s.v)
+      if (fs(mp).exists(mp)) Some(spark.read.parquet(mp.toString))
+      else if (segRead(table, s.v).forall(_.isEmpty)) None // zero-row segment: nothing to list
+      else throw new IllegalArgumentException(
+        s"table $table v${s.v} has no stats manifest — commit with statsCols/sketchCols first")
+    }
+    require(perSeg.nonEmpty,
       s"table $table v$v has no stats manifest — commit with statsCols/sketchCols first")
-    spark.read.parquet(mp.toString)
+    perSeg.reduce(_ unionByName _)
   }
 
   /** (branch, forked-from main version, branch commits) for every live
@@ -1156,10 +1655,28 @@ final class SnapshotTables(
     * row count (i.e. at least one statsCols column) — a partial sum
     * would be silently wrong. */
   def fastCount(table: String): Long = {
-    import org.apache.spark.sql.functions._
     val v = currentVersion(table)
+    val segs = chainOf(table, v)
+    // merge-on-read segments subtract/replace rows — summing segment
+    // manifests would over-count; append-only chains sum exactly
+    require(segs.forall(s => s.kind == "full" || s.kind == "append"),
+      s"table $table v$v has merge-on-read deltas pending — fastCount needs materialized rows; " +
+        "run materialize()/compact() first")
+    segs.map(s => fastCountOfVersion(table, s.v)).sum
+  }
+
+  private def fastCountOfVersion(table: String, v: Int): Long = {
+    import org.apache.spark.sql.functions._
     val mp = manifestPath(table, v)
-    require(fs(mp).exists(mp), s"table $table v$v has no stats manifest — commit with statsCols first")
+    if (!fs(mp).exists(mp)) {
+      // an EMPTY segment (no files, or files with zero rows — footer
+      // stats of a 0-row file are nothing to manifest) contributes
+      // zero; a segment WITH rows but no manifest cannot be counted
+      // from metadata
+      require(segRead(table, v).forall(_.isEmpty),
+        s"table $table v$v has no stats manifest — commit with statsCols first")
+      return 0L
+    }
     val m = spark.read.parquet(mp.toString)
     val filesTotal = m.select(countDistinct(col("file"))).head().getLong(0)
     val withRows = m.filter(col("rows").isNotNull).select(col("file"), col("rows")).distinct()
@@ -1182,9 +1699,12 @@ final class SnapshotTables(
     * directory layout, not data. */
   def readVersion(table: String, version: Int): DataFrame = {
     require(version > 0, s"table $table has no committed version")
-    val df = spark.read.parquet(snapDir(table, version).toString)
-    val hidden = df.columns.filter(_.startsWith("__p_"))
-    if (hidden.isEmpty) df else df.drop(hidden: _*)
+    val segs = chainOf(table, version)
+    if (segs.length == 1) {
+      val df = spark.read.parquet(snapDir(table, version).toString)
+      val hidden = df.columns.filter(_.startsWith("__p_"))
+      if (hidden.isEmpty) df else df.drop(hidden: _*)
+    } else resolveChain(table, segs)
   }
 
   /** Compact the current snapshot into ~`targetFileBytes` files and
@@ -1199,8 +1719,7 @@ final class SnapshotTables(
   def compact(table: String, partitionCols: Seq[String] = Nil, targetFileBytes: Long = 128L << 20): Unit = {
     val cur = currentVersion(table)
     require(cur > 0, s"table $table has no committed version")
-    val d = snapDir(table, cur)
-    val bytes = fs(d).getContentSummary(d).getLength
+    val bytes = chainBytes(table, cur)
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val df = readVersion(table, cur)
     val compacted =
@@ -1230,8 +1749,7 @@ final class SnapshotTables(
   ): Unit = {
     val cur = currentVersion(table)
     require(cur > 0, s"table $table has no committed version")
-    val d = snapDir(table, cur)
-    val bytes = fs(d).getContentSummary(d).getLength
+    val bytes = chainBytes(table, cur)
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val df = readVersion(table, cur)
     val rewritten =
@@ -1242,11 +1760,33 @@ final class SnapshotTables(
     else overwriteTable(rewritten, table, Nil)
   }
 
+  /** Total bytes across a version's chain segments — the sizing input
+    * for compaction's file-count target (an upper bound on MOR chains:
+    * deleted rows still occupy base bytes until the rewrite). */
+  private def chainBytes(table: String, v: Int): Long =
+    chainOf(table, v).map { s =>
+      val d = snapDir(table, s.v)
+      fs(d).getContentSummary(d).getLength
+    }.sum
+
   /** Drop snapshots older than the retention window (keep the current
     * one plus `previousVersionsMax` predecessors). */
   private def expire(table: String, current: Int): Unit = {
     val protectedV = branchProtectedVersions(table)
-    history(table).filter(v => v < current - previousVersionsMax && !protectedV.contains(v)).foreach { v =>
+    val hist = history(table)
+    // Delta-chain protection: every version a RETAINED version's chain
+    // still walks through must outlive the window — expiring a chain's
+    // full base would orphan every retained delta on top of it (the
+    // current version included, when the head is a delta). The walk is
+    // O(retained × chain length), metadata-sized.
+    val chainProtected: Set[Int] =
+      hist.filter(v => v >= current - previousVersionsMax || protectedV.contains(v))
+        .flatMap { v =>
+          try chainOf(table, v).map(_.v)
+          catch { case _: Exception => Seq(v) } // unreadable meta: keep conservatively
+        }.toSet
+    hist.filter(v => v < current - previousVersionsMax && !protectedV.contains(v) &&
+        !chainProtected.contains(v)).foreach { v =>
       val d = snapDir(table, v)
       fs(d).delete(d, true)
       val m = new Path(metaDir(table), f"v$v%05d.json")
@@ -1422,6 +1962,10 @@ object SnapshotTables {
   /** Live-writer heartbeat marker inside a `.tmp-*` staging dir (name
     * starts with '.', so it is hidden from every reader). */
   private[io] val HeartbeatName = "._graft_heartbeat"
+
+  /** One link of a version's delta chain, parsed from the version
+    * metadata ("kind" absent = a full snapshot). */
+  private[io] final case class VersionMeta(v: Int, kind: String, base: Int, keyCols: Seq[String])
 
   /** A partition transform (Iceberg's hidden-partitioning vocabulary):
     * a pure function of one source column whose image becomes the

@@ -1,0 +1,262 @@
+package graft.io
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Delta commits — the merge-on-read half of the snapshot format:
+  * O(delta) appends, keyed MOR upsert/delete, patch-style MOR
+  * DELETE/UPDATE, chain resolution, retention protection of chain
+  * bases, bounded chains with auto-materialization, and the pruning /
+  * metadata surfaces over append-only chains. Every semantic test pins
+  * equivalence against the copy-on-write twin of the same operation
+  * sequence. */
+class DeltaCommitsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newTables(retention: Int = 10) = {
+    val root = java.nio.file.Files.createTempDirectory("graft-delta").toString
+    (new SnapshotTables(spark, root, previousVersionsMax = retention), root)
+  }
+
+  private def snapDirOf(root: String, table: String, v: Int) =
+    f"$root/$table/snapshots/v$v%05d"
+
+  test("append commits O(delta) bytes: the new version dir holds only the appended rows") {
+    val (t, root) = newTables()
+    t.overwriteTable((1 to 1000).map(i => (i, s"r$i")).toDF("id", "v"), "tab")
+    t.append(Seq((1001, "x"), (1002, "y")).toDF("id", "v"), "tab")
+    assert(t.currentVersion("tab") == 2)
+    // the whole table reads through the chain…
+    assert(t.read("tab").count() == 1002)
+    // …but version 2's directory physically holds ONLY the delta
+    assert(spark.read.parquet(snapDirOf(root, "tab", 2)).count() == 2)
+    // time travel to the pre-append version still works
+    assert(t.readVersion("tab", 1).count() == 1000)
+    // appends keep the version line auditable
+    assert(t.history("tab") == Seq(1, 2))
+  }
+
+  test("append validates columns loudly; empty appends are harmless; first append on empty table is a full commit") {
+    val (t, _) = newTables()
+    t.append(Seq((1, "a")).toDF("id", "v"), "tab") // empty table: full commit
+    assert(t.chainKinds("tab", 1) == Seq("full"))
+    intercept[IllegalArgumentException](t.append(Seq((2, "b", 0.1)).toDF("id", "v", "extra"), "tab"))
+    intercept[IllegalArgumentException](t.append(Seq(3).toDF("id"), "tab"))
+    t.append(Seq.empty[(Int, String)].toDF("id", "v"), "tab")
+    assert(t.currentVersion("tab") == 2)
+    assert(t.read("tab").as[(Int, String)].collect().toSet == Set((1, "a")))
+  }
+
+  test("upsertMor matches merge() exactly; the commit dir holds only the batch") {
+    val (t, root) = newTables()
+    val base = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
+    val batch = Seq((2, "B2"), (4, "d")).toDF("id", "v")
+    t.overwriteTable(base, "cow"); t.merge("cow", batch, Seq("id"))
+    t.overwriteTable(base, "mor"); t.upsertMor("mor", batch, Seq("id"))
+    assert(t.read("mor").as[(Int, String)].collect().toSet ==
+      t.read("cow").as[(Int, String)].collect().toSet)
+    assert(spark.read.parquet(snapDirOf(root, "mor", 2)).count() == 2) // O(batch), not O(table)
+    // a replayed identical upsert changes nothing (streaming retry contract)
+    t.upsertMor("mor", batch, Seq("id"))
+    assert(t.read("mor").as[(Int, String)].collect().toSet ==
+      t.read("cow").as[(Int, String)].collect().toSet)
+    // later upserts override earlier chain segments per key
+    t.upsertMor("mor", Seq((2, "B3")).toDF("id", "v"), Seq("id"))
+    assert(t.read("mor").filter($"id" === 2).as[(Int, String)].head() == ((2, "B3")))
+  }
+
+  test("deleteKeysMor writes only the purged keys; matches COW delete") {
+    val (t, root) = newTables()
+    val base = (1 to 500).map(i => (i, s"r$i")).toDF("id", "v")
+    t.overwriteTable(base, "cow"); t.delete("cow", $"id" % 100 === 7)
+    t.overwriteTable(base, "mor")
+    t.deleteKeysMor("mor", Seq(7, 107, 207, 307, 407).toDF("id"))
+    assert(t.read("mor").as[(Int, String)].collect().toSet ==
+      t.read("cow").as[(Int, String)].collect().toSet)
+    assert(spark.read.parquet(snapDirOf(root, "mor", 2)).count() == 5) // five ids, not 495 rows
+    intercept[IllegalArgumentException](t.deleteKeysMor("mor", Seq(1).toDF("nope")))
+  }
+
+  test("deleteWhereMor keeps NULL-predicate rows (SQL DELETE semantics), like COW delete") {
+    val (t, _) = newTables()
+    val base = Seq((1, Some("a")), (2, None), (3, Some("c"))).toDF("id", "v")
+    t.overwriteTable(base, "cow"); t.delete("cow", $"v" === "a")
+    t.overwriteTable(base, "mor"); t.deleteWhereMor("mor", $"v" === "a")
+    // id=2's predicate is NULL → kept on both paths
+    assert(t.read("mor").select("id").as[Int].collect().toSet == Set(2, 3))
+    assert(t.read("cow").select("id").as[Int].collect().toSet == Set(2, 3))
+  }
+
+  test("updateMor matches update(), including the evaluate-against-OLD-row swap") {
+    val (t, _) = newTables()
+    val base = Seq((1, 10, 20), (2, 30, 40)).toDF("id", "a", "b")
+    t.overwriteTable(base, "cow"); t.update("cow", Seq("a" -> $"b", "b" -> $"a"), $"id" === 1)
+    t.overwriteTable(base, "mor"); t.updateMor("mor", Seq("a" -> $"b", "b" -> $"a"), $"id" === 1)
+    val expected = Set((1, 20, 10), (2, 30, 40))
+    assert(t.read("cow").as[(Int, Int, Int)].collect().toSet == expected)
+    assert(t.read("mor").as[(Int, Int, Int)].collect().toSet == expected)
+    intercept[IllegalArgumentException](t.updateMor("mor", Seq("nope" -> lit(1)), $"id" === 1))
+  }
+
+  test("a mixed chain resolves in commit order; diff/diffKeyed and time travel read through it") {
+    val (t, _) = newTables()
+    t.overwriteTable(Seq((1, "a"), (2, "b")).toDF("id", "v"), "tab") // v1 full
+    t.append(Seq((3, "c")).toDF("id", "v"), "tab")                   // v2 append
+    t.upsertMor("tab", Seq((2, "B"), (4, "d")).toDF("id", "v"), Seq("id")) // v3 upsert
+    t.deleteKeysMor("tab", Seq(1).toDF("id"))                        // v4 delete
+    t.updateMor("tab", Seq("v" -> concat($"v", lit("!"))), $"id" === 3) // v5 patch
+    assert(t.chainKinds("tab", 5) == Seq("full", "append", "mor_upsert", "mor_delete", "mor_patch"))
+    assert(t.read("tab").as[(Int, String)].collect().toSet ==
+      Set((2, "B"), (3, "c!"), (4, "d")))
+    // every intermediate version time-travels to its own resolved state
+    assert(t.readVersion("tab", 2).as[(Int, String)].collect().toSet ==
+      Set((1, "a"), (2, "b"), (3, "c")))
+    assert(t.readVersion("tab", 4).as[(Int, String)].collect().toSet ==
+      Set((2, "B"), (3, "c"), (4, "d")))
+    // CDC classifies across delta versions exactly as across full ones
+    val d = t.diffKeyed("tab", 2, 5, Seq("id")).select("id", "__change")
+      .as[(Int, String)].collect().toSet
+    assert(d == Set((1, "delete"), (2, "update"), (3, "update"), (4, "insert")))
+  }
+
+  test("chains are bounded: the commit past maxChainLength materializes first") {
+    val (t, _) = newTables()
+    spark.conf.set("graft.delta.maxChainLength", "3")
+    try {
+      t.overwriteTable(Seq((0, "r0")).toDF("id", "v"), "tab")
+      (1 to 5).foreach(i => t.append(Seq((i, s"r$i")).toDF("id", "v"), "tab"))
+      // v1 full, v2 v3 append (chain=3) → v4 materialize, v5 append, v6 append
+      // (chain=3 again) → v7 materialize, v8 append
+      assert(t.currentVersion("tab") == 8)
+      assert(t.chainKinds("tab", 8) == Seq("full", "append"))
+      assert(t.read("tab").count() == 6)
+      // chain length never exceeded the budget at any committed version
+      (1 to 8).foreach(v => assert(t.chainKinds("tab", v).length <= 3))
+    } finally spark.conf.unset("graft.delta.maxChainLength")
+  }
+
+  test("retention never expires a chain ancestor a retained version still needs") {
+    val (t, _) = newTables(retention = 2)
+    spark.conf.set("graft.delta.maxChainLength", "50")
+    try {
+      t.overwriteTable((1 to 10).map(i => (i, s"r$i")).toDF("id", "v"), "tab") // v1 full
+      (1 to 6).foreach(i => t.append(Seq((100 + i, "x")).toDF("id", "v"), "tab")) // v2..v7 deltas
+      // plain retention would keep only v5..v7 — but v7's chain walks
+      // back to the v1 base, so everything v7 needs must survive
+      assert(t.history("tab").contains(1))
+      assert(t.read("tab").count() == 16)
+      // a materializing commit cuts the chain; the NEXT commit's
+      // retention pass can then expire the old base
+      t.materialize("tab") // v8 full
+      t.append(Seq((200, "y")).toDF("id", "v"), "tab") // v9 — expire runs
+      t.append(Seq((201, "z")).toDF("id", "v"), "tab") // v10 — expire runs
+      assert(!t.history("tab").contains(1))
+      assert(t.read("tab").count() == 18)
+    } finally spark.conf.unset("graft.delta.maxChainLength")
+  }
+
+  test("append-only chains keep manifests: fastCount, manifest() and pruned reads stay live") {
+    val (t, _) = newTables()
+    val base = (1 to 1000).map(i => (i.toLong, s"r$i")).toDF("id", "v")
+      .repartitionByRange(4, $"id").sortWithinPartitions($"id")
+    t.overwriteTable(base, "tab", Nil, statsCols = Seq("id"))
+    val delta = (1001 to 1200).map(i => (i.toLong, s"r$i")).toDF("id", "v")
+      .repartitionByRange(2, $"id").sortWithinPartitions($"id")
+    t.append(delta, "tab")
+    assert(t.fastCount("tab") == 1200L)
+    // manifest() unions per-segment manifests
+    assert(t.manifest("tab").select("file").distinct().count() == 6)
+    // pruned read spanning both segments: correct rows, and file
+    // skipping is REAL (strictly fewer input files than a full scan)
+    val pruned = t.readPruned("tab", "id", 990L, 1010L)
+    assert(pruned.filter($"id" >= 990 && $"id" <= 1010).count() == 21)
+    assert(pruned.inputFiles.length < t.read("tab").inputFiles.length)
+    // a bound entirely inside the delta segment touches no base file
+    val deltaOnly = t.readPruned("tab", "id", 1150L, 1200L)
+    assert(deltaOnly.inputFiles.length <= 1)
+    assert(deltaOnly.filter($"id" >= 1150L).count() == 51)
+  }
+
+  test("merge-on-read chains read resolved everywhere; materialize() restores the metadata surfaces") {
+    val (t, _) = newTables()
+    val base = (1 to 100).map(i => (i.toLong, s"r$i")).toDF("id", "v")
+    t.overwriteTable(base, "tab", Nil, statsCols = Seq("id"))
+    t.deleteKeysMor("tab", Seq(50L).toDF("id"))
+    // pruned read over a MOR chain: falls back to the resolved scan —
+    // and must NOT resurrect the deleted row
+    assert(t.readPruned("tab", "id", 40L, 60L).filter($"id" === 50L).count() == 0)
+    // metadata-only counts refuse rather than over-count
+    val e = intercept[IllegalArgumentException](t.fastCount("tab"))
+    assert(e.getMessage.contains("merge-on-read"))
+    intercept[IllegalArgumentException](t.manifest("tab"))
+    t.materialize("tab")
+    assert(t.chainKinds("tab", t.currentVersion("tab")) == Seq("full"))
+    assert(t.fastCount("tab") == 99L)
+    // pruning is file-skipping; the caller's row filter still applies
+    assert(t.readPruned("tab", "id", 40L, 60L)
+      .filter($"id" >= 40L && $"id" <= 60L).count() == 20)
+  }
+
+  test("hidden-partitioned tables: appends derive the layout; partition pruning spans the chain") {
+    val (t, root) = newTables()
+    val pt = SnapshotTables.PartitionTransform.days("ts")
+    val base = Seq(("2024-01-01 10:00:00", 1L), ("2024-01-02 11:00:00", 2L))
+      .toDF("ts", "id").withColumn("ts", to_timestamp($"ts"))
+    t.overwriteTableTransformed(base, "ev", Seq(pt))
+    val delta = Seq(("2024-01-03 09:00:00", 3L)).toDF("ts", "id")
+      .withColumn("ts", to_timestamp($"ts"))
+    t.append(delta, "ev")
+    // the delta segment's directory carries the derived layout
+    val v2 = new java.io.File(snapDirOf(root, "ev", 2))
+    assert(v2.listFiles().exists(_.getName.startsWith("__p_days_ts=2024-01-03")))
+    // hidden column stays concealed; range read prunes across segments
+    assert(!t.read("ev").columns.exists(_.startsWith("__p_")))
+    val r = t.readPartitionRange("ev", pt, "2024-01-03", "2024-01-04")
+    assert(r.select("id").as[Long].collect().toSeq == Seq(3L))
+    // the bound lands in PartitionFilters (directory pruning), not a row filter
+    val plan = r.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__p_days_ts"))
+    // MOR segment on the same table: range read resolves (no pruning) but stays correct
+    t.deleteKeysMor("ev", Seq(2L).toDF("id"))
+    val all = t.readPartitionRange("ev", pt, "2024-01-01", "2024-01-04")
+    assert(all.select("id").as[Long].collect().toSet == Set(1L, 3L))
+  }
+
+  test("compact() and optimize() materialize the chain; branches publish materialized") {
+    val (t, _) = newTables()
+    t.overwriteTable((1 to 100).map(i => (i, s"r$i")).toDF("id", "v"), "tab")
+    t.append((101 to 120).map(i => (i, s"r$i")).toDF("id", "v"), "tab")
+    t.deleteKeysMor("tab", Seq(1, 2).toDF("id"))
+    t.compact("tab")
+    assert(t.chainKinds("tab", t.currentVersion("tab")) == Seq("full"))
+    assert(t.read("tab").count() == 118)
+    // WAP: branch staging appends are delta commits on the branch;
+    // publish materializes the branch's RESOLVED state into main
+    t.createBranch("tab", "audit")
+    t.commitToBranch("tab", "audit", (1 to 50).map(i => (i, s"b$i")).toDF("id", "v"))
+    t.appendToBranch("tab", "audit", Seq((51, "b51"), (52, "b52")).toDF("id", "v"))
+    assert(t.readBranch("tab", "audit").count() == 52)
+    t.publish("tab", "audit")
+    assert(t.read("tab").count() == 52)
+    assert(t.chainKinds("tab", t.currentVersion("tab")) == Seq("full"))
+  }
+
+  test("rollback over a delta head re-commits the RESOLVED content") {
+    val (t, _) = newTables()
+    t.overwriteTable(Seq((1, "a")).toDF("id", "v"), "tab")
+    t.append(Seq((2, "b")).toDF("id", "v"), "tab")
+    t.overwriteTable(Seq((9, "z")).toDF("id", "v"), "tab") // v3: bad full commit
+    t.rollback("tab", 2) // roll back to the delta-headed version
+    assert(t.read("tab").as[(Int, String)].collect().toSet == Set((1, "a"), (2, "b")))
+    assert(t.chainKinds("tab", t.currentVersion("tab")) == Seq("full"))
+  }
+
+  test("write mode is a table property: default cow, settable, validated") {
+    val (t, _) = newTables()
+    t.overwriteTable(Seq((1, "a")).toDF("id", "v"), "tab")
+    assert(t.writeMode("tab") == "cow")
+    t.setWriteMode("tab", "mor")
+    assert(t.writeMode("tab") == "mor")
+    intercept[IllegalArgumentException](t.setWriteMode("tab", "fancy"))
+  }
+}
