@@ -319,6 +319,32 @@ object Bench {
       "benchpq_silver.tab_brewery", "benchpq_gold.tab_brewery_summary")
     val e2ePqWarm = e2ePass("pq-warm", graft.io.ParquetTables,
       "benchpq_silver.tab_brewery", "benchpq_gold.tab_brewery_summary")
+    // Commit-cost channel: the delta-commit story, measured in one JVM
+    // on the same table — a full overwrite rewrites O(table), an append
+    // writes O(batch) (1% slice), a keyed MOR delete writes O(keys).
+    // At 100 TB the first is impossible and the other two are the only
+    // viable commit shapes; this records the gap at bench scale.
+    val commitSpans: Seq[(String, Double)] =
+      try {
+        val croot = java.nio.file.Files.createTempDirectory("bench-commit").toString
+        val st = new graft.io.SnapshotTables(spark, croot)
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+        def cspan(f: => Unit): Double = {
+          val t0 = System.nanoTime; f; (System.nanoTime - t0) / 1e9
+        }
+        st.overwriteTable(li, "li") // v1 baseline commit (untimed JVM warm)
+        val tOver = cspan { st.overwriteTable(li, "li") }
+        val slice = li.limit((li.count() / 100).toInt).localCheckpoint(true)
+        val tApp = cspan { st.append(slice, "li") }
+        val keys = li.select("l_orderkey").distinct().limit(100).localCheckpoint(true)
+        val tDel = cspan { st.deleteKeysMor("li", keys) }
+        Seq("overwrite" -> tOver, "append_1pct" -> tApp, "mor_delete_keys" -> tDel)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] commit spans failed: ${e.getMessage}")
+          Seq("overwrite" -> -1.0, "append_1pct" -> -1.0, "mor_delete_keys" -> -1.0)
+      }
     val la1 = loadavg1()
     // Warm numbers come from the per-query best-of-3 above: all plans
     // compiled, JIT settled — the figures to hold against single-node
@@ -332,7 +358,8 @@ object Bench {
         s""""warm_total":${r3(warmTotal)},"warm_all":${jmap(warmAll)},""" +
         s""""warm_headline":${jmap(warm)},"e2e":${jmap(e2e)},""" +
         s""""e2e_warm":${jmap(e2eWarm)},"e2e_pq":${jmap(e2ePq)},""" +
-        s""""e2e_pq_warm":${jmap(e2ePqWarm)},"loadavg":[${r3(la0)},${r3(la1)}],""" +
+        s""""e2e_pq_warm":${jmap(e2ePqWarm)},"commit":${jmap(commitSpans)},""" +
+        s""""loadavg":[${r3(la0)},${r3(la1)}],""" +
         s""""gate_wait":${r3(gateWait)},"load_at":${jmap(loadAt)},""" +
         s""""repassed":${repassed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""repassed_cold":${repassedCold.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
@@ -349,7 +376,7 @@ object Bench {
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(qs)},""" +
         s""""warm_total":${r3(warmTotal)},"warm_headline":${jmap(warm)},"e2e":${jmap(e2e)},""" +
         s""""e2e_warm":${jmap(e2eWarm)},"e2e_pq_warm":${jmap(e2ePqWarm)},""" +
-        s""""loadavg":[${r3(la0)},${r3(la1)}],""" +
+        s""""commit":${jmap(commitSpans)},"loadavg":[${r3(la0)},${r3(la1)}],""" +
         s""""gate_wait":${r3(gateWait)},"repassed":${repassed.length},""" +
         s""""repassed_cold":${repassedCold.length},""" +
         s""""failed":${failed.length},"sf":"$sfDir"}"""

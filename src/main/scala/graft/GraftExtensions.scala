@@ -50,8 +50,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // keyless BETWEEN time joins -> bucketed equi-joins (never BNLJ)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    // merge-on-read delta chains -> resolved scan plans (before the
+    // DML rule so a MERGE source over a chained table resolves first)
+    ext.injectResolutionRule(_ => graft.plans.DeltaResolveRule)
     // SQL DELETE/UPDATE/MERGE over SnapshotCatalog tables -> the
-    // snapshot layer's copy-on-write commits (Delta-style rewrite)
+    // snapshot layer's copy-on-write OR merge-on-read commits
     ext.injectResolutionRule(_ => graft.plans.SnapshotDmlRule)
     // CDC between snapshot versions as a table-valued function:
     // SELECT * FROM graft_table_changes('cat.ns.t', 1, 3 [, 'k1,k2'])

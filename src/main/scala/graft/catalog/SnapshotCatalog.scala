@@ -171,6 +171,10 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces with StagingT
     if (st.tableExists(ident.name)) throw new TableAlreadyExistsException(ident)
     val (idCols, derived) = SnapshotCatalog.splitTransforms(partitions)
     st.declareTable(ident.name, schema, idCols, derived)
+    // TBLPROPERTIES ('graft.write.mode'='mor'): row-level DML commits
+    // O(changed) merge-on-read deltas instead of snapshot rewrites
+    Option(properties.get(SnapshotCatalog.WriteModeProperty))
+      .foreach(m => st.setWriteMode(ident.name, m))
     loadTable(ident)
   }
 
@@ -269,10 +273,14 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces with StagingT
         require(!cur.columns.contains(ren.newName), s"column '${ren.newName}' already exists")
         st.overwriteTable(cur.select(cur.columns.toSeq.map(c =>
           if (c == from) col(c).as(ren.newName) else col(c)): _*), t, pcols)
+      case set: TableChange.SetProperty if set.property == SnapshotCatalog.WriteModeProperty =>
+        st.setWriteMode(t, set.value)
       case other =>
         throw new UnsupportedOperationException(
           s"unsupported ALTER TABLE change ${other.getClass.getSimpleName} — " +
-            "supported: ADD/DROP/RENAME top-level columns; type changes never coerce silently")
+            "supported: ADD/DROP/RENAME top-level columns, " +
+            s"SET TBLPROPERTIES ('${SnapshotCatalog.WriteModeProperty}'); " +
+            "type changes never coerce silently")
     }
     // log-governed: ALTER publishes through like any other SQL write —
     // without this the evolved version would stay invisible to log
@@ -431,6 +439,10 @@ private final class StagedSnapshotTable(
 }
 
 object SnapshotCatalog {
+
+  /** TBLPROPERTIES key selecting the row-level DML strategy: "cow"
+    * (default, rewrite) or "mor" (merge-on-read patch commits). */
+  val WriteModeProperty = "graft.write.mode"
 
   /** V2 partition transforms → the snapshot layer's vocabulary:
     * identity columns partition by directory; `days`/`bucket`/

@@ -62,14 +62,35 @@ final class SnapshotTableV2(
 
   private def snapDirStr: String = st.snapshotDirString(table, version)
 
+  /** The parquet directories a DIRECT scan of this version may read:
+    * the single snapshot dir of a full version, or every segment dir
+    * of an UNPARTITIONED append-only chain (multi-root scans of
+    * hive-partitioned layouts trip Spark's conflicting-directory
+    * check, and merge-on-read chains need anti-join resolution — both
+    * return None and are planned by [[graft.plans.DeltaResolveRule]]
+    * instead). */
+  private[graft] def directScanDirs: Option[Seq[String]] =
+    st.appendChainDirs(table, version) match {
+      case Some(dirs) if dirs.length == 1 => Some(dirs)
+      case Some(dirs) if st.currentPartitionCols(table).isEmpty &&
+          st.persistedTransforms(table).isEmpty => Some(dirs)
+      case _ => None
+    }
+
+  private[graft] def pinnedVersionNumber: Int = version
+
   /** Directory-discovered schema of the pinned snapshot (partition
     * columns included, `__p_*` derived columns concealed); None when
-    * the version holds no data files. */
+    * the version holds no data files. Delta-chained versions discover
+    * through the RESOLVED read (a schema-only analysis, no job). */
   private lazy val discovered: Option[StructType] =
     if (version == 0) None
     else
       try {
-        val s = spark.read.parquet(snapDirStr).schema
+        val s = directScanDirs match {
+          case Some(dirs) => spark.read.parquet(dirs: _*).schema
+          case None => st.readVersion(table, version).schema
+        }
         if (s.isEmpty) None else Some(StructType(s.filterNot(_.name.startsWith("__p_"))))
       } catch { case _: org.apache.spark.sql.AnalysisException => None }
 
@@ -85,6 +106,7 @@ final class SnapshotTableV2(
     val m = new util.HashMap[String, String]()
     m.put("provider", "graft-snapshots")
     m.put("version", version.toString)
+    m.put(SnapshotCatalog.WriteModeProperty, st.writeMode(table))
     m
   }
 
@@ -122,8 +144,19 @@ final class SnapshotTableV2(
           }
         }
       case Some(_) =>
-        ParquetTable(fullName, spark, options, Seq(snapDirStr), None, classOf[ParquetFileFormat])
-          .newScanBuilder(options)
+        directScanDirs match {
+          case Some(dirs) =>
+            ParquetTable(fullName, spark, options, dirs, None, classOf[ParquetFileFormat])
+              .newScanBuilder(options)
+          case None =>
+            // merge-on-read / partitioned delta chain: the scan is a
+            // resolved plan (anti-joins + unions), substituted at
+            // analysis time by graft.plans.DeltaResolveRule. Reaching
+            // here means the rule is not active.
+            throw new IllegalStateException(
+              s"$fullName v$version is a delta chain — scans resolve through " +
+                "graft.plans.DeltaResolveRule; enable spark.sql.extensions=graft.GraftExtensions")
+        }
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -185,7 +218,11 @@ private final class SnapshotWriteBuilder(st: SnapshotTables, table: String, comm
         .reduce(_ && _)
       st.overwriteTable(st.read(table).filter(not(pred)).unionByName(data), table, pcols)
     } else
-      st.overwriteTable(st.read(table).unionByName(data), table, pcols)
+      // INSERT INTO appends as an O(batch) delta commit — the analyzer
+      // already reconciled `data` to the table schema, and append
+      // re-derives the table's layout; chains stay bounded by the
+      // auto-materialize budget
+      st.append(data, table)
     committed()
   }
 }
@@ -268,11 +305,14 @@ private[catalog] final class HistoryMetadataTable(
           val retained = hist.map(_._1).toSet
           hist.map { case (v, millis) =>
             val parent = if (v <= 1) null else Integer.valueOf(v - 1)
+            val kind =
+              try st.commitKind(table, v) catch { case _: Exception => "full" }
             // parent may itself be expired; report it anyway — lineage
             // is about ORDER, retention about readability
             InternalRow(millis * 1000L, v,
               if (parent == null) null else parent.intValue(),
-              v == cur && retained.contains(v))
+              v == cur && retained.contains(v),
+              org.apache.spark.unsafe.types.UTF8String.fromString(kind))
           }.toArray
         }
         override def readSchema(): StructType = HistoryMetadataTable.Schema
@@ -281,12 +321,15 @@ private[catalog] final class HistoryMetadataTable(
 }
 
 private[catalog] object HistoryMetadataTable {
-  import org.apache.spark.sql.types.{BooleanType, IntegerType, TimestampType}
+  import org.apache.spark.sql.types.{BooleanType, IntegerType, StringType, TimestampType}
   val Schema: StructType = new StructType()
     .add("made_current_at", TimestampType, nullable = false)
     .add("version", IntegerType, nullable = false)
     .add("parent_version", IntegerType, nullable = true)
     .add("is_current", BooleanType, nullable = false)
+    // commit kind: "full" snapshot, O(delta) "append", or a
+    // merge-on-read delta ("mor_upsert"/"mor_delete"/"mor_patch")
+    .add("kind", StringType, nullable = false)
 
   /** The reserved metadata-table suffix. */
   val Name = "history"

@@ -577,6 +577,11 @@ final class SnapshotTables(
   private[graft] def chainKinds(table: String, v: Int): Seq[String] =
     chainOf(table, v).map(_.kind)
 
+  /** A single version's commit kind ("full" / "append" / "mor_*") —
+    * the `.history` metadata table's `kind` column. */
+  private[graft] def commitKind(table: String, v: Int): String =
+    versionMeta(table, v).kind
+
   /** Data directories of an APPEND-ONLY chain (base + append segment
     * dirs, ascending), or None when the chain contains a merge-on-read
     * segment — the SQL scan path reads Some(dirs) as a plain

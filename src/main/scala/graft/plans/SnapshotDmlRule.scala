@@ -87,7 +87,13 @@ object SnapshotDmlRule extends Rule[LogicalPlan] {
       rel: DataSourceV2Relation, cond: Expression) extends LeafRunnableCommand {
     override def run(session: SparkSession): Seq[Row] = {
       val t = snapshotTable(rel)
-      t.tables.delete(t.tableName, bare(cond), t.identityPartitionCols)
+      // write-mode table property: "mor" commits an O(deleted) patch
+      // version instead of rewriting the snapshot (Iceberg v2's
+      // merge-on-read DELETE; the read side resolves the chain)
+      if (t.tables.writeMode(t.tableName) == "mor")
+        t.tables.deleteWhereMor(t.tableName, bare(cond))
+      else
+        t.tables.delete(t.tableName, bare(cond), t.identityPartitionCols)
       t.notifyCommitted()
       Seq.empty
     }
@@ -126,7 +132,12 @@ object SnapshotDmlRule extends Rule[LogicalPlan] {
         root -> combined
       }
       val pred = cond.map(bare).getOrElse(org.apache.spark.sql.functions.lit(true))
-      t.tables.update(t.tableName, sets, pred, t.identityPartitionCols)
+      // "mor" write mode: O(matched) patch commit (old images out, new
+      // images in) instead of the full-snapshot rewrite
+      if (t.tables.writeMode(t.tableName) == "mor")
+        t.tables.updateMor(t.tableName, sets, pred)
+      else
+        t.tables.update(t.tableName, sets, pred, t.identityPartitionCols)
       t.notifyCommitted()
       Seq.empty
     }

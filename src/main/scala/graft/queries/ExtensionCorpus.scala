@@ -1913,10 +1913,60 @@ object ExtensionCorpus {
       ORDER BY "column"""")
   )
 
+  /** Merge-on-read DML end-to-end through SQL, oracle-pinned: a table
+    * created with `graft.write.mode = mor` takes an append INSERT
+    * (O(batch) delta), a patch DELETE and a patch UPDATE (O(changed)
+    * deltas — the version directories hold only the changed rows,
+    * spec-asserted in DeltaSqlSpec), then answers the final SELECT by
+    * RESOLVING the chain: per-segment parquet scans combined with
+    * unions and EXCEPT ALL anti-joins (plans/DeltaResolve). The DuckDB
+    * oracle replays the same mutations as CASE/anti-filters over the
+    * raw parquet — a hash match pins that the merge-on-read read path
+    * returns byte-identical answers to the copy-on-write one (q125),
+    * while writing O(delta) instead of O(table) per commit (the shape
+    * Iceberg v2 row-level deletes / Delta deletion vectors take at the
+    * 100 TB point; the time-travel join also pins that the pre-DML
+    * version still resolves mid-chain). */
+  private val q133 = Q(
+    "q133_mor_dml_chain_sql",
+    (s, dir) => {
+      val cat = tempCatalog(s)
+      fixture(s, dir, "orders").createOrReplaceTempView("q133_orders")
+      s.sql(s"""CREATE TABLE $cat.dw.o
+                TBLPROPERTIES ('graft.write.mode'='mor')
+                AS SELECT o_orderkey, o_orderstatus, o_totalprice
+                FROM q133_orders WHERE o_orderkey <= 8000""") // v1 full
+      s.sql(s"""INSERT INTO $cat.dw.o
+                SELECT o_orderkey, o_orderstatus, o_totalprice
+                FROM q133_orders
+                WHERE o_orderkey > 8000 AND o_orderkey <= 10000""") // v2 append delta
+      s.sql(s"DELETE FROM $cat.dw.o WHERE o_orderkey % 10 = 3") // v3 mor_patch
+      s.sql(s"""UPDATE $cat.dw.o SET o_totalprice = o_totalprice * 2
+                WHERE o_orderstatus = 'F'""") // v4 mor_patch
+      s.sql(s"""SELECT o_orderstatus,
+                  COUNT(*) AS n,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+                  (SELECT COUNT(*) FROM $cat.dw.o VERSION AS OF 1) AS n_v1
+                FROM $cat.dw.o
+                GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    },
+    Some("""WITH cur AS (
+        SELECT o_orderstatus,
+          CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
+               ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        WHERE o_orderkey <= 10000 AND o_orderkey % 10 <> 3)
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        (SELECT COUNT(*) FROM orders WHERE o_orderkey <= 8000) AS n_v1
+      FROM cur GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  )
+
   val all: Seq[Q] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q99, q100, q101, q102, q106, q107, q108,
     q109, q111, q112, q113, q114, q116, q117, q118, q119, q121, q122, q123, q125, q126, q127,
-    q128, q130, q131, q132
+    q128, q130, q131, q132, q133
   )
+
 }

@@ -52,11 +52,12 @@ object CatalogStreams {
       keyCols: Seq[String],
       checkpoint: String,
       partitionCols: Seq[String] = Nil,
-      orderCol: Option[String] = None
+      orderCol: Option[String] = None,
+      mor: Boolean = false
   ): StreamingQuery = {
     val (t, name, publish) = resolved(stream, qualifiedTable)
     Streams.snapshotMergeSink(stream, t, name, keyCols, checkpoint, partitionCols, orderCol,
-      afterCommit = publish)
+      afterCommit = publish, mor = mor)
   }
 
   /** [[Streams.topKSketchSink]] against a catalog-qualified name. */

@@ -434,6 +434,15 @@ object Streams {
       }
       .start()
 
+  /** Continuous upsert-by-key into a versioned snapshot table. With
+    * `mor = false` (default) each batch is a copy-on-write MERGE —
+    * O(table) write per batch, zero read-side overhead. With `mor =
+    * true` each batch commits an O(batch) merge-on-read delta
+    * ([[graft.io.SnapshotTables.upsertMor]] — the commit never reads
+    * the base table at all), readers resolve the chain, and the
+    * snapshot layer's `graft.delta.maxChainLength` auto-materialize
+    * keeps read cost bounded — the only commit shape that survives a
+    * high-cadence stream into a 100 TB table. */
   def snapshotMergeSink(
       stream: DataFrame,
       tables: graft.io.SnapshotTables,
@@ -442,7 +451,8 @@ object Streams {
       checkpoint: String,
       partitionCols: Seq[String] = Nil,
       orderCol: Option[String] = None,
-      afterCommit: () => Unit = () => ()
+      afterCommit: () => Unit = () => (),
+      mor: Boolean = false
   ): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
@@ -469,7 +479,10 @@ object Streams {
                 .agg(pick.as("__r"))
                 .select(keyCols.map(col) :+ col("__r.*"): _*)
             }
-          tables.merge(table, one, keyCols, partitionCols)
+          if (mor && tables.currentVersion(table) > 0)
+            tables.upsertMor(table, one, keyCols)
+          else
+            tables.merge(table, one, keyCols, partitionCols)
           afterCommit()
         }
         ()

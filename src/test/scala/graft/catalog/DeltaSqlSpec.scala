@@ -1,0 +1,121 @@
+package graft.catalog
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+/** The SQL face of delta commits: INSERT INTO as an O(batch) append
+  * commit, merge-on-read DELETE/UPDATE behind the `graft.write.mode`
+  * table property, chain-resolving SELECT / time travel / `.history`,
+  * and the DeltaResolveRule plan substitution for chains plain parquet
+  * paths cannot express. */
+class DeltaSqlSpec extends SparkSpec {
+
+  private var n = 0
+  private def newCatalog(): String = synchronized {
+    n += 1
+    val cat = s"dsql$n"
+    val root = java.nio.file.Files.createTempDirectory(s"graft-cat-$cat").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    cat
+  }
+
+  private def rows(sql: String): Seq[Row] = spark.sql(sql).collect().toSeq
+
+  test("INSERT INTO commits an append delta, not a rewrite; reads and time travel resolve the chain") {
+    val c = newCatalog()
+    spark.sql(s"CREATE NAMESPACE $c.dw")
+    spark.sql(s"CREATE TABLE $c.dw.t (id INT, v STRING)")
+    spark.sql(s"INSERT INTO $c.dw.t VALUES (1, 'a'), (2, 'b')") // first commit: full
+    spark.sql(s"INSERT INTO $c.dw.t VALUES (3, 'c')")           // append delta
+    spark.sql(s"INSERT INTO $c.dw.t VALUES (4, 'd')")           // append delta
+    assert(rows(s"SELECT kind FROM $c.dw.t.history ORDER BY version") ==
+      Seq(Row("full"), Row("append"), Row("append")))
+    assert(rows(s"SELECT * FROM $c.dw.t ORDER BY id") ==
+      Seq(Row(1, "a"), Row(2, "b"), Row(3, "c"), Row(4, "d")))
+    assert(rows(s"SELECT count(*) AS c FROM $c.dw.t VERSION AS OF 2") == Seq(Row(3L)))
+    // predicate pushdown survives the multi-segment scan
+    val q = spark.sql(s"SELECT v FROM $c.dw.t WHERE id >= 3")
+    assert(q.collect().map(_.getString(0)).sorted.toSeq == Seq("c", "d"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThanOrEqual(id,3)]"))
+  }
+
+  test("write mode 'mor': DELETE and UPDATE commit patch deltas; SELECT resolves them") {
+    val c = newCatalog()
+    spark.sql(s"CREATE NAMESPACE $c.dw")
+    spark.sql(
+      s"CREATE TABLE $c.dw.m (id INT, v STRING) TBLPROPERTIES ('graft.write.mode'='mor')")
+    spark.sql(s"INSERT INTO $c.dw.m SELECT id, concat('r', id) FROM range(1000)")
+    spark.sql(s"DELETE FROM $c.dw.m WHERE id % 100 = 7")
+    spark.sql(s"UPDATE $c.dw.m SET v = 'boosted' WHERE id < 3")
+    assert(rows(s"SELECT kind FROM $c.dw.m.history ORDER BY version") ==
+      Seq(Row("full"), Row("mor_patch"), Row("mor_patch")))
+    assert(rows(s"SELECT count(*) AS c FROM $c.dw.m") == Seq(Row(990L)))
+    assert(rows(s"SELECT count(*) AS c FROM $c.dw.m WHERE v = 'boosted'") == Seq(Row(3L)))
+    assert(rows(s"SELECT count(*) AS c FROM $c.dw.m WHERE id = 7") == Seq(Row(0L)))
+    // time travel to before the delete still sees everything
+    assert(rows(s"SELECT count(*) AS c FROM $c.dw.m VERSION AS OF 1") == Seq(Row(1000L)))
+    // the resolved plan is joins/unions — never a nested-loop join
+    val plan = spark.sql(s"SELECT * FROM $c.dw.m").queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"))
+    // ALTER back to cow: the next DELETE rewrites (full)
+    spark.sql(s"ALTER TABLE $c.dw.m SET TBLPROPERTIES ('graft.write.mode'='cow')")
+    spark.sql(s"DELETE FROM $c.dw.m WHERE id = 999")
+    assert(rows(s"SELECT kind FROM $c.dw.m.history WHERE is_current") == Seq(Row("full")))
+    assert(rows(s"SELECT count(*) AS c FROM $c.dw.m") == Seq(Row(989L)))
+  }
+
+  test("MERGE INTO reads a merge-on-read chained SOURCE through the resolve rule") {
+    val c = newCatalog()
+    spark.sql(s"CREATE NAMESPACE $c.dw")
+    spark.sql(
+      s"CREATE TABLE $c.dw.src (id INT, v STRING) TBLPROPERTIES ('graft.write.mode'='mor')")
+    spark.sql(s"INSERT INTO $c.dw.src VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql(s"DELETE FROM $c.dw.src WHERE id = 2") // src is now a MOR chain
+    spark.sql(s"CREATE TABLE $c.dw.dst (id INT, v STRING)")
+    spark.sql(s"INSERT INTO $c.dw.dst VALUES (1, 'old')")
+    spark.sql(
+      s"""MERGE INTO $c.dw.dst t USING $c.dw.src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(rows(s"SELECT * FROM $c.dw.dst ORDER BY id") ==
+      Seq(Row(1, "a"), Row(3, "c")))
+  }
+
+  test("INSERT INTO a partitioned table appends with the layout; chain scans keep partition pruning semantics") {
+    val c = newCatalog()
+    spark.sql(s"CREATE NAMESPACE $c.dw")
+    spark.sql(s"CREATE TABLE $c.dw.p (id INT, region STRING) PARTITIONED BY (region)")
+    spark.sql(s"INSERT INTO $c.dw.p VALUES (1, 'eu'), (2, 'us')")
+    spark.sql(s"INSERT INTO $c.dw.p VALUES (3, 'eu')") // append on a partitioned table
+    assert(rows(s"SELECT kind FROM $c.dw.p.history ORDER BY version") ==
+      Seq(Row("full"), Row("append")))
+    // partitioned append chains plan through the resolve rule (multi-
+    // root partition discovery is refused by Spark) — results exact
+    assert(rows(s"SELECT id FROM $c.dw.p WHERE region = 'eu' ORDER BY id") ==
+      Seq(Row(1), Row(3)))
+    assert(rows(s"SELECT id FROM $c.dw.p WHERE region = 'us'") == Seq(Row(2)))
+    // DML over the chain: COW delete materializes; content stays right
+    spark.sql(s"DELETE FROM $c.dw.p WHERE id = 1")
+    assert(rows(s"SELECT id FROM $c.dw.p ORDER BY id") == Seq(Row(2), Row(3)))
+  }
+
+  test("CDC and catalog procedures read through delta chains") {
+    val c = newCatalog()
+    spark.sql(s"CREATE NAMESPACE $c.dw")
+    spark.sql(
+      s"CREATE TABLE $c.dw.t (id INT, v STRING) TBLPROPERTIES ('graft.write.mode'='mor')")
+    spark.sql(s"INSERT INTO $c.dw.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql(s"INSERT INTO $c.dw.t VALUES (3, 'c')")
+    spark.sql(s"DELETE FROM $c.dw.t WHERE id = 1")
+    // graft_table_changes across delta versions: keyed classification
+    val d = rows(
+      s"SELECT id, _change_type FROM graft_table_changes('$c.dw.t', 1, 3, 'id') ORDER BY id")
+    assert(d == Seq(Row(1, "delete"), Row(3, "insert")))
+    // CALL optimize materializes the chain
+    spark.sql(s"CALL $c.system.optimize('dw.t')")
+    assert(rows(s"SELECT kind FROM $c.dw.t.history WHERE is_current") == Seq(Row("full")))
+    assert(rows(s"SELECT count(*) AS c FROM $c.dw.t") == Seq(Row(2L)))
+  }
+}

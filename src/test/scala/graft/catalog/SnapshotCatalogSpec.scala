@@ -454,17 +454,28 @@ class SnapshotCatalogSpec extends SparkSpec {
     // retention=2: current + 2 predecessors retained
     spark.conf.set(s"spark.sql.catalog.$c.retention", "2")
     spark.sql(s"CREATE NAMESPACE $c.dw")
-    spark.sql(s"CREATE TABLE $c.dw.r AS SELECT 1 AS x") // v1
-    (2 to 5).foreach(i => spark.sql(s"INSERT INTO $c.dw.r VALUES ($i)")) // v2..v5
+    spark.sql(s"CREATE TABLE $c.dw.r AS SELECT 1 AS x") // v1 full
+    (2 to 5).foreach(i => spark.sql(s"INSERT INTO $c.dw.r VALUES ($i)")) // v2..v5 append deltas
+    // retained deltas chain back to the v1 base, so retention must
+    // keep the WHOLE chain alive — nothing can expire yet
     val hist = spark.sql(s"SELECT version, is_current FROM $c.dw.r.history ORDER BY version")
       .collect().map(r => (r.getInt(0), r.getBoolean(1))).toSeq
-    assert(hist == Seq((3, false), (4, false), (5, true)))
+    assert(hist == Seq((1, false), (2, false), (3, false), (4, false), (5, true)))
+    assert(spark.sql(s"SELECT count(*) FROM $c.dw.r VERSION AS OF 3").head.getLong(0) == 3L)
+    // materializing cuts the chain: the next commits' retention passes
+    // can finally expire the old base and its deltas
+    spark.sql(s"CALL $c.system.optimize('dw.r')") // v6 full
+    spark.sql(s"INSERT INTO $c.dw.r VALUES (7)") // v7
+    spark.sql(s"CALL $c.system.optimize('dw.r')") // v8 full — expire passes ran
+    val hist2 = spark.sql(s"SELECT version, is_current FROM $c.dw.r.history ORDER BY version")
+      .collect().map(r => (r.getInt(0), r.getBoolean(1))).toSeq
+    assert(hist2 == Seq((6, false), (7, false), (8, true)))
     // expired versions are gone from time travel too — history and
     // VERSION AS OF agree on what is reachable
     assert(intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql(s"SELECT * FROM $c.dw.r VERSION AS OF 1").collect()
     }.getMessage.nonEmpty)
-    assert(spark.sql(s"SELECT count(*) FROM $c.dw.r VERSION AS OF 3").head.getLong(0) == 3L)
+    assert(spark.sql(s"SELECT count(*) FROM $c.dw.r VERSION AS OF 7").head.getLong(0) == 6L)
   }
 
   test("graft_table_changes: multiset and keyed forms agree (delta accounting)") {

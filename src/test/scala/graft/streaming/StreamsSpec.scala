@@ -490,6 +490,31 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("snapshotMergeSink mor=true: each batch commits O(batch) deltas; state matches the COW twin") {
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-mor").toString
+    val tables = new graft.io.SnapshotTables(spark, root)
+    val ck = java.nio.file.Files.createTempDirectory("graft-stream-mor-ck").toString
+    val ms = MemoryStream[(Long, String)]
+    val q = Streams.snapshotMergeSink(
+      ms.toDF().toDF("k", "v"), tables, "tab", keyCols = Seq("k"), checkpoint = ck, mor = true)
+    try {
+      ms.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable() // first batch: full bootstrap commit
+      ms.addData((1L, "a2"), (3L, "c"))
+      q.processAllAvailable() // later batches: merge-on-read deltas
+      assert(tables.read("tab").as[(Long, String)].collect().toSet ==
+        Set((1L, "a2"), (2L, "b"), (3L, "c")))
+      assert(tables.chainKinds("tab", tables.currentVersion("tab")) ==
+        Seq("full", "mor_upsert"))
+      // the delta version's directory holds ONLY the batch (O(batch) write)
+      assert(spark.read.parquet(f"$root/tab/snapshots/v${2}%05d").count() == 2)
+      // every batch state still time-travels
+      assert(tables.readVersion("tab", 1).as[(Long, String)].collect().toSet ==
+        Set((1L, "a"), (2L, "b")))
+    } finally q.stop()
+  }
+
   test("lshIndexUpsertSink: post-batch queries find new vectors; index stays bucket-pruned; replays idempotent") {
     implicit val ctx = spark.sqlContext
     import graft.operators.Similarity
