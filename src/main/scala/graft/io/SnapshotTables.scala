@@ -956,10 +956,81 @@ final class SnapshotTables(
     * prune columns/partitions as normal parquet scans. */
   def diff(table: String, fromV: Int, toV: Int): DataFrame = {
     import org.apache.spark.sql.functions.lit
-    val from = readVersion(table, fromV)
-    val to = readVersion(table, toV)
-    to.exceptAll(from).withColumn("__change", lit("insert"))
-      .unionByName(from.exceptAll(to).withColumn("__change", lit("delete")))
+    // O(delta) fast paths — the CDC cost model that survives 100 TB:
+    // a single delta step diffs from its own segment (plus at most one
+    // base scan), and an all-append range is just its segments as
+    // inserts. Exact multiset semantics in both cases (proof sketch in
+    // [[stepDiffFast]]); anything else falls back to the generic
+    // two-resolution exceptAll.
+    val fast: Option[DataFrame] =
+      if (toV == fromV + 1) stepDiffFast(table, toV)
+      else if (toV > fromV + 1 && (fromV + 1 to toV).forall { v =>
+        (try versionMeta(table, v).kind catch { case _: Exception => "?" }) == "append"
+      }) {
+        // to = from ⊎ seg₁ ⊎ … ⊎ segₖ  ⇒  to∖from = ⊎segᵢ, from∖to = ∅
+        val segs = (fromV + 1 to toV).flatMap(v => segRead(table, v))
+        Some(segs.reduceOption(_ unionByName _)
+          .getOrElse(readVersion(table, toV).where(lit(false)))
+          .withColumn("__change", lit("insert")))
+      } else None
+    fast.getOrElse {
+      val from = readVersion(table, fromV)
+      val to = readVersion(table, toV)
+      to.exceptAll(from).withColumn("__change", lit("insert"))
+        .unionByName(from.exceptAll(to).withColumn("__change", lit("delete")))
+    }
+  }
+
+  /** O(delta) MULTISET diff of one version STEP (base → v), computed
+    * from the version's own delta segment. Exactness, per kind (⊎/∖
+    * are multiset union/difference; `to = state(v)`, `from =
+    * state(base)`):
+    *  - append:     to = from ⊎ seg          ⇒ to∖from = seg, from∖to = ∅
+    *  - mor_patch:  to = (from ∖ del) ⊎ add, del ⊑ from (del was
+    *                computed FROM `from`)     ⇒ to∖from = add ∖ del,
+    *                from∖to = del ∖ add — both O(delta), no base scan
+    *  - mor_delete: to = from ∖ (from ⋉ keys) ⇒ from∖to = from ⋉ keys
+    *                (ONE base scan, key-semi join), to∖from = ∅
+    *  - mor_upsert: to = (from ∖ touched) ⊎ up, touched = from ⋉ keys
+    *                ⇒ to∖from = up ∖ touched, from∖to = touched ∖ up
+    *                (ONE base scan; the exceptAlls are delta-sized)
+    * None for full commits (no delta to read from). */
+  private[graft] def stepDiffFast(table: String, v: Int): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val m = try versionMeta(table, v) catch { case _: Exception => return None }
+    def ins(df: DataFrame) = df.withColumn("__change", lit("insert"))
+    def del(df: DataFrame) = df.withColumn("__change", lit("delete"))
+    def emptyDiff = ins(readVersion(table, v).where(lit(false)))
+    def aligned(df: DataFrame, to: DataFrame) = df.select(to.columns.toSeq.map(col): _*)
+    m.kind match {
+      case "append" =>
+        Some(segRead(table, v).map(ins).getOrElse(emptyDiff))
+      case "mor_patch" =>
+        (segRead(table, v, "del"), segRead(table, v, "add")) match {
+          case (None, None) => Some(emptyDiff)
+          case (None, Some(a)) => Some(ins(a))
+          case (Some(d), None) => Some(del(d))
+          case (Some(d), Some(a)) =>
+            Some(ins(a.exceptAll(aligned(d, a))).unionByName(del(d.exceptAll(aligned(a, d)))))
+        }
+      case "mor_delete" =>
+        segRead(table, v) match {
+          case None => Some(emptyDiff)
+          case Some(k) =>
+            val keys = k.select(m.keyCols.map(col): _*).distinct()
+            Some(del(readVersion(table, m.base).join(keys, m.keyCols, "left_semi")))
+        }
+      case "mor_upsert" =>
+        segRead(table, v) match {
+          case None => Some(emptyDiff)
+          case Some(u) =>
+            val keys = u.select(m.keyCols.map(col): _*).distinct()
+            val touched = readVersion(table, m.base).join(keys, m.keyCols, "left_semi")
+            Some(ins(u.exceptAll(aligned(touched, u)))
+              .unionByName(del(touched.exceptAll(aligned(u, touched)))))
+        }
+      case _ => None
+    }
   }
 
   /** Key-classified diff: with unique `keyCols`, resolves the raw
@@ -969,17 +1040,105 @@ final class SnapshotTables(
   def diffKeyed(table: String, fromV: Int, toV: Int, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "diffKeyed needs key columns")
     import org.apache.spark.sql.functions._
-    val from = readVersion(table, fromV)
-    val rest = from.columns.filterNot(keyCols.contains).toSeq
+    val fast = if (toV == fromV + 1) stepDiffKeyedFast(table, toV, keyCols) else None
+    fast.getOrElse {
+      val from = readVersion(table, fromV)
+      val rest = from.columns.filterNot(keyCols.contains).toSeq
+      def packed(df: DataFrame, as: String) =
+        df.select(keyCols.map(col) :+ struct(rest.map(col): _*).as(as): _*)
+      packed(from, "__old")
+        .join(packed(readVersion(table, toV), "__new"), keyCols, "full_outer")
+        .withColumn("__change",
+          when(col("__old").isNull, "insert")
+            .when(col("__new").isNull, "delete")
+            .when(!(col("__old") <=> col("__new")), "update"))
+        .filter(col("__change").isNotNull)
+    }
+  }
+
+  /** O(delta) KEYED diff of one version step — [[stepDiffFast]]'s
+    * sibling under diffKeyed's unique-key contract. Output shape is
+    * identical to the generic path (keyCols…, __old, __new, __change):
+    *  - append:     every segment row is an insert (a key appended
+    *                over an existing one violates the keyed contract —
+    *                exactly as it corrupts the generic full-outer)
+    *  - mor_patch:  del(old images) ⟗ add(new images) on the keys —
+    *                delete / insert / update classified with NO base
+    *                scan at all
+    *  - mor_delete: base ⋉ keys → deletes with their __old images
+    *                (one base scan); requires the step's own key
+    *                columns to match the requested ones
+    *  - mor_upsert: (base ⋉ keys) ⟗ up → update/insert (an upsert
+    *                never deletes); same key-match requirement
+    * None otherwise (full commits; key mismatch). */
+  private[graft] def stepDiffKeyedFast(table: String, v: Int, keyCols: Seq[String]): Option[DataFrame] = {
+    import org.apache.spark.sql.functions._
+    val m = try versionMeta(table, v) catch { case _: Exception => return None }
+    if (m.kind == "full") return None
+    val cols = readVersion(table, v).columns.toSeq
+    if (!keyCols.forall(cols.contains)) return None
+    val rest = cols.filterNot(keyCols.contains)
     def packed(df: DataFrame, as: String) =
       df.select(keyCols.map(col) :+ struct(rest.map(col): _*).as(as): _*)
-    packed(from, "__old")
-      .join(packed(readVersion(table, toV), "__new"), keyCols, "full_outer")
+    val structDt = readVersion(table, v).select(struct(rest.map(col): _*)).schema.head.dataType
+    def nul(as: String) = lit(null).cast(structDt).as(as)
+    def classify(joined: DataFrame) = joined
       .withColumn("__change",
         when(col("__old").isNull, "insert")
           .when(col("__new").isNull, "delete")
           .when(!(col("__old") <=> col("__new")), "update"))
       .filter(col("__change").isNotNull)
+    m.kind match {
+      case "append" =>
+        Some(segRead(table, v) match {
+          case None =>
+            packed(readVersion(table, v).where(lit(false)), "__new")
+              .select((keyCols.map(col) :+ nul("__old")) :+ col("__new"): _*)
+              .withColumn("__change", lit("insert")).filter(lit(false))
+          case Some(seg) =>
+            packed(seg, "__new")
+              .select((keyCols.map(col) :+ nul("__old")) :+ col("__new"): _*)
+              .withColumn("__change", lit("insert"))
+        })
+      case "mor_patch" =>
+        val d = segRead(table, v, "del").map(packed(_, "__old"))
+        val a = segRead(table, v, "add").map(packed(_, "__new"))
+        (d, a) match {
+          case (None, None) =>
+            Some(packed(readVersion(table, v).where(lit(false)), "__new")
+              .select((keyCols.map(col) :+ nul("__old")) :+ col("__new"): _*)
+              .withColumn("__change", lit("insert")).filter(lit(false)))
+          case (Some(dd), None) =>
+            Some(dd.select((keyCols.map(col) :+ col("__old")) :+ nul("__new"): _*)
+              .withColumn("__change", lit("delete")))
+          case (None, Some(aa)) =>
+            Some(aa.select((keyCols.map(col) :+ nul("__old")) :+ col("__new"): _*)
+              .withColumn("__change", lit("insert")))
+          case (Some(dd), Some(aa)) => Some(classify(dd.join(aa, keyCols, "full_outer")))
+        }
+      case "mor_delete" if m.keyCols == keyCols =>
+        Some(segRead(table, v) match {
+          case None =>
+            packed(readVersion(table, v).where(lit(false)), "__old")
+              .select((keyCols.map(col) :+ col("__old")) :+ nul("__new"): _*)
+              .withColumn("__change", lit("delete"))
+          case Some(k) =>
+            val keys = k.select(keyCols.map(col): _*).distinct()
+            packed(readVersion(table, m.base).join(keys, keyCols, "left_semi"), "__old")
+              .select((keyCols.map(col) :+ col("__old")) :+ nul("__new"): _*)
+              .withColumn("__change", lit("delete"))
+        })
+      case "mor_upsert" if m.keyCols == keyCols =>
+        segRead(table, v).map { u =>
+          val keys = u.select(keyCols.map(col): _*).distinct()
+          val touched = readVersion(table, m.base).join(keys, keyCols, "left_semi")
+          classify(packed(touched, "__old").join(packed(u, "__new"), keyCols, "full_outer"))
+        }.orElse(Some(
+          packed(readVersion(table, v).where(lit(false)), "__new")
+            .select((keyCols.map(col) :+ nul("__old")) :+ col("__new"): _*)
+            .withColumn("__change", lit("insert")).filter(lit(false))))
+      case _ => None
+    }
   }
 
   // ------------------------------------------------------------------

@@ -231,16 +231,35 @@ private[streaming] final class ChangeFeedSource(
         "startingVersion at a retained version, or raise previousVersionsMax on the table")
   }
 
-  /** One version step's changes, as a distributed plan over the two
-    * pinned snapshots. */
+  /** One version step's changes. DELTA versions diff from their own
+    * segment ([[graft.io.SnapshotTables.stepDiffFast]] — O(delta) plus
+    * at most one base scan, instead of two full chain resolutions per
+    * step; the cost model a feed over a 100 TB table needs); full
+    * commits fall back to the generic two-snapshot plan. The fast path
+    * applies only when the version's columns still match the feed's
+    * pinned schema — a drifted version routes through [[pinned]],
+    * which fails loudly. */
   private def stepChanges(v: Int, commitMillis: Option[Long]): DataFrame = {
-    val newDf = pinned(v)
-    val oldDf = if (v == 1) emptyData else pinned(v - 1)
+    def schemaStable: Boolean =
+      try st.readVersion(table, v).columns.toSet == dataCols.toSet
+      catch { case _: Exception => false }
+    lazy val newDf = pinned(v)
+    lazy val oldDf = if (v == 1) emptyData else pinned(v - 1)
     val changes =
       if (keys.isEmpty)
-        newDf.exceptAll(oldDf).withColumn(ChangeTypeCol, lit("insert"))
-          .unionByName(oldDf.exceptAll(newDf).withColumn(ChangeTypeCol, lit("delete")))
-      else keyedChanges(oldDf, newDf)
+        st.stepDiffFast(table, v).filter(_ => schemaStable) match {
+          case Some(fast) =>
+            fast.withColumnRenamed("__change", ChangeTypeCol)
+              .select((dataCols :+ ChangeTypeCol).map(col): _*)
+          case None =>
+            newDf.exceptAll(oldDf).withColumn(ChangeTypeCol, lit("insert"))
+              .unionByName(oldDf.exceptAll(newDf).withColumn(ChangeTypeCol, lit("delete")))
+        }
+      else
+        st.stepDiffKeyedFast(table, v, keys).filter(_ => schemaStable) match {
+          case Some(fast) => keyedFromClassified(fast)
+          case None => keyedChanges(oldDf, newDf)
+        }
     val ts = commitMillis
       .map(m => lit(new java.sql.Timestamp(m)).cast(TimestampType))
       .getOrElse(lit(null).cast(TimestampType))
@@ -267,6 +286,28 @@ private[streaming] final class ChangeFeedSource(
         when(col("__old").isNull, array(ev("insert", "__new")))
           .when(col("__new").isNull, array(ev("delete", "__old")))
           .when(!(col("__old") <=> col("__new")),
+            array(ev("update_preimage", "__old"), ev("update_postimage", "__new")))
+          .otherwise(array().cast(evType))
+      ).as("__e"): _*)
+    exploded.select(dataCols.map(c =>
+      if (keys.contains(c)) col(c) else col(s"__e.img.`$c`").as(c))
+      :+ col("__e.t").as(ChangeTypeCol): _*)
+  }
+
+  /** The fast keyed step shape (keys…, __old, __new, __change ∈
+    * insert|delete|update) exploded into the feed's pre/post-image
+    * rows — the same event vocabulary [[keyedChanges]] emits. */
+  private def keyedFromClassified(classified: DataFrame): DataFrame = {
+    val rest = dataCols.filterNot(keys.contains)
+    def ev(t: String, img: String) = struct(lit(t).as("t"), col(img).as("img"))
+    val restStruct = org.apache.spark.sql.types.StructType(rest.map(c => pinnedData(c)))
+    val evType = org.apache.spark.sql.types.ArrayType(new StructType()
+      .add("t", StringType, nullable = false).add("img", restStruct))
+    val exploded = classified.select(
+      keys.map(col) :+ explode(
+        when(col("__change") === "insert", array(ev("insert", "__new")))
+          .when(col("__change") === "delete", array(ev("delete", "__old")))
+          .when(col("__change") === "update",
             array(ev("update_preimage", "__old"), ev("update_postimage", "__new")))
           .otherwise(array().cast(evType))
       ).as("__e"): _*)

@@ -251,6 +251,59 @@ class DeltaCommitsSpec extends SparkSpec {
     assert(t.chainKinds("tab", t.currentVersion("tab")) == Seq("full"))
   }
 
+  test("O(delta) step diffs match the generic two-resolution diff for every kind") {
+    val (t, _) = newTables()
+    t.overwriteTable((1 to 100).map(i => (i, s"r$i")).toDF("id", "v"), "tab") // v1 full
+    t.append((101 to 110).map(i => (i, s"r$i")).toDF("id", "v"), "tab")      // v2 append
+    t.upsertMor("tab", Seq((5, "up5"), (200, "new200")).toDF("id", "v"), Seq("id")) // v3
+    t.deleteKeysMor("tab", Seq(7, 8).toDF("id"))                              // v4
+    t.updateMor("tab", Seq("v" -> concat($"v", lit("!"))), $"id" <= 2)        // v5 patch
+    t.deleteWhereMor("tab", $"id" === 9)                                      // v6 patch, del only
+    def genericDiff(v: Int): Set[String] = {
+      val from = t.readVersion("tab", v - 1); val to = t.readVersion("tab", v)
+      (to.exceptAll(from).withColumn("__change", lit("insert"))
+        .unionByName(from.exceptAll(to).withColumn("__change", lit("delete"))))
+        .collect().map(_.toString).toSet
+    }
+    def genericKeyed(v: Int): Set[String] = {
+      val from = t.readVersion("tab", v - 1); val to = t.readVersion("tab", v)
+      def packed(df: org.apache.spark.sql.DataFrame, as: String) =
+        df.select(col("id"), struct(col("v")).as(as))
+      packed(from, "__old").join(packed(to, "__new"), Seq("id"), "full_outer")
+        .withColumn("__change",
+          when(col("__old").isNull, "insert").when(col("__new").isNull, "delete")
+            .when(!(col("__old") <=> col("__new")), "update"))
+        .filter(col("__change").isNotNull)
+        .collect().map(_.toString).toSet
+    }
+    (2 to 6).foreach { v =>
+      val fast = t.stepDiffFast("tab", v)
+      assert(fast.isDefined, s"v$v should have a fast multiset step diff")
+      assert(fast.get.collect().map(_.toString).toSet == genericDiff(v), s"multiset v$v")
+      val fastK = t.stepDiffKeyedFast("tab", v, Seq("id"))
+      assert(fastK.isDefined, s"v$v should have a fast keyed step diff")
+      assert(fastK.get.collect().map(_.toString).toSet == genericKeyed(v), s"keyed v$v")
+    }
+    // full commits have no fast path
+    t.materialize("tab") // v7
+    assert(t.stepDiffFast("tab", 7).isEmpty)
+  }
+
+  test("append step diffs read ONLY the delta segment; all-append ranges never scan the base") {
+    val (t, root) = newTables()
+    t.overwriteTable((1 to 1000).map(i => (i, s"r$i")).toDF("id", "v"), "tab")
+    t.append(Seq((1001, "x")).toDF("id", "v"), "tab")
+    t.append(Seq((1002, "y")).toDF("id", "v"), "tab")
+    val step = t.diff("tab", 1, 2)
+    assert(step.inputFiles.forall(_.contains("/v00002")), "step diff must not open base files")
+    assert(step.select("id").as[Int].collect().toSeq == Seq(1001))
+    val range = t.diff("tab", 1, 3) // all-append range: union of segments
+    assert(range.inputFiles.forall(f => f.contains("/v00002") || f.contains("/v00003")))
+    assert(range.select("id", "__change").as[(Int, String)].collect().toSet ==
+      Set((1001, "insert"), (1002, "insert")))
+    val _ = root
+  }
+
   test("write mode is a table property: default cow, settable, validated") {
     val (t, _) = newTables()
     t.overwriteTable(Seq((1, "a")).toDF("id", "v"), "tab")

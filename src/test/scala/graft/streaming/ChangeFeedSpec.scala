@@ -65,6 +65,29 @@ class ChangeFeedSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("delta commits stream O(delta): feed events over append/upsert/delete/patch chains are exact") {
+    val root = tmp("delta"); val st = new SnapshotTables(spark, root)
+    st.overwriteTable(Seq((1, "a"), (2, "b")).toDF("id", "v"), "t") // v1 full
+    st.append(Seq((3, "c")).toDF("id", "v"), "t")                   // v2 append
+    st.upsertMor("t", Seq((2, "B"), (4, "d")).toDF("id", "v"), Seq("id")) // v3
+    st.deleteKeysMor("t", Seq(1).toDF("id"))                        // v4
+    st.updateMor("t", Seq("v" -> org.apache.spark.sql.functions.concat(col("v"),
+      org.apache.spark.sql.functions.lit("!"))), col("id") === 3)   // v5 patch
+    val q = feed(root, "t", "keys" -> "id", "startingVersion" -> "earliest")
+      .writeStream.format("memory").queryName("cdf_delta")
+      .option("checkpointLocation", tmp("delta-ck")).start()
+    try {
+      q.processAllAvailable()
+      assert(changes("cdf_delta") == Seq(
+        (1, "insert", 1, "a"), (1, "insert", 2, "b"),
+        (2, "insert", 3, "c"),
+        (3, "insert", 4, "d"),
+        (3, "update_postimage", 2, "B"), (3, "update_preimage", 2, "b"),
+        (4, "delete", 1, "a"),
+        (5, "update_postimage", 3, "c!"), (5, "update_preimage", 3, "c")))
+    } finally q.stop()
+  }
+
   test("default start = head at stream start: only commits made after subscription stream") {
     val root = tmp("latest"); val st = new SnapshotTables(spark, root)
     st.overwriteTable(Seq((1, "a"), (2, "b")).toDF("id", "v"), "t")
