@@ -645,4 +645,86 @@ object Curation {
       .orderBy(col("skey"), col(idCol))
       .limit(k)
   }
+
+  /** DSIR-style domain-targeted importance weights (Data Selection for
+    * Language Models via Importance Resampling — Xie et al. 2023, a
+    * published method): score each RAW-pool document by how much more
+    * likely its n-gram profile is under a TARGET domain's model than
+    * under the raw pool's own. Features are unigrams + word bigrams
+    * hashed into `buckets` cells (the hashing IS the method's
+    * dimensionality reduction — collisions are by design); both models
+    * are Laplace-smoothed bucket multinomials fit distributively; each
+    * document's log importance weight is the sum of its grams' cell
+    * log-ratios:  log w(d) = Σ_g [ln p_target(b(g)) − ln q_raw(b(g))].
+    *
+    * Distributed shape, built for the 100 TB pool: two explode →
+    * bucket-count aggregates (map-side partial agg; results are
+    * `buckets`-bounded, i.e. metadata-sized), a BROADCAST λ-table join
+    * (buckets rows — never a shuffle of the pool), one per-doc sum.
+    * No driver-side loop touches document data.
+    *
+    * Determinism contract (cross-engine, like [[unigramLogLoss]]):
+    * md5-based [[graft.functions.TextFunctions.hash32]] bucketing, λ =
+    * round(ln·, 8) as DECIMAL, per-doc DECIMAL sums — hash-exact
+    * against a DuckDB replay regardless of partitioning.
+    * Output: idCol, n_grams, logw (DECIMAL 28,10). */
+  def dsirWeights(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 4096
+  ): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    def grams(df: DataFrame, extra: Seq[Column]) = {
+      val toks = tokens(col(textCol))
+      df.select(extra :+ explode(concat(toks, wordShingles(toks, 2))).as("g"): _*)
+    }
+    val b = pmod(hash32(col("g")), lit(buckets.toLong)).as("b")
+    // corpus-wide cell counts: B-bounded frames, checkpointed once
+    // (each feeds a total AND the λ join)
+    val tCnt = grams(target, Nil).groupBy(b).agg(count(lit(1)).as("tc")).localCheckpoint()
+    val rCnt = grams(raw, Nil).groupBy(b).agg(count(lit(1)).as("rc")).localCheckpoint()
+    val tN = tCnt.agg(sum(col("tc")).as("tn"))
+    val rN = rCnt.agg(sum(col("rc")).as("rn"))
+    val allCells = raw.sparkSession.range(buckets).select(col("id").as("b"))
+    val lambda = allCells
+      .join(tCnt, Seq("b"), "left").join(rCnt, Seq("b"), "left")
+      .crossJoin(broadcast(tN)).crossJoin(broadcast(rN))
+      .select(col("b"),
+        (round(log((coalesce(col("tc"), lit(0L)) + 1).cast("double") /
+            (col("tn") + buckets).cast("double")), 8) -
+          round(log((coalesce(col("rc"), lit(0L)) + 1).cast("double") /
+            (col("rn") + buckets).cast("double")), 8))
+          .cast("decimal(28,10)").as("lambda"))
+    grams(raw, Seq(col(idCol))).select(col(idCol), b)
+      .join(broadcast(lambda), "b")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_grams"), sum(col("lambda")).as("logw"))
+  }
+
+  /** Importance RESAMPLING on the DSIR weights: Gumbel-top-k — draw
+    * key = logw + Gumbel(0,1) with the Gumbel from the same
+    * deterministic hash-uniform every sampler here uses, so the draw
+    * itself (not just the weight) is pinned cross-engine. Working on
+    * LOG weights is what makes this shape safe at scale: w = e^logw
+    * over/underflows double for strongly-shifted domains, the Gumbel
+    * trick never exponentiates. One global top-k (TakeOrdered), no
+    * full sort materialization. */
+  def dsirResample(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      buckets: Int = 4096,
+      seed: String = "dsir"
+  ): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = dsirWeights(raw, target, idCol, textCol, buckets)
+    val u = (hash32(concat(lit(seed), col(idCol).cast("string"))) + lit(0.5)) / lit(4294967296.0)
+    w.withColumn("draw", round(col("logw").cast("double") - log(-log(u)), 6))
+      .orderBy(desc("draw"), col(idCol))
+      .limit(k)
+  }
 }

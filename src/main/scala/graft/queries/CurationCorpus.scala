@@ -1083,7 +1083,62 @@ object CurationCorpus {
       FROM k GROUP BY source ORDER BY source""")
   )
 
+  /** DSIR-style importance resampling (Xie et al. 2023, a published
+    * data-selection method), hash-exact end-to-end: fit Laplace-
+    * smoothed hashed-n-gram (unigram+bigram → 4096 md5-hashed cells)
+    * multinomials for a TARGET domain (two sources) and the RAW pool,
+    * weight every raw doc by its summed cell log-ratio, then Gumbel-
+    * top-k resample on the log weights with the corpus's standard
+    * hash-uniform draw. DuckDB replays featurization, both model fits,
+    * the λ table (incl. zero-count smoothing cells), the DECIMAL
+    * weight sums AND the draw itself — so the match pins the exact
+    * selected subset, not just the scores. All broadcast-sized model
+    * state (4096 rows); the pool is touched by two exploded partial
+    * aggregates and one broadcast join — the shape that holds at
+    * 100 TB. */
+  private val q134 = Q(
+    "q134_dsir_resample",
+    (s, dir) => {
+      val docs = fixture(s, dir, "documents")
+      Curation.dsirResample(docs,
+          docs.filter(col("source").isin("src0", "src1")),
+          "doc_id", "text", k = 200, buckets = 4096)
+        .select(col("doc_id"), col("n_grams"),
+          round(col("logw").cast("double"), 6).as("logw"), col("draw"))
+        .orderBy(desc("draw"), col("doc_id"))
+    },
+    Some("""WITH tgt AS (SELECT text FROM documents WHERE source IN ('src0','src1')),
+      tg AS (SELECT unnest(list_concat(string_split(text,' '),
+               list_transform(range(1, len(string_split(text,' '))),
+                 i -> array_to_string(string_split(text,' ')[i:i+1], ' ')))) AS g FROM tgt),
+      rg AS (SELECT doc_id, unnest(list_concat(string_split(text,' '),
+               list_transform(range(1, len(string_split(text,' '))),
+                 i -> array_to_string(string_split(text,' ')[i:i+1], ' ')))) AS g FROM documents),
+      tb AS (SELECT CAST(('0x' || substr(md5(g),1,8)) AS BIGINT) % 4096 AS b, COUNT(*) AS tc
+             FROM tg GROUP BY 1),
+      rb AS (SELECT CAST(('0x' || substr(md5(g),1,8)) AS BIGINT) % 4096 AS b, COUNT(*) AS rc
+             FROM rg GROUP BY 1),
+      tn AS (SELECT SUM(tc) AS tn FROM tb),
+      rn AS (SELECT SUM(rc) AS rn FROM rb),
+      lam AS (SELECT r.range AS b,
+               CAST(ROUND(ln((COALESCE(tb.tc,0)+1) / CAST(tn.tn+4096 AS DOUBLE)), 8)
+                  - ROUND(ln((COALESCE(rb.rc,0)+1) / CAST(rn.rn+4096 AS DOUBLE)), 8)
+                  AS DECIMAL(28,10)) AS lambda
+              FROM range(4096) r
+              LEFT JOIN tb ON tb.b = r.range LEFT JOIN rb ON rb.b = r.range, tn, rn),
+      w AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_grams, SUM(lambda) AS logw
+            FROM (SELECT doc_id, CAST(('0x' || substr(md5(g),1,8)) AS BIGINT) % 4096 AS b FROM rg) d
+            JOIN lam USING (b) GROUP BY doc_id),
+      drawn AS (SELECT doc_id, n_grams,
+                 ROUND(CAST(logw AS DOUBLE), 6) AS logw,
+                 ROUND(CAST(logw AS DOUBLE)
+                   - ln(-ln((CAST(('0x' || substr(md5('dsir' || CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) + 0.5) / 4294967296.0)), 6) AS draw
+                FROM w)
+      SELECT doc_id, n_grams, logw, draw FROM drawn
+      ORDER BY draw DESC, doc_id LIMIT 200""")
+  )
+
   val all: Seq[Q] = Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q89, q90, q91,
-    q92, q93, q94, q103, q104, q105, q110, q115, q120, q124, q129)
+    q92, q93, q94, q103, q104, q105, q110, q115, q120, q124, q129, q134)
 }

@@ -464,4 +464,33 @@ class CurationSpec extends SparkSpec {
       .filter($"kept").select($"doc_id").as[Long].collect().toSet
     assert(again == out.filter($"kept").select($"doc_id").as[Long].collect().toSet)
   }
+
+  test("dsirWeights: target-like documents score higher; weights are partition-deterministic; model joins broadcast") {
+    import org.apache.spark.sql.functions._
+    // two clearly separated vocabularies: 'sci' docs vs 'chat' docs
+    val sci = (1 to 40).map(i => (i.toLong, s"quantum flux lattice spectrum boson field tensor $i", "sci"))
+    val chat = (41 to 80).map(i => (i.toLong, s"lol yeah totally gonna hang out later ok $i", "chat"))
+    val raw = (sci ++ chat).toDF("doc_id", "text", "kind")
+    val target = raw.filter($"kind" === "sci").limit(10)
+    val w = Curation.dsirWeights(raw, target, "doc_id", "text")
+    val avg = w.join(raw.select("doc_id", "kind"), "doc_id")
+      .groupBy($"kind").agg(org.apache.spark.sql.functions.avg($"logw".cast("double")).as("m"))
+      .as[(String, Double)].collect().toMap
+    // sci-domain raw docs must carry systematically higher importance
+    assert(avg("sci") > avg("chat") + 1.0, s"got $avg")
+    // deterministic under repartition (the DECIMAL-sum contract)
+    val again = Curation.dsirWeights(raw.repartition(13), target, "doc_id", "text")
+      .select($"doc_id", $"logw").as[(Long, java.math.BigDecimal)].collect().toMap
+    val first = w.select($"doc_id", $"logw").as[(Long, java.math.BigDecimal)].collect().toMap
+    assert(again == first)
+    // the λ model joins as a BROADCAST (buckets-bounded) — the pool is
+    // never shuffled against model state
+    val plan = w.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    // resample: top-k is target-dominated and exactly k
+    val picked = Curation.dsirResample(raw, target, "doc_id", "text", k = 20)
+      .join(raw.select("doc_id", "kind"), "doc_id")
+    assert(picked.count() == 20)
+    assert(picked.filter($"kind" === "sci").count() >= 18)
+  }
 }
