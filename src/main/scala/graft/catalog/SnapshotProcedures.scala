@@ -23,6 +23,10 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructType
   *    z-order clustering as one committed version; empty `zorder_cols`
   *    → plain per-partition compaction; [[SnapshotTables.optimize]] /
   *    [[SnapshotTables.compact]]
+  *  - `compact_deltas(table)` — MINOR compaction: fold the delta
+  *    chain into one equivalent segment at O(Σ deltas), base
+  *    untouched (returns folded=0 when there is nothing to fold or
+  *    the chain is unfoldable); [[SnapshotTables.compactDeltas]]
   *  - `expire_log(keep)` — prune the governed catalog's commit log
   *    (governed catalogs only); [[graft.io.LakeCommits.expireLog]]
   *  - `publish_branches(tables, branch)` — cross-table ATOMIC publish
@@ -38,7 +42,7 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructType
 private[catalog] object SnapshotProcedures {
 
   val Names: Seq[String] =
-    Seq("rollback", "fast_forward", "optimize", "expire_log", "publish_branches")
+    Seq("rollback", "fast_forward", "optimize", "compact_deltas", "expire_log", "publish_branches")
 
   private def param(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()
@@ -88,6 +92,7 @@ private[catalog] object SnapshotProcedures {
           case "fast_forward" => Array(param("table", StringType), param("branch", StringType))
           case "optimize" => Array(param("table", StringType),
             paramD("zorder_cols", StringType, "''"), paramD("target_file_mb", IntegerType, "128"))
+          case "compact_deltas" => Array(param("table", StringType))
           case "expire_log" => Array(param("keep", IntegerType))
           case "publish_branches" => Array(param("tables", StringType), param("branch", StringType))
         }
@@ -112,6 +117,14 @@ private[catalog] object SnapshotProcedures {
             else st.compact(t, st.currentPartitionCols(t), target)
             publishThrough(st, t)
             result(outSchema("current_version"), st.currentVersion(t))
+          case "compact_deltas" =>
+            val (st, t) = tablesOf(input.getUTF8String(0).toString)
+            val folded = st.compactDeltas(t)
+            // a fold commits a new (content-identical) version; the
+            // publish-through keeps governed readers pinned to it
+            if (folded) publishThrough(st, t)
+            result(outSchema("folded", "current_version"),
+              if (folded) 1 else 0, st.currentVersion(t))
           case "expire_log" =>
             val lc = governed
             lc.expireLog(input.getInt(0))

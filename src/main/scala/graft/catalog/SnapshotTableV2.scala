@@ -327,8 +327,9 @@ private[catalog] object HistoryMetadataTable {
     .add("version", IntegerType, nullable = false)
     .add("parent_version", IntegerType, nullable = true)
     .add("is_current", BooleanType, nullable = false)
-    // commit kind: "full" snapshot, O(delta) "append", or a
-    // merge-on-read delta ("mor_upsert"/"mor_delete"/"mor_patch")
+    // commit kind: "full" snapshot, O(delta) "append", a merge-on-read
+    // delta ("mor_upsert"/"mor_delete"/"mor_patch"), or minor
+    // compaction's folded segment ("mor_revise")
     .add("kind", StringType, nullable = false)
 
   /** The reserved metadata-table suffix. */

@@ -520,8 +520,12 @@ final class SnapshotTables(
   // metadata. Readers resolve the chain (base full snapshot + deltas
   // in order) into one DataFrame plan — anti-joins and unions, fully
   // distributed, no driver materialization. Chains are bounded:
-  // `graft.delta.maxChainLength` (default 16) triggers an automatic
-  // materializing commit, and compact()/optimize() always materialize.
+  // `graft.delta.maxChainLength` (default 16) triggers automatic
+  // MINOR COMPACTION ([[compactDeltas]] — fold the deltas into one
+  // equivalent segment at O(Σ deltas), the base untouched), escalating
+  // to a materializing O(table) commit only when the deltas have grown
+  // to rival the base (`graft.delta.materializeRatio`) or the chain is
+  // unfoldable; compact()/optimize() always materialize.
   //
   // Commit kinds, each with its resolution rule:
   //  - "append":     dir holds new data rows (table layout applied) →
@@ -538,6 +542,11 @@ final class SnapshotTables(
   //                  multiset semantics) → (base EXCEPT ALL del) ∪ add.
   //                  The shape predicate DELETE/UPDATE lower to when
   //                  the table's write mode is "mor".
+  //  - "mor_revise": minor compaction's folded segment — del/ holds
+  //                  KEY rows, add/ full rows (key_cols in meta) →
+  //                  (base ⟕̸ keys) ∪ add. Only [[compactDeltas]]
+  //                  commits it; its meta carries `fold:true` so CDC
+  //                  knows the commit was content-preserving.
   // Time travel, diff/CDC, rollback, branches and the change feed all
   // read through [[readVersion]] and therefore resolve chains
   // transparently; retention protects every chain ancestor a retained
@@ -556,7 +565,8 @@ final class SnapshotTables(
     val keys = "\"key_cols\":\\[([^\\]]*)\\]".r.findFirstMatchIn(json)
       .map(_.group(1).split(',').toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty))
       .getOrElse(Nil)
-    VersionMeta(v, kind, base, keys)
+    val fold = json.contains("\"fold\":true")
+    VersionMeta(v, kind, base, keys, fold)
   }
 
   /** The delta chain of `v`, ascending: a full base first, then every
@@ -618,11 +628,206 @@ final class SnapshotTables(
     if (chainOf(table, cur).length > 1) overwriteTable(readVersion(table, cur), table)
   }
 
-  /** Pre-commit chain budget: materialize first when one more delta
-    * would push the chain past [[maxChainLength]]. */
+  /** MINOR COMPACTION (LSM-style): fold the current chain's DELTA
+    * segments into ONE equivalent delta against the chain's base, at
+    * O(Σ deltas) cost — the base is never read, let alone rewritten.
+    * This is what keeps a streaming MOR sink viable on a huge table:
+    * [[materialize]] is O(table), so a budget that only materializes
+    * would rewrite the whole table every `maxChainLength` micro-batches.
+    *
+    * The fold is exact (content-identical to the unfolded chain) and
+    * commits ONE new version whose meta records `base = <chain head>`
+    * and `fold = true` (so CDC step diffs know it is content-preserving
+    * and report empty at zero scans). Three foldable shapes:
+    *
+    *  - all-append → one combined "append" segment (layout re-derived,
+    *    per-segment stats manifest kept, so the append-only fast scan
+    *    path and fastCount/pruning survive the fold);
+    *  - append/upsert/delete mixes sharing ONE key set → a
+    *    "mor_revise" segment: del/ holds every key any upsert or
+    *    delete touched, add/ the surviving replacement+appended rows.
+    *    Derivation (⊎/∖ multiset, ⟕̸ key anti-join): maintaining the
+    *    invariant state = (base ⟕̸ K) ⊎ R, an upsert U maps
+    *    (K, R) → (K ∪ keys(U), (R ⟕̸ keys(U)) ⊎ U) and a delete D maps
+    *    (K, R) → (K ∪ D, R ⟕̸ D) — both computed from delta segments
+    *    only;
+    *  - all-patch → one combined "mor_patch" via the multiset identity
+    *    (P ⊎ Q) ∖ R = (Q ∖ R) ⊎ (P ∖ (R ∖ Q)): applying patch (d, a)
+    *    to state (B ∖ D) ⊎ A gives D' = D ⊎ (d ∖ A), A' = (A ∖ d) ⊎ a,
+    *    exact for every base B.
+    *
+    * Returns false (no commit) when there is nothing to fold (≤ 1
+    * delta) or the chain is unfoldable: patch segments mixed with
+    * keyed ones, or keyed segments with differing key sets — those
+    * depend on base rows to reconcile and fall back to [[materialize]]
+    * in the budget path. Fencing: like any delta commit, fails with
+    * ConcurrentCommitException if a writer lands mid-fold. */
+  def compactDeltas(table: String): Boolean = {
+    import org.apache.spark.sql.functions.col
+    val cur = currentVersion(table)
+    require(cur > 0, s"table $table has no committed version")
+    val segs = chainOf(table, cur)
+    if (segs.length <= 2) return false
+    val head = segs.head.v
+    val deltas = segs.tail
+    val kinds = deltas.map(_.kind).toSet
+    val schemaJson = read(table).schema.json
+
+    def unionOpt(a: Option[DataFrame], b: Option[DataFrame]): Option[DataFrame] = (a, b) match {
+      case (Some(x), Some(y)) => Some(x.unionByName(y))
+      case (x, None) => x
+      case (None, y) => y
+    }
+    def commitFold(kindJson: String, stage: Path => Unit,
+        mStats: Seq[String], mSketch: Seq[String]): Unit = {
+      commitVersion(table, stage,
+        partitionCols1 = currentPartitionCols(table),
+        schemaJson = schemaJson,
+        metaExtra = kindJson + s""""base":$head,"fold":true,""",
+        expectedNext = Some(cur + 1),
+        afterWin = () => (),
+        manifestStats = mStats, manifestSketch = mSketch)
+      ()
+    }
+    def layoutWrite(df: DataFrame, dest: Path): Unit = {
+      val (df1, pcols) = withTableLayout(df, table, Nil)
+      val w = df1.write.mode(SaveMode.Overwrite)
+      (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w).parquet(dest.toString)
+    }
+
+    if (kinds == Set("append")) {
+      val folded = deltas.flatMap(s => segRead(table, s.v)).reduceOption(_ unionByName _)
+      folded match {
+        case None => false // every segment empty: nothing to write, chain is already trivial
+        case Some(f) =>
+          val sp = statsColsPath(table); val kp = sketchColsPath(table)
+          val mStats =
+            if (fs(sp).exists(sp)) readSmallFile(sp).split(',').toSeq.filter(_.nonEmpty) else Nil
+          val mSketch =
+            if (fs(kp).exists(kp)) readSmallFile(kp).split(',').toSeq.filter(_.nonEmpty) else Nil
+          commitFold(s""""kind":"append",""", tmp => layoutWrite(f, tmp), mStats, mSketch)
+          true
+      }
+    } else if (!kinds.contains("mor_patch")) {
+      val keyed = deltas.filter(_.kind != "append")
+      if (keyed.map(_.keyCols.toSet).distinct.length != 1) return false
+      val kcols = keyed.head.keyCols
+      var delKeys: Option[DataFrame] = None
+      var add: Option[DataFrame] = None
+      deltas.foreach { s =>
+        s.kind match {
+          case "append" => add = unionOpt(add, segRead(table, s.v))
+          case "mor_upsert" =>
+            segRead(table, s.v).foreach { u =>
+              val uk = u.select(kcols.map(col): _*).distinct()
+              add = unionOpt(add.map(_.join(uk, kcols, "left_anti")), Some(u))
+              delKeys = unionOpt(delKeys, Some(uk))
+            }
+          case "mor_delete" =>
+            segRead(table, s.v).foreach { d =>
+              val dk = d.select(kcols.map(col): _*).distinct()
+              add = add.map(_.join(dk, kcols, "left_anti"))
+              delKeys = unionOpt(delKeys, Some(dk))
+            }
+          case "mor_revise" =>
+            // a PREVIOUS fold's segment re-folding: apply its del keys
+            // like a delete, then union its add rows — same invariant
+            segRead(table, s.v, "del").foreach { d =>
+              val dk = d.select(kcols.map(col): _*).distinct()
+              add = add.map(_.join(dk, kcols, "left_anti"))
+              delKeys = unionOpt(delKeys, Some(dk))
+            }
+            add = unionOpt(add, segRead(table, s.v, "add"))
+          case other => throw new IllegalStateException(s"unexpected kind '$other' in keyed fold")
+        }
+      }
+      val dk = delKeys.map(_.distinct())
+      commitFold(
+        s""""kind":"mor_revise","key_cols":${kcols.map("\"" + _ + "\"").mkString("[", ",", "]")},""",
+        tmp => {
+          dk.foreach(_.write.mode(SaveMode.Overwrite).parquet(new Path(tmp, "del").toString))
+          add.foreach(a => layoutWrite(a, new Path(tmp, "add")))
+        }, Nil, Nil)
+      true
+    } else if (kinds == Set("mor_patch")) {
+      var d: Option[DataFrame] = None
+      var a: Option[DataFrame] = None
+      deltas.foreach { s =>
+        val di = segRead(table, s.v, "del")
+        val ai = segRead(table, s.v, "add")
+        // D' = D ⊎ (dᵢ ∖ A);  A' = (A ∖ dᵢ) ⊎ aᵢ
+        val dNew = di.map { x =>
+          a match {
+            case Some(aa) => x.exceptAll(aa.select(x.columns.toSeq.map(col): _*))
+            case None => x
+          }
+        }
+        val aAfterDel = a.map { aa =>
+          di match {
+            case Some(x) => aa.exceptAll(x.select(aa.columns.toSeq.map(col): _*))
+            case None => aa
+          }
+        }
+        d = unionOpt(d, dNew)
+        a = unionOpt(aAfterDel, ai)
+      }
+      commitFold(s""""kind":"mor_patch",""",
+        tmp => {
+          d.foreach(_.write.mode(SaveMode.Overwrite).parquet(new Path(tmp, "del").toString))
+          a.foreach(_.write.mode(SaveMode.Overwrite).parquet(new Path(tmp, "add").toString))
+        }, Nil, Nil)
+      true
+    } else false // patch segments mixed with keyed ones need base rows to reconcile
+  }
+
+  /** `graft.delta.minorCompaction` — whether the chain budget tries a
+    * fold before falling back to the O(table) materialize (default on). */
+  private def minorCompactionEnabled: Boolean =
+    spark.conf.getOption("graft.delta.minorCompaction") match {
+      case None => true
+      case Some(raw) => raw.trim.toBooleanOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"graft.delta.minorCompaction must be true/false, got '$raw'"))
+    }
+
+  /** `graft.delta.materializeRatio` — once the chain's accumulated
+    * delta bytes exceed this fraction of the base's bytes, the budget
+    * materializes instead of folding: repeated folds re-write the
+    * folded segment (LSM write amplification on DELTA data), and past
+    * this point one materialize costs about as much as the next fold
+    * while resetting the chain's read cost to a single scan. */
+  private def materializeRatio: Double =
+    spark.conf.getOption("graft.delta.materializeRatio") match {
+      case None => 0.5
+      case Some(raw) => raw.trim.toDoubleOption match {
+        case Some(r) if r > 0 => r
+        case _ => throw new IllegalArgumentException(
+          s"graft.delta.materializeRatio must be a positive number, got '$raw'")
+      }
+    }
+
+  private def dirBytes(table: String, v: Int): Long = {
+    val d = snapDir(table, v)
+    fs(d).getContentSummary(d).getLength
+  }
+
+  /** Pre-commit chain budget: when one more delta would push the chain
+    * past [[maxChainLength]], FOLD the deltas (O(Σ deltas), see
+    * [[compactDeltas]]) — unless they have grown to rival the base
+    * ([[materializeRatio]]) or the chain is unfoldable, in which case
+    * materialize (O(table)). Either way the next commit starts a
+    * near-empty chain, and a 100 TB base is only ever rewritten when
+    * the delta volume itself justifies it. */
   private def ensureChainBudget(table: String): Unit = {
     val cur = currentVersion(table)
-    if (cur > 0 && chainOf(table, cur).length >= maxChainLength) materialize(table)
+    if (cur > 0 && chainOf(table, cur).length >= maxChainLength) {
+      val segs = chainOf(table, cur)
+      val tryFold = minorCompactionEnabled &&
+        segs.tail.map(s => dirBytes(table, s.v)).sum <=
+          dirBytes(table, segs.head.v) * materializeRatio
+      val folded = tryFold && compactDeltas(table)
+      if (!folded) materialize(table)
+    }
   }
 
   /** The delta frame must cover exactly the table's columns — a delta
@@ -831,6 +1036,19 @@ final class SnapshotTables(
             }
           }
           union(afterDel, segRead(table, s.v, "add"))
+        case "mor_revise" =>
+          // minor compaction's folded segment: del/ holds KEY rows to
+          // remove from the base, add/ the full replacement+appended
+          // rows — (base ⟕̸ keys) ∪ add, the keyed generalization of
+          // mor_upsert (add rows need not cover every deleted key)
+          val afterDel = acc.map { a =>
+            segRead(table, s.v, "del") match {
+              case None => a
+              case Some(d) =>
+                a.join(d.select(s.keyCols.map(col): _*).distinct(), s.keyCols, "left_anti")
+            }
+          }
+          union(afterDel, segRead(table, s.v, "add"))
         case other =>
           throw new IllegalStateException(s"unknown commit kind '$other' at $table v${s.v}")
       }
@@ -965,10 +1183,17 @@ final class SnapshotTables(
     val fast: Option[DataFrame] =
       if (toV == fromV + 1) stepDiffFast(table, toV)
       else if (toV > fromV + 1 && (fromV + 1 to toV).forall { v =>
-        (try versionMeta(table, v).kind catch { case _: Exception => "?" }) == "append"
+        // each step must be a plain append whose base IS the previous
+        // version (a re-based fold segment REPEATS earlier segments'
+        // rows — double-counting), or a content-preserving fold
+        // commit, which contributes nothing and is skipped below
+        val m = try Some(versionMeta(table, v)) catch { case _: Exception => None }
+        m.exists(x => x.fold || (x.kind == "append" && x.base == v - 1))
       }) {
         // to = from ⊎ seg₁ ⊎ … ⊎ segₖ  ⇒  to∖from = ⊎segᵢ, from∖to = ∅
-        val segs = (fromV + 1 to toV).flatMap(v => segRead(table, v))
+        val segs = (fromV + 1 to toV)
+          .filterNot(v => versionMeta(table, v).fold)
+          .flatMap(v => segRead(table, v))
         Some(segs.reduceOption(_ unionByName _)
           .getOrElse(readVersion(table, toV).where(lit(false)))
           .withColumn("__change", lit("insert")))
@@ -1002,6 +1227,13 @@ final class SnapshotTables(
     def del(df: DataFrame) = df.withColumn("__change", lit("delete"))
     def emptyDiff = ins(readVersion(table, v).where(lit(false)))
     def aligned(df: DataFrame, to: DataFrame) = df.select(to.columns.toSeq.map(col): _*)
+    // a fold commit (minor compaction) is content-preserving BY
+    // CONSTRUCTION — its step diff is empty, at zero scans
+    if (m.fold) return Some(emptyDiff)
+    // every per-kind proof below assumes the step's meta base IS the
+    // preceding version; a re-based segment (fold without the marker —
+    // defensive) must take the generic two-resolution path
+    if (m.kind != "full" && m.base != v - 1) return None
     m.kind match {
       case "append" =>
         Some(segRead(table, v).map(ins).getOrElse(emptyDiff))
@@ -1077,6 +1309,17 @@ final class SnapshotTables(
     if (m.kind == "full") return None
     val cols = readVersion(table, v).columns.toSeq
     if (!keyCols.forall(cols.contains)) return None
+    // fold commits are content-preserving: empty classified diff, zero
+    // scans; any other re-based segment (defensive) → generic path
+    if (m.fold) {
+      val rest = cols.filterNot(keyCols.contains)
+      val structDt = readVersion(table, v).select(struct(rest.map(col): _*)).schema.head.dataType
+      return Some(readVersion(table, v).where(lit(false))
+        .select(keyCols.map(col) :+ lit(null).cast(structDt).as("__old") :+
+          lit(null).cast(structDt).as("__new"): _*)
+        .withColumn("__change", lit("insert")).filter(lit(false)))
+    }
+    if (m.base != v - 1) return None
     val rest = cols.filterNot(keyCols.contains)
     def packed(df: DataFrame, as: String) =
       df.select(keyCols.map(col) :+ struct(rest.map(col): _*).as(as): _*)
@@ -2129,7 +2372,8 @@ object SnapshotTables {
 
   /** One link of a version's delta chain, parsed from the version
     * metadata ("kind" absent = a full snapshot). */
-  private[io] final case class VersionMeta(v: Int, kind: String, base: Int, keyCols: Seq[String])
+  private[io] final case class VersionMeta(v: Int, kind: String, base: Int, keyCols: Seq[String],
+      fold: Boolean = false)
 
   /** A partition transform (Iceberg's hidden-partitioning vocabulary):
     * a pure function of one source column whose image becomes the

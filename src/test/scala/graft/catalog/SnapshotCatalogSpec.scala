@@ -612,6 +612,24 @@ class SnapshotCatalogSpec extends SparkSpec {
     }.getMessage.contains("not log-governed"))
   }
 
+  test("CALL compact_deltas: minor compaction through SQL — fold committed, content and history intact") {
+    val c = newCatalog()
+    spark.sql(s"CREATE NAMESPACE $c.dw")
+    spark.sql(s"CREATE TABLE $c.dw.f AS SELECT id, CAST(id AS STRING) AS v FROM range(100)") // v1
+    spark.sql(s"INSERT INTO $c.dw.f VALUES (100, 'a')") // v2 append
+    spark.sql(s"INSERT INTO $c.dw.f VALUES (101, 'b')") // v3 append
+    val r = spark.sql(s"CALL $c.system.compact_deltas('dw.f')").collect().toSeq
+    assert(r == Seq(Row(1, 4))) // folded, new current version
+    assert(spark.sql(s"SELECT count(*) FROM $c.dw.f").head.getLong(0) == 102L)
+    // the fold shows in .history as one more append-kind version; the
+    // folded content still matches the pre-fold head
+    assert(spark.sql(s"SELECT kind FROM $c.dw.f.history WHERE version = 4").head.getString(0)
+      == "append")
+    assert(spark.sql(s"SELECT count(*) FROM $c.dw.f VERSION AS OF 3").head.getLong(0) == 102L)
+    // nothing left to fold: folded = 0, version unchanged
+    assert(spark.sql(s"CALL $c.system.compact_deltas('dw.f')").collect().toSeq == Seq(Row(0, 4)))
+  }
+
   test("CALL procedures on a governed catalog: publish_branches flips tables atomically; expire_log prunes") {
     val cat = "cgov" + java.util.UUID.randomUUID().toString.replace("-", "").take(10)
     val root = java.nio.file.Files.createTempDirectory(s"graft-cat-$cat").toString

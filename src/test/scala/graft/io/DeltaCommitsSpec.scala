@@ -304,6 +304,174 @@ class DeltaCommitsSpec extends SparkSpec {
     val _ = root
   }
 
+  // ---------------------------------------------------------------
+  // Minor compaction (compactDeltas): fold the chain's deltas into ONE
+  // equivalent segment at O(Σ deltas) — the base never read or
+  // rewritten — instead of the O(table) materialize.
+  // ---------------------------------------------------------------
+
+  test("minor compaction folds an all-append chain into one O(Σ deltas) append segment") {
+    val (t, root) = newTables()
+    t.overwriteTable((1 to 1000).map(i => (i.toLong, s"r$i")).toDF("id", "v"), "tab", Nil,
+      statsCols = Seq("id"))
+    t.append((1001L to 1010L).map(i => (i, s"r$i")).toDF("id", "v"), "tab") // v2
+    t.append((1011L to 1015L).map(i => (i, s"r$i")).toDF("id", "v"), "tab") // v3
+    assert(t.compactDeltas("tab"))                                          // v4 fold
+    assert(t.currentVersion("tab") == 4)
+    assert(t.chainKinds("tab", 4) == Seq("full", "append"))
+    // the folded segment physically holds ONLY the 15 delta rows
+    assert(spark.read.parquet(snapDirOf(root, "tab", 4)).count() == 15)
+    assert(t.read("tab").count() == 1015)
+    // pre-fold versions still time travel through their own chains
+    assert(t.readVersion("tab", 2).count() == 1010)
+    assert(t.readVersion("tab", 3).count() == 1015)
+    // append-only metadata surfaces survive the fold
+    assert(t.fastCount("tab") == 1015L)
+    assert(t.readPruned("tab", "id", 1001L, 1015L).inputFiles.length <
+      t.read("tab").inputFiles.length)
+    // a fold is content-preserving: its step diff is EMPTY at zero scans
+    val step = t.stepDiffFast("tab", 4)
+    assert(step.isDefined && step.get.count() == 0)
+    // nothing further to fold
+    assert(!t.compactDeltas("tab"))
+  }
+
+  test("minor compaction folds keyed chains (append+upsert+delete) into one mor_revise; matches COW") {
+    val (t, root) = newTables()
+    val base = (1 to 100).map(i => (i, s"r$i")).toDF("id", "v")
+    // the same op sequence on a COW twin is the truth
+    t.overwriteTable(base, "cow")
+    t.overwriteTable(base, "mor")
+    // append new ids, upsert over base+appended, delete across both
+    t.append(Seq((101, "a101"), (102, "a102")).toDF("id", "v"), "mor")
+    t.overwriteTable(t.read("cow").unionByName(Seq((101, "a101"), (102, "a102")).toDF("id", "v")), "cow")
+    t.upsertMor("mor", Seq((5, "up5"), (101, "up101"), (200, "new200")).toDF("id", "v"), Seq("id"))
+    t.merge("cow", Seq((5, "up5"), (101, "up101"), (200, "new200")).toDF("id", "v"), Seq("id"))
+    t.deleteKeysMor("mor", Seq(7, 102, 200).toDF("id"))
+    t.delete("cow", $"id".isin(7, 102, 200))
+    assert(t.chainKinds("mor", t.currentVersion("mor")) ==
+      Seq("full", "append", "mor_upsert", "mor_delete"))
+    val before = t.read("mor").as[(Int, String)].collect().toSet
+    assert(t.compactDeltas("mor"))
+    val cur = t.currentVersion("mor")
+    assert(t.chainKinds("mor", cur) == Seq("full", "mor_revise"))
+    // content unchanged by the fold, and equal to the COW truth
+    assert(t.read("mor").as[(Int, String)].collect().toSet == before)
+    assert(before == t.read("cow").as[(Int, String)].collect().toSet)
+    // the folded segment holds delta-sized data: del/ keys ⊆ touched
+    // keys, add/ the surviving new rows — never the 100-row base
+    val foldDir = snapDirOf(root, "mor", cur)
+    assert(spark.read.parquet(s"$foldDir/del").count() <= 6) // 5,101,200,7,102 distinct
+    assert(spark.read.parquet(s"$foldDir/add").count() <= 4) // a101(upserted), up5, up101 survive…
+    // keyed CDC across the fold still classifies correctly
+    val d = t.diffKeyed("mor", 1, cur, Seq("id")).select("id", "__change")
+      .as[(Int, String)].collect().toSet
+    assert(d == Set((5, "update"), (7, "delete"), (101, "insert")))
+  }
+
+  test("minor compaction folds patch chains via multiset algebra, duplicates included") {
+    val (t, _) = newTables()
+    // duplicate rows make the multiset algebra earn its keep
+    val base = Seq((1, "a"), (1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
+    t.overwriteTable(base, "tab")
+    t.updateMor("tab", Seq("v" -> concat($"v", lit("!"))), $"id" === 1) // v2: both copies
+    t.deleteWhereMor("tab", $"id" === 2)                               // v3: del-only patch
+    t.updateMor("tab", Seq("v" -> concat($"v", lit("?"))), $"id" === 1) // v4: touches v2's adds
+    val before = t.read("tab").as[(Int, String)].collect().toSeq.sorted
+    assert(before == Seq((1, "a!?"), (1, "a!?"), (3, "c")))
+    assert(t.compactDeltas("tab"))
+    val cur = t.currentVersion("tab")
+    assert(t.chainKinds("tab", cur) == Seq("full", "mor_patch"))
+    assert(t.read("tab").as[(Int, String)].collect().toSeq.sorted == before)
+    // fold step invisible to CDC
+    assert(t.stepDiffFast("tab", cur).exists(_.count() == 0))
+    assert(t.stepDiffKeyedFast("tab", cur, Seq("id")).exists(_.count() == 0))
+  }
+
+  test("chain budget prefers the fold; materializeRatio escalates to a full rewrite") {
+    val (t, _) = newTables()
+    spark.conf.set("graft.delta.maxChainLength", "3")
+    try {
+      t.overwriteTable((1 to 1000).map(i => (i, s"r$i")).toDF("id", "v"), "tab")
+      (1 to 6).foreach(i => t.append(Seq((1000 + i, "x")).toDF("id", "v"), "tab"))
+      // v1 full, v2 v3 appends (chain=3) → budget folds (v4), append v5
+      // (chain=3 again) → fold v6, append v7 …: the base is NEVER
+      // rewritten — no new "full" version after v1
+      assert(t.read("tab").count() == 1006)
+      (2 to t.currentVersion("tab")).foreach(v =>
+        assert(t.chainKinds("tab", v).count(_ == "full") == 1 &&
+          t.chainKinds("tab", v).head == "full"))
+      assert((1 to t.currentVersion("tab")).forall(v => t.chainKinds("tab", v).length <= 3))
+      // with a tiny ratio the same budget MATERIALIZES instead
+      spark.conf.set("graft.delta.materializeRatio", "0.000001")
+      val v0 = t.currentVersion("tab")
+      (1 to 3).foreach(i => t.append(Seq((2000 + i, "y")).toDF("id", "v"), "tab"))
+      val kindsNow = (v0 + 1 to t.currentVersion("tab")).map(v =>
+        t.chainKinds("tab", v).last)
+      assert((v0 + 1 to t.currentVersion("tab")).exists(v =>
+        t.chainKinds("tab", v) == Seq("full")), s"expected a materialize, saw $kindsNow")
+      assert(t.read("tab").count() == 1009)
+    } finally {
+      spark.conf.unset("graft.delta.maxChainLength")
+      spark.conf.unset("graft.delta.materializeRatio")
+    }
+  }
+
+  test("unfoldable chains (patch+keyed mix, differing key sets) refuse the fold and budget-materialize") {
+    val (t, _) = newTables()
+    t.overwriteTable((1 to 50).map(i => (i, s"r$i")).toDF("id", "v"), "tab")
+    t.deleteKeysMor("tab", Seq(1).toDF("id"))
+    t.updateMor("tab", Seq("v" -> lit("z")), $"id" === 2)
+    assert(!t.compactDeltas("tab")) // patch + keyed: not foldable
+    // differing key sets refuse too
+    t.overwriteTable((1 to 50).map(i => (i, s"k$i", s"r$i")).toDF("id", "k", "v"), "tab2")
+    t.deleteKeysMor("tab2", Seq(1).toDF("id"))
+    t.deleteKeysMor("tab2", Seq("k2").toDF("k"))
+    assert(!t.compactDeltas("tab2"))
+    // the budget still bounds such chains — by materializing
+    spark.conf.set("graft.delta.maxChainLength", "3")
+    try {
+      t.updateMor("tab", Seq("v" -> lit("w")), $"id" === 3) // chain=3 → next commit materializes
+      t.deleteKeysMor("tab", Seq(4).toDF("id"))
+      assert(t.chainKinds("tab", t.currentVersion("tab")).take(1) == Seq("full"))
+      assert((1 to t.currentVersion("tab")).forall(v => t.chainKinds("tab", v).length <= 3))
+      assert(t.read("tab").select("id").as[Int].collect().toSet == ((2 to 50).toSet - 4))
+    } finally spark.conf.unset("graft.delta.maxChainLength")
+  }
+
+  test("repeated folds re-fold their own revise segment; CDC range diffs skip fold steps") {
+    val (t, _) = newTables()
+    t.overwriteTable((1 to 100).map(i => (i, s"r$i")).toDF("id", "v"), "tab")
+    t.upsertMor("tab", Seq((1, "u1")).toDF("id", "v"), Seq("id"))   // v2
+    t.deleteKeysMor("tab", Seq(2).toDF("id"))                        // v3
+    assert(t.compactDeltas("tab"))                                   // v4 revise(fold)
+    t.upsertMor("tab", Seq((3, "u3"), (101, "n101")).toDF("id", "v"), Seq("id")) // v5
+    t.append(Seq((102, "a102")).toDF("id", "v"), "tab")              // v6
+    assert(t.compactDeltas("tab"))                                   // v7 re-fold incl. v4
+    assert(t.chainKinds("tab", 7) == Seq("full", "mor_revise"))
+    assert(t.read("tab").as[(Int, String)].collect().toSet ==
+      ((4 to 100).map(i => (i, s"r$i")).toSet ++ Set((1, "u1"), (3, "u3"), (101, "n101"), (102, "a102"))))
+    // the full range diff across both folds equals the generic truth
+    val got = t.diff("tab", 1, 7).select("id", "v", "__change")
+      .as[(Int, String, String)].collect().toSet
+    assert(got == Set((1, "r1", "delete"), (1, "u1", "insert"), (2, "r2", "delete"),
+      (3, "r3", "delete"), (3, "u3", "insert"), (101, "n101", "insert"), (102, "a102", "insert")))
+    // an all-append range WITH a fold step in the middle still takes
+    // the segments-only fast path, skipping the fold's segment
+    t.overwriteTable((1 to 10).map(i => (i, s"r$i")).toDF("id", "v"), "t2")
+    t.append(Seq((11, "a")).toDF("id", "v"), "t2")  // v2
+    assert(t.compactDeltas("t2") == false)           // single delta: nothing to fold
+    t.append(Seq((12, "b")).toDF("id", "v"), "t2")  // v3
+    assert(t.compactDeltas("t2"))                    // v4 fold
+    t.append(Seq((13, "c")).toDF("id", "v"), "t2")  // v5
+    val range = t.diff("t2", 1, 5)
+    assert(range.select("id", "__change").as[(Int, String)].collect().toSet ==
+      Set((11, "insert"), (12, "insert"), (13, "insert")))
+    assert(range.inputFiles.forall(f =>
+      f.contains("/v00002") || f.contains("/v00003") || f.contains("/v00005")),
+      "range diff must skip the fold segment (v4) and never open the base")
+  }
+
   test("write mode is a table property: default cow, settable, validated") {
     val (t, _) = newTables()
     t.overwriteTable(Seq((1, "a")).toDF("id", "v"), "tab")

@@ -88,6 +88,27 @@ class ChangeFeedSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a minor-compaction fold commit streams as a ZERO-row step (content-preserving)") {
+    val root = tmp("fold"); val st = new SnapshotTables(spark, root)
+    st.overwriteTable(Seq((1, "a"), (2, "b")).toDF("id", "v"), "t") // v1
+    st.upsertMor("t", Seq((2, "B")).toDF("id", "v"), Seq("id"))     // v2
+    st.deleteKeysMor("t", Seq(1).toDF("id"))                        // v3
+    assert(st.compactDeltas("t"))                                   // v4 fold (revise)
+    st.append(Seq((5, "e")).toDF("id", "v"), "t")                   // v5
+    val q = feed(root, "t", "keys" -> "id", "startingVersion" -> "earliest")
+      .writeStream.format("memory").queryName("cdf_fold")
+      .option("checkpointLocation", tmp("fold-ck")).start()
+    try {
+      q.processAllAvailable()
+      // v4 contributes NOTHING; every real change streams exactly once
+      assert(changes("cdf_fold") == Seq(
+        (1, "insert", 1, "a"), (1, "insert", 2, "b"),
+        (2, "update_postimage", 2, "B"), (2, "update_preimage", 2, "b"),
+        (3, "delete", 1, "a"),
+        (5, "insert", 5, "e")))
+    } finally q.stop()
+  }
+
   test("default start = head at stream start: only commits made after subscription stream") {
     val root = tmp("latest"); val st = new SnapshotTables(spark, root)
     st.overwriteTable(Seq((1, "a"), (2, "b")).toDF("id", "v"), "t")
