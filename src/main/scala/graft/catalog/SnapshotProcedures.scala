@@ -27,6 +27,10 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructType
   *    chain into one equivalent segment at O(Σ deltas), base
   *    untouched (returns folded=0 when there is nothing to fold or
   *    the chain is unfoldable); [[SnapshotTables.compactDeltas]]
+  *  - `evolve_partitioning(table, spec)` — partition-spec EVOLUTION
+  *    (metadata-only, Iceberg's shape: old data keeps its layout, new
+  *    commits derive the new one); spec grammar `days:ts,bucket8:id,
+  *    trunc6:name`, empty to drop; [[SnapshotTables.evolvePartitioning]]
   *  - `expire_log(keep)` — prune the governed catalog's commit log
   *    (governed catalogs only); [[graft.io.LakeCommits.expireLog]]
   *  - `publish_branches(tables, branch)` — cross-table ATOMIC publish
@@ -42,7 +46,8 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructType
 private[catalog] object SnapshotProcedures {
 
   val Names: Seq[String] =
-    Seq("rollback", "fast_forward", "optimize", "compact_deltas", "expire_log", "publish_branches")
+    Seq("rollback", "fast_forward", "optimize", "compact_deltas", "evolve_partitioning",
+      "expire_log", "publish_branches")
 
   private def param(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()
@@ -93,6 +98,8 @@ private[catalog] object SnapshotProcedures {
           case "optimize" => Array(param("table", StringType),
             paramD("zorder_cols", StringType, "''"), paramD("target_file_mb", IntegerType, "128"))
           case "compact_deltas" => Array(param("table", StringType))
+          case "evolve_partitioning" =>
+            Array(param("table", StringType), param("spec", StringType))
           case "expire_log" => Array(param("keep", IntegerType))
           case "publish_branches" => Array(param("tables", StringType), param("branch", StringType))
         }
@@ -125,6 +132,18 @@ private[catalog] object SnapshotProcedures {
             if (folded) publishThrough(st, t)
             result(outSchema("folded", "current_version"),
               if (folded) 1 else 0, st.currentVersion(t))
+          case "evolve_partitioning" =>
+            val (st, t) = tablesOf(input.getUTF8String(0).toString)
+            // spec uses the persisted transform grammar: "days:ts,
+            // bucket8:id,trunc6:name"; '' drops hidden partitioning.
+            // Metadata-only — no new version, no data rewritten; the
+            // NEXT commit lays out under the new spec.
+            val spec = input.getUTF8String(1).toString.trim
+            val ts =
+              if (spec.isEmpty) Nil
+              else graft.io.SnapshotTables.PartitionTransform.parseSpec(spec)
+            st.evolvePartitioning(t, ts)
+            result(outSchema("transforms"), ts.length)
           case "expire_log" =>
             val lc = governed
             lc.expireLog(input.getInt(0))

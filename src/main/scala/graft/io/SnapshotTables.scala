@@ -1086,6 +1086,42 @@ final class SnapshotTables(
     replaceSmallFile(transformSpecPath(table), SnapshotTables.PartitionTransform.formatSpec(transforms))
   }
 
+  /** PARTITION-SPEC EVOLUTION (Iceberg's evolve-partitioning, a
+    * metadata-only operation by design): replace the table's persisted
+    * transform spec WITHOUT rewriting any data. Every commit from now
+    * on derives the NEW hidden layout; every existing version keeps
+    * the directory layout it was written with — reads are
+    * layout-agnostic (resolution conceals `__p_*` everywhere), and
+    * [[readPartitionRange]]/[[readPartitionValues]] already handle
+    * mixed layouts per segment: directories written under the queried
+    * transform prune, directories written under another spec fall back
+    * to a row filter on the re-derived transform value — correct
+    * either way, and pruning coverage grows as old versions age out or
+    * OPTIMIZE rewrites them under the new spec. Pass Nil to drop
+    * hidden partitioning entirely. The spec is validated against the
+    * table's current columns so a typo fails here, not at the next
+    * commit. */
+  def evolvePartitioning(table: String,
+      transforms: Seq[SnapshotTables.PartitionTransform]): Unit = {
+    val cols: Seq[String] =
+      if (currentVersion(table) > 0) read(table).columns.toSeq
+      else declaredSchema(table).map(_.fieldNames.toSeq).getOrElse(Nil)
+    transforms.foreach { t =>
+      require(cols.isEmpty || cols.contains(t.srcCol),
+        s"transform source column '${t.srcCol}' is not a column of $table " +
+          s"(have: ${cols.mkString(", ")})")
+    }
+    require(transforms.map(_.name).distinct.length == transforms.length,
+      s"duplicate transform names in ${transforms.map(_.name).mkString(", ")}")
+    if (transforms.nonEmpty)
+      replaceSmallFile(transformSpecPath(table),
+        SnapshotTables.PartitionTransform.formatSpec(transforms))
+    else {
+      val p = transformSpecPath(table)
+      if (fs(p).exists(p)) fs(p).delete(p, false)
+    }
+  }
+
   /** Range scan over a hidden-partitioned table: the [lo, hi] bound on
     * the TRANSFORM'S SOURCE column is rewritten into a bound on the
     * derived partition values (evaluated with the very transform

@@ -1962,11 +1962,60 @@ object ExtensionCorpus {
       FROM cur GROUP BY o_orderstatus ORDER BY o_orderstatus""")
   )
 
+  /** MINOR COMPACTION through SQL, oracle-pinned: an append chain
+    * (CTAS + two INSERT INTO fast appends) folded by `CALL
+    * system.compact_deltas` into ONE equivalent delta segment — the
+    * base is never rewritten (O(Σ deltas), [[graft.io.SnapshotTables
+    * .compactDeltas]]); without it the chain budget's only escape is an
+    * O(table) materialize, the cost cliff a streaming ingest hits at
+    * 100 TB. The final SELECT audits all of it in one answer: the
+    * folded table's content (hash-matched vs raw-parquet truth), the
+    * `.history` kinds (v1 full + v2 v3 appends + the fold's own append
+    * = 3 append-kind versions, head = the fold at v4), and VERSION AS
+    * OF across the fold (v3 pre-fold still resolves through its own
+    * chain). The DuckDB oracle replays the content and pins the
+    * engine-fact constants. */
+  private val q135 = Q(
+    "q135_minor_compaction_sql",
+    (s, dir) => {
+      val cat = tempCatalog(s)
+      fixture(s, dir, "orders").createOrReplaceTempView("q135_orders")
+      s.sql(s"""CREATE TABLE $cat.dw.mc
+                AS SELECT o_orderkey, o_orderstatus, o_totalprice
+                FROM q135_orders WHERE o_orderkey <= 6000""") // v1 full
+      s.sql(s"""INSERT INTO $cat.dw.mc
+                SELECT o_orderkey, o_orderstatus, o_totalprice FROM q135_orders
+                WHERE o_orderkey > 6000 AND o_orderkey <= 8000""") // v2 append
+      s.sql(s"""INSERT INTO $cat.dw.mc
+                SELECT o_orderkey, o_orderstatus, o_totalprice FROM q135_orders
+                WHERE o_orderkey > 8000 AND o_orderkey <= 10000""") // v3 append
+      s.sql(s"CALL $cat.system.compact_deltas('dw.mc')") // v4 fold
+      s.sql(s"""SELECT o_orderstatus,
+                  COUNT(*) AS n,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+                  (SELECT COUNT(*) FROM $cat.dw.mc.history WHERE kind = 'append')
+                    AS append_versions,
+                  (SELECT MAX(version) FROM $cat.dw.mc.history) AS head_version,
+                  (SELECT kind FROM $cat.dw.mc.history WHERE is_current) AS head_kind,
+                  (SELECT COUNT(*) FROM $cat.dw.mc VERSION AS OF 3) AS n_prefold
+                FROM $cat.dw.mc
+                GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    },
+    Some("""SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        CAST(3 AS BIGINT) AS append_versions,
+        CAST(4 AS INTEGER) AS head_version,
+        'append' AS head_kind,
+        (SELECT COUNT(*) FROM orders WHERE o_orderkey <= 10000) AS n_prefold
+      FROM orders WHERE o_orderkey <= 10000
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  )
+
   val all: Seq[Q] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q99, q100, q101, q102, q106, q107, q108,
     q109, q111, q112, q113, q114, q116, q117, q118, q119, q121, q122, q123, q125, q126, q127,
-    q128, q130, q131, q132, q133
+    q128, q130, q131, q132, q133, q135
   )
 
 }

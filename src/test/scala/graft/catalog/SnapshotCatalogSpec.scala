@@ -630,6 +630,34 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(spark.sql(s"CALL $c.system.compact_deltas('dw.f')").collect().toSeq == Seq(Row(0, 4)))
   }
 
+  test("CALL evolve_partitioning: metadata-only spec change; new commits lay out and DESCRIBE under the new spec") {
+    val c = newCatalog()
+    spark.sql(s"CREATE NAMESPACE $c.dw")
+    spark.sql(s"CREATE TABLE $c.dw.pe AS SELECT id, " +
+      s"timestamp_seconds(1704067200 + id * 3600) AS ts FROM range(48)") // v1 flat
+    val r = spark.sql(s"CALL $c.system.evolve_partitioning('dw.pe', 'days:ts')").collect().toSeq
+    assert(r == Seq(Row(1)))
+    // metadata-only: no new version
+    assert(spark.sql(s"SELECT MAX(version) FROM $c.dw.pe.history").head.getInt(0) == 1)
+    // DESCRIBE reports the evolved spec
+    val desc = spark.sql(s"DESCRIBE TABLE $c.dw.pe").collect().map(_.mkString("|")).mkString("\n")
+    assert(desc.contains("days(ts)"), desc)
+    // the next commit (INSERT = fast append) lays out under the new spec
+    spark.sql(s"INSERT INTO $c.dw.pe VALUES (100, TIMESTAMP '2024-02-01 00:00:00')") // v2
+    assert(spark.sql(s"SELECT COUNT(*) FROM $c.dw.pe").head.getLong(0) == 49L)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $c.dw.pe WHERE ts >= TIMESTAMP '2024-02-01 00:00:00'")
+      .head.getLong(0) == 1L)
+    // old flat version still time-travels
+    assert(spark.sql(s"SELECT COUNT(*) FROM $c.dw.pe VERSION AS OF 1").head.getLong(0) == 48L)
+    // empty spec drops hidden partitioning
+    assert(spark.sql(s"CALL $c.system.evolve_partitioning('dw.pe', '')").collect().toSeq ==
+      Seq(Row(0)))
+    // a bad column fails at CALL time, not at the next commit
+    assert(intercept[Exception] {
+      spark.sql(s"CALL $c.system.evolve_partitioning('dw.pe', 'days:nope')").collect()
+    }.getMessage.contains("nope"))
+  }
+
   test("CALL procedures on a governed catalog: publish_branches flips tables atomically; expire_log prunes") {
     val cat = "cgov" + java.util.UUID.randomUUID().toString.replace("-", "").take(10)
     val root = java.nio.file.Files.createTempDirectory(s"graft-cat-$cat").toString

@@ -294,6 +294,66 @@ class SnapshotTablesSpec extends SparkSpec {
     assert(partitionFiltered(again, "__p_days_ts") && again.count() == 288)
   }
 
+  test("partition-spec evolution: metadata-only, old layouts readable, new commits prune under the new spec") {
+    import org.apache.spark.sql.functions._
+    import SnapshotTables.PartitionTransform
+    val root = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    val t = new SnapshotTables(spark, root)
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("ts", expr("timestamp_seconds(1704067200 + id * 600)"))
+    def partitionFiltered(d: org.apache.spark.sql.DataFrame, pcol: String): Boolean = {
+      d.count()
+      val plan = d.queryExecution.executedPlan.toString
+      "PartitionFilters: \\[[^\\]]*__p_".r.findFirstIn(plan).isDefined && plan.contains(pcol)
+    }
+    // v1: UNPARTITIONED full snapshot (flat layout)
+    t.overwriteTable(df.filter($"id" < 500), "ev")
+    assert(!new java.io.File(s"$root/ev/snapshots/v00001").listFiles()
+      .exists(_.getName.startsWith("__p_")))
+    // evolve to days(ts): METADATA ONLY — no new version committed
+    val byDay = PartitionTransform.days("ts")
+    t.evolvePartitioning("ev", Seq(byDay))
+    assert(t.currentVersion("ev") == 1)
+    assert(t.persistedTransforms("ev").map(_.name) == Seq("__p_days_ts"))
+    // the NEXT commit (an append delta) lays out under the new spec…
+    t.append(df.filter($"id" >= 500), "ev")
+    assert(new java.io.File(s"$root/ev/snapshots/v00002").listFiles()
+      .exists(_.getName.startsWith("__p_days_ts=")))
+    // …while v1's flat files are untouched, and reads span both layouts
+    assert(t.read("ev").count() == 1000)
+    assert(!t.read("ev").columns.exists(_.startsWith("__p_")))
+    assert(t.readVersion("ev", 1).count() == 500)
+    // a range read is CORRECT across mixed layouts: the new segment
+    // prunes directories, the old segment row-filters the re-derived
+    // transform value (id>=500 rows start 2024-01-04 11:20 UTC)
+    val r = t.readPartitionRange("ev", byDay, "2024-01-04 00:00:00", "2024-01-05 23:59:59")
+    val expected = df.filter(to_date($"ts").between("2024-01-04", "2024-01-05")).count()
+    assert(r.count() == expected && expected > 0)
+    assert(partitionFiltered(r, "__p_days_ts"), "new segment must contribute directory pruning")
+    // a full rewrite under the evolved spec restores pruning everywhere
+    t.compact("ev") // materializes; plain overwrite re-derives the spec's layout
+    assert(new java.io.File(s"$root/ev/snapshots/v%05d".format(t.currentVersion("ev")))
+      .listFiles().exists(_.getName.startsWith("__p_days_ts=")))
+    // evolve AGAIN to bucket(4, id): next commit buckets; old day dirs stay
+    t.evolvePartitioning("ev", Seq(PartitionTransform.bucket(4, "id")))
+    t.overwriteTable(df, "ev")
+    assert(new java.io.File(s"$root/ev/snapshots/v%05d".format(t.currentVersion("ev")))
+      .listFiles().exists(_.getName.startsWith("__p_bucket4_id=")))
+    val probe = t.readPartitionValues("ev", PartitionTransform.bucket(4, "id"), Seq(7L))
+    assert(partitionFiltered(probe, "__p_bucket4_id"))
+    assert(probe.filter($"id" === 7L).count() == 1)
+    // dropping the spec: next commit is flat again
+    t.evolvePartitioning("ev", Nil)
+    t.overwriteTable(df, "ev")
+    assert(!new java.io.File(s"$root/ev/snapshots/v%05d".format(t.currentVersion("ev")))
+      .listFiles().exists(_.getName.startsWith("__p_")))
+    // refusals: unknown source column, duplicate transforms
+    intercept[IllegalArgumentException](
+      t.evolvePartitioning("ev", Seq(PartitionTransform.days("nope"))))
+    intercept[IllegalArgumentException](
+      t.evolvePartitioning("ev", Seq(PartitionTransform.days("ts"), PartitionTransform.days("ts"))))
+  }
+
   test("statsCols naming only partition columns never yields empty pruned reads") {
     import org.apache.spark.sql.functions._
     val root = java.nio.file.Files.createTempDirectory("graft-snap").toString
