@@ -339,11 +339,18 @@ object Bench {
         val tApp = cspan { st.append(slice, "li") }
         val keys = li.select("l_orderkey").distinct().limit(100).localCheckpoint(true)
         val tDel = cspan { st.deleteKeysMor("li", keys) }
-        Seq("overwrite" -> tOver, "append_1pct" -> tApp, "mor_delete_keys" -> tDel)
+        // chain-maintenance gap, same chain: minor fold (O(Σ deltas) —
+        // here 1% + 100 keys) vs materialize (O(table) rewrite). At
+        // 100 TB the ratio IS the case for compactDeltas.
+        val tFold = cspan { st.compactDeltas("li") }
+        val tMat = cspan { st.materialize("li") }
+        Seq("overwrite" -> tOver, "append_1pct" -> tApp, "mor_delete_keys" -> tDel,
+          "minor_fold" -> tFold, "materialize" -> tMat)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] commit spans failed: ${e.getMessage}")
-          Seq("overwrite" -> -1.0, "append_1pct" -> -1.0, "mor_delete_keys" -> -1.0)
+          Seq("overwrite" -> -1.0, "append_1pct" -> -1.0, "mor_delete_keys" -> -1.0,
+            "minor_fold" -> -1.0, "materialize" -> -1.0)
       }
     val la1 = loadavg1()
     // Warm numbers come from the per-query best-of-3 above: all plans

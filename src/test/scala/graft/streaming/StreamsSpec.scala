@@ -515,6 +515,47 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming MOR chains stay bounded by FOLDING: after bootstrap the base is never rewritten") {
+    implicit val ctx = spark.sqlContext
+    // tight budget so the boundary triggers within a few batches; high
+    // materialize ratio so the policy FOLDS (at this fixture size the
+    // deltas instantly rival the 2-row base — real tables are the
+    // other way around)
+    spark.conf.set("graft.delta.maxChainLength", "4")
+    spark.conf.set("graft.delta.materializeRatio", "1000")
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-fold").toString
+    // high retention so the WHOLE version line stays auditable below
+    val tables = new graft.io.SnapshotTables(spark, root, previousVersionsMax = 100)
+    val ck = java.nio.file.Files.createTempDirectory("graft-stream-fold-ck").toString
+    val ms = MemoryStream[(Long, String)]
+    val q = Streams.snapshotMergeSink(
+      ms.toDF().toDF("k", "v"), tables, "tab", keyCols = Seq("k"), checkpoint = ck, mor = true)
+    try {
+      ms.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable() // v1 bootstrap (full)
+      (1 to 10).foreach { i =>
+        ms.addData((1L, s"u$i"), (100L + i, "n"))
+        q.processAllAvailable()
+      }
+      val cur = tables.currentVersion("tab")
+      // the budget held at every committed version…
+      (1 to cur).foreach(v => assert(tables.chainKinds("tab", v).length <= 4))
+      // …and it held by FOLDING, never by rewriting the table: v1 is
+      // the only full commit on the whole line
+      val kinds = (1 to cur).map(v => tables.commitKind("tab", v))
+      assert(kinds.head == "full" && !kinds.tail.contains("full"),
+        s"expected no materialize on the line, saw $kinds")
+      assert(kinds.count(_ == "mor_revise") >= 2, s"expected repeated folds, saw $kinds")
+      // and the stream's state is exactly right
+      assert(tables.read("tab").as[(Long, String)].collect().toSet ==
+        (Set((1L, "u10"), (2L, "b")) ++ (1 to 10).map(i => (100L + i, "n"))))
+    } finally {
+      q.stop()
+      spark.conf.unset("graft.delta.maxChainLength")
+      spark.conf.unset("graft.delta.materializeRatio")
+    }
+  }
+
   test("lshIndexUpsertSink: post-batch queries find new vectors; index stays bucket-pruned; replays idempotent") {
     implicit val ctx = spark.sqlContext
     import graft.operators.Similarity
