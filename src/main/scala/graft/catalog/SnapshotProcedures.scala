@@ -31,6 +31,11 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructType
   *    (metadata-only, Iceberg's shape: old data keeps its layout, new
   *    commits derive the new one); spec grammar `days:ts,bucket8:id,
   *    trunc6:name`, empty to drop; [[SnapshotTables.evolvePartitioning]]
+  *  - `expire_snapshots(table, older_than, retain_last)` — AGE-based
+  *    history expiry (Iceberg's shape; `older_than` a SQL timestamp
+  *    literal on the `.history` clock, newest `retain_last` + current +
+  *    branch bases + chain ancestors always survive);
+  *    [[SnapshotTables.expireSnapshots]]
   *  - `expire_log(keep)` — prune the governed catalog's commit log
   *    (governed catalogs only); [[graft.io.LakeCommits.expireLog]]
   *  - `publish_branches(tables, branch)` — cross-table ATOMIC publish
@@ -47,7 +52,7 @@ private[catalog] object SnapshotProcedures {
 
   val Names: Seq[String] =
     Seq("rollback", "fast_forward", "optimize", "compact_deltas", "evolve_partitioning",
-      "expire_log", "publish_branches")
+      "expire_snapshots", "expire_log", "publish_branches")
 
   private def param(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()
@@ -100,6 +105,8 @@ private[catalog] object SnapshotProcedures {
           case "compact_deltas" => Array(param("table", StringType))
           case "evolve_partitioning" =>
             Array(param("table", StringType), param("spec", StringType))
+          case "expire_snapshots" => Array(param("table", StringType),
+            param("older_than", StringType), paramD("retain_last", IntegerType, "1"))
           case "expire_log" => Array(param("keep", IntegerType))
           case "publish_branches" => Array(param("tables", StringType), param("branch", StringType))
         }
@@ -144,6 +151,14 @@ private[catalog] object SnapshotProcedures {
               else graft.io.SnapshotTables.PartitionTransform.parseSpec(spec)
             st.evolvePartitioning(t, ts)
             result(outSchema("transforms"), ts.length)
+          case "expire_snapshots" =>
+            val (st, t) = tablesOf(input.getUTF8String(0).toString)
+            // older_than: SQL timestamp literal text, the same wall
+            // clock .history / TIMESTAMP AS OF report
+            val cutoff = java.sql.Timestamp.valueOf(input.getUTF8String(1).toString).getTime
+            val expired = st.expireSnapshots(t, cutoff, input.getInt(2))
+            result(outSchema("expired_versions", "retained_versions"),
+              expired, st.history(t).length)
           case "expire_log" =>
             val lc = governed
             lc.expireLog(input.getInt(0))

@@ -2229,15 +2229,49 @@ final class SnapshotTables(
           catch { case _: Exception => Seq(v) } // unreadable meta: keep conservatively
         }.toSet
     hist.filter(v => v < current - previousVersionsMax && !protectedV.contains(v) &&
-        !chainProtected.contains(v)).foreach { v =>
-      val d = snapDir(table, v)
-      fs(d).delete(d, true)
-      val m = new Path(metaDir(table), f"v$v%05d.json")
-      fs(m).delete(m, false)
-      val mf = manifestPath(table, v)
-      fs(mf).delete(mf, true)
-    }
+        !chainProtected.contains(v)).foreach(dropVersion(table, _))
     vacuumStaging(table)
+  }
+
+  /** Physically remove one version: snapshot dir, metadata, manifest. */
+  private def dropVersion(table: String, v: Int): Unit = {
+    val d = snapDir(table, v)
+    fs(d).delete(d, true)
+    val m = new Path(metaDir(table), f"v$v%05d.json")
+    fs(m).delete(m, false)
+    val mf = manifestPath(table, v)
+    fs(mf).delete(mf, true)
+  }
+
+  /** AGE-BASED snapshot expiry (Iceberg's `expire_snapshots(older_than,
+    * retain_last)` — the count-based retention window can't express
+    * "keep a week of history" when commit cadence varies). Expires
+    * every retained version committed BEFORE `olderThanMillis`, except:
+    * the newest `retainLast` versions, the current version, branch
+    * bases, and every chain ancestor a surviving version still resolves
+    * through (same protection the automatic retention pass applies —
+    * expiring a chain's base would orphan the deltas on top of it).
+    * An explicit maintenance call, not a policy: the per-commit
+    * count-based window keeps running regardless. Returns the number of
+    * versions expired. */
+  def expireSnapshots(table: String, olderThanMillis: Long, retainLast: Int = 1): Int = {
+    require(retainLast >= 1, "retainLast must be at least 1")
+    val cur = currentVersion(table)
+    require(cur > 0, s"table $table has no committed version")
+    val protectedV = branchProtectedVersions(table)
+    val times = versionHistory(table).toMap
+    val hist = history(table)
+    val keepByCount = hist.sorted.takeRight(retainLast).toSet
+    val keep = hist.filter(v => keepByCount.contains(v) || v == cur ||
+      protectedV.contains(v) || times.get(v).forall(_ >= olderThanMillis)).toSet
+    val chainProtected: Set[Int] = keep.flatMap { v =>
+      try chainOf(table, v).map(_.v)
+      catch { case _: Exception => Seq(v) } // unreadable meta: keep conservatively
+    }
+    val doomed = hist.filterNot(v => keep.contains(v) || chainProtected.contains(v))
+    doomed.foreach(dropVersion(table, _))
+    vacuumStaging(table)
+    doomed.length
   }
 
   /** Sweep `.tmp-*` staging directories abandoned by crashed or killed

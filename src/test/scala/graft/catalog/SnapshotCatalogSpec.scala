@@ -658,6 +658,26 @@ class SnapshotCatalogSpec extends SparkSpec {
     }.getMessage.contains("nope"))
   }
 
+  test("CALL expire_snapshots: age-based history expiry through SQL on the .history clock") {
+    val c = newCatalog()
+    spark.sql(s"CREATE NAMESPACE $c.dw")
+    spark.sql(s"CREATE TABLE $c.dw.ex AS SELECT 1 AS id") // v1
+    spark.sql(s"INSERT OVERWRITE $c.dw.ex SELECT 2 AS id") // v2
+    spark.sql(s"INSERT OVERWRITE $c.dw.ex SELECT 3 AS id") // v3
+    // age v1/v2 an hour back on the same clock .history reads (meta mtime)
+    val root = spark.conf.get(s"spark.sql.catalog.$c.root")
+    val old = System.currentTimeMillis - 3600 * 1000L
+    (1 to 2).foreach(v => new java.io.File(f"$root/dw/ex/metadata/v$v%05d.json").setLastModified(old))
+    val cutoff = new java.sql.Timestamp(System.currentTimeMillis - 1800 * 1000L)
+    val r = spark.sql(s"CALL $c.system.expire_snapshots('dw.ex', '$cutoff')").collect().toSeq
+    assert(r == Seq(Row(2, 1)))
+    // only the head survives; .history agrees; expired time travel fails
+    assert(spark.sql(s"SELECT version FROM $c.dw.ex.history").collect().map(_.getInt(0)).toSeq
+      == Seq(3))
+    assert(spark.sql(s"SELECT id FROM $c.dw.ex").head.getInt(0) == 3)
+    intercept[Exception](spark.sql(s"SELECT * FROM $c.dw.ex VERSION AS OF 1").collect())
+  }
+
   test("CALL procedures on a governed catalog: publish_branches flips tables atomically; expire_log prunes") {
     val cat = "cgov" + java.util.UUID.randomUUID().toString.replace("-", "").take(10)
     val root = java.nio.file.Files.createTempDirectory(s"graft-cat-$cat").toString

@@ -354,6 +354,47 @@ class SnapshotTablesSpec extends SparkSpec {
       t.evolvePartitioning("ev", Seq(PartitionTransform.days("ts"), PartitionTransform.days("ts"))))
   }
 
+  test("expireSnapshots: age-based expiry keeps retain_last, current, branch bases and chain ancestors") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    val t = new SnapshotTables(spark, root, previousVersionsMax = 100)
+    (1 to 5).foreach(i => t.overwriteTable(Seq((i, s"r$i")).toDF("id", "v"), "tab")) // v1..v5
+    // simulate age: versions 1-3 committed "an hour ago"
+    val old = System.currentTimeMillis - 3600 * 1000L
+    (1 to 3).foreach { v =>
+      new java.io.File(f"$root/tab/metadata/v$v%05d.json").setLastModified(old)
+    }
+    // cutoff 30 min ago: v1-v3 too old, v4/v5 fresh
+    val cutoff = System.currentTimeMillis - 1800 * 1000L
+    assert(t.expireSnapshots("tab", cutoff) == 3)
+    assert(t.history("tab") == Seq(4, 5))
+    assert(t.readVersion("tab", 4).count() == 1)
+    intercept[Exception](t.readVersion("tab", 1).count())
+    // retain_last overrides age: with retain_last=4, only the oldest goes
+    val t2 = new SnapshotTables(spark, root, previousVersionsMax = 100)
+    (1 to 5).foreach(i => t2.overwriteTable(Seq((i, s"r$i")).toDF("id", "v"), "tab2"))
+    (1 to 5).foreach(v => new java.io.File(f"$root/tab2/metadata/v$v%05d.json").setLastModified(old))
+    assert(t2.expireSnapshots("tab2", cutoff, retainLast = 4) == 1)
+    assert(t2.history("tab2") == Seq(2, 3, 4, 5))
+    // chain ancestors survive even when too old: v1 full + v2 append,
+    // both aged — v2 is within retain_last so its base v1 must stay
+    val t3 = new SnapshotTables(spark, root, previousVersionsMax = 100)
+    t3.overwriteTable(Seq((1, "a")).toDF("id", "v"), "tab3")
+    t3.append(Seq((2, "b")).toDF("id", "v"), "tab3")
+    (1 to 2).foreach(v => new java.io.File(f"$root/tab3/metadata/v$v%05d.json").setLastModified(old))
+    assert(t3.expireSnapshots("tab3", cutoff) == 0) // v2 = retain_last head, v1 = its chain base
+    assert(t3.read("tab3").count() == 2)
+    // branch bases survive
+    val t4 = new SnapshotTables(spark, root, previousVersionsMax = 100)
+    (1 to 3).foreach(i => t4.overwriteTable(Seq((i, s"r$i")).toDF("id", "v"), "tab4"))
+    t4.createBranch("tab4", "wip") // forks at v3... fork base = current
+    t4.overwriteTable(Seq((9, "z")).toDF("id", "v"), "tab4") // v4
+    (1 to 4).foreach(v => new java.io.File(f"$root/tab4/metadata/v$v%05d.json").setLastModified(old))
+    t4.expireSnapshots("tab4", System.currentTimeMillis)
+    assert(t4.history("tab4").contains(3), "branch fork base must survive age expiry")
+    assert(t4.readBranch("tab4", "wip").count() == 1)
+  }
+
   test("statsCols naming only partition columns never yields empty pruned reads") {
     import org.apache.spark.sql.functions._
     val root = java.nio.file.Files.createTempDirectory("graft-snap").toString
