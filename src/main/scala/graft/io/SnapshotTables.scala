@@ -559,7 +559,14 @@ final class SnapshotTables(
     val m = new Path(metaDir(table), f"v$v%05d.json")
     require(fs(m).exists(m),
       s"version $v of $table is not retained (metadata missing) — its delta chain cannot be resolved")
-    val json = readSmallFile(m)
+    val raw = readSmallFile(m)
+    // commit fields live BEFORE the embedded schema json — a column
+    // whose field metadata happens to contain "kind"/"base"/"fold"
+    // keys must never be read as commit metadata
+    val json = raw.indexOf("\"schema\":") match {
+      case -1 => raw
+      case i => raw.substring(0, i)
+    }
     val kind = "\"kind\":\"([^\"]+)\"".r.findFirstMatchIn(json).map(_.group(1)).getOrElse("full")
     val base = "\"base\":(\\d+)".r.findFirstMatchIn(json).map(_.group(1).toInt).getOrElse(v - 1)
     val keys = "\"key_cols\":\\[([^\\]]*)\\]".r.findFirstMatchIn(json)

@@ -472,6 +472,25 @@ class DeltaCommitsSpec extends SparkSpec {
       "range diff must skip the fold segment (v4) and never open the base")
   }
 
+  test("column metadata that mimics commit fields never corrupts version metadata parsing") {
+    val (t, _) = newTables()
+    // a column whose FIELD METADATA carries "kind"/"base"/"fold" keys —
+    // these land inside the schema json embedded in the version meta
+    // file; the commit-field parser must never read them
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("kind", "append").putLong("base", 1L).putBoolean("fold", true).build()
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "v")
+      .select(col("id"), col("v").as("v", md))
+    t.overwriteTable(df, "tab") // v1 FULL commit
+    assert(t.chainKinds("tab", 1) == Seq("full"))
+    t.overwriteTable(df.filter($"id" === 1), "tab") // v2 FULL commit
+    assert(t.chainKinds("tab", 2) == Seq("full"))
+    // a full step has no fast diff (and is NOT misread as an empty fold)
+    assert(t.stepDiffFast("tab", 2).isEmpty)
+    assert(t.diff("tab", 1, 2).select("id", "__change").as[(Int, String)].collect().toSet ==
+      Set((2, "delete")))
+  }
+
   test("write mode is a table property: default cow, settable, validated") {
     val (t, _) = newTables()
     t.overwriteTable(Seq((1, "a")).toDF("id", "v"), "tab")
