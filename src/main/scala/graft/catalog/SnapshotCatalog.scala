@@ -175,6 +175,9 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces with StagingT
     // O(changed) merge-on-read deltas instead of snapshot rewrites
     Option(properties.get(SnapshotCatalog.WriteModeProperty))
       .foreach(m => st.setWriteMode(ident.name, m))
+    Option(properties.get(SnapshotCatalog.SortByProperty))
+      .foreach(s => st.setSortOrder(ident.name,
+        s.split(',').toSeq.map(_.trim).filter(_.nonEmpty)))
     loadTable(ident)
   }
 
@@ -194,28 +197,38 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces with StagingT
       partitions: Array[Transform], properties: util.Map[String, String]): StagedTable = {
     val st = tablesFor(ident.namespace)
     if (st.tableExists(ident.name)) throw new TableAlreadyExistsException(ident)
-    stage(ident, st, schema, partitions, existedBefore = false)
+    stage(ident, st, schema, partitions, properties, existedBefore = false)
   }
 
   override def stageReplace(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): StagedTable = {
     val st = tablesFor(ident.namespace)
     if (!st.tableExists(ident.name)) throw new NoSuchTableException(ident)
-    stage(ident, st, schema, partitions, existedBefore = true)
+    stage(ident, st, schema, partitions, properties, existedBefore = true)
   }
 
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): StagedTable = {
     val st = tablesFor(ident.namespace)
-    stage(ident, st, schema, partitions, existedBefore = st.tableExists(ident.name))
+    stage(ident, st, schema, partitions, properties, existedBefore = st.tableExists(ident.name))
   }
 
   private def stage(ident: Identifier, st: SnapshotTables, schema: StructType,
-      partitions: Array[Transform], existedBefore: Boolean): StagedTable = {
+      partitions: Array[Transform], properties: util.Map[String, String],
+      existedBefore: Boolean): StagedTable = {
     val (idCols, derived) = SnapshotCatalog.splitTransforms(partitions)
     // re-declare schema + partitioning (REPLACE may change both; a
     // stale transform spec is cleared by declareTable)
     st.declareTable(ident.name, schema, idCols, derived)
+    // TBLPROPERTIES apply on the CTAS path too — before the staged
+    // data write, so the very first commit already honors them
+    // (previously dropped here: a `CREATE TABLE ... TBLPROPERTIES
+    // ('graft.write.mode'='mor') AS SELECT` silently stayed cow)
+    Option(properties.get(SnapshotCatalog.WriteModeProperty))
+      .foreach(m => st.setWriteMode(ident.name, m))
+    Option(properties.get(SnapshotCatalog.SortByProperty))
+      .foreach(s => st.setSortOrder(ident.name,
+        s.split(',').toSeq.map(_.trim).filter(_.nonEmpty)))
     val base = st.currentVersion(ident.name)
     val inner = lake match {
       case Some(lc) => new SnapshotTableV2(fullName(ident), st, ident.name, base,
@@ -275,11 +288,14 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces with StagingT
           if (c == from) col(c).as(ren.newName) else col(c)): _*), t, pcols)
       case set: TableChange.SetProperty if set.property == SnapshotCatalog.WriteModeProperty =>
         st.setWriteMode(t, set.value)
+      case set: TableChange.SetProperty if set.property == SnapshotCatalog.SortByProperty =>
+        st.setSortOrder(t, set.value.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
       case other =>
         throw new UnsupportedOperationException(
           s"unsupported ALTER TABLE change ${other.getClass.getSimpleName} — " +
             "supported: ADD/DROP/RENAME top-level columns, " +
-            s"SET TBLPROPERTIES ('${SnapshotCatalog.WriteModeProperty}'); " +
+            s"SET TBLPROPERTIES ('${SnapshotCatalog.WriteModeProperty}', " +
+            s"'${SnapshotCatalog.SortByProperty}'); " +
             "type changes never coerce silently")
     }
     // log-governed: ALTER publishes through like any other SQL write —
@@ -443,6 +459,12 @@ object SnapshotCatalog {
   /** TBLPROPERTIES key selecting the row-level DML strategy: "cow"
     * (default, rewrite) or "mor" (merge-on-read patch commits). */
   val WriteModeProperty = "graft.write.mode"
+
+  /** TBLPROPERTIES key for the standing WRITE SORT ORDER (comma-
+    * separated column list): every commit sorts within write tasks on
+    * these columns so per-file stats stay tight ([[graft.io
+    * .SnapshotTables.sortOrder]]). */
+  val SortByProperty = "graft.write.sort_by"
 
   /** V2 partition transforms → the snapshot layer's vocabulary:
     * identity columns partition by directory; `days`/`bucket`/

@@ -107,6 +107,8 @@ final class SnapshotTableV2(
     m.put("provider", "graft-snapshots")
     m.put("version", version.toString)
     m.put(SnapshotCatalog.WriteModeProperty, st.writeMode(table))
+    val so = st.sortOrder(table)
+    if (so.nonEmpty) m.put(SnapshotCatalog.SortByProperty, so.mkString(","))
     m
   }
 

@@ -199,7 +199,19 @@ final class SnapshotTables(
     * regardless of cardinality); like `statsCols` it persists as a
     * table property so every later commit keeps maintaining it. */
   def overwriteTable(df: DataFrame, table: String, partitionCols: Seq[String], statsCols: Seq[String],
-      sketchCols: Seq[String]): Unit = {
+      sketchCols: Seq[String]): Unit =
+    overwriteImpl(df, table, partitionCols, statsCols, sketchCols, applySortOrder = true)
+
+  /** [[overwriteTable]] minus the standing sort-order redistribution —
+    * for [[compact]]/[[optimize]], whose explicit file shaping
+    * (size-targeted repartition, z-order clustering) must not be
+    * re-shuffled away by the table's write sort order. */
+  private[io] def overwriteShaped(df: DataFrame, table: String, partitionCols: Seq[String],
+      statsCols: Seq[String] = Nil, sketchCols: Seq[String] = Nil): Unit =
+    overwriteImpl(df, table, partitionCols, statsCols, sketchCols, applySortOrder = false)
+
+  private def overwriteImpl(df: DataFrame, table: String, partitionCols: Seq[String],
+      statsCols: Seq[String], sketchCols: Seq[String], applySortOrder: Boolean): Unit = {
     // statsCols is a persistent TABLE PROPERTY, not a per-write flag:
     // once set, every later commit — merge, delete, compact,
     // overwritePartitions all route through here — keeps maintaining
@@ -231,7 +243,7 @@ final class SnapshotTables(
     // re-threads its identity columns too: currentPartitionCols is
     // the previous commit's identity list (the `__p_` names strip),
     // so the full layout survives every plain commit.
-    val (df1, partitionCols1) = withTableLayout(df, table, partitionCols)
+    val (df1, partitionCols1) = withTableLayout(df, table, partitionCols, applySortOrder)
     commitVersion(
       table,
       stage = tmp => {
@@ -261,15 +273,55 @@ final class SnapshotTables(
     * partitionBy still overrides. Returns (frame with derived columns,
     * effective partition columns). */
   private def withTableLayout(df: DataFrame, table: String,
-      partitionCols: Seq[String]): (DataFrame, Seq[String]) = {
+      partitionCols: Seq[String], applySortOrder: Boolean = true): (DataFrame, Seq[String]) = {
     val transforms = if (partitionCols.isEmpty) effectiveTransforms(table) else Nil
-    if (transforms.isEmpty)
-      (df, if (partitionCols.nonEmpty) partitionCols
-           else currentPartitionCols(table).filter(df.columns.contains))
-    else (transforms.foldLeft(df)((d, t) =>
-      if (d.columns.contains(t.name)) d else d.withColumn(t.name, t.expr)),
-      currentPartitionCols(table) ++ transforms.map(_.name))
+    val (df1, pcols) =
+      if (transforms.isEmpty)
+        (df, if (partitionCols.nonEmpty) partitionCols
+             else currentPartitionCols(table).filter(df.columns.contains))
+      else (transforms.foldLeft(df)((d, t) =>
+        if (d.columns.contains(t.name)) d else d.withColumn(t.name, t.expr)),
+        currentPartitionCols(table) ++ transforms.map(_.name))
+    // standing write sort order (Iceberg's range write distribution +
+    // sort order): RANGE-partition the commit on the sort keys, then
+    // sort within tasks — each staged file carries a DISJOINT [min,max]
+    // run on the sort columns, which is what makes the per-file stats
+    // manifest actually skip files (a within-task sort alone would
+    // leave every file spanning the whole domain). One extra shuffle
+    // per commit, width sized from the frame's own byte stats (a
+    // streaming micro-batch lands in 1-2 files, a full snapshot takes
+    // the session width) so small deltas never shatter into 32 shards.
+    // Partition columns LEAD the keys: rows co-locate per directory
+    // and FileFormatWriter's required ordering on them is already
+    // satisfied, so it never re-sorts the data-column runs away.
+    val so = if (applySortOrder) sortOrder(table).filter(df1.columns.contains) else Nil
+    if (so.isEmpty) (df1, pcols)
+    else {
+      import org.apache.spark.sql.functions.col
+      val bytes = df1.queryExecution.optimizedPlan.stats.sizeInBytes
+      val configured = scala.util.Try(
+        spark.conf.get("spark.sql.shuffle.partitions").toInt
+      ).getOrElse(spark.sparkContext.defaultParallelism)
+      val width = ((bytes / sortTargetFileBytes) + 1).min(BigInt(configured)).max(BigInt(1)).toInt
+      val keys = (pcols ++ so).distinct.map(col)
+      (df1.repartitionByRange(width, keys: _*).sortWithinPartitions(keys: _*), pcols)
+    }
   }
+
+  /** `graft.write.targetFileBytes` — target bytes per sorted-write
+    * file (Iceberg's write.target-file-size-bytes; default 64 MB of
+    * Catalyst-estimated input per file). Sizes the sort-order range
+    * shuffle so a micro-batch stays in one or two files while a full
+    * snapshot spreads across the session width. */
+  private def sortTargetFileBytes: Long =
+    spark.conf.getOption("graft.write.targetFileBytes") match {
+      case None => 64L << 20
+      case Some(raw) => raw.trim.toLongOption match {
+        case Some(n) if n > 0 => n
+        case _ => throw new IllegalArgumentException(
+          s"graft.write.targetFileBytes must be a positive long, got '$raw'")
+      }
+    }
 
   /** The fenced commit machinery every commit shape shares — full
     * snapshots ([[overwriteTable]]) and delta commits ([[append]],
@@ -1678,6 +1730,41 @@ final class SnapshotTables(
     replaceSmallFile(writeModePath(table), mode)
   }
 
+  private def sortOrderPath(table: String): Path =
+    new Path(metaDir(table), "sort_order")
+
+  /** The table's standing WRITE SORT ORDER (Iceberg's sort-order table
+    * property): columns every data-staging commit sorts by WITHIN each
+    * write task before the parquet write — no extra shuffle, but each
+    * file's [min,max] on these columns becomes a tight run instead of
+    * spanning the whole domain, so the per-file stats manifest
+    * actually skips files on range predicates ([[readPruned]]). Set it
+    * once and full snapshots, appends AND merge-on-read delta segments
+    * all keep the property — the difference between a streaming
+    * append chain whose files prune and one whose files all intersect
+    * every probe. */
+  def sortOrder(table: String): Seq[String] = {
+    val p = sortOrderPath(table)
+    if (fs(p).exists(p)) readSmallFile(p).split(',').toSeq.map(_.trim).filter(_.nonEmpty) else Nil
+  }
+
+  /** Set (or with Nil clear) the standing write sort order. Columns
+    * are validated when known; the sort applies to every LATER commit
+    * (existing files keep their layout until rewritten — same
+    * metadata-only contract as [[evolvePartitioning]]). */
+  def setSortOrder(table: String, cols: Seq[String]): Unit = {
+    val have: Seq[String] =
+      if (currentVersion(table) > 0) read(table).columns.toSeq
+      else declaredSchema(table).map(_.fieldNames.toSeq).getOrElse(Nil)
+    cols.foreach(c => require(have.isEmpty || have.contains(c),
+      s"sort column '$c' is not a column of $table (have: ${have.mkString(", ")})"))
+    if (cols.nonEmpty) replaceSmallFile(sortOrderPath(table), cols.mkString(","))
+    else {
+      val p = sortOrderPath(table)
+      if (fs(p).exists(p)) fs(p).delete(p, false)
+    }
+  }
+
   /** The persisted transform spec, when the table is hidden-partitioned. */
   private def effectiveTransforms(table: String): Seq[SnapshotTables.PartitionTransform] = {
     val p = transformSpecPath(table)
@@ -2176,7 +2263,7 @@ final class SnapshotTables(
       if (partitionCols.nonEmpty)
         df.repartition(nFiles, partitionCols.map(org.apache.spark.sql.functions.col): _*)
       else df.repartition(nFiles)
-    overwriteTable(compacted, table, partitionCols)
+    overwriteShaped(compacted, table, partitionCols)
   }
 
   /** OPTIMIZE [ZORDER BY]: rewrite the current version's data into
@@ -2206,8 +2293,7 @@ final class SnapshotTables(
       if (zorderCols.nonEmpty) Sinks.zorderCluster(df, zorderCols, nFiles)
       else df.repartition(nFiles)
     val stats = if (statsCols.nonEmpty) statsCols else zorderCols
-    if (stats.nonEmpty) overwriteTable(rewritten, table, Nil, stats)
-    else overwriteTable(rewritten, table, Nil)
+    overwriteShaped(rewritten, table, Nil, statsCols = stats)
   }
 
   /** Total bytes across a version's chain segments — the sizing input

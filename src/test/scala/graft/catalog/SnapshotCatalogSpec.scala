@@ -658,6 +658,52 @@ class SnapshotCatalogSpec extends SparkSpec {
     }.getMessage.contains("nope"))
   }
 
+  test("graft.write.sort_by TBLPROPERTY: sorted-write distribution through SQL create and ALTER") {
+    val c = newCatalog()
+    spark.sql(s"CREATE NAMESPACE $c.dw")
+    spark.conf.set("graft.write.targetFileBytes", (16L << 10).toString)
+    try {
+      spark.sql(s"""CREATE TABLE $c.dw.so
+                    TBLPROPERTIES ('graft.write.sort_by'='id')
+                    AS SELECT pmod(id * 2654435761, 9973) * 100000 + id AS sk, id
+                    FROM range(20000)""")
+      // property round-trips through the V2 table
+      val props = spark.sql(s"SHOW TBLPROPERTIES $c.dw.so").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(props.get("graft.write.sort_by").contains("id"))
+      // the CTAS data landed range-distributed on id: every staged
+      // file carries a DISJOINT id run (physical footer-truth — a
+      // plain scan's inputFiles can't show min/max skipping)
+      val stso = new graft.io.SnapshotTables(spark,
+        spark.conf.get(s"spark.sql.catalog.$c.root") + "/dw")
+      val files = stso.read("so").inputFiles
+      assert(files.length >= 3, s"expected several files, got ${files.length}")
+      val spans = files.map { f =>
+        val r = spark.read.parquet(f).selectExpr("min(id)", "max(id)").head()
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
+      spans.sliding(2).foreach {
+        case Array(a, b) => assert(b._1 > a._2, s"files overlap: $a vs $b")
+        case _ =>
+      }
+      // ALTER can change it; an unknown column is refused at ALTER time
+      spark.sql(s"ALTER TABLE $c.dw.so SET TBLPROPERTIES ('graft.write.sort_by'='sk')")
+      assert(intercept[Exception] {
+        spark.sql(s"ALTER TABLE $c.dw.so SET TBLPROPERTIES ('graft.write.sort_by'='nope')")
+      }.getMessage.contains("nope"))
+      // TBLPROPERTIES reach the CTAS path: a mor-mode CTAS really IS
+      // mor — its SQL DELETE commits an O(changed) patch, not a rewrite
+      spark.sql(s"""CREATE TABLE $c.dw.som
+                    TBLPROPERTIES ('graft.write.mode'='mor')
+                    AS SELECT id FROM range(100)""")
+      spark.sql(s"DELETE FROM $c.dw.som WHERE id = 7")
+      val stm = new graft.io.SnapshotTables(spark,
+        spark.conf.get(s"spark.sql.catalog.$c.root") + "/dw")
+      assert(stm.chainKinds("som", stm.currentVersion("som")) == Seq("full", "mor_patch"),
+        "CTAS TBLPROPERTIES must reach the staged-create path")
+    } finally spark.conf.unset("graft.write.targetFileBytes")
+  }
+
   test("CALL expire_snapshots: age-based history expiry through SQL on the .history clock") {
     val c = newCatalog()
     spark.sql(s"CREATE NAMESPACE $c.dw")

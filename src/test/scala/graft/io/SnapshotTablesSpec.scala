@@ -354,6 +354,56 @@ class SnapshotTablesSpec extends SparkSpec {
       t.evolvePartitioning("ev", Seq(PartitionTransform.days("ts"), PartitionTransform.days("ts"))))
   }
 
+  test("write sort order: commits range-distribute so per-file stats prune; deltas and DML keep it; OPTIMIZE shaping wins") {
+    import org.apache.spark.sql.functions._
+    val t = newTables()
+    // deterministically scrambled input: without a sort order, every
+    // file spans ~the whole id domain and nothing can be skipped
+    val scrambled = spark.range(0, 20000).toDF("id")
+      .withColumn("r", pmod(col("id") * 2654435761L, lit(9973L)))
+      .orderBy("r").drop("r").repartition(4).localCheckpoint(true)
+    t.overwriteTable(scrambled, "plain", Nil, statsCols = Seq("id"))
+    assert(t.readPruned("plain", "id", 0L, 499L).inputFiles.length ==
+      t.read("plain").inputFiles.length, "scrambled files must all intersect the probe")
+    // same scrambled input with a standing sort order: files carry
+    // disjoint runs, the manifest skips (tiny target size so the
+    // 160 KB fixture actually spans several files)
+    spark.conf.set("graft.write.targetFileBytes", (16L << 10).toString)
+    try {
+    t.setSortOrder("tidy", Seq("id"))
+    t.overwriteTable(scrambled, "tidy", Nil, statsCols = Seq("id"))
+    val pruned = t.readPruned("tidy", "id", 0L, 499L)
+    assert(pruned.inputFiles.length < t.read("tidy").inputFiles.length)
+    assert(pruned.filter(col("id") <= 499L).count() == 500)
+    // DML keeps the property (delete routes through the plain overwrite)
+    t.delete("tidy", col("id") === 10000L)
+    val afterDml = t.readPruned("tidy", "id", 0L, 499L)
+    assert(afterDml.inputFiles.length < t.read("tidy").inputFiles.length)
+    assert(afterDml.filter(col("id") <= 499L).count() == 500)
+    // appends sort too — and a small delta lands in FEW files, not a
+    // session-width shatter (byte-sized shuffle width)
+    t.append(spark.range(20000, 20100).toDF("id").repartition(3), "tidy")
+    val segFiles = new java.io.File(
+      f"${t.rootPath}/tidy/snapshots/v${t.currentVersion("tidy")}%05d").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(segFiles <= 2, s"a 100-row delta must not shatter (got $segFiles files)")
+    // OPTIMIZE's explicit shaping is not re-shuffled away by the sort
+    // order: z-order on (a, b) still yields box-prunable files
+    val two = spark.range(0, 10000).toDF("id")
+      .withColumn("a", pmod(col("id") * 48271L, lit(10007L)))
+      .withColumn("b", pmod(col("id") * 16807L, lit(10007L)))
+      .localCheckpoint(true)
+    t.setSortOrder("zt", Seq("id"))
+    t.overwriteTable(two, "zt", Nil, statsCols = Seq("id"))
+    t.optimize("zt", Seq("a", "b"), targetFileBytes = 16L << 10)
+    val box = t.readPrunedBox("zt", Seq(("a", 0L, 500L), ("b", 0L, 500L)))
+    assert(box.inputFiles.length < t.read("zt").inputFiles.length,
+      "z-order layout must survive on a sort-ordered table")
+    // validation: unknown sort column refused
+    intercept[IllegalArgumentException](t.setSortOrder("tidy", Seq("nope")))
+    } finally spark.conf.unset("graft.write.targetFileBytes")
+  }
+
   test("expireSnapshots: age-based expiry keeps retain_last, current, branch bases and chain ancestors") {
     import org.apache.spark.sql.functions._
     val root = java.nio.file.Files.createTempDirectory("graft-snap").toString
