@@ -472,6 +472,34 @@ class DeltaCommitsSpec extends SparkSpec {
       "range diff must skip the fold segment (v4) and never open the base")
   }
 
+  test("folds on hidden-partitioned tables re-derive the layout; partition range reads stay correct") {
+    val (t, root) = newTables()
+    val pt = SnapshotTables.PartitionTransform.days("ts")
+    def day(d: String, id: Long) =
+      Seq((s"2024-01-0$d 10:00:00", id)).toDF("ts", "id").withColumn("ts", to_timestamp($"ts"))
+    t.overwriteTableTransformed(day("1", 1L), "ev", Seq(pt)) // v1
+    t.append(day("2", 2L), "ev") // v2
+    t.append(day("3", 3L), "ev") // v3
+    assert(t.compactDeltas("ev")) // v4: all-append fold
+    // the folded segment carries the derived day layout
+    val foldDir = new java.io.File(snapDirOf(root, "ev", 4))
+    assert(foldDir.listFiles().exists(_.getName.startsWith("__p_days_ts=2024-01-02")))
+    assert(foldDir.listFiles().exists(_.getName.startsWith("__p_days_ts=2024-01-03")))
+    // range read prunes across [base, fold] and returns exact rows
+    val r = t.readPartitionRange("ev", pt, "2024-01-02", "2024-01-03")
+    assert(r.select("id").as[Long].collect().toSet == Set(2L, 3L))
+    assert(!t.read("ev").columns.exists(_.startsWith("__p_")))
+    // keyed fold on the same table: upsert+delete → revise; resolution
+    // (no pruning on MOR) still exact
+    t.upsertMor("ev", day("2", 2L).withColumn("id", lit(20L)), Seq("ts"))
+    t.deleteKeysMor("ev", day("1", 1L).select("ts"))
+    assert(t.compactDeltas("ev"))
+    assert(t.chainKinds("ev", t.currentVersion("ev")).last == "mor_revise")
+    assert(t.read("ev").select("id").as[Long].collect().toSet == Set(20L, 3L))
+    val all = t.readPartitionRange("ev", pt, "2024-01-01", "2024-01-04")
+    assert(all.select("id").as[Long].collect().toSet == Set(20L, 3L))
+  }
+
   test("column metadata that mimics commit fields never corrupts version metadata parsing") {
     val (t, _) = newTables()
     // a column whose FIELD METADATA carries "kind"/"base"/"fold" keys —
