@@ -36,6 +36,10 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructType
   *    literal on the `.history` clock, newest `retain_last` + current +
   *    branch bases + chain ancestors always survive);
   *    [[SnapshotTables.expireSnapshots]]
+  *  - `remove_orphan_files(table, grace_minutes)` — delete crash/
+  *    lost-race debris no commit references (stale staging dirs,
+  *    meta-less version dirs past the grace, manifests whose version
+  *    is gone); [[SnapshotTables.removeOrphans]]
   *  - `expire_log(keep)` — prune the governed catalog's commit log
   *    (governed catalogs only); [[graft.io.LakeCommits.expireLog]]
   *  - `publish_branches(tables, branch)` — cross-table ATOMIC publish
@@ -52,7 +56,7 @@ private[catalog] object SnapshotProcedures {
 
   val Names: Seq[String] =
     Seq("rollback", "fast_forward", "optimize", "compact_deltas", "evolve_partitioning",
-      "expire_snapshots", "expire_log", "publish_branches")
+      "expire_snapshots", "remove_orphan_files", "expire_log", "publish_branches")
 
   private def param(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()
@@ -107,6 +111,8 @@ private[catalog] object SnapshotProcedures {
             Array(param("table", StringType), param("spec", StringType))
           case "expire_snapshots" => Array(param("table", StringType),
             param("older_than", StringType), paramD("retain_last", IntegerType, "1"))
+          case "remove_orphan_files" => Array(param("table", StringType),
+            paramD("grace_minutes", IntegerType, "60"))
           case "expire_log" => Array(param("keep", IntegerType))
           case "publish_branches" => Array(param("tables", StringType), param("branch", StringType))
         }
@@ -159,6 +165,10 @@ private[catalog] object SnapshotProcedures {
             val expired = st.expireSnapshots(t, cutoff, input.getInt(2))
             result(outSchema("expired_versions", "retained_versions"),
               expired, st.history(t).length)
+          case "remove_orphan_files" =>
+            val (st, t) = tablesOf(input.getUTF8String(0).toString)
+            val (d, mfs) = st.removeOrphans(t, input.getInt(1) * 60L * 1000L)
+            result(outSchema("orphan_dirs", "orphan_manifests"), d, mfs)
           case "expire_log" =>
             val lc = governed
             lc.expireLog(input.getInt(0))

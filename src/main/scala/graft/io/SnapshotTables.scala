@@ -2336,6 +2336,56 @@ final class SnapshotTables(
     fs(mf).delete(mf, true)
   }
 
+  /** ORPHAN-FILE removal (Iceberg's `remove_orphan_files`): delete
+    * debris no commit references —
+    *  - stale `.tmp-*` staging dirs (same liveness rules as the
+    *    per-commit [[vacuumStaging]] pass, run eagerly here);
+    *  - version DIRS with no metadata file, older than `graceMs`. A
+    *    live commit always creates its metadata (the CAS) BEFORE the
+    *    data rename, so a meta-less version dir can only be crash /
+    *    lost-race debris — and it is actively harmful, not just waste:
+    *    [[history]] lists dirs, so an orphan dir above the pointer
+    *    inflates [[currentVersion]] and breaks reads;
+    *  - per-version stats manifests whose version metadata is gone
+    *    (a crash inside the retention pass can drop the meta but not
+    *    the manifest).
+    * Returns (orphan dirs removed, orphan manifests removed). */
+  def removeOrphans(table: String, graceMs: Long = 3600 * 1000L): (Int, Int) = {
+    vacuumStaging(table)
+    val snaps = new Path(tableDir(table), "snapshots")
+    val sf = fs(snaps)
+    var dirs = 0
+    if (sf.exists(snaps))
+      sf.listStatus(snaps).foreach { s =>
+        val n = s.getPath.getName
+        if (s.isDirectory && n.startsWith("v") && n.drop(1).nonEmpty && n.drop(1).forall(_.isDigit)) {
+          val v = n.drop(1).toInt
+          val meta = new Path(metaDir(table), f"v$v%05d.json")
+          if (!fs(meta).exists(meta) &&
+              System.currentTimeMillis - s.getModificationTime >= graceMs) {
+            sf.delete(s.getPath, true)
+            dirs += 1
+          }
+        }
+      }
+    var manifests = 0
+    val md = metaDir(table)
+    val mf = fs(md)
+    if (mf.exists(md))
+      mf.listStatus(md).foreach { s =>
+        val n = s.getPath.getName
+        if (n.matches("v\\d+-manifest\\.parquet")) {
+          val v = n.stripPrefix("v").stripSuffix("-manifest.parquet").toInt
+          val meta = new Path(md, f"v$v%05d.json")
+          if (!mf.exists(meta)) {
+            mf.delete(s.getPath, true)
+            manifests += 1
+          }
+        }
+      }
+    (dirs, manifests)
+  }
+
   /** AGE-BASED snapshot expiry (Iceberg's `expire_snapshots(older_than,
     * retain_last)` — the count-based retention window can't express
     * "keep a week of history" when commit cadence varies). Expires

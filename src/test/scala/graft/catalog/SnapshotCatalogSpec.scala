@@ -724,6 +724,20 @@ class SnapshotCatalogSpec extends SparkSpec {
     intercept[Exception](spark.sql(s"SELECT * FROM $c.dw.ex VERSION AS OF 1").collect())
   }
 
+  test("CALL remove_orphan_files sweeps crash debris through SQL") {
+    val c = newCatalog()
+    spark.sql(s"CREATE NAMESPACE $c.dw")
+    spark.sql(s"CREATE TABLE $c.dw.ro AS SELECT 1 AS id")
+    val root = spark.conf.get(s"spark.sql.catalog.$c.root")
+    val orphan = new java.io.File(s"$root/dw/ro/snapshots/v00005")
+    orphan.mkdirs()
+    val r = spark.sql(s"CALL $c.system.remove_orphan_files('dw.ro', grace_minutes => 0)")
+      .collect().toSeq
+    assert(r == Seq(Row(1, 0)))
+    assert(!orphan.exists())
+    assert(spark.sql(s"SELECT id FROM $c.dw.ro").head.getInt(0) == 1)
+  }
+
   test("CALL procedures on a governed catalog: publish_branches flips tables atomically; expire_log prunes") {
     val cat = "cgov" + java.util.UUID.randomUUID().toString.replace("-", "").take(10)
     val root = java.nio.file.Files.createTempDirectory(s"graft-cat-$cat").toString

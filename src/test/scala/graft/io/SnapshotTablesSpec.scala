@@ -445,6 +445,37 @@ class SnapshotTablesSpec extends SparkSpec {
     assert(t4.readBranch("tab4", "wip").count() == 1)
   }
 
+  test("removeOrphans: meta-less version dirs and versionless manifests go; live state untouched") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    val t = new SnapshotTables(spark, root)
+    val df = spark.range(0, 100).toDF("id")
+    t.overwriteTable(df, "tab", Nil, statsCols = Seq("id"))
+    t.overwriteTable(df.filter(col("id") < 50), "tab")
+    // fabricate crash debris: a version dir ABOVE the pointer with no
+    // metadata (lost-race data rename) — it inflates currentVersion
+    // and breaks reads until swept
+    val orphanDir = new java.io.File(s"$root/tab/snapshots/v00009")
+    orphanDir.mkdirs()
+    java.nio.file.Files.write(orphanDir.toPath.resolve("junk.parquet"), Array[Byte](1, 2, 3))
+    assert(t.currentVersion("tab") == 9) // the harm is real
+    intercept[Exception](t.read("tab").count())
+    // and a manifest whose version metadata is gone
+    val orphanMan = new java.io.File(s"$root/tab/metadata/v00008-manifest.parquet")
+    orphanMan.mkdirs()
+    // fresh debris survives the grace window…
+    assert(t.removeOrphans("tab", graceMs = 3600 * 1000L) == ((0, 1)))
+    assert(orphanDir.exists())
+    // …and goes once past it; live state is untouched
+    assert(t.removeOrphans("tab", graceMs = 0L) == ((1, 0)))
+    assert(!orphanDir.exists() && !orphanMan.exists())
+    assert(t.currentVersion("tab") == 2)
+    assert(t.read("tab").count() == 50)
+    assert(t.readVersion("tab", 1).count() == 100)
+    // manifest of a live version survives (pruned reads still work)
+    assert(t.readPruned("tab", "id", 0L, 10L).count() > 0)
+  }
+
   test("statsCols naming only partition columns never yields empty pruned reads") {
     import org.apache.spark.sql.functions._
     val root = java.nio.file.Files.createTempDirectory("graft-snap").toString

@@ -322,6 +322,7 @@ class PlanQualitySpec extends SparkSpec {
     val nameCol = out.columns.indexWhere(_.contains("procedure"))
     val names = out.collect().map(_.getString(nameCol)).toSet
     assert(names == Set("rollback", "fast_forward", "optimize", "compact_deltas",
-      "evolve_partitioning", "expire_snapshots", "expire_log", "publish_branches"))
+      "evolve_partitioning", "expire_snapshots", "remove_orphan_files", "expire_log",
+      "publish_branches"))
   }
 }
