@@ -2395,8 +2395,13 @@ final class SnapshotTables(
     * through (same protection the automatic retention pass applies —
     * expiring a chain's base would orphan the deltas on top of it).
     * An explicit maintenance call, not a policy: the per-commit
-    * count-based window keeps running regardless. Returns the number of
-    * versions expired. */
+    * count-based window keeps running regardless. On a LOG-GOVERNED
+    * catalog the same contract as the count window applies
+    * ([[LakeCommits]] scaladoc): keep the cutoff behind however far
+    * back log readers reach — expiring a version an old log commit
+    * pins invalidates that commit's reads, exactly like Iceberg
+    * snapshot expiry invalidating old Nessie refs. Returns the number
+    * of versions expired. */
   def expireSnapshots(table: String, olderThanMillis: Long, retainLast: Int = 1): Int = {
     require(retainLast >= 1, "retainLast must be at least 1")
     val cur = currentVersion(table)

@@ -85,6 +85,55 @@ class DeltaFoldPropertySpec extends SparkSpec {
     }
   }
 
+  test("CDC over arbitrary chains: every (from, to) diff equals the generic two-resolution truth") {
+    import org.apache.spark.sql.functions.lit
+    for (round <- 1 to 3) {
+      val t = newTables()
+      t.overwriteTable((0 to 8).map(k => (k, s"base$k")).toDF("id", "v"), "tab")
+      val nOps = sample(Gen.chooseNum(4, 6))
+      var freshKey = 100 // appends use FRESH keys: diffKeyed's unique-key
+      // contract (an append over an existing key corrupts keyed diffs,
+      // by documented design) must hold for the accounting check below
+      def freshRows(tag: String): Seq[(Int, String)] = {
+        val n = sample(Gen.chooseNum(0, 3))
+        (1 to n).map { _ => freshKey += 1; (freshKey, s"$tag$freshKey") }
+      }
+      (1 to nOps).foreach { i =>
+        sample(Gen.chooseNum(0, 3)) match {
+          case 0 => t.append(freshRows(s"a$i-").toDF("id", "v"), "tab")
+          case 1 =>
+            val rows = sample(genRows(s"u$i-"))
+            if (rows.nonEmpty) t.upsertMor("tab", rows.toDF("id", "v"), Seq("id"))
+            else t.append(rows.toDF("id", "v"), "tab")
+          case 2 =>
+            val ks = sample(Gen.listOfN(2, genKey)).distinct
+            t.deleteKeysMor("tab", ks.toDF("id"))
+          case 3 =>
+            // fold mid-line when possible, else another append
+            if (t.chainKinds("tab", t.currentVersion("tab")).length > 2) t.compactDeltas("tab")
+            else t.append(freshRows(s"f$i-").toDF("id", "v"), "tab")
+        }
+      }
+      val cur = t.currentVersion("tab")
+      // EVERY version pair: the engine's diff (fast paths, fold skips,
+      // range unions) must equal the generic exceptAll truth
+      for (from <- 1 until cur; to <- (from + 1) to cur) {
+        val fast = t.diff("tab", from, to).collect().map(_.toString).toSet
+        val f0 = t.readVersion("tab", from); val t0 = t.readVersion("tab", to)
+        val generic = t0.exceptAll(f0).withColumn("__change", lit("insert"))
+          .unionByName(f0.exceptAll(t0).withColumn("__change", lit("delete")))
+          .collect().map(_.toString).toSet
+        assert(fast == generic, s"round $round diff($from,$to) diverged")
+        // keyed classification agrees with the multiset delta accounting
+        val keyed = t.diffKeyed("tab", from, to, Seq("id"))
+        val kIns = keyed.filter("__change = 'insert'").count()
+        val kDel = keyed.filter("__change = 'delete'").count()
+        assert(t0.count() - f0.count() == kIns - kDel,
+          s"round $round keyed delta accounting broke at ($from,$to)")
+      }
+    }
+  }
+
   test("patch folds (updateMor/deleteWhereMor sequences, duplicates included) equal the reference model") {
     for (round <- 1 to 5) {
       val t = newTables()
