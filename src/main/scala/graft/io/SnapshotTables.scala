@@ -211,7 +211,8 @@ final class SnapshotTables(
     overwriteImpl(df, table, partitionCols, statsCols, sketchCols, applySortOrder = false)
 
   private def overwriteImpl(df: DataFrame, table: String, partitionCols: Seq[String],
-      statsCols: Seq[String], sketchCols: Seq[String], applySortOrder: Boolean): Unit = {
+      statsCols: Seq[String], sketchCols: Seq[String], applySortOrder: Boolean,
+      metaExtra: String = ""): Unit = {
     // statsCols is a persistent TABLE PROPERTY, not a per-write flag:
     // once set, every later commit — merge, delete, compact,
     // overwritePartitions all route through here — keeps maintaining
@@ -253,7 +254,7 @@ final class SnapshotTables(
       },
       partitionCols1 = partitionCols1,
       schemaJson = df1.schema.json,
-      metaExtra = "",
+      metaExtra = metaExtra,
       expectedNext = None,
       afterWin = () => {
         if (statsCols.nonEmpty) replaceSmallFile(statsColsPath(table), statsCols.mkString(","))
@@ -625,7 +626,8 @@ final class SnapshotTables(
       .map(_.group(1).split(',').toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty))
       .getOrElse(Nil)
     val fold = json.contains("\"fold\":true")
-    VersionMeta(v, kind, base, keys, fold)
+    val txn = "\"txn\":\"([^\"]+)\"".r.findFirstMatchIn(json).map(_.group(1))
+    VersionMeta(v, kind, base, keys, fold, txn)
   }
 
   /** The delta chain of `v`, ascending: a full base first, then every
@@ -901,6 +903,28 @@ final class SnapshotTables(
         s"missing ${(cur -- got).mkString(",")} extra ${(got -- cur).mkString(",")}")
   }
 
+  /** IDEMPOTENT-COMMIT guard (Delta's `txn` appId/version shape, a
+    * public design; Iceberg lacks it and retried batch jobs double-
+    * append): when a commit carries a `txnId` and any RETAINED version
+    * of the table already recorded it, the commit is a no-op. The CAS
+    * serializes the race (two retries with one txn: the loser's
+    * ConcurrentCommitException retry then SEES the winner's txn and
+    * skips). Txn memory = the retention window — size retention to the
+    * longest possible retry horizon, the same trade Delta documents
+    * for its transaction identifiers. */
+  private def txnAlreadyCommitted(table: String, txn: String): Boolean =
+    history(table).exists { v =>
+      try versionMeta(table, v).txn.contains(txn)
+      catch { case _: Exception => false }
+    }
+
+  private def txnJson(txnId: Option[String]): String =
+    txnId.map { tx =>
+      require(tx.matches("[A-Za-z0-9._:\\-]+"),
+        s"txnId must be [A-Za-z0-9._:-]+ (got '$tx')")
+      s""""txn":"$tx","""
+    }.getOrElse("")
+
   /** FAST APPEND — the O(delta) commit every ingestion pipeline leans
     * on (Iceberg's appendFiles): ONLY the new rows are written, as a
     * delta version whose resolution is base ∪ delta. The table's
@@ -909,13 +933,19 @@ final class SnapshotTables(
     * manifest is maintained over the delta segment, so partition
     * pruning, file skipping and metadata-only counts keep working on
     * append-only chains. On an empty table this is the first full
-    * commit. */
-  def append(df: DataFrame, table: String): Unit = {
+    * commit. `txnId` makes a retried batch land exactly once (see
+    * [[txnAlreadyCommitted]]). */
+  def append(df: DataFrame, table: String, txnId: Option[String] = None): Unit = {
+    if (txnId.exists(txnAlreadyCommitted(table, _))) return
     val cur = currentVersion(table)
-    if (cur == 0) { overwriteTable(df, table); return }
+    if (cur == 0) {
+      // bootstrap commit records the txn in ITS version meta too
+      overwriteImpl(df, table, Nil, Nil, Nil, applySortOrder = true, metaExtra = txnJson(txnId))
+      return
+    }
     requireSameColumns(table, df, "append")
     ensureChainBudget(table)
-    commitDelta(table, df, s""""kind":"append",""", withLayout = true, manifest = true)
+    commitDelta(table, df, s""""kind":"append",${txnJson(txnId)}""", withLayout = true, manifest = true)
   }
 
   /** Merge-on-read UPSERT: commit ONLY the replacement rows; readers
@@ -924,16 +954,21 @@ final class SnapshotTables(
     * needs ([[graft.streaming.Streams.snapshotMergeSink]] `mor =
     * true`). Unmatched keys are inserts, matched keys full-row
     * replacements (same contract as [[merge]]). */
-  def upsertMor(table: String, updates: DataFrame, keyCols: Seq[String]): Unit = {
+  def upsertMor(table: String, updates: DataFrame, keyCols: Seq[String],
+      txnId: Option[String] = None): Unit = {
     require(keyCols.nonEmpty, "upsertMor needs key columns")
+    if (txnId.exists(txnAlreadyCommitted(table, _))) return
     val cur = currentVersion(table)
-    if (cur == 0) { overwriteTable(updates, table); return }
+    if (cur == 0) {
+      overwriteImpl(updates, table, Nil, Nil, Nil, applySortOrder = true, metaExtra = txnJson(txnId))
+      return
+    }
     requireSameColumns(table, updates, "upsertMor")
     require(keyCols.forall(updates.columns.contains),
       s"upsertMor keys ${keyCols.mkString(",")} must be columns of the updates frame")
     ensureChainBudget(table)
     commitDelta(table, updates,
-      s""""kind":"mor_upsert","key_cols":${keyCols.map("\"" + _ + "\"").mkString("[", ",", "]")},""",
+      s""""kind":"mor_upsert","key_cols":${keyCols.map("\"" + _ + "\"").mkString("[", ",", "]")},${txnJson(txnId)}""",
       withLayout = true, manifest = false)
   }
 
@@ -943,15 +978,16 @@ final class SnapshotTables(
     * The physical data outlives in prior versions until retention
     * expires them — same auditable-purge semantics as the COW
     * [[delete]], at O(keys) write cost. */
-  def deleteKeysMor(table: String, keys: DataFrame): Unit = {
+  def deleteKeysMor(table: String, keys: DataFrame, txnId: Option[String] = None): Unit = {
     require(currentVersion(table) > 0, s"table $table has no committed version")
+    if (txnId.exists(txnAlreadyCommitted(table, _))) return
     val keyCols = keys.columns.toSeq
     require(keyCols.nonEmpty, "deleteKeysMor needs at least one key column")
     val missing = keyCols.filterNot(read(table).columns.contains)
     require(missing.isEmpty, s"deleteKeysMor keys not in table: ${missing.mkString(",")}")
     ensureChainBudget(table)
     commitDelta(table, keys,
-      s""""kind":"mor_delete","key_cols":${keyCols.map("\"" + _ + "\"").mkString("[", ",", "]")},""",
+      s""""kind":"mor_delete","key_cols":${keyCols.map("\"" + _ + "\"").mkString("[", ",", "]")},${txnJson(txnId)}""",
       withLayout = false, manifest = false)
   }
 
@@ -2591,7 +2627,7 @@ object SnapshotTables {
   /** One link of a version's delta chain, parsed from the version
     * metadata ("kind" absent = a full snapshot). */
   private[io] final case class VersionMeta(v: Int, kind: String, base: Int, keyCols: Seq[String],
-      fold: Boolean = false)
+      fold: Boolean = false, txn: Option[String] = None)
 
   /** A partition transform (Iceberg's hidden-partitioning vocabulary):
     * a pure function of one source column whose image becomes the

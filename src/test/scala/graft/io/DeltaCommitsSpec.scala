@@ -519,6 +519,37 @@ class DeltaCommitsSpec extends SparkSpec {
       Set((2, "delete")))
   }
 
+  test("txnId makes batch commits exactly-once: replays are no-ops, across bootstrap, kinds and folds") {
+    val (t, _) = newTables()
+    // bootstrap append with a txn, then replay it
+    t.append(Seq((1, "a")).toDF("id", "v"), "tab", txnId = Some("job:1"))
+    t.append(Seq((1, "a")).toDF("id", "v"), "tab", txnId = Some("job:1"))
+    assert(t.currentVersion("tab") == 1 && t.read("tab").count() == 1)
+    // delta append replayed → one version, one row
+    t.append(Seq((2, "b")).toDF("id", "v"), "tab", txnId = Some("job:2"))
+    t.append(Seq((2, "b")).toDF("id", "v"), "tab", txnId = Some("job:2"))
+    assert(t.currentVersion("tab") == 2 && t.read("tab").count() == 2)
+    // a different txn lands normally
+    t.append(Seq((3, "c")).toDF("id", "v"), "tab", txnId = Some("job:3"))
+    assert(t.read("tab").count() == 3)
+    // upsert replay keeps the FIRST run's effect
+    t.upsertMor("tab", Seq((1, "A")).toDF("id", "v"), Seq("id"), txnId = Some("up:1"))
+    t.upsertMor("tab", Seq((1, "SHOULD-NOT-LAND")).toDF("id", "v"), Seq("id"), txnId = Some("up:1"))
+    assert(t.read("tab").filter($"id" === 1).as[(Int, String)].head()._2 == "A")
+    // delete replay is a no-op even with a different payload
+    t.deleteKeysMor("tab", Seq(3).toDF("id"), txnId = Some("del:1"))
+    val v0 = t.currentVersion("tab")
+    t.deleteKeysMor("tab", Seq(2).toDF("id"), txnId = Some("del:1"))
+    assert(t.currentVersion("tab") == v0 && t.read("tab").count() == 2)
+    // a fold keeps the txn-carrying versions retained: replays stay no-ops
+    assert(t.compactDeltas("tab"))
+    t.append(Seq((5, "e")).toDF("id", "v"), "tab", txnId = Some("job:2"))
+    assert(t.read("tab").filter($"id" === 5).count() == 0)
+    // unsafe txn ids are refused loudly
+    intercept[IllegalArgumentException](
+      t.append(Seq((9, "z")).toDF("id", "v"), "tab", txnId = Some("bad txn!")))
+  }
+
   test("write mode is a table property: default cow, settable, validated") {
     val (t, _) = newTables()
     t.overwriteTable(Seq((1, "a")).toDF("id", "v"), "tab")
