@@ -178,7 +178,14 @@ object Sinks {
           (if (r.isNullAt(2 * i)) None else Some(r.getDouble(2 * i)),
             if (r.isNullAt(2 * i + 1)) None else Some(r.getDouble(2 * i + 1))))
     }
-    val codes = zCols.zipWithIndex.map { case (c, i) =>
+    val codes = linearCodes(zCols, mm, bits)
+    clusterByZ(df, codes, bits, numFiles)
+  }
+
+  private def linearCodes(zCols: Seq[String], mm: Seq[(Option[Double], Option[Double])],
+      bits: Int): Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions._
+    zCols.zipWithIndex.map { case (c, i) =>
       mm(i) match {
         case (Some(mn), Some(mx)) =>
           val scale = if (mx > mn) ((1L << bits) - 1).toDouble / (mx - mn) else 0.0
@@ -187,7 +194,53 @@ object Sinks {
         case _ => lit(0L) // all-null column: no spread to encode
       }
     }
-    clusterByZ(df, codes, bits, numFiles)
+  }
+
+  /** Per-PARTITION z-order clustering — [[zorderCluster]] for
+    * Hive-partitioned layouts. Global range partitioning on the
+    * z-value would scatter each directory's rows across write tasks
+    * (and the writer's own partition-column re-sort then destroys the
+    * z runs); instead rows co-locate by `partitionCols` so each
+    * directory compacts into this task's files, sorted by
+    * (partitionCols, z) — every file's footer stats stay tight on ALL
+    * z columns WITHIN its partition, and box predicates combine
+    * partition-directory pruning with z-file skipping. Codes are the
+    * same linear min/max scalings as [[zorderCluster]] (global bounds
+    * — one agg pass, or caller-supplied). */
+  def zorderClusterWithin(
+      df: DataFrame,
+      partitionCols: Seq[String],
+      zCols: Seq[String],
+      numFiles: Int,
+      bits: Int = 16,
+      bounds: Option[Seq[(Double, Double)]] = None
+  ): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(partitionCols.nonEmpty, "zorderClusterWithin needs partition columns (else use zorderCluster)")
+    require(zCols.nonEmpty, "zorderClusterWithin needs at least one z column")
+    require(zCols.size * bits <= 63, s"${zCols.size} cols x $bits bits exceeds a long")
+    require(bounds.forall(_.size == zCols.size), "one (min, max) pair per z column")
+    val mm: Seq[(Option[Double], Option[Double])] = bounds match {
+      case Some(bs) => bs.map { case (mn, mx) => (Some(mn), Some(mx)) }
+      case None =>
+        val aggs = zCols.flatMap(c =>
+          Seq(min(col(c).cast("double")).as(s"__mn_$c"), max(col(c).cast("double")).as(s"__mx_$c")))
+        val r = df.agg(aggs.head, aggs.tail: _*).head
+        zCols.indices.map(i =>
+          (if (r.isNullAt(2 * i)) None else Some(r.getDouble(2 * i)),
+            if (r.isNullAt(2 * i + 1)) None else Some(r.getDouble(2 * i + 1))))
+    }
+    val codes = linearCodes(zCols, mm, bits)
+    // RANGE partition on (partitionCols, z): each task holds one
+    // partition's contiguous z range (boundary tasks at most straddle
+    // two partitions), so a partition directory splits into SEVERAL
+    // files with disjoint z runs — a hash repartition on the partition
+    // columns alone would collapse each directory into one file and
+    // there would be nothing left to skip
+    df.withColumn("__z", zValue(codes, bits))
+      .repartitionByRange(numFiles, (partitionCols.map(col) :+ col("__z")): _*)
+      .sortWithinPartitions((partitionCols.map(col) :+ col("__z")): _*)
+      .drop("__z")
   }
 
   /** Equi-depth (rank-coded) z-order clustering — the skew-proof
@@ -231,18 +284,25 @@ object Sinks {
     * position b·n + (n−1−i): round-robin, first column in the higher
     * lanes), then range-partition + sort on the z-value. */
   private def clusterByZ(df: DataFrame, codes: Seq[org.apache.spark.sql.Column], bits: Int, numFiles: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.withColumn("__z", zValue(codes, bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
+
+  /** The interleaved Morton value of per-column bit codes (bit b of
+    * column i lands at position b·n + (n−1−i): round-robin, first
+    * column in the higher lanes). */
+  private def zValue(codes: Seq[org.apache.spark.sql.Column], bits: Int): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     val n = codes.size
-    val z = (0 until bits)
+    (0 until bits)
       .flatMap { b =>
         codes.zipWithIndex.map { case (code, i) =>
           shiftleft(shiftright(code, b).bitwiseAND(lit(1L)), b * n + (n - 1 - i))
         }
       }
       .reduce(_.bitwiseOR(_))
-    df.withColumn("__z", z)
-      .repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
   }
 }

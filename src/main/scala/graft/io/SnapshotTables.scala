@@ -2311,9 +2311,14 @@ final class SnapshotTables(
     * unaffected, and subsequent [[readPrunedBox]] calls over the
     * clustered columns skip non-intersecting files. `statsCols`
     * defaults to the z-order columns; pass `zorderCols = Nil` for a
-    * plain compaction with fresh stats. Z-ordering range-partitions
-    * globally, so it composes with unpartitioned tables only (use
-    * [[compact]] for Hive-partitioned layouts). */
+    * plain compaction with fresh stats. On an identity-partitioned
+    * table the clustering is PER PARTITION ([[Sinks
+    * .zorderClusterWithin]]): rows co-locate by the partition columns
+    * and sort by (partition cols, z), so directory pruning and z-file
+    * skipping compose — a global range partition would scatter each
+    * directory across tasks and lose the z runs to the writer's own
+    * partition re-sort. Hidden-transform layouts re-derive through the
+    * shaped overwrite as always. */
   def optimize(
       table: String,
       zorderCols: Seq[String],
@@ -2325,8 +2330,14 @@ final class SnapshotTables(
     val bytes = chainBytes(table, cur)
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val df = readVersion(table, cur)
+    val idCols =
+      if (persistedTransforms(table).nonEmpty) Nil else currentPartitionCols(table)
     val rewritten =
-      if (zorderCols.nonEmpty) Sinks.zorderCluster(df, zorderCols, nFiles)
+      if (zorderCols.nonEmpty && idCols.nonEmpty)
+        Sinks.zorderClusterWithin(df, idCols, zorderCols, nFiles)
+      else if (zorderCols.nonEmpty) Sinks.zorderCluster(df, zorderCols, nFiles)
+      else if (idCols.nonEmpty)
+        df.repartition(nFiles, idCols.map(org.apache.spark.sql.functions.col): _*)
       else df.repartition(nFiles)
     val stats = if (statsCols.nonEmpty) statsCols else zorderCols
     overwriteShaped(rewritten, table, Nil, statsCols = stats)

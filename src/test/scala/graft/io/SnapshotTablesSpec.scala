@@ -445,6 +445,39 @@ class SnapshotTablesSpec extends SparkSpec {
     assert(t4.readBranch("tab4", "wip").count() == 1)
   }
 
+  test("OPTIMIZE ZORDER on an identity-partitioned table clusters per partition: dirs, pruning, content") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    val t = new SnapshotTables(spark, root)
+    val df = spark.range(0, 8000).toDF("id")
+      .withColumn("region", (col("id") % 4).cast("string"))
+      .withColumn("a", pmod(col("id") * 48271L, lit(10007L)))
+      .withColumn("b", pmod(col("id") * 16807L, lit(10007L)))
+      .localCheckpoint(true)
+    t.overwriteTable(df, "pt", Seq("region"))
+    t.optimize("pt", Seq("a", "b"), targetFileBytes = 8L << 10)
+    val vdir = new java.io.File(s"$root/pt/snapshots/v%05d".format(t.currentVersion("pt")))
+    // the Hive layout survives the clustering rewrite…
+    assert(vdir.listFiles().exists(_.getName.startsWith("region=")))
+    // …and each partition DIRECTORY holds several z-run files (a hash
+    // repartition would collapse each into one unskippable file)
+    val perDir = vdir.listFiles().filter(_.getName.startsWith("region=")).map(d =>
+      d.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(perDir.forall(_ >= 2), s"per-dir file counts: ${perDir.mkString(",")}")
+    // content identical
+    assert(t.read("pt").count() == 8000)
+    assert(t.read("pt").agg(sum($"a"), sum($"b")).head() == df.agg(sum($"a"), sum($"b")).head())
+    // manifest box pruning skips files; the caller's exact filter agrees
+    val box = t.readPrunedBox("pt", Seq(("a", 0L, 1000L), ("b", 0L, 1000L)))
+    assert(box.inputFiles.length < t.read("pt").inputFiles.length)
+    assert(box.filter($"a".between(0, 1000) && $"b".between(0, 1000)).count() ==
+      df.filter($"a".between(0, 1000) && $"b".between(0, 1000)).count())
+    // partition pruning still composes on the optimized layout
+    val plan = t.read("pt").filter($"region" === "2")
+    plan.count()
+    assert(plan.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+  }
+
   test("removeOrphans: meta-less version dirs and versionless manifests go; live state untouched") {
     import org.apache.spark.sql.functions._
     val root = java.nio.file.Files.createTempDirectory("graft-snap").toString
