@@ -44,6 +44,19 @@ object CatalogStreams {
     (t, name, publish)
   }
 
+  /** [[Streams.snapshotAppendSink]] against a catalog-qualified name:
+    * append-only fact/event ingestion into a SQL-visible snapshot
+    * table (O(batch) delta commits, txn-id exactly-once, chain bounded
+    * by folding). */
+  def snapshotAppendSink(
+      stream: DataFrame,
+      qualifiedTable: String,
+      checkpoint: String
+  ): StreamingQuery = {
+    val (t, name, publish) = resolved(stream, qualifiedTable)
+    Streams.snapshotAppendSink(stream, t, name, checkpoint, afterCommit = publish)
+  }
+
   /** [[Streams.snapshotMergeSink]] against a catalog-qualified name:
     * continuous upsert-by-key into a SQL-visible snapshot table. */
   def snapshotMergeSink(

@@ -443,6 +443,47 @@ object Streams {
     * snapshot layer's `graft.delta.maxChainLength` auto-materialize
     * keeps read cost bounded — the only commit shape that survives a
     * high-cadence stream into a 100 TB table. */
+  /** Append-only streaming ingestion into a snapshot table — the
+    * fact/event-stream shape (no keys, no conflict resolution): each
+    * micro-batch FAST-APPENDS an O(batch) delta commit, and the chain
+    * budget keeps read cost bounded by FOLDING the deltas (the base is
+    * never rewritten by the sink's cadence; see
+    * [[graft.io.SnapshotTables.compactDeltas]]). Table layout
+    * (identity partitions, hidden transforms, write sort order) and
+    * per-segment stats manifests apply to every appended segment, so
+    * pruning and fastCount stay live as the stream runs.
+    *
+    * Exactly-once: foreachBatch is at-least-once on retry; each batch
+    * commits with a transaction id derived from (checkpoint, batchId),
+    * so a replayed batch re-presents a txn the table already retains
+    * and lands nothing ([[graft.io.SnapshotTables.append]] txnId) — no
+    * side marker files. Txn memory is the table's retention window;
+    * retention must cover the engine's possible replay horizon (one
+    * in-flight batch in practice). */
+  def snapshotAppendSink(
+      stream: DataFrame,
+      tables: graft.io.SnapshotTables,
+      table: String,
+      checkpoint: String,
+      afterCommit: () => Unit = () => ()
+  ): StreamingQuery = {
+    // the txn namespace is the CHECKPOINT identity: a restart of the
+    // same query re-presents the same ids (replay-safe), while a
+    // different query writing the same table never collides
+    val sinkId = java.lang.Long.toHexString(
+      org.apache.spark.unsafe.types.UTF8String.fromString(checkpoint).hashCode().toLong & 0xffffffffL)
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          tables.append(batch, table, txnId = Some(s"append-sink.$sinkId.$batchId"))
+          afterCommit()
+        }
+        ()
+      }
+      .start()
+  }
+
   def snapshotMergeSink(
       stream: DataFrame,
       tables: graft.io.SnapshotTables,

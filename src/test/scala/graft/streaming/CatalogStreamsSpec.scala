@@ -85,6 +85,29 @@ class CatalogStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("snapshotAppendSink on a 3-level name: append-only ingest is SQL-visible and auditable mid-stream") {
+    implicit val ctx = spark.sqlContext
+    val (cat, _) = newCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.dw")
+    val ms = MemoryStream[(Long, String)]
+    val q = CatalogStreams.snapshotAppendSink(
+      ms.toDF().toDF("id", "payload"), s"$cat.dw.facts", checkpoint = ckDir("app"))
+    try {
+      ms.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      assert(spark.sql(s"SELECT COUNT(*) FROM $cat.dw.facts").head.getLong(0) == 2L)
+      ms.addData((3L, "c"))
+      q.processAllAvailable()
+      assert(spark.sql(s"SELECT id FROM $cat.dw.facts ORDER BY id").collect()
+        .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+      // each micro-batch is one auditable commit: .history shows the
+      // append kinds and VERSION AS OF steps across batches
+      assert(spark.sql(s"SELECT kind FROM $cat.dw.facts.history ORDER BY version").collect()
+        .map(_.getString(0)).toSeq == Seq("full", "append"))
+      assert(spark.sql(s"SELECT COUNT(*) FROM $cat.dw.facts VERSION AS OF 1").head.getLong(0) == 2L)
+    } finally q.stop()
+  }
+
   test("name-shape refusals: 2-part names and non-graft catalogs are rejected at sink-open time") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(Long, String)]

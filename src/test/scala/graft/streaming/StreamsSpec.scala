@@ -515,6 +515,40 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("snapshotAppendSink: O(batch) appends, txn-id exactly-once, chain bounded by folds") {
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("graft.delta.maxChainLength", "3")
+    spark.conf.set("graft.delta.materializeRatio", "1000")
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-app").toString
+    val tables = new graft.io.SnapshotTables(spark, root, previousVersionsMax = 100)
+    val ck = java.nio.file.Files.createTempDirectory("graft-stream-app-ck").toString
+    val ms = MemoryStream[(Long, String)]
+    val q = Streams.snapshotAppendSink(ms.toDF().toDF("id", "v"), tables, "ev", ck)
+    try {
+      (1 to 6).foreach { i => ms.addData((i.toLong, s"e$i")); q.processAllAvailable() }
+      // every event exactly once; every segment dir held one batch
+      assert(tables.read("ev").as[(Long, String)].collect().toSet ==
+        (1 to 6).map(i => (i.toLong, s"e$i")).toSet)
+      // bounded chains, base never rewritten after bootstrap
+      val cur = tables.currentVersion("ev")
+      val kinds = (1 to cur).map(v => tables.commitKind("ev", v))
+      assert(kinds.head == "full" && !kinds.tail.contains("full"), kinds.toString)
+      assert((1 to cur).forall(v => tables.chainKinds("ev", v).length <= 3))
+      // the sink's replay contract: re-presenting a committed batch's
+      // txn (what a foreachBatch retry does) lands NOTHING
+      val sinkId = java.lang.Long.toHexString(
+        org.apache.spark.unsafe.types.UTF8String.fromString(ck).hashCode().toLong & 0xffffffffL)
+      tables.append(Seq((99L, "dup")).toDF("id", "v"), "ev",
+        txnId = Some(s"append-sink.$sinkId.2"))
+      assert(tables.currentVersion("ev") == cur)
+      assert(tables.read("ev").count() == 6)
+    } finally {
+      q.stop()
+      spark.conf.unset("graft.delta.maxChainLength")
+      spark.conf.unset("graft.delta.materializeRatio")
+    }
+  }
+
   test("streaming MOR chains stay bounded by FOLDING: after bootstrap the base is never rewritten") {
     implicit val ctx = spark.sqlContext
     // tight budget so the boundary triggers within a few batches; high
