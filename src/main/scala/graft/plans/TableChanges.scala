@@ -24,9 +24,13 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
   *
   * All arguments must be literals (the table function is resolved at
   * analysis time): a 3-level catalog-qualified table name, two
-  * version ints, and optionally a comma-separated key-column list.
-  * The plan is the diff's own distributed plan — two version-pinned
-  * parquet scans joined/anti-joined, no driver materialization. */
+  * version bounds, and optionally a comma-separated key-column list.
+  * A version bound is an INT version number or a STRING timestamp
+  * literal (`'2026-08-14 10:00:00'`), resolved on the `TIMESTAMP AS
+  * OF` clock to the latest version committed at or before it — the
+  * timestamp form Delta's `table_changes` takes. The plan is the
+  * diff's own distributed plan — two version-pinned parquet scans
+  * joined/anti-joined, no driver materialization. */
 object TableChanges {
 
   private def strLit(e: Expression, what: String): String = e match {
@@ -50,10 +54,23 @@ object TableChanges {
       "graft_table_changes(table, fromVersion, toVersion[, keyCols]) takes 3 or 4 arguments, " +
         s"got ${args.length}")
     val qualified = strLit(args.head, "table")
-    val fromV = intLit(args(1), "fromVersion")
-    val toV = intLit(args(2), "toVersion")
     val spark = SparkSession.active
     val (st, table) = graft.catalog.CatalogTables.resolveSnapshot(spark, qualified)
+    def versionArg(e: Expression, what: String): Int = e match {
+      case l: Literal if l.dataType == StringType && l.value != null =>
+        val millis =
+          try java.sql.Timestamp.valueOf(l.value.toString).getTime
+          catch {
+            case _: IllegalArgumentException => throw new IllegalArgumentException(
+              s"graft_table_changes: $what '$l' is neither a version int nor a " +
+                "'yyyy-MM-dd HH:mm:ss[.f]' timestamp literal")
+          }
+        st.versionAtTimestamp(table, millis).getOrElse(throw new IllegalArgumentException(
+          s"graft_table_changes: no version of '$qualified' committed at or before $l"))
+      case other => intLit(other, what)
+    }
+    val fromV = versionArg(args(1), "fromVersion")
+    val toV = versionArg(args(2), "toVersion")
     val hist = st.history(table)
     require(hist.contains(fromV) && hist.contains(toV),
       s"graft_table_changes: versions $fromV..$toV of '$qualified' must both be retained " +

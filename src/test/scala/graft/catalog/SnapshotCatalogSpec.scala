@@ -525,6 +525,23 @@ class SnapshotCatalogSpec extends SparkSpec {
     // sub-ranges follow the version line
     assert(spark.sql(s"SELECT k FROM graft_table_changes('$c.dw.cdc', 3, 4, 'k')")
       .head.getLong(0) == 9L)
+    // TIMESTAMP bounds resolve on the TIMESTAMP AS OF clock: age v1 an
+    // hour back, then ask for changes since 30 minutes ago (→ from v1)
+    // up to now (→ head)
+    val root = spark.conf.get(s"spark.sql.catalog.$c.root")
+    new java.io.File(f"$root/dw/cdc/metadata/v${1}%05d.json")
+      .setLastModified(System.currentTimeMillis - 3600 * 1000L)
+    val since = new java.sql.Timestamp(System.currentTimeMillis - 1800 * 1000L)
+    val nowTs = new java.sql.Timestamp(System.currentTimeMillis + 1000L)
+    val viaTs = spark.sql(
+      s"""SELECT k, _change_type FROM graft_table_changes('$c.dw.cdc', '$since', '$nowTs', 'k')
+          ORDER BY k""").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(viaTs == Seq((2L, "update"), (4L, "delete"), (9L, "insert")))
+    // a timestamp before every commit fails loudly
+    assert(intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_table_changes('$c.dw.cdc', '1999-01-01 00:00:00', 4, 'k')")
+        .collect()
+    }.getMessage.contains("committed at or before"))
     // all-columns-keyed table (empty non-key struct): insert/delete
     // classify normally, update is impossible by construction
     spark.sql(s"CREATE TABLE $c.dw.konly AS SELECT id AS k FROM range(3)")
