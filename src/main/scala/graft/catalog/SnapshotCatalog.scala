@@ -178,6 +178,11 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces with StagingT
     Option(properties.get(SnapshotCatalog.SortByProperty))
       .foreach(s => st.setSortOrder(ident.name,
         s.split(',').toSeq.map(_.trim).filter(_.nonEmpty)))
+    Option(properties.get(SnapshotCatalog.RetentionProperty))
+      .foreach(r => st.setRetention(ident.name,
+        if (r.trim.isEmpty) None else Some(r.trim.toIntOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"${SnapshotCatalog.RetentionProperty} must be a non-negative int, got '$r'")))))
     loadTable(ident)
   }
 
@@ -229,6 +234,11 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces with StagingT
     Option(properties.get(SnapshotCatalog.SortByProperty))
       .foreach(s => st.setSortOrder(ident.name,
         s.split(',').toSeq.map(_.trim).filter(_.nonEmpty)))
+    Option(properties.get(SnapshotCatalog.RetentionProperty))
+      .foreach(r => st.setRetention(ident.name,
+        if (r.trim.isEmpty) None else Some(r.trim.toIntOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"${SnapshotCatalog.RetentionProperty} must be a non-negative int, got '$r'")))))
     val base = st.currentVersion(ident.name)
     val inner = lake match {
       case Some(lc) => new SnapshotTableV2(fullName(ident), st, ident.name, base,
@@ -290,6 +300,11 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces with StagingT
         st.setWriteMode(t, set.value)
       case set: TableChange.SetProperty if set.property == SnapshotCatalog.SortByProperty =>
         st.setSortOrder(t, set.value.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      case set: TableChange.SetProperty if set.property == SnapshotCatalog.RetentionProperty =>
+        st.setRetention(t,
+          if (set.value.trim.isEmpty) None else Some(set.value.trim.toIntOption.getOrElse(
+            throw new IllegalArgumentException(
+              s"${SnapshotCatalog.RetentionProperty} must be a non-negative int, got '${set.value}'"))))
       case other =>
         throw new UnsupportedOperationException(
           s"unsupported ALTER TABLE change ${other.getClass.getSimpleName} — " +
@@ -465,6 +480,12 @@ object SnapshotCatalog {
     * these columns so per-file stats stay tight ([[graft.io
     * .SnapshotTables.sortOrder]]). */
   val SortByProperty = "graft.write.sort_by"
+
+  /** TBLPROPERTIES key for the per-table RETENTION window (predecessor
+    * versions kept behind the head; overrides the store default —
+    * Iceberg keeps expiry policy as table properties too). '' clears
+    * the override. */
+  val RetentionProperty = "graft.retention.versions"
 
   /** V2 partition transforms → the snapshot layer's vocabulary:
     * identity columns partition by directory; `days`/`bucket`/

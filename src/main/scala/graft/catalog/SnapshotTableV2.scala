@@ -109,6 +109,7 @@ final class SnapshotTableV2(
     m.put(SnapshotCatalog.WriteModeProperty, st.writeMode(table))
     val so = st.sortOrder(table)
     if (so.nonEmpty) m.put(SnapshotCatalog.SortByProperty, so.mkString(","))
+    m.put(SnapshotCatalog.RetentionProperty, st.retentionFor(table).toString)
     m
   }
 

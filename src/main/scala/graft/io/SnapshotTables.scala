@@ -2352,9 +2352,37 @@ final class SnapshotTables(
       fs(d).getContentSummary(d).getLength
     }.sum
 
+  private def retentionPath(table: String): Path =
+    new Path(metaDir(table), "retention")
+
+  /** Per-TABLE retention override (Iceberg keeps expiry policy as
+    * table properties): the number of predecessors kept behind the
+    * current version — this table's value when set, the store-wide
+    * `previousVersionsMax` otherwise. */
+  def retentionFor(table: String): Int = {
+    val p = retentionPath(table)
+    if (!fs(p).exists(p)) previousVersionsMax
+    else readSmallFile(p).trim.toIntOption match {
+      case Some(n) if n >= 0 => n
+      case _ => previousVersionsMax // unreadable override: fall back, never widen deletes
+    }
+  }
+
+  /** Set (or with None clear) this table's retention window. Applies
+    * from the NEXT commit's retention pass — nothing is expired here. */
+  def setRetention(table: String, versions: Option[Int]): Unit = versions match {
+    case Some(n) =>
+      require(n >= 0, s"retention must be >= 0 predecessors, got $n")
+      replaceSmallFile(retentionPath(table), n.toString)
+    case None =>
+      val p = retentionPath(table)
+      if (fs(p).exists(p)) fs(p).delete(p, false)
+  }
+
   /** Drop snapshots older than the retention window (keep the current
-    * one plus `previousVersionsMax` predecessors). */
+    * one plus [[retentionFor]] predecessors). */
   private def expire(table: String, current: Int): Unit = {
+    val keep = retentionFor(table)
     val protectedV = branchProtectedVersions(table)
     val hist = history(table)
     // Delta-chain protection: every version a RETAINED version's chain
@@ -2363,12 +2391,12 @@ final class SnapshotTables(
     // current version included, when the head is a delta). The walk is
     // O(retained × chain length), metadata-sized.
     val chainProtected: Set[Int] =
-      hist.filter(v => v >= current - previousVersionsMax || protectedV.contains(v))
+      hist.filter(v => v >= current - keep || protectedV.contains(v))
         .flatMap { v =>
           try chainOf(table, v).map(_.v)
           catch { case _: Exception => Seq(v) } // unreadable meta: keep conservatively
         }.toSet
-    hist.filter(v => v < current - previousVersionsMax && !protectedV.contains(v) &&
+    hist.filter(v => v < current - keep && !protectedV.contains(v) &&
         !chainProtected.contains(v)).foreach(dropVersion(table, _))
     vacuumStaging(table)
   }

@@ -721,6 +721,33 @@ class SnapshotCatalogSpec extends SparkSpec {
     } finally spark.conf.unset("graft.write.targetFileBytes")
   }
 
+  test("graft.retention.versions TBLPROPERTY: per-table retention overrides the store default") {
+    val c = newCatalog()
+    spark.sql(s"CREATE NAMESPACE $c.dw")
+    spark.sql(s"""CREATE TABLE $c.dw.r1
+                  TBLPROPERTIES ('graft.retention.versions'='1')
+                  AS SELECT 1 AS id""") // v1
+    (2 to 5).foreach(i => spark.sql(s"INSERT OVERWRITE $c.dw.r1 SELECT $i AS id"))
+    // retention=1: only head + 1 predecessor survive the commit passes
+    assert(spark.sql(s"SELECT version FROM $c.dw.r1.history ORDER BY version").collect()
+      .map(_.getInt(0)).toSeq == Seq(4, 5))
+    // the store-default sibling keeps everything at this depth
+    spark.sql(s"CREATE TABLE $c.dw.r2 AS SELECT 1 AS id")
+    (2 to 5).foreach(i => spark.sql(s"INSERT OVERWRITE $c.dw.r2 SELECT $i AS id"))
+    assert(spark.sql(s"SELECT COUNT(*) FROM $c.dw.r2.history").head.getLong(0) == 5L)
+    // ALTER widens it going forward; SHOW TBLPROPERTIES reflects it
+    spark.sql(s"ALTER TABLE $c.dw.r1 SET TBLPROPERTIES ('graft.retention.versions'='3')")
+    val props = spark.sql(s"SHOW TBLPROPERTIES $c.dw.r1").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("graft.retention.versions").contains("3"))
+    (6 to 8).foreach(i => spark.sql(s"INSERT OVERWRITE $c.dw.r1 SELECT $i AS id"))
+    assert(spark.sql(s"SELECT COUNT(*) FROM $c.dw.r1.history").head.getLong(0) == 4L)
+    // a malformed value fails at ALTER time
+    assert(intercept[Exception] {
+      spark.sql(s"ALTER TABLE $c.dw.r1 SET TBLPROPERTIES ('graft.retention.versions'='soon')")
+    }.getMessage.contains("graft.retention.versions"))
+  }
+
   test("CALL expire_snapshots: age-based history expiry through SQL on the .history clock") {
     val c = newCatalog()
     spark.sql(s"CREATE NAMESPACE $c.dw")
