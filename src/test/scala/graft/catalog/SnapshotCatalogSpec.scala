@@ -813,5 +813,15 @@ class SnapshotCatalogSpec extends SparkSpec {
     // rollback re-pins, so the governed SQL reader follows immediately
     spark.sql(s"CALL $cat.system.rollback('dw.a', 1)").collect()
     assert(spark.sql(s"SELECT x FROM $cat.dw.a").head.getInt(0) == 1)
+    // compact_deltas publishes its (content-identical) fold version:
+    // governed readers keep following the head after the fold
+    spark.sql(s"INSERT INTO $cat.dw.a VALUES (3)")
+    spark.sql(s"INSERT INTO $cat.dw.a VALUES (4)")
+    val cd = spark.sql(s"CALL $cat.system.compact_deltas('dw.a')").collect().toSeq
+    assert(cd.head.getInt(0) == 1, "expected a fold")
+    assert(spark.sql(s"SELECT x FROM $cat.dw.a ORDER BY x").collect().map(_.getInt(0)).toSeq
+      == Seq(1, 3, 4))
+    assert(spark.sql(s"SELECT kind FROM $cat.dw.a.history WHERE is_current").head.getString(0)
+      == "append")
   }
 }
