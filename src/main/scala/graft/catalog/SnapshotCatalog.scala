@@ -250,14 +250,18 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces with StagingT
 
   /** Schema evolution through SQL — the Iceberg ALTER surface a
     * reference user actually runs: `ADD COLUMN(S)` (nullable,
-    * top-level), `DROP COLUMN`, `RENAME COLUMN`. Each change commits
-    * ONE new copy-on-write version (old rows read NULL in a new
-    * column; prior versions keep their schema — evolution is
-    * per-commit, same contract as merge(evolveSchema)). Partition
-    * columns are refused (layout identity), as are nested-field edits
-    * and type changes (never silent coercion). Column order follows
-    * the directory-partitioned convention: partition columns read
-    * LAST, so an added column lands before them. */
+    * top-level), `DROP COLUMN`, `RENAME COLUMN`. ADD and DROP are
+    * METADATA-ONLY commits (Iceberg's evolution: one EMPTY version
+    * whose declared schema changes; no data rewritten — the COW
+    * alternative rewrites the whole table, an O(table) cliff at
+    * 100 TB); old rows read NULL in an added column, dropped columns
+    * project away, prior versions keep their own schema. RENAME stays
+    * a copy-on-write commit (without field ids a projection cannot
+    * map the old name). Partition columns are refused (layout
+    * identity), as are nested-field edits and type changes (never
+    * silent coercion). Column order follows the directory-partitioned
+    * convention: partition columns read LAST, so an added column
+    * lands before them. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     import org.apache.spark.sql.functions.{col, lit}
     val st = tablesFor(ident.namespace)
@@ -273,19 +277,12 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces with StagingT
         require(add.fieldNames.length == 1,
           s"only top-level ADD COLUMN is supported, got ${add.fieldNames.mkString(".")}")
         require(add.isNullable, "added columns must be nullable (existing rows read NULL)")
-        val name = add.fieldNames.head
-        val cur = st.read(t)
-        require(!cur.columns.contains(name), s"column '$name' already exists")
-        st.overwriteTable(cur.withColumn(name, lit(null).cast(add.dataType)), t, pcols)
+        st.addColumn(t, add.fieldNames.head, add.dataType) // metadata-only
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames.length == 1,
           s"only top-level DROP COLUMN is supported, got ${del.fieldNames.mkString(".")}")
-        val name = del.fieldNames.head
-        refusePartition(name)
-        val cur = st.read(t)
-        require(cur.columns.contains(name), s"no column '$name'")
-        require(cur.columns.length > 1, "cannot drop the last column")
-        st.overwriteTable(cur.drop(name), t, pcols)
+        refusePartition(del.fieldNames.head)
+        st.dropColumn(t, del.fieldNames.head) // metadata-only
       case ren: TableChange.RenameColumn =>
         require(ren.fieldNames.length == 1,
           s"only top-level RENAME COLUMN is supported, got ${ren.fieldNames.mkString(".")}")

@@ -85,6 +85,10 @@ final class SnapshotTableV2(
     * through the RESOLVED read (a schema-only analysis, no job). */
   private lazy val discovered: Option[StructType] =
     if (version == 0) None
+    else if (st.chainSchemaEvolved(table, version))
+      // metadata-only schema evolution: the version's DECLARED schema
+      // is authoritative (files don't carry added/dropped columns yet)
+      st.versionDataSchema(table, version).filter(_.nonEmpty)
     else
       try {
         val s = directScanDirs match {
@@ -128,8 +132,9 @@ final class SnapshotTableV2(
     // same semantics, committed through the same fenced CAS.
     // `MERGE ... WITH SCHEMA EVOLUTION`: the analyzer gates on this
     // capability, then widens the table through the catalog's
-    // alterTable (a COW ADD COLUMN commit) and re-resolves the MERGE
-    // against the evolved schema — the DML rewrite sees a normal MERGE
+    // alterTable (a METADATA-ONLY ADD COLUMN commit) and re-resolves
+    // the MERGE against the evolved schema — the DML rewrite sees a
+    // normal MERGE
     s.add(TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
     s
   }

@@ -627,7 +627,8 @@ final class SnapshotTables(
       .getOrElse(Nil)
     val fold = json.contains("\"fold\":true")
     val txn = "\"txn\":\"([^\"]+)\"".r.findFirstMatchIn(json).map(_.group(1))
-    VersionMeta(v, kind, base, keys, fold, txn)
+    val evolved = json.contains("\"schema_evolved\":true")
+    VersionMeta(v, kind, base, keys, fold, txn, evolved)
   }
 
   /** The delta chain of `v`, ascending: a full base first, then every
@@ -659,7 +660,10 @@ final class SnapshotTables(
     * multi-path parquet scan with full pushdown. */
   private[graft] def appendChainDirs(table: String, v: Int): Option[Seq[String]] = {
     val segs = chainOf(table, v)
-    if (segs.forall(s => s.kind == "full" || s.kind == "append"))
+    // a schema-evolved chain must read RESOLVED (the declared schema is
+    // applied there; a raw multi-dir scan would expose file schemas)
+    if (segs.forall(s => s.kind == "full" || s.kind == "append") &&
+        !segs.exists(_.schemaEvolved))
       Some(segs.map(s => snapDir(table, s.v).toString))
     else None
   }
@@ -731,6 +735,10 @@ final class SnapshotTables(
     if (segs.length <= 2) return false
     val head = segs.head.v
     val deltas = segs.tail
+    // chains carrying a metadata-only schema evolution don't fold
+    // (segments have heterogeneous file schemas; the budget's
+    // materialize conforms everything and restores the fast paths)
+    if (deltas.exists(_.schemaEvolved)) return false
     val kinds = deltas.map(_.kind).toSet
     val schemaJson = read(table).schema.json
 
@@ -1098,8 +1106,14 @@ final class SnapshotTables(
     * anti-joins over per-segment parquet scans, fully distributed. */
   private def resolveChain(table: String, segs: Seq[VersionMeta]): DataFrame = {
     import org.apache.spark.sql.functions.col
+    // allowMissingColumns: chains carrying a metadata-only schema
+    // evolution hold segments with heterogeneous file schemas (older
+    // files lack added columns) — missing sides null-fill, exactly the
+    // declared-schema semantics readVersion's conformance then orders.
+    // On non-evolved chains every segment has identical columns
+    // (requireSameColumns), so this is a no-op.
     def union(a: Option[DataFrame], b: Option[DataFrame]): Option[DataFrame] = (a, b) match {
-      case (Some(x), Some(y)) => Some(x.unionByName(y))
+      case (Some(x), Some(y)) => Some(x.unionByName(y, allowMissingColumns = true))
       case (None, y) => y
       case (x, None) => x
     }
@@ -1111,7 +1125,7 @@ final class SnapshotTables(
           (acc, up) match {
             case (Some(a), Some(u)) =>
               Some(a.join(u.select(s.keyCols.map(col): _*).distinct(), s.keyCols, "left_anti")
-                .unionByName(u))
+                .unionByName(u, allowMissingColumns = true))
             case (None, u) => u
             case (a, None) => a
           }
@@ -1319,7 +1333,7 @@ final class SnapshotTables(
         // rows — double-counting), or a content-preserving fold
         // commit, which contributes nothing and is skipped below
         val m = try Some(versionMeta(table, v)) catch { case _: Exception => None }
-        m.exists(x => x.fold || (x.kind == "append" && x.base == v - 1))
+        m.exists(x => !x.schemaEvolved && (x.fold || (x.kind == "append" && x.base == v - 1)))
       }) {
         // to = from ⊎ seg₁ ⊎ … ⊎ segₖ  ⇒  to∖from = ⊎segᵢ, from∖to = ∅
         val segs = (fromV + 1 to toV)
@@ -1361,6 +1375,10 @@ final class SnapshotTables(
     // a fold commit (minor compaction) is content-preserving BY
     // CONSTRUCTION — its step diff is empty, at zero scans
     if (m.fold) return Some(emptyDiff)
+    // a schema-evolution step re-shapes every row: the generic path
+    // fails LOUDLY on the schema drift, which is the documented CDC
+    // contract — never silently report "no changes"
+    if (m.schemaEvolved) return None
     // every per-kind proof below assumes the step's meta base IS the
     // preceding version; a re-based segment (fold without the marker —
     // defensive) must take the generic two-resolution path
@@ -1450,6 +1468,7 @@ final class SnapshotTables(
           lit(null).cast(structDt).as("__new"): _*)
         .withColumn("__change", lit("insert")).filter(lit(false)))
     }
+    if (m.schemaEvolved) return None // generic path fails loudly on drift
     if (m.base != v - 1) return None
     val rest = cols.filterNot(keyCols.contains)
     def packed(df: DataFrame, as: String) =
@@ -1996,7 +2015,7 @@ final class SnapshotTables(
     // merge-on-read segments rewrite/subtract rows at RESOLUTION time —
     // per-file skipping over the raw segments could resurrect deleted
     // rows; read resolved until materialize()/compact()
-    if (segs.exists(s => s.kind != "full" && s.kind != "append"))
+    if (segs.exists(s => (s.kind != "full" && s.kind != "append") || s.schemaEvolved))
       return readVersion(table, v)
     // append-only chain: each segment prunes independently against its
     // OWN manifest (appends keep writing them), results union — file
@@ -2071,7 +2090,7 @@ final class SnapshotTables(
     val v = currentVersion(table)
     val segs = chainOf(table, v)
     // same rule as readPrunedBox: merge-on-read chains read resolved
-    if (segs.exists(s => s.kind != "full" && s.kind != "append"))
+    if (segs.exists(s => (s.kind != "full" && s.kind != "append") || s.schemaEvolved))
       return readVersion(table, v)
     val schema = readVersion(table, v).schema
     if (!schema.fieldNames.contains(statColumn)) return readVersion(table, v) // unknown column: conservative full scan
@@ -2273,11 +2292,117 @@ final class SnapshotTables(
   def readVersion(table: String, version: Int): DataFrame = {
     require(version > 0, s"table $table has no committed version")
     val segs = chainOf(table, version)
-    if (segs.length == 1) {
-      val df = spark.read.parquet(snapDir(table, version).toString)
-      val hidden = df.columns.filter(_.startsWith("__p_"))
-      if (hidden.isEmpty) df else df.drop(hidden: _*)
-    } else resolveChain(table, segs)
+    val df0 =
+      if (segs.length == 1) {
+        val df = spark.read.parquet(snapDir(table, version).toString)
+        val hidden = df.columns.filter(_.startsWith("__p_"))
+        if (hidden.isEmpty) df else df.drop(hidden: _*)
+      } else resolveChain(table, segs)
+    // metadata-only schema evolution: the version's DECLARED schema is
+    // authoritative over what the files happen to carry — added
+    // columns read NULL, dropped columns are projected away. Per
+    // version, so prior versions keep their own schema.
+    if (segs.exists(_.schemaEvolved)) conformToVersionSchema(df0, table, version) else df0
+  }
+
+  /** The data schema a version's commit metadata declares (hidden
+    * `__p_*` layout columns stripped); None when unparseable. */
+  private[graft] def versionDataSchema(table: String, v: Int): Option[org.apache.spark.sql.types.StructType] = {
+    val m = new Path(metaDir(table), f"v$v%05d.json")
+    if (!fs(m).exists(m)) return None
+    val json = readSmallFile(m)
+    val i = json.indexOf("\"schema\":")
+    if (i < 0) return None
+    try {
+      val s = org.apache.spark.sql.types.DataType
+        .fromJson(json.substring(i + "\"schema\":".length, json.length - 1))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      Some(org.apache.spark.sql.types.StructType(s.filterNot(_.name.startsWith("__p_"))))
+    } catch { case _: Exception => None }
+  }
+
+  /** Whether any segment of `v`'s chain is a metadata-only schema
+    * evolution — such chains read ONLY through the resolved
+    * ([[readVersion]]) path, where the declared schema is applied;
+    * multi-dir / pruned fast paths fall back until a full rewrite
+    * (materialize/compact/optimize) re-aligns files with the schema. */
+  private[graft] def chainSchemaEvolved(table: String, v: Int): Boolean =
+    (try chainOf(table, v) catch { case _: Exception => Nil }).exists(_.schemaEvolved)
+
+  private def conformToVersionSchema(df: DataFrame, table: String, v: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    versionDataSchema(table, v) match {
+      case None => df
+      case Some(want) =>
+        if (want.fieldNames.toSeq == df.columns.toSeq) df
+        else df.select(want.fields.toSeq.map { f =>
+          if (df.columns.contains(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }: _*)
+    }
+  }
+
+  /** METADATA-ONLY ADD COLUMN (Iceberg's schema evolution, a pure
+    * metadata operation by design — the COW alternative rewrites the
+    * WHOLE table to add a column of nulls, an O(table) cliff at
+    * 100 TB): commits one EMPTY version whose declared schema carries
+    * the new nullable column; every read of this and later versions
+    * null-fills it until real values arrive, prior versions keep their
+    * narrower schema. While the chain carries an evolution segment,
+    * reads route through the resolved path (fast multi-dir/pruned
+    * scans would expose raw file schemas) — a materialize/compact/
+    * optimize (or any full commit) re-aligns files and restores every
+    * fast path. */
+  def addColumn(table: String, name: String, dataType: org.apache.spark.sql.types.DataType): Unit = {
+    require(currentVersion(table) > 0, s"table $table has no committed version")
+    val s = read(table).schema
+    require(!s.fieldNames.contains(name), s"column '$name' already exists on $table")
+    // directory-partitioned convention: partition columns read LAST,
+    // so the added column lands before them (same order the COW
+    // evolution produced)
+    val pcols = currentPartitionCols(table).toSet
+    val (dataF, partF) = s.fields.partition(f => !pcols.contains(f.name))
+    commitSchemaEvolution(table,
+      org.apache.spark.sql.types.StructType((dataF :+
+        org.apache.spark.sql.types.StructField(name, dataType, nullable = true)) ++ partF))
+  }
+
+  /** METADATA-ONLY DROP COLUMN — the projection dual of [[addColumn]]:
+    * the declared schema stops naming the column and every read of
+    * this and later versions projects it away (the bytes remain in
+    * old files until a rewrite, exactly Iceberg's drop semantics).
+    * Partition and transform-source columns are refused (layout
+    * identity). */
+  def dropColumn(table: String, name: String): Unit = {
+    require(currentVersion(table) > 0, s"table $table has no committed version")
+    val s = read(table).schema
+    require(s.fieldNames.contains(name), s"no column '$name' on $table")
+    require(s.fields.length > 1, "cannot drop the last column")
+    require(!currentPartitionCols(table).contains(name), s"cannot drop partition column '$name'")
+    require(!persistedTransforms(table).exists(_.srcCol == name),
+      s"cannot drop '$name' — it is a partition-transform source column")
+    require(!sortOrder(table).contains(name),
+      s"cannot drop '$name' — it is in the write sort order (clear it first)")
+    commitSchemaEvolution(table,
+      org.apache.spark.sql.types.StructType(s.filterNot(_.name == name)))
+  }
+
+  private def commitSchemaEvolution(table: String, newSchema: org.apache.spark.sql.types.StructType): Unit = {
+    val cur = currentVersion(table)
+    ensureChainBudget(table)
+    val base = currentVersion(table) // budget may have folded/materialized
+    val _ = cur
+    commitVersion(
+      table,
+      stage = tmp => { fs(tmp).mkdirs(tmp); () }, // an EMPTY version directory: pure metadata
+      partitionCols1 = currentPartitionCols(table),
+      schemaJson = newSchema.json,
+      metaExtra = s""""kind":"append","base":$base,"schema_evolved":true,""",
+      expectedNext = Some(base + 1),
+      afterWin = () => (),
+      manifestStats = Nil,
+      manifestSketch = Nil)
+    ()
   }
 
   /** Compact the current snapshot into ~`targetFileBytes` files and
@@ -2666,7 +2791,7 @@ object SnapshotTables {
   /** One link of a version's delta chain, parsed from the version
     * metadata ("kind" absent = a full snapshot). */
   private[io] final case class VersionMeta(v: Int, kind: String, base: Int, keyCols: Seq[String],
-      fold: Boolean = false, txn: Option[String] = None)
+      fold: Boolean = false, txn: Option[String] = None, schemaEvolved: Boolean = false)
 
   /** A partition transform (Iceberg's hidden-partitioning vocabulary):
     * a pure function of one source column whose image becomes the

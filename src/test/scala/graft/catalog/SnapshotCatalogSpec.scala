@@ -256,7 +256,7 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(q.count() == 14) // ids 3, 10, …, 94
   }
 
-  test("ALTER TABLE ADD/DROP/RENAME COLUMN commit copy-on-write versions; partition columns refused") {
+  test("ALTER TABLE ADD/DROP COLUMN are metadata-only commits, RENAME copy-on-write; partition columns refused") {
     val c = newCatalog()
     spark.sql(s"CREATE NAMESPACE $c.dw")
     spark.sql(s"CREATE TABLE $c.dw.t (id INT, region STRING) PARTITIONED BY (region)")

@@ -500,6 +500,48 @@ class DeltaCommitsSpec extends SparkSpec {
     assert(all.select("id").as[Long].collect().toSet == Set(20L, 3L))
   }
 
+  test("metadata-only ADD/DROP COLUMN: empty commit, declared schema governs reads, rewrite restores fast paths") {
+    val (t, root) = newTables()
+    t.overwriteTable((1 to 1000).map(i => (i, s"r$i")).toDF("id", "v"), "tab", Nil,
+      statsCols = Seq("id"))
+    t.addColumn("tab", "score", org.apache.spark.sql.types.DoubleType) // v2: EMPTY commit
+    val v2 = new java.io.File(snapDirOf(root, "tab", 2))
+    assert(v2.listFiles() == null || v2.listFiles().forall(!_.getName.endsWith(".parquet")),
+      "ADD COLUMN must write no data files")
+    // declared schema governs: new column reads NULL everywhere
+    assert(t.read("tab").columns.toSeq == Seq("id", "v", "score"))
+    assert(t.read("tab").filter($"score".isNotNull).count() == 0)
+    assert(t.read("tab").count() == 1000)
+    // prior version keeps its narrower schema
+    assert(!t.readVersion("tab", 1).columns.contains("score"))
+    // appends carry the column; keyed MOR composes over the mixed chain
+    t.append(Seq((1001, "x", 0.5)).toDF("id", "v", "score"), "tab") // v3
+    t.deleteKeysMor("tab", Seq(1).toDF("id"))                       // v4
+    assert(t.read("tab").count() == 1000)
+    assert(t.read("tab").filter($"score".isNotNull).count() == 1)
+    // pruned reads fall back RESOLVED on evolved chains — correct and
+    // schema-true, just unpruned until the rewrite
+    val pruned = t.readPruned("tab", "id", 2L, 10L)
+    assert(pruned.columns.contains("score"))
+    assert(pruned.filter($"id".between(2, 10)).count() == 9)
+    // CDC across the evolution step fails LOUDLY, never silently-empty
+    intercept[Exception](t.diff("tab", 1, 2).collect())
+    // a full rewrite re-aligns files with the schema: fast paths return
+    t.materialize("tab") // v5
+    assert(t.chainKinds("tab", 5) == Seq("full"))
+    assert(t.fastCount("tab") == 1000L)
+    assert(t.readPruned("tab", "id", 2L, 10L).inputFiles.length <=
+      t.read("tab").inputFiles.length)
+    // DROP projects away, old files untouched; prior versions unaffected
+    t.dropColumn("tab", "v") // v6
+    assert(t.read("tab").columns.toSeq == Seq("id", "score"))
+    assert(t.readVersion("tab", 5).columns.contains("v"))
+    // refusals
+    intercept[IllegalArgumentException](t.dropColumn("tab", "nope"))
+    intercept[IllegalArgumentException](
+      t.addColumn("tab", "id", org.apache.spark.sql.types.LongType))
+  }
+
   test("column metadata that mimics commit fields never corrupts version metadata parsing") {
     val (t, _) = newTables()
     // a column whose FIELD METADATA carries "kind"/"base"/"fold" keys —
