@@ -302,6 +302,13 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces with StagingT
           if (set.value.trim.isEmpty) None else Some(set.value.trim.toIntOption.getOrElse(
             throw new IllegalArgumentException(
               s"${SnapshotCatalog.RetentionProperty} must be a non-negative int, got '${set.value}'"))))
+      // UNSET TBLPROPERTIES: each graft property resets to its default
+      case rm: TableChange.RemoveProperty if rm.property == SnapshotCatalog.WriteModeProperty =>
+        st.setWriteMode(t, "cow")
+      case rm: TableChange.RemoveProperty if rm.property == SnapshotCatalog.SortByProperty =>
+        st.setSortOrder(t, Nil)
+      case rm: TableChange.RemoveProperty if rm.property == SnapshotCatalog.RetentionProperty =>
+        st.setRetention(t, None)
       case other =>
         throw new UnsupportedOperationException(
           s"unsupported ALTER TABLE change ${other.getClass.getSimpleName} — " +

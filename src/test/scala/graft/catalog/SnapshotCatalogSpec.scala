@@ -746,6 +746,14 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(intercept[Exception] {
       spark.sql(s"ALTER TABLE $c.dw.r1 SET TBLPROPERTIES ('graft.retention.versions'='soon')")
     }.getMessage.contains("graft.retention.versions"))
+    // UNSET resets to the store default
+    spark.sql(s"ALTER TABLE $c.dw.r1 UNSET TBLPROPERTIES ('graft.retention.versions')")
+    val st = new graft.io.SnapshotTables(spark,
+      spark.conf.get(s"spark.sql.catalog.$c.root") + "/dw")
+    assert(st.retentionFor("r1") == 10)
+    spark.sql(s"ALTER TABLE $c.dw.r1 SET TBLPROPERTIES ('graft.write.mode'='mor')")
+    spark.sql(s"ALTER TABLE $c.dw.r1 UNSET TBLPROPERTIES ('graft.write.mode')")
+    assert(st.writeMode("r1") == "cow")
   }
 
   test("CALL expire_snapshots: age-based history expiry through SQL on the .history clock") {
