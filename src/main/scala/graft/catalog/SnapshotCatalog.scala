@@ -170,19 +170,13 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces with StagingT
     val st = tablesFor(ident.namespace)
     if (st.tableExists(ident.name)) throw new TableAlreadyExistsException(ident)
     val (idCols, derived) = SnapshotCatalog.splitTransforms(partitions)
+    // TBLPROPERTIES ('graft.write.mode'='mor' / sort_by / retention)
+    // parse AND validate BEFORE declareTable: an invalid value must
+    // fail the CREATE with zero side effects, not leave a declared-
+    // but-half-configured table behind
+    val propSetters = SnapshotCatalog.graftPropertySetters(schema, properties)
     st.declareTable(ident.name, schema, idCols, derived)
-    // TBLPROPERTIES ('graft.write.mode'='mor'): row-level DML commits
-    // O(changed) merge-on-read deltas instead of snapshot rewrites
-    Option(properties.get(SnapshotCatalog.WriteModeProperty))
-      .foreach(m => st.setWriteMode(ident.name, m))
-    Option(properties.get(SnapshotCatalog.SortByProperty))
-      .foreach(s => st.setSortOrder(ident.name,
-        s.split(',').toSeq.map(_.trim).filter(_.nonEmpty)))
-    Option(properties.get(SnapshotCatalog.RetentionProperty))
-      .foreach(r => st.setRetention(ident.name,
-        if (r.trim.isEmpty) None else Some(r.trim.toIntOption.getOrElse(
-          throw new IllegalArgumentException(
-            s"${SnapshotCatalog.RetentionProperty} must be a non-negative int, got '$r'")))))
+    propSetters.foreach(_(st, ident.name))
     loadTable(ident)
   }
 
@@ -222,23 +216,15 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces with StagingT
       partitions: Array[Transform], properties: util.Map[String, String],
       existedBefore: Boolean): StagedTable = {
     val (idCols, derived) = SnapshotCatalog.splitTransforms(partitions)
+    // TBLPROPERTIES apply on the CTAS path too — validated BEFORE the
+    // (re-)declaration and applied before the staged data write, so
+    // the very first commit already honors them and a bad value fails
+    // the statement with no side effects
+    val propSetters = SnapshotCatalog.graftPropertySetters(schema, properties)
     // re-declare schema + partitioning (REPLACE may change both; a
     // stale transform spec is cleared by declareTable)
     st.declareTable(ident.name, schema, idCols, derived)
-    // TBLPROPERTIES apply on the CTAS path too — before the staged
-    // data write, so the very first commit already honors them
-    // (previously dropped here: a `CREATE TABLE ... TBLPROPERTIES
-    // ('graft.write.mode'='mor') AS SELECT` silently stayed cow)
-    Option(properties.get(SnapshotCatalog.WriteModeProperty))
-      .foreach(m => st.setWriteMode(ident.name, m))
-    Option(properties.get(SnapshotCatalog.SortByProperty))
-      .foreach(s => st.setSortOrder(ident.name,
-        s.split(',').toSeq.map(_.trim).filter(_.nonEmpty)))
-    Option(properties.get(SnapshotCatalog.RetentionProperty))
-      .foreach(r => st.setRetention(ident.name,
-        if (r.trim.isEmpty) None else Some(r.trim.toIntOption.getOrElse(
-          throw new IllegalArgumentException(
-            s"${SnapshotCatalog.RetentionProperty} must be a non-negative int, got '$r'")))))
+    propSetters.foreach(_(st, ident.name))
     val base = st.currentVersion(ident.name)
     val inner = lake match {
       case Some(lc) => new SnapshotTableV2(fullName(ident), st, ident.name, base,
@@ -490,6 +476,37 @@ object SnapshotCatalog {
     * Iceberg keeps expiry policy as table properties too). '' clears
     * the override. */
   val RetentionProperty = "graft.retention.versions"
+
+  /** Parse AND validate the graft TBLPROPERTIES into setter closures.
+    * Validation is eager — the caller runs this BEFORE declareTable, so
+    * an invalid property value (a bad write mode, a non-numeric
+    * retention, a sort column the schema lacks) fails the statement
+    * before any on-disk side effect. The returned closures only run
+    * pre-validated values. */
+  private[graft] def graftPropertySetters(schema: StructType,
+      properties: util.Map[String, String]): Seq[(SnapshotTables, String) => Unit] = {
+    val setters = Seq.newBuilder[(SnapshotTables, String) => Unit]
+    Option(properties.get(WriteModeProperty)).foreach { m =>
+      require(m == "cow" || m == "mor",
+        s"$WriteModeProperty must be 'cow' or 'mor', got '$m'")
+      setters += ((st, t) => st.setWriteMode(t, m))
+    }
+    Option(properties.get(SortByProperty)).foreach { s =>
+      val cols = s.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+      cols.foreach(c => require(schema.fieldNames.contains(c),
+        s"$SortByProperty column '$c' is not a column of the table schema"))
+      setters += ((st, t) => st.setSortOrder(t, cols))
+    }
+    Option(properties.get(RetentionProperty)).foreach { r =>
+      val v =
+        if (r.trim.isEmpty) None
+        else Some(r.trim.toIntOption.filter(_ >= 0).getOrElse(
+          throw new IllegalArgumentException(
+            s"$RetentionProperty must be a non-negative int, got '$r'")))
+      setters += ((st, t) => st.setRetention(t, v))
+    }
+    setters.result()
+  }
 
   /** V2 partition transforms → the snapshot layer's vocabulary:
     * identity columns partition by directory; `days`/`bucket`/

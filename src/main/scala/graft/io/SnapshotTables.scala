@@ -48,6 +48,29 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * Caveat: on S3A, exclusive create remains check-then-create; real
   * S3 multi-writer needs a conditional-PUT or DynamoDB-style log
   * store, the Iceberg/Delta swap-in seam of SURVEY §7.
+  *
+  * COMMIT LAYOUTS (`graft.commit.layout` session conf, default
+  * "rename"): the stage-then-rename protocol above is atomic and
+  * cheap on HDFS and local filesystems, but on S3-family object
+  * stores RENAME IS A SERVER-SIDE COPY — publishing a staged snapshot
+  * is O(data), the exact cliff Iceberg's write-once-files +
+  * file-listing-manifests design exists to avoid. The "direct" layout
+  * is that design on this format: data files are written ONCE into
+  * their final location under the table's shared pool
+  * (`<table>/data/<writerUUID>/`), the version metadata records that
+  * location (`"data_dir"`, an absolute URI, before the schema like
+  * every commit field), and the metadata CAS **is the entire
+  * commit** — no rename, no orphan window (data precedes the CAS, so
+  * a won CAS is instantly complete), and publish/WAP/fold/rollback
+  * never move a data byte: publish adopts the branch commit's pool
+  * dir by reference (branch commits write into the MAIN table's pool
+  * precisely so the reference survives `dropBranch`). Every version
+  * meta is self-describing, so a table may freely mix layouts across
+  * versions. Garbage collection is REACHABILITY-based, as in Iceberg:
+  * a pool dir referenced by no retained meta (main or branch) is
+  * debris — CAS losers delete their own dirs eagerly; hard-crashed
+  * writers' dirs wait for [[removeOrphans]], Iceberg's own
+  * `remove_orphan_files` contract.
   */
 final class SnapshotTables(
     spark: SparkSession,
@@ -57,7 +80,10 @@ final class SnapshotTables(
     stagingGraceMs: Long = 3600000L,
     heartbeatMs: Long = 15000L,
     sketchBits: Int = 1 << 17,
-    sketchHashes: Int = 4
+    sketchHashes: Int = 4,
+    // branch instances write direct-layout data into the PARENT
+    // table's pool (see the class doc's publish-by-reference design)
+    dataPoolRoot: Option[String] = None
 ) extends TableFormat {
 
   // readPrunedIn's codegen'd bloomHit unrolls at most 8 hash positions;
@@ -1089,17 +1115,28 @@ final class SnapshotTables(
     ()
   }
 
+  /** Guarded raw read of one data directory (`__p_*` layout columns
+    * KEPT — the hidden-partition readers filter on them): None when the
+    * dir is absent or holds no data files. A zero-file segment is
+    * committable (e.g. a dynamic-partition write of 0 rows emits only
+    * _SUCCESS), and an unguarded `spark.read.parquet` on it throws
+    * AnalysisException (unable to infer schema) — every multi-segment
+    * reader must union only the non-empty segments. */
+  private def readDirOpt(dir: String): Option[DataFrame] = {
+    val d = new Path(dir)
+    if (!fs(d).exists(d)) return None
+    try {
+      val df = spark.read.parquet(dir)
+      if (df.schema.isEmpty) None else Some(df)
+    } catch { case _: org.apache.spark.sql.AnalysisException => None }
+  }
+
   /** Read one chain segment's dir (or subdir) as a frame, None when it
     * holds no data files (empty delta side) — `__p_*` layout columns
     * concealed like every read here. */
   private def segRead(table: String, v: Int, sub: String = ""): Option[DataFrame] = {
     val d = if (sub.isEmpty) snapDir(table, v) else new Path(snapDir(table, v), sub)
-    if (!fs(d).exists(d)) return None
-    try {
-      val df = spark.read.parquet(d.toString)
-      if (df.schema.isEmpty) None
-      else Some(df.drop(df.columns.filter(_.startsWith("__p_")): _*))
-    } catch { case _: org.apache.spark.sql.AnalysisException => None }
+    readDirOpt(d.toString).map(df => df.drop(df.columns.filter(_.startsWith("__p_")): _*))
   }
 
   /** Fold a delta chain into one resolved DataFrame plan — unions and
@@ -1251,16 +1288,20 @@ final class SnapshotTables(
         // append-only chain: per-segment scans (each root discovers its
         // own partition dirs — Spark refuses mixed multi-root layouts),
         // filtered BEFORE the union so directory pruning applies per
-        // segment, then unioned
-        val perSeg = dirs.map { dir =>
-          val raw = spark.read.parquet(dir)
-          val filtered =
-            if (raw.columns.contains(pt.name))
-              raw.filter(col(pt.name) >= lit(bounds.get(0)) && col(pt.name) <= lit(bounds.get(1)))
-            else raw.filter(pt.expr >= lit(bounds.get(0)) && pt.expr <= lit(bounds.get(1)))
-          filtered.drop(raw.columns.filter(_.startsWith("__p_")): _*)
+        // segment, then unioned. Zero-file segments are skipped
+        // (readDirOpt) — an unguarded read of one would fail the whole
+        // table's range scans forever.
+        val perSeg = dirs.flatMap { dir =>
+          readDirOpt(dir).map { raw =>
+            val filtered =
+              if (raw.columns.contains(pt.name))
+                raw.filter(col(pt.name) >= lit(bounds.get(0)) && col(pt.name) <= lit(bounds.get(1)))
+              else raw.filter(pt.expr >= lit(bounds.get(0)) && pt.expr <= lit(bounds.get(1)))
+            filtered.drop(raw.columns.filter(_.startsWith("__p_")): _*)
+          }
         }
-        perSeg.reduce(_ unionByName _)
+        if (perSeg.nonEmpty) perSeg.reduce(_ unionByName _)
+        else emptyFrameOf(table, v)
       case None =>
         // merge-on-read chain: directory skipping would resurrect
         // deleted rows — filter the RESOLVED rows on the re-derived
@@ -1283,18 +1324,29 @@ final class SnapshotTables(
       .head().toSeq.distinct
     appendChainDirs(table, v) match {
       case Some(dirs) =>
-        val perSeg = dirs.map { dir =>
-          val raw = spark.read.parquet(dir)
-          val filtered =
-            if (raw.columns.contains(pt.name)) raw.filter(col(pt.name).isin(derived: _*))
-            else raw.filter(pt.expr.isin(derived: _*))
-          filtered.drop(raw.columns.filter(_.startsWith("__p_")): _*)
+        val perSeg = dirs.flatMap { dir =>
+          readDirOpt(dir).map { raw =>
+            val filtered =
+              if (raw.columns.contains(pt.name)) raw.filter(col(pt.name).isin(derived: _*))
+              else raw.filter(pt.expr.isin(derived: _*))
+            filtered.drop(raw.columns.filter(_.startsWith("__p_")): _*)
+          }
         }
-        perSeg.reduce(_ unionByName _)
+        if (perSeg.nonEmpty) perSeg.reduce(_ unionByName _)
+        else emptyFrameOf(table, v)
       case None =>
         readVersion(table, v).filter(pt.expr.isin(derived: _*))
     }
   }
+
+  /** Zero-row frame with a version's declared data schema — the honest
+    * answer when every chain segment turned out to hold no data files. */
+  private def emptyFrameOf(table: String, v: Int): DataFrame =
+    versionDataSchema(table, v) match {
+      case Some(s) =>
+        spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), s)
+      case None => readVersion(table, v).where(org.apache.spark.sql.functions.lit(false))
+    }
 
   /** ROLLBACK: re-commit a retained version's content as the NEW
     * current version (Iceberg's rollback semantics on a forward-only

@@ -158,12 +158,89 @@ object SnapshotDmlRule extends Rule[LogicalPlan] {
       notMatched: Seq[MergeAction],
       notMatchedBySource: Seq[MergeAction]) extends LeafRunnableCommand {
 
+    /** The canonical keyed-upsert MERGE shape, when write mode is
+      * "mor": `ON` is a conjunction of same-named target=source column
+      * equalities, the only actions are an unconditional `WHEN MATCHED
+      * THEN UPDATE SET *` and an unconditional `WHEN NOT MATCHED THEN
+      * INSERT *`, and the source carries exactly the table's columns.
+      * That shape IS [[graft.io.SnapshotTables.upsertMor]] — an
+      * O(source) merge-on-read delta commit instead of the O(table)
+      * copy-on-write rewrite, so `ALTER ... ('graft.write.mode'='mor')`
+      * flips the most common streaming/batch upsert statement to
+      * O(changed) like it already flips DELETE and UPDATE. Returns the
+      * key columns when the fast path applies. */
+    private def morUpsertKeys(st: graft.io.SnapshotTables, table: String,
+        srcColumns: Seq[String], targetIds: Set[org.apache.spark.sql.catalyst.expressions.ExprId])
+        : Option[Seq[String]] = {
+      import org.apache.spark.sql.catalyst.expressions.{And, EqualTo}
+      def eqKeys(e: Expression): Option[Seq[String]] = e match {
+        case And(l, r) => for { a <- eqKeys(l); b <- eqKeys(r) } yield a ++ b
+        case EqualTo(a: AttributeReference, b: AttributeReference)
+            // one side target, one side source, SAME column name — a
+            // cross-named key would make the source frame's key column
+            // ambiguous for the keyed delta resolution
+            if targetIds.contains(a.exprId) != targetIds.contains(b.exprId) && a.name == b.name =>
+          Some(Seq(a.name))
+        case _ => None
+      }
+      // the analyzer expands `SET *` / `INSERT *` into explicit
+      // assignments before this rule fires: canonical = unconditional,
+      // and every target column is assigned the SAME-NAMED source
+      // attribute (a full-row replace — upsertMor's contract)
+      val targetNames = targetOutput.map(_.name)
+      def fullRowCopy(asgns: Seq[Assignment]): Boolean = {
+        val byName = asgns.collect {
+          case Assignment(k: AttributeReference, v: AttributeReference)
+              if !targetIds.contains(v.exprId) && k.name == v.name => k.name
+        }
+        asgns.length == byName.length && byName.toSet == targetNames.toSet
+      }
+      val canonicalActions =
+        matched.length == 1 && notMatched.length == 1 && notMatchedBySource.isEmpty &&
+          (matched.head match {
+            case UpdateStarAction(None) => true
+            case UpdateAction(None, asgns, _) => fullRowCopy(asgns)
+            case _ => false
+          }) &&
+          (notMatched.head match {
+            case InsertStarAction(None) => true
+            case InsertAction(None, asgns) => fullRowCopy(asgns)
+            case _ => false
+          })
+      if (!canonicalActions) return None
+      if (st.writeMode(table) != "mor" || st.currentVersion(table) == 0) return None
+      val keys = eqKeys(cond).map(_.distinct).filter(_.nonEmpty)
+      // upsertMor needs the table's exact column set on the source
+      keys.filter(_ => srcColumns.toSet == st.read(table).columns.toSet)
+    }
+
     override def run(session: SparkSession): Seq[Row] = {
       import org.apache.spark.sql.functions._
       val t = snapshotTable(rel)
       val st = t.tables
 
       val targetIds = targetOutput.map(_.exprId).toSet
+
+      morUpsertKeys(st, t.tableName, source.output.map(_.name), targetIds) match {
+        case Some(keys) =>
+          val src = GraftSqlBridge.ofRows(session, source)
+          // SQL cardinality rule: a TARGET row matching several source
+          // rows must raise. Duplicate source keys alone are legal
+          // (both insert); only duplicates that hit the target violate
+          // the rule — checked with one aggregate over the O(batch)
+          // source and, only when duplicates exist at all, one semi-
+          // join against the table. The table is never read otherwise.
+          val dupKeys = src.groupBy(keys.map(col): _*)
+            .agg(count(lit(1)).as("__n")).filter(col("__n") > 1L).drop("__n")
+          if (!dupKeys.isEmpty &&
+              !st.read(t.tableName).join(dupKeys, keys, "left_semi").isEmpty)
+            throw new IllegalStateException(
+              "MERGE: a target row matched multiple source rows")
+          st.upsertMor(t.tableName, src, keys)
+          t.notifyCommitted()
+          return Seq.empty
+        case None => () // general shape: copy-on-write rewrite below
+      }
       // target attrs take precedence on exprId collision (self-merge);
       // genuine ambiguity then fails resolution loudly downstream
       def qualifierOf(a: AttributeReference): Seq[String] =

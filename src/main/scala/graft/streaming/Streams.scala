@@ -434,15 +434,6 @@ object Streams {
       }
       .start()
 
-  /** Continuous upsert-by-key into a versioned snapshot table. With
-    * `mor = false` (default) each batch is a copy-on-write MERGE —
-    * O(table) write per batch, zero read-side overhead. With `mor =
-    * true` each batch commits an O(batch) merge-on-read delta
-    * ([[graft.io.SnapshotTables.upsertMor]] — the commit never reads
-    * the base table at all), readers resolve the chain, and the
-    * snapshot layer's `graft.delta.maxChainLength` auto-materialize
-    * keeps read cost bounded — the only commit shape that survives a
-    * high-cadence stream into a 100 TB table. */
   /** Append-only streaming ingestion into a snapshot table — the
     * fact/event-stream shape (no keys, no conflict resolution): each
     * micro-batch FAST-APPENDS an O(batch) delta commit, and the chain
@@ -469,9 +460,14 @@ object Streams {
   ): StreamingQuery = {
     // the txn namespace is the CHECKPOINT identity: a restart of the
     // same query re-presents the same ids (replay-safe), while a
-    // different query writing the same table never collides
-    val sinkId = java.lang.Long.toHexString(
-      org.apache.spark.unsafe.types.UTF8String.fromString(checkpoint).hashCode().toLong & 0xffffffffL)
+    // different query writing the same table never collides. A
+    // collision-resistant 128-bit digest, NOT a 32-bit hash — two
+    // queries whose checkpoint hashes collide would share a namespace
+    // and a matching (hash, batchId) would be silently skipped as a
+    // replay: silent data loss, not a loud failure.
+    val sinkId = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpoint.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -484,6 +480,15 @@ object Streams {
       .start()
   }
 
+  /** Continuous upsert-by-key into a versioned snapshot table. With
+    * `mor = false` (default) each batch is a copy-on-write MERGE —
+    * O(table) write per batch, zero read-side overhead. With `mor =
+    * true` each batch commits an O(batch) merge-on-read delta
+    * ([[graft.io.SnapshotTables.upsertMor]] — the commit never reads
+    * the base table at all), readers resolve the chain, and the
+    * snapshot layer's `graft.delta.maxChainLength` auto-materialize
+    * keeps read cost bounded — the only commit shape that survives a
+    * high-cadence stream into a 100 TB table. */
   def snapshotMergeSink(
       stream: DataFrame,
       tables: graft.io.SnapshotTables,

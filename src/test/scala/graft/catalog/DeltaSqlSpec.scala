@@ -118,4 +118,72 @@ class DeltaSqlSpec extends SparkSpec {
     assert(rows(s"SELECT kind FROM $c.dw.t.history WHERE is_current") == Seq(Row("full")))
     assert(rows(s"SELECT count(*) AS c FROM $c.dw.t") == Seq(Row(2L)))
   }
+
+  test("write mode 'mor': canonical keyed MERGE commits an O(source) mor_upsert delta") {
+    val c = newCatalog()
+    spark.sql(s"CREATE NAMESPACE $c.dw")
+    spark.sql(
+      s"CREATE TABLE $c.dw.u (id BIGINT, v STRING) TBLPROPERTIES ('graft.write.mode'='mor')")
+    spark.sql(s"INSERT INTO $c.dw.u SELECT id, concat('r', id) FROM range(1000)")
+    spark.sql(s"CREATE TABLE $c.dw.batch (id BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $c.dw.batch VALUES (1, 'up1'), (5000, 'new')")
+    spark.sql(
+      s"""MERGE INTO $c.dw.u t USING $c.dw.batch s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    // the statement landed as a merge-on-read delta, NOT a rewrite
+    assert(rows(s"SELECT kind FROM $c.dw.u.history WHERE is_current") == Seq(Row("mor_upsert")))
+    assert(rows(s"SELECT count(*) AS c FROM $c.dw.u") == Seq(Row(1001L)))
+    assert(rows(s"SELECT v FROM $c.dw.u WHERE id IN (1, 2, 5000) ORDER BY id") ==
+      Seq(Row("up1"), Row("r2"), Row("new")))
+    // duplicate source keys that hit a TARGET row violate the SQL
+    // cardinality rule and must raise, not double-apply
+    spark.sql(s"INSERT INTO $c.dw.batch VALUES (1, 'up1-again')")
+    val e = intercept[Exception](spark.sql(
+      s"""MERGE INTO $c.dw.u t USING $c.dw.batch s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+    assert(e.getMessage.contains("matched multiple source rows"))
+    // a CONDITIONAL merge is not the canonical upsert shape: it takes
+    // the general copy-on-write path (kind 'full'), results exact
+    spark.sql(
+      s"""MERGE INTO $c.dw.u t USING (SELECT 2L AS id, 'cond' AS v) s ON t.id = s.id
+         |WHEN MATCHED AND t.v = 'r2' THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(rows(s"SELECT kind FROM $c.dw.u.history WHERE is_current") == Seq(Row("full")))
+    assert(rows(s"SELECT v FROM $c.dw.u WHERE id = 2") == Seq(Row("cond")))
+    // on a COW table the same canonical merge stays a rewrite
+    spark.sql(s"CREATE TABLE $c.dw.cw (id BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $c.dw.cw VALUES (1, 'a')")
+    spark.sql(
+      s"""MERGE INTO $c.dw.cw t USING (SELECT 2L AS id, 'b' AS v) s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(rows(s"SELECT kind FROM $c.dw.cw.history WHERE is_current") == Seq(Row("full")))
+    assert(rows(s"SELECT count(*) AS c FROM $c.dw.cw") == Seq(Row(2L)))
+  }
+
+  test("invalid graft TBLPROPERTIES fail CREATE with zero side effects") {
+    val c = newCatalog()
+    spark.sql(s"CREATE NAMESPACE $c.dw")
+    intercept[Exception](spark.sql(
+      s"CREATE TABLE $c.dw.bad (id INT) TBLPROPERTIES ('graft.retention.versions'='not-a-number')"))
+    // the failed CREATE must not leave a declared-but-half-configured
+    // table behind (property validation runs BEFORE declareTable)
+    assert(!spark.catalog.tableExists(s"$c.dw.bad"))
+    intercept[Exception](spark.sql(
+      s"CREATE TABLE $c.dw.bad (id INT) TBLPROPERTIES ('graft.write.mode'='sideways')"))
+    assert(!spark.catalog.tableExists(s"$c.dw.bad"))
+    intercept[Exception](spark.sql(
+      s"CREATE TABLE $c.dw.bad (id INT) TBLPROPERTIES ('graft.write.sort_by'='no_such_col')"))
+    assert(!spark.catalog.tableExists(s"$c.dw.bad"))
+    // and the same validation guards the CTAS staging path
+    intercept[Exception](spark.sql(
+      s"CREATE TABLE $c.dw.bad TBLPROPERTIES ('graft.retention.versions'='-3') AS SELECT 1 AS id"))
+    assert(!spark.catalog.tableExists(s"$c.dw.bad"))
+    // a valid CREATE still lands with the properties applied
+    spark.sql(
+      s"CREATE TABLE $c.dw.ok (id INT) TBLPROPERTIES ('graft.retention.versions'='2')")
+    assert(spark.catalog.tableExists(s"$c.dw.ok"))
+  }
 }

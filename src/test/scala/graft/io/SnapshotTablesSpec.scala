@@ -1000,4 +1000,30 @@ class SnapshotTablesSpec extends SparkSpec {
       assert(inTight.filter($"id" === 100L).count() == 1)
     } finally spark.conf.unset("graft.manifest.maxFileList")
   }
+
+  test("zero-file delta segments never poison partition-range/value reads") {
+    import org.apache.spark.sql.functions._
+    import SnapshotTables.PartitionTransform
+    val t = newTables()
+    val df = spark.range(0, 200).toDF("id")
+      .withColumn("ts", expr("timestamp_seconds(1704067200 + id * 600)"))
+    val byDay = PartitionTransform.days("ts")
+    t.overwriteTableTransformed(df, "ev", Seq(byDay))
+    // an EMPTY append is committable (e.g. SQL `INSERT INTO ... SELECT`
+    // matching 0 rows: the dynamic-partition write emits no part files,
+    // only _SUCCESS) — every later read must skip the dir, not throw
+    t.append(df.where(lit(false)), "ev")
+    assert(t.commitKind("ev", t.currentVersion("ev")) == "append")
+    assert(t.read("ev").count() == 200)
+    val ranged = t.readPartitionRange("ev", byDay, "2024-01-01 00:00:00", "2024-01-01 23:59:59")
+    assert(ranged.count() == 144) // one full day @ 144 rows
+    val probed = t.readPartitionValues("ev", byDay, Seq("2024-01-01 12:00:00"))
+    assert(probed.count() == 144)
+    // a chain of ONLY empty segments answers with an empty frame of the
+    // declared schema instead of a schema-inference error
+    t.overwriteTable(df.where(lit(false)), "none")
+    t.append(df.where(lit(false)), "none")
+    val empty = t.readPartitionRange("none", byDay, "2024-01-01 00:00:00", "2024-01-02 00:00:00")
+    assert(empty.count() == 0 && empty.columns.toSeq == Seq("id", "ts"))
+  }
 }

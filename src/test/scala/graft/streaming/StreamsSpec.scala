@@ -536,8 +536,8 @@ class StreamsSpec extends SparkSpec {
       assert((1 to cur).forall(v => tables.chainKinds("ev", v).length <= 3))
       // the sink's replay contract: re-presenting a committed batch's
       // txn (what a foreachBatch retry does) lands NOTHING
-      val sinkId = java.lang.Long.toHexString(
-        org.apache.spark.unsafe.types.UTF8String.fromString(ck).hashCode().toLong & 0xffffffffL)
+      val sinkId = java.security.MessageDigest.getInstance("MD5")
+        .digest(ck.getBytes("UTF-8")).map("%02x".format(_)).mkString
       tables.append(Seq((99L, "dup")).toDF("id", "v"), "ev",
         txnId = Some(s"append-sink.$sinkId.2"))
       assert(tables.currentVersion("ev") == cur)
