@@ -146,14 +146,31 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces with StagingT
     }
   }
 
-  /** `VERSION AS OF` — accepts `3` or `v3`. */
+  /** `VERSION AS OF` — accepts `3`, `v3`, or a WAP BRANCH name
+    * (Iceberg's branch reads: `VERSION AS OF 'wip'` audits the staged
+    * branch while plain reads keep seeing main; publish flips both).
+    * A branch with no commits yet reads its fork base. Branch reads
+    * are pinned — DML through them is refused like any time travel.
+    * (A branch named like an integer is unreachable here — numbers
+    * always mean versions.) */
   override def loadTable(ident: Identifier, version: String): Table = {
     val st = tablesFor(ident.namespace)
-    val v =
-      try version.stripPrefix("v").toInt
-      catch { case _: NumberFormatException => throw new NoSuchTableException(ident) }
-    if (!st.history(ident.name).contains(v)) throw new NoSuchTableException(ident)
-    new SnapshotTableV2(fullName(ident), st, ident.name, v, pinnedVersion = true)
+    version.stripPrefix("v").toIntOption match {
+      case Some(v) =>
+        if (!st.history(ident.name).contains(v)) throw new NoSuchTableException(ident)
+        new SnapshotTableV2(fullName(ident), st, ident.name, v, pinnedVersion = true)
+      case None =>
+        val branch = version
+        if (!st.tableExists(ident.name) || !st.branches(ident.name).contains(branch))
+          throw new NoSuchTableException(ident)
+        val bt = st.branchTablesFor(ident.name)
+        val bv = bt.currentVersion(branch)
+        if (bv > 0)
+          new SnapshotTableV2(s"${fullName(ident)}@$branch", bt, branch, bv, pinnedVersion = true)
+        else // forked, nothing staged yet: the branch reads its base
+          new SnapshotTableV2(s"${fullName(ident)}@$branch", st, ident.name,
+            st.branchBase(ident.name, branch), pinnedVersion = true)
+    }
   }
 
   /** `TIMESTAMP AS OF` — Spark passes MICROseconds since epoch. */

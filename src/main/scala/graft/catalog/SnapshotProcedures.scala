@@ -17,6 +17,10 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructType
   *  - `rollback(table, version)` — re-commit a retained version's
   *    content as a NEW version (never history rewrite);
   *    [[SnapshotTables.rollback]]
+  *  - `create_branch(table, branch)` / `drop_branch(table, branch)` —
+  *    fork / discard a WAP branch (zero-copy ref; staged content is
+  *    readable as `SELECT ... VERSION AS OF '<branch>'`);
+  *    [[SnapshotTables.createBranch]] / [[SnapshotTables.dropBranch]]
   *  - `fast_forward(table, branch)` — publish a WAP branch to main;
   *    [[SnapshotTables.publish]]
   *  - `optimize(table, zorder_cols, target_file_mb)` — compaction /
@@ -55,7 +59,8 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructType
 private[catalog] object SnapshotProcedures {
 
   val Names: Seq[String] =
-    Seq("rollback", "fast_forward", "optimize", "compact_deltas", "evolve_partitioning",
+    Seq("rollback", "create_branch", "drop_branch", "fast_forward", "optimize",
+      "compact_deltas", "evolve_partitioning",
       "expire_snapshots", "remove_orphan_files", "expire_log", "publish_branches")
 
   private def param(name: String, dt: DataType): ProcedureParameter =
@@ -103,7 +108,8 @@ private[catalog] object SnapshotProcedures {
 
         override def parameters(): Array[ProcedureParameter] = ident.name match {
           case "rollback" => Array(param("table", StringType), param("version", IntegerType))
-          case "fast_forward" => Array(param("table", StringType), param("branch", StringType))
+          case "create_branch" | "drop_branch" | "fast_forward" =>
+            Array(param("table", StringType), param("branch", StringType))
           case "optimize" => Array(param("table", StringType),
             paramD("zorder_cols", StringType, "''"), paramD("target_file_mb", IntegerType, "128"))
           case "compact_deltas" => Array(param("table", StringType))
@@ -124,6 +130,15 @@ private[catalog] object SnapshotProcedures {
             st.rollback(t, to, st.currentPartitionCols(t))
             publishThrough(st, t)
             result(outSchema("restored_version", "current_version"), to, st.currentVersion(t))
+          case "create_branch" =>
+            val (st, t) = tablesOf(input.getUTF8String(0).toString)
+            st.createBranch(t, input.getUTF8String(1).toString)
+            result(outSchema("base_version"),
+              st.branchBase(t, input.getUTF8String(1).toString))
+          case "drop_branch" =>
+            val (st, t) = tablesOf(input.getUTF8String(0).toString)
+            st.dropBranch(t, input.getUTF8String(1).toString)
+            result(outSchema("current_version"), st.currentVersion(t))
           case "fast_forward" =>
             val (st, t) = tablesOf(input.getUTF8String(0).toString)
             val v = st.publish(t, input.getUTF8String(1).toString)

@@ -101,6 +101,57 @@ final class SnapshotTables(
     new Path(tableDir(table), f"snapshots/v$v%05d")
   private def pointer(table: String) = new Path(metaDir(table), "current")
 
+  /** Write-once data pool of the direct layout: `<table>/data/`, one
+    * subdir per commit attempt. Branch instances override it with the
+    * PARENT table's pool so a published branch commit's dir survives
+    * `dropBranch` (see the class doc). */
+  private def dataPoolDir(table: String): Path =
+    dataPoolRoot.map(new Path(_)).getOrElse(new Path(tableDir(table), "data"))
+
+  /** `graft.commit.layout` — "rename" (default: stage under `.tmp-*`,
+    * rename into the version line after the CAS) or "direct"
+    * (write-once files in the pool; the metadata CAS is the entire
+    * commit — the shape object stores need, where rename is a copy). */
+  private def commitLayout: String =
+    spark.conf.getOption("graft.commit.layout") match {
+      case None => "rename"
+      case Some(raw) =>
+        val m = raw.trim
+        require(m == "rename" || m == "direct",
+          s"graft.commit.layout must be 'rename' or 'direct', got '$raw'")
+        m
+    }
+
+  /** The `data_dir` a version's commit metadata records (direct
+    * layout), None for rename-layout versions or unreadable/missing
+    * metas. Commit fields are parsed only BEFORE the embedded schema
+    * json, like every meta field. */
+  private def metaDataDirString(table: String, v: Int): Option[String] = {
+    val m = new Path(metaDir(table), f"v$v%05d.json")
+    try {
+      if (!fs(m).exists(m)) None
+      else {
+        val raw = readSmallFile(m)
+        val json = raw.indexOf("\"schema\":") match {
+          case -1 => raw
+          case i => raw.substring(0, i)
+        }
+        "\"data_dir\":\"([^\"]+)\"".r.findFirstMatchIn(json).map(_.group(1))
+      }
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** A version's data directory: the commit metadata's recorded
+    * write-once pool location (direct layout) or the version-line dir
+    * the rename layout moved data into. EVERY data read, byte count
+    * and delete resolves through here — the version meta is
+    * authoritative, never the directory convention. */
+  private def dataDirOf(table: String, v: Int): Path =
+    metaDataDirString(table, v).map(new Path(_)).getOrElse(snapDir(table, v))
+
+  private def dataDirOfMeta(table: String, m: SnapshotTables.VersionMeta): Path =
+    m.dataDir.map(new Path(_)).getOrElse(snapDir(table, m.v))
+
   private def writeSmallFile(p: Path, content: String): Unit = {
     val f = fs(p)
     val out = f.create(p, true)
@@ -153,11 +204,21 @@ final class SnapshotTables(
           try Some(readSmallFile(meta)) catch { case _: java.io.IOException => None }
         else None
       orphanContent.exists { statted =>
+        // a DIRECT-layout meta is NEVER an orphan: its data was staged
+        // before the CAS, so meta presence is a complete commit — it
+        // has no snapshot dir by design, and reclaiming it would
+        // delete a live commit record. (Commit fields parse only
+        // before the embedded schema json, as everywhere.)
+        val prefix = statted.indexOf("\"schema\":") match {
+          case -1 => statted
+          case i => statted.substring(0, i)
+        }
+        val isDirect = prefix.contains("\"data_dir\":\"")
         // re-read right before the delete: if the meta changed hands
         // since we statted it, another reclaimer re-won — back off.
         val still = try f.exists(meta) && readSmallFile(meta) == statted
                     catch { case _: java.io.IOException => false }
-        still && !f.exists(snapDir(table, next)) &&
+        !isDirect && still && !f.exists(snapDir(table, next)) &&
           { f.delete(meta, false); createExclusive(meta, metaJson) }
       }
     }
@@ -180,16 +241,39 @@ final class SnapshotTables(
     math.max(viaPointer, history(table).lastOption.getOrElse(0))
   }
 
-  /** All retained versions, ascending. */
+  /** All retained versions, ascending: version-line dirs (rename
+    * layout) plus direct-layout commits, whose ONLY on-disk footprint
+    * under the version line is the metadata file — for those, a
+    * version is committed iff its meta exists AND records a
+    * `data_dir` (data is staged before the CAS, so meta presence is
+    * completion). A meta with neither dir nor data_dir is a
+    * rename-layout commit inside its CAS→rename window, or a crash
+    * orphan — not history, exactly as before. */
   def history(table: String): Seq[Int] = {
     val d = new Path(tableDir(table), "snapshots")
     val f = fs(d)
-    if (!f.exists(d)) Nil
-    else
-      f.listStatus(d).toSeq
-        .map(_.getPath.getName)
-        .collect { case n if n.startsWith("v") => n.drop(1).toInt }
-        .sorted
+    val viaDirs: Seq[Int] =
+      if (!f.exists(d)) Nil
+      else
+        f.listStatus(d).toSeq
+          .map(_.getPath.getName)
+          .collect { case n if n.startsWith("v") => n.drop(1).toInt }
+    val dirSet = viaDirs.toSet
+    val md = metaDir(table)
+    val mf = fs(md)
+    val viaMeta: Seq[Int] =
+      if (!mf.exists(md)) Nil
+      else
+        mf.listStatus(md).toSeq
+          .map(_.getPath.getName)
+          .collect {
+            case n if n.startsWith("v") && n.endsWith(".json") &&
+                n.stripPrefix("v").stripSuffix(".json").forall(_.isDigit) =>
+              n.stripPrefix("v").stripSuffix(".json").toInt
+          }
+          .filterNot(dirSet)
+          .filter(v => metaDataDirString(table, v).isDefined)
+    (viaDirs ++ viaMeta).sorted
   }
 
   /** Commit `df` as the next version of `table`.
@@ -380,22 +464,31 @@ final class SnapshotTables(
     expectedNext.foreach { e =>
       if (e != next) throw new SnapshotTables.ConcurrentCommitException(table, next)
     }
-    // Stage the data under a unique temp dir: nothing below `v*` is
-    // visible to history()/readers until the commit succeeds. A
-    // heartbeat marker inside the dir is refreshed for as long as the
-    // write job runs, so vacuumStaging can tell a LIVE long write from
-    // abandoned debris (task-output activity under _temporary/ does
-    // not refresh the staging dir's own mtime).
+    // Stage the data under a unique writer-owned dir: a `.tmp-*`
+    // sibling of the version line (rename layout — invisible to
+    // history()/readers until the post-CAS rename) or the FINAL pool
+    // location (direct layout — write-once, never moved; invisible
+    // because no meta references it yet). A heartbeat marker inside
+    // the dir is refreshed for as long as the write job runs, so
+    // debris sweeps can tell a LIVE long write from abandonment
+    // (task-output activity under _temporary/ does not refresh the
+    // staging dir's own mtime).
+    val direct = commitLayout == "direct"
     val writerId = java.util.UUID.randomUUID.toString
-    val tmp = new Path(tableDir(table), s"snapshots/.tmp-$writerId")
+    val tmp =
+      if (direct) new Path(dataPoolDir(table), writerId)
+      else new Path(tableDir(table), s"snapshots/.tmp-$writerId")
     withHeartbeat(tmp) { stage(tmp) }
     val meta = new Path(metaDir(table), f"v$next%05d.json")
     // writer UUID = the fence token for orphan reclaim: ownership of
     // version `next` is decided by which attempt's content sits in the
     // meta file, not merely by the file existing.
+    val dataDirJson =
+      if (direct) s""""data_dir":"${fs(tmp).makeQualified(tmp)}",""" else ""
     val metaJson =
       s"""{"version":$next,"writer":"$writerId",""" +
         s""""partition_cols":${partitionCols1.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        dataDirJson +
         metaExtra +
         s""""schema":$schemaJson}"""
     def metaIsOurs: Boolean =
@@ -407,39 +500,46 @@ final class SnapshotTables(
       fs(tmp).delete(tmp, true)
       throw new SnapshotTables.ConcurrentCommitException(table, next)
     }
-    val dest = snapDir(table, next)
-    // A winner paused (GC, suspension) past orphanGraceMs between the
-    // CAS and this rename may have been reclaimed: its meta now
-    // belongs to another writer and the version may already hold that
-    // writer's data. Re-check ownership IMMEDIATELY before renaming —
-    // a stale winner backs off instead of nesting its staged dir
-    // inside the other winner's committed snapshot (HDFS rename onto
-    // an existing dir nests the source).
-    if (!metaIsOurs) {
-      fs(tmp).delete(tmp, true)
-      throw new SnapshotTables.ConcurrentCommitException(table, next)
+    if (!direct) {
+      val dest = snapDir(table, next)
+      // A winner paused (GC, suspension) past orphanGraceMs between the
+      // CAS and this rename may have been reclaimed: its meta now
+      // belongs to another writer and the version may already hold that
+      // writer's data. Re-check ownership IMMEDIATELY before renaming —
+      // a stale winner backs off instead of nesting its staged dir
+      // inside the other winner's committed snapshot (HDFS rename onto
+      // an existing dir nests the source).
+      if (!metaIsOurs) {
+        fs(tmp).delete(tmp, true)
+        throw new SnapshotTables.ConcurrentCommitException(table, next)
+      }
+      if (!fs(tmp).rename(tmp, dest)) {
+        // We own `next` but could not place its data: remove the staged
+        // data and — only if it is still OURS (the rename may have
+        // failed precisely because a reclaimer stole the version and
+        // committed its own data) — our metadata file, so this failed
+        // attempt neither wedges the version nor deletes the other
+        // winner's commit record.
+        fs(tmp).delete(tmp, true)
+        if (metaIsOurs) fs(meta).delete(meta, false)
+        throw new SnapshotTables.ConcurrentCommitException(table, next)
+      }
+      // Post-rename ownership audit: if the meta changed hands while the
+      // rename was in flight, our data may have nested inside the other
+      // winner's snapshot dir. Undo the nesting (delete only OUR staged
+      // subtree, identified by the writer UUID in its name) and report
+      // the lost race.
+      if (!metaIsOurs) {
+        val nested = new Path(dest, tmp.getName)
+        if (fs(nested).exists(nested)) fs(nested).delete(nested, true)
+        throw new SnapshotTables.ConcurrentCommitException(table, next)
+      }
     }
-    if (!fs(tmp).rename(tmp, dest)) {
-      // We own `next` but could not place its data: remove the staged
-      // data and — only if it is still OURS (the rename may have
-      // failed precisely because a reclaimer stole the version and
-      // committed its own data) — our metadata file, so this failed
-      // attempt neither wedges the version nor deletes the other
-      // winner's commit record.
-      fs(tmp).delete(tmp, true)
-      if (metaIsOurs) fs(meta).delete(meta, false)
-      throw new SnapshotTables.ConcurrentCommitException(table, next)
-    }
-    // Post-rename ownership audit: if the meta changed hands while the
-    // rename was in flight, our data may have nested inside the other
-    // winner's snapshot dir. Undo the nesting (delete only OUR staged
-    // subtree, identified by the writer UUID in its name) and report
-    // the lost race.
-    if (!metaIsOurs) {
-      val nested = new Path(dest, tmp.getName)
-      if (fs(nested).exists(nested)) fs(nested).delete(nested, true)
-      throw new SnapshotTables.ConcurrentCommitException(table, next)
-    }
+    // Direct layout: the won CAS IS the commit — the data already sits
+    // in its final write-once location and the meta records it. There
+    // is no rename, no ownership re-check (direct metas are never
+    // orphan-reclaimed — see casWithOrphanReclaim) and no orphan
+    // window; everything below is post-commit bookkeeping.
     afterWin()
     if (manifestStats.nonEmpty || manifestSketch.nonEmpty)
       writeManifest(table, next, manifestStats, manifestSketch)
@@ -654,7 +754,8 @@ final class SnapshotTables(
     val fold = json.contains("\"fold\":true")
     val txn = "\"txn\":\"([^\"]+)\"".r.findFirstMatchIn(json).map(_.group(1))
     val evolved = json.contains("\"schema_evolved\":true")
-    VersionMeta(v, kind, base, keys, fold, txn, evolved)
+    val dataDir = "\"data_dir\":\"([^\"]+)\"".r.findFirstMatchIn(json).map(_.group(1))
+    VersionMeta(v, kind, base, keys, fold, txn, evolved, dataDir)
   }
 
   /** The delta chain of `v`, ascending: a full base first, then every
@@ -690,7 +791,7 @@ final class SnapshotTables(
     // applied there; a raw multi-dir scan would expose file schemas)
     if (segs.forall(s => s.kind == "full" || s.kind == "append") &&
         !segs.exists(_.schemaEvolved))
-      Some(segs.map(s => snapDir(table, s.v).toString))
+      Some(segs.map(s => dataDirOfMeta(table, s).toString))
     else None
   }
 
@@ -902,7 +1003,7 @@ final class SnapshotTables(
     }
 
   private def dirBytes(table: String, v: Int): Long = {
-    val d = snapDir(table, v)
+    val d = dataDirOf(table, v)
     fs(d).getContentSummary(d).getLength
   }
 
@@ -1135,7 +1236,8 @@ final class SnapshotTables(
     * holds no data files (empty delta side) — `__p_*` layout columns
     * concealed like every read here. */
   private def segRead(table: String, v: Int, sub: String = ""): Option[DataFrame] = {
-    val d = if (sub.isEmpty) snapDir(table, v) else new Path(snapDir(table, v), sub)
+    val d0 = dataDirOf(table, v)
+    val d = if (sub.isEmpty) d0 else new Path(d0, sub)
     readDirOpt(d.toString).map(df => df.drop(df.columns.filter(_.startsWith("__p_")): _*))
   }
 
@@ -1201,7 +1303,7 @@ final class SnapshotTables(
     }
     // a fully-empty chain reads like a plain empty version (same
     // error/empty behavior as the single-dir path)
-    out.getOrElse(spark.read.parquet(snapDir(table, segs.last.v).toString))
+    out.getOrElse(spark.read.parquet(dataDirOfMeta(table, segs.last).toString))
   }
 
   /** HIDDEN PARTITIONING (Iceberg's partition transforms): commit with
@@ -1383,24 +1485,55 @@ final class SnapshotTables(
         // each step must be a plain append whose base IS the previous
         // version (a re-based fold segment REPEATS earlier segments'
         // rows — double-counting), or a content-preserving fold
-        // commit, which contributes nothing and is skipped below
+        // commit, which contributes nothing and is skipped below. A
+        // metadata-only schema evolution IS an (empty) append and
+        // passes; cdcAligned below null-fills across an additive one
+        // and raises loudly on a destructive one — Delta CDF semantics.
         val m = try Some(versionMeta(table, v)) catch { case _: Exception => None }
-        m.exists(x => !x.schemaEvolved && (x.fold || (x.kind == "append" && x.base == v - 1)))
+        m.exists(x => x.fold || (x.kind == "append" && x.base == v - 1))
       }) {
         // to = from ⊎ seg₁ ⊎ … ⊎ segₖ  ⇒  to∖from = ⊎segᵢ, from∖to = ∅
+        val to = readVersion(table, toV)
         val segs = (fromV + 1 to toV)
           .filterNot(v => versionMeta(table, v).fold)
           .flatMap(v => segRead(table, v))
-        Some(segs.reduceOption(_ unionByName _)
-          .getOrElse(readVersion(table, toV).where(lit(false)))
+        Some(segs.reduceOption(_.unionByName(_, allowMissingColumns = true))
+          .map(u => cdcAligned(u, to, table, fromV, toV))
+          .getOrElse(to.where(lit(false)))
           .withColumn("__change", lit("insert")))
       } else None
     fast.getOrElse {
-      val from = readVersion(table, fromV)
       val to = readVersion(table, toV)
+      val from = cdcAligned(readVersion(table, fromV), to, table, fromV, toV)
       to.exceptAll(from).withColumn("__change", lit("insert"))
         .unionByName(from.exceptAll(to).withColumn("__change", lit("delete")))
     }
+  }
+
+  /** Align a CDC diff's FROM side to the TO side's schema across a
+    * metadata-only schema evolution — Delta CDF's contract: an
+    * ADDITIVE step (every from-column survives with an identical
+    * type; new columns appended) null-fills pre-evolution rows in the
+    * added columns; a DESTRUCTIVE step (drop / rename / type change)
+    * fails LOUDLY — silently reporting "no changes" (or changes under
+    * the wrong shape) would corrupt every downstream consumer. */
+  private def cdcAligned(from: DataFrame, to: DataFrame,
+      table: String, fromV: Int, toV: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    if (from.columns.toSeq == to.columns.toSeq &&
+        from.schema.fields.map(_.dataType).toSeq == to.schema.fields.map(_.dataType).toSeq)
+      return from
+    val toS = to.schema
+    val additive = from.schema.fields.forall(f =>
+      toS.fields.exists(g => g.name == f.name && g.dataType == f.dataType))
+    require(additive,
+      s"CDC cannot cross a destructive schema change on $table between v$fromV and v$toV " +
+        s"(from [${from.columns.mkString(",")}] to [${to.columns.mkString(",")}]): columns " +
+        "were dropped, renamed or re-typed — read the versions directly instead")
+    from.select(toS.fields.toSeq.map { f =>
+      if (from.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
   }
 
   /** O(delta) MULTISET diff of one version STEP (base → v), computed
@@ -1427,10 +1560,20 @@ final class SnapshotTables(
     // a fold commit (minor compaction) is content-preserving BY
     // CONSTRUCTION — its step diff is empty, at zero scans
     if (m.fold) return Some(emptyDiff)
-    // a schema-evolution step re-shapes every row: the generic path
-    // fails LOUDLY on the schema drift, which is the documented CDC
-    // contract — never silently report "no changes"
-    if (m.schemaEvolved) return None
+    // a schema-evolution step commits NO rows ([[commitSchemaEvolution]]
+    // stages an empty dir): under Delta CDF semantics an ADDITIVE
+    // evolution (ADD COLUMN) emits no change rows — empty diff, in the
+    // NEW schema, at zero scans. A destructive one (DROP/re-type)
+    // falls to the generic path, where [[cdcAligned]] raises loudly.
+    if (m.schemaEvolved) {
+      val additive = (for {
+        fromS <- versionDataSchema(table, m.base)
+        toS <- versionDataSchema(table, v)
+      } yield fromS.fields.forall(f =>
+        toS.fields.exists(g => g.name == f.name && g.dataType == f.dataType)))
+        .getOrElse(false)
+      return if (additive) Some(emptyDiff) else None
+    }
     // every per-kind proof below assumes the step's meta base IS the
     // preceding version; a re-based segment (fold without the marker —
     // defensive) must take the generic two-resolution path
@@ -1475,12 +1618,15 @@ final class SnapshotTables(
     import org.apache.spark.sql.functions._
     val fast = if (toV == fromV + 1) stepDiffKeyedFast(table, toV, keyCols) else None
     fast.getOrElse {
-      val from = readVersion(table, fromV)
-      val rest = from.columns.filterNot(keyCols.contains).toSeq
+      val to = readVersion(table, toV)
+      // additive schema evolution in the range: pre-evolution rows
+      // null-fill the added columns (Delta CDF); destructive raises
+      val from = cdcAligned(readVersion(table, fromV), to, table, fromV, toV)
+      val rest = to.columns.filterNot(keyCols.contains).toSeq
       def packed(df: DataFrame, as: String) =
         df.select(keyCols.map(col) :+ struct(rest.map(col): _*).as(as): _*)
       packed(from, "__old")
-        .join(packed(readVersion(table, toV), "__new"), keyCols, "full_outer")
+        .join(packed(to, "__new"), keyCols, "full_outer")
         .withColumn("__change",
           when(col("__old").isNull, "insert")
             .when(col("__new").isNull, "delete")
@@ -1520,7 +1666,24 @@ final class SnapshotTables(
           lit(null).cast(structDt).as("__new"): _*)
         .withColumn("__change", lit("insert")).filter(lit(false)))
     }
-    if (m.schemaEvolved) return None // generic path fails loudly on drift
+    // additive evolution step: no rows committed, no change rows
+    // (Delta CDF) — empty classified diff in the new schema; a
+    // destructive step falls to the generic path's loud cdcAligned
+    if (m.schemaEvolved) {
+      val additive = (for {
+        fromS <- versionDataSchema(table, m.base)
+        toS <- versionDataSchema(table, v)
+      } yield fromS.fields.forall(f =>
+        toS.fields.exists(g => g.name == f.name && g.dataType == f.dataType)))
+        .getOrElse(false)
+      if (!additive) return None
+      val rest = cols.filterNot(keyCols.contains)
+      val structDt = readVersion(table, v).select(struct(rest.map(col): _*)).schema.head.dataType
+      return Some(readVersion(table, v).where(lit(false))
+        .select(keyCols.map(col) :+ lit(null).cast(structDt).as("__old") :+
+          lit(null).cast(structDt).as("__new"): _*)
+        .withColumn("__change", lit("insert")).filter(lit(false)))
+    }
     if (m.base != v - 1) return None
     val rest = cols.filterNot(keyCols.contains)
     def packed(df: DataFrame, as: String) =
@@ -1607,10 +1770,19 @@ final class SnapshotTables(
   private def refPath(table: String, branch: String) = new Path(refsDir(table), branch)
 
   /** Branch commits live in a nested table rooted at
-    * <table>/branches/, named after the branch. */
+    * <table>/branches/, named after the branch. Direct-layout branch
+    * commits write their data into the PARENT table's pool, so a
+    * published (adopted-by-reference) dir survives dropBranch and
+    * unpublished dirs fall to the reachability sweep. */
   private def branchTables(table: String): SnapshotTables =
     new SnapshotTables(spark, new Path(tableDir(table), "branches").toString,
-      previousVersionsMax, orphanGraceMs, stagingGraceMs, heartbeatMs, sketchBits, sketchHashes)
+      previousVersionsMax, orphanGraceMs, stagingGraceMs, heartbeatMs, sketchBits, sketchHashes,
+      dataPoolRoot = Some(dataPoolDir(table).toString))
+
+  /** The nested branch store — the V2 catalog's seam for SQL branch
+    * reads (`VERSION AS OF '<branch>'` scans the branch's latest
+    * commit through the same table implementation main uses). */
+  private[graft] def branchTablesFor(table: String): SnapshotTables = branchTables(table)
 
   private def requireBranchName(branch: String): Unit =
     require(branch.nonEmpty && !branch.contains('/') && !branch.startsWith("."),
@@ -1721,7 +1893,10 @@ final class SnapshotTables(
   }
 
   /** Discard the branch: ref and every branch snapshot are deleted;
-    * main never learns the branch existed. */
+    * main never learns the branch existed. Direct-layout branch
+    * commits keep their data in the PARENT pool, outside this subtree
+    * — a published dir stays reachable from main's meta; unpublished
+    * dirs become unreachable debris for [[removeOrphans]]' sweep. */
   def dropBranch(table: String, branch: String): Unit = {
     requireBranchName(branch)
     val p = refPath(table, branch)
@@ -1768,17 +1943,28 @@ final class SnapshotTables(
     if (!casWithOrphanReclaim(table, next, meta, metaJson))
       throw new SnapshotTables.ConcurrentCommitException(table, next)
     if (!metaIsOurs) throw new SnapshotTables.ConcurrentCommitException(table, next)
-    val src = bt.snapDir(branch, bv)
-    val dest = snapDir(table, next)
-    if (!fs(src).rename(src, dest)) {
-      if (metaIsOurs) fs(meta).delete(meta, false)
-      throw new SnapshotTables.ConcurrentCommitException(table, next)
-    }
-    if (!metaIsOurs) {
-      // reclaimed mid-rename: undo the nesting as overwriteTable does
-      val nested = new Path(dest, src.getName)
-      if (fs(nested).exists(nested)) fs(nested).delete(nested, true)
-      throw new SnapshotTables.ConcurrentCommitException(table, next)
+    if (bt.metaDataDirString(branch, bv).isDefined) {
+      // DIRECT-layout branch head: main's meta (built from the
+      // branch's meta above) carries the branch commit's `data_dir`
+      // verbatim — an absolute pool path under THIS table's shared
+      // pool, so publish is adoption by reference: ZERO data bytes
+      // move, the CAS above was the entire commit. dropBranch below
+      // only removes branch metadata; the adopted dir is now reachable
+      // from main's meta and the reachability guard (dropVersion /
+      // removeOrphans) protects it for main's retention lifetime.
+    } else {
+      val src = bt.snapDir(branch, bv)
+      val dest = snapDir(table, next)
+      if (!fs(src).rename(src, dest)) {
+        if (metaIsOurs) fs(meta).delete(meta, false)
+        throw new SnapshotTables.ConcurrentCommitException(table, next)
+      }
+      if (!metaIsOurs) {
+        // reclaimed mid-rename: undo the nesting as overwriteTable does
+        val nested = new Path(dest, src.getName)
+        if (fs(nested).exists(nested)) fs(nested).delete(nested, true)
+        throw new SnapshotTables.ConcurrentCommitException(table, next)
+      }
     }
     val bmf = bt.manifestPath(branch, bv)
     if (fs(bmf).exists(bmf)) fs(bmf).rename(bmf, manifestPath(table, next))
@@ -1887,7 +2073,7 @@ final class SnapshotTables(
     * the driver — at a 100k-file table the driver only handles the
     * file-name list. */
   private def writeManifest(table: String, v: Int, statsCols: Seq[String], sketchCols: Seq[String] = Nil): Unit = {
-    val base = snapDir(table, v)
+    val base = dataDirOf(table, v)
     val f = fs(base)
     // listFiles returns fully-qualified URIs (file:/..., hdfs://...);
     // qualify the base the same way or the relativization silently
@@ -2111,7 +2297,7 @@ final class SnapshotTables(
     // than the driver-list budget, stop enumerating and full-scan
     val lim = maxPrunedFileList
     val keep = keepDf.distinct().limit(lim + 1).collect().map(_.getString(0))
-    val base = snapDir(table, v)
+    val base = dataDirOf(table, v)
     if (keep.isEmpty) None
     else if (keep.length > lim) segRead(table, v)
     else
@@ -2200,7 +2386,7 @@ final class SnapshotTables(
     val lim = maxPrunedFileList
     val keep = survivors.union(all.except(forCol.select("file")))
       .distinct().limit(lim + 1).collect().map(_.getString(0))
-    val base = snapDir(table, v)
+    val base = dataDirOf(table, v)
     if (keep.isEmpty) None
     else if (keep.length > lim) segRead(table, v)
     else
@@ -2346,7 +2532,7 @@ final class SnapshotTables(
     val segs = chainOf(table, version)
     val df0 =
       if (segs.length == 1) {
-        val df = spark.read.parquet(snapDir(table, version).toString)
+        val df = spark.read.parquet(dataDirOfMeta(table, segs.head).toString)
         val hidden = df.columns.filter(_.startsWith("__p_"))
         if (hidden.isEmpty) df else df.drop(hidden: _*)
       } else resolveChain(table, segs)
@@ -2525,7 +2711,7 @@ final class SnapshotTables(
     * deleted rows still occupy base bytes until the rewrite). */
   private def chainBytes(table: String, v: Int): Long =
     chainOf(table, v).map { s =>
-      val d = snapDir(table, s.v)
+      val d = dataDirOfMeta(table, s)
       fs(d).getContentSummary(d).getLength
     }.sum
 
@@ -2578,14 +2764,63 @@ final class SnapshotTables(
     vacuumStaging(table)
   }
 
-  /** Physically remove one version: snapshot dir, metadata, manifest. */
+  /** Physically remove one version: data dir, metadata, manifest. The
+    * data dir resolves through the version meta BEFORE the meta is
+    * deleted; a write-once pool dir (direct layout) can be MULTIPLY
+    * referenced — publish adopts a branch commit's dir into main by
+    * reference — so it is deleted only when no other retained meta,
+    * main's or any branch's, still points at it (reachability, the
+    * Iceberg GC model). */
   private def dropVersion(table: String, v: Int): Unit = {
-    val d = snapDir(table, v)
-    fs(d).delete(d, true)
+    val d = dataDirOf(table, v)
+    val direct = metaDataDirString(table, v).isDefined
+    if (!direct || !poolDirReferenced(d,
+        excludeMeta = Some(new Path(metaDir(table), f"v$v%05d.json"))))
+      fs(d).delete(d, true)
     val m = new Path(metaDir(table), f"v$v%05d.json")
     fs(m).delete(m, false)
     val mf = manifestPath(table, v)
     fs(mf).delete(mf, true)
+  }
+
+  /** Whether any retained version meta — the owning table's or any of
+    * its branches' — records `d` as its data dir. The owning table dir
+    * is the pool's parent (`<table>/data/<uuid>`), which holds for
+    * main AND branch instances alike (branches write into the parent
+    * table's pool). O(retained metas) small reads, and only ever run
+    * for direct-layout versions on their way out. Unreadable metas
+    * count as references (never widen a delete on bad reads). */
+  private def poolDirReferenced(d: Path, excludeMeta: Option[Path]): Boolean = {
+    val f = fs(d)
+    val needle = "\"data_dir\":\"" + f.makeQualified(d).toString + "\""
+    val self = excludeMeta.map(p => f.makeQualified(p).toString)
+    val owner = d.getParent.getParent
+    def metasUnder(md: Path): Seq[Path] =
+      try {
+        if (!f.exists(md)) Nil
+        else f.listStatus(md).toSeq.map(_.getPath)
+          .filter(_.getName.matches("v\\d+\\.json"))
+      } catch { case _: java.io.IOException => Nil }
+    val branchMetas = {
+      val bd = new Path(owner, "branches")
+      try {
+        if (!f.exists(bd)) Nil
+        else f.listStatus(bd).toSeq.filter(_.isDirectory)
+          .flatMap(b => metasUnder(new Path(b.getPath, "metadata")))
+      } catch { case _: java.io.IOException => Nil }
+    }
+    (metasUnder(new Path(owner, "metadata")) ++ branchMetas)
+      .filterNot(p => self.contains(f.makeQualified(p).toString))
+      .exists { p =>
+        try {
+          val raw = readSmallFile(p)
+          val json = raw.indexOf("\"schema\":") match {
+            case -1 => raw
+            case i => raw.substring(0, i)
+          }
+          json.contains(needle)
+        } catch { case _: java.io.IOException => true }
+      }
   }
 
   /** ORPHAN-FILE removal (Iceberg's `remove_orphan_files`): delete
@@ -2600,10 +2835,41 @@ final class SnapshotTables(
     *    inflates [[currentVersion]] and breaks reads;
     *  - per-version stats manifests whose version metadata is gone
     *    (a crash inside the retention pass can drop the meta but not
-    *    the manifest).
+    *    the manifest);
+    *  - write-once POOL dirs (direct layout) referenced by no retained
+    *    meta — main's or any branch's — older than `graceMs` and with
+    *    no live heartbeat: hard-crashed direct writers (a CAS loser
+    *    deletes its own dir eagerly) and dropped branches' unpublished
+    *    commits. This is reachability GC, exactly Iceberg's
+    *    `remove_orphan_files` contract: debris waits for the
+    *    procedure, never threatens a referenced file.
     * Returns (orphan dirs removed, orphan manifests removed). */
   def removeOrphans(table: String, graceMs: Long = 3600 * 1000L): (Int, Int) = {
     vacuumStaging(table)
+    var dirsSwept = 0
+    val pool = dataPoolDir(table)
+    val pf = fs(pool)
+    val now = System.currentTimeMillis
+    if (pf.exists(pool))
+      pf.listStatus(pool).foreach { s =>
+        if (s.isDirectory) {
+          // same liveness rules as vacuumStaging: a fresh heartbeat
+          // marks a live pre-CAS staging write; no marker falls back
+          // to dir mtime vs the grace window
+          val hb = new Path(s.getPath, SnapshotTables.HeartbeatName)
+          val hbMtime =
+            try if (pf.exists(hb)) Some(pf.getFileStatus(hb).getModificationTime) else None
+            catch { case _: java.io.IOException => None }
+          val stale = hbMtime match {
+            case Some(m) => now - m >= 4 * heartbeatMs
+            case None => now - s.getModificationTime >= graceMs
+          }
+          if (stale && !poolDirReferenced(s.getPath, excludeMeta = None)) {
+            pf.delete(s.getPath, true)
+            dirsSwept += 1
+          }
+        }
+      }
     val snaps = new Path(tableDir(table), "snapshots")
     val sf = fs(snaps)
     var dirs = 0
@@ -2635,7 +2901,7 @@ final class SnapshotTables(
           }
         }
       }
-    (dirs, manifests)
+    (dirs + dirsSwept, manifests)
   }
 
   /** AGE-BASED snapshot expiry (Iceberg's `expire_snapshots(older_than,
@@ -2725,7 +2991,7 @@ final class SnapshotTables(
   private[graft] def rootPath: String = root
 
   private[graft] def snapshotDirString(table: String, v: Int): String =
-    snapDir(table, v).toString
+    dataDirOf(table, v).toString
 
   private def declaredPath(table: String) = new Path(metaDir(table), "declared.json")
 
@@ -2843,7 +3109,8 @@ object SnapshotTables {
   /** One link of a version's delta chain, parsed from the version
     * metadata ("kind" absent = a full snapshot). */
   private[io] final case class VersionMeta(v: Int, kind: String, base: Int, keyCols: Seq[String],
-      fold: Boolean = false, txn: Option[String] = None, schemaEvolved: Boolean = false)
+      fold: Boolean = false, txn: Option[String] = None, schemaEvolved: Boolean = false,
+      dataDir: Option[String] = None)
 
   /** A partition transform (Iceberg's hidden-partitioning vocabulary):
     * a pure function of one source column whose image becomes the

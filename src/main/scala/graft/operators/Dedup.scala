@@ -73,14 +73,36 @@ object Dedup {
     * boilerplate docs collapsing millions of ids into one bucket, which
     * would emit |bucket|²/2 pairs): buckets above the cap are dropped
     * before the join — their members are by construction near-identical
-    * to a huge cluster, better handled by the exact-dedup pass. */
+    * to a huge cluster, better handled by the exact-dedup pass.
+    *
+    * The cap is NEVER silent: pass `dropMetrics` (an [[org.apache.spark
+    * .sql.Observation]]) and the run reports `dropped_buckets`,
+    * `dropped_members` and `dropped_candidate_pairs` (Σ n·(n−1)/2 over
+    * dropped buckets) — the metrics ride the job itself (a
+    * CollectMetrics node over the hot-bucket relation, zero extra
+    * scans), so at 100 TB an operator can ALWAYS measure what the cap
+    * cost. Read them defaulting absent to zero: when NOTHING exceeded
+    * the cap, AQE eliminates the empty anti-join build side —
+    * CollectMetrics node included — so absent metrics mean exactly
+    * "zero dropped" (the node can only vanish when the hot relation
+    * proved empty):
+    * {{{
+    *   val obs = Observation()
+    *   val pairs = Dedup.lshCandidatePairs(df, "id", "text",
+    *     maxBucketSize = Some(64), dropMetrics = Some(obs))
+    *   pairs.count()
+    *   obs.getAsJava.getOrDefault("dropped_candidate_pairs", 0L)
+    * }}}
+    * For an exact per-bucket audit (which buckets, how big), use
+    * [[lshDroppedBuckets]] — one extra aggregation pass, oracle-exact. */
   def lshCandidatePairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       numHashes: Int = 8,
       bands: Int = 4,
-      maxBucketSize: Option[Int] = None
+      maxBucketSize: Option[Int] = None,
+      dropMetrics: Option[org.apache.spark.sql.Observation] = None
   ): DataFrame = {
     // materialize the banded relation ONCE: the self-join otherwise
     // executes the whole minhash pipeline (scan → shingle explode →
@@ -93,8 +115,15 @@ object Dedup {
       case Some(cap) =>
         // hot buckets are rare by definition ⇒ tiny broadcast anti-join
         // (broadcasting the small-bucket side would ship ~every bucket)
-        val hot = exploded.groupBy(col("band_idx"), col("bucket"))
+        val hot0 = exploded.groupBy(col("band_idx"), col("bucket"))
           .agg(count(lit(1)).as("__bn")).filter(col("__bn") > cap)
+        // drop accounting rides the job's own plan: CollectMetrics over
+        // the hot relation — no extra scan, no silent cap
+        val hot = dropMetrics.fold(hot0)(obs => hot0.observe(obs,
+          count(lit(1)).as("dropped_buckets"),
+          coalesce(sum(col("__bn")), lit(0L)).as("dropped_members"),
+          coalesce(sum(col("__bn") * (col("__bn") - 1) / 2), lit(0.0)).cast("long")
+            .as("dropped_candidate_pairs")))
           .select(col("band_idx"), col("bucket"))
         exploded.join(broadcast(hot), Seq("band_idx", "bucket"), "left_anti")
       case None => exploded
@@ -106,6 +135,31 @@ object Dedup {
       .select(col("a"), col("b"))
       .distinct()
       .orderBy(col("a"), col("b"))
+  }
+
+  /** Exact audit of [[lshCandidatePairs]]'s hot-bucket cap: the
+    * buckets a given `maxBucketSize` drops, with member and candidate-
+    * pair counts — (band_idx, bucket, members, candidate_pairs),
+    * totally ordered. One aggregation over the banded relation
+    * (|docs|·bands rows, partial-agg combined map-side); at 100 TB
+    * this is the report a curation run files next to its dedup stats
+    * so the cap's cost is a number, never a guess. */
+  def lshDroppedBuckets(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      maxBucketSize: Int = 0
+  ): DataFrame = {
+    require(maxBucketSize > 0, "maxBucketSize must be positive")
+    bandBuckets(df, idCol, textCol, numHashes, bands)
+      .groupBy(col("band_idx"), col("bucket"))
+      .agg(count(lit(1)).as("members"))
+      .filter(col("members") > maxBucketSize)
+      .select(col("band_idx"), col("bucket"), col("members"),
+        (col("members") * (col("members") - 1) / 2).cast("long").as("candidate_pairs"))
+      .orderBy(col("band_idx"), col("bucket"))
   }
 
   /** Banded LSH bucket ids per document — the unit of LSH candidate
@@ -265,7 +319,11 @@ object Dedup {
     * which the cheap LSH/minhash passes already cover; this verifier
     * exists for the small candidate tail. Hot blocks are rare by
     * definition ⇒ tiny broadcast anti-join, same shape as
-    * [[lshCandidatePairs]]'s cap. */
+    * [[lshCandidatePairs]]'s cap — and like that cap it is never
+    * silent: `dropMetrics` reports `dropped_blocks`, `dropped_members`
+    * and `dropped_candidate_pairs` on the job itself (absent = zero
+    * dropped, same AQE contract as the LSH cap's metrics), and
+    * [[editDistanceDroppedBlocks]] is the exact per-block audit. */
   def editDistancePairs(
       df: DataFrame,
       idCol: String,
@@ -274,15 +332,21 @@ object Dedup {
       lenCol: String,
       lenBucket: Int = 25,
       minSim: Double = 0.5,
-      maxBlockSize: Option[Int] = None
+      maxBlockSize: Option[Int] = None,
+      dropMetrics: Option[org.apache.spark.sql.Observation] = None
   ): DataFrame = {
     require(lenBucket >= 1, "lenBucket must be positive")
     val all = df.select(col(idCol).as("eid"), col(textCol).as("etxt"),
       col(langCol).as("elang"), (col(lenCol) / lenBucket).cast("long").as("eblk"))
     val base = maxBlockSize match {
       case Some(cap) =>
-        val hot = all.groupBy(col("elang"), col("eblk"))
+        val hot0 = all.groupBy(col("elang"), col("eblk"))
           .agg(count(lit(1)).as("__bn")).filter(col("__bn") > cap)
+        val hot = dropMetrics.fold(hot0)(obs => hot0.observe(obs,
+          count(lit(1)).as("dropped_blocks"),
+          coalesce(sum(col("__bn")), lit(0L)).as("dropped_members"),
+          coalesce(sum(col("__bn") * (col("__bn") - 1) / 2), lit(0.0)).cast("long")
+            .as("dropped_candidate_pairs")))
           .select(col("elang"), col("eblk"))
         all.join(broadcast(hot), Seq("elang", "eblk"), "left_anti")
       case None => all
@@ -303,6 +367,29 @@ object Dedup {
       .filter(col("dist") <= (lit(1.0) - lit(minSim)) * col("max_len"))
       .select(col("a"), col("b"), col("dist"), col("max_len"), col("sim"))
       .orderBy(col("a"), col("b"))
+  }
+
+  /** Exact audit of [[editDistancePairs]]'s block cap: the (lang,
+    * length-bucket) blocks a given `maxBlockSize` drops, with member
+    * and candidate-pair counts — (lang, len_block, members,
+    * candidate_pairs), totally ordered. [[lshDroppedBuckets]]' sibling. */
+  def editDistanceDroppedBlocks(
+      df: DataFrame,
+      idCol: String,
+      langCol: String,
+      lenCol: String,
+      lenBucket: Int = 25,
+      maxBlockSize: Int = 0
+  ): DataFrame = {
+    require(lenBucket >= 1, "lenBucket must be positive")
+    require(maxBlockSize > 0, "maxBlockSize must be positive")
+    df.select(col(langCol).as("lang"), (col(lenCol) / lenBucket).cast("long").as("len_block"))
+      .groupBy(col("lang"), col("len_block"))
+      .agg(count(lit(1)).as("members"))
+      .filter(col("members") > maxBlockSize)
+      .select(col("lang"), col("len_block"), col("members"),
+        (col("members") * (col("members") - 1) / 2).cast("long").as("candidate_pairs"))
+      .orderBy(col("lang"), col("len_block"))
   }
 
   /** Edit-distance verification of an EXISTING candidate-pair set —

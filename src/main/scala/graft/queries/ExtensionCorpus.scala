@@ -2011,11 +2011,117 @@ object ExtensionCorpus {
       GROUP BY o_orderstatus ORDER BY o_orderstatus""")
   )
 
+  /** CAP OBSERVABILITY, oracle-exact (SURVEY's "no silent caps"): the
+    * per-bucket audit of the LSH hot-bucket guard — which (band,
+    * bucket) groups a cap of 2 drops, each with its member count and
+    * the n·(n−1)/2 candidate pairs the cap saved. DuckDB recomputes
+    * the same audit from the shared banded CTE chain, so a hash match
+    * pins that the guard that keeps q86 safe on boilerplate corpora
+    * reports EXACTLY what it costs — at 100 TB the drop report is a
+    * number an operator files, never a guess. (The zero-extra-scan
+    * Observation channel on the capped run itself is spec-gated in
+    * DedupSpec; this is its exact-audit sibling.) */
+  private val q136 = Q(
+    "q136_lsh_dropped_buckets",
+    (s, dir) => Dedup.lshDroppedBuckets(fixture(s, dir, "documents"), "doc_id", "text",
+      numHashes = 8, bands = 4, maxBucketSize = 2),
+    Some(s"""WITH ${sqlLshCtes(None)}
+        SELECT band_idx, bucket, count(*) AS members,
+          CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS candidate_pairs
+        FROM bands GROUP BY band_idx, bucket HAVING count(*) > 2
+        ORDER BY band_idx, bucket""")
+  )
+
+  /** The OBJECT-STORE-SAFE commit layout end-to-end through SQL,
+    * oracle-pinned: with `graft.commit.layout = direct` every commit
+    * writes its data files ONCE into the table's pool and the
+    * metadata CAS is the entire commit — no rename anywhere (on
+    * S3-family stores rename is a server-side copy, so the default
+    * stage-then-rename publish is O(data) there; this is Iceberg's
+    * write-once + manifest design on the native format). CTAS, a fast
+    * append and a COW delete all land as pool commits; the final
+    * SELECT hash-matches the resolved content against DuckDB's replay
+    * and pins the layout's engine facts: zero version-line data dirs
+    * ever existed, one write-once pool dir per retained version, and
+    * time travel still resolves mid-line. Zero-byte-moved publish and
+    * reachability GC are spec-gated in DirectLayoutSpec. */
+  private val q137 = Q(
+    "q137_direct_layout_sql",
+    (s, dir) => {
+      val cat = tempCatalog(s)
+      val root = s.conf.get(s"spark.sql.catalog.$cat.root")
+      fixture(s, dir, "orders").createOrReplaceTempView("q137_orders")
+      s.conf.set("graft.commit.layout", "direct")
+      try {
+        s.sql(s"""CREATE TABLE $cat.dw.d
+                  AS SELECT o_orderkey, o_orderstatus, o_totalprice
+                  FROM q137_orders WHERE o_orderkey <= 8000""") // v1 direct full
+        s.sql(s"""INSERT INTO $cat.dw.d
+                  SELECT o_orderkey, o_orderstatus, o_totalprice FROM q137_orders
+                  WHERE o_orderkey > 8000 AND o_orderkey <= 10000""") // v2 direct append
+        s.sql(s"DELETE FROM $cat.dw.d WHERE o_orderkey % 10 = 3") // v3 direct full (COW)
+      } finally s.conf.unset("graft.commit.layout")
+      val snapshotsEverCreated = new java.io.File(s"$root/dw/d/snapshots").exists()
+      val poolDirs = Option(new java.io.File(s"$root/dw/d/data").listFiles())
+        .map(_.count(_.isDirectory)).getOrElse(0)
+      s.sql(s"""SELECT o_orderstatus,
+                  COUNT(*) AS n,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+                  (SELECT COUNT(*) FROM $cat.dw.d VERSION AS OF 2) AS n_v2,
+                  ${if (snapshotsEverCreated) 1 else 0} AS version_line_data_dirs,
+                  $poolDirs AS pool_dirs
+                FROM $cat.dw.d
+                GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    },
+    Some("""SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        (SELECT COUNT(*) FROM orders WHERE o_orderkey <= 10000) AS n_v2,
+        0 AS version_line_data_dirs,
+        3 AS pool_dirs
+      FROM orders
+      WHERE o_orderkey <= 10000 AND o_orderkey % 10 <> 3
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  )
+
+  /** CDC ACROSS ADDITIVE SCHEMA EVOLUTION, oracle-pinned to Delta
+    * CDF's semantics: a table evolves with a metadata-only ADD COLUMN
+    * (zero rows written), then an UPDATE fills the new column for a
+    * key band; `graft_table_changes` spanning the evolution NULL-FILLS
+    * the pre-evolution images instead of failing — the DuckDB oracle
+    * replays exactly that (old_price literally NULL). Unchanged rows
+    * (equal modulo the null-filled column) emit nothing, so the feed
+    * stays change-only. The destructive half of the contract (DROP /
+    * re-type stays a loud failure) is spec-gated in DeltaSqlSpec and
+    * DeltaCommitsSpec. */
+  private val q138 = Q(
+    "q138_evolution_cdc_sql",
+    (s, dir) => {
+      val cat = tempCatalog(s)
+      fixture(s, dir, "orders").createOrReplaceTempView("q138_orders")
+      s.sql(s"""CREATE TABLE $cat.dw.ev
+                AS SELECT o_orderkey, o_orderstatus
+                FROM q138_orders WHERE o_orderkey <= 8000""") // v1 full
+      s.sql(s"ALTER TABLE $cat.dw.ev ADD COLUMN o_totalprice DOUBLE") // v2 metadata-only
+      s.sql(s"""UPDATE $cat.dw.ev SET o_totalprice = o_orderkey * 1.5
+                WHERE o_orderkey <= 100""") // v3 (COW)
+      s.sql(s"""SELECT o_orderkey AS k, _change_type,
+                  __old.o_totalprice AS old_price,
+                  __new.o_totalprice AS new_price
+                FROM graft_table_changes('$cat.dw.ev', 1, 3, 'o_orderkey')
+                ORDER BY k""")
+    },
+    Some("""SELECT o_orderkey AS k, 'update' AS _change_type,
+        CAST(NULL AS DOUBLE) AS old_price,
+        CAST(o_orderkey * 1.5 AS DOUBLE) AS new_price
+      FROM orders WHERE o_orderkey <= 100
+      ORDER BY k""")
+  )
+
   val all: Seq[Q] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q99, q100, q101, q102, q106, q107, q108,
     q109, q111, q112, q113, q114, q116, q117, q118, q119, q121, q122, q123, q125, q126, q127,
-    q128, q130, q131, q132, q133, q135
+    q128, q130, q131, q132, q133, q135, q136, q137, q138
   )
 
 }

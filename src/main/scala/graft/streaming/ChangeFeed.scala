@@ -316,16 +316,30 @@ private[streaming] final class ChangeFeedSource(
       :+ col("__e.t").as(ChangeTypeCol): _*)
   }
 
-  /** Version-pinned scan in the feed's column order; refuses a
-    * schema-changed version rather than silently reshaping it. */
+  /** Version-pinned scan in the feed's column order. A version MISSING
+    * columns of the pinned schema (the feed started after an ADD
+    * COLUMN with startingVersion before it) null-fills them — Delta
+    * CDF's additive semantics; shared columns must keep their exact
+    * type. A version carrying columns BEYOND the pinned set stays a
+    * loud failure: the feed pinned an older schema (restart to widen)
+    * or a column was dropped — silently projecting data away would
+    * corrupt every downstream consumer. */
   private def pinned(v: Int): DataFrame = {
     val df = st.readVersion(table, v)
     val have = df.columns.toSet
-    require(have == dataCols.toSet,
-      s"version $v of '$table' has columns {${df.columns.sorted.mkString(", ")}} but this feed " +
-        s"pinned {${dataCols.sorted.mkString(", ")}} at start — the schema changed mid-stream; " +
-        "restart the feed to pick up the new schema")
-    df.select(dataCols.map(col): _*)
+    val extra = have -- dataCols.toSet
+    require(extra.isEmpty,
+      s"version $v of '$table' has columns {${extra.toSeq.sorted.mkString(", ")}} beyond this " +
+        s"feed's pinned schema {${dataCols.sorted.mkString(", ")}} — the schema changed " +
+        "mid-stream (or a column was dropped); restart the feed to pick up the new schema")
+    dataCols.filter(have.contains).foreach { c =>
+      require(df.schema(c).dataType == pinnedData(c).dataType,
+        s"column '$c' of '$table' v$v is ${df.schema(c).dataType.simpleString} but the feed " +
+          s"pinned ${pinnedData(c).dataType.simpleString} — type changes never coerce silently")
+    }
+    df.select(dataCols.map(c =>
+      if (have.contains(c)) col(c)
+      else lit(null).cast(pinnedData(c).dataType).as(c)): _*)
   }
 
   private def emptyData: DataFrame =

@@ -163,6 +163,31 @@ class DeltaSqlSpec extends SparkSpec {
     assert(rows(s"SELECT count(*) AS c FROM $c.dw.cw") == Seq(Row(2L)))
   }
 
+  test("SQL CDC null-fills across additive schema evolution; destructive changes stay loud") {
+    val c = newCatalog()
+    spark.sql(s"CREATE NAMESPACE $c.dw")
+    spark.sql(s"CREATE TABLE $c.dw.e (id INT, v STRING)")
+    spark.sql(s"INSERT INTO $c.dw.e VALUES (1, 'a'), (2, 'b')")        // v1 full
+    spark.sql(s"ALTER TABLE $c.dw.e ADD COLUMN score BIGINT")           // v2 metadata-only
+    spark.sql(s"INSERT INTO $c.dw.e VALUES (3, 'c', 9)")                // v3 append
+    // keyed: only the real insert surfaces; its new column rides in __new
+    assert(rows(
+      s"""SELECT id, _change_type, __new.score AS score
+         |FROM graft_table_changes('$c.dw.e', 1, 3, 'id') ORDER BY id""".stripMargin) ==
+      Seq(Row(3, "insert", 9L)))
+    // multiset: pre-evolution rows never re-emit (they are unchanged
+    // modulo the null-filled column), the insert carries its value
+    assert(rows(
+      s"SELECT id, score, _change_type FROM graft_table_changes('$c.dw.e', 1, 3) ORDER BY id") ==
+      Seq(Row(3, 9L, "insert")))
+    // the ALTER step itself emits zero change rows, in the NEW shape
+    assert(rows(s"SELECT count(*) AS c FROM graft_table_changes('$c.dw.e', 1, 2)") == Seq(Row(0L)))
+    // destructive evolution (DROP COLUMN) keeps the loud failure
+    spark.sql(s"ALTER TABLE $c.dw.e DROP COLUMN v")                     // v4 metadata-only
+    val e = intercept[Exception](rows(s"SELECT * FROM graft_table_changes('$c.dw.e', 3, 4)"))
+    assert(e.getMessage.contains("destructive schema change"), e.getMessage)
+  }
+
   test("invalid graft TBLPROPERTIES fail CREATE with zero side effects") {
     val c = newCatalog()
     spark.sql(s"CREATE NAMESPACE $c.dw")

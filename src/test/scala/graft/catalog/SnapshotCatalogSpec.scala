@@ -832,4 +832,39 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT kind FROM $cat.dw.a.history WHERE is_current").head.getString(0)
       == "append")
   }
+
+  test("SQL branch reads: VERSION AS OF '<branch>' audits staged WAP content; publish flips both views") {
+    val c = newCatalog()
+    spark.sql(s"CREATE NAMESPACE $c.dw")
+    spark.sql(s"CREATE TABLE $c.dw.w (id INT, v STRING)")
+    spark.sql(s"INSERT INTO $c.dw.w VALUES (1, 'a')")
+    // fork via SQL; a branch with no commits yet reads its base
+    spark.sql(s"CALL $c.system.create_branch('dw.w', 'wip')")
+    assert(rows(s"SELECT * FROM $c.dw.w VERSION AS OF 'wip'") == Seq(Row(1, "a")))
+    // stage onto the branch (the WAP write path); audit it through SQL
+    // while plain reads keep seeing main
+    val st = org.apache.spark.sql.GraftSqlBridge.catalogPlugin(spark, c)
+      .asInstanceOf[SnapshotCatalog].tablesFor(Array("dw"))
+    st.commitToBranch("w", "wip", Seq((1, "a"), (2, "staged")).toDF("id", "v"))
+    assert(rows(s"SELECT * FROM $c.dw.w VERSION AS OF 'wip' ORDER BY id") ==
+      Seq(Row(1, "a"), Row(2, "staged")))
+    assert(rows(s"SELECT * FROM $c.dw.w") == Seq(Row(1, "a")))
+    // branch reads are pinned: DML through them is refused
+    intercept[Exception](
+      spark.sql(s"DELETE FROM $c.dw.w VERSION AS OF 'wip' WHERE id = 1"))
+    // numeric strings stay version reads, unknown branches stay loud
+    assert(rows(s"SELECT * FROM $c.dw.w VERSION AS OF 1") == Seq(Row(1, "a")))
+    intercept[Exception](rows(s"SELECT * FROM $c.dw.w VERSION AS OF 'nope'"))
+    // publish: both views flip, the branch retires
+    spark.sql(s"CALL $c.system.fast_forward('dw.w', 'wip')")
+    assert(rows(s"SELECT * FROM $c.dw.w ORDER BY id") ==
+      Seq(Row(1, "a"), Row(2, "staged")))
+    intercept[Exception](rows(s"SELECT * FROM $c.dw.w VERSION AS OF 'wip'"))
+    // drop_branch discards staged work without touching main
+    spark.sql(s"CALL $c.system.create_branch('dw.w', 'scrap')")
+    st.commitToBranch("w", "scrap", Seq((9, "junk")).toDF("id", "v"))
+    spark.sql(s"CALL $c.system.drop_branch('dw.w', 'scrap')")
+    intercept[Exception](rows(s"SELECT * FROM $c.dw.w VERSION AS OF 'scrap'"))
+    assert(rows(s"SELECT count(*) AS c FROM $c.dw.w") == Seq(Row(2L)))
+  }
 }

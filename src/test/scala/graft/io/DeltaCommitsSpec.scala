@@ -524,8 +524,17 @@ class DeltaCommitsSpec extends SparkSpec {
     val pruned = t.readPruned("tab", "id", 2L, 10L)
     assert(pruned.columns.contains("score"))
     assert(pruned.filter($"id".between(2, 10)).count() == 9)
-    // CDC across the evolution step fails LOUDLY, never silently-empty
-    intercept[Exception](t.diff("tab", 1, 2).collect())
+    // CDC across an ADDITIVE evolution follows Delta CDF: the ALTER
+    // itself emits no change rows (zero scans), and a range spanning
+    // it NULL-FILLS pre-evolution rows in the added column
+    assert(t.diff("tab", 1, 2).isEmpty)
+    assert(t.diff("tab", 1, 2).columns.contains("score"))
+    val spanned = t.diffKeyed("tab", 1, 4, Seq("id"))
+      .select($"id", $"__change", $"__new.score".as("score")).collect()
+      .map(r => (r.getInt(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(spanned == Set((1, "delete", None), (1001, "insert", Some(0.5))),
+      spanned.toString) // unchanged rows (score null on both sides) emit nothing
     // a full rewrite re-aligns files with the schema: fast paths return
     t.materialize("tab") // v5
     assert(t.chainKinds("tab", 5) == Seq("full"))
@@ -536,6 +545,11 @@ class DeltaCommitsSpec extends SparkSpec {
     t.dropColumn("tab", "v") // v6
     assert(t.read("tab").columns.toSeq == Seq("id", "score"))
     assert(t.readVersion("tab", 5).columns.contains("v"))
+    // CDC across a DESTRUCTIVE evolution stays LOUD — dropping a
+    // column from the diff's shape would silently corrupt consumers
+    val loud = intercept[IllegalArgumentException](t.diff("tab", 5, 6))
+    assert(loud.getMessage.contains("destructive schema change"))
+    intercept[IllegalArgumentException](t.diffKeyed("tab", 5, 6, Seq("id")))
     // refusals
     intercept[IllegalArgumentException](t.dropColumn("tab", "nope"))
     intercept[IllegalArgumentException](

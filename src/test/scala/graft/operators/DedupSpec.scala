@@ -53,6 +53,21 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.contains((10L, 15L))) // without the cap it floods back
     assert(capped.subsetOf(uncapped)) // the cap only ever removes pairs
     assert(capped != uncapped) // ...and here it actually does
+    // the cap is never silent: drop accounting rides the pair job
+    // (6 identical docs collide in all 4 bands → 4 buckets of 6 members,
+    // 15 candidate pairs each)
+    val obs = new org.apache.spark.sql.Observation()
+    Dedup.lshCandidatePairs(many, "doc_id", "text", maxBucketSize = Some(4),
+      dropMetrics = Some(obs)).count()
+    assert(obs.get("dropped_buckets") == 4L)
+    assert(obs.get("dropped_members") == 24L)
+    assert(obs.get("dropped_candidate_pairs") == 60L) // 4 bands × 15
+    // the exact audit names each dropped bucket with its pair cost
+    val audit = Dedup.lshDroppedBuckets(many, "doc_id", "text", maxBucketSize = 4)
+      .select("band_idx", "members", "candidate_pairs").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(audit == (0 to 3).map(b => (b, 6L, 15L)))
+    assert(Dedup.lshDroppedBuckets(many, "doc_id", "text", maxBucketSize = 6).isEmpty)
   }
 
   test("incremental dedup drops indexed signatures, keeps min-id per fresh signature") {
@@ -196,6 +211,28 @@ class DedupSpec extends SparkSpec {
     assert(pairs(Some(3)) == Set((5L, 6L)))
     // cap at the block size: nothing dropped
     assert(pairs(Some(4)).size == 7)
+    // the cap is never silent: the drop metrics ride the job itself
+    val obs = new org.apache.spark.sql.Observation()
+    Dedup.editDistancePairs(docs, "doc_id", "text", "lang", "n_chars",
+      lenBucket = 10, minSim = 0.0, maxBlockSize = Some(3), dropMetrics = Some(obs)).count()
+    assert(obs.get("dropped_blocks") == 1L)
+    assert(obs.get("dropped_members") == 4L)
+    assert(obs.get("dropped_candidate_pairs") == 6L) // 4·3/2
+    // nothing over the cap: AQE eliminates the empty anti-join build
+    // side (CollectMetrics included) — the documented contract is
+    // getOrEmpty, where absent means exactly zero dropped
+    val obs0 = new org.apache.spark.sql.Observation()
+    Dedup.editDistancePairs(docs, "doc_id", "text", "lang", "n_chars",
+      lenBucket = 10, minSim = 0.0, maxBlockSize = Some(4), dropMetrics = Some(obs0)).count()
+    assert(obs0.getAsJava.getOrDefault("dropped_blocks", 0L) == 0L)
+    assert(obs0.getAsJava.getOrDefault("dropped_candidate_pairs", 0L) == 0L)
+    // the exact per-block audit names the dropped block and its cost
+    val audit = Dedup.editDistanceDroppedBlocks(docs, "doc_id", "lang", "n_chars",
+      lenBucket = 10, maxBlockSize = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(audit == Seq(("en", 2L, 4L, 6L)))
+    assert(Dedup.editDistanceDroppedBlocks(docs, "doc_id", "lang", "n_chars",
+      lenBucket = 10, maxBlockSize = 4).isEmpty)
   }
 
   test("editDistanceVerify: pair-driven form agrees with the blocked form on its own candidates") {

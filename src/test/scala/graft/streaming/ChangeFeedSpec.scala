@@ -215,6 +215,33 @@ class ChangeFeedSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("schema changed mid-stream")))
   }
 
+  test("a feed started after ADD COLUMN null-fills pre-evolution versions (Delta CDF additive semantics)") {
+    val root = tmp("evo"); val st = new SnapshotTables(spark, root)
+    st.overwriteTable(Seq((1, "a"), (2, "b")).toDF("id", "v"), "t")      // v1
+    st.append(Seq((3, "c")).toDF("id", "v"), "t")                        // v2
+    st.addColumn("t", "score", org.apache.spark.sql.types.LongType)      // v3: metadata-only
+    st.append(Seq((4, "d", 7L)).toDF("id", "v", "score"), "t")           // v4
+    // the feed pins the CURRENT (post-evolution) schema; catching up
+    // from earliest must null-fill the narrower versions, not fail
+    val q = feed(root, "t", "keys" -> "id", "startingVersion" -> "earliest")
+      .writeStream.format("memory").queryName("cdf_evo")
+      .option("checkpointLocation", tmp("evo-ck")).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("cdf_evo")
+        .select("_commit_version", "_change_type", "id", "v", "score")
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getString(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))
+        .toSet
+      assert(got == Set(
+        (1, "insert", 1, "a", None), (1, "insert", 2, "b", None),
+        (2, "insert", 3, "c", None),
+        // v3 (the ALTER) emits nothing: no rows changed
+        (4, "insert", 4, "d", Some(7L))), got.toString)
+    } finally q.stop()
+  }
+
   test("option refusals: missing addressing and 2-part catalog names") {
     intercept[IllegalArgumentException] {
       spark.readStream.format("graft-changes").option("root", "/nope").load()
