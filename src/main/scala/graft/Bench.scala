@@ -300,25 +300,47 @@ object Bench {
     // any span > 3x the committed prior (floored at 0.3 s) triggers
     // one more warm pass, keeping per-span mins.
     val priorE2eWarm = priorMap(sfDir, "e2e_warm")
-    val e2eNeedsRepass = e2eWarmFirst.exists { case (k, v) =>
-      v > 0.3 && priorE2eWarm.get(k).filter(_ > 0).exists(r => v > 3 * r)
-    }
-    val e2eWarm =
-      if (!e2eNeedsRepass) e2eWarmFirst
-      else {
-        val again = e2ePass("warm2").toMap
-        e2eWarmFirst.map { case (k, v) =>
+    val e2eColdMap = e2e.toMap
+    // Two triggers, checked per span: 3x the committed prior (the
+    // round-over-round outlier defense) OR the span's own COLD twin
+    // from this run — in one JVM a warm span slower than its cold one
+    // means the warm window was contended, never that cold was
+    // genuinely faster. Up to 3 extra passes, keeping per-span mins,
+    // so EVERY reported span (silver reads AND the gold write) gets
+    // the same convergence guarantee.
+    def e2eConverge(first: Seq[(String, Double)], cold: Map[String, Double],
+        priors: Map[String, Double],
+        rerun: Int => Seq[(String, Double)]): (Seq[(String, Double)], Boolean) = {
+      def contended(k: String, v: Double): Boolean =
+        v > 0.3 && (priors.get(k).filter(_ > 0).exists(r => v > 3 * r) ||
+          cold.get(k).filter(_ > 0).exists(c => v > c))
+      var cur = first
+      var extra = 0
+      while (extra < 3 && cur.exists { case (k, v) => contended(k, v) }) {
+        extra += 1
+        val again = rerun(extra).toMap
+        cur = cur.map { case (k, v) =>
           k -> Seq(v, again.getOrElse(k, -1.0)).filter(_ >= 0).minOption.getOrElse(-1.0)
         }
       }
+      (cur, extra > 0)
+    }
+    val (e2eWarm, e2eNeedsRepass) =
+      e2eConverge(e2eWarmFirst, e2eColdMap, priorE2eWarm,
+        i => e2ePass(s"warm${i + 1}"))
     // Raw-parquet twin spans (2-part session-catalog names, no V2
     // resolution, no CAS commit): the catalog layer's per-commit cost
     // is exactly e2e − e2e_pq, measured in the same JVM state; see
     // BASELINE.md "E2E adjudication".
     val e2ePq = e2ePass("pq-cold", graft.io.ParquetTables,
       "benchpq_silver.tab_brewery", "benchpq_gold.tab_brewery_summary")
-    val e2ePqWarm = e2ePass("pq-warm", graft.io.ParquetTables,
+    val e2ePqWarmFirst = e2ePass("pq-warm", graft.io.ParquetTables,
       "benchpq_silver.tab_brewery", "benchpq_gold.tab_brewery_summary")
+    // the raw-parquet twin spans get the same warm<=cold convergence
+    val (e2ePqWarm, _) = e2eConverge(e2ePqWarmFirst, e2ePq.toMap,
+      priorMap(sfDir, "e2e_pq_warm"),
+      i => e2ePass(s"pq-warm${i + 1}", graft.io.ParquetTables,
+        "benchpq_silver.tab_brewery", "benchpq_gold.tab_brewery_summary"))
     // Commit-cost channel: the delta-commit story, measured in one JVM
     // on the same table — a full overwrite rewrites O(table), an append
     // writes O(batch) (1% slice), a keyed MOR delete writes O(keys).
@@ -333,19 +355,38 @@ object Bench {
         def cspan(f: => Unit): Double = {
           val t0 = System.nanoTime; f; (System.nanoTime - t0) / 1e9
         }
-        st.overwriteTable(li, "li") // v1 baseline commit (untimed JVM warm)
-        val tOver = cspan { st.overwriteTable(li, "li") }
         val slice = li.limit((li.count() / 100).toInt).localCheckpoint(true)
-        val tApp = cspan { st.append(slice, "li") }
         val keys = li.select("l_orderkey").distinct().limit(100).localCheckpoint(true)
-        val tDel = cspan { st.deleteKeysMor("li", keys) }
-        // chain-maintenance gap, same chain: minor fold (O(Σ deltas) —
-        // here 1% + 100 keys) vs materialize (O(table) rewrite). At
-        // 100 TB the ratio IS the case for compactDeltas.
-        val tFold = cspan { st.compactDeltas("li") }
-        val tMat = cspan { st.materialize("li") }
-        Seq("overwrite" -> tOver, "append_1pct" -> tApp, "mor_delete_keys" -> tDel,
-          "minor_fold" -> tFold, "materialize" -> tMat)
+        // One identical pass per layout, same JVM, same data, rename
+        // first (its numbers are the round-over-round priors). On this
+        // local FS rename is a metadata op, so "direct ≤ rename" here
+        // shows the write-once layout costs nothing even where rename
+        // is cheap; on S3-family stores rename is a server-side COPY,
+        // where every *_direct span is the only O(batch) option. The
+        // publish span is where the layouts differ even locally:
+        // rename moves the staged snapshot dir, direct adopts the pool
+        // dir by reference (zero data bytes — DirectLayoutSpec proves
+        // it; this records the time).
+        def layoutPass(tab: String, layout: String): Seq[(String, Double)] = {
+          val sfx = if (layout == "direct") "_direct" else ""
+          st.setCommitLayout(tab, Some(layout)) // per-table pin (X109)
+          st.overwriteTable(li, tab) // v1 baseline commit (untimed JVM warm)
+          val tOver = cspan { st.overwriteTable(li, tab) }
+          val tApp = cspan { st.append(slice, tab) }
+          val tDel = cspan { st.deleteKeysMor(tab, keys) }
+          // chain-maintenance gap, same chain: minor fold (O(Σ deltas) —
+          // here 1% + 100 keys) vs materialize (O(table) rewrite). At
+          // 100 TB the ratio IS the case for compactDeltas.
+          val tFold = cspan { st.compactDeltas(tab) }
+          val tMat = cspan { st.materialize(tab) }
+          st.createBranch(tab, "wip")
+          st.commitToBranch(tab, "wip", slice) // staged write (untimed)
+          val tPub = cspan { st.publish(tab, "wip") }
+          Seq(s"overwrite$sfx" -> tOver, s"append_1pct$sfx" -> tApp,
+            s"mor_delete_keys$sfx" -> tDel, s"minor_fold$sfx" -> tFold,
+            s"materialize$sfx" -> tMat, s"publish$sfx" -> tPub)
+        }
+        layoutPass("li", "rename") ++ layoutPass("lid", "direct")
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] commit spans failed: ${e.getMessage}")

@@ -194,6 +194,11 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces with StagingT
     val propSetters = SnapshotCatalog.graftPropertySetters(schema, properties)
     st.declareTable(ident.name, schema, idCols, derived)
     propSetters.foreach(_(st, ident.name))
+    // the session conf is the CREATE-time layout default for NEW
+    // tables: pin it now so later default-conf writers stay on it
+    if (!properties.containsKey(SnapshotCatalog.CommitLayoutProperty))
+      st.sessionCommitLayoutDefault.foreach(m =>
+        st.setCommitLayout(ident.name, Some(m)))
     loadTable(ident)
   }
 
@@ -242,6 +247,11 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces with StagingT
     // stale transform spec is cleared by declareTable)
     st.declareTable(ident.name, schema, idCols, derived)
     propSetters.foreach(_(st, ident.name))
+    // CREATE-time layout default for NEW tables only — a REPLACE on a
+    // pinned table must not re-derive the pin from this session's conf
+    if (!existedBefore && !properties.containsKey(SnapshotCatalog.CommitLayoutProperty))
+      st.sessionCommitLayoutDefault.foreach(m =>
+        st.setCommitLayout(ident.name, Some(m)))
     val base = st.currentVersion(ident.name)
     val inner = lake match {
       case Some(lc) => new SnapshotTableV2(fullName(ident), st, ident.name, base,
@@ -312,12 +322,17 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces with StagingT
         st.setSortOrder(t, Nil)
       case rm: TableChange.RemoveProperty if rm.property == SnapshotCatalog.RetentionProperty =>
         st.setRetention(t, None)
+      case set: TableChange.SetProperty if set.property == SnapshotCatalog.CommitLayoutProperty =>
+        st.setCommitLayout(t, Some(set.value)) // validates; raises with zero side effects
+      case rm: TableChange.RemoveProperty if rm.property == SnapshotCatalog.CommitLayoutProperty =>
+        st.setCommitLayout(t, None) // unpin: back to session-conf-governed
       case other =>
         throw new UnsupportedOperationException(
           s"unsupported ALTER TABLE change ${other.getClass.getSimpleName} — " +
             "supported: ADD/DROP/RENAME top-level columns, " +
             s"SET TBLPROPERTIES ('${SnapshotCatalog.WriteModeProperty}', " +
-            s"'${SnapshotCatalog.SortByProperty}'); " +
+            s"'${SnapshotCatalog.SortByProperty}', " +
+            s"'${SnapshotCatalog.CommitLayoutProperty}'); " +
             "type changes never coerce silently")
     }
     // log-governed: ALTER publishes through like any other SQL write —
@@ -494,6 +509,17 @@ object SnapshotCatalog {
     * the override. */
   val RetentionProperty = "graft.retention.versions"
 
+  /** TBLPROPERTIES key pinning the table's COMMIT LAYOUT: "rename"
+    * (stage-then-rename) or "direct" (write-once pool files; the
+    * metadata CAS is the whole commit — what object stores need,
+    * where rename is a server-side copy). Pinned in table metadata so
+    * a default-conf writer cannot silently revert an object-store
+    * table to O(data) rename commits; unpinned tables follow the
+    * `graft.commit.layout` session conf (which also serves as the
+    * CREATE-time default for new tables). Iceberg likewise pins
+    * format behavior in table metadata, not writer configuration. */
+  val CommitLayoutProperty = "graft.commit.layout"
+
   /** Parse AND validate the graft TBLPROPERTIES into setter closures.
     * Validation is eager — the caller runs this BEFORE declareTable, so
     * an invalid property value (a bad write mode, a non-numeric
@@ -521,6 +547,11 @@ object SnapshotCatalog {
           throw new IllegalArgumentException(
             s"$RetentionProperty must be a non-negative int, got '$r'")))
       setters += ((st, t) => st.setRetention(t, v))
+    }
+    Option(properties.get(CommitLayoutProperty)).foreach { l =>
+      require(l.trim == "rename" || l.trim == "direct",
+        s"$CommitLayoutProperty must be 'rename' or 'direct', got '$l'")
+      setters += ((st, t) => st.setCommitLayout(t, Some(l.trim)))
     }
     setters.result()
   }

@@ -114,6 +114,10 @@ final class SnapshotTableV2(
     val so = st.sortOrder(table)
     if (so.nonEmpty) m.put(SnapshotCatalog.SortByProperty, so.mkString(","))
     m.put(SnapshotCatalog.RetentionProperty, st.retentionFor(table).toString)
+    // pinned layout only — an unpinned table intentionally reads the
+    // writer session's conf, which SHOW TBLPROPERTIES must not freeze
+    st.pinnedCommitLayout(table).foreach(l =>
+      m.put(SnapshotCatalog.CommitLayoutProperty, l))
     m
   }
 

@@ -49,8 +49,10 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * S3 multi-writer needs a conditional-PUT or DynamoDB-style log
   * store, the Iceberg/Delta swap-in seam of SURVEY §7.
   *
-  * COMMIT LAYOUTS (`graft.commit.layout` session conf, default
-  * "rename"): the stage-then-rename protocol above is atomic and
+  * COMMIT LAYOUTS (`graft.commit.layout`, default "rename" — pinnable
+  * per table as a TBLPROPERTY, [[setCommitLayout]], with the session
+  * conf governing unpinned tables and serving as the catalog's
+  * CREATE-time default): the stage-then-rename protocol above is atomic and
   * cheap on HDFS and local filesystems, but on S3-family object
   * stores RENAME IS A SERVER-SIDE COPY — publishing a staged snapshot
   * is O(data), the exact cliff Iceberg's write-once-files +
@@ -108,19 +110,57 @@ final class SnapshotTables(
   private def dataPoolDir(table: String): Path =
     dataPoolRoot.map(new Path(_)).getOrElse(new Path(tableDir(table), "data"))
 
-  /** `graft.commit.layout` — "rename" (default: stage under `.tmp-*`,
-    * rename into the version line after the CAS) or "direct"
-    * (write-once files in the pool; the metadata CAS is the entire
-    * commit — the shape object stores need, where rename is a copy). */
-  private def commitLayout: String =
-    spark.conf.getOption("graft.commit.layout") match {
-      case None => "rename"
-      case Some(raw) =>
-        val m = raw.trim
-        require(m == "rename" || m == "direct",
-          s"graft.commit.layout must be 'rename' or 'direct', got '$raw'")
-        m
-    }
+  private def commitLayoutPath(table: String): Path =
+    new Path(metaDir(table), "commit_layout")
+
+  private def validatedLayout(raw: String): String = {
+    val m = raw.trim
+    require(m == "rename" || m == "direct",
+      s"graft.commit.layout must be 'rename' or 'direct', got '$raw'")
+    m
+  }
+
+  /** The table's standing commit layout — "rename" (default: stage
+    * under `.tmp-*`, rename into the version line after the CAS) or
+    * "direct" (write-once files in the pool; the metadata CAS is the
+    * entire commit — the shape object stores need, where rename is a
+    * copy). Resolution: the per-table pin (TBLPROPERTY
+    * `graft.commit.layout`, [[setCommitLayout]]) wins; tables without
+    * a pin follow the `graft.commit.layout` SESSION conf, then
+    * "rename". The pin is the point: where a table lives (an object
+    * store vs a rename-capable FS) is a property of the TABLE, and a
+    * default-conf writer touching a pinned-direct 100 TB table must
+    * not silently revert it to O(data) rename commits. */
+  def commitLayoutFor(table: String): String = {
+    val p = commitLayoutPath(table)
+    if (fs(p).exists(p)) validatedLayout(readSmallFile(p))
+    else spark.conf.getOption("graft.commit.layout")
+      .map(validatedLayout).getOrElse("rename")
+  }
+
+  /** The session conf's layout, validated, if set — what catalog
+    * CREATE pins onto new tables that gave no explicit TBLPROPERTY. */
+  def sessionCommitLayoutDefault: Option[String] =
+    spark.conf.getOption("graft.commit.layout").map(validatedLayout)
+
+  /** The table's pinned layout, if any — None means "follow the
+    * session conf" (the pre-pin behavior). */
+  def pinnedCommitLayout(table: String): Option[String] = {
+    val p = commitLayoutPath(table)
+    if (fs(p).exists(p)) Some(validatedLayout(readSmallFile(p))) else None
+  }
+
+  /** Pin (or with None unpin) the table's commit layout. Validation is
+    * eager and the write is all-or-nothing: an invalid value raises
+    * with zero on-disk side effects. Metadata-only — existing versions
+    * keep the layout their metas record (metas are self-describing, so
+    * mixing layouts across a table's history is always safe). */
+  def setCommitLayout(table: String, mode: Option[String]): Unit = mode match {
+    case Some(m) => replaceSmallFile(commitLayoutPath(table), validatedLayout(m))
+    case None =>
+      val p = commitLayoutPath(table)
+      if (fs(p).exists(p)) fs(p).delete(p, false)
+  }
 
   /** The `data_dir` a version's commit metadata records (direct
     * layout), None for rename-layout versions or unreadable/missing
@@ -473,7 +513,7 @@ final class SnapshotTables(
     // debris sweeps can tell a LIVE long write from abandonment
     // (task-output activity under _temporary/ does not refresh the
     // staging dir's own mtime).
-    val direct = commitLayout == "direct"
+    val direct = commitLayoutFor(table) == "direct"
     val writerId = java.util.UUID.randomUUID.toString
     val tmp =
       if (direct) new Path(dataPoolDir(table), writerId)
@@ -1808,7 +1848,8 @@ final class SnapshotTables(
     Seq(statsColsPath(table) -> bt.statsColsPath(branch),
         sketchColsPath(table) -> bt.sketchColsPath(branch),
         transformSpecPath(table) -> bt.transformSpecPath(branch),
-        writeModePath(table) -> bt.writeModePath(branch))
+        writeModePath(table) -> bt.writeModePath(branch),
+        commitLayoutPath(table) -> bt.commitLayoutPath(branch))
       .foreach { case (src, dst) =>
         if (fs(src).exists(src)) replaceSmallFile(dst, readSmallFile(src)) }
   }

@@ -321,8 +321,8 @@ class PlanQualitySpec extends SparkSpec {
     val out = spark.sql(s"SHOW PROCEDURES IN $cat.system")
     val nameCol = out.columns.indexWhere(_.contains("procedure"))
     val names = out.collect().map(_.getString(nameCol)).toSet
-    assert(names == Set("rollback", "fast_forward", "optimize", "compact_deltas",
-      "evolve_partitioning", "expire_snapshots", "remove_orphan_files", "expire_log",
-      "publish_branches"))
+    assert(names == Set("rollback", "create_branch", "drop_branch", "fast_forward",
+      "optimize", "compact_deltas", "evolve_partitioning", "expire_snapshots",
+      "remove_orphan_files", "expire_log", "publish_branches"))
   }
 }
