@@ -116,10 +116,11 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces with StagingT
   override def loadTable(ident: Identifier): Table = {
     val st = tablesFor(ident.namespace)
     if (!st.tableExists(ident.name)) {
-      // `ns.t.history` / `ns.t.refs` — metadata tables (Iceberg's
-      // shapes). Only reachable when no real table shadows the name
-      // and the parent `ns.t` IS a snapshot table.
-      val isMeta = ident.name == HistoryMetadataTable.Name || ident.name == RefsMetadataTable.Name
+      // `ns.t.history` / `ns.t.refs` / `ns.t.partitions` — metadata
+      // tables (Iceberg's shapes). Only reachable when no real table
+      // shadows the name and the parent `ns.t` IS a snapshot table.
+      val isMeta = ident.name == HistoryMetadataTable.Name ||
+        ident.name == RefsMetadataTable.Name || ident.name == PartitionsMetadataTable.Name
       if (isMeta && ident.namespace.nonEmpty) {
         val parentSt = tablesFor(ident.namespace.init)
         val parent = ident.namespace.last
@@ -127,7 +128,9 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces with StagingT
           val meta: Table =
             if (ident.name == HistoryMetadataTable.Name)
               new HistoryMetadataTable(fullName(ident), parentSt, parent)
-            else new RefsMetadataTable(fullName(ident), parentSt, parent)
+            else if (ident.name == RefsMetadataTable.Name)
+              new RefsMetadataTable(fullName(ident), parentSt, parent)
+            else new PartitionsMetadataTable(fullName(ident), parentSt, parent)
           return meta
         }
       }

@@ -116,9 +116,10 @@ private[catalog] object SnapshotProcedures {
           case "evolve_partitioning" =>
             Array(param("table", StringType), param("spec", StringType))
           case "expire_snapshots" => Array(param("table", StringType),
-            param("older_than", StringType), paramD("retain_last", IntegerType, "1"))
+            param("older_than", StringType), paramD("retain_last", IntegerType, "1"),
+            paramD("branch", StringType, "''"))
           case "remove_orphan_files" => Array(param("table", StringType),
-            paramD("grace_minutes", IntegerType, "60"))
+            paramD("grace_minutes", IntegerType, "60"), paramD("branch", StringType, "''"))
           case "expire_log" => Array(param("keep", IntegerType))
           case "publish_branches" => Array(param("tables", StringType), param("branch", StringType))
         }
@@ -177,13 +178,40 @@ private[catalog] object SnapshotProcedures {
             // older_than: SQL timestamp literal text, the same wall
             // clock .history / TIMESTAMP AS OF report
             val cutoff = java.sql.Timestamp.valueOf(input.getUTF8String(1).toString).getTime
-            val expired = st.expireSnapshots(t, cutoff, input.getInt(2))
-            result(outSchema("expired_versions", "retained_versions"),
-              expired, st.history(t).length)
+            // branch-addressed: expire the BRANCH's own version line
+            // (its base on main stays protected by the ref, and main's
+            // line is untouched) — Iceberg's per-ref expiry
+            val branch = input.getUTF8String(3).toString.trim
+            if (branch.isEmpty) {
+              val expired = st.expireSnapshots(t, cutoff, input.getInt(2))
+              result(outSchema("expired_versions", "retained_versions"),
+                expired, st.history(t).length)
+            } else {
+              require(st.branches(t).contains(branch),
+                s"no branch '$branch' on table '$t' — have: ${st.branches(t).mkString(", ")}")
+              val bt = st.branchTablesFor(t)
+              val expired = bt.expireSnapshots(branch, cutoff, input.getInt(2))
+              result(outSchema("expired_versions", "retained_versions"),
+                expired, bt.history(branch).length)
+            }
           case "remove_orphan_files" =>
             val (st, t) = tablesOf(input.getUTF8String(0).toString)
-            val (d, mfs) = st.removeOrphans(t, input.getInt(1) * 60L * 1000L)
-            result(outSchema("orphan_dirs", "orphan_manifests"), d, mfs)
+            val branch = input.getUTF8String(2).toString.trim
+            if (branch.isEmpty) {
+              val (d, mfs) = st.removeOrphans(t, input.getInt(1) * 60L * 1000L)
+              result(outSchema("orphan_dirs", "orphan_manifests"), d, mfs)
+            } else {
+              // branch-addressed: sweep the branch line's own staging /
+              // crash debris. Pool-dir reachability still checks MAIN's
+              // and every branch's metas (poolDirReferenced derives the
+              // owner from the pool path), so a branch sweep can never
+              // reclaim a dir another line references.
+              require(st.branches(t).contains(branch),
+                s"no branch '$branch' on table '$t' — have: ${st.branches(t).mkString(", ")}")
+              val (d, mfs) = st.branchTablesFor(t)
+                .removeOrphans(branch, input.getInt(1) * 60L * 1000L)
+              result(outSchema("orphan_dirs", "orphan_manifests"), d, mfs)
+            }
           case "expire_log" =>
             val lc = governed
             lc.expireLog(input.getInt(0))

@@ -392,3 +392,57 @@ private[catalog] object RefsMetadataTable {
 
   val Name = "refs"
 }
+
+/** The `<cat>.<ns>.<table>.partitions` METADATA table — Iceberg's
+  * partitions relation: one row per live partition value of the
+  * CURRENT version with its data-file footprint, and merge-on-read
+  * delete content (tombstones awaiting resolution) in separate columns
+  * exactly as Iceberg reports tables carrying delete files. Same
+  * resolution rules as [[HistoryMetadataTable]] (real tables shadow
+  * the name); the row set is |partitions|-sized and the footer reads
+  * behind it run as ONE distributed job inside
+  * [[graft.io.SnapshotTables.partitionStats]] — the driver only ever
+  * holds the aggregated result. */
+private[catalog] final class PartitionsMetadataTable(
+    fullName: String,
+    st: SnapshotTables,
+    table: String
+) extends Table with SupportsRead {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def name(): String = fullName
+  override def schema(): StructType = PartitionsMetadataTable.Schema
+
+  override def capabilities(): util.Set[TableCapability] = {
+    val s = new util.HashSet[TableCapability]()
+    s.add(TableCapability.BATCH_READ)
+    s
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        override def rows(): Array[InternalRow] =
+          st.partitionStats(table).map { p =>
+            InternalRow(UTF8String.fromString(p.partition), p.recordCount, p.fileCount,
+              p.totalBytes, p.deleteRecordCount, p.deleteFileCount)
+          }.toArray
+        override def readSchema(): StructType = PartitionsMetadataTable.Schema
+      }
+    }
+}
+
+private[catalog] object PartitionsMetadataTable {
+  import org.apache.spark.sql.types.{LongType, StringType}
+  val Schema: StructType = new StructType()
+    // the partition's directory run, "" for an unpartitioned table —
+    // identity dirs spell `col=value`, hidden transforms `__p_*_col=v`
+    .add("partition", StringType, nullable = false)
+    .add("record_count", LongType, nullable = false)
+    .add("file_count", LongType, nullable = false)
+    .add("total_bytes", LongType, nullable = false)
+    .add("delete_record_count", LongType, nullable = false)
+    .add("delete_file_count", LongType, nullable = false)
+
+  val Name = "partitions"
+}

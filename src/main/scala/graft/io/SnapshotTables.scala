@@ -2491,6 +2491,78 @@ final class SnapshotTables(
       (b, branchBase(table, b), branchTables(table).currentVersion(b))
     }
 
+  /** Per-partition file/row/byte stats of the CURRENT version — the
+    * data behind the `<table>.partitions` metadata relation (Iceberg's
+    * partitions table). One entry per live partition directory value
+    * ("" for an unpartitioned table), aggregated over every chain
+    * segment, with merge-on-read DELETE content (tombstone keys /
+    * deleted-row images awaiting resolution) reported in separate
+    * columns — file-level truth before MOR resolution, exactly how
+    * Iceberg's partitions relation reports a table carrying delete
+    * files. Row counts come from parquet footers read in ONE
+    * distributed job (footer I/O never runs on the driver), the
+    * per-(partition, side) aggregation happens in that job, and only
+    * the |partitions|-sized result is collected — same sizing contract
+    * as `.history`/`.refs`. */
+  def partitionStats(table: String): Seq[SnapshotTables.PartitionStat] = {
+    val v = currentVersion(table)
+    if (v == 0) return Nil
+    // (absPath, bytes, isDelete, partition) per live data file; the
+    // partition is the file's directory run under its segment root
+    // (identity `col=value` dirs and hidden `__p_*` dirs alike), with
+    // the mor del/ add/ routing component stripped first
+    val entries = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Boolean, String)]
+    chainOf(table, v).foreach { m =>
+      val base = dataDirOfMeta(table, m)
+      val f = fs(base)
+      if (f.exists(base)) {
+        val baseStr = f.makeQualified(base).toString.stripSuffix("/") + "/"
+        val it = f.listFiles(base, true)
+        while (it.hasNext) {
+          val s = it.next()
+          val rel = s.getPath.toString.stripPrefix(baseStr)
+          val comps = rel.split('/')
+          // a component carrying '=' is a partition directory — hidden
+          // transforms deliberately spell `__p_…=value` dirs, which
+          // Spark's partition discovery reads despite the underscore
+          val hidden = comps.exists(c =>
+            (c.startsWith("_") || c.startsWith(".")) && !c.contains("="))
+          if (s.isFile && rel.endsWith(".parquet") && !hidden) {
+            val (isDel, pcomps) = (m.kind, comps.head) match {
+              case ("mor_delete", _) => (true, comps.dropRight(1))
+              case ("mor_patch" | "mor_revise", "del") => (true, comps.drop(1).dropRight(1))
+              case ("mor_patch" | "mor_revise", "add") => (false, comps.drop(1).dropRight(1))
+              case _ => (false, comps.dropRight(1))
+            }
+            entries += ((s.getPath.toString, s.getLen, isDel, pcomps.mkString("/")))
+          }
+        }
+      }
+    }
+    if (entries.isEmpty) return Nil
+    val confSer = new org.apache.spark.SerializableWritable(spark.sparkContext.hadoopConfiguration)
+    spark.sparkContext
+      .parallelize(entries.toSeq, math.max(1, math.min(entries.size, 64)))
+      .map { case (abs, bytes, isDel, part) =>
+        import scala.jdk.CollectionConverters._
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(abs), confSer.value))
+        val rows = try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+                   finally reader.close()
+        ((part, isDel), (1L, rows, bytes))
+      }
+      .reduceByKey((a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3))
+      .collect() // |partitions|-sized
+      .groupBy(_._1._1)
+      .map { case (part, sides) =>
+        val data = sides.collectFirst { case ((_, false), t) => t }.getOrElse((0L, 0L, 0L))
+        val del = sides.collectFirst { case ((_, true), t) => t }.getOrElse((0L, 0L, 0L))
+        SnapshotTables.PartitionStat(part, data._1, data._2, data._3, del._1, del._2)
+      }
+      .toSeq.sortBy(_.partition)
+  }
+
   def manifestAgg(table: String, columns: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
     require(columns.nonEmpty, "manifestAgg needs at least one column")
@@ -3152,6 +3224,12 @@ object SnapshotTables {
   private[io] final case class VersionMeta(v: Int, kind: String, base: Int, keyCols: Seq[String],
       fold: Boolean = false, txn: Option[String] = None, schemaEvolved: Boolean = false,
       dataDir: Option[String] = None)
+
+  /** One `.partitions` relation row: a live partition directory value
+    * ("" = unpartitioned) with its data-file and pending-MOR-delete
+    * footprints in the current version's chain. */
+  final case class PartitionStat(partition: String, fileCount: Long, recordCount: Long,
+      totalBytes: Long, deleteFileCount: Long, deleteRecordCount: Long)
 
   /** A partition transform (Iceberg's hidden-partitioning vocabulary):
     * a pure function of one source column whose image becomes the

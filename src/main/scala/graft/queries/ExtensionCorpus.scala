@@ -2083,6 +2083,41 @@ object ExtensionCorpus {
       GROUP BY o_orderstatus ORDER BY o_orderstatus""")
   )
 
+  /** The `.partitions` METADATA relation (Iceberg's partitions table)
+    * oracle-pinned: a priority-partitioned catalog table lands in two
+    * appended segments, and `<table>.partitions` reports per-partition
+    * record counts aggregated ACROSS the chain — answered from parquet
+    * footers in one distributed job, never a data scan. The oracle
+    * recomputes the same per-partition counts from raw parquet;
+    * `multi_segment` pins that every partition's file count reflects
+    * both commits. MOR-delete separation and hidden-transform
+    * partitions are spec-gated in SnapshotCatalogSpec. */
+  private val q139 = Q(
+    "q139_partitions_relation",
+    (s, dir) => {
+      val cat = tempCatalog(s)
+      fixture(s, dir, "orders").createOrReplaceTempView("q139_orders")
+      s.sql(s"""CREATE TABLE $cat.dw.p
+                (o_orderkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING)
+                PARTITIONED BY (o_orderpriority)""")
+      s.sql(s"""INSERT INTO $cat.dw.p
+                SELECT o_orderkey, CAST(o_totalprice AS DOUBLE), o_orderpriority
+                FROM q139_orders WHERE o_orderkey <= 8000""")
+      s.sql(s"""INSERT INTO $cat.dw.p
+                SELECT o_orderkey, CAST(o_totalprice AS DOUBLE), o_orderpriority
+                FROM q139_orders WHERE o_orderkey > 8000 AND o_orderkey <= 10000""")
+      s.sql(s"""SELECT partition, record_count,
+                  CASE WHEN file_count >= 2 THEN 1 ELSE 0 END AS multi_segment,
+                  delete_record_count
+                FROM $cat.dw.p.partitions ORDER BY partition""")
+    },
+    Some("""SELECT 'o_orderpriority=' || o_orderpriority AS partition,
+        COUNT(*) AS record_count, 1 AS multi_segment,
+        CAST(0 AS BIGINT) AS delete_record_count
+      FROM orders WHERE o_orderkey <= 10000
+      GROUP BY o_orderpriority ORDER BY partition""")
+  )
+
   /** CDC ACROSS ADDITIVE SCHEMA EVOLUTION, oracle-pinned to Delta
     * CDF's semantics: a table evolves with a metadata-only ADD COLUMN
     * (zero rows written), then an UPDATE fills the new column for a
@@ -2121,7 +2156,7 @@ object ExtensionCorpus {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q99, q100, q101, q102, q106, q107, q108,
     q109, q111, q112, q113, q114, q116, q117, q118, q119, q121, q122, q123, q125, q126, q127,
-    q128, q130, q131, q132, q133, q135, q136, q137, q138
+    q128, q130, q131, q132, q133, q135, q136, q137, q138, q139
   )
 
 }

@@ -972,4 +972,82 @@ class SnapshotCatalogSpec extends SparkSpec {
     spark.sql(s"INSERT INTO $c.dw.t VALUES (10, 'y')")
     assert(new java.io.File(s"$root/dw/t/snapshots").exists())
   }
+
+  test("branch-addressed expire_snapshots / remove_orphan_files maintain the branch line only") {
+    val (c, root) = newCatalogWithRoot()
+    spark.sql(s"CREATE NAMESPACE $c.dw")
+    spark.sql(s"CREATE TABLE $c.dw.t AS SELECT 1 AS id, 'a' AS v")
+    spark.sql(s"INSERT INTO $c.dw.t VALUES (2, 'b')")
+    spark.sql(s"CALL $c.system.create_branch('dw.t', 'wip')")
+    val st = org.apache.spark.sql.GraftSqlBridge.catalogPlugin(spark, c)
+      .asInstanceOf[SnapshotCatalog].tablesFor(Array("dw"))
+    // three branch commits -> branch history 1,2,3
+    st.commitToBranch("t", "wip", Seq((1, "a"), (2, "b"), (3, "s1")).toDF("id", "v"))
+    st.commitToBranch("t", "wip", Seq((1, "a"), (2, "b"), (3, "s2")).toDF("id", "v"))
+    st.commitToBranch("t", "wip", Seq((1, "a"), (2, "b"), (3, "s3")).toDF("id", "v"))
+    val bt = st.branchTablesFor("t")
+    assert(bt.history("wip") == Seq(1, 2, 3))
+    // expire the BRANCH line: cutoff in the future, keep the head only
+    val out = rows(s"CALL $c.system.expire_snapshots('dw.t', '2099-01-01 00:00:00', 1, 'wip')")
+    assert(out == Seq(Row(2, 1)), out.toString) // 2 expired, 1 retained
+    assert(bt.history("wip") == Seq(3))
+    // main's line untouched; branch still reads its head
+    assert(st.history("t") == Seq(1, 2))
+    assert(rows(s"SELECT v FROM $c.dw.t VERSION AS OF 'wip' WHERE id = 3") == Seq(Row("s3")))
+    // branch-addressed orphan sweep: plant crash debris on the BRANCH
+    // line (a meta-less version dir), sweep it, main untouched
+    val debris = new java.io.File(s"$root/dw/t/branches/wip/snapshots/v00099")
+    debris.mkdirs()
+    new java.io.File(debris, "junk.parquet").createNewFile()
+    val swept = rows(s"CALL $c.system.remove_orphan_files('dw.t', 0, 'wip')")
+    assert(swept.head.getInt(0) >= 1, swept.toString)
+    assert(!debris.exists())
+    assert(rows(s"SELECT count(*) AS n FROM $c.dw.t") == Seq(Row(2L)))
+    // unknown branch stays loud
+    intercept[Exception](rows(s"CALL $c.system.expire_snapshots('dw.t', '2099-01-01 00:00:00', 1, 'nope')"))
+    // un-addressed calls keep their old shape (defaults: whole table)
+    val mainOut = rows(s"CALL $c.system.expire_snapshots('dw.t', '1970-01-01 00:00:01', 1)")
+    assert(mainOut.head.getInt(0) == 0) // nothing older than epoch+1s... all retained
+  }
+
+  test(".partitions metadata relation: per-partition rows/files/bytes, MOR deletes separate") {
+    val c = newCatalog()
+    spark.sql(s"CREATE NAMESPACE $c.dw")
+    spark.sql(s"CREATE TABLE $c.dw.ev (id BIGINT, cat STRING, v DOUBLE) PARTITIONED BY (cat)")
+    spark.sql(s"INSERT INTO $c.dw.ev SELECT id, CASE WHEN id % 3 = 0 THEN 'a' " +
+      s"WHEN id % 3 = 1 THEN 'b' ELSE 'c' END, CAST(id AS DOUBLE) / 2 FROM range(3000)")
+    val parts = rows(s"SELECT * FROM $c.dw.ev.partitions ORDER BY partition")
+    assert(parts.map(_.getString(0)) == Seq("cat=a", "cat=b", "cat=c"), parts.toString)
+    assert(parts.map(_.getLong(1)) == Seq(1000L, 1000L, 1000L)) // record_count
+    assert(parts.forall(r => r.getLong(2) >= 1 && r.getLong(3) > 0)) // files, bytes
+    assert(parts.forall(r => r.getLong(4) == 0 && r.getLong(5) == 0)) // no deletes yet
+    // appends accumulate per partition across chain segments (committed
+    // tables read partition columns LAST: order is id, v, cat)
+    spark.sql(s"INSERT INTO $c.dw.ev VALUES (9001, 1.0, 'a'), (9002, 2.0, 'a')")
+    val after = rows(s"SELECT record_count, file_count FROM $c.dw.ev.partitions " +
+      s"WHERE partition = 'cat=a'")
+    assert(after.head.getLong(0) == 1002L && after.head.getLong(1) >= 2)
+    // a merge-on-read DELETE shows up as pending delete content, with
+    // data rows unchanged (file-level truth before resolution)
+    spark.sql(s"ALTER TABLE $c.dw.ev SET TBLPROPERTIES ('graft.write.mode'='mor')")
+    spark.sql(s"DELETE FROM $c.dw.ev WHERE id IN (3, 9, 12)")
+    val mor = rows(s"SELECT record_count, delete_record_count, delete_file_count " +
+      s"FROM $c.dw.ev.partitions ORDER BY partition").map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(mor.map(_._1).sum == 3002L, mor.toString)
+    assert(mor.map(_._2).sum == 3L, s"3 tombstone keys expected: $mor")
+    // the relation answers from metadata + footers only — and the live
+    // read still sees the resolved row count
+    assert(rows(s"SELECT count(*) AS n FROM $c.dw.ev") == Seq(Row(2999L)))
+    // an unpartitioned table reports one "" partition row
+    spark.sql(s"CREATE TABLE $c.dw.flat AS SELECT id FROM range(100)")
+    val flat = rows(s"SELECT partition, record_count FROM $c.dw.flat.partitions")
+    assert(flat == Seq(Row("", 100L)))
+    // hidden-transform partitioning surfaces its __p_* directory run
+    spark.sql(s"CREATE TABLE $c.dw.hid (id BIGINT, v STRING) PARTITIONED BY (bucket(4, id))")
+    spark.sql(s"INSERT INTO $c.dw.hid SELECT id, CAST(id AS STRING) FROM range(400)")
+    val hid = rows(s"SELECT partition, record_count FROM $c.dw.hid.partitions ORDER BY partition")
+    assert(hid.length == 4 && hid.map(_.getLong(1)).sum == 400L, hid.toString)
+    assert(hid.forall(_.getString(0).startsWith("__p_bucket")), hid.toString)
+  }
 }
