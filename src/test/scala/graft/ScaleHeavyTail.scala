@@ -1,0 +1,190 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 30× HEAVY-TAIL scale record (VERDICT r11 #5 / r12 #2): the corpus
+  * queries whose work is NOT linear in the input — LSH candidate
+  * generation (q31/q32/q86/q88), bigram language modeling (q92),
+  * overlap joins (q121), near-dup clustering (q71), DSIR importance
+  * resampling (q134) — run at 30× the bench scale with their WORK
+  * measured alongside their TIME, so superlinear time is separable
+  * from superlinear work: a query whose candidate-pair count grows 31×
+  * is ALLOWED to take ~31× longer; what the record must rule out is
+  * time growing past the work (a plan that degrades — lost broadcast,
+  * spill thrash, driver collection — rather than a workload that
+  * grows).
+  *
+  * Methodology (memory: this box carries invisible neighbor load, so
+  * cross-JVM A/Bs are not decisive): BOTH scales run interleaved in
+  * ONE JVM, warm best-of-2 per (query, scale) after a first discarded
+  * cold pass at each scale; work metrics are computed from the data
+  * with the same library pipelines the queries use. The 30× fixture
+  * replicates sf0.1 documents with per-replica salted text (`r<i> `
+  * prefix) and offset doc_ids — near-dup structure scales instead of
+  * stacking into 30-way exact-dup clusters (same construction as
+  * ScaleSmoke; synthetic, timing-only, oracles stay at sf0.01).
+  *
+  * The capped LSH path runs at 30× with `dropMetrics` wired
+  * (Dedup.lshCandidatePairs, X107): the record shows the observed
+  * dropped_buckets/members/pairs under a production-shaped cap (64)
+  * plus the measured max bucket size at both scales — drops stay 0
+  * precisely because salting keeps the bucket tail from stacking.
+  *
+  * Pass bar (the r12 verdict's): time_ratio ≤ 2 × work_ratio per
+  * query. Writes SCALE_r13.json by default.
+  *
+  * Usage: Test/runMain graft.ScaleHeavyTail [replicas] [outFile]
+  */
+object ScaleHeavyTail {
+
+  private val Off = 100000000L
+
+  def main(args: Array[String]): Unit = {
+    val replicas = args.lift(0).map(_.toInt).getOrElse(30)
+    val outFile = args.lift(1).getOrElse("SCALE_r13.json")
+    val base = "/root/testdata/sf0.1"
+    val out = s"/tmp/graft_heavy_${replicas}x"
+
+    val spark = graft.core.GraftSession.local("graft-heavy", graft.core.GraftSession.defaultCores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val ready = Paths.get(out, "_READY")
+    if (!Files.exists(ready)) {
+      Files.createDirectories(Paths.get(out))
+      val src = spark.read.parquet(s"$base/documents.parquet")
+      // PER-TOKEN suffix salt — a bijective token rename per replica.
+      // The two naive constructions are both degenerate: a prefix
+      // token leaves minhash signatures (min over mostly-unchanged
+      // shingle hashes) identical across replicas, so buckets STACK
+      // ~linearly (measured: max bucket 11 → 32 at 3×); an
+      // INTERLEAVED salt token becomes a hub word shared by every doc
+      // in the replica, so signatures collapse WITHIN the replica
+      // (measured: max bucket 11 → 2425 at 3×). Renaming every token
+      // (`w` → `wr<i>`) maps each replica's shingle space through a
+      // bijection: within-replica near-dup structure — the heavy tail
+      // under test — replicates EXACTLY, cross-replica collisions
+      // vanish, token/bigram volumes stay proportional, and work
+      // grows with the data.
+      val all = (0 until replicas).map { i =>
+        (if (i == 0) src
+         else src.withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1r$i")))
+          .withColumn("doc_id", col("doc_id") + lit(i * Off))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      }.reduce(_ unionByName _)
+      all.repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
+      // events for q121: disjoint user/event key spaces per replica, so
+      // overlap pairs scale linearly with the data
+      val ev = spark.read.parquet(s"$base/events.parquet")
+      (0 until replicas).map(i => ev
+          .withColumn("event_id", col("event_id") + lit(i * Off))
+          .withColumn("user_id", col("user_id") + lit(i * Off)))
+        .reduce(_ unionByName _)
+        .repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
+      Files.write(ready, "ok".getBytes(StandardCharsets.UTF_8))
+      println(s"[heavy] built documents+events x$replicas")
+    } else println(s"[heavy] reusing $out")
+
+    def loadavg1(): Double =
+      try new String(Files.readAllBytes(Paths.get("/proc/loadavg")), StandardCharsets.UTF_8)
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+
+    def docs(dir: String): DataFrame = spark.read.parquet(s"$dir/documents.parquet")
+    val byName = graft.queries.Corpus.all.map(q => q.name -> q).toMap
+
+    // ---- WORK metrics: the quantity each query's dominant stage is
+    // linear in, computed with the same pipelines the queries use ----
+    def nDocs(dir: String): Long = docs(dir).count()
+    def nPairs(dir: String): Long =
+      graft.operators.Dedup.lshCandidatePairs(docs(dir), "doc_id", "text",
+        numHashes = 8, bands = 4).count()
+    def nCappedPairs(dir: String): Long =
+      graft.operators.Dedup.lshCandidatePairs(docs(dir), "doc_id", "text",
+        numHashes = 8, bands = 4, maxBucketSize = Some(2)).count()
+    def nBigrams(dir: String): Long =
+      docs(dir).select(sum(greatest(size(split(col("text"), " ")) - 1, lit(0))))
+        .head().getLong(0)
+    def nGrams(dir: String): Long = // unigrams + bigrams, DSIR's feature volume
+      docs(dir).select(sum(greatest(size(split(col("text"), " ")) * 2 - 1, lit(0))))
+        .head().getLong(0)
+    def nOverlapPairs(dir: String): Long =
+      byName("q121_overlap_join").run(spark, dir)
+        .agg(sum(col("n_pairs"))).head().getLong(0)
+
+    val queries: Seq[(String, String, String => Long)] = Seq(
+      ("q31_minhash_signatures", "docs", nDocs),
+      ("q32_lsh_candidate_pairs", "candidate_pairs", nPairs),
+      ("q86_lsh_capped_pairs", "capped_pairs", nCappedPairs),
+      ("q88_incremental_dedup", "docs", nDocs),
+      ("q92_bigram_logloss", "bigrams", nBigrams),
+      ("q121_overlap_join", "overlap_pairs", nOverlapPairs),
+      ("q71_neardup_clusters", "candidate_pairs", nPairs),
+      ("q134_dsir_resample", "grams", nGrams))
+
+    spark.range(1000000).selectExpr("sum(id)").collect() // JVM warmup
+    val la0 = loadavg1()
+
+    def timeWarm(name: String, dir: String): (Double, Double) = {
+      val q = byName(name)
+      def once(): Double = {
+        val t0 = System.nanoTime(); q.run(spark, dir).count(); (System.nanoTime() - t0) / 1e9
+      }
+      val cold = once()
+      val warm = math.min(once(), once())
+      (cold, warm)
+    }
+
+    // interleave scales per query: both measurements see the same
+    // neighbor-load window, so their RATIO is stable even when the
+    // absolute numbers swing
+    val rows = queries.map { case (name, metric, work) =>
+      val w1 = work(base)
+      val w30 = work(out)
+      val (c1, t1) = timeWarm(name, base)
+      val (c30, t30) = timeWarm(name, out)
+      val workRatio = w30.toDouble / math.max(1L, w1)
+      val timeRatio = t30 / math.max(1e-9, t1)
+      val rel = timeRatio / math.max(1e-9, workRatio)
+      println(f"[heavy] $name%-26s t1=$t1%6.2f t30=$t30%7.2f time×=$timeRatio%6.2f " +
+        f"$metric%-16s work×=$workRatio%6.2f time/work=$rel%5.2f")
+      (name, metric, w1, w30, workRatio, c1, t1, c30, t30, timeRatio, rel)
+    }
+
+    // capped path at 30× with drop observability wired (X107)
+    val obs = new org.apache.spark.sql.Observation(s"heavy-cap")
+    graft.operators.Dedup.lshCandidatePairs(docs(out), "doc_id", "text",
+      numHashes = 8, bands = 4, maxBucketSize = Some(64), dropMetrics = Some(obs)).count()
+    val met = obs.get
+    def metric(k: String): Long = met.get(k) match {
+      case Some(v: Long) => v; case Some(v: Number) => v.longValue(); case _ => 0L
+    }
+    def maxBucket(dir: String): Long =
+      graft.operators.Dedup.bandBuckets(docs(dir), "doc_id", "text", 8, 4)
+        .groupBy(col("band_idx"), col("bucket")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n"))).head().getLong(0)
+    val (mb1, mb30) = (maxBucket(base), maxBucket(out))
+
+    val la1 = loadavg1()
+    def r2(v: Double) = math.rint(v * 100) / 100
+    val qjson = rows.map { case (n, m, w1, w30, wr, c1, t1, c30, t30, tr, rel) =>
+      s""""$n":{"work_metric":"$m","work_1x":$w1,"work_30x":$w30,"work_ratio":${r2(wr)},""" +
+        s""""cold_1x":${r2(c1)},"warm_1x":${r2(t1)},"cold_30x":${r2(c30)},"warm_30x":${r2(t30)},""" +
+        s""""time_ratio":${r2(tr)},"time_over_work":${r2(rel)},"pass":${rel <= 2.0}}"""
+    }.mkString("{", ",", "}")
+    val json =
+      s"""{"kind":"heavy_tail","base":"$base","replicas":$replicas,""" +
+        s""""pass_bar":"warm time_ratio <= 2x measured work_ratio","queries":$qjson,""" +
+        s""""cap_audit":{"cap":64,"dropped_buckets":${metric("dropped_buckets")},""" +
+        s""""dropped_members":${metric("dropped_members")},""" +
+        s""""dropped_candidate_pairs":${metric("dropped_candidate_pairs")},""" +
+        s""""max_bucket_1x":$mb1,"max_bucket_30x":$mb30},""" +
+        s""""all_pass":${rows.forall(_._11 <= 2.0)},"loadavg":[$la0,$la1]}"""
+    Files.write(Paths.get(outFile), json.getBytes(StandardCharsets.UTF_8))
+    println(json)
+    spark.stop()
+  }
+}
