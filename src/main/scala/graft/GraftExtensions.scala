@@ -50,6 +50,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // keyless BETWEEN time joins -> bucketed equi-joins (never BNLJ)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    // manifest file skipping for SQL scans of snapshot-catalog tables
+    // (X112): pushed-down predicates consult the per-file stats/sketch
+    // manifests at planning time and the scan reads only files that
+    // may match — Iceberg's scan planning, on the native format
+    ext.injectOptimizerRule(_ => graft.plans.ScanPruneRule)
+    // metadata-only COUNT/MIN/MAX over snapshot-catalog tables (X113):
+    // grouping-less aggregates provably answerable from the per-file
+    // stats manifests collapse to a LocalRelation — zero data files
+    ext.injectOptimizerRule(_ => graft.plans.MetadataAggRule)
     // merge-on-read delta chains -> resolved scan plans (before the
     // DML rule so a MERGE source over a chained table resolves first)
     ext.injectResolutionRule(_ => graft.plans.DeltaResolveRule)

@@ -329,13 +329,23 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces with StagingT
         st.setCommitLayout(t, Some(set.value)) // validates; raises with zero side effects
       case rm: TableChange.RemoveProperty if rm.property == SnapshotCatalog.CommitLayoutProperty =>
         st.setCommitLayout(t, None) // unpin: back to session-conf-governed
+      case set: TableChange.SetProperty if set.property == SnapshotCatalog.StatsColsProperty =>
+        st.setStatsCols(t, set.value.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      case rm: TableChange.RemoveProperty if rm.property == SnapshotCatalog.StatsColsProperty =>
+        st.setStatsCols(t, Nil)
+      case set: TableChange.SetProperty if set.property == SnapshotCatalog.SketchColsProperty =>
+        st.setSketchCols(t, set.value.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      case rm: TableChange.RemoveProperty if rm.property == SnapshotCatalog.SketchColsProperty =>
+        st.setSketchCols(t, Nil)
       case other =>
         throw new UnsupportedOperationException(
           s"unsupported ALTER TABLE change ${other.getClass.getSimpleName} — " +
             "supported: ADD/DROP/RENAME top-level columns, " +
             s"SET TBLPROPERTIES ('${SnapshotCatalog.WriteModeProperty}', " +
             s"'${SnapshotCatalog.SortByProperty}', " +
-            s"'${SnapshotCatalog.CommitLayoutProperty}'); " +
+            s"'${SnapshotCatalog.CommitLayoutProperty}', " +
+            s"'${SnapshotCatalog.StatsColsProperty}', " +
+            s"'${SnapshotCatalog.SketchColsProperty}'); " +
             "type changes never coerce silently")
     }
     // log-governed: ALTER publishes through like any other SQL write —
@@ -523,6 +533,21 @@ object SnapshotCatalog {
     * format behavior in table metadata, not writer configuration. */
   val CommitLayoutProperty = "graft.commit.layout"
 
+  /** TBLPROPERTIES key for the standing STATS COLUMNS (comma-separated
+    * list): every data commit maintains a per-file [min,max,nulls,rows]
+    * manifest over them, which range predicates skip files against —
+    * both the Scala pruned reads and SQL scan planning
+    * ([[graft.plans.ScanPruneRule]]). Iceberg's column-bounds-in-
+    * manifests, as declarable table metadata. */
+  val StatsColsProperty = "graft.stats.columns"
+
+  /** TBLPROPERTIES key for the standing SKETCH COLUMNS (comma-separated
+    * list): per-file Bloom membership sketches maintained alongside
+    * the range stats — the point-lookup half of file skipping (`col =
+    * v` / `col IN (...)` probes skip files whose sketch never saw the
+    * value, where [min,max] can't). */
+  val SketchColsProperty = "graft.sketch.columns"
+
   /** Parse AND validate the graft TBLPROPERTIES into setter closures.
     * Validation is eager — the caller runs this BEFORE declareTable, so
     * an invalid property value (a bad write mode, a non-numeric
@@ -555,6 +580,17 @@ object SnapshotCatalog {
       require(l.trim == "rename" || l.trim == "direct",
         s"$CommitLayoutProperty must be 'rename' or 'direct', got '$l'")
       setters += ((st, t) => st.setCommitLayout(t, Some(l.trim)))
+    }
+    Seq(StatsColsProperty -> ((st: SnapshotTables, t: String, cols: Seq[String]) =>
+          st.setStatsCols(t, cols)),
+        SketchColsProperty -> ((st: SnapshotTables, t: String, cols: Seq[String]) =>
+          st.setSketchCols(t, cols))).foreach { case (key, set) =>
+      Option(properties.get(key)).foreach { s =>
+        val cols = s.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+        cols.foreach(c => require(schema.fieldNames.contains(c),
+          s"$key column '$c' is not a column of the table schema"))
+        setters += ((st, t) => set(st, t, cols))
+      }
     }
     setters.result()
   }

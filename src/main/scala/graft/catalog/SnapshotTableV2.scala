@@ -118,6 +118,10 @@ final class SnapshotTableV2(
     // writer session's conf, which SHOW TBLPROPERTIES must not freeze
     st.pinnedCommitLayout(table).foreach(l =>
       m.put(SnapshotCatalog.CommitLayoutProperty, l))
+    val sc = st.statsColsFor(table)
+    if (sc.nonEmpty) m.put(SnapshotCatalog.StatsColsProperty, sc.mkString(","))
+    val kc = st.sketchColsFor(table)
+    if (kc.nonEmpty) m.put(SnapshotCatalog.SketchColsProperty, kc.mkString(","))
     m
   }
 

@@ -2082,6 +2082,57 @@ final class SnapshotTables(
     if (fs(p).exists(p)) readSmallFile(p).split(',').toSeq.map(_.trim).filter(_.nonEmpty) else Nil
   }
 
+  /** The table's standing STATS COLUMNS — the columns every data
+    * commit writes a per-file [min,max,nulls,rows] manifest over
+    * (Iceberg records column bounds in its manifests the same way).
+    * Persisted table metadata: set once (TBLPROPERTY
+    * `graft.stats.columns`, or any commit's explicit `statsCols`),
+    * every later commit keeps maintaining the manifest. */
+  def statsColsFor(table: String): Seq[String] = {
+    val p = statsColsPath(table)
+    if (fs(p).exists(p)) readSmallFile(p).split(',').toSeq.map(_.trim).filter(_.nonEmpty) else Nil
+  }
+
+  /** Set (or with Nil clear) the standing stats columns. Validated
+    * when the schema is known; applies to every LATER commit — same
+    * metadata-only contract as [[setSortOrder]] (existing versions
+    * keep whatever manifest they committed with). */
+  def setStatsCols(table: String, cols: Seq[String]): Unit = {
+    validateTableColumns(table, cols, "stats")
+    if (cols.nonEmpty) replaceSmallFile(statsColsPath(table), cols.mkString(","))
+    else {
+      val p = statsColsPath(table)
+      if (fs(p).exists(p)) fs(p).delete(p, false)
+    }
+  }
+
+  /** The table's standing SKETCH COLUMNS — per-file Bloom membership
+    * sketches maintained alongside the range stats, the point-lookup
+    * half of file skipping ([[readPrunedIn]]). */
+  def sketchColsFor(table: String): Seq[String] = {
+    val p = sketchColsPath(table)
+    if (fs(p).exists(p)) readSmallFile(p).split(',').toSeq.map(_.trim).filter(_.nonEmpty) else Nil
+  }
+
+  /** Set (or with Nil clear) the standing sketch columns — same
+    * contract as [[setStatsCols]]. */
+  def setSketchCols(table: String, cols: Seq[String]): Unit = {
+    validateTableColumns(table, cols, "sketch")
+    if (cols.nonEmpty) replaceSmallFile(sketchColsPath(table), cols.mkString(","))
+    else {
+      val p = sketchColsPath(table)
+      if (fs(p).exists(p)) fs(p).delete(p, false)
+    }
+  }
+
+  private def validateTableColumns(table: String, cols: Seq[String], what: String): Unit = {
+    val have: Seq[String] =
+      if (currentVersion(table) > 0) read(table).columns.toSeq
+      else declaredSchema(table).map(_.fieldNames.toSeq).getOrElse(Nil)
+    cols.foreach(c => require(have.isEmpty || have.contains(c),
+      s"$what column '$c' is not a column of $table (have: ${have.mkString(", ")})"))
+  }
+
   /** Set (or with Nil clear) the standing write sort order. Columns
     * are validated when known; the sort applies to every LATER commit
     * (existing files keep their layout until rewritten — same
@@ -2386,6 +2437,25 @@ final class SnapshotTables(
     else perSeg.map(d => d.drop(d.columns.filter(_.startsWith("__p_")): _*)).reduce(_ unionByName _)
   }
 
+  /** Kirsch–Mitzenmacher position i of hash h, as column arithmetic
+    * against a manifest row's OWN (sketch_bits, sketch_hashes) — a
+    * table re-committed under a different sizing stays correct. h1/h2
+    * are literals per probe value; only the bitmap words come from the
+    * row. */
+  private def bloomHit(h: Long): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val h1 = h & 0xffffffffL
+    val h2 = (h >>> 32) | 1L
+    val maxHashes = 8 // static unroll bound; rows with fewer hashes short-circuit via the when()
+    (0 until maxHashes).map { i =>
+      val p = pmod(lit(h1) + lit(i.toLong) * lit(h2), col("sketch_bits").cast("long"))
+      when(lit(i) >= col("sketch_hashes"), lit(true))
+        .otherwise(call_function("shiftright",
+          element_at(col("sketch"), (p / 64).cast("int") + 1),
+          (p % 64).cast("int")).bitwiseAND(lit(1L)) === lit(1L))
+    }.reduce(_ && _)
+  }
+
   private def prunedInSegment(table: String, v: Int, statColumn: String, values: Seq[Any],
       hashes: Seq[Long], dt: org.apache.spark.sql.types.DataType): Option[DataFrame] = {
     import org.apache.spark.sql.functions._
@@ -2396,22 +2466,6 @@ final class SnapshotTables(
     if (m.isEmpty) return segRead(table, v) // degenerate manifest (older writers): full scan, never empty answers
     val forCol = m.filter(col("column") === lit(statColumn))
     val all = m.select("file").distinct()
-    // Kirsch–Mitzenmacher position i of hash h, as column arithmetic
-    // against the row's OWN (sketch_bits, sketch_hashes) — a table
-    // re-committed under a different sizing stays correct. h1/h2 are
-    // literals per probe value; only the bitmap words come from the row.
-    def bloomHit(h: Long): org.apache.spark.sql.Column = {
-      val h1 = h & 0xffffffffL
-      val h2 = (h >>> 32) | 1L
-      val maxHashes = 8 // static unroll bound; rows with fewer hashes short-circuit via the when()
-      (0 until maxHashes).map { i =>
-        val p = pmod(lit(h1) + lit(i.toLong) * lit(h2), col("sketch_bits").cast("long"))
-        when(lit(i) >= col("sketch_hashes"), lit(true))
-          .otherwise(call_function("shiftright",
-            element_at(col("sketch"), (p / 64).cast("int") + 1),
-            (p % 64).cast("int")).bitwiseAND(lit(1L)) === lit(1L))
-      }.reduce(_ && _)
-    }
     val survivors = values.zip(hashes).map { case (pv, h) =>
       val range = dt match {
         case org.apache.spark.sql.types.StringType =>
@@ -2433,6 +2487,123 @@ final class SnapshotTables(
     else
       Some(spark.read.option("basePath", base.toString)
         .parquet(keep.map(n => new Path(base, n).toString): _*))
+  }
+
+  /** File-skipping decision for a SQL scan of version `version` — the
+    * planning-time half of X112 ([[graft.plans.ScanPruneRule]] calls
+    * this at optimize time; Iceberg prunes data files against manifest
+    * column bounds during scan planning the same way). `bounds` are
+    * per-column closed ranges with optional endpoints, values in the
+    * stats manifest's physical unit (DATE → days, TIMESTAMP → micros,
+    * strings as String, numerics as-is); `probes` are per-column
+    * IN-lists of (external lit()-compatible value, physical value)
+    * pairs answered by the Bloom sketches AND per-value range checks —
+    * so a probe on a stats-only column still range-prunes, and a
+    * sketch column still prunes when the value sits inside every
+    * file's [min,max]. Returns the pruned read ONLY when every chain
+    * segment enumerated its keep-list under the driver budget and at
+    * least one file is provably skipped; merge-on-read segments,
+    * schema evolution, missing manifests or a zero-skip outcome return
+    * None and the caller leaves the plan untouched — a None never
+    * costs correctness, and a Some only drops files whose stats prove
+    * no row can match (the caller keeps the row-level Filter above the
+    * substituted scan, exactly like the Scala pruned reads). */
+  def pruneForScan(table: String, ver: Int,
+      bounds: Seq[(String, Option[Any], Option[Any])],
+      probes: Seq[(String, Seq[(Any, Any)])]): Option[DataFrame] = {
+    import org.apache.spark.sql.functions._
+    if ((bounds.isEmpty && probes.isEmpty) || ver <= 0) return None
+    val segs = chainOf(table, ver)
+    if (segs.exists(s => (s.kind != "full" && s.kind != "append") || s.schemaEvolved)) return None
+    val schema = readVersion(table, ver).schema
+    // hash every probe value ONCE with the build pass's xxhash64-on-
+    // column-type (one local job over a 1-row frame, |values| hashes)
+    val typedProbes: Seq[(String, Seq[(Any, Any, Long)])] =
+      probes.filter { case (c, vs) => vs.nonEmpty && schema.fieldNames.contains(c) }
+        .map { case (c, vs) =>
+          val dt = schema(c).dataType
+          val hs: Seq[Long] = spark.range(1)
+            .select(vs.map { case (ext, _) => xxhash64(lit(ext).cast(dt)) }: _*)
+            .head().toSeq.map(_.asInstanceOf[Long])
+          c -> vs.zip(hs).map { case ((ext, phys), h) => (ext, phys, h) }
+        }
+    if (bounds.isEmpty && typedProbes.isEmpty) return None
+    val contribs: Seq[(VersionMeta, Either[Option[DataFrame], (Seq[String], Long)])] =
+      segs.map(s => s -> scanKeepForSegment(table, s.v, bounds, typedProbes))
+    val skipped = contribs.exists {
+      case (_, Right((keep, total))) => keep.length < total
+      case _ => false
+    }
+    if (!skipped) return None
+    val parts = contribs.flatMap {
+      case (_, Left(full)) => full
+      case (s, Right((keep, _))) if keep.nonEmpty =>
+        val base = dataDirOf(table, s.v)
+        val df = spark.read.option("basePath", base.toString)
+          .parquet(keep.map(n => new Path(base, n).toString): _*)
+        Some(df.drop(df.columns.filter(_.startsWith("__p_")).toSeq: _*))
+      case _ => None // segment fully pruned
+    }
+    Some(
+      if (parts.isEmpty) readVersion(table, ver).where(lit(false))
+      else if (parts.length == 1) parts.head
+      else parts.reduce(_ unionByName _))
+  }
+
+  /** One segment's contribution to [[pruneForScan]]: Right((files
+    * whose stats MAY satisfy every bound and every probe list, total
+    * manifest files)), Left(full segment read) when the segment has no
+    * usable manifest or the keep-list exceeds the driver budget. Files
+    * the manifest has no row for under a queried column always stay in
+    * scope — absence of stats can only keep, never skip. */
+  private def scanKeepForSegment(table: String, v: Int,
+      bounds: Seq[(String, Option[Any], Option[Any])],
+      probes: Seq[(String, Seq[(Any, Any, Long)])])
+      : Either[Option[DataFrame], (Seq[String], Long)] = {
+    import org.apache.spark.sql.functions._
+    val mp = manifestPath(table, v)
+    if (!fs(mp).exists(mp)) return Left(segRead(table, v))
+    val m = spark.read.parquet(mp.toString)
+    if (m.isEmpty) return Left(segRead(table, v))
+    val hasSketch = m.columns.contains("sketch")
+    val all = m.select("file").distinct()
+    val boundKeeps = bounds.map { case (statColumn, lo, hi) =>
+      val forCol = m.filter(col("column") === lit(statColumn))
+      val isStr = lo.exists(_.isInstanceOf[String]) || hi.exists(_.isInstanceOf[String])
+      val overlapping =
+        if (isStr) {
+          val loOk = lo.map(l => !(col("max_str") < lit(l))).getOrElse(lit(true))
+          val hiOk = hi.map(h => !(col("min_str") > lit(h))).getOrElse(lit(true))
+          forCol.filter(col("min_str").isNull || col("max_str").isNull || (loOk && hiOk))
+        } else {
+          val loOk = lo.map(l => !(col("max_num") < lit(l).cast("double"))).getOrElse(lit(true))
+          val hiOk = hi.map(h => !(col("min_num") > lit(h).cast("double"))).getOrElse(lit(true))
+          forCol.filter(col("min_num").isNull || col("max_num").isNull || (loOk && hiOk))
+        }
+      overlapping.select("file").union(all.except(forCol.select("file")))
+    }
+    val probeKeeps = probes.map { case (statColumn, vh) =>
+      val forCol = m.filter(col("column") === lit(statColumn))
+      val survivors = vh.map { case (_, phys, h) =>
+        val range = phys match {
+          case s: String =>
+            col("min_str").isNull || (lit(s) >= col("min_str") && lit(s) <= col("max_str"))
+          case n =>
+            col("min_num").isNull ||
+              (lit(n).cast("double") >= col("min_num") && lit(n).cast("double") <= col("max_num"))
+        }
+        val sketchOk =
+          if (hasSketch) when(col("sketch").isNull, lit(true)).otherwise(bloomHit(h))
+          else lit(true)
+        forCol.filter(range && sketchOk).select("file")
+      }.reduce(_ union _)
+      survivors.union(all.except(forCol.select("file")))
+    }
+    val keeps = (boundKeeps ++ probeKeeps).reduce(_ intersect _)
+    val lim = maxPrunedFileList
+    val total = all.count()
+    val keep = keeps.distinct().limit(lim + 1).collect().map(_.getString(0)).toSeq
+    if (keep.length > lim) Left(segRead(table, v)) else Right((keep, total))
   }
 
   /** METADATA-ONLY aggregates from the stats manifest — the
@@ -2592,6 +2763,143 @@ final class SnapshotTables(
         when(col("__files_with_rows") === filesTotal, col("__nulls")).as("n_nulls"))
       .orderBy(col("column"))
   }
+
+  /** Version-pinned, never-throwing metadata COUNT for the SQL
+    * metadata-aggregate rule ([[graft.plans.MetadataAggRule]], X113):
+    * Some(rows) only when every chain segment is full/append,
+    * unevolved, and either empty or fully row-counted by its manifest
+    * — anything else answers None and the caller keeps the real scan. */
+  private[graft] def fastCountForScan(table: String, ver: Int): Option[Long] =
+    try {
+      val segs = chainOf(table, ver)
+      if (segs.exists(s => (s.kind != "full" && s.kind != "append") || s.schemaEvolved)) None
+      else Some(segs.map(s => fastCountOfVersion(table, s.v)).sum)
+    } catch { case _: Exception => None }
+
+  /** The identity partition columns of version `ver`'s chain when
+    * EVERY segment was committed under exactly that layout (no hidden
+    * `__p_*` transforms anywhere, no mixed layouts from partition-spec
+    * evolution) — Nil otherwise. Partition-scoped metadata aggregates
+    * (X114) may only trust partition-directory tokens under a uniform
+    * identity layout: a segment written under an older spec has no
+    * dirs for the queried column and its rows would silently vanish
+    * from a token-filtered count. */
+  private[graft] def uniformIdentityLayout(table: String, ver: Int): Seq[String] = try {
+    val per = chainOf(table, ver).map { s =>
+      val m = new Path(metaDir(table), f"v${s.v}%05d.json")
+      if (!fs(m).exists(m)) return Nil
+      "\"partition_cols\":\\[([^\\]]*)\\]".r.findFirstMatchIn(readSmallFile(m))
+        .map(_.group(1).split(',').toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty))
+        .getOrElse(Nil)
+    }
+    if (per.isEmpty || per.exists(_.exists(_.startsWith("__p_"))) || per.distinct.length != 1) Nil
+    else per.head
+  } catch { case _: Exception => Nil }
+
+  /** Version-pinned metadata row count of the files under the given
+    * partition-directory tokens (X114 — `count(*)` scoped by identity-
+    * partition equalities): Some only when every in-scope file carries
+    * a manifest row count. Caller must have verified the layout via
+    * [[uniformIdentityLayout]]; an empty token list counts the whole
+    * version. */
+  private[graft] def manifestRowsForScan(table: String, ver: Int,
+      partTokens: Seq[String]): Option[Long] = try {
+    import org.apache.spark.sql.functions._
+    scanManifests(table, ver) match {
+      case None => None
+      case Some(Nil) => Some(0L)
+      case Some(ms) =>
+        val m = partTokenFilter(ms.reduce(_ unionByName _), partTokens)
+        val perFile = m.select(col("file"), col("rows")).distinct()
+        val a = perFile.agg(count(lit(1)), count(col("rows")),
+          countDistinct(col("file")), sum(col("rows"))).head()
+        // one rows value per file, every file covered
+        if (a.getLong(0) != a.getLong(1) || a.getLong(0) != a.getLong(2)) None
+        else Some(if (a.isNullAt(3)) 0L else a.getLong(3))
+    }
+  } catch { case _: Exception => None }
+
+  /** Every chain segment's manifest frame for a metadata-served scan:
+    * None when any non-empty segment lacks one (nothing provable) or
+    * the chain has merge-on-read / evolved segments; Some(Nil) for a
+    * zero-row version. */
+  private def scanManifests(table: String, ver: Int): Option[Seq[DataFrame]] = {
+    val segs = chainOf(table, ver)
+    if (segs.exists(s => (s.kind != "full" && s.kind != "append") || s.schemaEvolved)) return None
+    val ms = segs.flatMap { s =>
+      val mp = manifestPath(table, s.v)
+      if (fs(mp).exists(mp)) Some(spark.read.parquet(mp.toString))
+      else if (segRead(table, s.v).forall(_.isEmpty)) None // empty segment: zero rows
+      else return None // rows with no manifest: nothing provable
+    }
+    Some(ms)
+  }
+
+  /** Keep only manifest rows whose (partition-dir-bearing, segment-
+    * relative) file path contains every token as an exact path
+    * component — identity `col=value` dirs partition the file set
+    * exactly, so the subset keeps full coverage semantics. */
+  private def partTokenFilter(m: DataFrame, partTokens: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    partTokens.foldLeft(m)((acc, t) =>
+      acc.filter(array_contains(split(col("file"), "/"), t)))
+  }
+
+  /** Version-pinned per-column manifest aggregate for the SQL
+    * metadata-aggregate rule (X113): each field is present ONLY when
+    * every file of every segment covers it, so a Some can never be a
+    * bound over a subset. `min`/`max` are `Some(None)` when the column
+    * is exactly all-NULL (provable from full rows+nulls coverage) and
+    * `Some(Some(v))` when `v` is the exact extremum of the column's
+    * non-null values; numeric physical units as in the manifest (DATE
+    * days, TIMESTAMP micros). String bounds are never served — parquet
+    * footer string stats may be truncated (bounds, not extrema).
+    * `partTokens` (X114) scope every answer to the files under those
+    * identity-partition directories — the caller must have verified
+    * the layout via [[uniformIdentityLayout]]. */
+  private[graft] def manifestStatsForScan(table: String, ver: Int, statColumn: String,
+      partTokens: Seq[String] = Nil): Option[SnapshotTables.ColStats] = try {
+    import org.apache.spark.sql.functions._
+    val ms = scanManifests(table, ver) match {
+      case None => return None
+      case Some(Nil) => // version with zero rows: everything is exact
+        return Some(SnapshotTables.ColStats(Some(0L), Some(0L), Some(None), Some(None)))
+      case Some(seq) => seq
+    }
+    val m = partTokenFilter(ms.reduce(_ unionByName _), partTokens)
+    val filesTotal = m.select(countDistinct(col("file"))).head().getLong(0)
+    if (filesTotal == 0) // no file under these partition tokens: zero rows, exactly
+      return Some(SnapshotTables.ColStats(Some(0L), Some(0L), Some(None), Some(None)))
+    val forCol = m.filter(col("column") === lit(statColumn))
+    // a file is min/max-covered when it has bounds OR is provably
+    // all-null (nulls == rows); comparisons against null row/null
+    // fields must count as NOT covered, hence the coalesce
+    val allNull = coalesce(col("nulls") === col("rows"), lit(false))
+    val a = forCol.agg(
+      countDistinct(col("file")).as("nf"),
+      count(lit(1)).as("nrows"),
+      sum(col("rows")).as("rows"),
+      count(col("rows")).as("rows_cov"),
+      sum(col("nulls")).as("nulls"),
+      count(col("nulls")).as("nulls_cov"),
+      min(col("min_num")).as("mn"),
+      max(col("max_num")).as("mx"),
+      sum(when(col("min_num").isNull && !allNull, 1).otherwise(0)).as("unc_min"),
+      sum(when(col("max_num").isNull && !allNull, 1).otherwise(0)).as("unc_max")
+    ).head()
+    val nf = a.getLong(0); val nrows = a.getLong(1)
+    // one manifest row per file AND every table file covered — the
+    // precondition for every field below
+    if (nf != filesTotal || nf != nrows) return Some(SnapshotTables.ColStats(None, None, None, None))
+    val rows = if (a.getLong(3) == nrows) Some(a.getLong(2)) else None
+    val nulls = if (a.getLong(5) == nrows) Some(a.getLong(4)) else None
+    def ext(mIdx: Int, uncIdx: Int): Option[Option[Double]] =
+      if (a.getLong(uncIdx) != 0) None // some file has rows but no bounds
+      else if (a.isNullAt(mIdx)) { // every file all-null: NULL is exact iff coverage proves it
+        if (rows.isDefined && nulls.isDefined && rows == nulls) Some(None) else None
+      } else Some(Some(a.getDouble(mIdx)))
+    Some(SnapshotTables.ColStats(rows, nulls, ext(6, 8), ext(7, 9)))
+  } catch { case _: Exception => None }
 
   /** Metadata-only COUNT(*) of the current version (manifest row
     * counts summed over the file set). Requires every file to carry a
@@ -3218,6 +3526,14 @@ object SnapshotTables {
   /** Live-writer heartbeat marker inside a `.tmp-*` staging dir (name
     * starts with '.', so it is hidden from every reader). */
   private[io] val HeartbeatName = "._graft_heartbeat"
+
+  /** One column's provably-exact manifest aggregates for
+    * [[graft.io.SnapshotTables.manifestStatsForScan]] (X113). Every
+    * None means "not provable from metadata", never zero; `min`/`max`
+    * are `Some(None)` when the column is exactly all-NULL. */
+  private[graft] final case class ColStats(
+      rows: Option[Long], nulls: Option[Long],
+      min: Option[Option[Double]], max: Option[Option[Double]])
 
   /** One link of a version's delta chain, parsed from the version
     * metadata ("kind" absent = a full snapshot). */

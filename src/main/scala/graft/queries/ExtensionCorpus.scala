@@ -2152,11 +2152,117 @@ object ExtensionCorpus {
       ORDER BY k""")
   )
 
+  /** Data files the optimized plan of `df` would open — counts both
+    * stock DSv2 scan relations and [[graft.plans.ScanPruneRule]]'s
+    * substituted V1 file relations (`Dataset.inputFiles` matches
+    * neither shape for snapshot-catalog tables). */
+  private def plannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        s.scan match {
+          case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+            f.fileIndex.inputFiles.length
+          case _ => 0
+        }
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.inputFiles.length
+          case _ => 0
+        }
+    }.sum
+
+  /** MANIFEST FILE SKIPPING in SQL scan planning (X112), oracle-pinned:
+    * a catalog table declares `graft.stats.columns` as a TBLPROPERTY,
+    * two INSERTs land disjoint key bands as separate files, and a plain
+    * SQL range predicate is answered by opening ONLY the files whose
+    * manifest [min,max] intersects — Iceberg's scan planning on the
+    * native format ([[graft.plans.ScanPruneRule]]). The engine facts
+    * ride as columns: `files_skipped` pins that the pruned plan opened
+    * strictly fewer files than the table holds, while the aggregate
+    * itself hash-matches DuckDB over the raw parquet — skipping that
+    * changed the answer would break the hash, skipping that never
+    * happened would break `files_skipped`. Bloom-probe skipping,
+    * fallbacks and the kill switch are spec-gated in ScanPruneSpec. */
+  private val q140 = Q(
+    "q140_sql_file_skipping",
+    (s, dir) => {
+      val cat = tempCatalog(s)
+      fixture(s, dir, "orders").createOrReplaceTempView("q140_orders")
+      s.sql(s"""CREATE TABLE $cat.dw.f
+                (o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
+                TBLPROPERTIES('graft.stats.columns'='o_orderkey')""")
+      s.sql(s"""INSERT INTO $cat.dw.f
+                SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE)
+                FROM q140_orders WHERE o_orderkey <= 6000""")
+      s.sql(s"""INSERT INTO $cat.dw.f
+                SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE)
+                FROM q140_orders WHERE o_orderkey > 6000 AND o_orderkey <= 12000""")
+      val band = s"o_orderkey BETWEEN 1000 AND 2999"
+      val allFiles = plannedFiles(s.table(s"$cat.dw.f"))
+      val prunedFiles = plannedFiles(s.sql(s"SELECT * FROM $cat.dw.f WHERE $band"))
+      s.sql(s"""SELECT o_orderstatus, COUNT(*) AS n,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+                  ${if (prunedFiles < allFiles && prunedFiles > 0) 1 else 0} AS files_skipped
+                FROM $cat.dw.f WHERE $band
+                GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    },
+    Some("""SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        1 AS files_skipped
+      FROM orders WHERE o_orderkey BETWEEN 1000 AND 2999
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  )
+
+  /** METADATA-ONLY SQL AGGREGATES (X113), oracle-pinned: a stats-
+    * tracked catalog table takes two appends, and a grouping-less
+    * `count(*) / count(c) / min / max` SELECT collapses to a
+    * LocalRelation answered entirely from the per-file manifests —
+    * Iceberg's manifest-served aggregates ([[graft.plans
+    * .MetadataAggRule]]). `scanned_files` pins the zero-data-file
+    * plan while the VALUES hash-match DuckDB computing the same
+    * aggregates the honest way over the raw parquet — a wrong manifest
+    * answer breaks the hash, a silently-kept scan breaks
+    * `scanned_files`. Null accounting (count(c) = rows − covered
+    * nulls) rides on l_comment being non-null and a CASE-nulled
+    * column; honesty fallbacks are spec-gated in MetadataAggSpec. */
+  private val q141 = Q(
+    "q141_metadata_agg_sql",
+    (s, dir) => {
+      val cat = tempCatalog(s)
+      fixture(s, dir, "lineitem").createOrReplaceTempView("q141_li")
+      s.sql(s"""CREATE TABLE $cat.dw.m
+                (l_orderkey BIGINT, l_quantity DOUBLE, l_shipdate DATE, maybe DOUBLE)
+                TBLPROPERTIES('graft.stats.columns'='l_orderkey,l_quantity,l_shipdate,maybe')""")
+      s.sql(s"""INSERT INTO $cat.dw.m
+                SELECT l_orderkey, CAST(l_quantity AS DOUBLE), l_shipdate,
+                       CASE WHEN l_orderkey % 3 = 0 THEN CAST(l_quantity AS DOUBLE) END
+                FROM q141_li WHERE l_orderkey <= 7000""")
+      s.sql(s"""INSERT INTO $cat.dw.m
+                SELECT l_orderkey, CAST(l_quantity AS DOUBLE), l_shipdate,
+                       CASE WHEN l_orderkey % 3 = 0 THEN CAST(l_quantity AS DOUBLE) END
+                FROM q141_li WHERE l_orderkey > 7000""")
+      val agg = s.sql(s"""SELECT count(*) AS n, count(maybe) AS n_maybe,
+                  min(l_orderkey) AS mn_k, max(l_orderkey) AS mx_k,
+                  min(l_quantity) AS mn_q, max(l_quantity) AS mx_q,
+                  min(l_shipdate) AS mn_d, max(l_shipdate) AS mx_d
+                FROM $cat.dw.m""")
+      val scanned = plannedFiles(agg)
+      agg.selectExpr("*", s"$scanned AS scanned_files")
+    },
+    Some("""SELECT count(*) AS n, count(CASE WHEN l_orderkey % 3 = 0 THEN l_quantity END) AS n_maybe,
+        min(l_orderkey) AS mn_k, max(l_orderkey) AS mx_k,
+        CAST(min(l_quantity) AS DOUBLE) AS mn_q, CAST(max(l_quantity) AS DOUBLE) AS mx_q,
+        min(l_shipdate) AS mn_d, max(l_shipdate) AS mx_d,
+        0 AS scanned_files
+      FROM lineitem""")
+  )
+
   val all: Seq[Q] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q99, q100, q101, q102, q106, q107, q108,
     q109, q111, q112, q113, q114, q116, q117, q118, q119, q121, q122, q123, q125, q126, q127,
-    q128, q130, q131, q132, q133, q135, q136, q137, q138, q139
+    q128, q130, q131, q132, q133, q135, q136, q137, q138, q139, q140, q141
   )
 
 }
