@@ -386,7 +386,36 @@ object Bench {
             s"mor_delete_keys$sfx" -> tDel, s"minor_fold$sfx" -> tFold,
             s"materialize$sfx" -> tMat, s"publish$sfx" -> tPub)
         }
-        layoutPass("li", "rename") ++ layoutPass("lid", "direct")
+        // Tiered-fold channel (X115): same chain shape on two tables —
+        // one BIG previously-folded segment + 4 small appends. The
+        // tiered fold rewrites only the smalls; the full fold re-reads
+        // the big segment too. The span gap IS the O(smalls) vs
+        // O(Σ deltas) claim, measured (at 100 TB the big segment is
+        // the table's entire delta history).
+        def dirSize(p: String): Long = {
+          import scala.jdk.CollectionConverters._
+          val d = java.nio.file.Paths.get(p)
+          if (!java.nio.file.Files.exists(d)) 0L
+          else java.nio.file.Files.walk(d).iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(java.nio.file.Files.size(_)).sum
+        }
+        def foldFixture(tab: String): Long = {
+          import org.apache.spark.sql.functions.col
+          st.overwriteTable(li.limit(1000).localCheckpoint(true), tab) // v1
+          st.append(li.filter(col("l_orderkey") % 2 === 0), tab) // v2
+          st.append(li.filter(col("l_orderkey") % 2 === 1), tab) // v3
+          st.compactDeltas(tab) // v4 = the BIG folded segment
+          (1 to 4).foreach(_ => st.append(slice, tab)) // v5..v8 smalls
+          dirSize(s"$croot/$tab/snapshots/v00004")
+        }
+        val big1 = foldFixture("tf_tier"); foldFixture("tf_full")
+        // tier at half the big segment: smalls (1% slices) fold, the
+        // big fold output is provably untouched
+        val tTier = cspan { st.compactDeltasTiered("tf_tier", math.max(1L, big1 / 2)) }
+        val tFull = cspan { st.compactDeltas("tf_full") }
+        layoutPass("li", "rename") ++ layoutPass("lid", "direct") ++
+          Seq("tiered_fold" -> tTier, "full_fold" -> tFull)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] commit spans failed: ${e.getMessage}")

@@ -112,7 +112,8 @@ private[catalog] object SnapshotProcedures {
             Array(param("table", StringType), param("branch", StringType))
           case "optimize" => Array(param("table", StringType),
             paramD("zorder_cols", StringType, "''"), paramD("target_file_mb", IntegerType, "128"))
-          case "compact_deltas" => Array(param("table", StringType))
+          case "compact_deltas" => Array(param("table", StringType),
+            paramD("tier_mb", IntegerType, "0")) // >0: size-tiered fold (X115)
           case "evolve_partitioning" =>
             Array(param("table", StringType), param("spec", StringType))
           case "expire_snapshots" => Array(param("table", StringType),
@@ -155,7 +156,12 @@ private[catalog] object SnapshotProcedures {
             result(outSchema("current_version"), st.currentVersion(t))
           case "compact_deltas" =>
             val (st, t) = tablesOf(input.getUTF8String(0).toString)
-            val folded = st.compactDeltas(t)
+            val tierMb = if (input.numFields > 1 && !input.isNullAt(1)) input.getInt(1) else 0
+            // tier_mb > 0: LSM size-tiered fold — only the newest run
+            // of sub-tier appends rewrites, larger folds stay untouched
+            val folded =
+              if (tierMb > 0) st.compactDeltasTiered(t, tierMb.toLong << 20)
+              else st.compactDeltas(t)
             // a fold commits a new (content-identical) version; the
             // publish-through keeps governed readers pinned to it
             if (folded) publishThrough(st, t)

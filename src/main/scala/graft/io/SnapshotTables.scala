@@ -894,6 +894,62 @@ final class SnapshotTables(
     * depend on base rows to reconcile and fall back to [[materialize]]
     * in the budget path. Fencing: like any delta commit, fails with
     * ConcurrentCommitException if a writer lands mid-fold. */
+  /** SIZE-TIERED minor compaction (X115 — LSM size-tiering on the
+    * delta chain): fold only the maximal NEWEST run of append segments
+    * each smaller than `tierBytes` into ONE folded append, leaving
+    * every larger segment (typically a previous fold's output)
+    * physically untouched. [[compactDeltas]] re-reads the WHOLE delta
+    * chain — the previous fold's segment included — on every call:
+    * O(Σ deltas) per fold, quadratic over a long-lived streaming
+    * chain's lifetime. The tiered fold pays O(bytes landed since the
+    * last fold), so each byte is rewritten O(log(total/tier)) times as
+    * folds graduate across the tier line — the LSM story a 100 TB
+    * streaming table needs. Appends commute with everything below
+    * them, so the top run folds correctly above ANY lower chain
+    * (merge-on-read segments included); the run itself must be pure
+    * append. Evolved chains refuse like the full fold. The fold's base
+    * pointer jumps to the segment just below the run — the same
+    * base-jump every fold commit already records — and the folded
+    * segment keeps layout + stats/sketch manifests like any append.
+    * Returns true when a fold committed. */
+  def compactDeltasTiered(table: String, tierBytes: Long): Boolean = {
+    require(tierBytes > 0, s"tierBytes must be positive, got $tierBytes")
+    val cur = currentVersion(table)
+    require(cur > 0, s"table $table has no committed version")
+    val segs = chainOf(table, cur)
+    if (segs.length <= 2) return false
+    if (segs.exists(_.schemaEvolved)) return false
+    // newest-first run of small appends; never the bottom segment
+    val run = segs.tail.reverse.takeWhile { s =>
+      s.kind == "append" && dirBytes(table, s.v) < tierBytes
+    }.reverse
+    if (run.length < 2) return false
+    val baseV = segs(segs.length - run.length - 1).v
+    val folded = run.flatMap(s => segRead(table, s.v)).reduceOption(_ unionByName _)
+    folded match {
+      case None => false // every run segment empty: nothing to write
+      case Some(f) =>
+        val sp = statsColsPath(table); val kp = sketchColsPath(table)
+        val mStats =
+          if (fs(sp).exists(sp)) readSmallFile(sp).split(',').toSeq.filter(_.nonEmpty) else Nil
+        val mSketch =
+          if (fs(kp).exists(kp)) readSmallFile(kp).split(',').toSeq.filter(_.nonEmpty) else Nil
+        val (df1, pcols) = withTableLayout(f, table, Nil)
+        commitVersion(table,
+          stage = tmp => {
+            val w = df1.write.mode(SaveMode.Overwrite)
+            (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w).parquet(tmp.toString)
+          },
+          partitionCols1 = currentPartitionCols(table),
+          schemaJson = read(table).schema.json,
+          metaExtra = s""""kind":"append","base":$baseV,"fold":true,""",
+          expectedNext = Some(cur + 1),
+          afterWin = () => (),
+          manifestStats = mStats, manifestSketch = mSketch)
+        true
+    }
+  }
+
   def compactDeltas(table: String): Boolean = {
     import org.apache.spark.sql.functions.col
     val cur = currentVersion(table)
@@ -1047,13 +1103,33 @@ final class SnapshotTables(
     fs(d).getContentSummary(d).getLength
   }
 
+  /** LSM fold tier for the chain budget ([[compactDeltasTiered]]):
+    * append segments below this many bytes are folded by the budget's
+    * tiered pass, larger ones (previous folds' outputs) stay
+    * physically untouched until a full fold/materialize is justified.
+    * 0 disables tiering (the budget then always full-folds). */
+  private def foldTierBytes: Long =
+    spark.conf.getOption("graft.delta.foldTierBytes") match {
+      case None => 256L << 20
+      case Some(raw) => raw.trim.toLongOption match {
+        case Some(n) if n >= 0 => n
+        case _ => throw new IllegalArgumentException(
+          s"graft.delta.foldTierBytes must be a non-negative byte count, got '$raw'")
+      }
+    }
+
   /** Pre-commit chain budget: when one more delta would push the chain
-    * past [[maxChainLength]], FOLD the deltas (O(Σ deltas), see
-    * [[compactDeltas]]) — unless they have grown to rival the base
-    * ([[materializeRatio]]) or the chain is unfoldable, in which case
-    * materialize (O(table)). Either way the next commit starts a
-    * near-empty chain, and a 100 TB base is only ever rewritten when
-    * the delta volume itself justifies it. */
+    * past [[maxChainLength]], FOLD the deltas — unless they have grown
+    * to rival the base ([[materializeRatio]]) or the chain is
+    * unfoldable, in which case materialize (O(table)). The fold is
+    * SIZE-TIERED first ([[compactDeltasTiered]]): only the newest run
+    * of small appends is rewritten, so a long-lived streaming chain
+    * pays O(bytes since the last fold) per budget trip instead of
+    * re-folding its whole delta history; the full fold
+    * ([[compactDeltas]]) runs only when tiering alone cannot bound the
+    * chain. Either way the next commit starts a near-empty chain, and
+    * a 100 TB base is only ever rewritten when the delta volume itself
+    * justifies it. */
   private def ensureChainBudget(table: String): Unit = {
     val cur = currentVersion(table)
     if (cur > 0 && chainOf(table, cur).length >= maxChainLength) {
@@ -1061,6 +1137,9 @@ final class SnapshotTables(
       val tryFold = minorCompactionEnabled &&
         segs.tail.map(s => dirBytes(table, s.v)).sum <=
           dirBytes(table, segs.head.v) * materializeRatio
+      val tier = foldTierBytes
+      if (tryFold && tier > 0 && compactDeltasTiered(table, tier) &&
+          chainOf(table, currentVersion(table)).length < maxChainLength) return
       val folded = tryFold && compactDeltas(table)
       if (!folded) materialize(table)
     }
