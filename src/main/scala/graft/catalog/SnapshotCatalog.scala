@@ -164,15 +164,21 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces with StagingT
         new SnapshotTableV2(fullName(ident), st, ident.name, v, pinnedVersion = true)
       case None =>
         val branch = version
-        if (!st.tableExists(ident.name) || !st.branches(ident.name).contains(branch))
-          throw new NoSuchTableException(ident)
-        val bt = st.branchTablesFor(ident.name)
-        val bv = bt.currentVersion(branch)
-        if (bv > 0)
-          new SnapshotTableV2(s"${fullName(ident)}@$branch", bt, branch, bv, pinnedVersion = true)
-        else // forked, nothing staged yet: the branch reads its base
+        if (!st.tableExists(ident.name)) throw new NoSuchTableException(ident)
+        if (st.branches(ident.name).contains(branch)) {
+          val bt = st.branchTablesFor(ident.name)
+          val bv = bt.currentVersion(branch)
+          if (bv > 0)
+            new SnapshotTableV2(s"${fullName(ident)}@$branch", bt, branch, bv, pinnedVersion = true)
+          else // forked, nothing staged yet: the branch reads its base
+            new SnapshotTableV2(s"${fullName(ident)}@$branch", st, ident.name,
+              st.branchBase(ident.name, branch), pinnedVersion = true)
+        } else if (st.tags(ident.name).exists(_._1 == branch))
+          // TAG read (X116): a named immutable version pin — branches
+          // shadow tags on a name collision
           new SnapshotTableV2(s"${fullName(ident)}@$branch", st, ident.name,
-            st.branchBase(ident.name, branch), pinnedVersion = true)
+            st.tagVersion(ident.name, branch), pinnedVersion = true)
+        else throw new NoSuchTableException(ident)
     }
   }
 

@@ -23,6 +23,9 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructType
   *    [[SnapshotTables.createBranch]] / [[SnapshotTables.dropBranch]]
   *  - `fast_forward(table, branch)` — publish a WAP branch to main;
   *    [[SnapshotTables.publish]]
+  *  - `create_tag`/`drop_tag(table, tag[, version])` — immutable named
+  *    version pins (X116): `VERSION AS OF '<tag>'` reads, expiry
+  *    protection for the tag's lifetime; [[SnapshotTables.createTag]]
   *  - `optimize(table, zorder_cols, target_file_mb)` — compaction /
   *    z-order clustering as one committed version; empty `zorder_cols`
   *    → plain per-partition compaction; [[SnapshotTables.optimize]] /
@@ -59,7 +62,8 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructType
 private[catalog] object SnapshotProcedures {
 
   val Names: Seq[String] =
-    Seq("rollback", "create_branch", "drop_branch", "fast_forward", "optimize",
+    Seq("rollback", "create_branch", "drop_branch", "create_tag", "drop_tag",
+      "fast_forward", "optimize",
       "compact_deltas", "evolve_partitioning",
       "expire_snapshots", "remove_orphan_files", "expire_log", "publish_branches")
 
@@ -110,6 +114,9 @@ private[catalog] object SnapshotProcedures {
           case "rollback" => Array(param("table", StringType), param("version", IntegerType))
           case "create_branch" | "drop_branch" | "fast_forward" =>
             Array(param("table", StringType), param("branch", StringType))
+          case "create_tag" => Array(param("table", StringType), param("tag", StringType),
+            paramD("version", IntegerType, "0")) // 0: tag the current version
+          case "drop_tag" => Array(param("table", StringType), param("tag", StringType))
           case "optimize" => Array(param("table", StringType),
             paramD("zorder_cols", StringType, "''"), paramD("target_file_mb", IntegerType, "128"))
           case "compact_deltas" => Array(param("table", StringType),
@@ -140,6 +147,16 @@ private[catalog] object SnapshotProcedures {
           case "drop_branch" =>
             val (st, t) = tablesOf(input.getUTF8String(0).toString)
             st.dropBranch(t, input.getUTF8String(1).toString)
+            result(outSchema("current_version"), st.currentVersion(t))
+          case "create_tag" =>
+            val (st, t) = tablesOf(input.getUTF8String(0).toString)
+            val tag = input.getUTF8String(1).toString
+            val v = if (input.numFields > 2 && !input.isNullAt(2)) input.getInt(2) else 0
+            st.createTag(t, tag, if (v > 0) Some(v) else None)
+            result(outSchema("tagged_version"), st.tagVersion(t, tag))
+          case "drop_tag" =>
+            val (st, t) = tablesOf(input.getUTF8String(0).toString)
+            st.dropTag(t, input.getUTF8String(1).toString)
             result(outSchema("current_version"), st.currentVersion(t))
           case "fast_forward" =>
             val (st, t) = tablesOf(input.getUTF8String(0).toString)

@@ -378,10 +378,17 @@ private[catalog] final class RefsMetadataTable(
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new LocalScan {
-        override def rows(): Array[InternalRow] =
-          st.branchRefs(table).map { case (branch, base, commits) =>
-            InternalRow(UTF8String.fromString(branch), base, commits)
-          }.toArray
+        override def rows(): Array[InternalRow] = {
+          val bs = st.branchRefs(table).map { case (branch, base, commits) =>
+            InternalRow(UTF8String.fromString(branch), base, commits,
+              UTF8String.fromString("branch"))
+          }
+          // tags (X116): base_version = the pinned version, zero commits
+          val ts = st.tags(table).map { case (tag, v) =>
+            InternalRow(UTF8String.fromString(tag), v, 0, UTF8String.fromString("tag"))
+          }
+          (bs ++ ts).toArray
+        }
         override def readSchema(): StructType = RefsMetadataTable.Schema
       }
     }
@@ -389,10 +396,14 @@ private[catalog] final class RefsMetadataTable(
 
 private[catalog] object RefsMetadataTable {
   import org.apache.spark.sql.types.IntegerType
+  // `branch` is the REF NAME (the column predates tags; Iceberg calls
+  // it `name`); `type` distinguishes mutable WAP branches from
+  // immutable tags, exactly Iceberg's refs shape
   val Schema: StructType = new StructType()
     .add("branch", org.apache.spark.sql.types.StringType, nullable = false)
     .add("base_version", IntegerType, nullable = false)
     .add("branch_commits", IntegerType, nullable = false)
+    .add("type", org.apache.spark.sql.types.StringType, nullable = false)
 
   val Name = "refs"
 }

@@ -1940,6 +1940,60 @@ final class SnapshotTables(
     "\"base\":(\\d+)".r.findFirstMatchIn(readSmallFile(p)).get.group(1).toInt
   }
 
+  // ------------------------------------------------------------------
+  // TAGS (X116 — Iceberg's named immutable refs): a tag names ONE
+  // retained version until dropped. Zero-copy (only the ref file is
+  // written), version pinned forever: tagged versions are protected
+  // from the retention pass AND age-based expire_snapshots for the
+  // tag's lifetime, and `VERSION AS OF '<tag>'` resolves the tag in
+  // SQL exactly like a branch name (branches shadow tags on a name
+  // collision — a WAP audit must never silently read a stale pin).
+  // Unlike a branch a tag takes no commits and needs no property
+  // seam; dropping it releases the version to normal expiry.
+  // ------------------------------------------------------------------
+
+  private def tagsDir(table: String) = new Path(metaDir(table), "tags")
+  private def tagPath(table: String, tag: String) = new Path(tagsDir(table), tag)
+
+  /** Tag `version` (default: the current one). Numeric names are
+    * refused — numbers always mean versions in time travel, so a
+    * numeric tag would be unreachable. */
+  def createTag(table: String, tag: String, version: Option[Int] = None): Unit = {
+    requireBranchName(tag)
+    require(tag.stripPrefix("v").toIntOption.isEmpty,
+      s"tag name '$tag' would be unreachable — numeric names mean versions in time travel")
+    val v = version.getOrElse(currentVersion(table))
+    require(history(table).contains(v),
+      s"version $v of table '$table' is not retained — cannot tag it")
+    if (!createExclusive(tagPath(table, tag), s"""{"version":$v}"""))
+      throw new IllegalStateException(s"tag '$tag' already exists on table '$table'")
+  }
+
+  /** The version a tag pins. */
+  def tagVersion(table: String, tag: String): Int = {
+    val p = tagPath(table, tag)
+    require(fs(p).exists(p), s"no tag '$tag' on table '$table'")
+    "\"version\":(\\d+)".r.findFirstMatchIn(readSmallFile(p)).get.group(1).toInt
+  }
+
+  /** Live (tag, version) pairs, sorted by name. */
+  def tags(table: String): Seq[(String, Int)] = {
+    val d = tagsDir(table)
+    val f = fs(d)
+    if (!f.exists(d)) Nil
+    else f.listStatus(d).toSeq.map(_.getPath.getName).filterNot(_.startsWith("."))
+      .sorted.map(t => (t, tagVersion(table, t)))
+  }
+
+  /** Drop a tag — the pinned version returns to normal expiry. */
+  def dropTag(table: String, tag: String): Unit = {
+    requireBranchName(tag)
+    val p = tagPath(table, tag)
+    require(fs(p).exists(p), s"no tag '$tag' on table '$table'")
+    fs(p).delete(p, false)
+    ()
+  }
+
   /** Live branches of a table. */
   def branches(table: String): Seq[String] = {
     val d = refsDir(table)
@@ -2106,11 +2160,14 @@ final class SnapshotTables(
   }
 
   /** Base versions still referenced by live branches — retention must
-    * not expire them while an uncommitted branch can still read them. */
+    * not expire them while an uncommitted branch can still read them.
+    * TAGGED versions (X116) are ref-protected the same way — a tag is
+    * a promise the version stays readable until the tag is dropped. */
   private def branchProtectedVersions(table: String): Set[Int] =
     branches(table).flatMap { b =>
       try Some(branchBase(table, b)) catch { case _: Exception => None }
-    }.toSet
+    }.toSet ++
+      tags(table).map(_._2)
 
   private def manifestPath(table: String, v: Int): Path =
     new Path(metaDir(table), f"v$v%05d-manifest.parquet")

@@ -321,7 +321,7 @@ class PlanQualitySpec extends SparkSpec {
     val out = spark.sql(s"SHOW PROCEDURES IN $cat.system")
     val nameCol = out.columns.indexWhere(_.contains("procedure"))
     val names = out.collect().map(_.getString(nameCol)).toSet
-    assert(names == Set("rollback", "create_branch", "drop_branch", "fast_forward",
+    assert(names == Set("rollback", "create_branch", "drop_branch", "create_tag", "drop_tag", "fast_forward",
       "optimize", "compact_deltas", "evolve_partitioning", "expire_snapshots",
       "remove_orphan_files", "expire_log", "publish_branches"))
   }
