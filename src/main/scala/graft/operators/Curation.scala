@@ -727,4 +727,48 @@ object Curation {
       .orderBy(desc("draw"), col(idCol))
       .limit(k)
   }
+
+  /** LEAKAGE-SAFE train/validation split (X117): near-duplicate
+    * documents never straddle the split. A plain per-doc hash split
+    * ([[trainValTestSplit]]) puts a document and its near-copy on
+    * opposite sides with probability 2·p·(1−p) — eval contamination
+    * through near-duplicates, the classic leak large-corpus training
+    * setups must close (the published decontamination literature
+    * treats near-dup overlap between train and eval as contamination;
+    * splitting by near-dup CLUSTER closes it by construction).
+    *
+    * Assignment: every document joins its connected-component label
+    * from the candidate-pair graph (its own id when unpaired —
+    * [[Dedup.nearDupClusters]] labels only clustered nodes), and the
+    * split is a deterministic md5 bucket of that REPRESENTATIVE, so
+    * the whole cluster moves together, membership is reproducible
+    * across runs, and the expected validation mass is
+    * `valPermille`/1000 of the CLUSTERS (near-dup mass concentrates in
+    * clusters, which is exactly what must stay on one side).
+    *
+    * Distributed shape: components are iterative min-label propagation
+    * over the edge relation (edge-sized shuffles, observation-counted
+    * convergence); the assignment is ONE key-partitioned left join of
+    * docs against the |clustered-docs|-sized label frame plus
+    * codegen'd hash arithmetic — no driver materialization, no
+    * broadcast of anything corpus-sized. Holds at 100 TB. */
+  def leakageSafeSplit(
+      docs: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      valPermille: Int,
+      seed: String = "split"
+  ): DataFrame = {
+    require(valPermille >= 0 && valPermille <= 1000,
+      s"valPermille must be in [0, 1000], got $valPermille")
+    val comps = Dedup.nearDupClusters(pairs)
+      .withColumnRenamed("id", idCol).withColumnRenamed("comp", "__comp")
+    val rep = coalesce(col("__comp"), col(idCol)).as("rep")
+    docs.join(comps, Seq(idCol), "left")
+      .withColumn("rep", rep)
+      .withColumn("split",
+        when(hash32(concat(lit(seed), col("rep").cast("string"))) % 1000 < valPermille,
+          lit("val")).otherwise(lit("train")))
+      .drop("__comp")
+  }
 }

@@ -1138,7 +1138,38 @@ object CurationCorpus {
       ORDER BY draw DESC, doc_id LIMIT 200""")
   )
 
+  /** LEAKAGE-SAFE train/val split (X117), oracle-pinned end to end:
+    * near-dup clusters from the SAME LSH pair chain as q71, every
+    * document assigned by a deterministic md5 bucket of its CLUSTER
+    * representative — so a near-duplicate pair can never straddle the
+    * split. The DuckDB oracle replays the pair CTEs, the recursive
+    * transitive closure, the representative join AND the hash bucket,
+    * hash-matching the full assignment (the straddle-impossibility is
+    * additionally asserted directly in CurationSpec). */
+  private val q142 = Q(
+    "q142_leakage_safe_split",
+    (s, dir) => {
+      val docs = fixture(s, dir, "documents")
+      val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text", numHashes = 8, bands = 4)
+      Curation.leakageSafeSplit(docs, "doc_id", pairs, valPermille = 200)
+        .select(col("doc_id"), col("rep"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE ${ExtensionCorpus.sqlLshPairCtes},
+      e AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+      reach(src, dst) AS (SELECT a, b FROM e
+        UNION SELECT e.a, r.dst FROM e JOIN reach r ON e.b = r.src),
+      n AS (SELECT DISTINCT a AS id FROM e),
+      comp AS (SELECT id, LEAST(id, MIN(dst)) AS comp FROM n JOIN reach ON reach.src = n.id
+               GROUP BY id)
+      SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS rep,
+        CASE WHEN (CAST(('0x' || substr(md5('split' || CAST(COALESCE(c.comp, d.doc_id) AS VARCHAR)),1,8)) AS BIGINT) % 1000) < 200
+             THEN 'val' ELSE 'train' END AS split
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+      ORDER BY d.doc_id""")
+  )
+
   val all: Seq[Q] = Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q89, q90, q91,
-    q92, q93, q94, q103, q104, q105, q110, q115, q120, q124, q129, q134)
+    q92, q93, q94, q103, q104, q105, q110, q115, q120, q124, q129, q134, q142)
 }

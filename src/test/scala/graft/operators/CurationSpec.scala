@@ -493,4 +493,28 @@ class CurationSpec extends SparkSpec {
     assert(picked.count() == 20)
     assert(picked.filter($"kind" === "sci").count() >= 18)
   }
+
+  test("leakageSafeSplit: no near-dup pair ever straddles the split; stable and total") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text", numHashes = 8, bands = 4)
+    val split = Curation.leakageSafeSplit(docs, "doc_id", pairs, valPermille = 300)
+    // total: every document labeled, exactly once
+    assert(split.count() == docs.count())
+    assert(split.filter(!col("split").isin("train", "val")).count() == 0)
+    // the leak property: a candidate pair NEVER straddles the split
+    val s = split.select(col("doc_id"), col("split"))
+    val straddle = pairs
+      .join(s.withColumnRenamed("doc_id", "a").withColumnRenamed("split", "sa"), "a")
+      .join(s.withColumnRenamed("doc_id", "b").withColumnRenamed("split", "sb"), "b")
+      .filter(col("sa") =!= col("sb"))
+    assert(straddle.count() == 0)
+    // deterministic: the same inputs reproduce the same assignment
+    val again = Curation.leakageSafeSplit(docs, "doc_id", pairs, valPermille = 300)
+      .select("doc_id", "split")
+    assert(again.exceptAll(s).isEmpty && s.exceptAll(again).isEmpty)
+    // and both sides are populated at this fraction
+    assert(split.filter(col("split") === "val").count() > 0)
+    assert(split.filter(col("split") === "train").count() > 0)
+  }
 }
