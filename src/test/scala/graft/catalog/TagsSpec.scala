@@ -100,4 +100,21 @@ class TagsSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM $c.dw.t VERSION AS OF 'shared'")
       .collect().head.getLong(0) == 1)
   }
+
+  test("tag reads compose with the scan-planning rules: metadata-only count through a tag") {
+    val c = newCatalog()
+    spark.sql(s"CREATE TABLE $c.dw.t (k INT) TBLPROPERTIES('graft.stats.columns'='k')")
+    spark.sql(s"INSERT INTO $c.dw.t SELECT CAST(id AS INT) FROM range(0, 40)")
+    spark.sql(s"CALL $c.system.create_tag('dw.t', 'snap')")
+    spark.sql(s"INSERT INTO $c.dw.t SELECT CAST(id AS INT) FROM range(1000, 1010)")
+    val df = spark.sql(s"SELECT count(*) AS n, max(k) AS mx FROM $c.dw.t VERSION AS OF 'snap'")
+    // the tag pin resolves BEFORE planning, so the metadata-aggregate
+    // rule answers for the tagged version with zero data files
+    val p = df.queryExecution.optimizedPlan
+    assert(p.collectFirst {
+      case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => ()
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => ()
+    }.isEmpty, p.toString)
+    assert(df.collect().head == org.apache.spark.sql.Row(40L, 39))
+  }
 }

@@ -203,4 +203,19 @@ class ScanPruneSpec extends SparkSpec {
     finally spark.conf.set("graft.scan.manifestPruning", "true")
     assert(scannedFiles(spark.sql(s"SELECT k FROM $c.dw.t WHERE k < 10")) < all)
   }
+
+  test("log-governed catalogs prune the PUBLISHED head like any pinned scan") {
+    val c = newCatalog()
+    val log = java.nio.file.Files.createTempDirectory("graft-prune-log").toString
+    spark.conf.set(s"spark.sql.catalog.$c.commitlog", log)
+    spark.sql(s"CREATE NAMESPACE $c.dw")
+    spark.sql(s"CREATE TABLE $c.dw.t (k INT) TBLPROPERTIES('graft.stats.columns'='k')")
+    spark.sql(s"INSERT INTO $c.dw.t SELECT CAST(id AS INT) FROM range(0, 50)")
+    spark.sql(s"INSERT INTO $c.dw.t SELECT CAST(id AS INT) FROM range(1000, 1050)")
+    val all = scannedFiles(spark.table(s"$c.dw.t"))
+    assert(all >= 2)
+    val (ref, got, files) = prunedVsRef(s"SELECT k FROM $c.dw.t WHERE k < 10 ORDER BY k")
+    assert(files < all, s"read $files of $all files")
+    assert(got == ref && got.length == 10)
+  }
 }
