@@ -2652,16 +2652,23 @@ final class SnapshotTables(
     val segs = chainOf(table, ver)
     if (segs.exists(s => (s.kind != "full" && s.kind != "append") || s.schemaEvolved)) return None
     val schema = readVersion(table, ver).schema
-    // hash every probe value ONCE with the build pass's xxhash64-on-
-    // column-type (one local job over a 1-row frame, |values| hashes)
+    // hash every probe value with the build pass's xxhash64-on-column-
+    // type, evaluated DRIVER-SIDE (Literal + foldable Cast + XxHash64
+    // interpreted eval — planning must not spawn a job per query)
     val typedProbes: Seq[(String, Seq[(Any, Any, Long)])] =
       probes.filter { case (c, vs) => vs.nonEmpty && schema.fieldNames.contains(c) }
         .map { case (c, vs) =>
           val dt = schema(c).dataType
-          val hs: Seq[Long] = spark.range(1)
-            .select(vs.map { case (ext, _) => xxhash64(lit(ext).cast(dt)) }: _*)
-            .head().toSeq.map(_.asInstanceOf[Long])
-          c -> vs.zip(hs).map { case ((ext, phys), h) => (ext, phys, h) }
+          val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
+          c -> vs.map { case (ext, phys) =>
+            val le = org.apache.spark.sql.GraftSqlBridge.eagerExpression(lit(ext))
+            val casted =
+              if (le.dataType == dt) le
+              else org.apache.spark.sql.catalyst.expressions.Cast(le, dt, tz)
+            val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(casted), 42L)
+              .eval(null).asInstanceOf[Long]
+            (ext, phys, h)
+          }
         }
     if (bounds.isEmpty && typedProbes.isEmpty) return None
     val contribs: Seq[(VersionMeta, Either[Option[DataFrame], (Seq[String], Long)])] =
@@ -2686,12 +2693,148 @@ final class SnapshotTables(
       else parts.reduce(_ unionByName _))
   }
 
+  /** Driver-row budget for the planning fast path: a segment manifest
+    * at most this many rows is collected once (then LRU-cached — see
+    * [[SnapshotTables.manifestCache]]) and every pruning / metadata-
+    * aggregate decision on it is pure in-memory work; a bigger
+    * manifest keeps the distributed evaluation (at that scale the
+    * scan being saved dwarfs the planning jobs). */
+  private def manifestDriverRows: Int =
+    spark.conf.getOption("graft.scan.manifestDriverRows") match {
+      case None => 65536
+      case Some(raw) => raw.trim.toIntOption match {
+        case Some(n) if n >= 0 => n
+        case _ => throw new IllegalArgumentException(
+          s"graft.scan.manifestDriverRows must be a non-negative int, got '$raw'")
+      }
+    }
+
+  /** The segment manifest collected to the driver (budgeted + cached);
+    * None = over budget or unreadable. Types normalized via casts so
+    * era differences in the stored schema can't bite. */
+  private def collectedManifest(table: String, v: Int): Option[Seq[SnapshotTables.MRow]] = {
+    import org.apache.spark.sql.functions.col
+    val mp = manifestPath(table, v)
+    if (!fs(mp).exists(mp)) return None
+    val key = fs(mp).makeQualified(mp).toString
+    val hit = SnapshotTables.manifestCache.synchronized(
+      Option(SnapshotTables.manifestCache.get(key)))
+    hit match {
+      case Some(res) => res
+      case None =>
+        val lim = manifestDriverRows
+        val res: Option[Seq[SnapshotTables.MRow]] =
+          try {
+            val m = spark.read.parquet(mp.toString)
+            val has = m.columns.toSet
+            def c(name: String, t: String) =
+              (if (has(name)) col(name) else org.apache.spark.sql.functions.lit(null)).cast(t)
+            val taken = m.select(col("file").cast("string"), col("column").cast("string"),
+                c("rows", "long"), c("nulls", "long"),
+                c("min_num", "double"), c("max_num", "double"),
+                c("min_str", "string"), c("max_str", "string"),
+                c("sketch", "array<long>"), c("sketch_bits", "long"), c("sketch_hashes", "int"))
+              .limit(lim + 1).collect()
+            if (taken.length > lim) None
+            else Some(taken.toSeq.map { r =>
+              def lOpt(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+              def dOpt(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+              def sOpt(i: Int) = if (r.isNullAt(i)) None else Some(r.getString(i))
+              SnapshotTables.MRow(r.getString(0), r.getString(1), lOpt(2), lOpt(3),
+                dOpt(4), dOpt(5), sOpt(6), sOpt(7),
+                if (r.isNullAt(8)) None else Some(r.getSeq[Long](8).toArray),
+                if (r.isNullAt(9)) 0L else r.getLong(9),
+                if (r.isNullAt(10)) 0 else r.getInt(10))
+            })
+          } catch { case _: Exception => None }
+        SnapshotTables.manifestCache.synchronized(SnapshotTables.manifestCache.put(key, res))
+        res
+    }
+  }
+
+  /** In-memory twin of the JVM-side Kirsch–Mitzenmacher membership
+    * test — bit-for-bit the column-expression [[bloomHit]] (same 8-
+    * position unroll bound, same word/bit addressing); malformed rows
+    * keep the file conservatively. */
+  private def bloomHitMem(words: Array[Long], bits: Long, hashes: Int, h: Long): Boolean = {
+    if (bits <= 0 || hashes <= 0 || words.isEmpty) return true
+    val h1 = h & 0xffffffffL
+    val h2 = (h >>> 32) | 1L
+    var i = 0
+    val n = math.min(hashes, 8)
+    while (i < n) {
+      val m = (h1 + i.toLong * h2) % bits
+      val p = if (m < 0) m + bits else m
+      val wi = (p / 64).toInt
+      if (wi >= words.length) return true // malformed sizing: keep
+      if (((words(wi) >>> (p % 64).toInt) & 1L) != 1L) return false
+      i += 1
+    }
+    true
+  }
+
+  /** In-memory segment keep-list — the exact file-keeping semantics of
+    * the distributed evaluation below, over collected rows. */
+  private def scanKeepInMemory(rs: Seq[SnapshotTables.MRow],
+      bounds: Seq[(String, Option[Any], Option[Any])],
+      probes: Seq[(String, Seq[(Any, Any, Long)])]): (Seq[String], Long) = {
+    def toD(a: Any): Double = a match {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case n: Number => n.doubleValue()
+      case other => other.toString.toDouble
+    }
+    val byFile = rs.groupBy(_.file)
+    def keepFile(rows: Seq[SnapshotTables.MRow]): Boolean = {
+      def forCol(c: String) = rows.filter(_.column == c)
+      val boundsOk = bounds.forall { case (c, lo, hi) =>
+        val cr = forCol(c)
+        cr.isEmpty || cr.exists { r => // no row for the column: stays in scope
+          val isStr = lo.exists(_.isInstanceOf[String]) || hi.exists(_.isInstanceOf[String])
+          if (isStr) (r.minStr, r.maxStr) match {
+            case (Some(mn), Some(mx)) =>
+              lo.forall(l => mx >= l.asInstanceOf[String]) &&
+                hi.forall(h => mn <= h.asInstanceOf[String])
+            case _ => true
+          } else (r.minNum, r.maxNum) match {
+            case (Some(mn), Some(mx)) =>
+              lo.forall(l => mx >= toD(l)) && hi.forall(h => mn <= toD(h))
+            case _ => true
+          }
+        }
+      }
+      val probesOk = probes.forall { case (c, vh) =>
+        val cr = forCol(c)
+        cr.isEmpty || vh.exists { case (_, phys, h) => // ANY value may be present
+          cr.exists { r =>
+            val rangeOk = phys match {
+              case s: String => (r.minStr, r.maxStr) match {
+                case (Some(mn), Some(mx)) => s >= mn && s <= mx
+                case _ => true
+              }
+              case n => (r.minNum, r.maxNum) match {
+                case (Some(mn), Some(mx)) => val d = toD(n); d >= mn && d <= mx
+                case _ => true
+              }
+            }
+            rangeOk && r.sketch.forall(w => bloomHitMem(w, r.sketchBits, r.sketchHashes, h))
+          }
+        }
+      }
+      boundsOk && probesOk
+    }
+    val keep = byFile.collect { case (f, rows) if keepFile(rows) => f }.toSeq.sorted
+    (keep, byFile.size.toLong)
+  }
+
   /** One segment's contribution to [[pruneForScan]]: Right((files
     * whose stats MAY satisfy every bound and every probe list, total
     * manifest files)), Left(full segment read) when the segment has no
     * usable manifest or the keep-list exceeds the driver budget. Files
     * the manifest has no row for under a queried column always stay in
-    * scope — absence of stats can only keep, never skip. */
+    * scope — absence of stats can only keep, never skip. Small
+    * manifests evaluate entirely on the driver (collected once,
+    * cached); over-budget ones keep the distributed evaluation. */
   private def scanKeepForSegment(table: String, v: Int,
       bounds: Seq[(String, Option[Any], Option[Any])],
       probes: Seq[(String, Seq[(Any, Any, Long)])])
@@ -2699,6 +2842,11 @@ final class SnapshotTables(
     import org.apache.spark.sql.functions._
     val mp = manifestPath(table, v)
     if (!fs(mp).exists(mp)) return Left(segRead(table, v))
+    collectedManifest(table, v) match {
+      case Some(rs) if rs.nonEmpty => return Right(scanKeepInMemory(rs, bounds, probes))
+      case Some(_) => return Left(segRead(table, v)) // degenerate empty manifest
+      case None => () // over budget: distributed evaluation below
+    }
     val m = spark.read.parquet(mp.toString)
     if (m.isEmpty) return Left(segRead(table, v))
     val hasSketch = m.columns.contains("sketch")
@@ -2906,11 +3054,7 @@ final class SnapshotTables(
     * unevolved, and either empty or fully row-counted by its manifest
     * — anything else answers None and the caller keeps the real scan. */
   private[graft] def fastCountForScan(table: String, ver: Int): Option[Long] =
-    try {
-      val segs = chainOf(table, ver)
-      if (segs.exists(s => (s.kind != "full" && s.kind != "append") || s.schemaEvolved)) None
-      else Some(segs.map(s => fastCountOfVersion(table, s.v)).sum)
-    } catch { case _: Exception => None }
+    manifestRowsForScan(table, ver, Nil) // same coverage contract as fastCount, planning-fast-pathed
 
   /** The identity partition columns of version `ver`'s chain when
     * EVERY segment was committed under exactly that layout (no hidden
@@ -2941,6 +3085,12 @@ final class SnapshotTables(
   private[graft] def manifestRowsForScan(table: String, ver: Int,
       partTokens: Seq[String]): Option[Long] = try {
     import org.apache.spark.sql.functions._
+    chainManifestRows(table, ver) match {
+      case None => return None
+      case Some(Some(rows)) =>
+        return if (rows.isEmpty) Some(0L) else rowsInMemory(rows, partTokens)
+      case Some(None) => () // over budget: distributed path below
+    }
     scanManifests(table, ver) match {
       case None => None
       case Some(Nil) => Some(0L)
@@ -2971,6 +3121,71 @@ final class SnapshotTables(
     Some(ms)
   }
 
+  /** [[scanManifests]]'s driver fast-path twin: outer None = chain
+    * ineligible / a non-empty segment without a manifest (caller
+    * answers None); Some(None) = eligible but some manifest over the
+    * driver budget (caller takes the distributed path); Some(Some) =
+    * every segment's rows collected, keyed by segment index (file
+    * names are only unique within a segment). */
+  private def chainManifestRows(table: String, ver: Int)
+      : Option[Option[Seq[(Int, SnapshotTables.MRow)]]] = {
+    val segs = chainOf(table, ver)
+    if (segs.exists(s => (s.kind != "full" && s.kind != "append") || s.schemaEvolved)) return None
+    var overBudget = false
+    val collected = segs.zipWithIndex.flatMap { case (s, i) =>
+      val mp = manifestPath(table, s.v)
+      if (fs(mp).exists(mp)) collectedManifest(table, s.v) match {
+        case Some(rs) => Some(rs.map(r => (i, r)))
+        case None => overBudget = true; Some(Nil)
+      }
+      else if (segRead(table, s.v).forall(_.isEmpty)) None // empty segment
+      else return None // rows with no manifest: nothing provable
+    }
+    if (overBudget) Some(None) else Some(Some(collected.flatten))
+  }
+
+  private def tokenMatches(file: String, partTokens: Seq[String]): Boolean =
+    partTokens.forall(t => file.split('/').contains(t))
+
+  /** In-memory twin of [[manifestRowsForScan]]'s distributed
+    * aggregation — identical coverage rules. */
+  private def rowsInMemory(all: Seq[(Int, SnapshotTables.MRow)],
+      partTokens: Seq[String]): Option[Long] = {
+    val sub = all.filter(t => tokenMatches(t._2.file, partTokens))
+    val perFile = sub.map(t => (t._1, t._2.file, t._2.rows)).distinct
+    val files = perFile.map(t => (t._1, t._2)).distinct
+    // one rows value per file, every file covered
+    if (perFile.size != files.size || perFile.exists(_._3.isEmpty)) None
+    else Some(perFile.flatMap(_._3).sum)
+  }
+
+  /** In-memory twin of [[manifestStatsForScan]]'s distributed
+    * aggregation — identical coverage and honesty rules. */
+  private def statsInMemory(all: Seq[(Int, SnapshotTables.MRow)], statColumn: String,
+      partTokens: Seq[String]): SnapshotTables.ColStats = {
+    val sub = all.filter(t => tokenMatches(t._2.file, partTokens))
+    val filesTotal = sub.map(t => (t._1, t._2.file)).distinct.size
+    if (filesTotal == 0) // no file in scope: zero rows, exactly
+      return SnapshotTables.ColStats(Some(0L), Some(0L), Some(None), Some(None))
+    val forCol = sub.filter(_._2.column == statColumn).map(_._2)
+    val nf = sub.filter(_._2.column == statColumn).map(t => (t._1, t._2.file)).distinct.size
+    val nrows = forCol.size
+    if (nf != filesTotal || nf != nrows)
+      return SnapshotTables.ColStats(None, None, None, None)
+    val rows = if (forCol.forall(_.rows.isDefined)) Some(forCol.flatMap(_.rows).sum) else None
+    val nulls = if (forCol.forall(_.nulls.isDefined)) Some(forCol.flatMap(_.nulls).sum) else None
+    def allNull(r: SnapshotTables.MRow): Boolean =
+      (for { n <- r.nulls; rw <- r.rows } yield n == rw).getOrElse(false)
+    def ext(vals: Seq[Double], uncovered: Int, pick: Seq[Double] => Double): Option[Option[Double]] =
+      if (uncovered != 0) None // some file has rows but no bounds
+      else if (vals.isEmpty) {
+        if (rows.isDefined && nulls.isDefined && rows == nulls) Some(None) else None
+      } else Some(Some(pick(vals)))
+    SnapshotTables.ColStats(rows, nulls,
+      ext(forCol.flatMap(_.minNum), forCol.count(r => r.minNum.isEmpty && !allNull(r)), _.min),
+      ext(forCol.flatMap(_.maxNum), forCol.count(r => r.maxNum.isEmpty && !allNull(r)), _.max))
+  }
+
   /** Keep only manifest rows whose (partition-dir-bearing, segment-
     * relative) file path contains every token as an exact path
     * component — identity `col=value` dirs partition the file set
@@ -2996,6 +3211,15 @@ final class SnapshotTables(
   private[graft] def manifestStatsForScan(table: String, ver: Int, statColumn: String,
       partTokens: Seq[String] = Nil): Option[SnapshotTables.ColStats] = try {
     import org.apache.spark.sql.functions._
+    chainManifestRows(table, ver) match {
+      case None => return None
+      case Some(Some(rows)) =>
+        return Some(
+          if (rows.isEmpty) // version with zero rows: everything is exact
+            SnapshotTables.ColStats(Some(0L), Some(0L), Some(None), Some(None))
+          else statsInMemory(rows, statColumn, partTokens))
+      case Some(None) => () // over budget: distributed path below
+    }
     val ms = scanManifests(table, ver) match {
       case None => return None
       case Some(Nil) => // version with zero rows: everything is exact
@@ -3670,6 +3894,32 @@ object SnapshotTables {
   private[graft] final case class ColStats(
       rows: Option[Long], nulls: Option[Long],
       min: Option[Option[Double]], max: Option[Option[Double]])
+
+  /** One collected manifest row for the driver-side PLANNING fast
+    * path: SQL scan pruning and metadata aggregates run once per
+    * query at optimize time, and for the common small-manifest case a
+    * handful of distributed jobs per planning pass would dwarf the
+    * scan they save — the manifest is collected ONCE (budgeted) and
+    * every later planning decision on that version is in-memory. */
+  private[io] final case class MRow(file: String, column: String,
+      rows: Option[Long], nulls: Option[Long],
+      minNum: Option[Double], maxNum: Option[Double],
+      minStr: Option[String], maxStr: Option[String],
+      sketch: Option[Array[Long]], sketchBits: Long, sketchHashes: Int)
+
+  /** Driver-side manifest cache for the planning fast path. Version
+    * manifests are written ONCE and never mutated (the commit CAS
+    * creates them; expiry only deletes), so entries never go stale —
+    * an expired version's entry is merely unreachable garbage, which
+    * the LRU bound reclaims. The over-budget verdict (None) is cached
+    * too, so a huge manifest is sized exactly once. */
+  private val ManifestCacheMax = 64
+  private[io] val manifestCache =
+    new java.util.LinkedHashMap[String, Option[Seq[MRow]]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Option[Seq[MRow]]]): Boolean =
+        size() > ManifestCacheMax
+    }
 
   /** One link of a version's delta chain, parsed from the version
     * metadata ("kind" absent = a full snapshot). */
