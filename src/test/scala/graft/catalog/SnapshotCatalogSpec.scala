@@ -1050,4 +1050,22 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(hid.length == 4 && hid.map(_.getLong(1)).sum == 400L, hid.toString)
     assert(hid.forall(_.getString(0).startsWith("__p_bucket")), hid.toString)
   }
+  test("SHOW CREATE TABLE / DESCRIBE EXTENDED round-trip the graft surface") {
+    val c = newCatalog()
+    spark.sql(s"CREATE NAMESPACE $c.dw")
+    spark.sql(s"CREATE TABLE $c.dw.t (k INT, p STRING) PARTITIONED BY (p) " +
+      "TBLPROPERTIES('graft.stats.columns'='k','graft.write.mode'='mor')")
+    spark.sql(s"INSERT INTO $c.dw.t VALUES (1, 'a')")
+    val ddl = spark.sql(s"SHOW CREATE TABLE $c.dw.t").collect().head.getString(0)
+    assert(ddl.contains("USING graft-snapshots"))
+    assert(ddl.contains("PARTITIONED BY (p)"))
+    assert(ddl.contains("'graft.stats.columns' = 'k'"))
+    assert(ddl.contains("'graft.write.mode' = 'mor'"))
+    val ext = spark.sql(s"DESCRIBE EXTENDED $c.dw.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ext.get("Provider").contains("graft-snapshots"))
+    // the catalog reports size statistics, so join planning (broadcast
+    // thresholds) sees real numbers for snapshot tables
+    assert(ext.get("Statistics").exists(_.contains("bytes")))
+  }
 }
