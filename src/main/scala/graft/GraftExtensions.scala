@@ -50,15 +50,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // keyless BETWEEN time joins -> bucketed equi-joins (never BNLJ)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    // metadata-only COUNT/MIN/MAX over snapshot-catalog tables (X113):
+    // grouping-less aggregates provably answerable from the per-file
+    // stats manifests collapse to a LocalRelation — zero data files.
+    // MUST be injected BEFORE ScanPruneRule: both run in the same
+    // fixed-point batch in injection order, and once ScanPrune
+    // substitutes its alias-projection scan the Aggregate's child no
+    // longer matches MetadataAgg's admissible shape — the cheaper
+    // manifest-only answer has to get first look at the plan.
+    ext.injectOptimizerRule(_ => graft.plans.MetadataAggRule)
     // manifest file skipping for SQL scans of snapshot-catalog tables
     // (X112): pushed-down predicates consult the per-file stats/sketch
     // manifests at planning time and the scan reads only files that
     // may match — Iceberg's scan planning, on the native format
     ext.injectOptimizerRule(_ => graft.plans.ScanPruneRule)
-    // metadata-only COUNT/MIN/MAX over snapshot-catalog tables (X113):
-    // grouping-less aggregates provably answerable from the per-file
-    // stats manifests collapse to a LocalRelation — zero data files
-    ext.injectOptimizerRule(_ => graft.plans.MetadataAggRule)
     // merge-on-read delta chains -> resolved scan plans (before the
     // DML rule so a MERGE source over a chained table resolves first)
     ext.injectResolutionRule(_ => graft.plans.DeltaResolveRule)

@@ -2784,6 +2784,15 @@ final class SnapshotTables(
       case n: Number => n.doubleValue()
       case other => other.toString.toDouble
     }
+    // UTF-8 byte ordering, NOT Java String (UTF-16 code-unit) ordering:
+    // the manifest min_str/max_str are byte-wise parquet binary stats and
+    // the distributed twin compares with Spark's UTF8String (UTF-8 bytes).
+    // The orderings disagree for non-BMP characters (e.g. "￿" sorts
+    // AFTER an emoji in UTF-16 but BEFORE it in UTF-8), so Java ordering
+    // here would wrongly prune files and silently lose rows.
+    def cmpStr(a: String, b: String): Int =
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
     val byFile = rs.groupBy(_.file)
     def keepFile(rows: Seq[SnapshotTables.MRow]): Boolean = {
       def forCol(c: String) = rows.filter(_.column == c)
@@ -2793,8 +2802,8 @@ final class SnapshotTables(
           val isStr = lo.exists(_.isInstanceOf[String]) || hi.exists(_.isInstanceOf[String])
           if (isStr) (r.minStr, r.maxStr) match {
             case (Some(mn), Some(mx)) =>
-              lo.forall(l => mx >= l.asInstanceOf[String]) &&
-                hi.forall(h => mn <= h.asInstanceOf[String])
+              lo.forall(l => cmpStr(mx, l.asInstanceOf[String]) >= 0) &&
+                hi.forall(h => cmpStr(mn, h.asInstanceOf[String]) <= 0)
             case _ => true
           } else (r.minNum, r.maxNum) match {
             case (Some(mn), Some(mx)) =>
@@ -2809,7 +2818,7 @@ final class SnapshotTables(
           cr.exists { r =>
             val rangeOk = phys match {
               case s: String => (r.minStr, r.maxStr) match {
-                case (Some(mn), Some(mx)) => s >= mn && s <= mx
+                case (Some(mn), Some(mx)) => cmpStr(s, mn) >= 0 && cmpStr(s, mx) <= 0
                 case _ => true
               }
               case n => (r.minNum, r.maxNum) match {
@@ -3096,25 +3105,33 @@ final class SnapshotTables(
       case Some(Nil) => Some(0L)
       case Some(ms) =>
         val m = partTokenFilter(ms.reduce(_ unionByName _), partTokens)
-        val perFile = m.select(col("file"), col("rows")).distinct()
+        // (__seg, file) keys: relative file names repeat across segments
+        val perFile = m.select(col("__seg"), col("file"), col("rows")).distinct()
         val a = perFile.agg(count(lit(1)), count(col("rows")),
-          countDistinct(col("file")), sum(col("rows"))).head()
+          countDistinct(col("__seg"), col("file")), sum(col("rows"))).head()
         // one rows value per file, every file covered
         if (a.getLong(0) != a.getLong(1) || a.getLong(0) != a.getLong(2)) None
         else Some(if (a.isNullAt(3)) 0L else a.getLong(3))
     }
   } catch { case _: Exception => None }
 
-  /** Every chain segment's manifest frame for a metadata-served scan:
-    * None when any non-empty segment lacks one (nothing provable) or
-    * the chain has merge-on-read / evolved segments; Some(Nil) for a
+  /** Every chain segment's manifest frame for a metadata-served scan,
+    * each tagged with a `__seg` segment-version column — file names are
+    * only unique WITHIN a segment (each segment writes its own
+    * `part-*` files), so every per-file key downstream must be
+    * (__seg, file) or two segments sharing a relative name would
+    * collapse in distinct()/countDistinct and undercount. None when
+    * any non-empty segment lacks a manifest (nothing provable) or the
+    * chain has merge-on-read / evolved segments; Some(Nil) for a
     * zero-row version. */
   private def scanManifests(table: String, ver: Int): Option[Seq[DataFrame]] = {
+    import org.apache.spark.sql.functions.lit
     val segs = chainOf(table, ver)
     if (segs.exists(s => (s.kind != "full" && s.kind != "append") || s.schemaEvolved)) return None
     val ms = segs.flatMap { s =>
       val mp = manifestPath(table, s.v)
-      if (fs(mp).exists(mp)) Some(spark.read.parquet(mp.toString))
+      if (fs(mp).exists(mp))
+        Some(spark.read.parquet(mp.toString).withColumn("__seg", lit(s.v)))
       else if (segRead(table, s.v).forall(_.isEmpty)) None // empty segment: zero rows
       else return None // rows with no manifest: nothing provable
     }
@@ -3227,7 +3244,8 @@ final class SnapshotTables(
       case Some(seq) => seq
     }
     val m = partTokenFilter(ms.reduce(_ unionByName _), partTokens)
-    val filesTotal = m.select(countDistinct(col("file"))).head().getLong(0)
+    // (__seg, file) keys: relative file names repeat across segments
+    val filesTotal = m.select(countDistinct(col("__seg"), col("file"))).head().getLong(0)
     if (filesTotal == 0) // no file under these partition tokens: zero rows, exactly
       return Some(SnapshotTables.ColStats(Some(0L), Some(0L), Some(None), Some(None)))
     val forCol = m.filter(col("column") === lit(statColumn))
@@ -3236,7 +3254,7 @@ final class SnapshotTables(
     // fields must count as NOT covered, hence the coalesce
     val allNull = coalesce(col("nulls") === col("rows"), lit(false))
     val a = forCol.agg(
-      countDistinct(col("file")).as("nf"),
+      countDistinct(col("__seg"), col("file")).as("nf"),
       count(lit(1)).as("nrows"),
       sum(col("rows")).as("rows"),
       count(col("rows")).as("rows_cov"),

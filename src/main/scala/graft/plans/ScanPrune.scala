@@ -64,7 +64,12 @@ object ScanPruneRule extends Rule[LogicalPlan] {
       case f @ Filter(cond, r: DataSourceV2Relation)
           if f.getTagValue(Decided).isEmpty && prunable(r) =>
         f.setTagValue(Decided, true)
-        substitute(f, cond, r).getOrElse(f)
+        // the documented contract is "any doubt leaves the plan
+        // untouched" — that must include a corrupt/unreadable manifest
+        // or an unexpected schema mismatch throwing out of the
+        // consultation, not just the anticipated shape doubts
+        (try substitute(f, cond, r)
+        catch { case scala.util.control.NonFatal(_) => None }).getOrElse(f)
     }
 
   private def prunable(r: DataSourceV2Relation): Boolean = r.table match {

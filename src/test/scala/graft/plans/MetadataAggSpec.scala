@@ -207,4 +207,24 @@ class MetadataAggSpec extends SparkSpec {
     } finally spark.conf.set("graft.scan.metadataAggregates", "true")
     assert(metadataOnly(spark.sql(s"SELECT count(*) AS n FROM $c.dw.t")))
   }
+
+  test("over-budget manifests take the distributed path and answer identically") {
+    val c = newCatalog()
+    spark.sql(s"CREATE TABLE $c.dw.t (k INT) TBLPROPERTIES('graft.stats.columns'='k')")
+    // multi-segment chain so the distributed union keys per-file rows
+    // by (__seg, file) — relative part names are only unique within a
+    // segment, and bare-file keying would collapse any cross-segment
+    // name collision and undercount
+    spark.sql(s"INSERT INTO $c.dw.t SELECT CAST(id AS INT) FROM range(0, 100)")
+    spark.sql(s"INSERT INTO $c.dw.t SELECT CAST(id AS INT) FROM range(0, 100)")
+    spark.sql(s"INSERT INTO $c.dw.t SELECT CAST(id AS INT) FROM range(500, 600)")
+    val q = s"SELECT count(*) AS n, count(k) AS nk, min(k) AS mn, max(k) AS mx FROM $c.dw.t"
+    spark.conf.set("graft.scan.manifestDriverRows", "0") // force distributed evaluation
+    try {
+      val df = spark.sql(q)
+      assert(metadataOnly(df), df.queryExecution.optimizedPlan.toString)
+      assert(df.collect().head == Row(300L, 300L, 0, 599))
+    } finally spark.conf.unset("graft.scan.manifestDriverRows")
+    assert(spark.sql(q).collect().head == Row(300L, 300L, 0, 599))
+  }
 }

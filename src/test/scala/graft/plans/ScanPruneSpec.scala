@@ -218,4 +218,55 @@ class ScanPruneSpec extends SparkSpec {
     assert(files < all, s"read $files of $all files")
     assert(got == ref && got.length == 10)
   }
+
+  test("string stats compare in UTF-8 byte order, not UTF-16 (non-BMP regression)") {
+    val c = newCatalog()
+    spark.sql(s"CREATE NAMESPACE $c.dw")
+    spark.sql(s"CREATE TABLE $c.dw.t (v STRING, k INT) TBLPROPERTIES(" +
+      "'graft.stats.columns'='v')")
+    // one file holding both U+FFFF and an emoji: the parquet/UTF8String
+    // byte-order bounds are [U+FFFF, emoji], but Java String (UTF-16
+    // code-unit) ordering sorts U+FFFF ABOVE the surrogate-pair emoji —
+    // a Java-ordered max check would wrongly prune this file for a
+    // U+FFFF probe and silently lose the row
+    spark.sql(s"INSERT INTO $c.dw.t VALUES ('￿', 1), ('😀', 2)")
+    // a disjoint ascii file so the prune actually engages
+    spark.sql(s"INSERT INTO $c.dw.t VALUES ('aaa', 3), ('bbb', 4)")
+    val all = scannedFiles(spark.table(s"$c.dw.t"))
+    assert(all >= 2)
+
+    val (ref, got, files) = prunedVsRef(s"SELECT k FROM $c.dw.t WHERE v = '￿'")
+    assert(got == ref && got.length == 1, s"U+FFFF probe lost rows: got $got vs ref $ref")
+    assert(files < all, s"ascii file should still prune away: read $files of $all")
+
+    // range shape hits the bounds path rather than the probe path
+    val (refR, gotR, _) = prunedVsRef(
+      s"SELECT k FROM $c.dw.t WHERE v >= '￿' AND v <= '￿' ORDER BY k")
+    assert(gotR == refR && gotR.length == 1)
+  }
+
+  test("a corrupt manifest degrades to a full scan, never a failed query") {
+    val c = newCatalog()
+    spark.sql(s"CREATE NAMESPACE $c.dw")
+    spark.sql(s"CREATE TABLE $c.dw.t (k INT) TBLPROPERTIES('graft.stats.columns'='k')")
+    spark.sql(s"INSERT INTO $c.dw.t SELECT CAST(id AS INT) FROM range(0, 50)")
+    spark.sql(s"INSERT INTO $c.dw.t SELECT CAST(id AS INT) FROM range(1000, 1050)")
+    val all = scannedFiles(spark.table(s"$c.dw.t"))
+    // trash every manifest on disk and force the distributed path (the
+    // driver fast path caches reads; a 0 budget bypasses it), so the
+    // consultation itself throws mid-rule — the guard must leave the
+    // plan untouched instead of failing the query
+    val root = spark.conf.get(s"spark.sql.catalog.$c.root")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator().asScala
+      .filter(_.toString.contains("-manifest.parquet"))
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .foreach(p => java.nio.file.Files.write(p, "not parquet".getBytes))
+    spark.conf.set("graft.scan.manifestDriverRows", "0")
+    try {
+      val got = spark.sql(s"SELECT k FROM $c.dw.t WHERE k < 10 ORDER BY k").collect()
+      assert(got.map(_.getInt(0)).toSeq == (0 until 10))
+      assert(scannedFiles(spark.sql(s"SELECT k FROM $c.dw.t WHERE k < 10")) == all)
+    } finally spark.conf.unset("graft.scan.manifestDriverRows")
+  }
 }
