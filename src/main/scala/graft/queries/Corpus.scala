@@ -218,8 +218,14 @@ object Corpus {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
   )
 
-  /** Sketch aggregates — algorithm-specific, so rows-only check (no
-    * oracle): HLL distinct + approximate percentile. */
+  /** Sketch aggregates (HLL distinct + approximate percentile),
+    * oracle-pinned: the estimates are deterministic given the fixture
+    * (HLL++ and approx_percentile are hash/rank algorithms, no RNG),
+    * so the oracle pins them as literal expected values and derives
+    * the within-5%-of-exact audit booleans from the DATA-computed
+    * exact answers — the sketch error bound is checked cross-engine,
+    * not assumed. The exact columns ride along so most of the row is
+    * data-derived rather than pinned. */
   private val q08b = Q(
     "q08b_approx_sketches",
     (s, dir) =>
@@ -227,10 +233,31 @@ object Corpus {
         .groupBy(col("l_returnflag"))
         .agg(
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          expr("approx_percentile(l_quantity, 0.5, 1000)").as("approx_p50")
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          expr("approx_percentile(l_quantity, 0.5, 1000)").cast("double").as("approx_p50"),
+          expr("percentile(l_quantity, 0.5)").as("exact_p50")
+        )
+        .select(
+          col("l_returnflag"), col("approx_parts"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")).cast("double")
+            <= lit(0.05) * col("exact_parts")).as("ndv_ok"),
+          col("approx_p50"), col("exact_p50"),
+          (abs(col("approx_p50") - col("exact_p50"))
+            <= lit(0.05) * col("exact_p50")).as("p50_ok")
         )
         .orderBy(col("l_returnflag")),
-    None
+    Some("""WITH a(l_returnflag, approx_parts, approx_p50) AS (
+        VALUES ('A', CAST(1947 AS BIGINT), 25.0),
+               ('N', CAST(1947 AS BIGINT), 26.0),
+               ('R', CAST(1947 AS BIGINT), 25.0)),
+      e AS (SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+              QUANTILE_CONT(l_quantity, 0.5) AS exact_p50
+            FROM lineitem GROUP BY 1)
+      SELECT e.l_returnflag, a.approx_parts, e.exact_parts,
+        abs(CAST(a.approx_parts AS DOUBLE) - e.exact_parts) <= 0.05 * e.exact_parts AS ndv_ok,
+        a.approx_p50, e.exact_p50,
+        abs(a.approx_p50 - e.exact_p50) <= 0.05 * e.exact_p50 AS p50_ok
+      FROM e JOIN a USING (l_returnflag) ORDER BY e.l_returnflag""")
   )
 
   private val q09 = Q(

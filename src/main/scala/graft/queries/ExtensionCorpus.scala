@@ -292,6 +292,56 @@ object ExtensionCorpus {
   private[queries] val sqlVecView =
     "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings"
 
+  /** DuckDB replay of [[Similarity.kmeansCentroids]](k=16, iters=2) —
+    * the seeded Lloyd refinement is bit-stable by design (decimal sums,
+    * round-6 means re-synchronize the doubles cross-engine each step,
+    * ties break to the highest cell), so the refined centroids are
+    * plain SQL: seed cells are the vectors with id < 16 (c0), each
+    * step argmax-assigns every vector by cosine and recomputes rounded
+    * element-wise means (q84's proven mean-replay shape), empty cells
+    * keep the previous centroid via LEFT JOIN + COALESCE. Yields CTEs
+    * `v, n0, c0 … c2` (c0 = seed centroids, c2 = refined) plus `truth`
+    * (brute-force cosine top-5 for queries id < 10 — q38's shape). */
+  private val sqlKmeans2TruthCte = s"""v AS ($sqlVecView),
+    n0 AS (SELECT vec_id, emb, sqrt(list_reduce(list_transform(emb, x -> x*x), (x,y) -> x+y)) AS nrm FROM v),
+    c0 AS (SELECT vec_id AS cell_id, emb AS cv FROM v WHERE vec_id < 16),
+    c0n AS (SELECT cell_id, cv, sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cnrm FROM c0),
+    a1 AS (SELECT vec_id, emb, cell_id FROM (
+      SELECT x.vec_id, x.emb, c.cell_id,
+        ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+          (list_reduce(list_transform(list_zip(x.emb, c.cv), p -> struct_extract(p,1)*struct_extract(p,2)), (q,y) -> q+y)
+           / (x.nrm * c.cnrm)) DESC, c.cell_id DESC) AS rn
+      FROM n0 x, c0n c) WHERE rn = 1),
+    m1 AS (SELECT cell_id, CAST(i.i AS INTEGER) AS dim,
+            ROUND(CAST(SUM(CAST(emb[i.i] AS DECIMAL(28,10))) / COUNT(*) AS DOUBLE), 6) AS c
+           FROM a1, LATERAL (SELECT unnest(generate_series(1, 64)) AS i) i
+           GROUP BY cell_id, i.i),
+    m1v AS (SELECT cell_id, list(c ORDER BY dim) AS cv FROM m1 GROUP BY cell_id),
+    c1 AS (SELECT s.cell_id, COALESCE(m.cv, s.cv) AS cv FROM c0 s LEFT JOIN m1v m USING (cell_id)),
+    c1n AS (SELECT cell_id, cv, sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cnrm FROM c1),
+    a2 AS (SELECT vec_id, emb, cell_id FROM (
+      SELECT x.vec_id, x.emb, c.cell_id,
+        ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+          (list_reduce(list_transform(list_zip(x.emb, c.cv), p -> struct_extract(p,1)*struct_extract(p,2)), (q,y) -> q+y)
+           / (x.nrm * c.cnrm)) DESC, c.cell_id DESC) AS rn
+      FROM n0 x, c1n c) WHERE rn = 1),
+    m2 AS (SELECT cell_id, CAST(i.i AS INTEGER) AS dim,
+            ROUND(CAST(SUM(CAST(emb[i.i] AS DECIMAL(28,10))) / COUNT(*) AS DOUBLE), 6) AS c
+           FROM a2, LATERAL (SELECT unnest(generate_series(1, 64)) AS i) i
+           GROUP BY cell_id, i.i),
+    m2v AS (SELECT cell_id, list(c ORDER BY dim) AS cv FROM m2 GROUP BY cell_id),
+    c2 AS (SELECT s.cell_id, COALESCE(m.cv, s.cv) AS cv FROM c1 s LEFT JOIN m2v m USING (cell_id)),
+    truth AS (SELECT query_id, neighbor_id FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+          (list_reduce(list_transform(list_zip(q.emb, c.emb), p -> struct_extract(p,1)*struct_extract(p,2)), (x,y) -> x+y)
+           / (q.nrm * c.nrm)) DESC, c.vec_id) AS rk
+      FROM (SELECT * FROM n0 WHERE vec_id < 10) q JOIN n0 c ON q.vec_id <> c.vec_id) WHERE rk <= 5),
+    cboth AS (SELECT 'refined' AS variant, cell_id, cv FROM c2
+              UNION ALL SELECT 'seed' AS variant, cell_id, cv FROM c0),
+    cbn AS (SELECT variant, cell_id, cv,
+            sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y)) AS cnrm FROM cboth)"""
+
   /** DuckDB squared L2 with the exact fold shape of
     * VectorFunctions.euclideanSq (left-assoc double adds ⇒
     * bit-identical IEEE results). */
@@ -744,9 +794,11 @@ object ExtensionCorpus {
     * (kmeansCentroids, 2 Lloyd steps) feed ivfTopKWithCentroids, and
     * both the refined and the seed-centroid IVF are scored against the
     * brute-force truth in one plan (semi-join hit counts — the recall
-    * computation itself is distributed, no collect). Rows-only by
-    * nature: the centroids are data-dependent iterative aggregates no
-    * SQL oracle can replay. On the synthetic fixture (near-uniform
+    * computation itself is distributed, no collect). Hash-exact
+    * oracle: kmeansCentroids is seeded and bit-stable (decimal sums,
+    * round-6 means), so the DuckDB oracle replays the 2 Lloyd steps in
+    * SQL and re-derives the whole audit. On the synthetic fixture
+    * (near-uniform
     * random embeddings, mean pairwise cosine ≈ 0) refinement holds
     * recall roughly level rather than raising it — there is no cluster
     * structure to find; the refinement guarantee that IS asserted
@@ -845,7 +897,40 @@ object ExtensionCorpus {
         round(col("hits_unrefined").cast("double") / col("n_truth"), 4).as("recall_unrefined")
       )
     },
-    None
+    // hash-exact: the seeded 2-step Lloyd refinement is replayed in
+    // pure SQL (sqlKmeans2TruthCte) and both IVF variants + the
+    // brute-force truth + the recall arithmetic are re-derived from
+    // the data — nothing pinned, nothing rows-only
+    Some(s"""WITH $sqlKmeans2TruthCte,
+      asg AS (SELECT variant, neighbor_id, emb, nrm, cell_id FROM (
+        SELECT c.variant, x.vec_id AS neighbor_id, x.emb, x.nrm, c.cell_id,
+          ROW_NUMBER() OVER (PARTITION BY c.variant, x.vec_id ORDER BY
+            (list_reduce(list_transform(list_zip(x.emb, c.cv), p -> struct_extract(p,1)*struct_extract(p,2)), (q,y) -> q+y)
+             / (x.nrm * c.cnrm)) DESC, c.cell_id DESC) AS rn
+        FROM n0 x, cbn c) WHERE rn = 1),
+      prb AS (SELECT variant, query_id, emb, nrm, cell_id FROM (
+        SELECT c.variant, x.vec_id AS query_id, x.emb, x.nrm, c.cell_id,
+          ROW_NUMBER() OVER (PARTITION BY c.variant, x.vec_id ORDER BY
+            (list_reduce(list_transform(list_zip(x.emb, c.cv), p -> struct_extract(p,1)*struct_extract(p,2)), (q,y) -> q+y)
+             / (x.nrm * c.cnrm)) DESC, c.cell_id DESC) AS rn
+        FROM (SELECT * FROM n0 WHERE vec_id < 10) x, cbn c) WHERE rn <= 2),
+      ann AS (SELECT variant, query_id, neighbor_id FROM (
+        SELECT a.variant, p.query_id, a.neighbor_id,
+          ROW_NUMBER() OVER (PARTITION BY a.variant, p.query_id ORDER BY
+            (list_reduce(list_transform(list_zip(p.emb, a.emb), pp -> struct_extract(pp,1)*struct_extract(pp,2)), (x,y) -> x+y)
+             / (p.nrm * a.nrm)) DESC, a.neighbor_id) AS rk
+        FROM prb p JOIN asg a ON a.variant = p.variant AND a.cell_id = p.cell_id
+          AND p.query_id <> a.neighbor_id) WHERE rk <= 5),
+      hits AS (SELECT
+          SUM(CASE WHEN variant = 'refined' THEN 1 ELSE 0 END) AS hr,
+          SUM(CASE WHEN variant = 'seed' THEN 1 ELSE 0 END) AS hs
+        FROM ann a WHERE EXISTS (SELECT 1 FROM truth t
+          WHERE t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id)),
+      nt AS (SELECT COUNT(*) AS n_truth FROM truth)
+      SELECT n_truth, CAST(hr AS BIGINT) AS hits_refined, CAST(hs AS BIGINT) AS hits_unrefined,
+        ROUND(CAST(hr AS DOUBLE) / n_truth, 4) AS recall_refined,
+        ROUND(CAST(hs AS DOUBLE) / n_truth, 4) AS recall_unrefined
+      FROM nt, hits""")
   )
 
   /** Salted two-stage aggregation — must be value-identical to the
@@ -1084,12 +1169,13 @@ object ExtensionCorpus {
     * the composed PQ serving path (the production FAISS configuration:
     * refine the coarse quantizer offline, serve probe+ADC). Both
     * variants and the brute-force truth are scored distributed
-    * (semi-join hit counts, no collect). Rows-only by nature, exactly
-    * as q87: the refined centroids are data-dependent iterative
-    * aggregates no SQL oracle can replay; what IS hash-pinned
-    * elsewhere is every component — seed-centroid IVF-PQ end-to-end
-    * (q97/q100), ADC arithmetic (q96), and refined-centroids
-    * index-vs-direct equivalence (SimilaritySpec). On this synthetic
+    * (semi-join hit counts, no collect). Hash-exact oracle, exactly
+    * as q87: the Lloyd replay supplies the refined centroids and
+    * q97's proven IVF-PQ replay (seed codebooks, decimal ADC) serves
+    * both variants — composed with the components hash-pinned
+    * elsewhere: seed-centroid IVF-PQ end-to-end (q97/q100), ADC
+    * arithmetic (q96), and refined-centroids index-vs-direct
+    * equivalence (SimilaritySpec). On this synthetic
     * fixture (near-uniform embeddings, no cluster structure)
     * refinement holds recall level rather than raising it — same
     * caveat as q87. */
@@ -1133,7 +1219,51 @@ object ExtensionCorpus {
         round(col("hits_refined").cast("double") / col("n_truth"), 4).as("recall_refined"),
         round(col("hits_seed").cast("double") / col("n_truth"), 4).as("recall_seed"))
     },
-    None
+    // hash-exact: the Lloyd replay (sqlKmeans2TruthCte) supplies the
+    // refined coarse centroids and q97's proven IVF-PQ replay (seed
+    // codebooks, decimal ADC) serves both variants against the
+    // brute-force truth — the full composed audit is re-derived
+    Some(s"""WITH $sqlKmeans2TruthCte,
+      asg AS (SELECT variant, vec_id, cell_id FROM (
+        SELECT c.variant, x.vec_id, c.cell_id,
+          ROW_NUMBER() OVER (PARTITION BY c.variant, x.vec_id ORDER BY
+            (list_reduce(list_transform(list_zip(x.emb, c.cv), p -> struct_extract(p,1)*struct_extract(p,2)), (q,y) -> q+y)
+             / (x.nrm * c.cnrm)) DESC, c.cell_id DESC) AS rn
+        FROM n0 x, cbn c) WHERE rn = 1),
+      prb AS (SELECT variant, query_id, cell_id FROM (
+        SELECT c.variant, x.vec_id AS query_id, c.cell_id,
+          ROW_NUMBER() OVER (PARTITION BY c.variant, x.vec_id ORDER BY
+            (list_reduce(list_transform(list_zip(x.emb, c.cv), p -> struct_extract(p,1)*struct_extract(p,2)), (q,y) -> q+y)
+             / (x.nrm * c.cnrm)) DESC, c.cell_id DESC) AS rn
+        FROM (SELECT * FROM n0 WHERE vec_id < 10) x, cbn c) WHERE rn <= 2),
+      sub AS (SELECT vec_id, s.s AS subspace, list_slice(emb, s.s*8+1, s.s*8+8) AS sv
+              FROM v, (SELECT unnest(range(8)) AS s) s),
+      cb AS (SELECT subspace, CAST(vec_id AS INTEGER) AS code, sv AS cw FROM sub WHERE vec_id < 16),
+      asn AS (SELECT d.vec_id, d.subspace, c.code, ${sqlSqDist("d.sv", "c.cw")} AS dist
+              FROM sub d JOIN cb c USING (subspace)),
+      enc AS (SELECT vec_id, subspace, code FROM asn
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, subspace ORDER BY dist, code) = 1),
+      qd AS (SELECT vec_id AS query_id, subspace, code, CAST(ROUND(dist, 8) AS DECIMAL(28,10)) AS pd
+             FROM asn WHERE vec_id < 10),
+      sc AS (SELECT a.variant, p.query_id, a.vec_id AS neighbor_id, SUM(q.pd) AS adc
+             FROM asg a JOIN prb p ON p.variant = a.variant AND p.cell_id = a.cell_id AND p.query_id <> a.vec_id
+             JOIN enc e ON e.vec_id = a.vec_id
+             JOIN qd q ON q.query_id = p.query_id AND q.subspace = e.subspace AND q.code = e.code
+             GROUP BY 1, 2, 3),
+      ann AS (SELECT variant, query_id, neighbor_id FROM (
+        SELECT variant, query_id, neighbor_id,
+          ROW_NUMBER() OVER (PARTITION BY variant, query_id ORDER BY adc, neighbor_id) AS rk FROM sc)
+        WHERE rk <= 5),
+      hits AS (SELECT
+          SUM(CASE WHEN variant = 'refined' THEN 1 ELSE 0 END) AS hr,
+          SUM(CASE WHEN variant = 'seed' THEN 1 ELSE 0 END) AS hs
+        FROM ann a WHERE EXISTS (SELECT 1 FROM truth t
+          WHERE t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id)),
+      nt AS (SELECT COUNT(*) AS n_truth FROM truth)
+      SELECT n_truth, CAST(hr AS BIGINT) AS hits_refined, CAST(hs AS BIGINT) AS hits_seed,
+        ROUND(CAST(hr AS DOUBLE) / n_truth, 4) AS recall_refined,
+        ROUND(CAST(hs AS DOUBLE) / n_truth, 4) AS recall_seed
+      FROM nt, hits""")
   )
 
   /** Manifest-pruned snapshot reads end-to-end, oracle-pinned: commit
