@@ -102,6 +102,83 @@ object Multimodal {
   /** STUB frame count: one "frame" per 64-byte block. */
   private def nFrames(bytes: Array[Byte]): Int = (bytes.length + 63) / 64
 
+  /** REAL-codec image ENCODE (JDK `javax.imageio`, PNG — no
+    * third-party dependency): a deterministic `side`×`side` grayscale
+    * image per row, pixel p (row-major) = the hex digit of `hexCol` at
+    * position p mod len, scaled ×16 — a pixel formula plain SQL can
+    * replay, which is what lets [[decodeImageFeatures]]' output be
+    * hash-verified by a DuckDB oracle even though the bytes in between
+    * are a real binary image format (PNG is lossless, so
+    * decode∘encode = identity on the pixels). Output is the
+    * [[mediaSchema]] shape: (media_id, payload = real PNG bytes, meta).
+    * Encoding runs per-partition inside executor tasks — the payload
+    * column never exists driver-side, exactly how a 100 TB media
+    * ingest must behave. */
+  def encodeGrayPng(df: DataFrame, idCol: String, hexCol: String, side: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(hexCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, hx) =>
+          val img = new java.awt.image.BufferedImage(
+            side, side, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var p = 0
+          while (p < side * side) {
+            val v = Character.digit(hx.charAt(p % hx.length), 16) * 16
+            img.setRGB(p % side, p / side, (v << 16) | (v << 8) | v)
+            p += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", baos)
+          (id, baos.toByteArray)
+        }
+      }
+      .toDF("media_id", "payload")
+      .select(
+        col("media_id"), col("payload"),
+        struct(
+          lit("png").as("format"),
+          octet_length(col("payload")).as("byte_len"),
+          md5(col("payload")).as("content_hash")
+        ).as("meta"))
+  }
+
+  /** REAL-codec image DECODE (JDK `javax.imageio`): per-partition
+    * batched decode of the binary payload into (width, height,
+    * per-channel pixel sums) — the distributed shape of an image
+    * feature-extraction pass (iterator-in/iterator-out, codec runs
+    * inside executor tasks, only fixed-width features come out).
+    * Null/empty payloads yield a zero row rather than a task failure —
+    * corrupt media must never kill a 100 TB job. Integer channel sums
+    * on purpose: associative, so the result is independent of
+    * partitioning AND replayable by a SQL oracle. */
+  def decodeImageFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])].mapPartitions { it =>
+      it.map { case (id, payload) =>
+        if (payload == null || payload.isEmpty) (id, 0, 0, 0L, 0L, 0L)
+        else {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          var r = 0L; var g = 0L; var b = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              r += (rgb >> 16) & 0xff
+              g += (rgb >> 8) & 0xff
+              b += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          (id, img.getWidth, img.getHeight, r, g, b)
+        }
+      }
+    }.toDF("media_id", "width", "height", "sum_r", "sum_g", "sum_b")
+  }
+
   /** "Frame sampling": every `stride`-th 64-byte block as its own row —
     * the explode/partition shape of video-frame extraction. */
   def sampleFrames(media: DataFrame, stride: Int = 2): DataFrame = {

@@ -616,6 +616,31 @@ object ExtensionCorpus {
       FROM e ORDER BY media_id, frame_idx""")
   )
 
+  /** REAL image codec end-to-end, hash-exact: deterministic grayscale
+    * PNGs are encoded from each document's md5 digest and decoded back
+    * through JDK `javax.imageio` — BOTH steps distributed inside
+    * executor tasks over a real binary payload column. PNG is
+    * lossless, so the decoded dimensions + channel sums equal the
+    * pixel formula's, which the DuckDB oracle replays from the same
+    * digests — a genuine binary codec round-trip verified cross-engine
+    * without the oracle ever touching PNG bytes. */
+  private val q143 = Q(
+    "q143_media_decode",
+    (s, dir) => {
+      val docs = fixture(s, dir, "documents").select(col("doc_id"), md5(col("text")).as("h"))
+      Multimodal.decodeImageFeatures(Multimodal.encodeGrayPng(docs, "doc_id", "h", side = 8))
+        .orderBy(col("media_id"))
+    },
+    Some("""WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+      px AS (SELECT doc_id,
+               (strpos('0123456789abcdef', substr(h, (p.p % 32) + 1, 1)) - 1) * 16 AS v
+             FROM d, (SELECT unnest(range(64)) AS p) p)
+      SELECT doc_id AS media_id, 8 AS width, 8 AS height,
+        CAST(SUM(v) AS BIGINT) AS sum_r, CAST(SUM(v) AS BIGINT) AS sum_g,
+        CAST(SUM(v) AS BIGINT) AS sum_b
+      FROM px GROUP BY doc_id ORDER BY doc_id""")
+  )
+
   // -------------------------------------------------------- temporal joins
 
   private val q44 = Q(
@@ -2392,7 +2417,7 @@ object ExtensionCorpus {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q99, q100, q101, q102, q106, q107, q108,
     q109, q111, q112, q113, q114, q116, q117, q118, q119, q121, q122, q123, q125, q126, q127,
-    q128, q130, q131, q132, q133, q135, q136, q137, q138, q139, q140, q141
+    q128, q130, q131, q132, q133, q135, q136, q137, q138, q139, q140, q141, q143
   )
 
 }

@@ -98,6 +98,35 @@ class MultimodalSpec extends SparkSpec {
     assert(got.values.forall(_.exists(_ > 0L)))
   }
 
+  test("encodeGrayPng → decodeImageFeatures round-trips real PNG bytes losslessly") {
+    val src = Seq((10L, "00ff"), (11L, "deadbeef"), (12L, "0123456789abcdef0123456789abcdef"))
+      .toDF("id", "h")
+    val media = Multimodal.encodeGrayPng(src, "id", "h", side = 8).repartition(3)
+    // the payload is a REAL PNG (magic bytes) with populated metadata
+    val metas = media.select($"media_id", $"meta.format", $"meta.byte_len",
+        substring(hex($"payload"), 1, 16).as("magic"))
+      .as[(Long, String, Int, String)].collect()
+    assert(metas.length == 3)
+    metas.foreach { case (_, fmt, len, magic) =>
+      assert(fmt == "png" && len > 0 && magic == "89504E470D0A1A0A") // \x89PNG\r\n\x1a\n
+    }
+    // decode reproduces the pixel formula exactly (PNG is lossless):
+    // pixel p = hexdigit(h, p % len(h)) * 16, grayscale
+    val got = Multimodal.decodeImageFeatures(media)
+      .as[(Long, Int, Int, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    def expect(h: String): Long =
+      (0 until 64).map(p => Character.digit(h.charAt(p % h.length), 16).toLong * 16).sum
+    Seq(10L -> "00ff", 11L -> "deadbeef", 12L -> "0123456789abcdef0123456789abcdef").foreach {
+      case (id, h) =>
+        val (_, w, ht, r, g, b) = got(id)
+        assert(w == 8 && ht == 8 && r == expect(h) && g == r && b == r, s"id $id")
+    }
+    // corrupt/empty payloads degrade to a zero row, never a task failure
+    val broken = Seq((99L, Array.empty[Byte])).toDF("media_id", "payload")
+    assert(Multimodal.decodeImageFeatures(broken).collect().head.toSeq ==
+      Seq(99L, 0, 0, 0L, 0L, 0L))
+  }
+
   test("sampleFrames explodes every stride-th 64-byte block with its bytes") {
     val rows = Multimodal.sampleFrames(media(), stride = 2)
       .select($"media_id", $"frame_idx", octet_length($"frame_bytes").as("len"))
