@@ -245,6 +245,22 @@ class ScanPruneSpec extends SparkSpec {
     assert(gotR == refR && gotR.length == 1)
   }
 
+  test("over-budget manifests keep pruning via the distributed path (driver fast path bypassed)") {
+    val c = newCatalog()
+    spark.sql(s"CREATE NAMESPACE $c.dw")
+    spark.sql(s"CREATE TABLE $c.dw.t (k INT) TBLPROPERTIES('graft.stats.columns'='k')")
+    spark.sql(s"INSERT INTO $c.dw.t SELECT CAST(id AS INT) FROM range(0, 50)")
+    spark.sql(s"INSERT INTO $c.dw.t SELECT CAST(id AS INT) FROM range(1000, 1050)")
+    val all = scannedFiles(spark.table(s"$c.dw.t"))
+    assert(all >= 2)
+    spark.conf.set("graft.scan.manifestDriverRows", "0") // every manifest is "over budget"
+    try {
+      val (ref, got, files) = prunedVsRef(s"SELECT k FROM $c.dw.t WHERE k < 10 ORDER BY k")
+      assert(files < all, s"distributed evaluation must still skip: read $files of $all")
+      assert(got == ref && got.length == 10)
+    } finally spark.conf.unset("graft.scan.manifestDriverRows")
+  }
+
   test("a corrupt manifest degrades to a full scan, never a failed query") {
     val c = newCatalog()
     spark.sql(s"CREATE NAMESPACE $c.dw")
