@@ -49,6 +49,10 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructType
   *    is gone); [[SnapshotTables.removeOrphans]]
   *  - `expire_log(keep)` — prune the governed catalog's commit log
   *    (governed catalogs only); [[graft.io.LakeCommits.expireLog]]
+  *  - `export_iceberg_metadata(table, dest)` — materialize Iceberg v2
+  *    metadata (JSON + Avro manifest lists/manifests) over the table's
+  *    existing parquet at `dest`, O(metadata), data untouched;
+  *    [[graft.io.IcebergExport.export]]
   *  - `publish_branches(tables, branch)` — cross-table ATOMIC publish
   *    of per-table WAP branches through the commit log (governed
   *    catalogs only); [[graft.io.LakeCommits.publishBranches]]
@@ -65,7 +69,8 @@ private[catalog] object SnapshotProcedures {
     Seq("rollback", "create_branch", "drop_branch", "create_tag", "drop_tag",
       "fast_forward", "optimize",
       "compact_deltas", "evolve_partitioning",
-      "expire_snapshots", "remove_orphan_files", "expire_log", "publish_branches")
+      "expire_snapshots", "remove_orphan_files", "expire_log", "publish_branches",
+      "export_iceberg_metadata")
 
   private def param(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()
@@ -130,6 +135,8 @@ private[catalog] object SnapshotProcedures {
             paramD("grace_minutes", IntegerType, "60"), paramD("branch", StringType, "''"))
           case "expire_log" => Array(param("keep", IntegerType))
           case "publish_branches" => Array(param("tables", StringType), param("branch", StringType))
+          case "export_iceberg_metadata" =>
+            Array(param("table", StringType), param("dest", StringType))
         }
 
         override def call(input: InternalRow): java.util.Iterator[Scan] = ident.name match {
@@ -247,6 +254,15 @@ private[catalog] object SnapshotProcedures {
             require(staged.nonEmpty, "publish_branches: empty table list")
             val c = lc.publishBranches(staged)
             result(outSchema("commit"), c)
+          case "export_iceberg_metadata" =>
+            val (st, t) = tablesOf(input.getUTF8String(0).toString)
+            val path = graft.io.IcebergExport.export(st, t, input.getUTF8String(1).toString)
+            val schema = new StructType().add("metadata_path", StringType, nullable = false)
+            java.util.List.of[Scan](new LocalScan {
+              override def rows(): Array[InternalRow] =
+                Array(InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(path)))
+              override def readSchema(): StructType = schema
+            }).iterator()
         }
       }
     }

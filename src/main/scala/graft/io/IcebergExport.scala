@@ -1,0 +1,295 @@
+package graft.io
+
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.avro.file.DataFileWriter
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.types._
+
+/** Jar-free ICEBERG V2 METADATA EXPORT (round-14 ask #5; the
+  * reference's tables are `USING ICEBERG` —
+  * `/root/reference/spark/jobs/job_silver.py:66-88,174-178` — and its
+  * runtime jar is pulled in `/root/reference/spark/Dockerfile:12-22`;
+  * no Iceberg jar ships in this sandbox, so interop is built from the
+  * PUBLIC Iceberg table spec directly).
+  *
+  * [[export]] materializes a snapshot table's metadata in Iceberg's
+  * v2 layout over the EXISTING parquet data files (which are never
+  * touched, copied or rewritten — Iceberg manifests address files by
+  * absolute URI, so the export is O(metadata)):
+  *
+  *   destDir/metadata/v<N>.metadata.json      table metadata (JSON)
+  *   destDir/metadata/snap-<id>-*.avro        one manifest LIST per
+  *                                            retained version (Avro,
+  *                                            manifest_file schema,
+  *                                            field-ids 500-517)
+  *   destDir/metadata/m-<v>-*.avro            one manifest per chain
+  *                                            segment (Avro,
+  *                                            manifest_entry schema,
+  *                                            field-ids per spec)
+  *   destDir/metadata/version-hint.text       HadoopCatalog pointer
+  *
+  * Every retained version exports as an Iceberg snapshot whose
+  * manifest list carries its chain segments with real sequence
+  * numbers, so the external reader gets time travel, not just HEAD.
+  * Record counts come from parquet footers read DISTRIBUTED (one job,
+  * same shape as the stats-manifest build) — the driver only handles
+  * file names.
+  *
+  * Scope (refused loudly, never exported wrong): append-only / full
+  * chains of unpartitioned tables. Merge-on-read deltas have no
+  * honest file-level story until materialize()/compact() (same rule
+  * as [[SnapshotTables.manifest]]), and Hive-style partition
+  * directories drop the partition column from the data files, which
+  * breaks Iceberg's schema contract — those tables must compact to an
+  * unpartitioned layout first. Schema evolution across the chain is
+  * likewise refused (one schema-id describes every file).
+  */
+object IcebergExport {
+
+  /** Export `table`'s retained versions as an Iceberg v2 table rooted
+    * at `destDir`; returns the metadata.json path. */
+  def export(st: SnapshotTables, table: String, destDir: String): String = {
+    val cur = st.currentVersion(table)
+    require(cur > 0, s"table $table has no committed version")
+    val spark = st.readVersion(table, cur).sparkSession
+    // a version is representable when its whole chain is plain data
+    // files under ONE schema; the CURRENT version must be (refuse the
+    // export, never write wrong metadata), older unrepresentable
+    // versions simply don't become Iceberg snapshots
+    def eligible(chain: Seq[SnapshotTables.VersionMeta]): Option[String] =
+      chain.collectFirst {
+        case m if m.kind != "full" && m.kind != "append" =>
+          s"table $table carries merge-on-read deltas (v${m.v} kind=${m.kind}) — " +
+            "materialize()/compact() before exporting Iceberg metadata"
+        case m if m.schemaEvolved =>
+          s"table $table evolved its schema at v${m.v} — compact to one schema before exporting"
+      }
+    val allChains = st.history(table).map(v => v -> st.chainOf(table, v))
+    eligible(allChains.last._2).foreach(msg => throw new IllegalArgumentException(msg))
+    val chains = allChains.filter { case (_, c) => eligible(c).isEmpty }.toMap
+    val versions = allChains.map(_._1).filter(chains.contains)
+
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def fs(p: Path) = p.getFileSystem(hconf)
+    val metaDir = new Path(destDir, "metadata")
+    fs(metaDir).mkdirs(metaDir)
+
+    // ---- per-segment data files: (absolute path, length), partition-free
+    val allSegs = chains.values.flatten.toSeq.distinctBy(_.v).sortBy(_.v)
+    val segFiles: Map[Int, Seq[(String, Long)]] = allSegs.map { m =>
+      val base = st.dataDirOfMeta(table, m)
+      val f = fs(base)
+      val baseStr = f.makeQualified(base).toString.stripSuffix("/") + "/"
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      if (f.exists(base)) {
+        val it = f.listFiles(base, true)
+        while (it.hasNext) {
+          val s = it.next()
+          val rel = s.getPath.toString.stripPrefix(baseStr)
+          val comps = rel.split('/')
+          val hidden = comps.exists(c => c.startsWith("_") || c.startsWith("."))
+          if (s.isFile && rel.endsWith(".parquet") && !hidden) {
+            require(!comps.init.exists(c => c.contains("=")),
+              s"table $table v${m.v} has partition directories ($rel) — Hive-style layouts drop " +
+                "the partition column from data files; compact() to an unpartitioned layout first")
+            out += ((s.getPath.toString, s.getLen))
+          }
+        }
+      }
+      m.v -> out.toSeq
+    }.toMap
+
+    // ---- record counts from parquet footers, one distributed job
+    val allFiles = segFiles.values.flatten.map(_._1).toSeq.distinct
+    val rowsByFile: Map[String, Long] =
+      if (allFiles.isEmpty) Map.empty
+      else {
+        val confSer = new org.apache.spark.SerializableWritable(hconf)
+        spark.sparkContext
+          .parallelize(allFiles, math.max(1, math.min(allFiles.size, 64)))
+          .map { abs =>
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                new org.apache.hadoop.fs.Path(abs), confSer.value))
+            try abs -> r.getRecordCount finally r.close()
+          }
+          .collect().toMap
+      }
+
+    // ---- Iceberg schema JSON from the table's Spark schema
+    val fieldId = new java.util.concurrent.atomic.AtomicInteger(0)
+    def icebergType(dt: DataType): String = dt match {
+      case BooleanType => "\"boolean\""
+      case ByteType | ShortType | IntegerType => "\"int\""
+      case LongType => "\"long\""
+      case FloatType => "\"float\""
+      case DoubleType => "\"double\""
+      case StringType => "\"string\""
+      case BinaryType => "\"binary\""
+      case DateType => "\"date\""
+      case TimestampType => "\"timestamptz\""
+      case TimestampNTZType => "\"timestamp\""
+      case d: DecimalType => s""""decimal(${d.precision}, ${d.scale})""""
+      case a: ArrayType =>
+        val id = fieldId.incrementAndGet()
+        s"""{"type":"list","element-id":$id,"element":${icebergType(a.elementType)},"element-required":${!a.containsNull}}"""
+      case m: MapType =>
+        val kId = fieldId.incrementAndGet(); val vId = fieldId.incrementAndGet()
+        s"""{"type":"map","key-id":$kId,"key":${icebergType(m.keyType)},"value-id":$vId,""" +
+          s""""value":${icebergType(m.valueType)},"value-required":${!m.valueContainsNull}}"""
+      case s: StructType => structJson(s)
+      case other => throw new IllegalArgumentException(s"no Iceberg mapping for $other")
+    }
+    def structJson(s: StructType): String =
+      s.fields.map { f =>
+        val id = fieldId.incrementAndGet()
+        s"""{"id":$id,"name":"${esc(f.name)}","required":${!f.nullable},"type":${icebergType(f.dataType)}}"""
+      }.mkString("""{"type":"struct","fields":[""", ",", "]}")
+    val schemaFields = structJson(st.readVersion(table, cur).schema)
+    val schemaJson = schemaFields.patch(
+      schemaFields.indexOf('{') + 1, """"schema-id":0,""", 0)
+    val lastColumnId = fieldId.get()
+
+    // ---- Avro manifests (one per segment, shared by every snapshot list)
+    val now = System.currentTimeMillis
+    val manifestSchema = new org.apache.avro.Schema.Parser().parse(ManifestEntryAvro)
+    val dataFileSchema = manifestSchema.getField("data_file").schema()
+    val partSchema = dataFileSchema.getField("partition").schema()
+    val manifestMeta: Map[Int, (String, Long, Long)] = allSegs.map { m =>
+      val p = new Path(metaDir, f"m-${m.v}%05d-${java.util.UUID.randomUUID()}.avro")
+      val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](manifestSchema))
+      w.setMeta("schema", schemaJson)
+      w.setMeta("schema-id", "0")
+      w.setMeta("partition-spec", "[]")
+      w.setMeta("partition-spec-id", "0")
+      w.setMeta("format-version", "2")
+      w.setMeta("content", "data")
+      val os = fs(p).create(p, true)
+      w.create(manifestSchema, os)
+      var rows = 0L
+      segFiles(m.v).foreach { case (path, len) =>
+        val df = new GenericData.Record(dataFileSchema)
+        df.put("content", 0)
+        df.put("file_path", path)
+        df.put("file_format", "PARQUET")
+        df.put("partition", new GenericData.Record(partSchema))
+        val rc = rowsByFile.getOrElse(path, 0L)
+        rows += rc
+        df.put("record_count", rc)
+        df.put("file_size_in_bytes", len)
+        val e = new GenericData.Record(manifestSchema)
+        e.put("status", 1) // ADDED by this segment's snapshot
+        e.put("snapshot_id", m.v.toLong)
+        e.put("sequence_number", m.v.toLong)
+        e.put("file_sequence_number", m.v.toLong)
+        e.put("data_file", df)
+        w.append(e)
+      }
+      w.close()
+      m.v -> (fs(p).makeQualified(p).toString, fs(p).getFileStatus(p).getLen, rows)
+    }.toMap
+
+    // ---- Avro manifest list per retained version
+    val listSchema = new org.apache.avro.Schema.Parser().parse(ManifestFileAvro)
+    val listPaths: Map[Int, String] = versions.map { v =>
+      val p = new Path(metaDir, s"snap-$v-1-${java.util.UUID.randomUUID()}.avro")
+      val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](listSchema))
+      w.setMeta("format-version", "2")
+      w.setMeta("snapshot-id", v.toString)
+      w.setMeta("sequence-number", v.toString)
+      val os = fs(p).create(p, true)
+      w.create(listSchema, os)
+      chains(v).sortBy(_.v).foreach { m =>
+        val (mPath, mLen, mRows) = manifestMeta(m.v)
+        val r = new GenericData.Record(listSchema)
+        r.put("manifest_path", mPath)
+        r.put("manifest_length", mLen)
+        r.put("partition_spec_id", 0)
+        r.put("content", 0)
+        r.put("sequence_number", m.v.toLong)
+        r.put("min_sequence_number", m.v.toLong)
+        r.put("added_snapshot_id", m.v.toLong)
+        r.put("added_files_count", segFiles(m.v).size)
+        r.put("existing_files_count", 0)
+        r.put("deleted_files_count", 0)
+        r.put("added_rows_count", mRows)
+        r.put("existing_rows_count", 0L)
+        r.put("deleted_rows_count", 0L)
+        w.append(r)
+      }
+      w.close()
+      v -> fs(p).makeQualified(p).toString
+    }.toMap
+
+    // ---- table metadata JSON
+    val uuid = java.util.UUID.nameUUIDFromBytes(s"${st.rootPath}|$table".getBytes("UTF-8"))
+    val snapshots = versions.zipWithIndex.map { case (v, i) =>
+      val op = if (chains(v).last.kind == "full") "overwrite" else "append"
+      val parent = if (i == 0) "" else s""""parent-snapshot-id":${versions(i - 1)},"""
+      s"""{"snapshot-id":$v,$parent"sequence-number":$v,"timestamp-ms":$now,""" +
+        s""""summary":{"operation":"$op"},"manifest-list":"${esc(listPaths(v))}","schema-id":0}"""
+    }.mkString("[", ",", "]")
+    val snapshotLog = versions
+      .map(v => s"""{"timestamp-ms":$now,"snapshot-id":$v}""").mkString("[", ",", "]")
+    val json =
+      s"""{"format-version":2,"table-uuid":"$uuid","location":"${esc(destDir)}",""" +
+        s""""last-sequence-number":$cur,"last-updated-ms":$now,"last-column-id":$lastColumnId,""" +
+        s""""current-schema-id":0,"schemas":[$schemaJson],""" +
+        s""""default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],"last-partition-id":999,""" +
+        s""""default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],""" +
+        s""""properties":{},"current-snapshot-id":$cur,"snapshots":$snapshots,""" +
+        s""""snapshot-log":$snapshotLog,"metadata-log":[],""" +
+        s""""refs":{"main":{"snapshot-id":$cur,"type":"branch"}}}"""
+    val mdPath = new Path(metaDir, f"v$cur%05d.metadata.json")
+    writeText(fs(mdPath), mdPath, json)
+    writeText(fs(mdPath), new Path(metaDir, "version-hint.text"), cur.toString)
+    fs(mdPath).makeQualified(mdPath).toString
+  }
+
+  private def writeText(f: org.apache.hadoop.fs.FileSystem, p: Path, s: String): Unit = {
+    val os = f.create(p, true)
+    try os.write(s.getBytes("UTF-8")) finally os.close()
+  }
+
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  /** Iceberg v2 `manifest_file` Avro schema (spec "Manifest Lists":
+    * field-ids 500-517; optional v1-only fields omitted). */
+  private[io] val ManifestFileAvro: String =
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string","field-id":500},
+      |{"name":"manifest_length","type":"long","field-id":501},
+      |{"name":"partition_spec_id","type":"int","field-id":502},
+      |{"name":"content","type":"int","field-id":517},
+      |{"name":"sequence_number","type":"long","field-id":515},
+      |{"name":"min_sequence_number","type":"long","field-id":516},
+      |{"name":"added_snapshot_id","type":"long","field-id":503},
+      |{"name":"added_files_count","type":"int","field-id":504},
+      |{"name":"existing_files_count","type":"int","field-id":505},
+      |{"name":"deleted_files_count","type":"int","field-id":506},
+      |{"name":"added_rows_count","type":"long","field-id":512},
+      |{"name":"existing_rows_count","type":"long","field-id":513},
+      |{"name":"deleted_rows_count","type":"long","field-id":514}
+      |]}""".stripMargin
+
+  /** Iceberg v2 `manifest_entry` Avro schema (spec "Manifests":
+    * field-ids 0-4, data_file struct 100-134; optional column stats
+    * omitted — they are nullable in the spec). The partition struct is
+    * empty: the export targets unpartitioned specs. */
+  private[io] val ManifestEntryAvro: String =
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int","field-id":0},
+      |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+      |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+      |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |{"name":"content","type":"int","field-id":134},
+      |{"name":"file_path","type":"string","field-id":100},
+      |{"name":"file_format","type":"string","field-id":101},
+      |{"name":"partition","type":{"type":"record","name":"r102","fields":[]},"field-id":102},
+      |{"name":"record_count","type":"long","field-id":103},
+      |{"name":"file_size_in_bytes","type":"long","field-id":104}
+      |]},"field-id":2}
+      |]}""".stripMargin
+}

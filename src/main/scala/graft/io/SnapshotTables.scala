@@ -189,7 +189,7 @@ final class SnapshotTables(
   private def dataDirOf(table: String, v: Int): Path =
     metaDataDirString(table, v).map(new Path(_)).getOrElse(snapDir(table, v))
 
-  private def dataDirOfMeta(table: String, m: SnapshotTables.VersionMeta): Path =
+  private[io] def dataDirOfMeta(table: String, m: SnapshotTables.VersionMeta): Path =
     m.dataDir.map(new Path(_)).getOrElse(snapDir(table, m.v))
 
   private def writeSmallFile(p: Path, content: String): Unit = {
