@@ -323,6 +323,6 @@ class PlanQualitySpec extends SparkSpec {
     val names = out.collect().map(_.getString(nameCol)).toSet
     assert(names == Set("rollback", "create_branch", "drop_branch", "create_tag", "drop_tag", "fast_forward",
       "optimize", "compact_deltas", "evolve_partitioning", "expire_snapshots",
-      "remove_orphan_files", "expire_log", "publish_branches"))
+      "remove_orphan_files", "expire_log", "publish_branches", "export_iceberg_metadata"))
   }
 }
