@@ -2709,13 +2709,14 @@ final class SnapshotTables(
       }
     }
 
-  /** The segment manifest collected to the driver (budgeted + cached);
-    * None = over budget or unreadable. Types normalized via casts so
-    * era differences in the stored schema can't bite. */
-  private def collectedManifest(table: String, v: Int): Option[Seq[SnapshotTables.MRow]] = {
+  /** The segment manifest collected to the driver (budgeted + cached)
+    * as a tri-state [[SnapshotTables.ManifestVerdict]]. Types
+    * normalized via casts so era differences in the stored schema
+    * can't bite. */
+  private def collectedManifest(table: String, v: Int): SnapshotTables.ManifestVerdict = {
     import org.apache.spark.sql.functions.col
     val mp = manifestPath(table, v)
-    if (!fs(mp).exists(mp)) return None
+    if (!fs(mp).exists(mp)) return SnapshotTables.ManifestUnreadable
     val key = fs(mp).makeQualified(mp).toString
     val hit = SnapshotTables.manifestCache.synchronized(
       Option(SnapshotTables.manifestCache.get(key)))
@@ -2723,7 +2724,7 @@ final class SnapshotTables(
       case Some(res) => res
       case None =>
         val lim = manifestDriverRows
-        val res: Option[Seq[SnapshotTables.MRow]] =
+        val res: SnapshotTables.ManifestVerdict =
           try {
             val m = spark.read.parquet(mp.toString)
             val has = m.columns.toSet
@@ -2735,8 +2736,8 @@ final class SnapshotTables(
                 c("min_str", "string"), c("max_str", "string"),
                 c("sketch", "array<long>"), c("sketch_bits", "long"), c("sketch_hashes", "int"))
               .limit(lim + 1).collect()
-            if (taken.length > lim) None
-            else Some(taken.toSeq.map { r =>
+            if (taken.length > lim) SnapshotTables.ManifestOverBudget
+            else SnapshotTables.ManifestRows(taken.toSeq.map { r =>
               def lOpt(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
               def dOpt(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
               def sOpt(i: Int) = if (r.isNullAt(i)) None else Some(r.getString(i))
@@ -2746,7 +2747,7 @@ final class SnapshotTables(
                 if (r.isNullAt(9)) 0L else r.getLong(9),
                 if (r.isNullAt(10)) 0 else r.getInt(10))
             })
-          } catch { case _: Exception => None }
+          } catch { case _: Exception => SnapshotTables.ManifestUnreadable }
         SnapshotTables.manifestCache.synchronized(SnapshotTables.manifestCache.put(key, res))
         res
     }
@@ -2852,9 +2853,13 @@ final class SnapshotTables(
     val mp = manifestPath(table, v)
     if (!fs(mp).exists(mp)) return Left(segRead(table, v))
     collectedManifest(table, v) match {
-      case Some(rs) if rs.nonEmpty => return Right(scanKeepInMemory(rs, bounds, probes))
-      case Some(_) => return Left(segRead(table, v)) // degenerate empty manifest
-      case None => () // over budget: distributed evaluation below
+      case SnapshotTables.ManifestRows(rs) if rs.nonEmpty =>
+        return Right(scanKeepInMemory(rs, bounds, probes))
+      case SnapshotTables.ManifestRows(_) => // degenerate empty manifest
+        return Left(segRead(table, v))
+      case SnapshotTables.ManifestUnreadable => // corrupt/IO-failed, verdict cached:
+        return Left(segRead(table, v)) // full read — never re-consult, never skip
+      case SnapshotTables.ManifestOverBudget => () // distributed evaluation below
     }
     val m = spark.read.parquet(mp.toString)
     if (m.isEmpty) return Left(segRead(table, v))
@@ -3152,8 +3157,11 @@ final class SnapshotTables(
     val collected = segs.zipWithIndex.flatMap { case (s, i) =>
       val mp = manifestPath(table, s.v)
       if (fs(mp).exists(mp)) collectedManifest(table, s.v) match {
-        case Some(rs) => Some(rs.map(r => (i, r)))
-        case None => overBudget = true; Some(Nil)
+        case SnapshotTables.ManifestRows(rs) => Some(rs.map(r => (i, r)))
+        case SnapshotTables.ManifestOverBudget => overBudget = true; Some(Nil)
+        // unreadable manifest: nothing provable for the whole chain —
+        // metadata answers must decline, not skip the segment
+        case SnapshotTables.ManifestUnreadable => return None
       }
       else if (segRead(table, s.v).forall(_.isEmpty)) None // empty segment
       else return None // rows with no manifest: nothing provable
@@ -3932,10 +3940,22 @@ object SnapshotTables {
     * the LRU bound reclaims. The over-budget verdict (None) is cached
     * too, so a huge manifest is sized exactly once. */
   private val ManifestCacheMax = 64
+  /** Driver-side verdict on a (immutable) segment manifest: its rows
+    * when within the driver budget, over-budget (distributed
+    * evaluation is the right path), or unreadable (corrupt/IO-failed —
+    * cached so the fallback never re-reads a known-bad manifest on
+    * every query; a transient failure sticks only until LRU eviction,
+    * and the verdict only ever degrades to a FULL segment read, never
+    * to a wrong skip). */
+  private[io] sealed trait ManifestVerdict
+  private[io] final case class ManifestRows(rows: Seq[MRow]) extends ManifestVerdict
+  private[io] case object ManifestOverBudget extends ManifestVerdict
+  private[io] case object ManifestUnreadable extends ManifestVerdict
+
   private[io] val manifestCache =
-    new java.util.LinkedHashMap[String, Option[Seq[MRow]]](16, 0.75f, true) {
+    new java.util.LinkedHashMap[String, ManifestVerdict](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Option[Seq[MRow]]]): Boolean =
+          e: java.util.Map.Entry[String, ManifestVerdict]): Boolean =
         size() > ManifestCacheMax
     }
 

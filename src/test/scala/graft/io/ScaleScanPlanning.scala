@@ -91,8 +91,10 @@ object ScaleScanPlanning {
         import scala.jdk.CollectionConverters._
         SnapshotTables.manifestCache.asScala.toMap
       }
-      val overBudget = cached.values.exists(_.isEmpty) // None = over budget, stayed distributed
-      val driverRows = cached.values.flatten.map(_.size).sum
+      val overBudget = cached.values.exists(_ == SnapshotTables.ManifestOverBudget)
+      val driverRows = cached.values.collect {
+        case SnapshotTables.ManifestRows(rs) => rs.size
+      }.sum
       val expectOver = n + 2 > 65536 // ghosts + the real file's rows
       require(overBudget == expectOver,
         s"scale $n: over-budget verdict $overBudget, expected $expectOver")
