@@ -84,6 +84,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(graft.plans.TableManifest.getClass.getName, "graft_table_manifest"),
       (children: Seq[Expression]) => graft.plans.TableManifest.plan(children)
     ))
+    // jar-free read of an external Iceberg table layout:
+    // SELECT * FROM graft_iceberg_scan('/path/to/table'[, snapshot_id])
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_iceberg_scan"),
+      new ExpressionInfo(graft.plans.IcebergScan.getClass.getName, "graft_iceberg_scan"),
+      (children: Seq[Expression]) => graft.plans.IcebergScan.plan(children)
+    ))
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),

@@ -109,3 +109,32 @@ object TableManifest {
     st.manifest(table).queryExecution.analyzed
   }
 }
+
+/** `graft_iceberg_scan` — the SQL face of [[graft.io.IcebergImport]]
+  * (jar-free read of an external Iceberg v1/v2 table layout):
+  *
+  *   SELECT * FROM graft_iceberg_scan('/path/to/iceberg/table')
+  *   SELECT * FROM graft_iceberg_scan('/path', 3)   -- snapshot id
+  *
+  * Planning resolves the snapshot's data-file set from the metadata
+  * JSON + Avro manifests (O(metadata)); the scan itself is a stock
+  * distributed parquet read, so pushdown/pruning/codegen are intact. */
+object IcebergScan {
+
+  def plan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 1 || args.length == 2,
+      s"graft_iceberg_scan(table_dir[, snapshot_id]) takes 1-2 arguments, got ${args.length}")
+    val dir = args.head match {
+      case l: Literal if l.dataType == StringType && l.value != null => l.value.toString
+      case other => throw new IllegalArgumentException(
+        s"graft_iceberg_scan: table_dir must be a string literal, got $other")
+    }
+    val snap = args.lift(1).map {
+      case l: Literal if (l.dataType == LongType || l.dataType == IntegerType) && l.value != null =>
+        l.value match { case i: Int => i.toLong; case v: Long => v }
+      case other => throw new IllegalArgumentException(
+        s"graft_iceberg_scan: snapshot_id must be an integer literal, got $other")
+    }
+    graft.io.IcebergImport.read(SparkSession.active, dir, snap).queryExecution.analyzed
+  }
+}
