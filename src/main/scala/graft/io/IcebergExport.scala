@@ -99,23 +99,6 @@ object IcebergExport {
       m.v -> out.toSeq
     }.toMap
 
-    // ---- record counts from parquet footers, one distributed job
-    val allFiles = segFiles.values.flatten.map(_._1).toSeq.distinct
-    val rowsByFile: Map[String, Long] =
-      if (allFiles.isEmpty) Map.empty
-      else {
-        val confSer = new org.apache.spark.SerializableWritable(hconf)
-        spark.sparkContext
-          .parallelize(allFiles, math.max(1, math.min(allFiles.size, 64)))
-          .map { abs =>
-            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-                new org.apache.hadoop.fs.Path(abs), confSer.value))
-            try abs -> r.getRecordCount finally r.close()
-          }
-          .collect().toMap
-      }
-
     // ---- Iceberg schema JSON from the table's Spark schema
     val fieldId = new java.util.concurrent.atomic.AtomicInteger(0)
     def icebergType(dt: DataType): String = dt match {
@@ -145,10 +128,45 @@ object IcebergExport {
         val id = fieldId.incrementAndGet()
         s"""{"id":$id,"name":"${esc(f.name)}","required":${!f.nullable},"type":${icebergType(f.dataType)}}"""
       }.mkString("""{"type":"struct","fields":[""", ",", "]}")
-    val schemaFields = structJson(st.readVersion(table, cur).schema)
+    // top-level primitive columns get exported file stats (Iceberg's
+    // value/null counts and lower/upper bounds) — capture their field
+    // ids and a serialization kind during the id walk. Parquet footer
+    // bounds may be truncated for long strings, which matches Iceberg's
+    // contract exactly: lower/upper are BOUNDS, not extrema.
+    val tableSchema = st.readVersion(table, cur).schema
+    val statCols = scala.collection.mutable.LinkedHashMap.empty[String, (Int, String)]
+    def statKind(dt: DataType): String = dt match {
+      case ByteType | ShortType | IntegerType => "int"
+      case LongType => "long"
+      case FloatType => "float"
+      case DoubleType => "double"
+      case StringType => "string"
+      case DateType => "date" // int32 days, serialized as int
+      case TimestampType | TimestampNTZType => "ts" // int64 micros, as long
+      case _ => "" // no stats exported for this type
+    }
+    val schemaFields = tableSchema.fields.map { f =>
+      val id = fieldId.incrementAndGet()
+      if (statKind(f.dataType).nonEmpty) statCols(f.name) = (id, statKind(f.dataType))
+      s"""{"id":$id,"name":"${esc(f.name)}","required":${!f.nullable},"type":${icebergType(f.dataType)}}"""
+    }.mkString("""{"type":"struct","fields":[""", ",", "]}")
     val schemaJson = schemaFields.patch(
       schemaFields.indexOf('{') + 1, """"schema-id":0,""", 0)
     val lastColumnId = fieldId.get()
+
+    // ---- record counts + per-column stats from parquet footers, one
+    // distributed job (the driver only handles file names)
+    val allFiles = segFiles.values.flatten.map(_._1).toSeq.distinct
+    val wantedKinds: Map[String, String] = statCols.map { case (n, (_, k)) => n -> k }.toMap
+    val statsByFile: Map[String, IcebergExport.FileStats] =
+      if (allFiles.isEmpty) Map.empty
+      else {
+        val confSer = new org.apache.spark.SerializableWritable(hconf)
+        spark.sparkContext
+          .parallelize(allFiles, math.max(1, math.min(allFiles.size, 64)))
+          .map(abs => abs -> IcebergExport.footerStats(abs, confSer.value, wantedKinds))
+          .collect().toMap
+      }
 
     // ---- Avro manifests (one per segment, shared by every snapshot list)
     val now = System.currentTimeMillis
@@ -173,10 +191,38 @@ object IcebergExport {
         df.put("file_path", path)
         df.put("file_format", "PARQUET")
         df.put("partition", new GenericData.Record(partSchema))
-        val rc = rowsByFile.getOrElse(path, 0L)
-        rows += rc
-        df.put("record_count", rc)
+        val fst = statsByFile.getOrElse(path, IcebergExport.FileStats(0L, Map.empty))
+        rows += fst.rows
+        df.put("record_count", fst.rows)
         df.put("file_size_in_bytes", len)
+        // per-column stats as Iceberg k/v "logical map" arrays, keyed
+        // by field id; any column a footer can't vouch for is absent —
+        // bounds may only narrow, never lie
+        def kvLongs(field: String, vals: Seq[(Int, Long)]): Unit = if (vals.nonEmpty) {
+          val arrSchema = dataFileSchema.getField(field).schema().getTypes.get(1)
+          val a = new GenericData.Array[GenericRecord](vals.size, arrSchema)
+          vals.foreach { case (k, v) =>
+            val r = new GenericData.Record(arrSchema.getElementType)
+            r.put("key", k); r.put("value", v); a.add(r)
+          }
+          df.put(field, a)
+        }
+        def kvBytes(field: String, vals: Seq[(Int, Array[Byte])]): Unit = if (vals.nonEmpty) {
+          val arrSchema = dataFileSchema.getField(field).schema().getTypes.get(1)
+          val a = new GenericData.Array[GenericRecord](vals.size, arrSchema)
+          vals.foreach { case (k, v) =>
+            val r = new GenericData.Record(arrSchema.getElementType)
+            r.put("key", k); r.put("value", java.nio.ByteBuffer.wrap(v)); a.add(r)
+          }
+          df.put(field, a)
+        }
+        val byId = fst.cols.toSeq.flatMap { case (name, cs) =>
+          statCols.get(name).map { case (id, _) => (id, cs) }
+        }.sortBy(_._1)
+        kvLongs("value_counts", byId.map { case (id, cs) => (id, cs.valueCount) })
+        kvLongs("null_value_counts", byId.flatMap { case (id, cs) => cs.nullCount.map((id, _)) })
+        kvBytes("lower_bounds", byId.flatMap { case (id, cs) => cs.lower.map((id, _)) })
+        kvBytes("upper_bounds", byId.flatMap { case (id, cs) => cs.upper.map((id, _)) })
         val e = new GenericData.Record(manifestSchema)
         e.put("status", 1) // ADDED by this segment's snapshot
         e.put("snapshot_id", m.v.toLong)
@@ -246,6 +292,98 @@ object IcebergExport {
     fs(mdPath).makeQualified(mdPath).toString
   }
 
+  /** Per-file, per-column footer stats bound for a manifest entry.
+    * `nullCount`/bounds are absent whenever a footer can't vouch for
+    * them — Iceberg treats absent stats as "no information", so the
+    * export can only ever narrow pruning, never corrupt it. */
+  private[io] final case class ColFileStats(
+      valueCount: Long, nullCount: Option[Long],
+      lower: Option[Array[Byte]], upper: Option[Array[Byte]])
+  private[io] final case class FileStats(rows: Long, cols: Map[String, ColFileStats])
+
+  /** Executor-side footer read: record count plus per-wanted-column
+    * (value count, null count, serialized bounds). Any per-column
+    * surprise degrades to "no stats for that column", never a failure. */
+  private[io] def footerStats(abs: String, conf: org.apache.hadoop.conf.Configuration,
+      wanted: Map[String, String]): FileStats = {
+    import scala.jdk.CollectionConverters._
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(abs), conf))
+    try {
+      val blocks = r.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val cols = wanted.flatMap { case (name, kind) =>
+        scala.util.Try {
+          val chunks = blocks.flatMap(_.getColumns.asScala).filter(_.getPath.toDotString == name)
+          if (chunks.isEmpty) None
+          else {
+            val vc = chunks.map(_.getValueCount).sum
+            val stats = chunks.map(_.getStatistics)
+            val statsOk = stats.forall(_ != null)
+            val nc =
+              if (statsOk && stats.forall(_.isNumNullsSet)) Some(stats.map(_.getNumNulls).sum)
+              else None
+            val haveBounds = statsOk && stats.forall(_.hasNonNullValue)
+            val (lo, hi) =
+              if (!haveBounds) (None, None) // e.g. an all-null file: counts only
+              else (
+                Some(serializeBound(
+                  stats.map(_.genericGetMin.asInstanceOf[AnyRef]).reduce(boundMin(kind)), kind)),
+                Some(serializeBound(
+                  stats.map(_.genericGetMax.asInstanceOf[AnyRef]).reduce(boundMax(kind)), kind)))
+            Some(name -> ColFileStats(vc, nc, lo, hi))
+          }
+        }.toOption.flatten
+      }
+      FileStats(rows, cols)
+    } finally r.close()
+  }
+
+  private def cmpBound(kind: String)(a: AnyRef, b: AnyRef): Int = kind match {
+    case "int" | "date" => a.asInstanceOf[java.lang.Integer].compareTo(b.asInstanceOf[java.lang.Integer])
+    case "long" | "ts" => a.asInstanceOf[java.lang.Long].compareTo(b.asInstanceOf[java.lang.Long])
+    case "float" => a.asInstanceOf[java.lang.Float].compareTo(b.asInstanceOf[java.lang.Float])
+    case "double" => a.asInstanceOf[java.lang.Double].compareTo(b.asInstanceOf[java.lang.Double])
+    case "string" => // unsigned byte-wise, the stat writer's own ordering
+      val x = a.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+      val y = b.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      java.lang.Integer.compare(x.length, y.length)
+  }
+  private def boundMin(kind: String)(a: AnyRef, b: AnyRef): AnyRef =
+    if (cmpBound(kind)(a, b) <= 0) a else b
+  private def boundMax(kind: String)(a: AnyRef, b: AnyRef): AnyRef =
+    if (cmpBound(kind)(a, b) >= 0) a else b
+
+  /** Iceberg single-value binary serialization (spec Appendix D):
+    * little-endian fixed width for numerics/date/timestamp, raw UTF-8
+    * for strings. */
+  private def serializeBound(v: AnyRef, kind: String): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    kind match {
+      case "int" | "date" =>
+        ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+          .putInt(v.asInstanceOf[java.lang.Integer]).array()
+      case "long" | "ts" =>
+        ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+          .putLong(v.asInstanceOf[java.lang.Long]).array()
+      case "float" =>
+        ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+          .putFloat(v.asInstanceOf[java.lang.Float]).array()
+      case "double" =>
+        ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+          .putDouble(v.asInstanceOf[java.lang.Double]).array()
+      case "string" => v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+    }
+  }
+
   private def writeText(f: org.apache.hadoop.fs.FileSystem, p: Path, s: String): Unit = {
     val os = f.create(p, true)
     try os.write(s.getBytes("UTF-8")) finally os.close()
@@ -289,7 +427,15 @@ object IcebergExport {
       |{"name":"file_format","type":"string","field-id":101},
       |{"name":"partition","type":{"type":"record","name":"r102","fields":[]},"field-id":102},
       |{"name":"record_count","type":"long","field-id":103},
-      |{"name":"file_size_in_bytes","type":"long","field-id":104}
+      |{"name":"file_size_in_bytes","type":"long","field-id":104},
+      |{"name":"value_counts","type":["null",{"type":"array","items":{"type":"record","name":"k119_v120","fields":[
+      |{"name":"key","type":"int","field-id":119},{"name":"value","type":"long","field-id":120}]},"logicalType":"map"}],"default":null,"field-id":109},
+      |{"name":"null_value_counts","type":["null",{"type":"array","items":{"type":"record","name":"k121_v122","fields":[
+      |{"name":"key","type":"int","field-id":121},{"name":"value","type":"long","field-id":122}]},"logicalType":"map"}],"default":null,"field-id":110},
+      |{"name":"lower_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k126_v127","fields":[
+      |{"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]},"logicalType":"map"}],"default":null,"field-id":125},
+      |{"name":"upper_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k129_v130","fields":[
+      |{"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]},"logicalType":"map"}],"default":null,"field-id":128}
       |]},"field-id":2}
       |]}""".stripMargin
 }

@@ -124,6 +124,46 @@ class IcebergExportSpec extends SparkSpec {
       t.read("tab").as[(Long, String)].collect().toSet)
   }
 
+  test("manifest column stats: value/null counts and LE-serialized bounds decode to truth") {
+    val root = java.nio.file.Files.createTempDirectory("graft-iceberg").toString
+    val t = new SnapshotTables(spark, root)
+    // one known file: ids 5..104, strings, and a column with nulls
+    val df = (5 to 104).map(i =>
+      (i.toLong, f"s$i%03d", if (i % 10 == 0) null else s"x$i")).toDF("id", "s", "maybe")
+    t.overwriteTable(df.coalesce(1), "tab")
+    val dest = java.nio.file.Files.createTempDirectory("graft-iceberg-out").toString
+    val mdPath = IcebergExport.export(t, "tab", dest)
+    val md = om.readTree(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(new java.net.URI(mdPath).getPath)))
+    val snap = md.get("snapshots").get(0)
+    val (listRows, _) = readAvro(snap.get("manifest-list").asText)
+    val (entries, _) = readAvro(listRows.head("manifest_path").toString)
+    val dfRec = entries.head("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+
+    def kvMap(field: String): Map[Int, AnyRef] = {
+      import scala.jdk.CollectionConverters._
+      dfRec.get(field).asInstanceOf[java.util.Collection[org.apache.avro.generic.GenericRecord]]
+        .asScala.map(r => r.get("key").asInstanceOf[Int] -> r.get("value")).toMap
+    }
+    // schema assigns id=1 to `id`, 2 to `s`, 3 to `maybe`
+    val vc = kvMap("value_counts")
+    assert(vc(1) == 100L && vc(2) == 100L && vc(3) == 100L)
+    val nc = kvMap("null_value_counts")
+    assert(nc(1) == 0L && nc(2) == 0L && nc(3) == 10L)
+    def le64(b: AnyRef): Long = {
+      val bb = b.asInstanceOf[java.nio.ByteBuffer].duplicate()
+      bb.order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+    }
+    def utf8(b: AnyRef): String = {
+      val bb = b.asInstanceOf[java.nio.ByteBuffer].duplicate()
+      val arr = new Array[Byte](bb.remaining()); bb.get(arr); new String(arr, "UTF-8")
+    }
+    val lo = kvMap("lower_bounds"); val hi = kvMap("upper_bounds")
+    assert(le64(lo(1)) == 5L && le64(hi(1)) == 104L)
+    assert(utf8(lo(2)) == "s005" && utf8(hi(2)) == "s104")
+    assert(utf8(lo(3)) == "x101") // min NON-NULL string in byte order ("x100" is null)
+  }
+
   test("time travel: every retained version's manifest list reproduces that version") {
     val root = java.nio.file.Files.createTempDirectory("graft-iceberg").toString
     val t = new SnapshotTables(spark, root)
