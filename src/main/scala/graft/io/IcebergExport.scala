@@ -74,30 +74,57 @@ object IcebergExport {
     val metaDir = new Path(destDir, "metadata")
     fs(metaDir).mkdirs(metaDir)
 
-    // ---- per-segment data files: (absolute path, length), partition-free
+    // ---- per-segment data files: (absolute path, length, identity-
+    // partition (col, rawValue) pairs parsed from `col=value` dirs).
+    // Hive-style layouts drop the partition column from the data
+    // files; Iceberg's own Hive-migration path (add_files/migrate)
+    // handles exactly this by serving identity partition values from
+    // the manifest's partition struct — so does this export.
     val allSegs = chains.values.flatten.toSeq.distinctBy(_.v).sortBy(_.v)
-    val segFiles: Map[Int, Seq[(String, Long)]] = allSegs.map { m =>
+    val segFiles: Map[Int, Seq[(String, Long, Seq[(String, String)])]] = allSegs.map { m =>
       val base = st.dataDirOfMeta(table, m)
       val f = fs(base)
       val baseStr = f.makeQualified(base).toString.stripSuffix("/") + "/"
-      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Seq[(String, String)])]
       if (f.exists(base)) {
         val it = f.listFiles(base, true)
         while (it.hasNext) {
           val s = it.next()
           val rel = s.getPath.toString.stripPrefix(baseStr)
           val comps = rel.split('/')
+          // refuse hidden-transform layouts BEFORE the hidden-component
+          // skip: `__p_*=v` dirs are underscore-prefixed, and silently
+          // skipping them would export an empty table
+          if (s.isFile && rel.endsWith(".parquet"))
+            require(!comps.init.exists(c => c.startsWith("__p_") && c.contains("=")),
+              s"table $table v${m.v} uses hidden-transform partitioning " +
+                s"(${comps.init.find(_.startsWith("__p_")).get}) — only identity `col=value` " +
+                "layouts export; compact() to an identity or unpartitioned layout first")
           val hidden = comps.exists(c => c.startsWith("_") || c.startsWith("."))
           if (s.isFile && rel.endsWith(".parquet") && !hidden) {
-            require(!comps.init.exists(c => c.contains("=")),
-              s"table $table v${m.v} has partition directories ($rel) — Hive-style layouts drop " +
-                "the partition column from data files; compact() to an unpartitioned layout first")
-            out += ((s.getPath.toString, s.getLen))
+            val parts = comps.init.filter(_.contains("=")).toSeq.map { c =>
+              val i = c.indexOf('=')
+              val col = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                .unescapePathName(c.substring(0, i))
+              val v = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                .unescapePathName(c.substring(i + 1))
+              (col, v)
+            }
+            out += ((s.getPath.toString, s.getLen, parts))
           }
         }
       }
       m.v -> out.toSeq
     }.toMap
+
+    // identity partition columns: the SAME ordered column sequence on
+    // every file of every exported version, or nothing exports —
+    // Iceberg's default spec describes the whole table
+    val partColSeqs = segFiles.values.flatten.map(_._3.map(_._1)).toSeq.distinct
+    require(partColSeqs.size <= 1,
+      s"table $table mixes partition layouts across files (${partColSeqs.take(3)}) — " +
+        "compact() to one layout before exporting")
+    val partCols: Seq[String] = partColSeqs.headOption.getOrElse(Nil)
 
     // ---- Iceberg schema JSON from the table's Spark schema
     val fieldId = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -135,6 +162,7 @@ object IcebergExport {
     // contract exactly: lower/upper are BOUNDS, not extrema.
     val tableSchema = st.readVersion(table, cur).schema
     val statCols = scala.collection.mutable.LinkedHashMap.empty[String, (Int, String)]
+    val topIds = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     def statKind(dt: DataType): String = dt match {
       case ByteType | ShortType | IntegerType => "int"
       case LongType => "long"
@@ -147,12 +175,35 @@ object IcebergExport {
     }
     val schemaFields = tableSchema.fields.map { f =>
       val id = fieldId.incrementAndGet()
+      topIds(f.name) = id
       if (statKind(f.dataType).nonEmpty) statCols(f.name) = (id, statKind(f.dataType))
       s"""{"id":$id,"name":"${esc(f.name)}","required":${!f.nullable},"type":${icebergType(f.dataType)}}"""
     }.mkString("""{"type":"struct","fields":[""", ",", "]}")
     val schemaJson = schemaFields.patch(
       schemaFields.indexOf('{') + 1, """"schema-id":0,""", 0)
     val lastColumnId = fieldId.get()
+
+    // identity partition spec: (column, value kind, source field id,
+    // partition field id 1000+i) — value types limited to what a
+    // directory name round-trips losslessly
+    val partFieldInfo: Seq[(String, String, Int, Int)] = partCols.zipWithIndex.map { case (c, i) =>
+      val srcId = topIds.getOrElse(c, throw new IllegalArgumentException(
+        s"partition column '$c' is not in table $table's schema"))
+      val kind = tableSchema.fields.find(_.name == c).map(f => f.dataType match {
+        case ByteType | ShortType | IntegerType => "int"
+        case LongType => "long"
+        case StringType => "string"
+        case DateType => "date"
+        case other => throw new IllegalArgumentException(
+          s"partition column '$c' has type $other — identity export supports int/long/string/date")
+      }).get
+      require(c.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"partition column '$c' is not a valid Avro field name — rename before exporting")
+      (c, kind, srcId, 1000 + i)
+    }
+    val specFieldsJson = partFieldInfo.map { case (c, _, srcId, fid) =>
+      s"""{"name":"${esc(c)}","transform":"identity","source-id":$srcId,"field-id":$fid}"""
+    }.mkString("[", ",", "]")
 
     // ---- record counts + per-column stats from parquet footers, one
     // distributed job (the driver only handles file names)
@@ -170,7 +221,8 @@ object IcebergExport {
 
     // ---- Avro manifests (one per segment, shared by every snapshot list)
     val now = System.currentTimeMillis
-    val manifestSchema = new org.apache.avro.Schema.Parser().parse(ManifestEntryAvro)
+    val manifestSchema = new org.apache.avro.Schema.Parser().parse(
+      manifestEntryAvro(partFieldInfo.map { case (c, k, _, fid) => (c, k, fid) }))
     val dataFileSchema = manifestSchema.getField("data_file").schema()
     val partSchema = dataFileSchema.getField("partition").schema()
     val manifestMeta: Map[Int, (String, Long, Long)] = allSegs.map { m =>
@@ -178,19 +230,33 @@ object IcebergExport {
       val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](manifestSchema))
       w.setMeta("schema", schemaJson)
       w.setMeta("schema-id", "0")
-      w.setMeta("partition-spec", "[]")
+      w.setMeta("partition-spec", specFieldsJson)
       w.setMeta("partition-spec-id", "0")
       w.setMeta("format-version", "2")
       w.setMeta("content", "data")
       val os = fs(p).create(p, true)
       w.create(manifestSchema, os)
       var rows = 0L
-      segFiles(m.v).foreach { case (path, len) =>
+      segFiles(m.v).foreach { case (path, len, parts) =>
         val df = new GenericData.Record(dataFileSchema)
         df.put("content", 0)
         df.put("file_path", path)
         df.put("file_format", "PARQUET")
-        df.put("partition", new GenericData.Record(partSchema))
+        val pRec = new GenericData.Record(partSchema)
+        parts.foreach { case (col, raw) =>
+          val kind = partFieldInfo.find(_._1 == col).get._2
+          val v: AnyRef =
+            if (raw == "__HIVE_DEFAULT_PARTITION__") null
+            else kind match {
+              case "int" => java.lang.Integer.valueOf(raw.toInt)
+              case "long" => java.lang.Long.valueOf(raw.toLong)
+              case "string" => raw
+              case "date" =>
+                java.lang.Integer.valueOf(java.time.LocalDate.parse(raw).toEpochDay.toInt)
+            }
+          pRec.put(col, v)
+        }
+        df.put("partition", pRec)
         val fst = statsByFile.getOrElse(path, IcebergExport.FileStats(0L, Map.empty))
         rows += fst.rows
         df.put("record_count", fst.rows)
@@ -281,7 +347,8 @@ object IcebergExport {
       s"""{"format-version":2,"table-uuid":"$uuid","location":"${esc(destDir)}",""" +
         s""""last-sequence-number":$cur,"last-updated-ms":$now,"last-column-id":$lastColumnId,""" +
         s""""current-schema-id":0,"schemas":[$schemaJson],""" +
-        s""""default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],"last-partition-id":999,""" +
+        s""""default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":$specFieldsJson}],""" +
+        s""""last-partition-id":${999 + partCols.size},""" +
         s""""default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],""" +
         s""""properties":{},"current-snapshot-id":$cur,"snapshots":$snapshots,""" +
         s""""snapshot-log":$snapshotLog,"metadata-log":[],""" +
@@ -411,10 +478,25 @@ object IcebergExport {
       |{"name":"deleted_rows_count","type":"long","field-id":514}
       |]}""".stripMargin
 
-  /** Iceberg v2 `manifest_entry` Avro schema (spec "Manifests":
-    * field-ids 0-4, data_file struct 100-134; optional column stats
-    * omitted — they are nullable in the spec). The partition struct is
-    * empty: the export targets unpartitioned specs. */
+  /** Iceberg v2 `manifest_entry` Avro schema for a given identity
+    * partition spec (spec "Manifests": field-ids 0-4, data_file struct
+    * 100-134, partition struct fields 1000+). */
+  private[io] def manifestEntryAvro(partFields: Seq[(String, String, Int)]): String = {
+    val pf = partFields.map { case (name, kind, fid) =>
+      val t = kind match {
+        case "int" => "\"int\""
+        case "long" => "\"long\""
+        case "string" => "\"string\""
+        case "date" => """{"type":"int","logicalType":"date"}"""
+      }
+      s"""{"name":"$name","type":["null",$t],"default":null,"field-id":$fid}"""
+    }.mkString(",")
+    ManifestEntryAvro.replace(
+      """{"name":"partition","type":{"type":"record","name":"r102","fields":[]},"field-id":102}""",
+      s"""{"name":"partition","type":{"type":"record","name":"r102","fields":[$pf]},"field-id":102}""")
+  }
+
+  /** The unpartitioned-spec base schema (empty partition struct). */
   private[io] val ManifestEntryAvro: String =
     """{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int","field-id":0},

@@ -29,11 +29,37 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object IcebergImport {
 
   /** Read the table rooted at `tableDir` (containing `metadata/`), at
-    * its current snapshot or at `snapshotId`. */
+    * its current snapshot or at `snapshotId`.
+    *
+    * Hive-migrated identity-partitioned layouts (Iceberg's
+    * add_files/migrate shape, and [[IcebergExport]]'s) keep the
+    * partition column OUT of the data files — when the files carry
+    * `col=value` directory components and the parquet schema lacks
+    * those columns, partition discovery is re-enabled per directory
+    * base so the columns come back typed; files that already CONTAIN
+    * their partition columns (normal Iceberg writers) read plainly. */
   def read(spark: SparkSession, tableDir: String, snapshotId: Option[Long] = None): DataFrame = {
     val files = dataFiles(spark, tableDir, snapshotId)
-    if (files.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(files: _*)
+    if (files.isEmpty) return spark.emptyDataFrame
+    val partitioned = files.exists(_.split('/').init.exists(_.contains("=")))
+    if (!partitioned) return spark.read.parquet(files: _*)
+    // which columns do the files themselves carry?
+    val fileCols = spark.read.parquet(files.head).schema.fieldNames.toSet
+    val dirCols = files.head.split('/').init.filter(_.contains("="))
+      .map(c => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(c.substring(0, c.indexOf('=')))).toSet
+    if (dirCols.subsetOf(fileCols)) return spark.read.parquet(files: _*)
+    // partition columns live only in the directory names: group files
+    // by their pre-partition base and let Spark's partition discovery
+    // type them; union across bases (one per exported segment)
+    val byBase = files.groupBy { f =>
+      val comps = f.split('/')
+      val firstPart = comps.indexWhere(_.contains("="))
+      comps.take(firstPart).mkString("/")
+    }
+    byBase.toSeq.sortBy(_._1).map { case (base, fs) =>
+      spark.read.option("basePath", base).parquet(fs: _*)
+    }.reduce(_ unionByName _)
   }
 
   /** The snapshot's surviving data-file paths — exposed so callers can

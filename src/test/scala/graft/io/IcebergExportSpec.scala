@@ -216,10 +216,14 @@ class IcebergExportSpec extends SparkSpec {
     t.materialize("mor")
     IcebergExport.export(t, "mor", dest)
 
-    t.overwriteTable((1 to 10).map(i => (i.toLong, s"p${i % 2}")).toDF("id", "p"),
-      "part", partitionCols = Seq("p"))
+    // identity partitions EXPORT (IcebergImportSpec round-trips them);
+    // what still refuses is hidden-transform partitioning — `__p_*`
+    // dirs hold derived values an identity spec would misdescribe
+    t.overwriteTableTransformed(
+      (1 to 10).map(i => (i.toLong, s"x$i")).toDF("id", "v"),
+      "hid", Seq(SnapshotTables.PartitionTransform.bucket(4, "id")))
     val e2 = intercept[IllegalArgumentException](
-      IcebergExport.export(t, "part", java.nio.file.Files.createTempDirectory("x").toString))
-    assert(e2.getMessage.contains("partition"))
+      IcebergExport.export(t, "hid", java.nio.file.Files.createTempDirectory("x").toString))
+    assert(e2.getMessage.contains("hidden-transform"))
   }
 }

@@ -14,6 +14,25 @@ import org.apache.spark.sql.functions._
 class IcebergImportSpec extends SparkSpec {
   import spark.implicits._
 
+  private def readAvro(path: String): (Seq[Map[String, Any]], Map[String, String]) = {
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    val p = new org.apache.hadoop.fs.Path(path)
+    val in = new org.apache.avro.file.DataFileStream[GenericRecord](
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p),
+      new GenericDatumReader[GenericRecord]())
+    try {
+      import scala.jdk.CollectionConverters._
+      val meta = in.getMetaKeys.asScala.toSeq.filterNot(_.startsWith("avro."))
+        .map(k => k -> in.getMetaString(k)).toMap
+      val rows = scala.collection.mutable.ArrayBuffer.empty[Map[String, Any]]
+      while (in.hasNext) {
+        val r = in.next()
+        rows += r.getSchema.getFields.asScala.map(f => f.name() -> r.get(f.name())).toMap
+      }
+      (rows.toSeq, meta)
+    } finally in.close()
+  }
+
   private def exported(): (SnapshotTables, String) = {
     val root = java.nio.file.Files.createTempDirectory("graft-ice-imp").toString
     val t = new SnapshotTables(spark, root)
@@ -103,6 +122,47 @@ class IcebergImportSpec extends SparkSpec {
     assert(filtered.queryExecution.executedPlan.toString.contains("PushedFilters: [IsNotNull(id), LessThanOrEqual(id,10)]")
       || filtered.queryExecution.executedPlan.toString.contains("LessThanOrEqual(id,10)"))
     assert(t.read("tab").count() == 180)
+  }
+
+  test("identity-partitioned layout: real partition spec, typed struct values, full round-trip") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ice-part").toString
+    val t = new SnapshotTables(spark, root)
+    val df = (1 to 60).map(i =>
+      (i.toLong, s"v$i", java.sql.Date.valueOf(f"2026-01-0${i % 3 + 1}"))).toDF("id", "v", "d")
+    t.overwriteTable(df, "tab", partitionCols = Seq("d"))
+    t.append((61 to 90).map(i =>
+      (i.toLong, s"v$i", java.sql.Date.valueOf("2026-01-04"))).toDF("id", "v", "d"), "tab")
+    val dest = java.nio.file.Files.createTempDirectory("graft-ice-part-out").toString
+    val mdPath = IcebergExport.export(t, "tab", dest)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val md = om.readTree(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(new java.net.URI(mdPath).getPath)))
+    // the spec declares one identity field on `d` with spec'd ids
+    val spec0 = md.get("partition-specs").get(0)
+    assert(spec0.get("fields").size == 1)
+    val pf = spec0.get("fields").get(0)
+    assert(pf.get("name").asText == "d" && pf.get("transform").asText == "identity")
+    assert(pf.get("source-id").asInt == 3 && pf.get("field-id").asInt == 1000)
+    assert(md.get("last-partition-id").asInt == 1000)
+    // a manifest entry's partition struct carries the typed date value
+    val snaps = md.get("snapshots")
+    val cur = md.get("current-snapshot-id").asLong
+    val curSnap = (0 until snaps.size).map(snaps.get).find(_.get("snapshot-id").asLong == cur).get
+    val (listRows, _) = readAvro(curSnap.get("manifest-list").asText)
+    val someEntry = readAvro(listRows.head("manifest_path").toString)._1.head
+    val part = someEntry("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+      .get("partition").asInstanceOf[org.apache.avro.generic.GenericRecord]
+    val days = part.get("d").asInstanceOf[Int]
+    val date = java.time.LocalDate.ofEpochDay(days.toLong)
+    assert(date.getYear == 2026 && date.getMonthValue == 1)
+    // import round-trips content INCLUDING the partition column the
+    // data files themselves do not carry
+    val back = IcebergImport.read(spark, dest)
+    assert(back.columns.toSet == Set("id", "v", "d"))
+    assert(back.as[(Long, String, java.sql.Date)].collect().toSet ==
+      t.read("tab").as[(Long, String, java.sql.Date)].collect().toSet)
+    // and per-snapshot time travel holds
+    assert(IcebergImport.read(spark, dest, Some(1L)).count() == 60)
   }
 
   test("delete files refuse the read instead of resurrecting rows") {
