@@ -110,9 +110,10 @@ object Ingest {
     * the JVM-level HttpClient lives in the companion (one per executor
     * JVM, built on first use) so nothing non-serializable is captured.
     * The transport is injectable (`send`) so the status/error contract
-    * is unit-testable without a network — which is also how this class
-    * is verified in this sandbox (zero egress; the default transport
-    * compiles against the JDK and is exercised nowhere).
+    * is unit-testable without a network; the DEFAULT transport is
+    * additionally exercised over real sockets against a loopback
+    * paginated API from executor tasks (LiveHttpIngestSpec — zero
+    * egress forbids external calls, loopback does not).
     *
     * @param urlForPage page number → absolute URL (the reference
     *        passes the page as a query param; encode it here)
