@@ -357,12 +357,14 @@ final class SnapshotTables(
     * (size-targeted repartition, z-order clustering) must not be
     * re-shuffled away by the table's write sort order. */
   private[io] def overwriteShaped(df: DataFrame, table: String, partitionCols: Seq[String],
-      statsCols: Seq[String] = Nil, sketchCols: Seq[String] = Nil): Unit =
-    overwriteImpl(df, table, partitionCols, statsCols, sketchCols, applySortOrder = false)
+      statsCols: Seq[String] = Nil, sketchCols: Seq[String] = Nil,
+      expectedNext: Option[Int] = None): Unit =
+    overwriteImpl(df, table, partitionCols, statsCols, sketchCols, applySortOrder = false,
+      expectedNext = expectedNext)
 
   private def overwriteImpl(df: DataFrame, table: String, partitionCols: Seq[String],
       statsCols: Seq[String], sketchCols: Seq[String], applySortOrder: Boolean,
-      metaExtra: String = ""): Unit = {
+      metaExtra: String = "", expectedNext: Option[Int] = None): Unit = {
     // statsCols is a persistent TABLE PROPERTY, not a per-write flag:
     // once set, every later commit — merge, delete, compact,
     // overwritePartitions all route through here — keeps maintaining
@@ -405,7 +407,7 @@ final class SnapshotTables(
       partitionCols1 = partitionCols1,
       schemaJson = df1.schema.json,
       metaExtra = metaExtra,
-      expectedNext = None,
+      expectedNext = expectedNext,
       afterWin = () => {
         if (statsCols.nonEmpty) replaceSmallFile(statsColsPath(table), statsCols.mkString(","))
         if (sketchCols.nonEmpty) replaceSmallFile(sketchColsPath(table), sketchCols.mkString(","))
@@ -857,7 +859,16 @@ final class SnapshotTables(
   def materialize(table: String): Unit = {
     val cur = currentVersion(table)
     require(cur > 0, s"table $table has no committed version")
-    if (chainOf(table, cur).length > 1) overwriteTable(readVersion(table, cur), table)
+    // CONTENT-PRESERVING rewrite, so its commit slot is pinned to the
+    // version whose content was read: without expectedNext a writer
+    // landing between this read and the commit would be SILENTLY
+    // REPLACED by the stale full snapshot (found by the catalog stress
+    // fuzz) — last-writer-wins is correct for a user overwrite, never
+    // for maintenance. A lost race throws ConcurrentCommitException;
+    // callers retry, re-reading the winner's chain.
+    if (chainOf(table, cur).length > 1)
+      overwriteImpl(readVersion(table, cur), table, Nil, Nil, Nil,
+        applySortOrder = true, expectedNext = Some(cur + 1))
   }
 
   /** MINOR COMPACTION (LSM-style): fold the current chain's DELTA
@@ -3469,7 +3480,9 @@ final class SnapshotTables(
       if (partitionCols.nonEmpty)
         df.repartition(nFiles, partitionCols.map(org.apache.spark.sql.functions.col): _*)
       else df.repartition(nFiles)
-    overwriteShaped(compacted, table, partitionCols)
+    // content-preserving: pin the slot so a concurrent writer fails the
+    // rewrite (ConcurrentCommitException) instead of being swallowed
+    overwriteShaped(compacted, table, partitionCols, expectedNext = Some(cur + 1))
   }
 
   /** OPTIMIZE [ZORDER BY]: rewrite the current version's data into
@@ -3510,7 +3523,9 @@ final class SnapshotTables(
         df.repartition(nFiles, idCols.map(org.apache.spark.sql.functions.col): _*)
       else df.repartition(nFiles)
     val stats = if (statsCols.nonEmpty) statsCols else zorderCols
-    overwriteShaped(rewritten, table, Nil, statsCols = stats)
+    // content-preserving: pin the slot so a concurrent writer fails the
+    // rewrite (ConcurrentCommitException) instead of being swallowed
+    overwriteShaped(rewritten, table, Nil, statsCols = stats, expectedNext = Some(cur + 1))
   }
 
   /** Total bytes across a version's chain segments — the sizing input

@@ -28,8 +28,14 @@ import org.apache.spark.sql.functions._
 class CatalogStressSpec extends SparkSpec {
   import spark.implicits._
 
-  private val Writers = 5
-  private val OpsPerWriter = 6
+  // this fuzz caught a REAL lost write on its second-ever CI run: a
+  // concurrent `materialize` committed a stale full snapshot over a
+  // just-landed append (content-preserving rewrites used to commit
+  // without pinning their slot — fixed by threading expectedNext
+  // through overwriteImpl for materialize/compact/optimize). Keep the
+  // writer/op counts high enough that maintenance ops overlap appends.
+  private val Writers = 6
+  private val OpsPerWriter = 8
   private val Tables = Seq("ta", "tb")
 
   test("seeded N-writer x M-table fuzz: mixed append/MOR/compact/expire, no torn state, no orphans") {
