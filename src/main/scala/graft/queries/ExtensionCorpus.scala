@@ -641,6 +641,38 @@ object ExtensionCorpus {
       FROM px GROUP BY doc_id ORDER BY doc_id""")
   )
 
+  /** The Iceberg interop bridge under the correctness gate: commit
+    * lineitem into a snapshot table (two segments), export the Iceberg
+    * v2 metadata (X118), read it back through the jar-free reader's
+    * SQL face (X119), and aggregate — the DuckDB oracle computes the
+    * same aggregate over the RAW parquet, so a hash match pins that
+    * export∘import is the identity on content (metadata JSON, Avro
+    * manifest lists/manifests, file addressing and entry statuses all
+    * round-trip). The layout halves (partition specs, column stats,
+    * time travel, refusals) live in the spec twins. */
+  private val q144 = Q(
+    "q144_iceberg_roundtrip",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q144-snap").toString
+      val t = new graft.io.SnapshotTables(s, root)
+      val li = fixture(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      t.overwriteTable(li.filter(col("l_orderkey") <= 10000), "li")
+      t.append(li.filter(col("l_orderkey") > 10000), "li")
+      val dest = java.nio.file.Files.createTempDirectory("q144-ice").toString
+      graft.io.IcebergExport.export(t, "li", dest)
+      s.sql(s"""SELECT l_returnflag, COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM graft_iceberg_scan('$dest')
+        GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+    Some("""SELECT l_returnflag, COUNT(*) AS n,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+  )
+
   // -------------------------------------------------------- temporal joins
 
   private val q44 = Q(
@@ -2417,7 +2449,7 @@ object ExtensionCorpus {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q99, q100, q101, q102, q106, q107, q108,
     q109, q111, q112, q113, q114, q116, q117, q118, q119, q121, q122, q123, q125, q126, q127,
-    q128, q130, q131, q132, q133, q135, q136, q137, q138, q139, q140, q141, q143
+    q128, q130, q131, q132, q133, q135, q136, q137, q138, q139, q140, q141, q143, q144
   )
 
 }
