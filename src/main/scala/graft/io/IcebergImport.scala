@@ -2,7 +2,8 @@ package graft.io
 
 import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Jar-free ICEBERG V2 TABLE READER — the other half of the interop
   * bridge ([[IcebergExport]] writes): a user migrating OFF an Iceberg
@@ -16,11 +17,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * O(metadata), the scan is a stock distributed parquet read
   * (predicate pushdown, column pruning and codegen all intact).
   *
+  * ROW-LEVEL DELETES (v2 merge-on-read) are applied, not refused:
+  *  - POSITION delete files (content=1): each data row is addressed by
+  *    `(file_path, pos)`. Spark's parquet `_metadata.file_path` /
+  *    `_metadata.row_index` reconstruct exactly those coordinates on
+  *    the scan side, so application is one LEFT ANTI join against the
+  *    delete set (tiny vs the data → AQE broadcasts it). Spec gating:
+  *    a position delete applies to a data file when the delete's data
+  *    sequence number is >= the data file's.
+  *  - EQUALITY delete files (content=2): each delete row is a predicate
+  *    over the `equality_ids` columns (field ids resolved through the
+  *    table schema). Application is a LEFT ANTI join on null-safe
+  *    equality of those columns, gated on the delete's sequence number
+  *    being STRICTLY greater than the data file's (the spec: equality
+  *    deletes never see rows committed at or after them).
+  *  Sequence numbers come from the manifest entries (inherited from
+  *  the manifest-list entry when null on an ADDED entry, per the v2
+  *  inheritance rule; v1 layouts have no deletes and sequence 0).
+  *
   * Honest refusals, never wrong answers:
-  *  - position/equality DELETE files (v2 row-level deletes) refuse the
-  *    read — resolving them without the runtime risks silent
-  *    resurrection of deleted rows;
-  *  - non-parquet data files (AVRO/ORC data) refuse;
+  *  - equality deletes on a PARTITIONED table refuse — the spec scopes
+  *    a partitioned equality delete to its partition, which needs the
+  *    delete manifest's partition struct resolved against the spec;
+  *    without the runtime that risks deleting too much or too little;
+  *  - non-parquet data or delete files (AVRO/ORC) refuse;
+  *  - delete files missing the spec's columns refuse;
   *  - a missing/ambiguous current snapshot refuses with the metadata
   *    path in the message.
   * Manifest entries with status DELETED (2) are excluded — that is
@@ -28,8 +49,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object IcebergImport {
 
+  /** A live data file with its data sequence number. `raw` keeps the
+    * manifest's own spelling — position-delete rows address files by
+    * that exact string, so both spellings enter the lookup. */
+  private final case class DataEntry(path: String, raw: String, seq: Long)
+  private final case class DeleteEntry(path: String, raw: String, seq: Long,
+      content: Int, equalityIds: Seq[Int])
+  private final case class ScanPlan(data: Seq[DataEntry], deletes: Seq[DeleteEntry],
+      fieldNames: Map[Int, String], partitionedSpec: Boolean)
+
+  // helper-column names used while delete application is in flight;
+  // chosen to never collide with user schemas (and guarded anyway)
+  private val FileCol = "__graft_ice_file"
+  private val PosCol = "__graft_ice_pos"
+  private val FidCol = "__graft_ice_fid"
+  private val FseqCol = "__graft_ice_fseq"
+
   /** Read the table rooted at `tableDir` (containing `metadata/`), at
-    * its current snapshot or at `snapshotId`.
+    * its current snapshot or at `snapshotId`, with row-level deletes
+    * applied.
     *
     * Hive-migrated identity-partitioned layouts (Iceberg's
     * add_files/migrate shape, and [[IcebergExport]]'s) keep the
@@ -39,32 +77,29 @@ object IcebergImport {
     * base so the columns come back typed; files that already CONTAIN
     * their partition columns (normal Iceberg writers) read plainly. */
   def read(spark: SparkSession, tableDir: String, snapshotId: Option[Long] = None): DataFrame = {
-    val files = dataFiles(spark, tableDir, snapshotId)
-    if (files.isEmpty) return spark.emptyDataFrame
-    val partitioned = files.exists(_.split('/').init.exists(_.contains("=")))
-    if (!partitioned) return spark.read.parquet(files: _*)
-    // which columns do the files themselves carry?
-    val fileCols = spark.read.parquet(files.head).schema.fieldNames.toSet
-    val dirCols = files.head.split('/').init.filter(_.contains("="))
-      .map(c => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .unescapePathName(c.substring(0, c.indexOf('=')))).toSet
-    if (dirCols.subsetOf(fileCols)) return spark.read.parquet(files: _*)
-    // partition columns live only in the directory names: group files
-    // by their pre-partition base and let Spark's partition discovery
-    // type them; union across bases (one per exported segment)
-    val byBase = files.groupBy { f =>
-      val comps = f.split('/')
-      val firstPart = comps.indexWhere(_.contains("="))
-      comps.take(firstPart).mkString("/")
-    }
-    byBase.toSeq.sortBy(_._1).map { case (base, fs) =>
-      spark.read.option("basePath", base).parquet(fs: _*)
-    }.reduce(_ unionByName _)
+    val plan = planScan(spark, tableDir, snapshotId)
+    if (plan.data.isEmpty) return spark.emptyDataFrame
+    if (plan.deletes.isEmpty) baseFrame(spark, plan.data.map(_.path), withMeta = false)
+    else applyDeletes(spark, plan)
   }
 
   /** The snapshot's surviving data-file paths — exposed so callers can
-    * audit exactly what a read would scan. */
-  def dataFiles(spark: SparkSession, tableDir: String, snapshotId: Option[Long] = None): Seq[String] = {
+    * audit exactly what a read would scan. (With row-level deletes
+    * present, the read additionally filters rows; the FILE set is
+    * still exactly this.) */
+  def dataFiles(spark: SparkSession, tableDir: String, snapshotId: Option[Long] = None): Seq[String] =
+    planScan(spark, tableDir, snapshotId).data.map(_.path)
+
+  /** The snapshot's delete-file paths (position + equality) — the
+    * audit twin of [[dataFiles]]. */
+  def deleteFiles(spark: SparkSession, tableDir: String, snapshotId: Option[Long] = None): Seq[String] =
+    planScan(spark, tableDir, snapshotId).deletes.map(_.path)
+
+  // ------------------------------------------------------------------
+  // planning: metadata JSON → manifests → (data entries, delete entries)
+  // ------------------------------------------------------------------
+
+  private def planScan(spark: SparkSession, tableDir: String, snapshotId: Option[Long]): ScanPlan = {
     val hconf = spark.sparkContext.hadoopConfiguration
     def fs(p: Path) = p.getFileSystem(hconf)
 
@@ -77,6 +112,40 @@ object IcebergImport {
     }
     val fv = if (md.has("format-version")) md.get("format-version").asInt else 1
     require(fv == 1 || fv == 2, s"unsupported Iceberg format-version $fv at $mdPath")
+
+    // field id → name from the current schema (v2 "schemas" +
+    // "current-schema-id"; v1 single "schema") — resolves equality_ids
+    val schemaNode = {
+      val schemas = md.get("schemas")
+      if (schemas != null && schemas.size > 0) {
+        val want = if (md.has("current-schema-id")) md.get("current-schema-id").asInt else 0
+        (0 until schemas.size).map(schemas.get)
+          .find(s => s.has("schema-id") && s.get("schema-id").asInt == want)
+          .getOrElse(schemas.get(0))
+      } else md.get("schema")
+    }
+    val fieldNames: Map[Int, String] =
+      if (schemaNode == null || schemaNode.get("fields") == null) Map.empty
+      else {
+        val fields = schemaNode.get("fields")
+        (0 until fields.size).map(fields.get)
+          .map(f => f.get("id").asInt -> f.get("name").asText).toMap
+      }
+
+    // is the DEFAULT partition spec non-empty? (gates equality deletes)
+    val partitionedSpec = {
+      val specs = md.get("partition-specs")
+      if (specs != null && specs.size > 0) {
+        val want = if (md.has("default-spec-id")) md.get("default-spec-id").asInt else 0
+        (0 until specs.size).map(specs.get)
+          .find(s => s.has("spec-id") && s.get("spec-id").asInt == want)
+          .orElse(Some(specs.get(0)))
+          .exists(s => s.get("fields") != null && s.get("fields").size > 0)
+      } else {
+        val v1 = md.get("partition-spec")
+        v1 != null && v1.size > 0
+      }
+    }
 
     val wantSnap = snapshotId.getOrElse {
       require(md.hasNonNull("current-snapshot-id") && md.get("current-snapshot-id").asLong != -1L,
@@ -91,40 +160,191 @@ object IcebergImport {
         s"snapshot $wantSnap not found in $mdPath — have " +
           (0 until snaps.size).map(snaps.get(_).get("snapshot-id").asLong).mkString(", ")))
 
-    // v1 snapshots may carry an inline "manifests" array instead of a list file
-    val manifests: Seq[(String, Int)] =
+    // v1 snapshots may carry an inline "manifests" array instead of a
+    // list file; (path, manifest sequence number for inheritance)
+    val manifests: Seq[(String, Long)] =
       if (snap.hasNonNull("manifest-list")) {
-        readAvro(fs _, resolve(tableDir, snap.get("manifest-list").asText)).map { r =>
-          val content = Option(r.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
-          (r.get("manifest_path").toString, content)
+        readAvro(fs _, resolve(tableDir, snap.get("manifest-list").asText))._1.map { r =>
+          val seq = Option(r.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(0L)
+          (r.get("manifest_path").toString, seq)
         }
       } else if (snap.hasNonNull("manifests")) {
         val a = snap.get("manifests")
-        (0 until a.size).map(i => (a.get(i).asText, 0))
+        (0 until a.size).map(i => (a.get(i).asText, 0L))
       } else throw new IllegalArgumentException(s"snapshot $wantSnap has no manifest list in $mdPath")
 
-    manifests.flatMap { case (mPathRaw, listContent) =>
+    val dataB = Seq.newBuilder[DataEntry]
+    val delB = Seq.newBuilder[DeleteEntry]
+    manifests.foreach { case (mPathRaw, listSeq) =>
       val mPath = resolve(tableDir, mPathRaw)
-      val entries = readAvro(fs _, mPath)
-      // the manifest's own Avro metadata also declares its content
-      require(listContent == 0,
-        s"manifest $mPath carries DELETE files (content=$listContent) — row-level deletes need " +
-          "an Iceberg runtime to resolve; compact the source table first")
-      entries.flatMap { e =>
+      val entries = readAvro(fs _, mPath)._1
+      entries.foreach { e =>
         val status = Option(e.get("status")).map(_.asInstanceOf[Int]).getOrElse(1)
-        if (status == 2) None // DELETED entry: the spec requires skipping it
-        else {
+        if (status != 2) { // DELETED entry: the spec requires skipping it
           val df = e.get("data_file").asInstanceOf[GenericRecord]
           val content = Option(df.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
-          require(content == 0,
-            s"data_file with content=$content (delete file) in $mPath — row-level deletes need " +
-              "an Iceberg runtime to resolve; compact the source table first")
           val fmt = df.get("file_format").toString.toUpperCase
-          require(fmt == "PARQUET", s"non-parquet data file ($fmt) in $mPath — only parquet data is supported")
-          Some(resolve(tableDir, df.get("file_path").toString).toString)
+          require(fmt == "PARQUET",
+            s"non-parquet ${if (content == 0) "data" else "delete"} file ($fmt) in $mPath — only parquet is supported")
+          // v2 sequence inheritance: a null sequence on an ADDED entry
+          // takes the manifest's; null on EXISTING/other must be explicit
+          val seq = Option(e.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse {
+            require(status == 1,
+              s"manifest entry with status=$status and no sequence_number in $mPath — cannot inherit")
+            listSeq
+          }
+          val raw = df.get("file_path").toString
+          val abs = resolve(tableDir, raw).toString
+          content match {
+            case 0 => dataB += DataEntry(abs, raw, seq)
+            case 1 => delB += DeleteEntry(abs, raw, seq, 1, Nil)
+            case 2 =>
+              val idsNode = df.get("equality_ids")
+              require(idsNode != null,
+                s"equality delete file $raw in $mPath carries no equality_ids")
+              import scala.jdk.CollectionConverters._
+              val ids = idsNode.asInstanceOf[java.util.List[_]].asScala
+                .map(_.asInstanceOf[Int]).toSeq
+              require(ids.nonEmpty, s"equality delete file $raw in $mPath has empty equality_ids")
+              delB += DeleteEntry(abs, raw, seq, 2, ids)
+            case other => throw new IllegalArgumentException(
+              s"data_file with unknown content=$other in $mPath")
+          }
         }
       }
     }
+    ScanPlan(dataB.result(), delB.result(), fieldNames, partitionedSpec)
+  }
+
+  // ------------------------------------------------------------------
+  // scan construction
+  // ------------------------------------------------------------------
+
+  private def baseFrame(spark: SparkSession, files: Seq[String], withMeta: Boolean): DataFrame = {
+    def finish(df: DataFrame): DataFrame =
+      if (!withMeta) df
+      else df.select(col("*"),
+        col("_metadata.file_path").as(FileCol),
+        col("_metadata.row_index").as(PosCol))
+    val partitioned = files.exists(_.split('/').init.exists(_.contains("=")))
+    if (!partitioned) return finish(spark.read.parquet(files: _*))
+    // which columns do the files themselves carry?
+    val fileCols = spark.read.parquet(files.head).schema.fieldNames.toSet
+    val dirCols = files.head.split('/').init.filter(_.contains("="))
+      .map(c => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(c.substring(0, c.indexOf('=')))).toSet
+    if (dirCols.subsetOf(fileCols)) return finish(spark.read.parquet(files: _*))
+    // partition columns live only in the directory names: group files
+    // by their pre-partition base and let Spark's partition discovery
+    // type them; union across bases (one per exported segment)
+    val byBase = files.groupBy { f =>
+      val comps = f.split('/')
+      val firstPart = comps.indexWhere(_.contains("="))
+      comps.take(firstPart).mkString("/")
+    }
+    byBase.toSeq.sortBy(_._1).map { case (base, fs) =>
+      finish(spark.read.option("basePath", base).parquet(fs: _*))
+    }.reduce(_ unionByName _)
+  }
+
+  // ------------------------------------------------------------------
+  // row-level delete application
+  // ------------------------------------------------------------------
+
+  /** Every spelling under which a file path may be addressed: the
+    * manifest's raw string, Hadoop-normalized, URI form, and the
+    * `file:/` / `file:///` variants — `_metadata.file_path` and delete
+    * rows' `file_path` must both land in this set for the joins to
+    * line up, and the data side is raise_error-guarded so a spelling
+    * this misses fails LOUDLY instead of resurrecting deleted rows. */
+  private def spellings(s: String): Set[String] = {
+    val p = new Path(s)
+    val base = Set(s, p.toString, p.toUri.toString)
+      // foreign manifests may spell local paths bare; `_metadata` never does
+      .flatMap(x => if (x.startsWith("/")) Set(x, "file:" + x) else Set(x))
+    base.flatMap { x =>
+      if (x.startsWith("file:///")) Set(x, "file:/" + x.stripPrefix("file:///"))
+      else if (x.startsWith("file:/") && !x.startsWith("file://")) Set(x, "file:///" + x.stripPrefix("file:/"))
+      else Set(x)
+    }
+  }
+
+  private def applyDeletes(spark: SparkSession, plan: ScanPlan): DataFrame = {
+    import spark.implicits._
+
+    val eqDeletes = plan.deletes.filter(_.content == 2)
+    require(eqDeletes.isEmpty || !plan.partitionedSpec,
+      "equality deletes on a partitioned table need the partition-scoped resolution of an " +
+        "Iceberg runtime — compact the source table first")
+    eqDeletes.foreach { d =>
+      d.equalityIds.foreach(id => require(plan.fieldNames.contains(id),
+        s"equality_ids of ${d.path} references field id $id, not in the table schema"))
+    }
+
+    val base = baseFrame(spark, plan.data.map(_.path), withMeta = true)
+    val userCols = base.columns.filterNot(Set(FileCol, PosCol)).toSeq
+    val helperNames = Set("__spelling", "__dspelling", "__dseq", "__self", "__target")
+    require(!userCols.exists(c => c.startsWith("__graft_ice_") || c.startsWith("__graft_ed_") ||
+        helperNames(c)),
+      s"table columns collide with delete-application helpers: ${userCols.mkString(", ")}")
+
+    // (spelling → file id, data sequence number), tiny and broadcast
+    val dataLookup = plan.data.zipWithIndex.flatMap { case (d, i) =>
+      (spellings(d.raw) ++ spellings(d.path)).map(s => (s, i, d.seq))
+    }.toDF("__spelling", FidCol, FseqCol)
+
+    var df = base
+      .join(broadcast(dataLookup), col(FileCol) === col("__spelling"), "left")
+      .withColumn(FidCol, coalesce(col(FidCol),
+        raise_error(concat(lit("scanned file missing from the manifest lookup: "), col(FileCol)))))
+      .drop("__spelling", FileCol)
+
+    // (spelling of a DELETE file → its sequence number): stamps each
+    // delete ROW with its file's sequence via the scan's own _metadata
+    def seqLookup(entries: Seq[DeleteEntry]): DataFrame = entries.flatMap { d =>
+      (spellings(d.raw) ++ spellings(d.path)).map(s => (s, d.seq))
+    }.toDF("__dspelling", "__dseq")
+
+    val posDeletes = plan.deletes.filter(_.content == 1)
+    if (posDeletes.nonEmpty) {
+      val raw = spark.read.parquet(posDeletes.map(_.path): _*)
+      Seq("file_path", "pos").foreach(c => require(raw.columns.contains(c),
+        s"position delete files lack the spec's '$c' column (have: ${raw.columns.mkString(", ")})"))
+      val pd = raw
+        .select(col("file_path").cast("string").as("__target"),
+          col("pos").cast("long").as(PosCol),
+          col("_metadata.file_path").as("__self"))
+        .join(broadcast(seqLookup(posDeletes)), col("__self") === col("__dspelling"), "left")
+        .withColumn("__dseq", coalesce(col("__dseq"),
+          raise_error(concat(lit("position-delete file missing from the lookup: "), col("__self")))))
+        // a delete row addressing a file outside this snapshot
+        // (compacted away) legitimately drops out in the inner join
+        .join(broadcast(dataLookup), col("__target") === col("__spelling"), "inner")
+        .where(col("__dseq") >= col(FseqCol)) // spec: applies at same-or-later sequence
+        .select(col(FidCol), col(PosCol))
+      df = df.join(pd, Seq(FidCol, PosCol), "left_anti")
+    }
+
+    // one anti-join per distinct equality_ids set, null-safe equality
+    // on the resolved columns, strictly-greater sequence gating
+    eqDeletes.groupBy(_.equalityIds.sorted).toSeq.sortBy(_._1.mkString(",")).foreach {
+      case (ids, group) =>
+        val names = ids.map(plan.fieldNames)
+        val edRaw = spark.read.parquet(group.map(_.path): _*)
+        names.foreach(n => require(edRaw.columns.contains(n),
+          s"equality delete files lack column '$n' (have: ${edRaw.columns.mkString(", ")})"))
+        val ed = edRaw
+          .select(names.map(col) :+ col("_metadata.file_path").as("__self"): _*)
+          .join(broadcast(seqLookup(group)), col("__self") === col("__dspelling"), "left")
+          .withColumn("__dseq", coalesce(col("__dseq"),
+            raise_error(concat(lit("equality-delete file missing from the lookup: "), col("__self")))))
+        val edR = names.foldLeft(ed)((acc, n) => acc.withColumnRenamed(n, s"__graft_ed_$n"))
+        val cond: Column = names.map(n => df(n) <=> edR(s"__graft_ed_$n")).reduce(_ && _) &&
+          edR("__dseq") > df(FseqCol)
+        df = df.join(edR, cond, "left_anti")
+    }
+
+    df.select(userCols.map(col): _*)
   }
 
   /** Snapshot ids available in the table's metadata, newest metadata
@@ -168,13 +388,17 @@ object IcebergImport {
     if (p.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*") || p.startsWith("/")) new Path(p)
     else new Path(tableDir, p)
 
-  private def readAvro(fs: Path => org.apache.hadoop.fs.FileSystem, p: Path): Seq[GenericRecord] = {
+  private def readAvro(fs: Path => org.apache.hadoop.fs.FileSystem, p: Path)
+      : (Seq[GenericRecord], Map[String, String]) = {
     val in = new org.apache.avro.file.DataFileStream[GenericRecord](
       fs(p).open(p), new GenericDatumReader[GenericRecord]())
     try {
+      import scala.jdk.CollectionConverters._
+      val meta = in.getMetaKeys.asScala.toSeq.filterNot(_.startsWith("avro."))
+        .map(k => k -> in.getMetaString(k)).toMap
       val out = scala.collection.mutable.ArrayBuffer.empty[GenericRecord]
       while (in.hasNext) out += in.next()
-      out.toSeq
+      (out.toSeq, meta)
     } finally in.close()
   }
 }

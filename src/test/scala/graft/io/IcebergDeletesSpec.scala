@@ -1,0 +1,178 @@
+package graft.io
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Row-level delete application in [[IcebergImport]] — v2 merge-on-read
+  * tables. No Iceberg runtime ships here, so the fixtures handcraft a
+  * delete snapshot onto an [[IcebergExport]]ed table exactly per the
+  * public spec: a delete manifest (content=1/2 data_file entries with
+  * explicit sequence numbers), a new manifest list carrying the data
+  * manifests plus the delete manifest, and a new metadata JSON whose
+  * current snapshot points at it. What's pinned:
+  *  - position deletes remove exactly the addressed (file, pos) rows,
+  *    at the same-or-later sequence only;
+  *  - equality deletes remove matching rows from STRICTLY earlier
+  *    sequences only, with null-safe matching;
+  *  - audit surfaces (dataFiles/deleteFiles), the SQL face, and time
+  *    travel to a pre-delete snapshot all stay coherent;
+  *  - unsupported shapes refuse loudly.
+  */
+class IcebergDeletesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val DelFile = IcebergTestSplice.Del
+
+  /** Three-snapshot exported table: ids 1-100 (seq 1), 101-150 (seq 2),
+    * 151-180 (seq 3). */
+  private def exported(): (SnapshotTables, String) = {
+    val root = java.nio.file.Files.createTempDirectory("graft-ice-del").toString
+    val t = new SnapshotTables(spark, root)
+    t.overwriteTable((1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v"), "tab")
+    t.append((101 to 150).map(i => (i.toLong, s"v$i")).toDF("id", "v"), "tab")
+    t.append((151 to 180).map(i => (i.toLong, s"v$i")).toDF("id", "v"), "tab")
+    val dest = java.nio.file.Files.createTempDirectory("graft-ice-del-out").toString
+    IcebergExport.export(t, "tab", dest)
+    (t, dest)
+  }
+
+  private def addDeleteSnapshot(dest: String, dels: Seq[IcebergTestSplice.Del]): Unit =
+    IcebergTestSplice.addDeleteSnapshot(dest, dels)
+
+  /** id → (manifest file-path spelling, row position) over the current
+    * data files, via the same _metadata coordinates the import uses. */
+  private def coords(dest: String): Map[Long, (String, Long)] = {
+    val files = IcebergImport.dataFiles(spark, dest)
+    spark.read.parquet(files: _*)
+      .select($"id", col("_metadata.file_path").as("f"), col("_metadata.row_index").as("p"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+  }
+
+  private def writeDeleteParquet(rows: Seq[(String, Long)]): String = {
+    val out = java.nio.file.Files.createTempDirectory("graft-posdel").toString
+    rows.toDF("file_path", "pos").coalesce(1).write.mode("overwrite").parquet(out)
+    val f = new java.io.File(out).listFiles().find(_.getName.endsWith(".parquet")).get
+    f.getAbsolutePath
+  }
+
+  test("position deletes remove exactly the addressed rows; audit + time travel coherent") {
+    val (_, dest) = exported()
+    val c = coords(dest)
+    val victims = Seq(1L, 57L, 160L)
+    val pd = writeDeleteParquet(victims.map(c))
+    addDeleteSnapshot(dest, Seq(DelFile(pd, content = 1, seq = 4)))
+
+    val back = IcebergImport.read(spark, dest)
+    assert(back.count() == 177)
+    val ids = back.select("id").as[Long].collect().toSet
+    victims.foreach(v => assert(!ids.contains(v), s"id $v resurrected"))
+    assert(ids == (1L to 180L).toSet -- victims)
+    // the file set is unchanged; the delete file is audited separately
+    assert(IcebergImport.dataFiles(spark, dest).size ==
+      IcebergImport.dataFiles(spark, dest, Some(3L)).size)
+    assert(IcebergImport.deleteFiles(spark, dest).map(new java.io.File(_).getName) ==
+      Seq(new java.io.File(pd).getName))
+    assert(IcebergImport.deleteFiles(spark, dest, Some(3L)).isEmpty)
+    // time travel to the pre-delete snapshot still sees every row
+    assert(IcebergImport.read(spark, dest, Some(3L)).count() == 180)
+  }
+
+  test("position deletes apply at same-or-later sequence only") {
+    val (_, dest) = exported()
+    val c = coords(dest)
+    // one delete file per target so each gets its own entry sequence
+    val pdOld = writeDeleteParquet(Seq(c(5L)))   // data seq 1
+    val pdNew = writeDeleteParquet(Seq(c(170L))) // data seq 3
+    addDeleteSnapshot(dest, Seq(
+      DelFile(pdOld, content = 1, seq = 2),  // 2 >= 1 → applies
+      DelFile(pdNew, content = 1, seq = 2))) // 2 <  3 → must NOT apply
+    val ids = IcebergImport.read(spark, dest).select("id").as[Long].collect().toSet
+    assert(!ids.contains(5L), "seq-gated position delete failed to apply")
+    assert(ids.contains(170L), "position delete applied to a LATER data file — seq gating broken")
+    assert(ids.size == 179)
+  }
+
+  test("equality deletes: matching rows from strictly earlier sequences, null-safe") {
+    val (_, dest) = exported()
+    // field id 1 = "id" in the exported schema
+    val eqOut = java.nio.file.Files.createTempDirectory("graft-eqdel").toString
+    Seq(7L, 120L, 9999L).toDF("id").coalesce(1).write.mode("overwrite").parquet(eqOut)
+    val eqFile = new java.io.File(eqOut).listFiles().find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+    addDeleteSnapshot(dest, Seq(DelFile(eqFile, content = 2, seq = 2, eqIds = Seq(1))))
+    val ids = IcebergImport.read(spark, dest).select("id").as[Long].collect().toSet
+    assert(!ids.contains(7L), "equality delete (seq 2) must remove the seq-1 row")
+    assert(ids.contains(120L), "equality delete (seq 2) must NOT touch the seq-2 row")
+    assert(ids.size == 179) // 9999 matches nothing
+
+    // null-safe matching on a nullable column (field id 2 = "v")
+    val root = java.nio.file.Files.createTempDirectory("graft-ice-null").toString
+    val t = new SnapshotTables(spark, root)
+    t.overwriteTable(Seq((1L, Some("a")), (2L, None), (3L, Some("c")), (4L, None))
+      .toDF("id", "v"), "tab")
+    val dest2 = java.nio.file.Files.createTempDirectory("graft-ice-null-out").toString
+    IcebergExport.export(t, "tab", dest2)
+    val nullOut = java.nio.file.Files.createTempDirectory("graft-eqnull").toString
+    Seq(Option.empty[String]).toDF("v").coalesce(1).write.mode("overwrite").parquet(nullOut)
+    val nullFile = new java.io.File(nullOut).listFiles().find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+    addDeleteSnapshot(dest2, Seq(DelFile(nullFile, content = 2, seq = 9, eqIds = Seq(2))))
+    val left = IcebergImport.read(spark, dest2).select("id").as[Long].collect().toSet
+    assert(left == Set(1L, 3L), s"null-safe equality delete left $left")
+  }
+
+  test("SQL face applies deletes; pushdown still reaches the parquet scan") {
+    val (_, dest) = exported()
+    val c = coords(dest)
+    val pd = writeDeleteParquet(Seq(c(2L), c(4L)))
+    addDeleteSnapshot(dest, Seq(DelFile(pd, content = 1, seq = 4)))
+    val n = spark.sql(s"SELECT count(*) AS n FROM graft_iceberg_scan('$dest')").collect().head.getLong(0)
+    assert(n == 178)
+    val filtered = spark.sql(
+      s"SELECT id FROM graft_iceberg_scan('$dest') WHERE id <= 5 ORDER BY id")
+    assert(filtered.collect().map(_.getLong(0)).toSeq == Seq(1L, 3L, 5L))
+    assert(filtered.queryExecution.executedPlan.toString.contains("LessThanOrEqual(id,5)"),
+      "filter no longer pushed into the parquet scan under delete application")
+    // pre-delete snapshot through SQL still full
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_iceberg_scan('$dest', 3)")
+      .collect().head.getLong(0) == 180)
+  }
+
+  test("unsupported delete shapes refuse loudly") {
+    // equality deletes on a partitioned table
+    val root = java.nio.file.Files.createTempDirectory("graft-ice-part-del").toString
+    val t = new SnapshotTables(spark, root)
+    t.overwriteTable((1 to 20).map(i => (i.toLong, s"v$i", i % 3)).toDF("id", "v", "b"),
+      "tab", partitionCols = Seq("b"))
+    val destP = java.nio.file.Files.createTempDirectory("graft-ice-part-del-out").toString
+    IcebergExport.export(t, "tab", destP)
+    val eqOut = java.nio.file.Files.createTempDirectory("graft-eqdel-p").toString
+    Seq(1L).toDF("id").coalesce(1).write.mode("overwrite").parquet(eqOut)
+    val eqFile = new java.io.File(eqOut).listFiles().find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+    addDeleteSnapshot(destP, Seq(DelFile(eqFile, content = 2, seq = 9, eqIds = Seq(1))))
+    val e1 = intercept[IllegalArgumentException](IcebergImport.read(spark, destP))
+    assert(e1.getMessage.contains("partitioned"))
+
+    // non-parquet delete file
+    val (_, dest2) = exported()
+    addDeleteSnapshot(dest2, Seq(DelFile("/nowhere/d.avro", content = 1, seq = 4, format = "AVRO")))
+    val e2 = intercept[IllegalArgumentException](IcebergImport.read(spark, dest2))
+    assert(e2.getMessage.contains("non-parquet"))
+
+    // position delete file without the spec's columns
+    val (_, dest3) = exported()
+    val badOut = java.nio.file.Files.createTempDirectory("graft-baddel").toString
+    Seq(("x", 1L)).toDF("not_file_path", "not_pos").coalesce(1).write.mode("overwrite").parquet(badOut)
+    val badFile = new java.io.File(badOut).listFiles().find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+    addDeleteSnapshot(dest3, Seq(DelFile(badFile, content = 1, seq = 4)))
+    val e3 = intercept[IllegalArgumentException](IcebergImport.read(spark, dest3))
+    assert(e3.getMessage.contains("file_path") || e3.getMessage.contains("pos"))
+
+    // unknown equality field id
+    val (_, dest4) = exported()
+    val eqOut4 = java.nio.file.Files.createTempDirectory("graft-eqdel4").toString
+    Seq(1L).toDF("id").coalesce(1).write.mode("overwrite").parquet(eqOut4)
+    val eqFile4 = new java.io.File(eqOut4).listFiles().find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+    addDeleteSnapshot(dest4, Seq(DelFile(eqFile4, content = 2, seq = 9, eqIds = Seq(77))))
+    val e4 = intercept[IllegalArgumentException](IcebergImport.read(spark, dest4))
+    assert(e4.getMessage.contains("field id 77"))
+  }
+}

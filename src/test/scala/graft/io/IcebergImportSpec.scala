@@ -7,8 +7,9 @@ import org.apache.spark.sql.functions._
   * proof: a table exported by [[IcebergExport]] reads back EXACTLY
   * through the Iceberg layout (current snapshot and every historical
   * one), against graft's own reads as the truth. Refusal paths pin
-  * that delete files and non-parquet data can never silently produce
-  * wrong rows. A hand-written v1-flavored metadata file (inline
+  * that non-parquet data and broken delete manifests can never
+  * silently produce wrong rows (delete APPLICATION semantics live in
+  * [[IcebergDeletesSpec]]). A hand-written v1-flavored metadata file (inline
   * manifests array, unpadded version name) checks the reader is not
   * coupled to this exporter's spelling choices. */
 class IcebergImportSpec extends SparkSpec {
@@ -165,7 +166,7 @@ class IcebergImportSpec extends SparkSpec {
     assert(IcebergImport.read(spark, dest, Some(1L)).count() == 60)
   }
 
-  test("delete files refuse the read instead of resurrecting rows") {
+  test("a delete manifest addressing a missing delete file fails loudly, never resurrects rows") {
     val (_, dest) = exported()
     // hand-write a manifest whose data_file has content=1 (position deletes)
     val schema = new org.apache.avro.Schema.Parser().parse(IcebergExport.ManifestEntryAvro)
@@ -195,13 +196,23 @@ class IcebergImportSpec extends SparkSpec {
     val cur = md.get("current-snapshot-id").asLong
     val curSnap = (0 until snaps.size).map(snaps.get)
       .find(_.get("snapshot-id").asLong == cur).get.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    // keep the snapshot's DATA manifests — without them the read is
+    // legitimately empty and never needs the delete file at all
+    val dataManifests = readAvro(curSnap.get("manifest-list").asText)._1
+      .map(_("manifest_path").toString)
     curSnap.remove("manifest-list")
-    curSnap.putArray("manifests").add(delManifest.toString)
+    val inl = curSnap.putArray("manifests")
+    dataManifests.foreach(inl.add)
+    inl.add(delManifest.toString)
     val badDir = java.nio.file.Files.createTempDirectory("graft-ice-del").toString
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(badDir, "metadata"))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(badDir, "metadata", s"v${hint.toInt}.metadata.json"), om.writeValueAsString(md))
-    val err = intercept[IllegalArgumentException](IcebergImport.read(spark, badDir))
-    assert(err.getMessage.contains("delete"))
+    // position deletes are APPLIED now (IcebergDeletesSpec pins the
+    // semantics); a delete file the manifest promises but the store
+    // lacks must still fail the read loudly
+    val err = intercept[Exception](IcebergImport.read(spark, badDir).count())
+    assert(err.getMessage.contains("nowhere") || err.getMessage.contains("PATH_NOT_FOUND")
+      || err.getMessage.contains("does not exist"))
   }
 }
