@@ -35,10 +35,27 @@ import org.apache.spark.sql.types._
   * same shape as the stats-manifest build) — the driver only handles
   * file names.
   *
-  * Scope (refused loudly, never exported wrong): append-only / full
-  * chains of unpartitioned tables. Merge-on-read deltas have no
-  * honest file-level story until materialize()/compact() (same rule
-  * as [[SnapshotTables.manifest]]), and Hive-style partition
+  * KEY-ADDRESSED merge-on-read chains export as Iceberg v2 EQUALITY
+  * DELETES — the same shape Flink's CDC writer emits — with zero data
+  * rewrite:
+  *  - `mor_upsert` deltas: the delta parquet enters the snapshot TWICE,
+  *    as a data file (content=0) and as an equality delete
+  *    (content=2, equality_ids = the merge keys) at the SAME sequence
+  *    number. The spec's strictly-earlier gating removes matching
+  *    older rows while the delta's own rows survive — exactly
+  *    graft's anti-join-then-union resolution;
+  *  - `mor_delete` deltas: the key file enters as an equality delete
+  *    only (the spec allows extra columns in a delete file, so key
+  *    rows qualify verbatim);
+  *  - `mor_revise` (minor compaction): `del/` files as equality
+  *    deletes, `add/` files as data.
+  *
+  * Scope (refused loudly, never exported wrong): content-addressed
+  * `mor_patch` deltas (bag-semantics exceptAll — equality deletes
+  * cannot express multiset removal) must materialize()/compact()
+  * first; chains carrying row-level deletes export only for
+  * UNPARTITIONED layouts (a partitioned equality delete needs
+  * partition-scoped delete manifests). Hive-style partition
   * directories drop the partition column from the data files, which
   * breaks Iceberg's schema contract — those tables must compact to an
   * unpartitioned layout first. Schema evolution across the chain is
@@ -56,11 +73,13 @@ object IcebergExport {
     // files under ONE schema; the CURRENT version must be (refuse the
     // export, never write wrong metadata), older unrepresentable
     // versions simply don't become Iceberg snapshots
+    val exportableKinds = Set("full", "append", "mor_upsert", "mor_delete", "mor_revise")
     def eligible(chain: Seq[SnapshotTables.VersionMeta]): Option[String] =
       chain.collectFirst {
-        case m if m.kind != "full" && m.kind != "append" =>
-          s"table $table carries merge-on-read deltas (v${m.v} kind=${m.kind}) — " +
-            "materialize()/compact() before exporting Iceberg metadata"
+        case m if !exportableKinds(m.kind) =>
+          s"table $table carries a content-addressed delta (v${m.v} kind=${m.kind}) — " +
+            "equality deletes cannot express it; materialize()/compact() before exporting " +
+            "Iceberg metadata"
         case m if m.schemaEvolved =>
           s"table $table evolved its schema at v${m.v} — compact to one schema before exporting"
       }
@@ -74,48 +93,64 @@ object IcebergExport {
     val metaDir = new Path(destDir, "metadata")
     fs(metaDir).mkdirs(metaDir)
 
-    // ---- per-segment data files: (absolute path, length, identity-
-    // partition (col, rawValue) pairs parsed from `col=value` dirs).
-    // Hive-style layouts drop the partition column from the data
-    // files; Iceberg's own Hive-migration path (add_files/migrate)
-    // handles exactly this by serving identity partition values from
-    // the manifest's partition struct — so does this export.
+    // ---- per-segment files: (absolute path, length, identity-
+    // partition (col, rawValue) pairs parsed from `col=value` dirs,
+    // role). Hive-style layouts drop the partition column from the
+    // data files; Iceberg's own Hive-migration path (add_files/
+    // migrate) handles exactly this by serving identity partition
+    // values from the manifest's partition struct — so does this
+    // export. MOR segments classify per kind: an upsert delta is BOTH
+    // a data file and an equality delete, a key-delete file is a
+    // delete only, a revise segment splits on its del/add dirs.
     val allSegs = chains.values.flatten.toSeq.distinctBy(_.v).sortBy(_.v)
-    val segFiles: Map[Int, Seq[(String, Long, Seq[(String, String)])]] = allSegs.map { m =>
-      val base = st.dataDirOfMeta(table, m)
-      val f = fs(base)
-      val baseStr = f.makeQualified(base).toString.stripSuffix("/") + "/"
-      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Seq[(String, String)])]
-      if (f.exists(base)) {
-        val it = f.listFiles(base, true)
-        while (it.hasNext) {
-          val s = it.next()
-          val rel = s.getPath.toString.stripPrefix(baseStr)
-          val comps = rel.split('/')
-          // refuse hidden-transform layouts BEFORE the hidden-component
-          // skip: `__p_*=v` dirs are underscore-prefixed, and silently
-          // skipping them would export an empty table
-          if (s.isFile && rel.endsWith(".parquet"))
-            require(!comps.init.exists(c => c.startsWith("__p_") && c.contains("=")),
-              s"table $table v${m.v} uses hidden-transform partitioning " +
-                s"(${comps.init.find(_.startsWith("__p_")).get}) — only identity `col=value` " +
-                "layouts export; compact() to an identity or unpartitioned layout first")
-          val hidden = comps.exists(c => c.startsWith("_") || c.startsWith("."))
-          if (s.isFile && rel.endsWith(".parquet") && !hidden) {
-            val parts = comps.init.filter(_.contains("=")).toSeq.map { c =>
-              val i = c.indexOf('=')
-              val col = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-                .unescapePathName(c.substring(0, i))
-              val v = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-                .unescapePathName(c.substring(i + 1))
-              (col, v)
+    val segFiles: Map[Int, Seq[(String, Long, Seq[(String, String)], Boolean, Boolean)]] =
+      allSegs.map { m =>
+        val base = st.dataDirOfMeta(table, m)
+        val f = fs(base)
+        val baseStr = f.makeQualified(base).toString.stripSuffix("/") + "/"
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(String, Long, Seq[(String, String)], Boolean, Boolean)]
+        if (f.exists(base)) {
+          val it = f.listFiles(base, true)
+          while (it.hasNext) {
+            val s = it.next()
+            val rel = s.getPath.toString.stripPrefix(baseStr)
+            val comps = rel.split('/')
+            // refuse hidden-transform layouts BEFORE the hidden-component
+            // skip: `__p_*=v` dirs are underscore-prefixed, and silently
+            // skipping them would export an empty table
+            if (s.isFile && rel.endsWith(".parquet"))
+              require(!comps.init.exists(c => c.startsWith("__p_") && c.contains("=")),
+                s"table $table v${m.v} uses hidden-transform partitioning " +
+                  s"(${comps.init.find(_.startsWith("__p_")).get}) — only identity `col=value` " +
+                  "layouts export; compact() to an identity or unpartitioned layout first")
+            val hidden = comps.exists(c => c.startsWith("_") || c.startsWith("."))
+            if (s.isFile && rel.endsWith(".parquet") && !hidden) {
+              val parts = comps.init.filter(_.contains("=")).toSeq.map { c =>
+                val i = c.indexOf('=')
+                val col = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                  .unescapePathName(c.substring(0, i))
+                val v = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                  .unescapePathName(c.substring(i + 1))
+                (col, v)
+              }
+              val (isData, isDelete) = m.kind match {
+                case "full" | "append" => (true, false)
+                case "mor_upsert" => (true, true)
+                case "mor_delete" => (false, true)
+                case "mor_revise" =>
+                  if (rel.startsWith("del/")) (false, true)
+                  else if (rel.startsWith("add/")) (true, false)
+                  else throw new IllegalArgumentException(
+                    s"table $table v${m.v} (mor_revise) holds a file outside del/add: $rel")
+              }
+              out += ((s.getPath.toString, s.getLen, parts, isData, isDelete))
             }
-            out += ((s.getPath.toString, s.getLen, parts))
           }
         }
-      }
-      m.v -> out.toSeq
-    }.toMap
+        m.v -> out.toSeq
+      }.toMap
+    val hasDeletes = segFiles.values.flatten.exists(_._5)
 
     // identity partition columns: the SAME ordered column sequence on
     // every file of every exported version, or nothing exports —
@@ -125,6 +160,23 @@ object IcebergExport {
       s"table $table mixes partition layouts across files (${partColSeqs.take(3)}) — " +
         "compact() to one layout before exporting")
     val partCols: Seq[String] = partColSeqs.headOption.getOrElse(Nil)
+    require(!hasDeletes || partCols.isEmpty,
+      s"table $table carries merge-on-read deltas on a partitioned layout — partitioned " +
+        "equality deletes need partition-scoped delete manifests; compact() first")
+
+    // Iceberg equality deletes match NULL-SAFELY; graft's key-joins
+    // never match a NULL key (the delta row is a no-op). A null merge
+    // key would therefore delete rows the source table keeps — refuse
+    // rather than export diverging metadata. O(delta key columns) read.
+    allSegs.filter(m => segFiles(m.v).exists(_._5)).foreach { m =>
+      val delFiles = segFiles(m.v).filter(_._5).map(_._1)
+      val nullKeyed = spark.read.parquet(delFiles: _*)
+        .where(m.keyCols.map(c => org.apache.spark.sql.functions.col(c).isNull).reduce(_ || _))
+        .limit(1).count()
+      require(nullKeyed == 0,
+        s"table $table v${m.v} delta carries NULL merge keys — Iceberg's null-safe equality " +
+          "deletes diverge from graft's key-match semantics there; purge null-keyed rows first")
+    }
 
     // ---- Iceberg schema JSON from the table's Spark schema
     val fieldId = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -219,29 +271,48 @@ object IcebergExport {
           .collect().toMap
       }
 
-    // ---- Avro manifests (one per segment, shared by every snapshot list)
+    // ---- Avro manifests (per segment: a data manifest and, for MOR
+    // segments, a delete manifest — both shared by every snapshot list
+    // whose chain contains the segment)
     val now = System.currentTimeMillis
     val manifestSchema = new org.apache.avro.Schema.Parser().parse(
       manifestEntryAvro(partFieldInfo.map { case (c, k, _, fid) => (c, k, fid) }))
     val dataFileSchema = manifestSchema.getField("data_file").schema()
     val partSchema = dataFileSchema.getField("partition").schema()
-    val manifestMeta: Map[Int, (String, Long, Long)] = allSegs.map { m =>
-      val p = new Path(metaDir, f"m-${m.v}%05d-${java.util.UUID.randomUUID()}.avro")
+    /** content: 0 = data manifest, 1 = delete manifest (manifest_file
+      * vocabulary; ENTRIES inside a delete manifest carry content=2,
+      * equality deletes). */
+    case class ManifestRef(content: Int, path: String, len: Long, rows: Long, files: Int)
+    def writeManifest(m: SnapshotTables.VersionMeta,
+        files: Seq[(String, Long, Seq[(String, String)])], entryContent: Int): ManifestRef = {
+      val eqIds: Seq[Int] =
+        if (entryContent != 2) Nil
+        else m.keyCols.map(k => topIds.getOrElse(k, throw new IllegalArgumentException(
+          s"merge key '$k' of $table v${m.v} is not a top-level schema column — cannot export " +
+            "equality deletes")))
+      val tag = if (entryContent == 2) "d" else ""
+      val p = new Path(metaDir, f"m$tag-${m.v}%05d-${java.util.UUID.randomUUID()}.avro")
       val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](manifestSchema))
       w.setMeta("schema", schemaJson)
       w.setMeta("schema-id", "0")
       w.setMeta("partition-spec", specFieldsJson)
       w.setMeta("partition-spec-id", "0")
       w.setMeta("format-version", "2")
-      w.setMeta("content", "data")
+      w.setMeta("content", if (entryContent == 2) "deletes" else "data")
       val os = fs(p).create(p, true)
       w.create(manifestSchema, os)
       var rows = 0L
-      segFiles(m.v).foreach { case (path, len, parts) =>
+      files.foreach { case (path, len, parts) =>
         val df = new GenericData.Record(dataFileSchema)
-        df.put("content", 0)
+        df.put("content", entryContent)
         df.put("file_path", path)
         df.put("file_format", "PARQUET")
+        if (eqIds.nonEmpty) {
+          val arrSchema = dataFileSchema.getField("equality_ids").schema().getTypes.get(1)
+          val a = new GenericData.Array[Integer](eqIds.size, arrSchema)
+          eqIds.foreach(i => a.add(Integer.valueOf(i)))
+          df.put("equality_ids", a)
+        }
         val pRec = new GenericData.Record(partSchema)
         parts.foreach { case (col, raw) =>
           val kind = partFieldInfo.find(_._1 == col).get._2
@@ -298,7 +369,19 @@ object IcebergExport {
         w.append(e)
       }
       w.close()
-      m.v -> (fs(p).makeQualified(p).toString, fs(p).getFileStatus(p).getLen, rows)
+      ManifestRef(if (entryContent == 2) 1 else 0,
+        fs(p).makeQualified(p).toString, fs(p).getFileStatus(p).getLen, rows, files.size)
+    }
+    val manifestMeta: Map[Int, Seq[ManifestRef]] = allSegs.map { m =>
+      val fsOfSeg = segFiles(m.v)
+      val data = fsOfSeg.filter(_._4).map(t => (t._1, t._2, t._3))
+      val dels = fsOfSeg.filter(_._5).map(t => (t._1, t._2, t._3))
+      val refs = Seq.newBuilder[ManifestRef]
+      // an empty DATA manifest still anchors empty full/append segments
+      // (their snapshot must exist); empty delete manifests are skipped
+      if (data.nonEmpty || dels.isEmpty) refs += writeManifest(m, data, entryContent = 0)
+      if (dels.nonEmpty) refs += writeManifest(m, dels, entryContent = 2)
+      m.v -> refs.result()
     }.toMap
 
     // ---- Avro manifest list per retained version
@@ -312,22 +395,23 @@ object IcebergExport {
       val os = fs(p).create(p, true)
       w.create(listSchema, os)
       chains(v).sortBy(_.v).foreach { m =>
-        val (mPath, mLen, mRows) = manifestMeta(m.v)
-        val r = new GenericData.Record(listSchema)
-        r.put("manifest_path", mPath)
-        r.put("manifest_length", mLen)
-        r.put("partition_spec_id", 0)
-        r.put("content", 0)
-        r.put("sequence_number", m.v.toLong)
-        r.put("min_sequence_number", m.v.toLong)
-        r.put("added_snapshot_id", m.v.toLong)
-        r.put("added_files_count", segFiles(m.v).size)
-        r.put("existing_files_count", 0)
-        r.put("deleted_files_count", 0)
-        r.put("added_rows_count", mRows)
-        r.put("existing_rows_count", 0L)
-        r.put("deleted_rows_count", 0L)
-        w.append(r)
+        manifestMeta(m.v).foreach { ref =>
+          val r = new GenericData.Record(listSchema)
+          r.put("manifest_path", ref.path)
+          r.put("manifest_length", ref.len)
+          r.put("partition_spec_id", 0)
+          r.put("content", ref.content)
+          r.put("sequence_number", m.v.toLong)
+          r.put("min_sequence_number", m.v.toLong)
+          r.put("added_snapshot_id", m.v.toLong)
+          r.put("added_files_count", ref.files)
+          r.put("existing_files_count", 0)
+          r.put("deleted_files_count", 0)
+          r.put("added_rows_count", ref.rows)
+          r.put("existing_rows_count", 0L)
+          r.put("deleted_rows_count", 0L)
+          w.append(r)
+        }
       }
       w.close()
       v -> fs(p).makeQualified(p).toString
@@ -336,7 +420,12 @@ object IcebergExport {
     // ---- table metadata JSON
     val uuid = java.util.UUID.nameUUIDFromBytes(s"${st.rootPath}|$table".getBytes("UTF-8"))
     val snapshots = versions.zipWithIndex.map { case (v, i) =>
-      val op = if (chains(v).last.kind == "full") "overwrite" else "append"
+      val op = chains(v).last.kind match {
+        case "full" => "overwrite"
+        case "append" => "append"
+        case "mor_delete" => "delete"
+        case _ => "overwrite" // upsert/revise: deletes + adds
+      }
       val parent = if (i == 0) "" else s""""parent-snapshot-id":${versions(i - 1)},"""
       s"""{"snapshot-id":$v,$parent"sequence-number":$v,"timestamp-ms":$now,""" +
         s""""summary":{"operation":"$op"},"manifest-list":"${esc(listPaths(v))}","schema-id":0}"""
@@ -517,7 +606,8 @@ object IcebergExport {
       |{"name":"lower_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k126_v127","fields":[
       |{"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]},"logicalType":"map"}],"default":null,"field-id":125},
       |{"name":"upper_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k129_v130","fields":[
-      |{"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]},"logicalType":"map"}],"default":null,"field-id":128}
+      |{"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]},"logicalType":"map"}],"default":null,"field-id":128},
+      |{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null,"field-id":135}
       |]},"field-id":2}
       |]}""".stripMargin
 }

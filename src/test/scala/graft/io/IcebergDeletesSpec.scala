@@ -22,6 +22,7 @@ class IcebergDeletesSpec extends SparkSpec {
   import spark.implicits._
 
   private val DelFile = IcebergTestSplice.Del
+  private def readAvroRecords(path: String) = IcebergTestSplice.readAvroRecords(path)
 
   /** Three-snapshot exported table: ids 1-100 (seq 1), 101-150 (seq 2),
     * 151-180 (seq 3). */
@@ -134,6 +135,98 @@ class IcebergDeletesSpec extends SparkSpec {
     // pre-delete snapshot through SQL still full
     assert(spark.sql(s"SELECT count(*) AS n FROM graft_iceberg_scan('$dest', 3)")
       .collect().head.getLong(0) == 180)
+  }
+
+  test("merge-on-read chains export as equality deletes and round-trip exactly") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ice-mor").toString
+    val t = new SnapshotTables(spark, root)
+    t.overwriteTable((1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v"), "tab") // v1
+    t.append((101 to 120).map(i => (i.toLong, s"v$i")).toDF("id", "v"), "tab")       // v2
+    t.upsertMor("tab",
+      Seq((5L, "up5"), (110L, "up110"), (200L, "new200")).toDF("id", "v"), Seq("id")) // v3
+    t.deleteKeysMor("tab", Seq(7L, 111L, 200L).toDF("id"))                            // v4
+    val dest = java.nio.file.Files.createTempDirectory("graft-ice-mor-out").toString
+    IcebergExport.export(t, "tab", dest)
+
+    def set(df: org.apache.spark.sql.DataFrame) = df.as[(Long, String)].collect().toSet
+    assert(set(IcebergImport.read(spark, dest)) == set(t.read("tab")))
+    // the upsert delta's files are BOTH data files and equality
+    // deletes; the key-delete files are deletes only
+    val delFs = IcebergImport.deleteFiles(spark, dest)
+    val dataFs = IcebergImport.dataFiles(spark, dest)
+    assert(delFs.nonEmpty)
+    assert(delFs.exists(dataFs.contains), "upsert delta must enter as data AND delete")
+    assert(delFs.exists(f => !dataFs.contains(f)), "key-delete file must be delete-only")
+    assert(IcebergImport.deleteFiles(spark, dest, Some(2L)).isEmpty)
+    // time travel: every retained version reads back exactly
+    t.history("tab").foreach { v =>
+      assert(set(IcebergImport.read(spark, dest, Some(v.toLong))) ==
+        set(t.readVersion("tab", v)), s"version $v diverged")
+    }
+
+    // external shape: the head manifest list carries content=1 rows
+    // whose manifests hold content=2 entries with equality_ids
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val metaDir = java.nio.file.Paths.get(dest, "metadata")
+    val hint = java.nio.file.Files.readString(metaDir.resolve("version-hint.text")).trim.toInt
+    val md = om.readTree(java.nio.file.Files.readString(
+      metaDir.resolve(f"v$hint%05d.metadata.json")))
+    val cur = md.get("current-snapshot-id").asLong
+    val snapsN = md.get("snapshots")
+    val listPath = (0 until snapsN.size).map(snapsN.get)
+      .find(_.get("snapshot-id").asLong == cur).get.get("manifest-list").asText
+    val delManifests = readAvroRecords(listPath)
+      .filter(_.get("content").asInstanceOf[Int] == 1)
+      .map(_.get("manifest_path").toString)
+    assert(delManifests.size == 2, "expected one delete manifest per MOR segment")
+    val delEntries = delManifests.flatMap(readAvroRecords)
+    assert(delEntries.nonEmpty)
+    delEntries.foreach { e =>
+      val df = e.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+      assert(df.get("content").asInstanceOf[Int] == 2)
+      val ids = df.get("equality_ids").asInstanceOf[java.util.List[_]]
+      assert(ids != null && ids.size == 1, "equality_ids must carry the merge key")
+      assert(df.get("record_count").asInstanceOf[Long] > 0L, "footer row count missing")
+    }
+
+    // after minor compaction (mor_revise) the export still round-trips
+    assert(t.compactDeltas("tab"))
+    val dest2 = java.nio.file.Files.createTempDirectory("graft-ice-mor-out2").toString
+    IcebergExport.export(t, "tab", dest2)
+    assert(set(IcebergImport.read(spark, dest2)) == set(t.read("tab")))
+    assert(IcebergImport.deleteFiles(spark, dest2).nonEmpty, "revise del/ must export as a delete")
+  }
+
+  test("MOR export refusals: content-addressed patches, partitioned layouts, null merge keys") {
+    // mor_patch (exceptAll bag semantics) cannot become an equality delete
+    val r1 = java.nio.file.Files.createTempDirectory("graft-ice-morref1").toString
+    val t1 = new SnapshotTables(spark, r1)
+    t1.overwriteTable((1 to 10).map(i => (i.toLong, s"v$i")).toDF("id", "v"), "tab")
+    t1.deleteWhereMor("tab", col("id") === 3L)
+    val e1 = intercept[IllegalArgumentException](IcebergExport.export(t1, "tab",
+      java.nio.file.Files.createTempDirectory("x1").toString))
+    assert(e1.getMessage.contains("content-addressed"))
+
+    // MOR deltas over a partitioned layout
+    val r2 = java.nio.file.Files.createTempDirectory("graft-ice-morref2").toString
+    val t2 = new SnapshotTables(spark, r2)
+    t2.overwriteTable((1 to 20).map(i => (i.toLong, s"v$i", i % 3)).toDF("id", "v", "b"),
+      "tab", partitionCols = Seq("b"))
+    t2.upsertMor("tab", Seq((1L, "up", 1)).toDF("id", "v", "b"), Seq("id"))
+    val e2 = intercept[IllegalArgumentException](IcebergExport.export(t2, "tab",
+      java.nio.file.Files.createTempDirectory("x2").toString))
+    assert(e2.getMessage.contains("partitioned layout"))
+
+    // NULL merge keys: Iceberg's null-safe equality would delete rows
+    // graft's key-join keeps
+    val r3 = java.nio.file.Files.createTempDirectory("graft-ice-morref3").toString
+    val t3 = new SnapshotTables(spark, r3)
+    t3.overwriteTable(Seq((Some(1L), "a"), (None, "b")).toDF("id", "v"), "tab")
+    t3.deleteKeysMor("tab", Seq(Option.empty[Long]).toDF("id"))
+    assert(t3.read("tab").count() == 2, "graft itself keeps the null-keyed row")
+    val e3 = intercept[IllegalArgumentException](IcebergExport.export(t3, "tab",
+      java.nio.file.Files.createTempDirectory("x3").toString))
+    assert(e3.getMessage.contains("NULL merge keys"))
   }
 
   test("unsupported delete shapes refuse loudly") {

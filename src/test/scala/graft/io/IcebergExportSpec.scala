@@ -204,14 +204,17 @@ class IcebergExportSpec extends SparkSpec {
     assert(md.get("snapshots").size >= 1)
   }
 
-  test("refusals: merge-on-read chains and partitioned layouts are never exported wrong") {
+  test("refusals: content-addressed patches and partitioned layouts are never exported wrong") {
     val root = java.nio.file.Files.createTempDirectory("graft-iceberg").toString
     val t = new SnapshotTables(spark, root)
     t.overwriteTable((1 to 10).map(i => (i.toLong, "a")).toDF("id", "v"), "mor")
-    t.upsertMor("mor", Seq((1L, "updated")).toDF("id", "v"), keyCols = Seq("id"))
+    // key-addressed MOR exports (IcebergDeletesSpec round-trips it);
+    // what refuses is the content-addressed mor_patch — exceptAll's bag
+    // semantics have no equality-delete expression
+    t.deleteWhereMor("mor", org.apache.spark.sql.functions.col("id") === 1L)
     val dest = java.nio.file.Files.createTempDirectory("graft-iceberg-out").toString
     val e1 = intercept[IllegalArgumentException](IcebergExport.export(t, "mor", dest))
-    assert(e1.getMessage.contains("merge-on-read"))
+    assert(e1.getMessage.contains("content-addressed"))
     // after materialization the same table exports fine
     t.materialize("mor")
     IcebergExport.export(t, "mor", dest)

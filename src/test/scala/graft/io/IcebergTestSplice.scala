@@ -30,7 +30,7 @@ object IcebergTestSplice {
   final case class Del(path: String, content: Int, seq: Long,
       eqIds: Seq[Int] = Nil, format: String = "PARQUET")
 
-  private def readAvroRecords(path: String): Seq[org.apache.avro.generic.GenericRecord] = {
+  def readAvroRecords(path: String): Seq[org.apache.avro.generic.GenericRecord] = {
     val in = new org.apache.avro.file.DataFileStream[org.apache.avro.generic.GenericRecord](
       java.nio.file.Files.newInputStream(java.nio.file.Paths.get(
         path.stripPrefix("file:"))),
