@@ -673,6 +673,39 @@ object ExtensionCorpus {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
   )
 
+  /** X121 gate — MERGE-ON-READ chains through the Iceberg bridge: a
+    * table mutated with upsertMor + deleteKeysMor exports as v2
+    * equality deletes (zero data rewrite) and reads back through
+    * `graft_iceberg_scan` with the deletes APPLIED. The oracle replays
+    * the MOR resolution in plain SQL: doubled price for the upserted
+    * keys, the deleted keys filtered out. */
+  private val q145 = Q(
+    "q145_iceberg_mor_roundtrip",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q145-snap").toString
+      val t = new graft.io.SnapshotTables(s, root)
+      val ord = fixture(s, dir, "orders")
+      t.overwriteTable(ord, "ord")                                     // v1
+      t.upsertMor("ord",                                               // v2: reprice %97 keys
+        ord.filter(col("o_orderkey") % 97 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+        Seq("o_orderkey"))
+      t.deleteKeysMor("ord",                                           // v3: purge %89 keys
+        ord.filter(col("o_orderkey") % 89 === 0).select("o_orderkey"))
+      val dest = java.nio.file.Files.createTempDirectory("q145-ice").toString
+      graft.io.IcebergExport.export(t, "ord", dest)
+      s.sql(s"""SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM graft_iceberg_scan('$dest')
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    },
+    Some("""SELECT o_orderstatus, COUNT(*) AS n,
+      CAST(SUM(CAST(CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 2
+                         ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders WHERE o_orderkey % 89 <> 0
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  )
+
   // -------------------------------------------------------- temporal joins
 
   private val q44 = Q(
@@ -2449,7 +2482,8 @@ object ExtensionCorpus {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q99, q100, q101, q102, q106, q107, q108,
     q109, q111, q112, q113, q114, q116, q117, q118, q119, q121, q122, q123, q125, q126, q127,
-    q128, q130, q131, q132, q133, q135, q136, q137, q138, q139, q140, q141, q143, q144
+    q128, q130, q131, q132, q133, q135, q136, q137, q138, q139, q140, q141, q143, q144,
+    q145
   )
 
 }
