@@ -50,18 +50,45 @@ import org.apache.spark.sql.types._
   *  - `mor_revise` (minor compaction): `del/` files as equality
   *    deletes, `add/` files as data.
   *
+  * PARTITIONED layouts export with Iceberg's MULTI-SPEC machinery:
+  *  - identity `col=value` directories become partition spec 0
+  *    (identity transforms, partition field-ids 1000+), with each
+  *    file's typed partition struct parsed from its directory
+  *    components — Iceberg's own add_files/migrate convention for
+  *    Hive-layout files that omit the partition column from the
+  *    parquet;
+  *  - row-level DELETE files always enter under an UNPARTITIONED spec
+  *    (spec 1 when the table is partitioned). Per the public spec's
+  *    scan-planning rules, equality deletes stored in an unpartitioned
+  *    spec apply as GLOBAL deletes — which is exactly graft's
+  *    key-match semantics (an upsert/delete touches matching keys in
+  *    EVERY partition). This closes the former partitioned-MOR
+  *    refusal at O(metadata), no compaction required;
+  *  - data files WITHOUT directory components (bare layouts) also ride
+  *    the unpartitioned spec; such files always carry every schema
+  *    column in the parquet itself.
+  *
   * Scope (refused loudly, never exported wrong): content-addressed
   * `mor_patch` deltas (bag-semantics exceptAll — equality deletes
   * cannot express multiset removal) must materialize()/compact()
-  * first; chains carrying row-level deletes export only for
-  * UNPARTITIONED layouts (a partitioned equality delete needs
-  * partition-scoped delete manifests). Hive-style partition
-  * directories drop the partition column from the data files, which
-  * breaks Iceberg's schema contract — those tables must compact to an
-  * unpartitioned layout first. Schema evolution across the chain is
-  * likewise refused (one schema-id describes every file).
+  * first. Hidden-transform (`__p_*`) layouts are refused (bucket
+  * values are xxhash64, not Iceberg's murmur3 — exporting them as
+  * `bucket[N]` would corrupt external pruning). Merge keys that a
+  * Hive-style layout dropped from the delta parquet refuse (a delete
+  * file must physically carry its equality columns). Schema evolution
+  * across the chain is likewise refused (one schema-id describes
+  * every file).
   */
 object IcebergExport {
+
+  /** One partition-spec field: Avro/struct field `name`, Iceberg
+    * `transform`, source column, value-serialization kind
+    * (int/long/string/date), partition field id, and for hidden
+    * transforms the `col=value` directory prefix that carries the
+    * value ([[None]] for identity fields, whose directory component is
+    * the column name itself). */
+  private[io] final case class SpecField(name: String, transform: String, srcCol: String,
+      kind: String, fid: Int, dirName: Option[String])
 
   /** Export `table`'s retained versions as an Iceberg v2 table rooted
     * at `destDir`; returns the metadata.json path. */
@@ -93,15 +120,15 @@ object IcebergExport {
     val metaDir = new Path(destDir, "metadata")
     fs(metaDir).mkdirs(metaDir)
 
-    // ---- per-segment files: (absolute path, length, identity-
-    // partition (col, rawValue) pairs parsed from `col=value` dirs,
-    // role). Hive-style layouts drop the partition column from the
-    // data files; Iceberg's own Hive-migration path (add_files/
-    // migrate) handles exactly this by serving identity partition
-    // values from the manifest's partition struct — so does this
-    // export. MOR segments classify per kind: an upsert delta is BOTH
-    // a data file and an equality delete, a key-delete file is a
-    // delete only, a revise segment splits on its del/add dirs.
+    // ---- per-segment files: (absolute path, length, raw identity
+    // (col, rawValue) pairs parsed from `col=value` dirs, role).
+    // Hive-style layouts drop the partition column from the data
+    // files; Iceberg's own Hive-migration path (add_files/migrate)
+    // handles exactly this by serving identity partition values from
+    // the manifest's partition struct — so does this export. MOR
+    // segments classify per kind: an upsert delta is BOTH a data file
+    // and an equality delete, a key-delete file is a delete only, a
+    // revise segment splits on its del/add dirs.
     val allSegs = chains.values.flatten.toSeq.distinctBy(_.v).sortBy(_.v)
     val segFiles: Map[Int, Seq[(String, Long, Seq[(String, String)], Boolean, Boolean)]] =
       allSegs.map { m =>
@@ -152,25 +179,34 @@ object IcebergExport {
       }.toMap
     val hasDeletes = segFiles.values.flatten.exists(_._5)
 
-    // identity partition columns: the SAME ordered column sequence on
-    // every file of every exported version, or nothing exports —
-    // Iceberg's default spec describes the whole table
-    val partColSeqs = segFiles.values.flatten.map(_._3.map(_._1)).toSeq.distinct
+    // identity partition columns: every DIRECTORY-BEARING file shares
+    // the SAME ordered column sequence (that sequence becomes spec 0);
+    // bare files (no `col=value` components) are fine — they ride the
+    // unpartitioned spec and always carry every column in the parquet
+    val partColSeqs = segFiles.values.flatten.map(_._3.map(_._1)).filter(_.nonEmpty).toSeq.distinct
     require(partColSeqs.size <= 1,
       s"table $table mixes partition layouts across files (${partColSeqs.take(3)}) — " +
         "compact() to one layout before exporting")
     val partCols: Seq[String] = partColSeqs.headOption.getOrElse(Nil)
-    require(!hasDeletes || partCols.isEmpty,
-      s"table $table carries merge-on-read deltas on a partitioned layout — partitioned " +
-        "equality deletes need partition-scoped delete manifests; compact() first")
 
     // Iceberg equality deletes match NULL-SAFELY; graft's key-joins
     // never match a NULL key (the delta row is a no-op). A null merge
     // key would therefore delete rows the source table keeps — refuse
     // rather than export diverging metadata. O(delta key columns) read.
+    // The same pass verifies the delete files physically CARRY their
+    // key columns: a Hive-style layout drops partition columns from
+    // the delta parquet, and an equality-delete file must contain its
+    // equality columns per the spec.
     allSegs.filter(m => segFiles(m.v).exists(_._5)).foreach { m =>
       val delFiles = segFiles(m.v).filter(_._5).map(_._1)
-      val nullKeyed = spark.read.parquet(delFiles: _*)
+      val delDf = spark.read.parquet(delFiles: _*)
+      val missing = m.keyCols.filterNot(delDf.columns.contains)
+      require(missing.isEmpty,
+        s"table $table v${m.v} delta files do not carry merge key(s) ${missing.mkString(", ")} " +
+          "(the partition layout dropped them from the parquet) — an Iceberg equality-delete " +
+          "file must physically contain its equality columns; compact() first or re-key off " +
+          "the partition columns")
+      val nullKeyed = delDf
         .where(m.keyCols.map(c => org.apache.spark.sql.functions.col(c).isNull).reduce(_ || _))
         .limit(1).count()
       require(nullKeyed == 0,
@@ -235,10 +271,10 @@ object IcebergExport {
       schemaFields.indexOf('{') + 1, """"schema-id":0,""", 0)
     val lastColumnId = fieldId.get()
 
-    // identity partition spec: (column, value kind, source field id,
+    // identity partition spec 0: (column, value kind, source field id,
     // partition field id 1000+i) — value types limited to what a
     // directory name round-trips losslessly
-    val partFieldInfo: Seq[(String, String, Int, Int)] = partCols.zipWithIndex.map { case (c, i) =>
+    val spec0Fields: Seq[SpecField] = partCols.zipWithIndex.map { case (c, i) =>
       val srcId = topIds.getOrElse(c, throw new IllegalArgumentException(
         s"partition column '$c' is not in table $table's schema"))
       val kind = tableSchema.fields.find(_.name == c).map(f => f.dataType match {
@@ -251,11 +287,34 @@ object IcebergExport {
       }).get
       require(c.matches("[A-Za-z_][A-Za-z0-9_]*"),
         s"partition column '$c' is not a valid Avro field name — rename before exporting")
-      (c, kind, srcId, 1000 + i)
+      SpecField(c, "identity", c, kind, 1000 + i, None)
     }
-    val specFieldsJson = partFieldInfo.map { case (c, _, srcId, fid) =>
-      s"""{"name":"${esc(c)}","transform":"identity","source-id":$srcId,"field-id":$fid}"""
+    // deletes and bare files ride the UNPARTITIONED spec: spec 0 when
+    // the table has no layout spec, else spec 1 (multi-spec table)
+    val unpartSpecId = if (spec0Fields.isEmpty) 0 else 1
+    def specFieldsJson(fields: Seq[SpecField]): String = fields.map { f =>
+      val srcId = topIds(f.srcCol)
+      s"""{"name":"${esc(f.name)}","transform":"${f.transform}","source-id":$srcId,"field-id":${f.fid}}"""
     }.mkString("[", ",", "]")
+    val specsById: Map[Int, Seq[SpecField]] =
+      if (spec0Fields.isEmpty) Map(0 -> Nil) else Map(0 -> spec0Fields, 1 -> Nil)
+
+    /** Typed partition value for one spec field, from this file's raw
+      * `col=value` directory pairs. */
+    def partValue(f: SpecField, rawParts: Seq[(String, String)]): (String, AnyRef) = {
+      val raw = rawParts.find(_._1 == f.name).getOrElse(throw new IllegalArgumentException(
+        s"file lacks a directory value for partition field '${f.name}'"))._2
+      val v: AnyRef =
+        if (raw == "__HIVE_DEFAULT_PARTITION__") null
+        else f.kind match {
+          case "int" => java.lang.Integer.valueOf(raw.toInt)
+          case "long" => java.lang.Long.valueOf(raw.toLong)
+          case "string" => raw
+          case "date" =>
+            java.lang.Integer.valueOf(java.time.LocalDate.parse(raw).toEpochDay.toInt)
+        }
+      (f.name, v)
+    }
 
     // ---- record counts + per-column stats from parquet footers, one
     // distributed job (the driver only handles file names)
@@ -271,20 +330,23 @@ object IcebergExport {
           .collect().toMap
       }
 
-    // ---- Avro manifests (per segment: a data manifest and, for MOR
-    // segments, a delete manifest — both shared by every snapshot list
-    // whose chain contains the segment)
+    // ---- Avro manifests (per segment: data manifests per spec and,
+    // for MOR segments, a delete manifest — all shared by every
+    // snapshot list whose chain contains the segment)
     val now = System.currentTimeMillis
-    val manifestSchema = new org.apache.avro.Schema.Parser().parse(
-      manifestEntryAvro(partFieldInfo.map { case (c, k, _, fid) => (c, k, fid) }))
-    val dataFileSchema = manifestSchema.getField("data_file").schema()
-    val partSchema = dataFileSchema.getField("partition").schema()
+    val manifestSchemaBySpec: Map[Int, org.apache.avro.Schema] = specsById.map { case (id, fields) =>
+      id -> new org.apache.avro.Schema.Parser().parse(
+        manifestEntryAvro(fields.map(f => (f.name, f.kind, f.fid))))
+    }
     /** content: 0 = data manifest, 1 = delete manifest (manifest_file
       * vocabulary; ENTRIES inside a delete manifest carry content=2,
       * equality deletes). */
-    case class ManifestRef(content: Int, path: String, len: Long, rows: Long, files: Int)
-    def writeManifest(m: SnapshotTables.VersionMeta,
-        files: Seq[(String, Long, Seq[(String, String)])], entryContent: Int): ManifestRef = {
+    case class ManifestRef(content: Int, specId: Int, path: String, len: Long, rows: Long, files: Int)
+    def writeManifest(m: SnapshotTables.VersionMeta, specId: Int,
+        files: Seq[(String, Long, Seq[(String, AnyRef)])], entryContent: Int): ManifestRef = {
+      val manifestSchema = manifestSchemaBySpec(specId)
+      val dataFileSchema = manifestSchema.getField("data_file").schema()
+      val partSchema = dataFileSchema.getField("partition").schema()
       val eqIds: Seq[Int] =
         if (entryContent != 2) Nil
         else m.keyCols.map(k => topIds.getOrElse(k, throw new IllegalArgumentException(
@@ -295,14 +357,14 @@ object IcebergExport {
       val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](manifestSchema))
       w.setMeta("schema", schemaJson)
       w.setMeta("schema-id", "0")
-      w.setMeta("partition-spec", specFieldsJson)
-      w.setMeta("partition-spec-id", "0")
+      w.setMeta("partition-spec", specFieldsJson(specsById(specId)))
+      w.setMeta("partition-spec-id", specId.toString)
       w.setMeta("format-version", "2")
       w.setMeta("content", if (entryContent == 2) "deletes" else "data")
       val os = fs(p).create(p, true)
       w.create(manifestSchema, os)
       var rows = 0L
-      files.foreach { case (path, len, parts) =>
+      files.foreach { case (path, len, partVals) =>
         val df = new GenericData.Record(dataFileSchema)
         df.put("content", entryContent)
         df.put("file_path", path)
@@ -314,19 +376,7 @@ object IcebergExport {
           df.put("equality_ids", a)
         }
         val pRec = new GenericData.Record(partSchema)
-        parts.foreach { case (col, raw) =>
-          val kind = partFieldInfo.find(_._1 == col).get._2
-          val v: AnyRef =
-            if (raw == "__HIVE_DEFAULT_PARTITION__") null
-            else kind match {
-              case "int" => java.lang.Integer.valueOf(raw.toInt)
-              case "long" => java.lang.Long.valueOf(raw.toLong)
-              case "string" => raw
-              case "date" =>
-                java.lang.Integer.valueOf(java.time.LocalDate.parse(raw).toEpochDay.toInt)
-            }
-          pRec.put(col, v)
-        }
+        partVals.foreach { case (name, v) => pRec.put(name, v) }
         df.put("partition", pRec)
         val fst = statsByFile.getOrElse(path, IcebergExport.FileStats(0L, Map.empty))
         rows += fst.rows
@@ -369,18 +419,28 @@ object IcebergExport {
         w.append(e)
       }
       w.close()
-      ManifestRef(if (entryContent == 2) 1 else 0,
+      ManifestRef(if (entryContent == 2) 1 else 0, specId,
         fs(p).makeQualified(p).toString, fs(p).getFileStatus(p).getLen, rows, files.size)
     }
     val manifestMeta: Map[Int, Seq[ManifestRef]] = allSegs.map { m =>
       val fsOfSeg = segFiles(m.v)
-      val data = fsOfSeg.filter(_._4).map(t => (t._1, t._2, t._3))
-      val dels = fsOfSeg.filter(_._5).map(t => (t._1, t._2, t._3))
+      // data files split by spec: directory-bearing files under the
+      // layout spec 0 (typed partition struct), bare files under the
+      // unpartitioned spec
+      val dataLaid = fsOfSeg.filter(t => t._4 && t._3.nonEmpty)
+        .map(t => (t._1, t._2, spec0Fields.map(f => partValue(f, t._3))))
+      val dataBare = fsOfSeg.filter(t => t._4 && t._3.isEmpty)
+        .map(t => (t._1, t._2, Seq.empty[(String, AnyRef)]))
+      // delete files ALWAYS enter the unpartitioned spec with an empty
+      // partition struct — global equality deletes per the public spec
+      val dels = fsOfSeg.filter(_._5).map(t => (t._1, t._2, Seq.empty[(String, AnyRef)]))
       val refs = Seq.newBuilder[ManifestRef]
+      if (dataLaid.nonEmpty) refs += writeManifest(m, 0, dataLaid, entryContent = 0)
       // an empty DATA manifest still anchors empty full/append segments
       // (their snapshot must exist); empty delete manifests are skipped
-      if (data.nonEmpty || dels.isEmpty) refs += writeManifest(m, data, entryContent = 0)
-      if (dels.nonEmpty) refs += writeManifest(m, dels, entryContent = 2)
+      if (dataBare.nonEmpty || (dataLaid.isEmpty && dels.isEmpty))
+        refs += writeManifest(m, unpartSpecId, dataBare, entryContent = 0)
+      if (dels.nonEmpty) refs += writeManifest(m, unpartSpecId, dels, entryContent = 2)
       m.v -> refs.result()
     }.toMap
 
@@ -399,7 +459,7 @@ object IcebergExport {
           val r = new GenericData.Record(listSchema)
           r.put("manifest_path", ref.path)
           r.put("manifest_length", ref.len)
-          r.put("partition_spec_id", 0)
+          r.put("partition_spec_id", ref.specId)
           r.put("content", ref.content)
           r.put("sequence_number", m.v.toLong)
           r.put("min_sequence_number", m.v.toLong)
@@ -432,12 +492,15 @@ object IcebergExport {
     }.mkString("[", ",", "]")
     val snapshotLog = versions
       .map(v => s"""{"timestamp-ms":$now,"snapshot-id":$v}""").mkString("[", ",", "]")
+    val specsJson = specsById.toSeq.sortBy(_._1).map { case (id, fields) =>
+      s"""{"spec-id":$id,"fields":${specFieldsJson(fields)}}"""
+    }.mkString("[", ",", "]")
     val json =
       s"""{"format-version":2,"table-uuid":"$uuid","location":"${esc(destDir)}",""" +
         s""""last-sequence-number":$cur,"last-updated-ms":$now,"last-column-id":$lastColumnId,""" +
         s""""current-schema-id":0,"schemas":[$schemaJson],""" +
-        s""""default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":$specFieldsJson}],""" +
-        s""""last-partition-id":${999 + partCols.size},""" +
+        s""""default-spec-id":0,"partition-specs":$specsJson,""" +
+        s""""last-partition-id":${999 + spec0Fields.size},""" +
         s""""default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],""" +
         s""""properties":{},"current-snapshot-id":$cur,"snapshots":$snapshots,""" +
         s""""snapshot-log":$snapshotLog,"metadata-log":[],""" +
@@ -567,8 +630,8 @@ object IcebergExport {
       |{"name":"deleted_rows_count","type":"long","field-id":514}
       |]}""".stripMargin
 
-  /** Iceberg v2 `manifest_entry` Avro schema for a given identity
-    * partition spec (spec "Manifests": field-ids 0-4, data_file struct
+  /** Iceberg v2 `manifest_entry` Avro schema for a given partition
+    * struct (spec "Manifests": field-ids 0-4, data_file struct
     * 100-134, partition struct fields 1000+). */
   private[io] def manifestEntryAvro(partFields: Seq[(String, String, Int)]): String = {
     val pf = partFields.map { case (name, kind, fid) =>

@@ -30,18 +30,29 @@ import org.apache.spark.sql.functions._
   *    table schema). Application is a LEFT ANTI join on null-safe
   *    equality of those columns, gated on the delete's sequence number
   *    being STRICTLY greater than the data file's (the spec: equality
-  *    deletes never see rows committed at or after them).
+  *    deletes never see rows committed at or after them). SCOPE comes
+  *    from the delete manifest's own partition spec, per the public
+  *    spec's scan-planning rules:
+  *      - an UNPARTITIONED spec → the deletes are GLOBAL (this is how
+  *        [[IcebergExport]] emits MOR chains over partitioned layouts,
+  *        and how Flink CDC writers emit global deletes);
+  *      - an IDENTITY-partitioned spec → each delete file applies only
+  *        within its partition: the entry's partition struct values
+  *        become additional null-safe equality conditions on the
+  *        identity source columns;
+  *      - non-identity transforms in a delete spec refuse (scoping by
+  *        bucket/truncate values needs the transform function, whose
+  *        hash Iceberg pins to murmur3 — silently approximating it
+  *        could delete the wrong rows).
   *  Sequence numbers come from the manifest entries (inherited from
   *  the manifest-list entry when null on an ADDED entry, per the v2
   *  inheritance rule; v1 layouts have no deletes and sequence 0).
   *
   * Honest refusals, never wrong answers:
-  *  - equality deletes on a PARTITIONED table refuse — the spec scopes
-  *    a partitioned equality delete to its partition, which needs the
-  *    delete manifest's partition struct resolved against the spec;
-  *    without the runtime that risks deleting too much or too little;
   *  - non-parquet data or delete files (AVRO/ORC) refuse;
   *  - delete files missing the spec's columns refuse;
+  *  - a delete entry under a partitioned spec whose partition struct
+  *    misses a field refuses (scoping would be a guess);
   *  - a missing/ambiguous current snapshot refuses with the metadata
   *    path in the message.
   * Manifest entries with status DELETED (2) are excluded — that is
@@ -53,10 +64,14 @@ object IcebergImport {
     * manifest's own spelling — position-delete rows address files by
     * that exact string, so both spellings enter the lookup. */
   private final case class DataEntry(path: String, raw: String, seq: Long)
+  /** `scope`: identity-column (name → value) conditions from the
+    * delete manifest's partition spec + this entry's partition struct;
+    * Nil = global. */
   private final case class DeleteEntry(path: String, raw: String, seq: Long,
-      content: Int, equalityIds: Seq[Int])
+      content: Int, equalityIds: Seq[Int], scope: Seq[(String, Any)])
+  private final case class SpecField(name: String, transform: String, sourceId: Int)
   private final case class ScanPlan(data: Seq[DataEntry], deletes: Seq[DeleteEntry],
-      fieldNames: Map[Int, String], partitionedSpec: Boolean)
+      fieldNames: Map[Int, String])
 
   // helper-column names used while delete application is in flight;
   // chosen to never collide with user schemas (and guarded anyway)
@@ -79,7 +94,8 @@ object IcebergImport {
   def read(spark: SparkSession, tableDir: String, snapshotId: Option[Long] = None): DataFrame = {
     val plan = planScan(spark, tableDir, snapshotId)
     if (plan.data.isEmpty) return spark.emptyDataFrame
-    if (plan.deletes.isEmpty) baseFrame(spark, plan.data.map(_.path), withMeta = false)
+    if (plan.deletes.isEmpty)
+      baseFrame(spark, plan.data.map(_.path), plan.fieldNames.values.toSet, withMeta = false)
     else applyDeletes(spark, plan)
   }
 
@@ -132,19 +148,22 @@ object IcebergImport {
           .map(f => f.get("id").asInt -> f.get("name").asText).toMap
       }
 
-    // is the DEFAULT partition spec non-empty? (gates equality deletes)
-    val partitionedSpec = {
-      val specs = md.get("partition-specs")
-      if (specs != null && specs.size > 0) {
-        val want = if (md.has("default-spec-id")) md.get("default-spec-id").asInt else 0
-        (0 until specs.size).map(specs.get)
-          .find(s => s.has("spec-id") && s.get("spec-id").asInt == want)
-          .orElse(Some(specs.get(0)))
-          .exists(s => s.get("fields") != null && s.get("fields").size > 0)
-      } else {
-        val v1 = md.get("partition-spec")
-        v1 != null && v1.size > 0
+    // every partition spec, by id (v2 "partition-specs"; v1 single
+    // "partition-spec" = spec 0) — delete-file scoping resolves the
+    // DELETE MANIFEST's own spec, not the table default
+    def specFieldsOf(node: com.fasterxml.jackson.databind.JsonNode): Seq[SpecField] =
+      if (node == null) Nil
+      else (0 until node.size).map(node.get).map { f =>
+        SpecField(f.get("name").asText, f.get("transform").asText,
+          if (f.has("source-id")) f.get("source-id").asInt else -1)
       }
+    val specsById: Map[Int, Seq[SpecField]] = {
+      val specs = md.get("partition-specs")
+      if (specs != null && specs.size > 0)
+        (0 until specs.size).map(specs.get)
+          .map(s => (if (s.has("spec-id")) s.get("spec-id").asInt else 0) ->
+            specFieldsOf(s.get("fields"))).toMap
+      else Map(0 -> specFieldsOf(md.get("partition-spec")))
     }
 
     val wantSnap = snapshotId.getOrElse {
@@ -161,23 +180,27 @@ object IcebergImport {
           (0 until snaps.size).map(snaps.get(_).get("snapshot-id").asLong).mkString(", ")))
 
     // v1 snapshots may carry an inline "manifests" array instead of a
-    // list file; (path, manifest sequence number for inheritance)
-    val manifests: Seq[(String, Long)] =
+    // list file; (path, manifest sequence number for inheritance,
+    // manifest's partition spec id)
+    val manifests: Seq[(String, Long, Int)] =
       if (snap.hasNonNull("manifest-list")) {
         readAvro(fs _, resolve(tableDir, snap.get("manifest-list").asText))._1.map { r =>
           val seq = Option(r.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(0L)
-          (r.get("manifest_path").toString, seq)
+          val specId = Option(r.get("partition_spec_id")).map(_.asInstanceOf[Int]).getOrElse(0)
+          (r.get("manifest_path").toString, seq, specId)
         }
       } else if (snap.hasNonNull("manifests")) {
         val a = snap.get("manifests")
-        (0 until a.size).map(i => (a.get(i).asText, 0L))
+        (0 until a.size).map(i => (a.get(i).asText, 0L, 0))
       } else throw new IllegalArgumentException(s"snapshot $wantSnap has no manifest list in $mdPath")
 
     val dataB = Seq.newBuilder[DataEntry]
     val delB = Seq.newBuilder[DeleteEntry]
-    manifests.foreach { case (mPathRaw, listSeq) =>
+    manifests.foreach { case (mPathRaw, listSeq, specId) =>
       val mPath = resolve(tableDir, mPathRaw)
       val entries = readAvro(fs _, mPath)._1
+      val specFields = specsById.getOrElse(specId, throw new IllegalArgumentException(
+        s"manifest $mPathRaw references partition spec $specId, absent from $mdPath"))
       entries.foreach { e =>
         val status = Option(e.get("status")).map(_.asInstanceOf[Int]).getOrElse(1)
         if (status != 2) { // DELETED entry: the spec requires skipping it
@@ -197,7 +220,7 @@ object IcebergImport {
           val abs = resolve(tableDir, raw).toString
           content match {
             case 0 => dataB += DataEntry(abs, raw, seq)
-            case 1 => delB += DeleteEntry(abs, raw, seq, 1, Nil)
+            case 1 => delB += DeleteEntry(abs, raw, seq, 1, Nil, Nil)
             case 2 =>
               val idsNode = df.get("equality_ids")
               require(idsNode != null,
@@ -206,45 +229,106 @@ object IcebergImport {
               val ids = idsNode.asInstanceOf[java.util.List[_]].asScala
                 .map(_.asInstanceOf[Int]).toSeq
               require(ids.nonEmpty, s"equality delete file $raw in $mPath has empty equality_ids")
-              delB += DeleteEntry(abs, raw, seq, 2, ids)
+              delB += DeleteEntry(abs, raw, seq, 2, ids,
+                deleteScope(specFields, df, fieldNames, raw, mPath.toString))
             case other => throw new IllegalArgumentException(
               s"data_file with unknown content=$other in $mPath")
           }
         }
       }
     }
-    ScanPlan(dataB.result(), delB.result(), fieldNames, partitionedSpec)
+    ScanPlan(dataB.result(), delB.result(), fieldNames)
+  }
+
+  /** Partition scope of one equality-delete entry: Nil under an
+    * unpartitioned spec (global delete); (source column → partition
+    * value) conditions under an identity spec; refusal otherwise. */
+  private def deleteScope(specFields: Seq[SpecField], df: GenericRecord,
+      fieldNames: Map[Int, String], raw: String, mPath: String): Seq[(String, Any)] = {
+    if (specFields.isEmpty) return Nil
+    val nonIdentity = specFields.filterNot(_.transform == "identity")
+    require(nonIdentity.isEmpty,
+      s"equality delete file $raw is scoped by non-identity partition transform(s) " +
+        s"${nonIdentity.map(f => s"${f.transform}(${f.name})").mkString(", ")} — applying them " +
+        "needs Iceberg's own transform functions; compact the source table first")
+    val pRec = df.get("partition") match {
+      case r: GenericRecord => r
+      case _ => throw new IllegalArgumentException(
+        s"equality delete file $raw under a partitioned spec carries no partition struct ($mPath)")
+    }
+    specFields.map { f =>
+      val col = fieldNames.getOrElse(f.sourceId, throw new IllegalArgumentException(
+        s"partition field '${f.name}' of delete file $raw references source id ${f.sourceId}, " +
+          "not in the table schema"))
+      val avroField = pRec.getSchema.getField(f.name)
+      require(avroField != null,
+        s"equality delete file $raw's partition struct lacks field '${f.name}' — cannot scope it")
+      val rawV = pRec.get(f.name)
+      val isDate = {
+        val s = avroField.schema()
+        val concrete =
+          if (s.getType == org.apache.avro.Schema.Type.UNION) {
+            import scala.jdk.CollectionConverters._
+            s.getTypes.asScala.find(_.getType != org.apache.avro.Schema.Type.NULL).getOrElse(s)
+          } else s
+        concrete.getLogicalType != null && concrete.getLogicalType.getName == "date"
+      }
+      val v: Any = rawV match {
+        case null => null
+        case u: org.apache.avro.util.Utf8 => u.toString
+        case i: java.lang.Integer if isDate => java.time.LocalDate.ofEpochDay(i.longValue())
+        case other => other
+      }
+      (col, v)
+    }
   }
 
   // ------------------------------------------------------------------
   // scan construction
   // ------------------------------------------------------------------
 
-  private def baseFrame(spark: SparkSession, files: Seq[String], withMeta: Boolean): DataFrame = {
-    def finish(df: DataFrame): DataFrame =
-      if (!withMeta) df
-      else df.select(col("*"),
+  /** `schemaCols`: the table schema's column names — directory-derived
+    * partition columns outside it (e.g. a hidden-transform layout's
+    * derived values) are dropped after discovery, never surfaced. */
+  private def baseFrame(spark: SparkSession, files: Seq[String], schemaCols: Set[String],
+      withMeta: Boolean): DataFrame = {
+    def finish(df: DataFrame): DataFrame = {
+      // a v1 metadata file with no parseable schema drops nothing —
+      // only a KNOWN schema authorizes projecting extras away
+      val extras =
+        if (schemaCols.isEmpty) Array.empty[String]
+        else df.columns.filter(c => !schemaCols.contains(c))
+      val dropped = if (extras.isEmpty) df else df.drop(extras.toSeq: _*)
+      if (!withMeta) dropped
+      else dropped.select(col("*"),
         col("_metadata.file_path").as(FileCol),
         col("_metadata.row_index").as(PosCol))
-    val partitioned = files.exists(_.split('/').init.exists(_.contains("=")))
-    if (!partitioned) return finish(spark.read.parquet(files: _*))
+    }
+    def dirComps(f: String) = f.split('/').init.filter(_.contains("="))
+    val partitioned = files.filter(f => dirComps(f).nonEmpty)
+    val bare = files.filterNot(f => dirComps(f).nonEmpty)
+    if (partitioned.isEmpty) return finish(spark.read.parquet(files: _*))
     // which columns do the files themselves carry?
-    val fileCols = spark.read.parquet(files.head).schema.fieldNames.toSet
-    val dirCols = files.head.split('/').init.filter(_.contains("="))
+    val fileCols = spark.read.parquet(partitioned.head).schema.fieldNames.toSet
+    val dirCols = dirComps(partitioned.head)
       .map(c => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         .unescapePathName(c.substring(0, c.indexOf('=')))).toSet
     if (dirCols.subsetOf(fileCols)) return finish(spark.read.parquet(files: _*))
     // partition columns live only in the directory names: group files
     // by their pre-partition base and let Spark's partition discovery
-    // type them; union across bases (one per exported segment)
-    val byBase = files.groupBy { f =>
+    // type them; union across bases (one per exported segment). Bare
+    // files (e.g. a MOR segment's full-row images) carry every column
+    // in the parquet and read plainly.
+    val byBase = partitioned.groupBy { f =>
       val comps = f.split('/')
       val firstPart = comps.indexWhere(_.contains("="))
       comps.take(firstPart).mkString("/")
     }
-    byBase.toSeq.sortBy(_._1).map { case (base, fs) =>
+    val parts = byBase.toSeq.sortBy(_._1).map { case (base, fs) =>
       finish(spark.read.option("basePath", base).parquet(fs: _*))
-    }.reduce(_ unionByName _)
+    }
+    val all = parts ++ (if (bare.isEmpty) Nil else Seq(finish(spark.read.parquet(bare: _*))))
+    all.reduce(_ unionByName _)
   }
 
   // ------------------------------------------------------------------
@@ -273,20 +357,23 @@ object IcebergImport {
     import spark.implicits._
 
     val eqDeletes = plan.deletes.filter(_.content == 2)
-    require(eqDeletes.isEmpty || !plan.partitionedSpec,
-      "equality deletes on a partitioned table need the partition-scoped resolution of an " +
-        "Iceberg runtime — compact the source table first")
     eqDeletes.foreach { d =>
       d.equalityIds.foreach(id => require(plan.fieldNames.contains(id),
         s"equality_ids of ${d.path} references field id $id, not in the table schema"))
     }
 
-    val base = baseFrame(spark, plan.data.map(_.path), withMeta = true)
+    val base = baseFrame(spark, plan.data.map(_.path), plan.fieldNames.values.toSet, withMeta = true)
     val userCols = base.columns.filterNot(Set(FileCol, PosCol)).toSeq
     val helperNames = Set("__spelling", "__dspelling", "__dseq", "__self", "__target")
     require(!userCols.exists(c => c.startsWith("__graft_ice_") || c.startsWith("__graft_ed_") ||
         helperNames(c)),
       s"table columns collide with delete-application helpers: ${userCols.mkString(", ")}")
+    // partition-scoped deletes condition on identity source columns —
+    // they must exist on the scan side (reconstructed by partition
+    // discovery for Hive layouts, in-file otherwise)
+    eqDeletes.flatMap(_.scope.map(_._1)).distinct.foreach(c =>
+      require(userCols.contains(c),
+        s"partition-scoped equality delete conditions on column '$c', absent from the scan"))
 
     // (spelling → file id, data sequence number), tiny and broadcast
     val dataLookup = plan.data.zipWithIndex.flatMap { case (d, i) =>
@@ -325,10 +412,12 @@ object IcebergImport {
       df = df.join(pd, Seq(FidCol, PosCol), "left_anti")
     }
 
-    // one anti-join per distinct equality_ids set, null-safe equality
-    // on the resolved columns, strictly-greater sequence gating
-    eqDeletes.groupBy(_.equalityIds.sorted).toSeq.sortBy(_._1.mkString(",")).foreach {
-      case (ids, group) =>
+    // one anti-join per distinct (equality_ids, partition scope) pair:
+    // null-safe equality on the resolved columns, strictly-greater
+    // sequence gating, plus the scope's identity-column conditions
+    eqDeletes.groupBy(d => (d.equalityIds.sorted, d.scope)).toSeq
+      .sortBy { case ((ids, scope), _) => ids.mkString(",") + "|" + scope.mkString(",") }
+      .foreach { case ((ids, scope), group) =>
         val names = ids.map(plan.fieldNames)
         val edRaw = spark.read.parquet(group.map(_.path): _*)
         names.foreach(n => require(edRaw.columns.contains(n),
@@ -339,10 +428,13 @@ object IcebergImport {
           .withColumn("__dseq", coalesce(col("__dseq"),
             raise_error(concat(lit("equality-delete file missing from the lookup: "), col("__self")))))
         val edR = names.foldLeft(ed)((acc, n) => acc.withColumnRenamed(n, s"__graft_ed_$n"))
-        val cond: Column = names.map(n => df(n) <=> edR(s"__graft_ed_$n")).reduce(_ && _) &&
-          edR("__dseq") > df(FseqCol)
+        val scopeCond: Option[Column] = scope
+          .map { case (c, v) => df(c) <=> lit(v) }
+          .reduceOption(_ && _)
+        val cond: Column = (names.map(n => df(n) <=> edR(s"__graft_ed_$n")) ++ scopeCond)
+          .reduce(_ && _) && edR("__dseq") > df(FseqCol)
         df = df.join(edR, cond, "left_anti")
-    }
+      }
 
     df.select(userCols.map(col): _*)
   }

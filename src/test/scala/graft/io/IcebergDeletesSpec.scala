@@ -37,8 +37,9 @@ class IcebergDeletesSpec extends SparkSpec {
     (t, dest)
   }
 
-  private def addDeleteSnapshot(dest: String, dels: Seq[IcebergTestSplice.Del]): Unit =
-    IcebergTestSplice.addDeleteSnapshot(dest, dels)
+  private def addDeleteSnapshot(dest: String, dels: Seq[IcebergTestSplice.Del],
+      specId: Int = 0, partFields: Seq[(String, String)] = Nil): Unit =
+    IcebergTestSplice.addDeleteSnapshot(dest, dels, specId, partFields)
 
   /** id → (manifest file-path spelling, row position) over the current
     * data files, via the same _metadata coordinates the import uses. */
@@ -197,7 +198,7 @@ class IcebergDeletesSpec extends SparkSpec {
     assert(IcebergImport.deleteFiles(spark, dest2).nonEmpty, "revise del/ must export as a delete")
   }
 
-  test("MOR export refusals: content-addressed patches, partitioned layouts, null merge keys") {
+  test("MOR export refusals: content-addressed patches, layout-dropped merge keys, null merge keys") {
     // mor_patch (exceptAll bag semantics) cannot become an equality delete
     val r1 = java.nio.file.Files.createTempDirectory("graft-ice-morref1").toString
     val t1 = new SnapshotTables(spark, r1)
@@ -207,15 +208,17 @@ class IcebergDeletesSpec extends SparkSpec {
       java.nio.file.Files.createTempDirectory("x1").toString))
     assert(e1.getMessage.contains("content-addressed"))
 
-    // MOR deltas over a partitioned layout
+    // an upsert KEYED ON the partition column: the Hive-style layout
+    // drops that column from the delta parquet, and an equality-delete
+    // file must physically carry its equality columns
     val r2 = java.nio.file.Files.createTempDirectory("graft-ice-morref2").toString
     val t2 = new SnapshotTables(spark, r2)
     t2.overwriteTable((1 to 20).map(i => (i.toLong, s"v$i", i % 3)).toDF("id", "v", "b"),
       "tab", partitionCols = Seq("b"))
-    t2.upsertMor("tab", Seq((1L, "up", 1)).toDF("id", "v", "b"), Seq("id"))
+    t2.upsertMor("tab", Seq((100L, "up", 1)).toDF("id", "v", "b"), Seq("b"))
     val e2 = intercept[IllegalArgumentException](IcebergExport.export(t2, "tab",
       java.nio.file.Files.createTempDirectory("x2").toString))
-    assert(e2.getMessage.contains("partitioned layout"))
+    assert(e2.getMessage.contains("do not carry merge key"))
 
     // NULL merge keys: Iceberg's null-safe equality would delete rows
     // graft's key-join keeps
@@ -229,20 +232,127 @@ class IcebergDeletesSpec extends SparkSpec {
     assert(e3.getMessage.contains("NULL merge keys"))
   }
 
-  test("unsupported delete shapes refuse loudly") {
-    // equality deletes on a partitioned table
-    val root = java.nio.file.Files.createTempDirectory("graft-ice-part-del").toString
+  test("partitioned MOR chains export as GLOBAL equality deletes (unpartitioned spec) and round-trip") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ice-pmor").toString
     val t = new SnapshotTables(spark, root)
-    t.overwriteTable((1 to 20).map(i => (i.toLong, s"v$i", i % 3)).toDF("id", "v", "b"),
-      "tab", partitionCols = Seq("b"))
-    val destP = java.nio.file.Files.createTempDirectory("graft-ice-part-del-out").toString
-    IcebergExport.export(t, "tab", destP)
-    val eqOut = java.nio.file.Files.createTempDirectory("graft-eqdel-p").toString
-    Seq(1L).toDF("id").coalesce(1).write.mode("overwrite").parquet(eqOut)
+    t.overwriteTable((1 to 60).map(i => (i.toLong, s"v$i", i % 3)).toDF("id", "v", "b"),
+      "tab", partitionCols = Seq("b"))                                                   // v1
+    t.append((61 to 80).map(i => (i.toLong, s"v$i", i % 3)).toDF("id", "v", "b"), "tab") // v2
+    t.upsertMor("tab",
+      Seq((5L, "up5", 2), (70L, "up70", 1), (200L, "new200", 0)).toDF("id", "v", "b"),
+      Seq("id"))                                                                         // v3
+    t.deleteKeysMor("tab", Seq(7L, 71L, 200L).toDF("id"))                                // v4
+    val dest = java.nio.file.Files.createTempDirectory("graft-ice-pmor-out").toString
+    IcebergExport.export(t, "tab", dest)
+
+    def set(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "v", "b").as[(Long, String, Int)].collect().toSet
+    assert(set(IcebergImport.read(spark, dest)) == set(t.read("tab")))
+    t.history("tab").foreach { v =>
+      assert(set(IcebergImport.read(spark, dest, Some(v.toLong))) ==
+        set(t.readVersion("tab", v)), s"version $v diverged")
+    }
+    // note the upsert moved id=5 from partition 2 to partition 2 and
+    // id=70 from 1 to 1 — but its equality delete must reach EVERY
+    // partition: verify a cross-partition key replacement resolved
+    val head = IcebergImport.read(spark, dest).where($"id" === 5L).collect()
+    assert(head.length == 1 && head.head.getString(1) == "up5")
+
+    // external shape: metadata declares BOTH specs (0 = identity on b,
+    // 1 = unpartitioned) and every delete manifest rides spec 1
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val metaDir = java.nio.file.Paths.get(dest, "metadata")
+    val hint = java.nio.file.Files.readString(metaDir.resolve("version-hint.text")).trim.toInt
+    val md = om.readTree(java.nio.file.Files.readString(
+      metaDir.resolve(f"v$hint%05d.metadata.json")))
+    val specs = md.get("partition-specs")
+    assert(specs.size == 2)
+    assert(specs.get(0).get("spec-id").asInt == 0 &&
+      specs.get(0).get("fields").get(0).get("name").asText == "b")
+    assert(specs.get(1).get("spec-id").asInt == 1 && specs.get(1).get("fields").size == 0)
+    val cur = md.get("current-snapshot-id").asLong
+    val snapsN = md.get("snapshots")
+    val listPath = (0 until snapsN.size).map(snapsN.get)
+      .find(_.get("snapshot-id").asLong == cur).get.get("manifest-list").asText
+    val listRows = readAvroRecords(listPath)
+    val delRows = listRows.filter(_.get("content").asInstanceOf[Int] == 1)
+    assert(delRows.nonEmpty)
+    delRows.foreach(r => assert(r.get("partition_spec_id").asInstanceOf[Int] == 1,
+      "delete manifests must ride the unpartitioned spec (global equality deletes)"))
+    listRows.filter(_.get("content").asInstanceOf[Int] == 0)
+      .filterNot(r => r.get("manifest_path").toString.contains("md-"))
+      .foreach { r =>
+        val entries = readAvroRecords(r.get("manifest_path").toString)
+        // data manifests for directory-bearing files carry spec 0 with
+        // a populated partition struct
+        if (entries.nonEmpty && r.get("partition_spec_id").asInstanceOf[Int] == 0) {
+          val part = entries.head.get("data_file")
+            .asInstanceOf[org.apache.avro.generic.GenericRecord]
+            .get("partition").asInstanceOf[org.apache.avro.generic.GenericRecord]
+          assert(part.get("b") != null)
+        }
+      }
+  }
+
+  test("partition-scoped equality deletes (identity spec) apply only within their partition") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ice-scope").toString
+    val t = new SnapshotTables(spark, root)
+    // ids 1..12 appear in EVERY partition b ∈ {0,1,2}
+    t.overwriteTable((for { b <- 0 to 2; i <- 1 to 12 } yield (i.toLong, s"r$i-$b", b))
+      .toDF("id", "v", "b"), "tab", partitionCols = Seq("b"))
+    val dest = java.nio.file.Files.createTempDirectory("graft-ice-scope-out").toString
+    IcebergExport.export(t, "tab", dest)
+    val eqOut = java.nio.file.Files.createTempDirectory("graft-eqdel-scope").toString
+    Seq(3L, 9L).toDF("id").coalesce(1).write.mode("overwrite").parquet(eqOut)
     val eqFile = new java.io.File(eqOut).listFiles().find(_.getName.endsWith(".parquet")).get.getAbsolutePath
-    addDeleteSnapshot(destP, Seq(DelFile(eqFile, content = 2, seq = 9, eqIds = Seq(1))))
-    val e1 = intercept[IllegalArgumentException](IcebergImport.read(spark, destP))
-    assert(e1.getMessage.contains("partitioned"))
+    // scoped to partition b=1: spliced under spec 0 (identity on b)
+    // with the partition struct populated
+    addDeleteSnapshot(dest, Seq(DelFile(eqFile, content = 2, seq = 9, eqIds = Seq(1),
+      partVals = Seq("b" -> Integer.valueOf(1)))),
+      specId = 0, partFields = Seq(("b", "int")))
+    val back = IcebergImport.read(spark, dest)
+      .select("id", "b").as[(Long, Int)].collect().toSet
+    assert(!back.contains((3L, 1)) && !back.contains((9L, 1)),
+      "scoped delete failed to apply inside its partition")
+    assert(back.contains((3L, 0)) && back.contains((3L, 2)) &&
+      back.contains((9L, 0)) && back.contains((9L, 2)),
+      "scoped delete leaked outside its partition")
+    assert(back.size == 3 * 12 - 2)
+
+    // the same delete spliced WITHOUT partition values refuses loudly
+    val dest2 = java.nio.file.Files.createTempDirectory("graft-ice-scope-out2").toString
+    IcebergExport.export(t, "tab", dest2)
+    addDeleteSnapshot(dest2, Seq(DelFile(eqFile, content = 2, seq = 9, eqIds = Seq(1))), specId = 0)
+    val e = intercept[IllegalArgumentException](IcebergImport.read(spark, dest2))
+    assert(e.getMessage.contains("partition struct lacks field"))
+
+    // a non-identity transform in a delete spec refuses loudly: splice
+    // under a fabricated bucket spec
+    val dest3 = java.nio.file.Files.createTempDirectory("graft-ice-scope-out3").toString
+    IcebergExport.export(t, "tab", dest3)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val metaDir3 = java.nio.file.Paths.get(dest3, "metadata")
+    val hint3 = java.nio.file.Files.readString(metaDir3.resolve("version-hint.text")).trim.toInt
+    val mdFile3 = metaDir3.resolve(f"v$hint3%05d.metadata.json")
+    val md3 = om.readTree(java.nio.file.Files.readString(mdFile3))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val specsArr = md3.get("partition-specs")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+    val bucketSpec = specsArr.addObject()
+    bucketSpec.put("spec-id", 7)
+    val bf = bucketSpec.putArray("fields").addObject()
+    bf.put("name", "id_bucket"); bf.put("transform", "bucket[16]")
+    bf.put("source-id", 1); bf.put("field-id", 1007)
+    java.nio.file.Files.writeString(mdFile3, om.writeValueAsString(md3))
+    java.nio.file.Files.deleteIfExists(metaDir3.resolve(f".v$hint3%05d.metadata.json.crc"))
+    addDeleteSnapshot(dest3, Seq(DelFile(eqFile, content = 2, seq = 9, eqIds = Seq(1),
+      partVals = Seq("id_bucket" -> Integer.valueOf(3)))),
+      specId = 7, partFields = Seq(("id_bucket", "int")))
+    val e3 = intercept[IllegalArgumentException](IcebergImport.read(spark, dest3))
+    assert(e3.getMessage.contains("non-identity"))
+  }
+
+  test("unsupported delete shapes refuse loudly") {
 
     // non-parquet delete file
     val (_, dest2) = exported()

@@ -5,7 +5,13 @@ package graft.io
   * manifest (content=1/2 entries with explicit sequence numbers), a new
   * manifest list carrying the previous manifests plus the delete one,
   * and a new metadata JSON whose current snapshot points at it. Shared
-  * by IcebergDeletesSpec and the verify drivers. */
+  * by IcebergDeletesSpec and the verify drivers.
+  *
+  * The delete manifest is written under `specId` (default 0). When
+  * `partFields` is non-empty — (name, avroKind int|long|string|date) —
+  * the manifest's entry schema carries that partition struct and each
+  * [[Del]]'s `partVals` populate it, which is how a PARTITION-SCOPED
+  * equality delete is spliced. */
 object IcebergTestSplice {
 
   /** Minimal v2 manifest_entry schema for DELETE manifests — only the
@@ -28,7 +34,8 @@ object IcebergTestSplice {
       |]}""".stripMargin
 
   final case class Del(path: String, content: Int, seq: Long,
-      eqIds: Seq[Int] = Nil, format: String = "PARQUET")
+      eqIds: Seq[Int] = Nil, format: String = "PARQUET",
+      partVals: Seq[(String, AnyRef)] = Nil)
 
   def readAvroRecords(path: String): Seq[org.apache.avro.generic.GenericRecord] = {
     val in = new org.apache.avro.file.DataFileStream[org.apache.avro.generic.GenericRecord](
@@ -45,7 +52,8 @@ object IcebergTestSplice {
   /** Splice a new current snapshot onto `dest` whose manifest list is
     * the previous snapshot's manifests plus ONE delete manifest holding
     * an entry per `dels` element. */
-  def addDeleteSnapshot(dest: String, dels: Seq[Del]): Unit = {
+  def addDeleteSnapshot(dest: String, dels: Seq[Del], specId: Int = 0,
+      partFields: Seq[(String, String)] = Nil): Unit = {
     import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val metaDir = java.nio.file.Paths.get(dest, "metadata")
@@ -57,8 +65,22 @@ object IcebergTestSplice {
     val snaps = md.get("snapshots").asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
     val curSnap = (0 until snaps.size).map(snaps.get).find(_.get("snapshot-id").asLong == cur).get
 
-    // the delete manifest
-    val delSchema = new org.apache.avro.Schema.Parser().parse(DeleteEntryAvro)
+    // the delete manifest, under the requested partition struct
+    val entryAvro =
+      if (partFields.isEmpty) DeleteEntryAvro
+      else {
+        val pf = partFields.map { case (name, kind) =>
+          val t = kind match {
+            case "date" => """{"type":"int","logicalType":"date"}"""
+            case k => "\"" + k + "\""
+          }
+          s"""{"name":"$name","type":["null",$t],"default":null}"""
+        }.mkString(",")
+        DeleteEntryAvro.replace(
+          """{"name":"partition","type":{"type":"record","name":"r102","fields":[]}}""",
+          s"""{"name":"partition","type":{"type":"record","name":"r102","fields":[$pf]}}""")
+      }
+    val delSchema = new org.apache.avro.Schema.Parser().parse(entryAvro)
     val dfSchema = delSchema.getField("data_file").schema()
     val pSchema = dfSchema.getField("partition").schema()
     val newSnapId = cur + 1
@@ -67,13 +89,16 @@ object IcebergTestSplice {
       new GenericDatumWriter[GenericRecord](delSchema))
     w.setMeta("content", "deletes")
     w.setMeta("format-version", "2")
+    w.setMeta("partition-spec-id", specId.toString)
     w.create(delSchema, delManifest.toFile)
     dels.foreach { d =>
       val df = new GenericData.Record(dfSchema)
       df.put("content", d.content)
       df.put("file_path", d.path)
       df.put("file_format", d.format)
-      df.put("partition", new GenericData.Record(pSchema))
+      val pRec = new GenericData.Record(pSchema)
+      d.partVals.foreach { case (n, v) => pRec.put(n, v) }
+      df.put("partition", pRec)
       df.put("record_count", 1L)
       df.put("file_size_in_bytes", 10L)
       if (d.eqIds.nonEmpty) {
@@ -105,7 +130,7 @@ object IcebergTestSplice {
     val lr = new GenericData.Record(listSchema)
     lr.put("manifest_path", delManifest.toString)
     lr.put("manifest_length", java.nio.file.Files.size(delManifest))
-    lr.put("partition_spec_id", 0)
+    lr.put("partition_spec_id", specId)
     lr.put("content", 1)
     lr.put("sequence_number", maxSeq)
     lr.put("min_sequence_number", dels.map(_.seq).min)
