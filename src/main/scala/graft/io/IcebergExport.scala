@@ -68,16 +68,22 @@ import org.apache.spark.sql.types._
   *    the unpartitioned spec; such files always carry every schema
   *    column in the parquet itself.
   *
+  * HIDDEN-TRANSFORM (`__p_*`) layouts export the transforms Iceberg
+  * can faithfully express: `days(ts)` over date/timestamp sources →
+  * `day`, `truncate(N, s)` over string sources → `truncate[N]`.
+  * Bucket fields are honestly OMITTED from the spec (graft buckets
+  * with xxhash64, Iceberg pins murmur3 — declaring `bucket[N]` would
+  * make external readers prune the wrong files); an omitted field
+  * costs only pruning, since transform source columns always stay in
+  * the data files.
+  *
   * Scope (refused loudly, never exported wrong): content-addressed
   * `mor_patch` deltas (bag-semantics exceptAll — equality deletes
   * cannot express multiset removal) must materialize()/compact()
-  * first. Hidden-transform (`__p_*`) layouts are refused (bucket
-  * values are xxhash64, not Iceberg's murmur3 — exporting them as
-  * `bucket[N]` would corrupt external pruning). Merge keys that a
-  * Hive-style layout dropped from the delta parquet refuse (a delete
-  * file must physically carry its equality columns). Schema evolution
-  * across the chain is likewise refused (one schema-id describes
-  * every file).
+  * first. Merge keys that a Hive-style layout dropped from the delta
+  * parquet refuse (a delete file must physically carry its equality
+  * columns). Schema evolution across the chain is likewise refused
+  * (one schema-id describes every file).
   */
 object IcebergExport {
 
@@ -143,15 +149,12 @@ object IcebergExport {
             val s = it.next()
             val rel = s.getPath.toString.stripPrefix(baseStr)
             val comps = rel.split('/')
-            // refuse hidden-transform layouts BEFORE the hidden-component
-            // skip: `__p_*=v` dirs are underscore-prefixed, and silently
-            // skipping them would export an empty table
-            if (s.isFile && rel.endsWith(".parquet"))
-              require(!comps.init.exists(c => c.startsWith("__p_") && c.contains("=")),
-                s"table $table v${m.v} uses hidden-transform partitioning " +
-                  s"(${comps.init.find(_.startsWith("__p_")).get}) — only identity `col=value` " +
-                  "layouts export; compact() to an identity or unpartitioned layout first")
-            val hidden = comps.exists(c => c.startsWith("_") || c.startsWith("."))
+            // hidden-transform layout dirs (`__p_*=v`) are REAL
+            // partition components, not Spark side-files — they must
+            // survive the hidden-component skip (silently skipping them
+            // would export an empty table)
+            val hidden = comps.exists(c =>
+              (c.startsWith("_") || c.startsWith(".")) && !(c.startsWith("__p_") && c.contains("=")))
             if (s.isFile && rel.endsWith(".parquet") && !hidden) {
               val parts = comps.init.filter(_.contains("=")).toSeq.map { c =>
                 val i = c.indexOf('=')
@@ -271,23 +274,59 @@ object IcebergExport {
       schemaFields.indexOf('{') + 1, """"schema-id":0,""", 0)
     val lastColumnId = fieldId.get()
 
-    // identity partition spec 0: (column, value kind, source field id,
-    // partition field id 1000+i) — value types limited to what a
-    // directory name round-trips losslessly
-    val spec0Fields: Seq[SpecField] = partCols.zipWithIndex.map { case (c, i) =>
-      val srcId = topIds.getOrElse(c, throw new IllegalArgumentException(
-        s"partition column '$c' is not in table $table's schema"))
-      val kind = tableSchema.fields.find(_.name == c).map(f => f.dataType match {
-        case ByteType | ShortType | IntegerType => "int"
-        case LongType => "long"
-        case StringType => "string"
-        case DateType => "date"
-        case other => throw new IllegalArgumentException(
-          s"partition column '$c' has type $other — identity export supports int/long/string/date")
-      }).get
-      require(c.matches("[A-Za-z_][A-Za-z0-9_]*"),
-        s"partition column '$c' is not a valid Avro field name — rename before exporting")
-      SpecField(c, "identity", c, kind, 1000 + i, None)
+    // partition spec 0 from the layout's ordered directory components:
+    //  - identity `col=value` dirs → identity fields (value types
+    //    limited to what a directory name round-trips losslessly);
+    //  - hidden-transform `__p_days_<ts>=v` dirs over a date/timestamp
+    //    source → Iceberg's `day` transform (same UTC date semantics —
+    //    sessions are pinned UTC);
+    //  - `__p_trunc<N>_<s>=v` over a STRING source → `truncate[N]`
+    //    (both sides take the leading N code points; numeric truncate
+    //    is value-mod-W in Iceberg and so does NOT match — omitted);
+    //  - `__p_bucket<N>_<k>=v` is honestly OMITTED from the spec:
+    //    graft buckets with xxhash64, Iceberg pins murmur3_x86_32 —
+    //    declaring `bucket[N]` would make external readers prune the
+    //    WRONG files. An omitted field only costs pruning: the data
+    //    files carry every source column, so reads stay exact.
+    val spec0Fields: Seq[SpecField] = {
+      var nextFid = 1000
+      partCols.flatMap { c =>
+        if (!c.startsWith("__p_")) {
+          val kind = tableSchema.fields.find(_.name == c).map(f => f.dataType match {
+            case ByteType | ShortType | IntegerType => "int"
+            case LongType => "long"
+            case StringType => "string"
+            case DateType => "date"
+            case other => throw new IllegalArgumentException(
+              s"partition column '$c' has type $other — identity export supports int/long/string/date")
+          }).getOrElse(throw new IllegalArgumentException(
+            s"partition column '$c' is not in table $table's schema"))
+          require(c.matches("[A-Za-z_][A-Za-z0-9_]*"),
+            s"partition column '$c' is not a valid Avro field name — rename before exporting")
+          val f = SpecField(c, "identity", c, kind, nextFid, None)
+          nextFid += 1
+          Some(f)
+        } else {
+          val rest = c.stripPrefix("__p_")
+          val cut = rest.indexOf('_')
+          require(cut > 0, s"unparseable hidden-partition directory '$c' in table $table")
+          val (label, src) = (rest.substring(0, cut), rest.substring(cut + 1))
+          val srcType = tableSchema.fields.find(_.name == src).map(_.dataType)
+          val avroOk = src.matches("[A-Za-z_][A-Za-z0-9_]*")
+          val made: Option[SpecField] = label match {
+            case "days" if avroOk && srcType.exists(t =>
+                t == DateType || t == TimestampType || t == TimestampNTZType) =>
+              Some(SpecField(s"${src}_day", "day", src, "date", nextFid, Some(c)))
+            case l if l.startsWith("trunc") && l.length > 5 && l.drop(5).forall(_.isDigit) &&
+                avroOk && srcType.contains(StringType) =>
+              Some(SpecField(s"${src}_trunc", s"truncate[${l.drop(5)}]", src, "string",
+                nextFid, Some(c)))
+            case _ => None // buckets and non-matching sources: omitted, never misdeclared
+          }
+          if (made.nonEmpty) nextFid += 1
+          made
+        }
+      }
     }
     // deletes and bare files ride the UNPARTITIONED spec: spec 0 when
     // the table has no layout spec, else spec 1 (multi-spec table)
@@ -302,8 +341,9 @@ object IcebergExport {
     /** Typed partition value for one spec field, from this file's raw
       * `col=value` directory pairs. */
     def partValue(f: SpecField, rawParts: Seq[(String, String)]): (String, AnyRef) = {
-      val raw = rawParts.find(_._1 == f.name).getOrElse(throw new IllegalArgumentException(
-        s"file lacks a directory value for partition field '${f.name}'"))._2
+      val dir = f.dirName.getOrElse(f.name)
+      val raw = rawParts.find(_._1 == dir).getOrElse(throw new IllegalArgumentException(
+        s"file lacks a directory value for partition field '${f.name}' ($dir)"))._2
       val v: AnyRef =
         if (raw == "__HIVE_DEFAULT_PARTITION__") null
         else f.kind match {

@@ -219,14 +219,22 @@ class IcebergExportSpec extends SparkSpec {
     t.materialize("mor")
     IcebergExport.export(t, "mor", dest)
 
-    // identity partitions EXPORT (IcebergImportSpec round-trips them);
-    // what still refuses is hidden-transform partitioning — `__p_*`
-    // dirs hold derived values an identity spec would misdescribe
+    // a bucket-only hidden layout EXPORTS with the bucket field
+    // honestly OMITTED from the spec (graft buckets with xxhash64,
+    // Iceberg pins murmur3 — declaring bucket[N] would corrupt
+    // external pruning); content still round-trips exactly
     t.overwriteTableTransformed(
       (1 to 10).map(i => (i.toLong, s"x$i")).toDF("id", "v"),
       "hid", Seq(SnapshotTables.PartitionTransform.bucket(4, "id")))
-    val e2 = intercept[IllegalArgumentException](
-      IcebergExport.export(t, "hid", java.nio.file.Files.createTempDirectory("x").toString))
-    assert(e2.getMessage.contains("hidden-transform"))
+    val hidDest = java.nio.file.Files.createTempDirectory("graft-iceberg-hid").toString
+    val mdPath = IcebergExport.export(t, "hid", hidDest)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val md = om.readTree(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(new java.net.URI(mdPath).getPath)))
+    assert(md.get("partition-specs").size == 1)
+    assert(md.get("partition-specs").get(0).get("fields").size == 0,
+      "xxhash bucket fields must be omitted, never declared as Iceberg bucket[N]")
+    assert(IcebergImport.read(spark, hidDest).as[(Long, String)].collect().toSet ==
+      t.read("hid").as[(Long, String)].collect().toSet)
   }
 }

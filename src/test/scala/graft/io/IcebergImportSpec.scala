@@ -166,6 +166,68 @@ class IcebergImportSpec extends SparkSpec {
     assert(IcebergImport.read(spark, dest, Some(1L)).count() == 60)
   }
 
+  test("hidden-transform layout: day + truncate become REAL spec fields, buckets omitted, MOR rides along") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ice-hid").toString
+    val t = new SnapshotTables(spark, root)
+    val df = (1 to 60).map(i => (i.toLong, s"name$i-${i % 5}",
+      java.sql.Timestamp.valueOf(f"2026-02-${i % 3 + 1}%02d 10:00:00"))).toDF("id", "v", "ts")
+    t.overwriteTableTransformed(df, "tab", Seq(
+      SnapshotTables.PartitionTransform.days("ts"),
+      SnapshotTables.PartitionTransform.truncate(4, "v"),
+      SnapshotTables.PartitionTransform.bucket(8, "id")))
+    // MOR over the hidden layout: upsert + key delete
+    t.upsertMor("tab", Seq((5L, "upd5", java.sql.Timestamp.valueOf("2026-02-01 10:00:00")),
+      (200L, "new200", java.sql.Timestamp.valueOf("2026-02-02 10:00:00"))).toDF("id", "v", "ts"),
+      Seq("id"))
+    t.deleteKeysMor("tab", Seq(7L, 200L).toDF("id"))
+    val dest = java.nio.file.Files.createTempDirectory("graft-ice-hid-out").toString
+    val mdPath = IcebergExport.export(t, "tab", dest)
+
+    // spec 0 declares day(ts) and truncate[4](v); the xxhash bucket is
+    // honestly omitted; spec 1 is the unpartitioned delete spec
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val md = om.readTree(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(new java.net.URI(mdPath).getPath)))
+    val specs = md.get("partition-specs")
+    assert(specs.size == 2)
+    val fields = specs.get(0).get("fields")
+    assert(fields.size == 2)
+    assert(fields.get(0).get("name").asText == "ts_day" &&
+      fields.get(0).get("transform").asText == "day" &&
+      fields.get(0).get("source-id").asInt == 3)
+    assert(fields.get(1).get("name").asText == "v_trunc" &&
+      fields.get(1).get("transform").asText == "truncate[4]" &&
+      fields.get(1).get("source-id").asInt == 2)
+    assert(specs.get(1).get("fields").size == 0)
+
+    // a data manifest entry's partition struct carries the typed
+    // transform values: date ordinal for day, leading chars for trunc
+    val snaps = md.get("snapshots")
+    val cur = md.get("current-snapshot-id").asLong
+    val curSnap = (0 until snaps.size).map(snaps.get).find(_.get("snapshot-id").asLong == cur).get
+    val (listRows, _) = readAvro(curSnap.get("manifest-list").asText)
+    val dataManifest = listRows.find(r => r("content") == 0).get
+    assert(dataManifest("partition_spec_id") == 0)
+    val entry = readAvro(dataManifest("manifest_path").toString)._1.head
+    val part = entry("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+      .get("partition").asInstanceOf[org.apache.avro.generic.GenericRecord]
+    val day = java.time.LocalDate.ofEpochDay(part.get("ts_day").asInstanceOf[Int].toLong)
+    assert(day.getYear == 2026 && day.getMonthValue == 2)
+    assert(part.get("v_trunc").toString == "name")
+
+    // content round-trips exactly (derived __p_* dirs never surface),
+    // at head and per snapshot
+    def set(d: org.apache.spark.sql.DataFrame) =
+      d.as[(Long, String, java.sql.Timestamp)].collect().toSet
+    val back = IcebergImport.read(spark, dest)
+    assert(back.columns.toSet == Set("id", "v", "ts"))
+    assert(set(back) == set(t.read("tab")))
+    t.history("tab").foreach { ver =>
+      assert(set(IcebergImport.read(spark, dest, Some(ver.toLong))) ==
+        set(t.readVersion("tab", ver)), s"version $ver diverged")
+    }
+  }
+
   test("a delete manifest addressing a missing delete file fails loudly, never resurrects rows") {
     val (_, dest) = exported()
     // hand-write a manifest whose data_file has content=1 (position deletes)
