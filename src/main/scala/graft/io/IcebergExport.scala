@@ -77,13 +77,22 @@ import org.apache.spark.sql.types._
   * costs only pruning, since transform source columns always stay in
   * the data files.
   *
-  * Scope (refused loudly, never exported wrong): content-addressed
-  * `mor_patch` deltas (bag-semantics exceptAll — equality deletes
-  * cannot express multiset removal) must materialize()/compact()
-  * first. Merge keys that a Hive-style layout dropped from the delta
-  * parquet refuse (a delete file must physically carry its equality
-  * columns). Schema evolution across the chain is likewise refused
-  * (one schema-id describes every file).
+  * CONTENT-ADDRESSED `mor_patch` deltas (bag-semantics exceptAll)
+  * export as v2 POSITION DELETES: the chain replay in
+  * [[buildPatchPositionDeletes]] names the exact (file_path, pos)
+  * copies each patch removes, written as one sorted parquet per patch
+  * under `destDir/deletes/` with the spec's reserved field ids — the
+  * single place this export writes data, O(patch deltas). The patch's
+  * `add/` files enter as plain data files.
+  *
+  * Scope (refused loudly, never exported wrong): patches over
+  * Hive-partitioned layouts (the data files lack the partition
+  * columns, so full row images cannot be replayed) and patches over
+  * map-typed columns (row-value grouping cannot key maps) must
+  * compact() first. Merge keys that a Hive-style layout dropped from
+  * the delta parquet refuse (a delete file must physically carry its
+  * equality columns). Schema evolution across the chain is likewise
+  * refused (one schema-id describes every file).
   */
 object IcebergExport {
 
@@ -106,13 +115,12 @@ object IcebergExport {
     // files under ONE schema; the CURRENT version must be (refuse the
     // export, never write wrong metadata), older unrepresentable
     // versions simply don't become Iceberg snapshots
-    val exportableKinds = Set("full", "append", "mor_upsert", "mor_delete", "mor_revise")
+    val exportableKinds = Set("full", "append", "mor_upsert", "mor_delete", "mor_revise", "mor_patch")
     def eligible(chain: Seq[SnapshotTables.VersionMeta]): Option[String] =
       chain.collectFirst {
         case m if !exportableKinds(m.kind) =>
-          s"table $table carries a content-addressed delta (v${m.v} kind=${m.kind}) — " +
-            "equality deletes cannot express it; materialize()/compact() before exporting " +
-            "Iceberg metadata"
+          s"table $table carries an inexpressible delta (v${m.v} kind=${m.kind}) — " +
+            "materialize()/compact() before exporting Iceberg metadata"
         case m if m.schemaEvolved =>
           s"table $table evolved its schema at v${m.v} — compact to one schema before exporting"
       }
@@ -136,13 +144,16 @@ object IcebergExport {
     // and an equality delete, a key-delete file is a delete only, a
     // revise segment splits on its del/add dirs.
     val allSegs = chains.values.flatten.toSeq.distinctBy(_.v).sortBy(_.v)
-    val segFiles: Map[Int, Seq[(String, Long, Seq[(String, String)], Boolean, Boolean)]] =
+    // tuple: (path, len, dir (col, rawValue) pairs, isData, isEqDelete,
+    // isPatchDel) — a patch's del/ files are the SOURCE rows of the
+    // position-delete computation, never manifest entries themselves
+    val segFiles: Map[Int, Seq[(String, Long, Seq[(String, String)], Boolean, Boolean, Boolean)]] =
       allSegs.map { m =>
         val base = st.dataDirOfMeta(table, m)
         val f = fs(base)
         val baseStr = f.makeQualified(base).toString.stripSuffix("/") + "/"
         val out = scala.collection.mutable.ArrayBuffer
-          .empty[(String, Long, Seq[(String, String)], Boolean, Boolean)]
+          .empty[(String, Long, Seq[(String, String)], Boolean, Boolean, Boolean)]
         if (f.exists(base)) {
           val it = f.listFiles(base, true)
           while (it.hasNext) {
@@ -164,24 +175,27 @@ object IcebergExport {
                   .unescapePathName(c.substring(i + 1))
                 (col, v)
               }
-              val (isData, isDelete) = m.kind match {
-                case "full" | "append" => (true, false)
-                case "mor_upsert" => (true, true)
-                case "mor_delete" => (false, true)
+              val (isData, isDelete, isPatchDel) = m.kind match {
+                case "full" | "append" => (true, false, false)
+                case "mor_upsert" => (true, true, false)
+                case "mor_delete" => (false, true, false)
                 case "mor_revise" =>
-                  if (rel.startsWith("del/")) (false, true)
-                  else if (rel.startsWith("add/")) (true, false)
+                  if (rel.startsWith("del/")) (false, true, false)
+                  else if (rel.startsWith("add/")) (true, false, false)
                   else throw new IllegalArgumentException(
                     s"table $table v${m.v} (mor_revise) holds a file outside del/add: $rel")
+                case "mor_patch" =>
+                  if (rel.startsWith("del/")) (false, false, true)
+                  else if (rel.startsWith("add/")) (true, false, false)
+                  else throw new IllegalArgumentException(
+                    s"table $table v${m.v} (mor_patch) holds a file outside del/add: $rel")
               }
-              out += ((s.getPath.toString, s.getLen, parts, isData, isDelete))
+              out += ((s.getPath.toString, s.getLen, parts, isData, isDelete, isPatchDel))
             }
           }
         }
         m.v -> out.toSeq
       }.toMap
-    val hasDeletes = segFiles.values.flatten.exists(_._5)
-
     // identity partition columns: every DIRECTORY-BEARING file shares
     // the SAME ordered column sequence (that sequence becomes spec 0);
     // bare files (no `col=value` components) are fine — they ride the
@@ -356,9 +370,32 @@ object IcebergExport {
       (f.name, v)
     }
 
+    // ---- mor_patch → POSITION DELETES (entry content=1): exceptAll's
+    // bag semantics remove N copies of a full row image, and a
+    // position delete names exactly which copies — the one delete
+    // shape that CAN express multiset removal. Per patch segment, the
+    // chain prefix is replayed per row-value group (see
+    // [[buildPatchPositionDeletes]]); the resulting (file_path, pos)
+    // parquet lands under destDir/deletes/ — the only data this
+    // export ever writes, O(patch deltas) in size.
+    val patchSegs = allSegs.filter(_.kind == "mor_patch")
+    val pdFiles: Map[Int, (String, Long)] = if (patchSegs.isEmpty) Map.empty else {
+      val identityDirCols = partCols.filterNot(_.startsWith("__p_"))
+      require(identityDirCols.isEmpty,
+        s"table $table carries content-addressed patches over a Hive-partitioned layout " +
+          s"(${identityDirCols.mkString(", ")}) — the partition columns are not in the data " +
+          "files, so full row images cannot be replayed; compact() first")
+      val mapped = tableSchema.fields.filter(f => containsMap(f.dataType)).map(_.name)
+      require(mapped.isEmpty,
+        s"table $table carries content-addressed patches and map-typed column(s) " +
+          s"${mapped.mkString(", ")} — row-value grouping cannot key maps; compact() first")
+      buildPatchPositionDeletes(st, table, spark, segFiles, patchSegs, tableSchema, destDir)
+    }
+
     // ---- record counts + per-column stats from parquet footers, one
     // distributed job (the driver only handles file names)
-    val allFiles = segFiles.values.flatten.map(_._1).toSeq.distinct
+    val allFiles = (segFiles.values.flatten.filter(t => t._4 || t._5).map(_._1) ++
+      pdFiles.values.map(_._1)).toSeq.distinct
     val wantedKinds: Map[String, String] = statCols.map { case (n, (_, k)) => n -> k }.toMap
     val statsByFile: Map[String, IcebergExport.FileStats] =
       if (allFiles.isEmpty) Map.empty
@@ -392,7 +429,7 @@ object IcebergExport {
         else m.keyCols.map(k => topIds.getOrElse(k, throw new IllegalArgumentException(
           s"merge key '$k' of $table v${m.v} is not a top-level schema column — cannot export " +
             "equality deletes")))
-      val tag = if (entryContent == 2) "d" else ""
+      val tag = if (entryContent == 0) "" else "d"
       val p = new Path(metaDir, f"m$tag-${m.v}%05d-${java.util.UUID.randomUUID()}.avro")
       val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](manifestSchema))
       w.setMeta("schema", schemaJson)
@@ -400,7 +437,7 @@ object IcebergExport {
       w.setMeta("partition-spec", specFieldsJson(specsById(specId)))
       w.setMeta("partition-spec-id", specId.toString)
       w.setMeta("format-version", "2")
-      w.setMeta("content", if (entryContent == 2) "deletes" else "data")
+      w.setMeta("content", if (entryContent == 0) "data" else "deletes")
       val os = fs(p).create(p, true)
       w.create(manifestSchema, os)
       var rows = 0L
@@ -459,7 +496,7 @@ object IcebergExport {
         w.append(e)
       }
       w.close()
-      ManifestRef(if (entryContent == 2) 1 else 0, specId,
+      ManifestRef(if (entryContent == 0) 0 else 1, specId,
         fs(p).makeQualified(p).toString, fs(p).getFileStatus(p).getLen, rows, files.size)
     }
     val manifestMeta: Map[Int, Seq[ManifestRef]] = allSegs.map { m =>
@@ -474,13 +511,18 @@ object IcebergExport {
       // delete files ALWAYS enter the unpartitioned spec with an empty
       // partition struct — global equality deletes per the public spec
       val dels = fsOfSeg.filter(_._5).map(t => (t._1, t._2, Seq.empty[(String, AnyRef)]))
+      // a patch segment's computed position-delete file (absent when
+      // the patch removed nothing)
+      val posDel = pdFiles.get(m.v)
+        .map { case (pth, ln) => (pth, ln, Seq.empty[(String, AnyRef)]) }.toSeq
       val refs = Seq.newBuilder[ManifestRef]
       if (dataLaid.nonEmpty) refs += writeManifest(m, 0, dataLaid, entryContent = 0)
       // an empty DATA manifest still anchors empty full/append segments
       // (their snapshot must exist); empty delete manifests are skipped
-      if (dataBare.nonEmpty || (dataLaid.isEmpty && dels.isEmpty))
+      if (dataBare.nonEmpty || (dataLaid.isEmpty && dels.isEmpty && posDel.isEmpty))
         refs += writeManifest(m, unpartSpecId, dataBare, entryContent = 0)
       if (dels.nonEmpty) refs += writeManifest(m, unpartSpecId, dels, entryContent = 2)
+      if (posDel.nonEmpty) refs += writeManifest(m, unpartSpecId, posDel, entryContent = 1)
       m.v -> refs.result()
     }.toMap
 
@@ -549,6 +591,157 @@ object IcebergExport {
     writeText(fs(mdPath), mdPath, json)
     writeText(fs(mdPath), new Path(metaDir, "version-hint.text"), cur.toString)
     fs(mdPath).makeQualified(mdPath).toString
+  }
+
+  private def containsMap(dt: DataType): Boolean = dt match {
+    case _: MapType => true
+    case a: ArrayType => containsMap(a.elementType)
+    case s: StructType => s.fields.exists(f => containsMap(f.dataType))
+    case _ => false
+  }
+
+  /** Replay each `mor_patch` segment's chain prefix into concrete
+    * POSITION DELETES — (file_path, pos) rows naming exactly the
+    * copies exceptAll removes:
+    *
+    *  1. prefix data rows enter with (sequence, file, row_index)
+    *     coordinates from `_metadata`, then are SEMI-JOINED against
+    *     the patch del values — every later stage is DELTA-sized;
+    *  2. key-addressed MOR segments in the prefix stamp each row with
+    *     its kill sequence (the first later segment whose key set
+    *     matches — exactly the strictly-earlier equality-delete gating
+    *     the import applies), so the replay never consumes a copy
+    *     Iceberg's own delete application already removed;
+    *  3. per row-value group, del events consume one LIVE copy each in
+    *     (sequence, file, pos) order. All copies in a group are
+    *     identical full rows and every live copy at a del's sequence
+    *     shares the same future kill fate, so the deterministic choice
+    *     cannot change any snapshot's resolved multiset — and replays
+    *     for different patches of one chain stay mutually consistent.
+    *
+    * The per-group replay is genuine per-partition imperative logic
+    * (multiset consumption with state), hence the one RDD hop.
+    * Output: one sorted parquet per patch version under
+    * `destDir/deletes/`, with the spec's reserved field ids 2147483546
+    * (file_path) / 2147483545 (pos) stamped via Spark's parquet
+    * field-id support. Returns patch version → (file path, length). */
+  private def buildPatchPositionDeletes(
+      st: SnapshotTables, table: String, spark: org.apache.spark.sql.SparkSession,
+      segFiles: Map[Int, Seq[(String, Long, Seq[(String, String)], Boolean, Boolean, Boolean)]],
+      patchSegs: Seq[SnapshotTables.VersionMeta],
+      tableSchema: StructType, destDir: String): Map[Int, (String, Long)] = {
+    import org.apache.spark.sql.functions._
+    val userCols = tableSchema.fieldNames.toSeq
+    val hconf = spark.sparkContext.hadoopConfiguration
+
+    patchSegs.flatMap { p =>
+      val prefix = st.chainOf(table, p.v).init
+      val dataParts = prefix.flatMap { m =>
+        val files = segFiles(m.v).filter(_._4).map(_._1)
+        if (files.isEmpty) None
+        else Some(spark.read.parquet(files: _*)
+          .select(userCols.map(col) ++ Seq(
+            lit(m.v.toLong).as("__seq"),
+            col("_metadata.file_path").as("__file"),
+            col("_metadata.row_index").as("__pos")): _*))
+      }
+      val delSegs = (prefix.filter(_.kind == "mor_patch") :+ p).flatMap { q =>
+        val files = segFiles(q.v).filter(_._6).map(_._1)
+        if (files.isEmpty) None
+        else Some(spark.read.parquet(files: _*)
+          .select(userCols.map(col): _*)
+          .withColumn("__dseq", lit(q.v.toLong)))
+      }
+      if (dataParts.isEmpty || delSegs.isEmpty) None
+      else {
+        var data = dataParts.reduce(_ unionByName _)
+        // kill stamps: later key-addressed segments remove ALL earlier
+        // copies of a matching key (plain equi-join — graft's key
+        // matching never touches NULL keys, and null-keyed deltas were
+        // refused above)
+        val killSegs = prefix.filter(m => Set("mor_upsert", "mor_delete", "mor_revise")(m.kind))
+        var ki = 0
+        killSegs.foreach { m =>
+          val kf = segFiles(m.v).filter(_._5).map(_._1)
+          if (kf.nonEmpty) {
+            val keys = spark.read.parquet(kf: _*).select(m.keyCols.map(col): _*)
+              .distinct().withColumn(s"__k$ki", lit(m.v.toLong))
+            data = data.join(broadcast(keys), m.keyCols, "left")
+            ki += 1
+          }
+        }
+        val killCols = (0 until ki).map(i => s"__k$i")
+        val killExprs = killCols.map(k => when(col(k) > col("__seq"), col(k)))
+        val withKill = (killExprs.size match {
+          case 0 => data.withColumn("__kill", lit(null).cast("long"))
+          case 1 => data.withColumn("__kill", killExprs.head)
+          case _ => data.withColumn("__kill", least(killExprs: _*))
+        }).drop(killCols: _*)
+
+        val dels = delSegs.reduce(_ unionByName _)
+        val delVals = dels.select(userCols.map(col): _*).distinct()
+        val semiCond = userCols.map(c => withKill(c) <=> delVals(c)).reduce(_ && _)
+        val cand = withKill.join(delVals, semiCond, "left_semi")
+        val posList = cand.groupBy(userCols.map(col): _*)
+          .agg(collect_list(struct(col("__seq"), col("__file"), col("__pos"), col("__kill")))
+            .as("__ps"))
+        val delCounts = dels.groupBy((userCols :+ "__dseq").map(col): _*)
+          .agg(count(lit(1)).as("__n"))
+          .groupBy(userCols.map(col): _*)
+          .agg(collect_list(struct(col("__dseq"), col("__n"))).as("__ds"))
+        val joinCond = userCols.map(c => posList(c) <=> delCounts(c)).reduce(_ && _)
+        val joined = posList.join(delCounts, joinCond, "inner")
+          .select(posList("__ps"), delCounts("__ds"))
+
+        val targetV = p.v.toLong
+        val outRows = joined.rdd.flatMap { r =>
+          val ps = r.getSeq[org.apache.spark.sql.Row](0)
+            .map(x => (x.getLong(0), x.getString(1), x.getLong(2),
+              if (x.isNullAt(3)) Long.MaxValue else x.getLong(3)))
+            .sortBy(t => (t._1, t._2, t._3))
+          val ds = r.getSeq[org.apache.spark.sql.Row](1)
+            .map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1)
+          val consumed = new Array[Boolean](ps.length)
+          val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+          ds.foreach { case (dseq, cnt) =>
+            var need = cnt
+            var i = 0
+            while (need > 0 && i < ps.length) {
+              val (seq, file, pos, kill) = ps(i)
+              if (!consumed(i) && seq < dseq && kill > dseq) {
+                consumed(i) = true
+                need -= 1
+                if (dseq == targetV) out += org.apache.spark.sql.Row(file, pos)
+              }
+              i += 1
+            }
+          }
+          out
+        }
+        val pdSchema = StructType(Seq(
+          StructField("file_path", StringType, nullable = false,
+            new MetadataBuilder().putLong("parquet.field.id", 2147483546L).build()),
+          StructField("pos", LongType, nullable = false,
+            new MetadataBuilder().putLong("parquet.field.id", 2147483545L).build())))
+        val outDF = spark.createDataFrame(outRows, pdSchema)
+          .coalesce(1).sortWithinPartitions(col("file_path"), col("pos"))
+        val outDir = new Path(destDir, f"deletes/pd-${p.v}%05d")
+        val prevConf = spark.conf.getOption("spark.sql.parquet.fieldId.write.enabled")
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        try outDF.write.mode("overwrite").parquet(outDir.toString)
+        finally prevConf match {
+          case Some(v) => spark.conf.set("spark.sql.parquet.fieldId.write.enabled", v)
+          case None => spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
+        }
+        val f = outDir.getFileSystem(hconf)
+        val leaf = f.listStatus(outDir).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        if (leaf.isEmpty) None
+        else {
+          require(leaf.length == 1, s"expected one position-delete file under $outDir")
+          Some(p.v -> (f.makeQualified(leaf.head.getPath).toString, leaf.head.getLen))
+        }
+      }
+    }.toMap
   }
 
   /** Per-file, per-column footer stats bound for a manifest entry.

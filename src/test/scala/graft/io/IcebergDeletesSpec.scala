@@ -198,15 +198,16 @@ class IcebergDeletesSpec extends SparkSpec {
     assert(IcebergImport.deleteFiles(spark, dest2).nonEmpty, "revise del/ must export as a delete")
   }
 
-  test("MOR export refusals: content-addressed patches, layout-dropped merge keys, null merge keys") {
-    // mor_patch (exceptAll bag semantics) cannot become an equality delete
+  test("MOR export refusals: map-keyed patches, layout-dropped merge keys, null merge keys") {
+    // a patch over a map-typed column: row-value grouping cannot key
+    // maps, so the position-delete replay refuses
     val r1 = java.nio.file.Files.createTempDirectory("graft-ice-morref1").toString
     val t1 = new SnapshotTables(spark, r1)
-    t1.overwriteTable((1 to 10).map(i => (i.toLong, s"v$i")).toDF("id", "v"), "tab")
+    t1.overwriteTable((1 to 10).map(i => (i.toLong, Map("k" -> s"v$i"))).toDF("id", "m"), "tab")
     t1.deleteWhereMor("tab", col("id") === 3L)
     val e1 = intercept[IllegalArgumentException](IcebergExport.export(t1, "tab",
       java.nio.file.Files.createTempDirectory("x1").toString))
-    assert(e1.getMessage.contains("content-addressed"))
+    assert(e1.getMessage.contains("map-typed"))
 
     // an upsert KEYED ON the partition column: the Hive-style layout
     // drops that column from the delta parquet, and an equality-delete
@@ -230,6 +231,65 @@ class IcebergDeletesSpec extends SparkSpec {
     val e3 = intercept[IllegalArgumentException](IcebergExport.export(t3, "tab",
       java.nio.file.Files.createTempDirectory("x3").toString))
     assert(e3.getMessage.contains("NULL merge keys"))
+  }
+
+  test("content-addressed patches export as POSITION deletes: bag semantics, re-adds, kill interaction") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ice-patch").toString
+    val t = new SnapshotTables(spark, root)
+    // v1 carries DUPLICATE full rows — the case equality deletes
+    // cannot express and position deletes exist for
+    t.overwriteTable(Seq((1L, "a"), (1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("id", "v"), "tab")                                        // v1
+    t.deleteWhereMor("tab", $"id" === 1L)                             // v2: patch, removes BOTH copies
+    t.append(Seq((1L, "a"), (5L, "e")).toDF("id", "v"), "tab")        // v3: re-adds an IDENTICAL row
+    t.updateMor("tab", Seq("v" -> concat($"v", lit("!"))), $"id" <= 2L) // v4: patch del+add
+    t.upsertMor("tab", Seq((3L, "C3")).toDF("id", "v"), Seq("id"))    // v5: equality kill of (3,c)
+    t.deleteKeysMor("tab", Seq(4L).toDF("id"))                        // v6
+    val dest = java.nio.file.Files.createTempDirectory("graft-ice-patch-out").toString
+    IcebergExport.export(t, "tab", dest)
+
+    def set(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, String)].collect().groupBy(identity).view.mapValues(_.length).toMap
+    // multiset compare at head and at EVERY retained version — the
+    // v3 re-added (1,"a") must survive v2's position deletes (later
+    // sequence), v4's del of (1,"a") must consume exactly that copy
+    assert(set(IcebergImport.read(spark, dest)) == set(t.read("tab")))
+    assert(set(IcebergImport.read(spark, dest)) ==
+      Map((1L, "a!") -> 1, (2L, "b!") -> 1, (3L, "C3") -> 1, (5L, "e") -> 1))
+    t.history("tab").foreach { ver =>
+      assert(set(IcebergImport.read(spark, dest, Some(ver.toLong))) ==
+        set(t.readVersion("tab", ver)), s"version $ver diverged")
+    }
+
+    // external shape: position-delete parquet under deletes/, sorted,
+    // entered as content=1 under the unpartitioned spec
+    val pdDir = java.nio.file.Paths.get(dest, "deletes")
+    assert(java.nio.file.Files.exists(pdDir), "position-delete files must land under deletes/")
+    val delFs = IcebergImport.deleteFiles(spark, dest)
+    val pdFs = delFs.filter(_.contains("/deletes/"))
+    assert(pdFs.size == 2, s"one position-delete file per patch, got $pdFs")
+    val pd2 = spark.read.parquet(pdFs.find(_.contains("pd-00002")).get)
+      .as[(String, Long)].collect()
+    assert(pd2.length == 2, "patch v2 removes exactly the two v1 copies")
+    assert(pd2.sortBy(x => (x._1, x._2)).sameElements(pd2), "position deletes must be sorted")
+    assert(pd2.forall(_._1.contains("v00001")), "patch v2 must only address v1 files")
+    val pd4 = spark.read.parquet(pdFs.find(_.contains("pd-00004")).get)
+      .as[(String, Long)].collect()
+    assert(pd4.length == 2, "patch v4 removes (1,a) and (2,b)")
+    assert(pd4.exists(_._1.contains("v00003")),
+      "patch v4 must consume the v3 re-added copy (v1 copies were consumed by v2)")
+
+    // the reserved field ids ride the parquet footer (external readers
+    // resolve position-delete columns by id)
+    val leaf = new org.apache.hadoop.fs.Path(pdFs.head)
+    val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        leaf, spark.sparkContext.hadoopConfiguration))
+    val schema = try rdr.getFooter.getFileMetaData.getSchema finally rdr.close()
+    def fieldId(name: String): Int =
+      schema.getFields.get(schema.getFieldIndex(name)).getId.intValue
+    assert(fieldId("file_path") == 2147483546)
+    assert(fieldId("pos") == 2147483545)
   }
 
   test("partitioned MOR chains export as GLOBAL equality deletes (unpartitioned spec) and round-trip") {

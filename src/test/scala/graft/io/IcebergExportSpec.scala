@@ -208,16 +208,21 @@ class IcebergExportSpec extends SparkSpec {
     val root = java.nio.file.Files.createTempDirectory("graft-iceberg").toString
     val t = new SnapshotTables(spark, root)
     t.overwriteTable((1 to 10).map(i => (i.toLong, "a")).toDF("id", "v"), "mor")
-    // key-addressed MOR exports (IcebergDeletesSpec round-trips it);
-    // what refuses is the content-addressed mor_patch — exceptAll's bag
-    // semantics have no equality-delete expression
+    // content-addressed patches now export as POSITION deletes
+    // (IcebergDeletesSpec round-trips them); what refuses is a patch
+    // over a Hive-partitioned layout — the data files lack the
+    // partition column, so full row images cannot be replayed
     t.deleteWhereMor("mor", org.apache.spark.sql.functions.col("id") === 1L)
     val dest = java.nio.file.Files.createTempDirectory("graft-iceberg-out").toString
-    val e1 = intercept[IllegalArgumentException](IcebergExport.export(t, "mor", dest))
-    assert(e1.getMessage.contains("content-addressed"))
-    // after materialization the same table exports fine
-    t.materialize("mor")
     IcebergExport.export(t, "mor", dest)
+    assert(IcebergImport.read(spark, dest).count() == 9)
+
+    t.overwriteTable((1 to 10).map(i => (i.toLong, "a", i % 2)).toDF("id", "v", "b"),
+      "morp", partitionCols = Seq("b"))
+    t.deleteWhereMor("morp", org.apache.spark.sql.functions.col("id") === 1L)
+    val e1 = intercept[IllegalArgumentException](IcebergExport.export(t, "morp",
+      java.nio.file.Files.createTempDirectory("graft-iceberg-out-p").toString))
+    assert(e1.getMessage.contains("Hive-partitioned"))
 
     // a bucket-only hidden layout EXPORTS with the bucket field
     // honestly OMITTED from the spec (graft buckets with xxhash64,
