@@ -110,7 +110,10 @@ object IcebergExport {
   def export(st: SnapshotTables, table: String, destDir: String): String = {
     val cur = st.currentVersion(table)
     require(cur > 0, s"table $table has no committed version")
-    val spark = st.readVersion(table, cur).sparkSession
+    // the instance's own session — resolving the chain here (e.g. via
+    // readVersion) would eagerly ANALYZE the head plan and mask the
+    // typed refusal guards below behind whatever the resolver throws
+    val spark = st.sparkSession
     // a version is representable when its whole chain is plain data
     // files under ONE schema; the CURRENT version must be (refuse the
     // export, never write wrong metadata), older unrepresentable

@@ -1061,13 +1061,13 @@ final class SnapshotTables(
         // D' = D ⊎ (dᵢ ∖ A);  A' = (A ∖ dᵢ) ⊎ aᵢ
         val dNew = di.map { x =>
           a match {
-            case Some(aa) => x.exceptAll(aa.select(x.columns.toSeq.map(col): _*))
+            case Some(aa) => graft.core.MapSafeSetOps.exceptAll(x, aa)
             case None => x
           }
         }
         val aAfterDel = a.map { aa =>
           di match {
-            case Some(x) => aa.exceptAll(x.select(aa.columns.toSeq.map(col): _*))
+            case Some(x) => graft.core.MapSafeSetOps.exceptAll(aa, x)
             case None => aa
           }
         }
@@ -1231,6 +1231,7 @@ final class SnapshotTables(
     requireSameColumns(table, updates, "upsertMor")
     require(keyCols.forall(updates.columns.contains),
       s"upsertMor keys ${keyCols.mkString(",")} must be columns of the updates frame")
+    requireJoinableKeys(updates, keyCols, "upsertMor")
     ensureChainBudget(table)
     commitDelta(table, updates,
       s""""kind":"mor_upsert","key_cols":${keyCols.map("\"" + _ + "\"").mkString("[", ",", "]")},${txnJson(txnId)}""",
@@ -1250,6 +1251,7 @@ final class SnapshotTables(
     require(keyCols.nonEmpty, "deleteKeysMor needs at least one key column")
     val missing = keyCols.filterNot(read(table).columns.contains)
     require(missing.isEmpty, s"deleteKeysMor keys not in table: ${missing.mkString(",")}")
+    requireJoinableKeys(keys, keyCols, "deleteKeysMor")
     ensureChainBudget(table)
     commitDelta(table, keys,
       s""""kind":"mor_delete","key_cols":${keyCols.map("\"" + _ + "\"").mkString("[", ",", "]")},${txnJson(txnId)}""",
@@ -1288,6 +1290,23 @@ final class SnapshotTables(
     val staged = tmp.foldLeft(old)((d, t) => d.withColumn(t._2, t._3))
     val out = old.columns.toSeq.map(c => tmp.find(_._1 == c).map(t => col(t._2).as(c)).getOrElse(col(c)))
     commitPatch(table, del = Some(old), add = Some(staged.select(out: _*)))
+  }
+
+  /** Keyed MOR resolution joins / distincts ON the key columns, and
+    * Spark cannot compare maps in join keys or grouping — a keyed
+    * delta over a map-typed KEY would commit a version the resolver
+    * can never analyze (bricked head). Refuse at commit time with the
+    * same actionable shape the Iceberg export uses. Non-key map
+    * columns are fine: resolution passes them through untouched, and
+    * the content-addressed patch path canonicalizes them
+    * ([[graft.core.MapSafeSetOps]]). */
+  private def requireJoinableKeys(df: DataFrame, keyCols: Seq[String], op: String): Unit = {
+    val mapped = df.schema.fields
+      .filter(f => keyCols.contains(f.name) && graft.core.MapSafeSetOps.hasMap(f.dataType))
+      .map(_.name)
+    require(mapped.isEmpty,
+      s"$op cannot key on map-typed column(s) ${mapped.mkString(", ")} — maps are not " +
+        "comparable in joins; key on a scalar id or use map_entries-derived columns")
   }
 
   /** Stage-and-commit one delta version whose dir holds a single
@@ -1410,7 +1429,7 @@ final class SnapshotTables(
           val afterDel = acc.map { a =>
             segRead(table, s.v, "del") match {
               case None => a
-              case Some(d) => a.exceptAll(d.select(a.columns.toSeq.map(col): _*))
+              case Some(d) => graft.core.MapSafeSetOps.exceptAll(a, d)
             }
           }
           union(afterDel, segRead(table, s.v, "add"))
@@ -1635,8 +1654,8 @@ final class SnapshotTables(
     fast.getOrElse {
       val to = readVersion(table, toV)
       val from = cdcAligned(readVersion(table, fromV), to, table, fromV, toV)
-      to.exceptAll(from).withColumn("__change", lit("insert"))
-        .unionByName(from.exceptAll(to).withColumn("__change", lit("delete")))
+      graft.core.MapSafeSetOps.exceptAll(to, from).withColumn("__change", lit("insert"))
+        .unionByName(graft.core.MapSafeSetOps.exceptAll(from, to).withColumn("__change", lit("delete")))
     }
   }
 
@@ -1717,7 +1736,8 @@ final class SnapshotTables(
           case (None, Some(a)) => Some(ins(a))
           case (Some(d), None) => Some(del(d))
           case (Some(d), Some(a)) =>
-            Some(ins(a.exceptAll(aligned(d, a))).unionByName(del(d.exceptAll(aligned(a, d)))))
+            Some(ins(graft.core.MapSafeSetOps.exceptAll(a, aligned(d, a)))
+              .unionByName(del(graft.core.MapSafeSetOps.exceptAll(d, aligned(a, d)))))
         }
       case "mor_delete" =>
         segRead(table, v) match {
@@ -1732,8 +1752,8 @@ final class SnapshotTables(
           case Some(u) =>
             val keys = u.select(m.keyCols.map(col): _*).distinct()
             val touched = readVersion(table, m.base).join(keys, m.keyCols, "left_semi")
-            Some(ins(u.exceptAll(aligned(touched, u)))
-              .unionByName(del(touched.exceptAll(aligned(u, touched)))))
+            Some(ins(graft.core.MapSafeSetOps.exceptAll(u, aligned(touched, u)))
+              .unionByName(del(graft.core.MapSafeSetOps.exceptAll(touched, aligned(u, touched)))))
         }
       case _ => None
     }

@@ -252,8 +252,9 @@ private[streaming] final class ChangeFeedSource(
             fast.withColumnRenamed("__change", ChangeTypeCol)
               .select((dataCols :+ ChangeTypeCol).map(col): _*)
           case None =>
-            newDf.exceptAll(oldDf).withColumn(ChangeTypeCol, lit("insert"))
-              .unionByName(oldDf.exceptAll(newDf).withColumn(ChangeTypeCol, lit("delete")))
+            graft.core.MapSafeSetOps.exceptAll(newDf, oldDf).withColumn(ChangeTypeCol, lit("insert"))
+              .unionByName(graft.core.MapSafeSetOps.exceptAll(oldDf, newDf)
+                .withColumn(ChangeTypeCol, lit("delete")))
         }
       else
         st.stepDiffKeyedFast(table, v, keys).filter(_ => schemaStable) match {
