@@ -590,7 +590,10 @@ object IcebergExport {
         s""""properties":{},"current-snapshot-id":$cur,"snapshots":$snapshots,""" +
         s""""snapshot-log":$snapshotLog,"metadata-log":[],""" +
         s""""refs":{"main":{"snapshot-id":$cur,"type":"branch"}}}"""
-    val mdPath = new Path(metaDir, f"v$cur%05d.metadata.json")
+    // UNPADDED v<N>.metadata.json: HadoopTableOperations resolves
+    // version-hint.text to exactly this spelling — a padded name loads
+    // in graft's importer but not in external HadoopCatalog readers
+    val mdPath = new Path(metaDir, s"v$cur.metadata.json")
     writeText(fs(mdPath), mdPath, json)
     writeText(fs(mdPath), new Path(metaDir, "version-hint.text"), cur.toString)
     fs(mdPath).makeQualified(mdPath).toString

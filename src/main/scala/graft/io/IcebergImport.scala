@@ -2,8 +2,9 @@ package graft.io
 
 import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Jar-free ICEBERG V2 TABLE READER — the other half of the interop
   * bridge ([[IcebergExport]] writes): a user migrating OFF an Iceberg
@@ -70,8 +71,12 @@ object IcebergImport {
   private final case class DeleteEntry(path: String, raw: String, seq: Long,
       content: Int, equalityIds: Seq[Int], scope: Seq[(String, Any)])
   private final case class SpecField(name: String, transform: String, sourceId: Int)
+  /** `loc`: the table root — partition-component detection must only
+    * look at directory components BELOW it. `schema`: the metadata
+    * JSON's current schema as a Spark type, when parseable — an empty
+    * snapshot still reads with the table's columns. */
   private final case class ScanPlan(data: Seq[DataEntry], deletes: Seq[DeleteEntry],
-      fieldNames: Map[Int, String])
+      fieldNames: Map[Int, String], loc: String, schema: Option[StructType])
 
   // helper-column names used while delete application is in flight;
   // chosen to never collide with user schemas (and guarded anyway)
@@ -93,9 +98,16 @@ object IcebergImport {
     * their partition columns (normal Iceberg writers) read plainly. */
   def read(spark: SparkSession, tableDir: String, snapshotId: Option[Long] = None): DataFrame = {
     val plan = planScan(spark, tableDir, snapshotId)
-    if (plan.data.isEmpty) return spark.emptyDataFrame
+    if (plan.data.isEmpty)
+      // zero data files still reads as the TABLE's shape: an empty
+      // frame with the metadata schema, so downstream column
+      // references analyze instead of failing on a column-less frame
+      return plan.schema
+        .map(s => spark.createDataFrame(java.util.Collections.emptyList[Row](), s))
+        .getOrElse(spark.emptyDataFrame)
     if (plan.deletes.isEmpty)
-      baseFrame(spark, plan.data.map(_.path), plan.fieldNames.values.toSet, withMeta = false)
+      baseFrame(spark, plan.data.map(_.path), plan.fieldNames.values.toSet,
+        withMeta = false, tableLoc = plan.loc)
     else applyDeletes(spark, plan)
   }
 
@@ -185,8 +197,8 @@ object IcebergImport {
     val manifests: Seq[(String, Long, Int)] =
       if (snap.hasNonNull("manifest-list")) {
         readAvro(fs _, resolve(tableDir, snap.get("manifest-list").asText))._1.map { r =>
-          val seq = Option(r.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(0L)
-          val specId = Option(r.get("partition_spec_id")).map(_.asInstanceOf[Int]).getOrElse(0)
+          val seq = fieldOpt(r, "sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L)
+          val specId = fieldOpt(r, "partition_spec_id").map(_.asInstanceOf[Int]).getOrElse(0)
           (r.get("manifest_path").toString, seq, specId)
         }
       } else if (snap.hasNonNull("manifests")) {
@@ -202,19 +214,25 @@ object IcebergImport {
       val specFields = specsById.getOrElse(specId, throw new IllegalArgumentException(
         s"manifest $mPathRaw references partition spec $specId, absent from $mdPath"))
       entries.foreach { e =>
-        val status = Option(e.get("status")).map(_.asInstanceOf[Int]).getOrElse(1)
+        val status = fieldOpt(e, "status").map(_.asInstanceOf[Int]).getOrElse(1)
         if (status != 2) { // DELETED entry: the spec requires skipping it
           val df = e.get("data_file").asInstanceOf[GenericRecord]
-          val content = Option(df.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
+          val content = fieldOpt(df, "content").map(_.asInstanceOf[Int]).getOrElse(0)
           val fmt = df.get("file_format").toString.toUpperCase
           require(fmt == "PARQUET",
             s"non-parquet ${if (content == 0) "data" else "delete"} file ($fmt) in $mPath — only parquet is supported")
           // v2 sequence inheritance: a null sequence on an ADDED entry
-          // takes the manifest's; null on EXISTING/other must be explicit
-          val seq = Option(e.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse {
-            require(status == 1,
-              s"manifest entry with status=$status and no sequence_number in $mPath — cannot inherit")
-            listSeq
+          // takes the manifest's; null on EXISTING/other must be
+          // explicit. v1 manifests have no sequence_number field at all
+          // and the spec assigns every v1 entry sequence 0 — EXISTING
+          // entries (routine after v1 manifest rewrites) included.
+          val seq = fieldOpt(e, "sequence_number").map(_.asInstanceOf[Long]).getOrElse {
+            if (fv == 1) 0L
+            else {
+              require(status == 1,
+                s"manifest entry with status=$status and no sequence_number in $mPath — cannot inherit")
+              listSeq
+            }
           }
           val raw = df.get("file_path").toString
           val abs = resolve(tableDir, raw).toString
@@ -222,7 +240,7 @@ object IcebergImport {
             case 0 => dataB += DataEntry(abs, raw, seq)
             case 1 => delB += DeleteEntry(abs, raw, seq, 1, Nil, Nil)
             case 2 =>
-              val idsNode = df.get("equality_ids")
+              val idsNode = fieldOpt(df, "equality_ids").orNull
               require(idsNode != null,
                 s"equality delete file $raw in $mPath carries no equality_ids")
               import scala.jdk.CollectionConverters._
@@ -237,8 +255,58 @@ object IcebergImport {
         }
       }
     }
-    ScanPlan(dataB.result(), delB.result(), fieldNames)
+    ScanPlan(dataB.result(), delB.result(), fieldNames,
+      fs(mdPath).makeQualified(new Path(tableDir)).toString, sparkSchemaOf(schemaNode))
   }
+
+  /** The metadata JSON's schema as a Spark StructType — None when the
+    * schema is absent or carries a shape this mapping doesn't cover.
+    * Type names per the public spec's primitive list; `uuid` surfaces
+    * as string, `fixed[N]` as binary (what Spark's parquet reader
+    * yields for those physical types anyway). */
+  private def sparkSchemaOf(schemaNode: com.fasterxml.jackson.databind.JsonNode): Option[StructType] =
+    try {
+      if (schemaNode == null || schemaNode.get("fields") == null) None
+      else Some(StructType((0 until schemaNode.get("fields").size()).map { i =>
+        val f = schemaNode.get("fields").get(i)
+        StructField(f.get("name").asText, icebergToSpark(f.get("type")),
+          nullable = !(f.has("required") && f.get("required").asBoolean))
+      }))
+    } catch { case _: Exception => None }
+
+  private def icebergToSpark(t: com.fasterxml.jackson.databind.JsonNode): DataType =
+    if (t.isTextual) t.asText match {
+      case "boolean"     => BooleanType
+      case "int"         => IntegerType
+      case "long"        => LongType
+      case "float"       => FloatType
+      case "double"      => DoubleType
+      case "date"        => DateType
+      case "timestamp"   => TimestampNTZType
+      case "timestamptz" => TimestampType
+      case "string"      => StringType
+      case "uuid"        => StringType
+      case "binary"      => BinaryType
+      case s if s.startsWith("decimal(") =>
+        val Array(p, sc) = s.stripPrefix("decimal(").stripSuffix(")").split(',').map(_.trim.toInt)
+        DecimalType(p, sc)
+      case s if s.startsWith("fixed") => BinaryType
+      case other => throw new IllegalArgumentException(s"unmapped Iceberg type $other")
+    } else t.get("type").asText match {
+      case "struct" =>
+        StructType((0 until t.get("fields").size()).map { i =>
+          val f = t.get("fields").get(i)
+          StructField(f.get("name").asText, icebergToSpark(f.get("type")),
+            nullable = !(f.has("required") && f.get("required").asBoolean))
+        })
+      case "list" =>
+        ArrayType(icebergToSpark(t.get("element")),
+          containsNull = !(t.has("element-required") && t.get("element-required").asBoolean))
+      case "map" =>
+        MapType(icebergToSpark(t.get("key")), icebergToSpark(t.get("value")),
+          valueContainsNull = !(t.has("value-required") && t.get("value-required").asBoolean))
+      case other => throw new IllegalArgumentException(s"unmapped Iceberg nested type $other")
+    }
 
   /** Partition scope of one equality-delete entry: Nil under an
     * unpartitioned spec (global delete); (source column → partition
@@ -291,7 +359,7 @@ object IcebergImport {
     * partition columns outside it (e.g. a hidden-transform layout's
     * derived values) are dropped after discovery, never surfaced. */
   private def baseFrame(spark: SparkSession, files: Seq[String], schemaCols: Set[String],
-      withMeta: Boolean): DataFrame = {
+      withMeta: Boolean, tableLoc: String): DataFrame = {
     def finish(df: DataFrame): DataFrame = {
       // a v1 metadata file with no parseable schema drops nothing —
       // only a KNOWN schema authorizes projecting extras away
@@ -304,7 +372,13 @@ object IcebergImport {
         col("_metadata.file_path").as(FileCol),
         col("_metadata.row_index").as(PosCol))
     }
-    def dirComps(f: String) = f.split('/').init.filter(_.contains("="))
+    // only components BELOW the table root can be partition dirs — an
+    // '=' in an ancestor (a table rooted under /data/run=5/) must not
+    // trigger Hive-discovery grouping
+    val locPrefixes = spellings(tableLoc).map(p => if (p.endsWith("/")) p else p + "/")
+    def rel(f: String): String =
+      locPrefixes.collectFirst { case p if f.startsWith(p) => f.substring(p.length) }.getOrElse(f)
+    def dirComps(f: String) = rel(f).split('/').init.filter(_.contains("="))
     val partitioned = files.filter(f => dirComps(f).nonEmpty)
     val bare = files.filterNot(f => dirComps(f).nonEmpty)
     if (partitioned.isEmpty) return finish(spark.read.parquet(files: _*))
@@ -321,7 +395,10 @@ object IcebergImport {
     // in the parquet and read plainly.
     val byBase = partitioned.groupBy { f =>
       val comps = f.split('/')
-      val firstPart = comps.indexWhere(_.contains("="))
+      // search for the first partition component below the table root
+      // (ancestor '=' components are location, not layout)
+      val from = comps.length - rel(f).split('/').length
+      val firstPart = comps.indexWhere(_.contains("="), from)
       comps.take(firstPart).mkString("/")
     }
     val parts = byBase.toSeq.sortBy(_._1).map { case (base, fs) =>
@@ -362,7 +439,8 @@ object IcebergImport {
         s"equality_ids of ${d.path} references field id $id, not in the table schema"))
     }
 
-    val base = baseFrame(spark, plan.data.map(_.path), plan.fieldNames.values.toSet, withMeta = true)
+    val base = baseFrame(spark, plan.data.map(_.path), plan.fieldNames.values.toSet,
+      withMeta = true, tableLoc = plan.loc)
     val userCols = base.columns.filterNot(Set(FileCol, PosCol)).toSeq
     val helperNames = Set("__spelling", "__dspelling", "__dseq", "__self", "__target")
     require(!userCols.exists(c => c.startsWith("__graft_ice_") || c.startsWith("__graft_ed_") ||
@@ -473,6 +551,13 @@ object IcebergImport {
       all.last
     }
   }
+
+  /** Null-safe OPTIONAL-field access on an Avro record: real v1
+    * manifests simply LACK the v2 fields (content, sequence_number,
+    * partition_spec_id …), and `GenericRecord.get(name)` THROWS on an
+    * unknown field rather than returning null. */
+  private def fieldOpt(r: GenericRecord, name: String): Option[AnyRef] =
+    Option(r.getSchema.getField(name)).flatMap(f => Option(r.get(f.pos())))
 
   /** Manifest paths may be absolute URIs (`file:/...`, `s3a://...`),
     * absolute paths, or table-relative. */

@@ -54,6 +54,11 @@ final class LakeHttpServer(lake: LakeCommits, tables: SnapshotTables, port: Int 
   private def refJson(c: Int): String =
     s"""{"name":"main","type":"BRANCH","hash":"${hashOf(c)}"}"""
 
+  /** JSON string-literal escape for interpolated names/messages — a
+    * quote or backslash in a table key (or a null getMessage) must not
+    * produce a body clients cannot parse. */
+  private def jesc(s: String): String = LakeHttp.jesc(s)
+
   private def send(ex: HttpExchange, code: Int, body: String): Unit = {
     val b = body.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
@@ -80,15 +85,15 @@ final class LakeHttpServer(lake: LakeCommits, tables: SnapshotTables, port: Int 
             case ("GET", "/entries") =>
               val names = lake.state(c).keys.map(nameOf).toSeq.sorted
               val entries = names.map(n =>
-                s"""{"name":{"elements":["$n"]},"type":"ICEBERG_TABLE"}""").mkString(",")
+                s"""{"name":{"elements":["${jesc(n)}"]},"type":"ICEBERG_TABLE"}""").mkString(",")
               send(ex, 200, s"""{"entries":[$entries]}""")
             case ("GET", p) if p.startsWith("/contents/") =>
               val t = java.net.URLDecoder.decode(p.stripPrefix("/contents/"), "UTF-8")
               lake.state(c).get(keyOf(t)) match {
                 case Some(v) => send(ex, 200,
-                  s"""{"content":{"type":"ICEBERG_TABLE","id":"$t","version":$v},""" +
+                  s"""{"content":{"type":"ICEBERG_TABLE","id":"${jesc(t)}","version":$v},""" +
                     s""""effectiveReference":${refJson(c)}}""")
-                case None => send(ex, 404, s"""{"message":"key '$t' not found at ${hashOf(c)}"}""")
+                case None => send(ex, 404, s"""{"message":"key '${jesc(t)}' not found at ${hashOf(c)}"}""")
               }
             case ("POST", "/history/commit") => this.synchronized {
               val om = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -114,7 +119,7 @@ final class LakeHttpServer(lake: LakeCommits, tables: SnapshotTables, port: Int 
         case _ => send(ex, 404, s"""{"message":"no route $path"}""")
       }
     } catch {
-      case e: Exception => send(ex, 400, s"""{"message":"${e.getMessage}"}""")
+      case e: Exception => send(ex, 400, s"""{"message":"${jesc(e.getMessage)}"}""")
     }
   })
 
@@ -178,7 +183,7 @@ final class RemoteLake(baseUrl: String) {
     while (true) {
       val (_, expected) = mainRef()
       val ops = puts.map { case (t, v) =>
-        s"""{"op":"PUT","key":"$t","version":$v}""" }.mkString(",")
+        s"""{"op":"PUT","key":"${LakeHttp.jesc(t)}","version":$v}""" }.mkString(",")
       val body = s"""{"expectedHash":"$expected","operations":[$ops]}"""
       val r = http.send(
         java.net.http.HttpRequest.newBuilder(
@@ -193,5 +198,24 @@ final class RemoteLake(baseUrl: String) {
       require(attempt <= maxRetries, s"commit lost $maxRetries CAS races: ${r.body}")
     }
     sys.error("unreachable")
+  }
+}
+
+object LakeHttp {
+  /** Escape a string for embedding in a JSON string literal; null-safe
+    * (a null exception message serializes as the literal "null"). */
+  private[io] def jesc(s: String): String = {
+    val v = if (s == null) "null" else s
+    val b = new StringBuilder(v.length + 8)
+    v.foreach {
+      case '"'           => b.append("\\\"")
+      case '\\'          => b.append("\\\\")
+      case '\n'          => b.append("\\n")
+      case '\r'          => b.append("\\r")
+      case '\t'          => b.append("\\t")
+      case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
+      case c             => b.append(c)
+    }
+    b.toString
   }
 }

@@ -171,7 +171,7 @@ class IcebergDeletesSpec extends SparkSpec {
     val metaDir = java.nio.file.Paths.get(dest, "metadata")
     val hint = java.nio.file.Files.readString(metaDir.resolve("version-hint.text")).trim.toInt
     val md = om.readTree(java.nio.file.Files.readString(
-      metaDir.resolve(f"v$hint%05d.metadata.json")))
+      IcebergTestSplice.mdFile(metaDir, hint)))
     val cur = md.get("current-snapshot-id").asLong
     val snapsN = md.get("snapshots")
     val listPath = (0 until snapsN.size).map(snapsN.get)
@@ -324,7 +324,7 @@ class IcebergDeletesSpec extends SparkSpec {
     val metaDir = java.nio.file.Paths.get(dest, "metadata")
     val hint = java.nio.file.Files.readString(metaDir.resolve("version-hint.text")).trim.toInt
     val md = om.readTree(java.nio.file.Files.readString(
-      metaDir.resolve(f"v$hint%05d.metadata.json")))
+      IcebergTestSplice.mdFile(metaDir, hint)))
     val specs = md.get("partition-specs")
     assert(specs.size == 2)
     assert(specs.get(0).get("spec-id").asInt == 0 &&
@@ -393,7 +393,7 @@ class IcebergDeletesSpec extends SparkSpec {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val metaDir3 = java.nio.file.Paths.get(dest3, "metadata")
     val hint3 = java.nio.file.Files.readString(metaDir3.resolve("version-hint.text")).trim.toInt
-    val mdFile3 = metaDir3.resolve(f"v$hint3%05d.metadata.json")
+    val mdFile3 = IcebergTestSplice.mdFile(metaDir3, hint3)
     val md3 = om.readTree(java.nio.file.Files.readString(mdFile3))
       .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
     val specsArr = md3.get("partition-specs")
@@ -404,7 +404,7 @@ class IcebergDeletesSpec extends SparkSpec {
     bf.put("name", "id_bucket"); bf.put("transform", "bucket[16]")
     bf.put("source-id", 1); bf.put("field-id", 1007)
     java.nio.file.Files.writeString(mdFile3, om.writeValueAsString(md3))
-    java.nio.file.Files.deleteIfExists(metaDir3.resolve(f".v$hint3%05d.metadata.json.crc"))
+    java.nio.file.Files.deleteIfExists(metaDir3.resolve("." + mdFile3.getFileName + ".crc"))
     addDeleteSnapshot(dest3, Seq(DelFile(eqFile, content = 2, seq = 9, eqIds = Seq(1),
       partVals = Seq("id_bucket" -> Integer.valueOf(3)))),
       specId = 7, partFields = Seq(("id_bucket", "int")))

@@ -80,7 +80,7 @@ class IcebergImportSpec extends SparkSpec {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val metaDir = java.nio.file.Paths.get(dest, "metadata")
     val hint = java.nio.file.Files.readString(metaDir.resolve("version-hint.text")).trim
-    val mdFile = metaDir.resolve(f"v${hint.toInt}%05d.metadata.json")
+    val mdFile = IcebergTestSplice.mdFile(metaDir, hint.toInt)
     val md = om.readTree(java.nio.file.Files.readString(mdFile)).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
     val snaps = md.get("snapshots")
     val cur = md.get("current-snapshot-id").asLong
@@ -252,7 +252,7 @@ class IcebergImportSpec extends SparkSpec {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val metaDir = java.nio.file.Paths.get(dest, "metadata")
     val hint = java.nio.file.Files.readString(metaDir.resolve("version-hint.text")).trim
-    val mdFile = metaDir.resolve(f"v${hint.toInt}%05d.metadata.json")
+    val mdFile = IcebergTestSplice.mdFile(metaDir, hint.toInt)
     val md = om.readTree(java.nio.file.Files.readString(mdFile)).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
     val snaps = md.get("snapshots")
     val cur = md.get("current-snapshot-id").asLong

@@ -14,6 +14,13 @@ package graft.io
   * equality delete is spliced. */
 object IcebergTestSplice {
 
+  /** Resolve v<N>.metadata.json accepting both spellings found in the
+    * wild (unpadded — HadoopTableOperations' — preferred). */
+  def mdFile(metaDir: java.nio.file.Path, v: Int): java.nio.file.Path = {
+    val plain = metaDir.resolve(s"v$v.metadata.json")
+    if (java.nio.file.Files.exists(plain)) plain else metaDir.resolve(f"v$v%05d.metadata.json")
+  }
+
   /** Minimal v2 manifest_entry schema for DELETE manifests — only the
     * fields the import consults, plus equality_ids (field 135). */
   val DeleteEntryAvro: String =
@@ -58,7 +65,7 @@ object IcebergTestSplice {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val metaDir = java.nio.file.Paths.get(dest, "metadata")
     val hint = java.nio.file.Files.readString(metaDir.resolve("version-hint.text")).trim.toInt
-    val mdFile = metaDir.resolve(f"v$hint%05d.metadata.json")
+    val mdFile = IcebergTestSplice.mdFile(metaDir, hint)
     val md = om.readTree(java.nio.file.Files.readString(mdFile))
       .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
     val cur = md.get("current-snapshot-id").asLong
@@ -156,7 +163,7 @@ object IcebergTestSplice {
     md.put("current-snapshot-id", newSnapId)
     md.put("last-sequence-number", maxSeq)
     java.nio.file.Files.writeString(
-      metaDir.resolve(f"v${hint + 1}%05d.metadata.json"), om.writeValueAsString(md))
+      metaDir.resolve(s"v${hint + 1}.metadata.json"), om.writeValueAsString(md))
     java.nio.file.Files.writeString(metaDir.resolve("version-hint.text"), (hint + 1).toString)
     // the exporter wrote through Hadoop's checksummed local FS; rewriting
     // version-hint.text via nio leaves its .crc sidecar stale — drop it

@@ -84,4 +84,22 @@ class LakeHttpSpec extends SparkSpec {
       assert(client.pinnedVersion("u").contains(1))
     } finally server.stop()
   }
+
+  test("error bodies stay parseable JSON when names/messages carry quotes or backslashes") {
+    val (_, _, server, _) = fixture()
+    try {
+      val http = java.net.http.HttpClient.newHttpClient()
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      // a key with a quote and a backslash lands interpolated in the
+      // 404 body — it must parse, with the characters intact
+      val weird = java.net.URLEncoder.encode("""ta"b\le""", "UTF-8")
+      val r = http.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+          server.url + s"/api/v2/trees/main/contents/$weird")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode == 404)
+      val msg = om.readTree(r.body).get("message").asText
+      assert(msg.contains("""ta"b\le"""))
+    } finally server.stop()
+  }
 }
