@@ -300,11 +300,16 @@ object IcebergExport {
     //  - `__p_trunc<N>_<s>=v` over a STRING source → `truncate[N]`
     //    (both sides take the leading N code points; numeric truncate
     //    is value-mod-W in Iceberg and so does NOT match — omitted);
-    //  - `__p_bucket<N>_<k>=v` is honestly OMITTED from the spec:
-    //    graft buckets with xxhash64, Iceberg pins murmur3_x86_32 —
-    //    declaring `bucket[N]` would make external readers prune the
-    //    WRONG files. An omitted field only costs pruning: the data
-    //    files carry every source column, so reads stay exact.
+    //  - `__p_m3bucket<N>_<k>=v` (the murmur3 bucket flavor,
+    //    [[SnapshotTables.PartitionTransform.bucketMurmur3]]) computes
+    //    the EXACT hash Iceberg pins (murmur3_x86_32 over the spec's
+    //    value serialization — known-answer-tested against Appendix
+    //    B), so it exports as a REAL `bucket[N]` spec field that
+    //    external readers prune by;
+    //  - `__p_bucket<N>_<k>=v` (xxhash64) is honestly OMITTED from the
+    //    spec: declaring `bucket[N]` would make external readers prune
+    //    the WRONG files. An omitted field only costs pruning: the
+    //    data files carry every source column, so reads stay exact.
     val spec0Fields: Seq[SpecField] = {
       var nextFid = 1000
       partCols.flatMap { c =>
@@ -338,7 +343,13 @@ object IcebergExport {
                 avroOk && srcType.contains(StringType) =>
               Some(SpecField(s"${src}_trunc", s"truncate[${l.drop(5)}]", src, "string",
                 nextFid, Some(c)))
-            case _ => None // buckets and non-matching sources: omitted, never misdeclared
+            case l if l.startsWith("m3bucket") && l.length > 8 && l.drop(8).forall(_.isDigit) &&
+                avroOk && srcType.exists(t => t == IntegerType || t == LongType ||
+                  t == DateType || t == TimestampType || t == TimestampNTZType ||
+                  t == StringType || t == BinaryType || t.isInstanceOf[DecimalType]) =>
+              Some(SpecField(s"${src}_bucket", s"bucket[${l.drop(8)}]", src, "int",
+                nextFid, Some(c)))
+            case _ => None // xxhash64 buckets and non-matching sources: omitted, never misdeclared
           }
           if (made.nonEmpty) nextFid += 1
           made

@@ -65,11 +65,15 @@ object IcebergImport {
     * manifest's own spelling — position-delete rows address files by
     * that exact string, so both spellings enter the lookup. */
   private final case class DataEntry(path: String, raw: String, seq: Long)
-  /** `scope`: identity-column (name → value) conditions from the
-    * delete manifest's partition spec + this entry's partition struct;
-    * Nil = global. */
+  /** One partition-scope condition of an equality delete: the SOURCE
+    * column, the spec transform over it (`identity` or `bucket[N]` —
+    * graft computes murmur3 buckets itself via
+    * [[graft.functions.IcebergBucketExpr]]), and the partition value. */
+  private final case class ScopeCond(col: String, transform: String, value: Any)
+  /** `scope`: partition-scope conditions from the delete manifest's
+    * partition spec + this entry's partition struct; Nil = global. */
   private final case class DeleteEntry(path: String, raw: String, seq: Long,
-      content: Int, equalityIds: Seq[Int], scope: Seq[(String, Any)])
+      content: Int, equalityIds: Seq[Int], scope: Seq[ScopeCond])
   private final case class SpecField(name: String, transform: String, sourceId: Int)
   /** `loc`: the table root — partition-component detection must only
     * look at directory components BELOW it. `schema`: the metadata
@@ -309,15 +313,18 @@ object IcebergImport {
     }
 
   /** Partition scope of one equality-delete entry: Nil under an
-    * unpartitioned spec (global delete); (source column → partition
-    * value) conditions under an identity spec; refusal otherwise. */
+    * unpartitioned spec (global delete); (source column, transform,
+    * partition value) conditions under an identity or bucket[N] spec
+    * (graft computes the spec's murmur3 bucket function itself);
+    * refusal for transforms it cannot evaluate. */
   private def deleteScope(specFields: Seq[SpecField], df: GenericRecord,
-      fieldNames: Map[Int, String], raw: String, mPath: String): Seq[(String, Any)] = {
+      fieldNames: Map[Int, String], raw: String, mPath: String): Seq[ScopeCond] = {
     if (specFields.isEmpty) return Nil
-    val nonIdentity = specFields.filterNot(_.transform == "identity")
-    require(nonIdentity.isEmpty,
-      s"equality delete file $raw is scoped by non-identity partition transform(s) " +
-        s"${nonIdentity.map(f => s"${f.transform}(${f.name})").mkString(", ")} — applying them " +
+    val unsupported = specFields.filterNot(f =>
+      f.transform == "identity" || f.transform.matches("bucket\\[\\d+\\]"))
+    require(unsupported.isEmpty,
+      s"equality delete file $raw is scoped by unsupported partition transform(s) " +
+        s"${unsupported.map(f => s"${f.transform}(${f.name})").mkString(", ")} — applying them " +
         "needs Iceberg's own transform functions; compact the source table first")
     val pRec = df.get("partition") match {
       case r: GenericRecord => r
@@ -347,7 +354,7 @@ object IcebergImport {
         case i: java.lang.Integer if isDate => java.time.LocalDate.ofEpochDay(i.longValue())
         case other => other
       }
-      (col, v)
+      ScopeCond(col, f.transform, v)
     }
   }
 
@@ -449,7 +456,7 @@ object IcebergImport {
     // partition-scoped deletes condition on identity source columns —
     // they must exist on the scan side (reconstructed by partition
     // discovery for Hive layouts, in-file otherwise)
-    eqDeletes.flatMap(_.scope.map(_._1)).distinct.foreach(c =>
+    eqDeletes.flatMap(_.scope.map(_.col)).distinct.foreach(c =>
       require(userCols.contains(c),
         s"partition-scoped equality delete conditions on column '$c', absent from the scan"))
 
@@ -506,8 +513,22 @@ object IcebergImport {
           .withColumn("__dseq", coalesce(col("__dseq"),
             raise_error(concat(lit("equality-delete file missing from the lookup: "), col("__self")))))
         val edR = names.foldLeft(ed)((acc, n) => acc.withColumnRenamed(n, s"__graft_ed_$n"))
+        val BucketT = "bucket\\[(\\d+)\\]".r
         val scopeCond: Option[Column] = scope
-          .map { case (c, v) => df(c) <=> lit(v) }
+          .map { sc =>
+            sc.transform match {
+              case "identity" => df(sc.col) <=> lit(sc.value)
+              case BucketT(n) =>
+                // re-derive each row's bucket with the spec's own
+                // murmur3 function and null-safe compare to the
+                // entry's partition value
+                org.apache.spark.sql.GraftSqlBridge.column(
+                  graft.functions.IcebergBucketExpr(
+                    org.apache.spark.sql.GraftSqlBridge.expression(df(sc.col)), n.toInt)) <=>
+                  lit(sc.value)
+              case other => throw new IllegalStateException(s"unreachable transform $other")
+            }
+          }
           .reduceOption(_ && _)
         val cond: Column = (names.map(n => df(n) <=> edR(s"__graft_ed_$n")) ++ scopeCond)
           .reduce(_ && _) && edR("__dseq") > df(FseqCol)

@@ -4047,6 +4047,25 @@ object SnapshotTables {
       }
     }
 
+    /** bucketMurmur3(n, key): Iceberg's EXACT bucket[n] transform —
+      * murmur3_x86_32 over the spec's value serialization
+      * ([[graft.functions.IcebergMurmur3]]). Same spreading behavior
+      * as [[bucket]], but because the hash matches what external
+      * Iceberg readers compute, [[IcebergExport]] declares these as
+      * REAL `bucket[n]` spec fields (xxhash64 buckets are honestly
+      * omitted) and [[IcebergImport]] can scope bucket-partitioned
+      * equality deletes. Prefer this flavor for tables that will cross
+      * the bridge. */
+    def bucketMurmur3(n: Int, src: String): PartitionTransform = {
+      require(n > 0, "bucket count must be positive")
+      new PartitionTransform(src, s"m3bucket$n") {
+        def exprOf(c: org.apache.spark.sql.Column) =
+          org.apache.spark.sql.GraftSqlBridge.column(
+            graft.functions.IcebergBucketExpr(org.apache.spark.sql.GraftSqlBridge.expression(c), n))
+        def ordered = false
+      }
+    }
+
     /** Table-property serialization of a transform list ("days:ts,
       * bucket8:id,trunc6:name") — column names cannot contain ':' or
       * ',' (enforced at format time, so a parse is always exact). */
@@ -4059,6 +4078,7 @@ object SnapshotTables {
       }.mkString(",")
     }
 
+    private val M3BucketRe = "m3bucket(\\d+)".r
     private val BucketRe = "bucket(\\d+)".r
     private val TruncRe = "trunc(\\d+)".r
 
@@ -4066,9 +4086,10 @@ object SnapshotTables {
       spec.split(',').toSeq.filter(_.nonEmpty).map { part =>
         val Array(label, src) = part.split(":", 2)
         label match {
-          case "days"       => days(src)
-          case BucketRe(n)  => bucket(n.toInt, src)
-          case TruncRe(len) => truncate(len.toInt, src)
+          case "days"        => days(src)
+          case M3BucketRe(n) => bucketMurmur3(n.toInt, src)
+          case BucketRe(n)   => bucket(n.toInt, src)
+          case TruncRe(len)  => truncate(len.toInt, src)
           case other => throw new IllegalArgumentException(s"unknown partition transform '$other'")
         }
       }

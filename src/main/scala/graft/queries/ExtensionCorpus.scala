@@ -706,6 +706,37 @@ object ExtensionCorpus {
       GROUP BY o_orderstatus ORDER BY o_orderstatus""")
   )
 
+  /** X122 gate — murmur3 BUCKET layouts cross the Iceberg bridge as
+    * REAL `bucket[N]` spec fields: graft's bucketMurmur3 transform
+    * computes Iceberg's exact bucket function (murmur3_x86_32 over the
+    * spec's value serialization, known-answer-tested against the
+    * spec's Appendix B vectors in IcebergBucketSpec), so the export no
+    * longer omits bucket fields and external readers can prune by
+    * them. Two segments (overwrite + append — the append RE-DERIVES
+    * the persisted hidden layout) export and read back through
+    * `graft_iceberg_scan`; the oracle aggregates the raw parquet. */
+  private val q146 = Q(
+    "q146_iceberg_bucket_roundtrip",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q146-snap").toString
+      val t = new graft.io.SnapshotTables(s, root)
+      val ord = fixture(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      t.overwriteTableTransformed(ord.filter(col("o_orderkey") % 2 === 0), "ord",
+        Seq(graft.io.SnapshotTables.PartitionTransform.bucketMurmur3(16, "o_custkey")))
+      t.append(ord.filter(col("o_orderkey") % 2 =!= 0), "ord")
+      val dest = java.nio.file.Files.createTempDirectory("q146-ice").toString
+      graft.io.IcebergExport.export(t, "ord", dest)
+      s.sql(s"""SELECT o_custkey % 100 AS k, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM graft_iceberg_scan('$dest')
+        GROUP BY o_custkey % 100 ORDER BY k""")
+    },
+    Some("""SELECT o_custkey % 100 AS k, COUNT(*) AS n,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders GROUP BY o_custkey % 100 ORDER BY k""")
+  )
+
   // -------------------------------------------------------- temporal joins
 
   private val q44 = Q(
@@ -2483,7 +2514,7 @@ object ExtensionCorpus {
     q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q99, q100, q101, q102, q106, q107, q108,
     q109, q111, q112, q113, q114, q116, q117, q118, q119, q121, q122, q123, q125, q126, q127,
     q128, q130, q131, q132, q133, q135, q136, q137, q138, q139, q140, q141, q143, q144,
-    q145
+    q145, q146
   )
 
 }

@@ -386,30 +386,47 @@ class IcebergDeletesSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](IcebergImport.read(spark, dest2))
     assert(e.getMessage.contains("partition struct lacks field"))
 
-    // a non-identity transform in a delete spec refuses loudly: splice
-    // under a fabricated bucket spec
-    val dest3 = java.nio.file.Files.createTempDirectory("graft-ice-scope-out3").toString
-    IcebergExport.export(t, "tab", dest3)
-    val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val metaDir3 = java.nio.file.Paths.get(dest3, "metadata")
-    val hint3 = java.nio.file.Files.readString(metaDir3.resolve("version-hint.text")).trim.toInt
-    val mdFile3 = IcebergTestSplice.mdFile(metaDir3, hint3)
-    val md3 = om.readTree(java.nio.file.Files.readString(mdFile3))
-      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-    val specsArr = md3.get("partition-specs")
-      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
-    val bucketSpec = specsArr.addObject()
-    bucketSpec.put("spec-id", 7)
-    val bf = bucketSpec.putArray("fields").addObject()
-    bf.put("name", "id_bucket"); bf.put("transform", "bucket[16]")
-    bf.put("source-id", 1); bf.put("field-id", 1007)
-    java.nio.file.Files.writeString(mdFile3, om.writeValueAsString(md3))
-    java.nio.file.Files.deleteIfExists(metaDir3.resolve("." + mdFile3.getFileName + ".crc"))
+    // a BUCKET-scoped equality delete (foreign writer's murmur3 spec)
+    // now APPLIES, gated by the recomputed bucket of each row's source
+    // column — splice under a fabricated bucket[16] spec on id
+    def withSplicedSpec(transform: String): String = {
+      val destN = java.nio.file.Files.createTempDirectory("graft-ice-scope-outN").toString
+      IcebergExport.export(t, "tab", destN)
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val metaDirN = java.nio.file.Paths.get(destN, "metadata")
+      val hintN = java.nio.file.Files.readString(metaDirN.resolve("version-hint.text")).trim.toInt
+      val mdFileN = IcebergTestSplice.mdFile(metaDirN, hintN)
+      val mdN = om.readTree(java.nio.file.Files.readString(mdFileN))
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val specsArr = mdN.get("partition-specs")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+      val fSpec = specsArr.addObject()
+      fSpec.put("spec-id", 7)
+      val bf = fSpec.putArray("fields").addObject()
+      bf.put("name", "id_scope"); bf.put("transform", transform)
+      bf.put("source-id", 1); bf.put("field-id", 1007)
+      java.nio.file.Files.writeString(mdFileN, om.writeValueAsString(mdN))
+      java.nio.file.Files.deleteIfExists(metaDirN.resolve("." + mdFileN.getFileName + ".crc"))
+      destN
+    }
+    val dest3 = withSplicedSpec("bucket[16]")
+    val b3 = graft.functions.IcebergMurmur3.bucket(graft.functions.IcebergMurmur3.hashLong(3L), 16)
+    val b9 = graft.functions.IcebergMurmur3.bucket(graft.functions.IcebergMurmur3.hashLong(9L), 16)
     addDeleteSnapshot(dest3, Seq(DelFile(eqFile, content = 2, seq = 9, eqIds = Seq(1),
-      partVals = Seq("id_bucket" -> Integer.valueOf(3)))),
-      specId = 7, partFields = Seq(("id_bucket", "int")))
-    val e3 = intercept[IllegalArgumentException](IcebergImport.read(spark, dest3))
-    assert(e3.getMessage.contains("non-identity"))
+      partVals = Seq("id_scope" -> Integer.valueOf(b3)))),
+      specId = 7, partFields = Seq(("id_scope", "int")))
+    val back3 = IcebergImport.read(spark, dest3).select("id").as[Long].collect()
+    assert(!back3.contains(3L), "bucket-scoped delete must apply to id=3 (its own bucket)")
+    assert(back3.contains(9L) == (b9 != b3),
+      "id=9 must survive iff its murmur3 bucket differs from the delete's scope")
+
+    // a transform the importer cannot evaluate still refuses loudly
+    val dest4 = withSplicedSpec("year")
+    addDeleteSnapshot(dest4, Seq(DelFile(eqFile, content = 2, seq = 9, eqIds = Seq(1),
+      partVals = Seq("id_scope" -> Integer.valueOf(3)))),
+      specId = 7, partFields = Seq(("id_scope", "int")))
+    val e4 = intercept[IllegalArgumentException](IcebergImport.read(spark, dest4))
+    assert(e4.getMessage.contains("unsupported partition transform"))
   }
 
   test("unsupported delete shapes refuse loudly") {
