@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Builds the four export fixtures `tools/ice_independent_read.py`
+  * verifies (append-only, MOR equality deletes, murmur3 bucket
+  * layout, patch position deletes) and prints graft's own expected
+  * aggregates — the independent-witness harness recorded in SURVEY §7.
+  * Run: sbt "Test/runMain graft.DriveIceExport", then the python tool
+  * over /tmp/ind_export_* with the same aggregate SQL. */
+object DriveIceExport {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.core.GraftSession.local("drive", 8)
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val ord = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+
+    // 1: append-only
+    val r1 = java.nio.file.Files.createTempDirectory("ind-snap1").toString
+    val t1 = new graft.io.SnapshotTables(spark, r1)
+    t1.overwriteTable(ord.filter(col("o_orderkey") % 2 === 0), "ord")
+    t1.append(ord.filter(col("o_orderkey") % 2 =!= 0), "ord")
+    graft.io.IcebergExport.export(t1, "ord", "/tmp/ind_export_plain")
+
+    // 2: MOR equality deletes (upsert + key delete)
+    val r2 = java.nio.file.Files.createTempDirectory("ind-snap2").toString
+    val t2 = new graft.io.SnapshotTables(spark, r2)
+    t2.overwriteTable(ord, "ord")
+    t2.upsertMor("ord", ord.filter(col("o_orderkey") % 97 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2), Seq("o_orderkey"))
+    t2.deleteKeysMor("ord", ord.filter(col("o_orderkey") % 89 === 0).select("o_orderkey"))
+    graft.io.IcebergExport.export(t2, "ord", "/tmp/ind_export_mor")
+
+    // 3: m3bucket layout
+    val r3 = java.nio.file.Files.createTempDirectory("ind-snap3").toString
+    val t3 = new graft.io.SnapshotTables(spark, r3)
+    t3.overwriteTableTransformed(ord, "ord",
+      Seq(graft.io.SnapshotTables.PartitionTransform.bucketMurmur3(8, "o_custkey")))
+    graft.io.IcebergExport.export(t3, "ord", "/tmp/ind_export_bucket")
+
+    // 4: content-addressed patch -> position deletes
+    val r4 = java.nio.file.Files.createTempDirectory("ind-snap4").toString
+    val t4 = new graft.io.SnapshotTables(spark, r4)
+    t4.overwriteTable(ord, "ord")
+    t4.deleteWhereMor("ord", col("o_totalprice") > lit(200000.0))
+    graft.io.IcebergExport.export(t4, "ord", "/tmp/ind_export_posdel")
+
+    Seq("plain" -> t1, "mor" -> t2, "bucket" -> t3, "posdel" -> t4).foreach { case (n, t) =>
+      val r = t.read("ord").agg(count(lit(1)), sum(col("o_totalprice").cast("decimal(18,2)")).cast("string")).collect()(0)
+      println(s"EXPECT $n count=${r.getLong(0)} sum=${r.getString(1)}")
+    }
+    spark.stop()
+  }
+}

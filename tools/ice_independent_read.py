@@ -1,0 +1,250 @@
+#!/usr/bin/env python3
+"""Independent (non-graft) reader over an IcebergExport table.
+
+The sandbox cannot load DuckDB's iceberg extension (zero egress) and
+ships no pyiceberg/fastavro, so this is the fallback witness the
+round-14 verdict asked for: a from-scratch walker of the exported
+layout written in a different language from the exporter/importer,
+directly from the PUBLIC specs:
+
+  - Avro object-container-file format (magic, metadata map, sync
+    markers, blocks; null/deflate codecs; generic datum decoding driven
+    by the embedded writer schema JSON) -- nothing shared with the JVM
+    Avro library the exporter uses;
+  - Iceberg table-spec scan planning (version-hint -> metadata JSON ->
+    current snapshot -> manifest list -> manifests -> entry statuses,
+    data vs delete files, sequence numbers);
+  - delete application in DuckDB SQL: position deletes anti-joined on
+    (file, row number) with same-or-later sequence gating, equality
+    deletes anti-joined null-safely on the equality_ids columns with
+    strictly-earlier gating.
+
+Usage: ice_independent_read.py <exported-table-dir> <sql>
+  <sql> runs in DuckDB with a view `t` = the planned scan.
+Prints the result rows; exits non-zero on any spec violation.
+"""
+import io
+import json
+import os
+import struct
+import sys
+import zlib
+
+
+# ---------------------------------------------------------------- avro
+class Reader(io.BytesIO):
+    def need(self, n):
+        b = self.read(n)
+        if len(b) != n:
+            raise EOFError(f"wanted {n} bytes, got {len(b)}")
+        return b
+
+
+def zigzag(r):
+    shift, acc = 0, 0
+    while True:
+        b = r.need(1)[0]
+        acc |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1)
+
+
+def read_datum(r, schema, names):
+    if isinstance(schema, str) and schema in names:
+        schema = names[schema]
+    if isinstance(schema, list):  # union
+        idx = zigzag(r)
+        return read_datum(r, schema[idx], names)
+    t = schema["type"] if isinstance(schema, dict) else schema
+    if t == "null":
+        return None
+    if t == "boolean":
+        return r.need(1)[0] != 0
+    if t in ("int", "long"):
+        return zigzag(r)
+    if t == "float":
+        return struct.unpack("<f", r.need(4))[0]
+    if t == "double":
+        return struct.unpack("<d", r.need(8))[0]
+    if t == "bytes":
+        return r.need(zigzag(r))
+    if t == "string":
+        return r.need(zigzag(r)).decode("utf-8")
+    if t == "fixed":
+        return r.need(schema["size"])
+    if t == "enum":
+        return schema["symbols"][zigzag(r)]
+    if t == "array":
+        out = []
+        while True:
+            n = zigzag(r)
+            if n == 0:
+                break
+            if n < 0:
+                zigzag(r)  # block byte size, unused
+                n = -n
+            for _ in range(n):
+                out.append(read_datum(r, schema["items"], names))
+        return out
+    if t == "map":
+        out = {}
+        while True:
+            n = zigzag(r)
+            if n == 0:
+                break
+            if n < 0:
+                zigzag(r)
+                n = -n
+            for _ in range(n):
+                k = r.need(zigzag(r)).decode("utf-8")
+                out[k] = read_datum(r, schema["values"], names)
+        return out
+    if t == "record":
+        if "name" in schema:
+            names[schema["name"]] = schema
+        return {f["name"]: read_datum(r, f["type"], names) for f in schema["fields"]}
+    raise ValueError(f"unhandled avro type {t!r}")
+
+
+def read_avro_file(path):
+    """-> (records, file-metadata dict)."""
+    with open(path, "rb") as fh:
+        raw = fh.read()
+    r = Reader(raw)
+    if r.need(4) != b"Obj\x01":
+        raise ValueError(f"{path}: bad avro magic")
+    meta = {}
+    while True:
+        n = zigzag(r)
+        if n == 0:
+            break
+        if n < 0:
+            zigzag(r)
+            n = -n
+        for _ in range(n):
+            k = r.need(zigzag(r)).decode("utf-8")
+            meta[k] = r.need(zigzag(r))
+    sync = r.need(16)
+    schema = json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode()
+    records = []
+    while r.tell() < len(raw):
+        count = zigzag(r)
+        size = zigzag(r)
+        block = r.need(size)
+        if codec == "deflate":
+            block = zlib.decompress(block, -15)
+        elif codec != "null":
+            raise ValueError(f"unsupported codec {codec}")
+        br = Reader(block)
+        for _ in range(count):
+            records.append(read_datum(br, schema, {}))
+        if r.need(16) != sync:
+            raise ValueError(f"{path}: sync marker mismatch")
+    return records, meta
+
+
+# ------------------------------------------------------------- iceberg
+def resolve(table_dir, p):
+    if p.startswith("file:"):
+        p = p[len("file:"):]
+        while p.startswith("//"):
+            p = p[1:]
+        return p
+    if p.startswith("/"):
+        return p
+    return os.path.join(table_dir, p)
+
+
+def plan_scan(table_dir):
+    meta_dir = os.path.join(table_dir, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        hint = fh.read().strip()
+    cand = [f"v{hint}.metadata.json", f"v{int(hint):05d}.metadata.json"]
+    md_path = next(os.path.join(meta_dir, c) for c in cand
+                   if os.path.exists(os.path.join(meta_dir, c)))
+    md = json.load(open(md_path))
+    assert md["format-version"] == 2, "expected a v2 export"
+    snap_id = md["current-snapshot-id"]
+    snap = next(s for s in md["snapshots"] if s["snapshot-id"] == snap_id)
+    schemas = {s["schema-id"]: s for s in md["schemas"]}
+    schema = schemas[md["current-schema-id"]]
+    field_names = {f["id"]: f["name"] for f in schema["fields"]}
+
+    mlist, _ = read_avro_file(resolve(table_dir, snap["manifest-list"]))
+    data, deletes = [], []
+    for m in mlist:
+        seq0 = m.get("sequence_number", 0)
+        entries, mmeta = read_avro_file(resolve(table_dir, m["manifest_path"]))
+        for e in entries:
+            if e.get("status", 1) == 2:
+                continue
+            df = e["data_file"]
+            seq = e.get("sequence_number")
+            if seq is None:
+                if e.get("status", 1) != 1:
+                    raise ValueError("non-ADDED entry without explicit sequence")
+                seq = seq0
+            rec = {
+                "path": resolve(table_dir, df["file_path"]),
+                "seq": seq,
+                "content": df.get("content", 0),
+                "eq_ids": df.get("equality_ids") or [],
+                "record_count": df["record_count"],
+            }
+            (data if rec["content"] == 0 else deletes).append(rec)
+    return data, deletes, field_names
+
+
+def main():
+    table_dir, sql = sys.argv[1], sys.argv[2]
+    import duckdb
+    data, deletes, field_names = plan_scan(table_dir)
+    if not data:
+        raise SystemExit("no data files planned")
+    con = duckdb.connect()
+
+    def flist(fs):
+        return "[" + ",".join("'" + f["path"].replace("'", "''") + "'" for f in fs) + "]"
+
+    seq_rows = ",".join(f"('{f['path']}',{f['seq']})" for f in data)
+    con.execute(f"CREATE TABLE fseq(path VARCHAR, seq BIGINT); "
+                f"INSERT INTO fseq VALUES {seq_rows}")
+    base = (f"SELECT d.*, fseq.seq AS __seq FROM read_parquet({flist(data)}, "
+            f"filename=true, file_row_number=true) d JOIN fseq ON d.filename = fseq.path")
+    con.execute(f"CREATE VIEW base AS {base}")
+    view = "base"
+    pos = [f for f in deletes if f["content"] == 1]
+    if pos:
+        pos_vals = ",".join("('{}',{})".format(f["path"], f["seq"]) for f in pos)
+        con.execute(
+            f"CREATE VIEW posdel AS SELECT pd.file_path, pd.pos, fs2.seq AS dseq "
+            f"FROM read_parquet({flist(pos)}, filename=true) pd "
+            f"JOIN (VALUES {pos_vals}) fs2(path, seq) ON pd.filename = fs2.path")
+        # delete rows may spell paths with a file:/ URI prefix while
+        # DuckDB's filename= yields the bare local path — normalize
+        con.execute(
+            "CREATE VIEW afterpos AS SELECT * FROM base b WHERE NOT EXISTS ("
+            "SELECT 1 FROM posdel p WHERE "
+            "regexp_replace(p.file_path, '^file:/+', '/') = b.filename "
+            "AND p.pos = b.file_row_number AND p.dseq >= b.__seq)")
+        view = "afterpos"
+    eq = [f for f in deletes if f["content"] == 2]
+    for i, f in enumerate(eq):
+        cols = [field_names[j] for j in f["eq_ids"]]
+        conds = " AND ".join(f"e.{c} IS NOT DISTINCT FROM v.{c}" for c in cols)
+        con.execute(
+            f"CREATE VIEW eq{i} AS SELECT * FROM {view} v WHERE NOT EXISTS ("
+            f"SELECT 1 FROM read_parquet('{f['path']}') e "
+            f"WHERE {conds} AND {f['seq']} > v.__seq)")
+        view = f"eq{i}"
+    user_cols = ", ".join(f'"{n}"' for n in field_names.values())
+    con.execute(f"CREATE VIEW t AS SELECT {user_cols} FROM {view}")
+    for row in con.execute(sql).fetchall():
+        print(row)
+
+
+if __name__ == "__main__":
+    main()
