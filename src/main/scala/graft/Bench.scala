@@ -346,15 +346,20 @@ object Bench {
     // writes O(batch) (1% slice), a keyed MOR delete writes O(keys).
     // At 100 TB the first is impossible and the other two are the only
     // viable commit shapes; this records the gap at bench scale.
-    val commitSpans: Seq[(String, Double)] =
+    val (commitSpans, commitLoads): (Seq[(String, Double)], Seq[(String, Double)]) =
       try {
         val croot = java.nio.file.Files.createTempDirectory("bench-commit").toString
         val st = new graft.io.SnapshotTables(spark, croot)
         val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
           .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+        // per-span load stamp rides along (r14 lesson: the direct-layout
+        // pair break was only adjudicable post-hoc with an A/B rerun —
+        // a load stamp AT the span makes the next one self-evident)
+        val spanLoad = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
         def cspan(f: => Unit): Double = {
           val t0 = System.nanoTime; f; (System.nanoTime - t0) / 1e9
         }
+        def stamp(name: String): Unit = spanLoad += (name -> loadavg1())
         val slice = li.limit((li.count() / 100).toInt).localCheckpoint(true)
         val keys = li.select("l_orderkey").distinct().limit(100).localCheckpoint(true)
         // One identical pass per layout, same JVM, same data, rename
@@ -371,17 +376,17 @@ object Bench {
           val sfx = if (layout == "direct") "_direct" else ""
           st.setCommitLayout(tab, Some(layout)) // per-table pin (X109)
           st.overwriteTable(li, tab) // v1 baseline commit (untimed JVM warm)
-          val tOver = cspan { st.overwriteTable(li, tab) }
-          val tApp = cspan { st.append(slice, tab) }
-          val tDel = cspan { st.deleteKeysMor(tab, keys) }
+          val tOver = cspan { st.overwriteTable(li, tab) }; stamp(s"overwrite$sfx")
+          val tApp = cspan { st.append(slice, tab) }; stamp(s"append_1pct$sfx")
+          val tDel = cspan { st.deleteKeysMor(tab, keys) }; stamp(s"mor_delete_keys$sfx")
           // chain-maintenance gap, same chain: minor fold (O(Σ deltas) —
           // here 1% + 100 keys) vs materialize (O(table) rewrite). At
           // 100 TB the ratio IS the case for compactDeltas.
-          val tFold = cspan { st.compactDeltas(tab) }
-          val tMat = cspan { st.materialize(tab) }
+          val tFold = cspan { st.compactDeltas(tab) }; stamp(s"minor_fold$sfx")
+          val tMat = cspan { st.materialize(tab) }; stamp(s"materialize$sfx")
           st.createBranch(tab, "wip")
           st.commitToBranch(tab, "wip", slice) // staged write (untimed)
-          val tPub = cspan { st.publish(tab, "wip") }
+          val tPub = cspan { st.publish(tab, "wip") }; stamp(s"publish$sfx")
           Seq(s"overwrite$sfx" -> tOver, s"append_1pct$sfx" -> tApp,
             s"mor_delete_keys$sfx" -> tDel, s"minor_fold$sfx" -> tFold,
             s"materialize$sfx" -> tMat, s"publish$sfx" -> tPub)
@@ -414,13 +419,14 @@ object Bench {
         // big fold output is provably untouched
         val tTier = cspan { st.compactDeltasTiered("tf_tier", math.max(1L, big1 / 2)) }
         val tFull = cspan { st.compactDeltas("tf_full") }
-        layoutPass("li", "rename") ++ layoutPass("lid", "direct") ++
+        val spans = layoutPass("li", "rename") ++ layoutPass("lid", "direct") ++
           Seq("tiered_fold" -> tTier, "full_fold" -> tFull)
+        (spans, spanLoad.toSeq)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] commit spans failed: ${e.getMessage}")
-          Seq("overwrite" -> -1.0, "append_1pct" -> -1.0, "mor_delete_keys" -> -1.0,
-            "minor_fold" -> -1.0, "materialize" -> -1.0)
+          (Seq("overwrite" -> -1.0, "append_1pct" -> -1.0, "mor_delete_keys" -> -1.0,
+            "minor_fold" -> -1.0, "materialize" -> -1.0), Nil)
       }
     val la1 = loadavg1()
     // Warm numbers come from the per-query best-of-3 above: all plans
@@ -436,6 +442,7 @@ object Bench {
         s""""warm_headline":${jmap(warm)},"e2e":${jmap(e2e)},""" +
         s""""e2e_warm":${jmap(e2eWarm)},"e2e_pq":${jmap(e2ePq)},""" +
         s""""e2e_pq_warm":${jmap(e2ePqWarm)},"commit":${jmap(commitSpans)},""" +
+        s""""commit_load":${jmap(commitLoads)},""" +
         s""""loadavg":[${r3(la0)},${r3(la1)}],""" +
         s""""gate_wait":${r3(gateWait)},"load_at":${jmap(loadAt)},""" +
         s""""repassed":${repassed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +

@@ -570,16 +570,35 @@ object Dedup {
       idCol: String,
       textCol: String,
       k: Int = 5,
-      minDocs: Long = 2L
+      minDocs: Long = 2L,
+      maxDocsPerShingle: Option[Long] = None,
+      dropMetrics: Option[org.apache.spark.sql.Observation] = None
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val win = df
       .select(col(idCol), posexplode(wordShingles(tokens(col(textCol)), k)).as(Seq("pos", "s")))
       .select(col(idCol), col("pos"), md5(col("s")).as("h"))
-    val freq = win.select(col("h"), col(idCol)).distinct()
+    val freq0 = win.select(col("h"), col(idCol)).distinct()
       .groupBy(col("h"))
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
+    // Superlinear tail bound (SCALE_r14b: 4.76× at 10× data): as
+    // near-dup replicas multiply, ubiquitous shingles push nearly
+    // every window into the frequency join and the per-doc window agg.
+    // A shingle in MORE than maxDocsPerShingle docs is boilerplate by
+    // construction (headers, licenses — the same argument as the LSH
+    // hot-bucket cap X107): cap it with the identical broadcast
+    // anti-join + CollectMetrics shape, drops observable, never silent.
+    val freq = maxDocsPerShingle match {
+      case Some(cap) =>
+        val hot0 = freq0.filter(col("n_docs") > cap)
+        val hot = dropMetrics.fold(hot0)(obs => hot0.observe(obs,
+          count(lit(1)).as("dropped_shingles"),
+          coalesce(sum(col("n_docs")), lit(0L)).as("dropped_doc_occurrences")))
+          .select(col("h"))
+        freq0.join(broadcast(hot), Seq("h"), "left_anti")
+      case None => freq0
+    }
     val hits = win.join(freq, "h").select(col(idCol), col("pos"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     hits

@@ -737,6 +737,44 @@ object ExtensionCorpus {
       FROM orders GROUP BY o_custkey % 100 ORDER BY k""")
   )
 
+  /** First ORACLE-GATED streaming row (the 12 streaming ops were
+    * MemoryStream-spec'd only until now): a real file-source stream
+    * (4 staged parquet files, maxFilesPerTrigger=1 → 4 scripted
+    * micro-batches) filtered and routed through
+    * [[graft.streaming.Streams.snapshotAppendSink]] under
+    * Trigger.AvailableNow into a versioned snapshot table — exactly
+    * the reference's incremental re-land pattern (S9+S3) the sinks
+    * subsume. The gate aggregates the FINAL table content; DuckDB
+    * replays the whole scripted stream as one batch query (append of
+    * every filtered row, txn-id replay safety keeping it exactly-once
+    * across the 4 commits). */
+  private val q147 = Q(
+    "q147_streaming_append_sink",
+    (s, dir) => {
+      val src = java.nio.file.Files.createTempDirectory("q147-src").toString
+      fixture(s, dir, "events").repartition(4).write.mode("overwrite").parquet(src)
+      val schema = s.read.parquet(src).schema
+      val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val root = java.nio.file.Files.createTempDirectory("q147-snap").toString
+      val t = new graft.io.SnapshotTables(s, root)
+      val ck = java.nio.file.Files.createTempDirectory("q147-ck").toString
+      val q = graft.streaming.Streams.snapshotAppendSink(stream, t, "ev", ck,
+        availableNow = true)
+      q.awaitTermination()
+      t.read("ev")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id, COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id ORDER BY user_id""")
+  )
+
   // -------------------------------------------------------- temporal joins
 
   private val q44 = Q(
@@ -1210,6 +1248,36 @@ object ExtensionCorpus {
               WHERE len(t) >= 5),
       freq AS (SELECT h, COUNT(*) AS n_docs FROM (SELECT DISTINCT h, doc_id FROM win)
                GROUP BY h HAVING COUNT(*) >= 2),
+      hits AS (SELECT w.doc_id, w.pos FROM win w JOIN freq f USING (h)),
+      marked AS (SELECT doc_id, pos,
+          CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5 THEN 0 ELSE 1 END AS brk
+        FROM hits),
+      spans AS (SELECT doc_id, pos,
+          SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span
+        FROM marked)
+      SELECT doc_id, CAST(MIN(pos) AS INTEGER) AS start_tok, CAST(MAX(pos) + 5 AS INTEGER) AS end_tok,
+             COUNT(*) AS n_win
+      FROM spans GROUP BY doc_id, span ORDER BY doc_id, start_tok""")
+  )
+
+  /** q98's capped twin — the superlinear-tail bound (SCALE_r14b
+    * measured 4.76× at 10× data): shingles in more than
+    * maxDocsPerShingle docs are boilerplate by construction and are
+    * dropped via a broadcast anti-join (drop counts observable through
+    * the Observation hook, asserted in DedupSpec). The oracle replays
+    * the cap as an upper bound on the frequency HAVING clause. */
+  private val q98b = Q(
+    "q98b_repeated_passages_capped",
+    (s, dir) =>
+      Dedup.repeatedPassages(fixture(s, dir, "documents"), "doc_id", "text", k = 5,
+        minDocs = 2, maxDocsPerShingle = Some(3)),
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      win AS (SELECT doc_id, CAST(i.i AS INTEGER) AS pos,
+                md5(array_to_string(list_slice(t, i.i + 1, i.i + 5), ' ')) AS h
+              FROM toks, LATERAL (SELECT unnest(range(len(t) - 4)) AS i) i
+              WHERE len(t) >= 5),
+      freq AS (SELECT h, COUNT(*) AS n_docs FROM (SELECT DISTINCT h, doc_id FROM win)
+               GROUP BY h HAVING COUNT(*) >= 2 AND COUNT(*) <= 3),
       hits AS (SELECT w.doc_id, w.pos FROM win w JOIN freq f USING (h)),
       marked AS (SELECT doc_id, pos,
           CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5 THEN 0 ELSE 1 END AS brk
@@ -2511,10 +2579,10 @@ object ExtensionCorpus {
 
   val all: Seq[Q] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
-    q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q99, q100, q101, q102, q106, q107, q108,
+    q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q98b, q99, q100, q101, q102, q106, q107, q108,
     q109, q111, q112, q113, q114, q116, q117, q118, q119, q121, q122, q123, q125, q126, q127,
     q128, q130, q131, q132, q133, q135, q136, q137, q138, q139, q140, q141, q143, q144,
-    q145, q146
+    q145, q146, q147
   )
 
 }

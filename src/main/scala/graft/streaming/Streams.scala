@@ -456,7 +456,8 @@ object Streams {
       tables: graft.io.SnapshotTables,
       table: String,
       checkpoint: String,
-      afterCommit: () => Unit = () => ()
+      afterCommit: () => Unit = () => (),
+      availableNow: Boolean = false
   ): StreamingQuery = {
     // the txn namespace is the CHECKPOINT identity: a restart of the
     // same query re-presents the same ids (replay-safe), while a
@@ -468,7 +469,7 @@ object Streams {
     val sinkId = java.security.MessageDigest.getInstance("MD5")
       .digest(checkpoint.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
-    stream.writeStream
+    val w = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
@@ -477,7 +478,7 @@ object Streams {
         }
         ()
       }
-      .start()
+    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }
 
   /** Continuous upsert-by-key into a versioned snapshot table. With

@@ -126,6 +126,27 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.repeatedPassages(d, "doc_id", "text", k = 5, minDocs = 3).isEmpty)
   }
 
+  test("repeatedPassages maxDocsPerShingle drops boilerplate shingles, drops observable") {
+    // the phrase a..f appears in 4 docs (boilerplate), u..z in 2 only
+    val d = Seq(
+      (1L, "a b c d e f x"), (2L, "a b c d e f y"),
+      (3L, "a b c d e f z"), (4L, "a b c d e f w"),
+      (5L, "u v w2 x2 y2 z2 one"), (6L, "u v w2 x2 y2 z2 two")
+    ).toDF("doc_id", "text")
+    val uncapped = Dedup.repeatedPassages(d, "doc_id", "text", k = 5, minDocs = 2)
+    assert(uncapped.select("doc_id").distinct().count() == 6)
+    val obs = org.apache.spark.sql.Observation()
+    val capped = Dedup.repeatedPassages(d, "doc_id", "text", k = 5, minDocs = 2,
+      maxDocsPerShingle = Some(3), dropMetrics = Some(obs))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    // only the 2-doc phrase survives the cap; spans unchanged for it
+    assert(capped == Seq((5L, 0, 6), (6L, 0, 6)))
+    val m = obs.getAsJava
+    // 'a b c d e f' yields two k=5 shingles ([a..e], [b..f]), each in 4 docs
+    assert(m.get("dropped_shingles").asInstanceOf[Long] == 2L, s"got $m")
+    assert(m.get("dropped_doc_occurrences").asInstanceOf[Long] == 8L, s"got $m")
+  }
+
   test("sortedNeighborPairs: bounded candidates, exact dups adjacent at hamming 0, partition-invariant") {
     val docs = graft.queries.Corpus.fixture(spark, "/root/testdata/sf0.001", "documents")
     val pairs = Dedup.sortedNeighborPairs(docs, "doc_id", "text", window = 3, blockBits = 4)
