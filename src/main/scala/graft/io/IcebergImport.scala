@@ -320,8 +320,9 @@ object IcebergImport {
   private def deleteScope(specFields: Seq[SpecField], df: GenericRecord,
       fieldNames: Map[Int, String], raw: String, mPath: String): Seq[ScopeCond] = {
     if (specFields.isEmpty) return Nil
-    val unsupported = specFields.filterNot(f =>
-      f.transform == "identity" || f.transform.matches("bucket\\[\\d+\\]"))
+    val known = Set("identity", "day", "month", "year", "hour")
+    val unsupported = specFields.filterNot(f => known(f.transform) ||
+      f.transform.matches("bucket\\[\\d+\\]") || f.transform.matches("truncate\\[\\d+\\]"))
     require(unsupported.isEmpty,
       s"equality delete file $raw is scoped by unsupported partition transform(s) " +
         s"${unsupported.map(f => s"${f.transform}(${f.name})").mkString(", ")} — applying them " +
@@ -513,21 +514,24 @@ object IcebergImport {
           .withColumn("__dseq", coalesce(col("__dseq"),
             raise_error(concat(lit("equality-delete file missing from the lookup: "), col("__self")))))
         val edR = names.foldLeft(ed)((acc, n) => acc.withColumnRenamed(n, s"__graft_ed_$n"))
-        val BucketT = "bucket\\[(\\d+)\\]".r
         val scopeCond: Option[Column] = scope
           .map { sc =>
-            sc.transform match {
-              case "identity" => df(sc.col) <=> lit(sc.value)
-              case BucketT(n) =>
-                // re-derive each row's bucket with the spec's own
-                // murmur3 function and null-safe compare to the
-                // entry's partition value
-                org.apache.spark.sql.GraftSqlBridge.column(
-                  graft.functions.IcebergBucketExpr(
-                    org.apache.spark.sql.GraftSqlBridge.expression(df(sc.col)), n.toInt)) <=>
-                  lit(sc.value)
-              case other => throw new IllegalStateException(s"unreachable transform $other")
+            val srcType = userCols.find(_ == sc.col)
+              .map(c => base.schema(c).dataType)
+              .getOrElse(throw new IllegalStateException(s"scope column ${sc.col} vanished"))
+            val expr = transformExpr(df(sc.col), srcType, sc.transform).getOrElse(
+              throw new IllegalArgumentException(
+                s"equality delete scoped by ${sc.transform}(${sc.col}) over $srcType — " +
+                  "transform not computable on that type; compact the source table first"))
+            // partition values arrive in the manifest's own domain —
+            // align date-logical values to the transform's integer
+            // image before the null-safe compare
+            val v: Any = (sc.transform, sc.value) match {
+              case ("identity", x) => x
+              case (_, d: java.time.LocalDate) => d.toEpochDay.toInt
+              case (_, x) => x
             }
+            expr <=> lit(v)
           }
           .reduceOption(_ && _)
         val cond: Column = (names.map(n => df(n) <=> edR(s"__graft_ed_$n")) ++ scopeCond)
@@ -570,6 +574,38 @@ object IcebergImport {
         .filter(_.getName.matches("v\\d+\\.metadata\\.json")).sortBy(_.getName)
       require(all.nonEmpty, s"no v*.metadata.json under $metaDir")
       all.last
+    }
+  }
+
+  /** Evaluate an Iceberg partition transform over a source column —
+    * every transform computable jar-free (the spec pins each
+    * function's semantics):
+    *   - identity: the column itself
+    *   - bucket[N]: murmur3_x86_32 bucket ([[graft.functions.IcebergBucketExpr]])
+    *   - day/month/year: date parts as days/months/years from 1970-01-01
+    *   - hour: hours from epoch (timestamps; session is pinned UTC)
+    *   - truncate[W]: leading W chars (string) or `v - (v mod W)` with
+    *     the spec's non-negative mod (int/long)
+    * None = not computable for that (transform, source type). */
+  private def transformExpr(c: Column, srcType: DataType, transform: String): Option[Column] = {
+    val BucketT = "bucket\\[(\\d+)\\]".r
+    val TruncT = "truncate\\[(\\d+)\\]".r
+    transform match {
+      case "identity" => Some(c)
+      case BucketT(n) => Some(org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.IcebergBucketExpr(
+          org.apache.spark.sql.GraftSqlBridge.expression(c), n.toInt)))
+      case "day"   => Some(datediff(to_date(c), lit("1970-01-01")))
+      case "month" => Some((year(to_date(c)) - lit(1970)) * lit(12) + month(to_date(c)) - lit(1))
+      case "year"  => Some(year(to_date(c)) - lit(1970))
+      case "hour" if srcType == TimestampType || srcType == TimestampNTZType =>
+        Some(floor(c.cast("long") / lit(3600L)).cast("int"))
+      case TruncT(w) => srcType match {
+        case StringType => Some(substring(c, 1, w.toInt))
+        case IntegerType | LongType => Some((c - pmod(c, lit(w.toLong))).cast(srcType))
+        case _ => None
+      }
+      case _ => None
     }
   }
 

@@ -421,12 +421,75 @@ class IcebergDeletesSpec extends SparkSpec {
       "id=9 must survive iff its murmur3 bucket differs from the delete's scope")
 
     // a transform the importer cannot evaluate still refuses loudly
-    val dest4 = withSplicedSpec("year")
+    val dest4 = withSplicedSpec("void")
     addDeleteSnapshot(dest4, Seq(DelFile(eqFile, content = 2, seq = 9, eqIds = Seq(1),
       partVals = Seq("id_scope" -> Integer.valueOf(3)))),
       specId = 7, partFields = Seq(("id_scope", "int")))
     val e4 = intercept[IllegalArgumentException](IcebergImport.read(spark, dest4))
     assert(e4.getMessage.contains("unsupported partition transform"))
+  }
+
+  /** Splice `transform` on `sourceId` as spec 7 of an export. */
+  private def spliceSpec(dest: String, transform: String, name: String, sourceId: Int): Unit = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val metaDir = java.nio.file.Paths.get(dest, "metadata")
+    val hint = java.nio.file.Files.readString(metaDir.resolve("version-hint.text")).trim.toInt
+    val mdFile = IcebergTestSplice.mdFile(metaDir, hint)
+    val md = om.readTree(java.nio.file.Files.readString(mdFile))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val fSpec = md.get("partition-specs")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode].addObject()
+    fSpec.put("spec-id", 7)
+    val bf = fSpec.putArray("fields").addObject()
+    bf.put("name", name); bf.put("transform", transform)
+    bf.put("source-id", sourceId); bf.put("field-id", 1007)
+    java.nio.file.Files.writeString(mdFile, om.writeValueAsString(md))
+    java.nio.file.Files.deleteIfExists(metaDir.resolve("." + mdFile.getFileName + ".crc"))
+  }
+
+  private def eqDeleteFile(prefix: String, ids: Seq[Long]): String = {
+    val out = java.nio.file.Files.createTempDirectory(prefix).toString
+    ids.toDF("id").coalesce(1).write.mode("overwrite").parquet(out)
+    new java.io.File(out).listFiles().find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+  }
+
+  test("day-scoped equality deletes apply via the computed day transform (date-logical value)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ice-day").toString
+    val t = new SnapshotTables(spark, root)
+    t.overwriteTable((1 to 12).map(i =>
+      (i.toLong, java.sql.Date.valueOf(f"2026-01-0${i % 3 + 1}"), s"v$i")).toDF("id", "d", "v"), "tab")
+    val dest = java.nio.file.Files.createTempDirectory("graft-ice-day-out").toString
+    IcebergExport.export(t, "tab", dest)
+    spliceSpec(dest, "day", "d_day", sourceId = 2)
+    // id=5 has d=2026-01-03 (5%3+1), id=9 has d=2026-01-01: scope the
+    // delete to day(2026-01-03) — only id=5 goes
+    val eqFile = eqDeleteFile("graft-eq-day", Seq(5L, 9L))
+    val dayVal = java.time.LocalDate.parse("2026-01-03").toEpochDay.toInt
+    addDeleteSnapshot(dest, Seq(DelFile(eqFile, content = 2, seq = 9, eqIds = Seq(1),
+      partVals = Seq("d_day" -> Integer.valueOf(dayVal)))),
+      specId = 7, partFields = Seq(("d_day", "date")))
+    val back = IcebergImport.read(spark, dest).select("id").as[Long].collect().toSet
+    assert(!back.contains(5L), "day-scoped delete must apply inside its day")
+    assert(back.contains(9L), "day-scoped delete must not leak outside its day")
+    assert(back.size == 11)
+  }
+
+  test("truncate-scoped equality deletes apply via the computed prefix (string source)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ice-trunc").toString
+    val t = new SnapshotTables(spark, root)
+    t.overwriteTable(Seq((1L, "abcdef"), (2L, "abcxyz"), (3L, "xyzabc"), (4L, "abq"))
+      .toDF("id", "name"), "tab")
+    val dest = java.nio.file.Files.createTempDirectory("graft-ice-trunc-out").toString
+    IcebergExport.export(t, "tab", dest)
+    spliceSpec(dest, "truncate[3]", "name_trunc", sourceId = 2)
+    // delete ids {1,3} scoped to prefix 'abc': id=1 (abcdef) goes,
+    // id=3 (xyzabc) survives
+    val eqFile = eqDeleteFile("graft-eq-trunc", Seq(1L, 3L))
+    addDeleteSnapshot(dest, Seq(DelFile(eqFile, content = 2, seq = 9, eqIds = Seq(1),
+      partVals = Seq("name_trunc" -> "abc"))),
+      specId = 7, partFields = Seq(("name_trunc", "string")))
+    val back = IcebergImport.read(spark, dest).select("id").as[Long].collect().toSet
+    assert(back == Set(2L, 3L, 4L))
   }
 
   test("unsupported delete shapes refuse loudly") {
