@@ -64,6 +64,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // manifests at planning time and the scan reads only files that
     // may match — Iceberg's scan planning, on the native format
     ext.injectOptimizerRule(_ => graft.plans.ScanPruneRule)
+    // import-side twin: manifest file skipping for graft_iceberg_scan
+    ext.injectOptimizerRule(_ => graft.plans.IcebergScanPruneRule)
     // merge-on-read delta chains -> resolved scan plans (before the
     // DML rule so a MERGE source over a chained table resolves first)
     ext.injectResolutionRule(_ => graft.plans.DeltaResolveRule)

@@ -63,8 +63,12 @@ object IcebergImport {
 
   /** A live data file with its data sequence number. `raw` keeps the
     * manifest's own spelling — position-delete rows address files by
-    * that exact string, so both spellings enter the lookup. */
-  private final case class DataEntry(path: String, raw: String, seq: Long)
+    * that exact string, so both spellings enter the lookup. `lower`/
+    * `upper` are the manifest's per-field-id column bounds (raw
+    * single-value-serialized bytes, decoded on demand for file
+    * skipping); empty when the writer recorded none. */
+  private final case class DataEntry(path: String, raw: String, seq: Long,
+      lower: Map[Int, Array[Byte]] = Map.empty, upper: Map[Int, Array[Byte]] = Map.empty)
   /** One partition-scope condition of an equality delete: the SOURCE
     * column, the spec transform over it (`identity` or `bucket[N]` —
     * graft computes murmur3 buckets itself via
@@ -80,7 +84,8 @@ object IcebergImport {
     * JSON's current schema as a Spark type, when parseable — an empty
     * snapshot still reads with the table's columns. */
   private final case class ScanPlan(data: Seq[DataEntry], deletes: Seq[DeleteEntry],
-      fieldNames: Map[Int, String], loc: String, schema: Option[StructType])
+      fieldNames: Map[Int, String], loc: String, schema: Option[StructType],
+      fieldTypes: Map[Int, DataType] = Map.empty, snap: Option[Long] = None)
 
   // helper-column names used while delete application is in flight;
   // chosen to never collide with user schemas (and guarded anyway)
@@ -111,7 +116,7 @@ object IcebergImport {
         .getOrElse(spark.emptyDataFrame)
     if (plan.deletes.isEmpty)
       baseFrame(spark, plan.data.map(_.path), plan.fieldNames.values.toSet,
-        withMeta = false, tableLoc = plan.loc)
+        withMeta = false, tableLoc = plan.loc, snap = plan.snap)
     else applyDeletes(spark, plan)
   }
 
@@ -241,7 +246,8 @@ object IcebergImport {
           val raw = df.get("file_path").toString
           val abs = resolve(tableDir, raw).toString
           content match {
-            case 0 => dataB += DataEntry(abs, raw, seq)
+            case 0 => dataB += DataEntry(abs, raw, seq,
+              kvBytesOf(df, "lower_bounds"), kvBytesOf(df, "upper_bounds"))
             case 1 => delB += DeleteEntry(abs, raw, seq, 1, Nil, Nil)
             case 2 =>
               val idsNode = fieldOpt(df, "equality_ids").orNull
@@ -259,9 +265,30 @@ object IcebergImport {
         }
       }
     }
+    val fieldTypes: Map[Int, DataType] =
+      if (schemaNode == null || schemaNode.get("fields") == null) Map.empty
+      else (0 until schemaNode.get("fields").size()).flatMap { i =>
+        val f = schemaNode.get("fields").get(i)
+        try Some(f.get("id").asInt -> icebergToSpark(f.get("type")))
+        catch { case _: Exception => None }
+      }.toMap
     ScanPlan(dataB.result(), delB.result(), fieldNames,
-      fs(mdPath).makeQualified(new Path(tableDir)).toString, sparkSchemaOf(schemaNode))
+      fs(mdPath).makeQualified(new Path(tableDir)).toString, sparkSchemaOf(schemaNode),
+      fieldTypes, snapshotId)
   }
+
+  /** Decode a logical-map-of-bytes manifest field (lower/upper bounds)
+    * to (field id → raw bytes); empty when absent. */
+  private def kvBytesOf(df: GenericRecord, field: String): Map[Int, Array[Byte]] =
+    fieldOpt(df, field).map { v =>
+      import scala.jdk.CollectionConverters._
+      v.asInstanceOf[java.util.List[_]].asScala.map { e =>
+        val r = e.asInstanceOf[GenericRecord]
+        val bb = r.get("value").asInstanceOf[java.nio.ByteBuffer]
+        val b = new Array[Byte](bb.remaining()); bb.duplicate().get(b)
+        r.get("key").asInstanceOf[Int] -> b
+      }.toMap
+    }.getOrElse(Map.empty)
 
   /** The metadata JSON's schema as a Spark StructType — None when the
     * schema is absent or carries a shape this mapping doesn't cover.
@@ -366,8 +393,18 @@ object IcebergImport {
   /** `schemaCols`: the table schema's column names — directory-derived
     * partition columns outside it (e.g. a hidden-transform layout's
     * derived values) are dropped after discovery, never surfaced. */
+  /** Reader options stamped onto every scan this importer builds —
+    * the [[graft.plans.IcebergScanPruneRule]] recognizes relations by
+    * them and re-plans the file set against the manifest bounds. */
+  private[graft] val DirOption = "graft.iceberg.dir"
+  private[graft] val SnapOption = "graft.iceberg.snapshot"
+
   private def baseFrame(spark: SparkSession, files: Seq[String], schemaCols: Set[String],
-      withMeta: Boolean, tableLoc: String): DataFrame = {
+      withMeta: Boolean, tableLoc: String, snap: Option[Long] = None): DataFrame = {
+    def tagged(r: org.apache.spark.sql.DataFrameReader) = {
+      val r1 = r.option(DirOption, tableLoc)
+      snap.fold(r1)(s => r1.option(SnapOption, s.toString))
+    }
     def finish(df: DataFrame): DataFrame = {
       // a v1 metadata file with no parseable schema drops nothing —
       // only a KNOWN schema authorizes projecting extras away
@@ -389,13 +426,13 @@ object IcebergImport {
     def dirComps(f: String) = rel(f).split('/').init.filter(_.contains("="))
     val partitioned = files.filter(f => dirComps(f).nonEmpty)
     val bare = files.filterNot(f => dirComps(f).nonEmpty)
-    if (partitioned.isEmpty) return finish(spark.read.parquet(files: _*))
+    if (partitioned.isEmpty) return finish(tagged(spark.read).parquet(files: _*))
     // which columns do the files themselves carry?
     val fileCols = spark.read.parquet(partitioned.head).schema.fieldNames.toSet
     val dirCols = dirComps(partitioned.head)
       .map(c => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         .unescapePathName(c.substring(0, c.indexOf('=')))).toSet
-    if (dirCols.subsetOf(fileCols)) return finish(spark.read.parquet(files: _*))
+    if (dirCols.subsetOf(fileCols)) return finish(tagged(spark.read).parquet(files: _*))
     // partition columns live only in the directory names: group files
     // by their pre-partition base and let Spark's partition discovery
     // type them; union across bases (one per exported segment). Bare
@@ -410,9 +447,9 @@ object IcebergImport {
       comps.take(firstPart).mkString("/")
     }
     val parts = byBase.toSeq.sortBy(_._1).map { case (base, fs) =>
-      finish(spark.read.option("basePath", base).parquet(fs: _*))
+      finish(tagged(spark.read.option("basePath", base)).parquet(fs: _*))
     }
-    val all = parts ++ (if (bare.isEmpty) Nil else Seq(finish(spark.read.parquet(bare: _*))))
+    val all = parts ++ (if (bare.isEmpty) Nil else Seq(finish(tagged(spark.read).parquet(bare: _*))))
     all.reduce(_ unionByName _)
   }
 
@@ -448,7 +485,7 @@ object IcebergImport {
     }
 
     val base = baseFrame(spark, plan.data.map(_.path), plan.fieldNames.values.toSet,
-      withMeta = true, tableLoc = plan.loc)
+      withMeta = true, tableLoc = plan.loc, snap = plan.snap)
     val userCols = base.columns.filterNot(Set(FileCol, PosCol)).toSeq
     val helperNames = Set("__spelling", "__dspelling", "__dseq", "__self", "__target")
     require(!userCols.exists(c => c.startsWith("__graft_ice_") || c.startsWith("__graft_ed_") ||
@@ -575,6 +612,63 @@ object IcebergImport {
       require(all.nonEmpty, s"no v*.metadata.json under $metaDir")
       all.last
     }
+  }
+
+  /** Spellings of data files whose manifest bounds PROVE no row can
+    * match the given conjuncts — the metadata half of Iceberg scan
+    * planning, consumed by [[graft.plans.IcebergScanPruneRule]].
+    * `ranges`: (col, lo, hi) and `probes`: (col, values) carry
+    * PHYSICAL-unit literals (days for dates, micros for timestamps —
+    * [[graft.plans.ScanPruneRule]]'s extraction). Conservative by
+    * construction: a file lacking decodable bounds for a referenced
+    * column never skips, unknown types never compare. */
+  private[graft] def skippableFiles(spark: SparkSession, tableDir: String,
+      snapshotId: Option[Long],
+      ranges: Seq[(String, Option[Any], Option[Any])],
+      probes: Seq[(String, Seq[Any])]): Set[String] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val plan = planScan(spark, tableDir, snapshotId)
+    val idByName = plan.fieldNames.map(_.swap)
+    def decode(b: Array[Byte], dt: DataType): Option[Any] = dt match {
+      case IntegerType | DateType if b.length == 4 =>
+        Some(ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getInt)
+      case LongType | TimestampType | TimestampNTZType if b.length == 8 =>
+        Some(ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getLong)
+      case FloatType if b.length == 4 =>
+        Some(ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getFloat)
+      case DoubleType if b.length == 8 =>
+        Some(ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getDouble)
+      case StringType => Some(new String(b, java.nio.charset.StandardCharsets.UTF_8))
+      case _ => None
+    }
+    def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+      case (x: Int, y: Int)       => Some(x.compareTo(y))
+      case (x: Long, y: Long)     => Some(x.compareTo(y))
+      case (x: Int, y: Long)      => Some(x.toLong.compareTo(y))
+      case (x: Long, y: Int)      => Some(x.compareTo(y.toLong))
+      case (x: Float, y: Float) if !x.isNaN && !y.isNaN   => Some(x.compareTo(y))
+      case (x: Double, y: Double) if !x.isNaN && !y.isNaN => Some(x.compareTo(y))
+      case (x: String, y: String) => Some(x.compareTo(y))
+      case _ => None
+    }
+    plan.data.iterator.filter { d =>
+      def boundsOf(colName: String): Option[(Option[Any], Option[Any])] =
+        idByName.get(colName).flatMap(id => plan.fieldTypes.get(id).map(dt =>
+          (d.lower.get(id).flatMap(decode(_, dt)), d.upper.get(id).flatMap(decode(_, dt)))))
+      val rangeSkip = ranges.exists { case (c, lo, hi) =>
+        boundsOf(c).exists { case (lb, ub) =>
+          lo.exists(l => ub.exists(u => cmp(l, u).exists(_ > 0))) ||
+            hi.exists(h => lb.exists(l2 => cmp(h, l2).exists(_ < 0)))
+        }
+      }
+      val probeSkip = probes.exists { case (c, vs) =>
+        vs.nonEmpty && boundsOf(c).exists { case (lb, ub) =>
+          vs.forall(v => lb.exists(l2 => cmp(v, l2).exists(_ < 0)) ||
+            ub.exists(u => cmp(v, u).exists(_ > 0)))
+        }
+      }
+      rangeSkip || probeSkip
+    }.flatMap(d => spellings(d.path) ++ spellings(d.raw)).toSet
   }
 
   /** Evaluate an Iceberg partition transform over a source column —

@@ -124,7 +124,7 @@ object ScanPruneRule extends Rule[LogicalPlan] {
   /** Pull (bounds, probes) out of a pushed-down predicate's conjuncts.
     * Conservative by construction: only shapes listed in the class doc
     * contribute; everything else is left to the row-level Filter. */
-  private def extract(cond: Expression, cols: Set[String])
+  private[plans] def extract(cond: Expression, cols: Set[String])
       : (Seq[(String, Option[Any], Option[Any])], Seq[(String, Seq[(Any, Any)])]) = {
     val bounds = Seq.newBuilder[(String, Option[Any], Option[Any])]
     val probes = Seq.newBuilder[(String, Seq[(Any, Any)])]
