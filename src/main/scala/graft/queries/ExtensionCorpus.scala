@@ -775,6 +775,71 @@ object ExtensionCorpus {
       GROUP BY user_id ORDER BY user_id""")
   )
 
+  /** Keyed streaming MERGE under the gate: events hash-partitioned by
+    * user into 4 source files (each key lives in exactly ONE
+    * micro-batch, so the final table is deterministic), streamed
+    * through [[graft.streaming.Streams.snapshotMergeSink]] with
+    * per-batch conflict resolution on the unique event_id — the final
+    * table is each user's max-event_id row, which DuckDB replays with
+    * one window. Gates the COW MERGE path + per-batch max_by conflict
+    * resolution + AvailableNow. */
+  private val q148 = Q(
+    "q148_streaming_merge_sink",
+    (s, dir) => {
+      val src = java.nio.file.Files.createTempDirectory("q148-src").toString
+      fixture(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value").cast("double").as("value"))
+        .repartition(4, col("user_id"))
+        .write.mode("overwrite").parquet(src)
+      val schema = s.read.parquet(src).schema
+      val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+      val root = java.nio.file.Files.createTempDirectory("q148-snap").toString
+      val t = new graft.io.SnapshotTables(s, root)
+      val ck = java.nio.file.Files.createTempDirectory("q148-ck").toString
+      val q = graft.streaming.Streams.snapshotMergeSink(stream, t, "u", Seq("user_id"), ck,
+        orderCol = Some("event_id"), availableNow = true)
+      q.awaitTermination()
+      t.read("u").select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id, event_id, event_type, CAST(value AS DOUBLE) AS value FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events) WHERE rn = 1 ORDER BY user_id""")
+  )
+
+  /** Stream-static broadcast enrichment under the gate: the purchase
+    * stream joins a slow-changing dimension (built batch-side) without
+    * ever shuffling the stream, lands via the AvailableNow parquet
+    * sink, and the landed output aggregates hash-exact vs DuckDB's
+    * plain join replay. */
+  private val q149 = Q(
+    "q149_streaming_enrich",
+    (s, dir) => {
+      val src = java.nio.file.Files.createTempDirectory("q149-src").toString
+      fixture(s, dir, "events").repartition(3).write.mode("overwrite").parquet(src)
+      val schema = s.read.parquet(src).schema
+      val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("value").cast("double").as("value"))
+      val dim = fixture(s, dir, "events").select(col("user_id")).distinct()
+        .withColumn("cohort", (col("user_id") % 7).cast("int"))
+      val enriched = graft.streaming.Streams.enrich(stream, dim, Seq("user_id"))
+      val outP = java.nio.file.Files.createTempDirectory("q149-out").toString + "/landed"
+      val ck = java.nio.file.Files.createTempDirectory("q149-ck").toString
+      graft.streaming.Streams.availableNowTo(enriched, outP, ck).awaitTermination()
+      s.read.parquet(outP)
+        .groupBy(col("cohort"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy(col("cohort"))
+    },
+    Some("""SELECT CAST(user_id % 7 AS INTEGER) AS cohort, COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1 ORDER BY cohort""")
+  )
+
   // -------------------------------------------------------- temporal joins
 
   private val q44 = Q(
@@ -2582,7 +2647,7 @@ object ExtensionCorpus {
     q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q98b, q99, q100, q101, q102, q106, q107, q108,
     q109, q111, q112, q113, q114, q116, q117, q118, q119, q121, q122, q123, q125, q126, q127,
     q128, q130, q131, q132, q133, q135, q136, q137, q138, q139, q140, q141, q143, q144,
-    q145, q146, q147
+    q145, q146, q147, q148, q149
   )
 
 }

@@ -499,9 +499,10 @@ object Streams {
       partitionCols: Seq[String] = Nil,
       orderCol: Option[String] = None,
       afterCommit: () => Unit = () => (),
-      mor: Boolean = false
-  ): StreamingQuery =
-    stream.writeStream
+      mor: Boolean = false,
+      availableNow: Boolean = false
+  ): StreamingQuery = {
+    val w = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
@@ -534,7 +535,8 @@ object Streams {
         }
         ()
       }
-      .start()
+    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
 
   /** Standing heavy hitters over an unbounded stream: each micro-batch
     * is reduced to per-group frequent-items sketch STATES
