@@ -93,6 +93,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(graft.plans.IcebergScan.getClass.getName, "graft_iceberg_scan"),
       (children: Seq[Expression]) => graft.plans.IcebergScan.plan(children)
     ))
+    // metadata-table twins for foreign Iceberg layouts (.files / .snapshots):
+    // SELECT * FROM graft_iceberg_files('/path'[, snapshot_id])
+    // SELECT * FROM graft_iceberg_snapshots('/path')
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_iceberg_files"),
+      new ExpressionInfo(graft.plans.IcebergScan.getClass.getName, "graft_iceberg_files"),
+      (children: Seq[Expression]) => graft.plans.IcebergScan.filesPlan(children)
+    ))
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_iceberg_snapshots"),
+      new ExpressionInfo(graft.plans.IcebergScan.getClass.getName, "graft_iceberg_snapshots"),
+      (children: Seq[Expression]) => graft.plans.IcebergScan.snapshotsPlan(children)
+    ))
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),

@@ -68,7 +68,8 @@ object IcebergImport {
     * single-value-serialized bytes, decoded on demand for file
     * skipping); empty when the writer recorded none. */
   private final case class DataEntry(path: String, raw: String, seq: Long,
-      lower: Map[Int, Array[Byte]] = Map.empty, upper: Map[Int, Array[Byte]] = Map.empty)
+      lower: Map[Int, Array[Byte]] = Map.empty, upper: Map[Int, Array[Byte]] = Map.empty,
+      recordCount: Long = -1L)
   /** One partition-scope condition of an equality delete: the SOURCE
     * column, the spec transform over it (`identity` or `bucket[N]` —
     * graft computes murmur3 buckets itself via
@@ -77,7 +78,7 @@ object IcebergImport {
   /** `scope`: partition-scope conditions from the delete manifest's
     * partition spec + this entry's partition struct; Nil = global. */
   private final case class DeleteEntry(path: String, raw: String, seq: Long,
-      content: Int, equalityIds: Seq[Int], scope: Seq[ScopeCond])
+      content: Int, equalityIds: Seq[Int], scope: Seq[ScopeCond], recordCount: Long = -1L)
   private final case class SpecField(name: String, transform: String, sourceId: Int)
   /** `loc`: the table root — partition-component detection must only
     * look at directory components BELOW it. `schema`: the metadata
@@ -245,10 +246,11 @@ object IcebergImport {
           }
           val raw = df.get("file_path").toString
           val abs = resolve(tableDir, raw).toString
+          val rc = fieldOpt(df, "record_count").map(_.asInstanceOf[Long]).getOrElse(-1L)
           content match {
             case 0 => dataB += DataEntry(abs, raw, seq,
-              kvBytesOf(df, "lower_bounds"), kvBytesOf(df, "upper_bounds"))
-            case 1 => delB += DeleteEntry(abs, raw, seq, 1, Nil, Nil)
+              kvBytesOf(df, "lower_bounds"), kvBytesOf(df, "upper_bounds"), rc)
+            case 1 => delB += DeleteEntry(abs, raw, seq, 1, Nil, Nil, rc)
             case 2 =>
               val idsNode = fieldOpt(df, "equality_ids").orNull
               require(idsNode != null,
@@ -258,7 +260,7 @@ object IcebergImport {
                 .map(_.asInstanceOf[Int]).toSeq
               require(ids.nonEmpty, s"equality delete file $raw in $mPath has empty equality_ids")
               delB += DeleteEntry(abs, raw, seq, 2, ids,
-                deleteScope(specFields, df, fieldNames, raw, mPath.toString))
+                deleteScope(specFields, df, fieldNames, raw, mPath.toString), rc)
             case other => throw new IllegalArgumentException(
               s"data_file with unknown content=$other in $mPath")
           }
@@ -612,6 +614,74 @@ object IcebergImport {
       require(all.nonEmpty, s"no v*.metadata.json under $metaDir")
       all.last
     }
+  }
+
+  /** `.files` metadata-table twin for a FOREIGN Iceberg table (the SQL
+    * face is `graft_iceberg_files('/dir'[, snap])`): one row per live
+    * data/delete file of the snapshot — content (0 data, 1 position
+    * deletes, 2 equality deletes), path, data sequence number, the
+    * manifest's record count, human-readable decoded column bounds,
+    * and equality ids. Metadata-sized; the driver never opens a data
+    * file. */
+  def filesRelation(spark: SparkSession, tableDir: String,
+      snapshotId: Option[Long] = None): DataFrame = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val plan = planScan(spark, tableDir, snapshotId)
+    def render(b: Array[Byte], id: Int): String = plan.fieldTypes.get(id).flatMap {
+      case IntegerType if b.length == 4 =>
+        Some(ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getInt.toString)
+      case DateType if b.length == 4 =>
+        Some(java.time.LocalDate.ofEpochDay(
+          ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getInt.toLong).toString)
+      case LongType if b.length == 8 =>
+        Some(ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getLong.toString)
+      case TimestampType | TimestampNTZType if b.length == 8 =>
+        Some(java.time.Instant.ofEpochSecond(0,
+          ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getLong * 1000L).toString)
+      case FloatType if b.length == 4 =>
+        Some(ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getFloat.toString)
+      case DoubleType if b.length == 8 =>
+        Some(ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getDouble.toString)
+      case StringType => Some(new String(b, java.nio.charset.StandardCharsets.UTF_8))
+      case _ => None
+    }.getOrElse("0x" + b.map("%02x".format(_)).mkString)
+    def boundsMap(m: Map[Int, Array[Byte]]): Map[String, String] =
+      m.flatMap { case (id, b) => plan.fieldNames.get(id).map(_ -> render(b, id)) }
+    val rows =
+      plan.data.map(d => (0, d.path, d.seq, d.recordCount,
+        boundsMap(d.lower), boundsMap(d.upper), Seq.empty[Int])) ++
+        plan.deletes.map(d => (d.content, d.path, d.seq, d.recordCount,
+          Map.empty[String, String], Map.empty[String, String], d.equalityIds))
+    import spark.implicits._
+    rows.toDF("content", "file_path", "sequence_number", "record_count",
+      "lower_bounds", "upper_bounds", "equality_ids")
+  }
+
+  /** `.snapshots` metadata-table twin for a FOREIGN Iceberg table (SQL
+    * face `graft_iceberg_snapshots('/dir')`): snapshot id, parent,
+    * sequence number, commit timestamp, operation, manifest list. */
+  def snapshotsRelation(spark: SparkSession, tableDir: String): DataFrame = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val metaDir = new Path(tableDir, "metadata")
+    val f = metaDir.getFileSystem(hconf)
+    val mdPath = latestMetadata(f, metaDir)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val md = { val in = f.open(mdPath); try om.readTree(in) finally in.close() }
+    val snaps = md.get("snapshots")
+    val rows =
+      if (snaps == null) Nil
+      else (0 until snaps.size).map(snaps.get).map { s =>
+        (s.get("snapshot-id").asLong,
+          if (s.hasNonNull("parent-snapshot-id")) Some(s.get("parent-snapshot-id").asLong) else None,
+          if (s.hasNonNull("sequence-number")) s.get("sequence-number").asLong else 0L,
+          if (s.hasNonNull("timestamp-ms")) s.get("timestamp-ms").asLong else 0L,
+          if (s.hasNonNull("summary") && s.get("summary").hasNonNull("operation"))
+            s.get("summary").get("operation").asText else null,
+          if (s.hasNonNull("manifest-list")) s.get("manifest-list").asText else null)
+      }
+    import spark.implicits._
+    rows.toDF("snapshot_id", "parent_id", "sequence_number", "timestamp_ms",
+      "operation", "manifest_list")
   }
 
   /** Spellings of data files whose manifest bounds PROVE no row can

@@ -137,4 +137,35 @@ object IcebergScan {
     }
     graft.io.IcebergImport.read(SparkSession.active, dir, snap).queryExecution.analyzed
   }
+
+  private def dirAndSnap(name: String, args: Seq[Expression]): (String, Option[Long]) = {
+    require(args.length == 1 || args.length == 2,
+      s"$name(table_dir[, snapshot_id]) takes 1-2 arguments, got ${args.length}")
+    val dir = args.head match {
+      case l: Literal if l.dataType == StringType && l.value != null => l.value.toString
+      case other => throw new IllegalArgumentException(
+        s"$name: table_dir must be a string literal, got $other")
+    }
+    val snap = args.lift(1).map {
+      case l: Literal if (l.dataType == LongType || l.dataType == IntegerType) && l.value != null =>
+        l.value match { case i: Int => i.toLong; case v: Long => v }
+      case other => throw new IllegalArgumentException(
+        s"$name: snapshot_id must be an integer literal, got $other")
+    }
+    (dir, snap)
+  }
+
+  /** `.files` metadata twin: graft_iceberg_files('/dir'[, snap]). */
+  def filesPlan(args: Seq[Expression]): LogicalPlan = {
+    val (dir, snap) = dirAndSnap("graft_iceberg_files", args)
+    graft.io.IcebergImport.filesRelation(SparkSession.active, dir, snap)
+      .queryExecution.analyzed
+  }
+
+  /** `.snapshots` metadata twin: graft_iceberg_snapshots('/dir'). */
+  def snapshotsPlan(args: Seq[Expression]): LogicalPlan = {
+    val (dir, _) = dirAndSnap("graft_iceberg_snapshots", args)
+    graft.io.IcebergImport.snapshotsRelation(SparkSession.active, dir)
+      .queryExecution.analyzed
+  }
 }

@@ -840,6 +840,38 @@ object ExtensionCorpus {
       GROUP BY 1 ORDER BY cohort""")
   )
 
+  /** Metadata-table audit of a foreign Iceberg layout under the gate:
+    * `graft_iceberg_files` sums the MANIFESTS' record counts per
+    * content kind (0 = data, 2 = equality deletes) — the driver never
+    * opens a data file — and DuckDB recomputes the same totals from
+    * the raw source rows (the upsert delta enters its snapshot twice,
+    * as data and as an equality delete, per the X121 design). */
+  private val q150 = Q(
+    "q150_iceberg_files_audit",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q150-snap").toString
+      val t = new graft.io.SnapshotTables(s, root)
+      val li = fixture(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      t.overwriteTable(li.filter(col("l_orderkey") <= 10000), "li")
+      t.append(li.filter(col("l_orderkey") > 10000), "li")
+      t.upsertMor("li",
+        li.filter(col("l_orderkey") % 97 === 0)
+          .withColumn("l_quantity", col("l_quantity") + 1),
+        Seq("l_orderkey", "l_linenumber"))
+      val dest = java.nio.file.Files.createTempDirectory("q150-ice").toString
+      graft.io.IcebergExport.export(t, "li", dest)
+      s.sql(s"""SELECT content, CAST(SUM(record_count) AS BIGINT) AS rows
+        FROM graft_iceberg_files('$dest') GROUP BY content ORDER BY content""")
+    },
+    Some("""SELECT 0 AS content,
+        (SELECT COUNT(*) FROM lineitem) +
+        (SELECT COUNT(*) FROM lineitem WHERE l_orderkey % 97 = 0) AS rows
+      UNION ALL SELECT 2,
+        (SELECT COUNT(*) FROM lineitem WHERE l_orderkey % 97 = 0)
+      ORDER BY content""")
+  )
+
   // -------------------------------------------------------- temporal joins
 
   private val q44 = Q(
@@ -2647,7 +2679,7 @@ object ExtensionCorpus {
     q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q98b, q99, q100, q101, q102, q106, q107, q108,
     q109, q111, q112, q113, q114, q116, q117, q118, q119, q121, q122, q123, q125, q126, q127,
     q128, q130, q131, q132, q133, q135, q136, q137, q138, q139, q140, q141, q143, q144,
-    q145, q146, q147, q148, q149
+    q145, q146, q147, q148, q149, q150
   )
 
 }
