@@ -179,6 +179,84 @@ object Multimodal {
     }.toDF("media_id", "width", "height", "sum_r", "sum_g", "sum_b")
   }
 
+  /** REAL-codec audio ENCODE (JDK `javax.sound.sampled`, WAV/PCM — no
+    * third-party dependency): a deterministic 16-bit mono PCM signal
+    * per row, sample i = `((seed·31 + i·2654435761) mod 65536) −
+    * 32768` — an integer formula plain SQL replays — wrapped in a real
+    * RIFF/WAVE container by `AudioSystem.write`. WAV PCM is lossless,
+    * so decode∘encode = identity on the samples, which is what lets
+    * [[decodeAudioFeatures]]' output be hash-verified by a DuckDB
+    * oracle even though the bytes in between are a genuine audio file
+    * format (the audio twin of [[encodeGrayPng]]). Encoding runs
+    * per-partition inside executor tasks. */
+  def encodePcmWav(df: DataFrame, idCol: String, seedCol: String,
+      nSamples: Int = 256, sampleRate: Int = 8000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(seedCol).cast("long")).as[(Long, Long)]
+      .mapPartitions { it =>
+        val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+        it.map { case (id, seed) =>
+          val raw = new Array[Byte](nSamples * 2)
+          var i = 0
+          while (i < nSamples) {
+            val v = (((seed * 31L + i.toLong * 2654435761L) % 65536L).toInt - 32768)
+            raw(2 * i) = (v & 0xff).toByte
+            raw(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(raw), fmt, nSamples.toLong)
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+          (id, baos.toByteArray)
+        }
+      }
+      .toDF("media_id", "payload")
+      .select(
+        col("media_id"), col("payload"),
+        struct(
+          lit("wav").as("format"),
+          octet_length(col("payload")).as("byte_len"),
+          md5(col("payload")).as("content_hash")
+        ).as("meta"))
+  }
+
+  /** REAL-codec audio DECODE (JDK `javax.sound.sampled`): parse the
+    * WAV container (header, format, frame count come from the REAL
+    * parser, not from trusting the writer), require 16-bit mono PCM,
+    * and reduce each payload to (sample_rate, n_samples, four
+    * quarter-block sample sums) — integer sums, associative, SQL-
+    * replayable. Null/empty payloads yield a zero row rather than a
+    * task failure. */
+  def decodeAudioFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])].mapPartitions { it =>
+      it.map { case (id, payload) =>
+        if (payload == null || payload.isEmpty) (id, 0, 0, 0L, 0L, 0L, 0L)
+        else {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
+            s"expected 16-bit mono little-endian PCM, got $fmt")
+          val n = ais.getFrameLength.toInt
+          val raw = ais.readAllBytes()
+          val sums = new Array[Long](4)
+          var i = 0
+          while (i < n) {
+            val v = (((raw(2 * i + 1) & 0xff) << 8) | (raw(2 * i) & 0xff)).toShort.toLong
+            sums(i * 4 / n) += v
+            i += 1
+          }
+          (id, fmt.getSampleRate.toInt, n, sums(0), sums(1), sums(2), sums(3))
+        }
+      }
+    }.toDF("media_id", "sample_rate", "n_samples", "b0", "b1", "b2", "b3")
+  }
+
   /** "Frame sampling": every `stride`-th 64-byte block as its own row —
     * the explode/partition shape of video-frame extraction. */
   def sampleFrames(media: DataFrame, stride: Int = 2): DataFrame = {

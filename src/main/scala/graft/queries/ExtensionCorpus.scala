@@ -872,6 +872,32 @@ object ExtensionCorpus {
       ORDER BY content""")
   )
 
+  /** REAL audio codec end-to-end (X14c, the WAV twin of q143's PNG):
+    * deterministic 16-bit PCM synthesized per doc, encoded into a
+    * genuine RIFF/WAVE container and decoded back through the JDK's
+    * javax.sound.sampled — both inside executor tasks over a real
+    * binary column. WAV losslessness makes the decoded quarter-block
+    * sample sums SQL-replayable from the synthesis formula. */
+  private val q151 = Q(
+    "q151_audio_decode",
+    (s, dir) => {
+      val media = Multimodal.encodePcmWav(
+        fixture(s, dir, "documents").select(col("doc_id")), "doc_id", "doc_id")
+      Multimodal.decodeAudioFeatures(media).orderBy(col("media_id"))
+    },
+    Some("""WITH s AS (
+        SELECT d.doc_id, CAST(i.i AS BIGINT) AS i,
+          ((d.doc_id * 31 + i.i * 2654435761) % 65536) - 32768 AS v
+        FROM documents d, (SELECT unnest(range(256)) AS i) i)
+      SELECT doc_id AS media_id, CAST(8000 AS INTEGER) AS sample_rate,
+        CAST(256 AS INTEGER) AS n_samples,
+        CAST(SUM(CASE WHEN i < 64 THEN v END) AS BIGINT) AS b0,
+        CAST(SUM(CASE WHEN i >= 64 AND i < 128 THEN v END) AS BIGINT) AS b1,
+        CAST(SUM(CASE WHEN i >= 128 AND i < 192 THEN v END) AS BIGINT) AS b2,
+        CAST(SUM(CASE WHEN i >= 192 THEN v END) AS BIGINT) AS b3
+      FROM s GROUP BY doc_id ORDER BY media_id""")
+  )
+
   // -------------------------------------------------------- temporal joins
 
   private val q44 = Q(
@@ -2679,7 +2705,7 @@ object ExtensionCorpus {
     q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q98b, q99, q100, q101, q102, q106, q107, q108,
     q109, q111, q112, q113, q114, q116, q117, q118, q119, q121, q122, q123, q125, q126, q127,
     q128, q130, q131, q132, q133, q135, q136, q137, q138, q139, q140, q141, q143, q144,
-    q145, q146, q147, q148, q149, q150
+    q145, q146, q147, q148, q149, q150, q151
   )
 
 }

@@ -137,4 +137,31 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.contains((2L, 2, math.min(64, len2 - 128))))
     assert(!rows.exists(_._1 == 3L)) // empty payload: no frames
   }
+
+  test("encodePcmWav -> decodeAudioFeatures round-trips real WAV bytes losslessly") {
+    val src = Seq(1L, 7L, 42L).toDF("doc_id")
+    val media = Multimodal.encodePcmWav(src, "doc_id", "doc_id", nSamples = 128)
+    // the payload is a genuine RIFF/WAVE container
+    val payloads = media.select("media_id", "payload").as[(Long, Array[Byte])].collect().toMap
+    payloads.values.foreach { b =>
+      assert(new String(b.take(4), "US-ASCII") == "RIFF")
+      assert(new String(b.slice(8, 12), "US-ASCII") == "WAVE")
+    }
+    val feats = Multimodal.decodeAudioFeatures(media)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    Seq(1L, 7L, 42L).foreach { seed =>
+      val samples = (0 until 128).map(i =>
+        ((seed * 31L + i.toLong * 2654435761L) % 65536L).toInt - 32768)
+      val r = feats(seed)
+      assert(r.getInt(1) == 8000 && r.getInt(2) == 128)
+      (0 until 4).foreach { b =>
+        val expect = samples.slice(b * 32, (b + 1) * 32).map(_.toLong).sum
+        assert(r.getLong(3 + b) == expect, s"seed=$seed block=$b")
+      }
+    }
+    // corrupt payload yields a zero row, not a task failure
+    val bad = media.limit(1).select(col("media_id"), lit(null).cast("binary").as("payload"))
+    val z = Multimodal.decodeAudioFeatures(bad).collect().head
+    assert(z.getInt(2) == 0 && z.getLong(3) == 0L)
+  }
 }
