@@ -67,9 +67,11 @@ object IcebergImport {
     * `upper` are the manifest's per-field-id column bounds (raw
     * single-value-serialized bytes, decoded on demand for file
     * skipping); empty when the writer recorded none. */
+  /** `scope`: the file's own partition-struct conditions (same repr as
+    * delete scoping) — what bucket/identity/day pruning consults. */
   private final case class DataEntry(path: String, raw: String, seq: Long,
       lower: Map[Int, Array[Byte]] = Map.empty, upper: Map[Int, Array[Byte]] = Map.empty,
-      recordCount: Long = -1L)
+      recordCount: Long = -1L, scope: Seq[ScopeCond] = Nil)
   /** One partition-scope condition of an equality delete: the SOURCE
     * column, the spec transform over it (`identity` or `bucket[N]` —
     * graft computes murmur3 buckets itself via
@@ -249,7 +251,8 @@ object IcebergImport {
           val rc = fieldOpt(df, "record_count").map(_.asInstanceOf[Long]).getOrElse(-1L)
           content match {
             case 0 => dataB += DataEntry(abs, raw, seq,
-              kvBytesOf(df, "lower_bounds"), kvBytesOf(df, "upper_bounds"), rc)
+              kvBytesOf(df, "lower_bounds"), kvBytesOf(df, "upper_bounds"), rc,
+              dataScope(specFields, df, fieldNames))
             case 1 => delB += DeleteEntry(abs, raw, seq, 1, Nil, Nil, rc)
             case 2 =>
               val idsNode = fieldOpt(df, "equality_ids").orNull
@@ -340,6 +343,45 @@ object IcebergImport {
           valueContainsNull = !(t.has("value-required") && t.get("value-required").asBoolean))
       case other => throw new IllegalArgumentException(s"unmapped Iceberg nested type $other")
     }
+
+  /** BEST-EFFORT partition scope of a DATA file — the pruning-side
+    * twin of [[deleteScope]]: unknown transforms, a missing partition
+    * struct, or an unresolvable source simply contribute nothing (the
+    * file just doesn't prune), never a refusal — data-file scoping is
+    * an optimization, delete scoping is correctness. */
+  private def dataScope(specFields: Seq[SpecField], df: GenericRecord,
+      fieldNames: Map[Int, String]): Seq[ScopeCond] = {
+    if (specFields.isEmpty) return Nil
+    val pRec = df.get("partition") match {
+      case r: GenericRecord => r
+      case _ => return Nil
+    }
+    specFields.flatMap { f =>
+      for {
+        colName <- fieldNames.get(f.sourceId)
+        avroField <- Option(pRec.getSchema.getField(f.name))
+      } yield {
+        val rawV = pRec.get(f.name)
+        val isDate = {
+          val sc0 = avroField.schema()
+          val concrete =
+            if (sc0.getType == org.apache.avro.Schema.Type.UNION) {
+              import scala.jdk.CollectionConverters._
+              sc0.getTypes.asScala.find(_.getType != org.apache.avro.Schema.Type.NULL)
+                .getOrElse(sc0)
+            } else sc0
+          concrete.getLogicalType != null && concrete.getLogicalType.getName == "date"
+        }
+        val v: Any = rawV match {
+          case null => null
+          case u: org.apache.avro.util.Utf8 => u.toString
+          case i: java.lang.Integer if isDate => java.time.LocalDate.ofEpochDay(i.longValue())
+          case other => other
+        }
+        ScopeCond(colName, f.transform, v)
+      }
+    }
+  }
 
   /** Partition scope of one equality-delete entry: Nil under an
     * unpartitioned spec (global delete); (source column, transform,
@@ -737,7 +779,59 @@ object IcebergImport {
             ub.exists(u => cmp(v, u).exists(_ > 0)))
         }
       }
-      rangeSkip || probeSkip
+      // PARTITION-VALUE pruning via the file's own partition struct —
+      // the Iceberg scan-planning move column bounds can't make: a
+      // point lookup on a bucket-partitioned column skips every file
+      // whose bucket differs from bucket(v), however wide the per-file
+      // value ranges are. Each transform image is computed driver-side;
+      // anything uncomputable contributes false (no skip).
+      val BucketT = "bucket\\[(\\d+)\\]".r
+      def image(transform: String, v: Any): Option[Any] = (transform, v) match {
+        case ("identity", x) => Some(x)
+        case (BucketT(n), x) =>
+          val h = x match {
+            case i: Int => Some(graft.functions.IcebergMurmur3.hashLong(i.toLong))
+            case l: Long => Some(graft.functions.IcebergMurmur3.hashLong(l))
+            case s: String =>
+              Some(graft.functions.IcebergMurmur3.hashUtf8(org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+            case _ => None
+          }
+          h.map(graft.functions.IcebergMurmur3.bucket(_, n.toInt))
+        case ("day", i: Int) => Some(i) // physical date = days already
+        case _ => None
+      }
+      def partVal(sc0: ScopeCond): Any = sc0.value match {
+        case d: java.time.LocalDate => d.toEpochDay.toInt
+        case other => other
+      }
+      val partSkip = probes.exists { case (c, vs) =>
+        vs.nonEmpty && d.scope.exists(sc0 => sc0.col == c && sc0.value != null &&
+          vs.forall(v => image(sc0.transform, v).exists(img =>
+            cmp(img, partVal(sc0)).exists(_ != 0))))
+      } || ranges.exists { case (c, lo, hi) =>
+        // identity (and day-over-DATE, where the transform is the
+        // identity on epoch days) partition values are exact per-file
+        // constants — a range conjunct excludes the file when the
+        // constant falls outside it. Day over TIMESTAMP sources is NOT
+        // comparable here (literals are micros, the value is days).
+        d.scope.exists { sc0 =>
+          sc0.col == c && sc0.value != null && {
+            val pvOpt = sc0.transform match {
+              case "identity" => Some(partVal(sc0))
+              case "day" =>
+                val pv = partVal(sc0)
+                // only days-vs-days: the literal must be an Int too
+                val litsInt = (lo ++ hi).forall(_.isInstanceOf[Int])
+                if (litsInt) Some(pv) else None
+              case _ => None
+            }
+            pvOpt.exists(pv =>
+              lo.exists(l => cmp(pv, l).exists(_ < 0)) ||
+                hi.exists(h => cmp(pv, h).exists(_ > 0)))
+          }
+        }
+      }
+      rangeSkip || probeSkip || partSkip
     }.flatMap(d => spellings(d.path) ++ spellings(d.raw)).toSet
   }
 

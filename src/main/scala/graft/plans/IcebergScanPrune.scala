@@ -49,10 +49,11 @@ object IcebergScanPruneRule extends Rule[LogicalPlan] {
     }
 
   private def dirOf(l: LogicalRelation): Option[String] = l.relation match {
+    // partition-discovery relations (Hive-migrated / hidden layouts)
+    // are prunable too, as long as the importer recorded the basePath
+    // the rebuild needs to re-derive the partition columns
     case fsr: HadoopFsRelation
-        // partition-discovery relations carry columns the data files
-        // lack — a rebuilt plain scan would lose them; leave untouched
-        if fsr.partitionSchema.isEmpty =>
+        if fsr.partitionSchema.isEmpty || fsr.options.contains("basePath") =>
       fsr.options.get(graft.io.IcebergImport.DirOption)
     case _ => None
   }
@@ -75,8 +76,14 @@ object IcebergScanPruneRule extends Rule[LogicalPlan] {
     val substituted: LogicalPlan =
       if (keep.isEmpty) LocalRelation(l.output)
       else {
-        val pruned = spark.read.schema(fsr.dataSchema)
-          .option(graft.io.IcebergImport.DirOption, dir)
+        // plain relations rebuild under the pinned data schema; the
+        // partition-discovery shape re-infers under its basePath so
+        // the directory-derived columns come back — the output
+        // name/type check below rejects any inference drift
+        val rd =
+          if (fsr.partitionSchema.isEmpty) spark.read.schema(fsr.dataSchema)
+          else spark.read.option("basePath", fsr.options("basePath"))
+        val pruned = rd.option(graft.io.IcebergImport.DirOption, dir)
           .parquet(keep: _*)
         val analyzed = pruned.queryExecution.analyzed
         val byName = analyzed.output.map(a => a.name -> a).toMap

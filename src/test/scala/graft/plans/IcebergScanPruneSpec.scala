@@ -86,6 +86,44 @@ class IcebergScanPruneSpec extends SparkSpec {
     assert(q.collect().map(_.getLong(0)).sorted.toSeq == (990L to 1000L))
   }
 
+  test("bucket-partitioned layouts prune point lookups by the murmur3 partition value") {
+    val root = java.nio.file.Files.createTempDirectory("graft-iprune-b").toString
+    val t = new SnapshotTables(spark, root)
+    // bucket-scatter: every file's id RANGE is wide (bounds can't
+    // prune a point lookup), only the bucket value can
+    t.overwriteTableTransformed(
+      (1 to 2000).map(i => (i.toLong, s"v$i")).toDF("id", "v").coalesce(1), "tab",
+      Seq(SnapshotTables.PartitionTransform.bucketMurmur3(8, "id")))
+    val dest = java.nio.file.Files.createTempDirectory("graft-iprune-b-out").toString
+    IcebergExport.export(t, "tab", dest)
+    val total = IcebergImport.dataFiles(spark, dest).length
+    assert(total == 8, s"expected 8 bucket files, got $total")
+    val q = spark.sql(s"SELECT v FROM graft_iceberg_scan('$dest') WHERE id = 777")
+    assert(scannedFiles(q) == 1, "only bucket(777)'s file may be planned")
+    assert(q.collect().map(_.getString(0)).toSeq == Seq("v777"))
+    // an IN list across several buckets keeps exactly those buckets
+    val in = spark.sql(s"SELECT id FROM graft_iceberg_scan('$dest') WHERE id IN (10, 20, 30)")
+    val expectBuckets = Seq(10L, 20L, 30L)
+      .map(v => graft.functions.IcebergMurmur3.bucket(
+        graft.functions.IcebergMurmur3.hashLong(v), 8)).distinct.size
+    assert(scannedFiles(in) == expectBuckets)
+    assert(in.collect().map(_.getLong(0)).sorted.toSeq == Seq(10L, 20L, 30L))
+  }
+
+  test("identity-partitioned (Hive-discovery) layouts prune by partition value") {
+    val root = java.nio.file.Files.createTempDirectory("graft-iprune-id").toString
+    val t = new SnapshotTables(spark, root)
+    t.overwriteTable((1 to 300).map(i => (i.toLong, s"v$i", i % 3)).toDF("id", "v", "b"),
+      "tab", partitionCols = Seq("b"))
+    val dest = java.nio.file.Files.createTempDirectory("graft-iprune-id-out").toString
+    IcebergExport.export(t, "tab", dest)
+    val total = IcebergImport.dataFiles(spark, dest).length
+    assert(total >= 3)
+    val q = spark.sql(s"SELECT id FROM graft_iceberg_scan('$dest') WHERE b = 1 AND id <= 50")
+    assert(scannedFiles(q) < total, "partition-value probe must prune the other partitions")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq == (1 to 50).filter(_ % 3 == 1).map(_.toLong))
+  }
+
   test("snapshot-pinned scans prune against their own snapshot") {
     val dest = exported()
     val q = spark.sql(s"SELECT id FROM graft_iceberg_scan('$dest', 1) WHERE id <= 900")
