@@ -85,10 +85,17 @@ object IcebergImport {
   /** `loc`: the table root — partition-component detection must only
     * look at directory components BELOW it. `schema`: the metadata
     * JSON's current schema as a Spark type, when parseable — an empty
-    * snapshot still reads with the table's columns. */
+    * snapshot still reads with the table's columns; its fields carry
+    * `parquet.field.id` metadata so id-carrying data files resolve
+    * columns BY FIELD ID (Iceberg's projection rule — renames and
+    * added columns come out right). `nameMapping`: the table's
+    * `schema.name-mapping.default` property (field id → historical
+    * names), the spec's fallback for data files written WITHOUT
+    * parquet field ids. */
   private final case class ScanPlan(data: Seq[DataEntry], deletes: Seq[DeleteEntry],
       fieldNames: Map[Int, String], loc: String, schema: Option[StructType],
-      fieldTypes: Map[Int, DataType] = Map.empty, snap: Option[Long] = None)
+      fieldTypes: Map[Int, DataType] = Map.empty, snap: Option[Long] = None,
+      nameMapping: Map[Int, Seq[String]] = Map.empty)
 
   // helper-column names used while delete application is in flight;
   // chosen to never collide with user schemas (and guarded anyway)
@@ -119,7 +126,8 @@ object IcebergImport {
         .getOrElse(spark.emptyDataFrame)
     if (plan.deletes.isEmpty)
       baseFrame(spark, plan.data.map(_.path), plan.fieldNames.values.toSet,
-        withMeta = false, tableLoc = plan.loc, snap = plan.snap)
+        withMeta = false, tableLoc = plan.loc, snap = plan.snap,
+        idSchema = plan.schema, nameMapping = plan.nameMapping)
     else applyDeletes(spark, plan)
   }
 
@@ -277,9 +285,27 @@ object IcebergImport {
         try Some(f.get("id").asInt -> icebergToSpark(f.get("type")))
         catch { case _: Exception => None }
       }.toMap
+    // `schema.name-mapping.default` (spec: "Column Projection") — the
+    // fallback mapping for data files with NO parquet field ids: each
+    // entry lists the historical column names for a field id. Only
+    // top-level entries are consulted (nested renames need ids).
+    val nameMapping: Map[Int, Seq[String]] = {
+      val props = md.get("properties")
+      if (props == null || !props.hasNonNull("schema.name-mapping.default")) Map.empty
+      else try {
+        val arr = om.readTree(props.get("schema.name-mapping.default").asText)
+        (0 until arr.size).map(arr.get).flatMap { e =>
+          if (!e.hasNonNull("field-id") || !e.hasNonNull("names")) None
+          else {
+            val names = e.get("names")
+            Some(e.get("field-id").asInt -> (0 until names.size).map(names.get(_).asText).toSeq)
+          }
+        }.toMap
+      } catch { case _: Exception => Map.empty[Int, Seq[String]] }
+    }
     ScanPlan(dataB.result(), delB.result(), fieldNames,
       fs(mdPath).makeQualified(new Path(tableDir)).toString, sparkSchemaOf(schemaNode),
-      fieldTypes, snapshotId)
+      fieldTypes, snapshotId, nameMapping)
   }
 
   /** Decode a logical-map-of-bytes manifest field (lower/upper bounds)
@@ -304,11 +330,23 @@ object IcebergImport {
     try {
       if (schemaNode == null || schemaNode.get("fields") == null) None
       else Some(StructType((0 until schemaNode.get("fields").size()).map { i =>
-        val f = schemaNode.get("fields").get(i)
-        StructField(f.get("name").asText, icebergToSpark(f.get("type")),
-          nullable = !(f.has("required") && f.get("required").asBoolean))
+        structFieldOf(schemaNode.get("fields").get(i))
       }))
     } catch { case _: Exception => None }
+
+  /** One Iceberg schema field as a Spark StructField, carrying the
+    * Iceberg field id as `parquet.field.id` metadata — the key Spark's
+    * parquet reader consults (`spark.sql.parquet.fieldId.read.enabled`)
+    * to resolve columns BY ID instead of by name, which is Iceberg's
+    * projection rule for id-carrying data files. */
+  private def structFieldOf(f: com.fasterxml.jackson.databind.JsonNode): StructField = {
+    val meta =
+      if (f.hasNonNull("id"))
+        new MetadataBuilder().putLong("parquet.field.id", f.get("id").asLong).build()
+      else Metadata.empty
+    StructField(f.get("name").asText, icebergToSpark(f.get("type")),
+      nullable = !(f.has("required") && f.get("required").asBoolean), meta)
+  }
 
   private def icebergToSpark(t: com.fasterxml.jackson.databind.JsonNode): DataType =
     if (t.isTextual) t.asText match {
@@ -331,9 +369,7 @@ object IcebergImport {
     } else t.get("type").asText match {
       case "struct" =>
         StructType((0 until t.get("fields").size()).map { i =>
-          val f = t.get("fields").get(i)
-          StructField(f.get("name").asText, icebergToSpark(f.get("type")),
-            nullable = !(f.has("required") && f.get("required").asBoolean))
+          structFieldOf(t.get("fields").get(i))
         })
       case "list" =>
         ArrayType(icebergToSpark(t.get("element")),
@@ -443,24 +479,126 @@ object IcebergImport {
   private[graft] val DirOption = "graft.iceberg.dir"
   private[graft] val SnapOption = "graft.iceberg.snapshot"
 
+  /** Session conf bounding how many parquet footers scan planning
+    * probes to classify files as id-carrying vs id-less (see
+    * [[baseFrame]]); past it a stride sample decides per class. */
+  private[graft] val ProbeBudgetConf = "graft.iceberg.footerProbeBudget"
+
   private def baseFrame(spark: SparkSession, files: Seq[String], schemaCols: Set[String],
-      withMeta: Boolean, tableLoc: String, snap: Option[Long] = None): DataFrame = {
+      withMeta: Boolean, tableLoc: String, snap: Option[Long] = None,
+      idSchema: Option[StructType] = None,
+      nameMapping: Map[Int, Seq[String]] = Map.empty): DataFrame = {
+    val hconf = spark.sparkContext.hadoopConfiguration
     def tagged(r: org.apache.spark.sql.DataFrameReader) = {
       val r1 = r.option(DirOption, tableLoc)
       snap.fold(r1)(s => r1.option(SnapOption, s.toString))
     }
+
+    // ---- per-file footer class: BY-ID vs BY-NAME resolution --------
+    // Iceberg's projection rule is per FILE: a footer that carries
+    // field ids resolves columns by id (renames, added and reordered
+    // columns come out right); an id-less footer (Hive-migrated files,
+    // graft's own exports) resolves through `schema.name-mapping
+    // .default`, falling back to plain name match. Which path a file
+    // needs only its footer knows, so planning probes footers —
+    // metadata-only reads of the same order as the manifest walk,
+    // budgeted by `graft.iceberg.footerProbeBudget` (default 1024).
+    // Past the budget a deterministic stride sample is probed and
+    // unprobed files inherit the sampled class; a misclassified
+    // id-less file then FAILS LOUDLY under the id read (Spark refuses
+    // id-resolution against an id-less footer) instead of silently
+    // matching wrong columns — raise the budget to re-plan exactly.
+    val idAware = idSchema.exists(_.fields.exists(_.metadata.contains("parquet.field.id")))
+    val footers = new java.util.concurrent.ConcurrentHashMap[String, (Boolean, Seq[String])]()
+    def footer(path: String): (Boolean, Seq[String]) = footers.computeIfAbsent(path, { _ =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(path), hconf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        val fs0 = r.getFooter.getFileMetaData.getSchema.getFields.asScala
+        (fs0.exists(_.getId != null), fs0.map(_.getName).toSeq)
+      } finally r.close()
+    })
+    val byId: Set[String] =
+      if (!idAware) Set.empty
+      else {
+        val budget = spark.conf.getOption(ProbeBudgetConf).map(_.toInt).getOrElse(1024).max(1)
+        val probeFiles =
+          if (files.size <= budget) files
+          else {
+            val stride = files.size.toDouble / budget
+            (0 until budget).map(i => files((i * stride).toInt)).distinct
+          }
+        // footer opens are independent metadata round trips (painful
+        // sequentially against an object store) — probe concurrently
+        if (probeFiles.size > 4) {
+          import scala.collection.parallel.CollectionConverters._
+          val pc = probeFiles.par
+          pc.tasksupport = new scala.collection.parallel.ExecutionContextTaskSupport(
+            scala.concurrent.ExecutionContext.global)
+          pc.foreach(footer(_))
+        } else probeFiles.foreach(footer(_))
+        val allIds = probeFiles.forall(f => footer(f)._1)
+        val anyIds = probeFiles.exists(f => footer(f)._1)
+        files.filter(f => Option(footers.get(f)).map(_._1).getOrElse(allIds || anyIds)).toSet
+      }
+    // sticky by necessity: Spark captures this conf at ACTION time,
+    // not when the lazy frame is built, so a set/restore around frame
+    // construction would silently fall back to name matching at
+    // execution. Enabling it is inert for read schemas without
+    // `parquet.field.id` metadata (every non-Iceberg read).
+    if (byId.nonEmpty) spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+
+    // ---- name-mapping resolution for id-LESS files -----------------
+    // Fast path: every current column already present under its
+    // current name AND type → exactly the legacy by-name read.
+    // Otherwise each current field resolves to its mapped historical
+    // name when the frame carries one, and to a typed NULL when the
+    // file predates the column; types align to the table schema (a
+    // PROMOTED column — int→long, float→double — casts up) so
+    // mixed-vintage groups union cleanly.
+    def resolvePlain(df: DataFrame): DataFrame = idSchema match {
+      case Some(schema) if !schema.fields.forall(f =>
+          df.columns.contains(f.name) &&
+            // catalogString ignores nullability and field metadata —
+            // exactly the "same type modulo promotion" comparison
+            df.schema(df.columns.indexOf(f.name)).dataType.catalogString ==
+              f.dataType.catalogString) =>
+        val helperCols = Seq(FileCol, PosCol).filter(df.columns.contains)
+        val cols = schema.fields.map { f =>
+          if (df.columns.contains(f.name)) df(f.name).cast(f.dataType).as(f.name)
+          else {
+            val fid: Option[Long] =
+              if (f.metadata.contains("parquet.field.id"))
+                Some(f.metadata.getLong("parquet.field.id"))
+              else None
+            val aliases = fid.toSeq.flatMap(id => nameMapping.getOrElse(id.toInt, Nil))
+            aliases.find(df.columns.contains) match {
+              case Some(old) => df(old).cast(f.dataType).as(f.name)
+              case None      => lit(null).cast(f.dataType).as(f.name)
+            }
+          }
+        }
+        df.select(cols.toSeq ++ helperCols.map(df(_)): _*)
+      case _ => df
+    }
     def finish(df: DataFrame): DataFrame = {
+      // row-address helpers ride along BEFORE any rename projection —
+      // `_metadata` is only addressable on the scan relation itself
+      val withM =
+        if (!withMeta) df
+        else df.select(col("*"),
+          col("_metadata.file_path").as(FileCol),
+          col("_metadata.row_index").as(PosCol))
+      val resolved = resolvePlain(withM)
       // a v1 metadata file with no parseable schema drops nothing —
       // only a KNOWN schema authorizes projecting extras away
       val extras =
         if (schemaCols.isEmpty) Array.empty[String]
-        else df.columns.filter(c => !schemaCols.contains(c))
-      val dropped = if (extras.isEmpty) df else df.drop(extras.toSeq: _*)
-      if (!withMeta) dropped
-      else dropped.select(col("*"),
-        col("_metadata.file_path").as(FileCol),
-        col("_metadata.row_index").as(PosCol))
+        else resolved.columns.filter(c => !schemaCols.contains(c) && c != FileCol && c != PosCol)
+      if (extras.isEmpty) resolved else resolved.drop(extras.toSeq: _*)
     }
+
     // only components BELOW the table root can be partition dirs — an
     // '=' in an ancestor (a table rooted under /data/run=5/) must not
     // trigger Hive-discovery grouping
@@ -468,32 +606,46 @@ object IcebergImport {
     def rel(f: String): String =
       locPrefixes.collectFirst { case p if f.startsWith(p) => f.substring(p.length) }.getOrElse(f)
     def dirComps(f: String) = rel(f).split('/').init.filter(_.contains("="))
-    val partitioned = files.filter(f => dirComps(f).nonEmpty)
-    val bare = files.filterNot(f => dirComps(f).nonEmpty)
-    if (partitioned.isEmpty) return finish(tagged(spark.read).parquet(files: _*))
-    // which columns do the files themselves carry?
-    val fileCols = spark.read.parquet(partitioned.head).schema.fieldNames.toSet
-    val dirCols = dirComps(partitioned.head)
-      .map(c => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .unescapePathName(c.substring(0, c.indexOf('=')))).toSet
-    if (dirCols.subsetOf(fileCols)) return finish(tagged(spark.read).parquet(files: _*))
-    // partition columns live only in the directory names: group files
-    // by their pre-partition base and let Spark's partition discovery
-    // type them; union across bases (one per exported segment). Bare
-    // files (e.g. a MOR segment's full-row images) carry every column
-    // in the parquet and read plainly.
-    val byBase = partitioned.groupBy { f =>
-      val comps = f.split('/')
-      // search for the first partition component below the table root
-      // (ancestor '=' components are location, not layout)
-      val from = comps.length - rel(f).split('/').length
-      val firstPart = comps.indexWhere(_.contains("="), from)
-      comps.take(firstPart).mkString("/")
+
+    /** Read one class of files (all by-id or all by-name), applying
+      * the partition-dir grouping: files whose `col=value` components
+      * carry columns the parquet lacks re-enable discovery per base. */
+    def readClass(fset: Seq[String], withIds: Boolean): Seq[DataFrame] = {
+      if (fset.isEmpty) return Nil
+      def reader() = {
+        val r = spark.read
+        if (withIds) tagged(r.schema(idSchema.get)) else tagged(r)
+      }
+      val partitioned = fset.filter(f => dirComps(f).nonEmpty)
+      val bare = fset.filterNot(f => dirComps(f).nonEmpty)
+      if (partitioned.isEmpty) return Seq(finish(reader().parquet(fset: _*)))
+      // which columns do the files themselves carry?
+      val fileCols = footer(partitioned.head)._2.toSet
+      val dirCols = dirComps(partitioned.head)
+        .map(c => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(c.substring(0, c.indexOf('=')))).toSet
+      if (dirCols.subsetOf(fileCols)) return Seq(finish(reader().parquet(fset: _*)))
+      // partition columns live only in the directory names: group files
+      // by their pre-partition base and let Spark's partition discovery
+      // type them; union across bases (one per exported segment). Bare
+      // files (e.g. a MOR segment's full-row images) carry every column
+      // in the parquet and read plainly.
+      val byBase = partitioned.groupBy { f =>
+        val comps = f.split('/')
+        // search for the first partition component below the table root
+        // (ancestor '=' components are location, not layout)
+        val from = comps.length - rel(f).split('/').length
+        val firstPart = comps.indexWhere(_.contains("="), from)
+        comps.take(firstPart).mkString("/")
+      }
+      val parts = byBase.toSeq.sortBy(_._1).map { case (base, fs) =>
+        finish(reader().option("basePath", base).parquet(fs: _*))
+      }
+      parts ++ (if (bare.isEmpty) Nil else Seq(finish(reader().parquet(bare: _*))))
     }
-    val parts = byBase.toSeq.sortBy(_._1).map { case (base, fs) =>
-      finish(tagged(spark.read.option("basePath", base)).parquet(fs: _*))
-    }
-    val all = parts ++ (if (bare.isEmpty) Nil else Seq(finish(tagged(spark.read).parquet(bare: _*))))
+
+    val all = readClass(files.filterNot(byId), withIds = false) ++
+      readClass(files.filter(byId), withIds = true)
     all.reduce(_ unionByName _)
   }
 
@@ -529,7 +681,8 @@ object IcebergImport {
     }
 
     val base = baseFrame(spark, plan.data.map(_.path), plan.fieldNames.values.toSet,
-      withMeta = true, tableLoc = plan.loc, snap = plan.snap)
+      withMeta = true, tableLoc = plan.loc, snap = plan.snap,
+      idSchema = plan.schema, nameMapping = plan.nameMapping)
     val userCols = base.columns.filterNot(Set(FileCol, PosCol)).toSeq
     val helperNames = Set("__spelling", "__dspelling", "__dseq", "__self", "__target")
     require(!userCols.exists(c => c.startsWith("__graft_ice_") || c.startsWith("__graft_ed_") ||
@@ -586,7 +739,40 @@ object IcebergImport {
       .sortBy { case ((ids, scope), _) => ids.mkString(",") + "|" + scope.mkString(",") }
       .foreach { case ((ids, scope), group) =>
         val names = ids.map(plan.fieldNames)
-        val edRaw = spark.read.parquet(group.map(_.path): _*)
+        // delete files follow the same projection rule as data files:
+        // an id-carrying footer resolves the equality columns BY FIELD
+        // ID (current names, even across renames); an id-less one
+        // falls back to the name mapping, then plain names
+        val paths = group.map(_.path)
+        val headHasIds = {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new Path(paths.head), spark.sparkContext.hadoopConfiguration)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            import scala.jdk.CollectionConverters._
+            r.getFooter.getFileMetaData.getSchema.getFields.asScala.exists(_.getId != null)
+          } finally r.close()
+        }
+        val idTyped = ids.flatMap(id => plan.fieldTypes.get(id).map(t => (id, t)))
+        val edRaw =
+          if (headHasIds && idTyped.size == ids.size) {
+            spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+            val s = StructType(idTyped.map { case (id, t) =>
+              StructField(plan.fieldNames(id), t, nullable = true,
+                new MetadataBuilder().putLong("parquet.field.id", id.toLong).build())
+            })
+            spark.read.schema(s).parquet(paths: _*)
+          } else {
+            val plainDf = spark.read.parquet(paths: _*)
+            ids.foldLeft(plainDf) { (acc, id) =>
+              val n = plan.fieldNames(id)
+              if (acc.columns.contains(n)) acc
+              else plan.nameMapping.getOrElse(id, Nil).find(acc.columns.contains) match {
+                case Some(old) => acc.withColumnRenamed(old, n)
+                case None      => acc
+              }
+            }
+          }
         names.foreach(n => require(edRaw.columns.contains(n),
           s"equality delete files lack column '$n' (have: ${edRaw.columns.mkString(", ")})"))
         val ed = edRaw
@@ -639,7 +825,7 @@ object IcebergImport {
 
   /** version-hint.text when present (HadoopCatalog convention), else
     * the lexically-greatest v*.metadata.json. */
-  private def latestMetadata(f: org.apache.hadoop.fs.FileSystem, metaDir: Path): Path = {
+  private[io] def latestMetadata(f: org.apache.hadoop.fs.FileSystem, metaDir: Path): Path = {
     require(f.exists(metaDir), s"no metadata directory at $metaDir")
     val hint = new Path(metaDir, "version-hint.text")
     if (f.exists(hint)) {

@@ -2700,12 +2700,47 @@ object ExtensionCorpus {
       FROM lineitem""")
   )
 
+  /** SCHEMA EVOLUTION across the Iceberg bridge under the gate (X125):
+    * a metadata-only RENAME + ADD COLUMN ([[graft.io.IcebergEvolve]],
+    * the spec's new-schema-id commit) over an exported table whose
+    * data files are id-LESS — so the read exercises the
+    * `schema.name-mapping.default` projection rule the evolve commit
+    * maintains: the renamed column resolves through its historical
+    * name, the added column reads as typed NULLs. The oracle replays
+    * the rename as a plain alias over the raw parquet (and the added
+    * column as NULL), so a hash match pins that evolution is
+    * metadata-only — content identical, names evolved. */
+  private val q152 = Q(
+    "q152_iceberg_evolution",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q152-snap").toString
+      val t = new graft.io.SnapshotTables(s, root)
+      val li = fixture(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      t.overwriteTable(li.filter(col("l_orderkey") <= 10000), "li")
+      t.append(li.filter(col("l_orderkey") > 10000), "li")
+      val dest = java.nio.file.Files.createTempDirectory("q152-ice").toString
+      graft.io.IcebergExport.export(t, "li", dest)
+      graft.io.IcebergEvolve.renameColumn(s, dest, "l_quantity", "qty")
+      graft.io.IcebergEvolve.addColumn(s, dest, "audit_note", "string")
+      s.sql(s"""SELECT l_returnflag, COUNT(*) AS n,
+        CAST(SUM(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        COUNT(audit_note) AS n_note
+        FROM graft_iceberg_scan('$dest')
+        GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+    Some("""SELECT l_returnflag, COUNT(*) AS n,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(0 AS BIGINT) AS n_note
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+  )
+
   val all: Seq[Q] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q98b, q99, q100, q101, q102, q106, q107, q108,
     q109, q111, q112, q113, q114, q116, q117, q118, q119, q121, q122, q123, q125, q126, q127,
     q128, q130, q131, q132, q133, q135, q136, q137, q138, q139, q140, q141, q143, q144,
-    q145, q146, q147, q148, q149, q150, q151
+    q145, q146, q147, q148, q149, q150, q151, q152
   )
 
 }

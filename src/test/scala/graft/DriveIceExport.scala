@@ -2,10 +2,11 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Builds the four export fixtures `tools/ice_independent_read.py`
+/** Builds the five export fixtures `tools/ice_independent_read.py`
   * verifies (append-only, MOR equality deletes, murmur3 bucket
-  * layout, patch position deletes) and prints graft's own expected
-  * aggregates — the independent-witness harness recorded in SURVEY §7.
+  * layout, patch position deletes, metadata-only schema evolution)
+  * and prints graft's own expected aggregates — the
+  * independent-witness harness recorded in SURVEY §7.
   * Run: sbt "Test/runMain graft.DriveIceExport", then the python tool
   * over /tmp/ind_export_* with the same aggregate SQL. */
 object DriveIceExport {
@@ -47,10 +48,23 @@ object DriveIceExport {
     t4.deleteWhereMor("ord", col("o_totalprice") > lit(200000.0))
     graft.io.IcebergExport.export(t4, "ord", "/tmp/ind_export_posdel")
 
+    // 5: schema evolution — metadata-only rename + added column over
+    // id-less exported files (name-mapping projection on the reader)
+    val r5 = java.nio.file.Files.createTempDirectory("ind-snap5").toString
+    val t5 = new graft.io.SnapshotTables(spark, r5)
+    t5.overwriteTable(ord, "ord")
+    graft.io.IcebergExport.export(t5, "ord", "/tmp/ind_export_evolved")
+    graft.io.IcebergEvolve.renameColumn(spark, "/tmp/ind_export_evolved", "o_totalprice", "price")
+    graft.io.IcebergEvolve.addColumn(spark, "/tmp/ind_export_evolved", "note", "string")
+
     Seq("plain" -> t1, "mor" -> t2, "bucket" -> t3, "posdel" -> t4).foreach { case (n, t) =>
       val r = t.read("ord").agg(count(lit(1)), sum(col("o_totalprice").cast("decimal(18,2)")).cast("string")).collect()(0)
       println(s"EXPECT $n count=${r.getLong(0)} sum=${r.getString(1)}")
     }
+    val r5r = graft.io.IcebergImport.read(spark, "/tmp/ind_export_evolved")
+      .agg(count(lit(1)), sum(col("price").cast("decimal(18,2)")).cast("string"),
+        count(col("note"))).collect()(0)
+    println(s"EXPECT evolved count=${r5r.getLong(0)} sum=${r5r.getString(1)} notes=${r5r.getLong(2)}")
     spark.stop()
   }
 }

@@ -110,8 +110,11 @@ class IcebergV1CompatSpec extends SparkSpec {
   test("empty v1 snapshot reads as a schema-typed empty frame") {
     val dir = writeV1Table(statuses = Nil, withData = false)
     val out = IcebergImport.read(spark, dir)
-    assert(out.schema == StructType(Seq(
-      StructField("id", LongType), StructField("v", StringType))))
+    assert(out.schema.fields.map(f => (f.name, f.dataType, f.nullable)).toSeq ==
+      Seq(("id", LongType, true), ("v", StringType, true)))
+    // the fields carry their Iceberg ids as parquet.field.id metadata
+    // (what by-id projection over id-carrying data files consults)
+    assert(out.schema.fields.map(_.metadata.getLong("parquet.field.id")).toSeq == Seq(1L, 2L))
     // column references analyze and yield zero rows, not an error
     assert(out.filter(col("id") > 0L).count() == 0)
     assert(out.select(col("v")).count() == 0)

@@ -173,6 +173,15 @@ def plan_scan(table_dir):
     schema = schemas[md["current-schema-id"]]
     field_names = {f["id"]: f["name"] for f in schema["fields"]}
 
+    # the spec's COLUMN PROJECTION fallback for id-less data files:
+    # field id -> historical names (schema.name-mapping.default)
+    name_mapping = {}
+    props = md.get("properties") or {}
+    if "schema.name-mapping.default" in props:
+        for e in json.loads(props["schema.name-mapping.default"]):
+            if "field-id" in e and "names" in e:
+                name_mapping[e["field-id"]] = e["names"]
+
     mlist, _ = read_avro_file(resolve(table_dir, snap["manifest-list"]))
     data, deletes = [], []
     for m in mlist:
@@ -195,13 +204,50 @@ def plan_scan(table_dir):
                 "record_count": df["record_count"],
             }
             (data if rec["content"] == 0 else deletes).append(rec)
-    return data, deletes, field_names
+    return data, deletes, field_names, schema["fields"], name_mapping
+
+
+DUCK_TYPES = {"boolean": "BOOLEAN", "int": "INTEGER", "long": "BIGINT",
+              "float": "FLOAT", "double": "DOUBLE", "date": "DATE",
+              "string": "VARCHAR", "uuid": "VARCHAR", "binary": "BLOB",
+              "timestamp": "TIMESTAMP", "timestamptz": "TIMESTAMPTZ"}
+
+
+def duck_type(t):
+    if isinstance(t, str):
+        if t in DUCK_TYPES:
+            return DUCK_TYPES[t]
+        if t.startswith("decimal("):
+            return t.upper()
+    raise SystemExit(f"unmapped Iceberg type for independent read: {t}")
+
+
+def resolve_fields(con, src_sql, fields, name_mapping):
+    """Per the spec's projection rules over id-less files: each CURRENT
+    field selects its own name when the parquet carries it, else a
+    mapped historical name, else a typed NULL (the file predates the
+    column); everything casts to the CURRENT type (legal promotions
+    widen)."""
+    avail = {r[0] for r in con.execute(f"DESCRIBE {src_sql}").fetchall()}
+    parts = []
+    for f in fields:
+        ty = duck_type(f["type"])
+        src = None
+        if f["name"] in avail:
+            src = f["name"]
+        else:
+            src = next((n for n in name_mapping.get(f["id"], []) if n in avail), None)
+        if src is None:
+            parts.append(f'CAST(NULL AS {ty}) AS "{f["name"]}"')
+        else:
+            parts.append(f'CAST("{src}" AS {ty}) AS "{f["name"]}"')
+    return ", ".join(parts)
 
 
 def main():
     table_dir, sql = sys.argv[1], sys.argv[2]
     import duckdb
-    data, deletes, field_names = plan_scan(table_dir)
+    data, deletes, field_names, fields, name_mapping = plan_scan(table_dir)
     if not data:
         raise SystemExit("no data files planned")
     con = duckdb.connect()
@@ -212,8 +258,11 @@ def main():
     seq_rows = ",".join(f"('{f['path']}',{f['seq']})" for f in data)
     con.execute(f"CREATE TABLE fseq(path VARCHAR, seq BIGINT); "
                 f"INSERT INTO fseq VALUES {seq_rows}")
-    base = (f"SELECT d.*, fseq.seq AS __seq FROM read_parquet({flist(data)}, "
-            f"filename=true, file_row_number=true) d JOIN fseq ON d.filename = fseq.path")
+    data_read = (f"read_parquet({flist(data)}, filename=true, "
+                 f"file_row_number=true, union_by_name=true)")
+    sel = resolve_fields(con, f"SELECT * FROM {data_read}", fields, name_mapping)
+    base = (f"SELECT {sel}, d.filename, d.file_row_number, fseq.seq AS __seq "
+            f"FROM {data_read} d JOIN fseq ON d.filename = fseq.path")
     con.execute(f"CREATE VIEW base AS {base}")
     view = "base"
     pos = [f for f in deletes if f["content"] == 1]
@@ -233,11 +282,19 @@ def main():
         view = "afterpos"
     eq = [f for f in deletes if f["content"] == 2]
     for i, f in enumerate(eq):
-        cols = [field_names[j] for j in f["eq_ids"]]
-        conds = " AND ".join(f"e.{c} IS NOT DISTINCT FROM v.{c}" for c in cols)
+        # delete files follow the same projection rule: their columns
+        # resolve to CURRENT names (a pre-rename delete file's spelling
+        # comes through the name mapping)
+        eq_fields = [fl for fl in fields if fl["id"] in f["eq_ids"]]
+        if len(eq_fields) != len(f["eq_ids"]):
+            raise SystemExit(f"equality_ids {f['eq_ids']} not all in the current schema")
+        dsel = resolve_fields(con, f"SELECT * FROM read_parquet('{f['path']}')",
+                              eq_fields, name_mapping)
+        cols = [fl["name"] for fl in eq_fields]
+        conds = " AND ".join(f'e."{c}" IS NOT DISTINCT FROM v."{c}"' for c in cols)
         con.execute(
             f"CREATE VIEW eq{i} AS SELECT * FROM {view} v WHERE NOT EXISTS ("
-            f"SELECT 1 FROM read_parquet('{f['path']}') e "
+            f"SELECT 1 FROM (SELECT {dsel} FROM read_parquet('{f['path']}')) e "
             f"WHERE {conds} AND {f['seq']} > v.__seq)")
         view = f"eq{i}"
     user_cols = ", ".join(f'"{n}"' for n in field_names.values())
