@@ -348,7 +348,7 @@ object IcebergImport {
       nullable = !(f.has("required") && f.get("required").asBoolean), meta)
   }
 
-  private def icebergToSpark(t: com.fasterxml.jackson.databind.JsonNode): DataType =
+  private[io] def icebergToSpark(t: com.fasterxml.jackson.databind.JsonNode): DataType =
     if (t.isTextual) t.asText match {
       case "boolean"     => BooleanType
       case "int"         => IntegerType
@@ -1057,7 +1057,7 @@ object IcebergImport {
     * manifests simply LACK the v2 fields (content, sequence_number,
     * partition_spec_id …), and `GenericRecord.get(name)` THROWS on an
     * unknown field rather than returning null. */
-  private def fieldOpt(r: GenericRecord, name: String): Option[AnyRef] =
+  private[io] def fieldOpt(r: GenericRecord, name: String): Option[AnyRef] =
     Option(r.getSchema.getField(name)).flatMap(f => Option(r.get(f.pos())))
 
   /** Manifest paths may be absolute URIs (`file:/...`, `s3a://...`),
@@ -1066,7 +1066,7 @@ object IcebergImport {
     if (p.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*") || p.startsWith("/")) new Path(p)
     else new Path(tableDir, p)
 
-  private def readAvro(fs: Path => org.apache.hadoop.fs.FileSystem, p: Path)
+  private[io] def readAvro(fs: Path => org.apache.hadoop.fs.FileSystem, p: Path)
       : (Seq[GenericRecord], Map[String, String]) = {
     val in = new org.apache.avro.file.DataFileStream[GenericRecord](
       fs(p).open(p), new GenericDatumReader[GenericRecord]())

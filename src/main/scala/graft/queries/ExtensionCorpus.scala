@@ -2735,12 +2735,42 @@ object ExtensionCorpus {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
   )
 
+  /** APPEND COMMITS TO A FOREIGN ICEBERG TABLE under the gate (X126,
+    * the bridge's fourth quadrant): half of lineitem is exported as an
+    * Iceberg v2 table, the other half lands through
+    * [[graft.io.IcebergAppend]] — a spec-shaped snapshot commit (new
+    * manifest + manifest list + metadata version, sequence-number
+    * inheritance, field ids in the appended footers) — and the whole
+    * table reads back through `graft_iceberg_scan`. The oracle
+    * aggregates the raw parquet: a hash match pins that the foreign
+    * append is exactly set union, losing and duplicating nothing. */
+  private val q153 = Q(
+    "q153_iceberg_append",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q153-snap").toString
+      val t = new graft.io.SnapshotTables(s, root)
+      val li = fixture(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      t.overwriteTable(li.filter(col("l_orderkey") % 2 === 0), "li")
+      val dest = java.nio.file.Files.createTempDirectory("q153-ice").toString
+      graft.io.IcebergExport.export(t, "li", dest)
+      graft.io.IcebergAppend.append(s, dest, li.filter(col("l_orderkey") % 2 =!= 0))
+      s.sql(s"""SELECT l_returnflag, COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM graft_iceberg_scan('$dest')
+        GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+    Some("""SELECT l_returnflag, COUNT(*) AS n,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+  )
+
   val all: Seq[Q] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q98b, q99, q100, q101, q102, q106, q107, q108,
     q109, q111, q112, q113, q114, q116, q117, q118, q119, q121, q122, q123, q125, q126, q127,
     q128, q130, q131, q132, q133, q135, q136, q137, q138, q139, q140, q141, q143, q144,
-    q145, q146, q147, q148, q149, q150, q151, q152
+    q145, q146, q147, q148, q149, q150, q151, q152, q153
   )
 
 }

@@ -65,6 +65,19 @@ object DriveIceExport {
       .agg(count(lit(1)), sum(col("price").cast("decimal(18,2)")).cast("string"),
         count(col("note"))).collect()(0)
     println(s"EXPECT evolved count=${r5r.getLong(0)} sum=${r5r.getString(1)} notes=${r5r.getLong(2)}")
+
+    // 6: foreign append — half the rows land via IcebergAppend's
+    // spec-shaped snapshot commit (id-carrying footers, inherited
+    // sequences) on top of an exported half
+    val r6 = java.nio.file.Files.createTempDirectory("ind-snap6").toString
+    val t6 = new graft.io.SnapshotTables(spark, r6)
+    t6.overwriteTable(ord.filter(col("o_orderkey") % 2 === 0), "ord")
+    graft.io.IcebergExport.export(t6, "ord", "/tmp/ind_export_appended")
+    graft.io.IcebergAppend.append(spark, "/tmp/ind_export_appended",
+      ord.filter(col("o_orderkey") % 2 =!= 0))
+    val r6r = graft.io.IcebergImport.read(spark, "/tmp/ind_export_appended")
+      .agg(count(lit(1)), sum(col("o_totalprice").cast("decimal(18,2)")).cast("string")).collect()(0)
+    println(s"EXPECT appended count=${r6r.getLong(0)} sum=${r6r.getString(1)}")
     spark.stop()
   }
 }

@@ -1,0 +1,156 @@
+package graft.io
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** [[IcebergAppend]] — jar-free append commits to a foreign Iceberg v2
+  * table: spec-shaped snapshot/manifest/sequence wiring, footer field
+  * ids on the written files, stats for file skipping, delete-gating
+  * interplay, evolution interplay (mixed vintages), and the refusal +
+  * optimistic-concurrency matrix. */
+class IcebergAppendSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def exported(df: org.apache.spark.sql.DataFrame,
+      partitionCols: Seq[String] = Nil): String = {
+    val root = java.nio.file.Files.createTempDirectory("graft-app-snap").toString
+    val t = new SnapshotTables(spark, root)
+    t.overwriteTable(df, "tab", partitionCols = partitionCols)
+    val dest = java.nio.file.Files.createTempDirectory("graft-app-ice").toString
+    IcebergExport.export(t, "tab", dest)
+    dest
+  }
+
+  test("append commits a new snapshot: content, time travel, sequence inheritance, stats") {
+    val dest = exported((1L to 4L).map(i => (i, s"v$i")).toDF("k", "v"))
+    val before = IcebergImport.snapshots(spark, dest)
+    val snap = IcebergAppend.append(spark, dest, Seq((5L, "v5"), (6L, "v6")).toDF("k", "v"))
+    assert(IcebergImport.read(spark, dest).as[(Long, String)].collect().toSet ==
+      (1L to 6L).map(i => (i, s"v$i")).toSet)
+    // time travel: the PRE-append snapshot still reads the old content
+    assert(IcebergImport.read(spark, dest, Some(before.max))
+      .as[(Long, String)].collect().toSet == (1L to 4L).map(i => (i, s"v$i")).toSet)
+    assert(IcebergImport.snapshots(spark, dest).toSet == before.toSet + snap)
+
+    // manifest-list shape: previous manifests + ONE append manifest at
+    // the next sequence; its entries inherit (null sequence_number)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val metaDir = java.nio.file.Paths.get(dest, "metadata")
+    val hint = java.nio.file.Files.readString(metaDir.resolve("version-hint.text")).trim.toInt
+    val md = om.readTree(java.nio.file.Files.readString(IcebergTestSplice.mdFile(metaDir, hint)))
+    assert(md.get("current-snapshot-id").asLong == snap)
+    val snapNode = (0 until md.get("snapshots").size).map(md.get("snapshots").get)
+      .find(_.get("snapshot-id").asLong == snap).get
+    val list = IcebergTestSplice.readAvroRecords(snapNode.get("manifest-list").asText)
+    val appendEntries = list.filter(_.get("added_snapshot_id").asInstanceOf[Long] == snap)
+    assert(appendEntries.size == 1 && list.size > 1)
+    val newSeq = appendEntries.head.get("sequence_number").asInstanceOf[Long]
+    assert(newSeq == md.get("last-sequence-number").asLong)
+    val manifest = IcebergTestSplice.readAvroRecords(
+      appendEntries.head.get("manifest_path").toString)
+    assert(manifest.nonEmpty)
+    manifest.foreach { e =>
+      assert(e.get("status").asInstanceOf[Int] == 1)
+      assert(e.get("sequence_number") == null) // inherited per the v2 rule
+      val dfr = e.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+      assert(dfr.get("record_count").asInstanceOf[Long] > 0)
+      assert(dfr.get("lower_bounds") != null && dfr.get("value_counts") != null)
+    }
+  }
+
+  test("appended rows take a later sequence: existing equality deletes never touch them") {
+    val root = java.nio.file.Files.createTempDirectory("graft-app-mor").toString
+    val t = new SnapshotTables(spark, root)
+    t.overwriteTable((1L to 6L).map(i => (i, i * 10.0)).toDF("k", "x"), "tab")
+    t.deleteKeysMor("tab", Seq(2L, 4L).toDF("k"))
+    val dest = java.nio.file.Files.createTempDirectory("graft-app-mor-ice").toString
+    IcebergExport.export(t, "tab", dest)
+    // re-add the deleted keys AFTER the delete — they must survive
+    IcebergAppend.append(spark, dest, Seq((2L, 99.0), (4L, 98.0)).toDF("k", "x"))
+    assert(IcebergImport.read(spark, dest).as[(Long, Double)].collect().toSet ==
+      Set((1L, 10.0), (3L, 30.0), (5L, 50.0), (6L, 60.0), (2L, 99.0), (4L, 98.0)))
+  }
+
+  test("append after a rename: new files carry field ids, vintages mix through the evolved schema") {
+    val dest = exported((1L to 3L).map(i => (i, s"v$i")).toDF("k", "v"))
+    IcebergEvolve.renameColumn(spark, dest, "v", "label")
+    IcebergAppend.append(spark, dest, Seq((4L, "v4")).toDF("k", "label"))
+    val out = IcebergImport.read(spark, dest)
+    assert(out.columns.toSeq == Seq("k", "label"))
+    assert(out.as[(Long, String)].collect().toSet ==
+      (1L to 4L).map(i => (i, s"v$i")).toSet)
+    // the appended parquet footers carry the Iceberg field ids
+    val appended = IcebergImport.dataFiles(spark, dest)
+      .filter(_.contains("/data/append-"))
+    assert(appended.nonEmpty)
+    appended.foreach { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f), spark.sparkContext.hadoopConfiguration)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        val ids = r.getFooter.getFileMetaData.getSchema.getFields.asScala
+          .map(fd => fd.getName -> fd.getId.intValue).toMap
+        assert(ids == Map("k" -> 1, "label" -> 2))
+      } finally r.close()
+    }
+    // and a SECOND rename after the append still reads both vintages
+    IcebergEvolve.renameColumn(spark, dest, "label", "title")
+    assert(IcebergImport.read(spark, dest).columns.toSeq == Seq("k", "title"))
+    assert(IcebergImport.read(spark, dest).as[(Long, String)].collect().toSet ==
+      (1L to 4L).map(i => (i, s"v$i")).toSet)
+  }
+
+  test("refusals: partitioned spec, schema mismatch, v1 table, racing version file") {
+    val part = exported((1L to 9L).map(i => (i, s"v$i", (i % 3).toInt)).toDF("k", "v", "b"),
+      partitionCols = Seq("b"))
+    val e1 = intercept[IllegalArgumentException](
+      IcebergAppend.append(spark, part, Seq((10L, "x", 1)).toDF("k", "v", "b")))
+    assert(e1.getMessage.contains("PARTITIONED"))
+
+    val dest = exported(Seq((1L, "a")).toDF("k", "v"))
+    val e2 = intercept[IllegalArgumentException](
+      IcebergAppend.append(spark, dest, Seq((2L, "b", 1)).toDF("k", "v", "extra")))
+    assert(e2.getMessage.contains("schema mismatch"))
+    val e3 = intercept[IllegalArgumentException](
+      IcebergAppend.append(spark, dest, Seq(Tuple1(2L)).toDF("k")))
+    assert(e3.getMessage.contains("schema mismatch"))
+
+    // v1 layout refuses (no sequence semantics to inherit)
+    val v1dir = java.nio.file.Files.createTempDirectory("graft-app-v1").toString
+    val v1meta = java.nio.file.Paths.get(v1dir, "metadata")
+    java.nio.file.Files.createDirectories(v1meta)
+    java.nio.file.Files.writeString(v1meta.resolve("v1.metadata.json"),
+      s"""{"format-version":1,"location":"$v1dir","last-column-id":1,
+         |"schema":{"type":"struct","schema-id":0,"fields":[
+         |{"id":1,"name":"k","required":false,"type":"long"}]},
+         |"partition-spec":[],"current-snapshot-id":-1,"snapshots":[]}""".stripMargin)
+    java.nio.file.Files.writeString(v1meta.resolve("version-hint.text"), "1")
+    val e4 = intercept[IllegalArgumentException](
+      IcebergAppend.append(spark, v1dir, Seq(Tuple1(1L)).toDF("k")))
+    assert(e4.getMessage.contains("format-version 1"))
+
+    // a racing writer already claimed v<hint+1> → loud conflict, the
+    // table stays at its old head
+    val before = IcebergImport.read(spark, dest).count()
+    val metaDir = java.nio.file.Paths.get(dest, "metadata")
+    val hint = java.nio.file.Files.readString(metaDir.resolve("version-hint.text")).trim.toInt
+    java.nio.file.Files.writeString(metaDir.resolve(s"v${hint + 1}.metadata.json"), "{}")
+    intercept[Exception](IcebergAppend.append(spark, dest, Seq((9L, "z")).toDF("k", "v")))
+    java.nio.file.Files.delete(metaDir.resolve(s"v${hint + 1}.metadata.json"))
+    assert(IcebergImport.read(spark, dest).count() == before)
+  }
+
+  test("append to an empty-snapshot table bootstraps the chain") {
+    // an exported table whose current snapshot has zero data files
+    val root = java.nio.file.Files.createTempDirectory("graft-app-empty").toString
+    val t = new SnapshotTables(spark, root)
+    t.overwriteTable(Seq((1L, "a")).toDF("k", "v").limit(0), "tab")
+    val dest = java.nio.file.Files.createTempDirectory("graft-app-empty-ice").toString
+    IcebergExport.export(t, "tab", dest)
+    IcebergAppend.append(spark, dest, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    assert(IcebergImport.read(spark, dest).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+  }
+}
