@@ -42,8 +42,35 @@ import org.apache.spark.sql.types._
   */
 object IcebergAppend {
 
-  /** Append `df` as a new snapshot; returns the new snapshot id. */
-  def append(spark: SparkSession, tableDir: String, df: DataFrame): Long = {
+  /** Snapshot-summary property under which streaming appends record
+    * their (checkpoint-scoped) transaction marker — the replay guard
+    * [[committedTxnIds]] scans. */
+  private[graft] val TxnKey = "graft-txn-id"
+
+  /** Every `graft-txn-id` marker recorded in the table's snapshot
+    * summaries — what a streaming writer consults to skip a replayed
+    * micro-batch (Iceberg's own streaming sinks use the same
+    * summary-marker idempotence pattern). */
+  def committedTxnIds(spark: SparkSession, tableDir: String): Set[String] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val metaDir = new Path(tableDir, "metadata")
+    val fs = metaDir.getFileSystem(hconf)
+    val mdPath = IcebergImport.latestMetadata(fs, metaDir)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val md = { val in = fs.open(mdPath); try om.readTree(in) finally in.close() }
+    val snaps = md.get("snapshots")
+    if (snaps == null) Set.empty
+    else (0 until snaps.size).map(snaps.get).flatMap { s =>
+      val sm = s.get("summary")
+      if (sm != null && sm.hasNonNull(TxnKey)) Some(sm.get(TxnKey).asText) else None
+    }.toSet
+  }
+
+  /** Append `df` as a new snapshot; returns the new snapshot id.
+    * `summaryProps` land in the snapshot summary (e.g. the streaming
+    * replay marker). */
+  def append(spark: SparkSession, tableDir: String, df: DataFrame,
+      summaryProps: Map[String, String] = Map.empty): Long = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val metaDir = new Path(tableDir, "metadata")
     val fs = metaDir.getFileSystem(hconf)
@@ -263,7 +290,9 @@ object IcebergAppend {
     cur.foreach(c => newSnapNode.put("parent-snapshot-id", c))
     newSnapNode.put("sequence-number", newSeq)
     newSnapNode.put("timestamp-ms", now)
-    newSnapNode.putObject("summary").put("operation", "append")
+    val summary = newSnapNode.putObject("summary")
+    summary.put("operation", "append")
+    summaryProps.foreach { case (k, v) => summary.put(k, v) }
     newSnapNode.put("manifest-list", fs.makeQualified(newListPath).toString)
     if (md.has("current-schema-id"))
       newSnapNode.put("schema-id", md.get("current-schema-id").asInt)

@@ -2765,12 +2765,52 @@ object ExtensionCorpus {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
   )
 
+  /** STREAMING APPEND INTO A FOREIGN ICEBERG TABLE under the gate
+    * (X127, the streaming face of X126): a real 3-file parquet stream
+    * (maxFilesPerTrigger=1 → 3 scripted micro-batches of purchases)
+    * lands through `Streams.icebergAppendSink` into an EMPTY exported
+    * Iceberg v2 table — each batch one spec-shaped snapshot with a
+    * checkpoint-scoped txn marker in its summary (exactly-once across
+    * replays) — and the final table aggregates through
+    * `graft_iceberg_scan`. DuckDB replays the whole stream as one
+    * batch query. */
+  private val q154 = Q(
+    "q154_streaming_iceberg_append",
+    (s, dir) => {
+      val src = java.nio.file.Files.createTempDirectory("q154-src").toString
+      fixture(s, dir, "events").repartition(3).write.mode("overwrite").parquet(src)
+      val schema = s.read.parquet(src).schema
+      val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          col("value").cast("double").as("value"))
+      val root = java.nio.file.Files.createTempDirectory("q154-snap").toString
+      val t = new graft.io.SnapshotTables(s, root)
+      t.overwriteTable(stream.sparkSession.read.parquet(src)
+        .select(col("event_id"), col("user_id"), col("value").cast("double").as("value"))
+        .limit(0), "ev")
+      val dest = java.nio.file.Files.createTempDirectory("q154-ice").toString
+      graft.io.IcebergExport.export(t, "ev", dest)
+      val ck = java.nio.file.Files.createTempDirectory("q154-ck").toString + "/ck"
+      graft.streaming.Streams.icebergAppendSink(stream, dest, ck, availableNow = true)
+        .awaitTermination()
+      s.sql(s"""SELECT user_id, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM graft_iceberg_scan('$dest')
+        GROUP BY user_id ORDER BY user_id""")
+    },
+    Some("""SELECT user_id, COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id ORDER BY user_id""")
+  )
+
   val all: Seq[Q] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q98b, q99, q100, q101, q102, q106, q107, q108,
     q109, q111, q112, q113, q114, q116, q117, q118, q119, q121, q122, q123, q125, q126, q127,
     q128, q130, q131, q132, q133, q135, q136, q137, q138, q139, q140, q141, q143, q144,
-    q145, q146, q147, q148, q149, q150, q151, q152, q153
+    q145, q146, q147, q148, q149, q150, q151, q152, q153, q154
   )
 
 }

@@ -481,6 +481,41 @@ object Streams {
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }
 
+  /** Continuous append into a FOREIGN Iceberg v2 table — the streaming
+    * face of [[graft.io.IcebergAppend]] (X126): each non-empty
+    * micro-batch commits one spec-shaped snapshot external Iceberg
+    * readers consume directly. EXACTLY-ONCE across restarts and
+    * checkpoint loss: every batch stamps a checkpoint-scoped
+    * transaction marker into its snapshot summary, and a replayed
+    * batch whose marker is already on the snapshot chain is skipped —
+    * the same summary-marker idempotence real Iceberg streaming sinks
+    * use. Racing writers from OTHER queries still conflict loudly on
+    * the metadata version file (optimistic concurrency), never
+    * lost-write. */
+  def icebergAppendSink(
+      stream: DataFrame,
+      tableDir: String,
+      checkpoint: String,
+      availableNow: Boolean = false
+  ): StreamingQuery = {
+    // checkpoint identity = replay namespace, collision-resistant
+    // digest (see snapshotAppendSink for why not a 32-bit hash)
+    val sinkId = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpoint.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val w = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val txn = s"ice-append.$sinkId.$batchId"
+        if (!batch.isEmpty &&
+            !graft.io.IcebergAppend.committedTxnIds(batch.sparkSession, tableDir).contains(txn))
+          graft.io.IcebergAppend.append(batch.sparkSession, tableDir, batch,
+            summaryProps = Map(graft.io.IcebergAppend.TxnKey -> txn))
+        ()
+      }
+    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
+
   /** Continuous upsert-by-key into a versioned snapshot table. With
     * `mor = false` (default) each batch is a copy-on-write MERGE —
     * O(table) write per batch, zero read-side overhead. With `mor =

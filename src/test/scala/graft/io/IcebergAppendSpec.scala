@@ -142,6 +142,33 @@ class IcebergAppendSpec extends SparkSpec {
     assert(IcebergImport.read(spark, dest).count() == before)
   }
 
+  test("streaming append sink: exactly-once across CHECKPOINT LOSS via summary txn markers") {
+    val dest = exported(Seq((0L, "seed")).toDF("k", "v"))
+    val src = java.nio.file.Files.createTempDirectory("graft-app-stream").toString
+    (1L to 4L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(2).write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def run(ck: String): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      graft.streaming.Streams.icebergAppendSink(stream, dest, ck, availableNow = true)
+        .awaitTermination()
+    }
+    val ck = java.nio.file.Files.createTempDirectory("graft-app-ck").toString + "/ck"
+    run(ck)
+    val once = IcebergImport.read(spark, dest).as[(Long, String)].collect().toSet
+    assert(once == (0L to 4L).map(i => (i, if (i == 0) "seed" else s"v$i")).toSet)
+    // checkpoint LOSS: the engine replays every batch under the same
+    // ids — the summary markers on the snapshot chain skip them all
+    val fs = new org.apache.hadoop.fs.Path(ck).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(ck), true)
+    run(ck)
+    assert(IcebergImport.read(spark, dest).as[(Long, String)].collect().toSet == once)
+    // the markers are on the chain, one per non-empty batch
+    assert(IcebergAppend.committedTxnIds(spark, dest).size == 2)
+  }
+
   test("append to an empty-snapshot table bootstraps the chain") {
     // an exported table whose current snapshot has zero data files
     val root = java.nio.file.Files.createTempDirectory("graft-app-empty").toString
