@@ -2805,12 +2805,49 @@ object ExtensionCorpus {
       GROUP BY user_id ORDER BY user_id""")
   )
 
+  /** FOREIGN-TABLE MAINTENANCE under the gate (X128): the full debt
+    * lifecycle on one Iceberg v2 table — MOR equality deletes from the
+    * export, re-adds through the foreign append (later sequence, so
+    * the deletes must not touch them), then `compact` (REPLACE
+    * snapshot folding the deletes into fresh files) and
+    * `expireSnapshots(keepLast=1, removeOrphans=true)` (old data,
+    * delete files and manifests physically removed). The final
+    * aggregate through `graft_iceberg_scan` must still be hash-exact
+    * vs DuckDB's plain replay — maintenance must be content-neutral
+    * while the file surface shrinks to the compacted set. */
+  private val q155 = Q(
+    "q155_iceberg_maintenance",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q155-snap").toString
+      val t = new graft.io.SnapshotTables(s, root)
+      val ord = fixture(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+      t.overwriteTable(ord, "ord")
+      t.deleteKeysMor("ord", ord.filter(col("o_orderkey") % 89 === 0).select("o_orderkey"))
+      val dest = java.nio.file.Files.createTempDirectory("q155-ice").toString
+      graft.io.IcebergExport.export(t, "ord", dest)
+      graft.io.IcebergAppend.append(s, dest,
+        ord.filter(col("o_orderkey") % 89 === 0).withColumn("o_totalprice", lit(0.5)))
+      graft.io.IcebergMaintenance.compact(s, dest, targetFiles = 4)
+      graft.io.IcebergMaintenance.expireSnapshots(s, dest, keepLast = 1, removeOrphans = true)
+      s.sql(s"""SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM graft_iceberg_scan('$dest')
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    },
+    Some("""SELECT o_orderstatus, COUNT(*) AS n,
+      CAST(SUM(CAST(CASE WHEN o_orderkey % 89 = 0 THEN 0.5
+                         ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  )
+
   val all: Seq[Q] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q98b, q99, q100, q101, q102, q106, q107, q108,
     q109, q111, q112, q113, q114, q116, q117, q118, q119, q121, q122, q123, q125, q126, q127,
     q128, q130, q131, q132, q133, q135, q136, q137, q138, q139, q140, q141, q143, q144,
-    q145, q146, q147, q148, q149, q150, q151, q152, q153, q154
+    q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155
   )
 
 }
