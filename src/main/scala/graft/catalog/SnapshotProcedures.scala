@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType, StringType, StructType}
 
 /** The catalog's maintenance surface as SQL `CALL` procedures —
   * Iceberg's own shape (`CALL cat.system.rollback_to_snapshot(...)`,
@@ -56,6 +56,14 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructType
   *  - `publish_branches(tables, branch)` — cross-table ATOMIC publish
   *    of per-table WAP branches through the commit log (governed
   *    catalogs only); [[graft.io.LakeCommits.publishBranches]]
+  *  - `iceberg_rename_column/add_column/drop_column/promote_column
+  *    (dir, ...)` — metadata-only schema evolution on a FOREIGN
+  *    Iceberg table by path ([[graft.io.IcebergEvolve]]); returns the
+  *    new metadata version
+  *  - `iceberg_compact(dir, target_files)` / `iceberg_expire_snapshots
+  *    (dir, keep_last, remove_orphans)` — foreign-table maintenance
+  *    ([[graft.io.IcebergMaintenance]]): REPLACE-snapshot compaction
+  *    folding row-level deletes; history expiry with orphan inventory
   *
   * `table` arguments are namespace-qualified WITHIN the catalog
   * (`'dw.t'`); `tables` is a comma-separated list of the same. Each
@@ -70,7 +78,12 @@ private[catalog] object SnapshotProcedures {
       "fast_forward", "optimize",
       "compact_deltas", "evolve_partitioning",
       "expire_snapshots", "remove_orphan_files", "expire_log", "publish_branches",
-      "export_iceberg_metadata")
+      "export_iceberg_metadata",
+      // FOREIGN Iceberg tables, addressed by PATH (the jar-free bridge:
+      // evolution X125, maintenance X128) — these don't touch this
+      // catalog's tables, the catalog is only the SQL `CALL` mount point
+      "iceberg_rename_column", "iceberg_add_column", "iceberg_drop_column",
+      "iceberg_promote_column", "iceberg_compact", "iceberg_expire_snapshots")
 
   private def param(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()
@@ -87,6 +100,15 @@ private[catalog] object SnapshotProcedures {
 
   private def outSchema(cols: String*): StructType =
     cols.foldLeft(new StructType())((s, c) => s.add(c, IntegerType, nullable = false))
+
+  /** The current metadata version of a FOREIGN Iceberg table (its
+    * version-hint after a metadata-only commit). */
+  private def hintOf(spark: org.apache.spark.sql.SparkSession, dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(dir, "metadata/version-hint.text")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), "UTF-8").trim.toInt finally in.close()
+  }
 
   def load(cat: SnapshotCatalog, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.sameElements(Array("system")) && Names.contains(ident.name),
@@ -137,6 +159,17 @@ private[catalog] object SnapshotProcedures {
           case "publish_branches" => Array(param("tables", StringType), param("branch", StringType))
           case "export_iceberg_metadata" =>
             Array(param("table", StringType), param("dest", StringType))
+          case "iceberg_rename_column" =>
+            Array(param("dir", StringType), param("from", StringType), param("to", StringType))
+          case "iceberg_add_column" | "iceberg_promote_column" =>
+            Array(param("dir", StringType), param("column", StringType), param("type", StringType))
+          case "iceberg_drop_column" =>
+            Array(param("dir", StringType), param("column", StringType))
+          case "iceberg_compact" =>
+            Array(param("dir", StringType), paramD("target_files", IntegerType, "4"))
+          case "iceberg_expire_snapshots" =>
+            Array(param("dir", StringType), paramD("keep_last", IntegerType, "1"),
+              paramD("remove_orphans", BooleanType, "false"))
         }
 
         override def call(input: InternalRow): java.util.Iterator[Scan] = ident.name match {
@@ -263,6 +296,47 @@ private[catalog] object SnapshotProcedures {
                 Array(InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(path)))
               override def readSchema(): StructType = schema
             }).iterator()
+
+          // ---- FOREIGN Iceberg tables by path (evolution/maintenance)
+          case "iceberg_rename_column" =>
+            val spark = org.apache.spark.sql.SparkSession.active
+            val dir = input.getUTF8String(0).toString
+            graft.io.IcebergEvolve.renameColumn(spark, dir,
+              input.getUTF8String(1).toString, input.getUTF8String(2).toString)
+            result(outSchema("metadata_version"), hintOf(spark, dir))
+          case "iceberg_add_column" =>
+            val spark = org.apache.spark.sql.SparkSession.active
+            val dir = input.getUTF8String(0).toString
+            graft.io.IcebergEvolve.addColumn(spark, dir,
+              input.getUTF8String(1).toString, input.getUTF8String(2).toString)
+            result(outSchema("metadata_version"), hintOf(spark, dir))
+          case "iceberg_promote_column" =>
+            val spark = org.apache.spark.sql.SparkSession.active
+            val dir = input.getUTF8String(0).toString
+            graft.io.IcebergEvolve.promoteColumn(spark, dir,
+              input.getUTF8String(1).toString, input.getUTF8String(2).toString)
+            result(outSchema("metadata_version"), hintOf(spark, dir))
+          case "iceberg_drop_column" =>
+            val spark = org.apache.spark.sql.SparkSession.active
+            val dir = input.getUTF8String(0).toString
+            graft.io.IcebergEvolve.dropColumn(spark, dir, input.getUTF8String(1).toString)
+            result(outSchema("metadata_version"), hintOf(spark, dir))
+          case "iceberg_compact" =>
+            val spark = org.apache.spark.sql.SparkSession.active
+            val snap = graft.io.IcebergMaintenance.compact(spark,
+              input.getUTF8String(0).toString, input.getInt(1))
+            val schema = new StructType().add("snapshot_id", LongType, nullable = false)
+            java.util.List.of[Scan](new LocalScan {
+              override def rows(): Array[InternalRow] = Array(InternalRow(snap))
+              override def readSchema(): StructType = schema
+            }).iterator()
+          case "iceberg_expire_snapshots" =>
+            val spark = org.apache.spark.sql.SparkSession.active
+            val remove = input.getBoolean(2)
+            val orphans = graft.io.IcebergMaintenance.expireSnapshots(spark,
+              input.getUTF8String(0).toString, input.getInt(1), removeOrphans = remove)
+            result(outSchema("orphans_found", "orphans_removed"),
+              orphans.size, if (remove) orphans.size else 0)
         }
       }
     }

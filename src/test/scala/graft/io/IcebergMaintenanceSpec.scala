@@ -79,6 +79,29 @@ class IcebergMaintenanceSpec extends SparkSpec {
     assert(IcebergImport.deleteFiles(spark, dest).isEmpty)
   }
 
+  test("SQL CALL faces: evolution + maintenance on a foreign dir through the catalog mount") {
+    spark.conf.set("spark.sql.catalog.icemaint",
+      classOf[graft.catalog.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.icemaint.root",
+      java.nio.file.Files.createTempDirectory("graft-maint-cat").toString)
+    val (dest, expect) = debtTable()
+    val v1 = spark.sql(s"CALL icemaint.system.iceberg_rename_column('$dest', 'x', 'price')")
+      .collect().head.getInt(0)
+    val v2 = spark.sql(s"CALL icemaint.system.iceberg_add_column('$dest', 'note', 'string')")
+      .collect().head.getInt(0)
+    assert(v2 == v1 + 1)
+    val snap = spark.sql(s"CALL icemaint.system.iceberg_compact('$dest', 1)")
+      .collect().head.getLong(0)
+    assert(snap > 0)
+    val exp = spark.sql(
+      s"CALL icemaint.system.iceberg_expire_snapshots('$dest', 1, true)").collect().head
+    assert(exp.getInt(0) > 0 && exp.getInt(1) == exp.getInt(0))
+    val out = IcebergImport.read(spark, dest)
+    assert(out.columns.toSeq == Seq("k", "price", "note"))
+    assert(out.select("k", "price").as[(Long, Double)].collect().toSet == expect)
+    assert(IcebergImport.dataFiles(spark, dest).size == 1)
+  }
+
   test("maintenance interplay: compact after evolution keeps the evolved names") {
     val root = java.nio.file.Files.createTempDirectory("graft-maint-evo").toString
     val t = new SnapshotTables(spark, root)
