@@ -16,7 +16,15 @@ import org.apache.spark.sql.types._
   *  1. the rows conform to the table's CURRENT schema (reordered,
   *     cast; extras or missing columns refuse) and are written as
   *     parquet WITH Iceberg field ids in the footers — future readers
-  *     resolve the new files BY ID across any later rename;
+  *     resolve the new files BY ID across any later rename; under a
+  *     PARTITIONED default spec the rows land IN their partitions
+  *     (`partitionBy` over the spec's directory columns — the source
+  *     column itself for identity, per the spec's identity-projection
+  *     rule; a derived transform column otherwise: day/month/year/
+  *     hour, murmur3 `bucket[N]`, `truncate[W]`), each manifest entry
+  *     carrying its typed partition struct so scoped deletes and
+  *     partition-value pruning stay exact; transforms this engine
+  *     cannot compute refuse loudly;
   *  2. one new manifest lists the files as ADDED entries (status 1,
   *     null sequence → inherited from the manifest list per the v2
   *     rule) with record counts and per-field value/null counts +
@@ -36,9 +44,10 @@ import org.apache.spark.sql.types._
   * touch them — the spec's strictly-earlier gating, no special case.
   *
   * Honest refusals: v1 tables (no sequence semantics to inherit),
-  * partitioned default specs (an append must land rows in their
-  * partitions; writing them unpartitioned would corrupt scoped-delete
-  * semantics), schema mismatches, and version-file collisions.
+  * spec transforms this engine cannot compute (landing rows in the
+  * wrong partition would corrupt scoped-delete semantics), identity
+  * partition values that don't path-encode losslessly, schema
+  * mismatches, and version-file collisions.
   */
 object IcebergAppend {
 
@@ -102,22 +111,61 @@ object IcebergAppend {
       (f.get("id").asInt, f.get("name").asText, IcebergImport.icebergToSpark(f.get("type")))
     }
 
-    // ---- the default partition spec must be empty -------------------
-    val defaultSpecFields: Int = {
+    // ---- the default partition spec: rows must land IN their
+    // partitions (scoped-delete semantics), so every spec transform
+    // must be computable here — identity, day/month/year/hour,
+    // bucket[N] (murmur3), truncate[W]; anything else refuses
+    val defaultSpecId = if (md.has("default-spec-id")) md.get("default-spec-id").asInt else 0
+    val specNode = {
       val specs = md.get("partition-specs")
-      if (specs != null && specs.size > 0) {
-        val want = if (md.has("default-spec-id")) md.get("default-spec-id").asInt else 0
+      if (specs != null && specs.size > 0)
         (0 until specs.size).map(specs.get)
-          .find(s => (if (s.has("spec-id")) s.get("spec-id").asInt else 0) == want)
-          .map(s => if (s.get("fields") == null) 0 else s.get("fields").size)
-          .getOrElse(0)
-      } else if (md.get("partition-spec") != null) md.get("partition-spec").size
-      else 0
+          .find(s => (if (s.has("spec-id")) s.get("spec-id").asInt else 0) == defaultSpecId)
+          .map(_.get("fields")).orNull
+      else md.get("partition-spec")
     }
-    require(defaultSpecFields == 0,
-      s"append to a PARTITIONED Iceberg layout is not supported — rows must land in " +
-        s"their partitions to keep scoped-delete semantics; the default spec of $tableDir " +
-        s"has $defaultSpecFields field(s)")
+    /** (spec field name, transform, source column, source type, avro
+      * kind of the partition VALUE, spec field id, identity?). */
+    val specFields: Seq[(String, String, String, DataType, String, Int, Boolean)] =
+      if (specNode == null) Nil
+      else (0 until specNode.size).map(specNode.get).map { f =>
+        val transform = f.get("transform").asText
+        val srcId = if (f.has("source-id")) f.get("source-id").asInt else -1
+        val src = fields.find(_._1 == srcId).getOrElse(throw new IllegalArgumentException(
+          s"partition field '${f.get("name").asText}' sources field id $srcId, " +
+            s"not in the current schema of $tableDir"))
+        val fid = if (f.has("field-id")) f.get("field-id").asInt else 1000
+        val name = f.get("name").asText
+        val kind = transform match {
+          case "identity" => src._3 match {
+            case ByteType | ShortType | IntegerType => "int"
+            case LongType => "long"
+            case StringType => "string"
+            case DateType => "date"
+            case other => throw new IllegalArgumentException(
+              s"append cannot path-encode identity partition values of type $other " +
+                s"(field '$name' of $tableDir) — int/long/string/date only")
+          }
+          case "day" => "date"
+          case "month" | "year" | "hour" => "int"
+          case t if t.matches("bucket\\[\\d+\\]") => "int"
+          case t if t.matches("truncate\\[\\d+\\]") => src._3 match {
+            case StringType => "string"
+            case IntegerType => "int"
+            case LongType => "long"
+            case other => throw new IllegalArgumentException(
+              s"truncate over $other (field '$name' of $tableDir) is not computable here")
+          }
+          case other => throw new IllegalArgumentException(
+            s"append cannot compute partition transform '$other' (field '$name' of " +
+              s"$tableDir) — rows must land in their partitions; compact or evolve the spec first")
+        }
+        (name, transform, src._2, src._3, kind, fid, transform == "identity")
+      }
+    specFields.filterNot(_._7).foreach { f =>
+      require(!fields.exists(_._2 == f._1),
+        s"derived partition field '${f._1}' collides with a table column of $tableDir")
+    }
 
     // ---- conform rows to the current schema, ids in the footers -----
     val names = fields.map(_._2)
@@ -133,11 +181,61 @@ object IcebergAppend {
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     val segId = java.util.UUID.randomUUID().toString.take(18)
     val dataDir = new Path(tableDir, s"data/append-$segId")
-    conformed.write.parquet(dataDir.toString)
-    val dataFiles: Seq[Path] = fs.listStatus(dataDir)
-      .filter(st => st.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath).sortBy(_.getName).toSeq
-    require(dataFiles.nonEmpty, s"append wrote no parquet files under $dataDir")
+    // partitioned layouts: rows land in their partitions via
+    // `partitionBy` over the spec's DIRECTORY columns — the source
+    // column itself for identity (spec rule: identity-partitioned
+    // columns may live only in partition metadata), a derived
+    // transform column (never written into the files) otherwise
+    val withDerived = specFields.filterNot(_._7).foldLeft(conformed) { (acc, f) =>
+      val (name, transform, srcCol, srcType, _, _, _) = f
+      val expr = IcebergImport.transformExpr(
+        org.apache.spark.sql.functions.col(srcCol), srcType, transform)
+        .getOrElse(throw new IllegalArgumentException(
+          s"partition transform '$transform' over $srcType (field '$name') is not computable"))
+      acc.withColumn(name, expr)
+    }
+    val dirCols = specFields.map(f => if (f._7) f._3 else f._1)
+    val writer = withDerived.write
+    (if (dirCols.isEmpty) writer else writer.partitionBy(dirCols: _*)).parquet(dataDir.toString)
+    val dataFiles: Seq[Path] = {
+      val it = fs.listFiles(dataDir, true)
+      val b = Seq.newBuilder[Path]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) b += st.getPath
+      }
+      b.result().sortBy(_.toString)
+    }
+    require(dataFiles.nonEmpty, s"append wrote no parquet files under $dataDir" +
+      (if (dirCols.nonEmpty) " — a partitioned append of zero rows has nothing to commit" else ""))
+
+    /** This file's `dir=value` components below the append segment. */
+    def rawParts(p: Path): Map[String, String] = {
+      val rel = p.toString.stripPrefix(fs.makeQualified(dataDir).toString)
+        .stripPrefix(dataDir.toString).stripPrefix("/")
+      rel.split('/').init.filter(_.contains("=")).map { c =>
+        val i = c.indexOf('=')
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(c.substring(0, i)) ->
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(c.substring(i + 1))
+      }.toMap
+    }
+    /** Typed partition value for one spec field from the file's dirs:
+      * identity DATE dirs are ISO strings, day-transform dirs are the
+      * transform's integer image — both land as the logical-date int. */
+    def partValue(p: Path, name: String, dirName: String, kind: String): AnyRef = {
+      val raw = rawParts(p).getOrElse(dirName, throw new IllegalArgumentException(
+        s"appended file $p lacks a directory value for partition field '$name'"))
+      if (raw == "__HIVE_DEFAULT_PARTITION__") null
+      else kind match {
+        case "int" => java.lang.Integer.valueOf(raw.toInt)
+        case "long" => java.lang.Long.valueOf(raw.toLong)
+        case "string" => raw
+        case "date" => java.lang.Integer.valueOf(
+          raw.toIntOption.getOrElse(java.time.LocalDate.parse(raw).toEpochDay.toInt))
+      }
+    }
 
     // ---- new snapshot / sequence coordinates ------------------------
     val snaps = md.withArray[ArrayNode]("snapshots")
@@ -170,7 +268,9 @@ object IcebergAppend {
         IcebergExport.footerStats(p.toString, hconf, wanted)).toMap
 
     // ---- the append manifest -----------------------------------------
-    val entrySchema = new org.apache.avro.Schema.Parser().parse(IcebergExport.ManifestEntryAvro)
+    val entrySchema = new org.apache.avro.Schema.Parser().parse(
+      if (specFields.isEmpty) IcebergExport.ManifestEntryAvro
+      else IcebergExport.manifestEntryAvro(specFields.map(f => (f._1, f._5, f._6))))
     val dfSchema = entrySchema.getField("data_file").schema()
     val manifestPath = new Path(metaDir, s"m-append-$newSnap.avro")
     val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
@@ -200,7 +300,11 @@ object IcebergAppend {
       dfr.put("content", 0)
       dfr.put("file_path", fs.makeQualified(p).toString)
       dfr.put("file_format", "PARQUET")
-      dfr.put("partition", new GenericData.Record(dfSchema.getField("partition").schema()))
+      val pRec = new GenericData.Record(dfSchema.getField("partition").schema())
+      specFields.foreach { f =>
+        pRec.put(f._1, partValue(p, f._1, if (f._7) f._3 else f._1, f._5))
+      }
+      dfr.put("partition", pRec)
       dfr.put("record_count", st.rows)
       dfr.put("file_size_in_bytes", fs.getFileStatus(p).getLen)
       val byId = st.cols.toSeq.flatMap { case (n, c) => idByName.get(n).map(_ -> c) }

@@ -1031,7 +1031,7 @@ object IcebergImport {
     *   - truncate[W]: leading W chars (string) or `v - (v mod W)` with
     *     the spec's non-negative mod (int/long)
     * None = not computable for that (transform, source type). */
-  private def transformExpr(c: Column, srcType: DataType, transform: String): Option[Column] = {
+  private[io] def transformExpr(c: Column, srcType: DataType, transform: String): Option[Column] = {
     val BucketT = "bucket\\[(\\d+)\\]".r
     val TruncT = "truncate\\[(\\d+)\\]".r
     transform match {

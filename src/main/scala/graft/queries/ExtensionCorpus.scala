@@ -2842,12 +2842,44 @@ object ExtensionCorpus {
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
   )
 
+  /** PARTITIONED foreign append under the gate (X126b — the
+    * reference's flagship table shape is `PARTITIONED BY
+    * (sys_file_date)`, `job_silver.py:66-88`): half of orders exported
+    * as an IDENTITY-partitioned Iceberg layout, the other half landed
+    * through the foreign append — rows re-land IN their partitions
+    * (`partitionBy` over the spec's source column, typed partition
+    * structs in the manifest entries) — and the per-partition
+    * aggregate through `graft_iceberg_scan` must be hash-exact vs the
+    * raw parquet. */
+  private val q156 = Q(
+    "q156_iceberg_partitioned_append",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q156-snap").toString
+      val t = new graft.io.SnapshotTables(s, root)
+      val ord = fixture(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+      t.overwriteTable(ord.filter(col("o_orderkey") % 2 === 0), "ord",
+        partitionCols = Seq("o_orderstatus"))
+      val dest = java.nio.file.Files.createTempDirectory("q156-ice").toString
+      graft.io.IcebergExport.export(t, "ord", dest)
+      graft.io.IcebergAppend.append(s, dest, ord.filter(col("o_orderkey") % 2 =!= 0))
+      s.sql(s"""SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM graft_iceberg_scan('$dest')
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    },
+    Some("""SELECT o_orderstatus, COUNT(*) AS n,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  )
+
   val all: Seq[Q] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q98b, q99, q100, q101, q102, q106, q107, q108,
     q109, q111, q112, q113, q114, q116, q117, q118, q119, q121, q122, q123, q125, q126, q127,
     q128, q130, q131, q132, q133, q135, q136, q137, q138, q139, q140, q141, q143, q144,
-    q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155
+    q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156
   )
 
 }

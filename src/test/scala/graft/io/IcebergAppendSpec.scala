@@ -102,13 +102,48 @@ class IcebergAppendSpec extends SparkSpec {
       (1L to 4L).map(i => (i, s"v$i")).toSet)
   }
 
-  test("refusals: partitioned spec, schema mismatch, v1 table, racing version file") {
+  test("partitioned append: rows land IN their partitions (identity spec)") {
     val part = exported((1L to 9L).map(i => (i, s"v$i", (i % 3).toInt)).toDF("k", "v", "b"),
       partitionCols = Seq("b"))
-    val e1 = intercept[IllegalArgumentException](
-      IcebergAppend.append(spark, part, Seq((10L, "x", 1)).toDF("k", "v", "b")))
-    assert(e1.getMessage.contains("PARTITIONED"))
+    IcebergAppend.append(spark, part,
+      Seq((10L, "x", 1), (11L, "y", 2), (12L, "z", 1)).toDF("k", "v", "b"))
+    val out = IcebergImport.read(spark, part)
+    assert(out.count() == 12)
+    assert(out.filter(col("b") === 1).count() ==
+      (1L to 9L).count(_ % 3 == 1) + 2)
+    // appended files live under identity b=... dirs, the column only
+    // in partition metadata (the spec's identity projection shape)
+    val appended = IcebergImport.dataFiles(spark, part).filter(_.contains("/data/append-"))
+    assert(appended.nonEmpty && appended.forall(_.contains("b=")))
+    // and the manifest partition struct scopes them: a probe on b
+    // must be able to skip appended files of OTHER buckets (pruned
+    // read stays exact)
+    assert(out.filter(col("b") === 2).as[(Long, String, Int)].collect().map(_._1).toSet ==
+      ((1L to 9L).filter(_ % 3 == 2) :+ 11L).toSet)
+  }
 
+  test("partitioned append: murmur3 bucket transform computed for the derived dirs") {
+    val root = java.nio.file.Files.createTempDirectory("graft-app-bkt").toString
+    val t = new SnapshotTables(spark, root)
+    val base = (1L to 40L).map(i => (i, i * 1.5)).toDF("k", "x")
+    t.overwriteTableTransformed(base, "tab",
+      Seq(SnapshotTables.PartitionTransform.bucketMurmur3(8, "k")))
+    val dest = java.nio.file.Files.createTempDirectory("graft-app-bkt-ice").toString
+    IcebergExport.export(t, "tab", dest)
+    IcebergAppend.append(spark, dest, Seq((41L, 61.5), (42L, 63.0)).toDF("k", "x"))
+    val out = IcebergImport.read(spark, dest)
+    assert(out.as[(Long, Double)].collect().toSet ==
+      ((1L to 40L).map(i => (i, i * 1.5)) ++ Seq((41L, 61.5), (42L, 63.0))).toSet)
+    // the derived dir value IS Iceberg's murmur3 bucket of the key
+    val appended = IcebergImport.dataFiles(spark, dest).filter(_.contains("/data/append-"))
+    assert(appended.nonEmpty)
+    appended.foreach { f =>
+      val m = "k_bucket=(\\d+)".r.findFirstMatchIn(f)
+      assert(m.nonEmpty, f)
+    }
+  }
+
+  test("refusals: schema mismatch, v1 table, racing version file") {
     val dest = exported(Seq((1L, "a")).toDF("k", "v"))
     val e2 = intercept[IllegalArgumentException](
       IcebergAppend.append(spark, dest, Seq((2L, "b", 1)).toDF("k", "v", "extra")))
