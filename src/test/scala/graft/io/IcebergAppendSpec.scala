@@ -143,6 +143,30 @@ class IcebergAppendSpec extends SparkSpec {
     }
   }
 
+  test("partitioned append: day transform derives the spec's date image") {
+    val root = java.nio.file.Files.createTempDirectory("graft-app-day").toString
+    val t = new SnapshotTables(spark, root)
+    val base = (1 to 20).map(i =>
+      (i.toLong, java.sql.Date.valueOf(s"2024-01-${(i % 5) + 1}"), i * 2.0))
+      .toDF("k", "d", "x")
+    t.overwriteTableTransformed(base, "tab",
+      Seq(SnapshotTables.PartitionTransform.days("d")))
+    val dest = java.nio.file.Files.createTempDirectory("graft-app-day-ice").toString
+    IcebergExport.export(t, "tab", dest)
+    IcebergAppend.append(spark, dest,
+      Seq((21L, java.sql.Date.valueOf("2024-01-03"), 42.0)).toDF("k", "d", "x"))
+    val out = IcebergImport.read(spark, dest)
+    assert(out.count() == 21)
+    assert(out.filter(col("d") === java.sql.Date.valueOf("2024-01-03"))
+      .as[(Long, java.sql.Date, Double)].collect().map(_._1).toSet ==
+      ((1 to 20).filter(i => (i % 5) + 1 == 3).map(_.toLong) :+ 21L).toSet)
+    // the derived dir carries the transform's integer date image
+    val appended = IcebergImport.dataFiles(spark, dest).filter(_.contains("/data/append-"))
+    assert(appended.nonEmpty)
+    val days = java.time.LocalDate.parse("2024-01-03").toEpochDay
+    appended.foreach(f => assert(f.contains(s"d_day=$days"), f))
+  }
+
   test("refusals: schema mismatch, v1 table, racing version file") {
     val dest = exported(Seq((1L, "a")).toDF("k", "v"))
     val e2 = intercept[IllegalArgumentException](

@@ -182,10 +182,18 @@ def plan_scan(table_dir):
             if "field-id" in e and "names" in e:
                 name_mapping[e["field-id"]] = e["names"]
 
+    # partition specs by id — identity fields feed the spec's
+    # identity-projection rule (the source column may live only in
+    # partition metadata, never in the data files)
+    specs = {}
+    for s in md.get("partition-specs") or []:
+        specs[s.get("spec-id", 0)] = s.get("fields") or []
+
     mlist, _ = read_avro_file(resolve(table_dir, snap["manifest-list"]))
     data, deletes = [], []
     for m in mlist:
         seq0 = m.get("sequence_number", 0)
+        spec_fields = specs.get(m.get("partition_spec_id", 0), [])
         entries, mmeta = read_avro_file(resolve(table_dir, m["manifest_path"]))
         for e in entries:
             if e.get("status", 1) == 2:
@@ -196,12 +204,29 @@ def plan_scan(table_dir):
                 if e.get("status", 1) != 1:
                     raise ValueError("non-ADDED entry without explicit sequence")
                 seq = seq0
+            # this file's identity partition values: source column name
+            # -> decoded value (dates arrive as epoch-day ints)
+            ident = {}
+            part = df.get("partition") or {}
+            for f in spec_fields:
+                if f.get("transform") == "identity" and f.get("name") in part:
+                    src = field_names.get(f.get("source-id"))
+                    ftype = next((fl.get("type") for fl in schema["fields"]
+                                  if fl.get("id") == f.get("source-id")), None)
+                    v = part[f.get("name")]
+                    if v is not None and ftype == "date":
+                        import datetime
+                        v = (datetime.date(1970, 1, 1) +
+                             datetime.timedelta(days=v)).isoformat()
+                    if src:
+                        ident[src] = v
             rec = {
                 "path": resolve(table_dir, df["file_path"]),
                 "seq": seq,
                 "content": df.get("content", 0),
                 "eq_ids": df.get("equality_ids") or [],
                 "record_count": df["record_count"],
+                "ident": ident,
             }
             (data if rec["content"] == 0 else deletes).append(rec)
     return data, deletes, field_names, schema["fields"], name_mapping
@@ -222,10 +247,12 @@ def duck_type(t):
     raise SystemExit(f"unmapped Iceberg type for independent read: {t}")
 
 
-def resolve_fields(con, src_sql, fields, name_mapping):
+def resolve_fields(con, src_sql, fields, name_mapping, ident_cols=(), qual=""):
     """Per the spec's projection rules over id-less files: each CURRENT
     field selects its own name when the parquet carries it, else a
-    mapped historical name, else a typed NULL (the file predates the
+    mapped historical name, else its per-file IDENTITY partition value
+    (the spec's identity-projection rule; `ident_cols` name the columns
+    the pv table supplies), else a typed NULL (the file predates the
     column); everything casts to the CURRENT type (legal promotions
     widen)."""
     avail = {r[0] for r in con.execute(f"DESCRIBE {src_sql}").fetchall()}
@@ -234,13 +261,21 @@ def resolve_fields(con, src_sql, fields, name_mapping):
         ty = duck_type(f["type"])
         src = None
         if f["name"] in avail:
-            src = f["name"]
+            src = qual + f'"{f["name"]}"'
+            # union_by_name NULL-fills files that LACK the column — for
+            # an identity-partitioned column the partition value wins
+            if f["name"] in ident_cols:
+                src = f'COALESCE({src}, pv."{f["name"]}")'
         else:
-            src = next((n for n in name_mapping.get(f["id"], []) if n in avail), None)
+            old = next((n for n in name_mapping.get(f["id"], []) if n in avail), None)
+            if old is not None:
+                src = qual + f'"{old}"'
+            elif f["name"] in ident_cols:
+                src = f'pv."{f["name"]}"'
         if src is None:
             parts.append(f'CAST(NULL AS {ty}) AS "{f["name"]}"')
         else:
-            parts.append(f'CAST("{src}" AS {ty}) AS "{f["name"]}"')
+            parts.append(f'CAST({src} AS {ty}) AS "{f["name"]}"')
     return ", ".join(parts)
 
 
@@ -258,11 +293,24 @@ def main():
     seq_rows = ",".join(f"('{f['path']}',{f['seq']})" for f in data)
     con.execute(f"CREATE TABLE fseq(path VARCHAR, seq BIGINT); "
                 f"INSERT INTO fseq VALUES {seq_rows}")
+    # per-file IDENTITY partition values (the spec's projection rule
+    # for columns living only in partition metadata)
+    ident_cols = sorted({c for f in data for c in f.get("ident", {})})
+    pv_join = ""
+    if ident_cols:
+        cols_ddl = ", ".join(f'"{c}" VARCHAR' for c in ident_cols)
+        con.execute(f"CREATE TABLE pv(path VARCHAR, {cols_ddl})")
+        for f in data:
+            vals = [f["path"]] + [f.get("ident", {}).get(c) for c in ident_cols]
+            ph = ",".join("?" for _ in vals)
+            con.execute(f"INSERT INTO pv VALUES ({ph})", vals)
+        pv_join = " LEFT JOIN pv ON d.filename = pv.path"
     data_read = (f"read_parquet({flist(data)}, filename=true, "
                  f"file_row_number=true, union_by_name=true)")
-    sel = resolve_fields(con, f"SELECT * FROM {data_read}", fields, name_mapping)
+    sel = resolve_fields(con, f"SELECT * FROM {data_read}", fields, name_mapping,
+                         ident_cols=set(ident_cols), qual="d.")
     base = (f"SELECT {sel}, d.filename, d.file_row_number, fseq.seq AS __seq "
-            f"FROM {data_read} d JOIN fseq ON d.filename = fseq.path")
+            f"FROM {data_read} d JOIN fseq ON d.filename = fseq.path{pv_join}")
     con.execute(f"CREATE VIEW base AS {base}")
     view = "base"
     pos = [f for f in deletes if f["content"] == 1]
