@@ -64,6 +64,9 @@ import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType,
   *    (dir, keep_last, remove_orphans)` — foreign-table maintenance
   *    ([[graft.io.IcebergMaintenance]]): REPLACE-snapshot compaction
   *    folding row-level deletes; history expiry with orphan inventory
+  *  - `iceberg_append(dir, query)` — append a SQL query's result to a
+  *    foreign Iceberg table as one spec-shaped snapshot
+  *    ([[graft.io.IcebergAppend]]); returns the snapshot id
   *
   * `table` arguments are namespace-qualified WITHIN the catalog
   * (`'dw.t'`); `tables` is a comma-separated list of the same. Each
@@ -83,7 +86,8 @@ private[catalog] object SnapshotProcedures {
       // evolution X125, maintenance X128) — these don't touch this
       // catalog's tables, the catalog is only the SQL `CALL` mount point
       "iceberg_rename_column", "iceberg_add_column", "iceberg_drop_column",
-      "iceberg_promote_column", "iceberg_compact", "iceberg_expire_snapshots")
+      "iceberg_promote_column", "iceberg_compact", "iceberg_expire_snapshots",
+      "iceberg_append")
 
   private def param(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()
@@ -170,6 +174,8 @@ private[catalog] object SnapshotProcedures {
           case "iceberg_expire_snapshots" =>
             Array(param("dir", StringType), paramD("keep_last", IntegerType, "1"),
               paramD("remove_orphans", BooleanType, "false"))
+          case "iceberg_append" =>
+            Array(param("dir", StringType), param("query", StringType))
         }
 
         override def call(input: InternalRow): java.util.Iterator[Scan] = ident.name match {
@@ -325,6 +331,16 @@ private[catalog] object SnapshotProcedures {
             val spark = org.apache.spark.sql.SparkSession.active
             val snap = graft.io.IcebergMaintenance.compact(spark,
               input.getUTF8String(0).toString, input.getInt(1))
+            val schema = new StructType().add("snapshot_id", LongType, nullable = false)
+            java.util.List.of[Scan](new LocalScan {
+              override def rows(): Array[InternalRow] = Array(InternalRow(snap))
+              override def readSchema(): StructType = schema
+            }).iterator()
+          case "iceberg_append" =>
+            val spark = org.apache.spark.sql.SparkSession.active
+            val snap = graft.io.IcebergAppend.append(spark,
+              input.getUTF8String(0).toString,
+              spark.sql(input.getUTF8String(1).toString))
             val schema = new StructType().add("snapshot_id", LongType, nullable = false)
             java.util.List.of[Scan](new LocalScan {
               override def rows(): Array[InternalRow] = Array(InternalRow(snap))

@@ -90,15 +90,21 @@ class IcebergMaintenanceSpec extends SparkSpec {
     val v2 = spark.sql(s"CALL icemaint.system.iceberg_add_column('$dest', 'note', 'string')")
       .collect().head.getInt(0)
     assert(v2 == v1 + 1)
+    // append new rows from a SQL QUERY through the CALL face
+    val appSnap = spark.sql(s"""CALL icemaint.system.iceberg_append('$dest',
+      'SELECT CAST(100 AS BIGINT) AS k, CAST(0.25 AS DOUBLE) AS price,
+        CAST(NULL AS STRING) AS note')""").collect().head.getLong(0)
+    assert(appSnap > 0)
     val snap = spark.sql(s"CALL icemaint.system.iceberg_compact('$dest', 1)")
       .collect().head.getLong(0)
-    assert(snap > 0)
+    assert(snap > appSnap)
     val exp = spark.sql(
       s"CALL icemaint.system.iceberg_expire_snapshots('$dest', 1, true)").collect().head
     assert(exp.getInt(0) > 0 && exp.getInt(1) == exp.getInt(0))
     val out = IcebergImport.read(spark, dest)
     assert(out.columns.toSeq == Seq("k", "price", "note"))
-    assert(out.select("k", "price").as[(Long, Double)].collect().toSet == expect)
+    assert(out.select("k", "price").as[(Long, Double)].collect().toSet ==
+      expect + ((100L, 0.25)))
     assert(IcebergImport.dataFiles(spark, dest).size == 1)
   }
 

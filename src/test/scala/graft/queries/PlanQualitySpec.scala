@@ -323,6 +323,10 @@ class PlanQualitySpec extends SparkSpec {
     val names = out.collect().map(_.getString(nameCol)).toSet
     assert(names == Set("rollback", "create_branch", "drop_branch", "create_tag", "drop_tag", "fast_forward",
       "optimize", "compact_deltas", "evolve_partitioning", "expire_snapshots",
-      "remove_orphan_files", "expire_log", "publish_branches", "export_iceberg_metadata"))
+      "remove_orphan_files", "expire_log", "publish_branches", "export_iceberg_metadata",
+      // the FOREIGN-Iceberg-by-path surface (bridge evolution/maintenance/append)
+      "iceberg_rename_column", "iceberg_add_column", "iceberg_drop_column",
+      "iceberg_promote_column", "iceberg_compact", "iceberg_expire_snapshots",
+      "iceberg_append"))
   }
 }
