@@ -18,7 +18,7 @@ object DriveIceExport {
     // fresh fixture dirs: a re-run over stale metadata would collide
     // on version files (the append's optimistic concurrency, working
     // as designed — but these are throwaway fixtures)
-    Seq("plain", "mor", "bucket", "posdel", "evolved", "appended", "partitioned")
+    Seq("plain", "mor", "bucket", "posdel", "evolved", "appended", "partitioned", "scoped")
       .foreach { n =>
         val p = new org.apache.hadoop.fs.Path(s"/tmp/ind_export_$n")
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -103,6 +103,26 @@ object DriveIceExport {
       .agg(count(lit(1)), sum(col("o_totalprice").cast("decimal(18,2)")).cast("string"),
         count(when(col("o_orderstatus") === "O", 1))).collect()(0)
     println(s"EXPECT partitioned count=${r7r.getLong(0)} sum=${r7r.getString(1)} o=${r7r.getLong(2)}")
+
+    // 8: identity-SCOPED equality delete — applies only within its
+    // partition; the witness must express the scope, not over-delete
+    val r8 = java.nio.file.Files.createTempDirectory("ind-snap8").toString
+    val t8 = new graft.io.SnapshotTables(spark, r8)
+    t8.overwriteTable(ord, "ord", partitionCols = Seq("o_orderstatus"))
+    graft.io.IcebergExport.export(t8, "ord", "/tmp/ind_export_scoped")
+    val delDir = java.nio.file.Files.createTempDirectory("ind-scope-del").toString
+    ord.filter(col("o_custkey") % 10 === 0).select("o_custkey").distinct()
+      .coalesce(1).write.mode("overwrite").parquet(delDir)
+    val delFile = new java.io.File(delDir).listFiles()
+      .find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+    graft.io.IcebergTestSplice.addDeleteSnapshot("/tmp/ind_export_scoped",
+      Seq(graft.io.IcebergTestSplice.Del(delFile, content = 2, seq = 100,
+        eqIds = Seq(2), partVals = Seq("o_orderstatus" -> "O"))),
+      specId = 0, partFields = Seq(("o_orderstatus", "string")))
+    val r8r = graft.io.IcebergImport.read(spark, "/tmp/ind_export_scoped")
+      .agg(count(lit(1)), sum(col("o_totalprice").cast("decimal(18,2)")).cast("string"),
+        count(when(col("o_orderstatus") === "O", 1))).collect()(0)
+    println(s"EXPECT scoped count=${r8r.getLong(0)} sum=${r8r.getString(1)} o=${r8r.getLong(2)}")
     spark.stop()
   }
 }

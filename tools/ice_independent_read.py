@@ -207,19 +207,22 @@ def plan_scan(table_dir):
             # this file's identity partition values: source column name
             # -> decoded value (dates arrive as epoch-day ints)
             ident = {}
+            scope = []
             part = df.get("partition") or {}
             for f in spec_fields:
-                if f.get("transform") == "identity" and f.get("name") in part:
-                    src = field_names.get(f.get("source-id"))
-                    ftype = next((fl.get("type") for fl in schema["fields"]
-                                  if fl.get("id") == f.get("source-id")), None)
-                    v = part[f.get("name")]
-                    if v is not None and ftype == "date":
-                        import datetime
-                        v = (datetime.date(1970, 1, 1) +
-                             datetime.timedelta(days=v)).isoformat()
-                    if src:
-                        ident[src] = v
+                if f.get("name") not in part:
+                    continue
+                src = field_names.get(f.get("source-id"))
+                ftype = next((fl.get("type") for fl in schema["fields"]
+                              if fl.get("id") == f.get("source-id")), None)
+                v = part[f.get("name")]
+                if v is not None and ftype == "date" and f.get("transform") == "identity":
+                    import datetime
+                    v = (datetime.date(1970, 1, 1) +
+                         datetime.timedelta(days=v)).isoformat()
+                if f.get("transform") == "identity" and src:
+                    ident[src] = v
+                scope.append((src, f.get("transform"), v, ftype))
             rec = {
                 "path": resolve(table_dir, df["file_path"]),
                 "seq": seq,
@@ -227,6 +230,7 @@ def plan_scan(table_dir):
                 "eq_ids": df.get("equality_ids") or [],
                 "record_count": df["record_count"],
                 "ident": ident,
+                "scope": scope,
             }
             (data if rec["content"] == 0 else deletes).append(rec)
     return data, deletes, field_names, schema["fields"], name_mapping
@@ -339,11 +343,32 @@ def main():
         dsel = resolve_fields(con, f"SELECT * FROM read_parquet('{f['path']}')",
                               eq_fields, name_mapping)
         cols = [fl["name"] for fl in eq_fields]
-        conds = " AND ".join(f'e."{c}" IS NOT DISTINCT FROM v."{c}"' for c in cols)
+        conds = [f'e."{c}" IS NOT DISTINCT FROM v."{c}"' for c in cols]
+        # the delete's PARTITION SCOPE (spec: a delete under a
+        # partitioned spec applies only within its partition). The
+        # witness expresses IDENTITY scope as SQL conditions on the
+        # source column; any other scoping transform is refused —
+        # applying it wrong would silently over-delete.
+        for (src, transform, v, ftype) in f.get("scope", []):
+            if transform != "identity":
+                raise SystemExit(
+                    f"equality delete scoped by {transform}({src}) — this witness "
+                    "only evaluates identity scope")
+            if src is None:
+                raise SystemExit("identity-scoped delete with unresolvable source column")
+            if v is None:
+                lit = "NULL"
+            elif ftype == "date":
+                lit = f"CAST('{v}' AS DATE)"
+            elif isinstance(v, str):
+                lit = "'" + v.replace("'", "''") + "'"
+            else:
+                lit = str(v)
+            conds.append(f'v."{src}" IS NOT DISTINCT FROM {lit}')
         con.execute(
             f"CREATE VIEW eq{i} AS SELECT * FROM {view} v WHERE NOT EXISTS ("
             f"SELECT 1 FROM (SELECT {dsel} FROM read_parquet('{f['path']}')) e "
-            f"WHERE {conds} AND {f['seq']} > v.__seq)")
+            f"WHERE {' AND '.join(conds)} AND {f['seq']} > v.__seq)")
         view = f"eq{i}"
     user_cols = ", ".join(f'"{n}"' for n in field_names.values())
     con.execute(f"CREATE VIEW t AS SELECT {user_cols} FROM {view}")
