@@ -118,6 +118,35 @@ object IcebergEvolve {
       hit.asInstanceOf[ObjectNode].put("type", icebergType)
     }
 
+  /** Create an immutable TAG ref on a snapshot (the current one when
+    * `snapshotId` is empty) — a metadata-only commit; reads resolve it
+    * via [[IcebergImport.readRef]], and [[IcebergMaintenance
+    * .expireSnapshots]] RETAINS every ref-pointed snapshot. */
+  def createTag(spark: SparkSession, tableDir: String, name: String,
+      snapshotId: Option[Long] = None): Unit =
+    commitRaw(spark, tableDir) { md =>
+      val refs =
+        if (md.hasNonNull("refs")) md.get("refs").asInstanceOf[ObjectNode]
+        else md.putObject("refs")
+      require(!refs.hasNonNull(name), s"ref '$name' already exists on $tableDir")
+      val snaps = md.get("snapshots")
+      val ids = (0 until snaps.size).map(snaps.get(_).get("snapshot-id").asLong).toSet
+      val target = snapshotId.getOrElse(md.get("current-snapshot-id").asLong)
+      require(ids.contains(target),
+        s"snapshot $target not in $tableDir — have ${ids.toSeq.sorted.mkString(", ")}")
+      val r = refs.putObject(name)
+      r.put("snapshot-id", target); r.put("type", "tag")
+    }
+
+  /** Drop a named ref; `main` refuses (it is the table head). */
+  def dropRef(spark: SparkSession, tableDir: String, name: String): Unit =
+    commitRaw(spark, tableDir) { md =>
+      require(name != "main", s"cannot drop the main branch of $tableDir")
+      val refs = if (md.hasNonNull("refs")) md.get("refs").asInstanceOf[ObjectNode] else null
+      require(refs != null && refs.hasNonNull(name), s"no ref '$name' on $tableDir")
+      refs.remove(name)
+    }
+
   /** Merge `historical` into the field's `schema.name-mapping.default`
     * entry, creating the property/entry when absent. Unrenamed fields
     * need no entry — id-less files carry them under their current
@@ -150,7 +179,43 @@ object IcebergEvolve {
     * the current schema appended as a new schema-id) to `edit`, then
     * commit v<hint+1>.metadata.json + hint. */
   private def commit(spark: SparkSession, tableDir: String)
-      (edit: (ObjectNode, ObjectNode) => Unit): Unit = {
+      (edit: (ObjectNode, ObjectNode) => Unit): Unit =
+    commitRaw(spark, tableDir) { md =>
+      // the current schema node, per the v2 (schemas + current-schema-id)
+      // and v1 (single schema) shapes
+      val (cur: ObjectNode, schemasArr: Option[ArrayNode]) = {
+        val schemas = md.get("schemas")
+        if (schemas != null && schemas.size > 0) {
+          val want = if (md.has("current-schema-id")) md.get("current-schema-id").asInt else 0
+          val node = (0 until schemas.size).map(schemas.get)
+            .find(s => s.has("schema-id") && s.get("schema-id").asInt == want)
+            .getOrElse(schemas.get(0))
+          (node.asInstanceOf[ObjectNode], Some(schemas.asInstanceOf[ArrayNode]))
+        } else (md.get("schema").asInstanceOf[ObjectNode], None)
+      }
+      schemasArr match {
+        case Some(arr) =>
+          // spec evolution: append a NEW schema under a fresh id
+          val newId = (0 until arr.size).map(arr.get(_).get("schema-id").asInt).max + 1
+          val evolved = cur.deepCopy().asInstanceOf[ObjectNode]
+          evolved.put("schema-id", newId)
+          edit(md, evolved)
+          arr.add(evolved)
+          md.put("current-schema-id", newId)
+          // migration-era metadata may carry the legacy single "schema"
+          // alongside "schemas" — a stale copy would mislead readers
+          // that prefer it, so it evolves in lockstep
+          if (md.has("schema")) md.set("schema", evolved.deepCopy())
+        case None =>
+          // v1 single-schema metadata evolves in place
+          edit(md, cur)
+      }
+    }
+
+  /** One metadata-only commit with NO schema machinery (ref edits):
+    * load latest, `edit` the root, write v<hint+1> + hint. */
+  private def commitRaw(spark: SparkSession, tableDir: String)
+      (edit: ObjectNode => Unit): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val metaDir = new Path(tableDir, "metadata")
     val fs = metaDir.getFileSystem(hconf)
@@ -160,38 +225,7 @@ object IcebergEvolve {
       val in = fs.open(mdPath)
       try om.readTree(in).asInstanceOf[ObjectNode] finally in.close()
     }
-
-    // the current schema node, per the v2 (schemas + current-schema-id)
-    // and v1 (single schema) shapes
-    val (cur: ObjectNode, schemasArr: Option[ArrayNode]) = {
-      val schemas = md.get("schemas")
-      if (schemas != null && schemas.size > 0) {
-        val want = if (md.has("current-schema-id")) md.get("current-schema-id").asInt else 0
-        val node = (0 until schemas.size).map(schemas.get)
-          .find(s => s.has("schema-id") && s.get("schema-id").asInt == want)
-          .getOrElse(schemas.get(0))
-        (node.asInstanceOf[ObjectNode], Some(schemas.asInstanceOf[ArrayNode]))
-      } else (md.get("schema").asInstanceOf[ObjectNode], None)
-    }
-
-    schemasArr match {
-      case Some(arr) =>
-        // spec evolution: append a NEW schema under a fresh id
-        val newId = (0 until arr.size).map(arr.get(_).get("schema-id").asInt).max + 1
-        val evolved = cur.deepCopy().asInstanceOf[ObjectNode]
-        evolved.put("schema-id", newId)
-        edit(md, evolved)
-        arr.add(evolved)
-        md.put("current-schema-id", newId)
-        // migration-era metadata may carry the legacy single "schema"
-        // alongside "schemas" — a stale copy would mislead readers
-        // that prefer it, so it evolves in lockstep
-        if (md.has("schema")) md.set("schema", evolved.deepCopy())
-      case None =>
-        // v1 single-schema metadata evolves in place
-        edit(md, cur)
-    }
-
+    edit(md)
     val hint = mdPath.getName.stripPrefix("v").stripSuffix(".metadata.json").toInt
     val out = new Path(metaDir, s"v${hint + 1}.metadata.json")
     val os = fs.create(out, true)

@@ -809,6 +809,36 @@ object IcebergImport {
     df.select(userCols.map(col): _*)
   }
 
+  /** The table's named refs (branches and tags): name → (snapshot id,
+    * ref type). The `main` branch is included when declared. */
+  def refs(spark: SparkSession, tableDir: String): Map[String, (Long, String)] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val metaDir = new Path(tableDir, "metadata")
+    val f = metaDir.getFileSystem(hconf)
+    val mdPath = latestMetadata(f, metaDir)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val md = { val in = f.open(mdPath); try om.readTree(in) finally in.close() }
+    val r = md.get("refs")
+    if (r == null) Map.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      r.fieldNames().asScala.map { n =>
+        val v = r.get(n)
+        n -> (v.get("snapshot-id").asLong,
+          if (v.hasNonNull("type")) v.get("type").asText else "branch")
+      }.toMap
+    }
+  }
+
+  /** Read the snapshot a named ref (tag or branch) points at — the
+    * `VERSION AS OF 'name'` face for foreign tables. */
+  def readRef(spark: SparkSession, tableDir: String, ref: String): DataFrame = {
+    val all = refs(spark, tableDir)
+    val (snap, _) = all.getOrElse(ref, throw new IllegalArgumentException(
+      s"no ref '$ref' on $tableDir — have: ${all.keys.toSeq.sorted.mkString(", ")}"))
+    read(spark, tableDir, Some(snap))
+  }
+
   /** Snapshot ids available in the table's metadata, newest metadata
     * file wins — the time-travel surface. */
   def snapshots(spark: SparkSession, tableDir: String): Seq[Long] = {

@@ -106,8 +106,18 @@ object IcebergMaintenance {
     val byTime = (0 until snaps.size).map(snaps.get)
       .sortBy(s => (s.get("timestamp-ms").asLong, s.get("snapshot-id").asLong))
     val cur = md.get("current-snapshot-id").asLong
+    // every ref-pointed snapshot survives expiry (a tag is a promise)
+    val refIds: Set[Long] = {
+      val r = md.get("refs")
+      if (r == null) Set.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        r.fieldNames().asScala.map(n => r.get(n).get("snapshot-id").asLong).toSet
+      }
+    }
     val keepNodes = (byTime.takeRight(keepLast) ++
-      byTime.filter(_.get("snapshot-id").asLong == cur)).distinct
+      byTime.filter(s => s.get("snapshot-id").asLong == cur ||
+        refIds.contains(s.get("snapshot-id").asLong))).distinct
     val keepIds = keepNodes.map(_.get("snapshot-id").asLong).toSet
 
     // ---- the retained reference set ---------------------------------

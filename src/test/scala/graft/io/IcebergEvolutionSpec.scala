@@ -252,6 +252,64 @@ class IcebergEvolutionSpec extends SparkSpec {
     assert(e.getMessage.contains("not a legal"))
   }
 
+  test("pushdown and pruning reach the scan THROUGH the rename projection") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ice-evplan").toString
+    val t = new SnapshotTables(spark, root)
+    t.overwriteTable((1L to 5L).map(i => (i, s"v$i", i * 1.0)).toDF("k", "v", "w"), "tab")
+    val dest = java.nio.file.Files.createTempDirectory("graft-ice-evplan-out").toString
+    IcebergExport.export(t, "tab", dest)
+    IcebergEvolve.renameColumn(spark, dest, "v", "label")
+    val q = IcebergImport.read(spark, dest)
+      .filter(col("k") > 2L).select(col("k"), col("label"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThan(k,2)"), plan)     // filter pushed to the scan
+    assert(plan.contains("ReadSchema: struct<k:bigint,v:string>"), plan) // pruned to the
+    // two PHYSICAL columns — the untouched 'w' never read, 'label'
+    // resolved to its historical physical name
+    assert(q.count() == 3)
+  }
+
+  test("tags: readRef time-travel, expiry retains tagged snapshots, refusal matrix") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ice-tag").toString
+    val t = new SnapshotTables(spark, root)
+    t.overwriteTable((1L to 3L).map(i => (i, s"v$i")).toDF("k", "v"), "tab")
+    val dest = java.nio.file.Files.createTempDirectory("graft-ice-tag-out").toString
+    IcebergExport.export(t, "tab", dest)
+    IcebergEvolve.createTag(spark, dest, "baseline")
+    IcebergAppend.append(spark, dest, Seq((4L, "v4")).toDF("k", "v"))
+
+    val refs = IcebergImport.refs(spark, dest)
+    assert(refs.contains("main") && refs("baseline")._2 == "tag")
+    assert(IcebergImport.readRef(spark, dest, "baseline")
+      .as[(Long, String)].collect().toSet == (1L to 3L).map(i => (i, s"v$i")).toSet)
+    assert(IcebergImport.readRef(spark, dest, "main")
+      .as[(Long, String)].collect().toSet == (1L to 4L).map(i => (i, s"v$i")).toSet)
+
+    // expiry keeps the TAGGED snapshot alive (a tag is a promise) and
+    // leaves its files out of the orphan inventory
+    IcebergMaintenance.expireSnapshots(spark, dest, keepLast = 1, removeOrphans = true)
+    assert(IcebergImport.readRef(spark, dest, "baseline")
+      .as[(Long, String)].collect().toSet == (1L to 3L).map(i => (i, s"v$i")).toSet)
+    assert(IcebergImport.read(spark, dest).count() == 4)
+
+    // refusals: duplicate tag, unknown snapshot, dropping main,
+    // reading an unknown ref
+    assert(intercept[IllegalArgumentException](
+      IcebergEvolve.createTag(spark, dest, "baseline")).getMessage.contains("already exists"))
+    assert(intercept[IllegalArgumentException](
+      IcebergEvolve.createTag(spark, dest, "x", Some(999L))).getMessage.contains("not in"))
+    assert(intercept[IllegalArgumentException](
+      IcebergEvolve.dropRef(spark, dest, "main")).getMessage.contains("main branch"))
+    assert(intercept[IllegalArgumentException](
+      IcebergImport.readRef(spark, dest, "nope")).getMessage.contains("no ref"))
+
+    // dropping the tag releases its snapshot to the next expiry
+    IcebergEvolve.dropRef(spark, dest, "baseline")
+    IcebergMaintenance.expireSnapshots(spark, dest, keepLast = 1, removeOrphans = true)
+    assert(IcebergImport.snapshots(spark, dest).size == 1)
+    assert(IcebergImport.read(spark, dest).count() == 4)
+  }
+
   test("a misclassified id-less file under a tight probe budget fails loudly, never mis-reads") {
     val idFile = writeIdParquet(Seq(Row(1L, 10.5)), idAmount)
     val dir0 = java.nio.file.Files.createTempDirectory("graft-ice-noid").toString
