@@ -114,7 +114,8 @@ object TableManifest {
   * (jar-free read of an external Iceberg v1/v2 table layout):
   *
   *   SELECT * FROM graft_iceberg_scan('/path/to/iceberg/table')
-  *   SELECT * FROM graft_iceberg_scan('/path', 3)   -- snapshot id
+  *   SELECT * FROM graft_iceberg_scan('/path', 3)      -- snapshot id
+  *   SELECT * FROM graft_iceberg_scan('/path', 'tag')  -- named ref
   *
   * Planning resolves the snapshot's data-file set from the metadata
   * JSON + Avro manifests (O(metadata)); the scan itself is a stock
@@ -123,19 +124,26 @@ object IcebergScan {
 
   def plan(args: Seq[Expression]): LogicalPlan = {
     require(args.length == 1 || args.length == 2,
-      s"graft_iceberg_scan(table_dir[, snapshot_id]) takes 1-2 arguments, got ${args.length}")
+      s"graft_iceberg_scan(table_dir[, snapshot_id | ref]) takes 1-2 arguments, got ${args.length}")
     val dir = args.head match {
       case l: Literal if l.dataType == StringType && l.value != null => l.value.toString
       case other => throw new IllegalArgumentException(
         s"graft_iceberg_scan: table_dir must be a string literal, got $other")
     }
-    val snap = args.lift(1).map {
-      case l: Literal if (l.dataType == LongType || l.dataType == IntegerType) && l.value != null =>
-        l.value match { case i: Int => i.toLong; case v: Long => v }
-      case other => throw new IllegalArgumentException(
-        s"graft_iceberg_scan: snapshot_id must be an integer literal, got $other")
+    val spark = SparkSession.active
+    args.lift(1) match {
+      case None =>
+        graft.io.IcebergImport.read(spark, dir).queryExecution.analyzed
+      case Some(l: Literal) if (l.dataType == LongType || l.dataType == IntegerType) &&
+          l.value != null =>
+        val snap = l.value match { case i: Int => i.toLong; case v: Long => v }
+        graft.io.IcebergImport.read(spark, dir, Some(snap)).queryExecution.analyzed
+      case Some(l: Literal) if l.dataType == StringType && l.value != null =>
+        // a NAMED REF (tag or branch) — the VERSION AS OF 'name' face
+        graft.io.IcebergImport.readRef(spark, dir, l.value.toString).queryExecution.analyzed
+      case Some(other) => throw new IllegalArgumentException(
+        s"graft_iceberg_scan: second argument must be an integer snapshot id or a string ref, got $other")
     }
-    graft.io.IcebergImport.read(SparkSession.active, dir, snap).queryExecution.analyzed
   }
 
   private def dirAndSnap(name: String, args: Seq[Expression]): (String, Option[Long]) = {

@@ -284,6 +284,11 @@ class IcebergEvolutionSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet == (1L to 3L).map(i => (i, s"v$i")).toSet)
     assert(IcebergImport.readRef(spark, dest, "main")
       .as[(Long, String)].collect().toSet == (1L to 4L).map(i => (i, s"v$i")).toSet)
+    // the SQL face takes the ref as a string second argument
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft_iceberg_scan('$dest', 'baseline')")
+      .collect().head.getLong(0) == 3)
+    assert(spark.sql(
+      s"SELECT MAX(k) FROM graft_iceberg_scan('$dest', 'main')").collect().head.getLong(0) == 4)
 
     // expiry keeps the TAGGED snapshot alive (a tag is a promise) and
     // leaves its files out of the orphan inventory
