@@ -2874,12 +2874,56 @@ object ExtensionCorpus {
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
   )
 
+  /** NAMED REFS on foreign tables under the gate (the refs half of
+    * X125): half of lineitem exported, TAGGED (`IcebergEvolve
+    * .createTag`, a metadata-only commit), then the other half
+    * appended — and `graft_iceberg_scan('/dir', 'tag')` must still
+    * aggregate to exactly the PRE-append content (the tag is an
+    * immutable pointer the later append cannot move), while 'main'
+    * sees everything. The oracle replays both sides from the raw
+    * parquet in one query. */
+  private val q157 = Q(
+    "q157_iceberg_ref_read",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q157-snap").toString
+      val t = new graft.io.SnapshotTables(s, root)
+      val li = fixture(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      t.overwriteTable(li.filter(col("l_orderkey") % 2 === 0), "li")
+      val dest = java.nio.file.Files.createTempDirectory("q157-ice").toString
+      graft.io.IcebergExport.export(t, "li", dest)
+      graft.io.IcebergEvolve.createTag(s, dest, "before_load")
+      graft.io.IcebergAppend.append(s, dest, li.filter(col("l_orderkey") % 2 =!= 0))
+      s.sql(s"""SELECT tagged.l_returnflag,
+        tagged.n AS n_tagged, head.n AS n_head,
+        tagged.sum_qty AS qty_tagged, head.sum_qty AS qty_head
+        FROM (SELECT l_returnflag, COUNT(*) AS n,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          FROM graft_iceberg_scan('$dest', 'before_load') GROUP BY l_returnflag) tagged
+        JOIN (SELECT l_returnflag, COUNT(*) AS n,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          FROM graft_iceberg_scan('$dest', 'main') GROUP BY l_returnflag) head
+        USING (l_returnflag)
+        ORDER BY l_returnflag""")
+    },
+    Some("""SELECT t.l_returnflag, t.n AS n_tagged, h.n AS n_head,
+      t.sum_qty AS qty_tagged, h.sum_qty AS qty_head
+      FROM (SELECT l_returnflag, COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY l_returnflag) t
+      JOIN (SELECT l_returnflag, COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY l_returnflag) h
+      USING (l_returnflag)
+      ORDER BY l_returnflag""")
+  )
+
   val all: Seq[Q] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q98b, q99, q100, q101, q102, q106, q107, q108,
     q109, q111, q112, q113, q114, q116, q117, q118, q119, q121, q122, q123, q125, q126, q127,
     q128, q130, q131, q132, q133, q135, q136, q137, q138, q139, q140, q141, q143, q144,
-    q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156
+    q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157
   )
 
 }
