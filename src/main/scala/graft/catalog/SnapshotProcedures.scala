@@ -87,7 +87,8 @@ private[catalog] object SnapshotProcedures {
       // catalog's tables, the catalog is only the SQL `CALL` mount point
       "iceberg_rename_column", "iceberg_add_column", "iceberg_drop_column",
       "iceberg_promote_column", "iceberg_compact", "iceberg_expire_snapshots",
-      "iceberg_append")
+      "iceberg_append", "iceberg_delete_where", "iceberg_update",
+      "iceberg_create_branch", "iceberg_fast_forward")
 
   private def param(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()
@@ -176,6 +177,18 @@ private[catalog] object SnapshotProcedures {
               paramD("remove_orphans", BooleanType, "false"))
           case "iceberg_append" =>
             Array(param("dir", StringType), param("query", StringType))
+          case "iceberg_delete_where" =>
+            Array(param("dir", StringType), param("predicate", StringType),
+              paramD("equality_cols", StringType, "''"))
+          case "iceberg_update" =>
+            // assignments: ';'-separated `col = <sql expr>` pairs (',' may
+            // appear inside expressions, so it cannot be the separator)
+            Array(param("dir", StringType), param("predicate", StringType),
+              param("assignments", StringType))
+          case "iceberg_create_branch" =>
+            Array(param("dir", StringType), param("branch", StringType))
+          case "iceberg_fast_forward" =>
+            Array(param("dir", StringType), param("branch", StringType))
         }
 
         override def call(input: InternalRow): java.util.Iterator[Scan] = ident.name match {
@@ -353,6 +366,44 @@ private[catalog] object SnapshotProcedures {
               input.getUTF8String(0).toString, input.getInt(1), removeOrphans = remove)
             result(outSchema("orphans_found", "orphans_removed"),
               orphans.size, if (remove) orphans.size else 0)
+
+          // ---- FOREIGN Iceberg row-level DML + branches (X129/X130)
+          case "iceberg_delete_where" =>
+            val spark = org.apache.spark.sql.SparkSession.active
+            val eqCols = input.getUTF8String(2).toString
+              .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+            val snap = graft.io.IcebergDml.deleteWhere(spark,
+              input.getUTF8String(0).toString, input.getUTF8String(1).toString, eqCols)
+            longResult("snapshot_id", snap.getOrElse(-1L))
+          case "iceberg_update" =>
+            val spark = org.apache.spark.sql.SparkSession.active
+            val assigns = input.getUTF8String(2).toString
+              .split(';').map(_.trim).filter(_.nonEmpty).map { a =>
+                val i = a.indexOf('=')
+                require(i > 0, s"assignment '$a' must be 'col = <sql expr>'")
+                a.substring(0, i).trim -> a.substring(i + 1).trim
+              }.toMap
+            val snap = graft.io.IcebergDml.update(spark,
+              input.getUTF8String(0).toString, input.getUTF8String(1).toString, assigns)
+            longResult("snapshot_id", snap.getOrElse(-1L))
+          case "iceberg_create_branch" =>
+            val spark = org.apache.spark.sql.SparkSession.active
+            val dir = input.getUTF8String(0).toString
+            graft.io.IcebergEvolve.createBranch(spark, dir, input.getUTF8String(1).toString)
+            result(outSchema("metadata_version"), hintOf(spark, dir))
+          case "iceberg_fast_forward" =>
+            val spark = org.apache.spark.sql.SparkSession.active
+            val dir = input.getUTF8String(0).toString
+            graft.io.IcebergEvolve.fastForward(spark, dir, input.getUTF8String(1).toString)
+            result(outSchema("metadata_version"), hintOf(spark, dir))
+        }
+
+        private def longResult(name: String, v: Long): java.util.Iterator[Scan] = {
+          val schema = new StructType().add(name, LongType, nullable = false)
+          java.util.List.of[Scan](new LocalScan {
+            override def rows(): Array[InternalRow] = Array(InternalRow(v))
+            override def readSchema(): StructType = schema
+          }).iterator()
         }
       }
     }

@@ -43,11 +43,23 @@ import org.apache.spark.sql.types._
   * every existing delete file's, the table's equality deletes never
   * touch them — the spec's strictly-earlier gating, no special case.
   *
+  * The load → write-manifest → commit pieces are shared (private[io])
+  * with [[IcebergDml]] (row-level deletes/updates committing delete
+  * manifests), [[IcebergMaintenance.compact]] (a REPLACE snapshot is
+  * exactly an append whose manifest list drops the previous manifests
+  * — built BEFORE the single commit, so no reader ever sees an
+  * intermediate doubled head), and branch-targeted commits (`branch`
+  * param: the snapshot parents off and advances the named branch ref,
+  * leaving `main`/`current-snapshot-id` untouched — Iceberg's
+  * write-audit-publish on foreign tables).
+  *
   * Honest refusals: v1 tables (no sequence semantics to inherit),
   * spec transforms this engine cannot compute (landing rows in the
   * wrong partition would corrupt scoped-delete semantics), identity
   * partition values that don't path-encode losslessly, schema
-  * mismatches, and version-file collisions.
+  * mismatches, version-file collisions, and metadata layouts whose
+  * version the writer cannot derive (catalog-style
+  * `00001-<uuid>.metadata.json` names are read-only here).
   */
 object IcebergAppend {
 
@@ -56,10 +68,20 @@ object IcebergAppend {
     * [[committedTxnIds]] scans. */
   private[graft] val TxnKey = "graft-txn-id"
 
-  /** Every `graft-txn-id` marker recorded in the table's snapshot
-    * summaries — what a streaming writer consults to skip a replayed
-    * micro-batch (Iceberg's own streaming sinks use the same
-    * summary-marker idempotence pattern). */
+  /** Table-property prefix under which committed txn markers are ALSO
+    * persisted (`graft.txn.<namespace>` = a compact range list of
+    * batch ids). Snapshot summaries die with snapshot expiry
+    * ([[IcebergMaintenance.expireSnapshots]]); table properties are
+    * carried forward in every metadata version, so the streaming
+    * replay guard survives expiry. */
+  private[io] val TxnRangesPrefix = "graft.txn."
+  private[io] val TxnRawKey = "graft.txn.raw"
+
+  /** Every txn marker recorded on the table — the union of snapshot-
+    * summary markers (live snapshots) and the expiry-proof
+    * `graft.txn.*` table properties. What a streaming writer consults
+    * to skip a replayed micro-batch (Iceberg's own streaming sinks use
+    * the same summary-marker idempotence pattern). */
   def committedTxnIds(spark: SparkSession, tableDir: String): Set[String] = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val metaDir = new Path(tableDir, "metadata")
@@ -68,22 +90,124 @@ object IcebergAppend {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val md = { val in = fs.open(mdPath); try om.readTree(in) finally in.close() }
     val snaps = md.get("snapshots")
-    if (snaps == null) Set.empty
-    else (0 until snaps.size).map(snaps.get).flatMap { s =>
-      val sm = s.get("summary")
-      if (sm != null && sm.hasNonNull(TxnKey)) Some(sm.get(TxnKey).asText) else None
-    }.toSet
+    val fromSummaries: Set[String] =
+      if (snaps == null) Set.empty
+      else (0 until snaps.size).map(snaps.get).flatMap { s =>
+        val sm = s.get("summary")
+        if (sm != null && sm.hasNonNull(TxnKey)) Some(sm.get(TxnKey).asText) else None
+      }.toSet
+    val props = md.get("properties")
+    val fromProps: Set[String] =
+      if (props == null) Set.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        props.fieldNames().asScala.flatMap {
+          case TxnRawKey =>
+            val arr = om.readTree(props.get(TxnRawKey).asText)
+            (0 until arr.size).map(arr.get(_).asText)
+          case k if k.startsWith(TxnRangesPrefix) =>
+            val ns = k.stripPrefix(TxnRangesPrefix)
+            decodeRanges(props.get(k).asText).map(n => s"$ns.$n")
+          case _ => Nil
+        }.toSet
+      }
+    fromSummaries ++ fromProps
   }
 
-  /** Append `df` as a new snapshot; returns the new snapshot id.
-    * `summaryProps` land in the snapshot summary (e.g. the streaming
-    * replay marker). */
-  def append(spark: SparkSession, tableDir: String, df: DataFrame,
-      summaryProps: Map[String, String] = Map.empty): Long = {
+  // ------------------------------------------------------------------
+  // compact range-list codec for the expiry-proof txn property:
+  // "0-17,19,21-23". Batch ids per checkpoint are near-contiguous, so
+  // a 10k-batch stream persists as a handful of bytes, not 10k ids.
+  // ------------------------------------------------------------------
+
+  private[io] def decodeRanges(s: String): Seq[Long] =
+    if (s.isEmpty) Nil
+    else s.split(',').toSeq.flatMap { part =>
+      part.split('-') match {
+        case Array(one) => Seq(one.toLong)
+        case Array(a, b) => a.toLong to b.toLong
+        case _ => throw new IllegalArgumentException(s"bad txn range '$part' in '$s'")
+      }
+    }
+
+  private[io] def encodeRanges(ids: Seq[Long]): String = {
+    val sorted = ids.distinct.sorted
+    val parts = Seq.newBuilder[String]
+    var i = 0
+    while (i < sorted.length) {
+      var j = i
+      while (j + 1 < sorted.length && sorted(j + 1) == sorted(j) + 1) j += 1
+      parts += (if (j == i) sorted(i).toString else s"${sorted(i)}-${sorted(j)}")
+      i = j + 1
+    }
+    parts.result().mkString(",")
+  }
+
+  /** Fold a committed txn marker into the metadata's expiry-proof
+    * `graft.txn.*` properties (numeric-tailed markers range-compress;
+    * anything else lands in the raw JSON list). */
+  private def recordTxnProperty(om: com.fasterxml.jackson.databind.ObjectMapper,
+      md: ObjectNode, txn: String): Unit = {
+    val props =
+      if (md.hasNonNull("properties")) md.get("properties").asInstanceOf[ObjectNode]
+      else md.putObject("properties")
+    val cut = txn.lastIndexOf('.')
+    val numericTail = if (cut > 0) txn.substring(cut + 1).toLongOption else None
+    numericTail match {
+      case Some(n) =>
+        val key = TxnRangesPrefix + txn.substring(0, cut)
+        val prior = if (props.hasNonNull(key)) decodeRanges(props.get(key).asText) else Nil
+        props.put(key, encodeRanges(prior :+ n))
+      case None =>
+        val arr =
+          if (props.hasNonNull(TxnRawKey)) om.readTree(props.get(TxnRawKey).asText).asInstanceOf[ArrayNode]
+          else om.createArrayNode()
+        val have = (0 until arr.size).map(arr.get(_).asText).toSet
+        if (!have.contains(txn)) arr.add(txn)
+        props.put(TxnRawKey, om.writeValueAsString(arr))
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // shared commit machinery (private[io]): load → write manifests →
+  // one atomic metadata commit
+  // ------------------------------------------------------------------
+
+  /** One freshly written manifest awaiting commit. `content`: 0 = data
+    * manifest, 1 = delete manifest (manifest_file vocabulary). */
+  private[io] case class NewManifest(path: Path, content: Int, files: Int, rows: Long)
+
+  /** The parsed write-side view of a table head: current schema fields
+    * `(id, name, spark type)`, the default partition spec as
+    * `(name, transform, srcCol, srcType, avro kind, field id,
+    * identity?)` tuples, and the next snapshot/sequence coordinates.
+    * `parent` is the head of the TARGET BRANCH (`main` = the table
+    * head). */
+  private[io] case class Loaded(
+      tableDir: String,
+      fs: org.apache.hadoop.fs.FileSystem,
+      metaDir: Path,
+      mdPath: Path,
+      md: ObjectNode,
+      om: com.fasterxml.jackson.databind.ObjectMapper,
+      fields: Seq[(Int, String, DataType)],
+      specFields: Seq[(String, String, String, DataType, String, Int, Boolean)],
+      defaultSpecId: Int,
+      newSnap: Long,
+      newSeq: Long,
+      parent: Option[Long],
+      branch: String)
+
+  private[io] def load(spark: SparkSession, tableDir: String,
+      branch: String = "main"): Loaded = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val metaDir = new Path(tableDir, "metadata")
     val fs = metaDir.getFileSystem(hconf)
     val mdPath = IcebergImport.latestMetadata(fs, metaDir)
+    // refuse non-v<N> layouts up front — the commit could not derive
+    // the next version name (A DML that writes data files first and
+    // only then discovers it cannot commit would leave debris)
+    IcebergImport.writableVersionOf(mdPath)
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val md = {
       val in = fs.open(mdPath)
@@ -91,7 +215,7 @@ object IcebergAppend {
     }
     val fv = if (md.has("format-version")) md.get("format-version").asInt else 1
     require(fv == 2,
-      s"append needs a v2 table (sequence-number inheritance); $mdPath is format-version $fv")
+      s"commit needs a v2 table (sequence-number inheritance); $mdPath is format-version $fv")
 
     // ---- current schema: (id, name, spark type) in schema order ----
     val schemaNode = {
@@ -124,8 +248,6 @@ object IcebergAppend {
           .map(_.get("fields")).orNull
       else md.get("partition-spec")
     }
-    /** (spec field name, transform, source column, source type, avro
-      * kind of the partition VALUE, spec field id, identity?). */
     val specFields: Seq[(String, String, String, DataType, String, Int, Boolean)] =
       if (specNode == null) Nil
       else (0 until specNode.size).map(specNode.get).map { f =>
@@ -167,12 +289,46 @@ object IcebergAppend {
         s"derived partition field '${f._1}' collides with a table column of $tableDir")
     }
 
+    // ---- new snapshot / sequence coordinates; parent = branch head --
+    val snaps = md.withArray[ArrayNode]("snapshots")
+    val prevIds = (0 until snaps.size).map(snaps.get(_).get("snapshot-id").asLong)
+    val parent: Option[Long] =
+      if (branch == "main") {
+        if (md.hasNonNull("current-snapshot-id") && md.get("current-snapshot-id").asLong != -1L)
+          Some(md.get("current-snapshot-id").asLong)
+        else None
+      } else {
+        val refs = md.get("refs")
+        require(refs != null && refs.hasNonNull(branch),
+          s"no branch '$branch' on $tableDir — create it with IcebergEvolve.createBranch")
+        val r = refs.get(branch)
+        val tpe = if (r.hasNonNull("type")) r.get("type").asText else "branch"
+        require(tpe == "branch",
+          s"ref '$branch' on $tableDir is a $tpe — tags are immutable, only branches take commits")
+        Some(r.get("snapshot-id").asLong)
+      }
+    val newSnap = (prevIds :+ 0L).max + 1
+    val newSeq = (if (md.hasNonNull("last-sequence-number"))
+      md.get("last-sequence-number").asLong else 0L) + 1
+    Loaded(tableDir, fs, metaDir, mdPath, md, om, fields, specFields, defaultSpecId,
+      newSnap, newSeq, parent, branch)
+  }
+
+  /** Conform `df` to the table's current schema, write it as
+    * field-id-carrying parquet (landing IN its partitions under a
+    * partitioned default spec), and write one ADDED data manifest with
+    * footer stats. Nothing is committed — the returned manifest enters
+    * a snapshot via [[commitSnapshot]]. */
+  private[io] def writeDataManifest(spark: SparkSession, lt: Loaded, df: DataFrame): NewManifest = {
+    import lt.{fs, fields, specFields, md, metaDir, tableDir, newSnap}
+    val hconf = spark.sparkContext.hadoopConfiguration
+
     // ---- conform rows to the current schema, ids in the footers -----
     val names = fields.map(_._2)
     val missing = names.filterNot(df.columns.contains)
     val extras = df.columns.filterNot(names.contains)
     require(missing.isEmpty && extras.isEmpty,
-      s"append schema mismatch vs $tableDir: missing ${missing.mkString("[", ",", "]")}, " +
+      s"schema mismatch vs $tableDir: missing ${missing.mkString("[", ",", "]")}, " +
         s"extra ${extras.mkString("[", ",", "]")}")
     val conformed = df.select(fields.map { case (id, n, dt) =>
       org.apache.spark.sql.functions.col(n).cast(dt).as(n,
@@ -206,10 +362,10 @@ object IcebergAppend {
       }
       b.result().sortBy(_.toString)
     }
-    require(dataFiles.nonEmpty, s"append wrote no parquet files under $dataDir" +
-      (if (dirCols.nonEmpty) " — a partitioned append of zero rows has nothing to commit" else ""))
+    require(dataFiles.nonEmpty, s"wrote no parquet files under $dataDir" +
+      (if (dirCols.nonEmpty) " — a partitioned write of zero rows has nothing to commit" else ""))
 
-    /** This file's `dir=value` components below the append segment. */
+    /** This file's `dir=value` components below the segment root. */
     def rawParts(p: Path): Map[String, String] = {
       val rel = p.toString.stripPrefix(fs.makeQualified(dataDir).toString)
         .stripPrefix(dataDir.toString).stripPrefix("/")
@@ -226,7 +382,7 @@ object IcebergAppend {
       * transform's integer image — both land as the logical-date int. */
     def partValue(p: Path, name: String, dirName: String, kind: String): AnyRef = {
       val raw = rawParts(p).getOrElse(dirName, throw new IllegalArgumentException(
-        s"appended file $p lacks a directory value for partition field '$name'"))
+        s"written file $p lacks a directory value for partition field '$name'"))
       if (raw == "__HIVE_DEFAULT_PARTITION__") null
       else kind match {
         case "int" => java.lang.Integer.valueOf(raw.toInt)
@@ -236,18 +392,6 @@ object IcebergAppend {
           raw.toIntOption.getOrElse(java.time.LocalDate.parse(raw).toEpochDay.toInt))
       }
     }
-
-    // ---- new snapshot / sequence coordinates ------------------------
-    val snaps = md.withArray[ArrayNode]("snapshots")
-    val prevIds = (0 until snaps.size).map(snaps.get(_).get("snapshot-id").asLong)
-    val cur: Option[Long] =
-      if (md.hasNonNull("current-snapshot-id") && md.get("current-snapshot-id").asLong != -1L)
-        Some(md.get("current-snapshot-id").asLong)
-      else None
-    val newSnap = (prevIds :+ 0L).max + 1
-    val newSeq = (if (md.hasNonNull("last-sequence-number"))
-      md.get("last-sequence-number").asLong else 0L) + 1
-    val now = System.currentTimeMillis()
 
     // ---- footer stats for the manifest (file-skipping surface) ------
     def statKind(dt: DataType): Option[String] = dt match {
@@ -267,12 +411,12 @@ object IcebergAppend {
       dataFiles.map(p => p.toString ->
         IcebergExport.footerStats(p.toString, hconf, wanted)).toMap
 
-    // ---- the append manifest -----------------------------------------
+    // ---- the data manifest -------------------------------------------
     val entrySchema = new org.apache.avro.Schema.Parser().parse(
       if (specFields.isEmpty) IcebergExport.ManifestEntryAvro
       else IcebergExport.manifestEntryAvro(specFields.map(f => (f._1, f._5, f._6))))
     val dfSchema = entrySchema.getField("data_file").schema()
-    val manifestPath = new Path(metaDir, s"m-append-$newSnap.avro")
+    val manifestPath = new Path(metaDir, s"m-append-$newSnap-$segId.avro")
     val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](entrySchema))
     w.setMeta("content", "data")
@@ -324,12 +468,30 @@ object IcebergAppend {
       w.append(e)
     }
     w.close()
+    NewManifest(manifestPath, content = 0, files = dataFiles.size, rows = totalRows)
+  }
 
-    // ---- new manifest list: previous manifests + the append one -----
+  /** Commit `manifests` as ONE new snapshot on `lt`'s branch: one new
+    * manifest list (the branch parent's manifests — re-serialized
+    * field-by-field so foreign richer list schemas pass through —
+    * when `carryPrevious`, plus the new ones at the next sequence),
+    * one snapshot node, ONE new metadata version created WITHOUT
+    * overwrite (racing writers conflict loudly). Non-main branches
+    * advance only their own ref — `current-snapshot-id`, `refs.main`
+    * and the snapshot-log stay untouched (Iceberg's snapshot-log
+    * records changes to the CURRENT snapshot only). */
+  private[io] def commitSnapshot(spark: SparkSession, lt: Loaded,
+      manifests: Seq[NewManifest], operation: String,
+      summaryProps: Map[String, String] = Map.empty,
+      carryPrevious: Boolean = true): Long = {
+    import lt.{fs, md, om, metaDir, mdPath, tableDir, newSnap, newSeq, parent, branch}
+    require(manifests.nonEmpty, s"a snapshot commit on $tableDir needs at least one manifest")
+    val now = System.currentTimeMillis()
+    val snaps = md.withArray[ArrayNode]("snapshots")
+
+    // ---- new manifest list: (previous manifests +) the new ones -----
     val listSchema = new org.apache.avro.Schema.Parser().parse(IcebergExport.ManifestFileAvro)
     def listEntry(src: GenericRecord): GenericRecord = {
-      // rebuild field-by-field so FOREIGN list schemas (richer: partition
-      // summaries, key metadata) re-serialize correctly under ours
       def opt[T](n: String, dflt: T): T =
         IcebergImport.fieldOpt(src, n).map(_.asInstanceOf[T]).getOrElse(dflt)
       val r = new GenericData.Record(listSchema)
@@ -349,80 +511,137 @@ object IcebergAppend {
       r.put("deleted_rows_count", opt[Long]("deleted_rows_count", 0L))
       r
     }
-    val prevManifests: Seq[GenericRecord] = cur match {
-      case None => Nil
-      case Some(c) =>
-        val snap = (0 until snaps.size).map(snaps.get).find(_.get("snapshot-id").asLong == c)
-          .getOrElse(throw new IllegalArgumentException(
-            s"current snapshot $c not in the snapshot list of $mdPath"))
-        require(snap.hasNonNull("manifest-list"),
-          s"snapshot $c of $mdPath has no manifest-list (v1 inline layout?) — cannot append")
-        val listP = {
-          val p0 = snap.get("manifest-list").asText
-          if (p0.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*") || p0.startsWith("/")) new Path(p0)
-          else new Path(tableDir, p0)
-        }
-        IcebergImport.readAvro(_ => fs, listP)._1.map(listEntry)
-    }
-    val newListPath = new Path(metaDir, s"snap-$newSnap-1-append.avro")
+    val prevManifests: Seq[GenericRecord] =
+      if (!carryPrevious) Nil
+      else parent match {
+        case None => Nil
+        case Some(c) =>
+          val snap = (0 until snaps.size).map(snaps.get).find(_.get("snapshot-id").asLong == c)
+            .getOrElse(throw new IllegalArgumentException(
+              s"parent snapshot $c not in the snapshot list of $mdPath"))
+          require(snap.hasNonNull("manifest-list"),
+            s"snapshot $c of $mdPath has no manifest-list (v1 inline layout?) — cannot commit")
+          val listP = IcebergImport.resolve(tableDir, snap.get("manifest-list").asText)
+          IcebergImport.readAvro(_ => fs, listP)._1.map(listEntry)
+      }
+    val newListPath = new Path(metaDir, s"snap-$newSnap-1-$operation.avro")
     val lw = new org.apache.avro.file.DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](listSchema))
     lw.setMeta("format-version", "2")
     lw.create(listSchema, fs.create(newListPath, false))
     prevManifests.foreach(lw.append)
-    val lr = new GenericData.Record(listSchema)
-    lr.put("manifest_path", fs.makeQualified(manifestPath).toString)
-    lr.put("manifest_length", fs.getFileStatus(manifestPath).getLen)
-    lr.put("partition_spec_id",
-      if (md.has("default-spec-id")) md.get("default-spec-id").asInt else 0)
-    lr.put("content", 0)
-    lr.put("sequence_number", newSeq)
-    lr.put("min_sequence_number", newSeq)
-    lr.put("added_snapshot_id", newSnap)
-    lr.put("added_files_count", dataFiles.size)
-    lr.put("existing_files_count", 0)
-    lr.put("deleted_files_count", 0)
-    lr.put("added_rows_count", totalRows)
-    lr.put("existing_rows_count", 0L)
-    lr.put("deleted_rows_count", 0L)
-    lw.append(lr)
+    manifests.foreach { m =>
+      val lr = new GenericData.Record(listSchema)
+      lr.put("manifest_path", fs.makeQualified(m.path).toString)
+      lr.put("manifest_length", fs.getFileStatus(m.path).getLen)
+      lr.put("partition_spec_id",
+        if (m.content == 1) deleteSpecId(lt)
+        else if (md.has("default-spec-id")) md.get("default-spec-id").asInt else 0)
+      lr.put("content", m.content)
+      lr.put("sequence_number", newSeq)
+      lr.put("min_sequence_number", newSeq)
+      lr.put("added_snapshot_id", newSnap)
+      lr.put("added_files_count", m.files)
+      lr.put("existing_files_count", 0)
+      lr.put("deleted_files_count", 0)
+      lr.put("added_rows_count", m.rows)
+      lr.put("existing_rows_count", 0L)
+      lr.put("deleted_rows_count", 0L)
+      lw.append(lr)
+    }
     lw.close()
 
-    // ---- commit the new metadata version -----------------------------
+    // ---- the new metadata version -------------------------------------
     val newSnapNode = snaps.addObject()
     newSnapNode.put("snapshot-id", newSnap)
-    cur.foreach(c => newSnapNode.put("parent-snapshot-id", c))
+    parent.foreach(c => newSnapNode.put("parent-snapshot-id", c))
     newSnapNode.put("sequence-number", newSeq)
     newSnapNode.put("timestamp-ms", now)
     val summary = newSnapNode.putObject("summary")
-    summary.put("operation", "append")
+    summary.put("operation", operation)
     summaryProps.foreach { case (k, v) => summary.put(k, v) }
     newSnapNode.put("manifest-list", fs.makeQualified(newListPath).toString)
     if (md.has("current-schema-id"))
       newSnapNode.put("schema-id", md.get("current-schema-id").asInt)
-    md.put("current-snapshot-id", newSnap)
     md.put("last-sequence-number", newSeq)
     md.put("last-updated-ms", now)
-    val slog = md.withArray[ArrayNode]("snapshot-log")
-    val sl = slog.addObject()
-    sl.put("timestamp-ms", now); sl.put("snapshot-id", newSnap)
+    summaryProps.get(TxnKey).foreach(txn => recordTxnProperty(om, md, txn))
     val refs =
       if (md.hasNonNull("refs")) md.get("refs").asInstanceOf[ObjectNode]
       else md.putObject("refs")
-    val mainRef =
-      if (refs.hasNonNull("main")) refs.get("main").asInstanceOf[ObjectNode]
-      else refs.putObject("main")
-    mainRef.put("snapshot-id", newSnap)
-    if (!mainRef.has("type")) mainRef.put("type", "branch")
+    val branchRef =
+      if (refs.hasNonNull(branch)) refs.get(branch).asInstanceOf[ObjectNode]
+      else refs.putObject(branch)
+    branchRef.put("snapshot-id", newSnap)
+    if (!branchRef.has("type")) branchRef.put("type", "branch")
+    if (branch == "main") {
+      md.put("current-snapshot-id", newSnap)
+      val slog = md.withArray[ArrayNode]("snapshot-log")
+      val sl = slog.addObject()
+      sl.put("timestamp-ms", now); sl.put("snapshot-id", newSnap)
+    }
 
-    val hint = mdPath.getName.stripPrefix("v").stripSuffix(".metadata.json").toInt
+    val hint = IcebergImport.writableVersionOf(mdPath)
     val newMdPath = new Path(metaDir, s"v${hint + 1}.metadata.json")
-    // overwrite=false: a racing append fails HERE, loudly — optimistic
+    // overwrite=false: a racing commit fails HERE, loudly — optimistic
     // concurrency on the version file, never a lost write
     val os = fs.create(newMdPath, false)
     try os.write(om.writeValueAsString(md).getBytes("UTF-8")) finally os.close()
     val hs = fs.create(new Path(metaDir, "version-hint.text"), true)
     try hs.write((hint + 1).toString.getBytes("UTF-8")) finally hs.close()
     newSnap
+  }
+
+  /** The spec id DELETE manifests enter under: the first spec with NO
+    * fields (global deletes live in an unpartitioned spec per the
+    * public spec). [[IcebergDml]] registers one via [[ensureUnpartitionedSpec]]
+    * before writing delete manifests; an unpartitioned table's default
+    * spec qualifies directly. */
+  private[io] def deleteSpecId(lt: Loaded): Int = {
+    val specs = lt.md.get("partition-specs")
+    val hit =
+      if (specs != null && specs.size > 0)
+        (0 until specs.size).map(specs.get).find { s =>
+          val f = s.get("fields"); f == null || f.size == 0
+        }.map(s => if (s.has("spec-id")) s.get("spec-id").asInt else 0)
+      else if (lt.specFields.isEmpty) Some(0)
+      else None
+    hit.getOrElse(throw new IllegalStateException(
+      s"no unpartitioned spec on ${lt.tableDir} — call ensureUnpartitionedSpec before " +
+        "writing delete manifests"))
+  }
+
+  /** Make sure the metadata carries an unpartitioned spec for global
+    * delete manifests, registering a fresh spec id when absent (spec
+    * evolution is append-only; `default-spec-id` is untouched). The
+    * edit rides the SAME metadata commit as the delete snapshot. */
+  private[io] def ensureUnpartitionedSpec(lt: Loaded): Int = {
+    val md = lt.md
+    val specs = md.withArray[ArrayNode]("partition-specs")
+    val existing = (0 until specs.size).map(specs.get).find { s =>
+      val f = s.get("fields"); f == null || f.size == 0
+    }
+    existing match {
+      case Some(s) => if (s.has("spec-id")) s.get("spec-id").asInt else 0
+      case None =>
+        val newId = ((0 until specs.size).map(s =>
+          if (specs.get(s).has("spec-id")) specs.get(s).get("spec-id").asInt else 0) :+ 0).max + 1
+        val node = specs.addObject()
+        node.put("spec-id", newId)
+        node.putArray("fields")
+        newId
+    }
+  }
+
+  /** Append `df` as a new snapshot on `branch` (default: the table
+    * head); returns the new snapshot id. `summaryProps` land in the
+    * snapshot summary (e.g. the streaming replay marker — also
+    * persisted expiry-proof as a `graft.txn.*` table property). */
+  def append(spark: SparkSession, tableDir: String, df: DataFrame,
+      summaryProps: Map[String, String] = Map.empty,
+      branch: String = "main"): Long = {
+    val lt = load(spark, tableDir, branch)
+    val m = writeDataManifest(spark, lt, df)
+    commitSnapshot(spark, lt, Seq(m), operation = "append", summaryProps = summaryProps)
   }
 }

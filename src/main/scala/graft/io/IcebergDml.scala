@@ -1,0 +1,200 @@
+package graft.io
+
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types._
+
+/** Jar-free ROW-LEVEL DML on a FOREIGN Iceberg v2 table — the last
+  * quadrant of the interop bridge: a migrating user whose tables stay
+  * `USING ICEBERG` (the reference's are,
+  * `/root/reference/spark/jobs/job_silver.py:66-88`, and the
+  * reference deployment's Iceberg runtime does row-level DML on them)
+  * can DELETE and UPDATE rows through graft without the Iceberg jars,
+  * exactly per the public spec's merge-on-read shape:
+  *
+  *  - [[deleteWhere]] writes spec-shaped EQUALITY DELETE files
+  *    (content=2 entries with `equality_ids`, landed in an
+  *    UNPARTITIONED spec — global deletes) plus one `delete`-operation
+  *    snapshot. By default the equality columns are ALL table columns,
+  *    which makes equality semantics EXACT predicate semantics: a row
+  *    equal to a matched row in every column satisfies the same
+  *    predicate, so nothing over- or under-deletes — including
+  *    duplicate copies, which all match. With explicit `equalityCols`
+  *    (e.g. a primary key) the delete file stores only those columns
+  *    and the semantics widen to "every row sharing a key tuple with a
+  *    matched row" — the caller asserts key semantics, the file
+  *    shrinks to O(distinct keys).
+  *  - [[update]] commits the pre-image rows as a full-column equality
+  *    delete AND the post-image rows as a new data manifest in ONE
+  *    `overwrite` snapshot — readers either see the table before the
+  *    update or after it, never a deleted-but-not-yet-rewritten
+  *    intermediate. The v2 sequence rules make this safe with no
+  *    special casing: both manifests take the same new sequence
+  *    number, equality deletes apply only to STRICTLY LOWER sequences,
+  *    so the rewritten rows are never eaten by their own delete.
+  *
+  * Scale shape: the delete file is O(matched rows) (O(distinct keys)
+  * under explicit `equalityCols`), never O(table); no data file is
+  * rewritten (merge-on-read — the read-side anti-join is
+  * [[IcebergImport]]'s existing delete application, and
+  * [[IcebergMaintenance.compact]] folds the debt away). Both commits
+  * go through [[IcebergAppend]]'s optimistic version-file pattern —
+  * racing writers conflict loudly.
+  *
+  * Honest refusals: map-typed equality columns (Spark cannot join on
+  * maps, so no engine-side anti-join could apply the delete),
+  * equality columns absent from the schema, v1 tables, non-`v<N>`
+  * metadata layouts, and predicates/assignments that don't analyze.
+  */
+object IcebergDml {
+
+  /** Delete rows matching the SQL `predicate` from the table (on
+    * `branch` when given — write-audit-publish). Returns the new
+    * snapshot id, or None when nothing matched (no commit — an empty
+    * delete file would be pure debt). */
+  def deleteWhere(spark: SparkSession, tableDir: String, predicate: String,
+      equalityCols: Seq[String] = Nil, branch: String = "main"): Option[Long] = {
+    val lt = IcebergAppend.load(spark, tableDir, branch)
+    val current = readHead(spark, tableDir, lt)
+    val matched = current.filter(expr(predicate))
+    val keyCols = resolveKeyCols(lt, equalityCols, current.schema)
+    val keys = matched.select(keyCols.map(col): _*).distinct()
+    if (keys.isEmpty) return None
+    val specId = IcebergAppend.ensureUnpartitionedSpec(lt)
+    val m = writeEqualityDeleteManifest(spark, lt, keys, keyCols, specId)
+    Some(IcebergAppend.commitSnapshot(spark, lt, Seq(m), operation = "delete"))
+  }
+
+  /** Update rows matching the SQL `predicate`: each assignment maps a
+    * column name to a SQL expression over the current row (evaluated
+    * on the PRE-image, then cast back to the column's declared type —
+    * never a silent schema change). One `overwrite` snapshot carries
+    * both the full-column equality delete of the pre-images and the
+    * data manifest of the post-images. Returns the new snapshot id,
+    * or None when nothing matched. */
+  def update(spark: SparkSession, tableDir: String, predicate: String,
+      assignments: Map[String, String], branch: String = "main"): Option[Long] = {
+    require(assignments.nonEmpty, "update needs at least one column assignment")
+    val lt = IcebergAppend.load(spark, tableDir, branch)
+    val current = readHead(spark, tableDir, lt)
+    assignments.keys.foreach(c => require(current.columns.contains(c),
+      s"assignment targets column '$c', not in the schema of $tableDir"))
+    val matched = current.filter(expr(predicate))
+    // full-column pre-images: equality == predicate semantics (doc above)
+    val keyCols = resolveKeyCols(lt, Nil, current.schema)
+    val keys = matched.select(keyCols.map(col): _*).distinct()
+    if (keys.isEmpty) return None
+    val updated = assignments.foldLeft(matched) { case (acc, (c, e)) =>
+      acc.withColumn(c, expr(e).cast(current.schema(c).dataType))
+    }
+    val specId = IcebergAppend.ensureUnpartitionedSpec(lt)
+    val del = writeEqualityDeleteManifest(spark, lt, keys, keyCols, specId)
+    val data = IcebergAppend.writeDataManifest(spark, lt, updated)
+    Some(IcebergAppend.commitSnapshot(spark, lt, Seq(del, data), operation = "overwrite"))
+  }
+
+  /** The content DML filters against: the target branch's head (main =
+    * the plain current-snapshot read), row-level deletes applied. */
+  private def readHead(spark: SparkSession, tableDir: String,
+      lt: IcebergAppend.Loaded): DataFrame =
+    if (lt.branch == "main") IcebergImport.read(spark, tableDir)
+    else IcebergImport.read(spark, tableDir, lt.parent)
+
+  /** Validate/default the equality column set. Maps refuse (no
+    * engine could anti-join on them to apply the delete); everything
+    * else Spark's null-safe equality covers — including NaN, which
+    * `<=>` treats consistently on both sides. */
+  private def resolveKeyCols(lt: IcebergAppend.Loaded, equalityCols: Seq[String],
+      schema: StructType): Seq[String] = {
+    val names = lt.fields.map(_._2)
+    val keyCols = if (equalityCols.nonEmpty) equalityCols else names
+    val unknown = keyCols.filterNot(names.contains)
+    require(unknown.isEmpty,
+      s"equality column(s) ${unknown.mkString("[", ",", "]")} not in the schema of " +
+        s"${lt.tableDir} — have ${names.mkString("[", ",", "]")}")
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType => true
+      case a: ArrayType => hasMap(a.elementType)
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case _ => false
+    }
+    val mapped = keyCols.filter(c => hasMap(schema(c).dataType))
+    require(mapped.isEmpty,
+      s"equality delete cannot key map-typed column(s) ${mapped.mkString("[", ",", "]")} of " +
+        s"${lt.tableDir} — no engine can join on maps to apply it; pass equalityCols " +
+        "naming map-free key columns")
+    keyCols
+  }
+
+  /** Write `keys` as field-id-carrying parquet under `data/` plus one
+    * delete manifest (entries content=2, `equality_ids` = the key
+    * columns' field ids, empty partition struct — a GLOBAL delete in
+    * the unpartitioned spec). Sequence numbers stay null and inherit
+    * the manifest list's (the v2 ADDED-entry rule), exactly like the
+    * data side. */
+  private def writeEqualityDeleteManifest(spark: SparkSession, lt: IcebergAppend.Loaded,
+      keys: DataFrame, keyCols: Seq[String], specId: Int): IcebergAppend.NewManifest = {
+    import lt.{fs, metaDir, tableDir, newSnap}
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val idByName = lt.fields.map { case (id, n, _) => n -> id }.toMap
+    val typeByName = lt.fields.map { case (_, n, dt) => n -> dt }.toMap
+    val eqIds = keyCols.map(idByName)
+
+    // the delete file physically contains its equality columns with
+    // field ids in the footer — readers (incl. graft's own importer)
+    // resolve them BY ID across any later rename
+    val withIds = keys.select(keyCols.map { n =>
+      col(n).cast(typeByName(n)).as(n,
+        new MetadataBuilder().putLong("parquet.field.id", idByName(n).toLong).build())
+    }: _*)
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val segId = java.util.UUID.randomUUID().toString.take(18)
+    val delDir = new Path(tableDir, s"data/delete-$segId")
+    withIds.write.parquet(delDir.toString)
+    val delFiles: Seq[Path] = {
+      val it = fs.listFiles(delDir, true)
+      val b = Seq.newBuilder[Path]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) b += st.getPath
+      }
+      b.result().sortBy(_.toString)
+    }
+    require(delFiles.nonEmpty, s"wrote no delete parquet under $delDir")
+
+    val entrySchema = new org.apache.avro.Schema.Parser().parse(IcebergExport.ManifestEntryAvro)
+    val dfSchema = entrySchema.getField("data_file").schema()
+    val manifestPath = new Path(metaDir, s"md-delete-$newSnap-$segId.avro")
+    val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](entrySchema))
+    w.setMeta("content", "deletes")
+    w.setMeta("format-version", "2")
+    w.setMeta("partition-spec-id", specId.toString)
+    w.create(entrySchema, fs.create(manifestPath, false))
+    var totalRows = 0L
+    delFiles.foreach { p =>
+      val st = IcebergExport.footerStats(p.toString, hconf, Map.empty)
+      totalRows += st.rows
+      val dfr = new GenericData.Record(dfSchema)
+      dfr.put("content", 2) // EQUALITY_DELETES
+      dfr.put("file_path", fs.makeQualified(p).toString)
+      dfr.put("file_format", "PARQUET")
+      dfr.put("partition", new GenericData.Record(dfSchema.getField("partition").schema()))
+      dfr.put("record_count", st.rows)
+      dfr.put("file_size_in_bytes", fs.getFileStatus(p).getLen)
+      val arrSchema = dfSchema.getField("equality_ids").schema().getTypes.get(1)
+      val a = new GenericData.Array[Integer](eqIds.size, arrSchema)
+      eqIds.foreach(i => a.add(Integer.valueOf(i)))
+      dfr.put("equality_ids", a)
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1) // ADDED
+      e.put("snapshot_id", java.lang.Long.valueOf(newSnap))
+      e.put("data_file", dfr)
+      w.append(e)
+    }
+    w.close()
+    IcebergAppend.NewManifest(manifestPath, content = 1, files = delFiles.size, rows = totalRows)
+  }
+}

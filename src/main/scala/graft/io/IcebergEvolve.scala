@@ -138,6 +138,70 @@ object IcebergEvolve {
       r.put("snapshot-id", target); r.put("type", "tag")
     }
 
+  /** Create a writable BRANCH ref forked at a snapshot (the current
+    * one when `snapshotId` is empty) — Iceberg's write-audit-publish
+    * on foreign tables: [[IcebergAppend.append]] and [[IcebergDml]]
+    * take a `branch` argument to commit onto it (advancing only the
+    * branch ref; `main` and `current-snapshot-id` stay put), reads
+    * audit it via [[IcebergImport.readRef]], and [[fastForward]]
+    * publishes it. */
+  def createBranch(spark: SparkSession, tableDir: String, name: String,
+      snapshotId: Option[Long] = None): Unit =
+    commitRaw(spark, tableDir) { md =>
+      val refs =
+        if (md.hasNonNull("refs")) md.get("refs").asInstanceOf[ObjectNode]
+        else md.putObject("refs")
+      require(!refs.hasNonNull(name), s"ref '$name' already exists on $tableDir")
+      val snaps = md.get("snapshots")
+      val ids = (0 until snaps.size).map(snaps.get(_).get("snapshot-id").asLong).toSet
+      val target = snapshotId.getOrElse(md.get("current-snapshot-id").asLong)
+      require(ids.contains(target),
+        s"snapshot $target not in $tableDir — have ${ids.toSeq.sorted.mkString(", ")}")
+      val r = refs.putObject(name)
+      r.put("snapshot-id", target); r.put("type", "branch")
+    }
+
+  /** Fast-forward `main` to a branch's head — the PUBLISH step of
+    * write-audit-publish. Refused unless the current main head is an
+    * ancestor of the branch head (a true fast-forward; anything else
+    * would silently drop main-side commits). The branch ref survives
+    * (drop it separately once done). */
+  def fastForward(spark: SparkSession, tableDir: String, branch: String): Unit =
+    commitRaw(spark, tableDir) { md =>
+      val refs = if (md.hasNonNull("refs")) md.get("refs").asInstanceOf[ObjectNode] else null
+      require(refs != null && refs.hasNonNull(branch), s"no ref '$branch' on $tableDir")
+      val r = refs.get(branch)
+      val tpe = if (r.hasNonNull("type")) r.get("type").asText else "branch"
+      require(tpe == "branch", s"ref '$branch' on $tableDir is a $tpe — cannot fast-forward to a tag")
+      val target = r.get("snapshot-id").asLong
+      val mainHead = md.get("current-snapshot-id").asLong
+      // ancestry walk: parent chain from the branch head must reach main
+      val snaps = md.get("snapshots")
+      val parentOf: Map[Long, Option[Long]] = (0 until snaps.size).map(snaps.get).map { s =>
+        s.get("snapshot-id").asLong ->
+          (if (s.hasNonNull("parent-snapshot-id")) Some(s.get("parent-snapshot-id").asLong) else None)
+      }.toMap
+      var cursor: Option[Long] = Some(target)
+      var isAncestor = false
+      while (cursor.isDefined && !isAncestor) {
+        if (cursor.get == mainHead) isAncestor = true
+        else cursor = parentOf.getOrElse(cursor.get, None)
+      }
+      require(isAncestor,
+        s"main ($mainHead) is not an ancestor of branch '$branch' ($target) on $tableDir — " +
+          "not a fast-forward; rebase the branch or cherry-pick instead")
+      val mainRef =
+        if (refs.hasNonNull("main")) refs.get("main").asInstanceOf[ObjectNode]
+        else refs.putObject("main")
+      mainRef.put("snapshot-id", target)
+      if (!mainRef.has("type")) mainRef.put("type", "branch")
+      md.put("current-snapshot-id", target)
+      md.put("last-updated-ms", System.currentTimeMillis())
+      val slog = md.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshot-log")
+      val sl = slog.addObject()
+      sl.put("timestamp-ms", System.currentTimeMillis()); sl.put("snapshot-id", target)
+    }
+
   /** Drop a named ref; `main` refuses (it is the table head). */
   def dropRef(spark: SparkSession, tableDir: String, name: String): Unit =
     commitRaw(spark, tableDir) { md =>
@@ -226,9 +290,13 @@ object IcebergEvolve {
       try om.readTree(in).asInstanceOf[ObjectNode] finally in.close()
     }
     edit(md)
-    val hint = mdPath.getName.stripPrefix("v").stripSuffix(".metadata.json").toInt
+    val hint = graft.io.IcebergImport.writableVersionOf(mdPath)
     val out = new Path(metaDir, s"v${hint + 1}.metadata.json")
-    val os = fs.create(out, true)
+    // overwrite=false: a schema/ref commit racing an append fails
+    // loudly on the version file instead of silently overwriting the
+    // other writer's committed version — the same optimistic pattern
+    // as IcebergAppend/IcebergMaintenance
+    val os = fs.create(out, false)
     try os.write(om.writeValueAsString(md).getBytes("UTF-8")) finally os.close()
     val hs = fs.create(new Path(metaDir, "version-hint.text"), true)
     try hs.write((hint + 1).toString.getBytes("UTF-8")) finally hs.close()

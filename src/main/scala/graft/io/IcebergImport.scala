@@ -1091,10 +1091,26 @@ object IcebergImport {
     Option(r.getSchema.getField(name)).flatMap(f => Option(r.get(f.pos())))
 
   /** Manifest paths may be absolute URIs (`file:/...`, `s3a://...`),
-    * absolute paths, or table-relative. */
-  private def resolve(tableDir: String, p: String): Path =
+    * absolute paths, or table-relative. Shared with the write side:
+    * maintenance/commit path handling must match scan planning's, or a
+    * relative-path table's live files would qualify differently in the
+    * two walks (and e.g. be inventoried as orphans). */
+  private[io] def resolve(tableDir: String, p: String): Path =
     if (p.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:/.*") || p.startsWith("/")) new Path(p)
     else new Path(tableDir, p)
+
+  /** The integer version of a WRITABLE metadata file name. Only
+    * HadoopTableOperations-style `v<N>.metadata.json` layouts can take
+    * jar-free commits (the next version name derives from the current
+    * one); catalog-convention names (`00001-<uuid>.metadata.json`)
+    * refuse here with the module's honest-refusal style instead of a
+    * raw NumberFormatException deep in a commit. */
+  private[io] def writableVersionOf(mdPath: Path): Int =
+    mdPath.getName.stripPrefix("v").stripSuffix(".metadata.json").toIntOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot derive the next metadata version from '${mdPath.getName}' — only " +
+          "HadoopTableOperations-style v<N>.metadata.json layouts are writable here; " +
+          "catalog-convention layouts (e.g. 00001-<uuid>.metadata.json) are read-only"))
 
   private[io] def readAvro(fs: Path => org.apache.hadoop.fs.FileSystem, p: Path)
       : (Seq[GenericRecord], Map[String, String]) = {

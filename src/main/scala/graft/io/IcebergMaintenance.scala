@@ -15,14 +15,23 @@ import org.apache.spark.sql.SparkSession
   *    as a snapshot that references ONLY the new files — streaming
   *    append debris and MOR delete files stop being read everywhere
   *    from this snapshot on, while every prior snapshot stays
-  *    time-travelable.
+  *    time-travelable. The replace-shaped manifest list is built
+  *    BEFORE the commit and published as ONE metadata version
+  *    (`create(overwrite=false)`): no reader polling version-hint can
+  *    ever observe an intermediate append-shaped head (doubled rows),
+  *    and a crash mid-compact leaves the table exactly at its prior
+  *    version plus unreferenced debris — never a doubled head.
   *  - [[expireSnapshots]] — `expire_snapshots`: retire all but the
   *    last N snapshots from the metadata (the current one always
   *    survives), then inventory every file under the table that NO
   *    retained snapshot references — metadata versions, manifest
   *    lists, manifests, data and delete files. The orphan list is
   *    RETURNED; deletion only happens under `removeOrphans = true`
-  *    (inventory is free to audit, deletion is irreversible).
+  *    (inventory is free to audit, deletion is irreversible). Every
+  *    manifest-list/manifest/file path is resolved through the SAME
+  *    table-relative rule scan planning uses ([[IcebergImport
+  *    .resolve]]) — a foreign table whose manifests carry relative
+  *    paths keeps its live files out of the orphan list.
   *
   * Both commit through the same optimistic version-file pattern as
   * [[IcebergAppend]] — racing writers conflict loudly, never
@@ -31,57 +40,22 @@ import org.apache.spark.sql.SparkSession
 object IcebergMaintenance {
 
   /** Rewrite the table's CURRENT content (deletes applied) into fresh
-    * files and commit a REPLACE snapshot referencing only them.
-    * Returns the new snapshot id. `targetFiles` bounds the output
-    * file count (`coalesce` — compaction must never explode files). */
+    * files and commit a REPLACE snapshot referencing only them — one
+    * atomic metadata version. Returns the new snapshot id.
+    * `targetFiles` bounds the output file count (`coalesce` —
+    * compaction must never explode files). */
   def compact(spark: SparkSession, tableDir: String, targetFiles: Int = 4): Long = {
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
     val current = IcebergImport.read(spark, tableDir)
-    // IcebergAppend owns conformance, field ids, footer stats, the
-    // manifest/list/metadata wiring and the optimistic commit; compact
-    // reuses it and then REWRITES the new snapshot's manifest list to
-    // drop every pre-existing manifest (append semantics -> replace
-    // semantics, one metadata edit)
-    val snap = IcebergAppend.append(spark, tableDir, current.coalesce(targetFiles))
-
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val metaDir = new Path(tableDir, "metadata")
-    val fs = metaDir.getFileSystem(hconf)
-    val mdPath = IcebergImport.latestMetadata(fs, metaDir)
-    val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val md = {
-      val in = fs.open(mdPath)
-      try om.readTree(in).asInstanceOf[ObjectNode] finally in.close()
-    }
-    val snaps = md.get("snapshots").asInstanceOf[ArrayNode]
-    val snapNode = (0 until snaps.size).map(snaps.get)
-      .find(_.get("snapshot-id").asLong == snap).get.asInstanceOf[ObjectNode]
-    val listPath = new Path(snapNode.get("manifest-list").asText)
-    val (entries, _) = IcebergImport.readAvro(_ => fs, listPath)
-    val keep = entries.filter(e =>
-      e.get("added_snapshot_id").asInstanceOf[Long] == snap)
-    require(keep.nonEmpty, s"compaction snapshot $snap has no own manifest in $listPath")
-    val listSchema = new org.apache.avro.Schema.Parser().parse(IcebergExport.ManifestFileAvro)
-    val replaced = new Path(metaDir, s"snap-$snap-2-replace.avro")
-    val lw = new org.apache.avro.file.DataFileWriter[org.apache.avro.generic.GenericRecord](
-      new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](listSchema))
-    lw.setMeta("format-version", "2")
-    lw.create(listSchema, fs.create(replaced, false))
-    keep.foreach(lw.append)
-    lw.close()
-    snapNode.put("manifest-list", fs.makeQualified(replaced).toString)
-    snapNode.get("summary").asInstanceOf[ObjectNode].put("operation", "replace")
-
-    val hint = mdPath.getName.stripPrefix("v").stripSuffix(".metadata.json").toInt
-    val newMdPath = new Path(metaDir, s"v${hint + 1}.metadata.json")
-    val os = fs.create(newMdPath, false)
-    try os.write(om.writeValueAsString(md).getBytes("UTF-8")) finally os.close()
-    val hs = fs.create(new Path(metaDir, "version-hint.text"), true)
-    try hs.write((hint + 1).toString.getBytes("UTF-8")) finally hs.close()
-    // the transient append-shaped list stays on disk: the intermediate
-    // metadata version still references it (metadata files are
-    // immutable); it becomes an ordinary expiry orphan later
-    snap
+    // IcebergAppend's shared pieces own conformance, field ids, footer
+    // stats and the manifest/list/metadata wiring; replace semantics =
+    // the same commit with carryPrevious=false, so the new snapshot's
+    // list references ONLY the rewritten manifest and the fold is one
+    // atomic version-file create
+    val lt = IcebergAppend.load(spark, tableDir)
+    val m = IcebergAppend.writeDataManifest(spark, lt, current.coalesce(targetFiles))
+    IcebergAppend.commitSnapshot(spark, lt, Seq(m), operation = "replace",
+      carryPrevious = false)
   }
 
   /** Retire all but the newest `keepLast` snapshots (the current one
@@ -121,18 +95,25 @@ object IcebergMaintenance {
     val keepIds = keepNodes.map(_.get("snapshot-id").asLong).toSet
 
     // ---- the retained reference set ---------------------------------
+    // every path resolves table-relative FIRST (IcebergImport.resolve —
+    // the same rule scan planning applies), THEN qualifies: raw
+    // relative spellings must never qualify against the process
+    // working directory, or live files of a relative-path table would
+    // be missed here and deleted as orphans below
     def norm(p: String): Set[String] = {
-      val q = fs.makeQualified(new Path(p)).toString
-      Set(p, q, q.stripPrefix("file:"))
+      val r = IcebergImport.resolve(tableDir, p)
+      val q = fs.makeQualified(r).toString
+      Set(p, r.toString, q, q.stripPrefix("file:"))
     }
     val referenced = scala.collection.mutable.Set.empty[String]
     keepNodes.foreach { s =>
-      val listP = new Path(s.get("manifest-list").asText)
+      val listP = IcebergImport.resolve(tableDir, s.get("manifest-list").asText)
       referenced ++= norm(listP.toString)
       IcebergImport.readAvro(_ => fs, listP)._1.foreach { m =>
-        val mPath = m.get("manifest_path").toString
-        referenced ++= norm(mPath)
-        IcebergImport.readAvro(_ => fs, new Path(mPath))._1.foreach { e =>
+        val mPathRaw = m.get("manifest_path").toString
+        referenced ++= norm(mPathRaw)
+        val mPath = IcebergImport.resolve(tableDir, mPathRaw)
+        IcebergImport.readAvro(_ => fs, mPath)._1.foreach { e =>
           val df = e.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
           referenced ++= norm(df.get("file_path").toString)
         }
@@ -158,7 +139,7 @@ object IcebergMaintenance {
         .foreach(filtered.add)
       md.set("snapshot-log", filtered)
     }
-    val hint = mdPath.getName.stripPrefix("v").stripSuffix(".metadata.json").toInt
+    val hint = IcebergImport.writableVersionOf(mdPath)
     val newMdPath = new Path(metaDir, s"v${hint + 1}.metadata.json")
     val os = fs.create(newMdPath, false)
     try os.write(om.writeValueAsString(md).getBytes("UTF-8")) finally os.close()

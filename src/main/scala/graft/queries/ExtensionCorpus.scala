@@ -2918,12 +2918,93 @@ object ExtensionCorpus {
       ORDER BY l_returnflag""")
   )
 
+  /** ROW-LEVEL DML ON A FOREIGN ICEBERG TABLE under the gate (X129 —
+    * the last interop quadrant: the reference's tables are `USING
+    * ICEBERG`, job_silver.py:66-88, and its deployment's Iceberg
+    * runtime does DELETE/UPDATE on them): orders exported as an
+    * Iceberg v2 table, then [[graft.io.IcebergDml.deleteWhere]] (a
+    * spec-shaped equality-delete + `delete` snapshot, full-column
+    * equality = exact predicate semantics) and [[graft.io.IcebergDml
+    * .update]] (pre-image delete + post-image data manifest in ONE
+    * `overwrite` snapshot). The aggregate through `graft_iceberg_scan`
+    * must be hash-exact vs DuckDB replaying the same DML as
+    * WHERE/CASE over the raw parquet. */
+  private val q158 = Q(
+    "q158_iceberg_foreign_dml",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q158-snap").toString
+      val t = new graft.io.SnapshotTables(s, root)
+      val ord = fixture(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+      t.overwriteTable(ord, "ord")
+      val dest = java.nio.file.Files.createTempDirectory("q158-ice").toString
+      graft.io.IcebergExport.export(t, "ord", dest)
+      graft.io.IcebergDml.deleteWhere(s, dest, "o_orderkey % 7 = 0")
+      graft.io.IcebergDml.update(s, dest, "o_orderkey % 5 = 0",
+        Map("o_totalprice" -> "0.5"))
+      s.sql(s"""SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM graft_iceberg_scan('$dest')
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    },
+    Some("""SELECT o_orderstatus, COUNT(*) AS n,
+      CAST(SUM(CAST(CASE WHEN o_orderkey % 5 = 0 THEN 0.5
+                         ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders WHERE NOT (o_orderkey % 7 = 0)
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  )
+
+  /** WRITE-AUDIT-PUBLISH ON A FOREIGN ICEBERG TABLE under the gate
+    * (X130 — writable branches, matching graft's own WAP surface
+    * X65/q114): half of lineitem exported, a BRANCH forked
+    * ([[graft.io.IcebergEvolve.createBranch]]), the load (append +
+    * row-level delete) committed ONTO THE BRANCH — main must keep
+    * reading the pre-load content (captured BEFORE the publish) —
+    * then [[graft.io.IcebergEvolve.fastForward]] publishes and main
+    * reads the audited world. The oracle replays both sides from the
+    * raw parquet. */
+  private val q159 = Q(
+    "q159_iceberg_branch_wap",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q159-snap").toString
+      val t = new graft.io.SnapshotTables(s, root)
+      val li = fixture(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      t.overwriteTable(li.filter(col("l_orderkey") % 2 === 0), "li")
+      val dest = java.nio.file.Files.createTempDirectory("q159-ice").toString
+      graft.io.IcebergExport.export(t, "li", dest)
+      graft.io.IcebergEvolve.createBranch(s, dest, "load")
+      graft.io.IcebergAppend.append(s, dest,
+        li.filter(col("l_orderkey") % 2 =!= 0), branch = "load")
+      graft.io.IcebergDml.deleteWhere(s, dest, "l_quantity < 5", branch = "load")
+      // main BEFORE publish: scan planning pins the file set at
+      // analysis time, so this frame is the pre-publish head even
+      // though it executes after the fast-forward below
+      val pre = s.sql(s"""SELECT l_returnflag, COUNT(*) AS n_pre
+        FROM graft_iceberg_scan('$dest') GROUP BY l_returnflag""")
+      graft.io.IcebergEvolve.fastForward(s, dest, "load")
+      val post = s.sql(s"""SELECT l_returnflag, COUNT(*) AS n_post,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_post
+        FROM graft_iceberg_scan('$dest') GROUP BY l_returnflag""")
+      pre.join(post, "l_returnflag").orderBy("l_returnflag")
+    },
+    Some("""SELECT p.l_returnflag, p.n_pre, q.n_post, q.qty_post
+      FROM (SELECT l_returnflag, COUNT(*) AS n_pre FROM lineitem
+        WHERE l_orderkey % 2 = 0 GROUP BY l_returnflag) p
+      JOIN (SELECT l_returnflag, COUNT(*) AS n_post,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_post
+        FROM lineitem WHERE NOT (l_quantity < 5) GROUP BY l_returnflag) q
+      USING (l_returnflag)
+      ORDER BY p.l_returnflag""")
+  )
+
   val all: Seq[Q] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q98b, q99, q100, q101, q102, q106, q107, q108,
     q109, q111, q112, q113, q114, q116, q117, q118, q119, q121, q122, q123, q125, q126, q127,
     q128, q130, q131, q132, q133, q135, q136, q137, q138, q139, q140, q141, q143, q144,
-    q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157
+    q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159
   )
 
 }

@@ -18,7 +18,8 @@ object DriveIceExport {
     // fresh fixture dirs: a re-run over stale metadata would collide
     // on version files (the append's optimistic concurrency, working
     // as designed — but these are throwaway fixtures)
-    Seq("plain", "mor", "bucket", "posdel", "evolved", "appended", "partitioned", "scoped")
+    Seq("plain", "mor", "bucket", "posdel", "evolved", "appended", "partitioned", "scoped",
+        "dml", "branch")
       .foreach { n =>
         val p = new org.apache.hadoop.fs.Path(s"/tmp/ind_export_$n")
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -123,6 +124,39 @@ object DriveIceExport {
       .agg(count(lit(1)), sum(col("o_totalprice").cast("decimal(18,2)")).cast("string"),
         count(when(col("o_orderstatus") === "O", 1))).collect()(0)
     println(s"EXPECT scoped count=${r8r.getLong(0)} sum=${r8r.getString(1)} o=${r8r.getLong(2)}")
+
+    // 9: row-level DML through IcebergDml — a full-column equality
+    // DELETE snapshot plus an UPDATE (pre-image equality delete +
+    // post-image data manifest in one overwrite snapshot); the witness
+    // must apply multi-column equality deletes with the strictly-
+    // earlier sequence gate, so the updated rows survive their own
+    // delete
+    val r9 = java.nio.file.Files.createTempDirectory("ind-snap9").toString
+    val t9 = new graft.io.SnapshotTables(spark, r9)
+    t9.overwriteTable(ord, "ord")
+    graft.io.IcebergExport.export(t9, "ord", "/tmp/ind_export_dml")
+    graft.io.IcebergDml.deleteWhere(spark, "/tmp/ind_export_dml", "o_orderkey % 7 = 0")
+    graft.io.IcebergDml.update(spark, "/tmp/ind_export_dml", "o_orderkey % 5 = 0",
+      Map("o_totalprice" -> "0.5"))
+    val r9r = graft.io.IcebergImport.read(spark, "/tmp/ind_export_dml")
+      .agg(count(lit(1)), sum(col("o_totalprice").cast("decimal(18,2)")).cast("string")).collect()(0)
+    println(s"EXPECT dml count=${r9r.getLong(0)} sum=${r9r.getString(1)}")
+
+    // 10: write-audit-publish — branch fork, append + delete ON the
+    // branch, fast-forward; the witness reads the published head
+    val r10 = java.nio.file.Files.createTempDirectory("ind-snap10").toString
+    val t10 = new graft.io.SnapshotTables(spark, r10)
+    t10.overwriteTable(ord.filter(col("o_orderkey") % 2 === 0), "ord")
+    graft.io.IcebergExport.export(t10, "ord", "/tmp/ind_export_branch")
+    graft.io.IcebergEvolve.createBranch(spark, "/tmp/ind_export_branch", "load")
+    graft.io.IcebergAppend.append(spark, "/tmp/ind_export_branch",
+      ord.filter(col("o_orderkey") % 2 =!= 0), branch = "load")
+    graft.io.IcebergDml.deleteWhere(spark, "/tmp/ind_export_branch",
+      "o_totalprice > 200000.0", branch = "load")
+    graft.io.IcebergEvolve.fastForward(spark, "/tmp/ind_export_branch", "load")
+    val r10r = graft.io.IcebergImport.read(spark, "/tmp/ind_export_branch")
+      .agg(count(lit(1)), sum(col("o_totalprice").cast("decimal(18,2)")).cast("string")).collect()(0)
+    println(s"EXPECT branch count=${r10r.getLong(0)} sum=${r10r.getString(1)}")
     spark.stop()
   }
 }

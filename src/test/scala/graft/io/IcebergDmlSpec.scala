@@ -1,0 +1,326 @@
+package graft.io
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[IcebergDml]] — jar-free row-level DELETE/UPDATE on foreign
+  * Iceberg v2 tables (spec-shaped equality delete files + delete/
+  * overwrite snapshots), plus the branch surface (createBranch /
+  * branch-targeted commits / fastForward) and the commit-safety
+  * matrix this round hardened: single-commit compact, no-overwrite
+  * metadata versions everywhere, relative-path-safe expiry, and
+  * expiry-proof streaming txn markers. */
+class IcebergDmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def exported(df: org.apache.spark.sql.DataFrame,
+      partitionCols: Seq[String] = Nil): String = {
+    val root = java.nio.file.Files.createTempDirectory("graft-dml-snap").toString
+    val t = new SnapshotTables(spark, root)
+    t.overwriteTable(df, "tab", partitionCols = partitionCols)
+    val dest = java.nio.file.Files.createTempDirectory("graft-dml-ice").toString
+    IcebergExport.export(t, "tab", dest)
+    dest
+  }
+
+  private def metadataVersions(dest: String): Seq[Int] = {
+    val metaDir = java.nio.file.Paths.get(dest, "metadata")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(metaDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.matches("v\\d+\\.metadata\\.json"))
+      .map(_.stripPrefix("v").stripSuffix(".metadata.json").toInt)
+      .toSeq.sorted
+  }
+
+  private def currentSnapshotNode(dest: String): com.fasterxml.jackson.databind.JsonNode = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val metaDir = java.nio.file.Paths.get(dest, "metadata")
+    val hint = java.nio.file.Files.readString(metaDir.resolve("version-hint.text")).trim.toInt
+    val md = om.readTree(java.nio.file.Files.readString(IcebergTestSplice.mdFile(metaDir, hint)))
+    val cur = md.get("current-snapshot-id").asLong
+    (0 until md.get("snapshots").size).map(md.get("snapshots").get)
+      .find(_.get("snapshot-id").asLong == cur).get
+  }
+
+  // ------------------------------------------------------------------
+  // deleteWhere
+  // ------------------------------------------------------------------
+
+  test("deleteWhere (full-column default) is exact predicate semantics, duplicates included") {
+    // duplicate copies of (2, "b") — equality on ALL columns must
+    // remove every copy, and nothing else
+    val dest = exported(Seq((1L, "a"), (2L, "b"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("k", "v"))
+    val before = metadataVersions(dest)
+    val snap = IcebergDml.deleteWhere(spark, dest, "k <= 2")
+    assert(snap.isDefined)
+    assert(metadataVersions(dest).size == before.size + 1, "one atomic commit")
+    assert(IcebergImport.read(spark, dest).as[(Long, String)].collect().toSet ==
+      Set((3L, "c"), (4L, "d")))
+    // spec shape: a delete-operation snapshot, delete files planned
+    assert(currentSnapshotNode(dest).get("summary").get("operation").asText == "delete")
+    assert(IcebergImport.deleteFiles(spark, dest).nonEmpty)
+    // time travel: the pre-delete snapshot still reads all 5 copies
+    val preSnap = IcebergImport.snapshots(spark, dest).filterNot(s => snap.contains(s)).max
+    assert(IcebergImport.read(spark, dest, Some(preSnap)).count() == 5)
+  }
+
+  test("deleteWhere with explicit equalityCols widens to key semantics") {
+    val dest = exported(Seq((1L, "x", 10.0), (1L, "y", 20.0), (2L, "z", 30.0))
+      .toDF("k", "tag", "val"))
+    // predicate matches only (1, "x", 10.0); keying on k deletes BOTH
+    // rows with k=1 — the documented widening
+    IcebergDml.deleteWhere(spark, dest, "tag = 'x'", equalityCols = Seq("k"))
+    assert(IcebergImport.read(spark, dest).as[(Long, String, Double)].collect().toSet ==
+      Set((2L, "z", 30.0)))
+  }
+
+  test("deleteWhere: no match = no commit; refusals for bad columns and maps") {
+    val dest = exported(Seq((1L, "a")).toDF("k", "v"))
+    val before = metadataVersions(dest)
+    assert(IcebergDml.deleteWhere(spark, dest, "k > 100").isEmpty)
+    assert(metadataVersions(dest) == before, "no-op must not commit")
+    val e1 = intercept[IllegalArgumentException](
+      IcebergDml.deleteWhere(spark, dest, "k > 0", equalityCols = Seq("nope")))
+    assert(e1.getMessage.contains("nope"))
+    val destM = exported(Seq((1L, Map("a" -> 1))).toDF("k", "m"))
+    val e2 = intercept[IllegalArgumentException](
+      IcebergDml.deleteWhere(spark, destM, "k > 0"))
+    assert(e2.getMessage.contains("map-typed"))
+    // but naming map-free equality columns works on the same table
+    IcebergDml.deleteWhere(spark, destM, "k > 0", equalityCols = Seq("k"))
+    assert(IcebergImport.read(spark, destM).count() == 0)
+  }
+
+  // ------------------------------------------------------------------
+  // update
+  // ------------------------------------------------------------------
+
+  test("update commits pre-image delete + post-image data in ONE overwrite snapshot") {
+    val dest = exported(Seq((1L, "a", 10.0), (2L, "b", 20.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "v", "price"))
+    val before = metadataVersions(dest)
+    val preSnaps = IcebergImport.snapshots(spark, dest)
+    val snap = IcebergDml.update(spark, dest, "k = 2", Map("price" -> "price * 2"))
+    assert(snap.isDefined)
+    assert(metadataVersions(dest).size == before.size + 1,
+      "update is ONE metadata version — no deleted-but-not-rewritten intermediate")
+    assert(currentSnapshotNode(dest).get("summary").get("operation").asText == "overwrite")
+    // duplicates stay duplicates (multiset update), others untouched
+    assert(IcebergImport.read(spark, dest).as[(Long, String, Double)].collect().sorted.toSeq ==
+      Seq((1L, "a", 10.0), (2L, "b", 40.0), (2L, "b", 40.0), (3L, "c", 30.0)))
+    // time travel to the pre-update head
+    assert(IcebergImport.read(spark, dest, Some(preSnaps.max))
+      .as[(Long, String, Double)].collect().sorted.toSeq ==
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (2L, "b", 20.0), (3L, "c", 30.0)))
+  }
+
+  test("update on an identity-partitioned table: post-images land in partitions, delete is global") {
+    val dest = exported(
+      Seq((1L, "r", 1.0), (2L, "r", 2.0), (3L, "g", 3.0)).toDF("k", "color", "val"),
+      partitionCols = Seq("color"))
+    IcebergDml.update(spark, dest, "color = 'r'", Map("val" -> "val + 0.5"))
+    assert(IcebergImport.read(spark, dest)
+      .select("k", "color", "val").as[(Long, String, Double)].collect().toSet ==
+      Set((1L, "r", 1.5), (2L, "r", 2.5), (3L, "g", 3.0)))
+    // updating the partition column itself MOVES rows across partitions
+    IcebergDml.update(spark, dest, "k = 3", Map("color" -> "'r'"))
+    assert(IcebergImport.read(spark, dest)
+      .filter(col("color") === "r").count() == 3)
+    // maintenance interplay: compact folds the DML debt, content holds
+    IcebergMaintenance.compact(spark, dest, targetFiles = 1)
+    IcebergMaintenance.expireSnapshots(spark, dest, keepLast = 1, removeOrphans = true)
+    assert(IcebergImport.read(spark, dest)
+      .select("k", "color", "val").as[(Long, String, Double)].collect().toSet ==
+      Set((1L, "r", 1.5), (2L, "r", 2.5), (3L, "r", 3.0)))
+  }
+
+  // ------------------------------------------------------------------
+  // branches: write-audit-publish on foreign tables
+  // ------------------------------------------------------------------
+
+  test("branch append + DML stay invisible to main until fastForward publishes") {
+    val dest = exported((1L to 4L).map(i => (i, i * 10.0)).toDF("k", "x"))
+    IcebergEvolve.createBranch(spark, dest, "audit")
+    IcebergAppend.append(spark, dest, Seq((5L, 50.0), (6L, 60.0)).toDF("k", "x"),
+      branch = "audit")
+    IcebergDml.deleteWhere(spark, dest, "k = 1", branch = "audit")
+    // audit sees the staged world; main is untouched
+    assert(IcebergImport.readRef(spark, dest, "audit").as[(Long, Double)].collect().toSet ==
+      (2L to 6L).map(i => (i, i * 10.0)).toSet)
+    assert(IcebergImport.read(spark, dest).as[(Long, Double)].collect().toSet ==
+      (1L to 4L).map(i => (i, i * 10.0)).toSet)
+    // publish: main fast-forwards to the audited head
+    IcebergEvolve.fastForward(spark, dest, "audit")
+    assert(IcebergImport.read(spark, dest).as[(Long, Double)].collect().toSet ==
+      (2L to 6L).map(i => (i, i * 10.0)).toSet)
+  }
+
+  test("branch refusals: tags take no commits; diverged main refuses fast-forward") {
+    val dest = exported(Seq((1L, "a")).toDF("k", "v"))
+    IcebergEvolve.createTag(spark, dest, "pin")
+    val e1 = intercept[IllegalArgumentException](
+      IcebergAppend.append(spark, dest, Seq((2L, "b")).toDF("k", "v"), branch = "pin"))
+    assert(e1.getMessage.contains("tag"))
+    IcebergEvolve.createBranch(spark, dest, "wip")
+    IcebergAppend.append(spark, dest, Seq((2L, "b")).toDF("k", "v"), branch = "wip")
+    // main moves past the fork point -> no longer an ancestor
+    IcebergAppend.append(spark, dest, Seq((3L, "c")).toDF("k", "v"))
+    val e2 = intercept[IllegalArgumentException](
+      IcebergEvolve.fastForward(spark, dest, "wip"))
+    assert(e2.getMessage.contains("not a fast-forward"))
+    val e3 = intercept[IllegalArgumentException](
+      IcebergAppend.append(spark, dest, Seq((9L, "z")).toDF("k", "v"), branch = "ghost"))
+    assert(e3.getMessage.contains("createBranch"))
+  }
+
+  // ------------------------------------------------------------------
+  // commit-safety matrix (this round's hardening)
+  // ------------------------------------------------------------------
+
+  test("compact is ONE atomic metadata version whose list references only the rewrite") {
+    val dest = exported((1L to 6L).map(i => (i, s"v$i")).toDF("k", "v"))
+    IcebergDml.deleteWhere(spark, dest, "k = 6")
+    val before = metadataVersions(dest)
+    val snap = IcebergMaintenance.compact(spark, dest, targetFiles = 1)
+    assert(metadataVersions(dest).size == before.size + 1,
+      "compact must publish exactly one metadata version — a polling reader can " +
+        "never observe an intermediate append-shaped (doubled) head")
+    val node = currentSnapshotNode(dest)
+    assert(node.get("summary").get("operation").asText == "replace")
+    val list = IcebergTestSplice.readAvroRecords(node.get("manifest-list").asText)
+    assert(list.nonEmpty &&
+      list.forall(_.get("added_snapshot_id").asInstanceOf[Long] == snap),
+      "the replace snapshot's manifest list must reference ONLY the rewrite manifest")
+    assert(IcebergImport.read(spark, dest).as[(Long, String)].collect().toSet ==
+      (1L to 5L).map(i => (i, s"v$i")).toSet)
+  }
+
+  test("every metadata commit refuses to overwrite a racing writer's version file") {
+    val dest = exported(Seq((1L, "a")).toDF("k", "v"))
+    // simulate a racing writer landing v<N+1> first
+    val metaDir = java.nio.file.Paths.get(dest, "metadata")
+    val hint = java.nio.file.Files.readString(metaDir.resolve("version-hint.text")).trim.toInt
+    java.nio.file.Files.writeString(metaDir.resolve(s"v${hint + 1}.metadata.json"), "{}")
+    intercept[Exception](IcebergEvolve.createTag(spark, dest, "t1"))
+    intercept[Exception](IcebergAppend.append(spark, dest, Seq((2L, "b")).toDF("k", "v")))
+    intercept[Exception](IcebergDml.deleteWhere(spark, dest, "k = 1"))
+    // the losing writers changed nothing: the head still reads v<hint>
+    java.nio.file.Files.delete(metaDir.resolve(s"v${hint + 1}.metadata.json"))
+    assert(IcebergImport.read(spark, dest).as[(Long, String)].collect().toSet == Set((1L, "a")))
+  }
+
+  test("catalog-convention metadata names refuse writes honestly, not NumberFormatException") {
+    val e = intercept[IllegalArgumentException](IcebergImport.writableVersionOf(
+      new org.apache.hadoop.fs.Path("/t/metadata/00001-abc-def.metadata.json")))
+    assert(e.getMessage.contains("read-only"))
+  }
+
+  test("expiry keeps relative-path tables' live files out of the orphan list") {
+    val dest = exported((1L to 4L).map(i => (i, s"v$i")).toDF("k", "v"))
+    IcebergAppend.append(spark, dest, Seq((5L, "v5")).toDF("k", "v"))
+    relativizePaths(dest)
+    // sanity: the importer reads the relative layout (resolve() rule)
+    assert(IcebergImport.read(spark, dest).as[(Long, String)].collect().toSet ==
+      (1L to 5L).map(i => (i, s"v$i")).toSet)
+    val live = IcebergImport.dataFiles(spark, dest).map(_.stripPrefix("file:")).toSet
+    // keepLast large: nothing expires, so NOTHING live may be an orphan
+    val orphans = IcebergMaintenance.expireSnapshots(spark, dest, keepLast = 10)
+    val overlap = orphans.map(_.stripPrefix("file:")).toSet.intersect(live)
+    assert(overlap.isEmpty,
+      s"live data files inventoried as orphans (would be DELETED under removeOrphans): $overlap")
+    // destructive expiry to 1 snapshot still preserves the head content
+    IcebergMaintenance.expireSnapshots(spark, dest, keepLast = 1, removeOrphans = true)
+    assert(IcebergImport.read(spark, dest).as[(Long, String)].collect().toSet ==
+      (1L to 5L).map(i => (i, s"v$i")).toSet)
+  }
+
+  test("streaming txn markers survive snapshot expiry (expiry-proof replay guard)") {
+    val dest = exported(Seq((1L, "a")).toDF("k", "v"))
+    val txn0 = "ice-append.cafebabe.0"
+    val txn1 = "ice-append.cafebabe.1"
+    IcebergAppend.append(spark, dest, Seq((2L, "b")).toDF("k", "v"),
+      summaryProps = Map(IcebergAppend.TxnKey -> txn0))
+    IcebergAppend.append(spark, dest, Seq((3L, "c")).toDF("k", "v"),
+      summaryProps = Map(IcebergAppend.TxnKey -> txn1))
+    IcebergAppend.append(spark, dest, Seq((4L, "d")).toDF("k", "v"))
+    assert(IcebergAppend.committedTxnIds(spark, dest).intersect(Set(txn0, txn1)).size == 2)
+    // expire everything but the head — the marker snapshots are gone...
+    IcebergMaintenance.expireSnapshots(spark, dest, keepLast = 1, removeOrphans = true)
+    assert(IcebergImport.snapshots(spark, dest).size == 1)
+    // ...but the markers survive in table properties: a replayed batch
+    // is still recognized and skipped
+    assert(IcebergAppend.committedTxnIds(spark, dest).intersect(Set(txn0, txn1)).size == 2)
+  }
+
+  test("txn range codec round-trips contiguous and gapped batch ids") {
+    import IcebergAppend.{decodeRanges, encodeRanges}
+    assert(encodeRanges(Seq(0L, 1L, 2L, 3L)) == "0-3")
+    assert(encodeRanges(Seq(5L, 0L, 1L, 3L, 5L)) == "0-1,3,5")
+    assert(decodeRanges("0-3,7,9-10") == Seq(0L, 1L, 2L, 3L, 7L, 9L, 10L))
+    assert(decodeRanges(encodeRanges(0L to 10000L)) == (0L to 10000L))
+  }
+
+  /** Rewrite an exported table IN PLACE so every manifest-list path,
+    * manifest_path and file_path is TABLE-RELATIVE — the layout shape
+    * portable Iceberg tables use (metadata can move with the data).
+    * Exercises the resolve() rule end to end. */
+  private def relativizePaths(dest: String): Unit = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val metaDir = java.nio.file.Paths.get(dest, "metadata")
+    val hint = java.nio.file.Files.readString(metaDir.resolve("version-hint.text")).trim.toInt
+    val mdFile = IcebergTestSplice.mdFile(metaDir, hint)
+    val md = om.readTree(java.nio.file.Files.readString(mdFile))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    def rel(p: String): String = {
+      val bare = p.stripPrefix("file:")
+      if (bare.startsWith(dest + "/")) bare.stripPrefix(dest + "/") else p
+    }
+    // in-place rewrites bypass Hadoop's LocalFileSystem checksums —
+    // drop the stale .crc sidecars so later Hadoop reads don't trip
+    def dropCrc(absPath: String): Unit = {
+      val f = java.nio.file.Paths.get(absPath.stripPrefix("file:"))
+      java.nio.file.Files.deleteIfExists(f.resolveSibling("." + f.getFileName + ".crc"))
+      ()
+    }
+    def rewriteAvro(absPath: String, field: String): Unit = {
+      val f = new java.io.File(absPath.stripPrefix("file:"))
+      val reader = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+        f, new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+      val schema = reader.getSchema
+      val recs = scala.collection.mutable.ArrayBuffer.empty[org.apache.avro.generic.GenericRecord]
+      import scala.jdk.CollectionConverters._
+      val meta = reader.getMetaKeys.asScala.filterNot(_.startsWith("avro."))
+        .map(k => k -> reader.getMetaString(k)).toSeq
+      while (reader.hasNext) recs += reader.next()
+      reader.close()
+      val w = new org.apache.avro.file.DataFileWriter[org.apache.avro.generic.GenericRecord](
+        new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](schema))
+      meta.foreach { case (k, v) => w.setMeta(k, v) }
+      w.create(schema, f) // overwrite in place
+      recs.foreach { r =>
+        if (field == "manifest_path") r.put(field, rel(r.get(field).toString))
+        else {
+          val dfr = r.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+          dfr.put("file_path", rel(dfr.get("file_path").toString))
+        }
+        w.append(r)
+      }
+      w.close()
+      dropCrc(absPath)
+    }
+    val snaps = md.get("snapshots")
+    (0 until snaps.size).map(snaps.get).foreach { s =>
+      val sn = s.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val absList = sn.get("manifest-list").asText
+      val listRecs = IcebergTestSplice.readAvroRecords(absList)
+      listRecs.map(_.get("manifest_path").toString).distinct.foreach(m =>
+        rewriteAvro(m, "file_path"))
+      rewriteAvro(absList, "manifest_path")
+      sn.put("manifest-list", rel(absList))
+    }
+    java.nio.file.Files.writeString(mdFile, om.writeValueAsString(md))
+    dropCrc(mdFile.toString)
+  }
+}
