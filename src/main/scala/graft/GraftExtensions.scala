@@ -72,6 +72,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL DELETE/UPDATE/MERGE over SnapshotCatalog tables -> the
     // snapshot layer's copy-on-write OR merge-on-read commits
     ext.injectResolutionRule(_ => graft.plans.SnapshotDmlRule)
+    // foreign Iceberg warehouse mounts (IcebergWarehouseCatalog):
+    // reads substitute the jar-free import's plan; DELETE/UPDATE route
+    // onto IcebergDml's spec-shaped merge-on-read commits
+    ext.injectResolutionRule(_ => graft.plans.IcebergForeignRule)
     // CDC between snapshot versions as a table-valued function:
     // SELECT * FROM graft_table_changes('cat.ns.t', 1, 3 [, 'k1,k2'])
     ext.injectTableFunction((

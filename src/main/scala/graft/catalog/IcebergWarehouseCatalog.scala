@@ -1,0 +1,248 @@
+package graft.catalog
+
+import graft.io.{IcebergAppend, IcebergImport}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import java.util
+
+/** Spark V2 `TableCatalog` over a warehouse directory of FOREIGN
+  * Iceberg tables — 3-level-name SQL on tables graft did not write and
+  * carries no jars for. The reference's entire SQL surface is 3-level
+  * names over Iceberg catalogs (`job_gold.py:50-58` registers the
+  * catalogs; `:71-88` reads `silver.dw.tab_brewery` verbatim) — with
+  * this mount a migrating user's scripts keep their spelling while the
+  * TVF faces (`graft_iceberg_scan`) stay available for by-path access:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.ice", "graft.catalog.IcebergWarehouseCatalog")
+  *   spark.conf.set("spark.sql.catalog.ice.warehouse", "/lake/warehouse")
+  *   spark.sql("SELECT ... FROM ice.db.tab WHERE ...")          // read
+  *   spark.sql("SELECT ... FROM ice.db.tab VERSION AS OF 'tag'") // ref/snapshot/timestamp travel
+  *   spark.sql("INSERT INTO ice.db.tab SELECT ...")             // IcebergAppend commit
+  *   spark.sql("INSERT OVERWRITE ice.db.tab SELECT ...")        // one replace snapshot
+  *   spark.sql("DELETE FROM ice.db.tab WHERE ...")              // IcebergDml equality deletes
+  *   spark.sql("UPDATE ice.db.tab SET ... WHERE ...")           // IcebergDml overwrite snapshot
+  * }}}
+  *
+  * Layout: `<warehouse>/<db>/<table>` where a table directory is one
+  * carrying `metadata/` (the HadoopCatalog convention). Reads resolve
+  * through [[graft.plans.IcebergForeignRule]], which substitutes the
+  * relation with [[IcebergImport.read]]'s plan at analysis time —
+  * row-level deletes applied, field-id/name-mapping projection,
+  * manifest pruning ([[graft.plans.IcebergScanPruneRule]] recognizes
+  * the substituted scans) all identical to the TVF path. Writes go
+  * through a V1 fallback onto [[IcebergAppend]] — the same spec-shaped
+  * optimistic commits as the Scala face.
+  *
+  * DDL stays refused here: the warehouse is externally OWNED; schema
+  * evolution and maintenance go through the explicit CALL faces
+  * (`iceberg_rename_column`, `iceberg_compact`, ...) which say what
+  * they do to someone else's table.
+  */
+class IcebergWarehouseCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(throw new IllegalArgumentException(
+      s"IcebergWarehouseCatalog '$name' needs spark.sql.catalog.$name.warehouse=<dir>"))
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+  private def hconf = spark.sparkContext.hadoopConfiguration
+
+  private def dirOf(ident: Identifier): String =
+    (warehouse +: ident.namespace.toSeq :+ ident.name).mkString("/")
+
+  private def isTableDir(p: Path): Boolean = {
+    val f = p.getFileSystem(hconf)
+    f.exists(new Path(p, "metadata"))
+  }
+
+  private def fullName(ident: Identifier): String =
+    (catalogName +: ident.namespace.toSeq :+ ident.name).mkString(".")
+
+  // ----------------------------------------------------------------
+  // TableCatalog — read + write; DDL refuses (externally-owned tables)
+  // ----------------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    val d = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    val f = d.getFileSystem(hconf)
+    f.listStatus(d).toSeq
+      .filter(s => s.isDirectory && isTableDir(s.getPath))
+      .map(s => Identifier.of(namespace, s.getPath.getName))
+      .sortBy(_.name())
+      .toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTableDir(new Path(dirOf(ident)))
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new IcebergForeignTable(fullName(ident), dirOf(ident), None, pinned = false)
+  }
+
+  /** `VERSION AS OF` — a snapshot id, or a named ref (tag/branch). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = dirOf(ident)
+    val snap = version.toLongOption.getOrElse {
+      val refs = IcebergImport.refs(spark, dir)
+      refs.getOrElse(version, throw new NoSuchTableException(ident))._1
+    }
+    require(IcebergImport.snapshots(spark, dir).contains(snap),
+      s"snapshot $snap not in ${fullName(ident)}")
+    new IcebergForeignTable(s"${fullName(ident)}@$version", dir, Some(snap), pinned = true)
+  }
+
+  /** `TIMESTAMP AS OF` — Spark passes MICROseconds since epoch. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = dirOf(ident)
+    val snap = IcebergImport.snapshotAtTimestamp(spark, dir, timestamp / 1000L)
+      .getOrElse(throw new NoSuchTableException(ident))
+    new IcebergForeignTable(s"${fullName(ident)}@$snap", dir, Some(snap), pinned = true)
+  }
+
+  private def refuseDdl(what: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"$what is refused on catalog '$catalogName': a foreign Iceberg warehouse is " +
+        "externally owned — evolve/maintain through the explicit CALL faces " +
+        "(iceberg_rename_column, iceberg_add_column, iceberg_compact, ...)")
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table =
+    refuseDdl("CREATE TABLE")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    refuseDdl("ALTER TABLE")
+
+  override def dropTable(ident: Identifier): Boolean = refuseDdl("DROP TABLE")
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    refuseDdl("RENAME TABLE")
+
+  // ----------------------------------------------------------------
+  // SupportsNamespaces — a namespace is a directory without metadata/
+  // ----------------------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val r = new Path(warehouse)
+    val f = r.getFileSystem(hconf)
+    if (!f.exists(r)) Array.empty
+    else f.listStatus(r).toSeq
+      .filter(s => s.isDirectory && !s.getPath.getName.startsWith(".") &&
+        !isTableDir(s.getPath))
+      .map(s => Array(s.getPath.getName))
+      .sortBy(_.head)
+      .toArray
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else {
+      if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+      Array.empty
+    }
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val d = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    namespace.isEmpty || d.getFileSystem(hconf).exists(d)
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    new util.HashMap[String, String]()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = refuseDdl("CREATE NAMESPACE")
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    refuseDdl("ALTER NAMESPACE")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    refuseDdl("DROP NAMESPACE")
+}
+
+/** One mounted foreign Iceberg table. Scans are SUBSTITUTED at
+  * analysis time by [[graft.plans.IcebergForeignRule]] with
+  * [[IcebergImport.read]]'s resolved plan (deletes applied, projection
+  * rules, manifest pruning); reaching `newScanBuilder` means the rule
+  * is not active. Writes are a V1 fallback onto [[IcebergAppend]]:
+  * INSERT INTO = one append snapshot, INSERT OVERWRITE = one REPLACE
+  * snapshot (carryPrevious=false — the same atomic shape as
+  * [[graft.io.IcebergMaintenance.compact]]). */
+private[graft] final class IcebergForeignTable(
+    fullName: String,
+    private[graft] val dir: String,
+    private[graft] val snapshotId: Option[Long],
+    private[graft] val pinned: Boolean
+) extends Table with SupportsRead with SupportsWrite {
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def name(): String = fullName
+
+  override lazy val schema: StructType = IcebergImport.tableSchema(spark, dir)
+
+  override def partitioning(): Array[Transform] = Array.empty
+
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    m.put("provider", "graft-iceberg-foreign")
+    m.put("location", dir)
+    snapshotId.foreach(s => m.put("snapshot-id", s.toString))
+    m
+  }
+
+  override def capabilities(): util.Set[TableCapability] = {
+    val s = new util.HashSet[TableCapability]()
+    s.add(TableCapability.BATCH_READ)
+    s.add(TableCapability.V1_BATCH_WRITE)
+    s.add(TableCapability.TRUNCATE)
+    s
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    throw new IllegalStateException(
+      s"$fullName is a foreign Iceberg table — scans resolve through " +
+        "graft.plans.IcebergForeignRule; enable spark.sql.extensions=graft.GraftExtensions")
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(!pinned, s"cannot write to $fullName pinned by time travel (read-only)")
+    new WriteBuilder with SupportsTruncate {
+      private var truncateAll = false
+      override def truncate(): WriteBuilder = { truncateAll = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation = new InsertableRelation {
+          override def insert(data: org.apache.spark.sql.DataFrame, overwrite: Boolean): Unit = {
+            val s = data.sparkSession
+            if (truncateAll || overwrite)
+              // INSERT OVERWRITE: one REPLACE snapshot — readers see
+              // the old content or the new, never both
+              IcebergAppend.overwrite(s, dir, data)
+            else IcebergAppend.append(s, dir, data)
+            ()
+          }
+        }
+      }
+    }
+  }
+}

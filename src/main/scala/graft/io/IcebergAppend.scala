@@ -644,4 +644,15 @@ object IcebergAppend {
     val m = writeDataManifest(spark, lt, df)
     commitSnapshot(spark, lt, Seq(m), operation = "append", summaryProps = summaryProps)
   }
+
+  /** Replace the table's content with `df` in ONE atomic snapshot
+    * (`operation=overwrite`, manifest list referencing only the new
+    * files — prior snapshots stay time-travelable). The INSERT
+    * OVERWRITE face of the bridge. */
+  def overwrite(spark: SparkSession, tableDir: String, df: DataFrame,
+      branch: String = "main"): Long = {
+    val lt = load(spark, tableDir, branch)
+    val m = writeDataManifest(spark, lt, df)
+    commitSnapshot(spark, lt, Seq(m), operation = "overwrite", carryPrevious = false)
+  }
 }

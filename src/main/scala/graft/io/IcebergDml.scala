@@ -55,10 +55,18 @@ object IcebergDml {
     * snapshot id, or None when nothing matched (no commit — an empty
     * delete file would be pure debt). */
   def deleteWhere(spark: SparkSession, tableDir: String, predicate: String,
+      equalityCols: Seq[String] = Nil, branch: String = "main"): Option[Long] =
+    deleteWhereC(spark, tableDir, expr(predicate), equalityCols, branch)
+
+  /** Column-predicate face (the SQL DML rewrite's entry point —
+    * [[graft.plans.IcebergForeignRule]] re-anchors the statement's
+    * resolved condition here). */
+  private[graft] def deleteWhereC(spark: SparkSession, tableDir: String,
+      predicate: org.apache.spark.sql.Column,
       equalityCols: Seq[String] = Nil, branch: String = "main"): Option[Long] = {
     val lt = IcebergAppend.load(spark, tableDir, branch)
     val current = readHead(spark, tableDir, lt)
-    val matched = current.filter(expr(predicate))
+    val matched = current.filter(predicate)
     val keyCols = resolveKeyCols(lt, equalityCols, current.schema)
     val keys = matched.select(keyCols.map(col): _*).distinct()
     if (keys.isEmpty) return None
@@ -75,19 +83,28 @@ object IcebergDml {
     * data manifest of the post-images. Returns the new snapshot id,
     * or None when nothing matched. */
   def update(spark: SparkSession, tableDir: String, predicate: String,
-      assignments: Map[String, String], branch: String = "main"): Option[Long] = {
+      assignments: Map[String, String], branch: String = "main"): Option[Long] =
+    updateC(spark, tableDir, expr(predicate),
+      assignments.view.mapValues(expr).toMap, branch)
+
+  /** Column faces for predicate and assignment values (the SQL DML
+    * rewrite's entry point). */
+  private[graft] def updateC(spark: SparkSession, tableDir: String,
+      predicate: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column],
+      branch: String = "main"): Option[Long] = {
     require(assignments.nonEmpty, "update needs at least one column assignment")
     val lt = IcebergAppend.load(spark, tableDir, branch)
     val current = readHead(spark, tableDir, lt)
     assignments.keys.foreach(c => require(current.columns.contains(c),
       s"assignment targets column '$c', not in the schema of $tableDir"))
-    val matched = current.filter(expr(predicate))
+    val matched = current.filter(predicate)
     // full-column pre-images: equality == predicate semantics (doc above)
     val keyCols = resolveKeyCols(lt, Nil, current.schema)
     val keys = matched.select(keyCols.map(col): _*).distinct()
     if (keys.isEmpty) return None
     val updated = assignments.foldLeft(matched) { case (acc, (c, e)) =>
-      acc.withColumn(c, expr(e).cast(current.schema(c).dataType))
+      acc.withColumn(c, e.cast(current.schema(c).dataType))
     }
     val specId = IcebergAppend.ensureUnpartitionedSpec(lt)
     val del = writeEqualityDeleteManifest(spark, lt, keys, keyCols, specId)

@@ -809,6 +809,47 @@ object IcebergImport {
     df.select(userCols.map(col): _*)
   }
 
+  /** The table's CURRENT schema per the metadata JSON alone — one
+    * metadata file read, no manifest walk, no footer probe. The
+    * analysis-time face for catalog mounts ([[graft.catalog
+    * .IcebergWarehouseCatalog]]); falls back to the full read's schema
+    * only for metadata shapes the direct mapping doesn't cover. */
+  def tableSchema(spark: SparkSession, tableDir: String): StructType = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val metaDir = new Path(tableDir, "metadata")
+    val f = metaDir.getFileSystem(hconf)
+    val mdPath = latestMetadata(f, metaDir)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val md = { val in = f.open(mdPath); try om.readTree(in) finally in.close() }
+    val schemaNode = {
+      val schemas = md.get("schemas")
+      if (schemas != null && schemas.size > 0) {
+        val want = if (md.has("current-schema-id")) md.get("current-schema-id").asInt else 0
+        (0 until schemas.size).map(schemas.get)
+          .find(s => s.has("schema-id") && s.get("schema-id").asInt == want)
+          .getOrElse(schemas.get(0))
+      } else md.get("schema")
+    }
+    sparkSchemaOf(schemaNode).getOrElse(read(spark, tableDir).schema)
+  }
+
+  /** The newest snapshot committed at or before `millis` — the
+    * `TIMESTAMP AS OF` resolution for foreign tables. */
+  def snapshotAtTimestamp(spark: SparkSession, tableDir: String, millis: Long): Option[Long] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val metaDir = new Path(tableDir, "metadata")
+    val f = metaDir.getFileSystem(hconf)
+    val mdPath = latestMetadata(f, metaDir)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val md = { val in = f.open(mdPath); try om.readTree(in) finally in.close() }
+    val snaps = md.get("snapshots")
+    if (snaps == null) None
+    else (0 until snaps.size).map(snaps.get)
+      .map(s => (s.get("timestamp-ms").asLong, s.get("snapshot-id").asLong))
+      .filter(_._1 <= millis)
+      .sortBy(identity).lastOption.map(_._2)
+  }
+
   /** The table's named refs (branches and tags): name → (snapshot id,
     * ref type). The `main` branch is included when declared. */
   def refs(spark: SparkSession, tableDir: String): Map[String, (Long, String)] = {

@@ -1,0 +1,116 @@
+package graft.plans
+
+import graft.catalog.IcebergForeignTable
+import org.apache.spark.sql.{Column, GraftSqlBridge, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+/** Analysis-time resolution for [[graft.catalog
+  * .IcebergWarehouseCatalog]] mounts — the 3-level-name SQL face of
+  * the jar-free Iceberg bridge:
+  *
+  *  - READS: a `DataSourceV2Relation` over an [[IcebergForeignTable]]
+  *    is substituted with [[graft.io.IcebergImport.read]]'s resolved
+  *    plan (row-level deletes applied, by-id/name-mapping projection,
+  *    pinned snapshot for time travel), re-aliased onto the relation's
+  *    own output attribute ids so every reference above stays
+  *    resolved — exactly the [[DeltaResolveRule]] shape. Filters and
+  *    projections above push into the per-file parquet scans through
+  *    the normal optimizer, and [[IcebergScanPruneRule]] recognizes
+  *    the substituted scans for manifest-bounds file skipping.
+  *  - `DELETE FROM` / `UPDATE`: claimed onto [[graft.io.IcebergDml]]
+  *    — spec-shaped equality-delete / overwrite snapshots, the same
+  *    commits as the Scala face. Resolved column references are
+  *    re-anchored by name onto the fresh read inside IcebergDml.
+  *  - Write-side plans keep their target relation untouched (the V1
+  *    write fallback needs it); only their QUERY side resolves.
+  *    `MERGE INTO` a foreign table is refused by Spark's own
+  *    row-level-operation analysis (the table doesn't claim it) —
+  *    loud, not silent.
+  */
+object IcebergForeignRule extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case d @ DeleteFromTable(ForeignRel(t), cond) if d.childrenResolved && cond.resolved =>
+      IcebergForeignDeleteCommand(t, cond)
+    case u @ UpdateTable(ForeignRel(t), assignments, cond)
+        if u.childrenResolved && assignments.forall(_.resolved) && cond.forall(_.resolved) =>
+      IcebergForeignUpdateCommand(t, assignments, cond)
+    case i: InsertIntoStatement => i.copy(query = resolveReads(i.query))
+    case w: V2WriteCommand => w.withNewQuery(resolveReads(w.query))
+    case m: MergeIntoTable => m.copy(sourceTable = resolveReads(m.sourceTable))
+    case c: Command => c
+    case other => resolveReads(other)
+  }
+
+  /** The relation under any stack of aliases. */
+  private object ForeignRel {
+    @scala.annotation.tailrec
+    def unapply(plan: LogicalPlan): Option[IcebergForeignTable] = plan match {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[IcebergForeignTable] =>
+        Some(r.table.asInstanceOf[IcebergForeignTable])
+      case SubqueryAlias(_, child) => unapply(child)
+      case _ => None
+    }
+  }
+
+  private def resolveReads(plan: LogicalPlan): LogicalPlan =
+    plan.transformUpWithSubqueries {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[IcebergForeignTable] =>
+        val t = r.table.asInstanceOf[IcebergForeignTable]
+        val analyzed = graft.io.IcebergImport
+          .read(SparkSession.active, t.dir, t.snapshotId)
+          .queryExecution.analyzed
+        val byName = analyzed.output.map(a => a.name -> a).toMap
+        // preserve the relation's output exprIds so parents stay resolved
+        val projections = r.output.map { o =>
+          val src = byName.getOrElse(o.name, throw new IllegalStateException(
+            s"resolved Iceberg scan of ${t.name()} lacks column '${o.name}'"))
+          Alias(src, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+        }
+        Project(projections, analyzed)
+    }
+
+  /** Re-anchor a resolved expression onto the fresh read IcebergDml
+    * does internally: attributes become UnresolvedAttribute by name
+    * (unique within an Iceberg schema). */
+  private def bare(e: Expression): Column =
+    GraftSqlBridge.column(e.transform {
+      case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+    })
+
+  private def requireWritable(t: IcebergForeignTable): Unit =
+    require(!t.pinned, s"${t.name()} is pinned by time travel — DML is read-only there")
+
+  private[plans] final case class IcebergForeignDeleteCommand(
+      t: IcebergForeignTable, cond: Expression) extends LeafRunnableCommand {
+    override def run(session: SparkSession): Seq[Row] = {
+      requireWritable(t)
+      graft.io.IcebergDml.deleteWhereC(session, t.dir, bare(cond))
+      Seq.empty
+    }
+  }
+
+  private[plans] final case class IcebergForeignUpdateCommand(
+      t: IcebergForeignTable, assignments: Seq[Assignment], cond: Option[Expression])
+      extends LeafRunnableCommand {
+    override def run(session: SparkSession): Seq[Row] = {
+      requireWritable(t)
+      val sets = assignments.map { a =>
+        a.key match {
+          case k: AttributeReference => k.name -> bare(a.value)
+          case other => throw new UnsupportedOperationException(
+            s"unsupported UPDATE target '$other' on a foreign Iceberg table — " +
+              "SET top-level columns only")
+        }
+      }.toMap
+      graft.io.IcebergDml.updateC(session, t.dir,
+        cond.map(bare).getOrElse(org.apache.spark.sql.functions.lit(true)), sets)
+      Seq.empty
+    }
+  }
+}

@@ -2999,12 +2999,55 @@ object ExtensionCorpus {
       ORDER BY p.l_returnflag""")
   )
 
+  /** FOREIGN WAREHOUSE CATALOG MOUNT under the gate (X131 — the
+    * 3-level-name porting seam the r15 verdict ranked #2: the
+    * reference's entire SQL surface is `silver.dw.tab_brewery`-style
+    * names, `job_gold.py:71-88`): half of orders exported into a
+    * warehouse directory, the catalog mounted
+    * (`spark.sql.catalog.<n> = IcebergWarehouseCatalog`), then the
+    * WHOLE lifecycle through pure 3-level-name SQL — `INSERT INTO` the
+    * other half (IcebergAppend commit), `DELETE FROM ... WHERE`
+    * (IcebergDml equality deletes), `UPDATE ... SET` (one overwrite
+    * snapshot) — and the final aggregate read back BY NAME. The oracle
+    * replays the same DML as WHERE/CASE over the raw parquet. */
+  private val q160 = Q(
+    "q160_iceberg_catalog_mount",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q160-snap").toString
+      val t = new graft.io.SnapshotTables(s, root)
+      val ord = fixture(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+      t.overwriteTable(ord.filter(col("o_orderkey") % 2 === 0), "ord")
+      val wh = java.nio.file.Files.createTempDirectory("q160-wh").toString
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(wh, "dw"))
+      graft.io.IcebergExport.export(t, "ord", s"$wh/dw/orders")
+      s.conf.set("spark.sql.catalog.q160ice",
+        classOf[graft.catalog.IcebergWarehouseCatalog].getName)
+      s.conf.set("spark.sql.catalog.q160ice.warehouse", wh)
+      ord.filter(col("o_orderkey") % 2 =!= 0).createOrReplaceTempView("q160_odd")
+      s.sql("INSERT INTO q160ice.dw.orders SELECT * FROM q160_odd")
+      s.sql("DELETE FROM q160ice.dw.orders WHERE o_orderkey % 7 = 0")
+      s.sql("UPDATE q160ice.dw.orders SET o_totalprice = 0.5 WHERE o_orderkey % 5 = 0")
+      s.sql("""SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM q160ice.dw.orders
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    },
+    Some("""SELECT o_orderstatus, COUNT(*) AS n,
+      CAST(SUM(CAST(CASE WHEN o_orderkey % 5 = 0 THEN 0.5
+                         ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders WHERE NOT (o_orderkey % 7 = 0)
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  )
+
   val all: Seq[Q] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q98b, q99, q100, q101, q102, q106, q107, q108,
     q109, q111, q112, q113, q114, q116, q117, q118, q119, q121, q122, q123, q125, q126, q127,
     q128, q130, q131, q132, q133, q135, q136, q137, q138, q139, q140, q141, q143, q144,
-    q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159
+    q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159,
+    q160
   )
 
 }
