@@ -136,16 +136,30 @@ object Bench {
       }
     }
 
-    // Layer 1 — gated start: don't measure into sustained ambient load.
-    // Threshold cpus/4 (local[32] box → 8); bounded wait so a
-    // permanently-loaded machine still produces a (self-identified)
-    // record rather than none.
+    // Layer 1 — RE-ARMING load gate: don't measure into sustained
+    // ambient load. The r15 record proved a start-only gate is not
+    // enough — loadavg passed at 6.71 and doubled to 10.8 MID-run,
+    // shipping q31 at 5.5× its band — so the same gate (same
+    // threshold cpus/4, one shared bounded budget) re-arms before the
+    // corpus loop, periodically INSIDE it, and before every outlier
+    // re-pass and e2e span block. A permanently-loaded machine still
+    // produces a (self-identified) record once the budget drains.
     val gateThreshold = cpus / 4.0
-    val gateDeadline = System.nanoTime() + 10L * 60 * 1000000000L // 10 min budget
-    val gateT0 = System.nanoTime()
-    while (loadavg1() > gateThreshold && System.nanoTime() < gateDeadline)
-      Thread.sleep(15000)
-    val gateWait = (System.nanoTime() - gateT0) / 1e9
+    var gateBudgetNs = 20L * 60 * 1000000000L // shared across all re-arms
+    var gateWaitTotal = 0.0
+    var regates = 0
+    def regate(): Unit =
+      if (loadavg1() > gateThreshold && gateBudgetNs > 0) {
+        regates += 1
+        val t0 = System.nanoTime()
+        while (loadavg1() > gateThreshold && gateBudgetNs > 0) {
+          Thread.sleep(15000)
+          gateBudgetNs -= 15L * 1000000000L
+        }
+        gateWaitTotal += (System.nanoTime() - t0) / 1e9
+      }
+    regate() // the start gate
+    def gateWait: Double = gateWaitTotal
 
     // E2E timer-span parity (BASELINE.md): the reference's three logged
     // spans — silver bronze-read (job_silver.py:142-149), silver
@@ -241,7 +255,10 @@ object Bench {
 
     val prior = priorMap(sfDir, "warm_all")
     val la0 = loadavg1()
-    val timed = graft.queries.Corpus.all.map { q =>
+    val timed = graft.queries.Corpus.all.zipWithIndex.map { case (q, i) =>
+      // mid-run re-arm: a load wave arriving during the corpus loop
+      // pauses measurement instead of poisoning the next N queries
+      if (i % 15 == 0) regate()
       val t = time3(q); (q.name, t._1, t._2, loadavg1())
     }
     val results = timed.map { case (n, c, _, _) => n -> c }
@@ -272,6 +289,7 @@ object Bench {
       val trigger = w > 0.3 && (priorTrig || stuckWarm)
       if (w >= 0 && trigger) {
         repassed += q.name
+        regate() // never re-pass INTO the same load wave that tripped it
         q.name -> Seq(w, time(q), time(q)).filter(_ >= 0).min
       } else q.name -> w
     }
@@ -287,6 +305,7 @@ object Bench {
       case (n, c) if c > 1.0 &&
         priorCold.get(n).filter(_ > 0).fold(c > 10.0)(r => c > 3 * r) => n
     }
+    regate() // the isolated-JVM colds deserve a quiet window too
     val isolatedCold = retimeColdIsolated(sfDir, coldOutliers.take(8))
     val repassedCold = isolatedCold.keys.toSeq.sorted
     val resultsAdj = results.map { case (n, c) =>
@@ -294,6 +313,7 @@ object Bench {
     }
     val total = resultsAdj.map(_._2).filter(_ >= 0).sum
 
+    regate() // e2e spans are the headline parity numbers
     val e2e = e2ePass("cold")
     val e2eWarmFirst = e2ePass("warm")
     // e2e warm spans get the same outlier defense as corpus warms:
@@ -444,7 +464,7 @@ object Bench {
         s""""e2e_pq_warm":${jmap(e2ePqWarm)},"commit":${jmap(commitSpans)},""" +
         s""""commit_load":${jmap(commitLoads)},""" +
         s""""loadavg":[${r3(la0)},${r3(la1)}],""" +
-        s""""gate_wait":${r3(gateWait)},"load_at":${jmap(loadAt)},""" +
+        s""""gate_wait":${r3(gateWait)},"regates":$regates,"load_at":${jmap(loadAt)},""" +
         s""""repassed":${repassed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""repassed_cold":${repassedCold.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""e2e_repassed":$e2eNeedsRepass,""" +
@@ -461,7 +481,7 @@ object Bench {
         s""""warm_total":${r3(warmTotal)},"warm_headline":${jmap(warm)},"e2e":${jmap(e2e)},""" +
         s""""e2e_warm":${jmap(e2eWarm)},"e2e_pq_warm":${jmap(e2ePqWarm)},""" +
         s""""commit":${jmap(commitSpans)},"loadavg":[${r3(la0)},${r3(la1)}],""" +
-        s""""gate_wait":${r3(gateWait)},"repassed":${repassed.length},""" +
+        s""""gate_wait":${r3(gateWait)},"regates":$regates,"repassed":${repassed.length},""" +
         s""""repassed_cold":${repassedCold.length},""" +
         s""""failed":${failed.length},"sf":"$sfDir"}"""
     // budget: 2000-char tail minus ~75 for sbt's trailing [success] line

@@ -557,32 +557,58 @@ object IcebergImport {
     // file predates the column; types align to the table schema (a
     // PROMOTED column — int→long, float→double — casts up) so
     // mixed-vintage groups union cleanly.
-    def resolvePlain(df: DataFrame): DataFrame = idSchema match {
-      case Some(schema) if !schema.fields.forall(f =>
+    def resolvePlain(df: DataFrame, idResolved: Boolean): DataFrame = idSchema match {
+      case Some(schema) =>
+        // a physical column CLAIMED by some field's name-mapping entry
+        // (as a current or historical spelling) belongs to THAT field
+        // id alone — plain-name matching must not hand it to a
+        // different field. This is the dropped-then-reused-name case:
+        // a foreign engine drops `v` (id 2), later adds a NEW `v`
+        // (id 3); id-less files still carry the OLD `v` column, and
+        // resolving it to field 3 by bare name would resurrect dropped
+        // data under the reused name (and double-resolve the column if
+        // field 2 was renamed with a mapping entry). Spec rule: for
+        // id-less files the name mapping assigns the ids; bare-name
+        // match is only the default for columns the mapping never
+        // speaks for. Frames already resolved BY ID are exempt: their
+        // column names ARE canonical (Spark's field-id read projected
+        // each column from its id), so the claim check would wrongly
+        // null out a legitimately reused name.
+        val claimed: Map[String, Int] =
+          if (idResolved) Map.empty
+          else nameMapping.toSeq.flatMap { case (id, names) => names.map(_ -> id) }
+            .groupBy(_._1).view.mapValues(_.head._2).toMap
+        def fieldId(f: StructField): Option[Int] =
+          if (f.metadata.contains("parquet.field.id"))
+            Some(f.metadata.getLong("parquet.field.id").toInt)
+          else None
+        def plainOk(f: StructField): Boolean =
           df.columns.contains(f.name) &&
-            // catalogString ignores nullability and field metadata —
-            // exactly the "same type modulo promotion" comparison
+            claimed.get(f.name).forall(owner => fieldId(f).contains(owner))
+        // fast path: every current column present under its own
+        // unclaimed name AND type (catalogString ignores nullability
+        // and field metadata — exactly "same type modulo promotion")
+        // → the legacy by-name read, untouched
+        if (schema.fields.forall(f => plainOk(f) &&
             df.schema(df.columns.indexOf(f.name)).dataType.catalogString ==
-              f.dataType.catalogString) =>
-        val helperCols = Seq(FileCol, PosCol).filter(df.columns.contains)
-        val cols = schema.fields.map { f =>
-          if (df.columns.contains(f.name)) df(f.name).cast(f.dataType).as(f.name)
-          else {
-            val fid: Option[Long] =
-              if (f.metadata.contains("parquet.field.id"))
-                Some(f.metadata.getLong("parquet.field.id"))
-              else None
-            val aliases = fid.toSeq.flatMap(id => nameMapping.getOrElse(id.toInt, Nil))
-            aliases.find(df.columns.contains) match {
-              case Some(old) => df(old).cast(f.dataType).as(f.name)
-              case None      => lit(null).cast(f.dataType).as(f.name)
+              f.dataType.catalogString)) df
+        else {
+          val helperCols = Seq(FileCol, PosCol).filter(df.columns.contains)
+          val cols = schema.fields.map { f =>
+            if (plainOk(f)) df(f.name).cast(f.dataType).as(f.name)
+            else {
+              val aliases = fieldId(f).toSeq.flatMap(id => nameMapping.getOrElse(id, Nil))
+              aliases.find(df.columns.contains) match {
+                case Some(old) => df(old).cast(f.dataType).as(f.name)
+                case None      => lit(null).cast(f.dataType).as(f.name)
+              }
             }
           }
+          df.select(cols.toSeq ++ helperCols.map(df(_)): _*)
         }
-        df.select(cols.toSeq ++ helperCols.map(df(_)): _*)
-      case _ => df
+      case None => df
     }
-    def finish(df: DataFrame): DataFrame = {
+    def finish(df: DataFrame, idResolved: Boolean): DataFrame = {
       // row-address helpers ride along BEFORE any rename projection —
       // `_metadata` is only addressable on the scan relation itself
       val withM =
@@ -590,7 +616,7 @@ object IcebergImport {
         else df.select(col("*"),
           col("_metadata.file_path").as(FileCol),
           col("_metadata.row_index").as(PosCol))
-      val resolved = resolvePlain(withM)
+      val resolved = resolvePlain(withM, idResolved)
       // a v1 metadata file with no parseable schema drops nothing —
       // only a KNOWN schema authorizes projecting extras away
       val extras =
@@ -618,13 +644,13 @@ object IcebergImport {
       }
       val partitioned = fset.filter(f => dirComps(f).nonEmpty)
       val bare = fset.filterNot(f => dirComps(f).nonEmpty)
-      if (partitioned.isEmpty) return Seq(finish(reader().parquet(fset: _*)))
+      if (partitioned.isEmpty) return Seq(finish(reader().parquet(fset: _*), withIds))
       // which columns do the files themselves carry?
       val fileCols = footer(partitioned.head)._2.toSet
       val dirCols = dirComps(partitioned.head)
         .map(c => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
           .unescapePathName(c.substring(0, c.indexOf('=')))).toSet
-      if (dirCols.subsetOf(fileCols)) return Seq(finish(reader().parquet(fset: _*)))
+      if (dirCols.subsetOf(fileCols)) return Seq(finish(reader().parquet(fset: _*), withIds))
       // partition columns live only in the directory names: group files
       // by their pre-partition base and let Spark's partition discovery
       // type them; union across bases (one per exported segment). Bare
@@ -639,9 +665,9 @@ object IcebergImport {
         comps.take(firstPart).mkString("/")
       }
       val parts = byBase.toSeq.sortBy(_._1).map { case (base, fs) =>
-        finish(reader().option("basePath", base).parquet(fs: _*))
+        finish(reader().option("basePath", base).parquet(fs: _*), withIds)
       }
-      parts ++ (if (bare.isEmpty) Nil else Seq(finish(reader().parquet(bare: _*))))
+      parts ++ (if (bare.isEmpty) Nil else Seq(finish(reader().parquet(bare: _*), withIds)))
     }
 
     val all = readClass(files.filterNot(byId), withIds = false) ++

@@ -587,16 +587,22 @@ object Dedup {
     // every window into the frequency join and the per-doc window agg.
     // A shingle in MORE than maxDocsPerShingle docs is boilerplate by
     // construction (headers, licenses — the same argument as the LSH
-    // hot-bucket cap X107): cap it with the identical broadcast
-    // anti-join + CollectMetrics shape, drops observable, never silent.
+    // hot-bucket cap X107): drop it HERE, in the same pass — the cap
+    // is a self-filter on the frequency relation, so unlike the LSH
+    // cap (whose hot set comes from a different relation) it needs no
+    // anti-join; the r15 shape re-materialized the whole
+    // explode→distinct→count pipeline a second time for the broadcast
+    // side, costing ~60% on corpora with nothing to drop (SCALE_r15b:
+    // 8.15× vs 5.01× at 10×). Drop accounting stays observable —
+    // CollectMetrics rides the single pass as conditional aggregates,
+    // never silent.
     val freq = maxDocsPerShingle match {
       case Some(cap) =>
-        val hot0 = freq0.filter(col("n_docs") > cap)
-        val hot = dropMetrics.fold(hot0)(obs => hot0.observe(obs,
-          count(lit(1)).as("dropped_shingles"),
-          coalesce(sum(col("n_docs")), lit(0L)).as("dropped_doc_occurrences")))
-          .select(col("h"))
-        freq0.join(broadcast(hot), Seq("h"), "left_anti")
+        val observed = dropMetrics.fold(freq0)(obs => freq0.observe(obs,
+          count(when(col("n_docs") > cap, 1)).as("dropped_shingles"),
+          coalesce(sum(when(col("n_docs") > cap, col("n_docs"))), lit(0L))
+            .as("dropped_doc_occurrences")))
+        observed.filter(col("n_docs") <= cap)
       case None => freq0
     }
     val hits = win.join(freq, "h").select(col(idCol), col("pos"))

@@ -228,6 +228,64 @@ class IcebergAppendSpec extends SparkSpec {
     assert(IcebergAppend.committedTxnIds(spark, dest).size == 2)
   }
 
+  test("foreign raw-metadata evolution (rename + name REUSED after drop): append lands by id, dropped data never leaks") {
+    // the evolution is spliced RAW (not through IcebergEvolve) — the
+    // shape a FOREIGN engine leaves behind: `v` (id 2, string) renamed
+    // to `w` with a name-mapping entry, and a NEW column `v` (id 3,
+    // long) reusing the dropped spelling. graft's append must land
+    // values under the CURRENT ids, and the read side must never
+    // resolve the old id-less files' physical `v` column to field 3
+    // (that would resurrect renamed data under the reused name).
+    val dest = exported(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val metaDir = java.nio.file.Paths.get(dest, "metadata")
+    val hint = java.nio.file.Files.readString(metaDir.resolve("version-hint.text")).trim.toInt
+    val mdFile = IcebergTestSplice.mdFile(metaDir, hint)
+    val md = om.readTree(java.nio.file.Files.readString(mdFile))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val newSchema = om.readTree(
+      """{"type":"struct","schema-id":7,"fields":[
+        |{"id":1,"name":"k","required":false,"type":"long"},
+        |{"id":2,"name":"w","required":false,"type":"string"},
+        |{"id":3,"name":"v","required":false,"type":"long"}]}""".stripMargin)
+    md.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("schemas").add(newSchema)
+    md.put("current-schema-id", 7)
+    md.put("last-column-id", 3)
+    val props =
+      if (md.hasNonNull("properties")) md.get("properties").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      else md.putObject("properties")
+    props.put("schema.name-mapping.default", """[{"field-id":2,"names":["v","w"]}]""")
+    java.nio.file.Files.writeString(metaDir.resolve(s"v${hint + 1}.metadata.json"),
+      om.writeValueAsString(md))
+    java.nio.file.Files.writeString(metaDir.resolve("version-hint.text"), s"${hint + 1}")
+    java.nio.file.Files.deleteIfExists(metaDir.resolve(".version-hint.text.crc"))
+
+    val snap = IcebergAppend.append(spark, dest,
+      Seq((3L, "c", 30L), (4L, "d", 40L)).toDF("k", "w", "v"))
+    assert(snap > 0)
+    val out = IcebergImport.read(spark, dest)
+      .select("k", "w", "v").as[(Long, String, Option[Long])].collect().toSet
+    assert(out == Set(
+      // old id-less vintage: `w` resolves through the mapping to the
+      // old physical `v`; field 3 (`v`) reads NULL — never the old strings
+      (1L, "a", None), (2L, "b", None),
+      // appended vintage: id-carrying footers, all three fields live
+      (3L, "c", Some(30L)), (4L, "d", Some(40L))))
+    // the appended footers really carry the CURRENT ids (1, 2, 3)
+    val newFiles = IcebergImport.dataFiles(spark, dest)
+      .filter(_.contains("/data/append-"))
+    assert(newFiles.nonEmpty)
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(newFiles.head), spark.sparkContext.hadoopConfiguration)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      import scala.jdk.CollectionConverters._
+      val ids = r.getFooter.getFileMetaData.getSchema.getFields.asScala
+        .map(f => f.getName -> f.getId.intValue()).toMap
+      assert(ids == Map("k" -> 1, "w" -> 2, "v" -> 3))
+    } finally r.close()
+  }
+
   test("append to an empty-snapshot table bootstraps the chain") {
     // an exported table whose current snapshot has zero data files
     val root = java.nio.file.Files.createTempDirectory("graft-app-empty").toString
