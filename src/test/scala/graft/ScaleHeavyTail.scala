@@ -114,6 +114,8 @@ object ScaleHeavyTail {
     def nOverlapPairs(dir: String): Long =
       byName("q121_overlap_join").run(spark, dir)
         .agg(sum(col("n_pairs"))).head().getLong(0)
+    def nTokens(dir: String): Long = // repeated-passage windows ≈ tokens
+      docs(dir).select(sum(size(split(col("text"), " ")))).head().getLong(0)
 
     val queries: Seq[(String, String, String => Long)] = Seq(
       ("q31_minhash_signatures", "docs", nDocs),
@@ -123,7 +125,15 @@ object ScaleHeavyTail {
       ("q92_bigram_logloss", "bigrams", nBigrams),
       ("q121_overlap_join", "overlap_pairs", nOverlapPairs),
       ("q71_neardup_clusters", "candidate_pairs", nPairs),
-      ("q134_dsir_resample", "grams", nGrams))
+      ("q134_dsir_resample", "grams", nGrams),
+      // r16 additions (VERDICT r15 #6): the q98 pair — the capped twin
+      // must not scale WORSE than its uncapped sibling now that the
+      // cap is a single-pass self-filter — plus the two r15b tail
+      // queries (per-doc codec work, LSH + component split)
+      ("q98_repeated_passages", "tokens", nTokens),
+      ("q98b_repeated_passages_capped", "tokens", nTokens),
+      ("q142_leakage_safe_split", "candidate_pairs", nPairs),
+      ("q151_audio_decode", "docs", nDocs))
 
     spark.range(1000000).selectExpr("sum(id)").collect() // JVM warmup
     val la0 = loadavg1()
