@@ -324,9 +324,11 @@ class PlanQualitySpec extends SparkSpec {
     assert(names == Set("rollback", "create_branch", "drop_branch", "create_tag", "drop_tag", "fast_forward",
       "optimize", "compact_deltas", "evolve_partitioning", "expire_snapshots",
       "remove_orphan_files", "expire_log", "publish_branches", "export_iceberg_metadata",
-      // the FOREIGN-Iceberg-by-path surface (bridge evolution/maintenance/append)
+      // the FOREIGN-Iceberg-by-path surface (bridge evolution/
+      // maintenance/append + r16's row-level DML and branches)
       "iceberg_rename_column", "iceberg_add_column", "iceberg_drop_column",
       "iceberg_promote_column", "iceberg_compact", "iceberg_expire_snapshots",
-      "iceberg_append"))
+      "iceberg_append", "iceberg_delete_where", "iceberg_update",
+      "iceberg_create_branch", "iceberg_fast_forward"))
   }
 }
