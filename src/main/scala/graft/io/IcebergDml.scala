@@ -55,17 +55,45 @@ object IcebergDml {
     * snapshot id, or None when nothing matched (no commit — an empty
     * delete file would be pure debt). */
   def deleteWhere(spark: SparkSession, tableDir: String, predicate: String,
-      equalityCols: Seq[String] = Nil, branch: String = "main"): Option[Long] =
-    deleteWhereC(spark, tableDir, expr(predicate), equalityCols, branch)
+      equalityCols: Seq[String] = Nil, branch: String = "main",
+      strategy: String = "auto"): Option[Long] =
+    deleteWhereC(spark, tableDir, expr(predicate), equalityCols, branch, strategy)
 
   /** Column-predicate face (the SQL DML rewrite's entry point —
     * [[graft.plans.IcebergForeignRule]] re-anchors the statement's
-    * resolved condition here). */
+    * resolved condition here).
+    *
+    * `strategy`: `"equality"` (the doc-comment's equality-delete
+    * shape), `"position"` (spec POSITION deletes — (file_path, pos)
+    * rows addressing exactly the matched copies, from the scan's own
+    * `_metadata` lineage; O(matched) longs+paths instead of full row
+    * images, and the one shape that works on MAP-typED tables where
+    * nothing can equality-join), or `"auto"` (default): equality,
+    * falling back to position when the full-column key set would be
+    * refused for maps and no explicit `equalityCols` was given. */
   private[graft] def deleteWhereC(spark: SparkSession, tableDir: String,
       predicate: org.apache.spark.sql.Column,
-      equalityCols: Seq[String] = Nil, branch: String = "main"): Option[Long] = {
+      equalityCols: Seq[String] = Nil, branch: String = "main",
+      strategy: String = "auto"): Option[Long] = {
+    require(Set("auto", "equality", "position").contains(strategy),
+      s"unknown delete strategy '$strategy' — auto | equality | position")
     val lt = IcebergAppend.load(spark, tableDir, branch)
     val current = readHead(spark, tableDir, lt)
+    def hasMapCols = current.schema.fields.exists(f => hasMap(f.dataType))
+    val usePosition = strategy == "position" ||
+      (strategy == "auto" && equalityCols.isEmpty && hasMapCols)
+    if (usePosition) {
+      require(equalityCols.isEmpty,
+        "equalityCols only applies to the equality strategy")
+      val lineage = IcebergImport.readWithLineage(spark, tableDir,
+        if (lt.branch == "main") None else lt.parent)
+      val positions = lineage.filter(predicate)
+        .select(col(IcebergImport.LineageFileCol), col(IcebergImport.LineagePosCol))
+      if (positions.isEmpty) return None
+      val specId = IcebergAppend.ensureUnpartitionedSpec(lt)
+      val m = writePositionDeleteManifest(spark, lt, positions, specId)
+      return Some(IcebergAppend.commitSnapshot(spark, lt, Seq(m), operation = "delete"))
+    }
     val matched = current.filter(predicate)
     val keyCols = resolveKeyCols(lt, equalityCols, current.schema)
     val keys = matched.select(keyCols.map(col): _*).distinct()
@@ -131,18 +159,79 @@ object IcebergDml {
     require(unknown.isEmpty,
       s"equality column(s) ${unknown.mkString("[", ",", "]")} not in the schema of " +
         s"${lt.tableDir} — have ${names.mkString("[", ",", "]")}")
-    def hasMap(dt: DataType): Boolean = dt match {
-      case _: MapType => true
-      case a: ArrayType => hasMap(a.elementType)
-      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
-      case _ => false
-    }
     val mapped = keyCols.filter(c => hasMap(schema(c).dataType))
     require(mapped.isEmpty,
       s"equality delete cannot key map-typed column(s) ${mapped.mkString("[", ",", "]")} of " +
         s"${lt.tableDir} — no engine can join on maps to apply it; pass equalityCols " +
-        "naming map-free key columns")
+        "naming map-free key columns, or use strategy=\"position\"")
     keyCols
+  }
+
+  private def hasMap(dt: DataType): Boolean = dt match {
+    case _: MapType => true
+    case a: ArrayType => hasMap(a.elementType)
+    case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+    case _ => false
+  }
+
+  /** Write `positions` ((file_path, pos) of each matched copy) as
+    * spec-shaped POSITION delete parquet — the reserved field ids
+    * 2147483546/2147483545, rows sorted by (file_path, pos) per the
+    * spec — plus one delete manifest (entries content=1, empty
+    * partition struct: global, unpartitioned spec). */
+  private def writePositionDeleteManifest(spark: SparkSession, lt: IcebergAppend.Loaded,
+      positions: DataFrame, specId: Int): IcebergAppend.NewManifest = {
+    import lt.{fs, metaDir, tableDir, newSnap}
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val shaped = positions
+      .select(
+        col(IcebergImport.LineageFileCol).cast(StringType).as("file_path",
+          new MetadataBuilder().putLong("parquet.field.id", 2147483546L).build()),
+        col(IcebergImport.LineagePosCol).cast(LongType).as("pos",
+          new MetadataBuilder().putLong("parquet.field.id", 2147483545L).build()))
+      .sortWithinPartitions(col("file_path"), col("pos"))
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val segId = java.util.UUID.randomUUID().toString.take(18)
+    val delDir = new Path(tableDir, s"data/posdelete-$segId")
+    shaped.write.parquet(delDir.toString)
+    val delFiles: Seq[Path] = {
+      val it = fs.listFiles(delDir, true)
+      val b = Seq.newBuilder[Path]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) b += st.getPath
+      }
+      b.result().sortBy(_.toString)
+    }
+    require(delFiles.nonEmpty, s"wrote no position-delete parquet under $delDir")
+    val entrySchema = new org.apache.avro.Schema.Parser().parse(IcebergExport.ManifestEntryAvro)
+    val dfSchema = entrySchema.getField("data_file").schema()
+    val manifestPath = new Path(metaDir, s"md-posdelete-$newSnap-$segId.avro")
+    val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](entrySchema))
+    w.setMeta("content", "deletes")
+    w.setMeta("format-version", "2")
+    w.setMeta("partition-spec-id", specId.toString)
+    w.create(entrySchema, fs.create(manifestPath, false))
+    var totalRows = 0L
+    delFiles.foreach { p =>
+      val st = IcebergExport.footerStats(p.toString, hconf, Map.empty)
+      totalRows += st.rows
+      val dfr = new GenericData.Record(dfSchema)
+      dfr.put("content", 1) // POSITION_DELETES
+      dfr.put("file_path", fs.makeQualified(p).toString)
+      dfr.put("file_format", "PARQUET")
+      dfr.put("partition", new GenericData.Record(dfSchema.getField("partition").schema()))
+      dfr.put("record_count", st.rows)
+      dfr.put("file_size_in_bytes", fs.getFileStatus(p).getLen)
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1) // ADDED
+      e.put("snapshot_id", java.lang.Long.valueOf(newSnap))
+      e.put("data_file", dfr)
+      w.append(e)
+    }
+    w.close()
+    IcebergAppend.NewManifest(manifestPath, content = 1, files = delFiles.size, rows = totalRows)
   }
 
   /** Write `keys` as field-id-carrying parquet under `data/` plus one

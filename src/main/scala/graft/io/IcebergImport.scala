@@ -131,6 +131,30 @@ object IcebergImport {
     else applyDeletes(spark, plan)
   }
 
+  /** [[read]] plus per-row lineage: two extra columns `__graft_ice_file`
+    * (the data file's path as `_metadata.file_path` spells it) and
+    * `__graft_ice_pos` (the row's ordinal in that file — exactly the
+    * spec's position-delete `pos`). The write side of position deletes
+    * ([[IcebergDml]]) consumes this; surviving rows only, like read. */
+  private[graft] def readWithLineage(spark: SparkSession, tableDir: String,
+      snapshotId: Option[Long] = None): DataFrame = {
+    val plan = planScan(spark, tableDir, snapshotId)
+    if (plan.data.isEmpty)
+      return plan.schema
+        .map(s => spark.createDataFrame(java.util.Collections.emptyList[Row](),
+          s.add(FileCol, StringType).add(PosCol, LongType)))
+        .getOrElse(spark.emptyDataFrame)
+    if (plan.deletes.isEmpty)
+      baseFrame(spark, plan.data.map(_.path), plan.fieldNames.values.toSet,
+        withMeta = true, tableLoc = plan.loc, snap = plan.snap,
+        idSchema = plan.schema, nameMapping = plan.nameMapping)
+    else applyDeletes(spark, plan, keepLineage = true)
+  }
+
+  /** The lineage column names [[readWithLineage]] yields. */
+  private[graft] val LineageFileCol: String = FileCol
+  private[graft] val LineagePosCol: String = PosCol
+
   /** The snapshot's surviving data-file paths — exposed so callers can
     * audit exactly what a read would scan. (With row-level deletes
     * present, the read additionally filters rows; the FILE set is
@@ -697,7 +721,8 @@ object IcebergImport {
     }
   }
 
-  private def applyDeletes(spark: SparkSession, plan: ScanPlan): DataFrame = {
+  private def applyDeletes(spark: SparkSession, plan: ScanPlan,
+      keepLineage: Boolean = false): DataFrame = {
     import spark.implicits._
 
     val eqDeletes = plan.deletes.filter(_.content == 2)
@@ -832,7 +857,15 @@ object IcebergImport {
         df = df.join(edR, cond, "left_anti")
       }
 
-    df.select(userCols.map(col): _*)
+    if (!keepLineage) df.select(userCols.map(col): _*)
+    else {
+      // restore the file PATH from the fid the delete pipeline joined
+      // on (tiny broadcast — one row per data file)
+      val fidPath = plan.data.zipWithIndex.map { case (d, i) => (i, d.path) }
+        .toDF(FidCol, FileCol)
+      df.join(broadcast(fidPath), FidCol)
+        .select(userCols.map(col) :+ col(FileCol) :+ col(PosCol): _*)
+    }
   }
 
   /** The table's CURRENT schema per the metadata JSON alone — one
@@ -921,7 +954,13 @@ object IcebergImport {
   }
 
   /** version-hint.text when present (HadoopCatalog convention), else
-    * the lexically-greatest v*.metadata.json. */
+    * the highest-versioned metadata file under EITHER naming found in
+    * the wild: HadoopTableOperations' `v<N>.metadata.json`, or the
+    * catalog convention `<NNNNN>-<uuid>.metadata.json` (REST/Hive
+    * catalogs — no hint file, the catalog itself is the pointer; for a
+    * directory copy the embedded version number is the best-available
+    * head). Catalog-named layouts are READ-ONLY here — the write side
+    * refuses via [[writableVersionOf]]. */
   private[io] def latestMetadata(f: org.apache.hadoop.fs.FileSystem, metaDir: Path): Path = {
     require(f.exists(metaDir), s"no metadata directory at $metaDir")
     val hint = new Path(metaDir, "version-hint.text")
@@ -934,10 +973,17 @@ object IcebergImport {
       cands.find(f.exists).getOrElse(
         throw new IllegalArgumentException(s"version-hint says '$v' but no matching metadata in $metaDir"))
     } else {
+      def versionOf(name: String): Option[Int] =
+        if (name.matches("v\\d+\\.metadata\\.json"))
+          name.stripPrefix("v").stripSuffix(".metadata.json").toIntOption
+        else if (name.matches("\\d+-[^/]+\\.metadata\\.json"))
+          name.takeWhile(_.isDigit).toIntOption
+        else None
       val all = f.listStatus(metaDir).map(_.getPath)
-        .filter(_.getName.matches("v\\d+\\.metadata\\.json")).sortBy(_.getName)
-      require(all.nonEmpty, s"no v*.metadata.json under $metaDir")
-      all.last
+        .flatMap(p => versionOf(p.getName).map(v => (v, p.getName, p)))
+      require(all.nonEmpty, s"no *.metadata.json under $metaDir " +
+        "(expected v<N>.metadata.json or <NNNNN>-<uuid>.metadata.json)")
+      all.maxBy(t => (t._1, t._2))._3
     }
   }
 

@@ -19,7 +19,7 @@ object DriveIceExport {
     // on version files (the append's optimistic concurrency, working
     // as designed — but these are throwaway fixtures)
     Seq("plain", "mor", "bucket", "posdel", "evolved", "appended", "partitioned", "scoped",
-        "dml", "branch")
+        "dml", "branch", "posdml")
       .foreach { n =>
         val p = new org.apache.hadoop.fs.Path(s"/tmp/ind_export_$n")
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -157,6 +157,20 @@ object DriveIceExport {
     val r10r = graft.io.IcebergImport.read(spark, "/tmp/ind_export_branch")
       .agg(count(lit(1)), sum(col("o_totalprice").cast("decimal(18,2)")).cast("string")).collect()(0)
     println(s"EXPECT branch count=${r10r.getLong(0)} sum=${r10r.getString(1)}")
+
+    // 11: DML-written POSITION deletes (strategy="position") stacked
+    // under an equality delete — the witness must apply both shapes
+    // with their respective sequence gates
+    val r11 = java.nio.file.Files.createTempDirectory("ind-snap11").toString
+    val t11 = new graft.io.SnapshotTables(spark, r11)
+    t11.overwriteTable(ord, "ord")
+    graft.io.IcebergExport.export(t11, "ord", "/tmp/ind_export_posdml")
+    graft.io.IcebergDml.deleteWhere(spark, "/tmp/ind_export_posdml", "o_orderkey % 7 = 0")
+    graft.io.IcebergDml.deleteWhere(spark, "/tmp/ind_export_posdml",
+      "o_totalprice > 200000.0", strategy = "position")
+    val r11r = graft.io.IcebergImport.read(spark, "/tmp/ind_export_posdml")
+      .agg(count(lit(1)), sum(col("o_totalprice").cast("decimal(18,2)")).cast("string")).collect()(0)
+    println(s"EXPECT posdml count=${r11r.getLong(0)} sum=${r11r.getString(1)}")
     spark.stop()
   }
 }

@@ -85,12 +85,63 @@ class IcebergDmlSpec extends SparkSpec {
       IcebergDml.deleteWhere(spark, dest, "k > 0", equalityCols = Seq("nope")))
     assert(e1.getMessage.contains("nope"))
     val destM = exported(Seq((1L, Map("a" -> 1))).toDF("k", "m"))
+    // maps refuse under EXPLICIT equality (auto falls back to position)
     val e2 = intercept[IllegalArgumentException](
-      IcebergDml.deleteWhere(spark, destM, "k > 0"))
+      IcebergDml.deleteWhere(spark, destM, "k > 0", strategy = "equality"))
     assert(e2.getMessage.contains("map-typed"))
-    // but naming map-free equality columns works on the same table
+    val e3 = intercept[IllegalArgumentException](
+      IcebergDml.deleteWhere(spark, destM, "k > 0", strategy = "nonsense"))
+    assert(e3.getMessage.contains("auto | equality | position"))
+    // naming map-free equality columns works on the same table
     IcebergDml.deleteWhere(spark, destM, "k > 0", equalityCols = Seq("k"))
     assert(IcebergImport.read(spark, destM).count() == 0)
+  }
+
+  test("position strategy: spec-shaped (file_path, pos) deletes address exactly the matched copies") {
+    val dest = exported(Seq((1L, "a"), (2L, "b"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+    val snap = IcebergDml.deleteWhere(spark, dest, "k = 2", strategy = "position")
+    assert(snap.isDefined)
+    assert(IcebergImport.read(spark, dest).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (3L, "c")))
+    // the delete files on disk are REAL position deletes: reserved
+    // column names, readable as plain parquet
+    val dels = IcebergImport.deleteFiles(spark, dest)
+    assert(dels.nonEmpty && dels.forall(_.contains("posdelete-")))
+    val raw = spark.read.parquet(dels: _*)
+    assert(raw.columns.toSet == Set("file_path", "pos"))
+    assert(raw.count() == 2) // both copies of (2, "b"), each by position
+    // a later append is untouched by the earlier position delete
+    IcebergAppend.append(spark, dest, Seq((2L, "b")).toDF("k", "v"))
+    assert(IcebergImport.read(spark, dest).count() == 3)
+  }
+
+  test("auto strategy falls back to position deletes on map-typed tables") {
+    val dest = exported(Seq(
+      (1L, Map("a" -> 1)), (2L, Map("b" -> 2)), (3L, Map("c" -> 3))).toDF("k", "m"))
+    // full-column equality would refuse (maps) — auto routes to position
+    val snap = IcebergDml.deleteWhere(spark, dest, "k = 2")
+    assert(snap.isDefined)
+    assert(IcebergImport.read(spark, dest).select("k").as[Long].collect().toSet ==
+      Set(1L, 3L))
+    assert(IcebergImport.deleteFiles(spark, dest).forall(_.contains("posdelete-")))
+    // explicit equality on the map column still refuses loudly
+    val e = intercept[IllegalArgumentException](
+      IcebergDml.deleteWhere(spark, dest, "k = 1", strategy = "equality"))
+    assert(e.getMessage.contains("map-typed"))
+  }
+
+  test("position deletes compose with existing deletes: only surviving copies are addressed") {
+    val dest = exported((1L to 6L).map(i => (i, i * 1.0)).toDF("k", "x"))
+    IcebergDml.deleteWhere(spark, dest, "k <= 2")                       // equality first
+    IcebergDml.deleteWhere(spark, dest, "x >= 5.0", strategy = "position")
+    assert(IcebergImport.read(spark, dest).as[(Long, Double)].collect().toSet ==
+      Set((3L, 3.0), (4L, 4.0)))
+    // maintenance folds BOTH delete shapes away
+    IcebergMaintenance.compact(spark, dest, targetFiles = 1)
+    IcebergMaintenance.expireSnapshots(spark, dest, keepLast = 1, removeOrphans = true)
+    assert(IcebergImport.read(spark, dest).as[(Long, Double)].collect().toSet ==
+      Set((3L, 3.0), (4L, 4.0)))
+    assert(IcebergImport.deleteFiles(spark, dest).isEmpty)
   }
 
   // ------------------------------------------------------------------
@@ -214,6 +265,31 @@ class IcebergDmlSpec extends SparkSpec {
   test("catalog-convention metadata names refuse writes honestly, not NumberFormatException") {
     val e = intercept[IllegalArgumentException](IcebergImport.writableVersionOf(
       new org.apache.hadoop.fs.Path("/t/metadata/00001-abc-def.metadata.json")))
+    assert(e.getMessage.contains("read-only"))
+  }
+
+  test("catalog-convention layouts (NNNNN-uuid, no hint) READ at the highest version; writes refuse") {
+    // REST/Hive-catalog tables name metadata <NNNNN>-<uuid>.metadata.json
+    // with NO version-hint (the catalog is the pointer); a directory
+    // copy must still read at the highest embedded version
+    val dest = exported(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    IcebergAppend.append(spark, dest, Seq((3L, "c")).toDF("k", "v"))
+    val metaDir = java.nio.file.Paths.get(dest, "metadata")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(metaDir).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.matches("v\\d+\\.metadata\\.json")).foreach { p =>
+        val v = p.getFileName.toString.stripPrefix("v").stripSuffix(".metadata.json").toInt
+        java.nio.file.Files.move(p,
+          metaDir.resolve(f"$v%05d-${java.util.UUID.randomUUID()}.metadata.json"))
+        java.nio.file.Files.deleteIfExists(
+          metaDir.resolve("." + p.getFileName.toString + ".crc"))
+      }
+    java.nio.file.Files.deleteIfExists(metaDir.resolve("version-hint.text"))
+    java.nio.file.Files.deleteIfExists(metaDir.resolve(".version-hint.text.crc"))
+    assert(IcebergImport.read(spark, dest).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")), "must read the v2 (post-append) head")
+    val e = intercept[IllegalArgumentException](
+      IcebergAppend.append(spark, dest, Seq((4L, "d")).toDF("k", "v")))
     assert(e.getMessage.contains("read-only"))
   }
 
