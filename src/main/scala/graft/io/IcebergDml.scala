@@ -140,6 +140,31 @@ object IcebergDml {
     Some(IcebergAppend.commitSnapshot(spark, lt, Seq(del, data), operation = "overwrite"))
   }
 
+  /** Keyed UPSERT (the canonical MERGE shape — Iceberg's own MOR merge
+    * commit): ONE `overwrite` snapshot carrying an equality delete on
+    * the source's key tuples AND the source rows as a data manifest.
+    * Every existing row sharing a key with a source row is replaced;
+    * source rows with unseen keys are plain inserts — the v2
+    * strictly-lower sequence gate keeps the landed rows safe from
+    * their own delete, no read-modify-write of the table ever happens
+    * (O(source), never O(table)). Multiset contract: ALL source rows
+    * land — a caller wanting one-row-per-key resolves conflicts first
+    * (the SQL face enforces MERGE's cardinality rule before calling).
+    * `summaryProps` carry e.g. the streaming replay marker. */
+  def upsert(spark: SparkSession, tableDir: String, source: DataFrame,
+      keys: Seq[String], branch: String = "main",
+      summaryProps: Map[String, String] = Map.empty): Long = {
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    val lt = IcebergAppend.load(spark, tableDir, branch)
+    val keyCols = resolveKeyCols(lt, keys, source.schema)
+    val keyTuples = source.select(keyCols.map(col): _*).distinct()
+    val specId = IcebergAppend.ensureUnpartitionedSpec(lt)
+    val del = writeEqualityDeleteManifest(spark, lt, keyTuples, keyCols, specId)
+    val data = IcebergAppend.writeDataManifest(spark, lt, source)
+    IcebergAppend.commitSnapshot(spark, lt, Seq(del, data), operation = "overwrite",
+      summaryProps = summaryProps)
+  }
+
   /** The content DML filters against: the target branch's head (main =
     * the plain current-snapshot read), row-level deletes applied. */
   private def readHead(spark: SparkSession, tableDir: String,

@@ -42,9 +42,93 @@ object IcebergForeignRule extends Rule[LogicalPlan] {
       IcebergForeignUpdateCommand(t, assignments, cond)
     case i: InsertIntoStatement => i.copy(query = resolveReads(i.query))
     case w: V2WriteCommand => w.withNewQuery(resolveReads(w.query))
+    case m @ MergeIntoTable(ForeignRel(t), _, cond, matched, notMatched, notMatchedBySource, _)
+        if m.childrenResolved && cond.resolved &&
+          (matched ++ notMatched ++ notMatchedBySource).forall(_.resolved) =>
+      // the canonical keyed-upsert MERGE (unconditional UPDATE SET * /
+      // INSERT *, same-named equality keys, full-column source) IS
+      // Iceberg's own MOR merge commit — one equality delete + one
+      // data manifest in one overwrite snapshot (IcebergDml.upsert).
+      // Richer shapes refuse loudly: a silent fall-through would hit
+      // Spark's row-level-operation analysis with a misleading error.
+      requireWritable(t)
+      canonicalUpsertKeys(m) match {
+        case Some(keys) =>
+          IcebergForeignMergeCommand(t, resolveReads(m.sourceTable), keys)
+        case None => throw new UnsupportedOperationException(
+          s"MERGE INTO ${t.name()}: only the canonical keyed upsert is supported on " +
+            "foreign Iceberg tables (ON same-named key equality, one unconditional WHEN " +
+            "MATCHED THEN UPDATE SET *, one unconditional WHEN NOT MATCHED THEN INSERT *, " +
+            "source carrying exactly the table's columns) — it commits Iceberg's " +
+            "merge-on-read shape; rewrite richer merges as DELETE + INSERT or " +
+            "INSERT OVERWRITE")
+      }
     case m: MergeIntoTable => m.copy(sourceTable = resolveReads(m.sourceTable))
     case c: Command => c
     case other => resolveReads(other)
+  }
+
+  /** The canonical keyed-upsert detection (the same shape
+    * [[SnapshotDmlRule]] fast-paths): `ON` a conjunction of same-named
+    * target=source column equalities, exactly one unconditional
+    * full-row UPDATE and one unconditional full-row INSERT, and the
+    * source carrying exactly the table's columns. Returns the keys. */
+  private def canonicalUpsertKeys(m: MergeIntoTable): Option[Seq[String]] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo}
+    val targetIds = m.targetTable.output.map(_.exprId).toSet
+    val targetNames = m.targetTable.output.map(_.name)
+    def eqKeys(e: Expression): Option[Seq[String]] = e match {
+      case And(l, r) => for { a <- eqKeys(l); b <- eqKeys(r) } yield a ++ b
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if targetIds.contains(a.exprId) != targetIds.contains(b.exprId) && a.name == b.name =>
+        Some(Seq(a.name))
+      case _ => None
+    }
+    def fullRowCopy(asgns: Seq[Assignment]): Boolean = {
+      val byName = asgns.collect {
+        case Assignment(k: AttributeReference, v: AttributeReference)
+            if !targetIds.contains(v.exprId) && k.name == v.name => k.name
+      }
+      asgns.length == byName.length && byName.toSet == targetNames.toSet
+    }
+    val canonical =
+      m.matchedActions.length == 1 && m.notMatchedActions.length == 1 &&
+        m.notMatchedBySourceActions.isEmpty &&
+        (m.matchedActions.head match {
+          case UpdateStarAction(None) => true
+          case UpdateAction(None, asgns, _) => fullRowCopy(asgns)
+          case _ => false
+        }) &&
+        (m.notMatchedActions.head match {
+          case InsertStarAction(None) => true
+          case InsertAction(None, asgns) => fullRowCopy(asgns)
+          case _ => false
+        }) &&
+        m.sourceTable.output.map(_.name).toSet == targetNames.toSet
+    if (!canonical) None
+    else eqKeys(m.mergeCondition).map(_.distinct).filter(_.nonEmpty)
+  }
+
+  private[plans] final case class IcebergForeignMergeCommand(
+      t: IcebergForeignTable, source: LogicalPlan, keys: Seq[String])
+      extends LeafRunnableCommand {
+    override def run(session: SparkSession): Seq[Row] = {
+      import org.apache.spark.sql.functions.{count, lit}
+      val src = GraftSqlBridge.ofRows(session, source)
+      // SQL cardinality rule: a TARGET row matching several source rows
+      // must raise. Duplicate source keys alone are legal (both
+      // insert); only duplicates that hit the target violate it —
+      // checked with one aggregate over the O(batch) source and, only
+      // when duplicates exist at all, one semi-join against the table.
+      val dupKeys = src.groupBy(keys.map(org.apache.spark.sql.functions.col): _*)
+        .agg(count(lit(1)).as("__n")).filter(org.apache.spark.sql.functions.col("__n") > 1L)
+        .drop("__n")
+      if (!dupKeys.isEmpty &&
+          !graft.io.IcebergImport.read(session, t.dir).join(dupKeys, keys, "left_semi").isEmpty)
+        throw new IllegalStateException("MERGE: a target row matched multiple source rows")
+      graft.io.IcebergDml.upsert(session, t.dir, src, keys)
+      Seq.empty
+    }
   }
 
   /** The relation under any stack of aliases. */

@@ -3041,13 +3041,108 @@ object ExtensionCorpus {
       GROUP BY o_orderstatus ORDER BY o_orderstatus""")
   )
 
+  /** MERGE INTO A FOREIGN ICEBERG TABLE (X132 — the canonical keyed
+    * upsert, Iceberg's own MOR merge commit): orders mounted through
+    * the warehouse catalog, then a SQL `MERGE INTO ... WHEN MATCHED
+    * THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *` whose source
+    * repriceS half the even keys AND introduces odd keys — claimed by
+    * [[graft.plans.IcebergForeignRule]] onto [[graft.io.IcebergDml
+    * .upsert]]: ONE overwrite snapshot (equality delete on the source
+    * keys + the source as a data manifest), the table itself never
+    * read or rewritten. Oracle: DuckDB replays the merge as
+    * anti-join ∪ source. */
+  private val q161 = Q(
+    "q161_iceberg_foreign_merge",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q161-snap").toString
+      val t = new graft.io.SnapshotTables(s, root)
+      val ord = fixture(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+      t.overwriteTable(ord.filter(col("o_orderkey") % 2 === 0), "ord")
+      val wh = java.nio.file.Files.createTempDirectory("q161-wh").toString
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(wh, "dw"))
+      graft.io.IcebergExport.export(t, "ord", s"$wh/dw/orders")
+      s.conf.set("spark.sql.catalog.q161ice",
+        classOf[graft.catalog.IcebergWarehouseCatalog].getName)
+      s.conf.set("spark.sql.catalog.q161ice.warehouse", wh)
+      // source: re-price the %10 keys (updates) + all odd keys (inserts)
+      ord.filter(col("o_orderkey") % 10 === 0).withColumn("o_totalprice", lit(1.25))
+        .unionByName(ord.filter(col("o_orderkey") % 2 =!= 0))
+        .createOrReplaceTempView("q161_src")
+      s.sql("""MERGE INTO q161ice.dw.orders t USING q161_src s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      s.sql("""SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM q161ice.dw.orders
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    },
+    Some("""SELECT o_orderstatus, COUNT(*) AS n,
+      CAST(SUM(CAST(CASE WHEN o_orderkey % 10 = 0 THEN 1.25
+                         ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  )
+
+  /** STREAMING KEYED UPSERT INTO A FOREIGN ICEBERG TABLE (X133 — the
+    * merge twin of q154's append sink): a real 3-file parquet stream of
+    * purchases upserts BY USER into an exported Iceberg table seeded
+    * with zero-valued rows for half the users — each micro-batch ONE
+    * overwrite snapshot (equality delete on the batch's keys + batch
+    * data manifest) with an expiry-proof txn marker; in-batch
+    * conflicts resolve max_by(event_id), so the final table holds each
+    * user's LATEST purchase by event id. DuckDB replays the whole
+    * stream as one window query. */
+  private val q162 = Q(
+    "q162_streaming_iceberg_merge",
+    (s, dir) => {
+      val src = java.nio.file.Files.createTempDirectory("q162-src").toString
+      // key-partitioned files: each user's events land in ONE
+      // micro-batch, so per-batch max_by(event_id) IS the global
+      // latest (cross-batch, an upsert is last-WRITER-wins by design)
+      fixture(s, dir, "events").repartition(3, col("user_id"))
+        .write.mode("overwrite").parquet(src)
+      val schema = s.read.parquet(src).schema
+      val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          col("value").cast("double").as("value"))
+      val root = java.nio.file.Files.createTempDirectory("q162-snap").toString
+      val t = new graft.io.SnapshotTables(s, root)
+      val seed = fixture(s, dir, "events").filter(col("event_type") === "purchase")
+        .filter(col("user_id") % 2 === 0)
+        .select(col("user_id"), lit(-1L).as("event_id"), lit(0.0).as("value"))
+        .distinct()
+      t.overwriteTable(seed, "ev")
+      val dest = java.nio.file.Files.createTempDirectory("q162-ice").toString
+      graft.io.IcebergExport.export(t, "ev", dest)
+      val ck = java.nio.file.Files.createTempDirectory("q162-ck").toString + "/ck"
+      graft.streaming.Streams.icebergMergeSink(stream, dest, Seq("user_id"), ck,
+        orderCol = Some("event_id"), availableNow = true)
+        .awaitTermination()
+      s.sql(s"""SELECT user_id, event_id,
+        CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value
+        FROM graft_iceberg_scan('$dest')
+        ORDER BY user_id""")
+    },
+    Some("""WITH latest AS (
+        SELECT user_id, event_id, value,
+          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase')
+      SELECT user_id, event_id,
+        CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value
+      FROM latest WHERE rn = 1
+      ORDER BY user_id""")
+  )
+
   val all: Seq[Q] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q98b, q99, q100, q101, q102, q106, q107, q108,
     q109, q111, q112, q113, q114, q116, q117, q118, q119, q121, q122, q123, q125, q126, q127,
     q128, q130, q131, q132, q133, q135, q136, q137, q138, q139, q140, q141, q143, q144,
     q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159,
-    q160
+    q160, q161, q162
   )
 
 }

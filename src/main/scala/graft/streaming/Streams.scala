@@ -516,6 +516,58 @@ object Streams {
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }
 
+  /** Continuous keyed UPSERT into a FOREIGN Iceberg v2 table — the
+    * merge twin of [[icebergAppendSink]]: each non-empty micro-batch
+    * commits ONE overwrite snapshot (equality delete on the batch's
+    * keys + the batch as a data manifest, [[graft.io.IcebergDml
+    * .upsert]] — O(batch), the table is never read). EXACTLY-ONCE via
+    * the same expiry-proof txn markers as the append sink. In-batch
+    * key conflicts resolve to one row per key before the commit — by
+    * `orderCol` when given, else the documented struct-max fallback —
+    * because a batch carrying two images of one key would land both
+    * (the upsert's multiset contract). */
+  def icebergMergeSink(
+      stream: DataFrame,
+      tableDir: String,
+      keyCols: Seq[String],
+      checkpoint: String,
+      orderCol: Option[String] = None,
+      availableNow: Boolean = false
+  ): StreamingQuery = {
+    require(keyCols.nonEmpty, "icebergMergeSink needs at least one key column")
+    val sinkId = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpoint.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val w = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val txn = s"ice-merge.$sinkId.$batchId"
+        if (!batch.isEmpty &&
+            !graft.io.IcebergAppend.committedTxnIds(batch.sparkSession, tableDir).contains(txn)) {
+          import org.apache.spark.sql.functions.{col, max, max_by, struct}
+          val rest = batch.columns.filterNot(keyCols.contains).toSeq
+          val one =
+            if (rest.isEmpty) batch.dropDuplicates(keyCols)
+            else {
+              val packed = struct(rest.map(col): _*)
+              val pick = orderCol match {
+                case Some(oc) =>
+                  require(batch.columns.contains(oc),
+                    s"orderCol '$oc' is not a column of the stream")
+                  max_by(packed, col(oc))
+                case None => max(packed)
+              }
+              batch.groupBy(keyCols.map(col): _*).agg(pick.as("__one"))
+                .select(keyCols.map(col) ++ rest.map(c => col(s"__one.$c").as(c)): _*)
+            }
+          graft.io.IcebergDml.upsert(batch.sparkSession, tableDir, one, keyCols,
+            summaryProps = Map(graft.io.IcebergAppend.TxnKey -> txn))
+        }
+        ()
+      }
+    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
+
   /** Continuous upsert-by-key into a versioned snapshot table. With
     * `mor = false` (default) each batch is a copy-on-write MERGE —
     * O(table) write per batch, zero read-side overhead. With `mor =

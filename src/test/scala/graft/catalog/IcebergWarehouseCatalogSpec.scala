@@ -101,6 +101,33 @@ class IcebergWarehouseCatalogSpec extends SparkSpec {
     assert(e3.getMessage.contains("externally owned"))
   }
 
+  test("canonical MERGE INTO commits one MOR upsert snapshot; richer shapes refuse; cardinality raises") {
+    val (cat, dir) = mounted(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "v", "price"))
+    Seq((2L, "b2", 25.0), (3L, "c", 30.0)).toDF("k", "v", "price")
+      .createOrReplaceTempView("wh_merge_src")
+    val before = IcebergImport.snapshots(spark, dir).size
+    spark.sql(s"""MERGE INTO $cat.db.tab t USING wh_merge_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+    assert(IcebergImport.snapshots(spark, dir).size == before + 1, "ONE overwrite snapshot")
+    assert(spark.sql(s"SELECT k, v, price FROM $cat.db.tab ORDER BY k")
+      .as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "a", 10.0), (2L, "b2", 25.0), (3L, "c", 30.0)))
+    // non-canonical (conditional UPDATE) refuses with guidance
+    val e1 = intercept[Exception](spark.sql(
+      s"""MERGE INTO $cat.db.tab t USING wh_merge_src s ON t.k = s.k
+        WHEN MATCHED AND s.price > 100 THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *"""))
+    assert(e1.getMessage.contains("canonical keyed upsert"))
+    // cardinality: two source rows hitting ONE target row must raise
+    Seq((3L, "x", 1.0), (3L, "y", 2.0)).toDF("k", "v", "price")
+      .createOrReplaceTempView("wh_merge_dup")
+    val e2 = intercept[Exception](spark.sql(
+      s"""MERGE INTO $cat.db.tab t USING wh_merge_dup s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"""))
+    assert(e2.getMessage.contains("multiple source rows"))
+  }
+
   test("the reference's gold query shape runs verbatim against a mounted foreign table") {
     // job_gold.py:71-88: filtered grouped-count over a 3-level name
     val (cat, _) = mounted(

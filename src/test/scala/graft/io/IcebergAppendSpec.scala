@@ -228,6 +228,32 @@ class IcebergAppendSpec extends SparkSpec {
     assert(IcebergAppend.committedTxnIds(spark, dest).size == 2)
   }
 
+  test("streaming merge sink: keyed upsert per batch, exactly-once across checkpoint loss") {
+    val dest = exported(Seq((1L, 0.0), (2L, 0.0)).toDF("k", "x"))
+    val src = java.nio.file.Files.createTempDirectory("graft-mrg-stream").toString
+    // key-partitioned files: each key's rows land in one micro-batch
+    Seq((1L, 10.0), (1L, 11.0), (3L, 30.0)).toDF("k", "x")
+      .repartition(2, col("k")).write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def run(ck: String): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      graft.streaming.Streams.icebergMergeSink(stream, dest, Seq("k"), ck,
+        orderCol = Some("x"), availableNow = true).awaitTermination()
+    }
+    val ck = java.nio.file.Files.createTempDirectory("graft-mrg-ck").toString + "/ck"
+    run(ck)
+    val once = IcebergImport.read(spark, dest).as[(Long, Double)].collect().toSet
+    // k=1 replaced by its in-batch max (11.0), k=2 untouched, k=3 inserted
+    assert(once == Set((1L, 11.0), (2L, 0.0), (3L, 30.0)))
+    val fs = new org.apache.hadoop.fs.Path(ck).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(ck), true)
+    run(ck)
+    assert(IcebergImport.read(spark, dest).as[(Long, Double)].collect().toSet == once,
+      "a replayed batch must be skipped by its txn marker, not re-upserted")
+  }
+
   test("foreign raw-metadata evolution (rename + name REUSED after drop): append lands by id, dropped data never leaks") {
     // the evolution is spliced RAW (not through IcebergEvolve) — the
     // shape a FOREIGN engine leaves behind: `v` (id 2, string) renamed

@@ -187,6 +187,25 @@ class IcebergDmlSpec extends SparkSpec {
       Set((1L, "r", 1.5), (2L, "r", 2.5), (3L, "r", 3.0)))
   }
 
+  test("upsert: one overwrite snapshot, unseen keys insert, seen keys replace, null-safe keys") {
+    val dest = exported(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val before = metadataVersions(dest)
+    IcebergDml.upsert(spark, dest,
+      Seq((2L, "b2"), (3L, "c")).toDF("k", "v"), keys = Seq("k"))
+    assert(metadataVersions(dest).size == before.size + 1)
+    assert(currentSnapshotNode(dest).get("summary").get("operation").asText == "overwrite")
+    assert(IcebergImport.read(spark, dest).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b2"), (3L, "c")))
+    // upserting into a branch leaves main untouched until publish
+    IcebergEvolve.createBranch(spark, dest, "wip")
+    IcebergDml.upsert(spark, dest, Seq((1L, "a9")).toDF("k", "v"),
+      keys = Seq("k"), branch = "wip")
+    assert(IcebergImport.read(spark, dest).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b2"), (3L, "c")))
+    assert(IcebergImport.readRef(spark, dest, "wip").as[(Long, String)].collect().toSet ==
+      Set((1L, "a9"), (2L, "b2"), (3L, "c")))
+  }
+
   // ------------------------------------------------------------------
   // branches: write-audit-publish on foreign tables
   // ------------------------------------------------------------------
