@@ -126,6 +126,28 @@ object IcebergDml {
     val current = readHead(spark, tableDir, lt)
     assignments.keys.foreach(c => require(current.columns.contains(c),
       s"assignment targets column '$c', not in the schema of $tableDir"))
+    if (current.schema.fields.exists(f => hasMap(f.dataType))) {
+      // map-typed tables: the full-column pre-image equality delete is
+      // impossible (nothing can join on maps), so the pre-images are
+      // addressed by POSITION instead — same one-snapshot overwrite,
+      // same sequence safety (position deletes name (file, pos) of the
+      // OLD files only; the post-image file is never referenced)
+      val lineage = IcebergImport.readWithLineage(spark, tableDir,
+        if (lt.branch == "main") None else lt.parent)
+      val matched = lineage.filter(predicate)
+      val positions = matched
+        .select(col(IcebergImport.LineageFileCol), col(IcebergImport.LineagePosCol))
+      if (positions.isEmpty) return None
+      val updated = assignments.foldLeft(
+        matched.drop(IcebergImport.LineageFileCol, IcebergImport.LineagePosCol)) {
+        case (acc, (c, e)) => acc.withColumn(c, e.cast(current.schema(c).dataType))
+      }
+      val specId = IcebergAppend.ensureUnpartitionedSpec(lt)
+      val del = writePositionDeleteManifest(spark, lt, positions, specId)
+      val data = IcebergAppend.writeDataManifest(spark, lt, updated)
+      return Some(IcebergAppend.commitSnapshot(spark, lt, Seq(del, data),
+        operation = "overwrite"))
+    }
     val matched = current.filter(predicate)
     // full-column pre-images: equality == predicate semantics (doc above)
     val keyCols = resolveKeyCols(lt, Nil, current.schema)

@@ -187,6 +187,23 @@ class IcebergDmlSpec extends SparkSpec {
       Set((1L, "r", 1.5), (2L, "r", 2.5), (3L, "r", 3.0)))
   }
 
+  test("update on a MAP-typed table routes the pre-image delete by position") {
+    val dest = exported(Seq(
+      (1L, Map("a" -> 1), 10.0), (2L, Map("b" -> 2), 20.0), (3L, Map("c" -> 3), 30.0))
+      .toDF("k", "m", "price"))
+    val before = metadataVersions(dest)
+    val snap = IcebergDml.update(spark, dest, "k = 2", Map("price" -> "price * 2"))
+    assert(snap.isDefined)
+    assert(metadataVersions(dest).size == before.size + 1, "still one atomic commit")
+    assert(IcebergImport.read(spark, dest).select("k", "price")
+      .as[(Long, Double)].collect().toSet ==
+      Set((1L, 10.0), (2L, 40.0), (3L, 30.0)))
+    // the map column survives the round trip on the rewritten row
+    assert(IcebergImport.read(spark, dest).filter(col("k") === 2)
+      .select("m").as[Map[String, Int]].head() == Map("b" -> 2))
+    assert(IcebergImport.deleteFiles(spark, dest).forall(_.contains("posdelete-")))
+  }
+
   test("upsert: one overwrite snapshot, unseen keys insert, seen keys replace, null-safe keys") {
     val dest = exported(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
     val before = metadataVersions(dest)
