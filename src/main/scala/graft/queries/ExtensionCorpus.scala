@@ -3136,13 +3136,49 @@ object ExtensionCorpus {
       ORDER BY user_id""")
   )
 
+  /** Metadata-table audit AFTER row-level DML (the q150 twin over
+    * X129's commits): a DML'd foreign table carries all THREE content
+    * classes — data (0), POSITION deletes (1, the r16 strategy), and
+    * EQUALITY deletes (2) — and `graft_iceberg_files` must sum each
+    * class's record counts from the MANIFESTS alone (the driver never
+    * opens a data file). DuckDB recomputes the totals from the raw
+    * rows: equality rows = the %7 matches (full-row distinct = row
+    * count, orders are key-unique), position rows = the SURVIVING
+    * high-price copies (the equality delete landed first, so %7 rows
+    * are not re-addressed). */
+  private val q163 = Q(
+    "q163_iceberg_files_after_dml",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q163-snap").toString
+      val t = new graft.io.SnapshotTables(s, root)
+      val ord = fixture(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+      t.overwriteTable(ord, "ord")
+      val dest = java.nio.file.Files.createTempDirectory("q163-ice").toString
+      graft.io.IcebergExport.export(t, "ord", dest)
+      graft.io.IcebergDml.deleteWhere(s, dest, "o_orderkey % 7 = 0")
+      graft.io.IcebergDml.deleteWhere(s, dest, "o_totalprice > 200000.0",
+        strategy = "position")
+      s.sql(s"""SELECT content, CAST(SUM(record_count) AS BIGINT) AS rows
+        FROM graft_iceberg_files('$dest') GROUP BY content ORDER BY content""")
+    },
+    Some("""SELECT 0 AS content, (SELECT COUNT(*) FROM orders) AS rows
+      UNION ALL SELECT 1,
+        (SELECT COUNT(*) FROM orders
+         WHERE o_totalprice > 200000.0 AND NOT (o_orderkey % 7 = 0))
+      UNION ALL SELECT 2,
+        (SELECT COUNT(*) FROM orders WHERE o_orderkey % 7 = 0)
+      ORDER BY content""")
+  )
+
   val all: Seq[Q] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q98b, q99, q100, q101, q102, q106, q107, q108,
     q109, q111, q112, q113, q114, q116, q117, q118, q119, q121, q122, q123, q125, q126, q127,
     q128, q130, q131, q132, q133, q135, q136, q137, q138, q139, q140, q141, q143, q144,
     q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159,
-    q160, q161, q162
+    q160, q161, q162, q163
   )
 
 }
