@@ -26,27 +26,41 @@ import org.apache.spark.sql.types._
   *    and the semantics widen to "every row sharing a key tuple with a
   *    matched row" — the caller asserts key semantics, the file
   *    shrinks to O(distinct keys).
+  *  - `strategy="position"` on [[deleteWhere]] writes spec POSITION
+  *    deletes instead: (file_path, pos) rows from the scan's own
+  *    `_metadata` lineage, addressing exactly the matched SURVIVING
+  *    copies — O(matched) paths+longs instead of full row images, and
+  *    the one delete shape that works on MAP-typed tables where
+  *    nothing can equality-join (`auto`, the default, falls back to it
+  *    there).
   *  - [[update]] commits the pre-image rows as a full-column equality
-  *    delete AND the post-image rows as a new data manifest in ONE
-  *    `overwrite` snapshot — readers either see the table before the
-  *    update or after it, never a deleted-but-not-yet-rewritten
-  *    intermediate. The v2 sequence rules make this safe with no
-  *    special casing: both manifests take the same new sequence
-  *    number, equality deletes apply only to STRICTLY LOWER sequences,
-  *    so the rewritten rows are never eaten by their own delete.
+  *    delete (by POSITION on map-typed tables) AND the post-image rows
+  *    as a new data manifest in ONE `overwrite` snapshot — readers
+  *    either see the table before the update or after it, never a
+  *    deleted-but-not-yet-rewritten intermediate. The v2 sequence
+  *    rules make this safe with no special casing: both manifests take
+  *    the same new sequence number, equality deletes apply only to
+  *    STRICTLY LOWER sequences (and position deletes name old files
+  *    only), so the rewritten rows are never eaten by their own
+  *    delete.
+  *  - [[upsert]] is the canonical MERGE (Iceberg's own MOR merge
+  *    commit): equality delete on the source's key tuples + the source
+  *    as a data manifest, one `overwrite` snapshot — O(source), the
+  *    table itself never read.
   *
   * Scale shape: the delete file is O(matched rows) (O(distinct keys)
   * under explicit `equalityCols`), never O(table); no data file is
   * rewritten (merge-on-read — the read-side anti-join is
   * [[IcebergImport]]'s existing delete application, and
-  * [[IcebergMaintenance.compact]] folds the debt away). Both commits
+  * [[IcebergMaintenance.compact]] folds the debt away). All commits
   * go through [[IcebergAppend]]'s optimistic version-file pattern —
   * racing writers conflict loudly.
   *
-  * Honest refusals: map-typed equality columns (Spark cannot join on
-  * maps, so no engine-side anti-join could apply the delete),
-  * equality columns absent from the schema, v1 tables, non-`v<N>`
-  * metadata layouts, and predicates/assignments that don't analyze.
+  * Honest refusals: map-typed equality columns under EXPLICIT
+  * equality (Spark cannot join on maps, so no engine-side anti-join
+  * could apply the delete), equality columns absent from the schema,
+  * v1 tables, non-`v<N>` metadata layouts, and predicates/assignments
+  * that don't analyze.
   */
 object IcebergDml {
 
@@ -67,7 +81,7 @@ object IcebergDml {
     * shape), `"position"` (spec POSITION deletes — (file_path, pos)
     * rows addressing exactly the matched copies, from the scan's own
     * `_metadata` lineage; O(matched) longs+paths instead of full row
-    * images, and the one shape that works on MAP-typED tables where
+    * images, and the one shape that works on MAP-typed tables where
     * nothing can equality-join), or `"auto"` (default): equality,
     * falling back to position when the full-column key set would be
     * refused for maps and no explicit `equalityCols` was given. */
