@@ -97,6 +97,20 @@ class IcebergDmlSpec extends SparkSpec {
     assert(IcebergImport.read(spark, destM).count() == 0)
   }
 
+  test("NULL values in equality columns delete null-safely (and only the NULLs)") {
+    val dest = exported(Seq((1L, "a"), (2L, null), (3L, null), (4L, "d"))
+      .toDF("k", "v"))
+    // full-column equality over rows whose v IS NULL: the spec's
+    // null-safe matching must remove exactly those rows
+    IcebergDml.deleteWhere(spark, dest, "v IS NULL AND k <= 2")
+    assert(IcebergImport.read(spark, dest).as[(Long, Option[String])].collect().toSet ==
+      Set((1L, Some("a")), (3L, None), (4L, Some("d"))))
+    // keyed on the NULLABLE column itself: every remaining NULL goes
+    IcebergDml.deleteWhere(spark, dest, "v IS NULL", equalityCols = Seq("v"))
+    assert(IcebergImport.read(spark, dest).as[(Long, Option[String])].collect().toSet ==
+      Set((1L, Some("a")), (4L, Some("d"))))
+  }
+
   test("position strategy: spec-shaped (file_path, pos) deletes address exactly the matched copies") {
     val dest = exported(Seq((1L, "a"), (2L, "b"), (2L, "b"), (3L, "c")).toDF("k", "v"))
     val snap = IcebergDml.deleteWhere(spark, dest, "k = 2", strategy = "position")
