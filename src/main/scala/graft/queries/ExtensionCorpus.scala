@@ -3172,13 +3172,40 @@ object ExtensionCorpus {
       ORDER BY content""")
   )
 
+  /** BUCKETED CO-LOCATED JOIN under the gate (X35's oracle face — the
+    * no-Exchange plan property stays pinned by SinksSpec; this row
+    * pins that bucketing never changes ANSWERS): orders and customer
+    * land as bucketed managed tables (same bucket count, hash on the
+    * join keys) and the fact⋈dim aggregate over them must be
+    * hash-exact vs DuckDB's plain join of the raw parquet. */
+  private val q164 = Q(
+    "q164_bucketed_join",
+    (s, dir) => {
+      graft.io.Sinks.bucketedTable(
+        fixture(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("double").as("o_totalprice")),
+        "q164_ord_b", Seq("o_custkey"), numBuckets = 8, sortCols = Seq("o_custkey"))
+      graft.io.Sinks.bucketedTable(
+        fixture(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        "q164_cust_b", Seq("c_custkey"), numBuckets = 8, sortCols = Seq("c_custkey"))
+      s.sql("""SELECT c.c_mktsegment, COUNT(*) AS n,
+        CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM q164_ord_b o JOIN q164_cust_b c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""")
+    },
+    Some("""SELECT c.c_mktsegment, COUNT(*) AS n,
+      CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""")
+  )
+
   val all: Seq[Q] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q98b, q99, q100, q101, q102, q106, q107, q108,
     q109, q111, q112, q113, q114, q116, q117, q118, q119, q121, q122, q123, q125, q126, q127,
     q128, q130, q131, q132, q133, q135, q136, q137, q138, q139, q140, q141, q143, q144,
     q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159,
-    q160, q161, q162, q163
+    q160, q161, q162, q163, q164
   )
 
 }
