@@ -110,6 +110,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(graft.plans.IcebergScan.getClass.getName, "graft_iceberg_snapshots"),
       (children: Seq[Expression]) => graft.plans.IcebergScan.snapshotsPlan(children)
     ))
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_iceberg_refs"),
+      new ExpressionInfo(graft.plans.IcebergScan.getClass.getName, "graft_iceberg_refs"),
+      (children: Seq[Expression]) => graft.plans.IcebergScan.refsPlan(children)
+    ))
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),

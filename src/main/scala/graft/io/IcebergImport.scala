@@ -1055,6 +1055,17 @@ object IcebergImport {
       "operation", "manifest_list")
   }
 
+  /** `.refs` metadata-table twin for a foreign Iceberg table (the SQL
+    * face is `graft_iceberg_refs('/dir')`): one row per named ref —
+    * branches and tags — with the snapshot it pins. Metadata-sized. */
+  def refsRelation(spark: SparkSession, tableDir: String): DataFrame = {
+    import spark.implicits._
+    refs(spark, tableDir).toSeq
+      .map { case (name, (snap, tpe)) => (name, tpe, snap) }
+      .sortBy(_._1)
+      .toDF("name", "type", "snapshot_id")
+  }
+
   /** Spellings of data files whose manifest bounds PROVE no row can
     * match the given conjuncts — the metadata half of Iceberg scan
     * planning, consumed by [[graft.plans.IcebergScanPruneRule]].

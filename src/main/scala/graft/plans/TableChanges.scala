@@ -176,4 +176,11 @@ object IcebergScan {
     graft.io.IcebergImport.snapshotsRelation(SparkSession.active, dir)
       .queryExecution.analyzed
   }
+
+  /** `.refs` metadata twin: graft_iceberg_refs('/dir'). */
+  def refsPlan(args: Seq[Expression]): LogicalPlan = {
+    val (dir, _) = dirAndSnap("graft_iceberg_refs", args)
+    graft.io.IcebergImport.refsRelation(SparkSession.active, dir)
+      .queryExecution.analyzed
+  }
 }

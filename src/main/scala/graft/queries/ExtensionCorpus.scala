@@ -3199,13 +3199,45 @@ object ExtensionCorpus {
       GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""")
   )
 
+  /** `.refs` METADATA TABLE for foreign layouts under the gate (the
+    * third metadata twin after `.files`/`.snapshots` — Iceberg's refs
+    * table): a tag pinned at the export head, a branch forked there
+    * and ADVANCED by a branch append, main advanced by a plain append
+    * — `graft_iceberg_refs` must report all three pins exactly.
+    * Snapshot ids are deterministic (the export assigns version
+    * numbers; appends take max+1), so the oracle is literal. */
+  private val q165 = Q(
+    "q165_iceberg_refs_table",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q165-snap").toString
+      val t = new graft.io.SnapshotTables(s, root)
+      val li = fixture(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      t.overwriteTable(li.filter(col("l_orderkey") % 2 === 0), "li")
+      val dest = java.nio.file.Files.createTempDirectory("q165-ice").toString
+      graft.io.IcebergExport.export(t, "li", dest)
+      graft.io.IcebergEvolve.createTag(s, dest, "v1_tag")
+      graft.io.IcebergEvolve.createBranch(s, dest, "load")
+      graft.io.IcebergAppend.append(s, dest,
+        li.filter(col("l_orderkey") % 4 === 1), branch = "load")
+      graft.io.IcebergAppend.append(s, dest, li.filter(col("l_orderkey") % 4 === 3))
+      s.sql(s"""SELECT name, type, snapshot_id
+        FROM graft_iceberg_refs('$dest') ORDER BY name""")
+    },
+    Some("""SELECT * FROM (VALUES
+        ('load', 'branch', CAST(2 AS BIGINT)),
+        ('main', 'branch', CAST(3 AS BIGINT)),
+        ('v1_tag', 'tag', CAST(1 AS BIGINT)))
+      AS t(name, type, snapshot_id) ORDER BY name""")
+  )
+
   val all: Seq[Q] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q98b, q99, q100, q101, q102, q106, q107, q108,
     q109, q111, q112, q113, q114, q116, q117, q118, q119, q121, q122, q123, q125, q126, q127,
     q128, q130, q131, q132, q133, q135, q136, q137, q138, q139, q140, q141, q143, q144,
     q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159,
-    q160, q161, q162, q163, q164
+    q160, q161, q162, q163, q164, q165
   )
 
 }
