@@ -87,7 +87,7 @@ private[catalog] object SnapshotProcedures {
       // catalog's tables, the catalog is only the SQL `CALL` mount point
       "iceberg_rename_column", "iceberg_add_column", "iceberg_drop_column",
       "iceberg_promote_column", "iceberg_compact", "iceberg_expire_snapshots",
-      "iceberg_append", "iceberg_delete_where", "iceberg_update",
+      "iceberg_append", "iceberg_delete_where", "iceberg_update", "iceberg_upsert",
       "iceberg_create_branch", "iceberg_fast_forward")
 
   private def param(name: String, dt: DataType): ProcedureParameter =
@@ -185,6 +185,9 @@ private[catalog] object SnapshotProcedures {
             // appear inside expressions, so it cannot be the separator)
             Array(param("dir", StringType), param("predicate", StringType),
               param("assignments", StringType))
+          case "iceberg_upsert" =>
+            Array(param("dir", StringType), param("query", StringType),
+              param("keys", StringType))
           case "iceberg_create_branch" =>
             Array(param("dir", StringType), param("branch", StringType))
           case "iceberg_fast_forward" =>
@@ -386,6 +389,14 @@ private[catalog] object SnapshotProcedures {
             val snap = graft.io.IcebergDml.update(spark,
               input.getUTF8String(0).toString, input.getUTF8String(1).toString, assigns)
             longResult("snapshot_id", snap.getOrElse(-1L))
+          case "iceberg_upsert" =>
+            val spark = org.apache.spark.sql.SparkSession.active
+            val keys = input.getUTF8String(2).toString
+              .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+            val snap = graft.io.IcebergDml.upsert(spark,
+              input.getUTF8String(0).toString,
+              spark.sql(input.getUTF8String(1).toString), keys)
+            longResult("snapshot_id", snap)
           case "iceberg_create_branch" =>
             val spark = org.apache.spark.sql.SparkSession.active
             val dir = input.getUTF8String(0).toString

@@ -276,6 +276,27 @@ class IcebergDmlSpec extends SparkSpec {
     assert(e3.getMessage.contains("createBranch"))
   }
 
+  test("CALL faces: delete_where / update / upsert by path") {
+    spark.conf.set("spark.sql.catalog.icedml",
+      classOf[graft.catalog.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.icedml.root",
+      java.nio.file.Files.createTempDirectory("graft-dml-cat").toString)
+    val dest = exported(Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "v", "price"))
+    assert(spark.sql(s"CALL icedml.system.iceberg_delete_where('$dest', 'k = 1')")
+      .collect().head.getLong(0) > 0)
+    assert(spark.sql(
+      s"CALL icedml.system.iceberg_update('$dest', 'k = 2', 'price = price + 5')")
+      .collect().head.getLong(0) > 0)
+    assert(spark.sql(s"""CALL icedml.system.iceberg_upsert('$dest',
+      'SELECT CAST(3 AS BIGINT) AS k, CAST(''c2'' AS STRING) AS v,
+        CAST(33.0 AS DOUBLE) AS price
+       UNION ALL SELECT 4, ''d'', 40.0', 'k')""")
+      .collect().head.getLong(0) > 0)
+    assert(IcebergImport.read(spark, dest).as[(Long, String, Double)].collect().toSet ==
+      Set((2L, "b", 25.0), (3L, "c2", 33.0), (4L, "d", 40.0)))
+  }
+
   // ------------------------------------------------------------------
   // commit-safety matrix (this round's hardening)
   // ------------------------------------------------------------------

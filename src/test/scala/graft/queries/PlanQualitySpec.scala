@@ -328,7 +328,7 @@ class PlanQualitySpec extends SparkSpec {
       // maintenance/append + r16's row-level DML and branches)
       "iceberg_rename_column", "iceberg_add_column", "iceberg_drop_column",
       "iceberg_promote_column", "iceberg_compact", "iceberg_expire_snapshots",
-      "iceberg_append", "iceberg_delete_where", "iceberg_update",
+      "iceberg_append", "iceberg_delete_where", "iceberg_update", "iceberg_upsert",
       "iceberg_create_branch", "iceberg_fast_forward"))
   }
 }
