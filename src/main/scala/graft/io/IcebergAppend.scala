@@ -331,10 +331,9 @@ object IcebergAppend {
       s"schema mismatch vs $tableDir: missing ${missing.mkString("[", ",", "]")}, " +
         s"extra ${extras.mkString("[", ",", "]")}")
     val conformed = df.select(fields.map { case (id, n, dt) =>
-      org.apache.spark.sql.functions.col(n).cast(dt).as(n,
+      IcebergDml.qcol(n).cast(dt).as(n,
         new MetadataBuilder().putLong("parquet.field.id", id.toLong).build())
     }: _*)
-    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     val segId = java.util.UUID.randomUUID().toString.take(18)
     val dataDir = new Path(tableDir, s"data/append-$segId")
     // partitioned layouts: rows land in their partitions via
@@ -345,14 +344,16 @@ object IcebergAppend {
     val withDerived = specFields.filterNot(_._7).foldLeft(conformed) { (acc, f) =>
       val (name, transform, srcCol, srcType, _, _, _) = f
       val expr = IcebergImport.transformExpr(
-        org.apache.spark.sql.functions.col(srcCol), srcType, transform)
+        IcebergDml.qcol(srcCol), srcType, transform)
         .getOrElse(throw new IllegalArgumentException(
           s"partition transform '$transform' over $srcType (field '$name') is not computable"))
       acc.withColumn(name, expr)
     }
     val dirCols = specFields.map(f => if (f._7) f._3 else f._1)
     val writer = withDerived.write
-    (if (dirCols.isEmpty) writer else writer.partitionBy(dirCols: _*)).parquet(dataDir.toString)
+    IcebergDml.withFieldIdWrites(spark) {
+      (if (dirCols.isEmpty) writer else writer.partitionBy(dirCols: _*)).parquet(dataDir.toString)
+    }
     val dataFiles: Seq[Path] = {
       val it = fs.listFiles(dataDir, true)
       val b = Seq.newBuilder[Path]

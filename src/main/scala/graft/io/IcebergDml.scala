@@ -110,7 +110,7 @@ object IcebergDml {
     }
     val matched = current.filter(predicate)
     val keyCols = resolveKeyCols(lt, equalityCols, current.schema)
-    val keys = matched.select(keyCols.map(col): _*).distinct()
+    val keys = matched.select(keyCols.map(qcol): _*).distinct()
     if (keys.isEmpty) return None
     val specId = IcebergAppend.ensureUnpartitionedSpec(lt)
     val m = writeEqualityDeleteManifest(spark, lt, keys, keyCols, specId)
@@ -152,10 +152,7 @@ object IcebergDml {
       val positions = matched
         .select(col(IcebergImport.LineageFileCol), col(IcebergImport.LineagePosCol))
       if (positions.isEmpty) return None
-      val updated = assignments.foldLeft(
-        matched.drop(IcebergImport.LineageFileCol, IcebergImport.LineagePosCol)) {
-        case (acc, (c, e)) => acc.withColumn(c, e.cast(current.schema(c).dataType))
-      }
+      val updated = postImage(matched, current.schema, assignments)
       val specId = IcebergAppend.ensureUnpartitionedSpec(lt)
       val del = writePositionDeleteManifest(spark, lt, positions, specId)
       val data = IcebergAppend.writeDataManifest(spark, lt, updated)
@@ -165,11 +162,9 @@ object IcebergDml {
     val matched = current.filter(predicate)
     // full-column pre-images: equality == predicate semantics (doc above)
     val keyCols = resolveKeyCols(lt, Nil, current.schema)
-    val keys = matched.select(keyCols.map(col): _*).distinct()
+    val keys = matched.select(keyCols.map(qcol): _*).distinct()
     if (keys.isEmpty) return None
-    val updated = assignments.foldLeft(matched) { case (acc, (c, e)) =>
-      acc.withColumn(c, e.cast(current.schema(c).dataType))
-    }
+    val updated = postImage(matched, current.schema, assignments)
     val specId = IcebergAppend.ensureUnpartitionedSpec(lt)
     val del = writeEqualityDeleteManifest(spark, lt, keys, keyCols, specId)
     val data = IcebergAppend.writeDataManifest(spark, lt, updated)
@@ -186,20 +181,49 @@ object IcebergDml {
     * (O(source), never O(table)). Multiset contract: ALL source rows
     * land — a caller wanting one-row-per-key resolves conflicts first
     * (the SQL face enforces MERGE's cardinality rule before calling).
-    * `summaryProps` carry e.g. the streaming replay marker. */
+    * `summaryProps` carry e.g. the streaming replay marker.
+    *
+    * NULL keys: with `matchNullKeys = true` (the default — the
+    * documented Scala/CALL face) the equality delete matches NULL key
+    * values null-safely per the Iceberg spec, so a NULL-keyed source
+    * row REPLACES existing NULL-keyed rows. SQL MERGE's `ON t.k = s.k`
+    * is null-rejecting instead — a NULL-keyed source row never matches
+    * and must insert ALONGSIDE surviving NULL-keyed target rows — so
+    * the SQL face passes `matchNullKeys = false`: tuples with any NULL
+    * key are excluded from the delete file (those rows still land as
+    * plain inserts, same single snapshot). */
   def upsert(spark: SparkSession, tableDir: String, source: DataFrame,
       keys: Seq[String], branch: String = "main",
-      summaryProps: Map[String, String] = Map.empty): Long = {
+      summaryProps: Map[String, String] = Map.empty,
+      matchNullKeys: Boolean = true): Long = {
     require(keys.nonEmpty, "upsert needs at least one key column")
     val lt = IcebergAppend.load(spark, tableDir, branch)
     val keyCols = resolveKeyCols(lt, keys, source.schema)
-    val keyTuples = source.select(keyCols.map(col): _*).distinct()
-    val specId = IcebergAppend.ensureUnpartitionedSpec(lt)
-    val del = writeEqualityDeleteManifest(spark, lt, keyTuples, keyCols, specId)
-    val data = IcebergAppend.writeDataManifest(spark, lt, source)
-    IcebergAppend.commitSnapshot(spark, lt, Seq(del, data), operation = "overwrite",
+    val allTuples = source.select(keyCols.map(qcol): _*).distinct()
+    val keyTuples =
+      if (matchNullKeys) allTuples else allTuples.na.drop("any", keyCols)
+    val manifests = Seq.newBuilder[IcebergAppend.NewManifest]
+    if (!keyTuples.isEmpty) {
+      val specId = IcebergAppend.ensureUnpartitionedSpec(lt)
+      manifests += writeEqualityDeleteManifest(spark, lt, keyTuples, keyCols, specId)
+    }
+    manifests += IcebergAppend.writeDataManifest(spark, lt, source)
+    IcebergAppend.commitSnapshot(spark, lt, manifests.result(), operation = "overwrite",
       summaryProps = summaryProps)
   }
+
+  /** Build the post-image in ONE projection over the matched pre-image
+    * frame, so every SET expression sees the PRE-image row — SQL's
+    * simultaneous-evaluation rule (`SET a = b, b = a` swaps; `a = a+1,
+    * b = a*2` doubles the OLD a). A foldLeft of withColumn would feed
+    * each later assignment the earlier one's post-image and make the
+    * result depend on Map iteration order. Selecting the schema's
+    * fields also drops any lineage columns the map-typed path carries. */
+  private def postImage(matched: DataFrame, schema: StructType,
+      assignments: Map[String, org.apache.spark.sql.Column]): DataFrame =
+    matched.select(schema.fields.map { f =>
+      assignments.get(f.name).map(_.cast(f.dataType).as(f.name)).getOrElse(qcol(f.name))
+    }.toSeq: _*)
 
   /** The content DML filters against: the target branch's head (main =
     * the plain current-snapshot read), row-level deletes applied. */
@@ -228,6 +252,25 @@ object IcebergDml {
     keyCols
   }
 
+  /** Exact-name column reference: backtick-quoted so a name containing
+    * a dot is never parsed as a nested-field path. */
+  private[graft] def qcol(c: String): org.apache.spark.sql.Column =
+    col("`" + c.replace("`", "``") + "`")
+
+  /** Run `body` with field-id parquet footers enabled, restoring the
+    * session's prior value after — never leak the flag into the user's
+    * subsequent parquet writes (the [[IcebergExport]] pattern). */
+  private[io] def withFieldIdWrites[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.parquet.fieldId.write.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   private def hasMap(dt: DataType): Boolean = dt match {
     case _: MapType => true
     case a: ArrayType => hasMap(a.elementType)
@@ -251,10 +294,9 @@ object IcebergDml {
         col(IcebergImport.LineagePosCol).cast(LongType).as("pos",
           new MetadataBuilder().putLong("parquet.field.id", 2147483545L).build()))
       .sortWithinPartitions(col("file_path"), col("pos"))
-    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     val segId = java.util.UUID.randomUUID().toString.take(18)
     val delDir = new Path(tableDir, s"data/posdelete-$segId")
-    shaped.write.parquet(delDir.toString)
+    withFieldIdWrites(spark) { shaped.write.parquet(delDir.toString) }
     val delFiles: Seq[Path] = {
       val it = fs.listFiles(delDir, true)
       val b = Seq.newBuilder[Path]
@@ -313,13 +355,12 @@ object IcebergDml {
     // field ids in the footer — readers (incl. graft's own importer)
     // resolve them BY ID across any later rename
     val withIds = keys.select(keyCols.map { n =>
-      col(n).cast(typeByName(n)).as(n,
+      qcol(n).cast(typeByName(n)).as(n,
         new MetadataBuilder().putLong("parquet.field.id", idByName(n).toLong).build())
     }: _*)
-    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     val segId = java.util.UUID.randomUUID().toString.take(18)
     val delDir = new Path(tableDir, s"data/delete-$segId")
-    withIds.write.parquet(delDir.toString)
+    withFieldIdWrites(spark) { withIds.write.parquet(delDir.toString) }
     val delFiles: Seq[Path] = {
       val it = fs.listFiles(delDir, true)
       val b = Seq.newBuilder[Path]

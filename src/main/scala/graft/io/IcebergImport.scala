@@ -827,7 +827,7 @@ object IcebergImport {
         names.foreach(n => require(edRaw.columns.contains(n),
           s"equality delete files lack column '$n' (have: ${edRaw.columns.mkString(", ")})"))
         val ed = edRaw
-          .select(names.map(col) :+ col("_metadata.file_path").as("__self"): _*)
+          .select(names.map(IcebergDml.qcol) :+ col("_metadata.file_path").as("__self"): _*)
           .join(broadcast(seqLookup(group)), col("__self") === col("__dspelling"), "left")
           .withColumn("__dseq", coalesce(col("__dseq"),
             raise_error(concat(lit("equality-delete file missing from the lookup: "), col("__self")))))
@@ -857,14 +857,14 @@ object IcebergImport {
         df = df.join(edR, cond, "left_anti")
       }
 
-    if (!keepLineage) df.select(userCols.map(col): _*)
+    if (!keepLineage) df.select(userCols.map(IcebergDml.qcol): _*)
     else {
       // restore the file PATH from the fid the delete pipeline joined
       // on (tiny broadcast — one row per data file)
       val fidPath = plan.data.zipWithIndex.map { case (d, i) => (i, d.path) }
         .toDF(FidCol, FileCol)
       df.join(broadcast(fidPath), FidCol)
-        .select(userCols.map(col) :+ col(FileCol) :+ col(PosCol): _*)
+        .select(userCols.map(IcebergDml.qcol) :+ col(FileCol) :+ col(PosCol): _*)
     }
   }
 

@@ -114,19 +114,31 @@ object IcebergForeignRule extends Rule[LogicalPlan] {
       extends LeafRunnableCommand {
     override def run(session: SparkSession): Seq[Row] = {
       import org.apache.spark.sql.functions.{count, lit}
-      val src = GraftSqlBridge.ofRows(session, source)
+      // pin the source ONCE: the cardinality check, the delete-key
+      // tuples, and the data manifest must all see the SAME rows — a
+      // nondeterministic source (rand(), a table mutated mid-command)
+      // re-evaluated per consumer could write delete keys inconsistent
+      // with the inserted rows, breaking the one-snapshot contract
+      val src = GraftSqlBridge.ofRows(session, source).localCheckpoint(true)
       // SQL cardinality rule: a TARGET row matching several source rows
       // must raise. Duplicate source keys alone are legal (both
       // insert); only duplicates that hit the target violate it —
       // checked with one aggregate over the O(batch) source and, only
       // when duplicates exist at all, one semi-join against the table.
-      val dupKeys = src.groupBy(keys.map(org.apache.spark.sql.functions.col): _*)
+      // NULL-keyed duplicates are excluded: MERGE's null-rejecting ON
+      // never matches them to a target row, so they always just insert.
+      val dupKeys = src.na.drop("any", keys)
+        .groupBy(keys.map(org.apache.spark.sql.functions.col): _*)
         .agg(count(lit(1)).as("__n")).filter(org.apache.spark.sql.functions.col("__n") > 1L)
         .drop("__n")
       if (!dupKeys.isEmpty &&
           !graft.io.IcebergImport.read(session, t.dir).join(dupKeys, keys, "left_semi").isEmpty)
         throw new IllegalStateException("MERGE: a target row matched multiple source rows")
-      graft.io.IcebergDml.upsert(session, t.dir, src, keys)
+      // matchNullKeys = false: SQL MERGE's ON t.k = s.k is
+      // null-rejecting — a NULL-keyed source row inserts ALONGSIDE
+      // surviving NULL-keyed target rows, it must not delete them (the
+      // null-safe behavior stays on the documented Scala/CALL face)
+      graft.io.IcebergDml.upsert(session, t.dir, src, keys, matchNullKeys = false)
       Seq.empty
     }
   }

@@ -545,20 +545,24 @@ object Streams {
         if (!batch.isEmpty &&
             !graft.io.IcebergAppend.committedTxnIds(batch.sparkSession, tableDir).contains(txn)) {
           import org.apache.spark.sql.functions.{col, max, max_by, struct}
+          // exact-name resolution: a column whose name contains a dot
+          // (or other path chars) must not be parsed as a field path —
+          // backtick-quote references, unpack the struct via getField
+          def qcol(c: String) = col("`" + c.replace("`", "``") + "`")
           val rest = batch.columns.filterNot(keyCols.contains).toSeq
           val one =
             if (rest.isEmpty) batch.dropDuplicates(keyCols)
             else {
-              val packed = struct(rest.map(col): _*)
+              val packed = struct(rest.map(qcol): _*)
               val pick = orderCol match {
                 case Some(oc) =>
                   require(batch.columns.contains(oc),
                     s"orderCol '$oc' is not a column of the stream")
-                  max_by(packed, col(oc))
+                  max_by(packed, qcol(oc))
                 case None => max(packed)
               }
-              batch.groupBy(keyCols.map(col): _*).agg(pick.as("__one"))
-                .select(keyCols.map(col) ++ rest.map(c => col(s"__one.$c").as(c)): _*)
+              batch.groupBy(keyCols.map(qcol): _*).agg(pick.as("__one"))
+                .select(keyCols.map(qcol) ++ rest.map(c => col("__one").getField(c).as(c)): _*)
             }
           graft.io.IcebergDml.upsert(batch.sparkSession, tableDir, one, keyCols,
             summaryProps = Map(graft.io.IcebergAppend.TxnKey -> txn))

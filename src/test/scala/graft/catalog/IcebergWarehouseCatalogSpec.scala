@@ -128,6 +128,49 @@ class IcebergWarehouseCatalogSpec extends SparkSpec {
     assert(e2.getMessage.contains("multiple source rows"))
   }
 
+  test("MERGE keeps SQL's null-rejecting ON: NULL-keyed rows insert alongside, never delete") {
+    // ON t.k = s.k never matches NULL = NULL in SQL MERGE — a
+    // NULL-keyed source row must INSERT next to a surviving NULL-keyed
+    // target row, not silently remove it (the null-SAFE matching stays
+    // on the documented Scala/CALL upsert face only). Two NULL-keyed
+    // source rows are also NOT a cardinality violation: neither ever
+    // hits a target row.
+    val (cat, dir) = mounted(
+      Seq((Option(1L), "a"), (Option.empty[Long], "t-null")).toDF("k", "v"))
+    Seq((Option(1L), "a2"), (Option.empty[Long], "s-null1"), (Option.empty[Long], "s-null2"))
+      .toDF("k", "v").createOrReplaceTempView("wh_merge_nulls")
+    val before = IcebergImport.snapshots(spark, dir).size
+    spark.sql(s"""MERGE INTO $cat.db.tab t USING wh_merge_nulls s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+    assert(IcebergImport.snapshots(spark, dir).size == before + 1, "still ONE snapshot")
+    assert(spark.sql(s"SELECT v FROM $cat.db.tab").as[String].collect().sorted.toSeq ==
+      Seq("a2", "s-null1", "s-null2", "t-null"))
+    // contrast: the Scala face's documented null-SAFE keying replaces them
+    IcebergDml.upsert(spark, dir,
+      Seq((Option.empty[Long], "merged-null")).toDF("k", "v"), keys = Seq("k"))
+    assert(spark.sql(s"SELECT v FROM $cat.db.tab").as[String].collect().sorted.toSeq ==
+      Seq("a2", "merged-null"))
+  }
+
+  test("MERGE evaluates the source exactly ONCE (pinned before the multi-consumer commit)") {
+    // the cardinality check, the delete-key tuples, and the data
+    // manifest must all see the SAME rows — a source re-evaluated per
+    // consumer could write delete keys inconsistent with the inserted
+    // rows. Counted with an accumulator-ticking UDF over 3 rows: one
+    // pinned evaluation = exactly 3 ticks.
+    val (cat, _) = mounted(Seq((1L, "a")).toDF("k", "v"))
+    val acc = spark.sparkContext.longAccumulator("graft-merge-src-evals")
+    val tick = udf { (k: Long) => acc.add(1L); k }
+    spark.range(1, 4).select(tick(col("id")).as("k"),
+      concat(lit("v"), col("id")).as("v")).createOrReplaceTempView("wh_merge_tick")
+    spark.sql(s"""MERGE INTO $cat.db.tab t USING wh_merge_tick s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+    assert(acc.value == 3L,
+      s"source rows evaluated ${acc.value} times for 3 rows — must be pinned to one pass")
+    assert(spark.sql(s"SELECT k, v FROM $cat.db.tab ORDER BY k")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "v1"), (2L, "v2"), (3L, "v3")))
+  }
+
   test("the reference's gold query shape runs verbatim against a mounted foreign table") {
     // job_gold.py:71-88: filtered grouped-count over a 3-level name
     val (cat, _) = mounted(

@@ -254,6 +254,28 @@ class IcebergAppendSpec extends SparkSpec {
       "a replayed batch must be skipped by its txn marker, not re-upserted")
   }
 
+  test("merge sink and upsert handle column names containing dots (exact-name resolution)") {
+    // "score.v2" must resolve as ONE column everywhere — struct-pack,
+    // struct-unpack (getField, never a parsed "__one.score.v2" path),
+    // key selection, and the conforming data-manifest write
+    val dest = exported(Seq((1L, 0.0, "seed")).toDF("k", "score.v2", "note"))
+    val src = java.nio.file.Files.createTempDirectory("graft-dot-stream").toString
+    Seq((1L, 10.0, "n1a"), (1L, 11.0, "n1b"), (2L, 20.0, "n2")).toDF("k", "score.v2", "note")
+      .repartition(1).write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val ck = java.nio.file.Files.createTempDirectory("graft-dot-ck").toString + "/ck"
+    val stream = spark.readStream.schema(schema).parquet(src)
+    graft.streaming.Streams.icebergMergeSink(stream, dest, Seq("k"), ck,
+      orderCol = Some("score.v2"), availableNow = true).awaitTermination()
+    assert(IcebergImport.read(spark, dest).as[(Long, Double, String)].collect().toSet ==
+      Set((1L, 11.0, "n1b"), (2L, 20.0, "n2")))
+    // the batch upsert face too (delete-key select + equality manifest)
+    IcebergDml.upsert(spark, dest, Seq((2L, 25.0, "n2b")).toDF("k", "score.v2", "note"),
+      keys = Seq("k"))
+    assert(IcebergImport.read(spark, dest).as[(Long, Double, String)].collect().toSet ==
+      Set((1L, 11.0, "n1b"), (2L, 25.0, "n2b")))
+  }
+
   test("foreign raw-metadata evolution (rename + name REUSED after drop): append lands by id, dropped data never leaks") {
     // the evolution is spliced RAW (not through IcebergEvolve) — the
     // shape a FOREIGN engine leaves behind: `v` (id 2, string) renamed

@@ -237,6 +237,49 @@ class IcebergDmlSpec extends SparkSpec {
       Set((1L, "a9"), (2L, "b2"), (3L, "c")))
   }
 
+  test("UPDATE assignments evaluate simultaneously on the PRE-image (SET a=b, b=a swaps)") {
+    // a foldLeft of withColumn would feed the second assignment the
+    // first one's post-image (and depend on Map iteration order) —
+    // SQL's rule is simultaneous evaluation over the pre-image row
+    val dest = exported(Seq((1L, 10.0, 100.0), (2L, 20.0, 200.0)).toDF("k", "a", "b"))
+    IcebergDml.update(spark, dest, "k = 1", Map("a" -> "b", "b" -> "a"))
+    assert(IcebergImport.read(spark, dest).as[(Long, Double, Double)].collect().toSet ==
+      Set((1L, 100.0, 10.0), (2L, 20.0, 200.0)))
+    // dependent arithmetic: b = a*2 must see the OLD a, not a+1's result
+    IcebergDml.update(spark, dest, "k = 2", Map("a" -> "a + 1", "b" -> "a * 2"))
+    assert(IcebergImport.read(spark, dest).as[(Long, Double, Double)].collect().toSet ==
+      Set((1L, 100.0, 10.0), (2L, 21.0, 40.0)))
+    // the MAP-typed (position-delete) path obeys the same rule
+    val destM = exported(Seq((1L, 3.0, 7.0, Map("t" -> 1))).toDF("k", "a", "b", "m"))
+    IcebergDml.update(spark, destM, "k = 1", Map("a" -> "b", "b" -> "a"))
+    assert(IcebergImport.read(spark, destM).select("a", "b")
+      .as[(Double, Double)].head() == ((7.0, 3.0)))
+  }
+
+  test("DML manifest writes restore the fieldId parquet conf — no session leak") {
+    // the conf is registered with default "true", so the leak to pin
+    // is an explicit user value ("false") being clobbered: every DML
+    // shape must put it back, while its own files still carry ids
+    val key = "spark.sql.parquet.fieldId.write.enabled"
+    val dest = exported(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+    val prior = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "false")
+      IcebergDml.deleteWhere(spark, dest, "k = 1") // equality-delete path
+      assert(spark.conf.get(key) == "false", "equality delete must restore the user's value")
+      IcebergDml.deleteWhere(spark, dest, "k = 2", strategy = "position")
+      assert(spark.conf.get(key) == "false", "position delete must restore the user's value")
+      IcebergDml.update(spark, dest, "k = 3", Map("v" -> "'z'")) // delete + data manifests
+      assert(spark.conf.get(key) == "false", "update must restore the user's value")
+      // and the writes themselves still carried field ids (reads resolve by id)
+      assert(IcebergImport.read(spark, dest).as[(Long, String)].collect().toSet ==
+        Set((3L, "z")))
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   // ------------------------------------------------------------------
   // branches: write-audit-publish on foreign tables
   // ------------------------------------------------------------------
