@@ -115,6 +115,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(graft.plans.IcebergScan.getClass.getName, "graft_iceberg_refs"),
       (children: Seq[Expression]) => graft.plans.IcebergScan.refsPlan(children)
     ))
+    // incremental append scan over a foreign Iceberg table:
+    // SELECT * FROM graft_iceberg_appends('/path', from_snap[, to_snap])
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_iceberg_appends"),
+      new ExpressionInfo(graft.plans.IcebergScan.getClass.getName, "graft_iceberg_appends"),
+      (children: Seq[Expression]) => graft.plans.IcebergScan.appendsPlan(children)
+    ))
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),

@@ -1066,6 +1066,274 @@ object IcebergImport {
       .toDF("name", "type", "snapshot_id")
   }
 
+  // ------------------------------------------------------------------
+  // incremental append scan — the READ-side twin of the append/merge
+  // sinks: rows ADDED between two snapshots, per the public Iceberg
+  // incremental-append-scan design (the reference's whole pipeline is
+  // daily incremental consumption of Iceberg tables,
+  // /root/reference/spark/jobs/job_gold.py:71-88)
+  // ------------------------------------------------------------------
+
+  /** One snapshot's contribution to an incremental append range: its
+    * id, commit time, operation, and the data files it ADDED (empty
+    * for `replace` — a compaction rewrites existing rows, it adds
+    * none). */
+  private[graft] final case class AppendStep(snapshotId: Long, timestampMs: Long,
+      operation: String, files: Seq[String])
+
+  /** Rows APPENDED to the table strictly after `fromSnapshot` and up
+    * to (inclusive) `toSnapshot` — Iceberg's incremental append scan,
+    * jar-free. `fromSnapshot=None` starts at the beginning of the
+    * lineage; `toSnapshot=None` ends at the current head.
+    *
+    * Range semantics, stated precisely (the spec's own):
+    *  - `append` snapshots contribute their ADDED data files, read
+    *    from the snapshot's OWN manifest list (immutable — later
+    *    manifest rewrites/compactions cannot lose an add); a
+    *    PARENTLESS `overwrite` (the lineage root — every export
+    *    starts with one) counts as an append too: it rewrote nothing;
+    *  - `replace` snapshots are SKIPPED: a compaction rewrites
+    *    existing rows into new files and adds no rows, so the
+    *    incremental view reads the ORIGINAL pre-compaction files
+    *    (still addressed by the older snapshots' own manifest lists)
+    *    — Iceberg's streaming read skips rewrites the same way;
+    *  - `overwrite`/`delete` (or unknown) snapshots REFUSE loudly: an
+    *    append-only incremental view cannot represent removed or
+    *    rewritten rows — read the full snapshot, or start the range
+    *    after the offending snapshot. (Honest refusal, never a
+    *    silently wrong answer.)
+    *
+    * Later row-level deletes (committed AFTER an appended row) are NOT
+    * applied — the scan answers "what arrived", not "what survives",
+    * exactly like the spec's incremental append scan. Planning is
+    * O(metadata of the range); the read is a stock distributed parquet
+    * scan with the same by-field-id / name-mapping resolution as
+    * [[read]], so mixed-vintage files come out under the CURRENT
+    * schema. */
+  def appendsBetween(spark: SparkSession, tableDir: String,
+      fromSnapshot: Option[Long], toSnapshot: Option[Long] = None): DataFrame = {
+    val steps = appendSteps(spark, tableDir, fromSnapshot, toSnapshot)
+    val (fieldNames, schema, nameMapping, loc) = schemaContext(spark, tableDir)
+    val files = steps.flatMap(_.files)
+    if (files.isEmpty)
+      schema.map(s => spark.createDataFrame(java.util.Collections.emptyList[Row](), s))
+        .getOrElse(spark.emptyDataFrame)
+    else
+      baseFrame(spark, files, fieldNames.values.toSet, withMeta = false,
+        tableLoc = loc, snap = toSnapshot, idSchema = schema, nameMapping = nameMapping)
+  }
+
+  /** [[appendsBetween]] sliced per snapshot — the streaming face's
+    * batch builder: one (step, frame) per range snapshot, empty frames
+    * included so a `replace` still advances offsets. */
+  private[graft] def appendStepFrames(spark: SparkSession, tableDir: String,
+      fromSnapshot: Option[Long], toSnapshot: Option[Long]): Seq[(AppendStep, DataFrame)] = {
+    val steps = appendSteps(spark, tableDir, fromSnapshot, toSnapshot)
+    val (fieldNames, schema, nameMapping, loc) = schemaContext(spark, tableDir)
+    def empty: DataFrame =
+      schema.map(s => spark.createDataFrame(java.util.Collections.emptyList[Row](), s))
+        .getOrElse(spark.emptyDataFrame)
+    steps.map { st =>
+      val df =
+        if (st.files.isEmpty) empty
+        else baseFrame(spark, st.files, fieldNames.values.toSet, withMeta = false,
+          tableLoc = loc, snap = Some(st.snapshotId), idSchema = schema,
+          nameMapping = nameMapping)
+      (st, df)
+    }
+  }
+
+  /** The main-lineage ancestor chain of the table head, OLDEST first —
+    * the streaming source's offset domain (an offset is an ordinal in
+    * this chain; appends only ever extend its tail). */
+  private[graft] def lineage(spark: SparkSession, tableDir: String): Seq[Long] = {
+    val (_, mdPath, md) = readMeta(spark, tableDir)
+    val snaps = md.get("snapshots")
+    if (snaps == null || snaps.size == 0) return Nil
+    if (!md.hasNonNull("current-snapshot-id") || md.get("current-snapshot-id").asLong == -1L)
+      return Nil
+    val byId = (0 until snaps.size).map(snaps.get)
+      .map(s => s.get("snapshot-id").asLong -> s).toMap
+    val chain = Seq.newBuilder[Long]
+    var cur: Option[Long] = Some(md.get("current-snapshot-id").asLong)
+    var guard = byId.size + 1
+    while (cur.isDefined && guard > 0) {
+      guard -= 1
+      val node = byId.getOrElse(cur.get, throw new IllegalStateException(
+        s"snapshot ${cur.get} referenced as an ancestor is missing from $mdPath — " +
+          "expired by retention?"))
+      chain += cur.get
+      cur =
+        if (node.hasNonNull("parent-snapshot-id")) Some(node.get("parent-snapshot-id").asLong)
+        else None
+    }
+    require(guard > 0, s"snapshot parent chain of $mdPath does not terminate (cycle?)")
+    chain.result().reverse
+  }
+
+  /** Resolve and validate an incremental range: walk `to`'s parent
+    * chain back to (exclusive) `from`, classify each snapshot's
+    * operation, and gather each append's ADDED data files from the
+    * snapshot's own manifest list. Oldest step first. */
+  private[graft] def appendSteps(spark: SparkSession, tableDir: String,
+      fromSnapshot: Option[Long], toSnapshot: Option[Long]): Seq[AppendStep] = {
+    val (fs, mdPath, md) = readMeta(spark, tableDir)
+    val snaps = md.get("snapshots")
+    require(snaps != null && snaps.size > 0, s"no snapshots in $mdPath")
+    val byId = (0 until snaps.size).map(snaps.get)
+      .map(s => s.get("snapshot-id").asLong -> s).toMap
+    val to = toSnapshot.getOrElse {
+      require(md.hasNonNull("current-snapshot-id") && md.get("current-snapshot-id").asLong != -1L,
+        s"no current snapshot in $mdPath")
+      md.get("current-snapshot-id").asLong
+    }
+    require(byId.contains(to), s"snapshot $to not found in $mdPath — " +
+      s"have ${byId.keys.toSeq.sorted.mkString(", ")}")
+    fromSnapshot.foreach(f => require(byId.contains(f),
+      s"snapshot $f not found in $mdPath — have ${byId.keys.toSeq.sorted.mkString(", ")}"))
+    if (fromSnapshot.contains(to)) return Nil
+    val chain = scala.collection.mutable.ArrayBuffer
+      .empty[com.fasterxml.jackson.databind.JsonNode]
+    var cur: Option[Long] = Some(to)
+    while (cur.isDefined && cur != fromSnapshot) {
+      val node = byId.getOrElse(cur.get, throw new IllegalArgumentException(
+        s"snapshot ${cur.get} (an ancestor of $to) is missing from $mdPath — expired by " +
+          "retention? start the range at a retained snapshot"))
+      chain += node
+      cur =
+        if (node.hasNonNull("parent-snapshot-id")) Some(node.get("parent-snapshot-id").asLong)
+        else None
+    }
+    require(fromSnapshot.isEmpty || cur == fromSnapshot,
+      s"snapshot ${fromSnapshot.get} is not an ancestor of $to in $tableDir — an incremental " +
+        "range must follow one lineage (branches diverge; pick bounds on the same branch)")
+    chain.reverse.map { s =>
+      val id = s.get("snapshot-id").asLong
+      val ts = if (s.hasNonNull("timestamp-ms")) s.get("timestamp-ms").asLong else 0L
+      val op =
+        if (s.hasNonNull("summary") && s.get("summary").hasNonNull("operation"))
+          s.get("summary").get("operation").asText
+        else "unknown"
+      op match {
+        case "append"  => AppendStep(id, ts, op, addedDataFiles(fs, tableDir, s, mdPath))
+        case "replace" => AppendStep(id, ts, op, Nil) // compaction adds no rows — skipped
+        // a PARENTLESS overwrite is the lineage root: it rewrote
+        // nothing (there was no prior content), so it is exactly an
+        // initial append — the shape every exported table starts with
+        case "overwrite" if !s.hasNonNull("parent-snapshot-id") =>
+          AppendStep(id, ts, op, addedDataFiles(fs, tableDir, s, mdPath))
+        case other => throw new IllegalArgumentException(
+          s"incremental append scan over $tableDir cannot represent snapshot $id " +
+            s"(operation=$other): the range removes or rewrites rows, which an append-only " +
+            "view cannot express. Read the full snapshot (graft_iceberg_scan), or start " +
+            s"the range after snapshot $id.")
+      }
+    }.toSeq
+  }
+
+  /** Data files ADDED by one snapshot, from the snapshot's OWN
+    * manifest list: manifests recorded as added by this snapshot,
+    * entries with status ADDED whose (possibly inherited) snapshot id
+    * is this snapshot's. An append snapshot adding a DELETE file is a
+    * contradiction and refuses. */
+  private def addedDataFiles(fs: org.apache.hadoop.fs.FileSystem, tableDir: String,
+      snap: com.fasterxml.jackson.databind.JsonNode, mdPath: Path): Seq[String] = {
+    val sid = snap.get("snapshot-id").asLong
+    // (manifest path, the manifest-list entry's added_snapshot_id)
+    val manifests: Seq[(String, Option[Long])] =
+      if (snap.hasNonNull("manifest-list")) {
+        readAvro(_ => fs, resolve(tableDir, snap.get("manifest-list").asText))._1.map { r =>
+          (r.get("manifest_path").toString,
+            fieldOpt(r, "added_snapshot_id").map(_.asInstanceOf[Long]))
+        }
+      } else if (snap.hasNonNull("manifests")) {
+        val a = snap.get("manifests")
+        (0 until a.size).map(i => (a.get(i).asText, None))
+      } else throw new IllegalArgumentException(
+        s"snapshot $sid has no manifest list in $mdPath")
+    val out = Seq.newBuilder[String]
+    manifests.foreach { case (mPathRaw, listAdded) =>
+      // a manifest carried forward from an earlier snapshot cannot
+      // contain THIS snapshot's adds — entries inheriting a snapshot
+      // id inherit the carried manifest's original adder
+      if (listAdded.forall(_ == sid)) {
+        val mPath = resolve(tableDir, mPathRaw)
+        readAvro(_ => fs, mPath)._1.foreach { e =>
+          val status = fieldOpt(e, "status").map(_.asInstanceOf[Int]).getOrElse(1)
+          val eff = fieldOpt(e, "snapshot_id").map(_.asInstanceOf[Long])
+            .orElse(listAdded).getOrElse(-1L)
+          if (status == 1 && eff == sid) {
+            val df = e.get("data_file").asInstanceOf[GenericRecord]
+            val content = fieldOpt(df, "content").map(_.asInstanceOf[Int]).getOrElse(0)
+            require(content == 0,
+              s"snapshot $sid of $tableDir added a delete file (content=$content) in " +
+                s"$mPath — an append-range snapshot must add only data files")
+            val fmt = df.get("file_format").toString.toUpperCase
+            require(fmt == "PARQUET",
+              s"non-parquet data file ($fmt) added by snapshot $sid in $mPath — " +
+                "only parquet is supported")
+            out += resolve(tableDir, df.get("file_path").toString).toString
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** (fs, metadata path, parsed metadata JSON) of the table head —
+    * shared parse for the metadata-only faces. */
+  private def readMeta(spark: SparkSession, tableDir: String)
+      : (org.apache.hadoop.fs.FileSystem, Path, com.fasterxml.jackson.databind.JsonNode) = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val metaDir = new Path(tableDir, "metadata")
+    val fs = metaDir.getFileSystem(hconf)
+    val mdPath = latestMetadata(fs, metaDir)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val md = { val in = fs.open(mdPath); try om.readTree(in) finally in.close() }
+    (fs, mdPath, md)
+  }
+
+  /** The read-construction context from the metadata JSON alone —
+    * (field id → name, current schema, name mapping, qualified table
+    * root); what [[baseFrame]] needs without a manifest walk. */
+  private def schemaContext(spark: SparkSession, tableDir: String)
+      : (Map[Int, String], Option[StructType], Map[Int, Seq[String]], String) = {
+    val (fs, mdPath, md) = readMeta(spark, tableDir)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val schemaNode = {
+      val schemas = md.get("schemas")
+      if (schemas != null && schemas.size > 0) {
+        val want = if (md.has("current-schema-id")) md.get("current-schema-id").asInt else 0
+        (0 until schemas.size).map(schemas.get)
+          .find(s => s.has("schema-id") && s.get("schema-id").asInt == want)
+          .getOrElse(schemas.get(0))
+      } else md.get("schema")
+    }
+    val fieldNames: Map[Int, String] =
+      if (schemaNode == null || schemaNode.get("fields") == null) Map.empty
+      else {
+        val fields = schemaNode.get("fields")
+        (0 until fields.size).map(fields.get)
+          .map(f => f.get("id").asInt -> f.get("name").asText).toMap
+      }
+    val nameMapping: Map[Int, Seq[String]] = {
+      val props = md.get("properties")
+      if (props == null || !props.hasNonNull("schema.name-mapping.default")) Map.empty
+      else try {
+        val arr = om.readTree(props.get("schema.name-mapping.default").asText)
+        (0 until arr.size).map(arr.get).flatMap { e =>
+          if (!e.hasNonNull("field-id") || !e.hasNonNull("names")) None
+          else {
+            val names = e.get("names")
+            Some(e.get("field-id").asInt -> (0 until names.size).map(names.get(_).asText).toSeq)
+          }
+        }.toMap
+      } catch { case _: Exception => Map.empty[Int, Seq[String]] }
+    }
+    (fieldNames, sparkSchemaOf(schemaNode),
+      nameMapping, fs.makeQualified(new Path(tableDir)).toString)
+  }
+
   /** Spellings of data files whose manifest bounds PROVE no row can
     * match the given conjuncts — the metadata half of Iceberg scan
     * planning, consumed by [[graft.plans.IcebergScanPruneRule]].

@@ -3231,13 +3231,88 @@ object ExtensionCorpus {
       AS t(name, type, snapshot_id) ORDER BY name""")
   )
 
+  /** INCREMENTAL READ OF A FOREIGN ICEBERG TABLE (X134 — the read-side
+    * twin of the r16 sinks, the r16 verdict's #1 ask: the reference's
+    * whole pipeline is daily incremental consumption of Iceberg
+    * tables, job_gold.py:71-88): even lineitem keys exported (snap 1),
+    * the %4==1 keys appended (snap 2), the table COMPACTED (snap 3, a
+    * `replace` the incremental view must SKIP — original files, no
+    * duplicates), the %4==3 keys appended (snap 4). The aggregate over
+    * `graft_iceberg_appends('/dir', 1)` must be exactly the ODD keys —
+    * hash-exact vs DuckDB filtering the raw parquet. */
+  private val q166 = Q(
+    "q166_iceberg_incremental_read",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q166-snap").toString
+      val t = new graft.io.SnapshotTables(s, root)
+      val li = fixture(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      t.overwriteTable(li.filter(col("l_orderkey") % 2 === 0), "li")
+      val dest = java.nio.file.Files.createTempDirectory("q166-ice").toString
+      graft.io.IcebergExport.export(t, "li", dest)
+      graft.io.IcebergAppend.append(s, dest, li.filter(col("l_orderkey") % 4 === 1))
+      graft.io.IcebergMaintenance.compact(s, dest) // replace: skipped by the range
+      graft.io.IcebergAppend.append(s, dest, li.filter(col("l_orderkey") % 4 === 3))
+      s.sql(s"""SELECT l_returnflag, COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM graft_iceberg_appends('$dest', 1)
+        GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+    Some("""SELECT l_returnflag, COUNT(*) AS n,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem WHERE l_orderkey % 2 = 1
+      GROUP BY l_returnflag ORDER BY l_returnflag""")
+  )
+
+  /** STREAMING SOURCE OVER A FOREIGN ICEBERG TABLE under the gate
+    * (X134's push face, `format("graft-iceberg-appends")`): the same
+    * export-append-append lineage consumed from `earliest` with
+    * `Trigger.AvailableNow` into a parquet landing (one micro-batch
+    * per snapshot, `maxSnapshotsPerBatch=1`), and the landing must
+    * aggregate to exactly the WHOLE table — hash-exact vs DuckDB over
+    * the raw parquet. The per-snapshot `_snapshot_id` stamp is summed
+    * into the result so batch boundaries are part of the contract. */
+  private val q166b = Q(
+    "q166b_streaming_iceberg_source",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q166b-snap").toString
+      val t = new graft.io.SnapshotTables(s, root)
+      val li = fixture(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      t.overwriteTable(li.filter(col("l_orderkey") % 2 === 0), "li")
+      val dest = java.nio.file.Files.createTempDirectory("q166b-ice").toString
+      graft.io.IcebergExport.export(t, "li", dest)
+      graft.io.IcebergAppend.append(s, dest, li.filter(col("l_orderkey") % 2 =!= 0))
+      val land = java.nio.file.Files.createTempDirectory("q166b-land").toString + "/out"
+      val ck = java.nio.file.Files.createTempDirectory("q166b-ck").toString + "/ck"
+      val stream = s.readStream.format("graft-iceberg-appends")
+        .option("dir", dest).option("startingSnapshot", "earliest")
+        .option("maxSnapshotsPerBatch", "1").load()
+      graft.streaming.Streams.availableNowTo(stream, land, ck).awaitTermination()
+      s.read.parquet(land).createOrReplaceTempView("q166b_landed")
+      s.sql("""SELECT l_returnflag, COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 2 END) AS BIGINT) AS snap_weight,
+        CAST(SUM(_snapshot_id) AS BIGINT) AS snap_sum
+        FROM q166b_landed
+        GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+    // even keys landed in snapshot 1, odd keys in snapshot 2 — DuckDB
+    // replays the stamp arithmetic from the raw rows
+    Some("""SELECT l_returnflag, COUNT(*) AS n,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 2 END) AS BIGINT) AS snap_weight,
+      CAST(SUM(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 2 END) AS BIGINT) AS snap_sum
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+  )
+
   val all: Seq[Q] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q98b, q99, q100, q101, q102, q106, q107, q108,
     q109, q111, q112, q113, q114, q116, q117, q118, q119, q121, q122, q123, q125, q126, q127,
     q128, q130, q131, q132, q133, q135, q136, q137, q138, q139, q140, q141, q143, q144,
     q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159,
-    q160, q161, q162, q163, q164, q165
+    q160, q161, q162, q163, q164, q165, q166, q166b
   )
 
 }
