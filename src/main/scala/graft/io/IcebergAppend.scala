@@ -656,4 +656,78 @@ object IcebergAppend {
     val m = writeDataManifest(spark, lt, df)
     commitSnapshot(spark, lt, Seq(m), operation = "overwrite", carryPrevious = false)
   }
+
+  /** Register EXTERNALLY WRITTEN data files as one append snapshot —
+    * Iceberg's own `add_files`/register shape: the files are adopted
+    * BY REFERENCE (never read row-wise, never rewritten), entered as
+    * ADDED manifest entries with their record counts (parquet footer /
+    * avro container walk — metadata-sized reads) and byte sizes but NO
+    * column bounds (the manifest simply cannot skip these files until
+    * a compaction rewrites them with stats). The caller asserts the
+    * files match the table's current schema — by parquet field ids or
+    * Avro `field-id` props, which is how the read resolves them.
+    * Restricted to an unpartitioned default spec: adopted files carry
+    * no partition struct, and inventing one would corrupt
+    * scoped-delete semantics. */
+  def addFiles(spark: SparkSession, tableDir: String, files: Seq[String],
+      format: String = "PARQUET", branch: String = "main"): Long = {
+    require(files.nonEmpty, "addFiles needs at least one file")
+    val fmt = format.toUpperCase
+    require(fmt == "PARQUET" || fmt == "AVRO",
+      s"addFiles supports PARQUET and AVRO, got $format")
+    val lt = load(spark, tableDir, branch)
+    require(lt.specFields.isEmpty,
+      s"addFiles on $tableDir needs an unpartitioned default spec — adopted files carry " +
+        "no partition struct")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def rowsOf(p: Path): Long = fmt match {
+      case "PARQUET" =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hconf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      case "AVRO" =>
+        val fs = p.getFileSystem(hconf)
+        val s = new org.apache.avro.file.DataFileStream[GenericRecord](
+          fs.open(p), new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
+        try {
+          var n = 0L
+          while (s.hasNext) { s.next(); n += 1 }
+          n
+        } finally s.close()
+    }
+    val entrySchema = new org.apache.avro.Schema.Parser()
+      .parse(IcebergExport.ManifestEntryAvro)
+    val dfSchema = entrySchema.getField("data_file").schema()
+    val segId = java.util.UUID.randomUUID().toString.take(18)
+    val manifestPath = new Path(lt.metaDir, s"m-addfiles-${lt.newSnap}-$segId.avro")
+    val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](entrySchema))
+    w.setMeta("content", "data")
+    w.setMeta("format-version", "2")
+    w.setMeta("partition-spec-id",
+      (if (lt.md.has("default-spec-id")) lt.md.get("default-spec-id").asInt else 0).toString)
+    w.create(entrySchema, lt.fs.create(manifestPath, false))
+    var totalRows = 0L
+    files.sorted.foreach { f =>
+      val p = new Path(f)
+      val rows = rowsOf(p)
+      totalRows += rows
+      val dfr = new GenericData.Record(dfSchema)
+      dfr.put("content", 0)
+      dfr.put("file_path", lt.fs.makeQualified(p).toString)
+      dfr.put("file_format", fmt)
+      dfr.put("partition", new GenericData.Record(dfSchema.getField("partition").schema()))
+      dfr.put("record_count", rows)
+      dfr.put("file_size_in_bytes", lt.fs.getFileStatus(p).getLen)
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1) // ADDED
+      e.put("snapshot_id", java.lang.Long.valueOf(lt.newSnap))
+      e.put("data_file", dfr)
+      w.append(e)
+    }
+    w.close()
+    commitSnapshot(spark, lt,
+      Seq(NewManifest(manifestPath, content = 0, files = files.size, rows = totalRows)),
+      operation = "append")
+  }
 }

@@ -50,7 +50,9 @@ import org.apache.spark.sql.types._
   *  inheritance rule; v1 layouts have no deletes and sequence 0).
   *
   * Honest refusals, never wrong answers:
-  *  - non-parquet data or delete files (AVRO/ORC) refuse;
+  *  - ORC data files and non-parquet DELETE files refuse (Avro DATA
+  *    files read through [[IcebergAvroData]] — the spec allows them
+  *    and Flink-style writers produce them);
   *  - delete files missing the spec's columns refuse;
   *  - a delete entry under a partitioned spec whose partition struct
   *    misses a field refuses (scoping would be a guess);
@@ -71,7 +73,7 @@ object IcebergImport {
     * delete scoping) — what bucket/identity/day pruning consults. */
   private final case class DataEntry(path: String, raw: String, seq: Long,
       lower: Map[Int, Array[Byte]] = Map.empty, upper: Map[Int, Array[Byte]] = Map.empty,
-      recordCount: Long = -1L, scope: Seq[ScopeCond] = Nil)
+      recordCount: Long = -1L, scope: Seq[ScopeCond] = Nil, fmt: String = "PARQUET")
   /** One partition-scope condition of an equality delete: the SOURCE
     * column, the spec transform over it (`identity` or `bucket[N]` —
     * graft computes murmur3 buckets itself via
@@ -125,10 +127,33 @@ object IcebergImport {
         .map(s => spark.createDataFrame(java.util.Collections.emptyList[Row](), s))
         .getOrElse(spark.emptyDataFrame)
     if (plan.deletes.isEmpty)
-      baseFrame(spark, plan.data.map(_.path), plan.fieldNames.values.toSet,
-        withMeta = false, tableLoc = plan.loc, snap = plan.snap,
-        idSchema = plan.schema, nameMapping = plan.nameMapping)
+      mixedFrame(spark, plan.data.map(d => (d.path, d.fmt)), plan.fieldNames,
+        plan.schema, plan.nameMapping, plan.loc, plan.snap, withMeta = false)
     else applyDeletes(spark, plan)
+  }
+
+  /** The data-file set as one frame, dispatched PER FILE FORMAT:
+    * parquet files ride [[baseFrame]] (the pushdown/pruning scan
+    * path), Avro files decode through [[IcebergAvroData]] (the
+    * compatibility path — needs a parseable table schema). Both sides
+    * emit the lineage helper columns when `withMeta`. */
+  private def mixedFrame(spark: SparkSession, refs: Seq[(String, String)],
+      fieldNames: Map[Int, String], schema: Option[StructType],
+      nameMapping: Map[Int, Seq[String]], loc: String, snap: Option[Long],
+      withMeta: Boolean): DataFrame = {
+    val (avro, parq) = refs.partition(_._2 == "AVRO")
+    val frames = Seq.newBuilder[DataFrame]
+    if (parq.nonEmpty)
+      frames += baseFrame(spark, parq.map(_._1), fieldNames.values.toSet,
+        withMeta = withMeta, tableLoc = loc, snap = snap,
+        idSchema = schema, nameMapping = nameMapping)
+    if (avro.nonEmpty) {
+      val s = schema.getOrElse(throw new IllegalArgumentException(
+        s"Avro data files under $loc need a parseable table schema to decode, and the " +
+          "metadata JSON's schema could not be mapped"))
+      frames += IcebergAvroData.read(spark, avro.map(_._1), s, withPos = withMeta)
+    }
+    frames.result().reduce(_ unionByName _)
   }
 
   /** [[read]] plus per-row lineage: two extra columns `__graft_ice_file`
@@ -145,9 +170,8 @@ object IcebergImport {
           s.add(FileCol, StringType).add(PosCol, LongType)))
         .getOrElse(spark.emptyDataFrame)
     if (plan.deletes.isEmpty)
-      baseFrame(spark, plan.data.map(_.path), plan.fieldNames.values.toSet,
-        withMeta = true, tableLoc = plan.loc, snap = plan.snap,
-        idSchema = plan.schema, nameMapping = plan.nameMapping)
+      mixedFrame(spark, plan.data.map(d => (d.path, d.fmt)), plan.fieldNames,
+        plan.schema, plan.nameMapping, plan.loc, plan.snap, withMeta = true)
     else applyDeletes(spark, plan, keepLineage = true)
   }
 
@@ -263,8 +287,16 @@ object IcebergImport {
           val df = e.get("data_file").asInstanceOf[GenericRecord]
           val content = fieldOpt(df, "content").map(_.asInstanceOf[Int]).getOrElse(0)
           val fmt = df.get("file_format").toString.toUpperCase
-          require(fmt == "PARQUET",
-            s"non-parquet ${if (content == 0) "data" else "delete"} file ($fmt) in $mPath — only parquet is supported")
+          // DATA files: parquet (the scan path) or Avro (decoded by
+          // [[IcebergAvroData]]); ORC refuses honestly. DELETE files:
+          // parquet only — their application plan reads them columnar.
+          if (content == 0)
+            require(fmt == "PARQUET" || fmt == "AVRO",
+              s"data file format $fmt in $mPath is not supported — parquet and avro only " +
+                "(compact the table to migrate ORC data files)")
+          else
+            require(fmt == "PARQUET",
+              s"non-parquet delete file ($fmt) in $mPath — only parquet delete files are supported")
           // v2 sequence inheritance: a null sequence on an ADDED entry
           // takes the manifest's; null on EXISTING/other must be
           // explicit. v1 manifests have no sequence_number field at all
@@ -284,7 +316,7 @@ object IcebergImport {
           content match {
             case 0 => dataB += DataEntry(abs, raw, seq,
               kvBytesOf(df, "lower_bounds"), kvBytesOf(df, "upper_bounds"), rc,
-              dataScope(specFields, df, fieldNames))
+              dataScope(specFields, df, fieldNames), fmt)
             case 1 => delB += DeleteEntry(abs, raw, seq, 1, Nil, Nil, rc)
             case 2 =>
               val idsNode = fieldOpt(df, "equality_ids").orNull
@@ -731,9 +763,8 @@ object IcebergImport {
         s"equality_ids of ${d.path} references field id $id, not in the table schema"))
     }
 
-    val base = baseFrame(spark, plan.data.map(_.path), plan.fieldNames.values.toSet,
-      withMeta = true, tableLoc = plan.loc, snap = plan.snap,
-      idSchema = plan.schema, nameMapping = plan.nameMapping)
+    val base = mixedFrame(spark, plan.data.map(d => (d.path, d.fmt)), plan.fieldNames,
+      plan.schema, plan.nameMapping, plan.loc, plan.snap, withMeta = true)
     val userCols = base.columns.filterNot(Set(FileCol, PosCol)).toSeq
     val helperNames = Set("__spelling", "__dspelling", "__dseq", "__self", "__target")
     require(!userCols.exists(c => c.startsWith("__graft_ice_") || c.startsWith("__graft_ed_") ||
@@ -1075,11 +1106,11 @@ object IcebergImport {
   // ------------------------------------------------------------------
 
   /** One snapshot's contribution to an incremental append range: its
-    * id, commit time, operation, and the data files it ADDED (empty
-    * for `replace` — a compaction rewrites existing rows, it adds
-    * none). */
+    * id, commit time, operation, and the data files it ADDED as
+    * (path, file format) pairs (empty for `replace` — a compaction
+    * rewrites existing rows, it adds none). */
   private[graft] final case class AppendStep(snapshotId: Long, timestampMs: Long,
-      operation: String, files: Seq[String])
+      operation: String, files: Seq[(String, String)])
 
   /** Rows APPENDED to the table strictly after `fromSnapshot` and up
     * to (inclusive) `toSnapshot` — Iceberg's incremental append scan,
@@ -1119,8 +1150,8 @@ object IcebergImport {
       schema.map(s => spark.createDataFrame(java.util.Collections.emptyList[Row](), s))
         .getOrElse(spark.emptyDataFrame)
     else
-      baseFrame(spark, files, fieldNames.values.toSet, withMeta = false,
-        tableLoc = loc, snap = toSnapshot, idSchema = schema, nameMapping = nameMapping)
+      mixedFrame(spark, files, fieldNames, schema, nameMapping, loc, toSnapshot,
+        withMeta = false)
   }
 
   /** [[appendsBetween]] sliced per snapshot — the streaming face's
@@ -1136,9 +1167,8 @@ object IcebergImport {
     steps.map { st =>
       val df =
         if (st.files.isEmpty) empty
-        else baseFrame(spark, st.files, fieldNames.values.toSet, withMeta = false,
-          tableLoc = loc, snap = Some(st.snapshotId), idSchema = schema,
-          nameMapping = nameMapping)
+        else mixedFrame(spark, st.files, fieldNames, schema, nameMapping, loc,
+          Some(st.snapshotId), withMeta = false)
       (st, df)
     }
   }
@@ -1237,7 +1267,7 @@ object IcebergImport {
     * is this snapshot's. An append snapshot adding a DELETE file is a
     * contradiction and refuses. */
   private def addedDataFiles(fs: org.apache.hadoop.fs.FileSystem, tableDir: String,
-      snap: com.fasterxml.jackson.databind.JsonNode, mdPath: Path): Seq[String] = {
+      snap: com.fasterxml.jackson.databind.JsonNode, mdPath: Path): Seq[(String, String)] = {
     val sid = snap.get("snapshot-id").asLong
     // (manifest path, the manifest-list entry's added_snapshot_id)
     val manifests: Seq[(String, Option[Long])] =
@@ -1251,7 +1281,7 @@ object IcebergImport {
         (0 until a.size).map(i => (a.get(i).asText, None))
       } else throw new IllegalArgumentException(
         s"snapshot $sid has no manifest list in $mdPath")
-    val out = Seq.newBuilder[String]
+    val out = Seq.newBuilder[(String, String)]
     manifests.foreach { case (mPathRaw, listAdded) =>
       // a manifest carried forward from an earlier snapshot cannot
       // contain THIS snapshot's adds — entries inheriting a snapshot
@@ -1269,10 +1299,10 @@ object IcebergImport {
               s"snapshot $sid of $tableDir added a delete file (content=$content) in " +
                 s"$mPath — an append-range snapshot must add only data files")
             val fmt = df.get("file_format").toString.toUpperCase
-            require(fmt == "PARQUET",
-              s"non-parquet data file ($fmt) added by snapshot $sid in $mPath — " +
-                "only parquet is supported")
-            out += resolve(tableDir, df.get("file_path").toString).toString
+            require(fmt == "PARQUET" || fmt == "AVRO",
+              s"data file format $fmt added by snapshot $sid in $mPath is not supported — " +
+                "parquet and avro only")
+            out += ((resolve(tableDir, df.get("file_path").toString).toString, fmt))
           }
         }
       }

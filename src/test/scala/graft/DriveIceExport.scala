@@ -19,7 +19,7 @@ object DriveIceExport {
     // on version files (the append's optimistic concurrency, working
     // as designed — but these are throwaway fixtures)
     Seq("plain", "mor", "bucket", "posdel", "evolved", "appended", "partitioned", "scoped",
-        "dml", "branch", "posdml")
+        "dml", "branch", "posdml", "merge", "catname", "avrodata")
       .foreach { n =>
         val p = new org.apache.hadoop.fs.Path(s"/tmp/ind_export_$n")
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -171,6 +171,66 @@ object DriveIceExport {
     val r11r = graft.io.IcebergImport.read(spark, "/tmp/ind_export_posdml")
       .agg(count(lit(1)), sum(col("o_totalprice").cast("decimal(18,2)")).cast("string")).collect()(0)
     println(s"EXPECT posdml count=${r11r.getLong(0)} sum=${r11r.getString(1)}")
+
+    // 12: MERGE/upsert (X132's one-snapshot shape — equality delete on
+    // the source keys + the source as a data manifest in ONE overwrite
+    // snapshot); the witness's strictly-earlier gating must keep the
+    // upserted rows safe from their own delete
+    val r12 = java.nio.file.Files.createTempDirectory("ind-snap12").toString
+    val t12 = new graft.io.SnapshotTables(spark, r12)
+    t12.overwriteTable(ord.filter(col("o_orderkey") % 2 === 0), "ord")
+    graft.io.IcebergExport.export(t12, "ord", "/tmp/ind_export_merge")
+    graft.io.IcebergDml.upsert(spark, "/tmp/ind_export_merge",
+      ord.filter(col("o_orderkey") % 10 === 0).withColumn("o_totalprice", lit(1.25))
+        .unionByName(ord.filter(col("o_orderkey") % 2 =!= 0)),
+      Seq("o_orderkey"))
+    val r12r = graft.io.IcebergImport.read(spark, "/tmp/ind_export_merge")
+      .agg(count(lit(1)), sum(col("o_totalprice").cast("decimal(18,2)")).cast("string")).collect()(0)
+    println(s"EXPECT merge count=${r12r.getLong(0)} sum=${r12r.getString(1)}")
+
+    // 13: CATALOG-CONVENTION metadata names (<NNNNN>-<uuid>.metadata
+    // .json, NO version-hint — REST/Hive-catalog layouts; read-only on
+    // the graft side, and the witness must resolve the head the same
+    // way the importer does)
+    val r13 = java.nio.file.Files.createTempDirectory("ind-snap13").toString
+    val t13 = new graft.io.SnapshotTables(spark, r13)
+    t13.overwriteTable(ord, "ord")
+    graft.io.IcebergExport.export(t13, "ord", "/tmp/ind_export_catname")
+    graft.io.IcebergDml.deleteWhere(spark, "/tmp/ind_export_catname", "o_orderkey % 7 = 0")
+    locally {
+      val metaDir = new org.apache.hadoop.fs.Path("/tmp/ind_export_catname/metadata")
+      val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(metaDir).map(_.getPath).foreach { p =>
+        if (p.getName.matches("v\\d+\\.metadata\\.json")) {
+          val v = p.getName.stripPrefix("v").stripSuffix(".metadata.json").toInt
+          fs.rename(p, new org.apache.hadoop.fs.Path(metaDir,
+            f"$v%05d-11111111-2222-3333-4444-555555555555.metadata.json"))
+        }
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(metaDir, "version-hint.text"), false)
+    }
+    val r13r = graft.io.IcebergImport.read(spark, "/tmp/ind_export_catname")
+      .agg(count(lit(1)), sum(col("o_totalprice").cast("decimal(18,2)")).cast("string")).collect()(0)
+    println(s"EXPECT catname count=${r13r.getLong(0)} sum=${r13r.getString(1)}")
+
+    // 14: AVRO DATA FILES (X135 — spec file_format=AVRO, adopted by
+    // reference via addFiles) mixed with parquet, plus an equality
+    // delete hitting both formats; the witness decodes the avro
+    // container with its own from-scratch reader
+    val r14 = java.nio.file.Files.createTempDirectory("ind-snap14").toString
+    val t14 = new graft.io.SnapshotTables(spark, r14)
+    t14.overwriteTable(ord.filter(col("o_orderkey") % 2 === 0), "ord")
+    graft.io.IcebergExport.export(t14, "ord", "/tmp/ind_export_avrodata")
+    val avroPath = java.nio.file.Files.createTempDirectory("ind-avro14").toString + "/odds.avro"
+    graft.io.IcebergAvroData.writeDataFile(spark, ord.filter(col("o_orderkey") % 2 =!= 0),
+      avroPath, Map("o_orderkey" -> 1, "o_custkey" -> 2, "o_orderstatus" -> 3,
+        "o_totalprice" -> 4))
+    graft.io.IcebergAppend.addFiles(spark, "/tmp/ind_export_avrodata", Seq(avroPath),
+      format = "AVRO")
+    graft.io.IcebergDml.deleteWhere(spark, "/tmp/ind_export_avrodata", "o_orderkey % 7 = 0")
+    val r14r = graft.io.IcebergImport.read(spark, "/tmp/ind_export_avrodata")
+      .agg(count(lit(1)), sum(col("o_totalprice").cast("decimal(18,2)")).cast("string")).collect()(0)
+    println(s"EXPECT avrodata count=${r14r.getLong(0)} sum=${r14r.getString(1)}")
     spark.stop()
   }
 }

@@ -160,11 +160,28 @@ def resolve(table_dir, p):
 
 def plan_scan(table_dir):
     meta_dir = os.path.join(table_dir, "metadata")
-    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
-        hint = fh.read().strip()
-    cand = [f"v{hint}.metadata.json", f"v{int(hint):05d}.metadata.json"]
-    md_path = next(os.path.join(meta_dir, c) for c in cand
-                   if os.path.exists(os.path.join(meta_dir, c)))
+    hint_path = os.path.join(meta_dir, "version-hint.text")
+    if os.path.exists(hint_path):
+        with open(hint_path) as fh:
+            hint = fh.read().strip()
+        cand = [f"v{hint}.metadata.json", f"v{int(hint):05d}.metadata.json"]
+        md_path = next(os.path.join(meta_dir, c) for c in cand
+                       if os.path.exists(os.path.join(meta_dir, c)))
+    else:
+        # no hint file: HadoopTableOperations v<N> names or the catalog
+        # convention <NNNNN>-<uuid>.metadata.json — highest version wins
+        import re
+        best = None
+        for n in os.listdir(meta_dir):
+            m = (re.match(r"v(\d+)\.metadata\.json$", n) or
+                 re.match(r"(\d+)-[^/]+\.metadata\.json$", n))
+            if m:
+                key = (int(m.group(1)), n)
+                if best is None or key > best[0]:
+                    best = (key, n)
+        if best is None:
+            raise SystemExit(f"no *.metadata.json under {meta_dir}")
+        md_path = os.path.join(meta_dir, best[1])
     md = json.load(open(md_path))
     assert md["format-version"] == 2, "expected a v2 export"
     snap_id = md["current-snapshot-id"]
@@ -227,6 +244,7 @@ def plan_scan(table_dir):
                 "path": resolve(table_dir, df["file_path"]),
                 "seq": seq,
                 "content": df.get("content", 0),
+                "format": str(df.get("file_format", "PARQUET")).upper(),
                 "eq_ids": df.get("equality_ids") or [],
                 "record_count": df["record_count"],
                 "ident": ident,
@@ -309,12 +327,69 @@ def main():
             ph = ",".join("?" for _ in vals)
             con.execute(f"INSERT INTO pv VALUES ({ph})", vals)
         pv_join = " LEFT JOIN pv ON d.filename = pv.path"
-    data_read = (f"read_parquet({flist(data)}, filename=true, "
-                 f"file_row_number=true, union_by_name=true)")
-    sel = resolve_fields(con, f"SELECT * FROM {data_read}", fields, name_mapping,
-                         ident_cols=set(ident_cols), qual="d.")
-    base = (f"SELECT {sel}, d.filename, d.file_row_number, fseq.seq AS __seq "
+    parq = [f for f in data if f["format"] == "PARQUET"]
+    avro = [f for f in data if f["format"] == "AVRO"]
+    bad = [f for f in data if f["format"] not in ("PARQUET", "AVRO")]
+    if bad:
+        raise SystemExit(f"unsupported data-file format(s): {sorted({f['format'] for f in bad})}")
+    branches = []
+    if parq:
+        data_read = (f"read_parquet({flist(parq)}, filename=true, "
+                     f"file_row_number=true, union_by_name=true)")
+        sel = resolve_fields(con, f"SELECT * FROM {data_read}", fields, name_mapping,
+                             ident_cols=set(ident_cols), qual="d.")
+        branches.append(
+            f"SELECT {sel}, d.filename, d.file_row_number, fseq.seq AS __seq "
             f"FROM {data_read} d JOIN fseq ON d.filename = fseq.path{pv_join}")
+    if avro:
+        # AVRO data files (spec: file_format=AVRO): decode with the
+        # same from-scratch container reader the manifests use, resolve
+        # columns by the Iceberg `field-id` props in the file schema
+        # (name fallback), convert logical types, and land them in a
+        # typed table so the delete pipeline sees one uniform shape
+        import datetime
+        import decimal as _dec
+        ddl = ", ".join(f'"{f["name"]}" {duck_type(f["type"])}' for f in fields)
+        con.execute(f"CREATE TABLE avrodata(__path VARCHAR, __rownum BIGINT, {ddl})")
+
+        def conv(v, t):
+            if v is None:
+                return None
+            if t == "date":
+                return datetime.date(1970, 1, 1) + datetime.timedelta(days=v)
+            if t in ("timestamp", "timestamptz"):
+                return (datetime.datetime(1970, 1, 1) +
+                        datetime.timedelta(microseconds=v))
+            if isinstance(t, str) and t.startswith("decimal("):
+                scale = int(t[len("decimal("):-1].split(",")[1])
+                return _dec.Decimal(
+                    int.from_bytes(v, "big", signed=True)).scaleb(-scale)
+            return v
+
+        for f in avro:
+            records, fmeta = read_avro_file(f["path"])
+            fschema = json.loads(fmeta["avro.schema"])
+
+            def file_field(cf):
+                for ff in fschema["fields"]:
+                    fid = ff.get("field-id")
+                    if fid is not None and int(fid) == cf["id"]:
+                        return ff["name"]
+                return cf["name"] if any(
+                    ff["name"] == cf["name"] for ff in fschema["fields"]) else None
+
+            resolvers = [file_field(cf) for cf in fields]
+            ph = ",".join("?" for _ in range(len(fields) + 2))
+            for i, rec in enumerate(records):
+                vals = [f["path"], i] + [
+                    conv(rec.get(rn) if rn else None, cf["type"])
+                    for rn, cf in zip(resolvers, fields)]
+                con.execute(f"INSERT INTO avrodata VALUES ({ph})", vals)
+        acols = ", ".join(f'a."{f["name"]}"' for f in fields)
+        branches.append(
+            f"SELECT {acols}, a.__path AS filename, a.__rownum AS file_row_number, "
+            f"fseq.seq AS __seq FROM avrodata a JOIN fseq ON a.__path = fseq.path")
+    base = " UNION ALL BY NAME ".join(f"({b})" for b in branches)
     con.execute(f"CREATE VIEW base AS {base}")
     view = "base"
     pos = [f for f in deletes if f["content"] == 1]
