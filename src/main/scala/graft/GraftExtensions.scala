@@ -122,6 +122,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(graft.plans.IcebergScan.getClass.getName, "graft_iceberg_appends"),
       (children: Seq[Expression]) => graft.plans.IcebergScan.appendsPlan(children)
     ))
+    // .partitions metadata twin (completes the metadata quartet):
+    // SELECT * FROM graft_iceberg_partitions('/path'[, snapshot_id])
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_iceberg_partitions"),
+      new ExpressionInfo(graft.plans.IcebergScan.getClass.getName, "graft_iceberg_partitions"),
+      (children: Seq[Expression]) => graft.plans.IcebergScan.partitionsPlan(children)
+    ))
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),

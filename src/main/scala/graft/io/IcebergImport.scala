@@ -71,9 +71,14 @@ object IcebergImport {
     * skipping); empty when the writer recorded none. */
   /** `scope`: the file's own partition-struct conditions (same repr as
     * delete scoping) — what bucket/identity/day pruning consults. */
+  /** `partDisplay`: the file's FULL partition struct as rendered
+    * (spec field name, value) pairs — unlike `scope` (best-effort,
+    * pruning-only) this keeps every spec field so the `.partitions`
+    * metadata table groups files exactly. */
   private final case class DataEntry(path: String, raw: String, seq: Long,
       lower: Map[Int, Array[Byte]] = Map.empty, upper: Map[Int, Array[Byte]] = Map.empty,
-      recordCount: Long = -1L, scope: Seq[ScopeCond] = Nil, fmt: String = "PARQUET")
+      recordCount: Long = -1L, scope: Seq[ScopeCond] = Nil, fmt: String = "PARQUET",
+      partDisplay: Seq[(String, String)] = Nil)
   /** One partition-scope condition of an equality delete: the SOURCE
     * column, the spec transform over it (`identity` or `bucket[N]` —
     * graft computes murmur3 buckets itself via
@@ -316,7 +321,8 @@ object IcebergImport {
           content match {
             case 0 => dataB += DataEntry(abs, raw, seq,
               kvBytesOf(df, "lower_bounds"), kvBytesOf(df, "upper_bounds"), rc,
-              dataScope(specFields, df, fieldNames), fmt)
+              dataScope(specFields, df, fieldNames), fmt,
+              partitionDisplay(specFields, df))
             case 1 => delB += DeleteEntry(abs, raw, seq, 1, Nil, Nil, rc)
             case 2 =>
               val idsNode = fieldOpt(df, "equality_ids").orNull
@@ -471,6 +477,44 @@ object IcebergImport {
           case other => other
         }
         ScopeCond(colName, f.transform, v)
+      }
+    }
+  }
+
+  /** The file's FULL partition struct rendered as (spec field name,
+    * value string) — every spec field, every transform (bucket/
+    * truncate images render as their stored integers/prefixes), date
+    * logicals as ISO dates, null as "null". The `.partitions` display
+    * surface; exact by construction (the struct IS the file's
+    * partition). */
+  private def partitionDisplay(specFields: Seq[SpecField],
+      df: GenericRecord): Seq[(String, String)] = {
+    if (specFields.isEmpty) return Nil
+    val pRec = df.get("partition") match {
+      case r: GenericRecord => r
+      case _ => return specFields.map(f => (f.name, "null"))
+    }
+    specFields.map { f =>
+      Option(pRec.getSchema.getField(f.name)) match {
+        case None => (f.name, "null")
+        case Some(avroField) =>
+          val isDate = {
+            val s0 = avroField.schema()
+            val concrete =
+              if (s0.getType == org.apache.avro.Schema.Type.UNION) {
+                import scala.jdk.CollectionConverters._
+                s0.getTypes.asScala.find(_.getType != org.apache.avro.Schema.Type.NULL)
+                  .getOrElse(s0)
+              } else s0
+            concrete.getLogicalType != null && concrete.getLogicalType.getName == "date"
+          }
+          val v = pRec.get(f.name) match {
+            case null => "null"
+            case i: java.lang.Integer if isDate =>
+              java.time.LocalDate.ofEpochDay(i.longValue()).toString
+            case other => other.toString
+          }
+          (f.name, v)
       }
     }
   }
@@ -1084,6 +1128,33 @@ object IcebergImport {
     import spark.implicits._
     rows.toDF("snapshot_id", "parent_id", "sequence_number", "timestamp_ms",
       "operation", "manifest_list")
+  }
+
+  /** `.partitions` metadata-table twin for a FOREIGN Iceberg table
+    * (SQL face `graft_iceberg_partitions('/dir'[, snap])`): one row
+    * per LIVE partition value — the partition rendered canonically
+    * (`name=value`, '/'-joined, each file under its OWN spec so
+    * evolved layouts stay exact), the number of live data files in
+    * it, and their manifest record-count sum (null when any manifest
+    * omitted a count). An unpartitioned table reports one row with
+    * the empty partition. Row-level DELETE files are not attributed
+    * (a global-scope equality delete has no partition); the counts
+    * are the MANIFESTS' — post-MOR row counts come from a read, not
+    * from metadata. Metadata-sized; no data file is opened. */
+  def partitionsRelation(spark: SparkSession, tableDir: String,
+      snapshotId: Option[Long] = None): DataFrame = {
+    val plan = planScan(spark, tableDir, snapshotId)
+    def render(p: Seq[(String, String)]): String =
+      p.map { case (k, v) => s"$k=$v" }.mkString("/")
+    val rows = plan.data.groupBy(d => render(d.partDisplay)).toSeq
+      .map { case (p, files) =>
+        val counts = files.map(_.recordCount)
+        (p, files.size.toLong,
+          if (counts.exists(_ < 0)) None else Some(counts.sum))
+      }
+      .sortBy(_._1)
+    import spark.implicits._
+    rows.toDF("partition", "file_count", "record_count")
   }
 
   /** `.refs` metadata-table twin for a foreign Iceberg table (the SQL

@@ -184,6 +184,15 @@ object IcebergScan {
       .queryExecution.analyzed
   }
 
+  /** `.partitions` metadata twin:
+    * graft_iceberg_partitions('/dir'[, snap]) — one row per live
+    * partition value with file count and manifest record-count sum. */
+  def partitionsPlan(args: Seq[Expression]): LogicalPlan = {
+    val (dir, snap) = dirAndSnap("graft_iceberg_partitions", args)
+    graft.io.IcebergImport.partitionsRelation(SparkSession.active, dir, snap)
+      .queryExecution.analyzed
+  }
+
   /** Incremental append scan: graft_iceberg_appends('/dir', from[, to])
     * — rows appended strictly AFTER snapshot `from` up to (inclusive)
     * snapshot `to` (default: the head). `from = 0` starts at the

@@ -3343,13 +3343,45 @@ object ExtensionCorpus {
       GROUP BY o_orderstatus ORDER BY o_orderstatus""")
   )
 
+  /** `.partitions` METADATA TABLE for foreign layouts under the gate
+    * (completes the metadata QUARTET after .files/.snapshots/.refs —
+    * Iceberg's partitions table): even orders exported
+    * identity-PARTITIONED by status (snap 1), the odds landed by a
+    * foreign append INTO their partitions (snap 2), then an equality
+    * DELETE (snap 3 — delete files are not attributed to partitions;
+    * the counts are the manifests', pre-MOR). One row per live
+    * partition value with the manifest record-count sum — the oracle
+    * recomputes per-status totals from the raw rows. file_count is
+    * projected away (file splits depend on write parallelism). */
+  private val q168 = Q(
+    "q168_iceberg_partitions_table",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q168-snap").toString
+      val t = new graft.io.SnapshotTables(s, root)
+      val ord = fixture(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+      t.overwriteTable(ord.filter(col("o_orderkey") % 2 === 0), "ord",
+        partitionCols = Seq("o_orderstatus"))
+      val dest = java.nio.file.Files.createTempDirectory("q168-ice").toString
+      graft.io.IcebergExport.export(t, "ord", dest)
+      graft.io.IcebergAppend.append(s, dest, ord.filter(col("o_orderkey") % 2 =!= 0))
+      graft.io.IcebergDml.deleteWhere(s, dest, "o_orderkey % 7 = 0")
+      s.sql(s"""SELECT partition, CAST(record_count AS BIGINT) AS rows
+        FROM graft_iceberg_partitions('$dest') ORDER BY partition""")
+    },
+    Some("""SELECT 'o_orderstatus=' || o_orderstatus AS partition,
+      COUNT(*) AS rows
+      FROM orders GROUP BY o_orderstatus ORDER BY partition""")
+  )
+
   val all: Seq[Q] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q98b, q99, q100, q101, q102, q106, q107, q108,
     q109, q111, q112, q113, q114, q116, q117, q118, q119, q121, q122, q123, q125, q126, q127,
     q128, q130, q131, q132, q133, q135, q136, q137, q138, q139, q140, q141, q143, q144,
     q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159,
-    q160, q161, q162, q163, q164, q165, q166, q166b, q167
+    q160, q161, q162, q163, q164, q165, q166, q166b, q167, q168
   )
 
 }

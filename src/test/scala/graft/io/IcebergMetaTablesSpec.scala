@@ -58,4 +58,32 @@ class IcebergMetaTablesSpec extends SparkSpec {
       .collect()
     assert(s1.length == 1 && s1.head.getInt(0) == 0 && s1.head.getLong(1) == 100)
   }
+
+  test("partitions relation: identity layout per-value rows, snapshot pinning, unpartitioned singleton") {
+    // identity-partitioned export + foreign append INTO partitions
+    val root = java.nio.file.Files.createTempDirectory("graft-meta-part").toString
+    val t = new SnapshotTables(spark, root)
+    val rows = (1 to 90).map(i => (i.toLong, if (i % 3 == 0) "a" else "b"))
+    t.overwriteTable(rows.filter(_._1 % 2 == 0).toDF("id", "p"), "tab",
+      partitionCols = Seq("p"))
+    val dest = java.nio.file.Files.createTempDirectory("graft-meta-part-out").toString
+    IcebergExport.export(t, "tab", dest)
+    IcebergAppend.append(spark, dest, rows.filter(_._1 % 2 == 1).toDF("id", "p"))
+    val got = spark.sql(s"SELECT partition, record_count FROM graft_iceberg_partitions('$dest')")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    assert(got == Seq(("p=a", 30L), ("p=b", 60L)))
+    // pinned at the export snapshot: only the even half's counts
+    val pinned = spark.sql(
+      s"SELECT partition, record_count FROM graft_iceberg_partitions('$dest', 1)")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    assert(pinned == Seq(("p=a", 15L), ("p=b", 30L)))
+    // unpartitioned table: one empty-partition row with the total
+    val root2 = java.nio.file.Files.createTempDirectory("graft-meta-unp").toString
+    val t2 = new SnapshotTables(spark, root2)
+    t2.overwriteTable((1 to 7).map(i => (i.toLong, "x")).toDF("id", "v"), "tab")
+    val dest2 = java.nio.file.Files.createTempDirectory("graft-meta-unp-out").toString
+    IcebergExport.export(t2, "tab", dest2)
+    val u = spark.sql(s"SELECT * FROM graft_iceberg_partitions('$dest2')").collect()
+    assert(u.length == 1 && u.head.getString(0) == "" && u.head.getAs[Long]("record_count") == 7L)
+  }
 }
