@@ -52,12 +52,20 @@ class IcebergWarehouseCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
   private var warehouse: String = _
+  private var commitLogRoot: Option[String] = None
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     warehouse = Option(options.get("warehouse")).getOrElse(throw new IllegalArgumentException(
       s"IcebergWarehouseCatalog '$name' needs spark.sql.catalog.$name.warehouse=<dir>"))
+    // LOG-GOVERNED mount (the Nessie capability on foreign tables,
+    // X136): reads resolve the snapshot the IcebergLakeCommits head
+    // pins — unpublished table-line commits are invisible to SQL
+    commitLogRoot = Option(options.get("commitlog"))
   }
+
+  private def lake: Option[graft.io.IcebergLakeCommits] =
+    commitLogRoot.map(r => new graft.io.IcebergLakeCommits(spark, r))
 
   override def name(): String = catalogName
 
@@ -95,7 +103,13 @@ class IcebergWarehouseCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadTable(ident: Identifier): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    new IcebergForeignTable(fullName(ident), dirOf(ident), None, pinned = false)
+    val dir = dirOf(ident)
+    // log-governed reads pin the published snapshot (a table the log
+    // does not govern yet reads its own head); writes stay allowed —
+    // they land on the table line and become visible at the next
+    // publish, exactly the Nessie trade
+    val pin = lake.flatMap(_.pinnedSnapshot(dir))
+    new IcebergForeignTable(fullName(ident), dir, pin, pinned = false)
   }
 
   /** `VERSION AS OF` — a snapshot id, or a named ref (tag/branch). */

@@ -1014,6 +1014,15 @@ object IcebergImport {
     read(spark, tableDir, Some(snap))
   }
 
+  /** The table's CURRENT head snapshot id, None when the table has
+    * never committed one. */
+  def currentSnapshot(spark: SparkSession, tableDir: String): Option[Long] = {
+    val (_, _, md) = readMeta(spark, tableDir)
+    if (md.hasNonNull("current-snapshot-id") && md.get("current-snapshot-id").asLong != -1L)
+      Some(md.get("current-snapshot-id").asLong)
+    else None
+  }
+
   /** Snapshot ids available in the table's metadata, newest metadata
     * file wins — the time-travel surface. */
   def snapshots(spark: SparkSession, tableDir: String): Seq[Long] = {

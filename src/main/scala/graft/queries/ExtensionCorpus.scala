@@ -3375,13 +3375,89 @@ object ExtensionCorpus {
       FROM orders GROUP BY o_orderstatus ORDER BY partition""")
   )
 
+  /** CROSS-TABLE ATOMIC PUBLISH OVER A FOREIGN WAREHOUSE (X136 — the
+    * Nessie capability on tables graft did NOT write, q128's twin:
+    * the reference registers its `nessie` catalog so silver+gold land
+    * as one commit, datalake_gold_spark_dag.py:181-186): silver
+    * lineitem and its gold aggregate exported as Iceberg tables and
+    * mounted with `commitlog`; a coordinated restatement stages on
+    * FOREIGN WAP branches (X130) and [[graft.io.IcebergLakeCommits
+    * .publishBranches]] fast-forwards both + flips ONE log commit;
+    * then a POISON append lands on silver's table line WITHOUT being
+    * published. The final 3-part-name SQL join of stored gold vs gold
+    * recomputed from silver hash-matches only if (a) both tables
+    * resolve from the same log commit and (b) the unpublished poison
+    * is invisible to SQL readers. */
+  private val q169 = Q(
+    "q169_iceberg_lake_publish",
+    (s, dir) => {
+      val cat = "gice" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      val wh = java.nio.file.Files.createTempDirectory(s"q169-wh").toString
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(wh, "dw"))
+      val logDir = java.nio.file.Files.createTempDirectory("q169-log").toString
+      val liDir = s"$wh/dw/li"; val aggDir = s"$wh/dw/li_agg"
+      val li = fixture(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      def agg(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      val root = java.nio.file.Files.createTempDirectory("q169-snap").toString
+      val t = new graft.io.SnapshotTables(s, root)
+      t.overwriteTable(li.filter(col("l_orderkey") <= 5000), "li")
+      graft.io.IcebergExport.export(t, "li", liDir)
+      t.overwriteTable(agg(t.read("li")), "li_agg")
+      graft.io.IcebergExport.export(t, "li_agg", aggDir)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.catalog.IcebergWarehouseCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.conf.set(s"spark.sql.catalog.$cat.commitlog", logDir)
+      val lake = new graft.io.IcebergLakeCommits(s, logDir)
+      lake.publish(Seq(liDir, aggDir))
+      // coordinated restatement staged on FOREIGN WAP branches,
+      // published as ONE log commit
+      graft.io.IcebergEvolve.createBranch(s, liDir, "wap")
+      graft.io.IcebergEvolve.createBranch(s, aggDir, "wap")
+      val restated = li.filter(col("l_orderkey") <= 6000)
+        .withColumn("l_quantity",
+          when(col("l_orderkey").between(1000, 2000), col("l_quantity") + 5)
+            .otherwise(col("l_quantity")))
+      graft.io.IcebergAppend.overwrite(s, liDir, restated, branch = "wap")
+      graft.io.IcebergAppend.overwrite(s, aggDir,
+        agg(graft.io.IcebergImport.readRef(s, liDir, "wap")), branch = "wap")
+      lake.publishBranches(Seq((liDir, "wap"), (aggDir, "wap")))
+      // poison: committed to silver's TABLE LINE, never published — a
+      // governance failure would shift every silver-side count below
+      graft.io.IcebergAppend.append(s, liDir, li.filter(col("l_orderkey") <= 100))
+      s.sql(s"""SELECT g.l_returnflag, g.n AS n_gold, g.sum_qty AS sum_qty_gold,
+                       c.n AS n_silver, c.sum_qty AS sum_qty_silver
+                FROM $cat.dw.li_agg g
+                JOIN (SELECT l_returnflag, COUNT(*) AS n,
+                        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+                      FROM $cat.dw.li GROUP BY l_returnflag) c
+                  ON g.l_returnflag = c.l_returnflag
+                ORDER BY g.l_returnflag""")
+    },
+    Some("""WITH fin AS (
+        SELECT l_returnflag,
+          CASE WHEN l_orderkey BETWEEN 1000 AND 2000 THEN l_quantity + 5
+               ELSE l_quantity END AS q
+        FROM lineitem WHERE l_orderkey <= 6000),
+      agg AS (SELECT l_returnflag, COUNT(*) AS n,
+          CAST(SUM(CAST(q AS DECIMAL(18,2))) AS DOUBLE) AS sq
+        FROM fin GROUP BY l_returnflag)
+      SELECT l_returnflag, n AS n_gold, sq AS sum_qty_gold,
+        n AS n_silver, sq AS sum_qty_silver
+      FROM agg ORDER BY l_returnflag""")
+  )
+
   val all: Seq[Q] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q98b, q99, q100, q101, q102, q106, q107, q108,
     q109, q111, q112, q113, q114, q116, q117, q118, q119, q121, q122, q123, q125, q126, q127,
     q128, q130, q131, q132, q133, q135, q136, q137, q138, q139, q140, q141, q143, q144,
     q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159,
-    q160, q161, q162, q163, q164, q165, q166, q166b, q167, q168
+    q160, q161, q162, q163, q164, q165, q166, q166b, q167, q168, q169
   )
 
 }
