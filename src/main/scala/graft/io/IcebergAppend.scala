@@ -660,8 +660,8 @@ object IcebergAppend {
   /** Register EXTERNALLY WRITTEN data files as one append snapshot —
     * Iceberg's own `add_files`/register shape: the files are adopted
     * BY REFERENCE (never read row-wise, never rewritten), entered as
-    * ADDED manifest entries with their record counts (parquet footer /
-    * avro container walk — metadata-sized reads) and byte sizes but NO
+    * ADDED manifest entries with their record counts (parquet/ORC
+    * footer, avro container walk — metadata-sized reads) and byte sizes but NO
     * column bounds (the manifest simply cannot skip these files until
     * a compaction rewrites them with stats). The caller asserts the
     * files match the table's current schema — by parquet field ids or
@@ -673,8 +673,8 @@ object IcebergAppend {
       format: String = "PARQUET", branch: String = "main"): Long = {
     require(files.nonEmpty, "addFiles needs at least one file")
     val fmt = format.toUpperCase
-    require(fmt == "PARQUET" || fmt == "AVRO",
-      s"addFiles supports PARQUET and AVRO, got $format")
+    require(fmt == "PARQUET" || fmt == "AVRO" || fmt == "ORC",
+      s"addFiles supports PARQUET, ORC and AVRO, got $format")
     val lt = load(spark, tableDir, branch)
     require(lt.specFields.isEmpty,
       s"addFiles on $tableDir needs an unpartitioned default spec — adopted files carry " +
@@ -694,6 +694,7 @@ object IcebergAppend {
           while (s.hasNext) { s.next(); n += 1 }
           n
         } finally s.close()
+      case "ORC" => IcebergOrcData.rows(spark, p.toString)
     }
     val entrySchema = new org.apache.avro.Schema.Parser()
       .parse(IcebergExport.ManifestEntryAvro)

@@ -50,9 +50,11 @@ import org.apache.spark.sql.types._
   *  inheritance rule; v1 layouts have no deletes and sequence 0).
   *
   * Honest refusals, never wrong answers:
-  *  - ORC data files and non-parquet DELETE files refuse (Avro DATA
-  *    files read through [[IcebergAvroData]] — the spec allows them
-  *    and Flink-style writers produce them);
+  *  - non-parquet DELETE files refuse (data files may be parquet, ORC
+  *    — Spark's native reader + by-id projection, [[IcebergOrcData]] —
+  *    or Avro — [[IcebergAvroData]]; ORC rows additionally refuse
+  *    POSITION addressing, where parquet-only `row_index` would
+  *    otherwise mis-address rows);
   *  - delete files missing the spec's columns refuse;
   *  - a delete entry under a partitioned spec whose partition struct
   *    misses a field refuses (scoping would be a guess);
@@ -139,24 +141,38 @@ object IcebergImport {
 
   /** The data-file set as one frame, dispatched PER FILE FORMAT:
     * parquet files ride [[baseFrame]] (the pushdown/pruning scan
-    * path), Avro files decode through [[IcebergAvroData]] (the
-    * compatibility path — needs a parseable table schema). Both sides
-    * emit the lineage helper columns when `withMeta`. */
+    * path), ORC files ride Spark's native ORC reader with the by-id
+    * rename projection ([[IcebergOrcData]]), Avro files decode through
+    * [[IcebergAvroData]] (the compatibility path). All sides emit the
+    * lineage helper columns when `withMeta` — but ORC rows have NO row
+    * position (`_metadata.row_index` is parquet-only), so a caller
+    * that needs REAL positions sets `posRequired` and ORC refuses
+    * loudly instead of mis-addressing rows. */
   private def mixedFrame(spark: SparkSession, refs: Seq[(String, String)],
       fieldNames: Map[Int, String], schema: Option[StructType],
       nameMapping: Map[Int, Seq[String]], loc: String, snap: Option[Long],
-      withMeta: Boolean): DataFrame = {
-    val (avro, parq) = refs.partition(_._2 == "AVRO")
+      withMeta: Boolean, posRequired: Boolean = false): DataFrame = {
+    val (parq, rest) = refs.partition(_._2 == "PARQUET")
+    val (avro, orc) = rest.partition(_._2 == "AVRO")
+    def typedSchema(what: String): StructType = schema.getOrElse(
+      throw new IllegalArgumentException(
+        s"$what data files under $loc need a parseable table schema, and the " +
+          "metadata JSON's schema could not be mapped"))
     val frames = Seq.newBuilder[DataFrame]
     if (parq.nonEmpty)
       frames += baseFrame(spark, parq.map(_._1), fieldNames.values.toSet,
         withMeta = withMeta, tableLoc = loc, snap = snap,
         idSchema = schema, nameMapping = nameMapping)
-    if (avro.nonEmpty) {
-      val s = schema.getOrElse(throw new IllegalArgumentException(
-        s"Avro data files under $loc need a parseable table schema to decode, and the " +
-          "metadata JSON's schema could not be mapped"))
-      frames += IcebergAvroData.read(spark, avro.map(_._1), s, withPos = withMeta)
+    if (avro.nonEmpty)
+      frames += IcebergAvroData.read(spark, avro.map(_._1), typedSchema("Avro"),
+        withPos = withMeta)
+    if (orc.nonEmpty) {
+      require(!posRequired,
+        s"rows in ORC data files under $loc cannot be addressed BY POSITION " +
+          "(Spark's _metadata.row_index is parquet-only) — position deletes and " +
+          "position-delete DML need parquet; compact the table to parquet first")
+      frames += IcebergOrcData.read(spark, orc.map(_._1), typedSchema("ORC"),
+        nameMapping, withFile = withMeta)
     }
     frames.result().reduce(_ unionByName _)
   }
@@ -176,7 +192,8 @@ object IcebergImport {
         .getOrElse(spark.emptyDataFrame)
     if (plan.deletes.isEmpty)
       mixedFrame(spark, plan.data.map(d => (d.path, d.fmt)), plan.fieldNames,
-        plan.schema, plan.nameMapping, plan.loc, plan.snap, withMeta = true)
+        plan.schema, plan.nameMapping, plan.loc, plan.snap, withMeta = true,
+        posRequired = true)
     else applyDeletes(spark, plan, keepLineage = true)
   }
 
@@ -292,13 +309,13 @@ object IcebergImport {
           val df = e.get("data_file").asInstanceOf[GenericRecord]
           val content = fieldOpt(df, "content").map(_.asInstanceOf[Int]).getOrElse(0)
           val fmt = df.get("file_format").toString.toUpperCase
-          // DATA files: parquet (the scan path) or Avro (decoded by
-          // [[IcebergAvroData]]); ORC refuses honestly. DELETE files:
-          // parquet only — their application plan reads them columnar.
+          // DATA files: parquet (the scan path), ORC (Spark's native
+          // columnar reader + by-id rename projection), or Avro
+          // (decoded by [[IcebergAvroData]]). DELETE files: parquet
+          // only — their application plan reads them columnar.
           if (content == 0)
-            require(fmt == "PARQUET" || fmt == "AVRO",
-              s"data file format $fmt in $mPath is not supported — parquet and avro only " +
-                "(compact the table to migrate ORC data files)")
+            require(fmt == "PARQUET" || fmt == "AVRO" || fmt == "ORC",
+              s"data file format $fmt in $mPath is not supported — parquet, orc and avro only")
           else
             require(fmt == "PARQUET",
               s"non-parquet delete file ($fmt) in $mPath — only parquet delete files are supported")
@@ -807,8 +824,12 @@ object IcebergImport {
         s"equality_ids of ${d.path} references field id $id, not in the table schema"))
     }
 
+    // ORC rows cannot take REAL positions: refuse when this plan needs
+    // them (position deletes present, or the caller wants lineage for
+    // a position-delete write); equality-only MOR over ORC is fine
     val base = mixedFrame(spark, plan.data.map(d => (d.path, d.fmt)), plan.fieldNames,
-      plan.schema, plan.nameMapping, plan.loc, plan.snap, withMeta = true)
+      plan.schema, plan.nameMapping, plan.loc, plan.snap, withMeta = true,
+      posRequired = keepLineage || plan.deletes.exists(_.content == 1))
     val userCols = base.columns.filterNot(Set(FileCol, PosCol)).toSeq
     val helperNames = Set("__spelling", "__dspelling", "__dseq", "__self", "__target")
     require(!userCols.exists(c => c.startsWith("__graft_ice_") || c.startsWith("__graft_ed_") ||
@@ -1379,9 +1400,9 @@ object IcebergImport {
               s"snapshot $sid of $tableDir added a delete file (content=$content) in " +
                 s"$mPath — an append-range snapshot must add only data files")
             val fmt = df.get("file_format").toString.toUpperCase
-            require(fmt == "PARQUET" || fmt == "AVRO",
+            require(fmt == "PARQUET" || fmt == "AVRO" || fmt == "ORC",
               s"data file format $fmt added by snapshot $sid in $mPath is not supported — " +
-                "parquet and avro only")
+                "parquet, orc and avro only")
             out += ((resolve(tableDir, df.get("file_path").toString).toString, fmt))
           }
         }

@@ -3451,13 +3451,49 @@ object ExtensionCorpus {
       FROM agg ORDER BY l_returnflag""")
   )
 
+  /** ORC DATA FILES IN A FOREIGN ICEBERG TABLE (X137 — the last
+    * spec-legal data format the bridge refused; Spark's native ORC
+    * reader keeps this path columnar, with `iceberg.id` attributes
+    * driving the by-id rename projection): odd orders landed as a REAL
+    * ORC data file with id attributes and adopted via addFiles, then
+    * an equality DELETE hitting both formats AND a post-landing column
+    * RENAME (ids must keep resolving the ORC columns). Hash-exact vs
+    * DuckDB replaying the DML over the raw parquet. */
+  private val q170 = Q(
+    "q170_iceberg_orc_files",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q170-snap").toString
+      val t = new graft.io.SnapshotTables(s, root)
+      val ord = fixture(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+      t.overwriteTable(ord.filter(col("o_orderkey") % 2 === 0), "ord")
+      val dest = java.nio.file.Files.createTempDirectory("q170-ice").toString
+      graft.io.IcebergExport.export(t, "ord", dest)
+      val orcPath = java.nio.file.Files.createTempDirectory("q170-orc").toString + "/odds.orc"
+      graft.io.IcebergOrcData.writeDataFile(s, ord.filter(col("o_orderkey") % 2 =!= 0),
+        orcPath, Map("o_orderkey" -> 1, "o_orderstatus" -> 2, "o_totalprice" -> 3))
+      graft.io.IcebergAppend.addFiles(s, dest, Seq(orcPath), format = "ORC")
+      graft.io.IcebergDml.deleteWhere(s, dest, "o_orderkey % 7 = 0")
+      graft.io.IcebergEvolve.renameColumn(s, dest, "o_totalprice", "price")
+      s.sql(s"""SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM graft_iceberg_scan('$dest')
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    },
+    Some("""SELECT o_orderstatus, COUNT(*) AS n,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders WHERE NOT (o_orderkey % 7 = 0)
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  )
+
   val all: Seq[Q] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q98b, q99, q100, q101, q102, q106, q107, q108,
     q109, q111, q112, q113, q114, q116, q117, q118, q119, q121, q122, q123, q125, q126, q127,
     q128, q130, q131, q132, q133, q135, q136, q137, q138, q139, q140, q141, q143, q144,
     q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159,
-    q160, q161, q162, q163, q164, q165, q166, q166b, q167, q168, q169
+    q160, q161, q162, q163, q164, q165, q166, q166b, q167, q168, q169, q170
   )
 
 }

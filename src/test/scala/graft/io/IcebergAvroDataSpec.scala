@@ -125,12 +125,12 @@ class IcebergAvroDataSpec extends SparkSpec {
     assert(got == Seq(1L))
   }
 
-  test("honest refusals: ORC format, partitioned default spec") {
+  test("honest refusals: unknown format, partitioned default spec") {
     val dest = exported("ref")
     val e1 = intercept[IllegalArgumentException] {
-      IcebergAppend.addFiles(spark, dest, Seq("/nope.orc"), format = "ORC")
+      IcebergAppend.addFiles(spark, dest, Seq("/nope.csv"), format = "CSV")
     }
-    assert(e1.getMessage.contains("PARQUET and AVRO"))
+    assert(e1.getMessage.contains("PARQUET, ORC and AVRO"))
     // partitioned table: addFiles must refuse (no partition struct)
     val root = tmp("part-snap"); val st = new SnapshotTables(spark, root)
     st.overwriteTable(Seq((1L, "a", "x")).toDF("id", "v", "p"), "t",
