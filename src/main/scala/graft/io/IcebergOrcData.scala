@@ -66,10 +66,23 @@ object IcebergOrcData {
       if (f.metadata.contains("parquet.field.id"))
         Some(f.metadata.getLong("parquet.field.id").toInt)
       else None
+    // footer probes are independent metadata round trips (painful
+    // sequentially against an object store) — probe CONCURRENTLY, like
+    // the parquet path's footer classifier
+    val probed = new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, String)]]()
+    def idsOf(f: String): Seq[(Int, String)] =
+      probed.computeIfAbsent(f, f2 => fileIds(spark, f2).toSeq.sorted)
+    if (files.size > 4) {
+      import scala.collection.parallel.CollectionConverters._
+      val pc = files.par
+      pc.tasksupport = new scala.collection.parallel.ExecutionContextTaskSupport(
+        scala.concurrent.ExecutionContext.global)
+      pc.foreach(idsOf(_))
+    }
     // group files by their id→name mapping signature: one scan per
     // distinct vintage, unioned by name (same move as the parquet
     // path's by-id/id-less classes)
-    val grouped = files.groupBy(f => fileIds(spark, f).toSeq.sorted)
+    val grouped = files.groupBy(idsOf)
     val frames = grouped.toSeq.sortBy(_._1.mkString(",")).map { case (idSeq, fs) =>
       val ids = idSeq.toMap
       val raw = spark.read.orc(fs: _*)
