@@ -43,13 +43,18 @@ object Bench {
 
   /** A named map of the previous round's committed BENCH_DETAIL.json
     * (read BEFORE this run overwrites the file) — the per-query
-    * reference the outlier re-passes compare against. Regex-parsed: the
-    * file is machine-written flat JSON, and the build has no JSON lib. */
-  private def priorMap(sfDir: String, field: String): Map[String, Double] =
-    try {
-      val txt = new String(Files.readAllBytes(Paths.get("BENCH_DETAIL.json")), StandardCharsets.UTF_8)
-      // a prior measured at a different scale factor is not a valid
-      // 3x reference — ignore it rather than mis-trigger
+    * reference the outlier re-passes compare against. Regex-parsed
+    * (machine-written flat JSON). When no same-SF detail file exists
+    * (fresh checkout — the detail file is working-state, not
+    * committed), falls back to the newest committed OFFICIAL record
+    * (`BENCH_r<NN>.json`, the driver's wrapper around the official
+    * line's tail): long lines truncate from the HEAD there, so only
+    * fields that fully survive in the tail anchor the defenses —
+    * typically the e2e/commit spans; per-query colds usually don't.
+    * A prior measured at a different scale factor is never a valid 3x
+    * reference — sf-mismatched sources are ignored, not mis-applied. */
+  private def priorMap(sfDir: String, field: String): Map[String, Double] = {
+    def extract(txt: String): Map[String, Double] = {
       val sfOk = s""""sf":"$sfDir"""".r.findFirstIn(txt).isDefined
       if (!sfOk) Map.empty
       else {
@@ -57,7 +62,26 @@ object Bench {
         """"([^"]+)":(-?[0-9.]+)""".r.findAllMatchIn(obj)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }
-    } catch { case _: Throwable => Map.empty }
+    }
+    val detail =
+      try extract(new String(Files.readAllBytes(Paths.get("BENCH_DETAIL.json")),
+        StandardCharsets.UTF_8))
+      catch { case _: Throwable => Map.empty[String, Double] }
+    if (detail.nonEmpty) detail
+    else
+      try {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
+        files.reverseIterator.map { f =>
+          try {
+            val node = om.readTree(f)
+            if (node.hasNonNull("tail")) extract(node.get("tail").asText)
+            else Map.empty[String, Double]
+          } catch { case _: Throwable => Map.empty[String, Double] }
+        }.find(_.nonEmpty).getOrElse(Map.empty)
+      } catch { case _: Throwable => Map.empty }
+  }
 
   /** Layer 2b — COLD outlier re-pass, in a FRESH child JVM. A cold
     * number is definitionally first-execution-in-a-JVM, so unlike the
