@@ -1255,6 +1255,18 @@ object IcebergImport {
         withMeta = false)
   }
 
+  /** Rows appended strictly AFTER `millis` (wall-clock commit time, the
+    * `TIMESTAMP AS OF` clock): the range starts after the newest
+    * snapshot committed at or before `millis` — snapshots committed
+    * AFTER it stream out, exactly the reference's "what landed since
+    * yesterday's run" consumption (`job_gold.py:71-88` reads the day's
+    * partition; this reads the day's COMMITS). A `millis` predating the
+    * whole lineage reads everything. */
+  def appendsSince(spark: SparkSession, tableDir: String, millis: Long,
+      toSnapshot: Option[Long] = None): DataFrame =
+    appendsBetween(spark, tableDir,
+      snapshotAtTimestamp(spark, tableDir, millis), toSnapshot)
+
   /** [[appendsBetween]] sliced per snapshot — the streaming face's
     * batch builder: one (step, frame) per range snapshot, empty frames
     * included so a `replace` still advances offsets. */

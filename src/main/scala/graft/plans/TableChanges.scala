@@ -194,30 +194,48 @@ object IcebergScan {
   }
 
   /** Incremental append scan: graft_iceberg_appends('/dir', from[, to])
-    * — rows appended strictly AFTER snapshot `from` up to (inclusive)
-    * snapshot `to` (default: the head). `from = 0` starts at the
-    * beginning of the lineage (snapshot ids are positive). The SQL
-    * face of [[graft.io.IcebergImport.appendsBetween]]: `replace`
-    * snapshots in the range are skipped (no rows added), `overwrite`/
-    * `delete` refuse loudly. */
+    * — rows appended strictly AFTER `from` up to (inclusive) snapshot
+    * `to` (default: the head). `from` is an integer snapshot id
+    * (`0` = the beginning of the lineage; ids are positive) OR a
+    * `'yyyy-MM-dd HH:mm:ss[.f]'` timestamp string — the range then
+    * starts after the newest snapshot committed at or before that
+    * wall-clock time (the `TIMESTAMP AS OF` clock; the reference's
+    * "what landed since yesterday's run" consumption). The SQL face of
+    * [[graft.io.IcebergImport.appendsBetween]]/`appendsSince`:
+    * `replace` snapshots in the range are skipped (no rows added),
+    * `overwrite`/`delete` refuse loudly. */
   def appendsPlan(args: Seq[Expression]): LogicalPlan = {
     require(args.length == 2 || args.length == 3,
-      s"graft_iceberg_appends(table_dir, from_snapshot[, to_snapshot]) takes 2-3 arguments, " +
+      s"graft_iceberg_appends(table_dir, from[, to_snapshot]) takes 2-3 arguments, " +
         s"got ${args.length}")
     val dir = args.head match {
       case l: Literal if l.dataType == StringType && l.value != null => l.value.toString
       case other => throw new IllegalArgumentException(
         s"graft_iceberg_appends: table_dir must be a string literal, got $other")
     }
+    val spark = SparkSession.active
     def snapLit(e: Expression, what: String): Long = e match {
       case l: Literal if (l.dataType == LongType || l.dataType == IntegerType) && l.value != null =>
         l.value match { case i: Int => i.toLong; case v: Long => v }
       case other => throw new IllegalArgumentException(
         s"graft_iceberg_appends: $what must be an integer snapshot id, got $other")
     }
-    val from = snapLit(args(1), "from_snapshot")
+    val from: Option[Long] = args(1) match {
+      case l: Literal if l.dataType == StringType && l.value != null =>
+        val ts = l.value.toString
+        val millis =
+          try java.sql.Timestamp.valueOf(ts).getTime
+          catch {
+            case _: IllegalArgumentException => throw new IllegalArgumentException(
+              s"graft_iceberg_appends: from '$ts' is neither a snapshot id nor a " +
+                "'yyyy-MM-dd HH:mm:ss[.f]' timestamp literal")
+          }
+        graft.io.IcebergImport.snapshotAtTimestamp(spark, dir, millis)
+      case other =>
+        val s = snapLit(other, "from")
+        if (s == 0L) None else Some(s)
+    }
     val to = args.lift(2).map(snapLit(_, "to_snapshot"))
-    graft.io.IcebergImport.appendsBetween(SparkSession.active, dir,
-      if (from == 0L) None else Some(from), to).queryExecution.analyzed
+    graft.io.IcebergImport.appendsBetween(spark, dir, from, to).queryExecution.analyzed
   }
 }

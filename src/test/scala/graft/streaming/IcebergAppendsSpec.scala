@@ -61,6 +61,28 @@ class IcebergAppendsSpec extends SparkSpec {
       .head().getLong(0) == 3L)
   }
 
+  test("appendsSince: the wall-clock face starts after the newest snapshot at-or-before ts") {
+    val dir = exported("ts", Seq((1L, "a")))                           // snap 1
+    IcebergAppend.append(spark, dir, Seq((2L, "b")).toDF("id", "v"))   // snap 2
+    // commit times of snaps 1..2 (the TIMESTAMP AS OF clock)
+    val times = IcebergImport.snapshotsRelation(spark, dir)
+      .orderBy("snapshot_id").collect().map(_.getAs[Long]("timestamp_ms"))
+    // at snap 1's commit time: snap 1 is "already consumed" → only snap 2
+    assert(ids(IcebergImport.appendsSince(spark, dir, times(0))) == Seq(2L))
+    // after snap 2: nothing new
+    assert(IcebergImport.appendsSince(spark, dir, times(1)).count() == 0)
+    // before the whole lineage: everything
+    assert(ids(IcebergImport.appendsSince(spark, dir, times(0) - 1000)) == Seq(1L, 2L))
+    // the SQL face takes the same timestamp as a string literal
+    val tsLit = new java.sql.Timestamp(times(0)).toString
+    assert(spark.sql(s"SELECT id FROM graft_iceberg_appends('$dir', '$tsLit')")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_iceberg_appends('$dir', 'not a time')").collect()
+    }
+    assert(e.getMessage.contains("neither a snapshot id nor a"))
+  }
+
   test("replace snapshots are skipped: compaction neither duplicates nor loses appends") {
     val dir = exported("cmp", Seq((1L, "a")))                          // snap 1
     IcebergAppend.append(spark, dir, Seq((2L, "b")).toDF("id", "v"))   // snap 2
