@@ -670,7 +670,8 @@ object IcebergAppend {
     * no partition struct, and inventing one would corrupt
     * scoped-delete semantics. */
   def addFiles(spark: SparkSession, tableDir: String, files: Seq[String],
-      format: String = "PARQUET", branch: String = "main"): Long = {
+      format: String = "PARQUET", branch: String = "main",
+      checkDuplicateFiles: Boolean = true): Long = {
     require(files.nonEmpty, "addFiles needs at least one file")
     val fmt = format.toUpperCase
     require(fmt == "PARQUET" || fmt == "AVRO" || fmt == "ORC",
@@ -679,6 +680,26 @@ object IcebergAppend {
     require(lt.specFields.isEmpty,
       s"addFiles on $tableDir needs an unpartitioned default spec — adopted files carry " +
         "no partition struct")
+    // adopting a path a live manifest already references would
+    // double-count its rows on every read — refuse by default, the
+    // reference procedure's own contract (check_duplicate_files=true)
+    if (checkDuplicateFiles && lt.parent.isDefined) {
+      val live: Set[String] = IcebergImport.dataFiles(spark, tableDir, lt.parent)
+        .flatMap { p0 =>
+          val r = IcebergImport.resolve(tableDir, p0)
+          Seq(p0, r.toString, lt.fs.makeQualified(r).toString)
+        }.toSet
+      val dups = files.filter { f =>
+        val p = new Path(f)
+        live.contains(f) || live.contains(p.toString) ||
+          live.contains(lt.fs.makeQualified(p).toString)
+      }
+      require(dups.isEmpty,
+        s"addFiles on $tableDir: ${dups.size} file(s) are already referenced by the " +
+          s"current snapshot — adopting them again would double-count their rows: " +
+          s"${dups.take(3).mkString(", ")}${if (dups.size > 3) ", …" else ""}. " +
+          "Pass checkDuplicateFiles=false only if you know the manifests lie.")
+    }
     val hconf = spark.sparkContext.hadoopConfiguration
     def rowsOf(p: Path): Long = fmt match {
       case "PARQUET" =>
@@ -690,8 +711,11 @@ object IcebergAppend {
         val s = new org.apache.avro.file.DataFileStream[GenericRecord](
           fs.open(p), new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
         try {
+          // metadata-sized: sum the per-block record counts from the
+          // container's block headers and SKIP the block bodies — no
+          // per-record decode (the container framing carries counts)
           var n = 0L
-          while (s.hasNext) { s.next(); n += 1 }
+          while (s.hasNext) { n += s.getBlockCount; s.nextBlock() }
           n
         } finally s.close()
       case "ORC" => IcebergOrcData.rows(spark, p.toString)

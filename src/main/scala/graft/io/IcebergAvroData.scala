@@ -74,18 +74,29 @@ object IcebergAvroData {
       val fs = p.getFileSystem(conf.value)
       val stream = new org.apache.avro.file.DataFileStream[GenericRecord](
         fs.open(p), new GenericDatumReader[GenericRecord]())
-      // resolve each table column to the file's field position once
-      val fileSchema = stream.getSchema
-      require(fileSchema.getType == AvroSchema.Type.RECORD,
-        s"Avro data file $f is not a record container (top-level ${fileSchema.getType})")
-      val resolvers: Array[Option[AvroSchema.Field]] = fields.map { sf =>
-        resolveField(fileSchema, sf)
-      }
+      // the TASK owns the handle, not the iterator: a partially
+      // consumed iterator (LIMIT/take, downstream failure) never
+      // reaches exhaustion, so closing only there would leak the file
+      val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def close(): Unit = if (closed.compareAndSet(false, true)) stream.close()
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => close()))
+      // resolve each table column to the file's field position once —
+      // under a close guard: a refused footer must not leak the handle
+      val resolvers: Array[Option[AvroSchema.Field]] =
+        try {
+          val fileSchema = stream.getSchema
+          require(fileSchema.getType == AvroSchema.Type.RECORD,
+            s"Avro data file $f is not a record container (top-level ${fileSchema.getType})")
+          fields.map(sf => resolveField(fileSchema, sf))
+        } catch { case t: Throwable => close(); throw t }
       new Iterator[Row] {
         private var pos = -1L
+        private var done = false
         override def hasNext: Boolean = {
+          if (done) return false // post-close hasNext must not touch the stream
           val h = stream.hasNext
-          if (!h) stream.close()
+          if (!h) { done = true; close() }
           h
         }
         override def next(): Row = {

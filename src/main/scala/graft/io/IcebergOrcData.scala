@@ -105,7 +105,18 @@ object IcebergOrcData {
               .find(have.contains)
         }
         src match {
-          case Some(c) => qcol(c).cast(sf.dataType).as(sf.name)
+          case Some(c) =>
+            // the cast is reserved for SPEC-LEGAL promotions — a
+            // physically incompatible file column must refuse loudly,
+            // never read back as silent NULLs (the module's contract)
+            val fromType = raw.schema(c).dataType
+            require(readCompatible(fromType, sf.dataType),
+              s"ORC data file(s) ${fs.take(2).mkString(", ")} carry column '$c' as " +
+                s"${fromType.simpleString} where the table schema wants " +
+                s"${sf.dataType.simpleString} for '${sf.name}' — not a spec-legal " +
+                "promotion; refusing rather than silently nulling the values " +
+                "(rewrite or compact the offending files)")
+            qcol(c).cast(sf.dataType).as(sf.name)
           case None    => lit(null).cast(sf.dataType).as(sf.name)
         }
       }
@@ -116,6 +127,36 @@ object IcebergOrcData {
       raw.select(cols ++ extra: _*)
     }
     frames.reduce(_ unionByName _)
+  }
+
+  /** Is reading a physical `from` as a logical `to` spec-legal? Equal
+    * types (modulo nullability), the spec's promotions (int→long,
+    * float→double, decimal precision widening at fixed scale), and the
+    * same recursively for containers. Everything else refuses. */
+  private def stripNullability(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      StructField(f.name, stripNullability(f.dataType), nullable = true)))
+    case a: ArrayType => ArrayType(stripNullability(a.elementType), containsNull = true)
+    case m: MapType =>
+      MapType(stripNullability(m.keyType), stripNullability(m.valueType),
+        valueContainsNull = true)
+    case other => other
+  }
+
+  private[io] def readCompatible(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (f, t) if stripNullability(f) == stripNullability(t) => true
+    case (IntegerType, LongType) => true
+    case (FloatType, DoubleType) => true
+    case (f: DecimalType, t: DecimalType) => t.scale == f.scale && t.precision >= f.precision
+    case (f: ArrayType, t: ArrayType) => readCompatible(f.elementType, t.elementType)
+    case (f: MapType, t: MapType) =>
+      readCompatible(f.keyType, t.keyType) && readCompatible(f.valueType, t.valueType)
+    case (f: StructType, t: StructType) =>
+      f.fields.length == t.fields.length &&
+        f.fields.zip(t.fields).forall { case (a, b) =>
+          a.name == b.name && readCompatible(a.dataType, b.dataType)
+        }
+    case _ => false
   }
 
   // ------------------------------------------------------------------

@@ -1,10 +1,10 @@
 package graft.streaming
 
 import graft.io.IcebergImport
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
-import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types.{LongType, StructType, TimestampType}
@@ -23,15 +23,27 @@ import org.apache.spark.sql.types.{LongType, StructType, TimestampType}
   * Built on Spark's V1 [[Source]] contract (like `FileStreamSource`
   * and [[ChangeFeedSource]]), so the stock micro-batch engine does all
   * offset bookkeeping, checkpointing, recovery, and
-  * `Trigger.AvailableNow` semantics. An OFFSET is an ordinal into the
-  * main-branch ancestor chain ([[IcebergImport.lineage]], oldest
-  * first): appends only ever extend the chain's tail, so ordinals are
-  * stable and a replayed batch re-reads exactly the same snapshots'
-  * ADDED files (immutable once committed — the determinism
-  * exactly-once delivery needs). A history REWRITE (rollback) breaks
-  * that premise and fails loudly on the next batch (the ordinal's
-  * snapshot is gone or changed), never silently re-reading different
-  * data.
+  * `Trigger.AvailableNow` semantics. An OFFSET is a PAIR: an ordinal
+  * into the main-branch ancestor chain ([[IcebergImport.lineage]],
+  * oldest first) PLUS the snapshot id AT that ordinal — the anchor.
+  * Appends only ever extend the chain's tail, so within one history
+  * the ordinal is stable; but `expireSnapshots` trims the chain's
+  * FRONT (dropping expired snapshots and clearing dangling parent
+  * pointers), which shifts every retained ordinal down. The anchor id
+  * makes that safe: each offset RE-RESOLVES against the live chain by
+  * snapshot id (Iceberg's own SparkMicroBatchStream anchors offsets to
+  * snapshot ids the same way) — routine expiry of already-consumed
+  * history re-anchors transparently, while a genuinely rewritten or
+  * over-expired history (the anchor id is gone) fails loudly, never
+  * silently re-reading different data.
+  *
+  * The CONFIGURED START is pinned durably: on first creation the
+  * source persists its resolved starting position (ordinal + anchor)
+  * under the stream's checkpoint metadata dir, and every later
+  * incarnation reads it back. Without this, a default-start
+  * (head-at-start) stream restarted from a checkpoint would recompute
+  * "head" as the CURRENT head and silently skip every snapshot
+  * committed while the stream was down.
   *
   * Range semantics are [[IcebergImport.appendsBetween]]'s, stated
   * there: `append` snapshots emit their added rows, `replace`
@@ -39,6 +51,8 @@ import org.apache.spark.sql.types.{LongType, StructType, TimestampType}
   * `overwrite`/`delete` fail the stream loudly — an append-only view
   * cannot represent removed rows; restart the stream past the
   * offending snapshot (`startingSnapshot`) after auditing it.
+  * For a stream that must survive DML snapshots as row-level diffs,
+  * read the changelog source instead (`graft-iceberg-changes`).
   *
   * Output schema = the table's CURRENT columns plus
   *   `_snapshot_id` LONG      — the snapshot whose commit added the row
@@ -49,19 +63,19 @@ import org.apache.spark.sql.types.{LongType, StructType, TimestampType}
   *   `startingSnapshot`  — `"earliest"` (the whole retained lineage),
   *                         an explicit snapshot id (appends strictly
   *                         AFTER it), or the default: the head at
-  *                         stream start (only new commits). The
-  *                         checkpoint pins the floor once the first
-  *                         micro-batch commits; a default-start stream
-  *                         stopped before ANY batch re-pins at its
-  *                         next start's head — give an explicit
-  *                         snapshot id for a durable floor from the
-  *                         first start.
+  *                         FIRST stream start (only new commits). All
+  *                         three are durable across restarts on the
+  *                         same checkpoint (persisted at first start).
   *   `maxSnapshotsPerBatch` — cap snapshots per micro-batch during
   *                         catch-up (rate limit; default unbounded).
   */
 object IcebergAppendsFeed {
   val SnapshotIdCol = "_snapshot_id"
   val CommitTimestampCol = "_commit_timestamp"
+
+  /** Anchor id of ordinal 0 — "before the whole retained lineage";
+    * there is no snapshot there to anchor to. */
+  private[streaming] val OriginAnchor: Long = -1L
 
   /** The table schema STRIPPED of `parquet.field.id` field metadata:
     * the feed emits engine rows, not Iceberg data files — leaking
@@ -76,6 +90,35 @@ object IcebergAppendsFeed {
     StructType(data.fields)
       .add(SnapshotIdCol, LongType, nullable = false)
       .add(CommitTimestampCol, TimestampType, nullable = true)
+}
+
+/** An offset into an Iceberg lineage: `ordinal` snapshots of the main
+  * chain are consumed, the newest of them being snapshot
+  * `snapshotId` (or [[IcebergAppendsFeed.OriginAnchor]] at ordinal 0).
+  * The id is the durable half — ordinals are re-derived from it after
+  * retention trims the chain (see the class doc). */
+private[streaming] final case class AppendsOffset(ordinal: Int, snapshotId: Long)
+    extends OffsetV1 {
+  override def json: String = s"""{"ordinal":$ordinal,"snapshotId":$snapshotId}"""
+}
+
+private[streaming] object AppendsOffset {
+  /** Decode any offset the engine can hand back: this source's pair
+    * json, a replayed [[AppendsOffset]] instance, or a legacy plain
+    * long (pre-anchor checkpoints — ordinal trusted as-is). */
+  def decode(o: OffsetV2): AppendsOffset = o match {
+    case a: AppendsOffset => a
+    case other =>
+      val s = other.json.trim
+      if (s.startsWith("{")) {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+        AppendsOffset(node.get("ordinal").asInt, node.get("snapshotId").asLong)
+      } else AppendsOffset(s.toInt, LegacyAnchor)
+  }
+
+  /** "No anchor recorded" — a legacy long offset; resolution trusts
+    * the ordinal (the pre-r18 behavior) instead of refusing. */
+  val LegacyAnchor: Long = Long.MinValue
 }
 
 /** `spark.readStream.format("graft-iceberg-appends")` provider
@@ -106,13 +149,14 @@ final class IcebergAppendsProvider extends StreamSourceProvider with DataSourceR
       schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): Source =
-    new IcebergAppendsSource(sqlContext.sparkSession, dirOf(parameters), parameters)
+    new IcebergAppendsSource(sqlContext.sparkSession, dirOf(parameters), parameters, metadataPath)
 }
 
 private[streaming] final class IcebergAppendsSource(
     spark: SparkSession,
     dir: String,
-    parameters: Map[String, String]
+    parameters: Map[String, String],
+    metadataPath: String
 ) extends Source with SupportsAdmissionControl with SupportsTriggerAvailableNow {
   import IcebergAppendsFeed._
 
@@ -124,20 +168,40 @@ private[streaming] final class IcebergAppendsSource(
       n
     }.getOrElse(Int.MaxValue)
 
-  /** Ordinal in the lineage the feed starts AFTER (those snapshots'
-    * appends are not emitted). */
-  private val startingOrdinal: Int = parameters.get("startingSnapshot") match {
-    case Some("earliest") => 0
-    case Some(s) =>
-      val id = s.toLongOption.getOrElse(throw new IllegalArgumentException(
-        s"startingSnapshot must be 'earliest' or a snapshot id, got '$s'"))
-      val chain = IcebergImport.lineage(spark, dir)
-      val i = chain.indexOf(id)
-      require(i >= 0,
-        s"startingSnapshot $id is not on the main lineage of $dir " +
-          s"(have: ${chain.mkString(", ")})")
-      i + 1
-    case None => IcebergImport.lineage(spark, dir).length
+  /** The position the feed starts AFTER (those snapshots' appends are
+    * not emitted) — computed from `startingSnapshot` on the FIRST
+    * start, persisted under the checkpoint's source-metadata dir, and
+    * read back by every restart: a default (head-at-start) floor must
+    * not re-pin to the head current at RESTART time, or every snapshot
+    * committed during downtime would be skipped silently. */
+  private val starting: AppendsOffset = {
+    val startFile = new Path(metadataPath, "graft-appends-start.json")
+    val fs = startFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(startFile)) {
+      val in = fs.open(startFile)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      AppendsOffset.decode(new OffsetV2 { override def json: String = s })
+    } else {
+      val configured: AppendsOffset = parameters.get("startingSnapshot") match {
+        case Some("earliest") => AppendsOffset(0, OriginAnchor)
+        case Some(s) =>
+          val id = s.toLongOption.getOrElse(throw new IllegalArgumentException(
+            s"startingSnapshot must be 'earliest' or a snapshot id, got '$s'"))
+          val chain = IcebergImport.lineage(spark, dir)
+          val i = chain.indexOf(id)
+          require(i >= 0,
+            s"startingSnapshot $id is not on the main lineage of $dir " +
+              s"(have: ${chain.mkString(", ")})")
+          AppendsOffset(i + 1, id)
+        case None =>
+          val chain = IcebergImport.lineage(spark, dir)
+          if (chain.isEmpty) AppendsOffset(0, OriginAnchor)
+          else AppendsOffset(chain.length, chain.last)
+      }
+      val out = fs.create(startFile, false) // one writer per checkpoint — the engine's contract
+      try out.write(configured.json.getBytes("UTF-8")) finally out.close()
+      configured
+    }
   }
 
   /** Pinned at stream start; a mid-stream schema change fails the feed
@@ -145,10 +209,10 @@ private[streaming] final class IcebergAppendsSource(
   private val pinnedData: StructType = dataSchema(spark, dir)
   private val dataCols: Seq[String] = pinnedData.fields.map(_.name).toSeq
 
-  /** Highest ordinal handed to the engine — the rate-limit floor;
-    * post-restart replays advance it so catch-up paces from the
-    * checkpoint. */
-  @volatile private var lastEnd: Int = startingOrdinal
+  /** Highest ordinal handed to the engine THIS RUN — intra-run pacing
+    * only (catch-up advances batch by batch); the durable floor is the
+    * checkpointed offset / the persisted start, never this. */
+  @volatile private var lastEnd: Int = -1
 
   override def schema: StructType = feedSchema(pinnedData)
 
@@ -161,39 +225,68 @@ private[streaming] final class IcebergAppendsSource(
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
+  /** Re-anchor an offset against the LIVE chain: the ordinal is valid
+    * only for the history it was stamped in; the snapshot id is the
+    * durable identity. Returns the offset's ordinal in `chain`. */
+  private def resolve(chain: Seq[Long], o: AppendsOffset, what: String): Int =
+    o.snapshotId match {
+      case OriginAnchor => 0
+      case AppendsOffset.LegacyAnchor => // pre-anchor checkpoint: length check only
+        require(chain.length >= o.ordinal,
+          s"the lineage of $dir has ${chain.length} snapshots but this stream's $what " +
+            s"references ordinal ${o.ordinal} — the table's history was rewritten " +
+            "(rollback?); restart the stream with a fresh checkpoint")
+        o.ordinal
+      case id =>
+        val i = chain.indexOf(id)
+        require(i >= 0,
+          s"this stream's $what is anchored at snapshot $id of $dir, which is no longer " +
+            s"on the main lineage (have: ${chain.mkString(", ")}) — either the history " +
+            "was rewritten (rollback) or retention expired UNCONSUMED snapshots; " +
+            "restart the stream with a fresh checkpoint after auditing the table")
+        i + 1
+    }
+
+  private def anchored(chain: Seq[Long], ordinal: Int): AppendsOffset =
+    AppendsOffset(ordinal, if (ordinal == 0) OriginAnchor else chain(ordinal - 1))
+
   /** The admission-control face the engine actually calls (getOffset
-    * stays for direct V1 callers): floor = the checkpointed start (or
-    * the configured starting ordinal), cap = maxSnapshotsPerBatch,
-    * head = the pinned AvailableNow target or the live lineage. */
+    * stays for direct V1 callers): floor = the checkpointed offset if
+    * one exists, else the PERSISTED configured start — re-anchored
+    * against the live chain; cap = maxSnapshotsPerBatch; head = the
+    * pinned AvailableNow target or the live lineage. */
   override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
-    val floor = math.max(lastEnd,
-      Option(startOffset).map(o => ordinalOf(o)).getOrElse(startingOrdinal))
-    val head = availableNowTarget.getOrElse(IcebergImport.lineage(spark, dir).length)
+    val chain = IcebergImport.lineage(spark, dir)
+    val base = Option(startOffset)
+      .map(o => resolve(chain, AppendsOffset.decode(o), "checkpointed offset"))
+      .getOrElse(resolve(chain, starting, "configured start"))
+    val floor = math.max(lastEnd, base)
+    val head = math.min(availableNowTarget.getOrElse(chain.length), chain.length)
     val capped = math.min(head.toLong, floor.toLong + maxSnapshotsPerBatch).toInt
-    if (capped <= floor) null else LongOffset(capped.toLong)
+    if (capped <= floor) null else anchored(chain, capped)
   }
 
-  override def reportLatestOffset(): OffsetV2 =
-    LongOffset(IcebergImport.lineage(spark, dir).length.toLong)
+  override def reportLatestOffset(): OffsetV2 = {
+    val chain = IcebergImport.lineage(spark, dir)
+    anchored(chain, chain.length)
+  }
 
   override def getOffset: Option[OffsetV1] = {
-    val head = IcebergImport.lineage(spark, dir).length
-    val capped = math.min(head.toLong, lastEnd.toLong + maxSnapshotsPerBatch).toInt
-    if (capped <= lastEnd) None else Some(LongOffset(capped.toLong))
+    val chain = IcebergImport.lineage(spark, dir)
+    val floor = math.max(lastEnd, resolve(chain, starting, "configured start"))
+    val capped = math.min(chain.length.toLong, floor.toLong + maxSnapshotsPerBatch).toInt
+    if (capped <= floor) None else Some(anchored(chain, capped))
   }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
-    val fromOrd = start.map(ordinalOf).getOrElse(startingOrdinal)
-    val toOrd = ordinalOf(end)
+    val chain = IcebergImport.lineage(spark, dir)
+    val fromOrd = start.map(o => resolve(chain, AppendsOffset.decode(o), "batch start offset"))
+      .getOrElse(resolve(chain, starting, "configured start"))
+    val toOrd = resolve(chain, AppendsOffset.decode(end), "batch end offset")
     lastEnd = math.max(lastEnd, math.max(fromOrd, toOrd))
     val batch =
       if (toOrd <= fromOrd) emptyFeed
       else {
-        val chain = IcebergImport.lineage(spark, dir)
-        require(chain.length >= toOrd,
-          s"the lineage of $dir has ${chain.length} snapshots but this stream's checkpoint " +
-            s"references ordinal $toOrd — the table's history was rewritten (rollback?); " +
-            "restart the stream with a fresh checkpoint")
         val fromSnap = if (fromOrd == 0) None else Some(chain(fromOrd - 1))
         val steps = IcebergImport.appendStepFrames(spark, dir, fromSnap, Some(chain(toOrd - 1)))
         steps.map { case (st, df) =>
@@ -218,13 +311,6 @@ private[streaming] final class IcebergAppendsSource(
 
   private def emptyFeed: DataFrame =
     spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
-
-  // OffsetV1 extends OffsetV2, so one decoder serves getBatch and
-  // the admission-control face
-  private def ordinalOf(o: OffsetV2): Int = o match {
-    case l: LongOffset => l.offset.toInt
-    case other => other.json.trim.toInt
-  }
 
   override def commit(end: OffsetV1): Unit = () // retention is the table's own policy
 

@@ -125,6 +125,26 @@ class IcebergAvroDataSpec extends SparkSpec {
     assert(got == Seq(1L))
   }
 
+  test("addFiles refuses a path the current snapshot already references") {
+    val dest = exported("dup")
+    val avroPath = tmp("dup-data") + "/add-1.avro"
+    IcebergAvroData.writeDataFile(spark,
+      Seq((1L, "a", 1.5)).toDF("id", "v", "price"), avroPath,
+      Map("id" -> 1, "v" -> 2, "price" -> 3))
+    IcebergAppend.addFiles(spark, dest, Seq(avroPath), format = "AVRO")
+    // adopting it again would double-count its rows on every read
+    val e = intercept[IllegalArgumentException] {
+      IcebergAppend.addFiles(spark, dest, Seq(avroPath), format = "AVRO")
+    }
+    assert(e.getMessage.contains("already referenced"))
+    assert(IcebergImport.read(spark, dest).count() == 3) // 2 exported + 1 adopted, once
+    // the explicit escape hatch still exists (mirrors the reference
+    // procedure's check_duplicate_files=false)
+    IcebergAppend.addFiles(spark, dest, Seq(avroPath), format = "AVRO",
+      checkDuplicateFiles = false)
+    assert(IcebergImport.read(spark, dest).count() == 4)
+  }
+
   test("honest refusals: unknown format, partitioned default spec") {
     val dest = exported("ref")
     val e1 = intercept[IllegalArgumentException] {

@@ -32,6 +32,27 @@ class IcebergOrcDataSpec extends SparkSpec {
     dest
   }
 
+  test("spec-legal promotions read; an incompatible physical type refuses, never NULLs") {
+    // int where the table wants long: the spec's int→long promotion
+    val ok = exported("promo-ok")
+    val okPath = tmp("promo-data") + "/ok.orc"
+    IcebergOrcData.writeDataFile(spark,
+      Seq((1, "a", 1.5)).toDF("id", "v", "price"), okPath,
+      Map("id" -> 1, "v" -> 2, "price" -> 3))
+    IcebergAppend.addFiles(spark, ok, Seq(okPath), format = "ORC")
+    assert(IcebergImport.read(spark, ok).filter(col("id") === 1L).count() == 1)
+    // string where the table wants double: NOT a promotion — the read
+    // refuses loudly instead of silently nulling every value
+    val bad = exported("promo-bad")
+    val badPath = tmp("promo-data2") + "/bad.orc"
+    IcebergOrcData.writeDataFile(spark,
+      Seq((5L, "e", "oops")).toDF("id", "v", "price"), badPath,
+      Map("id" -> 1, "v" -> 2, "price" -> 3))
+    IcebergAppend.addFiles(spark, bad, Seq(badPath), format = "ORC")
+    val e = intercept[Exception] { IcebergImport.read(spark, bad).collect() }
+    assert(e.getMessage.contains("not a spec-legal promotion"))
+  }
+
   test("mixed parquet+ORC table: one unioned read, by-id resolution across a rename") {
     val dest = exported("mix")
     val orcPath = tmp("mix-data") + "/add-1.orc"

@@ -168,6 +168,71 @@ class IcebergAppendsSpec extends SparkSpec {
     assert(got.toSeq.sorted == Seq((2L, 2L), (3L, 3L), (4L, 4L)))
   }
 
+  /** Drain one AvailableNow pass into `got`, reusing `checkpoint`. */
+  private def drainOnce(dir: String, start: Option[String], checkpoint: String,
+      got: scala.collection.mutable.ArrayBuffer[(Long, Long)]): Unit = {
+    var r = spark.readStream.format("graft-iceberg-appends").option("dir", dir)
+    start.foreach(s => r = r.option("startingSnapshot", s))
+    val q = r.load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.select("id", "_snapshot_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        got.synchronized { got ++= rows }; ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  test("default start survives restart: downtime appends are emitted, not skipped") {
+    val dir = exported("dres", Seq((1L, "a")))                         // snap 1
+    val ck = tmp("dres-ck")
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    drainOnce(dir, None, ck, got) // default start = head at FIRST start: nothing yet
+    assert(got.isEmpty)
+    // the stream is DOWN while two snapshots land — the failure mode
+    // was re-pinning "head" at restart and skipping both silently
+    IcebergAppend.append(spark, dir, Seq((2L, "b")).toDF("id", "v"))   // snap 2
+    IcebergAppend.append(spark, dir, Seq((3L, "c")).toDF("id", "v"))   // snap 3
+    drainOnce(dir, None, ck, got)
+    assert(got.toSeq.sorted == Seq((2L, 2L), (3L, 3L)))
+    // and once a batch HAS committed, the checkpoint is the floor
+    IcebergAppend.append(spark, dir, Seq((4L, "d")).toDF("id", "v"))   // snap 4
+    drainOnce(dir, None, ck, got)
+    assert(got.toSeq.sorted == Seq((2L, 2L), (3L, 3L), (4L, 4L)))
+  }
+
+  test("offsets re-anchor across expireSnapshots: routine expiry neither skips nor re-reads") {
+    val dir = exported("exp", Seq((1L, "a")))                          // snap 1
+    val ck = tmp("exp-ck")
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    IcebergAppend.append(spark, dir, Seq((2L, "b")).toDF("id", "v"))   // snap 2
+    drainOnce(dir, Some("earliest"), ck, got)
+    assert(got.toSeq.sorted == Seq((1L, 1L), (2L, 2L)))
+    // retention trims the chain's FRONT: snap 1 expires, every
+    // retained ordinal shifts down by one
+    IcebergMaintenance.expireSnapshots(spark, dir, keepLast = 1)
+    IcebergAppend.append(spark, dir, Seq((3L, "c")).toDF("id", "v"))   // snap 3
+    drainOnce(dir, Some("earliest"), ck, got)
+    // snap 3 arrives exactly once; snap 2 is NOT re-read despite its
+    // ordinal having changed (the offset's snapshot-id anchor re-resolves)
+    assert(got.toSeq.sorted == Seq((1L, 1L), (2L, 2L), (3L, 3L)))
+  }
+
+  test("expiry of the stream's floor snapshot fails loudly, never a silent remap") {
+    val dir = exported("expf", Seq((1L, "a")))                         // snap 1
+    val ck = tmp("expf-ck")
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    drainOnce(dir, Some("earliest"), ck, got)                          // floor anchor = snap 1
+    IcebergAppend.append(spark, dir, Seq((2L, "b")).toDF("id", "v"))   // snap 2
+    IcebergMaintenance.expireSnapshots(spark, dir, keepLast = 1)       // snap 1 (the anchor) expires
+    val e = intercept[StreamingQueryException] { drainOnce(dir, None, ck, got) }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("no longer on the main lineage")))
+  }
+
   test("a delete snapshot fails the stream loudly, never a silent skip") {
     val dir = exported("fail", Seq((1L, "a"), (7L, "g")))              // snap 1
     val ck = tmp("fail-ck")
