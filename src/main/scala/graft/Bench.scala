@@ -34,7 +34,17 @@ import java.nio.file.{Files, Paths}
   *      if no quiet re-pass beats it, the prior round's committed
   *      value is carried forward under an explicit `stale_load` marker
   *      (4 of 9 prior rounds shipped a load artifact on q32's cold,
-  *      each re-poisoning the next round's drift triggers).
+  *      each re-poisoning the next round's drift triggers);
+  *   5. second-chance isolation + honest marking (r18) — colds still
+  *      poisoned after the first child run (it can land inside the
+  *      same load wave) get ONE more isolated attempt after the gate
+  *      re-arms; anything that STILL ships loaded-with-no-better-prior
+  *      is listed in `loaded_cold` so it can never read as clean;
+  *   6. durable priors — the run also writes BENCH_PRIORS.json (the
+  *      committed compact twin of the detail file, full per-query
+  *      maps), so fresh checkouts keep real per-query priors for the
+  *      3x drift triggers and the carry-forward instead of the
+  *      headline-only official tail.
   */
 object Bench {
   private def r3(v: Double): Double = math.rint(v * 1000) / 1000
@@ -67,7 +77,19 @@ object Bench {
       try extract(new String(Files.readAllBytes(Paths.get("BENCH_DETAIL.json")),
         StandardCharsets.UTF_8))
       catch { case _: Throwable => Map.empty[String, Double] }
-    if (detail.nonEmpty) detail
+    // BENCH_PRIORS.json is the COMMITTED compact twin of the detail
+    // file (full per-query maps, written at the end of every run): a
+    // fresh checkout keeps real per-query priors instead of the
+    // headline-only official tail — without them, a no-prior query
+    // measured under load has nothing to carry forward and ships its
+    // artifact (r17: q98b's 59.5 s cold at loadavg 31.8).
+    val priors =
+      if (detail.nonEmpty) detail
+      else
+        try extract(new String(Files.readAllBytes(Paths.get("BENCH_PRIORS.json")),
+          StandardCharsets.UTF_8))
+        catch { case _: Throwable => Map.empty[String, Double] }
+    if (priors.nonEmpty) priors
     else
       try {
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -345,9 +367,32 @@ object Bench {
     // load during the isolated child run — whether ITS numbers are
     // trustworthy decides the stale-load substitution below
     val laIso = loadavg1()
-    val repassedCold = isolatedCold.keys.toSeq.sorted
-    val resultsAdj = results.map { case (n, c) =>
+    val resultsAdj1 = results.map { case (n, c) =>
       n -> isolatedCold.get(n).filter(_ >= 0).map(math.min(c, _)).getOrElse(c)
+    }
+    // Layer 2b' — SECOND isolated attempt for colds still poisoned
+    // after the first child run: measured under load, no quiet
+    // isolated number beat them, and no prior below them to fall back
+    // on. The first child run is launched right after the corpus loop
+    // and can land inside the SAME load wave that poisoned the
+    // measurement (r17: q98b's child pass ran at loadavg ~30 and
+    // changed nothing); waiting the wave out via regate() and trying
+    // once more is the cheapest honest defense left.
+    val stillPoisoned = resultsAdj1.collect {
+      case (n, c) if c > 1.0 &&
+        loadAtMap.getOrElse(n, 0.0) > gateThreshold &&
+        !(isolatedCold.get(n).exists(_ >= 0) && laIso <= gateThreshold) &&
+        priorCold.get(n).forall(p => p <= 0 || p >= c) => n
+    }
+    val (secondIso, laIso2) =
+      if (stillPoisoned.isEmpty) (Map.empty[String, Double], laIso)
+      else {
+        regate()
+        (retimeColdIsolated(sfDir, stillPoisoned.take(8)), loadavg1())
+      }
+    val repassedCold = (isolatedCold.keys ++ secondIso.keys).toSeq.distinct.sorted
+    val resultsAdj = resultsAdj1.map { case (n, c) =>
+      n -> secondIso.get(n).filter(_ >= 0).map(math.min(c, _)).getOrElse(c)
     }
     // Layer 2c — NEVER publish a load-poisoned cold: if a query's cold
     // was stamped above the gate threshold and no quiet isolated
@@ -358,13 +403,20 @@ object Bench {
     // min() semantics throughout: load only ever inflates a timing, so
     // a measured value BELOW the prior ships even if stamped loaded.
     val staleLoad = scala.collection.mutable.ArrayBuffer.empty[String]
+    val loadedCold = scala.collection.mutable.ArrayBuffer.empty[String]
     val resultsPub = resultsAdj.map { case (n, c) =>
       val measuredLoaded = loadAtMap.getOrElse(n, 0.0) > gateThreshold
-      val isoQuiet = isolatedCold.get(n).exists(_ >= 0) && laIso <= gateThreshold
+      val isoQuiet = (isolatedCold.get(n).exists(_ >= 0) && laIso <= gateThreshold) ||
+        (secondIso.get(n).exists(_ >= 0) && laIso2 <= gateThreshold)
       if (c >= 0 && measuredLoaded && !isoQuiet)
         priorCold.get(n).filter(p => p > 0 && p < c) match {
           case Some(p) => staleLoad += n; n -> p
-          case None    => n -> c // no better prior — the stamp is the evidence
+          case None    =>
+            // no better prior and no quiet re-pass: the number ships
+            // (nothing better exists) but carries an explicit marker
+            // so it can never masquerade as a clean record
+            if (c > 1.0) loadedCold += n
+            n -> c
         }
       else n -> c
     }
@@ -525,9 +577,21 @@ object Bench {
         s""""repassed":${repassed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""repassed_cold":${repassedCold.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""stale_load":${staleLoad.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""loaded_cold":${loadedCold.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""e2e_repassed":$e2eNeedsRepass,""" +
         s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
     try Files.write(Paths.get("BENCH_DETAIL.json"), detail.getBytes(StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
+    // the COMMITTED priors twin (see priorMap): full per-query maps a
+    // fresh checkout can anchor next round's drift triggers and
+    // stale-load carry-forwards on. Values already carry this run's
+    // substitutions, so a marked carry-forward propagates instead of
+    // the artifact it replaced.
+    val priorsLine =
+      s"""{"metric":"priors","queries":${jmap(resultsPub)},"warm_all":${jmap(warmAll)},""" +
+        s""""e2e_warm":${jmap(e2eWarm)},"e2e_pq_warm":${jmap(e2ePqWarm)},""" +
+        s""""commit":${jmap(commitSpans)},"sf":"$sfDir"}"""
+    try Files.write(Paths.get("BENCH_PRIORS.json"), priorsLine.getBytes(StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
 
     // Official line, printed LAST: the driver captures only the final
@@ -541,6 +605,7 @@ object Bench {
         s""""commit":${jmap(commitSpans)},"loadavg":[${r3(la0)},${r3(la1)}],""" +
         s""""gate_wait":${r3(gateWait)},"regates":$regates,"repassed":${repassed.length},""" +
         s""""repassed_cold":${repassedCold.length},"stale_load":${staleLoad.length},""" +
+        s""""loaded_cold":${loadedCold.length},""" +
         s""""failed":${failed.length},"sf":"$sfDir"}"""
     // budget: 2000-char tail minus ~75 for sbt's trailing [success] line
     val full = official(resultsPub)

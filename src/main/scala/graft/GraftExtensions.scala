@@ -122,6 +122,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(graft.plans.IcebergScan.getClass.getName, "graft_iceberg_appends"),
       (children: Seq[Expression]) => graft.plans.IcebergScan.appendsPlan(children)
     ))
+    // changelog (CDC) scan over a foreign Iceberg table — the range
+    // shapes the appends face refuses, as _change_type rows:
+    // SELECT * FROM graft_iceberg_changes('/path', from_snap[, to_snap])
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_iceberg_changes"),
+      new ExpressionInfo(graft.plans.IcebergScan.getClass.getName, "graft_iceberg_changes"),
+      (children: Seq[Expression]) => graft.plans.IcebergScan.changesPlan(children)
+    ))
     // .partitions metadata twin (completes the metadata quartet):
     // SELECT * FROM graft_iceberg_partitions('/path'[, snapshot_id])
     ext.injectTableFunction((

@@ -183,8 +183,14 @@ object IcebergImport {
     * spec's position-delete `pos`). The write side of position deletes
     * ([[IcebergDml]]) consumes this; surviving rows only, like read. */
   private[graft] def readWithLineage(spark: SparkSession, tableDir: String,
-      snapshotId: Option[Long] = None): DataFrame = {
-    val plan = planScan(spark, tableDir, snapshotId)
+      snapshotId: Option[Long] = None, keepFiles: Option[String => Boolean] = None): DataFrame = {
+    val plan0 = planScan(spark, tableDir, snapshotId)
+    // `keepFiles`: metadata-level file pruning (the changelog reader's
+    // removed/added/delete-referenced slices) — the plan keeps its full
+    // delete set (extra entries no-op on absent files), only the DATA
+    // file list narrows, so the scan reads exactly the named files
+    val plan = keepFiles.map(f => plan0.copy(data = plan0.data.filter(d => f(d.path))))
+      .getOrElse(plan0)
     if (plan.data.isEmpty)
       return plan.schema
         .map(s => spark.createDataFrame(java.util.Collections.emptyList[Row](),
@@ -802,7 +808,7 @@ object IcebergImport {
     * rows' `file_path` must both land in this set for the joins to
     * line up, and the data side is raise_error-guarded so a spelling
     * this misses fails LOUDLY instead of resurrecting deleted rows. */
-  private def spellings(s: String): Set[String] = {
+  private[io] def spellings(s: String): Set[String] = {
     val p = new Path(s)
     val base = Set(s, p.toString, p.toUri.toString)
       // foreign manifests may spell local paths bare; `_metadata` never does
@@ -1425,7 +1431,7 @@ object IcebergImport {
 
   /** (fs, metadata path, parsed metadata JSON) of the table head —
     * shared parse for the metadata-only faces. */
-  private def readMeta(spark: SparkSession, tableDir: String)
+  private[io] def readMeta(spark: SparkSession, tableDir: String)
       : (org.apache.hadoop.fs.FileSystem, Path, com.fasterxml.jackson.databind.JsonNode) = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val metaDir = new Path(tableDir, "metadata")

@@ -238,4 +238,45 @@ object IcebergScan {
     val to = args.lift(2).map(snapLit(_, "to_snapshot"))
     graft.io.IcebergImport.appendsBetween(spark, dir, from, to).queryExecution.analyzed
   }
+
+  /** Changelog scan: graft_iceberg_changes('/dir', from[, to]) — the
+    * CDC face of [[graft.io.IcebergChanges.changesBetween]]: the same
+    * range arguments as `graft_iceberg_appends` (integer snapshot id,
+    * `0` = the lineage root, or a timestamp string on the `TIMESTAMP
+    * AS OF` clock), but `overwrite`/`delete` snapshots emit
+    * `_change_type` insert/delete ROWS instead of refusing. */
+  def changesPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 2 || args.length == 3,
+      s"graft_iceberg_changes(table_dir, from[, to_snapshot]) takes 2-3 arguments, " +
+        s"got ${args.length}")
+    val dir = args.head match {
+      case l: Literal if l.dataType == StringType && l.value != null => l.value.toString
+      case other => throw new IllegalArgumentException(
+        s"graft_iceberg_changes: table_dir must be a string literal, got $other")
+    }
+    val spark = SparkSession.active
+    def snapLit(e: Expression, what: String): Long = e match {
+      case l: Literal if (l.dataType == LongType || l.dataType == IntegerType) && l.value != null =>
+        l.value match { case i: Int => i.toLong; case v: Long => v }
+      case other => throw new IllegalArgumentException(
+        s"graft_iceberg_changes: $what must be an integer snapshot id, got $other")
+    }
+    val from: Option[Long] = args(1) match {
+      case l: Literal if l.dataType == StringType && l.value != null =>
+        val ts = l.value.toString
+        val millis =
+          try java.sql.Timestamp.valueOf(ts).getTime
+          catch {
+            case _: IllegalArgumentException => throw new IllegalArgumentException(
+              s"graft_iceberg_changes: from '$ts' is neither a snapshot id nor a " +
+                "'yyyy-MM-dd HH:mm:ss[.f]' timestamp literal")
+          }
+        graft.io.IcebergImport.snapshotAtTimestamp(spark, dir, millis)
+      case other =>
+        val s = snapLit(other, "from")
+        if (s == 0L) None else Some(s)
+    }
+    val to = args.lift(2).map(snapLit(_, "to_snapshot"))
+    graft.io.IcebergChanges.changesBetween(spark, dir, from, to).queryExecution.analyzed
+  }
 }

@@ -3487,13 +3487,59 @@ object ExtensionCorpus {
       GROUP BY o_orderstatus ORDER BY o_orderstatus""")
   )
 
+  /** CHANGELOG (CDC) READ OF A FOREIGN ICEBERG TABLE (X138 — the r17
+    * verdict's #1 missing item: `appendsBetween` refuses any range
+    * containing a DML snapshot, but the reference's tables take
+    * overwrites every run, job_silver.py:174-178): even lineitem keys
+    * exported (snap 1), the %4==1 keys appended (snap 2), a MOR
+    * DELETE of the %3==0 keys (snap 3 — position-delete files, the
+    * range shape the appends face dies on), the %4==3 keys appended
+    * (snap 4). `graft_iceberg_changes('/dir', 1)` must emit the two
+    * appends' rows as `insert` and exactly the rows the DELETE
+    * removed — rows ALIVE at snap 2 matching the predicate — as
+    * `delete`, each under the snapshot's commit stamp. DuckDB replays
+    * the per-change-type aggregate from the raw parquet. */
+  private val q171 = Q(
+    "q171_iceberg_changelog_read",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q171-snap").toString
+      val t = new graft.io.SnapshotTables(s, root)
+      val li = fixture(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      t.overwriteTable(li.filter(col("l_orderkey") % 2 === 0), "li")
+      val dest = java.nio.file.Files.createTempDirectory("q171-ice").toString
+      graft.io.IcebergExport.export(t, "li", dest)
+      graft.io.IcebergAppend.append(s, dest, li.filter(col("l_orderkey") % 4 === 1))
+      graft.io.IcebergDml.deleteWhere(s, dest, "l_orderkey % 3 = 0")
+      graft.io.IcebergAppend.append(s, dest, li.filter(col("l_orderkey") % 4 === 3))
+      s.sql(s"""SELECT _change_type, l_returnflag, COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM graft_iceberg_changes('$dest', 1)
+        GROUP BY _change_type, l_returnflag ORDER BY _change_type, l_returnflag""")
+    },
+    // inserts: every odd key (appended after snap 1). deletes: rows
+    // alive at snap 2 (evens + %4==1) hit by the %3==0 predicate.
+    Some("""SELECT * FROM (
+        SELECT 'delete' AS _change_type, l_returnflag, COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        WHERE (l_orderkey % 2 = 0 OR l_orderkey % 4 = 1) AND l_orderkey % 3 = 0
+        GROUP BY l_returnflag
+        UNION ALL
+        SELECT 'insert' AS _change_type, l_returnflag, COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem WHERE l_orderkey % 2 = 1
+        GROUP BY l_returnflag
+      ) ORDER BY _change_type, l_returnflag""")
+  )
+
   val all: Seq[Q] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q98b, q99, q100, q101, q102, q106, q107, q108,
     q109, q111, q112, q113, q114, q116, q117, q118, q119, q121, q122, q123, q125, q126, q127,
     q128, q130, q131, q132, q133, q135, q136, q137, q138, q139, q140, q141, q143, q144,
     q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159,
-    q160, q161, q162, q163, q164, q165, q166, q166b, q167, q168, q169, q170
+    q160, q161, q162, q163, q164, q165, q166, q166b, q167, q168, q169, q170, q171
   )
 
 }

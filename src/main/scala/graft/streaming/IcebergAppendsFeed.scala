@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.io.IcebergImport
+import graft.io.{IcebergChanges, IcebergImport}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
@@ -52,16 +52,19 @@ import org.apache.spark.sql.types.{LongType, StructType, TimestampType}
   * cannot represent removed rows; restart the stream past the
   * offending snapshot (`startingSnapshot`) after auditing it.
   * For a stream that must survive DML snapshots as row-level diffs,
-  * read the changelog source instead (`graft-iceberg-changes`).
+  * read the CHANGELOG source instead: `format("graft-iceberg-changes")`
+  * ([[IcebergChangesProvider]]) — same offsets, same options, but
+  * `overwrite`/`delete` snapshots become `_change_type` insert/delete
+  * rows per [[graft.io.IcebergChanges]].
   *
   * Output schema = the table's CURRENT columns plus
   *   `_snapshot_id` LONG      — the snapshot whose commit added the row
   *   `_commit_timestamp` TS   — that snapshot's commit time
   *
-  * Options:
+  * Options (both sources):
   *   `dir`               — the table root (contains `metadata/`). Required.
   *   `startingSnapshot`  — `"earliest"` (the whole retained lineage),
-  *                         an explicit snapshot id (appends strictly
+  *                         an explicit snapshot id (changes strictly
   *                         AFTER it), or the default: the head at
   *                         FIRST stream start (only new commits). All
   *                         three are durable across restarts on the
@@ -129,7 +132,7 @@ final class IcebergAppendsProvider extends StreamSourceProvider with DataSourceR
 
   private def dirOf(parameters: Map[String, String]): String =
     parameters.getOrElse("dir", throw new IllegalArgumentException(
-      "graft-iceberg-appends needs dir=<iceberg table root>"))
+      s"${shortName()} needs dir=<iceberg table root>"))
 
   override def sourceSchema(
       sqlContext: SQLContext,
@@ -137,9 +140,9 @@ final class IcebergAppendsProvider extends StreamSourceProvider with DataSourceR
       providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     require(schema.isEmpty,
-      "graft-iceberg-appends derives its schema from the table; don't supply one")
+      s"${shortName()} derives its schema from the table; don't supply one")
     val dir = dirOf(parameters)
-    (s"graft-iceberg-appends[$dir]",
+    (s"${shortName()}[$dir]",
       IcebergAppendsFeed.feedSchema(IcebergAppendsFeed.dataSchema(sqlContext.sparkSession, dir)))
   }
 
@@ -152,13 +155,58 @@ final class IcebergAppendsProvider extends StreamSourceProvider with DataSourceR
     new IcebergAppendsSource(sqlContext.sparkSession, dirOf(parameters), parameters, metadataPath)
 }
 
-private[streaming] final class IcebergAppendsSource(
+/** `spark.readStream.format("graft-iceberg-changes")` provider — the
+  * CHANGELOG twin: DML snapshots stream as `_change_type` rows instead
+  * of failing (see [[graft.io.IcebergChanges]]). */
+final class IcebergChangesProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-iceberg-changes"
+
+  private def dirOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("dir", throw new IllegalArgumentException(
+      s"${shortName()} needs dir=<iceberg table root>"))
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    require(schema.isEmpty,
+      s"${shortName()} derives its schema from the table; don't supply one")
+    val dir = dirOf(parameters)
+    (s"${shortName()}[$dir]",
+      IcebergChanges.feedSchema(IcebergChanges.dataSchema(sqlContext.sparkSession, dir)))
+  }
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): Source =
+    new IcebergChangesSource(sqlContext.sparkSession, dirOf(parameters), parameters, metadataPath)
+}
+
+/** The shared lineage-tailing machinery of the appends and changelog
+  * sources: id-anchored offsets, the persisted configured start,
+  * admission control, AvailableNow draining (see the module doc).
+  * Subclasses supply only the schema and the rows a consumed ordinal
+  * range emits. */
+private[streaming] abstract class LineageTailSource(
     spark: SparkSession,
     dir: String,
     parameters: Map[String, String],
     metadataPath: String
 ) extends Source with SupportsAdmissionControl with SupportsTriggerAvailableNow {
-  import IcebergAppendsFeed._
+  import IcebergAppendsFeed.OriginAnchor
+
+  /** Rows of the half-open ordinal range (fromOrd, toOrd] against the
+    * given live chain. Must be deterministic for a fixed chain slice
+    * (replayed batches re-read the same snapshots' files). */
+  protected def emitRange(chain: Seq[Long], fromOrd: Int, toOrd: Int): DataFrame
+
+  protected final def emptyFeed: DataFrame =
+    spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
 
   private val maxSnapshotsPerBatch: Int =
     parameters.get("maxSnapshotsPerBatch").map { s =>
@@ -168,7 +216,7 @@ private[streaming] final class IcebergAppendsSource(
       n
     }.getOrElse(Int.MaxValue)
 
-  /** The position the feed starts AFTER (those snapshots' appends are
+  /** The position the feed starts AFTER (those snapshots' rows are
     * not emitted) — computed from `startingSnapshot` on the FIRST
     * start, persisted under the checkpoint's source-metadata dir, and
     * read back by every restart: a default (head-at-start) floor must
@@ -204,17 +252,10 @@ private[streaming] final class IcebergAppendsSource(
     }
   }
 
-  /** Pinned at stream start; a mid-stream schema change fails the feed
-    * loudly rather than silently projecting or null-filling. */
-  private val pinnedData: StructType = dataSchema(spark, dir)
-  private val dataCols: Seq[String] = pinnedData.fields.map(_.name).toSeq
-
   /** Highest ordinal handed to the engine THIS RUN — intra-run pacing
     * only (catch-up advances batch by batch); the durable floor is the
     * checkpointed offset / the persisted start, never this. */
   @volatile private var lastEnd: Int = -1
-
-  override def schema: StructType = feedSchema(pinnedData)
 
   /** `Trigger.AvailableNow`: the target head is PINNED here — the
     * stream drains up to it (paced by `maxSnapshotsPerBatch`) and
@@ -248,7 +289,8 @@ private[streaming] final class IcebergAppendsSource(
     }
 
   private def anchored(chain: Seq[Long], ordinal: Int): AppendsOffset =
-    AppendsOffset(ordinal, if (ordinal == 0) OriginAnchor else chain(ordinal - 1))
+    AppendsOffset(ordinal, if (ordinal == 0) IcebergAppendsFeed.OriginAnchor
+      else chain(ordinal - 1))
 
   /** The admission-control face the engine actually calls (getOffset
     * stays for direct V1 callers): floor = the checkpointed offset if
@@ -284,39 +326,86 @@ private[streaming] final class IcebergAppendsSource(
       .getOrElse(resolve(chain, starting, "configured start"))
     val toOrd = resolve(chain, AppendsOffset.decode(end), "batch end offset")
     lastEnd = math.max(lastEnd, math.max(fromOrd, toOrd))
-    val batch =
-      if (toOrd <= fromOrd) emptyFeed
-      else {
-        val fromSnap = if (fromOrd == 0) None else Some(chain(fromOrd - 1))
-        val steps = IcebergImport.appendStepFrames(spark, dir, fromSnap, Some(chain(toOrd - 1)))
-        steps.map { case (st, df) =>
-          val have = df.columns.toSeq
-          require(have.sorted == dataCols.sorted,
-            s"snapshot ${st.snapshotId} of $dir reads with columns {${have.sorted.mkString(", ")}} " +
-              s"but this feed pinned {${dataCols.sorted.mkString(", ")}} — the schema changed " +
-              "mid-stream; restart the feed to pick up the new schema")
-          // re-alias with EMPTY metadata: the frames carry
-          // `parquet.field.id` from the import's id-resolving read,
-          // which must not leak into downstream sinks (see dataSchema)
-          df.select(dataCols.map(c => IcebergAppendsSource.qcol(c)
-              .as(c, org.apache.spark.sql.types.Metadata.empty)): _*)
-            .withColumn(SnapshotIdCol, lit(st.snapshotId))
-            .withColumn(CommitTimestampCol,
-              (if (st.timestampMs > 0) lit(new java.sql.Timestamp(st.timestampMs))
-               else lit(null)).cast(TimestampType))
-        }.reduceOption(_ unionByName _).getOrElse(emptyFeed)
-      }
+    val batch = if (toOrd <= fromOrd) emptyFeed else emitRange(chain, fromOrd, toOrd)
     org.apache.spark.sql.GraftSqlBridge.asStreamingBatch(batch)
   }
-
-  private def emptyFeed: DataFrame =
-    spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
 
   override def commit(end: OffsetV1): Unit = () // retention is the table's own policy
 
   override def stop(): Unit = ()
 }
 
+private[streaming] final class IcebergAppendsSource(
+    spark: SparkSession,
+    dir: String,
+    parameters: Map[String, String],
+    metadataPath: String
+) extends LineageTailSource(spark, dir, parameters, metadataPath) {
+  import IcebergAppendsFeed._
+
+  /** Pinned at stream start; a mid-stream schema change fails the feed
+    * loudly rather than silently projecting or null-filling. */
+  private val pinnedData: StructType = dataSchema(spark, dir)
+  private val dataCols: Seq[String] = pinnedData.fields.map(_.name).toSeq
+
+  override def schema: StructType = feedSchema(pinnedData)
+
+  override protected def emitRange(chain: Seq[Long], fromOrd: Int, toOrd: Int): DataFrame = {
+    val fromSnap = if (fromOrd == 0) None else Some(chain(fromOrd - 1))
+    val steps = IcebergImport.appendStepFrames(spark, dir, fromSnap, Some(chain(toOrd - 1)))
+    steps.map { case (st, df) =>
+      val have = df.columns.toSeq
+      require(have.sorted == dataCols.sorted,
+        s"snapshot ${st.snapshotId} of $dir reads with columns {${have.sorted.mkString(", ")}} " +
+          s"but this feed pinned {${dataCols.sorted.mkString(", ")}} — the schema changed " +
+          "mid-stream; restart the feed to pick up the new schema")
+      // re-alias with EMPTY metadata: the frames carry
+      // `parquet.field.id` from the import's id-resolving read,
+      // which must not leak into downstream sinks (see dataSchema)
+      df.select(dataCols.map(c => IcebergAppendsSource.qcol(c)
+          .as(c, org.apache.spark.sql.types.Metadata.empty)): _*)
+        .withColumn(SnapshotIdCol, lit(st.snapshotId))
+        .withColumn(CommitTimestampCol,
+          (if (st.timestampMs > 0) lit(new java.sql.Timestamp(st.timestampMs))
+           else lit(null)).cast(TimestampType))
+    }.reduceOption(_ unionByName _).getOrElse(emptyFeed)
+  }
+}
+
+/** The changelog twin: each batch's ordinal range replays per-snapshot
+  * change rows via [[IcebergChanges.stepFrame]], stamping the
+  * LINEAGE-relative `_change_ordinal` (stable across restarts because
+  * the offset anchors re-resolve, not renumber). DML snapshots emit
+  * their diffs; only genuinely unclassifiable operations still fail. */
+private[streaming] final class IcebergChangesSource(
+    spark: SparkSession,
+    dir: String,
+    parameters: Map[String, String],
+    metadataPath: String
+) extends LineageTailSource(spark, dir, parameters, metadataPath) {
+
+  /** Pinned at stream start; a mid-stream schema change fails the feed
+    * loudly rather than silently projecting or null-filling. */
+  private val pinnedData: StructType = IcebergChanges.dataSchema(spark, dir)
+
+  override def schema: StructType = IcebergChanges.feedSchema(pinnedData)
+
+  override protected def emitRange(chain: Seq[Long], fromOrd: Int, toOrd: Int): DataFrame = {
+    val live = IcebergChanges.dataSchema(spark, dir)
+    require(live.fields.map(_.name).sorted.sameElements(pinnedData.fields.map(_.name).sorted),
+      s"the schema of $dir changed mid-stream (pinned " +
+        s"{${pinnedData.fields.map(_.name).sorted.mkString(", ")}}, now " +
+        s"{${live.fields.map(_.name).sorted.mkString(", ")}}); restart the feed to " +
+        "pick up the new schema")
+    val fromSnap = if (fromOrd == 0) None else Some(chain(fromOrd - 1))
+    val steps = IcebergChanges.changeSteps(spark, dir, fromSnap, Some(chain(toOrd - 1)))
+    steps.zipWithIndex
+      .flatMap { case (st, i) => IcebergChanges.stepFrame(spark, dir, st, fromOrd + i) }
+      .reduceOption(_ unionByName _)
+      .getOrElse(emptyFeed)
+  }
+}
+
 private[streaming] object IcebergAppendsSource {
-  private def qcol(c: String) = col("`" + c.replace("`", "``") + "`")
+  private[streaming] def qcol(c: String) = col("`" + c.replace("`", "``") + "`")
 }
