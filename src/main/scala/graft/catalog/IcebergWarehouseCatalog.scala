@@ -53,6 +53,7 @@ class IcebergWarehouseCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = _
   private var warehouse: String = _
   private var commitLogRoot: Option[String] = None
+  private var lakeUri: Option[String] = None
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -60,12 +61,30 @@ class IcebergWarehouseCatalog extends TableCatalog with SupportsNamespaces {
       s"IcebergWarehouseCatalog '$name' needs spark.sql.catalog.$name.warehouse=<dir>"))
     // LOG-GOVERNED mount (the Nessie capability on foreign tables,
     // X136): reads resolve the snapshot the IcebergLakeCommits head
-    // pins — unpublished table-line commits are invisible to SQL
+    // pins — unpublished table-line commits are invisible to SQL.
+    // Two transports: `commitlog=<dir>` reads the numbered-commit log
+    // off shared storage; `uri=http://…` (r18 — how the reference's
+    // own deployment registers its catalog,
+    // datalake_gold_spark_dag.py:181-186) resolves the same pins over
+    // the Nessie-v2-shaped wire (IcebergLakeHttpServer).
     commitLogRoot = Option(options.get("commitlog"))
+    lakeUri = Option(options.get("uri"))
+    require(commitLogRoot.isEmpty || lakeUri.isEmpty,
+      s"IcebergWarehouseCatalog '$name': configure ONE of commitlog= (shared-filesystem " +
+        "log) or uri= (HTTP catalog), not both")
   }
 
   private def lake: Option[graft.io.IcebergLakeCommits] =
     commitLogRoot.map(r => new graft.io.IcebergLakeCommits(spark, r))
+
+  // one wire client per mount (the JDK HttpClient pools connections)
+  private lazy val remote: Option[graft.io.RemoteIcebergLake] =
+    lakeUri.map(u => new graft.io.RemoteIcebergLake(u))
+
+  /** The governed pin for `dir`, whichever transport is mounted. */
+  private def pinFor(dir: String): Option[Long] =
+    lake.flatMap(_.pinnedSnapshot(dir))
+      .orElse(remote.flatMap(_.pinnedSnapshot(dir)))
 
   override def name(): String = catalogName
 
@@ -108,7 +127,7 @@ class IcebergWarehouseCatalog extends TableCatalog with SupportsNamespaces {
     // does not govern yet reads its own head); writes stay allowed —
     // they land on the table line and become visible at the next
     // publish, exactly the Nessie trade
-    val pin = lake.flatMap(_.pinnedSnapshot(dir))
+    val pin = pinFor(dir)
     new IcebergForeignTable(fullName(ident), dir, pin, pinned = false)
   }
 

@@ -125,6 +125,11 @@ final class IcebergLakeCommits(spark: SparkSession, logRoot: String) {
   /** The snapshot the head commit pins for `tableDir`, if governed. */
   def pinnedSnapshot(tableDir: String): Option[Long] = state().get(key(tableDir))
 
+  /** The snapshot commit `c` pins for `tableDir` (key-normalized —
+    * `/wh/db/t` and `file:/wh/db/t` resolve the same pin); the HTTP
+    * face ([[IcebergLakeHttpServer]]) answers `/contents` with this. */
+  def pinnedSnapshotAt(c: Int, tableDir: String): Option[Long] = state(c).get(key(tableDir))
+
   /** Resolve `tableDir` through the log: the pinned snapshot, or the
     * table head when the log does not govern it (yet). */
   def read(tableDir: String): DataFrame =

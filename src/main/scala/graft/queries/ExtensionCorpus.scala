@@ -3533,13 +3533,91 @@ object ExtensionCorpus {
       ) ORDER BY _change_type, l_returnflag""")
   )
 
+  /** HTTP-MOUNTED FOREIGN CATALOG (X139 — the URI mount, the r17
+    * verdict's #3: the reference registers its catalog by URI,
+    * `datalake_gold_spark_dag.py:181-186`; a shared-filesystem commit
+    * log is not how engines mount a lake): silver+gold exported under
+    * one warehouse, the lake's commit log served over the
+    * Nessie-v2-shaped loopback wire ([[graft.io.IcebergLakeHttpServer]]),
+    * the catalog mounted with `spark.sql.catalog.<n>.uri=` — then a
+    * coordinated restatement published OVER THE WIRE (CAS commit) and
+    * a POISON append landed on silver's table line unpublished. The
+    * 3-part-name gold-vs-recomputed join hash-matches only if the SQL
+    * reads resolve the wire-pinned snapshots (poison invisible, both
+    * tables from one commit). */
+  private val q172 = Q(
+    "q172_iceberg_http_catalog",
+    (s, dir) => {
+      val cat = "hice" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      val wh = java.nio.file.Files.createTempDirectory(s"q172-wh").toString
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(wh, "dw"))
+      val logDir = java.nio.file.Files.createTempDirectory("q172-log").toString
+      val liDir = s"$wh/dw/li"; val aggDir = s"$wh/dw/li_agg"
+      val li = fixture(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      def agg(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      val root = java.nio.file.Files.createTempDirectory("q172-snap").toString
+      val t = new graft.io.SnapshotTables(s, root)
+      t.overwriteTable(li.filter(col("l_orderkey") <= 5000), "li")
+      graft.io.IcebergExport.export(t, "li", liDir)
+      t.overwriteTable(agg(t.read("li")), "li_agg")
+      graft.io.IcebergExport.export(t, "li_agg", aggDir)
+      val lake = new graft.io.IcebergLakeCommits(s, logDir)
+      val srv = new graft.io.IcebergLakeHttpServer(lake).start()
+      try {
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.catalog.IcebergWarehouseCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.conf.set(s"spark.sql.catalog.$cat.uri", srv.url)
+        val remote = new graft.io.RemoteIcebergLake(srv.url)
+        remote.publish(s, Seq(liDir, aggDir))
+        // restatement committed per table, then published over the
+        // wire as ONE CAS commit
+        val restated = li.filter(col("l_orderkey") <= 6000)
+          .withColumn("l_quantity",
+            when(col("l_orderkey").between(1000, 2000), col("l_quantity") + 5)
+              .otherwise(col("l_quantity")))
+        graft.io.IcebergAppend.overwrite(s, liDir, restated)
+        graft.io.IcebergAppend.overwrite(s, aggDir,
+          agg(graft.io.IcebergImport.read(s, liDir)))
+        remote.publish(s, Seq(liDir, aggDir))
+        // poison: committed to silver's TABLE LINE, never published
+        graft.io.IcebergAppend.append(s, liDir, li.filter(col("l_orderkey") <= 100))
+        // analysis resolves the wire pins HERE; the scan itself reads
+        // shared storage, so the server can stop once the plan exists
+        s.sql(s"""SELECT g.l_returnflag, g.n AS n_gold, g.sum_qty AS sum_qty_gold,
+                         c.n AS n_silver, c.sum_qty AS sum_qty_silver
+                  FROM $cat.dw.li_agg g
+                  JOIN (SELECT l_returnflag, COUNT(*) AS n,
+                          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+                        FROM $cat.dw.li GROUP BY l_returnflag) c
+                    ON g.l_returnflag = c.l_returnflag
+                  ORDER BY g.l_returnflag""")
+      } finally srv.stop()
+    },
+    Some("""WITH fin AS (
+        SELECT l_returnflag,
+          CASE WHEN l_orderkey BETWEEN 1000 AND 2000 THEN l_quantity + 5
+               ELSE l_quantity END AS q
+        FROM lineitem WHERE l_orderkey <= 6000),
+      agg AS (SELECT l_returnflag, COUNT(*) AS n,
+          CAST(SUM(CAST(q AS DECIMAL(18,2))) AS DOUBLE) AS sq
+        FROM fin GROUP BY l_returnflag)
+      SELECT l_returnflag, n AS n_gold, sq AS sum_qty_gold,
+        n AS n_silver, sq AS sum_qty_silver
+      FROM agg ORDER BY l_returnflag""")
+  )
+
   val all: Seq[Q] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q98b, q99, q100, q101, q102, q106, q107, q108,
     q109, q111, q112, q113, q114, q116, q117, q118, q119, q121, q122, q123, q125, q126, q127,
     q128, q130, q131, q132, q133, q135, q136, q137, q138, q139, q140, q141, q143, q144,
     q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159,
-    q160, q161, q162, q163, q164, q165, q166, q166b, q167, q168, q169, q170, q171
+    q160, q161, q162, q163, q164, q165, q166, q166b, q167, q168, q169, q170, q171, q172
   )
 
 }
