@@ -214,8 +214,8 @@ object IcebergAppend {
       try om.readTree(in).asInstanceOf[ObjectNode] finally in.close()
     }
     val fv = if (md.has("format-version")) md.get("format-version").asInt else 1
-    require(fv == 2,
-      s"commit needs a v2 table (sequence-number inheritance); $mdPath is format-version $fv")
+    require(fv == 2 || fv == 3,
+      s"commit needs a v2/v3 table (sequence-number inheritance); $mdPath is format-version $fv")
 
     // ---- current schema: (id, name, spark type) in schema order ----
     val schemaNode = {
@@ -564,6 +564,16 @@ object IcebergAppend {
     newSnapNode.put("manifest-list", fs.makeQualified(newListPath).toString)
     if (md.has("current-schema-id"))
       newSnapNode.put("schema-id", md.get("current-schema-id").asInt)
+    // v3 row lineage: the snapshot records the id range it assigns
+    // (first-row-id + added-rows) and the table's next-row-id advances
+    // — the spec's writer obligation; readers here null-fill lineage
+    if (md.has("format-version") && md.get("format-version").asInt == 3) {
+      val nextRowId = if (md.has("next-row-id")) md.get("next-row-id").asLong else 0L
+      val added = manifests.filter(_.content == 0).map(_.rows).sum
+      newSnapNode.put("first-row-id", nextRowId)
+      newSnapNode.put("added-rows", added)
+      md.put("next-row-id", nextRowId + added)
+    }
     md.put("last-sequence-number", newSeq)
     md.put("last-updated-ms", now)
     summaryProps.get(TxnKey).foreach(txn => recordTxnProperty(om, md, txn))

@@ -44,7 +44,7 @@ object IcebergAvroData {
   /** Hadoop Configuration is not Serializable but is Writable — the
     * standard wrapper, so executor tasks open files under the
     * driver's exact FS settings. */
-  private final class SerializableConf(@transient var value: Configuration)
+  private[io] final class SerializableConf(@transient var value: Configuration)
       extends Serializable {
     private def writeObject(out: ObjectOutputStream): Unit = {
       out.defaultWriteObject(); value.write(out)

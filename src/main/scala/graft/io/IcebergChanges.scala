@@ -197,21 +197,27 @@ object IcebergChanges {
     // the files those deletes reference; an equality delete's targets
     // are only known by predicate, so it widens the slice to all
     // surviving files.
-    val newDeletes = IcebergImport.deleteFiles(spark, tableDir, Some(st.snapshotId)).toSet --
-      IcebergImport.deleteFiles(spark, tableDir, Some(p)).toSet
+    val prevDeletes = IcebergImport.deleteFiles(spark, tableDir, Some(p)).toSet
+    val newDeleteInfo = IcebergImport.deleteFileInfo(spark, tableDir, Some(st.snapshotId))
+      .filter { case (_, path, _) => !prevDeletes.contains(path) }
+    val newDeletes = newDeleteInfo.map(_._2).toSet
     if (newDeletes.nonEmpty && surviving.nonEmpty) {
-      val newDeleteInfo = IcebergImport.filesRelation(spark, tableDir, Some(st.snapshotId))
-        .filter(col("content") =!= 0)
-        .select("content", "file_path").collect() // metadata-sized
-        .map(r => (r.getInt(0), r.getString(1)))
-        .filter { case (_, path) => newDeletes.contains(path) }
-      val positionOnly = newDeleteInfo.nonEmpty && newDeleteInfo.forall(_._1 == 1)
+      // position deletes name their targets: parquet pos-delete files
+      // carry a file_path column (one tiny read), v3 deletion vectors
+      // carry referenced_data_file in the manifest itself (free).
+      // Only an equality delete hides its targets behind a predicate
+      // and widens the slice to all surviving files.
+      val positionOnly = newDeleteInfo.forall(_._1 == 1)
       val scope: String => Boolean =
         if (positionOnly) {
-          val referenced: Set[String] = spark.read
-            .parquet(newDeleteInfo.map(_._2).toIndexedSeq: _*)
-            .select(col("file_path").cast("string")).distinct()
-            .collect().map(_.getString(0)).toSet // touched FILES — metadata-sized
+          val posParquet = newDeleteInfo.collect { case (1, path, None) => path }
+          val fromParquet: Set[String] =
+            if (posParquet.isEmpty) Set.empty
+            else spark.read.parquet(posParquet.toIndexedSeq: _*)
+              .select(col("file_path").cast("string")).distinct()
+              .collect().map(_.getString(0)).toSet // touched FILES — metadata-sized
+          val fromDv: Set[String] = newDeleteInfo.collect { case (1, _, Some((ref, _, _))) => ref }.toSet
+          val referenced = fromParquet ++ fromDv
           val keep = surviving.filter(f => IcebergImport.spellings(f).exists(referenced.contains))
           keep.contains _
         } else surviving.contains _

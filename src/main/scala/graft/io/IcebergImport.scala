@@ -88,8 +88,13 @@ object IcebergImport {
   private final case class ScopeCond(col: String, transform: String, value: Any)
   /** `scope`: partition-scope conditions from the delete manifest's
     * partition spec + this entry's partition struct; Nil = global. */
+  /** `dv`: the v3 DELETION-VECTOR addressing triple
+    * (referenced_data_file, content_offset, content_size_in_bytes) —
+    * set when this content=1 entry is a Puffin-stored DV rather than a
+    * parquet position-delete file. */
   private final case class DeleteEntry(path: String, raw: String, seq: Long,
-      content: Int, equalityIds: Seq[Int], scope: Seq[ScopeCond], recordCount: Long = -1L)
+      content: Int, equalityIds: Seq[Int], scope: Seq[ScopeCond], recordCount: Long = -1L,
+      dv: Option[(String, Long, Long)] = None)
   private final case class SpecField(name: String, transform: String, sourceId: Int)
   /** `loc`: the table root — partition-component detection must only
     * look at directory components BELOW it. `schema`: the metadata
@@ -219,6 +224,13 @@ object IcebergImport {
   def deleteFiles(spark: SparkSession, tableDir: String, snapshotId: Option[Long] = None): Seq[String] =
     planScan(spark, tableDir, snapshotId).deletes.map(_.path)
 
+  /** Detailed delete-file inventory: (content, path, DV addressing
+    * triple when the entry is a v3 deletion vector). Metadata-only —
+    * the changelog reader's prune source. */
+  private[graft] def deleteFileInfo(spark: SparkSession, tableDir: String,
+      snapshotId: Option[Long] = None): Seq[(Int, String, Option[(String, Long, Long)])] =
+    planScan(spark, tableDir, snapshotId).deletes.map(d => (d.content, d.path, d.dv))
+
   // ------------------------------------------------------------------
   // planning: metadata JSON → manifests → (data entries, delete entries)
   // ------------------------------------------------------------------
@@ -235,7 +247,12 @@ object IcebergImport {
       try om.readTree(in) finally in.close()
     }
     val fv = if (md.has("format-version")) md.get("format-version").asInt else 1
-    require(fv == 1 || fv == 2, s"unsupported Iceberg format-version $fv at $mdPath")
+    require(fv >= 1 && fv <= 3, s"unsupported Iceberg format-version $fv at $mdPath")
+    // v3 feature triage, checked below once the schema node is in
+    // hand: deletion vectors READ (the Puffin branch of applyDeletes);
+    // row lineage null-fills (this engine exposes no _row_id — the
+    // CDC-alignment posture); NON-NULL COLUMN DEFAULTS have no read
+    // semantics here and refuse loudly.
 
     // field id → name from the current schema (v2 "schemas" +
     // "current-schema-id"; v1 single "schema") — resolves equality_ids
@@ -247,6 +264,15 @@ object IcebergImport {
           .find(s => s.has("schema-id") && s.get("schema-id").asInt == want)
           .getOrElse(schemas.get(0))
       } else md.get("schema")
+    }
+    if (fv == 3 && schemaNode != null && schemaNode.get("fields") != null) {
+      val fields = schemaNode.get("fields")
+      (0 until fields.size).map(fields.get).foreach { f =>
+        require(!f.hasNonNull("initial-default"),
+          s"v3 column '${f.get("name").asText}' of $mdPath carries initial-default " +
+            s"${f.get("initial-default")} — non-null column defaults have no read " +
+            "semantics here; materialize the default (rewrite the files) before migrating")
+      }
     }
     val fieldNames: Map[Int, String] =
       if (schemaNode == null || schemaNode.get("fields") == null) Map.empty
@@ -319,12 +345,24 @@ object IcebergImport {
           // columnar reader + by-id rename projection), or Avro
           // (decoded by [[IcebergAvroData]]). DELETE files: parquet
           // only — their application plan reads them columnar.
+          // v3 deletion vector: a content=1 entry addressing a Puffin
+          // blob via (referenced_data_file, content_offset, size)
+          val dvTriple: Option[(String, Long, Long)] =
+            for {
+              off <- fieldOpt(df, "content_offset").map(_.asInstanceOf[Long])
+              size <- fieldOpt(df, "content_size_in_bytes").map(_.asInstanceOf[Long])
+              refFile <- fieldOpt(df, "referenced_data_file").map(_.toString)
+            } yield (refFile, off, size)
           if (content == 0)
             require(fmt == "PARQUET" || fmt == "AVRO" || fmt == "ORC",
               s"data file format $fmt in $mPath is not supported — parquet, orc and avro only")
+          else if (content == 1 && dvTriple.isDefined)
+            require(fmt == "PUFFIN",
+              s"deletion-vector entry in $mPath names format $fmt — the v3 spec stores DVs in PUFFIN")
           else
             require(fmt == "PARQUET",
-              s"non-parquet delete file ($fmt) in $mPath — only parquet delete files are supported")
+              s"non-parquet delete file ($fmt) in $mPath — only parquet delete files " +
+                "(and v3 Puffin deletion vectors) are supported")
           // v2 sequence inheritance: a null sequence on an ADDED entry
           // takes the manifest's; null on EXISTING/other must be
           // explicit. v1 manifests have no sequence_number field at all
@@ -346,7 +384,7 @@ object IcebergImport {
               kvBytesOf(df, "lower_bounds"), kvBytesOf(df, "upper_bounds"), rc,
               dataScope(specFields, df, fieldNames), fmt,
               partitionDisplay(specFields, df))
-            case 1 => delB += DeleteEntry(abs, raw, seq, 1, Nil, Nil, rc)
+            case 1 => delB += DeleteEntry(abs, raw, seq, 1, Nil, Nil, rc, dvTriple)
             case 2 =>
               val idsNode = fieldOpt(df, "equality_ids").orNull
               require(idsNode != null,
@@ -865,7 +903,29 @@ object IcebergImport {
       (spellings(d.raw) ++ spellings(d.path)).map(s => (s, d.seq))
     }.toDF("__dspelling", "__dseq")
 
-    val posDeletes = plan.deletes.filter(_.content == 1)
+    val (dvDeletes, posDeletes) = plan.deletes.filter(_.content == 1).partition(_.dv.isDefined)
+    // v3 DELETION VECTORS: each entry addresses one Puffin blob of
+    // positions for ONE data file — decoded INSIDE executor tasks
+    // (codec-boundary rule), then the same sequence-gated (file, pos)
+    // anti-join as parquet position deletes
+    if (dvDeletes.nonEmpty) {
+      val conf = new IcebergAvroData.SerializableConf(spark.sparkContext.hadoopConfiguration)
+      val dvInfo = dvDeletes.map(d => (d.path, d.dv.get._2, d.dv.get._3, d.dv.get._1, d.seq))
+      val dvRdd = spark.sparkContext
+        .parallelize(dvInfo, math.max(1, math.min(dvInfo.size, spark.sparkContext.defaultParallelism)))
+        .flatMap { case (puffin, off, size, target, dseq) =>
+          val p = new Path(puffin)
+          val fsx = p.getFileSystem(conf.value)
+          PuffinDeletionVectors.readPositions(fsx, p, off, size).map(pos => (target, pos, dseq))
+        }
+      val dv = dvRdd.toDF("__target", PosCol, "__dseq")
+        // a DV addressing a file outside this snapshot (compacted
+        // away) legitimately drops out in the inner join
+        .join(broadcast(dataLookup), col("__target") === col("__spelling"), "inner")
+        .where(col("__dseq") >= col(FseqCol)) // spec: applies at same-or-later sequence
+        .select(col(FidCol), col(PosCol))
+      df = df.join(dv, Seq(FidCol, PosCol), "left_anti")
+    }
     if (posDeletes.nonEmpty) {
       val raw = spark.read.parquet(posDeletes.map(_.path): _*)
       Seq("file_path", "pos").foreach(c => require(raw.columns.contains(c),

@@ -75,7 +75,8 @@ object IcebergMaintenance {
       val in = fs.open(mdPath)
       try om.readTree(in).asInstanceOf[ObjectNode] finally in.close()
     }
-    require(md.get("format-version").asInt == 2, "expireSnapshots needs a v2 table")
+    val fvx = md.get("format-version").asInt
+    require(fvx == 2 || fvx == 3, s"expireSnapshots needs a v2/v3 table, got $fvx")
     val snaps = md.get("snapshots").asInstanceOf[ArrayNode]
     val byTime = (0 until snaps.size).map(snaps.get)
       .sortBy(s => (s.get("timestamp-ms").asLong, s.get("snapshot-id").asLong))

@@ -3611,13 +3611,53 @@ object ExtensionCorpus {
       FROM agg ORDER BY l_returnflag""")
   )
 
+  /** FORMAT-VERSION 3 WITH DELETION VECTORS (X140 — the r17 verdict's
+    * #4 "next hard wall": `IcebergImport` refused `format-version` ≠
+    * 1|2; v3 writers are starting to emit Puffin-stored DVs): even
+    * lineitem keys exported (snap 1, v2), the table UPGRADED to v3,
+    * the %3==0 keys deleted by DELETION VECTOR (snap 2 — roaring64
+    * bitmaps in a Puffin file, addressed by the manifest's
+    * referenced_data_file/content_offset/content_size triple), the odd
+    * keys appended (snap 3 — sequence gating must keep the older DV
+    * off them even where positions overlap), then the %5==0 keys
+    * DV-deleted across BOTH vintages (snap 4). The head aggregate is
+    * hash-exact vs DuckDB replaying both predicates over raw parquet. */
+  private val q173 = Q(
+    "q173_iceberg_v3_deletion_vectors",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q173-snap").toString
+      val t = new graft.io.SnapshotTables(s, root)
+      val li = fixture(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      t.overwriteTable(li.filter(col("l_orderkey") % 2 === 0), "li")
+      val dest = java.nio.file.Files.createTempDirectory("q173-ice").toString
+      graft.io.IcebergExport.export(t, "li", dest)
+      graft.io.PuffinDeletionVectors.upgradeToV3(s, dest)
+      graft.io.PuffinDeletionVectors.writeDVDelete(s, dest, "l_orderkey % 3 = 0")
+      graft.io.IcebergAppend.append(s, dest, li.filter(col("l_orderkey") % 2 =!= 0))
+      graft.io.PuffinDeletionVectors.writeDVDelete(s, dest, "l_orderkey % 5 = 0")
+      s.sql(s"""SELECT l_returnflag, COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM graft_iceberg_scan('$dest')
+        GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+    // evens survive %3 and %5; odds (appended after the first DV)
+    // survive only %5
+    Some("""SELECT l_returnflag, COUNT(*) AS n,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      WHERE (l_orderkey % 2 = 0 AND l_orderkey % 3 <> 0 AND l_orderkey % 5 <> 0)
+         OR (l_orderkey % 2 = 1 AND l_orderkey % 5 <> 0)
+      GROUP BY l_returnflag ORDER BY l_returnflag""")
+  )
+
   val all: Seq[Q] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q98b, q99, q100, q101, q102, q106, q107, q108,
     q109, q111, q112, q113, q114, q116, q117, q118, q119, q121, q122, q123, q125, q126, q127,
     q128, q130, q131, q132, q133, q135, q136, q137, q138, q139, q140, q141, q143, q144,
     q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159,
-    q160, q161, q162, q163, q164, q165, q166, q166b, q167, q168, q169, q170, q171, q172
+    q160, q161, q162, q163, q164, q165, q166, q166b, q167, q168, q169, q170, q171, q172, q173
   )
 
 }

@@ -19,7 +19,7 @@ object DriveIceExport {
     // on version files (the append's optimistic concurrency, working
     // as designed — but these are throwaway fixtures)
     Seq("plain", "mor", "bucket", "posdel", "evolved", "appended", "partitioned", "scoped",
-        "dml", "branch", "posdml", "merge", "catname", "avrodata")
+        "dml", "branch", "posdml", "merge", "catname", "avrodata", "dv")
       .foreach { n =>
         val p = new org.apache.hadoop.fs.Path(s"/tmp/ind_export_$n")
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -231,6 +231,26 @@ object DriveIceExport {
     val r14r = graft.io.IcebergImport.read(spark, "/tmp/ind_export_avrodata")
       .agg(count(lit(1)), sum(col("o_totalprice").cast("decimal(18,2)")).cast("string")).collect()(0)
     println(s"EXPECT avrodata count=${r14r.getLong(0)} sum=${r14r.getString(1)}")
+
+    // 15: FORMAT-VERSION 3 + DELETION VECTORS (X140): a v2 export
+    // upgraded to v3, the %3 keys deleted by DV (Puffin/roaring64), a
+    // LATER append whose rows the older DV must not touch (sequence
+    // gating), then a second DV across both vintages — the witness
+    // decodes the Puffin blobs with its own from-scratch reader
+    val r15 = java.nio.file.Files.createTempDirectory("ind-snap15").toString
+    val t15 = new graft.io.SnapshotTables(spark, r15)
+    t15.overwriteTable(ord.filter(col("o_orderkey") % 2 === 0), "ord")
+    graft.io.IcebergExport.export(t15, "ord", "/tmp/ind_export_dv")
+    graft.io.PuffinDeletionVectors.upgradeToV3(spark, "/tmp/ind_export_dv")
+    graft.io.PuffinDeletionVectors.writeDVDelete(spark, "/tmp/ind_export_dv",
+      "o_orderkey % 3 = 0")
+    graft.io.IcebergAppend.append(spark, "/tmp/ind_export_dv",
+      ord.filter(col("o_orderkey") % 2 =!= 0))
+    graft.io.PuffinDeletionVectors.writeDVDelete(spark, "/tmp/ind_export_dv",
+      "o_orderkey % 5 = 0")
+    val r15r = graft.io.IcebergImport.read(spark, "/tmp/ind_export_dv")
+      .agg(count(lit(1)), sum(col("o_totalprice").cast("decimal(18,2)")).cast("string")).collect()(0)
+    println(s"EXPECT dv count=${r15r.getLong(0)} sum=${r15r.getString(1)}")
     spark.stop()
   }
 }

@@ -1,0 +1,143 @@
+package graft.io
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+/** ICEBERG FORMAT-VERSION 3 with DELETION VECTORS
+  * ([[PuffinDeletionVectors]] + the v3 branches in the import) — the
+  * r17 verdict's "next hard wall". Pins:
+  *
+  *  - the roaring64 portable codec round-trips array (≤4096),
+  *    bitmap (>4096) and multi-high-key shapes; the decoder also reads
+  *    RUN containers (cookie 12347 — foreign writers emit them)
+  *  - the `deletion-vector-v1` blob frames with length/magic/CRC and
+  *    refuses corruption loudly
+  *  - END TO END: a v2 table upgraded to v3, rows deleted by DV —
+  *    the read applies the vector; a later append's rows are untouched
+  *    (sequence gating); the `.files` face lists the Puffin entry
+  *  - the changelog read emits the DV-deleted row images, pruned to
+  *    the referenced file
+  *  - v3 feature triage: a column carrying a non-null initial-default
+  *    refuses loudly (no read semantics here); format-version 4
+  *    refuses */
+class IcebergV3DvSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-icev3-$tag").toString
+
+  private def exported(tag: String, rows: Seq[(Long, String)]): String = {
+    val st = new SnapshotTables(spark, tmp(s"$tag-snap"))
+    st.overwriteTable(rows.toDF("id", "v"), "t")
+    val dest = tmp(s"$tag-ice")
+    IcebergExport.export(st, "t", dest)
+    dest
+  }
+
+  test("roaring64 portable codec round-trips array, bitmap and multi-key shapes") {
+    val shapes: Seq[Seq[Long]] = Seq(
+      Seq(0L, 1L, 5L, 65535L),                       // one array container
+      (0L until 5000L).map(_ * 2),                   // bitmap container (cardinality > 4096)
+      Seq(1L, 70000L, (1L << 33) + 7, (1L << 33) + 9), // several containers + high keys
+      Seq(123456789L)
+    )
+    shapes.foreach { ps =>
+      val enc = PuffinDeletionVectors.encodeRoaring64(ps)
+      assert(PuffinDeletionVectors.decodeRoaring64(enc) == ps.distinct.sorted)
+    }
+  }
+
+  test("run containers decode (cookie 12347 — the shape foreign writers emit)") {
+    // hand-build: one map (high key 0), one RUN container holding
+    // [10, 13] ∪ [100, 100] — cookie 12347, container count in the
+    // high half, run bitset, no offsets (n < 4)
+    val bb = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putLong(1L)            // map count
+    bb.putInt(0)              // high key
+    bb.putInt(12347 | (0 << 16)) // SERIAL_COOKIE, containerCount-1 = 0
+    bb.put(1.toByte)          // run flag bitset: container 0 is a run
+    bb.putShort(0)            // key
+    bb.putShort(4)            // cardinality-1 (5 values)
+    bb.putShort(2)            // number of runs
+    bb.putShort(10); bb.putShort(3)   // run [10, 10+3]
+    bb.putShort(100); bb.putShort(0)  // run [100, 100]
+    val bytes = java.util.Arrays.copyOf(bb.array(), bb.position())
+    assert(PuffinDeletionVectors.decodeRoaring64(bytes) == Seq(10L, 11L, 12L, 13L, 100L))
+  }
+
+  test("deletion-vector blob: framed round-trip; corruption refuses loudly") {
+    val blob = PuffinDeletionVectors.encodeDvBlob(Seq(3L, 7L, 11L))
+    assert(PuffinDeletionVectors.decodeDvBlob(blob) == Seq(3L, 7L, 11L))
+    val corrupted = blob.clone(); corrupted(10) = (corrupted(10) ^ 0x5A).toByte
+    val e = intercept[IllegalArgumentException] {
+      PuffinDeletionVectors.decodeDvBlob(corrupted)
+    }
+    assert(e.getMessage.contains("CRC") || e.getMessage.contains("magic"))
+  }
+
+  test("end to end: v3 upgrade, DV delete applies, later appends untouched, .files lists Puffin") {
+    val dir = exported("e2e", (1L to 10L).map(i => (i, s"v$i")))       // snap 1 (v2)
+    PuffinDeletionVectors.upgradeToV3(spark, dir)
+    val snap = PuffinDeletionVectors.writeDVDelete(spark, dir, "id % 3 = 0") // snap 2 (DV)
+    assert(snap.isDefined)
+    assert(IcebergImport.read(spark, dir).select("id").collect().map(_.getLong(0)).toSeq.sorted
+      == Seq(1L, 2L, 4L, 5L, 7L, 8L, 10L))
+    // a LATER append's rows must not be touched by the older DV even
+    // where positions overlap (sequence gating)
+    IcebergAppend.append(spark, dir, Seq((3L, "back")).toDF("id", "v")) // snap 3
+    assert(IcebergImport.read(spark, dir).filter(col("id") === 3L).count() == 1)
+    // the metadata face shows the Puffin delete entries (one DV per
+    // touched data file, per the v3 one-DV-per-file rule) summing to
+    // the 3 deleted rows
+    val files = IcebergImport.filesRelation(spark, dir)
+      .filter(col("content") === 1).select("file_path", "record_count").collect()
+    assert(files.nonEmpty && files.forall(_.getString(0).endsWith(".puffin"))
+      && files.map(_.getLong(1)).sum == 3L)
+    // nothing-matched returns None, no empty snapshot
+    assert(PuffinDeletionVectors.writeDVDelete(spark, dir, "id = 999").isEmpty)
+  }
+
+  test("the changelog emits DV-deleted row images") {
+    val dir = exported("cdc", (1L to 6L).map(i => (i, s"v$i")))        // snap 1
+    PuffinDeletionVectors.upgradeToV3(spark, dir)
+    PuffinDeletionVectors.writeDVDelete(spark, dir, "id >= 5")          // snap 2
+    val got = IcebergChanges.changesBetween(spark, dir, Some(1L))
+      .select("_change_type", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    assert(got == Seq(("delete", 5L), ("delete", 6L)))
+  }
+
+  test("v3 feature triage: initial-default refuses loudly; format-version 4 refuses") {
+    val dir = exported("tri", Seq((1L, "a")))
+    PuffinDeletionVectors.upgradeToV3(spark, dir)
+    // inject a defaulted column into the current schema JSON
+    val metaDir = new org.apache.hadoop.fs.Path(dir, "metadata")
+    val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mdPath = IcebergImport.latestMetadata(fs, metaDir)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val md = {
+      val in = fs.open(mdPath)
+      try om.readTree(in).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      finally in.close()
+    }
+    val schemas = md.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("schemas")
+    val fields = schemas.get(0).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .withArray[com.fasterxml.jackson.databind.node.ArrayNode]("fields")
+    val f = fields.addObject()
+    f.put("id", 99); f.put("name", "flagged"); f.put("required", false)
+    f.put("type", "int"); f.put("initial-default", 42)
+    def rewrite(): Unit = {
+      val os = fs.create(mdPath, true)
+      try os.write(om.writeValueAsString(md).getBytes("UTF-8")) finally os.close()
+    }
+    rewrite()
+    val e = intercept[IllegalArgumentException] { IcebergImport.read(spark, dir) }
+    assert(e.getMessage.contains("initial-default"))
+    // and an unknown future format version refuses up front
+    fields.remove(fields.size - 1)
+    md.put("format-version", 4)
+    rewrite()
+    val e2 = intercept[IllegalArgumentException] { IcebergImport.read(spark, dir) }
+    assert(e2.getMessage.contains("format-version 4"))
+  }
+}

@@ -146,6 +146,71 @@ def read_avro_file(path):
     return records, meta
 
 
+# ------------------------------------------- puffin deletion vectors
+def decode_roaring64(b):
+    """The 64-bit roaring "portable" serialization (Iceberg v3 DV
+    vector): 8-byte LE map count, then per map a 4-byte LE high key +
+    one 32-bit roaring bitmap (cookies 12346/12347; array, bitmap and
+    run containers)."""
+    off = 0
+    (nmaps,) = struct.unpack_from("<q", b, off); off += 8
+    out = []
+    for _ in range(nmaps):
+        (high,) = struct.unpack_from("<I", b, off); off += 4
+        high = high << 32
+        (cookie,) = struct.unpack_from("<i", b, off); off += 4
+        has_runs = (cookie & 0xFFFF) == 12347
+        if has_runs:
+            n = (cookie >> 16) + 1
+            nb = (n + 7) // 8
+            run_flags = b[off:off + nb]; off += nb
+        else:
+            assert cookie == 12346, f"bad roaring cookie {cookie}"
+            (n,) = struct.unpack_from("<i", b, off); off += 4
+            run_flags = b""
+        keys, cards = [], []
+        for _i in range(n):
+            (k, c) = struct.unpack_from("<HH", b, off); off += 4
+            keys.append(k); cards.append(c + 1)
+        if (not has_runs) or n >= 4:
+            off += 4 * n  # container offsets; layout is sequential anyway
+        for i in range(n):
+            base = high | (keys[i] << 16)
+            is_run = has_runs and (run_flags[i // 8] >> (i % 8)) & 1
+            if is_run:
+                (nruns,) = struct.unpack_from("<H", b, off); off += 2
+                for _r in range(nruns):
+                    (s0, l0) = struct.unpack_from("<HH", b, off); off += 4
+                    out.extend(base | v for v in range(s0, s0 + l0 + 1))
+            elif cards[i] <= 4096:
+                vals = struct.unpack_from(f"<{cards[i]}H", b, off)
+                off += 2 * cards[i]
+                out.extend(base | v for v in vals)
+            else:
+                words = struct.unpack_from("<1024Q", b, off); off += 8192
+                for w, word in enumerate(words):
+                    while word:
+                        v = (word & -word).bit_length() - 1
+                        out.append(base | (w * 64 + v))
+                        word &= word - 1
+    return out
+
+
+def read_dv_blob(path, offset, size):
+    """One deletion-vector-v1 blob, addressed by the manifest triple
+    (never needs the Puffin footer): 4-byte BE length of magic+vector,
+    magic D1 D3 39 64, the roaring64 vector, 4-byte BE CRC-32."""
+    with open(path, "rb") as fh:
+        fh.seek(offset)
+        blob = fh.read(size)
+    (ln,) = struct.unpack_from(">i", blob, 0)
+    assert ln == len(blob) - 8, f"DV blob length {ln} does not frame {len(blob)} bytes"
+    assert blob[4:8] == b"\xd1\xd3\x39\x64", "bad deletion-vector magic"
+    (crc,) = struct.unpack_from(">I", blob, len(blob) - 4)
+    assert (zlib.crc32(blob[4:-4]) & 0xFFFFFFFF) == crc, "deletion-vector CRC mismatch"
+    return decode_roaring64(blob[8:-4])
+
+
 # ------------------------------------------------------------- iceberg
 def resolve(table_dir, p):
     if p.startswith("file:"):
@@ -183,7 +248,7 @@ def plan_scan(table_dir):
             raise SystemExit(f"no *.metadata.json under {meta_dir}")
         md_path = os.path.join(meta_dir, best[1])
     md = json.load(open(md_path))
-    assert md["format-version"] == 2, "expected a v2 export"
+    assert md["format-version"] in (2, 3), "expected a v2/v3 table"
     snap_id = md["current-snapshot-id"]
     snap = next(s for s in md["snapshots"] if s["snapshot-id"] == snap_id)
     schemas = {s["schema-id"]: s for s in md["schemas"]}
@@ -240,6 +305,11 @@ def plan_scan(table_dir):
                 if f.get("transform") == "identity" and src:
                     ident[src] = v
                 scope.append((src, f.get("transform"), v, ftype))
+            dv = None
+            if (df.get("content_offset") is not None and
+                    df.get("referenced_data_file") is not None):
+                dv = (df["referenced_data_file"], df["content_offset"],
+                      df["content_size_in_bytes"])
             rec = {
                 "path": resolve(table_dir, df["file_path"]),
                 "seq": seq,
@@ -249,6 +319,7 @@ def plan_scan(table_dir):
                 "record_count": df["record_count"],
                 "ident": ident,
                 "scope": scope,
+                "dv": dv,
             }
             (data if rec["content"] == 0 else deletes).append(rec)
     return data, deletes, field_names, schema["fields"], name_mapping
@@ -393,12 +464,27 @@ def main():
     con.execute(f"CREATE VIEW base AS {base}")
     view = "base"
     pos = [f for f in deletes if f["content"] == 1]
+    pos_parq = [f for f in pos if not f.get("dv")]
+    pos_dv = [f for f in pos if f.get("dv")]
     if pos:
-        pos_vals = ",".join("('{}',{})".format(f["path"], f["seq"]) for f in pos)
-        con.execute(
-            f"CREATE VIEW posdel AS SELECT pd.file_path, pd.pos, fs2.seq AS dseq "
-            f"FROM read_parquet({flist(pos)}, filename=true) pd "
-            f"JOIN (VALUES {pos_vals}) fs2(path, seq) ON pd.filename = fs2.path")
+        rels = []
+        if pos_parq:
+            pos_vals = ",".join("('{}',{})".format(f["path"], f["seq"]) for f in pos_parq)
+            rels.append(
+                f"SELECT pd.file_path, pd.pos, fs2.seq AS dseq "
+                f"FROM read_parquet({flist(pos_parq)}, filename=true) pd "
+                f"JOIN (VALUES {pos_vals}) fs2(path, seq) ON pd.filename = fs2.path")
+        if pos_dv:
+            # v3 deletion vectors: decode each Puffin blob with the
+            # from-scratch reader above; referenced_data_file is the
+            # target spelling, the entry's sequence gates as usual
+            con.execute("CREATE TABLE dvpos(file_path VARCHAR, pos BIGINT, dseq BIGINT)")
+            for f in pos_dv:
+                ref, offn, sz = f["dv"]
+                rows = [(ref, int(p), f["seq"]) for p in read_dv_blob(f["path"], offn, sz)]
+                con.executemany("INSERT INTO dvpos VALUES (?,?,?)", rows)
+            rels.append("SELECT file_path, pos, dseq FROM dvpos")
+        con.execute("CREATE VIEW posdel AS " + " UNION ALL ".join(rels))
         # delete rows may spell paths with a file:/ URI prefix while
         # DuckDB's filename= yields the bare local path — normalize
         con.execute(
