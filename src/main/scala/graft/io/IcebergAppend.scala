@@ -687,9 +687,16 @@ object IcebergAppend {
     require(fmt == "PARQUET" || fmt == "AVRO" || fmt == "ORC",
       s"addFiles supports PARQUET, ORC and AVRO, got $format")
     val lt = load(spark, tableDir, branch)
-    require(lt.specFields.isEmpty,
-      s"addFiles on $tableDir needs an unpartitioned default spec — adopted files carry " +
-        "no partition struct")
+    // partitioned adoption (r18 — add_files' primary real-world use
+    // is adopting an existing Hive-partitioned tree; the reference's
+    // bronze layout IS one, `sys_file_date=...` dirs): IDENTITY
+    // partition values derive from the files' own `col=value` path
+    // components, exactly the procedure's contract. Non-identity
+    // transforms cannot be derived from a path and refuse.
+    require(lt.specFields.forall(_._7),
+      s"addFiles on $tableDir can only derive IDENTITY partition values from col=value " +
+        s"path components; the default spec carries non-identity transforms: " +
+        lt.specFields.filterNot(_._7).map(f => s"${f._2}(${f._3})").mkString(", "))
     // adopting a path a live manifest already references would
     // double-count its rows on every read — refuse by default, the
     // reference procedure's own contract (check_duplicate_files=true)
@@ -730,9 +737,50 @@ object IcebergAppend {
         } finally s.close()
       case "ORC" => IcebergOrcData.rows(spark, p.toString)
     }
-    val entrySchema = new org.apache.avro.Schema.Parser()
-      .parse(IcebergExport.ManifestEntryAvro)
+    val entrySchema = new org.apache.avro.Schema.Parser().parse(
+      if (lt.specFields.isEmpty) IcebergExport.ManifestEntryAvro
+      else IcebergExport.manifestEntryAvro(lt.specFields.map(f => (f._1, f._5, f._6))))
     val dfSchema = entrySchema.getField("data_file").schema()
+    /** The file's `name=value` path components (Hive layout), keys and
+      * values path-unescaped. Scans the WHOLE parent chain: an adopted
+      * tree lives wherever it lives, not under this table's root. */
+    def pathParts(p: Path): Map[String, String] = {
+      val b = Map.newBuilder[String, String]
+      var cur = p.getParent
+      while (cur != null) {
+        val c = cur.getName
+        val i = c.indexOf('=')
+        if (i > 0)
+          b += org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(c.substring(0, i)) ->
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .unescapePathName(c.substring(i + 1))
+        cur = cur.getParent
+      }
+      b.result()
+    }
+    /** One spec field's typed partition value from the file's dirs —
+      * keyed by the partition-field name with the source column as the
+      * fallback spelling; a file outside the expected layout refuses
+      * (adopting it under a guessed partition would corrupt
+      * scoped-delete semantics and partition pruning). */
+    def partValue(p: Path, parts: Map[String, String],
+        f: (String, String, String, org.apache.spark.sql.types.DataType, String, Int, Boolean))
+        : AnyRef = {
+      val (name, _, srcCol, _, kind, _, _) = f
+      val raw = parts.get(name).orElse(parts.get(srcCol)).getOrElse(
+        throw new IllegalArgumentException(
+          s"addFiles on $tableDir: file $p carries no '$name='/'$srcCol=' path component " +
+            "for the identity partition field — adopt Hive-layout trees only"))
+      if (raw == "__HIVE_DEFAULT_PARTITION__") null
+      else kind match {
+        case "int" => java.lang.Integer.valueOf(raw.toInt)
+        case "long" => java.lang.Long.valueOf(raw.toLong)
+        case "string" => raw
+        case "date" => java.lang.Integer.valueOf(
+          raw.toIntOption.getOrElse(java.time.LocalDate.parse(raw).toEpochDay.toInt))
+      }
+    }
     val segId = java.util.UUID.randomUUID().toString.take(18)
     val manifestPath = new Path(lt.metaDir, s"m-addfiles-${lt.newSnap}-$segId.avro")
     val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
@@ -751,7 +799,12 @@ object IcebergAppend {
       dfr.put("content", 0)
       dfr.put("file_path", lt.fs.makeQualified(p).toString)
       dfr.put("file_format", fmt)
-      dfr.put("partition", new GenericData.Record(dfSchema.getField("partition").schema()))
+      val pRec = new GenericData.Record(dfSchema.getField("partition").schema())
+      if (lt.specFields.nonEmpty) {
+        val parts = pathParts(p)
+        lt.specFields.foreach(sf => pRec.put(sf._1, partValue(p, parts, sf)))
+      }
+      dfr.put("partition", pRec)
       dfr.put("record_count", rows)
       dfr.put("file_size_in_bytes", lt.fs.getFileStatus(p).getLen)
       val e = new GenericData.Record(entrySchema)

@@ -3651,13 +3651,76 @@ object ExtensionCorpus {
       GROUP BY l_returnflag ORDER BY l_returnflag""")
   )
 
+  /** PARTITIONED add_files ADOPTION (X141 — the r17 verdict's #5:
+    * adopting an existing Hive-partitioned directory tree is
+    * add_files' primary real-world use, and that tree IS the
+    * reference's bronze layout, `sys_file_date=...` dirs,
+    * `datalake_bronze_fetch_raw_data_api_dag.py:288`): odd orders
+    * landed as NDJSON (the bronze wire shape), inferred and conformed,
+    * written as a date-partitioned parquet tree, and adopted BY
+    * REFERENCE into an identity-partitioned table already holding the
+    * even orders — the manifest entries derive each file's partition
+    * tuple from its `sys_file_date=` path. Per-date aggregate
+    * hash-exact vs DuckDB re-deriving the stamp from raw orders.
+    * (Partition pruning over the adopted files is plan-asserted in
+    * IcebergAppendSpec — a corpus query gates values, not plans.) */
+  private val q174 = Q(
+    "q174_iceberg_partitioned_adoption",
+    (s, dir) => {
+      val stamp = when(col("o_orderkey") % 3 === 0, "2026-01-01")
+        .when(col("o_orderkey") % 3 === 1, "2026-01-02")
+        .otherwise("2026-01-03").cast("date").as("sys_file_date")
+      val ord = fixture(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"), stamp)
+      val root = java.nio.file.Files.createTempDirectory("q174-snap").toString
+      val t = new graft.io.SnapshotTables(s, root)
+      t.overwriteTable(ord.filter(col("o_orderkey") % 2 === 0), "ord",
+        partitionCols = Seq("sys_file_date"))
+      val dest = java.nio.file.Files.createTempDirectory("q174-ice").toString
+      graft.io.IcebergExport.export(t, "ord", dest)
+      // bronze: the odd orders land as NDJSON, get inferred back, and
+      // convert to a date-partitioned parquet tree (the silver prep)
+      val bronze = java.nio.file.Files.createTempDirectory("q174-bronze").toString + "/nd"
+      ord.filter(col("o_orderkey") % 2 =!= 0).write.json(bronze)
+      val landed = graft.io.Sources.ndjsonInfer(s, bronze)
+        .select(col("o_orderkey").cast("long"), col("o_orderstatus").cast("string"),
+          col("o_totalprice").cast("double"), col("sys_file_date").cast("date"))
+      val silver = java.nio.file.Files.createTempDirectory("q174-silver").toString + "/pq"
+      landed.repartition(col("sys_file_date"))
+        .write.partitionBy("sys_file_date").parquet(silver)
+      val fs = new org.apache.hadoop.fs.Path(silver)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val files = {
+        val it = fs.listFiles(new org.apache.hadoop.fs.Path(silver), true)
+        val b = Seq.newBuilder[String]
+        while (it.hasNext) {
+          val st0 = it.next()
+          if (st0.getPath.getName.endsWith(".parquet")) b += st0.getPath.toString
+        }
+        b.result().sorted
+      }
+      graft.io.IcebergAppend.addFiles(s, dest, files)
+      s.sql(s"""SELECT CAST(sys_file_date AS STRING) AS sys_file_date, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM graft_iceberg_scan('$dest')
+        GROUP BY sys_file_date ORDER BY sys_file_date""")
+    },
+    Some("""SELECT CAST(CASE CAST(o_orderkey % 3 AS INT)
+          WHEN 0 THEN '2026-01-01' WHEN 1 THEN '2026-01-02' ELSE '2026-01-03'
+        END AS VARCHAR) AS sys_file_date,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders GROUP BY 1 ORDER BY 1""")
+  )
+
   val all: Seq[Q] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q98b, q99, q100, q101, q102, q106, q107, q108,
     q109, q111, q112, q113, q114, q116, q117, q118, q119, q121, q122, q123, q125, q126, q127,
     q128, q130, q131, q132, q133, q135, q136, q137, q138, q139, q140, q141, q143, q144,
     q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159,
-    q160, q161, q162, q163, q164, q165, q166, q166b, q167, q168, q169, q170, q171, q172, q173
+    q160, q161, q162, q163, q164, q165, q166, q166b, q167, q168, q169, q170, q171, q172, q173, q174
   )
 
 }

@@ -22,6 +22,64 @@ class IcebergAppendSpec extends SparkSpec {
     dest
   }
 
+  test("partitioned addFiles: Hive-layout adoption, derived identity values, pruning") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case l: LogicalRelation => l.relation match {
+          case h: HadoopFsRelation => h.location.inputFiles.length
+          case _ => 0
+        }
+      }.sum
+    // the landing: a date-partitioned parquet tree OUTSIDE the table —
+    // exactly the reference's bronze layout (sys_file_date=... dirs)
+    val landing =
+      java.nio.file.Files.createTempDirectory("graft-adopt-landing").toString + "/bronze"
+    Seq((1L, "a", "2026-01-01"), (2L, "b", "2026-01-01"),
+        (3L, "c", "2026-01-02"), (4L, "d", "2026-01-03"))
+      .toDF("id", "v", "d").withColumn("d", col("d").cast("date"))
+      .repartition(col("d"))
+      .write.partitionBy("d").parquet(landing)
+    // the governed table: identity-partitioned by the same date column
+    val dest = exported(
+      Seq((10L, "z", java.sql.Date.valueOf("2026-01-04"))).toDF("id", "v", "d"),
+      partitionCols = Seq("d"))
+    val fs = new org.apache.hadoop.fs.Path(landing)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(landing), true)
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) b += st.getPath.toString
+      }
+      b.result().sorted
+    }
+    assert(files.size >= 3) // one file per date directory at least
+    IcebergAppend.addFiles(spark, dest, files)
+    // adopted rows come back, the partition column typed from the
+    // path (the files themselves don't carry 'd')
+    val got = IcebergImport.read(spark, dest)
+      .select("id", "d").collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString)).toSeq.sorted
+    assert(got == Seq((1L, "2026-01-01"), (2L, "2026-01-01"), (3L, "2026-01-02"),
+      (4L, "2026-01-03"), (10L, "2026-01-04")))
+    // partition pruning on the adopted files: a d=literal filter plans
+    // fewer files than the table holds (the manifests' partition
+    // structs carry the derived identity values)
+    val total = IcebergImport.dataFiles(spark, dest).length
+    val q = spark.sql(
+      s"SELECT id FROM graft_iceberg_scan('$dest') WHERE d = DATE'2026-01-01'")
+    assert(scannedFiles(q) < total,
+      s"expected partition pruning below $total files, scanned ${scannedFiles(q)}")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // the .partitions face aggregates per derived partition value
+    val parts = IcebergImport.partitionsRelation(spark, dest)
+      .selectExpr("partition", "record_count").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(parts.values.sum == 5L && parts.size == 4)
+  }
+
   test("append commits a new snapshot: content, time travel, sequence inheritance, stats") {
     val dest = exported((1L to 4L).map(i => (i, s"v$i")).toDF("k", "v"))
     val before = IcebergImport.snapshots(spark, dest)

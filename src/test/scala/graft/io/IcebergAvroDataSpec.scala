@@ -151,15 +151,20 @@ class IcebergAvroDataSpec extends SparkSpec {
       IcebergAppend.addFiles(spark, dest, Seq("/nope.csv"), format = "CSV")
     }
     assert(e1.getMessage.contains("PARQUET, ORC and AVRO"))
-    // partitioned table: addFiles must refuse (no partition struct)
+    // identity-partitioned adoption (r18) derives values from col=value
+    // paths — a file OUTSIDE that layout refuses rather than guessing
     val root = tmp("part-snap"); val st = new SnapshotTables(spark, root)
     st.overwriteTable(Seq((1L, "a", "x")).toDF("id", "v", "p"), "t",
       partitionCols = Seq("p"))
     val pdest = tmp("part-ice")
     IcebergExport.export(st, "t", pdest)
+    val avroPath = tmp("part-data") + "/stray.avro"
+    IcebergAvroData.writeDataFile(spark,
+      Seq((2L, "b", "y")).toDF("id", "v", "p"), avroPath,
+      Map("id" -> 1, "v" -> 2, "p" -> 3))
     val e2 = intercept[IllegalArgumentException] {
-      IcebergAppend.addFiles(spark, pdest, Seq("/nope.avro"), format = "AVRO")
+      IcebergAppend.addFiles(spark, pdest, Seq(avroPath), format = "AVRO")
     }
-    assert(e2.getMessage.contains("unpartitioned"))
+    assert(e2.getMessage.contains("path component"))
   }
 }
