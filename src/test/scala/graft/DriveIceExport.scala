@@ -19,7 +19,7 @@ object DriveIceExport {
     // on version files (the append's optimistic concurrency, working
     // as designed — but these are throwaway fixtures)
     Seq("plain", "mor", "bucket", "posdel", "evolved", "appended", "partitioned", "scoped",
-        "dml", "branch", "posdml", "merge", "catname", "avrodata", "dv")
+        "dml", "branch", "posdml", "merge", "catname", "avrodata", "dv", "adopted")
       .foreach { n =>
         val p = new org.apache.hadoop.fs.Path(s"/tmp/ind_export_$n")
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -251,6 +251,41 @@ object DriveIceExport {
     val r15r = graft.io.IcebergImport.read(spark, "/tmp/ind_export_dv")
       .agg(count(lit(1)), sum(col("o_totalprice").cast("decimal(18,2)")).cast("string")).collect()(0)
     println(s"EXPECT dv count=${r15r.getLong(0)} sum=${r15r.getString(1)}")
+
+    // 16: PARTITIONED ADOPTION (X141): a date-partitioned table plus a
+    // Hive-layout parquet tree adopted BY REFERENCE, partition tuples
+    // derived from paths — the witness must project the identity
+    // partition values from the manifests' partition structs (the
+    // adopted files do not carry the column)
+    val r16 = java.nio.file.Files.createTempDirectory("ind-snap16").toString
+    val t16 = new graft.io.SnapshotTables(spark, r16)
+    val stamped = ord.withColumn("sys_file_date",
+      when(col("o_orderkey") % 3 === 0, "2026-01-01")
+        .when(col("o_orderkey") % 3 === 1, "2026-01-02")
+        .otherwise("2026-01-03").cast("date"))
+    t16.overwriteTable(stamped.filter(col("o_orderkey") % 2 === 0), "ord",
+      partitionCols = Seq("sys_file_date"))
+    graft.io.IcebergExport.export(t16, "ord", "/tmp/ind_export_adopted")
+    val landing16 = java.nio.file.Files.createTempDirectory("ind-land16").toString + "/bronze"
+    stamped.filter(col("o_orderkey") % 2 =!= 0)
+      .repartition(col("sys_file_date"))
+      .write.partitionBy("sys_file_date").parquet(landing16)
+    val fs16 = new org.apache.hadoop.fs.Path(landing16)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files16 = {
+      val it = fs16.listFiles(new org.apache.hadoop.fs.Path(landing16), true)
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val st0 = it.next()
+        if (st0.getPath.getName.endsWith(".parquet")) b += st0.getPath.toString
+      }
+      b.result().sorted
+    }
+    graft.io.IcebergAppend.addFiles(spark, "/tmp/ind_export_adopted", files16)
+    val r16r = graft.io.IcebergImport.read(spark, "/tmp/ind_export_adopted")
+      .agg(count(lit(1)), sum(col("o_totalprice").cast("decimal(18,2)")).cast("string"),
+        countDistinct(col("sys_file_date"))).collect()(0)
+    println(s"EXPECT adopted count=${r16r.getLong(0)} sum=${r16r.getString(1)} d=${r16r.getLong(2)}")
     spark.stop()
   }
 }
