@@ -18,6 +18,14 @@ import org.apache.spark.sql.SparkSession
   *    graft.pipeline.PipelineConf.saoPauloDate).
   */
 object GraftSession {
+  // the JDK HttpServer defaults to Nagle-enabled sockets, and its
+  // delayed-ACK interaction stalls every small request ~40 ms — a 4x
+  // tax on the loopback wire servers (Nessie/lake/S3). Must be set
+  // BEFORE the first HttpServer class-loads (its ServerConfig reads
+  // properties once, statically), so it lives in the session factory
+  // every entry point goes through.
+  System.setProperty("sun.net.httpserver.nodelay", "true")
+
   def builder(appName: String = "graft", cores: Int = defaultCores): SparkSession.Builder =
     SparkSession
       .builder()

@@ -55,6 +55,12 @@ private[graft] object AtomicFs {
           finally out.close()
           true
         } catch {
+          // CONDITIONAL-PUT stores (S3 If-None-Match — the s3g wire
+          // FS) only learn about the losing race when the buffered
+          // object uploads at close(): that is a lost CAS, and the
+          // loser's object never landed — nothing to delete (deleting
+          // here would kill the WINNER's file)
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
           case e: java.io.IOException =>
             try f.delete(p, false)
             catch { case _: java.io.IOException => () }
