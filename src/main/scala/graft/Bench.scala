@@ -10,6 +10,19 @@ import java.nio.file.{Files, Paths}
   * than the captured tail and failed to parse) and writes the
   * full-precision per-query detail to BENCH_DETAIL.json.
   *
+  * Three modes:
+  *  - no args (the DRIVER path) = QUICK: headline subset + e2e spans +
+  *    commit spans under a 4-minute gate budget, detail to
+  *    BENCH_QUICK.json, official line marked `"mode":"quick"`. Exists
+  *    because BENCH_r18.json shipped rc=124/parsed=null — the
+  *    178-query full pass outgrew the driver's capture window, and a
+  *    round without a driver-verified bench leaves every performance
+  *    claim self-reported.
+  *  - `full`: the whole corpus, 20-minute gate budget, writes
+  *    BENCH_DETAIL.json + the committed BENCH_PRIORS.json +
+  *    BENCH_OFFICIAL.json — the in-round official record, run via tmux.
+  *  - `e2e [passes=N]`: the e2e-span adjudication tool (below).
+  *
   * A query that throws is recorded as -1 so a broken query can never
   * masquerade as a fast one.
   *
@@ -136,6 +149,17 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val e2eOnly = args.contains("e2e")
+    // QUICK is the DEFAULT (driver) mode — r19's top verdict item:
+    // BENCH_r18.json shipped rc=124/parsed=null because the 178-query
+    // full pass (cold best-of-3 + isolated-JVM re-passes + 20-min gate
+    // budget) outgrew the driver's capture window. The no-arg path now
+    // measures the HEADLINE subset + the e2e/commit spans (the judged
+    // signals) under a tight gate budget, so the official line always
+    // lands inside the window; `runMain graft.Bench full` keeps the
+    // full-corpus pass (run in-round via tmux — it writes
+    // BENCH_DETAIL.json and the committed BENCH_PRIORS.json).
+    val fullMode = args.contains("full")
+    val quick = !e2eOnly && !fullMode
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = graft.core.GraftSession.defaultCores
     // the engine's session factory (AQE, UTC, extensions), plus a fresh
@@ -197,7 +221,10 @@ object Bench {
     // re-pass and e2e span block. A permanently-loaded machine still
     // produces a (self-identified) record once the budget drains.
     val gateThreshold = cpus / 4.0
-    var gateBudgetNs = 20L * 60 * 1000000000L // shared across all re-arms
+    // quick mode's whole point is fitting the capture window: the gate
+    // budget (the only unbounded wait) shrinks from 20 to 4 minutes —
+    // a loaded box still ships a (self-identified) record in time
+    var gateBudgetNs = (if (quick) 4L else 20L) * 60 * 1000000000L // shared across all re-arms
     var gateWaitTotal = 0.0
     var regates = 0
     def regate(): Unit =
@@ -307,7 +334,11 @@ object Bench {
 
     val prior = priorMap(sfDir, "warm_all")
     val la0 = loadavg1()
-    val timed = graft.queries.Corpus.all.zipWithIndex.map { case (q, i) =>
+    // quick mode measures the headline subset only (the judged warm
+    // signal + the per-query names the priors anchor); full keeps the
+    // whole corpus
+    val corpus = if (quick) graft.queries.Corpus.headlines else graft.queries.Corpus.all
+    val timed = corpus.zipWithIndex.map { case (q, i) =>
       // mid-run re-arm: a load wave arriving during the corpus loop
       // pauses measurement instead of poisoning the next N queries
       if (i % 15 == 0) regate()
@@ -326,7 +357,7 @@ object Bench {
     val coldFirst = timed.map { case (n, c, _, _) => n -> c }.toMap
     val headlineNames = graft.queries.Corpus.headlines.map(_.name).toSet
     val repassed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val warmAll = graft.queries.Corpus.all.map { q =>
+    val warmAll = corpus.map { q =>
       val w = warmFirst(q.name)
       val ref = prior.get(q.name).filter(_ > 0)
       // Headline queries are the judged warm signal — they get a
@@ -363,7 +394,9 @@ object Bench {
           loadAtMap.getOrElse(n, 0.0) > gateThreshold) => (n, c)
     }.sortBy(-_._2).map(_._1)
     regate() // the isolated-JVM colds deserve a quiet window too
-    val isolatedCold = retimeColdIsolated(sfDir, coldOutliers.take(8))
+    // each isolated cold costs a child-JVM bring-up (~25 s); quick mode
+    // caps the count so the defense never blows the capture window
+    val isolatedCold = retimeColdIsolated(sfDir, coldOutliers.take(if (quick) 3 else 8))
     // load during the isolated child run — whether ITS numbers are
     // trustworthy decides the stale-load substitution below
     val laIso = loadavg1()
@@ -388,7 +421,7 @@ object Bench {
       if (stillPoisoned.isEmpty) (Map.empty[String, Double], laIso)
       else {
         regate()
-        (retimeColdIsolated(sfDir, stillPoisoned.take(8)), loadavg1())
+        (retimeColdIsolated(sfDir, stillPoisoned.take(if (quick) 2 else 8)), loadavg1())
       }
     val repassedCold = (isolatedCold.keys ++ secondIso.keys).toSeq.distinct.sorted
     val resultsAdj = resultsAdj1.map { case (n, c) =>
@@ -566,7 +599,8 @@ object Bench {
     val warmTotal = warmAll.map(_._2).filter(_ >= 0).sum
 
     val detail =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(resultsPub)},""" +
+      s"""{"metric":"total","mode":"${if (quick) "quick" else "full"}",""" +
+        s""""value":${r3(total)},"unit":"sec","queries":${jmap(resultsPub)},""" +
         s""""warm_total":${r3(warmTotal)},"warm_all":${jmap(warmAll)},""" +
         s""""warm_headline":${jmap(warm)},"e2e":${jmap(e2e)},""" +
         s""""e2e_warm":${jmap(e2eWarm)},"e2e_pq":${jmap(e2ePq)},""" +
@@ -580,26 +614,34 @@ object Bench {
         s""""loaded_cold":${loadedCold.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""e2e_repassed":$e2eNeedsRepass,""" +
         s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
-    try Files.write(Paths.get("BENCH_DETAIL.json"), detail.getBytes(StandardCharsets.UTF_8))
+    // quick mode writes its detail to BENCH_QUICK.json and NEVER
+    // touches BENCH_DETAIL/BENCH_PRIORS — its headline-only maps would
+    // clobber the full run's per-query priors and blind the next
+    // round's drift triggers for the other ~170 queries.
+    try Files.write(Paths.get(if (quick) "BENCH_QUICK.json" else "BENCH_DETAIL.json"),
+      detail.getBytes(StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
     // the COMMITTED priors twin (see priorMap): full per-query maps a
     // fresh checkout can anchor next round's drift triggers and
     // stale-load carry-forwards on. Values already carry this run's
     // substitutions, so a marked carry-forward propagates instead of
     // the artifact it replaced.
-    val priorsLine =
-      s"""{"metric":"priors","queries":${jmap(resultsPub)},"warm_all":${jmap(warmAll)},""" +
-        s""""e2e_warm":${jmap(e2eWarm)},"e2e_pq_warm":${jmap(e2ePqWarm)},""" +
-        s""""commit":${jmap(commitSpans)},"sf":"$sfDir"}"""
-    try Files.write(Paths.get("BENCH_PRIORS.json"), priorsLine.getBytes(StandardCharsets.UTF_8))
-    catch { case _: Throwable => () }
+    if (!quick) {
+      val priorsLine =
+        s"""{"metric":"priors","queries":${jmap(resultsPub)},"warm_all":${jmap(warmAll)},""" +
+          s""""e2e_warm":${jmap(e2eWarm)},"e2e_pq_warm":${jmap(e2ePqWarm)},""" +
+          s""""commit":${jmap(commitSpans)},"sf":"$sfDir"}"""
+      try Files.write(Paths.get("BENCH_PRIORS.json"), priorsLine.getBytes(StandardCharsets.UTF_8))
+      catch { case _: Throwable => () }
+    }
 
     // Official line, printed LAST: the driver captures only the final
     // ~2000 chars of output, so if the all-queries map would risk
     // truncation, fall back to the headline subset (full detail is in
     // BENCH_DETAIL.json either way).
     def official(qs: Seq[(String, Double)]): String =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(qs)},""" +
+      s"""{"metric":"total","mode":"${if (quick) "quick" else "full"}",""" +
+        s""""value":${r3(total)},"unit":"sec","queries":${jmap(qs)},""" +
         s""""warm_total":${r3(warmTotal)},"warm_headline":${jmap(warm)},"e2e":${jmap(e2e)},""" +
         s""""e2e_warm":${jmap(e2eWarm)},"e2e_pq_warm":${jmap(e2ePqWarm)},""" +
         s""""commit":${jmap(commitSpans)},"loadavg":[${r3(la0)},${r3(la1)}],""" +
@@ -617,8 +659,11 @@ object Bench {
     // it with "[info] " — the prefix is what broke the driver's extractor
     // in rounds 1-2). A stderr copy in case the driver reads that stream.
     spark.stop()
-    try Files.write(Paths.get("BENCH_OFFICIAL.json"), line.getBytes(StandardCharsets.UTF_8))
-    catch { case _: Throwable => () }
+    // quick's line is the driver's capture, not the official record —
+    // BENCH_OFFICIAL.json stays the full run's
+    if (!quick)
+      try Files.write(Paths.get("BENCH_OFFICIAL.json"), line.getBytes(StandardCharsets.UTF_8))
+      catch { case _: Throwable => () }
     System.err.println(line)
     System.out.println(line)
     System.out.flush()
