@@ -391,6 +391,9 @@ object IcebergAppend {
         case "string" => raw
         case "date" => java.lang.Integer.valueOf(
           raw.toIntOption.getOrElse(java.time.LocalDate.parse(raw).toEpochDay.toInt))
+        case other => throw new IllegalArgumentException(
+          s"append to $tableDir cannot path-decode partition values of kind '$other' " +
+            s"(field '$name') — int/long/string/date only")
       }
     }
 
@@ -779,6 +782,13 @@ object IcebergAppend {
         case "string" => raw
         case "date" => java.lang.Integer.valueOf(
           raw.toIntOption.getOrElse(java.time.LocalDate.parse(raw).toEpochDay.toInt))
+        // unreachable today (load() refuses identity partitions over
+        // any other source type up front), but a bare MatchError here
+        // would violate the module's loud-refusal contract if the kind
+        // vocabulary ever widens
+        case other => throw new IllegalArgumentException(
+          s"addFiles on $tableDir cannot path-decode identity partition values of " +
+            s"kind '$other' (field '$name') — int/long/string/date only")
       }
     }
     val segId = java.util.UUID.randomUUID().toString.take(18)

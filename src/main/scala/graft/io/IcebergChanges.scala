@@ -59,9 +59,13 @@ object IcebergChanges {
   val CommitTimestampCol = "_commit_timestamp"
 
   /** One range snapshot's classification: id, commit time, operation,
-    * parent (None = lineage root). */
+    * parent (None = lineage root), and the snapshot's SEQUENCE NUMBER
+    * — the retention-stable commit order (expiry trims history but
+    * never renumbers sequences; lineage ordinals shift down when the
+    * chain's front is trimmed). The STREAMING face stamps
+    * `_change_ordinal` from it for exactly that reason. */
   private[graft] final case class ChangeStep(snapshotId: Long, timestampMs: Long,
-      operation: String, parent: Option[Long])
+      operation: String, parent: Option[Long], sequence: Long)
 
   /** Walk `to`'s parent chain back to (exclusive) `from` — like
     * [[IcebergImport.appendSteps]] but op-agnostic: every operation is
@@ -108,7 +112,8 @@ object IcebergChanges {
       val parent =
         if (s.hasNonNull("parent-snapshot-id")) Some(s.get("parent-snapshot-id").asLong)
         else None
-      ChangeStep(id, ts, op, parent)
+      val seq = if (s.hasNonNull("sequence-number")) s.get("sequence-number").asLong else 0L
+      ChangeStep(id, ts, op, parent, seq)
     }.toSeq
   }
 

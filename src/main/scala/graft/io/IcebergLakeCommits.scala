@@ -97,9 +97,18 @@ final class IcebergLakeCommits(spark: SparkSession, logRoot: String) {
   }
 
   /** Pin EXACT snapshot ids in one commit — the publish-through hook
-    * so two writers' publishes cannot mis-pin each other's heads. */
-  def publishExact(updates: Seq[(String, Long)]): Int =
-    publishSnapshots(updates.map { case (d, s) => key(d) -> s }.toMap)
+    * so two writers' publishes cannot mis-pin each other's heads.
+    *
+    * `expectedParent` (the HTTP face's CAS contract): when given, the
+    * commit lands as child of EXACTLY that commit or not at all —
+    * the file-CAS on commit `expectedParent+1` IS the check, so a
+    * direct file-CAS publisher racing in between the server's hash
+    * check and this call loses nothing: this commit fails with
+    * [[LakeCommits.StaleParentCommit]] (→ HTTP 409) instead of
+    * silently rebasing over the interloper's pins. Without it the
+    * in-process rebase-and-retry semantics are unchanged. */
+  def publishExact(updates: Seq[(String, Long)], expectedParent: Option[Int] = None): Int =
+    publishSnapshots(updates.map { case (d, s) => key(d) -> s }.toMap, expectedParent)
 
   /** The catalog-level WAP flow: every staged branch fast-forwards to
     * main (each snapshot becomes the table head but log readers still
@@ -147,19 +156,33 @@ final class IcebergLakeCommits(spark: SparkSession, logRoot: String) {
     tableDirs.map(d => IcebergImport.read(spark, d, s.get(key(d))))
   }
 
-  private def publishSnapshots(updates: Map[String, Long]): Int = {
-    var attempts = 0
-    while (attempts < 20) {
-      attempts += 1
-      val head = headCommit
-      val next = head + 1
-      val merged = state(head) ++ updates
-      if (AtomicFs.createExclusive(fs, commitPath(next), renderState(next, head, merged)))
-        return next
-      // lost the slot — loop re-reads the winner's state and rebases
+  private def publishSnapshots(updates: Map[String, Long],
+      expectedParent: Option[Int] = None): Int = {
+    expectedParent match {
+      case Some(p) =>
+        // anchored CAS: merge over the EXPECTED parent's state and
+        // create exactly commit p+1 — if any writer (HTTP or direct
+        // file-CAS) landed p+1 first, the create fails and the caller
+        // gets the 409 the expectedHash contract promises, never a
+        // silent rebase over the interloper's pins
+        val merged = state(p) ++ updates
+        if (AtomicFs.createExclusive(fs, commitPath(p + 1), renderState(p + 1, p, merged)))
+          p + 1
+        else throw LakeCommits.StaleParentCommit(p, headCommit)
+      case None =>
+        var attempts = 0
+        while (attempts < 20) {
+          attempts += 1
+          val head = headCommit
+          val next = head + 1
+          val merged = state(head) ++ updates
+          if (AtomicFs.createExclusive(fs, commitPath(next), renderState(next, head, merged)))
+            return next
+          // lost the slot — loop re-reads the winner's state and rebases
+        }
+        throw new IllegalStateException(
+          s"iceberg lake commit lost $attempts consecutive CAS races — livelock or stuck publisher")
     }
-    throw new IllegalStateException(
-      s"iceberg lake commit lost $attempts consecutive CAS races — livelock or stuck publisher")
   }
 
   /** Retire log history (each commit is the FULL mapping, so head

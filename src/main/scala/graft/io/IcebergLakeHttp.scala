@@ -105,8 +105,19 @@ final class IcebergLakeHttpServer(lake: IcebergLakeCommits, port: Int = 0) {
                     s"only PUT operations are supported, got ${op.get("op")}")
                   (op.get("key").asText, op.get("snapshotId").asLong)
                 }
-                val nc = lake.publishExact(puts)
-                send(ex, 200, s"""{"targetBranch":${refJson(nc)}}""")
+                // expectedParent threads the hash check INTO the
+                // file-CAS: the synchronized block serializes HTTP
+                // clients only — a direct file-CAS publisher landing
+                // between the check above and the commit below must
+                // surface as 409, never be silently rebased over
+                try {
+                  val nc = lake.publishExact(puts, Some(commitOf(expected)))
+                  send(ex, 200, s"""{"targetBranch":${refJson(nc)}}""")
+                } catch {
+                  case LakeCommits.StaleParentCommit(_, actual) =>
+                    send(ex, 409, s"""{"message":"Named reference 'main' changed: expected """ +
+                      s"""$expected, actual ${hashOf(actual)}"}""")
+                }
               }
             }
             case _ => send(ex, 404, s"""{"message":"no route $method $path"}""")

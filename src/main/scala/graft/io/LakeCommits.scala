@@ -107,8 +107,9 @@ final class LakeCommits(spark: SparkSession, logRoot: String) {
     * `commitlog`): a writer publishes the precise version it just
     * committed, not whatever is current at publish time, so two
     * writers' publishes cannot mis-pin each other's versions. */
-  def publishExact(updates: Seq[(SnapshotTables, String, Int)]): Int =
-    publishVersions(updates.map { case (st, t, v) => key(st, t) -> v }.toMap)
+  def publishExact(updates: Seq[(SnapshotTables, String, Int)],
+      expectedParent: Option[Int] = None): Int =
+    publishVersions(updates.map { case (st, t, v) => key(st, t) -> v }.toMap, expectedParent)
 
   /** The version the head commit pins for `table`, if governed. */
   def pinnedVersion(st: SnapshotTables, table: String): Option[Int] =
@@ -156,20 +157,33 @@ final class LakeCommits(spark: SparkSession, logRoot: String) {
     }
 
   /** CAS-advance the log with `updates` merged over the head state,
-    * retrying on lost races (rebase-and-retry, bounded). */
-  private def publishVersions(updates: Map[String, Int]): Int = {
-    var attempts = 0
-    while (attempts < 20) {
-      attempts += 1
-      val head = headCommit
-      val next = head + 1
-      val merged = state(head) ++ updates
-      if (AtomicFs.createExclusive(fs, commitPath(next), renderState(next, head, merged)))
-        return next
-      // lost the slot — loop re-reads the winner's state and rebases
+    * retrying on lost races (rebase-and-retry, bounded). With
+    * `expectedParent` the commit is ANCHORED: it lands as child of
+    * exactly that commit or throws [[LakeCommits.StaleParentCommit]]
+    * — the HTTP face's expectedHash contract, safe against direct
+    * file-CAS writers racing between hash check and commit. */
+  private def publishVersions(updates: Map[String, Int],
+      expectedParent: Option[Int] = None): Int = {
+    expectedParent match {
+      case Some(p) =>
+        val merged = state(p) ++ updates
+        if (AtomicFs.createExclusive(fs, commitPath(p + 1), renderState(p + 1, p, merged)))
+          p + 1
+        else throw LakeCommits.StaleParentCommit(p, headCommit)
+      case None =>
+        var attempts = 0
+        while (attempts < 20) {
+          attempts += 1
+          val head = headCommit
+          val next = head + 1
+          val merged = state(head) ++ updates
+          if (AtomicFs.createExclusive(fs, commitPath(next), renderState(next, head, merged)))
+            return next
+          // lost the slot — loop re-reads the winner's state and rebases
+        }
+        throw new IllegalStateException(
+          s"lake commit lost $attempts consecutive CAS races — livelock or stuck publisher")
     }
-    throw new IllegalStateException(
-      s"lake commit lost $attempts consecutive CAS races — livelock or stuck publisher")
   }
 
   /** Retire log history: keep the newest `keep` commits, delete older
@@ -189,6 +203,15 @@ final class LakeCommits(spark: SparkSession, logRoot: String) {
 }
 
 object LakeCommits {
+
+  /** An anchored (expectedParent) publish found a different head at
+    * file-CAS time — the HTTP faces map this to 409 CONFLICT. Carried
+    * as a typed exception so the wire layer never confuses a genuine
+    * CAS loss with an IO failure. */
+  final case class StaleParentCommit(expected: Int, actual: Int)
+    extends RuntimeException(
+      s"commit expected parent c$expected but another writer advanced the log " +
+        s"(head now c$actual) — stale expectedHash")
 
   /** One line per table: `"<key>": <version>` inside a "tables" object;
     * hand-rolled like the snapshot layer's other metadata (no JSON lib

@@ -110,8 +110,19 @@ final class LakeHttpServer(lake: LakeCommits, tables: SnapshotTables, port: Int 
                     s"only PUT operations are supported, got ${op.get("op")}")
                   (op.get("key").asText, op.get("version").asInt)
                 }
-                val nc = lake.publishExact(puts.map { case (t, v) => (tables, t, v) })
-                send(ex, 200, s"""{"targetBranch":${refJson(nc)}}""")
+                // anchored CAS (see IcebergLakeHttpServer): the hash
+                // check alone cannot see a direct file-CAS publisher
+                // racing in — the expected parent rides into the
+                // commit's own file-CAS and a stale parent 409s
+                try {
+                  val nc = lake.publishExact(
+                    puts.map { case (t, v) => (tables, t, v) }, Some(commitOf(expected)))
+                  send(ex, 200, s"""{"targetBranch":${refJson(nc)}}""")
+                } catch {
+                  case LakeCommits.StaleParentCommit(_, actual) =>
+                    send(ex, 409, s"""{"message":"Named reference 'main' changed: expected """ +
+                      s"""$expected, actual ${hashOf(actual)}"}""")
+                }
               }
             }
             case _ => send(ex, 404, s"""{"message":"no route $method $path"}""")

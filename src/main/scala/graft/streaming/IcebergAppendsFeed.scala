@@ -252,10 +252,32 @@ private[streaming] abstract class LineageTailSource(
     }
   }
 
-  /** Highest ordinal handed to the engine THIS RUN — intra-run pacing
+  /** Highest position handed to the engine THIS RUN — intra-run pacing
     * only (catch-up advances batch by batch); the durable floor is the
-    * checkpointed offset / the persisted start, never this. */
-  @volatile private var lastEnd: Int = -1
+    * checkpointed offset / the persisted start, never this. Kept as an
+    * ANCHORED offset, not a raw ordinal: `expireSnapshots` trimming the
+    * chain's front mid-run shifts every retained ordinal down, and a
+    * raw ordinal stamped against the old chain would sit above the new
+    * head forever — the source would emit nothing until the chain
+    * regrew past the stale value (a silent stall). The anchor re-resolves
+    * like the checkpointed offsets do. */
+  @volatile private var lastEnd: Option[AppendsOffset] = None
+
+  /** `lastEnd`'s ordinal in the LIVE chain: re-resolved by anchor id;
+    * -1 when unset OR when the anchor has been expired — in that case
+    * the durable floor (checkpointed offset / persisted start) governs
+    * alone, which is exactly the reset ADVICE asks for (an expired
+    * anchor means the engine has long since checkpointed past it or
+    * the checkpointed offset itself will refuse loudly). */
+  private def lastEndOrdinal(chain: Seq[Long]): Int = lastEnd match {
+    case None => -1
+    case Some(o) =>
+      if (o.snapshotId == OriginAnchor) 0
+      else {
+        val i = chain.indexOf(o.snapshotId)
+        if (i >= 0) i + 1 else -1
+      }
+  }
 
   /** `Trigger.AvailableNow`: the target head is PINNED here — the
     * stream drains up to it (paced by `maxSnapshotsPerBatch`) and
@@ -302,7 +324,7 @@ private[streaming] abstract class LineageTailSource(
     val base = Option(startOffset)
       .map(o => resolve(chain, AppendsOffset.decode(o), "checkpointed offset"))
       .getOrElse(resolve(chain, starting, "configured start"))
-    val floor = math.max(lastEnd, base)
+    val floor = math.max(lastEndOrdinal(chain), base)
     val head = math.min(availableNowTarget.getOrElse(chain.length), chain.length)
     val capped = math.min(head.toLong, floor.toLong + maxSnapshotsPerBatch).toInt
     if (capped <= floor) null else anchored(chain, capped)
@@ -315,7 +337,7 @@ private[streaming] abstract class LineageTailSource(
 
   override def getOffset: Option[OffsetV1] = {
     val chain = IcebergImport.lineage(spark, dir)
-    val floor = math.max(lastEnd, resolve(chain, starting, "configured start"))
+    val floor = math.max(lastEndOrdinal(chain), resolve(chain, starting, "configured start"))
     val capped = math.min(chain.length.toLong, floor.toLong + maxSnapshotsPerBatch).toInt
     if (capped <= floor) None else Some(anchored(chain, capped))
   }
@@ -325,7 +347,8 @@ private[streaming] abstract class LineageTailSource(
     val fromOrd = start.map(o => resolve(chain, AppendsOffset.decode(o), "batch start offset"))
       .getOrElse(resolve(chain, starting, "configured start"))
     val toOrd = resolve(chain, AppendsOffset.decode(end), "batch end offset")
-    lastEnd = math.max(lastEnd, math.max(fromOrd, toOrd))
+    val hi = math.max(fromOrd, toOrd)
+    if (hi > lastEndOrdinal(chain)) lastEnd = Some(anchored(chain, hi))
     val batch = if (toOrd <= fromOrd) emptyFeed else emitRange(chain, fromOrd, toOrd)
     org.apache.spark.sql.GraftSqlBridge.asStreamingBatch(batch)
   }
@@ -373,9 +396,15 @@ private[streaming] final class IcebergAppendsSource(
 }
 
 /** The changelog twin: each batch's ordinal range replays per-snapshot
-  * change rows via [[IcebergChanges.stepFrame]], stamping the
-  * LINEAGE-relative `_change_ordinal` (stable across restarts because
-  * the offset anchors re-resolve, not renumber). DML snapshots emit
+  * change rows via [[IcebergChanges.stepFrame]], stamping
+  * `_change_ordinal` from the snapshot's SEQUENCE NUMBER — the
+  * RETENTION-STABLE commit order. A lineage ordinal is not: expiry
+  * trims the chain's front and every retained ordinal shifts down, so
+  * the same commit's rows would renumber across an expiry+restart and
+  * break consumers that fold by ordinal. Sequence numbers are assigned
+  * at commit and never rewritten, so the stamp survives both restarts
+  * and retention. (The BATCH face `changesBetween` stamps 0-based
+  * range positions instead — documented there.) DML snapshots emit
   * their diffs; only genuinely unclassifiable operations still fail. */
 private[streaming] final class IcebergChangesSource(
     spark: SparkSession,
@@ -399,8 +428,8 @@ private[streaming] final class IcebergChangesSource(
         "pick up the new schema")
     val fromSnap = if (fromOrd == 0) None else Some(chain(fromOrd - 1))
     val steps = IcebergChanges.changeSteps(spark, dir, fromSnap, Some(chain(toOrd - 1)))
-    steps.zipWithIndex
-      .flatMap { case (st, i) => IcebergChanges.stepFrame(spark, dir, st, fromOrd + i) }
+    steps
+      .flatMap(st => IcebergChanges.stepFrame(spark, dir, st, st.sequence.toInt))
       .reduceOption(_ unionByName _)
       .getOrElse(emptyFeed)
   }

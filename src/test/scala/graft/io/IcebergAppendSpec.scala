@@ -225,6 +225,49 @@ class IcebergAppendSpec extends SparkSpec {
     appended.foreach(f => assert(f.contains(s"d_day=$days"), f))
   }
 
+  test("identity partitions over unsupported source types refuse loudly, never a MatchError") {
+    // graft's own export already refuses double identity partitions
+    // (pinned below), but a FOREIGN writer's table can still carry one:
+    // splice such a default spec into exported metadata and pin that
+    // the write side refuses with a NAMED type — the r18 ADVICE
+    // MatchError hole (load's kind vocabulary + the match default case)
+    val eExp = intercept[IllegalArgumentException] {
+      exported(Seq((1L, 1.5)).toDF("id", "price"), partitionCols = Seq("price"))
+    }
+    assert(eExp.getMessage.contains("identity export supports int/long/string/date"))
+    val dest = exported(Seq((1L, 1.5), (2L, 2.5)).toDF("id", "price"))
+    val metaDir = java.nio.file.Paths.get(dest, "metadata")
+    val hint = new String(java.nio.file.Files.readAllBytes(
+      metaDir.resolve("version-hint.text")), "UTF-8").trim.toInt
+    val mdPath = IcebergTestSplice.mdFile(metaDir, hint)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val md = om.readTree(java.nio.file.Files.readAllBytes(mdPath))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val fields = md.get("schemas").get(0).get("fields")
+    val priceId = (0 until fields.size).map(fields.get)
+      .find(_.get("name").asText == "price").get.get("id").asInt
+    val specs = md.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("partition-specs")
+    val spec = specs.addObject()
+    spec.put("spec-id", 7)
+    val sf = spec.putArray("fields").addObject()
+    sf.put("name", "price"); sf.put("transform", "identity")
+    sf.put("source-id", priceId); sf.put("field-id", 1000)
+    md.put("default-spec-id", 7)
+    java.nio.file.Files.write(mdPath, om.writeValueAsString(md).getBytes("UTF-8"))
+    // the direct edit stales Hadoop LocalFileSystem's checksum sibling
+    java.nio.file.Files.deleteIfExists(
+      mdPath.getParent.resolve("." + mdPath.getFileName.toString + ".crc"))
+    val e = intercept[IllegalArgumentException] {
+      IcebergAppend.append(spark, dest, Seq((3L, 3.5)).toDF("id", "price"))
+    }
+    assert(e.getMessage.contains("identity partition values of type") &&
+      e.getMessage.contains("int/long/string/date"))
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergAppend.addFiles(spark, dest, Seq(s"$dest/data/price=1.5/x.parquet"))
+    }
+    assert(e2.getMessage.contains("identity partition values of type"))
+  }
+
   test("refusals: schema mismatch, v1 table, racing version file") {
     val dest = exported(Seq((1L, "a")).toDF("k", "v"))
     val e2 = intercept[IllegalArgumentException](

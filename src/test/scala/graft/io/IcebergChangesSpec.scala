@@ -134,6 +134,36 @@ class IcebergChangesSpec extends SparkSpec {
     q.awaitTermination()
   }
 
+  test("streaming _change_ordinal is retention-stable: sequence numbers, not lineage ordinals") {
+    val dir = exported("ord", Seq((1L, "a")))                          // snap 1, seq 1
+    IcebergAppend.append(spark, dir, Seq((2L, "b")).toDF("id", "v"))   // snap 2, seq 2
+    IcebergDml.deleteWhere(spark, dir, "id = 1", strategy = "position") // snap 3, seq 3
+    def ordinals(tag: String): Map[Long, Int] = {
+      val got = scala.collection.mutable.ArrayBuffer[(Long, Int)]()
+      val q = spark.readStream.format("graft-iceberg-changes").option("dir", dir)
+        .option("startingSnapshot", "earliest").load()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = df.select("_commit_snapshot_id", "_change_ordinal").distinct().collect()
+            .map(r => (r.getLong(0), r.getInt(1)))
+          got.synchronized { got ++= rows }; ()
+        }
+        .option("checkpointLocation", tmp(s"ord-ck-$tag")) // FRESH checkpoint each pass
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      got.toMap
+    }
+    val before = ordinals("before")
+    assert(before == Map(1L -> 1, 2L -> 2, 3L -> 3)) // = the sequence numbers
+    // retention trims the chain's front: a LINEAGE ordinal would
+    // renumber snap2 -> 0 and snap3 -> 1 on the next (fresh) stream;
+    // the sequence-number stamp survives expiry unchanged, so a
+    // consumer folding by ordinal keys the same commits the same way
+    IcebergMaintenance.expireSnapshots(spark, dir, keepLast = 2)
+    val after = ordinals("after")
+    assert(after == Map(2L -> 2, 3L -> 3))
+  }
+
   test("streaming: DML snapshots stream as rows; exactly-once across restart") {
     val dir = exported("st", Seq((1L, "a"), (2L, "b"), (3L, "c")))     // snap 1
     val ck = tmp("st-ck")

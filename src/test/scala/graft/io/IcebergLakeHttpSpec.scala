@@ -117,6 +117,31 @@ class IcebergLakeHttpSpec extends SparkSpec {
     }
   }
 
+  test("anchored CAS: a direct publisher racing the hash check surfaces as 409, not a lost update") {
+    val (_, liDir, aggDir) = warehouse("anchor", 3)
+    val lake = new IcebergLakeCommits(spark, tmp("anchor-log"))
+    lake.publish(Seq(liDir)) // c1
+    val liSnap = IcebergImport.currentSnapshot(spark, liDir).get
+    val aggSnap = IcebergImport.currentSnapshot(spark, aggDir).get
+    // the window the server's hash pre-check cannot see: a DIRECT
+    // file-CAS publisher lands AFTER the check passed. The anchored
+    // publishExact makes the expected parent part of the commit's own
+    // file-CAS — the stale publish is refused, never silently rebased
+    // over the interloper's pins.
+    val c2 = lake.publishExact(Seq(liDir -> (liSnap + 100)), expectedParent = Some(1))
+    assert(c2 == 2) // the "interloper": anchored at the true head, lands
+    val e = intercept[LakeCommits.StaleParentCommit] {
+      lake.publishExact(Seq(liDir -> liSnap), expectedParent = Some(1)) // parent 1 is stale now
+    }
+    assert(e.expected == 1 && e.actual == 2)
+    // the interloper's pin survived — no lost update
+    assert(lake.pinnedSnapshot(liDir).contains(liSnap + 100))
+    // re-anchored at the true head, the loser's retry lands cleanly
+    assert(lake.publishExact(Seq(aggDir -> aggSnap), expectedParent = Some(2)) == 3)
+    assert(lake.pinnedSnapshot(liDir).contains(liSnap + 100) &&
+      lake.pinnedSnapshot(aggDir).contains(aggSnap))
+  }
+
   test("uri-mounted SQL catalog: pins govern 3-level names over the wire") {
     val (wh, liDir, aggDir) = warehouse("mount", 10)
     val lake = new IcebergLakeCommits(spark, tmp("mount-log"))

@@ -141,4 +141,20 @@ class LakeCommitsSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] { lake.publish(Seq(silver -> "ghost")) }
     assert(e.getMessage.contains("no committed version"))
   }
+
+  test("anchored publishExact: a stale expected parent refuses instead of silently rebasing") {
+    val (lake, silver, gold) = newLake()
+    silver.overwriteTable(Seq((1, "a")).toDF("id", "v"), "t")
+    gold.overwriteTable(Seq((1, 10)).toDF("id", "n"), "s")
+    lake.publish(Seq(silver -> "t")) // c1
+    // anchored at the true head: lands as c2
+    assert(lake.publishExact(Seq((gold, "s", 1)), expectedParent = Some(1)) == 2)
+    // anchored at a now-stale parent: the commit's own file-CAS refuses
+    // (the HTTP face maps this to 409) — gold's pin is not overwritten
+    val e = intercept[LakeCommits.StaleParentCommit] {
+      lake.publishExact(Seq((silver, "t", 1)), expectedParent = Some(1))
+    }
+    assert(e.expected == 1 && e.actual == 2)
+    assert(lake.pinnedVersion(gold, "s").contains(1))
+  }
 }

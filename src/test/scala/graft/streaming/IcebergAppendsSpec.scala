@@ -233,6 +233,34 @@ class IcebergAppendsSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("no longer on the main lineage")))
   }
 
+  test("intra-run floor re-anchors across MID-RUN expiry: no silent stall") {
+    // the r18 ADVICE stall: lastEnd held a RAW ordinal stamped against
+    // the pre-expiry chain; after expireSnapshots trimmed the front,
+    // every retained ordinal shifted down but the floor stayed high, so
+    // the source emitted nothing until the chain regrew past the stale
+    // value. Exercised on ONE long-lived source object (AvailableNow
+    // drains build a fresh source per run and never hit it).
+    val dir = exported("stall", Seq((1L, "a")))                        // snap 1
+    IcebergAppend.append(spark, dir, Seq((2L, "b")).toDF("id", "v"))   // snap 2
+    IcebergAppend.append(spark, dir, Seq((3L, "c")).toDF("id", "v"))   // snap 3
+    val src = new IcebergAppendsSource(spark, dir,
+      Map("dir" -> dir, "startingSnapshot" -> "earliest"), tmp("stall-md"))
+    val o1 = src.getOffset.get
+    src.getBatch(None, o1) // consume to head: the intra-run floor stamps here
+    assert(src.getOffset.isEmpty) // drained
+    // retention trims the chain's FRONT mid-run: [1,2,3] -> [3]
+    IcebergMaintenance.expireSnapshots(spark, dir, keepLast = 1)
+    IcebergAppend.append(spark, dir, Seq((4L, "d")).toDF("id", "v"))   // snap 4: chain [3,4]
+    // pre-fix: floor 3 (raw) >= chain length 2 -> None forever (stall)
+    val o2 = src.getOffset
+    assert(o2.isDefined, "source stalled after mid-run expiry shifted ordinals")
+    // and the offset names exactly the new snapshot, once
+    src.getBatch(Some(o1), o2.get)
+    val decoded = AppendsOffset.decode(o2.get)
+    assert(decoded.ordinal == 2 && decoded.snapshotId == 4L)
+    assert(src.getOffset.isEmpty) // floor advanced: drained again, no re-emit
+  }
+
   test("a delete snapshot fails the stream loudly, never a silent skip") {
     val dir = exported("fail", Seq((1L, "a"), (7L, "g")))              // snap 1
     val ck = tmp("fail-ck")
