@@ -177,6 +177,15 @@ object IcebergAppend {
     * manifest, 1 = delete manifest (manifest_file vocabulary). */
   private[io] case class NewManifest(path: Path, content: Int, files: Int, rows: Long)
 
+  /** A REWRITTEN carried-forward manifest: the DV supersede path
+    * (v3 one-DV-per-data-file invariant) rewrites a prior delete
+    * manifest — superseded entries marked DELETED, the rest EXISTING
+    * with explicit sequence numbers — and [[commitSnapshot]] substitutes
+    * it for the original in the new manifest list. `minSeq` = the
+    * smallest explicit entry sequence (the list's pruning floor). */
+  private[io] case class ReplacedManifest(path: Path, existingFiles: Int,
+      existingRows: Long, deletedFiles: Int, deletedRows: Long, minSeq: Long)
+
   /** The parsed write-side view of a table head: current schema fields
     * `(id, name, spark type)`, the default partition spec as
     * `(name, transform, srcCol, srcType, avro kind, field id,
@@ -487,7 +496,8 @@ object IcebergAppend {
   private[io] def commitSnapshot(spark: SparkSession, lt: Loaded,
       manifests: Seq[NewManifest], operation: String,
       summaryProps: Map[String, String] = Map.empty,
-      carryPrevious: Boolean = true): Long = {
+      carryPrevious: Boolean = true,
+      replacePrev: Map[String, ReplacedManifest] = Map.empty): Long = {
     import lt.{fs, md, om, metaDir, mdPath, tableDir, newSnap, newSeq, parent, branch}
     require(manifests.nonEmpty, s"a snapshot commit on $tableDir needs at least one manifest")
     val now = System.currentTimeMillis()
@@ -515,6 +525,29 @@ object IcebergAppend {
       r.put("deleted_rows_count", opt[Long]("deleted_rows_count", 0L))
       r
     }
+    /** The list record for a REWRITTEN carried manifest: spec id and
+      * content copy from the original; every entry carries an explicit
+      * sequence, so the list-level sequence is the new snapshot's and
+      * `min_sequence_number` is the entries' floor. */
+    def replacedEntry(src: GenericRecord, r: ReplacedManifest): GenericRecord = {
+      def opt[T](n: String, dflt: T): T =
+        IcebergImport.fieldOpt(src, n).map(_.asInstanceOf[T]).getOrElse(dflt)
+      val rec = new GenericData.Record(listSchema)
+      rec.put("manifest_path", fs.makeQualified(r.path).toString)
+      rec.put("manifest_length", fs.getFileStatus(r.path).getLen)
+      rec.put("partition_spec_id", opt[Int]("partition_spec_id", 0))
+      rec.put("content", opt[Int]("content", 0))
+      rec.put("sequence_number", newSeq)
+      rec.put("min_sequence_number", r.minSeq)
+      rec.put("added_snapshot_id", newSnap)
+      rec.put("added_files_count", 0)
+      rec.put("existing_files_count", r.existingFiles)
+      rec.put("deleted_files_count", r.deletedFiles)
+      rec.put("added_rows_count", 0L)
+      rec.put("existing_rows_count", r.existingRows)
+      rec.put("deleted_rows_count", r.deletedRows)
+      rec
+    }
     val prevManifests: Seq[GenericRecord] =
       if (!carryPrevious) Nil
       else parent match {
@@ -526,7 +559,10 @@ object IcebergAppend {
           require(snap.hasNonNull("manifest-list"),
             s"snapshot $c of $mdPath has no manifest-list (v1 inline layout?) — cannot commit")
           val listP = IcebergImport.resolve(tableDir, snap.get("manifest-list").asText)
-          IcebergImport.readAvro(_ => fs, listP)._1.map(listEntry)
+          IcebergImport.readAvro(_ => fs, listP)._1.map { src =>
+            replacePrev.get(src.get("manifest_path").toString)
+              .map(r => replacedEntry(src, r)).getOrElse(listEntry(src))
+          }
       }
     val newListPath = new Path(metaDir, s"snap-$newSnap-1-$operation.avro")
     val lw = new org.apache.avro.file.DataFileWriter[GenericRecord](

@@ -104,6 +104,14 @@ object IcebergDml {
       val positions = lineage.filter(predicate)
         .select(col(IcebergImport.LineageFileCol), col(IcebergImport.LineagePosCol))
       if (positions.isEmpty) return None
+      // v3: position deletes must be DELETION VECTORS (the spec retires
+      // position-delete files in format-version 3) — encoded and
+      // written inside executor tasks, prior DVs unioned + superseded
+      if (formatVersion(lt) >= 3) {
+        val (m, replaced) = PuffinDeletionVectors.writeDvDelete(spark, lt, positions)
+        return Some(IcebergAppend.commitSnapshot(spark, lt, Seq(m),
+          operation = "delete", replacePrev = replaced))
+      }
       val specId = IcebergAppend.ensureUnpartitionedSpec(lt)
       val m = writePositionDeleteManifest(spark, lt, positions, specId)
       return Some(IcebergAppend.commitSnapshot(spark, lt, Seq(m), operation = "delete"))
@@ -140,12 +148,16 @@ object IcebergDml {
     val current = readHead(spark, tableDir, lt)
     assignments.keys.foreach(c => require(current.columns.contains(c),
       s"assignment targets column '$c', not in the schema of $tableDir"))
-    if (current.schema.fields.exists(f => hasMap(f.dataType))) {
-      // map-typed tables: the full-column pre-image equality delete is
-      // impossible (nothing can join on maps), so the pre-images are
-      // addressed by POSITION instead — same one-snapshot overwrite,
-      // same sequence safety (position deletes name (file, pos) of the
-      // OLD files only; the post-image file is never referenced)
+    if (current.schema.fields.exists(f => hasMap(f.dataType)) || formatVersion(lt) >= 3) {
+      // position-addressed pre-images, two reasons to be here:
+      //  - map-typed tables: the full-column pre-image equality delete
+      //    is impossible (nothing can join on maps);
+      //  - v3 tables: position addressing is the spec's preferred
+      //    delete representation there (emitted as DELETION VECTORS
+      //    below) and strictly smaller than full-column row images.
+      // Same one-snapshot overwrite, same sequence safety (position
+      // deletes/DVs name (file, pos) of the OLD files only; the
+      // post-image file is never referenced)
       val lineage = IcebergImport.readWithLineage(spark, tableDir,
         if (lt.branch == "main") None else lt.parent)
       val matched = lineage.filter(predicate)
@@ -153,6 +165,15 @@ object IcebergDml {
         .select(col(IcebergImport.LineageFileCol), col(IcebergImport.LineagePosCol))
       if (positions.isEmpty) return None
       val updated = postImage(matched, current.schema, assignments)
+      // v3: the pre-image delete half rides as DELETION VECTORS (same
+      // one-snapshot overwrite; DVs reference only the OLD files, so
+      // the post-image manifest is never touched by its own delete)
+      if (formatVersion(lt) >= 3) {
+        val (del3, replaced) = PuffinDeletionVectors.writeDvDelete(spark, lt, positions)
+        val data3 = IcebergAppend.writeDataManifest(spark, lt, updated)
+        return Some(IcebergAppend.commitSnapshot(spark, lt, Seq(del3, data3),
+          operation = "overwrite", replacePrev = replaced))
+      }
       val specId = IcebergAppend.ensureUnpartitionedSpec(lt)
       val del = writePositionDeleteManifest(spark, lt, positions, specId)
       val data = IcebergAppend.writeDataManifest(spark, lt, updated)
@@ -251,6 +272,9 @@ object IcebergDml {
         "naming map-free key columns, or use strategy=\"position\"")
     keyCols
   }
+
+  private def formatVersion(lt: IcebergAppend.Loaded): Int =
+    if (lt.md.has("format-version")) lt.md.get("format-version").asInt else 1
 
   /** Exact-name column reference: backtick-quoted so a name containing
     * a dot is never parsed as a nested-field path. */

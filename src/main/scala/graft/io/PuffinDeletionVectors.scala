@@ -31,9 +31,14 @@ import org.apache.spark.sql.functions.col
   * applyDeletes DV branch parallelizes over DV entries — one blob is
   * one referenced data file's positions), the same
   * mapPartitions-at-the-codec-boundary rule as the multimodal codecs.
-  * [[writeDVDelete]] is FIXTURE/TEST tooling like the Avro/ORC
-  * `writeDataFile`s: it collects matched positions driver-side —
-  * fine for building v3 fixtures, not a production DML path. */
+  * Since r19 the WRITE side is executor-side too ([[writeDvDelete]]):
+  * positions shuffle by file, tasks union prior DVs and encode/write
+  * the Puffin blobs, and the driver sees only one address row per
+  * touched data file — the production v3 DML path
+  * ([[IcebergDml.deleteWhere]]'s position strategy routes here on v3
+  * tables, honoring the spec's "position deletes must be DVs in v3"),
+  * with prior DV entries SUPERSEDED in the same commit so the
+  * at-most-one-DV-per-data-file invariant holds. */
 object PuffinDeletionVectors {
 
   private val PuffinMagic = Array[Byte](0x50, 0x46, 0x41, 0x31) // "PFA1"
@@ -202,18 +207,27 @@ object PuffinDeletionVectors {
   /** Write one spec-complete Puffin file holding one DV blob per
     * referenced data file; returns each blob's address. */
   private[io] def writePuffin(fs: FileSystem, path: Path,
-      dvs: Seq[(String, Seq[Long])], snapshotId: Long, sequenceNumber: Long): Seq[DvRef] = {
+      dvs: Seq[(String, Seq[Long])], snapshotId: Long, sequenceNumber: Long): Seq[DvRef] =
+    writePuffinStreaming(fs, path, dvs.iterator, snapshotId, sequenceNumber)
+
+  /** Streaming twin of [[writePuffin]]: consumes the per-file groups
+    * one at a time so a TASK writing many files' blobs holds at most
+    * ONE file's positions in memory (the executor-side DML path's
+    * memory contract) plus the tiny address list. */
+  private[io] def writePuffinStreaming(fs: FileSystem, path: Path,
+      dvs: Iterator[(String, Seq[Long])], snapshotId: Long, sequenceNumber: Long): Seq[DvRef] = {
     val out = fs.create(path, false)
     try {
       out.write(PuffinMagic)
       var offset = 4L
-      val refs = dvs.map { case (dataFile, positions) =>
+      val refsB = Seq.newBuilder[DvRef]
+      dvs.foreach { case (dataFile, positions) =>
         val blob = encodeDvBlob(positions)
         out.write(blob)
-        val r = DvRef(dataFile, offset, blob.length.toLong, positions.distinct.size.toLong)
+        refsB += DvRef(dataFile, offset, blob.length.toLong, positions.distinct.size.toLong)
         offset += blob.length
-        r
       }
+      val refs = refsB.result()
       val blobsJson = refs.map { r =>
         s"""{"type":"deletion-vector-v1","fields":[],"snapshot-id":$snapshotId,""" +
           s""""sequence-number":$sequenceNumber,"offset":${r.offset},"length":${r.length},""" +
@@ -255,34 +269,120 @@ object PuffinDeletionVectors {
     try hs.write((hint + 1).toString.getBytes("UTF-8")) finally hs.close()
   }
 
-  /** Delete rows matching `predicate` by DELETION VECTOR: one Puffin
-    * file, one DV blob per touched data file, one manifest whose
-    * entries carry the v3 addressing triple (`referenced_data_file`,
-    * `content_offset`, `content_size_in_bytes`), one `delete`
-    * snapshot. FIXTURE-GRADE (driver-side position collect) — builds
-    * the v3 layouts the READ path and the witness must handle, the
-    * same role as the Avro/ORC `writeDataFile`s. Returns the snapshot
-    * id, or None when nothing matched. */
+  /** Delete rows matching `predicate` by DELETION VECTOR — the v3 DML
+    * face ([[IcebergDml.deleteWhere]] routes its position strategy here
+    * on v3 tables). PRODUCTION-GRADE since r19: positions are grouped,
+    * unioned with prior DVs, encoded and written INSIDE executor tasks
+    * ([[writeDvDelete]]); the driver only ever sees one address row per
+    * touched data file. Returns the snapshot id, or None when nothing
+    * matched. */
   def writeDVDelete(spark: SparkSession, tableDir: String, predicate: String): Option[Long] = {
     val lt = IcebergAppend.load(spark, tableDir)
     require(lt.md.get("format-version").asInt == 3,
       s"deletion vectors are a format-version 3 feature; $tableDir is " +
         s"format-version ${lt.md.get("format-version").asInt} — upgradeToV3 first")
-    val lineage = IcebergImport.readWithLineage(spark, tableDir)
-    val matched = lineage.filter(predicate)
+    val positions = IcebergImport.readWithLineage(spark, tableDir)
+      .filter(predicate)
       .select(col(IcebergImport.LineageFileCol), col(IcebergImport.LineagePosCol))
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    if (matched.isEmpty) return None
-    val byFile = matched.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toSeq.sortBy(_._1)
-    val puffinPath = new Path(new Path(lt.tableDir, "data"),
-      s"dv-${lt.newSnap}-${java.util.UUID.randomUUID().toString.take(8)}.puffin")
-    val refs = writePuffin(lt.fs, puffinPath, byFile, lt.newSnap, lt.newSeq)
+    if (positions.isEmpty) return None
+    val (m, replaced) = writeDvDelete(spark, lt, positions)
+    Some(IcebergAppend.commitSnapshot(spark, lt, Seq(m),
+      operation = "delete", replacePrev = replaced))
+  }
 
-    // the delete manifest: v2's entry schema + the v3 DV addressing
+  /** EXECUTOR-SIDE deletion-vector write — the v3 DML core. `positions`
+    * is a (file, pos) frame (the lineage columns); nothing row-sized
+    * ever reaches the driver:
+    *
+    *  1. positions repartition BY FILE and sort (file, pos) within
+    *     partitions, so each task sees whole files as contiguous runs;
+    *  2. each task streams its runs: per file it UNIONS the file's
+    *     prior DV positions (decoded in the task — the v3 invariant is
+    *     at most ONE DV per data file, and the new DV must carry every
+    *     previously deleted position), encodes the roaring64 blob, and
+    *     appends it to ONE Puffin file per task (memory: one file's
+    *     positions at a time, [[writePuffinStreaming]]);
+    *  3. the driver collects only the (puffin, file, offset, size,
+    *     cardinality) address rows — O(touched files), metadata-sized —
+    *     and writes the delete manifest;
+    *  4. prior delete manifests still carrying a LIVE DV entry for a
+    *     re-vectored file are REWRITTEN: that entry marked DELETED
+    *     (status 2), every other entry carried EXISTING (status 0) with
+    *     its effective sequence number made explicit (a rewritten
+    *     manifest enters the list at the NEW sequence, so inheritance
+    *     would mis-sequence them). Without this, two DV deletes
+    *     touching one file leave two live DVs and Apache Iceberg
+    *     readers reject the table (the r18 ADVICE medium finding).
+    *
+    * Returns the new delete manifest plus the original-path →
+    * rewritten-manifest substitutions for
+    * [[IcebergAppend.commitSnapshot]]'s `replacePrev`. */
+  private[io] def writeDvDelete(spark: SparkSession, lt: IcebergAppend.Loaded,
+      positions: org.apache.spark.sql.DataFrame)
+      : (IcebergAppend.NewManifest, Map[String, IcebergAppend.ReplacedManifest]) = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // ---- prior DV inventory at the commit parent (metadata-sized) ----
+    val priorDv: Seq[(String, String, Long, Long)] =
+      if (lt.parent.isEmpty) Nil
+      else IcebergImport.deleteFileInfo(spark, lt.tableDir, lt.parent).collect {
+        case (1, puffin, Some((ref, off, size))) => (ref, puffin, off, size)
+      }
+    val priorBySpelling: Map[String, Seq[(String, Long, Long)]] =
+      priorDv.groupBy(_._1).toSeq.flatMap { case (ref, blobs) =>
+        IcebergImport.spellings(ref).map(_ -> blobs.map(b => (b._2, b._3, b._4)))
+      }.toMap
+    val conf = new IcebergAvroData.SerializableConf(spark.sparkContext.hadoopConfiguration)
+    val dataDir = lt.fs.makeQualified(new Path(lt.tableDir, "data")).toString
+    val snap = lt.newSnap
+    val seqN = lt.newSeq
+    val priorB = spark.sparkContext.broadcast(priorBySpelling)
+
+    // ---- 1+2: per-task Puffin writes over the shuffled positions ----
+    val fileC = IcebergImport.LineageFileCol
+    val posC = IcebergImport.LineagePosCol
+    val shaped = positions
+      .select(col(fileC).cast("string"), col(posC).cast("long"))
+      .repartition(col(fileC))
+      .sortWithinPartitions(col(fileC), col(posC))
+      .as[(String, Long)]
+    val written: Seq[(String, String, Long, Long, Long)] = shaped.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val tc = org.apache.spark.TaskContext.get()
+        // the structural no-driver-materialization guarantee: this
+        // closure refuses to run outside a task
+        require(tc != null, "DV encode must run inside an executor task, never on the driver")
+        val pPath = new Path(s"$dataDir/dv-$snap-p${tc.partitionId()}-" +
+          s"${java.util.UUID.randomUUID().toString.take(8)}.puffin")
+        val fsx = pPath.getFileSystem(conf.value)
+        val buf = it.buffered
+        val grouped: Iterator[(String, Seq[Long])] = new Iterator[(String, Seq[Long])] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): (String, Seq[Long]) = {
+            val f = buf.head._1
+            val b = Seq.newBuilder[Long]
+            while (buf.hasNext && buf.head._1 == f) b += buf.next()._2
+            val prior = priorB.value.getOrElse(f, Nil).flatMap { case (pf, off, sz) =>
+              val pp = new Path(pf)
+              PuffinDeletionVectors.readPositions(pp.getFileSystem(conf.value), pp, off, sz)
+            }
+            (f, (b.result() ++ prior).distinct.sorted)
+          }
+        }
+        val refs = PuffinDeletionVectors.writePuffinStreaming(fsx, pPath, grouped, snap, seqN)
+        val q = fsx.makeQualified(pPath).toString
+        refs.iterator.map(r => (q, r.referencedDataFile, r.offset, r.length, r.cardinality))
+      }
+    }.collect().toSeq // one address row per TOUCHED FILE — never positions
+    require(written.nonEmpty, s"DV delete on ${lt.tableDir} wrote no blobs — caller must " +
+      "check positions.isEmpty first")
+
+    // ---- 3: the delete manifest over the collected addresses ---------
     val entrySchema = new org.apache.avro.Schema.Parser().parse(ManifestEntryV3Avro)
     val dfSchema = entrySchema.getField("data_file").schema()
     val manifestPath = new Path(lt.metaDir,
-      s"m-dv-${lt.newSnap}-${java.util.UUID.randomUUID().toString.take(8)}.avro")
+      s"m-dv-$snap-${java.util.UUID.randomUUID().toString.take(8)}.avro")
     val w = new org.apache.avro.file.DataFileWriter[org.apache.avro.generic.GenericRecord](
       new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](
         entrySchema))
@@ -292,29 +392,116 @@ object PuffinDeletionVectors {
     w.setMeta("partition-spec-id", specId.toString)
     w.create(entrySchema, lt.fs.create(manifestPath, false))
     var total = 0L
-    refs.foreach { r =>
+    val puffinLen = scala.collection.mutable.Map.empty[String, Long]
+    written.sortBy(w0 => (w0._1, w0._3)).foreach { case (puffin, refFile, off, len, card) =>
       val dfr = new org.apache.avro.generic.GenericData.Record(dfSchema)
       dfr.put("content", 1) // position deletes — a DV is their v3 carrier
-      dfr.put("file_path", lt.fs.makeQualified(puffinPath).toString)
+      dfr.put("file_path", puffin)
       dfr.put("file_format", "PUFFIN")
       dfr.put("partition",
         new org.apache.avro.generic.GenericData.Record(dfSchema.getField("partition").schema()))
-      dfr.put("record_count", r.cardinality)
-      dfr.put("file_size_in_bytes", lt.fs.getFileStatus(puffinPath).getLen)
-      dfr.put("referenced_data_file", r.referencedDataFile)
-      dfr.put("content_offset", r.offset)
-      dfr.put("content_size_in_bytes", r.length)
+      dfr.put("record_count", card)
+      dfr.put("file_size_in_bytes",
+        puffinLen.getOrElseUpdate(puffin, lt.fs.getFileStatus(new Path(puffin)).getLen))
+      dfr.put("referenced_data_file", refFile)
+      dfr.put("content_offset", off)
+      dfr.put("content_size_in_bytes", len)
       val e = new org.apache.avro.generic.GenericData.Record(entrySchema)
       e.put("status", 1)
-      e.put("snapshot_id", java.lang.Long.valueOf(lt.newSnap))
+      e.put("snapshot_id", java.lang.Long.valueOf(snap))
       e.put("data_file", dfr)
       w.append(e)
-      total += r.cardinality
+      total += card
     }
     w.close()
-    Some(IcebergAppend.commitSnapshot(spark, lt,
-      Seq(IcebergAppend.NewManifest(manifestPath, content = 1, files = refs.size, rows = total)),
-      operation = "delete"))
+    val m = IcebergAppend.NewManifest(manifestPath, content = 1,
+      files = written.size, rows = total)
+
+    // ---- 4: supersede prior DV entries for re-vectored files ---------
+    val touched: Set[String] = written.flatMap(w0 => IcebergImport.spellings(w0._2)).toSet
+    (m, supersedePriorDvs(lt, touched))
+  }
+
+  /** Rewrite every carried-forward DELETE manifest that still holds a
+    * LIVE DV entry for a file in `touched`: that entry → status 2
+    * (deleted by this snapshot), all other entries → carried with their
+    * effective sequence numbers made EXPLICIT (existing entries keep
+    * status, added become EXISTING). Rewrites use each manifest's OWN
+    * writer schema (deep copies), so foreign richer manifests pass
+    * through field-for-field. Returns original-list-path → replacement. */
+  private def supersedePriorDvs(lt: IcebergAppend.Loaded,
+      touched: Set[String]): Map[String, IcebergAppend.ReplacedManifest] = {
+    import IcebergImport.fieldOpt
+    val parent = lt.parent.getOrElse(return Map.empty)
+    val snaps = lt.md.get("snapshots")
+    val snapNode = (0 until snaps.size).map(snaps.get)
+      .find(_.get("snapshot-id").asLong == parent).getOrElse(return Map.empty)
+    if (!snapNode.hasNonNull("manifest-list")) return Map.empty
+    val listP = IcebergImport.resolve(lt.tableDir, snapNode.get("manifest-list").asText)
+    val out = Map.newBuilder[String, IcebergAppend.ReplacedManifest]
+    IcebergImport.readAvro(_ => lt.fs, listP)._1.foreach { lrec =>
+      val content = fieldOpt(lrec, "content").map(_.asInstanceOf[Int]).getOrElse(0)
+      if (content == 1) {
+        val mPathRaw = lrec.get("manifest_path").toString
+        val mPath = IcebergImport.resolve(lt.tableDir, mPathRaw)
+        val listSeq = fieldOpt(lrec, "sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L)
+        val (entries, meta) = IcebergImport.readAvro(_ => lt.fs, mPath)
+        def refOf(e: org.apache.avro.generic.GenericRecord): Option[String] = {
+          val df = e.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+          for {
+            _ <- fieldOpt(df, "content_offset")
+            ref <- fieldOpt(df, "referenced_data_file").map(_.toString)
+          } yield ref
+        }
+        def statusOf(e: org.apache.avro.generic.GenericRecord): Int =
+          fieldOpt(e, "status").map(_.asInstanceOf[Int]).getOrElse(1)
+        val hit = entries.exists(e => statusOf(e) != 2 &&
+          refOf(e).exists(r => IcebergImport.spellings(r).exists(touched.contains)))
+        if (hit) {
+          val schema = entries.head.getSchema
+          val newPath = new Path(lt.metaDir, s"m-dvsupersede-${lt.newSnap}-" +
+            s"${java.util.UUID.randomUUID().toString.take(8)}.avro")
+          val w = new org.apache.avro.file.DataFileWriter[org.apache.avro.generic.GenericRecord](
+            new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](
+              schema))
+          meta.foreach { case (k, v) => w.setMeta(k, v) }
+          w.create(schema, lt.fs.create(newPath, false))
+          var (nEx, nDel) = (0, 0)
+          var (rEx, rDel) = (0L, 0L)
+          var minSeq = Long.MaxValue
+          entries.foreach { e =>
+            val copy = org.apache.avro.generic.GenericData.get()
+              .deepCopy(schema, e).asInstanceOf[org.apache.avro.generic.GenericRecord]
+            val st = statusOf(e)
+            val effSeq = fieldOpt(e, "sequence_number").map(_.asInstanceOf[Long])
+              .getOrElse(listSeq)
+            val rows = fieldOpt(e.get("data_file")
+              .asInstanceOf[org.apache.avro.generic.GenericRecord], "record_count")
+              .map(_.asInstanceOf[Long]).getOrElse(0L)
+            val supersede = st != 2 &&
+              refOf(e).exists(r => IcebergImport.spellings(r).exists(touched.contains))
+            // a rewritten manifest enters the list at the NEW sequence:
+            // every entry's effective sequence must be explicit or the
+            // v2 inheritance rule would re-stamp it wrongly
+            copy.put("sequence_number", java.lang.Long.valueOf(effSeq))
+            if (supersede) {
+              copy.put("status", 2) // DELETED: superseded by the new DV
+              copy.put("snapshot_id", java.lang.Long.valueOf(lt.newSnap))
+              nDel += 1; rDel += rows
+            } else if (st != 2) {
+              copy.put("status", 0) // EXISTING
+              nEx += 1; rEx += rows
+              minSeq = math.min(minSeq, effSeq)
+            } else { nDel += 1; rDel += rows }
+            w.append(copy)
+          }
+          w.close()
+          out += mPathRaw -> IcebergAppend.ReplacedManifest(newPath, nEx, rEx, nDel, rDel,
+            if (minSeq == Long.MaxValue) listSeq else minSeq)
+        }
+      }
+    }
+    out.result()
   }
 
   /** [[IcebergExport.ManifestEntryAvro]] + the v3 DV addressing triple

@@ -3651,6 +3651,50 @@ object ExtensionCorpus {
       GROUP BY l_returnflag ORDER BY l_returnflag""")
   )
 
+  /** V3 DML BY DELETION VECTOR, EXECUTOR-SIDE (X143 — the r18
+    * verdict's #2: `writeDVDelete` was fixture tooling that collected
+    * positions driver-side; the production path must emit Puffin DVs
+    * from tasks, and the r18 ADVICE medium: overlapping DV deletes
+    * must supersede, never stack two live DVs on one file): even keys
+    * exported (snap 1, v2), UPGRADED to v3, odd keys appended
+    * (snap 2, a second file vintage), then the DML face —
+    * `deleteWhere(%3, position)` (snap 3: DVs encoded in tasks),
+    * `deleteWhere(%5, position)` (snap 4: OVERLAPPING files — prior
+    * DVs union into the new blobs, prior entries superseded), and
+    * `update(%7 → qty+100)` (snap 5: v3 updates ride position/DV
+    * pre-images + a post-image manifest in ONE overwrite snapshot).
+    * Head aggregate hash-exact vs DuckDB replaying all three
+    * predicates over raw parquet. The one-DV-per-file invariant and
+    * task-side writes are plan/spec-asserted in IcebergV3DvSpec. */
+  private val q176 = Q(
+    "q176_v3_dv_dml",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q176-snap").toString
+      val t = new graft.io.SnapshotTables(s, root)
+      val li = fixture(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      t.overwriteTable(li.filter(col("l_orderkey") % 2 === 0), "li")
+      val dest = java.nio.file.Files.createTempDirectory("q176-ice").toString
+      graft.io.IcebergExport.export(t, "li", dest)
+      graft.io.PuffinDeletionVectors.upgradeToV3(s, dest)
+      graft.io.IcebergAppend.append(s, dest, li.filter(col("l_orderkey") % 2 =!= 0))
+      graft.io.IcebergDml.deleteWhere(s, dest, "l_orderkey % 3 = 0", strategy = "position")
+      graft.io.IcebergDml.deleteWhere(s, dest, "l_orderkey % 5 = 0", strategy = "position")
+      graft.io.IcebergDml.update(s, dest, "l_orderkey % 7 = 0",
+        Map("l_quantity" -> "l_quantity + 100"))
+      s.sql(s"""SELECT l_returnflag, COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM graft_iceberg_scan('$dest')
+        GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+    Some("""SELECT l_returnflag, COUNT(*) AS n,
+      CAST(SUM(CAST(CASE WHEN l_orderkey % 7 = 0 THEN l_quantity + 100
+                         ELSE l_quantity END AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      WHERE l_orderkey % 3 <> 0 AND l_orderkey % 5 <> 0
+      GROUP BY l_returnflag ORDER BY l_returnflag""")
+  )
+
   /** PARTITIONED add_files ADOPTION (X141 — the r17 verdict's #5:
     * adopting an existing Hive-partitioned directory tree is
     * add_files' primary real-world use, and that tree IS the
@@ -3773,7 +3817,8 @@ object ExtensionCorpus {
     q109, q111, q112, q113, q114, q116, q117, q118, q119, q121, q122, q123, q125, q126, q127,
     q128, q130, q131, q132, q133, q135, q136, q137, q138, q139, q140, q141, q143, q144,
     q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159,
-    q160, q161, q162, q163, q164, q165, q166, q166b, q167, q168, q169, q170, q171, q172, q173, q174, q175
+    q160, q161, q162, q163, q164, q165, q166, q166b, q167, q168, q169, q170, q171, q172, q173, q174, q175,
+    q176
   )
 
 }

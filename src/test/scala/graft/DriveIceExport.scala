@@ -232,11 +232,16 @@ object DriveIceExport {
       .agg(count(lit(1)), sum(col("o_totalprice").cast("decimal(18,2)")).cast("string")).collect()(0)
     println(s"EXPECT avrodata count=${r14r.getLong(0)} sum=${r14r.getString(1)}")
 
-    // 15: FORMAT-VERSION 3 + DELETION VECTORS (X140): a v2 export
-    // upgraded to v3, the %3 keys deleted by DV (Puffin/roaring64), a
-    // LATER append whose rows the older DV must not touch (sequence
-    // gating), then a second DV across both vintages — the witness
-    // decodes the Puffin blobs with its own from-scratch reader
+    // 15: FORMAT-VERSION 3 + DELETION VECTORS (X140/X143): a v2 export
+    // upgraded to v3, the %3 keys deleted by DV (Puffin/roaring64
+    // written in executor tasks), a LATER append whose rows the older
+    // DV must not touch (sequence gating), a second DV across both
+    // vintages — OVERLAPPING the first's files, so prior DVs union
+    // into the new blobs and the superseded entries rewrite to
+    // status=2 (the v3 one-DV-per-file invariant) — and a v3 UPDATE
+    // (DV pre-images + post-image manifest in one overwrite snapshot).
+    // The witness decodes the Puffin blobs with its own from-scratch
+    // reader and must skip superseded entries by status.
     val r15 = java.nio.file.Files.createTempDirectory("ind-snap15").toString
     val t15 = new graft.io.SnapshotTables(spark, r15)
     t15.overwriteTable(ord.filter(col("o_orderkey") % 2 === 0), "ord")
@@ -248,6 +253,8 @@ object DriveIceExport {
       ord.filter(col("o_orderkey") % 2 =!= 0))
     graft.io.PuffinDeletionVectors.writeDVDelete(spark, "/tmp/ind_export_dv",
       "o_orderkey % 5 = 0")
+    graft.io.IcebergDml.update(spark, "/tmp/ind_export_dv", "o_orderkey % 7 = 0",
+      Map("o_totalprice" -> "o_totalprice + 1000"))
     val r15r = graft.io.IcebergImport.read(spark, "/tmp/ind_export_dv")
       .agg(count(lit(1)), sum(col("o_totalprice").cast("decimal(18,2)")).cast("string")).collect()(0)
     println(s"EXPECT dv count=${r15r.getLong(0)} sum=${r15r.getString(1)}")

@@ -97,6 +97,47 @@ class IcebergV3DvSpec extends SparkSpec {
     assert(PuffinDeletionVectors.writeDVDelete(spark, dir, "id = 999").isEmpty)
   }
 
+  test("v3 DML writes DVs from executor tasks; overlapping deletes leave ONE DV per file (supersede+union)") {
+    // multiple data files (two vintages), so the shuffle-by-file path
+    // and the per-task Puffin writes genuinely fan out
+    val dir = exported("dml", (1L to 40L).filter(_ % 2 == 0).map(i => (i, s"v$i"))) // snap 1
+    PuffinDeletionVectors.upgradeToV3(spark, dir)
+    IcebergAppend.append(spark, dir, (1L to 40L).filter(_ % 2 == 1).map(i => (i, s"v$i")).toDF("id", "v")) // snap 2
+    // the DML face: position strategy on a v3 table must emit DVs
+    val s1 = IcebergDml.deleteWhere(spark, dir, "id % 3 = 0", strategy = "position")
+    assert(s1.isDefined)
+    // second DV delete OVERLAPPING the first's files: the v3 invariant
+    // is at most one DV per data file, the new DV carrying ALL
+    // previously deleted positions (the r18 ADVICE medium finding —
+    // two live DVs per file make the table unreadable upstream)
+    val s2 = IcebergDml.deleteWhere(spark, dir, "id % 5 = 0", strategy = "position")
+    assert(s2.isDefined)
+    assert(IcebergImport.read(spark, dir).select("id").collect().map(_.getLong(0)).toSeq.sorted
+      == (1L to 40L).filterNot(i => i % 3 == 0 || i % 5 == 0))
+    // ONE live DV entry per referenced data file, across the whole head
+    val dvs = IcebergImport.deleteFileInfo(spark, dir).collect {
+      case (1, puffin, Some((ref, off, size))) => (ref, puffin, off, size)
+    }
+    val perFile = dvs.groupBy(_._1)
+    assert(perFile.nonEmpty && perFile.forall(_._2.size == 1),
+      s"expected one DV per data file, got ${perFile.view.mapValues(_.size).toMap}")
+    // the surviving DVs were written by TASKS (partition-id-stamped
+    // paths) and their cardinalities sum to every deleted position —
+    // the union carried the first delete's positions into the new blobs
+    assert(dvs.forall(_._2.matches(".*dv-\\d+-p\\d+-[0-9a-f]+\\.puffin")))
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalDeleted = dvs.map { case (_, puffin, off, size) =>
+      PuffinDeletionVectors.readPositions(fs, new org.apache.hadoop.fs.Path(puffin), off, size).size
+    }.sum
+    assert(totalDeleted == (1L to 40L).count(i => i % 3 == 0 || i % 5 == 0))
+    // UPDATE on v3 rides the same DV machinery in one overwrite snapshot
+    val s3 = IcebergDml.update(spark, dir, "id = 2", Map("v" -> "'two'"))
+    assert(s3.isDefined)
+    val head = IcebergImport.read(spark, dir)
+    assert(head.filter(col("id") === 2L).select("v").head().getString(0) == "two")
+    assert(head.count() == (1L to 40L).count(i => i % 3 != 0 && i % 5 != 0))
+  }
+
   test("the changelog emits DV-deleted row images") {
     val dir = exported("cdc", (1L to 6L).map(i => (i, s"v$i")))        // snap 1
     PuffinDeletionVectors.upgradeToV3(spark, dir)
