@@ -54,6 +54,7 @@ class IcebergWarehouseCatalog extends TableCatalog with SupportsNamespaces {
   private var warehouse: String = _
   private var commitLogRoot: Option[String] = None
   private var lakeUri: Option[String] = None
+  private var restUri: Option[String] = None
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -62,14 +63,25 @@ class IcebergWarehouseCatalog extends TableCatalog with SupportsNamespaces {
     // LOG-GOVERNED mount (the Nessie capability on foreign tables,
     // X136): reads resolve the snapshot the IcebergLakeCommits head
     // pins — unpublished table-line commits are invisible to SQL.
-    // Two transports: `commitlog=<dir>` reads the numbered-commit log
-    // off shared storage; `uri=http://…` (r18 — how the reference's
-    // own deployment registers its catalog,
+    // Three transports: `commitlog=<dir>` reads the numbered-commit
+    // log off shared storage; `uri=http://…` (r18 — how the
+    // reference's own deployment registers its catalog,
     // datalake_gold_spark_dag.py:181-186) resolves the same pins over
-    // the Nessie-v2-shaped wire (IcebergLakeHttpServer).
+    // the Nessie-v2-shaped wire (IcebergLakeHttpServer); `uri=` +
+    // `type=rest-shape` (r19, X144) resolves the Iceberg REST
+    // protocol's catalog-pinned metadata (IcebergRestHttpServer) —
+    // the wire real deployments converge on.
     commitLogRoot = Option(options.get("commitlog"))
-    lakeUri = Option(options.get("uri"))
-    require(commitLogRoot.isEmpty || lakeUri.isEmpty,
+    val uriOpt = Option(options.get("uri"))
+    val tpe = Option(options.get("type"))
+    require(tpe.forall(_ == "rest-shape"),
+      s"IcebergWarehouseCatalog '$name': unknown type='${tpe.get}' — the only protocol " +
+        "selector is type=rest-shape (the Iceberg REST wire); omit for the Nessie-v2 wire")
+    restUri = if (tpe.contains("rest-shape")) uriOpt else None
+    require(restUri.isEmpty || uriOpt.isDefined,
+      s"IcebergWarehouseCatalog '$name': type=rest-shape needs uri=<catalog url>")
+    lakeUri = if (tpe.contains("rest-shape")) None else uriOpt
+    require(commitLogRoot.isEmpty || uriOpt.isEmpty,
       s"IcebergWarehouseCatalog '$name': configure ONE of commitlog= (shared-filesystem " +
         "log) or uri= (HTTP catalog), not both")
   }
@@ -80,11 +92,16 @@ class IcebergWarehouseCatalog extends TableCatalog with SupportsNamespaces {
   // one wire client per mount (the JDK HttpClient pools connections)
   private lazy val remote: Option[graft.io.RemoteIcebergLake] =
     lakeUri.map(u => new graft.io.RemoteIcebergLake(u))
+  private lazy val rest: Option[graft.io.RemoteIcebergRest] =
+    restUri.map(u => new graft.io.RemoteIcebergRest(u))
 
-  /** The governed pin for `dir`, whichever transport is mounted. */
-  private def pinFor(dir: String): Option[Long] =
+  /** The governed pin for `dir`, whichever transport is mounted. The
+    * REST protocol addresses tables by (namespace, name), not dir —
+    * the catalog-pinned metadata's current snapshot is the pin. */
+  private def pinFor(dir: String, ident: Identifier): Option[Long] =
     lake.flatMap(_.pinnedSnapshot(dir))
       .orElse(remote.flatMap(_.pinnedSnapshot(dir)))
+      .orElse(rest.flatMap(_.pinnedSnapshot(ident.namespace.mkString("/"), ident.name)))
 
   override def name(): String = catalogName
 
@@ -127,7 +144,7 @@ class IcebergWarehouseCatalog extends TableCatalog with SupportsNamespaces {
     // does not govern yet reads its own head); writes stay allowed —
     // they land on the table line and become visible at the next
     // publish, exactly the Nessie trade
-    val pin = pinFor(dir)
+    val pin = pinFor(dir, ident)
     new IcebergForeignTable(fullName(ident), dir, pin, pinned = false)
   }
 

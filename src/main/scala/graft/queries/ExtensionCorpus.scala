@@ -3695,6 +3695,68 @@ object ExtensionCorpus {
       GROUP BY l_returnflag ORDER BY l_returnflag""")
   )
 
+  /** ICEBERG REST CATALOG MOUNT (X144 — the r18 verdict's #5: the
+    * Nessie-v2 wire matches the reference's own deployment, but the
+    * ecosystem's converged catalog protocol is the Iceberg REST
+    * OpenAPI, and a migrating user's second catalog speaks it): the
+    * table exported under a warehouse, served by
+    * [[graft.io.IcebergRestHttpServer]] (LoadTableResult with pinned
+    * metadata-location, commits via POST with the spec's
+    * requirements), mounted with `uri=` + `type=rest-shape`. A
+    * restatement lands STAGED on the table line (the catalog owns the
+    * pointer — invisible), then publishes as ONE spec-shaped commit
+    * request (`add-snapshot`* + `set-snapshot-ref` guarded by
+    * `assert-ref-snapshot-id`); a poison append stays staged. The
+    * 3-level-name aggregate hash-matches only if SQL resolves the
+    * CATALOG-pinned snapshot — restatement visible, poison not.
+    * (The 409 CAS-conflict path is spec-pinned in IcebergRestHttpSpec.) */
+  private val q177 = Q(
+    "q177_iceberg_rest_catalog",
+    (s, dir) => {
+      val cat = "rice" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      val wh = java.nio.file.Files.createTempDirectory("q177-wh").toString
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(wh, "dw"))
+      val liDir = s"$wh/dw/li"
+      val li = fixture(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      val root = java.nio.file.Files.createTempDirectory("q177-snap").toString
+      val t = new graft.io.SnapshotTables(s, root)
+      t.overwriteTable(li.filter(col("l_orderkey") <= 5000), "li")
+      graft.io.IcebergExport.export(t, "li", liDir)
+      val srv = new graft.io.IcebergRestHttpServer(s, wh).start()
+      try {
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.catalog.IcebergWarehouseCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.conf.set(s"spark.sql.catalog.$cat.uri", srv.url)
+        s.conf.set(s"spark.sql.catalog.$cat.type", "rest-shape")
+        val remote = new graft.io.RemoteIcebergRest(srv.url)
+        remote.loadTable("dw", "li") // the catalog pins the export head
+        // restatement committed on the table line — STAGED (the
+        // catalog owns the pointer), then published as one commit
+        // request with requirements
+        val restated = li.filter(col("l_orderkey") <= 6000)
+          .withColumn("l_quantity",
+            when(col("l_orderkey").between(1000, 2000), col("l_quantity") + 5)
+              .otherwise(col("l_quantity")))
+        graft.io.IcebergAppend.overwrite(s, liDir, restated)
+        remote.publishHead(s, "dw", "li", liDir)
+        // poison: committed to the table line, never published
+        graft.io.IcebergAppend.append(s, liDir, li.filter(col("l_orderkey") <= 100))
+        // analysis resolves the catalog pin HERE; the scan reads
+        // shared storage, so the server can stop once the plan exists
+        s.sql(s"""SELECT l_returnflag, COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          FROM $cat.dw.li GROUP BY l_returnflag ORDER BY l_returnflag""")
+      } finally srv.stop()
+    },
+    Some("""SELECT l_returnflag, COUNT(*) AS n,
+      CAST(SUM(CAST(CASE WHEN l_orderkey BETWEEN 1000 AND 2000 THEN l_quantity + 5
+                         ELSE l_quantity END AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem WHERE l_orderkey <= 6000
+      GROUP BY l_returnflag ORDER BY l_returnflag""")
+  )
+
   /** PARTITIONED add_files ADOPTION (X141 — the r17 verdict's #5:
     * adopting an existing Hive-partitioned directory tree is
     * add_files' primary real-world use, and that tree IS the
@@ -3818,7 +3880,7 @@ object ExtensionCorpus {
     q128, q130, q131, q132, q133, q135, q136, q137, q138, q139, q140, q141, q143, q144,
     q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159,
     q160, q161, q162, q163, q164, q165, q166, q166b, q167, q168, q169, q170, q171, q172, q173, q174, q175,
-    q176
+    q176, q177
   )
 
 }
