@@ -30,17 +30,27 @@ import org.apache.hadoop.util.Progressable
   *   - `GET /bucket/key` with **Range** support (a parquet footer read
   *     must not download the object), `HEAD`, `DELETE`;
   *   - `GET /bucket?list-type=2&prefix=&delimiter=` — ListObjectsV2
-  *     XML with `Contents` + `CommonPrefixes`.
+  *     XML with `Contents` + `CommonPrefixes`;
+  *   - MULTIPART UPLOAD (r19): `POST ?uploads` initiate, `PUT
+  *     ?partNumber&uploadId` parts, `POST ?uploadId` complete
+  *     (honoring `If-None-Match: *` — S3's conditional write applies
+  *     to CompleteMultipartUpload too), `DELETE ?uploadId` abort;
+  *     initiations and parts are METERED so the writer's
+  *     bounded-memory claim is asserted, not trusted.
   *   Objects live in memory; there are no directories, only keys —
   *   exactly the flat-namespace reality the layouts must survive.
   *
   * [[S3WireFileSystem]] — a Hadoop `FileSystem` (scheme `s3g`) over
   * that wire, carrying object-store semantics INTO Spark and the
   * snapshot/Iceberg stacks:
-  *   - `create(overwrite=false)` buffers and uploads with
-  *     `If-None-Match: *` at close — 412 surfaces as
-  *     `FileAlreadyExistsException`, which [[AtomicFs.createExclusive]]
-  *     treats as a lost CAS (the loser's object never landed);
+  *   - `create` streams FIXED-SIZE PARTS (`fs.s3g.part.size`, default
+  *     8 MB — the writer holds at most one part buffer, r19's
+  *     bounded-memory contract): objects that fit in one part take a
+  *     single conditional PUT, larger ones a multipart upload whose
+  *     COMPLETE carries `If-None-Match: *` — either way a lost race
+  *     surfaces as `FileAlreadyExistsException`, which
+  *     [[AtomicFs.createExclusive]] treats as a lost CAS (the loser's
+  *     object never landed; its parts abort);
   *   - `rename` = per-key server-side COPY + DELETE (there is no
   *     rename on S3) — O(data), which is WHY the direct commit layout
   *     exists; the meter proves the difference;
@@ -54,15 +64,22 @@ import org.apache.hadoop.util.Progressable
   * }}}
   * This is a TEST DOUBLE proving the engine's layouts and commit
   * protocols execute over an S3-shaped store — not an S3 client for
-  * production (no auth, no multipart, in-memory objects). */
+  * production (no auth, in-memory objects). */
 final class S3WireServer(port: Int = 0) {
 
   private val objects = new ConcurrentHashMap[String, Array[Byte]]()
+  /** In-flight multipart uploads: uploadId → (key, partNumber → bytes). */
+  private val uploads = new ConcurrentHashMap[String, (String, ConcurrentHashMap[Int, Array[Byte]])]()
+  private val uploadSeq = new AtomicLong(0)
   val puts = new AtomicLong(0)
   val gets = new AtomicLong(0)
   val copies = new AtomicLong(0)
   /** Bytes moved by server-side copies — what S3 bills a "rename". */
   val bytesCopied = new AtomicLong(0)
+  /** Multipart meters: initiations and parts landed — the writer's
+    * bounded-memory claim is asserted against these, not trusted. */
+  val multipartUploads = new AtomicLong(0)
+  val partsUploaded = new AtomicLong(0)
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   // DAEMON worker threads + explicit shutdown: HttpServer.stop does
@@ -97,6 +114,58 @@ final class S3WireServer(port: Int = 0) {
         .map { kv => val i = kv.indexOf('='); kv.take(i) ->
           java.net.URLDecoder.decode(kv.drop(i + 1), "UTF-8") }.toMap
       ex.getRequestMethod match {
+        // ---- multipart upload (the public S3 API shapes): initiate /
+        // upload part / complete / abort — the bounded-memory write
+        // path for objects past the single-PUT comfort zone
+        case "POST" if query == "uploads" || query.startsWith("uploads&") ||
+            query.contains("&uploads") =>
+          val id = s"mpu-${uploadSeq.incrementAndGet()}"
+          uploads.put(id, (key, new ConcurrentHashMap[Int, Array[Byte]]()))
+          multipartUploads.incrementAndGet()
+          send(ex, 200,
+            (s"<?xml version=\"1.0\"?><InitiateMultipartUploadResult><Bucket>" +
+              s"${xmlEsc(key.takeWhile(_ != '/'))}</Bucket><Key>" +
+              s"${xmlEsc(key.dropWhile(_ != '/').stripPrefix("/"))}</Key>" +
+              s"<UploadId>$id</UploadId></InitiateMultipartUploadResult>")
+              .getBytes(StandardCharsets.UTF_8),
+            Map("Content-Type" -> "application/xml"))
+        case "PUT" if params.contains("uploadId") && params.contains("partNumber") =>
+          val body = ex.getRequestBody.readAllBytes()
+          val up = uploads.get(params("uploadId"))
+          if (up == null || up._1 != key) send(ex, 404, Array.emptyByteArray)
+          else {
+            val n = params("partNumber").toInt
+            up._2.put(n, body)
+            partsUploaded.incrementAndGet()
+            send(ex, 200, Array.emptyByteArray, Map("ETag" -> s"\"part-$n\""))
+          }
+        case "POST" if params.contains("uploadId") =>
+          val up = uploads.remove(params("uploadId"))
+          val ifNoneMatch = Option(ex.getRequestHeaders.getFirst("If-None-Match"))
+          ex.getRequestBody.readAllBytes() // the CompleteMultipartUpload XML (part list)
+          if (up == null || up._1 != key) send(ex, 404, Array.emptyByteArray)
+          else {
+            import scala.jdk.CollectionConverters._
+            val whole = new ByteArrayOutputStream()
+            up._2.asScala.toSeq.sortBy(_._1).foreach { case (_, b) => whole.write(b) }
+            val assembled = whole.toByteArray
+            // S3's conditional write applies to CompleteMultipartUpload
+            // too — the CAS survives the multipart path
+            if (ifNoneMatch.contains("*")) {
+              if (objects.putIfAbsent(key, assembled) != null)
+                send(ex, 412, Array.emptyByteArray)
+              else {
+                puts.incrementAndGet()
+                send(ex, 200, "<CompleteMultipartUploadResult/>".getBytes(StandardCharsets.UTF_8))
+              }
+            } else {
+              objects.put(key, assembled); puts.incrementAndGet()
+              send(ex, 200, "<CompleteMultipartUploadResult/>".getBytes(StandardCharsets.UTF_8))
+            }
+          }
+        case "DELETE" if params.contains("uploadId") =>
+          uploads.remove(params("uploadId")) // abort: parts discarded
+          send(ex, 204, Array.emptyByteArray)
         case "PUT" =>
           val body = ex.getRequestBody.readAllBytes()
           val copySource = Option(ex.getRequestHeaders.getFirst("x-amz-copy-source"))
@@ -237,6 +306,7 @@ class S3WireFileSystem extends FileSystem {
       case "HEAD" => b.method("HEAD", java.net.http.HttpRequest.BodyPublishers.noBody())
       case "DELETE" => b.DELETE()
       case "PUT" => b.PUT(java.net.http.HttpRequest.BodyPublishers.ofByteArray(body))
+      case "POST" => b.POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(body))
     }
     http.send(b.build(), java.net.http.HttpResponse.BodyHandlers.ofByteArray())
   }
@@ -350,16 +420,77 @@ class S3WireFileSystem extends FileSystem {
     val key = keyOf(f)
     if (!overwrite && objectLength(key).isDefined)
       throw new FileAlreadyExistsException(f.toString) // early, friendly check
-    val buf = new ByteArrayOutputStream()
+    // BOUNDED-MEMORY writes (r19 — the r18 verdict's #4: buffering the
+    // whole object and PUTting at close hits S3's 5 GB single-PUT
+    // limit and executor heap pressure on large data files): the
+    // writer holds at most ONE part buffer. Objects that fit in one
+    // part keep the single conditional PUT (cheapest, and the CAS
+    // shape the commit protocols already pin); past the threshold the
+    // writer initiates a multipart upload, streams fixed-size parts as
+    // the buffer fills, and completes at close — with If-None-Match
+    // riding the CompleteMultipartUpload, so create(overwrite=false)
+    // keeps EXACTLY the lost-race semantics of the single-PUT path.
+    val partSize = math.max(64 * 1024,
+      getConf.getInt("fs.s3g.part.size", 8 * 1024 * 1024))
     val out = new java.io.OutputStream {
-      override def write(b: Int): Unit = buf.write(b)
-      override def write(b: Array[Byte], off: Int, n: Int): Unit = buf.write(b, off, n)
+      private val buf = new ByteArrayOutputStream(math.min(partSize, 1 * 1024 * 1024))
+      private var uploadId: Option[String] = None
+      private var nextPart = 1
+      private def initiate(): String = uploadId.getOrElse {
+        val r = req("POST", key, query = "?uploads")
+        if (r.statusCode != 200) throw new IOException(s"initiate multipart $key -> ${r.statusCode}")
+        val xml = new String(r.body, StandardCharsets.UTF_8)
+        val id = "<UploadId>(.*?)</UploadId>".r.findFirstMatchIn(xml)
+          .map(_.group(1)).getOrElse(throw new IOException(s"no UploadId in $xml"))
+        uploadId = Some(id)
+        id
+      }
+      private def flushPart(): Unit = {
+        val id = initiate()
+        val r = req("PUT", key, body = buf.toByteArray,
+          query = s"?partNumber=$nextPart&uploadId=$id")
+        if (r.statusCode != 200) throw new IOException(s"upload part $nextPart $key -> ${r.statusCode}")
+        nextPart += 1
+        buf.reset()
+      }
+      override def write(b: Int): Unit = {
+        buf.write(b)
+        if (buf.size >= partSize) flushPart()
+      }
+      override def write(b: Array[Byte], off: Int, n: Int): Unit = {
+        var o = off; var left = n
+        while (left > 0) {
+          val take = math.min(left, partSize - buf.size)
+          buf.write(b, o, take)
+          o += take; left -= take
+          if (buf.size >= partSize) flushPart()
+        }
+      }
       override def close(): Unit = {
         val headers = if (overwrite) Map.empty[String, String]
           else Map("If-None-Match" -> "*") // the S3 conditional write — the real CAS
-        val r = req("PUT", key, headers, buf.toByteArray)
-        if (r.statusCode == 412) throw new FileAlreadyExistsException(f.toString)
-        if (r.statusCode != 200) throw new IOException(s"PUT $key -> ${r.statusCode}")
+        uploadId match {
+          case None =>
+            // fits in one part: the plain conditional PUT
+            val r = req("PUT", key, headers, buf.toByteArray)
+            if (r.statusCode == 412) throw new FileAlreadyExistsException(f.toString)
+            if (r.statusCode != 200) throw new IOException(s"PUT $key -> ${r.statusCode}")
+          case Some(id) =>
+            if (buf.size > 0) flushPart()
+            val partsXml = (1 until nextPart)
+              .map(i => s"<Part><PartNumber>$i</PartNumber></Part>").mkString
+            val r = req("POST", key, headers,
+              s"<CompleteMultipartUpload>$partsXml</CompleteMultipartUpload>"
+                .getBytes(StandardCharsets.UTF_8),
+              query = s"?uploadId=$id")
+            if (r.statusCode == 412) {
+              // lost the CAS at complete time: the parts are orphaned
+              // debt — abort them; the WINNER's object must stay
+              req("DELETE", key, query = s"?uploadId=$id")
+              throw new FileAlreadyExistsException(f.toString)
+            }
+            if (r.statusCode != 200) throw new IOException(s"complete multipart $key -> ${r.statusCode}")
+        }
       }
     }
     new FSDataOutputStream(out, null)

@@ -69,6 +69,49 @@ class ObjectStoreWireSpec extends SparkSpec {
     }
   }
 
+  test("multipart: large objects stream in parts (bounded memory), CAS survives the complete") {
+    withStore { (srv, root) =>
+      val conf = spark.sparkContext.hadoopConfiguration
+      conf.setInt("fs.s3g.part.size", 64 * 1024) // force multipart on test-sized data
+      try {
+        val p = new Path(s"$root/wh/big.bin")
+        val fs = p.getFileSystem(conf)
+        // 300 KB through a 64 KB part buffer: the writer must stream
+        // parts as it fills, never holding the object
+        val payload = Array.tabulate(300 * 1024)(i => (i * 31 + 7).toByte)
+        val out = fs.create(p, false)
+        try out.write(payload) finally out.close()
+        assert(srv.multipartUploads.get() == 1, "expected one multipart initiation")
+        assert(srv.partsUploaded.get() >= 4, s"expected >=4 parts, got ${srv.partsUploaded.get()}")
+        // byte-identical read-back over ranged GETs
+        val in = fs.open(p)
+        val back = try in.readAllBytes() finally in.close()
+        assert(java.util.Arrays.equals(back, payload))
+        // the CAS shape survives the multipart path: an exclusive
+        // multipart writer whose key lands (by a racer) WHILE ITS
+        // UPLOAD IS IN FLIGHT loses at COMPLETE time (If-None-Match on
+        // CompleteMultipartUpload), aborts its parts, and the winner's
+        // object is untouched
+        val p2 = new Path(s"$root/wh/raced.bin")
+        val loser = fs.create(p2, false) // key absent: early check passes
+        loser.write(Array.fill(200 * 1024)(0x5A.toByte)) // parts in flight
+        val winner = fs.create(p2, false)
+        val winnerBytes = Array.fill(1024)(0x11.toByte)
+        winner.write(winnerBytes); winner.close() // single conditional PUT wins
+        val e = intercept[org.apache.hadoop.fs.FileAlreadyExistsException] { loser.close() }
+        assert(e.getMessage.contains("raced.bin"))
+        val in2 = fs.open(p2)
+        val back2 = try in2.readAllBytes() finally in2.close()
+        assert(java.util.Arrays.equals(back2, winnerBytes), "loser overwrote the winner")
+        // small objects keep the single-PUT path: no new initiations
+        val mpuBefore = srv.multipartUploads.get()
+        val sp = fs.create(new Path(s"$root/wh/small.bin"), false)
+        try sp.write(Array.fill(1024)(1.toByte)) finally sp.close()
+        assert(srv.multipartUploads.get() == mpuBefore)
+      } finally conf.unset("fs.s3g.part.size")
+    }
+  }
+
   test("snapshot tables on an s3g root; publish moves ZERO copied bytes under direct layout") {
     withStore { (srv, root) =>
       val st = new SnapshotTables(spark, s"$root/wh/snap")
