@@ -19,7 +19,7 @@ object DriveIceExport {
     // on version files (the append's optimistic concurrency, working
     // as designed — but these are throwaway fixtures)
     Seq("plain", "mor", "bucket", "posdel", "evolved", "appended", "partitioned", "scoped",
-        "dml", "branch", "posdml", "merge", "catname", "avrodata", "dv", "adopted")
+        "dml", "branch", "posdml", "merge", "catname", "avrodata", "dv", "adopted", "changes")
       .foreach { n =>
         val p = new org.apache.hadoop.fs.Path(s"/tmp/ind_export_$n")
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -293,6 +293,33 @@ object DriveIceExport {
       .agg(count(lit(1)), sum(col("o_totalprice").cast("decimal(18,2)")).cast("string"),
         countDistinct(col("sys_file_date"))).collect()(0)
     println(s"EXPECT adopted count=${r16r.getLong(0)} sum=${r16r.getString(1)} d=${r16r.getLong(2)}")
+
+    // 17: CHANGELOG RANGE (X138 witness — the r18 verdict's #6: the
+    // q171 oracle replays per-snapshot diffs in DuckDB, but the
+    // independent witness could not snapshot-pin reads, so changelog
+    // semantics had no second-language verifier): a q171-shaped
+    // append → MOR equality DELETE → append → MOR position DELETE
+    // chain; graft's manifest-diff changelog vs the witness's pinned
+    // state-diff replay must agree per change type, byte-identically
+    val r17 = java.nio.file.Files.createTempDirectory("ind-snap17").toString
+    val t17 = new graft.io.SnapshotTables(spark, r17)
+    t17.overwriteTable(ord.filter(col("o_orderkey") % 2 === 0), "ord")
+    graft.io.IcebergExport.export(t17, "ord", "/tmp/ind_export_changes")      // snap 1
+    graft.io.IcebergAppend.append(spark, "/tmp/ind_export_changes",
+      ord.filter(col("o_orderkey") % 4 === 1))                                // snap 2
+    graft.io.IcebergDml.deleteWhere(spark, "/tmp/ind_export_changes",
+      "o_orderkey % 3 = 0")                                                   // snap 3 (MOR eq)
+    graft.io.IcebergAppend.append(spark, "/tmp/ind_export_changes",
+      ord.filter(col("o_orderkey") % 4 === 3))                                // snap 4
+    graft.io.IcebergDml.deleteWhere(spark, "/tmp/ind_export_changes",
+      "o_orderkey % 5 = 0", strategy = "position")                            // snap 5 (MOR pos)
+    val r17r = graft.io.IcebergChanges.changesBetween(spark, "/tmp/ind_export_changes", Some(1L))
+      .groupBy(col("_change_type"))
+      .agg(count(lit(1)), sum(col("o_totalprice").cast("decimal(18,2)")).cast("string"))
+      .orderBy(col("_change_type"))
+      .collect().toSeq
+    r17r.foreach(r =>
+      println(s"EXPECT changes type=${r.getString(0)} count=${r.getLong(1)} sum=${r.getString(2)}"))
     spark.stop()
   }
 }

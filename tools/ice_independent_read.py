@@ -19,8 +19,14 @@ directly from the PUBLIC specs:
     deletes anti-joined null-safely on the equality_ids columns with
     strictly-earlier gating.
 
-Usage: ice_independent_read.py <exported-table-dir> <sql>
-  <sql> runs in DuckDB with a view `t` = the planned scan.
+Usage:
+  ice_independent_read.py <table-dir> <sql> [--snapshot <id>]
+      <sql> runs in DuckDB with view `t` = the planned scan (pinned at
+      <id> when given, else the current snapshot).
+  ice_independent_read.py <table-dir> --changes <fromSnapshot> <sql>
+      changelog-range replay: per-step MULTISET STATE DIFFS between
+      consecutive pinned snapshots after <fromSnapshot>; view `t` = the
+      change rows with _change_type/_commit_snapshot_id prepended.
 Prints the result rows; exits non-zero on any spec violation.
 """
 import io
@@ -223,7 +229,9 @@ def resolve(table_dir, p):
     return os.path.join(table_dir, p)
 
 
-def plan_scan(table_dir):
+def load_md(table_dir):
+    """The head metadata JSON (version-hint, else highest version of
+    either naming convention)."""
     meta_dir = os.path.join(table_dir, "metadata")
     hint_path = os.path.join(meta_dir, "version-hint.text")
     if os.path.exists(hint_path):
@@ -247,10 +255,20 @@ def plan_scan(table_dir):
         if best is None:
             raise SystemExit(f"no *.metadata.json under {meta_dir}")
         md_path = os.path.join(meta_dir, best[1])
-    md = json.load(open(md_path))
+    return json.load(open(md_path))
+
+
+def plan_scan(table_dir, snapshot_id=None):
+    """Scan plan at the CURRENT snapshot, or — SNAPSHOT-PINNED (r19,
+    the changelog-range witness's requirement) — at an explicit
+    snapshot id: same manifests walk, just anchored at the named
+    snapshot's manifest list instead of the head's."""
+    md = load_md(table_dir)
     assert md["format-version"] in (2, 3), "expected a v2/v3 table"
-    snap_id = md["current-snapshot-id"]
-    snap = next(s for s in md["snapshots"] if s["snapshot-id"] == snap_id)
+    snap_id = snapshot_id if snapshot_id is not None else md["current-snapshot-id"]
+    snap = next((s for s in md["snapshots"] if s["snapshot-id"] == snap_id), None)
+    if snap is None:
+        raise SystemExit(f"snapshot {snap_id} not in the metadata of {table_dir}")
     schemas = {s["schema-id"]: s for s in md["schemas"]}
     schema = schemas[md["current-schema-id"]]
     field_names = {f["id"]: f["name"] for f in schema["fields"]}
@@ -372,13 +390,16 @@ def resolve_fields(con, src_sql, fields, name_mapping, ident_cols=(), qual=""):
     return ", ".join(parts)
 
 
-def main():
-    table_dir, sql = sys.argv[1], sys.argv[2]
-    import duckdb
-    data, deletes, field_names, fields, name_mapping = plan_scan(table_dir)
+def prepare(con, table_dir, snapshot_id=None):
+    """Create view `t` = the planned scan (deletes applied) in `con`,
+    at the head or a PINNED snapshot."""
+    data, deletes, field_names, fields, name_mapping = plan_scan(table_dir, snapshot_id)
     if not data:
-        raise SystemExit("no data files planned")
-    con = duckdb.connect()
+        # a legitimately empty state (pinned pre-data snapshot)
+        cols = ", ".join(f'CAST(NULL AS {duck_type(f["type"])}) AS "{f["name"]}"'
+                         for f in fields)
+        con.execute(f"CREATE VIEW t AS SELECT {cols} WHERE 1=0")
+        return
 
     def flist(fs):
         return "[" + ",".join("'" + f["path"].replace("'", "''") + "'" for f in fs) + "]"
@@ -533,6 +554,83 @@ def main():
         view = f"eq{i}"
     user_cols = ", ".join(f'"{n}"' for n in field_names.values())
     con.execute(f"CREATE VIEW t AS SELECT {user_cols} FROM {view}")
+
+
+def run_changes(table_dir, from_snap, sql):
+    """CHANGELOG-RANGE REPLAY (r19 — witness fixture 17): walk the main
+    parent chain from `from_snap` (exclusive) to the head, build each
+    snapshot's FULL pinned state independently, and derive per-step
+    change rows as MULTISET STATE DIFFS (EXCEPT ALL both ways) — a
+    second, deliberately different derivation from graft's
+    manifest-diff changelog. `replace` (compaction) steps contribute
+    nothing. Equivalence caveat, stated: a COW overwrite that rewrites
+    surviving rows into new files emits delete+insert pairs in
+    Iceberg's changelog that a state diff cannot see — this replay
+    witnesses append / MOR-delete / MOR-overwrite ranges (the q171
+    shape), which is exactly what fixture 17 builds.
+    `sql` runs over view `t` = the change rows with `_change_type` and
+    `_commit_snapshot_id` prepended."""
+    import duckdb
+    import tempfile
+    md = load_md(table_dir)
+    by_id = {s["snapshot-id"]: s for s in md["snapshots"]}
+    chain, cur = [], md["current-snapshot-id"]
+    while cur is not None and cur in by_id:
+        chain.append(by_id[cur])
+        cur = by_id[cur].get("parent-snapshot-id")
+    chain.reverse()
+    ids = [s["snapshot-id"] for s in chain]
+    if from_snap not in ids:
+        raise SystemExit(f"snapshot {from_snap} not on the main lineage {ids}")
+    start = ids.index(from_snap)
+    tmpd = tempfile.mkdtemp(prefix="ice-changes-")
+
+    def dump(snap_id, name):
+        c = duckdb.connect()
+        prepare(c, table_dir, snap_id)
+        out = os.path.join(tmpd, f"{name}.parquet")
+        c.execute(f"COPY (SELECT * FROM t) TO '{out}' (FORMAT PARQUET)")
+        c.close()
+        return out
+
+    con = duckdb.connect()
+    first = True
+    prev_p = dump(ids[start], f"s{start}")
+    for i in range(start + 1, len(ids)):
+        op = (chain[i].get("summary") or {}).get("operation", "unknown")
+        cur_p = dump(ids[i], f"s{i}")
+        if op == "replace":
+            prev_p = cur_p  # compaction: layout changed, rows did not
+            continue
+        ins = (f"(SELECT * FROM read_parquet('{cur_p}') EXCEPT ALL "
+               f"SELECT * FROM read_parquet('{prev_p}'))")
+        dels = (f"(SELECT * FROM read_parquet('{prev_p}') EXCEPT ALL "
+                f"SELECT * FROM read_parquet('{cur_p}'))")
+        step = (f"SELECT 'insert' AS _change_type, "
+                f"CAST({ids[i]} AS BIGINT) AS _commit_snapshot_id, * FROM {ins} "
+                f"UNION ALL SELECT 'delete', CAST({ids[i]} AS BIGINT), * FROM {dels}")
+        con.execute(("CREATE TABLE changes AS " if first else "INSERT INTO changes ") + step)
+        first = False
+        prev_p = cur_p
+    if first:
+        raise SystemExit("empty change range")
+    con.execute("CREATE VIEW t AS SELECT * FROM changes")
+    for row in con.execute(sql).fetchall():
+        print(row)
+
+
+def main():
+    args = sys.argv[1:]
+    if len(args) >= 4 and args[1] == "--changes":
+        run_changes(args[0], int(args[2]), args[3])
+        return
+    table_dir, sql = args[0], args[1]
+    snap = None
+    if "--snapshot" in args:
+        snap = int(args[args.index("--snapshot") + 1])
+    import duckdb
+    con = duckdb.connect()
+    prepare(con, table_dir, snap)
     for row in con.execute(sql).fetchall():
         print(row)
 
