@@ -148,6 +148,42 @@ class IcebergV3DvSpec extends SparkSpec {
     assert(got == Seq(("delete", 5L), ("delete", 6L)))
   }
 
+  test("maintenance over DVs: compact folds them away; expiry orphans unreferenced Puffins; reads stay exact") {
+    val dir = exported("mnt", (1L to 20L).map(i => (i, s"v$i")))       // snap 1 (v2)
+    PuffinDeletionVectors.upgradeToV3(spark, dir)
+    IcebergDml.deleteWhere(spark, dir, "id % 4 = 0", strategy = "position") // snap 2 (DV)
+    val expect = (1L to 20L).filterNot(_ % 4 == 0)
+    // compact rewrites the CURRENT content (DV applied) as a REPLACE
+    // snapshot: from here on no reader touches the Puffin
+    IcebergMaintenance.compact(spark, dir)                             // snap 3
+    def ids() = IcebergImport.read(spark, dir).select("id")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids() == expect)
+    assert(IcebergImport.filesRelation(spark, dir)
+      .filter(col("content") === 1).count() == 0, "compaction left delete entries at head")
+    // expiry to the compacted head: the Puffin is referenced by NO
+    // retained snapshot — it must surface in the orphan inventory
+    val orphans = IcebergMaintenance.expireSnapshots(spark, dir, keepLast = 1)
+    assert(orphans.exists(_.endsWith(".puffin")), s"expected an orphaned Puffin in $orphans")
+    // and physically removing the orphans changes nothing a reader sees
+    IcebergMaintenance.expireSnapshots(spark, dir, keepLast = 1, removeOrphans = true)
+    assert(ids() == expect)
+  }
+
+  test("changelog across a DV supersede emits exactly the newly-dead rows") {
+    val dir = exported("sup", (1L to 12L).map(i => (i, s"v$i")))       // snap 1 (v2)
+    PuffinDeletionVectors.upgradeToV3(spark, dir)
+    IcebergDml.deleteWhere(spark, dir, "id % 3 = 0", strategy = "position") // snap 2 (DV)
+    // snap 3 OVERLAPS snap 2's files: its DVs carry the union and the
+    // prior entries supersede — the changelog diff must still emit
+    // ONLY the rows this snapshot newly killed (12 was already dead)
+    IcebergDml.deleteWhere(spark, dir, "id % 4 = 0", strategy = "position") // snap 3 (supersede)
+    val got = IcebergChanges.changesBetween(spark, dir, Some(2L), Some(3L))
+      .select("_change_type", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    assert(got == Seq(("delete", 4L), ("delete", 8L)))
+  }
+
   test("v3 feature triage: initial-default refuses loudly; format-version 4 refuses") {
     val dir = exported("tri", Seq((1L, "a")))
     PuffinDeletionVectors.upgradeToV3(spark, dir)
