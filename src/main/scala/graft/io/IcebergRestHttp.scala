@@ -210,6 +210,78 @@ final class IcebergRestHttpServer(spark: SparkSession, warehouse: String, port: 
             .mkString("""{"namespaces":[""", ",", "]}"))
         case (method, TablesPath(ns, _, tOrNull)) =>
           (method, Option(tOrNull)) match {
+            case ("POST", None) => this.synchronized {
+              // CreateTableRequest — the protocol's table bootstrap: a
+              // migrating engine's FIRST act on a REST catalog. The
+              // request's Iceberg schema/spec/properties JSON passes
+              // VERBATIM into a fresh v2 metadata document (no lossy
+              // conversion); the version file is create-exclusive, so
+              // a racing creator gets the spec's 409
+              // AlreadyExistsException, never a clobbered table.
+              val body = om.readTree(ex.getRequestBody)
+              val t = body.get("name").asText
+              val nsDir = new Path(s"$warehouse/$ns")
+              if (!fsOf(nsDir).exists(nsDir))
+                send(ex, 404, errorBody(404, "NoSuchNamespaceException", s"namespace $ns not found"))
+              else if (isTable(ns, t))
+                send(ex, 409, errorBody(409, "AlreadyExistsException", s"table $ns.$t already exists"))
+              else {
+                val dir = tableDir(ns, t)
+                val f = fsOf(dir)
+                val schema = body.get("schema").deepCopy[ObjectNode]()
+                if (!schema.has("schema-id")) schema.put("schema-id", 0)
+                def maxId(n: JsonNode): Int = {
+                  var m = 0
+                  if (n.isObject && n.hasNonNull("id") && n.get("id").isInt)
+                    m = math.max(m, n.get("id").asInt)
+                  n.elements().forEachRemaining(c => m = math.max(m, maxId(c)))
+                  n.fieldNames().forEachRemaining { k =>
+                    if (k != "id") m = math.max(m, maxId(n.get(k)))
+                  }
+                  m
+                }
+                val doc = om.createObjectNode()
+                doc.put("format-version", 2)
+                doc.put("table-uuid", java.util.UUID.randomUUID().toString)
+                doc.put("location", f.makeQualified(dir).toString)
+                doc.put("last-sequence-number", 0L)
+                doc.put("last-updated-ms", System.currentTimeMillis())
+                doc.put("last-column-id", maxId(schema))
+                doc.put("current-schema-id", schema.get("schema-id").asInt)
+                doc.putArray("schemas").add(schema)
+                doc.put("default-spec-id", 0)
+                val spec0 = doc.putArray("partition-specs").addObject()
+                spec0.put("spec-id", 0)
+                val specFields = spec0.putArray("fields")
+                if (body.hasNonNull("partition-spec") &&
+                    body.get("partition-spec").hasNonNull("fields"))
+                  body.get("partition-spec").get("fields").elements()
+                    .forEachRemaining(fld => { specFields.add(fld.deepCopy[JsonNode]()); () })
+                doc.put("last-partition-id", 999 + specFields.size)
+                doc.put("default-sort-order-id", 0)
+                val so = doc.putArray("sort-orders").addObject()
+                so.put("order-id", 0); so.putArray("fields")
+                val props = doc.putObject("properties")
+                if (body.hasNonNull("properties")) {
+                  val p = body.get("properties")
+                  p.fieldNames().forEachRemaining(k => props.put(k, p.get(k).asText))
+                }
+                doc.put("current-snapshot-id", -1L)
+                doc.putArray("snapshots"); doc.putArray("snapshot-log"); doc.putArray("metadata-log")
+                doc.putObject("refs")
+                val metaDir = new Path(dir, "metadata")
+                f.mkdirs(metaDir)
+                val mdPath = new Path(metaDir, "v1.metadata.json")
+                val os = f.create(mdPath, false) // create-exclusive: racing creators 409 below
+                try os.write(om.writeValueAsString(doc).getBytes("UTF-8")) finally os.close()
+                val hs = f.create(new Path(metaDir, "version-hint.text"), true)
+                try hs.write("1".getBytes("UTF-8")) finally hs.close()
+                pins.put(s"$ns/$t", mdPath)
+                send(ex, 200,
+                  s"""{"metadata-location":"${LakeHttp.jesc(f.makeQualified(mdPath).toString)}",""" +
+                    s""""metadata":${om.writeValueAsString(doc)},"config":{}}""")
+              }
+            }
             case ("GET", None) =>
               val d = new Path(s"$warehouse/$ns")
               val f = fsOf(d)
@@ -332,6 +404,31 @@ final class RemoteIcebergRest(baseUrl: String) {
         Some(md.get("current-snapshot-id").asLong)
       else None
     }
+
+  /** CreateTableRequest — bootstrap a fresh table through the catalog
+    * (the protocol's table-creation face): `schemaJson` is the Iceberg
+    * schema document (passes verbatim), `partitionSpecJson` optional
+    * `{"fields":[...]}`. Returns the new metadata-location; throws on
+    * 409 AlreadyExistsException. */
+  def createTable(ns: String, name: String, schemaJson: String,
+      partitionSpecJson: Option[String] = None,
+      propertiesJson: Option[String] = None): String = {
+    val body = s"""{"name":"${LakeHttp.jesc(name)}","schema":$schemaJson""" +
+      partitionSpecJson.map(p => s""","partition-spec":$p""").getOrElse("") +
+      propertiesJson.map(p => s""","properties":$p""").getOrElse("") + "}"
+    val r = http.send(
+      java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"$baseUrl/v1/namespaces/${enc(ns)}/tables"))
+        .header("Content-Type", "application/json")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    val j = om.readTree(r.body)
+    if (r.statusCode == 409)
+      throw new IllegalStateException(
+        s"createTable($ns.$name) conflict (409): ${j.get("error").get("message").asText}")
+    require(r.statusCode == 200, s"createTable($ns.$name) -> ${r.statusCode}: ${r.body}")
+    j.get("metadata-location").asText
+  }
 
   /** One CommitTableRequest; returns (status, body). */
   def commit(ns: String, table: String, requirementsJson: String,

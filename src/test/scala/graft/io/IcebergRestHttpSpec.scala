@@ -108,6 +108,34 @@ class IcebergRestHttpSpec extends SparkSpec {
     }
   }
 
+  test("createTable bootstraps a fresh table through the wire; graft appends land and publish") {
+    val wh = tmp("create-wh")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(wh, "dw"))
+    withServer(wh) { srv =>
+      val r = new RemoteIcebergRest(srv.url)
+      val schema = """{"type":"struct","schema-id":0,"fields":[
+        {"id":1,"name":"id","required":false,"type":"long"},
+        {"id":2,"name":"v","required":false,"type":"string"}]}""".replaceAll("\\s+", " ")
+      val loc = r.createTable("dw", "fresh", schema)
+      assert(loc.endsWith("v1.metadata.json"))
+      assert(r.tables("dw") == Seq("fresh"))
+      // duplicate creation answers the spec's 409, never clobbers
+      val e = intercept[IllegalStateException] { r.createTable("dw", "fresh", schema) }
+      assert(e.getMessage.contains("409"))
+      // graft's jar-free append bootstraps the empty chain, the wire
+      // publish pins it, and the pinned read sees the rows
+      val dir = s"$wh/dw/fresh"
+      IcebergAppend.append(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+      assert(r.pinnedSnapshot("dw", "fresh").isEmpty) // staged until published
+      r.publishHead(spark, "dw", "fresh", dir)
+      val pin = r.pinnedSnapshot("dw", "fresh").get
+      assert(IcebergImport.read(spark, dir, Some(pin)).count() == 2)
+      // namespace guard
+      val e2 = intercept[Exception] { r.createTable("nope", "t", schema) }
+      assert(e2.getMessage.contains("404") || e2.getMessage.contains("NoSuchNamespace"))
+    }
+  }
+
   test("SQL mount (type=rest-shape): pins govern 3-level names; VERSION AS OF wins; publish flips") {
     val (wh, liDir) = warehouse("mount", 10)
     withServer(wh) { srv =>
