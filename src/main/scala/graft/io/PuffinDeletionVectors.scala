@@ -322,12 +322,13 @@ object PuffinDeletionVectors {
       : (IcebergAppend.NewManifest, Map[String, IcebergAppend.ReplacedManifest]) = {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
-    // ---- prior DV inventory at the commit parent (metadata-sized) ----
-    val priorDv: Seq[(String, String, Long, Long)] =
+    // ---- prior delete inventory at the commit parent (metadata-sized)
+    val priorDeletes: Seq[(Int, String, Option[(String, Long, Long)])] =
       if (lt.parent.isEmpty) Nil
-      else IcebergImport.deleteFileInfo(spark, lt.tableDir, lt.parent).collect {
-        case (1, puffin, Some((ref, off, size))) => (ref, puffin, off, size)
-      }
+      else IcebergImport.deleteFileInfo(spark, lt.tableDir, lt.parent)
+    val priorDv: Seq[(String, String, Long, Long)] = priorDeletes.collect {
+      case (1, puffin, Some((ref, off, size))) => (ref, puffin, off, size)
+    }
     val priorBySpelling: Map[String, Seq[(String, Long, Long)]] =
       priorDv.groupBy(_._1).toSeq.flatMap { case (ref, blobs) =>
         IcebergImport.spellings(ref).map(_ -> blobs.map(b => (b._2, b._3, b._4)))
@@ -338,11 +339,46 @@ object PuffinDeletionVectors {
     val seqN = lt.newSeq
     val priorB = spark.sparkContext.broadcast(priorBySpelling)
 
-    // ---- 1+2: per-task Puffin writes over the shuffled positions ----
     val fileC = IcebergImport.LineageFileCol
     val posC = IcebergImport.LineagePosCol
-    val shaped = positions
+    // ---- v3 completeness: fold v2-vintage POSITION-DELETE parquet ----
+    // The spec requires a DV to carry EVERY deleted position of its
+    // data file — upstream v3 readers ignore position-delete files for
+    // files that have a DV, so a DV missing the pre-upgrade parquet
+    // positions would RESURRECT those rows there (graft's own
+    // union-based reader masks the hole, which is exactly why it must
+    // be closed at write time). Prior positions for TOUCHED files fold
+    // in distributed: spellings normalize through a broadcast of the
+    // parent's data-file lookup (driver-sized), the touched-file
+    // restriction is a semi-join, never a collect.
+    val priorPosFiles: Seq[String] = priorDeletes.collect { case (1, path, None) => path }
+    val basePositions = positions
       .select(col(fileC).cast("string"), col(posC).cast("long"))
+    val allPositions =
+      if (priorPosFiles.isEmpty) basePositions
+      else {
+        val spellRows = IcebergImport.dataFiles(spark, lt.tableDir, lt.parent)
+          .flatMap(p => IcebergImport.spellings(p).map(_ -> p))
+        val spellDf = spark.createDataFrame(spellRows).toDF("__sp", "__canon")
+        // BOTH sides normalize to the canonical resolved path, or a
+        // `file:/` vs `file:///` spelling split would give one data
+        // file two DV groups (and two entries — the invariant broken)
+        val baseCanon = basePositions
+          .join(org.apache.spark.sql.functions.broadcast(spellDf),
+            col(fileC) === col("__sp"), "left")
+          .select(org.apache.spark.sql.functions.coalesce(col("__canon"), col(fileC)).as(fileC),
+            col(posC))
+        val touched = baseCanon.select(col(fileC)).distinct()
+        val priorPos = spark.read.parquet(priorPosFiles: _*)
+          .select(col("file_path").cast("string").as("__sp"), col("pos").cast("long").as(posC))
+          .join(org.apache.spark.sql.functions.broadcast(spellDf), Seq("__sp"))
+          .select(col("__canon").as(fileC), col(posC))
+          .join(touched, Seq(fileC), "left_semi")
+        baseCanon.unionByName(priorPos)
+      }
+
+    // ---- 1+2: per-task Puffin writes over the shuffled positions ----
+    val shaped = allPositions
       .repartition(col(fileC))
       .sortWithinPartitions(col(fileC), col(posC))
       .as[(String, Long)]

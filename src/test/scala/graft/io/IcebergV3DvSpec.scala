@@ -148,6 +148,39 @@ class IcebergV3DvSpec extends SparkSpec {
     assert(got == Seq(("delete", 5L), ("delete", 6L)))
   }
 
+  test("a DV folds v2-vintage position-delete parquet positions for its file (spec completeness)") {
+    // upstream v3 readers IGNORE position-delete files for data files
+    // that have a DV — a DV missing the pre-upgrade parquet positions
+    // would resurrect those rows there, even though graft's own
+    // union-based reader hides the hole. The write must fold them in.
+    // ONE data file, so every prior position belongs to the touched
+    // file (positions in untouched files correctly stay with their
+    // parquet delete — only DV'd files must fold)
+    val st = new SnapshotTables(spark, tmp("fold-snap"))
+    st.overwriteTable((1L to 12L).map(i => (i, s"v$i")).toDF("id", "v").repartition(1), "t")
+    val dir = tmp("fold-ice")
+    IcebergExport.export(st, "t", dir)                                 // snap 1 (v2)
+    IcebergDml.deleteWhere(spark, dir, "id % 6 = 0", strategy = "position") // snap 2 (v2 pos-delete PARQUET)
+    PuffinDeletionVectors.upgradeToV3(spark, dir)
+    IcebergDml.deleteWhere(spark, dir, "id % 4 = 0", strategy = "position") // snap 3 (DV, same file)
+    // graft's read is exact either way
+    assert(IcebergImport.read(spark, dir).select("id").collect().map(_.getLong(0)).toSeq.sorted
+      == (1L to 12L).filterNot(i => i % 6 == 0 || i % 4 == 0))
+    // the DV itself must carry the union — decode every live DV blob
+    // and check the v2-vintage positions are IN it (what an upstream
+    // reader that ignores the parquet pos-deletes would apply)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dvPositions = IcebergImport.deleteFileInfo(spark, dir).collect {
+      case (1, puffin, Some((_, off, size))) =>
+        PuffinDeletionVectors.readPositions(fs, new org.apache.hadoop.fs.Path(puffin), off, size).size
+    }.sum
+    // one data file holds ids 1..12 in order: %6 kills 2 rows, %4
+    // kills 3, overlap at 12 → the complete DV carries 4 positions
+    assert(dvPositions == (1L to 12L).count(i => i % 6 == 0 || i % 4 == 0),
+      s"DV carries $dvPositions positions — the v2 parquet positions did not fold in")
+  }
+
   test("maintenance over DVs: compact folds them away; expiry orphans unreferenced Puffins; reads stay exact") {
     val dir = exported("mnt", (1L to 20L).map(i => (i, s"v$i")))       // snap 1 (v2)
     PuffinDeletionVectors.upgradeToV3(spark, dir)
