@@ -78,7 +78,11 @@ class IcebergWarehouseCatalog extends TableCatalog with SupportsNamespaces {
       s"IcebergWarehouseCatalog '$name': unknown type='${tpe.get}' — the only protocol " +
         "selector is type=rest-shape (the Iceberg REST wire); omit for the Nessie-v2 wire")
     restUri = if (tpe.contains("rest-shape")) uriOpt else None
-    require(restUri.isEmpty || uriOpt.isDefined,
+    // type=rest-shape WITHOUT uri= must refuse at initialize: letting it
+    // through would leave restUri=None AND lakeUri=None — an ungoverned
+    // mount whose reads silently resolve each table's own directory head,
+    // defeating the catalog-pin governance the mount claims.
+    require(!tpe.contains("rest-shape") || uriOpt.isDefined,
       s"IcebergWarehouseCatalog '$name': type=rest-shape needs uri=<catalog url>")
     lakeUri = if (tpe.contains("rest-shape")) None else uriOpt
     require(commitLogRoot.isEmpty || uriOpt.isEmpty,

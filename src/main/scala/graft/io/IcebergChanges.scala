@@ -65,7 +65,7 @@ object IcebergChanges {
     * chain's front is trimmed). The STREAMING face stamps
     * `_change_ordinal` from it for exactly that reason. */
   private[graft] final case class ChangeStep(snapshotId: Long, timestampMs: Long,
-      operation: String, parent: Option[Long], sequence: Long)
+      operation: String, parent: Option[Long], sequence: Option[Long])
 
   /** Walk `to`'s parent chain back to (exclusive) `from` — like
     * [[IcebergImport.appendSteps]] but op-agnostic: every operation is
@@ -112,7 +112,12 @@ object IcebergChanges {
       val parent =
         if (s.hasNonNull("parent-snapshot-id")) Some(s.get("parent-snapshot-id").asLong)
         else None
-      val seq = if (s.hasNonNull("sequence-number")) s.get("sequence-number").asLong else 0L
+      // None (not 0) when the field is absent — v1 tables and the
+      // pre-upgrade history of v1→v2 tables carry no sequence numbers,
+      // and a 0 default would collapse every such snapshot to the same
+      // ordinal downstream (the streaming changelog dedups by it)
+      val seq =
+        if (s.hasNonNull("sequence-number")) Some(s.get("sequence-number").asLong) else None
       ChangeStep(id, ts, op, parent, seq)
     }.toSeq
   }

@@ -338,6 +338,20 @@ final class IcebergRestHttpServer(spark: SparkSession, warehouse: String, port: 
         case _ => send(ex, 404, errorBody(404, "NoSuchRouteException", s"no route $path"))
       }
     } catch {
+      // the create-exclusive CAS losing to an out-of-band racer is the
+      // spec's 409, not a malformed request; and server-side IO
+      // failures (e.g. writing the new metadata file mid-commit) are
+      // 5xx — a 400 would tell standard REST clients "don't retry"
+      case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        send(ex, 409, errorBody(409, "AlreadyExistsException", String.valueOf(e.getMessage)))
+      case e: java.nio.file.FileAlreadyExistsException =>
+        send(ex, 409, errorBody(409, "AlreadyExistsException", String.valueOf(e.getMessage)))
+      case e: com.fasterxml.jackson.core.JsonProcessingException =>
+        // malformed request bodies stay 400 (Jackson's parse errors
+        // extend IOException — they must not read as server faults)
+        send(ex, 400, errorBody(400, "BadRequestException", String.valueOf(e.getMessage)))
+      case e: java.io.IOException =>
+        send(ex, 500, errorBody(500, "ServiceFailureException", String.valueOf(e.getMessage)))
       case e: Exception =>
         send(ex, 400, errorBody(400, "BadRequestException", String.valueOf(e.getMessage)))
     }

@@ -80,6 +80,10 @@ final class S3WireServer(port: Int = 0) {
     * bounded-memory claim is asserted against these, not trusted. */
   val multipartUploads = new AtomicLong(0)
   val partsUploaded = new AtomicLong(0)
+  /** Fault injection (tests): part PUTs answer 500 while set — abort
+    * DELETEs still succeed, so the client's leak-free contract is
+    * observable. */
+  val failPartPuts = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   // DAEMON worker threads + explicit shutdown: HttpServer.stop does
@@ -93,6 +97,10 @@ final class S3WireServer(port: Int = 0) {
   def boundPort: Int = server.getAddress.getPort
   def url: String = s"http://127.0.0.1:$boundPort"
   def objectCount: Int = objects.size
+  /** Initiated-but-neither-completed-nor-aborted uploads: on real S3
+    * these are orphaned billable storage — tests pin this to 0 after
+    * every failure path. */
+  def liveUploads: Int = uploads.size
 
   private def xmlEsc(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
@@ -132,7 +140,8 @@ final class S3WireServer(port: Int = 0) {
         case "PUT" if params.contains("uploadId") && params.contains("partNumber") =>
           val body = ex.getRequestBody.readAllBytes()
           val up = uploads.get(params("uploadId"))
-          if (up == null || up._1 != key) send(ex, 404, Array.emptyByteArray)
+          if (failPartPuts.get()) send(ex, 500, Array.emptyByteArray)
+          else if (up == null || up._1 != key) send(ex, 404, Array.emptyByteArray)
           else {
             val n = params("partNumber").toInt
             up._2.put(n, body)
@@ -445,7 +454,26 @@ class S3WireFileSystem extends FileSystem {
         uploadId = Some(id)
         id
       }
-      private def flushPart(): Unit = {
+      // any failure after initiate must abort the upload, or the parts
+      // leak in the server's uploads map — against real S3 that is
+      // orphaned BILLABLE storage (lifecycle rules are the backstop,
+      // not the contract). Best-effort: the abort itself failing must
+      // not mask the original error.
+      private var failed = false
+      private def abortQuietly(): Unit = {
+        failed = true // poison: a finally-close after a failed write
+                      // must NOT single-PUT the leftover buffer as a
+                      // truncated object (and must not mask the cause)
+        uploadId.foreach { id =>
+          try req("DELETE", key, query = s"?uploadId=$id")
+          catch { case _: Exception => () }
+          uploadId = None
+        }
+      }
+      private def aborting[A](body: => A): A =
+        try body
+        catch { case e: Throwable => abortQuietly(); throw e }
+      private def flushPart(): Unit = aborting {
         val id = initiate()
         val r = req("PUT", key, body = buf.toByteArray,
           query = s"?partNumber=$nextPart&uploadId=$id")
@@ -467,6 +495,8 @@ class S3WireFileSystem extends FileSystem {
         }
       }
       override def close(): Unit = {
+        if (failed) return // already aborted; the write's exception is
+                           // in flight — don't mask it or PUT a stub
         val headers = if (overwrite) Map.empty[String, String]
           else Map("If-None-Match" -> "*") // the S3 conditional write — the real CAS
         uploadId match {
@@ -477,19 +507,23 @@ class S3WireFileSystem extends FileSystem {
             if (r.statusCode != 200) throw new IOException(s"PUT $key -> ${r.statusCode}")
           case Some(id) =>
             if (buf.size > 0) flushPart()
-            val partsXml = (1 until nextPart)
-              .map(i => s"<Part><PartNumber>$i</PartNumber></Part>").mkString
-            val r = req("POST", key, headers,
-              s"<CompleteMultipartUpload>$partsXml</CompleteMultipartUpload>"
-                .getBytes(StandardCharsets.UTF_8),
-              query = s"?uploadId=$id")
-            if (r.statusCode == 412) {
-              // lost the CAS at complete time: the parts are orphaned
-              // debt — abort them; the WINNER's object must stay
-              req("DELETE", key, query = s"?uploadId=$id")
-              throw new FileAlreadyExistsException(f.toString)
+            aborting {
+              val partsXml = (1 until nextPart)
+                .map(i => s"<Part><PartNumber>$i</PartNumber></Part>").mkString
+              val r = req("POST", key, headers,
+                s"<CompleteMultipartUpload>$partsXml</CompleteMultipartUpload>"
+                  .getBytes(StandardCharsets.UTF_8),
+                query = s"?uploadId=$id")
+              if (r.statusCode == 412) {
+                // lost the CAS at complete time: the parts are orphaned
+                // debt — abort them (aborting's rethrow path); the
+                // WINNER's object must stay
+                throw new FileAlreadyExistsException(f.toString)
+              }
+              if (r.statusCode != 200)
+                throw new IOException(s"complete multipart $key -> ${r.statusCode}")
+              uploadId = None // completed: nothing left to abort
             }
-            if (r.statusCode != 200) throw new IOException(s"complete multipart $key -> ${r.statusCode}")
         }
       }
     }

@@ -518,8 +518,14 @@ object PuffinDeletionVectors {
               refOf(e).exists(r => IcebergImport.spellings(r).exists(touched.contains))
             // a rewritten manifest enters the list at the NEW sequence:
             // every entry's effective sequence must be explicit or the
-            // v2 inheritance rule would re-stamp it wrongly
+            // v2 inheritance rule would re-stamp it wrongly — and the
+            // spec scopes inheritance to ADDED entries only, so carried
+            // EXISTING/DELETED rows need the FILE sequence explicit too
+            // (field-id 4; null would read as undefined to strict readers)
+            val effFileSeq = fieldOpt(e, "file_sequence_number")
+              .map(_.asInstanceOf[Long]).getOrElse(listSeq)
             copy.put("sequence_number", java.lang.Long.valueOf(effSeq))
+            copy.put("file_sequence_number", java.lang.Long.valueOf(effFileSeq))
             if (supersede) {
               copy.put("status", 2) // DELETED: superseded by the new DV
               copy.put("snapshot_id", java.lang.Long.valueOf(lt.newSnap))

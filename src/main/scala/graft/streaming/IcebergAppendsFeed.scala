@@ -428,8 +428,22 @@ private[streaming] final class IcebergChangesSource(
         "pick up the new schema")
     val fromSnap = if (fromOrd == 0) None else Some(chain(fromOrd - 1))
     val steps = IcebergChanges.changeSteps(spark, dir, fromSnap, Some(chain(toOrd - 1)))
+    // v1 tables (and the pre-upgrade history of v1→v2 tables) carry no
+    // sequence numbers. Defaulting to 0 would collapse every such
+    // snapshot in the batch to one ordinal — destroying the per-commit
+    // ordering/dedup key the column exists for — so refuse loudly and
+    // point at the batch face, whose 0-based range positions do not
+    // need sequence numbers.
+    steps.find(_.sequence.isEmpty).foreach { st =>
+      throw new IllegalStateException(
+        s"snapshot ${st.snapshotId} of $dir has no sequence-number (a v1 table, or " +
+          "pre-upgrade v1 history) — the streaming changelog stamps _change_ordinal " +
+          "from sequence numbers and cannot order these commits; upgrade the table to " +
+          "format-version 2+, or use the batch face (iceberg_changes / changesBetween), " +
+          "whose ordinals are range positions")
+    }
     steps
-      .flatMap(st => IcebergChanges.stepFrame(spark, dir, st, st.sequence.toInt))
+      .flatMap(st => IcebergChanges.stepFrame(spark, dir, st, st.sequence.get.toInt))
       .reduceOption(_ unionByName _)
       .getOrElse(emptyFeed)
   }

@@ -90,6 +90,25 @@ class IcebergWarehouseCatalogSpec extends SparkSpec {
     assert(IcebergImport.read(spark, dir).count() == 2)
   }
 
+  test("type=rest-shape without uri= refuses at initialize — never an ungoverned mount") {
+    // letting it through would leave restUri=None AND lakeUri=None: reads
+    // silently resolving each table's directory head, with the catalog
+    // pin the mount claims to enforce simply absent
+    val cat = "icewh_norest"
+    val wh = java.nio.file.Files.createTempDirectory("graft-icewh-norest").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[IcebergWarehouseCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.conf.set(s"spark.sql.catalog.$cat.type", "rest-shape")
+    try {
+      val e = intercept[Exception] { spark.sql(s"SHOW NAMESPACES IN $cat").collect() }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else String.valueOf(t.getMessage) +: messages(t.getCause)
+      assert(messages(e).exists(_.contains("needs uri=")),
+        s"expected the initialize-time refusal, got: ${messages(e).mkString(" | ")}")
+    } finally Seq("", ".warehouse", ".type").foreach(s =>
+      spark.conf.unset(s"spark.sql.catalog.$cat$s"))
+  }
+
   test("DDL refuses (externally-owned warehouse); pinned relations refuse DML") {
     val (cat, _) = mounted(Seq((1L, "a")).toDF("k", "v"))
     val e1 = intercept[Exception](

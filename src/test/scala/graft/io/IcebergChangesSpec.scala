@@ -134,6 +134,44 @@ class IcebergChangesSpec extends SparkSpec {
     q.awaitTermination()
   }
 
+  test("a snapshot with NO sequence-number fails the STREAM loudly (v1 history); the batch face still reads") {
+    // v1 tables — and the pre-upgrade history of v1→v2 tables — carry
+    // no sequence numbers. Defaulting the ordinal to 0 would collapse
+    // every such commit to one dedup key, so the streaming changelog
+    // must refuse and point at the batch face (whose ordinals are
+    // range positions and need no sequence numbers).
+    val dir = exported("noseq", Seq((1L, "a")))                        // snap 1
+    IcebergAppend.append(spark, dir, Seq((2L, "b")).toDF("id", "v"))   // snap 2
+    // strip sequence-number from the snapshots — the v1-vintage shape
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (_, mdPath, _) = IcebergImport.readMeta(spark, dir)
+    val raw = new String(
+      { val in = fs.open(mdPath); try in.readAllBytes() finally in.close() }, "UTF-8")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val doc = om.readTree(raw).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    doc.get("snapshots").elements().forEachRemaining {
+      case o: com.fasterxml.jackson.databind.node.ObjectNode => o.remove("sequence-number"); ()
+      case _ => ()
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(mdPath.getParent, "." + mdPath.getName + ".crc"), false)
+    val os = fs.create(mdPath, true)
+    try os.write(om.writeValueAsString(doc).getBytes("UTF-8")) finally os.close()
+    // batch face: ordinals are range positions — still reads fine
+    assert(IcebergChanges.changesBetween(spark, dir, None).count() == 2)
+    // streaming face: refuses loudly, never a collapsed-ordinal feed
+    val q = spark.readStream.format("graft-iceberg-changes").option("dir", dir)
+      .option("startingSnapshot", "earliest").load()
+      .writeStream.format("memory").queryName("icechg_noseq")
+      .option("checkpointLocation", tmp("noseq-ck"))
+      .trigger(Trigger.AvailableNow()).start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("no sequence-number")), msgs(e).mkString(" | "))
+  }
+
   test("streaming _change_ordinal is retention-stable: sequence numbers, not lineage ordinals") {
     val dir = exported("ord", Seq((1L, "a")))                          // snap 1, seq 1
     IcebergAppend.append(spark, dir, Seq((2L, "b")).toDF("id", "v"))   // snap 2, seq 2

@@ -138,6 +138,36 @@ class IcebergV3DvSpec extends SparkSpec {
     assert(head.count() == (1L to 40L).count(i => i % 3 != 0 && i % 5 != 0))
   }
 
+  test("supersede-rewritten manifests carry EXPLICIT sequence AND file-sequence numbers") {
+    // the spec scopes sequence-number inheritance to ADDED entries: a
+    // carried EXISTING/DELETED row in a rewritten manifest with a null
+    // file_sequence_number reads as UNDEFINED metadata to strict
+    // readers and the metadata tables (delete application would still
+    // work off the explicit data sequence — the gap is observability)
+    val dir = exported("fseq", (1L to 20L).map(i => (i, s"v$i")))
+    PuffinDeletionVectors.upgradeToV3(spark, dir)
+    PuffinDeletionVectors.writeDVDelete(spark, dir, "id % 3 = 0")
+    PuffinDeletionVectors.writeDVDelete(spark, dir, "id % 5 = 0") // supersedes
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaDir = new org.apache.hadoop.fs.Path(dir, "metadata")
+    val rewritten = fs.listStatus(metaDir).map(_.getPath)
+      .filter(_.getName.startsWith("m-dvsupersede-"))
+    assert(rewritten.nonEmpty, "expected a supersede-rewritten delete manifest")
+    rewritten.foreach { m =>
+      val (entries, _) = IcebergImport.readAvro(_ => fs, m)
+      assert(entries.nonEmpty)
+      entries.foreach { e =>
+        assert(e.get("sequence_number") != null,
+          s"${m.getName}: carried entry with null sequence_number")
+        assert(e.get("file_sequence_number") != null,
+          s"${m.getName}: carried entry with null file_sequence_number")
+      }
+    }
+    // and the read is unchanged — both DVs' positions still apply
+    assert(IcebergImport.read(spark, dir).select("id").collect().map(_.getLong(0)).toSeq.sorted
+      == (1L to 20L).filterNot(i => i % 3 == 0 || i % 5 == 0))
+  }
+
   test("the changelog emits DV-deleted row images") {
     val dir = exported("cdc", (1L to 6L).map(i => (i, s"v$i")))        // snap 1
     PuffinDeletionVectors.upgradeToV3(spark, dir)

@@ -100,6 +100,7 @@ class ObjectStoreWireSpec extends SparkSpec {
         winner.write(winnerBytes); winner.close() // single conditional PUT wins
         val e = intercept[org.apache.hadoop.fs.FileAlreadyExistsException] { loser.close() }
         assert(e.getMessage.contains("raced.bin"))
+        assert(srv.liveUploads == 0, "lost-CAS abort must clear the server's upload entry")
         val in2 = fs.open(p2)
         val back2 = try in2.readAllBytes() finally in2.close()
         assert(java.util.Arrays.equals(back2, winnerBytes), "loser overwrote the winner")
@@ -108,6 +109,32 @@ class ObjectStoreWireSpec extends SparkSpec {
         val sp = fs.create(new Path(s"$root/wh/small.bin"), false)
         try sp.write(Array.fill(1024)(1.toByte)) finally sp.close()
         assert(srv.multipartUploads.get() == mpuBefore)
+      } finally conf.unset("fs.s3g.part.size")
+    }
+  }
+
+  test("multipart: any failure after initiate ABORTS the upload — no orphaned billable parts") {
+    withStore { (srv, root) =>
+      val conf = spark.sparkContext.hadoopConfiguration
+      conf.setInt("fs.s3g.part.size", 64 * 1024)
+      try {
+        val p = new Path(s"$root/wh/doomed.bin")
+        val fs = p.getFileSystem(conf)
+        val out = fs.create(p, false)
+        out.write(Array.fill(80 * 1024)(1.toByte)) // part 1 lands, upload initiated
+        assert(srv.liveUploads == 1)
+        srv.failPartPuts.set(true) // the wire starts 500-ing part PUTs
+        val e = intercept[java.io.IOException] {
+          out.write(Array.fill(80 * 1024)(2.toByte)) // part 2 fails mid-stream
+        }
+        srv.failPartPuts.set(false)
+        assert(e.getMessage.contains("upload part"))
+        // the client aborted before rethrowing: nothing leaks server-side
+        assert(srv.liveUploads == 0, "failed part PUT must abort the initiated upload")
+        // a finally-shaped close after the failure must not PUT a
+        // truncated object (and must not throw over the real cause)
+        out.close()
+        assert(!fs.exists(p), "close after an aborted write must not create a stub object")
       } finally conf.unset("fs.s3g.part.size")
     }
   }
