@@ -76,16 +76,53 @@ object Bench {
     * typically the e2e/commit spans; per-query colds usually don't.
     * A prior measured at a different scale factor is never a valid 3x
     * reference — sf-mismatched sources are ignored, not mis-applied. */
-  private def priorMap(sfDir: String, field: String): Map[String, Double] = {
-    def extract(txt: String): Map[String, Double] = {
-      val sfOk = s""""sf":"$sfDir"""".r.findFirstIn(txt).isDefined
-      if (!sfOk) Map.empty
-      else {
-        val obj = (s""""$field":\\{([^}]*)\\}""").r.findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-        """"([^"]+)":(-?[0-9.]+)""".r.findAllMatchIn(obj)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }
+  private[graft] def extractField(txt: String, sfDir: String, field: String): Map[String, Double] = {
+    val sfOk = s""""sf":"$sfDir"""".r.findFirstIn(txt).isDefined
+    if (!sfOk) Map.empty
+    else {
+      val obj = (s""""$field":\\{([^}]*)\\}""").r.findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+      """"([^"]+)":(-?[0-9.]+)""".r.findAllMatchIn(obj)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
     }
+  }
+
+  /** The COMMITTED cross-round ledger, read from BENCH_PRIORS.json only
+    * (never the working-state detail file): `field` = the last official
+    * full run's map ("prev" semantics, what the in-run 3x guards use);
+    * `best_<field>` = per-key minima across every official run since the
+    * ledger gained history (r20 — before that, a refresh clobbered the
+    * committed baseline and cross-round drift detection needed git
+    * archaeology). */
+  private[graft] def ledgerField(sfDir: String, field: String): Map[String, Double] =
+    try extractField(new String(Files.readAllBytes(Paths.get("BENCH_PRIORS.json")),
+      StandardCharsets.UTF_8), sfDir, field)
+    catch { case _: Throwable => Map.empty }
+
+  /** Per-key minima fold for the ledger's best_<field> maps: seeds from
+    * the prior best (or, first migration, the prior prev snapshot),
+    * takes the union of keys so a span absent this run keeps its
+    * history, and never lets a failed span (-1/0) into the fold. */
+  private[graft] def foldBest(seededBest: Map[String, Double], seededPrev: Map[String, Double],
+      now: Seq[(String, Double)]): Seq[(String, Double)] = {
+    val seeded = (if (seededBest.nonEmpty) seededBest else seededPrev).filter(_._2 > 0)
+    val nowPos = now.filter(_._2 > 0).toMap
+    (seeded.keySet ++ nowPos.keySet).toSeq.sorted.flatMap { k =>
+      val m = math.min(seeded.getOrElse(k, Double.MaxValue), nowPos.getOrElse(k, Double.MaxValue))
+      if (m < Double.MaxValue) Some(k -> m) else None
+    }
+  }
+
+  /** "name:now/prior" for every span >2x its committed prior and
+    * >=0.5 s (sub-second pairs are ambient noise by the standing
+    * adjudications); spans with no positive prior can't drift. */
+  private[graft] def driftFlags(prev: Map[String, Double], now: Seq[(String, Double)]): Seq[String] =
+    now.collect {
+      case (k, v) if v >= 0.5 && prev.get(k).exists(p => p > 0 && v > 2.0 * p) =>
+        s"$k:${r3(v)}/${r3(prev(k))}"
+    }
+
+  private def priorMap(sfDir: String, field: String): Map[String, Double] = {
+    def extract(txt: String): Map[String, Double] = extractField(txt, sfDir, field)
     val detail =
       try extract(new String(Files.readAllBytes(Paths.get("BENCH_DETAIL.json")),
         StandardCharsets.UTF_8))
@@ -598,6 +635,22 @@ object Bench {
     val warm = graft.queries.Corpus.headlines.map(q => q.name -> warmByName(q.name))
     val warmTotal = warmAll.map(_._2).filter(_ >= 0).sum
 
+    // Committed-ledger DRIFT stamp (r20): the quick line is the only
+    // driver-captured artifact, so IT carries the cross-round
+    // regression signal the full run can't fit in the window. Read the
+    // ledger BEFORE this run refreshes it; flag every judged span —
+    // warm queries, e2e warm twins, commit spans — that is >2x its
+    // committed prior AND >=0.5 s (sub-second pairs are ambient noise
+    // by the standing adjudications). Format "name:now/prior".
+    val driftEntries: Seq[String] = {
+      val checks: Seq[(String, Seq[(String, Double)])] = Seq(
+        "warm_all" -> (if (quick) warm else warmAll),
+        "e2e_warm" -> e2eWarm, "e2e_pq_warm" -> e2ePqWarm,
+        "commit" -> commitSpans)
+      checks.flatMap { case (field, now) => driftFlags(ledgerField(sfDir, field), now) }
+    }
+    val driftJson = driftEntries.map("\"" + _ + "\"").mkString("[", ",", "]")
+
     val detail =
       s"""{"metric":"total","mode":"${if (quick) "quick" else "full"}",""" +
         s""""value":${r3(total)},"unit":"sec","queries":${jmap(resultsPub)},""" +
@@ -612,7 +665,7 @@ object Bench {
         s""""repassed_cold":${repassedCold.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""stale_load":${staleLoad.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""loaded_cold":${loadedCold.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-        s""""e2e_repassed":$e2eNeedsRepass,""" +
+        s""""e2e_repassed":$e2eNeedsRepass,"drift":$driftJson,""" +
         s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
     // quick mode writes its detail to BENCH_QUICK.json and NEVER
     // touches BENCH_DETAIL/BENCH_PRIORS — its headline-only maps would
@@ -627,10 +680,25 @@ object Bench {
     // substitutions, so a marked carry-forward propagates instead of
     // the artifact it replaced.
     if (!quick) {
+      // {best, prev} ledger (r20): the plain maps stay this run's
+      // snapshot (prev — what next round's in-run 3x guards and
+      // carry-forward substitutions anchor on, same semantics as
+      // before), and best_<field> folds per-key minima across official
+      // runs, so a refresh no longer erases history (first refresh
+      // seeds best from the prior committed snapshot). Failed spans
+      // (-1) never enter the fold.
+      def bestFold(field: String, now: Seq[(String, Double)]): Seq[(String, Double)] =
+        foldBest(ledgerField(sfDir, s"best_$field"), ledgerField(sfDir, field), now)
       val priorsLine =
         s"""{"metric":"priors","queries":${jmap(resultsPub)},"warm_all":${jmap(warmAll)},""" +
           s""""e2e_warm":${jmap(e2eWarm)},"e2e_pq_warm":${jmap(e2ePqWarm)},""" +
-          s""""commit":${jmap(commitSpans)},"sf":"$sfDir"}"""
+          s""""commit":${jmap(commitSpans)},""" +
+          s""""best_queries":${jmap(bestFold("queries", resultsPub))},""" +
+          s""""best_warm_all":${jmap(bestFold("warm_all", warmAll))},""" +
+          s""""best_e2e_warm":${jmap(bestFold("e2e_warm", e2eWarm))},""" +
+          s""""best_e2e_pq_warm":${jmap(bestFold("e2e_pq_warm", e2ePqWarm))},""" +
+          s""""best_commit":${jmap(bestFold("commit", commitSpans))},""" +
+          s""""sf":"$sfDir"}"""
       try Files.write(Paths.get("BENCH_PRIORS.json"), priorsLine.getBytes(StandardCharsets.UTF_8))
       catch { case _: Throwable => () }
     }
@@ -647,7 +715,7 @@ object Bench {
         s""""commit":${jmap(commitSpans)},"loadavg":[${r3(la0)},${r3(la1)}],""" +
         s""""gate_wait":${r3(gateWait)},"regates":$regates,"repassed":${repassed.length},""" +
         s""""repassed_cold":${repassedCold.length},"stale_load":${staleLoad.length},""" +
-        s""""loaded_cold":${loadedCold.length},""" +
+        s""""loaded_cold":${loadedCold.length},"drift":$driftJson,""" +
         s""""failed":${failed.length},"sf":"$sfDir"}"""
     // budget: 2000-char tail minus ~75 for sbt's trailing [success] line
     val full = official(resultsPub)
