@@ -112,8 +112,22 @@ class IcebergWarehouseCatalog extends TableCatalog with SupportsNamespaces {
   private def spark: SparkSession = SparkSession.active
   private def hconf = spark.sparkContext.hadoopConfiguration
 
-  private def dirOf(ident: Identifier): String =
-    (warehouse +: ident.namespace.toSeq :+ ident.name).mkString("/")
+  /** A rest-shape mount resolves the identifier's storage directory
+    * through the catalog (the LoadTableResult metadata's `location`) —
+    * the wire owns identifier→storage, so a table renamed through the
+    * protocol keeps reading its original files. Directory mounts keep
+    * the warehouse-path convention. */
+  private def dirOf(ident: Identifier): String = {
+    val byPath = (warehouse +: ident.namespace.toSeq :+ ident.name).mkString("/")
+    rest match {
+      case Some(r) =>
+        r.loadTable(ident.namespace.mkString("/"), ident.name)
+          .map { case (_, md) =>
+            if (md.hasNonNull("location")) md.get("location").asText else byPath
+          }.getOrElse(byPath)
+      case None => byPath
+    }
+  }
 
   private def isTableDir(p: Path): Boolean = {
     val f = p.getFileSystem(hconf)
@@ -127,19 +141,27 @@ class IcebergWarehouseCatalog extends TableCatalog with SupportsNamespaces {
   // TableCatalog — read + write; DDL refuses (externally-owned tables)
   // ----------------------------------------------------------------
 
-  override def listTables(namespace: Array[String]): Array[Identifier] = {
-    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
-    val d = new Path((warehouse +: namespace.toSeq).mkString("/"))
-    val f = d.getFileSystem(hconf)
-    f.listStatus(d).toSeq
-      .filter(s => s.isDirectory && isTableDir(s.getPath))
-      .map(s => Identifier.of(namespace, s.getPath.getName))
-      .sortBy(_.name())
-      .toArray
+  override def listTables(namespace: Array[String]): Array[Identifier] = rest match {
+    case Some(r) =>
+      if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+      // the paginated walk — how a real client lists a big namespace
+      r.tables(namespace.mkString("/"), pageSize = Some(1000))
+        .map(Identifier.of(namespace, _)).toArray
+    case None =>
+      if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+      val d = new Path((warehouse +: namespace.toSeq).mkString("/"))
+      val f = d.getFileSystem(hconf)
+      f.listStatus(d).toSeq
+        .filter(s => s.isDirectory && isTableDir(s.getPath))
+        .map(s => Identifier.of(namespace, s.getPath.getName))
+        .sortBy(_.name())
+        .toArray
   }
 
-  override def tableExists(ident: Identifier): Boolean =
-    isTableDir(new Path(dirOf(ident)))
+  override def tableExists(ident: Identifier): Boolean = rest match {
+    case Some(r) => r.loadTable(ident.namespace.mkString("/"), ident.name).isDefined
+    case None => isTableDir(new Path(dirOf(ident)))
+  }
 
   override def loadTable(ident: Identifier): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
@@ -180,32 +202,97 @@ class IcebergWarehouseCatalog extends TableCatalog with SupportsNamespaces {
         "externally owned — evolve/maintain through the explicit CALL faces " +
         "(iceberg_rename_column, iceberg_add_column, iceberg_compact, ...)")
 
+  /** Spark type → Iceberg schema-document primitive (the verbatim
+    * string the wire's CreateTableRequest carries). */
+  private def icebergTypeOf(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => "long"
+      case IntegerType | ShortType | ByteType => "int"
+      case StringType => "string"
+      case DoubleType => "double"
+      case FloatType => "float"
+      case BooleanType => "boolean"
+      case DateType => "date"
+      case TimestampType => "timestamptz"
+      case TimestampNTZType => "timestamp"
+      case BinaryType => "binary"
+      case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+      case other => throw new UnsupportedOperationException(
+        s"CREATE TABLE through the REST mount maps primitive columns; got $other — " +
+          "create nested schemas through the wire client (RemoteIcebergRest.createTable) " +
+          "with an explicit Iceberg schema document")
+    }
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String]): Table =
-    refuseDdl("CREATE TABLE")
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = rest match {
+    case None => refuseDdl("CREATE TABLE")
+    case Some(r) =>
+      import graft.io.LakeHttp.jesc
+      val fields = schema.fields.zipWithIndex.map { case (f, i) =>
+        s"""{"id":${i + 1},"name":"${jesc(f.name)}","required":${!f.nullable},""" +
+          s""""type":"${icebergTypeOf(f.dataType)}"}"""
+      }.mkString(",")
+      val idOf = schema.fieldNames.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
+      val specFields = partitions.toSeq.zipWithIndex.map { case (tr, i) =>
+        require(tr.name == "identity",
+          s"CREATE TABLE through the REST mount supports identity partitioning; " +
+            s"got transform '${tr.name}' — use the wire client for hidden-partition specs")
+        val col = tr.references.head.fieldNames.mkString(".")
+        s"""{"name":"${jesc(col)}","transform":"identity","source-id":${idOf(col)},""" +
+          s""""field-id":${1000 + i}}"""
+      }
+      import scala.jdk.CollectionConverters._
+      val reserved = Set("provider", "location", "owner", "external")
+      val props = properties.asScala.filterNot { case (k, _) => reserved(k.toLowerCase) }
+      r.createTable(ident.namespace.mkString("/"), ident.name,
+        s"""{"type":"struct","schema-id":0,"fields":[$fields]}""",
+        if (specFields.isEmpty) None
+        else Some(s"""{"fields":[${specFields.mkString(",")}]}"""),
+        if (props.isEmpty) None
+        else Some(props.map { case (k, v) => s""""${jesc(k)}":"${jesc(v)}"""" }
+          .mkString("{", ",", "}")))
+      loadTable(ident)
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     refuseDdl("ALTER TABLE")
 
-  override def dropTable(ident: Identifier): Boolean = refuseDdl("DROP TABLE")
+  override def dropTable(ident: Identifier): Boolean = rest match {
+    case Some(r) => r.dropTable(ident.namespace.mkString("/"), ident.name)
+    case None => refuseDdl("DROP TABLE")
+  }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    refuseDdl("RENAME TABLE")
+  override def purgeTable(ident: Identifier): Boolean = rest match {
+    case Some(r) => r.dropTable(ident.namespace.mkString("/"), ident.name, purge = true)
+    case None => refuseDdl("DROP TABLE PURGE")
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = rest match {
+    case Some(r) =>
+      try r.renameTable(oldIdent.namespace.mkString("/"), oldIdent.name,
+        newIdent.namespace.mkString("/"), newIdent.name)
+      catch { case _: NoSuchElementException => throw new NoSuchTableException(oldIdent) }
+    case None => refuseDdl("RENAME TABLE")
+  }
 
   // ----------------------------------------------------------------
   // SupportsNamespaces — a namespace is a directory without metadata/
   // ----------------------------------------------------------------
 
-  override def listNamespaces(): Array[Array[String]] = {
-    val r = new Path(warehouse)
-    val f = r.getFileSystem(hconf)
-    if (!f.exists(r)) Array.empty
-    else f.listStatus(r).toSeq
-      .filter(s => s.isDirectory && !s.getPath.getName.startsWith(".") &&
-        !isTableDir(s.getPath))
-      .map(s => Array(s.getPath.getName))
-      .sortBy(_.head)
-      .toArray
+  override def listNamespaces(): Array[Array[String]] = rest match {
+    case Some(r) => r.namespaces().map(Array(_)).toArray
+    case None =>
+      val r = new Path(warehouse)
+      val f = r.getFileSystem(hconf)
+      if (!f.exists(r)) Array.empty
+      else f.listStatus(r).toSeq
+        .filter(s => s.isDirectory && !s.getPath.getName.startsWith(".") &&
+          !isTableDir(s.getPath))
+        .map(s => Array(s.getPath.getName))
+        .sortBy(_.head)
+        .toArray
   }
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
@@ -215,24 +302,56 @@ class IcebergWarehouseCatalog extends TableCatalog with SupportsNamespaces {
       Array.empty
     }
 
-  override def namespaceExists(namespace: Array[String]): Boolean = {
-    val d = new Path((warehouse +: namespace.toSeq).mkString("/"))
-    namespace.isEmpty || d.getFileSystem(hconf).exists(d)
-  }
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || (rest match {
+      case Some(r) => r.namespaceExists(namespace.mkString("/"))
+      case None =>
+        val d = new Path((warehouse +: namespace.toSeq).mkString("/"))
+        d.getFileSystem(hconf).exists(d)
+    })
 
-  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
-    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
-    new util.HashMap[String, String]()
-  }
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
+    rest match {
+      case Some(r) =>
+        val props = r.namespaceProperties(namespace.mkString("/"))
+          .getOrElse(throw new NoSuchNamespaceException(namespace))
+        val m = new util.HashMap[String, String]()
+        props.foreach { case (k, v) => m.put(k, v) }
+        m
+      case None =>
+        if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+        new util.HashMap[String, String]()
+    }
 
   override def createNamespace(namespace: Array[String],
-      metadata: util.Map[String, String]): Unit = refuseDdl("CREATE NAMESPACE")
+      metadata: util.Map[String, String]): Unit = rest match {
+    case Some(r) =>
+      import scala.jdk.CollectionConverters._
+      r.createNamespace(namespace.mkString("/"),
+        metadata.asScala.filterNot { case (k, _) => k.toLowerCase == "owner" }.toMap)
+    case None => refuseDdl("CREATE NAMESPACE")
+  }
 
   override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
-    refuseDdl("ALTER NAMESPACE")
+    rest match {
+      case Some(r) =>
+        val sets = changes.collect { case s: NamespaceChange.SetProperty => s.property -> s.value }
+        val removes = changes.collect { case d: NamespaceChange.RemoveProperty => d.property }
+        require(sets.size + removes.size == changes.size,
+          s"ALTER NAMESPACE through the REST mount supports SET/UNSET PROPERTIES; got " +
+            changes.map(_.getClass.getSimpleName).mkString(", "))
+        r.updateNamespaceProperties(namespace.mkString("/"), sets.toMap, removes.toSeq)
+        ()
+      case None => refuseDdl("ALTER NAMESPACE")
+    }
 
-  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
-    refuseDdl("DROP NAMESPACE")
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = rest match {
+    case Some(r) =>
+      val ns = namespace.mkString("/")
+      if (cascade) r.tables(ns, pageSize = Some(1000)).foreach(t => r.dropTable(ns, t))
+      r.dropNamespace(ns)
+    case None => refuseDdl("DROP NAMESPACE")
+  }
 }
 
 /** One mounted foreign Iceberg table. Scans are SUBSTITUTED at

@@ -60,6 +60,20 @@ final class IcebergRestHttpServer(spark: SparkSession, warehouse: String, port: 
   private val pins = scala.collection.concurrent.TrieMap.empty[String, Path]
   private val restSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Lifecycle state (r20 — the full protocol verbs). The catalog owns
+    * each table's IDENTIFIER → storage mapping, so rename moves a
+    * POINTER (an entry here), never data — the renamed table's files
+    * stay where they are, exactly the semantics every production REST
+    * catalog implements (a HadoopCatalog-style path rename would break
+    * the absolute manifest-list paths inside existing snapshots).
+    * `dropped` tombstones hide directory-derived tables the catalog no
+    * longer serves (a DROP without purge, and the old spelling of a
+    * renamed table). Like the pins, this state is server-local: the
+    * loopback testbed posture documented on the class. */
+  private val dirs = scala.collection.concurrent.TrieMap.empty[String, Path]
+  private val dropped = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val nsProps = scala.collection.concurrent.TrieMap.empty[String, Map[String, String]]
+
   def boundPort: Int = server.getAddress.getPort
   def url: String = s"http://127.0.0.1:$boundPort"
 
@@ -67,16 +81,38 @@ final class IcebergRestHttpServer(spark: SparkSession, warehouse: String, port: 
   private def fsOf(p: Path) = p.getFileSystem(hconf)
 
   private def tableDir(ns: String, t: String): Path = new Path(s"$warehouse/$ns/$t")
-  private def isTable(ns: String, t: String): Boolean = {
-    val md = new Path(tableDir(ns, t), "metadata")
-    fsOf(md).exists(md)
+  /** The identifier's storage directory — through the rename pointer
+    * when one exists, by warehouse path otherwise. */
+  private def resolveDir(ns: String, t: String): Path =
+    dirs.getOrElse(s"$ns/$t", tableDir(ns, t))
+  private def isTable(ns: String, t: String): Boolean =
+    !dropped.contains(s"$ns/$t") && {
+      val md = new Path(resolveDir(ns, t), "metadata")
+      fsOf(md).exists(md)
+    }
+  private def nsDir(ns: String): Path = new Path(s"$warehouse/$ns")
+  private def nsExists(ns: String): Boolean = fsOf(nsDir(ns)).exists(nsDir(ns))
+  /** Tables the catalog serves in `ns`: directory children (minus
+    * tombstones) plus renamed-in pointers whose storage still holds a
+    * table. */
+  private def tablesIn(ns: String): Seq[String] = {
+    val d = nsDir(ns)
+    val f = fsOf(d)
+    val fromDir =
+      if (!f.exists(d)) Nil
+      else f.listStatus(d).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+        .filter(t => !dirs.contains(s"$ns/$t") && isTable(ns, t))
+    val aliased = dirs.keys.toSeq.collect {
+      case k if k.startsWith(s"$ns/") => k.drop(ns.length + 1)
+    }.filter(t => isTable(ns, t))
+    (fromDir ++ aliased).distinct.sorted
   }
 
   /** The pinned metadata-location, initializing from the directory
     * head on first load — from then on the PIN is the catalog truth. */
   private def pinOf(ns: String, t: String): Path =
     pins.getOrElseUpdate(s"$ns/$t", {
-      val md = new Path(tableDir(ns, t), "metadata")
+      val md = new Path(resolveDir(ns, t), "metadata")
       IcebergImport.latestMetadata(fsOf(md), md)
     })
 
@@ -191,13 +227,71 @@ final class IcebergRestHttpServer(spark: SparkSession, warehouse: String, port: 
   }
 
   private val TablesPath = "/v1/namespaces/([^/]+)/tables(/([^/]+))?".r
+  private val NsPath = "/v1/namespaces/([^/]+)".r
+  private val NsPropsPath = "/v1/namespaces/([^/]+)/properties".r
 
   server.createContext("/v1/", (ex: HttpExchange) => {
     try {
       val path = ex.getRequestURI.getPath
+      val params: Map[String, String] = Option(ex.getRequestURI.getQuery).getOrElse("")
+        .split('&').filter(_.contains("=")).map { kv =>
+          val i = kv.indexOf('=')
+          kv.take(i) -> java.net.URLDecoder.decode(kv.drop(i + 1), "UTF-8")
+        }.toMap
       (ex.getRequestMethod, path) match {
         case ("GET", "/v1/config") =>
           send(ex, 200, s"""{"defaults":{},"overrides":{"warehouse":"${LakeHttp.jesc(warehouse)}"}}""")
+        case ("POST", "/v1/namespaces") => this.synchronized {
+          // CreateNamespaceRequest: {"namespace":["ns"],"properties":{}}
+          val body = om.readTree(ex.getRequestBody)
+          val ns = body.get("namespace").get(0).asText
+          if (nsExists(ns))
+            send(ex, 409, errorBody(409, "AlreadyExistsException", s"namespace $ns already exists"))
+          else {
+            fsOf(nsDir(ns)).mkdirs(nsDir(ns))
+            val props = scala.collection.mutable.LinkedHashMap.empty[String, String]
+            if (body.hasNonNull("properties")) {
+              val p = body.get("properties")
+              p.fieldNames().forEachRemaining(k => props += k -> p.get(k).asText)
+            }
+            nsProps.put(ns, props.toMap)
+            send(ex, 200, s"""{"namespace":["${LakeHttp.jesc(ns)}"],"properties":{""" +
+              props.map { case (k, v) => s""""${LakeHttp.jesc(k)}":"${LakeHttp.jesc(v)}"""" }
+                .mkString(",") + "}}")
+          }
+        }
+        case ("POST", "/v1/tables/rename") => this.synchronized {
+          // RenameTableRequest: pointer move, storage untouched. The
+          // source spelling is tombstoned (its warehouse path still
+          // holds the renamed table's files, so re-creating the old
+          // name collides — the honest answer for a path-addressed
+          // warehouse, surfaced as 409 via the create-exclusive CAS).
+          val body = om.readTree(ex.getRequestBody)
+          val (sns, st) = (body.get("source").get("namespace").get(0).asText,
+            body.get("source").get("name").asText)
+          val (dns, dt) = (body.get("destination").get("namespace").get(0).asText,
+            body.get("destination").get("name").asText)
+          if (!isTable(sns, st))
+            send(ex, 404, errorBody(404, "NoSuchTableException", s"table $sns.$st not found"))
+          else if (!nsExists(dns))
+            send(ex, 404, errorBody(404, "NoSuchNamespaceException", s"namespace $dns not found"))
+          else if (isTable(dns, dt))
+            send(ex, 409, errorBody(409, "AlreadyExistsException", s"table $dns.$dt already exists"))
+          else {
+            val storage = resolveDir(sns, st)
+            val pin = pinOf(sns, st) // materialize before the move
+            val srcWasAlias = dirs.contains(s"$sns/$st")
+            dirs.put(s"$dns/$dt", storage)
+            pins.put(s"$dns/$dt", pin)
+            dropped.remove(s"$dns/$dt")
+            dirs.remove(s"$sns/$st")
+            pins.remove(s"$sns/$st")
+            // only a DIRECTORY-derived source needs a tombstone (its
+            // path still resolves); an alias disappears with its entry
+            if (!srcWasAlias) dropped.add(s"$sns/$st")
+            send(ex, 204, "")
+          }
+        }
         case ("GET", "/v1/namespaces") =>
           val r = new Path(warehouse)
           val f = fsOf(r)
@@ -208,6 +302,59 @@ final class IcebergRestHttpServer(spark: SparkSession, warehouse: String, port: 
               !f.exists(new Path(s.getPath, "metadata"))).map(_.getPath.getName).sorted
           send(ex, 200, nss.map(n => s"""["${LakeHttp.jesc(n)}"]""")
             .mkString("""{"namespaces":[""", ",", "]}"))
+        case ("POST", NsPropsPath(ns)) => this.synchronized {
+          // UpdateNamespacePropertiesRequest: {"removals":[],"updates":{}}
+          if (!nsExists(ns))
+            send(ex, 404, errorBody(404, "NoSuchNamespaceException", s"namespace $ns not found"))
+          else {
+            val body = om.readTree(ex.getRequestBody)
+            val cur = scala.collection.mutable.LinkedHashMap.empty[String, String]
+            cur ++= nsProps.getOrElse(ns, Map.empty)
+            val updated = scala.collection.mutable.ArrayBuffer.empty[String]
+            val removed = scala.collection.mutable.ArrayBuffer.empty[String]
+            val missing = scala.collection.mutable.ArrayBuffer.empty[String]
+            if (body.hasNonNull("removals"))
+              (0 until body.get("removals").size).map(body.get("removals").get(_).asText)
+                .foreach { k =>
+                  if (cur.remove(k).isDefined) removed += k else missing += k
+                }
+            if (body.hasNonNull("updates")) {
+              val u = body.get("updates")
+              u.fieldNames().forEachRemaining { k => cur += k -> u.get(k).asText; updated += k }
+            }
+            nsProps.put(ns, cur.toMap)
+            def arr(xs: Seq[String]) =
+              xs.map(x => s""""${LakeHttp.jesc(x)}"""").mkString("[", ",", "]")
+            send(ex, 200, s"""{"updated":${arr(updated.toSeq)},"removed":${arr(removed.toSeq)},""" +
+              s""""missing":${arr(missing.toSeq)}}""")
+          }
+        }
+        case ("GET", NsPath(ns)) =>
+          // LoadNamespaceMetadata
+          if (!nsExists(ns))
+            send(ex, 404, errorBody(404, "NoSuchNamespaceException", s"namespace $ns not found"))
+          else {
+            val props = nsProps.getOrElse(ns, Map.empty)
+            send(ex, 200, s"""{"namespace":["${LakeHttp.jesc(ns)}"],"properties":{""" +
+              props.map { case (k, v) => s""""${LakeHttp.jesc(k)}":"${LakeHttp.jesc(v)}"""" }
+                .mkString(",") + "}}")
+          }
+        case ("HEAD", NsPath(ns)) =>
+          send(ex, if (nsExists(ns)) 204 else 404, "")
+        case ("DELETE", NsPath(ns)) => this.synchronized {
+          // DropNamespace: must be empty of SERVED tables (tombstoned
+          // residue does not block — the catalog no longer serves it)
+          if (!nsExists(ns))
+            send(ex, 404, errorBody(404, "NoSuchNamespaceException", s"namespace $ns not found"))
+          else if (tablesIn(ns).nonEmpty)
+            send(ex, 409, errorBody(409, "NamespaceNotEmptyException",
+              s"namespace $ns is not empty: ${tablesIn(ns).mkString(", ")}"))
+          else {
+            fsOf(nsDir(ns)).delete(nsDir(ns), true)
+            nsProps.remove(ns)
+            send(ex, 204, "")
+          }
+        }
         case (method, TablesPath(ns, _, tOrNull)) =>
           (method, Option(tOrNull)) match {
             case ("POST", None) => this.synchronized {
@@ -277,24 +424,50 @@ final class IcebergRestHttpServer(spark: SparkSession, warehouse: String, port: 
                 val hs = f.create(new Path(metaDir, "version-hint.text"), true)
                 try hs.write("1".getBytes("UTF-8")) finally hs.close()
                 pins.put(s"$ns/$t", mdPath)
+                dropped.remove(s"$ns/$t") // a fresh create revives the name
                 send(ex, 200,
                   s"""{"metadata-location":"${LakeHttp.jesc(f.makeQualified(mdPath).toString)}",""" +
                     s""""metadata":${om.writeValueAsString(doc)},"config":{}}""")
               }
             }
             case ("GET", None) =>
-              val d = new Path(s"$warehouse/$ns")
-              val f = fsOf(d)
-              if (!f.exists(d))
+              // ListTables, with the spec's opaque-token pagination:
+              // the token is the last name of the prior page (names are
+              // served sorted, so "strictly greater" resumes exactly).
+              if (!nsExists(ns))
                 send(ex, 404, errorBody(404, "NoSuchNamespaceException", s"namespace $ns not found"))
               else {
-                val ts = f.listStatus(d).toSeq
-                  .filter(s => s.isDirectory && isTable(ns, s.getPath.getName))
-                  .map(_.getPath.getName).sorted
-                send(ex, 200, ts.map(t =>
+                val all = tablesIn(ns)
+                val after = params.get("pageToken").filter(_.nonEmpty)
+                val remaining = after.fold(all)(tok => all.dropWhile(_ <= tok))
+                val (page, more) = params.get("pageSize").flatMap(_.toIntOption) match {
+                  case Some(n) if n >= 0 => (remaining.take(n), remaining.size > n)
+                  case _ => (remaining, false)
+                }
+                val idents = page.map(t =>
                   s"""{"namespace":["${LakeHttp.jesc(ns)}"],"name":"${LakeHttp.jesc(t)}"}""")
-                  .mkString("""{"identifiers":[""", ",", "]}"))
+                  .mkString("""[""", ",", "]")
+                val tokenField =
+                  if (more) s""","next-page-token":"${LakeHttp.jesc(page.last)}"""" else ""
+                send(ex, 200, s"""{"identifiers":$idents$tokenField}""")
               }
+            case ("DELETE", Some(t)) => this.synchronized {
+              // DropTable — catalog-pointer semantics: the pin and the
+              // identifier go; storage goes ONLY with purgeRequested
+              // (the spec's split between drop and purge).
+              if (!isTable(ns, t))
+                send(ex, 404, errorBody(404, "NoSuchTableException", s"table $ns.$t not found"))
+              else {
+                val storage = resolveDir(ns, t)
+                val wasAlias = dirs.contains(s"$ns/$t")
+                pins.remove(s"$ns/$t")
+                dirs.remove(s"$ns/$t")
+                if (!wasAlias) dropped.add(s"$ns/$t")
+                if (params.get("purgeRequested").contains("true"))
+                  fsOf(storage).delete(storage, true)
+                send(ex, 204, "")
+              }
+            }
             case ("HEAD", Some(t)) =>
               send(ex, if (isTable(ns, t)) 204 else 404, "")
             case ("GET", Some(t)) =>
@@ -319,7 +492,7 @@ final class IcebergRestHttpServer(spark: SparkSession, warehouse: String, port: 
                     send(ex, 409, errorBody(409, "CommitFailedException", msg))
                   case None =>
                     applyUpdates(body.get("updates"), doc)
-                    val metaDir = new Path(tableDir(ns, t), "metadata")
+                    val metaDir = new Path(resolveDir(ns, t), "metadata")
                     val newPath = new Path(metaDir, s"rest-${restSeq.incrementAndGet()}-" +
                       s"${java.util.UUID.randomUUID().toString.take(8)}.metadata.json")
                     val f = fsOf(newPath)
@@ -393,11 +566,128 @@ final class RemoteIcebergRest(baseUrl: String) {
     (0 until a.size).map(a.get(_).get(0).asText)
   }
 
-  def tables(ns: String): Seq[String] = {
-    val (code, j) = get(s"/v1/namespaces/${enc(ns)}/tables")
-    require(code == 200, s"tables($ns) -> $code")
-    val a = j.get("identifiers")
-    (0 until a.size).map(a.get(_).get("name").asText)
+  def tables(ns: String): Seq[String] = tables(ns, pageSize = None)
+
+  /** ListTables, following the spec's `next-page-token` loop when a
+    * page size is given (how a real client walks a 10k-table
+    * namespace without one giant response). */
+  def tables(ns: String, pageSize: Option[Int]): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var token: Option[String] = None
+    var done = false
+    while (!done) {
+      val qs = (pageSize.map(n => s"pageSize=$n").toSeq ++
+        token.map(t => s"pageToken=${enc(t)}").toSeq).mkString("&")
+      val (code, j) = get(s"/v1/namespaces/${enc(ns)}/tables" + (if (qs.isEmpty) "" else s"?$qs"))
+      require(code == 200, s"tables($ns) -> $code")
+      val a = j.get("identifiers")
+      out ++= (0 until a.size).map(a.get(_).get("name").asText)
+      token = if (j.hasNonNull("next-page-token")) Some(j.get("next-page-token").asText) else None
+      done = token.isEmpty
+    }
+    out.toSeq
+  }
+
+  private def sendJson(method: String, path: String, body: Option[String]): (Int, JsonNode) = {
+    val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(baseUrl + path))
+    val req = (method match {
+      case "DELETE" => b.DELETE()
+      case "POST" => b.header("Content-Type", "application/json")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body.getOrElse("{}")))
+      case m => b.method(m, java.net.http.HttpRequest.BodyPublishers.noBody())
+    }).build()
+    val r = http.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    (r.statusCode, if (r.body == null || r.body.isEmpty) om.createObjectNode() else om.readTree(r.body))
+  }
+
+  private def errMsg(j: JsonNode): String =
+    if (j.hasNonNull("error")) j.get("error").get("message").asText else j.toString
+
+  /** DropTable: true when the catalog dropped it, false on 404.
+    * `purge=true` additionally deletes the table's storage. */
+  def dropTable(ns: String, table: String, purge: Boolean = false): Boolean = {
+    val q = if (purge) "?purgeRequested=true" else ""
+    val (code, j) = sendJson("DELETE", s"/v1/namespaces/${enc(ns)}/tables/${enc(table)}$q", None)
+    code match {
+      case 204 => true
+      case 404 => false
+      case c => throw new IllegalStateException(s"dropTable($ns.$table) -> $c: ${errMsg(j)}")
+    }
+  }
+
+  /** RenameTable: identifier pointer move (storage untouched). Throws
+    * NoSuchElementException on a missing source/namespace (404) and
+    * IllegalStateException on an existing destination (409). */
+  def renameTable(srcNs: String, srcTable: String, dstNs: String, dstTable: String): Unit = {
+    val body =
+      s"""{"source":{"namespace":["${LakeHttp.jesc(srcNs)}"],"name":"${LakeHttp.jesc(srcTable)}"},""" +
+        s""""destination":{"namespace":["${LakeHttp.jesc(dstNs)}"],"name":"${LakeHttp.jesc(dstTable)}"}}"""
+    val (code, j) = sendJson("POST", "/v1/tables/rename", Some(body))
+    code match {
+      case 204 | 200 => ()
+      case 404 => throw new NoSuchElementException(
+        s"rename $srcNs.$srcTable -> $dstNs.$dstTable: ${errMsg(j)}")
+      case 409 => throw new IllegalStateException(
+        s"rename $srcNs.$srcTable -> $dstNs.$dstTable conflict (409): ${errMsg(j)}")
+      case c => throw new IllegalStateException(s"rename -> $c: ${errMsg(j)}")
+    }
+  }
+
+  /** CreateNamespace; throws IllegalStateException on 409. */
+  def createNamespace(ns: String, properties: Map[String, String] = Map.empty): Unit = {
+    val props = properties.map { case (k, v) =>
+      s""""${LakeHttp.jesc(k)}":"${LakeHttp.jesc(v)}"""" }.mkString("{", ",", "}")
+    val body = s"""{"namespace":["${LakeHttp.jesc(ns)}"],"properties":$props}"""
+    val (code, j) = sendJson("POST", "/v1/namespaces", Some(body))
+    if (code == 409)
+      throw new IllegalStateException(s"createNamespace($ns) conflict (409): ${errMsg(j)}")
+    require(code == 200, s"createNamespace($ns) -> $code: ${errMsg(j)}")
+  }
+
+  /** DropNamespace: true on drop, false on 404; 409 (not empty)
+    * throws — the caller must drop the tables first. */
+  def dropNamespace(ns: String): Boolean = {
+    val (code, j) = sendJson("DELETE", s"/v1/namespaces/${enc(ns)}", None)
+    code match {
+      case 204 => true
+      case 404 => false
+      case 409 => throw new IllegalStateException(s"dropNamespace($ns) not empty (409): ${errMsg(j)}")
+      case c => throw new IllegalStateException(s"dropNamespace($ns) -> $c: ${errMsg(j)}")
+    }
+  }
+
+  def namespaceExists(ns: String): Boolean = {
+    val (code, _) = sendJson("HEAD", s"/v1/namespaces/${enc(ns)}", None)
+    code == 204
+  }
+
+  /** LoadNamespaceMetadata's properties map, or None on 404. */
+  def namespaceProperties(ns: String): Option[Map[String, String]] = {
+    val (code, j) = get(s"/v1/namespaces/${enc(ns)}")
+    if (code == 404) None
+    else {
+      require(code == 200, s"namespaceProperties($ns) -> $code")
+      val p = j.get("properties")
+      val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      if (p != null) p.fieldNames().forEachRemaining(k => out += k -> p.get(k).asText)
+      Some(out.toMap)
+    }
+  }
+
+  /** UpdateNamespaceProperties: returns (updated, removed, missing). */
+  def updateNamespaceProperties(ns: String, updates: Map[String, String],
+      removals: Seq[String] = Nil): (Seq[String], Seq[String], Seq[String]) = {
+    val u = updates.map { case (k, v) =>
+      s""""${LakeHttp.jesc(k)}":"${LakeHttp.jesc(v)}"""" }.mkString("{", ",", "}")
+    val r = removals.map(x => s""""${LakeHttp.jesc(x)}"""").mkString("[", ",", "]")
+    val (code, j) = sendJson("POST", s"/v1/namespaces/${enc(ns)}/properties",
+      Some(s"""{"removals":$r,"updates":$u}"""))
+    require(code == 200, s"updateNamespaceProperties($ns) -> $code: ${errMsg(j)}")
+    def arr(f: String): Seq[String] = {
+      val a = j.get(f)
+      if (a == null) Nil else (0 until a.size).map(a.get(_).asText)
+    }
+    (arr("updated"), arr("removed"), arr("missing"))
   }
 
   /** LoadTableResult: (metadata-location, metadata document), or None

@@ -215,7 +215,7 @@ final class RemoteLake(baseUrl: String) {
 object LakeHttp {
   /** Escape a string for embedding in a JSON string literal; null-safe
     * (a null exception message serializes as the literal "null"). */
-  private[io] def jesc(s: String): String = {
+  private[graft] def jesc(s: String): String = {
     val v = if (s == null) "null" else s
     val b = new StringBuilder(v.length + 8)
     v.foreach {

@@ -136,6 +136,154 @@ class IcebergRestHttpSpec extends SparkSpec {
     }
   }
 
+  test("dropTable: catalog-pointer semantics (storage survives), purge deletes, 404 matrix") {
+    val (wh, liDir) = warehouse("drop", 4)
+    withServer(wh) { srv =>
+      val r = new RemoteIcebergRest(srv.url)
+      assert(r.tables("dw") == Seq("li"))
+      // drop WITHOUT purge: the catalog stops serving it, storage stays
+      assert(r.dropTable("dw", "li"))
+      assert(r.tables("dw").isEmpty)
+      assert(r.loadTable("dw", "li").isEmpty)
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(liDir, "metadata")),
+        "drop without purge must not touch storage")
+      // second drop: 404 → false (idempotent from the caller's seat)
+      assert(!r.dropTable("dw", "li"))
+      assert(!r.dropTable("dw", "never_was"))
+      // purge: storage goes too
+      val schema = """{"type":"struct","schema-id":0,"fields":[
+        {"id":1,"name":"id","required":false,"type":"long"}]}""".replaceAll("\\s+", " ")
+      r.createTable("dw", "scrap", schema)
+      assert(r.dropTable("dw", "scrap", purge = true))
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(wh, "dw", "scrap")),
+        "purgeRequested=true must delete the table's storage")
+    }
+  }
+
+  test("renameTable: pointer move — reads and commits follow, storage untouched; 404/409 matrix") {
+    val (wh, liDir) = warehouse("ren", 6)
+    withServer(wh) { srv =>
+      val r = new RemoteIcebergRest(srv.url)
+      val pin0 = r.pinnedSnapshot("dw", "li").get
+      r.renameTable("dw", "li", "dw", "li2")
+      // the identifier moved; the storage did not
+      assert(r.tables("dw") == Seq("li2"))
+      assert(r.loadTable("dw", "li").isEmpty)
+      val (loc, md) = r.loadTable("dw", "li2").get
+      assert(md.get("location").asText.endsWith("/dw/li"), s"storage must stay put, got $loc")
+      assert(r.pinnedSnapshot("dw", "li2").contains(pin0))
+      // commits through the NEW name land in the ORIGINAL directory
+      IcebergAppend.append(spark, liDir, Seq((99L, "x")).toDF("id", "v"))
+      r.publishHead(spark, "dw", "li2", liDir)
+      assert(r.pinnedSnapshot("dw", "li2").get != pin0)
+      // 404s: missing source, missing destination namespace
+      intercept[NoSuchElementException] { r.renameTable("dw", "ghost", "dw", "a") }
+      intercept[NoSuchElementException] { r.renameTable("dw", "li2", "nope", "a") }
+      // 409: destination exists
+      val schema = """{"type":"struct","schema-id":0,"fields":[
+        {"id":1,"name":"id","required":false,"type":"long"}]}""".replaceAll("\\s+", " ")
+      r.createTable("dw", "other", schema)
+      val e = intercept[IllegalStateException] { r.renameTable("dw", "other", "dw", "li2") }
+      assert(e.getMessage.contains("409"))
+      // rename of a renamed table (alias → alias) keeps following
+      r.renameTable("dw", "li2", "dw", "li3")
+      assert(r.tables("dw") == Seq("li3", "other"))
+      assert(r.pinnedSnapshot("dw", "li3").isDefined)
+    }
+  }
+
+  test("namespace CRUD: create/load/properties/drop with the 404/409 matrix") {
+    val wh = tmp("nscrud-wh")
+    withServer(wh) { srv =>
+      val r = new RemoteIcebergRest(srv.url)
+      assert(!r.namespaceExists("dwx"))
+      r.createNamespace("dwx", Map("owner_team" -> "etl"))
+      assert(r.namespaceExists("dwx"))
+      assert(r.namespaceProperties("dwx").get == Map("owner_team" -> "etl"))
+      // duplicate create: 409
+      val e1 = intercept[IllegalStateException] { r.createNamespace("dwx") }
+      assert(e1.getMessage.contains("409"))
+      // properties update: updated/removed/missing triple
+      val (up, rm, miss) = r.updateNamespaceProperties("dwx",
+        updates = Map("retention" -> "30d"), removals = Seq("owner_team", "ghost"))
+      assert(up == Seq("retention") && rm == Seq("owner_team") && miss == Seq("ghost"))
+      assert(r.namespaceProperties("dwx").get == Map("retention" -> "30d"))
+      // 404s: load/update/drop of a missing namespace
+      assert(r.namespaceProperties("nope").isEmpty)
+      intercept[Exception] { r.updateNamespaceProperties("nope", Map("a" -> "b")) }
+      assert(!r.dropNamespace("nope"))
+      // drop refuses while tables exist (409), works after they go
+      val schema = """{"type":"struct","schema-id":0,"fields":[
+        {"id":1,"name":"id","required":false,"type":"long"}]}""".replaceAll("\\s+", " ")
+      r.createTable("dwx", "t1", schema)
+      val e2 = intercept[IllegalStateException] { r.dropNamespace("dwx") }
+      assert(e2.getMessage.contains("409") && e2.getMessage.contains("t1"))
+      assert(r.dropTable("dwx", "t1", purge = true))
+      assert(r.dropNamespace("dwx"))
+      assert(!r.namespaceExists("dwx"))
+    }
+  }
+
+  test("ListTables pagination: pageSize windows + next-page-token walk the namespace exactly") {
+    val wh = tmp("page-wh")
+    withServer(wh) { srv =>
+      val r = new RemoteIcebergRest(srv.url)
+      r.createNamespace("big")
+      val schema = """{"type":"struct","schema-id":0,"fields":[
+        {"id":1,"name":"id","required":false,"type":"long"}]}""".replaceAll("\\s+", " ")
+      val names = (1 to 7).map(i => f"t$i%02d")
+      names.foreach(n => r.createTable("big", n, schema))
+      // one raw page: exactly pageSize identifiers + an opaque token
+      val http = java.net.http.HttpClient.newHttpClient()
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val raw = http.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"${srv.url}/v1/namespaces/big/tables?pageSize=3")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      val j = om.readTree(raw.body)
+      assert(j.get("identifiers").size == 3)
+      assert(j.hasNonNull("next-page-token"))
+      // the client's token loop reassembles the whole namespace in order
+      assert(r.tables("big", pageSize = Some(3)) == names)
+      assert(r.tables("big", pageSize = Some(100)) == names) // single page: no token
+      assert(r.tables("big") == names)                       // unpaginated face unchanged
+    }
+  }
+
+  test("SQL DDL through the rest-shape mount: namespace + create/insert/rename/drop by 3-level name") {
+    val wh = tmp("sqlddl-wh")
+    withServer(wh) { srv =>
+      val cat = "iceddl"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.catalog.IcebergWarehouseCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      spark.conf.set(s"spark.sql.catalog.$cat.uri", srv.url)
+      spark.conf.set(s"spark.sql.catalog.$cat.type", "rest-shape")
+      try {
+        spark.sql(s"CREATE NAMESPACE $cat.dwx")
+        spark.sql(s"CREATE TABLE $cat.dwx.ord (id BIGINT, v STRING)")
+        assert(spark.sql(s"SHOW TABLES IN $cat.dwx").collect().map(_.getString(1)).toSeq
+          == Seq("ord"))
+        // INSERT lands STAGED on the table line; a wire publish pins it
+        spark.sql(s"INSERT INTO $cat.dwx.ord VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+        val r = new RemoteIcebergRest(srv.url)
+        r.publishHead(spark, "dwx", "ord", s"$wh/dwx/ord")
+        assert(spark.sql(s"SELECT COUNT(*) FROM $cat.dwx.ord").head().getLong(0) == 3L)
+        // rename through SQL; reads follow the pointer
+        spark.sql(s"ALTER TABLE $cat.dwx.ord RENAME TO dwx.ord2")
+        assert(spark.sql(s"SELECT COUNT(*) FROM $cat.dwx.ord2").head().getLong(0) == 3L)
+        assert(spark.sql(s"SHOW TABLES IN $cat.dwx").collect().map(_.getString(1)).toSeq
+          == Seq("ord2"))
+        // drop through SQL: gone from the catalog, old name stays gone
+        spark.sql(s"DROP TABLE $cat.dwx.ord2")
+        assert(spark.sql(s"SHOW TABLES IN $cat.dwx").collect().isEmpty)
+        spark.sql(s"DROP NAMESPACE $cat.dwx")
+        assert(spark.sql(s"SHOW NAMESPACES IN $cat").collect().isEmpty)
+      } finally Seq("", ".warehouse", ".uri", ".type").foreach(sfx =>
+        spark.conf.unset(s"spark.sql.catalog.$cat$sfx"))
+    }
+  }
+
   test("SQL mount (type=rest-shape): pins govern 3-level names; VERSION AS OF wins; publish flips") {
     val (wh, liDir) = warehouse("mount", 10)
     withServer(wh) { srv =>
