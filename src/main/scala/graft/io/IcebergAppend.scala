@@ -504,7 +504,15 @@ object IcebergAppend {
     val snaps = md.withArray[ArrayNode]("snapshots")
 
     // ---- new manifest list: (previous manifests +) the new ones -----
-    val listSchema = new org.apache.avro.Schema.Parser().parse(IcebergExport.ManifestFileAvro)
+    // v3 lists carry the row-lineage assignment field (first_row_id,
+    // spec id 520): carried entries preserve theirs (null for
+    // pre-upgrade history — those rows have no lineage), new data
+    // manifests are assigned below from the table's next-row-id.
+    val fv = if (md.has("format-version")) md.get("format-version").asInt else 2
+    val listSchema = new org.apache.avro.Schema.Parser().parse(
+      if (fv == 3) IcebergExport.ManifestFileV3Avro else IcebergExport.ManifestFileAvro)
+    def putFirstRowId(r: GenericRecord, v: Option[Long]): Unit =
+      if (fv == 3) r.put("first_row_id", v.map(java.lang.Long.valueOf).orNull)
     def listEntry(src: GenericRecord): GenericRecord = {
       def opt[T](n: String, dflt: T): T =
         IcebergImport.fieldOpt(src, n).map(_.asInstanceOf[T]).getOrElse(dflt)
@@ -523,6 +531,7 @@ object IcebergAppend {
       r.put("added_rows_count", opt[Long]("added_rows_count", 0L))
       r.put("existing_rows_count", opt[Long]("existing_rows_count", 0L))
       r.put("deleted_rows_count", opt[Long]("deleted_rows_count", 0L))
+      putFirstRowId(r, IcebergImport.fieldOpt(src, "first_row_id").map(_.asInstanceOf[Long]))
       r
     }
     /** The list record for a REWRITTEN carried manifest: spec id and
@@ -546,6 +555,7 @@ object IcebergAppend {
       rec.put("added_rows_count", 0L)
       rec.put("existing_rows_count", r.existingRows)
       rec.put("deleted_rows_count", r.deletedRows)
+      putFirstRowId(rec, IcebergImport.fieldOpt(src, "first_row_id").map(_.asInstanceOf[Long]))
       rec
     }
     val prevManifests: Seq[GenericRecord] =
@@ -567,9 +577,16 @@ object IcebergAppend {
     val newListPath = new Path(metaDir, s"snap-$newSnap-1-$operation.avro")
     val lw = new org.apache.avro.file.DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](listSchema))
-    lw.setMeta("format-version", "2")
+    lw.setMeta("format-version", if (fv == 3) "3" else "2")
     lw.create(listSchema, fs.create(newListPath, false))
     prevManifests.foreach(lw.append)
+    // v3 row-id assignment for THIS commit's data manifests: the first
+    // gets the table's next-row-id, subsequent ones advance by row
+    // count (the spec's cumulative assignment); delete manifests carry
+    // no row ids. The snapshot-level first-row-id stamp below uses the
+    // same base, so list and snapshot agree by construction.
+    var rowIdCursor: Long =
+      if (fv == 3 && md.has("next-row-id")) md.get("next-row-id").asLong else 0L
     manifests.foreach { m =>
       val lr = new GenericData.Record(listSchema)
       lr.put("manifest_path", fs.makeQualified(m.path).toString)
@@ -587,6 +604,10 @@ object IcebergAppend {
       lr.put("added_rows_count", m.rows)
       lr.put("existing_rows_count", 0L)
       lr.put("deleted_rows_count", 0L)
+      if (m.content == 0) {
+        putFirstRowId(lr, if (fv == 3) Some(rowIdCursor) else None)
+        rowIdCursor += m.rows
+      } else putFirstRowId(lr, None)
       lw.append(lr)
     }
     lw.close()

@@ -880,6 +880,16 @@ object IcebergExport {
       |{"name":"deleted_rows_count","type":"long","field-id":514}
       |]}""".stripMargin
 
+  /** [[ManifestFileAvro]] + the v3 row-lineage assignment field
+    * (spec "Manifest Lists" v3: `first_row_id`, field-id 520) —
+    * manifest lists of format-version-3 commits carry it so readers
+    * can inherit per-row ids. */
+  private[io] val ManifestFileV3Avro: String =
+    ManifestFileAvro.replace(
+      """{"name":"deleted_rows_count","type":"long","field-id":514}""",
+      """{"name":"deleted_rows_count","type":"long","field-id":514},
+        |{"name":"first_row_id","type":["null","long"],"default":null,"field-id":520}""".stripMargin)
+
   /** Iceberg v2 `manifest_entry` Avro schema for a given partition
     * struct (spec "Manifests": field-ids 0-4, data_file struct
     * 100-134, partition struct fields 1000+). */

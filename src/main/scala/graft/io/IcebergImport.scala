@@ -80,7 +80,8 @@ object IcebergImport {
   private final case class DataEntry(path: String, raw: String, seq: Long,
       lower: Map[Int, Array[Byte]] = Map.empty, upper: Map[Int, Array[Byte]] = Map.empty,
       recordCount: Long = -1L, scope: Seq[ScopeCond] = Nil, fmt: String = "PARQUET",
-      partDisplay: Seq[(String, String)] = Nil)
+      partDisplay: Seq[(String, String)] = Nil,
+      firstRowId: Option[Long] = None)
   /** One partition-scope condition of an equality delete: the SOURCE
     * column, the spec transform over it (`identity` or `bucket[N]` —
     * graft computes murmur3 buckets itself via
@@ -109,7 +110,8 @@ object IcebergImport {
   private final case class ScanPlan(data: Seq[DataEntry], deletes: Seq[DeleteEntry],
       fieldNames: Map[Int, String], loc: String, schema: Option[StructType],
       fieldTypes: Map[Int, DataType] = Map.empty, snap: Option[Long] = None,
-      nameMapping: Map[Int, Seq[String]] = Map.empty)
+      nameMapping: Map[Int, Seq[String]] = Map.empty,
+      formatVersion: Int = 2)
 
   // helper-column names used while delete application is in flight;
   // chosen to never collide with user schemas (and guarded anyway)
@@ -212,6 +214,74 @@ object IcebergImport {
   private[graft] val LineageFileCol: String = FileCol
   private[graft] val LineagePosCol: String = PosCol
 
+  /** The v3 ROW-LINEAGE read (r20 — the r19 verdict's #4, opt-in): the
+    * table's rows plus the spec's two lineage columns,
+    *
+    *   `_row_id`                        = data file's assigned
+    *                                      first_row_id + row position
+    *   `_last_updated_sequence_number`  = the file's data sequence
+    *                                      number
+    *
+    * per the v3 inheritance rules: the manifest list assigns each data
+    * manifest a `first_row_id` (spec id 520), entries inherit
+    * manifest.first_row_id + preceding null-entry record counts, and a
+    * row's id is its file's first_row_id + its ordinal. Rows from
+    * PRE-UPGRADE history (v2-written manifest lists carry no
+    * first_row_id) have NO lineage — both columns null, the spec's
+    * upgraded-table posture. Surviving rows keep their ids across DV /
+    * position deletes because positions are original file ordinals.
+    * Refusals keep the read honest: v3 tables only; parquet data files
+    * only (positions are `_metadata.row_index`); and data files that
+    * MATERIALIZE a `_row_id` column refuse loudly — a rewrite that
+    * preserved ids must be read from the materialized values, which
+    * this inheritance-only face would silently contradict. */
+  def readWithRowLineage(spark: SparkSession, tableDir: String,
+      snapshotId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit, when}
+    val plan = planScan(spark, tableDir, snapshotId)
+    require(plan.formatVersion == 3,
+      s"$tableDir is format-version ${plan.formatVersion} — row lineage is a v3 feature; " +
+        "upgrade the table (PuffinDeletionVectors.upgradeToV3) first")
+    require(plan.data.forall(_.fmt == "PARQUET"),
+      s"row lineage needs parquet data files (row positions are _metadata.row_index); " +
+        s"$tableDir carries ${plan.data.map(_.fmt).distinct.mkString(", ")}")
+    // materialized-lineage guard: O(files) footer reads, the same
+    // metadata class as scan planning itself
+    val hconf = spark.sparkContext.hadoopConfiguration
+    plan.data.map(_.path).distinct.foreach { p =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(p), hconf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val hasRowId =
+        try {
+          import scala.jdk.CollectionConverters._
+          r.getFooter.getFileMetaData.getSchema.getFields.asScala.exists(_.getName == "_row_id")
+        } finally r.close()
+      require(!hasRowId,
+        s"data file $p materializes a _row_id column — this face computes lineage by " +
+          "inheritance and would contradict preserved ids; read the materialized columns")
+    }
+    val base = readWithLineage(spark, tableDir, snapshotId)
+    val userCols = base.columns.filterNot(c => c == FileCol || c == PosCol).toSeq
+    if (plan.data.isEmpty)
+      return base.drop(FileCol, PosCol)
+        .withColumn("_row_id", lit(null).cast("long"))
+        .withColumn("_last_updated_sequence_number", lit(null).cast("long"))
+    // |data files|-sized lineage map, broadcast; every stored spelling
+    // of each path enters so the join matches _metadata.file_path
+    import spark.implicits._
+    val info = plan.data.flatMap { d =>
+      (spellings(d.path) ++ spellings(d.raw)).toSeq.map { sp =>
+        (sp, d.firstRowId.map(java.lang.Long.valueOf).orNull: java.lang.Long, d.seq)
+      }
+    }.toDF("__graft_rl_file", "__graft_rl_first", "__graft_rl_seq")
+    base.join(broadcast(info), col(FileCol) === col("__graft_rl_file"), "left")
+      .select(userCols.map(col) ++ Seq(
+        when(col("__graft_rl_first").isNotNull,
+          col("__graft_rl_first") + col(PosCol)).cast("long").as("_row_id"),
+        when(col("__graft_rl_first").isNotNull,
+          col("__graft_rl_seq")).cast("long").as("_last_updated_sequence_number")): _*)
+  }
+
   /** The snapshot's surviving data-file paths — exposed so callers can
     * audit exactly what a read would scan. (With row-level deletes
     * present, the read additionally filters rows; the FILE set is
@@ -250,9 +320,10 @@ object IcebergImport {
     require(fv >= 1 && fv <= 3, s"unsupported Iceberg format-version $fv at $mdPath")
     // v3 feature triage, checked below once the schema node is in
     // hand: deletion vectors READ (the Puffin branch of applyDeletes);
-    // row lineage null-fills (this engine exposes no _row_id — the
-    // CDC-alignment posture); NON-NULL COLUMN DEFAULTS have no read
-    // semantics here and refuse loudly.
+    // row lineage is OPT-IN via [[readWithRowLineage]] (r20 — the
+    // default read stays lineage-free: CDC alignment and plain reads
+    // pay nothing); NON-NULL COLUMN DEFAULTS have no read semantics
+    // here and refuse loudly.
 
     // field id → name from the current schema (v2 "schemas" +
     // "current-schema-id"; v1 single "schema") — resolves equality_ids
@@ -316,25 +387,33 @@ object IcebergImport {
     // v1 snapshots may carry an inline "manifests" array instead of a
     // list file; (path, manifest sequence number for inheritance,
     // manifest's partition spec id)
-    val manifests: Seq[(String, Long, Int)] =
+    val manifests: Seq[(String, Long, Int, Option[Long])] =
       if (snap.hasNonNull("manifest-list")) {
         readAvro(fs _, resolve(tableDir, snap.get("manifest-list").asText))._1.map { r =>
           val seq = fieldOpt(r, "sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L)
           val specId = fieldOpt(r, "partition_spec_id").map(_.asInstanceOf[Int]).getOrElse(0)
-          (r.get("manifest_path").toString, seq, specId)
+          // v3 row lineage: the manifest's assigned first_row_id (spec
+          // id 520); None on pre-v3 lists = those rows have no lineage
+          val firstRowId = fieldOpt(r, "first_row_id").map(_.asInstanceOf[Long])
+          (r.get("manifest_path").toString, seq, specId, firstRowId)
         }
       } else if (snap.hasNonNull("manifests")) {
         val a = snap.get("manifests")
-        (0 until a.size).map(i => (a.get(i).asText, 0L, 0))
+        (0 until a.size).map(i => (a.get(i).asText, 0L, 0, Option.empty[Long]))
       } else throw new IllegalArgumentException(s"snapshot $wantSnap has no manifest list in $mdPath")
 
     val dataB = Seq.newBuilder[DataEntry]
     val delB = Seq.newBuilder[DeleteEntry]
-    manifests.foreach { case (mPathRaw, listSeq, specId) =>
+    manifests.foreach { case (mPathRaw, listSeq, specId, mFirstRowId) =>
       val mPath = resolve(tableDir, mPathRaw)
       val entries = readAvro(fs _, mPath)._1
       val specFields = specsById.getOrElse(specId, throw new IllegalArgumentException(
         s"manifest $mPathRaw references partition spec $specId, absent from $mdPath"))
+      // v3 row-id inheritance within one manifest (spec "Row Lineage"):
+      // a data-file entry's explicit first_row_id wins; a null one is
+      // assigned manifest.first_row_id + the record counts of the
+      // null-first_row_id data entries before it, in manifest order.
+      var rowIdRun = 0L
       entries.foreach { e =>
         val status = fieldOpt(e, "status").map(_.asInstanceOf[Int]).getOrElse(1)
         if (status != 2) { // DELETED entry: the spec requires skipping it
@@ -380,10 +459,17 @@ object IcebergImport {
           val abs = resolve(tableDir, raw).toString
           val rc = fieldOpt(df, "record_count").map(_.asInstanceOf[Long]).getOrElse(-1L)
           content match {
-            case 0 => dataB += DataEntry(abs, raw, seq,
-              kvBytesOf(df, "lower_bounds"), kvBytesOf(df, "upper_bounds"), rc,
-              dataScope(specFields, df, fieldNames), fmt,
-              partitionDisplay(specFields, df))
+            case 0 =>
+              val explicitFirst = fieldOpt(df, "first_row_id").map(_.asInstanceOf[Long])
+              val assignedFirst = explicitFirst.orElse(mFirstRowId.map { mf =>
+                val v = mf + rowIdRun
+                rowIdRun += math.max(0L, rc)
+                v
+              })
+              dataB += DataEntry(abs, raw, seq,
+                kvBytesOf(df, "lower_bounds"), kvBytesOf(df, "upper_bounds"), rc,
+                dataScope(specFields, df, fieldNames), fmt,
+                partitionDisplay(specFields, df), assignedFirst)
             case 1 => delB += DeleteEntry(abs, raw, seq, 1, Nil, Nil, rc, dvTriple)
             case 2 =>
               val idsNode = fieldOpt(df, "equality_ids").orNull
@@ -428,7 +514,7 @@ object IcebergImport {
     }
     ScanPlan(dataB.result(), delB.result(), fieldNames,
       fs(mdPath).makeQualified(new Path(tableDir)).toString, sparkSchemaOf(schemaNode),
-      fieldTypes, snapshotId, nameMapping)
+      fieldTypes, snapshotId, nameMapping, fv)
   }
 
   /** Decode a logical-map-of-bytes manifest field (lower/upper bounds)

@@ -3929,6 +3929,67 @@ object ExtensionCorpus {
       GROUP BY o_orderstatus ORDER BY o_orderstatus""")
   )
 
+  /** V3 ROW LINEAGE READ (r20 — the r19 verdict's #4: the write side
+    * already maintained first-row-id/next-row-id; readers could not
+    * get the spec's inherited values. CDC-by-lineage is the v3 feature
+    * foreign tables will start carrying): export (v2 history, NO
+    * lineage) → upgrade → two deterministic single-file sorted appends
+    * (ids assigned from the table's next-row-id: manifest-list
+    * first_row_id 520 + row position) → a DV delete (survivors must
+    * KEEP their ids — positions are original file ordinals) →
+    * `readWithRowLineage`. The oracle replays the ENTIRE arithmetic in
+    * DuckDB: ROW_NUMBER over each batch's sort order, offset by the
+    * prior batch's count, deletes applied AFTER assignment; pre-upgrade
+    * rows fold into the seq=0 bucket with null id sums. Hash-exact
+    * means ids, sequence stamps and null-lineage posture all agree. */
+  private val q179 = Q(
+    "q179_iceberg_row_lineage",
+    (s, dir) => {
+      val ord = fixture(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus").cast("string").as("o_orderstatus"))
+      val root = java.nio.file.Files.createTempDirectory("q179-snap").toString
+      val t = new graft.io.SnapshotTables(s, root)
+      t.overwriteTable(ord.filter(col("o_orderkey") <= 4000), "ord")
+      val dest = java.nio.file.Files.createTempDirectory("q179-ice").toString
+      graft.io.IcebergExport.export(t, "ord", dest)                    // v2 history
+      graft.io.PuffinDeletionVectors.upgradeToV3(s, dest)              // next-row-id = 0
+      def batch(lo: Long, hi: Long) =
+        ord.filter(col("o_orderkey") > lo && col("o_orderkey") <= hi)
+          .repartition(1).sortWithinPartitions("o_orderkey")
+      graft.io.IcebergAppend.append(s, dest, batch(4000, 6000))        // ids 0..n2-1
+      graft.io.IcebergAppend.append(s, dest, batch(6000, 8000))        // ids n2..
+      graft.io.PuffinDeletionVectors.writeDVDelete(s, dest, "o_orderkey % 5 = 0")
+      graft.io.IcebergImport.readWithRowLineage(s, dest)
+        .groupBy(coalesce(col("_last_updated_sequence_number"), lit(0L)).as("seq"))
+        .agg(count(lit(1)).as("n"),
+          sum("_row_id").cast("long").as("sum_rid"),
+          min("_row_id").cast("long").as("min_rid"),
+          max("_row_id").cast("long").as("max_rid"))
+        .orderBy("seq")
+    },
+    Some("""WITH b2 AS (
+        SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid
+        FROM orders WHERE o_orderkey > 4000 AND o_orderkey <= 6000),
+      b3 AS (
+        SELECT o_orderkey,
+          (SELECT COUNT(*) FROM b2) + ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid
+        FROM orders WHERE o_orderkey > 6000 AND o_orderkey <= 8000),
+      post AS (
+        SELECT o_orderkey, 2 AS seq, rid FROM b2
+        UNION ALL SELECT o_orderkey, 3 AS seq, rid FROM b3),
+      surv AS (SELECT * FROM post WHERE o_orderkey % 5 <> 0)
+      SELECT CAST(seq AS BIGINT) AS seq, COUNT(*) AS n,
+        CAST(SUM(rid) AS BIGINT) AS sum_rid,
+        CAST(MIN(rid) AS BIGINT) AS min_rid, CAST(MAX(rid) AS BIGINT) AS max_rid
+      FROM surv GROUP BY seq
+      UNION ALL
+      SELECT 0 AS seq, COUNT(*) AS n, CAST(NULL AS BIGINT) AS sum_rid,
+        CAST(NULL AS BIGINT) AS min_rid, CAST(NULL AS BIGINT) AS max_rid
+      FROM orders WHERE o_orderkey <= 4000 AND o_orderkey % 5 <> 0
+      ORDER BY seq""")
+  )
+
   val all: Seq[Q] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q98b, q99, q100, q101, q102, q106, q107, q108,
@@ -3936,7 +3997,7 @@ object ExtensionCorpus {
     q128, q130, q131, q132, q133, q135, q136, q137, q138, q139, q140, q141, q143, q144,
     q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159,
     q160, q161, q162, q163, q164, q165, q166, q166b, q167, q168, q169, q170, q171, q172, q173, q174, q175,
-    q176, q177, q178
+    q176, q177, q178, q179
   )
 
 }

@@ -19,7 +19,8 @@ object DriveIceExport {
     // on version files (the append's optimistic concurrency, working
     // as designed — but these are throwaway fixtures)
     Seq("plain", "mor", "bucket", "posdel", "evolved", "appended", "partitioned", "scoped",
-        "dml", "branch", "posdml", "merge", "catname", "avrodata", "dv", "adopted", "changes")
+        "dml", "branch", "posdml", "merge", "catname", "avrodata", "dv", "adopted", "changes",
+        "rowlineage")
       .foreach { n =>
         val p = new org.apache.hadoop.fs.Path(s"/tmp/ind_export_$n")
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -320,6 +321,36 @@ object DriveIceExport {
       .collect().toSeq
     r17r.foreach(r =>
       println(s"EXPECT changes type=${r.getString(0)} count=${r.getLong(1)} sum=${r.getString(2)}"))
+
+    // 18: V3 ROW LINEAGE (r20 — X146): v2 export (NO lineage) →
+    // upgrade → two deterministic sorted single-file appends (ids
+    // assigned from next-row-id via the manifest-list first_row_id,
+    // spec id 520) → a DV delete (survivors KEEP their ids). The
+    // witness re-derives every id from the metadata itself —
+    // first_row_id + DuckDB's file_row_number — and must agree on the
+    // per-sequence id sums, byte-for-value.
+    val r18 = java.nio.file.Files.createTempDirectory("ind-snap18").toString
+    val t18 = new graft.io.SnapshotTables(spark, r18)
+    t18.overwriteTable(ord.filter(col("o_orderkey") % 2 === 0), "ord")
+    graft.io.IcebergExport.export(t18, "ord", "/tmp/ind_export_rowlineage")
+    graft.io.PuffinDeletionVectors.upgradeToV3(spark, "/tmp/ind_export_rowlineage")
+    def sortedBatch18(cond: org.apache.spark.sql.Column) =
+      ord.filter(cond).repartition(1).sortWithinPartitions("o_orderkey")
+    graft.io.IcebergAppend.append(spark, "/tmp/ind_export_rowlineage",
+      sortedBatch18(col("o_orderkey") % 4 === 1))
+    graft.io.IcebergAppend.append(spark, "/tmp/ind_export_rowlineage",
+      sortedBatch18(col("o_orderkey") % 4 === 3))
+    graft.io.PuffinDeletionVectors.writeDVDelete(spark, "/tmp/ind_export_rowlineage",
+      "o_orderkey % 5 = 0")
+    val r18r = graft.io.IcebergImport.readWithRowLineage(spark, "/tmp/ind_export_rowlineage")
+      .groupBy(coalesce(col("_last_updated_sequence_number"), lit(0L)).as("seq"))
+      .agg(count(lit(1)), sum("_row_id"), min("_row_id"), max("_row_id"))
+      .orderBy("seq").collect().toSeq
+    r18r.foreach(r =>
+      println(s"EXPECT rowlineage seq=${r.getLong(0)} count=${r.getLong(1)} " +
+        s"sum=${if (r.isNullAt(2)) "None" else r.getLong(2)} " +
+        s"min=${if (r.isNullAt(3)) "None" else r.getLong(3)} " +
+        s"max=${if (r.isNullAt(4)) "None" else r.getLong(4)}"))
     spark.stop()
   }
 }

@@ -294,6 +294,13 @@ def plan_scan(table_dir, snapshot_id=None):
     for m in mlist:
         seq0 = m.get("sequence_number", 0)
         spec_fields = specs.get(m.get("partition_spec_id", 0), [])
+        # v3 ROW LINEAGE (r20, fixture 18): the manifest's assigned
+        # first_row_id (spec id 520); data entries inherit
+        # manifest.first_row_id + preceding null-entry record counts,
+        # explicit per-entry values win. None (pre-v3 lists) = no
+        # lineage for those rows.
+        m_first = m.get("first_row_id")
+        rowid_run = 0
         entries, mmeta = read_avro_file(resolve(table_dir, m["manifest_path"]))
         for e in entries:
             if e.get("status", 1) == 2:
@@ -328,10 +335,17 @@ def plan_scan(table_dir, snapshot_id=None):
                     df.get("referenced_data_file") is not None):
                 dv = (df["referenced_data_file"], df["content_offset"],
                       df["content_size_in_bytes"])
+            first_row_id = None
+            if df.get("content", 0) == 0:
+                first_row_id = df.get("first_row_id")
+                if first_row_id is None and m_first is not None:
+                    first_row_id = m_first + rowid_run
+                    rowid_run += df["record_count"]
             rec = {
                 "path": resolve(table_dir, df["file_path"]),
                 "seq": seq,
                 "content": df.get("content", 0),
+                "first_row_id": first_row_id,
                 "format": str(df.get("file_format", "PARQUET")).upper(),
                 "eq_ids": df.get("equality_ids") or [],
                 "record_count": df["record_count"],
@@ -390,9 +404,12 @@ def resolve_fields(con, src_sql, fields, name_mapping, ident_cols=(), qual=""):
     return ", ".join(parts)
 
 
-def prepare(con, table_dir, snapshot_id=None):
+def prepare(con, table_dir, snapshot_id=None, lineage=False):
     """Create view `t` = the planned scan (deletes applied) in `con`,
-    at the head or a PINNED snapshot."""
+    at the head or a PINNED snapshot. With `lineage`, `t` also carries
+    the v3 row-lineage columns `_row_id` (file first_row_id + row
+    ordinal; NULL for pre-upgrade history) and
+    `_last_updated_sequence_number` (the file's data sequence)."""
     data, deletes, field_names, fields, name_mapping = plan_scan(table_dir, snapshot_id)
     if not data:
         # a legitimately empty state (pinned pre-data snapshot)
@@ -404,8 +421,12 @@ def prepare(con, table_dir, snapshot_id=None):
     def flist(fs):
         return "[" + ",".join("'" + f["path"].replace("'", "''") + "'" for f in fs) + "]"
 
-    seq_rows = ",".join(f"('{f['path']}',{f['seq']})" for f in data)
-    con.execute(f"CREATE TABLE fseq(path VARCHAR, seq BIGINT); "
+    seq_rows = ",".join(
+        "('{}',{},{})".format(f["path"], f["seq"],
+                              "NULL" if f.get("first_row_id") is None
+                              else f["first_row_id"])
+        for f in data)
+    con.execute(f"CREATE TABLE fseq(path VARCHAR, seq BIGINT, frid BIGINT); "
                 f"INSERT INTO fseq VALUES {seq_rows}")
     # per-file IDENTITY partition values (the spec's projection rule
     # for columns living only in partition metadata)
@@ -431,7 +452,8 @@ def prepare(con, table_dir, snapshot_id=None):
         sel = resolve_fields(con, f"SELECT * FROM {data_read}", fields, name_mapping,
                              ident_cols=set(ident_cols), qual="d.")
         branches.append(
-            f"SELECT {sel}, d.filename, d.file_row_number, fseq.seq AS __seq "
+            f"SELECT {sel}, d.filename, d.file_row_number, fseq.seq AS __seq, "
+            f"fseq.frid AS __frid "
             f"FROM {data_read} d JOIN fseq ON d.filename = fseq.path{pv_join}")
     if avro:
         # AVRO data files (spec: file_format=AVRO): decode with the
@@ -480,7 +502,8 @@ def prepare(con, table_dir, snapshot_id=None):
         acols = ", ".join(f'a."{f["name"]}"' for f in fields)
         branches.append(
             f"SELECT {acols}, a.__path AS filename, a.__rownum AS file_row_number, "
-            f"fseq.seq AS __seq FROM avrodata a JOIN fseq ON a.__path = fseq.path")
+            f"fseq.seq AS __seq, fseq.frid AS __frid "
+            f"FROM avrodata a JOIN fseq ON a.__path = fseq.path")
     base = " UNION ALL BY NAME ".join(f"({b})" for b in branches)
     con.execute(f"CREATE VIEW base AS {base}")
     view = "base"
@@ -553,7 +576,13 @@ def prepare(con, table_dir, snapshot_id=None):
             f"WHERE {' AND '.join(conds)} AND {f['seq']} > v.__seq)")
         view = f"eq{i}"
     user_cols = ", ".join(f'"{n}"' for n in field_names.values())
-    con.execute(f"CREATE VIEW t AS SELECT {user_cols} FROM {view}")
+    extra = ""
+    if lineage:
+        extra = (", CASE WHEN __frid IS NOT NULL THEN __frid + file_row_number "
+                 "END AS _row_id"
+                 ", CASE WHEN __frid IS NOT NULL THEN __seq "
+                 "END AS _last_updated_sequence_number")
+    con.execute(f"CREATE VIEW t AS SELECT {user_cols}{extra} FROM {view}")
 
 
 def run_changes(table_dir, from_snap, sql):
@@ -624,13 +653,15 @@ def main():
     if len(args) >= 4 and args[1] == "--changes":
         run_changes(args[0], int(args[2]), args[3])
         return
+    lineage = "--lineage" in args
+    args = [a for a in args if a != "--lineage"]
     table_dir, sql = args[0], args[1]
     snap = None
     if "--snapshot" in args:
         snap = int(args[args.index("--snapshot") + 1])
     import duckdb
     con = duckdb.connect()
-    prepare(con, table_dir, snap)
+    prepare(con, table_dir, snap, lineage=lineage)
     for row in con.execute(sql).fetchall():
         print(row)
 

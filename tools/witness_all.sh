@@ -20,3 +20,5 @@ echo -n "WITNESS adopted "
 python3 tools/ice_independent_read.py /tmp/ind_export_adopted "SELECT COUNT(*), CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR), COUNT(DISTINCT sys_file_date) FROM T" 2>/dev/null | tail -1
 echo -n "WITNESS changes "
 python3 tools/ice_independent_read.py /tmp/ind_export_changes --changes 1 "SELECT _change_type, COUNT(*), CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) FROM t GROUP BY 1 ORDER BY 1" 2>/dev/null | tr '\n' ' '; echo
+echo -n "WITNESS rowlineage "
+python3 tools/ice_independent_read.py /tmp/ind_export_rowlineage --lineage "SELECT COALESCE(_last_updated_sequence_number, 0) AS seq, COUNT(*), SUM(_row_id), MIN(_row_id), MAX(_row_id) FROM t GROUP BY 1 ORDER BY 1" 2>/dev/null | tr '\n' ' '; echo
