@@ -107,7 +107,30 @@ object IcebergExport {
 
   /** Export `table`'s retained versions as an Iceberg v2 table rooted
     * at `destDir`; returns the metadata.json path. */
-  def export(st: SnapshotTables, table: String, destDir: String): String = {
+  def export(st: SnapshotTables, table: String, destDir: String): String =
+    export(st, table, destDir, formatVersion = 2)
+
+  /** V3-NATIVE EXPORT (r20 — the r19 verdict's #5): `formatVersion=3`
+    * emits format-version-3 metadata (per-snapshot `first-row-id` /
+    * `added-rows`, table `next-row-id`, manifest lists carrying the
+    * row-lineage `first_row_id` assignment, spec id 520) and converts
+    * every MOR equality-delete segment into DELETION VECTORS — the
+    * keys join against the chain-prior data files' row positions, the
+    * per-file position unions encode to Puffin blobs INSIDE executor
+    * tasks, and each snapshot's manifest list carries ONE live DV
+    * entry per referenced file (the v3 invariant), so a v3-expecting
+    * engine reads the chain with zero equality deletes. Since
+    * different snapshots see different delete prefixes, DV manifests
+    * are written per DISTINCT contributing-delete-set and shared by
+    * every snapshot with that set — O(history × deltas) blob bytes,
+    * the price of keeping time travel DV-exact. Refusals: mor_patch
+    * chains (a v3 table must not add position-delete files; DVs would
+    * have to fold the patch positions — compact() first) and key
+    * columns a Hive layout dropped from the prior data parquet. */
+  def export(st: SnapshotTables, table: String, destDir: String, formatVersion: Int): String = {
+    require(formatVersion == 2 || formatVersion == 3,
+      s"export writes format-version 2 or 3, not $formatVersion")
+    val v3 = formatVersion == 3
     val cur = st.currentVersion(table)
     require(cur > 0, s"table $table has no committed version")
     // the instance's own session — resolving the chain here (e.g. via
@@ -393,6 +416,10 @@ object IcebergExport {
     // parquet lands under destDir/deletes/ — the only data this
     // export ever writes, O(patch deltas) in size.
     val patchSegs = allSegs.filter(_.kind == "mor_patch")
+    require(!v3 || patchSegs.isEmpty,
+      s"table $table carries content-addressed patches (mor_patch) — a v3 table must not " +
+        "add position-delete FILES, and folding patch positions into per-file DVs across " +
+        "the whole history is not supported; compact() before a v3 export")
     val pdFiles: Map[Int, (String, Long)] = if (patchSegs.isEmpty) Map.empty else {
       val identityDirCols = partCols.filterNot(_.startsWith("__p_"))
       require(identityDirCols.isEmpty,
@@ -405,6 +432,43 @@ object IcebergExport {
           s"${mapped.mkString(", ")} — row-value grouping cannot key maps; compact() first")
       buildPatchPositionDeletes(st, table, spark, segFiles, patchSegs, tableSchema, destDir)
     }
+
+    // ---- v3: MOR equality-delete segments → DELETION VECTORS --------
+    // One matched-positions pass per delete segment (keys joined
+    // against the CHAIN-PRIOR data files — the strict seq < delete-seq
+    // scope equality deletes carry), landed as parquet under
+    // destDir/deletes; blobs are written later per distinct
+    // contributing set, after file stats exist.
+    val delSegs = if (!v3) Nil else allSegs.filter(m => segFiles(m.v).exists(_._5))
+    val dvSrcDir: Map[Int, String] = delSegs.flatMap { m =>
+      import org.apache.spark.sql.functions.{broadcast, coalesce, col}
+      val priorData = st.chainOf(table, m.v).filter(_.v < m.v)
+        .flatMap(pm => segFiles.get(pm.v).toSeq.flatten.filter(_._4).map(_._1)).distinct
+      if (priorData.isEmpty) None
+      else {
+        val dataCols = spark.read.parquet(priorData.head).columns.toSet
+        val missing = m.keyCols.filterNot(dataCols.contains)
+        require(missing.isEmpty,
+          s"table $table v${m.v}: key column(s) ${missing.mkString(", ")} are not in the " +
+            "prior data parquet (a Hive layout dropped them) — positions cannot be matched " +
+            "for the v3 deletion-vector export; compact() first")
+        val keys = spark.read.parquet(segFiles(m.v).filter(_._5).map(_._1): _*)
+          .select(m.keyCols.map(col): _*).distinct()
+        // canonicalize _metadata.file_path to the spelling the data
+        // manifests use, or one file would split into two DV groups
+        val spellRows = priorData.flatMap(p => IcebergImport.spellings(p).toSeq.map(_ -> p))
+        val spellDf = spark.createDataFrame(spellRows).toDF("__sp", "__canon")
+        val matched = spark.read.parquet(priorData: _*)
+          .select(m.keyCols.map(col) :+ col("_metadata.file_path").as("__f")
+            :+ col("_metadata.row_index").as("__p"): _*)
+          .join(broadcast(keys), m.keyCols, "left_semi")
+          .join(broadcast(spellDf), col("__f") === col("__sp"), "left")
+          .select(coalesce(col("__canon"), col("__f")).as("f"), col("__p").as("p"))
+        val out = s"$destDir/deletes/dvsrc-v${m.v}"
+        matched.write.mode("overwrite").parquet(out)
+        Some(m.v -> out)
+      }
+    }.toMap
 
     // ---- record counts + per-column stats from parquet footers, one
     // distributed job (the driver only handles file names)
@@ -535,39 +599,165 @@ object IcebergExport {
       // (their snapshot must exist); empty delete manifests are skipped
       if (dataBare.nonEmpty || (dataLaid.isEmpty && dels.isEmpty && posDel.isEmpty))
         refs += writeManifest(m, unpartSpecId, dataBare, entryContent = 0)
-      if (dels.nonEmpty) refs += writeManifest(m, unpartSpecId, dels, entryContent = 2)
+      // v3 exports carry NO equality deletes — those segments become
+      // per-contributing-set deletion vectors (below)
+      if (dels.nonEmpty && !v3) refs += writeManifest(m, unpartSpecId, dels, entryContent = 2)
       if (posDel.nonEmpty) refs += writeManifest(m, unpartSpecId, posDel, entryContent = 1)
       m.v -> refs.result()
     }.toMap
 
+    // ---- v3: Puffin blobs + ONE delete manifest per DISTINCT
+    // contributing-delete-set (shared across every snapshot whose
+    // chain sees exactly that set — the one-live-DV-per-file invariant
+    // holds per manifest list by construction)
+    val sigByVersion: Map[Int, Seq[Int]] =
+      versions.map(v => v -> chains(v).map(_.v).filter(dvSrcDir.contains).sorted).toMap
+    val dvManifestBySig: Map[Seq[Int], ManifestRef] =
+      if (!v3) Map.empty
+      else sigByVersion.values.filter(_.nonEmpty).toSet.toSeq
+        .sortBy((s: Seq[Int]) => s.mkString(",")).flatMap { sig: Seq[Int] =>
+          import org.apache.spark.sql.functions.col
+          import spark.implicits._
+          val seqN = sig.max.toLong
+          val sigTag = sig.mkString("-")
+          val confSer = new org.apache.spark.SerializableWritable(hconf)
+          val delDirStr = s"$destDir/deletes"
+          val shaped = spark.read.parquet(sig.map(dvSrcDir): _*)
+            .select(col("f"), col("p")).distinct()
+            .repartition(col("f")).sortWithinPartitions("f", "p")
+            .as[(String, Long)]
+          val written: Seq[(String, String, Long, Long, Long)] = shaped.mapPartitions { it =>
+            if (!it.hasNext) Iterator.empty[(String, String, Long, Long, Long)]
+            else {
+              val tc = org.apache.spark.TaskContext.get()
+              require(tc != null,
+                "DV encode must run inside an executor task, never on the driver")
+              val pPath = new Path(s"$delDirStr/dv-sig$sigTag-p${tc.partitionId()}-" +
+                s"${java.util.UUID.randomUUID().toString.take(8)}.puffin")
+              val fsx = pPath.getFileSystem(confSer.value)
+              val buf = it.buffered
+              val grouped: Iterator[(String, Seq[Long])] = new Iterator[(String, Seq[Long])] {
+                def hasNext: Boolean = buf.hasNext
+                def next(): (String, Seq[Long]) = {
+                  val f0 = buf.head._1
+                  val b = Seq.newBuilder[Long]
+                  while (buf.hasNext && buf.head._1 == f0) b += buf.next()._2
+                  (f0, b.result())
+                }
+              }
+              val refs = PuffinDeletionVectors.writePuffinStreaming(
+                fsx, pPath, grouped, snapshotId = sig.max.toLong, sequenceNumber = seqN)
+              val q = fsx.makeQualified(pPath).toString
+              refs.iterator.map(r => (q, r.referencedDataFile, r.offset, r.length, r.cardinality))
+            }
+          }.collect().toSeq // one address row per referenced file — never positions
+          if (written.isEmpty) None
+          else {
+            val entrySchema = new org.apache.avro.Schema.Parser()
+              .parse(PuffinDeletionVectors.ManifestEntryV3Avro)
+            val dfSchema = entrySchema.getField("data_file").schema()
+            val p = new Path(metaDir, s"mdv-sig$sigTag-${java.util.UUID.randomUUID()}.avro")
+            val w = new DataFileWriter[GenericRecord](
+              new GenericDatumWriter[GenericRecord](entrySchema))
+            w.setMeta("content", "deletes")
+            w.setMeta("format-version", "3")
+            w.setMeta("partition-spec-id", unpartSpecId.toString)
+            w.create(entrySchema, fs(p).create(p, true))
+            var total = 0L
+            val puffinLen = scala.collection.mutable.Map.empty[String, Long]
+            written.sortBy(w0 => (w0._1, w0._3)).foreach { case (puffin, refFile, off, len, card) =>
+              val dfr = new GenericData.Record(dfSchema)
+              dfr.put("content", 1)
+              dfr.put("file_path", puffin)
+              dfr.put("file_format", "PUFFIN")
+              dfr.put("partition", new GenericData.Record(dfSchema.getField("partition").schema()))
+              dfr.put("record_count", card)
+              dfr.put("file_size_in_bytes", puffinLen.getOrElseUpdate(puffin, {
+                val pp = new Path(puffin); fs(pp).getFileStatus(pp).getLen
+              }))
+              dfr.put("referenced_data_file", refFile)
+              dfr.put("content_offset", off)
+              dfr.put("content_size_in_bytes", len)
+              val e = new GenericData.Record(entrySchema)
+              e.put("status", 1)
+              e.put("snapshot_id", java.lang.Long.valueOf(sig.max.toLong))
+              e.put("sequence_number", seqN)
+              e.put("file_sequence_number", seqN)
+              e.put("data_file", dfr)
+              w.append(e)
+              total += card
+            }
+            w.close()
+            Some(sig -> ManifestRef(1, unpartSpecId,
+              fs(p).makeQualified(p).toString, fs(p).getFileStatus(p).getLen, total, written.size))
+          }
+      }.toMap
+
+    // ---- v3: row-lineage assignment over the exported history — each
+    // data manifest gets ONE first_row_id (shared by every list that
+    // carries it), snapshots record what they added, next-row-id is
+    // the total. The emulation follows segment (= historical commit)
+    // order, exactly what live v3 commits would have assigned.
+    val (firstRowIdOf: Map[String, Long], segFirstRowId: Map[Int, Long],
+        segAddedRows: Map[Int, Long], nextRowIdTotal: Long) =
+      if (!v3) (Map.empty[String, Long], Map.empty[Int, Long], Map.empty[Int, Long], 0L)
+      else {
+        var cum = 0L
+        val byPath = Map.newBuilder[String, Long]
+        val segFirst = Map.newBuilder[Int, Long]
+        val segAdded = Map.newBuilder[Int, Long]
+        allSegs.sortBy(_.v).foreach { m =>
+          segFirst += m.v -> cum
+          var added = 0L
+          manifestMeta(m.v).filter(_.content == 0).foreach { ref =>
+            byPath += ref.path -> cum
+            cum += ref.rows
+            added += ref.rows
+          }
+          segAdded += m.v -> added
+        }
+        (byPath.result(), segFirst.result(), segAdded.result(), cum)
+      }
+
     // ---- Avro manifest list per retained version
-    val listSchema = new org.apache.avro.Schema.Parser().parse(ManifestFileAvro)
+    val listSchema = new org.apache.avro.Schema.Parser().parse(
+      if (v3) ManifestFileV3Avro else ManifestFileAvro)
     val listPaths: Map[Int, String] = versions.map { v =>
       val p = new Path(metaDir, s"snap-$v-1-${java.util.UUID.randomUUID()}.avro")
       val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](listSchema))
-      w.setMeta("format-version", "2")
+      w.setMeta("format-version", if (v3) "3" else "2")
       w.setMeta("snapshot-id", v.toString)
       w.setMeta("sequence-number", v.toString)
       val os = fs(p).create(p, true)
       w.create(listSchema, os)
+      def listRecord(ref: ManifestRef, seq: Long): GenericRecord = {
+        val r = new GenericData.Record(listSchema)
+        r.put("manifest_path", ref.path)
+        r.put("manifest_length", ref.len)
+        r.put("partition_spec_id", ref.specId)
+        r.put("content", ref.content)
+        r.put("sequence_number", seq)
+        r.put("min_sequence_number", seq)
+        r.put("added_snapshot_id", seq)
+        r.put("added_files_count", ref.files)
+        r.put("existing_files_count", 0)
+        r.put("deleted_files_count", 0)
+        r.put("added_rows_count", ref.rows)
+        r.put("existing_rows_count", 0L)
+        r.put("deleted_rows_count", 0L)
+        if (v3)
+          r.put("first_row_id",
+            if (ref.content == 0) firstRowIdOf.get(ref.path).map(java.lang.Long.valueOf).orNull
+            else null)
+        r
+      }
       chains(v).sortBy(_.v).foreach { m =>
-        manifestMeta(m.v).foreach { ref =>
-          val r = new GenericData.Record(listSchema)
-          r.put("manifest_path", ref.path)
-          r.put("manifest_length", ref.len)
-          r.put("partition_spec_id", ref.specId)
-          r.put("content", ref.content)
-          r.put("sequence_number", m.v.toLong)
-          r.put("min_sequence_number", m.v.toLong)
-          r.put("added_snapshot_id", m.v.toLong)
-          r.put("added_files_count", ref.files)
-          r.put("existing_files_count", 0)
-          r.put("deleted_files_count", 0)
-          r.put("added_rows_count", ref.rows)
-          r.put("existing_rows_count", 0L)
-          r.put("deleted_rows_count", 0L)
-          w.append(r)
-        }
+        manifestMeta(m.v).foreach(ref => w.append(listRecord(ref, m.v.toLong)))
+      }
+      // the version's contributing-delete-set DV manifest (v3)
+      if (v3) {
+        val sig = sigByVersion(v)
+        dvManifestBySig.get(sig).foreach(ref => w.append(listRecord(ref, sig.max.toLong)))
       }
       w.close()
       v -> fs(p).makeQualified(p).toString
@@ -583,7 +773,16 @@ object IcebergExport {
         case _ => "overwrite" // upsert/revise: deletes + adds
       }
       val parent = if (i == 0) "" else s""""parent-snapshot-id":${versions(i - 1)},"""
-      s"""{"snapshot-id":$v,$parent"sequence-number":$v,"timestamp-ms":$now,""" +
+      // v3 row lineage: the snapshot records the id range it assigned —
+      // the head segment's stamps (the snapshot ADDED that segment)
+      val lineage =
+        if (!v3) ""
+        else {
+          val head = chains(v).last.v
+          s""""first-row-id":${segFirstRowId.getOrElse(head, 0L)},""" +
+            s""""added-rows":${segAddedRows.getOrElse(head, 0L)},"""
+        }
+      s"""{"snapshot-id":$v,$parent"sequence-number":$v,$lineage"timestamp-ms":$now,""" +
         s""""summary":{"operation":"$op"},"manifest-list":"${esc(listPaths(v))}","schema-id":0}"""
     }.mkString("[", ",", "]")
     val snapshotLog = versions
@@ -592,7 +791,8 @@ object IcebergExport {
       s"""{"spec-id":$id,"fields":${specFieldsJson(fields)}}"""
     }.mkString("[", ",", "]")
     val json =
-      s"""{"format-version":2,"table-uuid":"$uuid","location":"${esc(destDir)}",""" +
+      s"""{"format-version":$formatVersion,"table-uuid":"$uuid","location":"${esc(destDir)}",""" +
+        (if (v3) s""""next-row-id":$nextRowIdTotal,""" else "") +
         s""""last-sequence-number":$cur,"last-updated-ms":$now,"last-column-id":$lastColumnId,""" +
         s""""current-schema-id":0,"schemas":[$schemaJson],""" +
         s""""default-spec-id":0,"partition-specs":$specsJson,""" +

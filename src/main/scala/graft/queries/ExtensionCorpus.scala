@@ -3990,6 +3990,56 @@ object ExtensionCorpus {
       ORDER BY seq""")
   )
 
+  /** V3-NATIVE EXPORT (r20 — the r19 verdict's #5: a graft MOR chain
+    * could only be handed to a v3-expecting engine as equality
+    * deletes): the q145 chain (overwrite → MOR upsert → MOR key
+    * delete) exported with `formatVersion=3` — format-version-3
+    * metadata with next-row-id / first-row-id stamps and EVERY delete
+    * expressed as a Puffin deletion vector (keys joined against
+    * chain-prior row positions, blobs encoded in executor tasks, one
+    * live DV per referenced file per list). In-query requires pin the
+    * structure (v3 metadata, zero equality-delete entries, one DV per
+    * file); the aggregate through `graft_iceberg_scan` hash-matches
+    * DuckDB replaying the MOR resolution — DVs resolved the chain
+    * EXACTLY like the v2 equality export does. */
+  private val q180 = Q(
+    "q180_iceberg_v3_export",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("q180-snap").toString
+      val t = new graft.io.SnapshotTables(s, root)
+      val ord = fixture(s, dir, "orders")
+      t.overwriteTable(ord, "ord")                                     // v1
+      t.upsertMor("ord",                                               // v2: reprice %97 keys
+        ord.filter(col("o_orderkey") % 97 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+        Seq("o_orderkey"))
+      t.deleteKeysMor("ord",                                           // v3: purge %89 keys
+        ord.filter(col("o_orderkey") % 89 === 0).select("o_orderkey"))
+      val dest = java.nio.file.Files.createTempDirectory("q180-ice").toString
+      graft.io.IcebergExport.export(t, "ord", dest, formatVersion = 3)
+      val hint = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dest, "metadata", "version-hint.text")), "UTF-8").trim
+      val md = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new java.io.File(s"$dest/metadata/v$hint.metadata.json"))
+      require(md.get("format-version").asInt == 3 && md.get("next-row-id").asLong > 0,
+        "v3 export must stamp format-version 3 + next-row-id")
+      val dels = graft.io.IcebergImport.deleteFileInfo(s, dest)
+      require(dels.nonEmpty && dels.forall(d => d._1 == 1 && d._3.isDefined),
+        s"v3 export must carry ONLY deletion vectors, got $dels")
+      require(dels.flatMap(_._3.map(_._1)).groupBy(identity).forall(_._2.size == 1),
+        "one live DV per referenced file")
+      s.sql(s"""SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM graft_iceberg_scan('$dest')
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    },
+    Some("""SELECT o_orderstatus, COUNT(*) AS n,
+      CAST(SUM(CAST(CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 2
+                         ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders WHERE o_orderkey % 89 <> 0
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  )
+
   val all: Seq[Q] = Seq(
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q55, q86, q87, q88, q95, q96, q97, q98, q98b, q99, q100, q101, q102, q106, q107, q108,
@@ -3997,7 +4047,7 @@ object ExtensionCorpus {
     q128, q130, q131, q132, q133, q135, q136, q137, q138, q139, q140, q141, q143, q144,
     q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158, q159,
     q160, q161, q162, q163, q164, q165, q166, q166b, q167, q168, q169, q170, q171, q172, q173, q174, q175,
-    q176, q177, q178, q179
+    q176, q177, q178, q179, q180
   )
 
 }

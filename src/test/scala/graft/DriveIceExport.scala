@@ -20,7 +20,7 @@ object DriveIceExport {
     // as designed — but these are throwaway fixtures)
     Seq("plain", "mor", "bucket", "posdel", "evolved", "appended", "partitioned", "scoped",
         "dml", "branch", "posdml", "merge", "catname", "avrodata", "dv", "adopted", "changes",
-        "rowlineage")
+        "rowlineage", "dvexport")
       .foreach { n =>
         val p = new org.apache.hadoop.fs.Path(s"/tmp/ind_export_$n")
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -351,6 +351,25 @@ object DriveIceExport {
         s"sum=${if (r.isNullAt(2)) "None" else r.getLong(2)} " +
         s"min=${if (r.isNullAt(3)) "None" else r.getLong(3)} " +
         s"max=${if (r.isNullAt(4)) "None" else r.getLong(4)}"))
+
+    // 19: V3-NATIVE EXPORT (r20 — X147): the fixture-2 MOR chain
+    // (upsert + key delete) exported with formatVersion=3 — every
+    // delete a graft-exported Puffin DV, row lineage over the whole
+    // history. The witness must resolve the chain through ITS OWN
+    // Puffin/roaring64 decoding of blobs graft itself exported.
+    val r19 = java.nio.file.Files.createTempDirectory("ind-snap19").toString
+    val t19 = new graft.io.SnapshotTables(spark, r19)
+    t19.overwriteTable(ord, "ord")
+    t19.upsertMor("ord",
+      ord.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2),
+      Seq("o_orderkey"))
+    t19.deleteKeysMor("ord",
+      ord.filter(col("o_orderkey") % 89 === 0).select("o_orderkey"))
+    graft.io.IcebergExport.export(t19, "ord", "/tmp/ind_export_dvexport", formatVersion = 3)
+    val r19r = graft.io.IcebergImport.read(spark, "/tmp/ind_export_dvexport")
+      .agg(count(lit(1)), sum(col("o_totalprice").cast("decimal(18,2)")).cast("string")).collect()(0)
+    println(s"EXPECT dvexport count=${r19r.getLong(0)} sum=${r19r.getString(1)}")
     spark.stop()
   }
 }

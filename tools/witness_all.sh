@@ -6,7 +6,7 @@
 # the driver's EXPECT lines. Byte-identical output = witness pass.
 cd "$(dirname "$0")/.."
 base='SELECT COUNT(*), CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) FROM T'
-for f in plain mor bucket posdel appended dml branch posdml merge catname avrodata dv; do
+for f in plain mor bucket posdel appended dml branch posdml merge catname avrodata dv dvexport; do
   echo -n "WITNESS $f "
   python3 tools/ice_independent_read.py /tmp/ind_export_$f "$base" 2>/dev/null | tail -1
 done
