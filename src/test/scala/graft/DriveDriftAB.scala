@@ -1,14 +1,16 @@
 package graft
 
-/** Scratch: adjudicate the r18 q113/q142 warm drift (warm 4.90/4.27 at
-  * loadavg 6.4/4.8 vs committed priors 2.39/2.06) with the repo's
-  * interleaved one-JVM protocol: alternate q113, q142 and the q74
-  * control rep by rep, 6 reps each at the bench SF, per-rep load
-  * stamps, compare MINS against the prior band. The code paths of both
-  * queries are untouched since r17 — if the quiet mins land back in
-  * the prior band, the drift was ambient (the same verdict as q74/q10
-  * in r15/r17/r18); if they hold at ~2x under quiet load, a code cause
-  * exists and needs a bisect. */
+/** Scratch: the standing interleaved one-JVM drift-adjudication
+  * protocol (settled q74/q10 in r15/r17/r18 and q113/q142 in r19).
+  * r20 subjects: q133_mor_dml_chain_sql (official warm 9.73 s vs r18
+  * committed prior 4.49) and q132_manifest_relation_sql (4.07 vs
+  * 1.94) — the only >2x multi-second drifts on the r19 board — with
+  * q74_decontamination as the untouched CONTROL: uniform inflation
+  * across subjects AND control = ambient; subject-only inflation
+  * under quiet load = a code cause needing a bisect. Alternate rep by
+  * rep (never back-to-back blocks — invisible neighbors poison
+  * isolated runs at random), 6 reps, per-rep load stamps, compare
+  * MINS against the prior band. Subjects override via args. */
 object DriveDriftAB {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -22,8 +24,10 @@ object DriveDriftAB {
         java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
     def q(n: String) = graft.queries.Corpus.all.find(_.name == n).get
-    val subjects = Seq(q("q113_bloom_pruned_read"), q("q142_leakage_safe_split"),
-      q("q74_decontamination"))
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else Seq("q133_mor_dml_chain_sql", "q132_manifest_relation_sql", "q74_decontamination")
+    val subjects = names.map(q)
     def time(x: graft.queries.Q): Double = {
       val t0 = System.nanoTime(); x.run(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9
     }
