@@ -97,6 +97,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(graft.plans.IcebergScan.getClass.getName, "graft_iceberg_scan"),
       (children: Seq[Expression]) => graft.plans.IcebergScan.plan(children)
     ))
+    // v3 row-lineage scan (X146) — rows plus _row_id /
+    // _last_updated_sequence_number per the spec's inheritance rules:
+    // SELECT * FROM graft_iceberg_lineage_scan('/path'[, snapshot_id])
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_iceberg_lineage_scan"),
+      new ExpressionInfo(graft.plans.IcebergScan.getClass.getName, "graft_iceberg_lineage_scan"),
+      (children: Seq[Expression]) => graft.plans.IcebergScan.lineagePlan(children)
+    ))
     // metadata-table twins for foreign Iceberg layouts (.files / .snapshots):
     // SELECT * FROM graft_iceberg_files('/path'[, snapshot_id])
     // SELECT * FROM graft_iceberg_snapshots('/path')

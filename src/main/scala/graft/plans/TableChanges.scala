@@ -170,6 +170,18 @@ object IcebergScan {
       .queryExecution.analyzed
   }
 
+  /** ROW-LINEAGE scan (X146): graft_iceberg_lineage_scan('/dir'[,
+    * snap]) — the table's rows plus the v3 spec's `_row_id` /
+    * `_last_updated_sequence_number`, inherited per manifest-list
+    * first_row_id + row position. Pre-upgrade history reads null
+    * lineage; non-v3 tables refuse (see
+    * [[graft.io.IcebergImport.readWithRowLineage]]). */
+  def lineagePlan(args: Seq[Expression]): LogicalPlan = {
+    val (dir, snap) = dirAndSnap("graft_iceberg_lineage_scan", args)
+    graft.io.IcebergImport.readWithRowLineage(SparkSession.active, dir, snap)
+      .queryExecution.analyzed
+  }
+
   /** `.snapshots` metadata twin: graft_iceberg_snapshots('/dir'). */
   def snapshotsPlan(args: Seq[Expression]): LogicalPlan = {
     val (dir, _) = dirAndSnap("graft_iceberg_snapshots", args)

@@ -3960,13 +3960,15 @@ object ExtensionCorpus {
       graft.io.IcebergAppend.append(s, dest, batch(4000, 6000))        // ids 0..n2-1
       graft.io.IcebergAppend.append(s, dest, batch(6000, 8000))        // ids n2..
       graft.io.PuffinDeletionVectors.writeDVDelete(s, dest, "o_orderkey % 5 = 0")
-      graft.io.IcebergImport.readWithRowLineage(s, dest)
-        .groupBy(coalesce(col("_last_updated_sequence_number"), lit(0L)).as("seq"))
-        .agg(count(lit(1)).as("n"),
-          sum("_row_id").cast("long").as("sum_rid"),
-          min("_row_id").cast("long").as("min_rid"),
-          max("_row_id").cast("long").as("max_rid"))
-        .orderBy("seq")
+      // through the SQL face (graft_iceberg_lineage_scan, r20) — the
+      // TVF registration rides the same oracle gate as the Scala API
+      s.sql(s"""SELECT COALESCE(_last_updated_sequence_number, CAST(0 AS BIGINT)) AS seq,
+        COUNT(*) AS n,
+        CAST(SUM(_row_id) AS BIGINT) AS sum_rid,
+        CAST(MIN(_row_id) AS BIGINT) AS min_rid,
+        CAST(MAX(_row_id) AS BIGINT) AS max_rid
+        FROM graft_iceberg_lineage_scan('$dest')
+        GROUP BY 1 ORDER BY 1""")
     },
     Some("""WITH b2 AS (
         SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid

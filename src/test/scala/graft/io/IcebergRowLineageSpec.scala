@@ -85,6 +85,36 @@ class IcebergRowLineageSpec extends SparkSpec {
       "survivors must keep their pre-delete row ids")
   }
 
+  test("the SQL face: graft_iceberg_lineage_scan serves the same rows, snapshot pin included") {
+    val dir = exported("sqlface", Seq((1L, "pre")))
+    PuffinDeletionVectors.upgradeToV3(spark, dir)
+    IcebergAppend.append(spark, dir, sortedBatch(10L to 14L))
+    val viaSql = spark.sql(s"SELECT id, _row_id, _last_updated_sequence_number " +
+        s"FROM graft_iceberg_lineage_scan('$dir') ORDER BY id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    val viaApi = IcebergImport.readWithRowLineage(spark, dir)
+      .select("id", "_row_id", "_last_updated_sequence_number").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq.sortBy(_._1)
+    assert(viaSql == viaApi)
+    assert(viaSql.filter(_._1 >= 10L).flatMap(_._2) == (0L to 4L))
+    // the snapshot-pinned form resolves the pre-append state
+    val snaps = IcebergImport.snapshots(spark, dir).sorted
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft_iceberg_lineage_scan('$dir', ${snaps.head})")
+      .head().getLong(0) == 1L)
+    // non-v3 refusal surfaces through SQL too
+    val v2 = exported("sqlface-v2", Seq((1L, "a")))
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_iceberg_lineage_scan('$v2')").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("format-version")))
+  }
+
   test("refusals: non-v3 tables; a data file that materializes _row_id") {
     val v2 = exported("refuse-v2", Seq((1L, "a")))
     val e1 = intercept[IllegalArgumentException] {
