@@ -601,28 +601,34 @@ final class SnapshotTables(
     val marker = new Path(dir, SnapshotTables.HeartbeatName)
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val t = new Thread(() => {
-      while (!stop.get()) {
-        // Beat ONLY once the write job has created the staging dir.
-        // The marker write would otherwise CREATE the dir before the
-        // job starts, and the job's Overwrite mode then races its
-        // clear-output step against the next beat re-creating the
-        // marker — an intermittent "Unable to clear output directory"
-        // job failure (observed live). An existing dir is never
-        // cleared mid-write by the job again, so beating after
-        // creation is race-free; a write that finishes before the
-        // first beat simply never needed liveness marking (vacuum
-        // falls back to dir mtime).
-        try { if (fs(dir).exists(dir)) writeSmallFile(marker, System.currentTimeMillis.toString) }
-        catch { case _: java.io.IOException => () } // transient: next beat retries
-        val deadline = System.currentTimeMillis + heartbeatMs
-        while (!stop.get() && System.currentTimeMillis < deadline) Thread.sleep(200)
-      }
+      try {
+        while (!stop.get()) {
+          // Beat ONLY once the write job has created the staging dir.
+          // The marker write would otherwise CREATE the dir before the
+          // job starts, and the job's Overwrite mode then races its
+          // clear-output step against the next beat re-creating the
+          // marker — an intermittent "Unable to clear output directory"
+          // job failure (observed live). An existing dir is never
+          // cleared mid-write by the job again, so beating after
+          // creation is race-free; a write that finishes before the
+          // first beat simply never needed liveness marking (vacuum
+          // falls back to dir mtime).
+          try { if (fs(dir).exists(dir)) writeSmallFile(marker, System.currentTimeMillis.toString) }
+          catch { case _: java.io.IOException => () } // transient: next beat retries
+          val deadline = System.currentTimeMillis + heartbeatMs
+          while (!stop.get() && System.currentTimeMillis < deadline) Thread.sleep(200)
+        }
+      } catch { case _: InterruptedException => () } // teardown interrupt (below)
     }, s"graft-staging-heartbeat-${dir.getName}")
     t.setDaemon(true)
     t.start()
     try body
     finally {
-      stop.set(true); t.join(5000)
+      // interrupt, don't just flag: the beat loop sleeps in 200 ms
+      // slices, and a bare join here stalled EVERY staged commit an
+      // average ~100 ms waiting the current slice out (driver-profiled
+      // at ~10 % of q133's wall, r20 optimization round)
+      stop.set(true); t.interrupt(); t.join(5000)
       try { val f = fs(marker); if (f.exists(marker)) f.delete(marker, false) }
       catch { case _: java.io.IOException => () }
     }
@@ -1352,8 +1358,22 @@ final class SnapshotTables(
     commitVersion(
       table,
       stage = tmp => {
-        del.foreach(_.write.mode(SaveMode.Overwrite).parquet(new Path(tmp, "del").toString))
-        add.foreach(_.write.mode(SaveMode.Overwrite).parquet(new Path(tmp, "add").toString))
+        // the two sides are independent tiny write jobs; overlapping
+        // them on driver threads (guide §2.6) halves the staged-write
+        // latency of every patch commit — Spark schedules concurrent
+        // jobs from one session safely, and the dirs are disjoint
+        (del, add) match {
+          case (Some(d), Some(a)) =>
+            import scala.concurrent.{Await, Future}
+            import scala.concurrent.ExecutionContext.Implicits.global
+            import scala.concurrent.duration.Duration
+            val fd = Future(d.write.mode(SaveMode.Overwrite).parquet(new Path(tmp, "del").toString))
+            val fa = Future(a.write.mode(SaveMode.Overwrite).parquet(new Path(tmp, "add").toString))
+            Await.result(fd, Duration.Inf); Await.result(fa, Duration.Inf)
+          case _ =>
+            del.foreach(_.write.mode(SaveMode.Overwrite).parquet(new Path(tmp, "del").toString))
+            add.foreach(_.write.mode(SaveMode.Overwrite).parquet(new Path(tmp, "add").toString))
+        }
       },
       partitionCols1 = currentPartitionCols(table),
       schemaJson = read(table).schema.json,
@@ -1372,13 +1392,36 @@ final class SnapshotTables(
     * _SUCCESS), and an unguarded `spark.read.parquet` on it throws
     * AnalysisException (unable to infer schema) — every multi-segment
     * reader must union only the non-empty segments. */
-  private def readDirOpt(dir: String): Option[DataFrame] = {
-    val d = new Path(dir)
-    if (!fs(d).exists(d)) return None
-    try {
-      val df = spark.read.parquet(dir)
-      if (df.schema.isEmpty) None else Some(df)
-    } catch { case _: org.apache.spark.sql.AnalysisException => None }
+  private def readDirOpt(dir: String): Option[DataFrame] =
+    cachedParquet(new Path(dir))
+
+  /** One (modTime,len)-guarded resolve of a write-once parquet path
+    * (segment data dir or stats manifest file) through the JVM-wide
+    * [[SnapshotTables.relationCache]] — see its doc for why this can
+    * never serve stale data. None = path absent or no data files. */
+  private def cachedParquet(d: Path): Option[DataFrame] = {
+    val f = fs(d)
+    val st =
+      try f.getFileStatus(d)
+      catch { case _: java.io.FileNotFoundException => null }
+    if (st == null) return None
+    val key = s"${System.identityHashCode(spark)}|${f.makeQualified(d)}"
+    val hit = SnapshotTables.relationCache.synchronized {
+      Option(SnapshotTables.relationCache.get(key))
+    }
+    hit match {
+      case Some((m, l, df)) if m == st.getModificationTime && l == st.getLen => df
+      case _ =>
+        val v =
+          try {
+            val df = spark.read.parquet(d.toString)
+            if (df.schema.isEmpty) None else Some(df)
+          } catch { case _: org.apache.spark.sql.AnalysisException => None }
+        SnapshotTables.relationCache.synchronized {
+          SnapshotTables.relationCache.put(key, (st.getModificationTime, st.getLen, v))
+        }
+        v
+    }
   }
 
   /** Read one chain segment's dir (or subdir) as a frame, None when it
@@ -1452,7 +1495,8 @@ final class SnapshotTables(
     }
     // a fully-empty chain reads like a plain empty version (same
     // error/empty behavior as the single-dir path)
-    out.getOrElse(spark.read.parquet(dataDirOfMeta(table, segs.last).toString))
+    out.orElse(cachedParquet(dataDirOfMeta(table, segs.last)))
+      .getOrElse(spark.read.parquet(dataDirOfMeta(table, segs.last).toString))
   }
 
   /** HIDDEN PARTITIONING (Iceberg's partition transforms): commit with
@@ -2534,7 +2578,7 @@ final class SnapshotTables(
     if (!fs(mp).exists(mp)) return segRead(table, v)
     // the manifest is a single small parquet: re-reading it per branch
     // is cheaper than pinning checkpoint blocks for every pruned read
-    val m = spark.read.parquet(mp.toString)
+    val m = cachedParquet(mp).getOrElse(spark.read.parquet(mp.toString))
     if (m.isEmpty) return segRead(table, v) // degenerate manifest (older writers): full scan, never empty answers
     val all = m.select("file").distinct()
     val keepDf = bounds
@@ -2628,7 +2672,7 @@ final class SnapshotTables(
     import org.apache.spark.sql.functions._
     val mp = manifestPath(table, v)
     if (!fs(mp).exists(mp)) return segRead(table, v)
-    val m = spark.read.parquet(mp.toString)
+    val m = cachedParquet(mp).getOrElse(spark.read.parquet(mp.toString))
     if (!m.columns.contains("sketch")) return segRead(table, v) // pre-sketch-era manifest: full scan
     if (m.isEmpty) return segRead(table, v) // degenerate manifest (older writers): full scan, never empty answers
     val forCol = m.filter(col("column") === lit(statColumn))
@@ -2757,7 +2801,7 @@ final class SnapshotTables(
         val lim = manifestDriverRows
         val res: SnapshotTables.ManifestVerdict =
           try {
-            val m = spark.read.parquet(mp.toString)
+            val m = cachedParquet(mp).getOrElse(spark.read.parquet(mp.toString))
             val has = m.columns.toSet
             def c(name: String, t: String) =
               (if (has(name)) col(name) else org.apache.spark.sql.functions.lit(null)).cast(t)
@@ -2892,7 +2936,7 @@ final class SnapshotTables(
         return Left(segRead(table, v)) // full read — never re-consult, never skip
       case SnapshotTables.ManifestOverBudget => () // distributed evaluation below
     }
-    val m = spark.read.parquet(mp.toString)
+    val m = cachedParquet(mp).getOrElse(spark.read.parquet(mp.toString))
     if (m.isEmpty) return Left(segRead(table, v))
     val hasSketch = m.columns.contains("sketch")
     val all = m.select("file").distinct()
@@ -2972,7 +3016,7 @@ final class SnapshotTables(
         "reading the manifest")
     val perSeg = segs.flatMap { s =>
       val mp = manifestPath(table, s.v)
-      if (fs(mp).exists(mp)) Some(spark.read.parquet(mp.toString))
+      if (fs(mp).exists(mp)) Some(cachedParquet(mp).getOrElse(spark.read.parquet(mp.toString)))
       else if (segRead(table, s.v).forall(_.isEmpty)) None // zero-row segment: nothing to list
       else throw new IllegalArgumentException(
         s"table $table v${s.v} has no stats manifest — commit with statsCols/sketchCols first")
@@ -3069,7 +3113,9 @@ final class SnapshotTables(
     val v = currentVersion(table)
     val mp = manifestPath(table, v)
     require(fs(mp).exists(mp), s"table $table v$v has no stats manifest — commit with statsCols first")
-    val m = spark.read.parquet(mp.toString) // manifest-sized; re-reading per branch is cheaper than pinning blocks
+    // manifest-sized; the (modTime,len)-guarded relation cache makes
+    // per-branch re-reads free without pinning checkpoint blocks
+    val m = cachedParquet(mp).getOrElse(spark.read.parquet(mp.toString))
     // a column absent from SOME files (schema evolution, sketch-only
     // rows) must answer NULL, not a bound over the covered subset —
     // compare each column's stats coverage against the table's full
@@ -3167,7 +3213,8 @@ final class SnapshotTables(
     val ms = segs.flatMap { s =>
       val mp = manifestPath(table, s.v)
       if (fs(mp).exists(mp))
-        Some(spark.read.parquet(mp.toString).withColumn("__seg", lit(s.v)))
+        Some(cachedParquet(mp).getOrElse(spark.read.parquet(mp.toString))
+          .withColumn("__seg", lit(s.v)))
       else if (segRead(table, s.v).forall(_.isEmpty)) None // empty segment: zero rows
       else return None // rows with no manifest: nothing provable
     }
@@ -3345,7 +3392,7 @@ final class SnapshotTables(
         s"table $table v$v has no stats manifest — commit with statsCols first")
       return 0L
     }
-    val m = spark.read.parquet(mp.toString)
+    val m = cachedParquet(mp).getOrElse(spark.read.parquet(mp.toString))
     val filesTotal = m.select(countDistinct(col("file"))).head().getLong(0)
     val withRows = m.filter(col("rows").isNotNull).select(col("file"), col("rows")).distinct()
     require(withRows.count() == filesTotal,
@@ -3370,7 +3417,8 @@ final class SnapshotTables(
     val segs = chainOf(table, version)
     val df0 =
       if (segs.length == 1) {
-        val df = spark.read.parquet(dataDirOfMeta(table, segs.head).toString)
+        val dd = dataDirOfMeta(table, segs.head)
+        val df = cachedParquet(dd).getOrElse(spark.read.parquet(dd.toString))
         val hidden = df.columns.filter(_.startsWith("__p_"))
         if (hidden.isEmpty) df else df.drop(hidden: _*)
       } else resolveChain(table, segs)
@@ -3992,6 +4040,34 @@ object SnapshotTables {
       override def removeEldestEntry(
           e: java.util.Map.Entry[String, ManifestVerdict]): Boolean =
         size() > ManifestCacheMax
+    }
+
+  /** Relation cache for WRITE-ONCE parquet inputs (r20 optimization —
+    * guide §1/§6: the driver gap, not the data plane, dominated the
+    * lifecycle queries; q133 sampled ~40 % of wall inside
+    * `spark.read.parquet` re-listing + re-footer-reading the same
+    * immutable segment dirs). Version data dirs (rename layout: the
+    * renamed-into-place snapshot dir; direct layout: the staged-then-
+    * adopted pool dir) and stats manifests are created by the commit
+    * CAS and never mutated afterwards — expiry/rollback/orphan-sweep
+    * only DELETE them — so a `(modTime, len)`-guarded entry can never
+    * serve a stale relation: deletion fails the exists probe, and any
+    * same-path re-creation (a re-created table line) lands a new
+    * mtime. Values are the resolved `DataFrame` (its `FileIndex` and
+    * inferred schema are the expensive part); `None` records the
+    * no-data-files verdict (empty dynamic-partition write) so empty
+    * segments are probed exactly once per state. Keys carry the owning
+    * session's identity — a DataFrame is bound to its session and must
+    * never leak across (tests and Bench run separate sessions).
+    * This caches INPUT METADATA of immutable files, never query
+    * results: every bench/oracle run re-executes the full read path. */
+  private val RelationCacheMax = 256
+  private[io] val relationCache =
+    new java.util.LinkedHashMap[String, (Long, Long, Option[org.apache.spark.sql.DataFrame])](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Long, Long, Option[org.apache.spark.sql.DataFrame])])
+          : Boolean = size() > RelationCacheMax
     }
 
   /** One link of a version's delta chain, parsed from the version
