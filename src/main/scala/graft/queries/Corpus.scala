@@ -36,7 +36,44 @@ object Corpus {
   private val dec4 = DecimalType(18, 4)
   private def d2(c: Column): Column = c.cast(dec2)
 
-  def fixture(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** Relation cache for the read-only fixture tables (r20 optimization,
+    * guide §1/§6): every `fixture` call built a fresh relation —
+    * re-listing the path and re-reading a parquet footer for schema
+    * inference (~10-30 ms of driver IO) — for inputs that never change
+    * during a JVM's lifetime. Entries are (modTime,len)-guarded per
+    * (session, path) so a rewritten replica (ScaleSmoke staging) or a
+    * different session can never see a stale or foreign plan. This
+    * caches the RELATION (file list + schema), never data or results:
+    * every query execution still scans the parquet in full. */
+  private val fixtureCacheMax = 64
+  private val fixtureCache =
+    new java.util.LinkedHashMap[String, (Long, Long, DataFrame)](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Long, Long, DataFrame)]): Boolean =
+        size() > fixtureCacheMax
+    }
+
+  def fixture(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val st =
+      try p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p)
+      catch { case _: java.io.FileNotFoundException => null }
+    val key = s"${System.identityHashCode(spark)}|$dir/$name.parquet"
+    if (st != null) {
+      val hit = fixtureCache.synchronized { Option(fixtureCache.get(key)) }
+      hit match {
+        case Some((m, l, df)) if m == st.getModificationTime && l == st.getLen => return df
+        case _ => ()
+      }
+    }
+    val df = fixtureUncached(spark, dir, name)
+    if (st != null) fixtureCache.synchronized {
+      fixtureCache.put(key, (st.getModificationTime, st.getLen, df))
+    }
+    df
+  }
+
+  private def fixtureUncached(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts has shipped in two fixture vintages: INT64
       // TIMESTAMP(NANOS) (Spark only reads it via the nanosAsLong

@@ -77,20 +77,25 @@ object DriveProfile {
     val sampler = new Thread(() => {
       while (true) {
         if (sampling) {
-          val st = mainThread.getStackTrace
-          if (st.nonEmpty) {
+          import scala.jdk.CollectionConverters._
+          val all = Thread.getAllStackTraces.asScala
+          all.foreach { case (t, st) =>
+            val isMain = t eq mainThread
+            // non-main threads only count when they're in graft code
+            // (stream-execution / commit threads); main always counts
             val graftFrame = st.find { f =>
               f.getClassName.startsWith("graft.") &&
                 !f.getClassName.contains("DriveProfile")
             }
-            val frame = graftFrame.orElse(st.headOption).map { f =>
-              s"${f.getClassName.split('.').takeRight(2).mkString(".")}.${f.getMethodName}:${f.getLineNumber}"
-            }.getOrElse("?")
-            // classify whether we're inside a Spark action (job running)
-            // vs pure driver work by whether any DAGScheduler frame waits
-            val inAction = st.exists(f => f.getClassName.contains("SparkPlan") ||
-              f.getClassName.contains("DAGScheduler") || f.getMethodName == "awaitResult")
-            samples.synchronized { samples(s"${if (inAction) "JOB " else "DRV "}$frame") += 1 }
+            if (st.nonEmpty && (isMain || graftFrame.nonEmpty)) {
+              val frame = graftFrame.orElse(st.headOption).map { f =>
+                s"${f.getClassName.split('.').takeRight(2).mkString(".")}.${f.getMethodName}:${f.getLineNumber}"
+              }.getOrElse("?")
+              val inAction = st.exists(f => f.getClassName.contains("SparkPlan") ||
+                f.getClassName.contains("DAGScheduler") || f.getMethodName == "awaitResult")
+              val tag = if (isMain) (if (inAction) "JOB " else "DRV ") else "AUX "
+              samples.synchronized { samples(s"$tag$frame") += 1 }
+            }
           }
         }
         Thread.sleep(10)
