@@ -92,6 +92,12 @@ final class SnapshotTableV2(
     else
       try {
         val s = directScanDirs match {
+          // single-dir scans resolve through the write-once relation
+          // cache (the common full-version case); multi-dir unions are
+          // rare enough to build fresh
+          case Some(dirs) if dirs.length == 1 =>
+            st.cachedParquet(new org.apache.hadoop.fs.Path(dirs.head))
+              .map(_.schema).getOrElse(spark.read.parquet(dirs.head).schema)
           case Some(dirs) => spark.read.parquet(dirs: _*).schema
           case None => st.readVersion(table, version).schema
         }

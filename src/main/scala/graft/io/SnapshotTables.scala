@@ -1398,8 +1398,10 @@ final class SnapshotTables(
   /** One (modTime,len)-guarded resolve of a write-once parquet path
     * (segment data dir or stats manifest file) through the JVM-wide
     * [[SnapshotTables.relationCache]] — see its doc for why this can
-    * never serve stale data. None = path absent or no data files. */
-  private def cachedParquet(d: Path): Option[DataFrame] = {
+    * never serve stale data. None = path absent or no data files.
+    * Package-visible so the catalog face ([[graft.catalog.SnapshotTableV2]]
+    * schema discovery) reuses the same cached relations. */
+  private[graft] def cachedParquet(d: Path): Option[DataFrame] = {
     val f = fs(d)
     val st =
       try f.getFileStatus(d)
