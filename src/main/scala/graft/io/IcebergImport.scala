@@ -65,6 +65,20 @@ import org.apache.spark.sql.types._
   */
 object IcebergImport {
 
+  /** JVM-wide footer-class cache (r20 optimization): whether a data
+    * file's parquet footer carries field ids, plus its column names.
+    * Iceberg data files are write-once (compaction and DML write NEW
+    * files), so a path's verdict never changes; without this, every
+    * post-commit reload of a table re-opened every footer during
+    * planning. Bounded LRU; entries for deleted files age out. */
+  private val FooterClassCacheMax = 8192
+  private[io] val footerClassCache =
+    new java.util.LinkedHashMap[String, (Boolean, Seq[String])](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Boolean, Seq[String])]): Boolean =
+        size() > FooterClassCacheMax
+    }
+
   /** A live data file with its data sequence number. `raw` keeps the
     * manifest's own spelling — position-delete rows address files by
     * that exact string, so both spellings enter the lookup. `lower`/
@@ -756,15 +770,32 @@ object IcebergImport {
     // id-resolution against an id-less footer) instead of silently
     // matching wrong columns — raise the budget to re-plan exactly.
     val idAware = idSchema.exists(_.fields.exists(_.metadata.contains("parquet.field.id")))
+    // footer classes are cached JVM-wide ([[footerClassCache]]): data
+    // files are write-once under the Iceberg contract, so a file's
+    // id-carrying verdict never changes — without the shared cache
+    // every post-commit reload of a table re-opened every footer
+    // (driver-profiled at 3-5 % of the DML lifecycle queries, r20)
+    // `footers` additionally records WHICH files this planning pass
+    // probed (the byId derivation below distinguishes probed files
+    // from budget-skipped ones), so the global hit still lands there.
     val footers = new java.util.concurrent.ConcurrentHashMap[String, (Boolean, Seq[String])]()
     def footer(path: String): (Boolean, Seq[String]) = footers.computeIfAbsent(path, { _ =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(path), hconf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try {
-        import scala.jdk.CollectionConverters._
-        val fs0 = r.getFooter.getFileMetaData.getSchema.getFields.asScala
-        (fs0.exists(_.getId != null), fs0.map(_.getName).toSeq)
-      } finally r.close()
+      val hit = IcebergImport.footerClassCache.synchronized {
+        Option(IcebergImport.footerClassCache.get(path))
+      }
+      hit.getOrElse {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(path), hconf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val v = try {
+          import scala.jdk.CollectionConverters._
+          val fs0 = r.getFooter.getFileMetaData.getSchema.getFields.asScala
+          (fs0.exists(_.getId != null), fs0.map(_.getName).toSeq)
+        } finally r.close()
+        IcebergImport.footerClassCache.synchronized {
+          IcebergImport.footerClassCache.put(path, v)
+        }
+        v
+      }
     })
     val byId: Set[String] =
       if (!idAware) Set.empty
