@@ -2402,14 +2402,24 @@ final class SnapshotTables(
     val confSer = new org.apache.spark.SerializableWritable(spark.sparkContext.hadoopConfiguration)
     val session = spark
     import session.implicits._
-    val stats = spark.sparkContext
-      .parallelize(files.toSeq, math.max(1, math.min(files.size, 64)))
-      .flatMap { abs =>
+    // Small-commit fast path (r20 optimization, same budgeted-driver
+    // rationale as the round-13 planning fast path): for a handful of
+    // files, two distributed jobs (parallelize + footer reads, then
+    // the manifest write's own scan of the RDD) cost more in
+    // scheduling than the footer reads themselves — profiled at ~35 %
+    // of q111's wall. Under the budget the same per-footer reduction
+    // runs on the driver and the manifest writes from a LocalRelation
+    // (one 1-task job); a 100k-file table still takes the distributed
+    // path, so the driver never handles more than the budget.
+    val driverFooterBudget = spark.conf.getOption("graft.manifest.driverFooterBudget")
+      .map(_.toInt).getOrElse(64)
+    def footerRows(abs: String, conf: org.apache.hadoop.conf.Configuration)
+        : Seq[(String, Long, String, Option[Double], Option[Double], Option[String], Option[String], Long)] = {
         import scala.jdk.CollectionConverters._
         import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(abs), confSer.value))
+            new org.apache.hadoop.fs.Path(abs), conf))
         try {
           val blocks = reader.getFooter.getBlocks.asScala.toSeq
           val rows = blocks.map(_.getRowCount).sum
@@ -2446,7 +2456,27 @@ final class SnapshotTables(
             }
         } finally reader.close()
       }
-      .toDF("file", "rows", "column", "min_num", "max_num", "min_str", "max_str", "nulls")
+    val statCols = Seq("file", "rows", "column", "min_num", "max_num", "min_str", "max_str", "nulls")
+    val stats =
+      if (files.size <= driverFooterBudget) {
+        // footer opens are independent metadata reads — do them
+        // concurrently (latency ≈ max, not sum), same shape as the
+        // IcebergImport footer probe
+        val rows =
+          if (files.size > 4) {
+            import scala.collection.parallel.CollectionConverters._
+            val pc = files.toSeq.par
+            pc.tasksupport = new scala.collection.parallel.ExecutionContextTaskSupport(
+              scala.concurrent.ExecutionContext.global)
+            pc.flatMap(footerRows(_, spark.sparkContext.hadoopConfiguration)).seq
+          } else files.toSeq.flatMap(footerRows(_, spark.sparkContext.hadoopConfiguration))
+        rows.toDF(statCols: _*)
+      }
+      else
+        spark.sparkContext
+          .parallelize(files.toSeq, math.max(1, math.min(files.size, 64)))
+          .flatMap(abs => footerRows(abs, confSer.value))
+          .toDF(statCols: _*)
     val manifest =
       if (sketchCols.isEmpty) withSketchSchema(stats)
       else {
